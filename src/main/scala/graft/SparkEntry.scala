@@ -1,13 +1,403 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Cleansing, Dedup, Tables, Windows}
+
+/** Driver contract — one named query per implemented operator from
+  * SURVEY.md §2 (+ the north-star LLM-pipeline operators), each with an
+  * equivalent DuckDB oracle SQL.
+  *
+  * Determinism rules (SURVEY.md §7.3, FIXTURES.md §3): every oracle-checked
+  * query ends in an ORDER BY on a unique key; floating aggregates either
+  * operate on integral-valued doubles (bit-exact in any summation order) or
+  * are ROUNDed; no `monotonically_increasing_id`; session TZ is UTC.
+  */
 object SparkEntry {
+
+  /** A query: the Spark implementation plus (optionally) the DuckDB oracle
+    * SQL. `oracle=None` → driver records a weaker rows-only check (used for
+    * ops whose semantics aren't SQL-expressible, e.g. LSH bucketing).
+    */
+  private case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  // Deterministic total order for lineitem rows. NOTE: in this synthetic
+  // data (l_orderkey, l_linenumber) is NOT unique — the verified unique key
+  // is (l_orderkey, l_linenumber, l_partkey, l_suppkey). Every oracle query
+  // over row-level lineitem output must order by enough columns to induce a
+  // total order on its *output* columns.
+  private val liKey: Seq[String] = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+  // ---------------------------------------------------------------------
+  // §2.1 scans + §2.3 filters
+  // ---------------------------------------------------------------------
+
+  private val qS1 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      Cleansing
+        .selectColumns(li, Seq("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+        .filter(col("l_quantity") > 45) // pushed to the parquet scan
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem WHERE l_quantity > 45
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""))
+
+  private val qF1 = Q(
+    (s, dir) => {
+      val li = Cleansing.filterNotNull(t(s, dir, "lineitem"), Seq("l_returnflag", "l_shipdate"))
+      li.agg(count(lit(1)).as("n"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+            WHERE l_returnflag IS NOT NULL AND l_shipdate IS NOT NULL"""))
+
+  // ---------------------------------------------------------------------
+  // §2.2 projection / rename; §2.7 A1 non-null counts
+  // ---------------------------------------------------------------------
+
+  private val qP1 = Q(
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      Cleansing
+        .renameColumns(
+          Cleansing.selectColumns(o, Seq("o_orderkey", "o_orderstatus", "o_totalprice")),
+          Map("o_orderkey" -> "order_id", "o_orderstatus" -> "status", "o_totalprice" -> "total"))
+        .orderBy("order_id")
+    },
+    Some("""SELECT o_orderkey AS order_id, o_orderstatus AS status, o_totalprice AS total
+            FROM orders ORDER BY order_id"""))
+
+  private val qA1 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.select(li.columns.map(c => count(col(c)).alias(s"nn_$c")).toSeq: _*)
+    },
+    Some("""SELECT CAST(count(l_orderkey) AS BIGINT) AS nn_l_orderkey,
+                   CAST(count(l_partkey) AS BIGINT) AS nn_l_partkey,
+                   CAST(count(l_suppkey) AS BIGINT) AS nn_l_suppkey,
+                   CAST(count(l_linenumber) AS BIGINT) AS nn_l_linenumber,
+                   CAST(count(l_quantity) AS BIGINT) AS nn_l_quantity,
+                   CAST(count(l_extendedprice) AS BIGINT) AS nn_l_extendedprice,
+                   CAST(count(l_discount) AS BIGINT) AS nn_l_discount,
+                   CAST(count(l_tax) AS BIGINT) AS nn_l_tax,
+                   CAST(count(l_returnflag) AS BIGINT) AS nn_l_returnflag,
+                   CAST(count(l_linestatus) AS BIGINT) AS nn_l_linestatus,
+                   CAST(count(l_shipdate) AS BIGINT) AS nn_l_shipdate
+            FROM lineitem"""))
+
+  /** P2 dynamic all-null column drop: testdata has no all-null column, so we
+    * inject one and assert it (and only it) is pruned. Rows-only check here;
+    * exact schema behavior is unit-tested in CleansingSpec.
+    */
+  private val qP2 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("ghost", lit(null).cast(DoubleType))
+      val pruned = Cleansing.pruneAllNullColumns(li, essential = Set("l_orderkey"))
+      pruned.select(lit(pruned.columns.mkString("|")).as("kept_columns")).distinct()
+    },
+    None)
+
+  // ---------------------------------------------------------------------
+  // §2.6 sanitizer casts (dirty inputs synthesized so the oracle can
+  // reproduce them — FIXTURES.md §3)
+  // ---------------------------------------------------------------------
+
+  private val qC3 = Q(
+    (s, dir) => {
+      val dirty = regexp_replace(col("l_quantity").cast(StringType), "\\.", ",")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Cleansing.commaDecimalToDouble(dirty).as("qty_clean"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_clean"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber,
+                   TRY_CAST(REPLACE(REPLACE(CAST(l_quantity AS VARCHAR), '.', ','), ',', '.') AS DOUBLE) AS qty_clean
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_clean"""))
+
+  private val qC4 = Q(
+    (s, dir) => {
+      // "17,000"-style thousands-formatted string, as arrives in the raw
+      // feed (`transform_1.py:71`); strip + cast recovers the exact long.
+      val dirty = format_number(col("l_quantity") * 1000, 0)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Cleansing.formattedToLong(dirty).as("qty_scaled"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_scaled"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, CAST(l_quantity * 1000 AS BIGINT) AS qty_scaled
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_scaled"""))
+
+  // ---------------------------------------------------------------------
+  // §2.5 null handling
+  // ---------------------------------------------------------------------
+
+  private val qN1 = Q(
+    (s, dir) => {
+      val e = Tables.readEvents(s, dir)
+        .withColumn("etype", when(col("event_type") === "error", lit(null)).otherwise(col("event_type")))
+        .withColumn("val", when(col("value") < 1.0, lit(null)).otherwise(col("value")))
+      Cleansing.fillDefaults(e, Map("etype" -> "UNKNOWN", "val" -> 0.0))
+        .select("event_id", "etype", "val")
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id,
+                   COALESCE(NULLIF(event_type, 'error'), 'UNKNOWN') AS etype,
+                   COALESCE(CASE WHEN value < 1.0 THEN NULL ELSE value END, 0.0) AS val
+            FROM events ORDER BY event_id"""))
+
+  private val qN2 = Q(
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("d", when(col("o_orderkey") % 97 === 0, lit(null).cast(TimestampType))
+          .otherwise(col("o_orderdate")))
+        .withColumn("d", Cleansing.formatPartitionDate(col("d")))
+      Cleansing.fillSentinelDate(o, "d")
+        .select("o_orderkey", "d")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+                   COALESCE(CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                                 ELSE strftime(o_orderdate, '%Y-%m-%d') END,
+                            '1970-01-01') AS d
+            FROM orders ORDER BY o_orderkey"""))
+
+  // ---------------------------------------------------------------------
+  // §2.4 deduplication
+  // ---------------------------------------------------------------------
+
+  private val qD1 = Q(
+    (s, dir) =>
+      Dedup.dropExact(t(s, dir, "lineitem").select("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  private val qD2 = Q(
+    (s, dir) =>
+      Dedup.keepFirst(t(s, dir, "lineitem"), Seq("l_orderkey"),
+          Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+        .orderBy("l_orderkey"),
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+            FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                                               ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+                  FROM lineitem)
+            WHERE rn = 1 ORDER BY l_orderkey"""))
+
+  // ---------------------------------------------------------------------
+  // §2.8 windows — the analytical core. Rolling stats run on l_quantity
+  // (integral-valued doubles): bounded-frame sums of integers are exact in
+  // IEEE754 regardless of add/remove order, so Spark's incremental frame
+  // and DuckDB's segment tree produce bit-identical results.
+  // ---------------------------------------------------------------------
+
+  // Window order within an l_suppkey partition: (l_orderkey, l_linenumber,
+  // l_partkey) completes the unique key once l_suppkey is fixed.
+  private def liOrder: Seq[Column] =
+    Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+
+  private val qW1 = Q(
+    (s, dir) => {
+      val w = Windows.rolling(Seq(col("l_suppkey")), liOrder, 7)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(Windows.rollingAvg(col("l_quantity"), w), 6).as("avg_qty_7"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("avg_qty_7"))
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+                   ROUND(AVG(l_quantity) OVER (PARTITION BY l_suppkey
+                                               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+                                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg_qty_7
+            FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, avg_qty_7"""))
+
+  private val qW2 = Q(
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus"),
+          Windows.groupTotal(col("l_quantity"), Seq(col("l_returnflag"), col("l_linestatus")))
+            .as("group_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+                   SUM(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus) AS group_qty
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, l_returnflag, l_linestatus"""))
+
+  private val qW3 = Q(
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("rn", Windows.rowNumber(Seq(col("l_returnflag")),
+          Seq(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))))
+        .filter(col("rn") <= 3)
+        .select("l_returnflag", "rn", "l_orderkey", "l_linenumber")
+        .orderBy("l_returnflag", "rn"),
+    Some("""SELECT l_returnflag, CAST(rn AS INTEGER) AS rn, l_orderkey, l_linenumber
+            FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                               ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+                  FROM lineitem)
+            WHERE rn <= 3 ORDER BY l_returnflag, rn"""))
+
+  private val qW4 = Q(
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("initial_date",
+          Cleansing.formatPartitionDate(Windows.perKeyMin(col("o_orderdate"), Seq(col("o_custkey")))))
+        .select("o_custkey", "initial_date")
+        .distinct()
+        .orderBy("o_custkey"),
+    Some("""SELECT DISTINCT o_custkey,
+                   strftime(MIN(o_orderdate) OVER (PARTITION BY o_custkey), '%Y-%m-%d') AS initial_date
+            FROM orders ORDER BY o_custkey"""))
+
+  /** W5-W9 rolling stats bundle, full frames only. Median is the exact
+    * middle of the 7-row frame (both engines agree on odd frames); stddev is
+    * a hand-rolled sum/sum-of-squares formula so both engines perform the
+    * identical IEEE754 operations on exact integer window sums — bit-equal,
+    * unlike stddev_samp whose accumulation algorithm is engine-specific.
+    */
+  private val qW5 = Q(
+    (s, dir) => {
+      val w = Windows.rolling(Seq(col("l_suppkey")), liOrder, 7)
+      val x = col("l_quantity")
+      val sumX = sum(x).over(w)
+      val sumX2 = sum(x * x).over(w)
+      val cnt = count(x).over(w)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(Windows.rollingAvg(x, w), 6).as("mean_qty_7"),
+          Windows.rollingMedianExact(x, w).as("median_qty_7"),
+          round(sqrt((sumX2 - sumX * sumX / 7.0) / 6.0), 6).as("std_qty_7"),
+          Windows.rollingMax(x, w).as("max_qty_7"),
+          Windows.rollingMin(x, w).as("min_qty_7"),
+          cnt.as("nrows"))
+        .filter(col("nrows") === 7)
+        .drop("nrows")
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("mean_qty_7"), col("median_qty_7"), col("std_qty_7"))
+    },
+    Some("""WITH win AS (
+              SELECT l_suppkey, l_orderkey, l_linenumber,
+                     AVG(l_quantity) OVER w AS mean_qty_7,
+                     QUANTILE_DISC(l_quantity, 0.5) OVER w AS median_qty_7,
+                     SUM(l_quantity * l_quantity) OVER w AS sx2,
+                     SUM(l_quantity) OVER w AS sx,
+                     MAX(l_quantity) OVER w AS max_qty_7,
+                     MIN(l_quantity) OVER w AS min_qty_7,
+                     COUNT(l_quantity) OVER w AS nrows
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_suppkey
+                           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   ROUND(mean_qty_7, 6) AS mean_qty_7,
+                   median_qty_7,
+                   ROUND(SQRT((sx2 - sx * sx / 7.0) / 6.0), 6) AS std_qty_7,
+                   max_qty_7, min_qty_7
+            FROM win WHERE nrows = 7
+            ORDER BY l_suppkey, l_orderkey, l_linenumber, mean_qty_7, median_qty_7, std_qty_7"""))
+
+  // ---------------------------------------------------------------------
+  // Beyond the reference (SURVEY.md §2.12 gaps): groupBy aggregation,
+  // joins, top-k — table stakes for a complete engine.
+  // ---------------------------------------------------------------------
+
+  private val qAgg1 = Q(
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"), // integral doubles: exact
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   SUM(l_quantity) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  private val qJoin1 = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      // customer is the small dimension: broadcast it so the li⋈o shuffle is
+      // the only exchange. At cluster scale AQE would pick this too; the
+      // hint makes it explicit.
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment,
+                   SUM(l_quantity) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  private val qTopK = Q(
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
+  private val registry: Vector[(String, Q)] = Vector(
+    "q_s1_scan_filter" -> qS1,
+    "q_f1_notnull_filter" -> qF1,
+    "q_p1_project_rename" -> qP1,
+    "q_a1_nonnull_counts" -> qA1,
+    "q_p2_prune_allnull" -> qP2,
+    "q_c3_comma_decimal" -> qC3,
+    "q_c4_digit_strip" -> qC4,
+    "q_n1_fill_defaults" -> qN1,
+    "q_n2_sentinel_date" -> qN2,
+    "q_d1_distinct" -> qD1,
+    "q_d2_dedup_keep_first" -> qD2,
+    "q_w1_rolling_avg" -> qW1,
+    "q_w2_group_total_window" -> qW2,
+    "q_w3_rank_rownumber" -> qW3,
+    "q_w4_initial_date" -> qW4,
+    "q_w5_rolling_stats" -> qW5,
+    "q_agg_groupby" -> qAgg1,
+    "q_join_revenue_by_segment" -> qJoin1,
+    "q_topk_orders" -> qTopK,
+  )
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    qW5.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, q) => n -> q.fn }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, Q(_, Some(sql))) => n -> sql.stripMargin }.toMap
 }

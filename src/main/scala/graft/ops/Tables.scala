@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for the driver testdata layout (`TESTDATA.md`): one parquet
+  * file per table under a scale-factor directory.
+  *
+  * Mirrors the reference's scan operators (SURVEY.md §2.1): S1 single-path
+  * parquet scan (`etl/etl.py:25-33`), S2 recursive-prefix scan
+  * (`etl/transform.py:20-28`), S3 catalog scan (`etl/transform_1.py:43-47`).
+  * All of them land on a plain Spark parquet relation so Catalyst gets
+  * predicate pushdown, column pruning and (for partitioned layouts)
+  * partition pruning for free — at 100 TB these three are what keep a scan
+  * from reading the whole lake.
+  */
+object Tables {
+
+  /** S1: read one parquet file/prefix. */
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** S2: full recursive scan of a raw prefix (`transform.py:20-28`). */
+  def readRecursive(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(dir)
+
+  /** S3: catalog table scan (`transform_1.py:43-47`). Partition-aware:
+    * filters on partition columns prune directories before any I/O.
+    */
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.read.table(table)
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects natively; sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * and this reader converts to a microsecond TimestampType by flooring —
+    * exactly what DuckDB's ns→µs coercion does, keeping the oracle aligned.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val raw = read(spark, dir, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+    else raw
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** The reference's analytical core: window functions (SURVEY.md §2.8).
+  *
+  * Scale notes: every window spec costs one exchange (hash partition on the
+  * `PARTITION BY` keys) + one sort. Specs that share partition keys are
+  * deliberately built on *one* `WindowSpec` so Catalyst plans a single
+  * Window operator over a single exchange — the reference's W4 (initial
+  * date, partition by code) and W5-W9 (rolling stats, partition by code,
+  * ordered) collapse the same way (`etl/transform_1.py:87-99`). Frames are
+  * bounded `ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW`, so per-row state
+  * is O(n) regardless of partition size; the sort spills via
+  * UnsafeExternalSorter when a key's run exceeds memory.
+  */
+object Windows {
+
+  /** Rolling window of the last `n` rows per key, ordered deterministically
+    * (W1 `etl/etl.py:70-76`, W5 `etl/transform_1.py:93`).
+    */
+  def rolling(partitionCols: Seq[Column], orderCols: Seq[Column], n: Int): WindowSpec =
+    Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+      .rowsBetween(-(n - 1), Window.currentRow)
+
+  /** W1/W5: rolling mean. */
+  def rollingAvg(c: Column, w: WindowSpec): Column = avg(c).over(w)
+
+  /** W6: rolling median. The reference uses `percentile_approx(x, 0.5)`
+    * (`etl/transform_1.py:96`); we compute the *exact* lower-median of the
+    * bounded frame — collect the ≤n frame values, sort, index. For odd-sized
+    * frames this is the true median; for even-sized warm-up frames it is the
+    * lower middle element (deterministic, unlike interpolation across
+    * engines). O(n log n) per row with bounded n — no sketch needed.
+    */
+  def rollingMedianExact(c: Column, w: WindowSpec): Column = {
+    val vals = array_sort(collect_list(c).over(w))
+    element_at(vals, floor((size(vals) + 1) / lit(2.0)).cast(org.apache.spark.sql.types.IntegerType))
+  }
+
+  /** W7: rolling sample stddev — NULL for 1-row frames, as the reference
+    * observes (`etl/transform_1.py:97`, SURVEY.md §7.3).
+    */
+  def rollingStddev(c: Column, w: WindowSpec): Column = stddev_samp(c).over(w)
+
+  /** W8/W9: rolling max / min. */
+  def rollingMax(c: Column, w: WindowSpec): Column = max(c).over(w)
+  def rollingMin(c: Column, w: WindowSpec): Column = min(c).over(w)
+
+  /** W2: group-total as an unbounded window sum over the whole partition
+    * (`etl/etl.py:78-83`) — the reference's "group-and-sum that keeps every
+    * row". One exchange, no join-back needed.
+    */
+  def groupTotal(c: Column, partitionCols: Seq[Column]): Column =
+    sum(c).over(Window.partitionBy(partitionCols: _*))
+
+  /** W4: per-key minimum, e.g. first-seen date per ticker
+    * (`etl/transform_1.py:87-90`).
+    */
+  def perKeyMin(c: Column, partitionCols: Seq[Column]): Column =
+    min(c).over(Window.partitionBy(partitionCols: _*))
+
+  /** W3: row_number ranking over an explicit deterministic order
+    * (`etl/transform_1.py:82-84`).
+    */
+  def rowNumber(partitionCols: Seq[Column], orderCols: Seq[Column]): Column =
+    row_number().over(Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*))
+
+  /** Attach the reference's full rolling-stats bundle (W5-W9 +
+    * frame-row-count) for `valueCol` in one pass — all five aggregates share
+    * one WindowSpec, hence one exchange + one sort (`transform_1.py:93-99`).
+    * `prefix` mirrors the reference's `"{stat}_part_{n}_days"` naming.
+    */
+  def withRollingStats(df: DataFrame, valueCol: String,
+                       partitionCols: Seq[String], orderCols: Seq[Column],
+                       n: Int, prefix: String): DataFrame = {
+    val w = rolling(partitionCols.map(col), orderCols, n)
+    val v = col(valueCol)
+    df.withColumn(s"mean_$prefix", rollingAvg(v, w))
+      .withColumn(s"median_$prefix", rollingMedianExact(v, w))
+      .withColumn(s"std_$prefix", rollingStddev(v, w))
+      .withColumn(s"max_$prefix", rollingMax(v, w))
+      .withColumn(s"min_$prefix", rollingMin(v, w))
+      .withColumn(s"nrows_$prefix", count(v).over(w))
+  }
+}
