@@ -362,6 +362,223 @@ object SparkEntry {
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
 
   // ---------------------------------------------------------------------
+  // North-star: text analysis (documents table)
+  // ---------------------------------------------------------------------
+
+  private val qTextStats = Q(
+    (s, dir) => {
+      import graft.text.TextAnalysis._
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast(LongType).as("n_tokens"),
+          uniqueTokenCount(col("text")).cast(LongType).as("n_unique"),
+          round(meanTokenLength(col("text")), 6).as("mean_tok_len"),
+          round(typeTokenRatio(col("text")), 6).as("ttr"),
+          subwordTokenEstimate(col("text")).as("est_subwords"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_unique,
+                   ROUND((length(text) - (len(string_split(text, ' ')) - 1)) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_tok_len,
+                   ROUND(len(list_distinct(string_split(text, ' '))) / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS ttr,
+                   GREATEST(CAST(CEIL(length(text) / 4.0) AS BIGINT), len(string_split(text, ' '))) AS est_subwords
+            FROM documents ORDER BY doc_id"""))
+
+  private val qTextQuality = Q(
+    (s, dir) => {
+      import graft.text.TextAnalysis._
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          qualityScore(col("text")).as("quality"),
+          round(vocabRatio(col("text"), Seq("table", "value", "row", "part")), 6).as("stop_ratio"),
+          round(punctRatio(col("text")), 6).as("punct_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n,
+                     len(list_distinct(string_split(text, ' '))) AS u,
+                     (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS punct,
+                     len(list_intersect(list_distinct(string_split(text, ' ')),
+                                        ['table', 'value', 'row', 'part'])) AS hits
+              FROM documents)
+            SELECT doc_id,
+                   ROUND(LEAST(n / 100.0, 1.0) * 0.4 + (u / CAST(n AS DOUBLE)) * 0.4 + (1.0 - punct) * 0.2, 6) AS quality,
+                   ROUND(hits / CAST(n AS DOUBLE), 6) AS stop_ratio,
+                   ROUND(punct, 6) AS punct_ratio
+            FROM f ORDER BY doc_id"""))
+
+  /** Language-ID heuristic: marker/script scoring. Rows-only (the scoring
+    * tables aren't worth re-encoding in SQL); accuracy on a multilingual
+    * fixture is asserted in TextAnalysisSpec.
+    */
+  private val qLangId = Q(
+    (s, dir) => {
+      import graft.text.TextAnalysis._
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("labeled"), langId(col("text")).as("predicted"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  private val qFingerprint = Q(
+    (s, dir) => {
+      import graft.text.TextAnalysis._
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          docFingerprint(col("text")).as("doc_md5"),
+          shingleFingerprint(col("text")).as("shingle_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+            SELECT doc_id,
+                   md5(lower(text)) AS doc_md5,
+                   CASE WHEN len(toks) < 3 THEN md5(text)
+                        ELSE list_sort(list_transform(generate_series(1, len(toks) - 2),
+                               i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])))[1]
+                   END AS shingle_fp
+            FROM t ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // North-star: deduplication (documents table)
+  // ---------------------------------------------------------------------
+
+  private val qDedupExact = Q(
+    (s, dir) =>
+      graft.dedup.NearDup.exactGroups(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keeper_id"),
+    Some("""SELECT md5(lower(text)) AS fingerprint, MIN(doc_id) AS keeper_id,
+                   CAST(COUNT(*) AS BIGINT) AS dup_count
+            FROM documents GROUP BY md5(lower(text)) ORDER BY keeper_id"""))
+
+  private val qNgramJaccard = Q(
+    (s, dir) => {
+      import graft.text.TextAnalysis.tokens
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+      val a = d.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(graft.dedup.NearDup.jaccard(col("ta"), col("tb")), 6).as("jaccard"))
+        .orderBy("id_a")
+    },
+    Some("""WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+                         CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6) AS jaccard
+            FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+            ORDER BY id_a"""))
+
+  /** MinHash+LSH near-dup pairs (xxhash64 signatures — not reproducible in
+    * the oracle; recall vs exact Jaccard asserted in NearDupSpec). Scoped
+    * to doc_id < 1000 because the synthetic corpus is pathologically
+    * self-similar (≈74% of all pairs exceed Jaccard 0.5).
+    */
+  private val qMinHash = Q(
+    (s, dir) =>
+      graft.dedup.NearDup.minHashLsh(
+        t(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+        .orderBy("id_a", "id_b"),
+    None)
+
+  /** SimHash near-dup pairs by Hamming radius (same oracle caveat). */
+  private val qSimHash = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val sims = graft.dedup.NearDup.simHash(docs, "doc_id", "text")
+      graft.dedup.NearDup.simHashNearDups(sims, maxHamming = 10)
+        .orderBy("id_a", "id_b")
+    },
+    None)
+
+  // ---------------------------------------------------------------------
+  // North-star: similarity search (embeddings table)
+  // ---------------------------------------------------------------------
+
+  private val qAnnBrute = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+                 s AS (SELECT qid, cid, ROUND(list_cosine_similarity(qv, cv), 6) AS cosine
+                       FROM q CROSS JOIN c WHERE cid <> qid),
+                 r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk FROM s)
+            SELECT qid, CAST(rk AS INTEGER) AS rank, cid, cosine
+            FROM r WHERE rk <= 10 ORDER BY qid, rank"""))
+
+  /** LSH-bucketed approximate top-k — the 100 TB path. Approximate by
+    * construction → rows-only; recall vs brute force asserted in AnnSpec.
+    */
+  private val qAnnLsh = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.Ann.lshBucketedTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .orderBy("qid", "rank")
+    },
+    None)
+
+  // ---------------------------------------------------------------------
+  // North-star: multimodal plumbing + events (sessionize, JSON)
+  // ---------------------------------------------------------------------
+
+  private val qMultimodal = Q(
+    (s, dir) => {
+      val withBin = graft.multimodal.Multimodal.withBinaryPayload(t(s, dir, "documents"), "text")
+      withBin.select(col("doc_id"),
+          col("media_meta.n_bytes").cast(LongType).as("n_bytes"),
+          col("media_meta.digest").as("digest"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
+            FROM documents ORDER BY doc_id"""))
+
+  private val qSessionize = Q(
+    (s, dir) =>
+      graft.ops.Sessionize.sessionStats(
+        Tables.readEvents(s, dir), "user_id", "ts",
+        gapSeconds = 1800, valueCol = "value", tieBreak = Seq(col("event_id")))
+        .withColumn("session_id", col("session_id").cast(LongType))
+        .orderBy("user_id", "session_id"),
+    Some("""WITH flags AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                          ELSE 0 END AS is_start
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, value, us,
+                     SUM(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flags)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(us) AS start_us, MAX(us) AS end_us,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM sess GROUP BY user_id, session_id
+            ORDER BY user_id, session_id"""))
+
+  private val qJson = Q(
+    (s, dir) =>
+      Tables.readEvents(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").try_cast(IntegerType))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+                   CAST(SUM(TRY_CAST(regexp_extract(props, '[0-9]+') AS INTEGER)) AS BIGINT) AS sum_k,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -385,6 +602,19 @@ object SparkEntry {
     "q_agg_groupby" -> qAgg1,
     "q_join_revenue_by_segment" -> qJoin1,
     "q_topk_orders" -> qTopK,
+    "q_text_stats" -> qTextStats,
+    "q_text_quality" -> qTextQuality,
+    "q_lang_id" -> qLangId,
+    "q_fingerprint" -> qFingerprint,
+    "q_dedup_exact" -> qDedupExact,
+    "q_ngram_jaccard" -> qNgramJaccard,
+    "q_dedup_minhash_lsh" -> qMinHash,
+    "q_dedup_simhash" -> qSimHash,
+    "q_ann_bruteforce_topk" -> qAnnBrute,
+    "q_ann_lsh_topk" -> qAnnLsh,
+    "q_multimodal_meta" -> qMultimodal,
+    "q_sessionize" -> qSessionize,
+    "q_json_extract" -> qJson,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector math over `array<float>`/`array<double>` embedding columns,
+  * built from Spark's higher-order functions (`zip_with`, `aggregate`,
+  * `transform`) — codegen-friendly, no UDFs, so the expressions stay
+  * inside WholeStageCodegen and distribute trivially: every operation is
+  * a narrow per-row map.
+  *
+  * Floats are widened to double *element-wise before* any arithmetic so
+  * accumulation error stays at double precision and results are
+  * reproducible against external oracles.
+  */
+object VectorOps {
+
+  /** Element-wise widen to `array<double>`. */
+  def toDoubles(v: Column): Column = transform(v, _.cast(DoubleType))
+
+  /** Dot product: left-to-right double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** Squared L2 norm / L2 norm. */
+  def normSq(a: Column): Column = dot(a, a)
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity. NULL-safe only insofar as null arrays propagate
+    * NULL; zero vectors yield NULL via 0/0 → NaN guarded to NULL.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val c = dot(a, b) / (norm(a) * norm(b))
+    when(isnan(c), lit(null).cast(DoubleType)).otherwise(c)
+  }
+
+  /** Squared euclidean distance. */
+  def distSq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+}

@@ -38,8 +38,10 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
     val raw = read(spark, dir, "events")
+    // `div` = integer division: epoch-nanos ≈ 1.7e18 exceeds double's
+    // 53-bit mantissa, so a float `/ 1000` would be off by ±1 µs.
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast(LongType)))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 }

@@ -1,0 +1,114 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, per the standard scale playbook:
+  *  - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) query
+  *    set against the corpus; one narrow pass over the corpus, one
+  *    window-top-k per query. Correctness baseline and perfectly adequate
+  *    whenever |queries| × |corpus| work fits the cluster.
+  *  - [[lshBucketedTopK]] — sign-random-projection LSH: each vector gets a
+  *    `nBits`-bit bucket from deterministic hyperplanes; queries probe
+  *    their own bucket plus all 1-bit-flip neighbors (multi-probe), so the
+  *    scan touches ~(nBits+1)/2^nBits of the corpus instead of all of it.
+  *    Approximate: recall measured against brute force in AnnSpec.
+  *
+  * Embeddings are widened float→double element-wise before any arithmetic
+  * (VectorOps) so scores are stable and oracle-reproducible.
+  */
+object Ann {
+
+  /** Exact top-k by cosine. `queries` must be small enough to broadcast
+    * (it is hint-broadcast); ranks are deterministic: ties broken by
+    * corpus id, scores pre-rounded so rank order is reproducible across
+    * engines.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("cid"), VectorOps.toDoubles(col(vecCol)).as("cvec"))
+    val q = queries.select(col(idCol).as("qid"), VectorOps.toDoubles(col(vecCol)).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(VectorOps.cosine(col("qvec"), col("cvec")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `nBits` × `dim`, components
+    * from a fixed-seed generator, materialized as plan literals (no
+    * runtime randomness — reruns and resumes see identical planes).
+    */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection bucket id for a (double-typed) vector. */
+  private def bucketExpr(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(VectorOps.dot(vec, plane) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Approximate top-k: join queries to corpus on LSH bucket (query bucket
+    * + all 1-bit flips, per hash table), then exact-rank within the
+    * candidate set. `nTables` independent hash tables trade index size for
+    * recall (the standard LSH knob): a corpus vector is stored once per
+    * table, a query probes `nTables × (nBits + 1)` buckets.
+    */
+  def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
+                      nTables: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tablePlanes = (0 until nTables).map(t => hyperplanes(nBits, dim, seed + t))
+    val c0 = corpus.select(col(idCol).as("cid"), VectorOps.toDoubles(col(vecCol)).as("cvec"))
+    val c = c0.select(col("cid"), col("cvec"), explode(array(
+      tablePlanes.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("tbl"), bucketExpr(col("cvec"), p).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("cid"), col("cvec"), col("tb.tbl"), col("tb.bucket"))
+    val qBase = queries.select(col(idCol).as("qid"), VectorOps.toDoubles(col(vecCol)).as("qvec"))
+    // per table: own bucket + every 1-bit flip (multi-probe)
+    val probes = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
+    val q = qBase.select(col("qid"), col("qvec"), explode(array(
+      tablePlanes.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("tbl"), bucketExpr(col("qvec"), p).as("b0"))
+      }: _*)).as("tb"))
+      .select(col("qid"), col("qvec"), col("tb.tbl"),
+        explode(transform(probes, m => col("tb.b0").bitwiseXOR(m))).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(VectorOps.cosine(col("qvec"), col("cvec")), 6).as("cosine"))
+      .distinct() // a pair can meet through several tables/probes
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (the "semantic dedup" step of a
+    * training-data pipeline): all corpus pairs whose cosine ≥ threshold,
+    * generated through the same LSH buckets instead of all-pairs.
+    */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double,
+                        nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val c = corpus.select(col(idCol).as("id"), VectorOps.toDoubles(col(vecCol)).as("vec"))
+      .withColumn("bucket", bucketExpr(col("vec"), planes))
+    val l = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val r = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.cosine(col("vec_a"), col("vec_b")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+}

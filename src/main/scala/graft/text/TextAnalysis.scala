@@ -1,0 +1,119 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline: tokenization +
+  * counting, quality scoring, language identification, fingerprinting.
+  * All pure per-row column expressions (narrow, codegen'd, no shuffle) —
+  * at 100 TB these run at scan speed and the only cost is CPU.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. The corpus contract (documents.text) is
+    * single-space-separated tokens; `\\s+` tolerates real-world runs.
+    */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** BPE-ish subword token estimate: empirical ~4 chars/token for
+    * English-like text, never below the whitespace word count.
+    */
+  def subwordTokenEstimate(text: Column): Column =
+    greatest(ceil(length(text) / 4.0).cast(LongType), tokenCount(text).cast(LongType))
+
+  /** Mean token length derived from char count (exact for the
+    * single-space corpus contract).
+    */
+  def meanTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    (length(text) - (n - 1)) / n.cast(DoubleType)
+  }
+
+  /** Type-token ratio: unique/total — a standard repetitiveness signal. */
+  def typeTokenRatio(text: Column): Column =
+    uniqueTokenCount(text) / tokenCount(text).cast(DoubleType)
+
+  /** Fraction of tokens found in `vocab` (stopword ratio when `vocab` is a
+    * stopword list; boilerplate ratio for boilerplate lists, etc.).
+    */
+  def vocabRatio(text: Column, vocab: Seq[String]): Column = {
+    val hits = size(array_intersect(array_distinct(tokens(text)), array(vocab.map(lit): _*)))
+    hits / tokenCount(text).cast(DoubleType)
+  }
+
+  /** Fraction of non [a-z0-9 space] characters — punctuation/noise ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))) /
+      length(text).cast(DoubleType)
+
+  /** Composite quality score in [0,1]: long-enough, not too repetitive,
+    * not punctuation-noise. Weights are heuristic; each signal is exposed
+    * separately so pipelines can tune their own gate.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text) / 100.0, lit(1.0))
+    val ttr = typeTokenRatio(text)
+    val noise = punctRatio(text)
+    round(lenScore * 0.4 + ttr * 0.4 + (lit(1.0) - noise) * 0.2, 6)
+  }
+
+  // -------------------------------------------------------------------
+  // Language identification: marker-token scoring. Each language gets a
+  // small high-frequency function-word list; score = fraction of distinct
+  // marker hits; CJK is detected by codepoint class first (script beats
+  // vocabulary). Returns "und" when nothing scores.
+  // -------------------------------------------------------------------
+
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ich", "ein", "mit", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que"))
+
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    // CJK chars present → zh (script heuristic before vocabulary)
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
+    // argmax via array_max over (score, lang) structs: struct ordering is
+    // field-by-field, so the max struct carries the winning language.
+    val scored = array(langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      struct(
+        size(array_intersect(toks, array(markers.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }: _*)
+    val best = array_max(scored)
+    when(cjk, lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  // -------------------------------------------------------------------
+  // Fingerprinting
+  // -------------------------------------------------------------------
+
+  /** Whole-document content fingerprint (normalized md5). */
+  def docFingerprint(text: Column): Column = md5(to_binary(lower(text), lit("utf-8")))
+
+  /** Token 3-gram shingles ("a b c" strings). Documents with fewer than 3
+    * tokens fall back to a single whole-text shingle.
+    */
+  def shingles3(text: Column): Column = {
+    val toks = tokens(text)
+    val grams = transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    when(size(toks) >= 3, grams).otherwise(array(text))
+  }
+
+  /** Rolling-shingle fingerprint: the minimum md5 over all 3-gram shingles
+    * — one deterministic representative per document, stable under small
+    * edits away from the minimal shingle (the single-hash seed of
+    * MinHash-style fingerprinting).
+    */
+  def shingleFingerprint(text: Column): Column =
+    array_min(transform(shingles3(text), s => md5(to_binary(s, lit("utf-8")))))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ann
+
+class AnnSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("bruteForceTopK: k results per query, ranks dense, self excluded") {
+    val q = emb.filter(col("vec_id") < 3)
+    val top = Ann.bruteForceTopK(emb, q, k = 5).cache()
+    assert(top.count() === 15)
+    assert(top.filter(col("qid") === col("cid")).count() === 0)
+    val ranks = top.filter(col("qid") === 0).orderBy("rank")
+      .select("rank").collect().map(_.getInt(0)).toSeq
+    assert(ranks === (1 to 5))
+    // scores non-increasing with rank
+    val scores = top.filter(col("qid") === 0).orderBy("rank")
+      .select("cosine").collect().map(_.getDouble(0)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
+
+  test("lshBucketedTopK: planted near-neighbors are recalled") {
+    import spark.implicits._
+    // LSH's contract is finding *genuinely close* vectors, so plant them:
+    // for each of 10 base vectors add 3 slightly-perturbed copies.
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 10L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val corpus = base.flatMap { case (i, v) =>
+      val copies = (1 to 3).map { c =>
+        (i * 100 + c, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      }
+      Seq((i * 100, v)) ++ copies
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+
+    val got = Ann.lshBucketedTopK(corpus, queries, k = 3, nBits = 8, dim = 64, nTables = 4)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = (0L until 10L).map { i =>
+      val expect = Set(i * 100 + 1, i * 100 + 2, i * 100 + 3)
+      (got.getOrElse(i * 100, Set.empty) intersect expect).size
+    }.sum
+    assert(hits >= 24, s"planted-neighbor recall@3 = $hits/30") // ≥80%
+  }
+
+  test("lshBucketedTopK scores agree exactly with brute force on overlap") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exactScores = Ann.bruteForceTopK(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approxScores = Ann.lshBucketedTopK(emb, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val overlap = exactScores.keySet intersect approxScores.keySet
+    assert(overlap.nonEmpty)
+    overlap.foreach { k =>
+      assert(exactScores(k) === approxScores(k), "cosines must agree exactly")
+    }
+  }
+
+  test("embeddingNearDups: symmetric pairs, threshold respected, a<b") {
+    val dups = Ann.embeddingNearDups(emb, threshold = 0.2).collect()
+    dups.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.2)
+    }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.NearDup
+import graft.text.TextAnalysis
+
+class NearDupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // a corpus with known structure: 2 exact dups, 2 near-dups, distinct rest
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (3L, "completely different content about database engines and query optimizers"),
+    (4L, "completely different content about database engines and query planners"), // near-dup of 3
+    (5L, "unrelated text mentioning machine learning training pipelines at scale")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: dup group keyed by content hash, min id kept") {
+    val g = NearDup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 5)
+    val dupGroup = g.find(_.getAs[Long]("dup_count") == 2L).get
+    assert(dupGroup.getAs[Long]("keeper_id") === 0L)
+  }
+
+  test("jaccard: exact token-set similarity") {
+    val d = docs.select(col("doc_id"), array_distinct(TextAnalysis.tokens(col("text"))).as("t"))
+    val a = d.filter(col("doc_id") === 0).select(col("t").as("ta"))
+    val b = d.filter(col("doc_id") === 2).select(col("t").as("tb"))
+    val j = a.crossJoin(b).select(NearDup.jaccard(col("ta"), col("tb"))).head().getDouble(0)
+    // tokens0 = 12 distinct (incl 'today'), tokens2 swaps today→tonight:
+    // inter=11, union=13
+    assert(math.abs(j - 11.0 / 13.0) < 1e-12)
+  }
+
+  test("minHashLsh: finds the exact dup and high-jaccard near-dups, no junk") {
+    val pairs = NearDup.minHashLsh(docs, "doc_id", "text",
+      bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup must be found")
+    // near-dup 0↔2 has shingle-jaccard high enough for 8 bands of 2 to hit
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc must not pair")
+  }
+
+  test("minHashLsh candidates never miss pairs above threshold (recall vs exact)") {
+    // exhaustive exact jaccard over all pairs of the small corpus
+    val d = docs.select(col("doc_id"), array_distinct(TextAnalysis.tokens(col("text"))).as("t"))
+    val l = d.select(col("doc_id").as("id_a"), col("t").as("ta"))
+    val r = d.select(col("doc_id").as("id_b"), col("t").as("tb"))
+    val exact = l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), NearDup.jaccard(col("ta"), col("tb")).as("j"))
+      .filter(col("j") >= 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val lsh = NearDup.minHashLsh(docs, "doc_id", "text",
+      bands = 8, rowsPerBand = 2, threshold = 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // at j>=0.9 with 8 bands × 2 rows, per-band hit prob >= 0.81 → miss
+    // prob <= (1-0.81)^8 ≈ 3e-6; this fixture must achieve full recall
+    assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
+  }
+
+  test("simHash: identical docs equal hashes; near-dups within small hamming") {
+    val sims = NearDup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(0L) === sims(1L), "exact dups must have identical simhash")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(0L), sims(2L)) < hamming(sims(0L), sims(5L)),
+      "near-dup must be closer than unrelated doc")
+  }
+
+  test("simHashNearDups: pigeonhole blocking finds all pairs within radius") {
+    val sims = NearDup.simHash(docs, "doc_id", "text").cache()
+    val all = sims.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      a <- all.keys; b <- all.keys if a < b
+      if java.lang.Long.bitCount(all(a) ^ all(b)) <= 7
+    } yield (a, b)).toSet
+    val found = NearDup.simHashNearDups(sims, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === expected)
+  }
+}
