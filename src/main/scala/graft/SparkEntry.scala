@@ -417,7 +417,10 @@ object SparkEntry {
     (s, dir) => {
       import graft.text.TextAnalysis._
       t(s, dir, "documents")
-        .select(col("doc_id"), col("lang").as("labeled"), langId(col("text")).as("predicted"))
+        .select(col("doc_id"), col("lang").as("labeled"), col("text"),
+          array_distinct(tokens(lower(col("text")))).as("tk"))
+        .select(col("doc_id"), col("labeled"),
+          langIdFromTokens(col("text"), col("tk")).as("predicted"))
         .orderBy("doc_id")
     },
     None)
@@ -425,10 +428,14 @@ object SparkEntry {
   private val qFingerprint = Q(
     (s, dir) => {
       import graft.text.TextAnalysis._
+      // tokens and shingles staged as separate projections: multi-
+      // referenced, so CollapseProject keeps them materialized once per row
       t(s, dir, "documents")
-        .select(col("doc_id"),
-          docFingerprint(col("text")).as("doc_md5"),
-          shingleFingerprint(col("text")).as("shingle_fp"))
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), docFingerprint(col("text")).as("doc_md5"),
+          shinglesFromTokens(col("text"), col("tk")).as("sh"))
+        .select(col("doc_id"), col("doc_md5"),
+          shingleFingerprintFromShingles(col("sh")).as("shingle_fp"))
         .orderBy("doc_id")
     },
     Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)

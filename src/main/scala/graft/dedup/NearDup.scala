@@ -44,27 +44,39 @@ object NearDup {
   // standalone operator for small/linear pair sets)
   // -------------------------------------------------------------------
 
-  /** Jaccard similarity of two token-set columns. */
-  def jaccard(tokensA: Column, tokensB: Column): Column = {
-    val inter = size(array_intersect(tokensA, tokensB)).cast(DoubleType)
-    val union = size(tokensA) + size(tokensB) - size(array_intersect(tokensA, tokensB))
-    inter / union.cast(DoubleType)
-  }
+  /** Jaccard similarity of two token-set columns (inputs must be distinct
+    * arrays): |A∩B| / |A∪B| — one intersect + one union pass.
+    */
+  def jaccard(tokensA: Column, tokensB: Column): Column =
+    size(array_intersect(tokensA, tokensB)).cast(DoubleType) /
+      size(array_union(tokensA, tokensB)).cast(DoubleType)
 
   // -------------------------------------------------------------------
   // MinHash + LSH
   // -------------------------------------------------------------------
 
-  /** MinHash signature over 3-gram shingles: `numHashes` independent hash
-    * functions realized as xxhash64 with per-function salt; signature[i] =
-    * min over shingles. Pure expression — O(shingles × numHashes) per row.
+  /** MinHash signature over a *staged* shingle array column: `numHashes`
+    * independent hash functions realized as xxhash64 with per-function
+    * salt; signature[i] = min over shingles. O(shingles × numHashes) per
+    * row — `sh` must be an attribute column (see
+    * [[TextAnalysis.shinglesFromTokens]]) or the shingle construction is
+    * re-run once per hash function in interpreted mode.
     */
-  def minHashSignature(text: Column, numHashes: Int): Column = {
-    val sh = TextAnalysis.shingles3(text)
+  def minHashSignature(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(sh, s => xxhash64(lit(i), s)))
     }: _*)
-  }
+
+  /** Stage (id, toks, shingles, signature) through separate projections so
+    * each intermediate is computed once per row.
+    */
+  private def signatures(docs: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("id"), TextAnalysis.shinglesFromTokens(col("t"), col("tk")).as("sh"))
+      .select(col("id"), minHashSignature(col("sh"), numHashes).as("sig"))
 
   /** Candidate near-dup pairs via LSH banding of MinHash signatures.
     * `numHashes = bands × rowsPerBand`; two docs become a candidate pair
@@ -77,19 +89,18 @@ object NearDup {
                  threshold: Double = 0.7,
                  maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = docs.select(
-      col(idCol).as("id"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"),
-      minHashSignature(col(textCol), numHashes).as("sig"))
+    val sig = signatures(docs, idCol, textCol, numHashes)
 
-    // band hash = xxhash64 over (band index, the band's signature slice)
-    val banded = sig.select(col("id"), col("toks"), explode(
+    // band hash = xxhash64 over (band index, the band's signature slice).
+    // The band join carries ONLY (id, bandhash): a candidate pair costs 16
+    // bytes on the wire, never the document/token payload.
+    val banded = sig.select(col("id"), explode(
       array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(lit(b) +: (0 until rowsPerBand)
             .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh"))
       }: _*)).as("bb"))
-      .select(col("id"), col("toks"), col("bb.band"), col("bb.bh"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
 
     // cap pathological buckets (boilerplate): they explode the join and
     // carry no dedup signal beyond "everything matches everything".
@@ -98,16 +109,35 @@ object NearDup {
       bucketSizes.filter(col("count") <= maxBucket).select("band", "bh"),
       Seq("band", "bh"))
 
-    val l = capped.select(col("band"), col("bh"),
-      col("id").as("id_a"), col("toks").as("toks_a"))
-    val r = capped.select(col("band"), col("bh"),
-      col("id").as("id_b"), col("toks").as("toks_b"))
-    l.join(r, Seq("band", "bh"))
+    // distinct candidate id-pairs (a pair hitting k bands collapses to one)
+    val candidates = capped.select(col("band"), col("bh"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("bh"), col("id").as("id_b")), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    // cheap prefilter: estimated Jaccard = fraction of agreeing signature
+    // slots (the MinHash estimator). Only pairs whose estimate clears a
+    // slackened threshold pay for the exact token-set verification.
+    val slack = math.max(0.0, threshold - 1.5 / math.sqrt(numHashes.toDouble))
+    val sigEst = candidates
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)) /
+          lit(numHashes.toDouble))
+      .filter(col("est") >= slack)
+      .select("id_a", "id_b")
+
+    // exact verification on the surviving pairs only
+    val toks = docs.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+    sigEst
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .distinct()
   }
 
   // -------------------------------------------------------------------

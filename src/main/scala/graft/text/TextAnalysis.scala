@@ -75,8 +75,11 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ich", "ein", "mit", "zu"),
     "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "une", "dans", "que"))
 
-  def langId(text: Column): Column = {
-    val toks = array_distinct(tokens(lower(text)))
+  /** Language id from a *staged* distinct-lowercase-token column (PERF:
+    * the token array is referenced once per language list — pass an
+    * attribute, not an inline split).
+    */
+  def langIdFromTokens(text: Column, toks: Column): Column = {
     // CJK chars present → zh (script heuristic before vocabulary)
     val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", "")) > 0
     // argmax via array_max over (score, lang) structs: struct ordering is
@@ -92,6 +95,9 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  def langId(text: Column): Column =
+    langIdFromTokens(text, array_distinct(tokens(lower(text))))
+
   // -------------------------------------------------------------------
   // Fingerprinting
   // -------------------------------------------------------------------
@@ -99,11 +105,17 @@ object TextAnalysis {
   /** Whole-document content fingerprint (normalized md5). */
   def docFingerprint(text: Column): Column = md5(to_binary(lower(text), lit("utf-8")))
 
-  /** Token 3-gram shingles ("a b c" strings). Documents with fewer than 3
-    * tokens fall back to a single whole-text shingle.
+  /** Token 3-gram shingles ("a b c" strings) from a *pre-materialized*
+    * token array column. Documents with fewer than 3 tokens fall back to a
+    * single whole-text shingle.
+    *
+    * PERF: higher-order functions are interpreted (CodegenFallback), so an
+    * inline `split(...)` here would be re-evaluated on every `element_at`
+    * access — O(tokens²) per row. Callers must stage `toks` as its own
+    * projection column (a multi-referenced non-cheap producer, which
+    * CollapseProject keeps materialized) and pass the attribute in.
     */
-  def shingles3(text: Column): Column = {
-    val toks = tokens(text)
+  def shinglesFromTokens(text: Column, toks: Column): Column = {
     val grams = transform(sequence(lit(1), size(toks) - 2),
       i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
     when(size(toks) >= 3, grams).otherwise(array(text))
@@ -112,8 +124,9 @@ object TextAnalysis {
   /** Rolling-shingle fingerprint: the minimum md5 over all 3-gram shingles
     * — one deterministic representative per document, stable under small
     * edits away from the minimal shingle (the single-hash seed of
-    * MinHash-style fingerprinting).
+    * MinHash-style fingerprinting). `sh` must be a staged shingle column
+    * (see [[shinglesFromTokens]]).
     */
-  def shingleFingerprint(text: Column): Column =
-    array_min(transform(shingles3(text), s => md5(to_binary(s, lit("utf-8")))))
+  def shingleFingerprintFromShingles(sh: Column): Column =
+    array_min(transform(sh, s => md5(to_binary(s, lit("utf-8")))))
 }

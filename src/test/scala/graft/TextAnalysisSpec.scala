@@ -50,7 +50,10 @@ class TextAnalysisSpec extends SparkTestBase {
       (2L, "the quick brown fox"), // same doc fingerprint (normalized)
       (3L, "one two") // < 3 tokens → whole-text shingle fallback
     ).toDF("id", "text")
-    val r = df.select($"id", docFingerprint($"text").as("d"), shingleFingerprint($"text").as("s"))
+    val r = df.select($"id", $"text", tokens($"text").as("tk"))
+      .select($"id", docFingerprint($"text").as("d"),
+        shinglesFromTokens($"text", $"tk").as("sh"))
+      .select($"id", $"d", shingleFingerprintFromShingles($"sh").as("s"))
       .collect().map(x => x.getLong(0) -> (x.getString(1), x.getString(2))).toMap
     assert(r(1L)._1 === r(2L)._1, "doc fingerprint is case-normalized")
     assert(r(1L)._2 !== r(2L)._2, "shingle fingerprint is case-sensitive")
