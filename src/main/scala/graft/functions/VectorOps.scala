@@ -19,8 +19,17 @@ object VectorOps {
   /** Element-wise widen to `array<double>`. */
   def toDoubles(v: Column): Column = transform(v, _.cast(DoubleType))
 
-  /** Dot product: left-to-right double accumulation. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product: left-to-right double accumulation, codegen'd via the
+    * custom [[DotProduct]] Catalyst expression (accepts float or double
+    * arrays, widening per element — identical arithmetic to the
+    * interpreted [[dotHof]], ~order-of-magnitude faster per row).
+    */
+  def dot(a: Column, b: Column): Column = DotProduct.dot(a, b)
+
+  /** Reference higher-order-function formulation (interpreted; kept for
+    * equivalence testing against [[dot]]).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
   /** Squared L2 norm / L2 norm. */

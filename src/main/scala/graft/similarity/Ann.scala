@@ -31,12 +31,16 @@ object Ann {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("cid"), VectorOps.toDoubles(col(vecCol)).as("cvec"))
-    val q = queries.select(col(idCol).as("qid"), VectorOps.toDoubles(col(vecCol)).as("qvec"))
+    // norms staged once per vector (not once per pair); scoring is then a
+    // single codegen'd dot per pair.
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .withColumn("cn", VectorOps.norm(col("cvec")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("qn", VectorOps.norm(col("qvec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(VectorOps.cosine(col("qvec"), col("cvec")), 6).as("cosine"))
+        round(VectorOps.dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -68,25 +72,27 @@ object Ann {
                       nTables: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val tablePlanes = (0 until nTables).map(t => hyperplanes(nBits, dim, seed + t))
-    val c0 = corpus.select(col(idCol).as("cid"), VectorOps.toDoubles(col(vecCol)).as("cvec"))
+    val c0 = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     val c = c0.select(col("cid"), col("cvec"), explode(array(
       tablePlanes.zipWithIndex.map { case (p, t) =>
         struct(lit(t).as("tbl"), bucketExpr(col("cvec"), p).as("bucket"))
       }: _*)).as("tb"))
       .select(col("cid"), col("cvec"), col("tb.tbl"), col("tb.bucket"))
-    val qBase = queries.select(col(idCol).as("qid"), VectorOps.toDoubles(col(vecCol)).as("qvec"))
+      .withColumn("cn", VectorOps.norm(col("cvec")))
+    val qBase = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("qn", VectorOps.norm(col("qvec")))
     // per table: own bucket + every 1-bit flip (multi-probe)
     val probes = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
-    val q = qBase.select(col("qid"), col("qvec"), explode(array(
+    val q = qBase.select(col("qid"), col("qvec"), col("qn"), explode(array(
       tablePlanes.zipWithIndex.map { case (p, t) =>
         struct(lit(t).as("tbl"), bucketExpr(col("qvec"), p).as("b0"))
       }: _*)).as("tb"))
-      .select(col("qid"), col("qvec"), col("tb.tbl"),
+      .select(col("qid"), col("qvec"), col("qn"), col("tb.tbl"),
         explode(transform(probes, m => col("tb.b0").bitwiseXOR(m))).as("bucket"))
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(VectorOps.cosine(col("qvec"), col("cvec")), 6).as("cosine"))
+        round(VectorOps.dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6).as("cosine"))
       .distinct() // a pair can meet through several tables/probes
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -100,14 +106,15 @@ object Ann {
                         nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
-    val c = corpus.select(col(idCol).as("id"), VectorOps.toDoubles(col(vecCol)).as("vec"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", bucketExpr(col("vec"), planes))
-    val l = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val r = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+      .withColumn("nrm", VectorOps.norm(col("vec")))
+    val l = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("na"))
+    val r = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nb"))
     l.join(r, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(VectorOps.cosine(col("vec_a"), col("vec_b")), 6).as("cosine"))
+        round(VectorOps.dot(col("vec_a"), col("vec_b")) / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
       .distinct()
   }
