@@ -362,6 +362,87 @@ object SparkEntry {
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
 
   // ---------------------------------------------------------------------
+  // Flagship composite: the reference's full transform_1.py chain
+  // (sanitize → guard → dedup → initial date → rolling stats) replayed on
+  // lineitem — every stage is the library operator, end-to-end in one
+  // lazy plan (SURVEY.md §3 EP2).
+  // ---------------------------------------------------------------------
+
+  private val qPipeline = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        // dirty inputs synthesized so the oracle can reproduce them
+        .withColumn("part_raw", regexp_replace(col("l_discount").cast(StringType), "\\.", ","))
+        .withColumn("qty_raw", format_number(col("l_quantity") * 1000, 0))
+        .withColumn("code", col("l_suppkey"))
+        .withColumn("reference_date", Cleansing.formatPartitionDate(col("l_shipdate")))
+      val sane = li
+        .withColumn("part", Cleansing.commaDecimalToDouble(col("part_raw")))
+        .withColumn("qty", Cleansing.formattedToLong(col("qty_raw")))
+      val guarded = Cleansing.filterNotNull(sane, Seq("code", "reference_date"))
+      val deduped = Dedup.keepFirst(guarded, Seq("code", "reference_date"),
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
+      val withInitial = deduped.withColumn("initial_date",
+        Windows.perKeyMin(col("reference_date"), Seq(col("code"))))
+      val w = Windows.rolling(Seq(col("code")), Seq(col("reference_date")), 7)
+      val x = col("part")
+      val sumX = sum(x).over(w)
+      val sumX2 = sum(x * x).over(w)
+      val cnt = count(x).over(w)
+      withInitial
+        .withColumn("mean_part_7_days", round(Windows.rollingAvg(x, w), 6))
+        .withColumn("median_part_7_days", Windows.rollingMedianExact(x, w))
+        // sample stddev from exact window sums: NULL on 1-row frames (ANSI
+        // divide-by-zero guard) and clamped at 0 against catastrophic
+        // cancellation — the identical expression shape as the oracle SQL
+        // so both engines perform the same IEEE operations.
+        .withColumn("std_part_7_days",
+          when(cnt > 1,
+            round(sqrt(greatest(sumX2 - sumX * sumX / cnt, lit(0.0)) / (cnt - lit(1))), 6)))
+        .withColumn("max_part_7_days", Windows.rollingMax(x, w))
+        .withColumn("min_part_7_days", Windows.rollingMin(x, w))
+        .select("code", "reference_date", "part", "qty", "initial_date",
+          "mean_part_7_days", "median_part_7_days", "std_part_7_days",
+          "max_part_7_days", "min_part_7_days")
+        .orderBy("code", "reference_date")
+    },
+    Some("""WITH raw AS (
+              SELECT l_suppkey AS code,
+                     strftime(l_shipdate, '%Y-%m-%d') AS reference_date,
+                     l_orderkey, l_linenumber, l_partkey,
+                     TRY_CAST(REPLACE(REPLACE(CAST(l_discount AS VARCHAR), '.', ','), ',', '.') AS DOUBLE) AS part,
+                     CAST(l_quantity * 1000 AS BIGINT) AS qty
+              FROM lineitem
+              WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL),
+            deduped AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY code, reference_date
+                                             ORDER BY l_orderkey, l_linenumber, l_partkey) AS rn
+                FROM raw)
+              WHERE rn = 1),
+            win AS (
+              SELECT code, reference_date, part, qty,
+                     MIN(reference_date) OVER (PARTITION BY code) AS initial_date,
+                     AVG(part) OVER w AS mean_part,
+                     QUANTILE_DISC(part, 0.5) OVER w AS median_part_7_days,
+                     SUM(part * part) OVER w AS sx2,
+                     SUM(part) OVER w AS sx,
+                     COUNT(part) OVER w AS cnt,
+                     MAX(part) OVER w AS max_part_7_days,
+                     MIN(part) OVER w AS min_part_7_days
+              FROM deduped
+              WINDOW w AS (PARTITION BY code ORDER BY reference_date
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+            SELECT code, reference_date, part, qty, initial_date,
+                   ROUND(mean_part, 6) AS mean_part_7_days,
+                   median_part_7_days,
+                   CASE WHEN cnt > 1
+                        THEN ROUND(SQRT(GREATEST(sx2 - sx * sx / cnt, 0.0) / (cnt - 1)), 6)
+                   END AS std_part_7_days,
+                   max_part_7_days, min_part_7_days
+            FROM win ORDER BY code, reference_date"""))
+
+  // ---------------------------------------------------------------------
   // North-star: text analysis (documents table)
   // ---------------------------------------------------------------------
 
@@ -609,6 +690,7 @@ object SparkEntry {
     "q_agg_groupby" -> qAgg1,
     "q_join_revenue_by_segment" -> qJoin1,
     "q_topk_orders" -> qTopK,
+    "q_pipeline_refined" -> qPipeline,
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
@@ -624,9 +706,11 @@ object SparkEntry {
     "q_json_extract" -> qJson,
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's full refined-pipeline chain.
+    */
   def entry(spark: SparkSession): DataFrame =
-    qW5.fn(spark, "/root/testdata/sf0.001")
+    qPipeline.fn(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events stream: watermarked
+  * windowed aggregation and stateful gap-based sessionization — the
+  * streaming-native forms of the batch `Sessionize`/groupBy operators.
+  *
+  * Scale notes: state lives in the state store keyed by (window,
+  * event_type) / user — partitioned across executors by key hash exactly
+  * like a shuffle. Watermarks bound state: windows older than the
+  * watermark are finalized and evicted, so state size is O(active keys ×
+  * windows inside the lateness horizon), not O(stream history). The
+  * session operator times out per-user state via processing-time timeout,
+  * emitting closed sessions — the streaming equivalent of the batch
+  * gap-rule.
+  */
+object EventStreams {
+
+  /** Tumbling/sliding windowed counts+sums per event type with a
+    * watermark that bounds both lateness and state retention.
+    */
+  def windowedTypeStats(events: DataFrame, windowLen: String = "5 minutes",
+                        slide: String = "5 minutes",
+                        lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** One event on the wire. */
+  case class Ev(event_id: Long, user_id: Long, tsUs: Long, value: Double)
+
+  /** Accumulating per-user session state. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
+
+  /** A closed session, emitted when the gap rule fires (or state times
+    * out between micro-batches).
+    */
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Long, total_value: Double)
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState: events
+    * for a user extend the open session while gaps stay ≤ `gapSeconds`; a
+    * larger gap closes and emits the previous session. Within a
+    * micro-batch events arrive unordered → sort the batch's slice before
+    * folding (bounded by batch size, not stream size).
+    *
+    * The open tail session stays in state awaiting more events. In 24/7
+    * production deployments pass `GroupStateTimeout.ProcessingTimeTimeout`
+    * and handle `state.hasTimedOut` to flush idle users; the `NoTimeout`
+    * default keeps finite-input runs (Trigger.AvailableNow, tests)
+    * deterministic — a pending timeout otherwise keeps the query's batch
+    * executor alive past the drained input.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Ev], gapSeconds: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def fold(user: Long, evs: Iterator[Ev],
+             state: GroupState[SessionState]): Iterator[ClosedSession] = {
+      val closed = Seq.newBuilder[ClosedSession]
+      if (state.hasTimedOut) { // only reachable with a timeout conf
+        state.getOption.foreach(s =>
+          closed += ClosedSession(user, s.startUs, s.lastUs, s.n, s.total))
+        state.remove()
+      } else {
+        val sorted = evs.toSeq.sortBy(e => (e.tsUs, e.event_id))
+        var cur = state.getOption
+        sorted.foreach { e =>
+          cur match {
+            case Some(s) if e.tsUs - s.lastUs <= gapUs =>
+              cur = Some(SessionState(s.startUs, e.tsUs, s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed += ClosedSession(user, s.startUs, s.lastUs, s.n, s.total)
+              cur = Some(SessionState(e.tsUs, e.tsUs, 1, e.value))
+            case None =>
+              cur = Some(SessionState(e.tsUs, e.tsUs, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          if (timeout != GroupStateTimeout.NoTimeout())
+            state.setTimeoutDuration(gapSeconds * 1000)
+        }
+      }
+      closed.result().iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(fold)
+  }
+}
