@@ -362,6 +362,89 @@ object SparkEntry {
             ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
 
   // ---------------------------------------------------------------------
+  // General-engine breadth (SURVEY.md §2.12 gaps): set operations,
+  // grouping sets/rollup, pivot, explode with position, deterministic
+  // per-key sampling — operators a user of a complete engine expects even
+  // though the reference never exercised them.
+  // ---------------------------------------------------------------------
+
+  private val qSetOps = Q(
+    (s, dir) => {
+      val oKeys = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val liKeys = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val except = oKeys.except(liKeys).withColumn("op", lit("except"))
+      val intersect = oKeys.intersect(liKeys).withColumn("op", lit("intersect"))
+        .orderBy("k").limit(100)
+      except.unionByName(intersect).orderBy("op", "k")
+    },
+    Some("""WITH e AS (SELECT o_orderkey AS k FROM orders
+                       EXCEPT SELECT l_orderkey FROM lineitem),
+                 i AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                       INTERSECT SELECT l_orderkey FROM lineitem
+                       ORDER BY k LIMIT 100)
+            SELECT k, 'except' AS op FROM e
+            UNION ALL SELECT k, 'intersect' AS op FROM i
+            ORDER BY op, k"""))
+
+  private val qRollup = Q(
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  private val qPivot = Q(
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity"))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+                   SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val qExplode = Q(
+    (s, dir) => {
+      import graft.text.TextAnalysis.tokens
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .orderBy("doc_id", "pos")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id < 50),
+                 e AS (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks))) AS i FROM t)
+            SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, toks[i] AS tok
+            FROM e ORDER BY doc_id, pos"""))
+
+  /** Deterministic per-key sampling: bottom-k by a content-derived hash
+    * priority — the distributed, rerun-stable "take k docs per source"
+    * every training-data pipeline needs. md5 priority so the oracle can
+    * replay it.
+    */
+  private val qSamplePerKey = Q(
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("rk", Windows.rowNumber(Seq(col("source")),
+          Seq(md5(to_binary(col("doc_id").cast(StringType), lit("utf-8"))), col("doc_id"))))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk"),
+    Some("""SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
+            FROM (SELECT source, doc_id,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                  FROM documents)
+            WHERE rk <= 5 ORDER BY source, rk"""))
+
+  // ---------------------------------------------------------------------
   // Flagship composite: the reference's full transform_1.py chain
   // (sanitize → guard → dedup → initial date → rolling stats) replayed on
   // lineitem — every stage is the library operator, end-to-end in one
@@ -613,6 +696,17 @@ object SparkEntry {
     },
     None)
 
+  /** Embedding-cosine near-dup pairs (semantic dedup) through LSH buckets.
+    * Random test embeddings make high-cosine pairs rare → low threshold
+    * keeps the result non-degenerate; rows-only (bucket membership depends
+    * on the plane seed), exact-pair semantics covered in AnnSpec.
+    */
+  private val qEmbedNearDup = Q(
+    (s, dir) =>
+      graft.similarity.Ann.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.3)
+        .orderBy("id_a", "id_b"),
+    None)
+
   // ---------------------------------------------------------------------
   // North-star: multimodal plumbing + events (sessionize, JSON)
   // ---------------------------------------------------------------------
@@ -691,6 +785,11 @@ object SparkEntry {
     "q_join_revenue_by_segment" -> qJoin1,
     "q_topk_orders" -> qTopK,
     "q_pipeline_refined" -> qPipeline,
+    "q_setops" -> qSetOps,
+    "q_rollup" -> qRollup,
+    "q_pivot" -> qPivot,
+    "q_explode_pos" -> qExplode,
+    "q_sample_per_key" -> qSamplePerKey,
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
@@ -701,6 +800,7 @@ object SparkEntry {
     "q_dedup_simhash" -> qSimHash,
     "q_ann_bruteforce_topk" -> qAnnBrute,
     "q_ann_lsh_topk" -> qAnnLsh,
+    "q_embed_neardup" -> qEmbedNearDup,
     "q_multimodal_meta" -> qMultimodal,
     "q_sessionize" -> qSessionize,
     "q_json_extract" -> qJson,

@@ -29,6 +29,16 @@ object Tables {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.read.table(table)
 
+  /** CSV source with header + explicit schema (schema inference is a full
+    * extra scan — never acceptable at lake scale, so it is not offered).
+    */
+  def readCsv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON-lines source with explicit schema (same inference rule). */
+  def readJson(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
     * rejects natively; sessions set `spark.sql.legacy.parquet.nanosAsLong`
     * and this reader converts to a microsecond TimestampType by flooring —

@@ -1,0 +1,48 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Tables
+
+class SourcesSpec extends SparkTestBase {
+
+  private def tmp(): String = Files.createTempDirectory("graft-src").toString
+
+  private lazy val ref = spark.read
+    .parquet("/root/testdata/sf0.001/orders.parquet")
+    .select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+  test("csv round trip with explicit schema") {
+    val dir = tmp()
+    ref.write.option("header", "true").mode("overwrite").csv(dir)
+    val back = Tables.readCsv(spark, dir, ref.schema)
+    assert(back.schema === ref.schema)
+    assert(back.count() === ref.count())
+    assert(back.exceptAll(ref).count() === 0)
+  }
+
+  test("json round trip with explicit schema") {
+    val dir = tmp()
+    ref.write.mode("overwrite").json(dir)
+    val back = Tables.readJson(spark, dir, ref.schema)
+    assert(back.schema === ref.schema)
+    assert(back.exceptAll(ref).count() === 0)
+  }
+
+  test("recursive scan reads nested raw layout (S2)") {
+    val dir = tmp()
+    ref.limit(10).write.parquet(s"$dir/date=2024-01-01/inner")
+    ref.limit(5).write.parquet(s"$dir/date=2024-01-02/inner")
+    val back = Tables.readRecursive(spark, dir)
+    assert(back.count() === 15)
+  }
+
+  test("catalog table scan (S3) through spark.read.table") {
+    spark.sql("DROP TABLE IF EXISTS src_spec_tbl")
+    ref.write.mode("overwrite").saveAsTable("src_spec_tbl")
+    assert(Tables.readTable(spark, "src_spec_tbl").count() === ref.count())
+    spark.sql("DROP TABLE IF EXISTS src_spec_tbl")
+  }
+}
