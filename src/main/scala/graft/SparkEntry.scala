@@ -701,6 +701,21 @@ object SparkEntry {
     * keeps the result non-degenerate; rows-only (bucket membership depends
     * on the plane seed), exact-pair semantics covered in AnnSpec.
     */
+  /** IVF-flat ANN: sampled centroids, inverted index by cell, nProbe-cell
+    * probing. Rows-only (cell assignment isn't SQL-replayable); IvfSpec
+    * proves probing all cells ≡ brute force and planted-neighbor recall.
+    */
+  private val qAnnIvf = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.similarity.Ivf.centroids(emb, nLists = 16)
+      val idx = graft.similarity.Ivf.buildIndex(emb, cents)
+      graft.similarity.Ivf.topK(idx, emb.filter(col("vec_id") < 5), cents, k = 10, nProbe = 4)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .orderBy("qid", "rank")
+    },
+    None)
+
   private val qEmbedNearDup = Q(
     (s, dir) =>
       graft.similarity.Ann.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.3)
@@ -800,6 +815,7 @@ object SparkEntry {
     "q_dedup_simhash" -> qSimHash,
     "q_ann_bruteforce_topk" -> qAnnBrute,
     "q_ann_lsh_topk" -> qAnnLsh,
+    "q_ann_ivf_topk" -> qAnnIvf,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_multimodal_meta" -> qMultimodal,
     "q_sessionize" -> qSessionize,

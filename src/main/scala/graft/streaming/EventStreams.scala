@@ -32,6 +32,16 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drop repeated `keyCols` rows, with the
+    * watermark bounding how long a key's dedup state is retained — the
+    * streaming form of D1 (and of exact document dedup) whose state does
+    * not grow with stream history.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  lateness: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** One event on the wire. */
   case class Ev(event_id: Long, user_id: Long, tsUs: Long, value: Double)
 

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Ann, Ivf}
+
+class IvfSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("index covers the corpus; cells are non-degenerate") {
+    val cents = Ivf.centroids(emb, nLists = 8)
+    assert(cents.length === 8)
+    val idx = Ivf.buildIndex(emb, cents).cache()
+    assert(idx.count() === emb.count())
+    val cells = idx.groupBy("cell").count().collect()
+    assert(cells.length > 1, "assignment must not collapse into one cell")
+  }
+
+  test("probing all cells reproduces brute force exactly") {
+    val cents = Ivf.centroids(emb, nLists = 8)
+    val idx = Ivf.buildIndex(emb, cents)
+    val q = emb.filter(col("vec_id") < 5)
+    val ivf = Ivf.topK(idx, q, cents, k = 10, nProbe = 8)
+      .select("qid", "rank", "cid", "cosine").collect().toSet
+    val brute = Ann.bruteForceTopK(emb, q, k = 10)
+      .select("qid", "rank", "cid", "cosine").collect().toSet
+    assert(ivf === brute)
+  }
+
+  test("planted near-neighbors are recalled with few probes") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 10L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val corpus = base.flatMap { case (i, v) =>
+      Seq((i * 100, v)) ++ (1 to 3).map(c =>
+        (i * 100 + c, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)))
+    }.toDF("vec_id", "embedding")
+    val cents = Ivf.centroids(corpus, nLists = 8)
+    val idx = Ivf.buildIndex(corpus, cents)
+    val queries = corpus.filter(col("vec_id") % 100 === 0)
+    val got = Ivf.topK(idx, queries, cents, k = 3, nProbe = 2)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = (0L until 10L).map { i =>
+      (got.getOrElse(i * 100, Set.empty) intersect
+        Set(i * 100 + 1, i * 100 + 2, i * 100 + 3)).size
+    }.sum
+    // perturbed copies land in the same cell as their base almost always
+    assert(hits >= 24, s"planted recall@3 = $hits/30")
+  }
+}

@@ -36,6 +36,23 @@ class StreamingSpec extends SparkTestBase {
       "every emitted window must match the batch computation")
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    val dir = tmp()
+    val base = Tables.readEvents(spark, "/root/testdata/sf0.001")
+    base.unionAll(base.limit(200)).write.mode("overwrite").parquet(dir) // 200 dup rows
+    val schema = spark.read.parquet(dir).schema
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.dedupStream(stream, Seq("event_id"))
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    assert(spark.table("dedup_out").count() === base.count())
+    assert(spark.table("dedup_out").groupBy("event_id").count()
+      .filter($"count" > 1).count() === 0)
+  }
+
   test("stateful sessionize: closed sessions match the batch gap rule") {
     val dir = tmp()
     Tables.readEvents(spark, "/root/testdata/sf0.001")
