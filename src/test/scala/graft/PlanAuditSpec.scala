@@ -1,0 +1,62 @@
+package graft
+
+/** Plan-quality regression net: the properties that make these queries
+  * scale are asserted on the optimized physical plan, so a refactor that
+  * silently loses pushdown, adds an exchange, or drops a broadcast fails
+  * CI — not a 100 TB run.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q_s1: filter pushed into the parquet scan, columns pruned") {
+    val p = plan("q_s1_scan_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double>"), "scan must read 4 of 11 columns")
+  }
+
+  test("q_join: dimension sides broadcast, aggregation is partial+final") {
+    val p = plan("q_join_revenue_by_segment")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "small-SF joins must not sort-merge")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partial aggregation expected")
+  }
+
+  test("q_w5: all six rolling aggregates share one Window over one exchange") {
+    val p = plan("q_w5_rolling_stats")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    // shuffle exchanges: one for the window partitioning, one for the
+    // final global sort
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size +
+      "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(windows === 1, s"expected a single Window operator:\n$p")
+    assert(exchanges <= 2, s"expected ≤2 exchanges (window + output sort):\n$p")
+  }
+
+  test("q_pipeline: dedup rank is WindowGroupLimit-pruned; code-partitioned windows share an exchange") {
+    val p = plan("q_pipeline_refined")
+    assert(p.contains("WindowGroupLimit"), "rank filter must push a group limit")
+    // exchanges: dedup key (code, reference_date), window key (code),
+    // output sort — anything more means a window spec stopped sharing
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size +
+      "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"expected ≤3 exchanges:\n$p")
+  }
+
+  test("q_agg: partial aggregation before the shuffle") {
+    val p = plan("q_agg_groupby")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    // plan strings truncate long schemas — match the pruned column list
+    assert(p.contains("FileScan parquet [l_quantity#"), "scan must start at l_quantity (pruned)")
+    assert(!p.contains("l_orderkey"), "key columns must be pruned from the agg scan")
+  }
+
+  test("q_topk: sort+limit plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
