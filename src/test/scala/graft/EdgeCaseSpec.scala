@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.NearDup
+import graft.ops.{Cleansing, Dedup, Windows}
+import graft.pipeline.{Schemas, Transform}
+
+/** Distributed-correctness and degenerate-input behavior: results must not
+  * depend on physical partitioning, and empty/pathological inputs must not
+  * crash — on a 1000-executor cluster both happen constantly.
+  */
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("operators are partition-invariant") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Seq(1, 7, 32).foreach { n =>
+      val df = base.repartition(n)
+      // keyed dedup: deterministic tie-break → same survivors at any layout
+      val kept = Dedup.keepFirst(df, Seq("l_orderkey"),
+        Seq($"l_linenumber", $"l_partkey", $"l_suppkey"))
+        .agg(sum(col("l_partkey")), count(lit(1))).head()
+      assert(kept === Dedup.keepFirst(base, Seq("l_orderkey"),
+        Seq($"l_linenumber", $"l_partkey", $"l_suppkey"))
+        .agg(sum(col("l_partkey")), count(lit(1))).head(), s"n=$n")
+    }
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ref = NearDup.minHashLsh(docs, "doc_id", "text", threshold = 0.9)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val repart = NearDup.minHashLsh(docs.repartition(11), "doc_id", "text", threshold = 0.9)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(ref === repart, "LSH pairs must not depend on partitioning")
+  }
+
+  test("empty inputs flow through the full v1/v2 chains") {
+    val emptyV1 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.rawV1)
+    val outV1 = Transform.transformV1(emptyV1)
+    assert(outV1.count() === 0)
+    // schema still has the analytic columns
+    assert(outV1.columns.contains("mean_part_7_days"))
+
+    val emptyV2 = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.rawV2)
+    assert(Transform.transformV2(emptyV2).count() === 0)
+  }
+
+  test("empty input: dedup, windows, minhash do not crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(NearDup.minHashLsh(empty, "doc_id", "text").count() === 0)
+    assert(NearDup.exactGroups(empty, "doc_id", "text").count() === 0)
+    assert(NearDup.simHash(empty, "doc_id", "text").count() === 0)
+
+    val emptyNum = Seq.empty[(String, Int, Double)].toDF("k", "i", "v")
+    val w = Windows.rolling(Seq($"k"), Seq($"i"), 7)
+    assert(emptyNum.select(Windows.rollingAvg($"v", w)).count() === 0)
+  }
+
+  test("single-token and empty-string documents survive text analysis") {
+    import graft.text.TextAnalysis._
+    val df = Seq((1L, "solo"), (2L, "a b"), (3L, "x y z")).toDF("doc_id", "text")
+    val staged = df.select($"doc_id", $"text", tokens($"text").as("tk"))
+      .select($"doc_id", shinglesFromTokens($"text", $"tk").as("sh"))
+      .select($"doc_id", shingleFingerprintFromShingles($"sh").as("fp"))
+    val fps = staged.orderBy("doc_id").collect().map(_.getString(1))
+    assert(fps.forall(_.length === 32)) // short docs use whole-text fallback
+  }
+
+  test("pruneAllNullColumns on an all-null frame keeps only essential") {
+    val df = Seq((null: String, null: String), (null, null)).toDF("a", "b")
+    val pruned = Cleansing.pruneAllNullColumns(df, essential = Set("b"))
+    assert(pruned.columns.toSeq === Seq("b"))
+  }
+}
