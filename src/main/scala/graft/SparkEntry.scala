@@ -463,7 +463,12 @@ object SparkEntry {
         .withColumn("part", Cleansing.commaDecimalToDouble(col("part_raw")))
         .withColumn("qty", Cleansing.formattedToLong(col("qty_raw")))
       val guarded = Cleansing.filterNotNull(sane, Seq("code", "reference_date"))
-      val deduped = Dedup.keepFirst(guarded, Seq("code", "reference_date"),
+      // one exchange for the whole chain: hash(code) satisfies the
+      // ClusteredDistribution of BOTH the (code, reference_date) dedup
+      // window and the (code) analytic windows (subset rule), so dedup
+      // and all rolling stats run over this single shuffle.
+      val colocated = guarded.repartition(col("code"))
+      val deduped = Dedup.keepFirst(colocated, Seq("code", "reference_date"),
         Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
       val withInitial = deduped.withColumn("initial_date",
         Windows.perKeyMin(col("reference_date"), Seq(col("code"))))

@@ -81,8 +81,11 @@ object Transform {
 
     val guarded = Cleansing.filterNotNull(sane, Seq("code", "reference_date_date")) // F1 :79
 
-    // D2/W3 `transform_1.py:82-84`: keep one row per (code, day).
-    val deduped = Dedup.keepFirst(guarded,
+    // D2/W3 `transform_1.py:82-84`: keep one row per (code, day). Rows are
+    // pre-partitioned by `code` alone: hash(code) satisfies the clustering
+    // requirement of the (code, day) dedup window AND the per-code W4-W9
+    // windows below, collapsing the chain to a single exchange.
+    val deduped = Dedup.keepFirst(guarded.repartition(col("code")),
       Seq("code", "reference_date_date"),
       Seq(col("ticker"), col("type"), col("part"), col("theoricalQty")))
 

@@ -40,11 +40,13 @@ class PlanAuditSpec extends SparkTestBase {
   test("q_pipeline: dedup rank is WindowGroupLimit-pruned; code-partitioned windows share an exchange") {
     val p = plan("q_pipeline_refined")
     assert(p.contains("WindowGroupLimit"), "rank filter must push a group limit")
-    // exchanges: dedup key (code, reference_date), window key (code),
-    // output sort — anything more means a window spec stopped sharing
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size +
-      "Exchange rangepartitioning".r.findAllIn(p).size
-    assert(exchanges <= 3, s"expected ≤3 exchanges:\n$p")
+    // one hash exchange on code (shared by the dedup window AND all the
+    // per-code analytic windows — subset-clustering rule) + the output
+    // range sort; anything more means the sharing regressed
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"expected exactly 1 hash exchange:\n$p")
+    assert(rangeEx <= 1, s"expected ≤1 range exchange:\n$p")
   }
 
   test("q_agg: partial aggregation before the shuffle") {
