@@ -616,6 +616,20 @@ object SparkEntry {
                    END AS shingle_fp
             FROM t ORDER BY doc_id"""))
 
+  /** The full training-corpus builder composition (language filter →
+    * quality gate → exact dedup → MinHash near-dup removal → deterministic
+    * sampling). Rows-only: the MinHash stage isn't oracle-replayable, but
+    * every component is individually oracle-checked and TrainsetSpec
+    * proves rebuild determinism + planted-duplicate removal.
+    */
+  private val qTrainset = Q(
+    (s, dir) =>
+      graft.pipeline.Trainset.build(t(s, dir, "documents"),
+        langs = Set("en", "es", "de"), minQuality = 0.3,
+        nearDupThreshold = 0.95, samplePerSource = 20)
+        .orderBy("source", "rk"),
+    None)
+
   // ---------------------------------------------------------------------
   // North-star: deduplication (documents table)
   // ---------------------------------------------------------------------
@@ -815,6 +829,7 @@ object SparkEntry {
     "q_lang_id" -> qLangId,
     "q_fingerprint" -> qFingerprint,
     "q_dedup_exact" -> qDedupExact,
+    "q_trainset_build" -> qTrainset,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash_lsh" -> qMinHash,
     "q_dedup_simhash" -> qSimHash,
