@@ -782,6 +782,39 @@ object SparkEntry {
             FROM sess GROUP BY user_id, session_id
             ORDER BY user_id, session_id"""))
 
+  /** As-of join: every event gets the user's most recent purchase value at
+    * that moment. Oracle: DuckDB's native ASOF JOIN.
+    */
+  private val qAsOf = Q(
+    (s, dir) => {
+      val ev = Tables.readEvents(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"), col("event_type"))
+      val purchases = Tables.readEvents(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value").as("last_purchase"))
+      graft.ops.AsOfJoin.asOf(ev, purchases, "user_id", "t", Seq("last_purchase"))
+        .select("event_id", "user_id", "t", "last_purchase")
+        .orderBy("event_id")
+    },
+    Some("""SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t, p.value AS last_purchase
+            FROM events e
+            ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') p
+            ON e.user_id = p.user_id AND e.ts >= p.ts
+            ORDER BY e.event_id"""))
+
+  /** Time-series resampling: irregular events → daily bins per type. */
+  private val qResample = Q(
+    (s, dir) =>
+      Tables.readEvents(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .withColumn("day", Cleansing.formatPartitionDate(col("day")))
+        .orderBy("day", "event_type"),
+    Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+            FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+
   private val qJson = Q(
     (s, dir) =>
       Tables.readEvents(s, dir)
@@ -840,6 +873,8 @@ object SparkEntry {
     "q_multimodal_meta" -> qMultimodal,
     "q_sessionize" -> qSessionize,
     "q_json_extract" -> qJson,
+    "q_asof_join" -> qAsOf,
+    "q_resample_daily" -> qResample,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
