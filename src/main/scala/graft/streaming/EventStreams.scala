@@ -32,6 +32,22 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Gap-based sessions via Spark's native `session_window` — the
+    * declarative alternative to [[sessionize]]: the engine owns session
+    * state/merging, the watermark closes and emits sessions. Works
+    * identically over batch DataFrames (used in the spec to cross-check
+    * the stateful implementation).
+    */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+                         lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        col("n_events"), col("total_value"))
+
   /** Streaming exact dedup: drop repeated `keyCols` rows, with the
     * watermark bounding how long a key's dedup state is retained — the
     * streaming form of D1 (and of exact document dedup) whose state does

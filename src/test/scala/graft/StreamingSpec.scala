@@ -36,6 +36,17 @@ class StreamingSpec extends SparkTestBase {
       "every emitted window must match the batch computation")
   }
 
+  test("native session_window equals the batch gap rule (counts + starts)") {
+    val ev = Tables.readEvents(spark, "/root/testdata/sf0.001").filter($"user_id" < 10)
+    val viaSessionWindow = EventStreams.sessionWindowStats(ev)
+      .select("user_id", "start_us", "n_events", "total_value")
+    val viaBatchRule = graft.ops.Sessionize.sessionStats(
+      ev, "user_id", "ts", 1800, "value", Seq($"event_id"))
+      .select("user_id", "start_us", "n_events", "total_value")
+    assert(viaSessionWindow.count() === viaBatchRule.count())
+    assert(viaSessionWindow.exceptAll(viaBatchRule).count() === 0)
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     val dir = tmp()
     val base = Tables.readEvents(spark, "/root/testdata/sf0.001")
