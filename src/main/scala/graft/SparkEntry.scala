@@ -578,8 +578,9 @@ object SparkEntry {
                    ROUND(punct, 6) AS punct_ratio
             FROM f ORDER BY doc_id"""))
 
-  /** Language-ID heuristic: marker/script scoring. Rows-only (the scoring
-    * tables aren't worth re-encoding in SQL); accuracy on a multilingual
+  /** Language-ID heuristic: marker/script scoring, oracle-replicated (the
+    * argmax tie-break is: higher marker count, then later-sorting language
+    * code — exactly struct-max semantics). Accuracy on a multilingual
     * fixture is asserted in TextAnalysisSpec.
     */
   private val qLangId = Q(
@@ -592,7 +593,26 @@ object SparkEntry {
           langIdFromTokens(col("text"), col("tk")).as("predicted"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH scored AS (
+              SELECT doc_id, lang AS labeled,
+                     length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 AS cjk,
+                     len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                         ['der','die','und','das','nicht','ist','ich','ein','mit','zu'])) AS s_de,
+                     len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                         ['the','and','of','to','in','is','that','it','for','with'])) AS s_en,
+                     len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                         ['el','la','de','que','y','en','los','del','se','por'])) AS s_es,
+                     len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                         ['le','la','les','de','des','et','est','une','dans','que'])) AS s_fr
+              FROM documents)
+            SELECT doc_id, labeled,
+                   CASE WHEN cjk THEN 'zh'
+                        WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_fr = GREATEST(s_de, s_en, s_es, s_fr) THEN 'fr'
+                        WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                        WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                        ELSE 'de' END AS predicted
+            FROM scored ORDER BY doc_id"""))
 
   private val qFingerprint = Q(
     (s, dir) => {

@@ -91,5 +91,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    e.injectOptimizerRule(_ => graft.plans.ShareWindowExchange)
   }
 }
