@@ -19,8 +19,11 @@ import graft.functions.VectorOps
   *    scan touches ~(nBits+1)/2^nBits of the corpus instead of all of it.
   *    Approximate: recall measured against brute force in AnnSpec.
   *
-  * Embeddings are widened float→double element-wise before any arithmetic
-  * (VectorOps) so scores are stable and oracle-reproducible.
+  * Scoring goes through the codegen'd [[graft.functions.DotProduct]]
+  * expression, which widens float elements to double before multiplying —
+  * the same arithmetic as an explicit element-wise cast, so scores are
+  * stable and oracle-reproducible; norms are staged once per vector, not
+  * recomputed per candidate pair.
   */
 object Ann {
 
