@@ -17,17 +17,23 @@ object Bench {
       // noop sink: materializes every row/column of the result (unlike
       // count(), which lets the optimizer delete sorts and projections).
       // min over repeats: drops JIT warm-up and one-off GC/load spikes.
+      // A failed query must NOT read as a near-zero "speedup": record -1
+      // (clearly invalid) and shout on stderr.
+      var failed = false
       val times = (1 to repeats).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum // failed (-1) excluded
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

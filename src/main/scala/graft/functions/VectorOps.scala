@@ -27,10 +27,12 @@ object VectorOps {
   def dot(a: Column, b: Column): Column = DotProduct.dot(a, b)
 
   /** Reference higher-order-function formulation (interpreted; kept for
-    * equivalence testing against [[dot]]).
+    * equivalence testing against [[dot]]). Widens elements to double
+    * BEFORE multiplying — float×float would round products to 24-bit
+    * mantissas and diverge from [[dot]] on raw float arrays.
     */
   def dotHof(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    aggregate(zip_with(toDoubles(a), toDoubles(b), _ * _), lit(0.0), _ + _)
 
   /** Squared L2 norm / L2 norm. */
   def normSq(a: Column): Column = dot(a, a)
@@ -44,7 +46,9 @@ object VectorOps {
     when(isnan(c), lit(null).cast(DoubleType)).otherwise(c)
   }
 
-  /** Squared euclidean distance. */
+  /** Squared euclidean distance (elements widened before subtraction, per
+    * the module contract).
+    */
   def distSq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    aggregate(zip_with(toDoubles(a), toDoubles(b), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
 }

@@ -74,9 +74,13 @@ object Multimodal {
   def sampleFrames(df: DataFrame, payloadCol: String, frameBytes: Int,
                    stride: Int): DataFrame = {
     val nFrames = ceil(length(col(payloadCol)) / frameBytes.toDouble).cast(IntegerType)
-    df.withColumn("frames", transform(
-        sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)),
-        i => substring(col(payloadCol), i * frameBytes + 1, lit(frameBytes))))
+    val sampled = transform(
+      sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(stride)),
+      i => substring(col(payloadCol), i * frameBytes + 1, lit(frameBytes)))
+    // a zero-byte payload (failed upstream fetch) has zero frames, not one
+    // empty frame
+    df.withColumn("frames",
+        when(nFrames > 0, sampled).otherwise(array().cast("array<binary>")))
       .withColumn("n_frames_sampled", size(col("frames")))
   }
 }

@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * Cost at 100 TB: ONE shuffle of (|L| + |R|) rows on the key — the same
   * price as the sort-merge join an equality join would pay; no range
   * explosion, no per-row probing. Ties (right.time == left.time) are
-  * included (`<=` semantics, matching DuckDB's ASOF JOIN); right rows at
-  * identical (key, time) resolve to the last one in `rightOrder`.
+  * included (`<=` semantics, matching DuckDB's ASOF JOIN). Right rows at
+  * identical (key, time) resolve by `rightOrder`, falling back to the
+  * payload values themselves so the result is deterministic at any
+  * partitioning even without an explicit tie-break.
   */
 object AsOfJoin {
 
@@ -28,11 +30,9 @@ object AsOfJoin {
            rightOrder: Seq[Column] = Seq.empty): DataFrame = {
     val lTagged = left
       .withColumn("__side", lit(1)) // right sorts before left at equal time
-      .withColumn("__ord", lit(1L))
     val rTagged = right
       .select((Seq(col(keyCol), col(timeCol)) ++ payloadCols.map(col)): _*)
       .withColumn("__side", lit(0))
-      .withColumn("__ord", lit(0L))
     // align schemas: left keeps its columns, right contributes payloads
     val leftCols = left.columns
     val allPayload = payloadCols.map(c => s"__r_$c")
@@ -48,9 +48,14 @@ object AsOfJoin {
 
     val unioned = l.unionByName(r)
     // right (side=0) sorts before left (side=1) at the same timestamp →
-    // a tying right row is visible to the left row (<= semantics)
+    // a tying right row is visible to the left row (<= semantics). Right
+    // rows tying on (key, time) are further ordered by rightOrder, then by
+    // the payload values — without this, "last" among duplicates would
+    // depend on shuffle order.
+    val tieBreak =
+      if (rightOrder.nonEmpty) rightOrder else allPayload.map(col)
     val w = Window.partitionBy(col(keyCol))
-      .orderBy((Seq(col(timeCol), col("__side")) ++ rightOrder): _*)
+      .orderBy((Seq(col(timeCol), col("__side")) ++ tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = allPayload.foldLeft(unioned) { (df, c) =>
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))

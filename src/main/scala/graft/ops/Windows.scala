@@ -37,7 +37,11 @@ object Windows {
     */
   def rollingMedianExact(c: Column, w: WindowSpec): Column = {
     val vals = array_sort(collect_list(c).over(w))
-    element_at(vals, floor((size(vals) + 1) / lit(2.0)).cast(org.apache.spark.sql.types.IntegerType))
+    // collect_list skips NULLs: an all-NULL frame (e.g. a sanitizer
+    // degraded every value) yields an empty array — median is NULL, not an
+    // element_at(_, 0) runtime error.
+    when(size(vals) > 0,
+      element_at(vals, floor((size(vals) + 1) / lit(2.0)).cast(org.apache.spark.sql.types.IntegerType)))
   }
 
   /** W7: rolling sample stddev — NULL for 1-row frames, as the reference

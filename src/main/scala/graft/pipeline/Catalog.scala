@@ -92,9 +92,12 @@ object Catalog {
       val spec = keys.zip(values)
         .map { case (k, v) => s"`$k`='${v.replace("'", "''")}'" }.mkString(", ")
       val dir = keys.zip(values).map { case (k, v) => s"$k=$v" }.mkString("/")
+      // LOCATION is a string literal too — quote-escape the whole path,
+      // not just the PARTITION values
+      val loc = s"$location/$dir".replace("'", "''")
       spark.sql(
         s"""ALTER TABLE `$db`.`$table` ADD IF NOT EXISTS
-           |PARTITION ($spec) LOCATION '$location/$dir'""".stripMargin)
+           |PARTITION ($spec) LOCATION '$loc'""".stripMargin)
     }
     missing.size
   }

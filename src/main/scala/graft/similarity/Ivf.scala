@@ -25,12 +25,14 @@ import graft.functions.VectorOps
 object Ivf {
 
   private def scoreAgainst(centroids: Seq[(Long, Seq[Double])], vec: Column): Column = {
-    // argmax cosine via array_max over (score, cell) structs
+    // argmax cosine via array_max over (score, cell) structs. The query
+    // vector's own norm is a positive per-row constant — it cannot change
+    // the argmax, so only the (compile-time-constant) centroid norm
+    // divides: one dot per centroid, no per-row self-dot.
     val scored = array(centroids.map { case (cid, cvec) =>
       val c = array(cvec.map(lit): _*)
       struct(
-        (VectorOps.dot(vec, c) / (VectorOps.norm(vec) * math.sqrt(cvec.map(x => x * x).sum)))
-          .as("score"),
+        (VectorOps.dot(vec, c) / lit(math.sqrt(cvec.map(x => x * x).sum))).as("score"),
         lit(cid).as("cell"))
     }: _*)
     array_max(scored).getField("cell")
@@ -59,12 +61,12 @@ object Ivf {
   def topK(index: DataFrame, queries: DataFrame, cents: Seq[(Long, Seq[Double])],
            k: Int, nProbe: Int = 4,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // per-query cells: rank centroids by cosine, keep nProbe
+    // per-query cells: rank centroids by cosine, keep nProbe (the query
+    // norm is constant per row — dropped from the ranking, same argsort)
     val scoredCells = array(cents.map { case (cid, cvec) =>
       val c = array(cvec.map(lit): _*)
       struct(
-        (VectorOps.dot(col("qvec"), c) /
-          (col("qn") * math.sqrt(cvec.map(x => x * x).sum))).as("score"),
+        (VectorOps.dot(col("qvec"), c) / lit(math.sqrt(cvec.map(x => x * x).sum))).as("score"),
         lit(cid).as("cell"))
     }: _*)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))

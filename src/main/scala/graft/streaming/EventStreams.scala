@@ -111,8 +111,12 @@ object EventStreams {
         }
         cur.foreach { s =>
           state.update(s)
-          if (timeout != GroupStateTimeout.NoTimeout())
+          // duration-based timeouts only exist for processing-time mode;
+          // calling setTimeoutDuration under EventTimeTimeout throws
+          if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
             state.setTimeoutDuration(gapSeconds * 1000)
+          else if (timeout == GroupStateTimeout.EventTimeTimeout())
+            state.setTimeoutTimestamp(s.lastUs / 1000 + gapSeconds * 1000)
         }
       }
       closed.result().iterator

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.DotProduct
+import graft.multimodal.Multimodal
+import graft.ops.{AsOfJoin, Windows}
+
+/** Regressions for review findings: each test pins a bug that shipped in
+  * an earlier commit of this round.
+  */
+class RegressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("rolling median of an all-NULL frame is NULL, not a crash") {
+    val df = Seq(("k", 1, None: Option[Double]), ("k", 2, None), ("k", 3, Some(5.0)))
+      .toDF("k", "i", "v")
+    val w = Windows.rolling(Seq($"k"), Seq($"i"), 2)
+    val med = df.select($"i", Windows.rollingMedianExact($"v", w).as("m"))
+      .orderBy("i").collect()
+    assert(med(0).isNullAt(1), "frame [NULL] → NULL median")
+    assert(med(1).isNullAt(1), "frame [NULL,NULL] → NULL median")
+    assert(med(2).getDouble(1) === 5.0, "frame [NULL,5.0] → 5.0")
+  }
+
+  test("as-of join is deterministic when right has duplicate (key, time) rows") {
+    val l = Seq(("k", 100L, 1)).toDF("k", "t", "id")
+    val r = Seq(("k", 50L, 1.0), ("k", 50L, 9.0), ("k", 50L, 4.0)).toDF("k", "t", "px")
+    val results = (1 to 3).map { n =>
+      AsOfJoin.asOf(l, r.repartition(n), "k", "t", Seq("px")).head().getAs[Double]("px")
+    }
+    assert(results.distinct.size === 1, s"partitioning changed the result: $results")
+    assert(results.head === 9.0, "ties resolve to the greatest payload (documented order)")
+  }
+
+  test("several DotProducts over non-nullable arrays codegen in one projection") {
+    // array literals are non-nullable → all three expressions share one
+    // codegen scope; fixed identifiers would fail janino and silently
+    // fall back to interpreted eval
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val r = df.select(
+      DotProduct.dot(array(lit(1.0), lit(0.0)), $"a").as("d1"),
+      DotProduct.dot(array(lit(0.0), lit(1.0)), $"a").as("d2"),
+      DotProduct.dot($"a", $"b").as("d3")).head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 2.0)
+    assert(r.getDouble(2) === 11.0)
+  }
+
+  test("dotHof widens float elements before multiplying (contract parity with dot)") {
+    // product of large floats: float*float rounds differently than
+    // double*double — the two formulations must agree on raw float arrays
+    val df = Seq((Array(1.0000001f, 3.3333333f), Array(7.7777777f, 9.0000001f)))
+      .toDF("a", "b")
+    val r = df.select(
+      DotProduct.dot($"a", $"b").as("fast"),
+      graft.functions.VectorOps.dotHof($"a", $"b").as("ref")).head()
+    assert(r.getDouble(0) === r.getDouble(1))
+  }
+
+  test("sampleFrames: empty payload has zero frames") {
+    val df = Seq((1L, ""), (2L, "abcdefgh")).toDF("doc_id", "text")
+    val out = Multimodal.sampleFrames(
+      Multimodal.withBinaryPayload(df, "text"), "payload", frameBytes = 4, stride = 1)
+      .orderBy("doc_id").select("n_frames_sampled").collect()
+    assert(out(0).getInt(0) === 0)
+    assert(out(1).getInt(0) === 2)
+  }
+
+}
