@@ -41,8 +41,20 @@ object VectorOps {
   /** Cosine similarity. NULL-safe only insofar as null arrays propagate
     * NULL; zero vectors yield NULL via 0/0 → NaN guarded to NULL.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val c = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    cosineFromParts(dot(a, b), norm(a), norm(b))
+
+  /** Cosine from a precomputed dot and per-vector norms (the staged-norm
+    * hot path). The NaN guard matters: Spark sorts NaN ABOVE every double,
+    * so an unguarded 0/0 from a zero-norm vector (failed embedding,
+    * padding artifact) would take rank 1 in every top-k and pass every
+    * `>= threshold` filter; as NULL it sorts last under `desc` and fails
+    * the filter.
+    */
+  def cosineFromParts(dotAB: Column, normA: Column, normB: Column): Column = {
+    // try_divide: ANSI mode raises DIVIDE_BY_ZERO even for doubles — a
+    // zero-norm divisor must yield NULL, not kill the job
+    val c = try_divide(dotAB, normA * normB)
     when(isnan(c), lit(null).cast(DoubleType)).otherwise(c)
   }
 

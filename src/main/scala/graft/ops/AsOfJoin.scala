@@ -28,39 +28,45 @@ object AsOfJoin {
            keyCol: String, timeCol: String,
            payloadCols: Seq[String],
            rightOrder: Seq[Column] = Seq.empty): DataFrame = {
-    val lTagged = left
+    val clash = payloadCols.toSet.intersect(
+      left.columns.toSet -- Set(keyCol, timeCol))
+    require(clash.isEmpty,
+      s"payload columns collide with left columns: ${clash.mkString(", ")} — rename one side")
+
+    // The matched right row travels as ONE struct: per-column carries would
+    // tear a right row apart whenever one payload field is NULL (each
+    // column's last(ignoreNulls) skipping independently).
+    val payloadStruct = struct(payloadCols.map(col): _*)
+    val structType = {
+      import org.apache.spark.sql.types.StructType
+      StructType(payloadCols.map(c => right.schema(c)))
+    }
+    val leftRest = left.columns.filterNot(c => c == keyCol || c == timeCol).toSeq
+    val l = left
       .withColumn("__side", lit(1)) // right sorts before left at equal time
-    val rTagged = right
-      .select((Seq(col(keyCol), col(timeCol)) ++ payloadCols.map(col)): _*)
+      .withColumn("__r", lit(null).cast(structType))
+      .select((Seq(col(keyCol), col(timeCol), col("__side"), col("__r")) ++
+        leftRest.map(col)): _*)
+    val r = right
+      .select(col(keyCol), col(timeCol), payloadStruct.as("__r"))
       .withColumn("__side", lit(0))
-    // align schemas: left keeps its columns, right contributes payloads
-    val leftCols = left.columns
-    val allPayload = payloadCols.map(c => s"__r_$c")
-    val l = lTagged.select(
-      (Seq(col(keyCol), col(timeCol), col("__side")) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) ++
-        leftCols.filterNot(c => c == keyCol || c == timeCol).map(col)): _*)
-    val r = rTagged.select(
-      (Seq(col(keyCol), col(timeCol), col("__side")) ++
-        payloadCols.map(c => col(c).as(s"__r_$c")) ++
-        leftCols.filterNot(c => c == keyCol || c == timeCol)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+      .select((Seq(col(keyCol), col(timeCol), col("__side"), col("__r")) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
 
     val unioned = l.unionByName(r)
     // right (side=0) sorts before left (side=1) at the same timestamp →
     // a tying right row is visible to the left row (<= semantics). Right
-    // rows tying on (key, time) are further ordered by rightOrder, then by
-    // the payload values — without this, "last" among duplicates would
-    // depend on shuffle order.
-    val tieBreak =
-      if (rightOrder.nonEmpty) rightOrder else allPayload.map(col)
+    // rows tying on (key, time) are further ordered by rightOrder, falling
+    // back to the payload struct itself (field-by-field struct ordering) —
+    // deterministic at any partitioning.
+    val tieBreak = if (rightOrder.nonEmpty) rightOrder else Seq(col("__r"))
     val w = Window.partitionBy(col(keyCol))
       .orderBy((Seq(col(timeCol), col("__side")) ++ tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = allPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
-      .withColumnsRenamed(payloadCols.map(c => s"__r_$c" -> c).toMap)
+    unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((Seq(col(keyCol), col(timeCol)) ++ leftRest.map(col) ++
+        payloadCols.map(c => col("__r").getField(c).as(c))): _*)
   }
 }

@@ -59,6 +59,18 @@ object ShareWindowExchange extends Rule[LogicalPlan] {
         }
     }
 
+  /** Is the subtree under the insertion point already hash-partitioned on
+    * (a subset of) `minSet`? Looks through the same pass-through nodes the
+    * planner does — a user's `repartition(code)` under a Project must not
+    * earn a second forced shuffle.
+    */
+  private def alreadyPartitioned(p: LogicalPlan, minSet: AttributeSet): Boolean = p match {
+    case RepartitionByExpression(exprs, _, _, _) =>
+      val as = exprs.collect { case a: Attribute => a }
+      as.length == exprs.length && as.nonEmpty && AttributeSet(as).subsetOf(minSet)
+    case _ => unwrap(p).exists(alreadyPartitioned(_, minSet))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case w: Window =>
       val (specs, base) = collectStack(w, Nil)
@@ -67,8 +79,7 @@ object ShareWindowExchange extends Rule[LogicalPlan] {
         val minSpec = specs.minBy(_.length)
         val minSet = AttributeSet(minSpec)
         val allShareSubset = specs.forall(s => minSet.subsetOf(AttributeSet(s)))
-        val alreadyDone = base.isInstanceOf[RepartitionByExpression]
-        if (!allShareSubset || minSpec.isEmpty || alreadyDone) w
+        if (!allShareSubset || minSpec.isEmpty || alreadyPartitioned(base, minSet)) w
         else {
           // re-insert the repartition below the innermost window
           val newPlan = w.transformUp {

@@ -43,7 +43,7 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(VectorOps.dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6).as("cosine"))
+        round(VectorOps.cosineFromParts(VectorOps.dot(col("qvec"), col("cvec")), col("qn"), col("cn")), 6).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -69,6 +69,10 @@ object Ann {
     * candidate set. `nTables` independent hash tables trade index size for
     * recall (the standard LSH knob): a corpus vector is stored once per
     * table, a query probes `nTables × (nBits + 1)` buckets.
+    *
+    * NOTE: `dim` must equal the embedding length — hyperplanes are built
+    * driver-side at that width and DotProduct's common-prefix semantics
+    * would silently bucket on a prefix if it is smaller.
     */
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                       nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
@@ -95,7 +99,7 @@ object Ann {
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(VectorOps.dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6).as("cosine"))
+        round(VectorOps.cosineFromParts(VectorOps.dot(col("qvec"), col("cvec")), col("qn"), col("cn")), 6).as("cosine"))
       .distinct() // a pair can meet through several tables/probes
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -117,8 +121,9 @@ object Ann {
     l.join(r, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(VectorOps.dot(col("vec_a"), col("vec_b")) / (col("na") * col("nb")), 6).as("cosine"))
+        round(VectorOps.cosineFromParts(VectorOps.dot(col("vec_a"), col("vec_b")), col("na"), col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
+      // no distinct needed: single table, one bucket per id, id_a < id_b →
+      // each pair appears exactly once
   }
 }

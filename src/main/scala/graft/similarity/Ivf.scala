@@ -77,7 +77,7 @@ object Ivf {
     val scored = index.join(broadcast(q), "cell")
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
-        round(VectorOps.dot(col("qvec"), col("cvec")) / (col("qn") * col("cn")), 6).as("cosine"))
+        round(VectorOps.cosineFromParts(VectorOps.dot(col("qvec"), col("cvec")), col("qn"), col("cn")), 6).as("cosine"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

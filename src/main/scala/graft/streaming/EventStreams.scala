@@ -86,6 +86,12 @@ object EventStreams {
   def sessionize(spark: SparkSession, events: Dataset[Ev], gapSeconds: Long,
                  timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()): Dataset[ClosedSession] = {
     import spark.implicits._
+    // EventTimeTimeout needs a watermarked TimestampType column, which this
+    // Long-micros encoding deliberately doesn't carry — reject rather than
+    // fail at query start with an opaque AnalysisException.
+    require(timeout != GroupStateTimeout.EventTimeTimeout(),
+      "sessionize supports NoTimeout (finite inputs) or ProcessingTimeTimeout (24/7); " +
+        "EventTimeTimeout needs a watermark on a timestamp column — use sessionWindowStats instead")
     val gapUs = gapSeconds * 1000000L
 
     def fold(user: Long, evs: Iterator[Ev],
@@ -111,12 +117,8 @@ object EventStreams {
         }
         cur.foreach { s =>
           state.update(s)
-          // duration-based timeouts only exist for processing-time mode;
-          // calling setTimeoutDuration under EventTimeTimeout throws
           if (timeout == GroupStateTimeout.ProcessingTimeTimeout())
             state.setTimeoutDuration(gapSeconds * 1000)
-          else if (timeout == GroupStateTimeout.EventTimeTimeout())
-            state.setTimeoutTimestamp(s.lastUs / 1000 + gapSeconds * 1000)
         }
       }
       closed.result().iterator

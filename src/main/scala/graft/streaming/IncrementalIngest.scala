@@ -32,7 +32,17 @@ object IncrementalIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Transform.writePartitioned(spark, transform(batch), refinedLocation, partitionKeys)
+        // APPEND, not dynamic overwrite: one AvailableNow drain spans many
+        // micro-batches, and a partition whose rows land in two batches
+        // would have the first batch's rows silently replaced by the
+        // second. The checkpoint makes file intake exactly-once; replace-
+        // the-partition upsert semantics belong to the per-run batch entry
+        // (`Pipeline.runIncremental`), where one invocation = one file set.
+        transform(batch).write
+          .partitionBy(partitionKeys: _*)
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .option("compression", "snappy")
+          .parquet(refinedLocation)
       }
       .start()
     query.awaitTermination()

@@ -58,6 +58,34 @@ class RegressionSpec extends SparkTestBase {
     assert(r.getDouble(0) === r.getDouble(1))
   }
 
+  test("as-of join carries the matched right row atomically (NULL fields included)") {
+    val l = Seq(("k", 2L, 1)).toDF("k", "t", "id")
+    val r = Seq(
+      ("k", 0L, Some(9.0), Some(5.0)),
+      ("k", 1L, Some(10.0), None: Option[Double]) // latest row: qty is NULL
+    ).toDF("k", "t", "price", "qty")
+    val row = AsOfJoin.asOf(l, r, "k", "t", Seq("price", "qty")).head()
+    assert(row.getAs[Double]("price") === 10.0)
+    assert(row.isNullAt(row.fieldIndex("qty")),
+      "qty must come from the SAME (latest) right row, not a stale one")
+  }
+
+  test("zero-norm embeddings never outrank real neighbors (NaN guard)") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 0.0f)) // failed-embedding artifact
+    ).toDF("vec_id", "embedding")
+    val top = graft.similarity.Ann.bruteForceTopK(
+      corpus, corpus.filter($"vec_id" === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("cid") === 1L, "real neighbor must rank first")
+    assert(top(1).isNullAt(top(1).fieldIndex("cosine")), "zero vector scores NULL")
+    val dups = graft.similarity.Ann.embeddingNearDups(corpus, threshold = 0.5, dim = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!dups.exists(p => p._1 == 2L || p._2 == 2L),
+      "NaN must not pass the near-dup threshold")
+  }
+
   test("sampleFrames: empty payload has zero frames") {
     val df = Seq((1L, ""), (2L, "abcdefgh")).toDF("doc_id", "text")
     val out = Multimodal.sampleFrames(

@@ -60,6 +60,21 @@ class ShareWindowExchangeSpec extends AnyFunSuite {
     assert(withRule === without)
   }
 
+  test("an existing hand-written repartition under a Project is not doubled") {
+    import spark.implicits._
+    val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .repartition($"l_suppkey")
+      .withColumn("x", $"l_quantity" * 2) // Project between repartition and windows
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"l_suppkey", $"l_orderkey")
+          .orderBy($"l_linenumber", $"l_partkey")))
+      .filter($"rn" === 1)
+      .withColumn("total", sum($"x").over(Window.partitionBy($"l_suppkey")))
+    val plan = df.queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx === 1, s"rule must not add a second shuffle:\n$plan")
+  }
+
   test("disjoint-key windows are left alone") {
     import spark.implicits._
     val df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
