@@ -81,9 +81,13 @@ object Cleansing {
   def formattedToLong(c: Column): Column =
     regexp_replace(c, "[^0-9-]", "").try_cast(LongType)
 
-  /** C5: string → date with explicit pattern (`etl/transform_1.py:74`). */
+  /** C5: string → date with explicit pattern (`etl/transform_1.py:74`).
+    * try_to_timestamp: under ANSI a malformed date string would abort the
+    * job mid-scan; NULL + the downstream F1 guard reproduces the
+    * reference's lax Spark-3.5 behavior.
+    */
   def toDatePattern(c: Column, pattern: String = "yyyy-MM-dd"): Column =
-    to_date(c, pattern)
+    try_to_timestamp(c, lit(pattern)).cast(DateType)
 
   /** C6: date/timestamp → `yyyy-MM-dd` string for partition values
     * (`etl/etl.py:85`, `etl/transform_1.py:89,109`).

@@ -37,7 +37,9 @@ object Transform {
     val dated = Cleansing.fillSentinelDate(filled, "data_pregao") // N2 `etl.py:59-62`
     val renamed = Cleansing.renameColumns(dated, Map( // P3 `etl.py:65-66`
       "codigo" -> "codigo_acao", "acao" -> "nome_acao"))
-      .withColumn("data_pregao_ts", col("data_pregao").cast(TimestampType)) // C2 `etl.py:68`
+      // C2 `etl.py:68`; try_cast — an unparseable date string must degrade
+      // to NULL (Spark 3.5 lax-cast parity), not abort under ANSI
+      .withColumn("data_pregao_ts", col("data_pregao").try_cast(TimestampType))
 
     // W1 `etl.py:70-76`: 7-row moving average of quantidade_teorica per
     // ticker. Tie-break beyond the timestamp for deterministic frames.

@@ -19,6 +19,13 @@ class OpsSpec extends SparkTestBase {
       === Seq(1234567L, -1000L, 12L, null, null))
   }
 
+  test("toDatePattern: valid dates parse, garbage degrades to NULL under ANSI") {
+    val df = Seq("2024-01-03", "not-a-date", "2024-13-99", null)
+      .toDF("s").select(Cleansing.toDatePattern($"s").as("d"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) null else r.getDate(0).toString)
+    assert(got.toSeq === Seq("2024-01-03", null, null, null))
+  }
+
   test("rolling median exact: odd frames true median, even frames lower-middle") {
     val df = (1 to 6).map(i => ("k", i, i.toDouble)).toDF("k", "i", "v")
     val w = Windows.rolling(Seq($"k"), Seq($"i"), 4)
