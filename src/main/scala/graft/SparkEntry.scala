@@ -741,8 +741,11 @@ object SparkEntry {
     * on the plane seed), exact-pair semantics covered in AnnSpec.
     */
   /** IVF-flat ANN: sampled centroids, inverted index by cell, nProbe-cell
-    * probing. Rows-only (cell assignment isn't SQL-replayable); IvfSpec
-    * proves probing all cells ≡ brute force and planted-neighbor recall.
+    * probing. Fully oracle-checkable: centroids are deterministic (bottom-k
+    * by md5 priority), and cell assignment/probing is argmax over ROUNDed
+    * cosine scores with a cell-id tie-break — DuckDB replays the whole
+    * construction with `list_dot_product`/`list_cosine_similarity`. IvfSpec
+    * additionally proves probing all cells ≡ brute force.
     */
   private val qAnnIvf = Q(
     (s, dir) => {
@@ -753,7 +756,41 @@ object SparkEntry {
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
         .orderBy("qid", "rank")
     },
-    None)
+    Some("""WITH cents AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 16),
+            assign AS (
+              SELECT cid, cvec, cell FROM (
+                SELECT e.vec_id AS cid, e.embedding::DOUBLE[] AS cvec, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            qcells AS (
+              SELECT qid, qvec, cell FROM (
+                SELECT q.vec_id AS qid, q.embedding::DOUBLE[] AS qvec, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY ROUND(list_dot_product(q.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings q CROSS JOIN cents c
+                WHERE q.vec_id < 5)
+              WHERE rn <= 4),
+            scored AS (
+              SELECT qc.qid, a.cid,
+                     ROUND(list_cosine_similarity(qc.qvec, a.cvec), 6) AS cosine
+              FROM qcells qc JOIN assign a ON a.cell = qc.cell
+              WHERE a.cid <> qc.qid),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY cosine DESC, cid) AS rk
+              FROM scored)
+            SELECT qid, CAST(rk AS INTEGER) AS rank, cid, cosine
+            FROM ranked WHERE rk <= 10 ORDER BY qid, rank"""))
 
   private val qEmbedNearDup = Q(
     (s, dir) =>

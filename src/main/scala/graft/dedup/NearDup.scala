@@ -163,24 +163,70 @@ object NearDup {
     agg.select(col("id"), hashExpr.as("simhash"))
   }
 
-  /** Near-dup pairs among SimHashes with Hamming distance ≤ `maxHamming`.
-    * Pigeonhole blocking: split 64 bits into `maxHamming + 1` blocks — any
-    * pair within the radius agrees exactly on ≥ 1 block, so the self-join
-    * runs on block equality, never all-pairs.
+  /** Partition of the 64 SimHash bits into `nBlocks` contiguous blocks
+    * covering ALL bits (widths differ by at most 1). Full coverage keeps
+    * every bit contributing to some join key; the pigeonhole recall
+    * guarantee needs only that the blocks are disjoint.
+    */
+  private def blockBounds(nBlocks: Int): Seq[(Int, Int)] = {
+    val base = 64 / nBlocks
+    val rem = 64 % nBlocks
+    val widths = Seq.tabulate(nBlocks)(i => if (i < rem) base + 1 else base)
+    widths.scanLeft(0)(_ + _).zip(widths) // (offset, width)
+  }
+
+  private def blockVal(sim: Column, offset: Int, width: Int): Column =
+    shiftrightunsigned(sim, offset).bitwiseAND((1L << width) - 1)
+
+  /** Near-dup pairs among SimHashes with Hamming distance ≤ `maxHamming`,
+    * by pigeonhole blocking — never all-pairs. Two regimes, chosen by the
+    * radius so the join key never drops below ~8 bits of entropy (a
+    * narrower key collapses the blocked join toward all-pairs at corpus
+    * scale — n²/2^width candidates):
+    *
+    *  - `maxHamming ≤ 7`: split 64 bits into `maxHamming + 1` blocks
+    *    (width ≥ 8); a pair within the radius has ≤ maxHamming differing
+    *    bits spread over more blocks, so ≥ 1 block matches exactly.
+    *  - `8 ≤ maxHamming ≤ 14`: combination signatures — `maxHamming + 2`
+    *    blocks; ≤ maxHamming spoiled blocks leave ≥ 2 agreeing, so at
+    *    least one block PAIR matches. The join key is a pair of blocks
+    *    (≥ 8 bits combined); each doc emits C(nBlocks, 2) combo rows —
+    *    more rows than single-block, but per-bucket population shrinks by
+    *    2^width, the quadratic term.
+    *
+    * Radii > 14 would need triple combinations to keep key entropy and are
+    * rejected: at Hamming 15+ of 64 the signal is mostly noise anyway.
+    * Both regimes are exact w.r.t. recall: candidates are a superset of
+    * the true pairs, then filtered by the exact Hamming distance.
     */
   def simHashNearDups(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val nBlocks = maxHamming + 1
-    val width = 64 / nBlocks
-    val blocked = sims.select(col("id"), col("simhash"), explode(
-      array((0 until nBlocks).map { b =>
-        struct(lit(b).as("blk"),
-          shiftrightunsigned(col("simhash"), b * width)
-            .bitwiseAND((1L << width) - 1).as("bv"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("simhash"), col("bb.blk"), col("bb.bv"))
-    val l = blocked.select(col("blk"), col("bv"), col("id").as("id_a"), col("simhash").as("sh_a"))
-    val r = blocked.select(col("blk"), col("bv"), col("id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("blk", "bv"))
+    require(maxHamming >= 0 && maxHamming <= 14,
+      s"maxHamming=$maxHamming unsupported: ≤7 uses single-block joins, 8..14 " +
+        "two-block combinations; beyond 14 the join key entropy collapses")
+    val combine = maxHamming >= 8
+    val nBlocks = if (combine) maxHamming + 2 else maxHamming + 1
+    val bounds = blockBounds(nBlocks)
+    val keys: Seq[Column] =
+      if (!combine)
+        bounds.zipWithIndex.map { case ((off, w), b) =>
+          struct(lit(b).as("blk"), blockVal(col("simhash"), off, w).as("bv"),
+            lit(0L).as("bv2"))
+        }
+      else
+        (for {
+          i <- 0 until nBlocks; j <- (i + 1) until nBlocks
+        } yield {
+          val (oi, wi) = bounds(i)
+          val (oj, wj) = bounds(j)
+          struct(lit(i * nBlocks + j).as("blk"),
+            blockVal(col("simhash"), oi, wi).as("bv"),
+            blockVal(col("simhash"), oj, wj).as("bv2"))
+        })
+    val blocked = sims.select(col("id"), col("simhash"), explode(array(keys: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.blk"), col("bb.bv"), col("bb.bv2"))
+    val l = blocked.select(col("blk"), col("bv"), col("bv2"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val r = blocked.select(col("blk"), col("bv"), col("bv2"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("blk", "bv", "bv2"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))

@@ -28,10 +28,12 @@ object AsOfJoin {
            keyCol: String, timeCol: String,
            payloadCols: Seq[String],
            rightOrder: Seq[Column] = Seq.empty): DataFrame = {
-    val clash = payloadCols.toSet.intersect(
-      left.columns.toSet -- Set(keyCol, timeCol))
+    // keyCol/timeCol are NOT excluded from the collision set: a payload
+    // named like either would pass a laxer check and then emit two output
+    // columns with the same name (col(keyCol) plus __r.getField(keyCol)).
+    val clash = payloadCols.toSet.intersect(left.columns.toSet ++ Set(keyCol, timeCol))
     require(clash.isEmpty,
-      s"payload columns collide with left columns: ${clash.mkString(", ")} — rename one side")
+      s"payload columns collide with left/key/time columns: ${clash.mkString(", ")} — rename one side")
 
     // The matched right row travels as ONE struct: per-column carries would
     // tear a right row apart whenever one payload field is NULL (each

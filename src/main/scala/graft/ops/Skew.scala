@@ -12,33 +12,47 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic salt in [0, n): content hash over every column, so
+    * re-runs and resumes distribute rows identically at any input layout
+    * (unlike `monotonically_increasing_id`, which is partition-dependent).
+    * Caveat: byte-identical duplicate rows share a salt — for corpora that
+    * are mostly exact duplicates of ONE row, dedup first.
+    */
+  private def contentSalt(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltBuckets.toLong))
+
   /** Two-stage salted aggregation: repartition pressure on a hot group key
     * is spread across `saltBuckets` sub-keys, partially aggregated, then
-    * merged. Works for any algebraic aggregate (sum/count/min/max) — the
-    * caller supplies both the partial and the merge expression.
+    * merged. Works for any algebraic aggregate — the caller supplies the
+    * partial and the merge aggregate (they differ for e.g. count: partial
+    * `count`, merge `sum`).
     *
-    * sum over (key, salt) → sum over key: associativity makes the result
-    * identical to a direct groupBy; only the shuffle distribution changes.
+    * partial over (key, salt) → merge over key: associativity makes the
+    * result identical to a direct groupBy; only the shuffle distribution
+    * changes.
     */
-  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
-                saltBuckets: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
-    salted
+  def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String,
+                partial: Column => Column, merge: Column => Column,
+                outName: String, saltBuckets: Int = 16): DataFrame =
+    df.withColumn("__salt", contentSalt(df, saltBuckets))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
-      .agg(sum(col(valueCol)).as("__partial"))
+      .agg(partial(col(valueCol)).as("__partial"))
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
-  }
+      .agg(merge(col("__partial")).as(outName))
+
+  /** [[saltedAgg]] specialized to sum (partial = merge = sum). */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                saltBuckets: Int = 16): DataFrame =
+    saltedAgg(df, keys, valueCol, sum, sum, s"sum_$valueCol", saltBuckets)
 
   /** Salted join for a skewed fact ⋈ small-ish dim that exceeds broadcast
-    * limits: fact rows get a random salt in [0, n); the dim side is
-    * replicated n times with each salt value, so one hot key's rows spread
-    * over n reducers instead of one.
+    * limits: fact rows get a deterministic content-hash salt in [0, n); the
+    * dim side is replicated n times with each salt value, so one hot key's
+    * rows spread over n reducers instead of one.
     */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  saltBuckets: Int = 8): DataFrame = {
-    val saltedFact = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()), lit(saltBuckets)))
+    val saltedFact = fact.withColumn("__salt", contentSalt(fact, saltBuckets))
     val explodedDim = dim.withColumn("__salt",
       explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")

@@ -57,6 +57,18 @@ object Ann {
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Fail fast on embedding-width mismatch. DotProduct's common-prefix
+    * semantics mean a `dim` smaller than the actual embedding width would
+    * silently bucket on a prefix — a recall collapse with no error. The
+    * guard is a per-row `assert_true` kept in the plan by the `IS NULL`
+    * filter (assert_true returns NULL when it passes, so the filter keeps
+    * every row); cost is one codegen'd integer compare per row.
+    */
+  private def requireDim(df: DataFrame, vecCol: Column, dim: Int, op: String): DataFrame =
+    df.filter(assert_true(size(vecCol) === dim,
+      concat(lit(s"$op: embedding width "), size(vecCol),
+        lit(s" != dim=$dim — hyperplanes are built $dim-wide; fix the dim argument"))).isNull)
+
   /** Sign-random-projection bucket id for a (double-typed) vector. */
   private def bucketExpr(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -70,23 +82,26 @@ object Ann {
     * recall (the standard LSH knob): a corpus vector is stored once per
     * table, a query probes `nTables × (nBits + 1)` buckets.
     *
-    * NOTE: `dim` must equal the embedding length — hyperplanes are built
-    * driver-side at that width and DotProduct's common-prefix semantics
-    * would silently bucket on a prefix if it is smaller.
+    * `dim` must equal the embedding length — enforced per row (see
+    * [[requireDim]]).
     */
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                       nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
                       nTables: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val tablePlanes = (0 until nTables).map(t => hyperplanes(nBits, dim, seed + t))
-    val c0 = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    val c0 = requireDim(
+      corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")),
+      col("cvec"), dim, "lshBucketedTopK(corpus)")
     val c = c0.select(col("cid"), col("cvec"), explode(array(
       tablePlanes.zipWithIndex.map { case (p, t) =>
         struct(lit(t).as("tbl"), bucketExpr(col("cvec"), p).as("bucket"))
       }: _*)).as("tb"))
       .select(col("cid"), col("cvec"), col("tb.tbl"), col("tb.bucket"))
       .withColumn("cn", VectorOps.norm(col("cvec")))
-    val qBase = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val qBase = requireDim(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+      col("qvec"), dim, "lshBucketedTopK(queries)")
       .withColumn("qn", VectorOps.norm(col("qvec")))
     // per table: own bucket + every 1-bit flip (multi-probe)
     val probes = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
@@ -108,16 +123,35 @@ object Ann {
   /** Embedding-cosine near-duplicate pairs (the "semantic dedup" step of a
     * training-data pipeline): all corpus pairs whose cosine ≥ threshold,
     * generated through the same LSH buckets instead of all-pairs.
+    *
+    * The within-bucket self-join is O(bucket²), and the actual use case —
+    * a near-duplicate-heavy corpus — is exactly what concentrates vectors
+    * into few buckets. `maxBucket` caps that blast radius the same way
+    * [[graft.dedup.NearDup.minHashLsh]] does: buckets holding more than
+    * `maxBucket` vectors are dropped whole (at 8 hyperplane bits a bucket
+    * holding >maxBucket of the corpus is a degenerate direction — padding
+    * vectors, all-zero embeddings, template content). Pairs inside a
+    * dropped bucket can still be found by re-running with a different
+    * seed or more bits; the default keeps the worst bucket at ≤10⁶
+    * comparisons.
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double,
                         nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
+                        maxBucket: Int = 1000,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(nBits, dim, seed)
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val c = requireDim(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+      col("vec"), dim, "embeddingNearDups")
       .withColumn("bucket", bucketExpr(col("vec"), planes))
       .withColumn("nrm", VectorOps.norm(col("vec")))
-    val l = c.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("na"))
-    val r = c.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nb"))
+    // cap pathological buckets BEFORE the self-join: the count is a
+    // 16-byte-row aggregation, the join it guards is quadratic.
+    val bucketSizes = c.groupBy("bucket").count()
+    val capped = c.join(
+      bucketSizes.filter(col("count") <= maxBucket).select("bucket"), Seq("bucket"))
+    val l = capped.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("na"))
+    val r = capped.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nb"))
     l.join(r, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -24,19 +24,30 @@ import graft.functions.VectorOps
   */
 object Ivf {
 
-  private def scoreAgainst(centroids: Seq[(Long, Seq[Double])], vec: Column): Column = {
-    // argmax cosine via array_max over (score, cell) structs. The query
-    // vector's own norm is a positive per-row constant — it cannot change
-    // the argmax, so only the (compile-time-constant) centroid norm
-    // divides: one dot per centroid, no per-row self-dot.
-    val scored = array(centroids.map { case (cid, cvec) =>
-      val c = array(cvec.map(lit): _*)
-      struct(
-        (VectorOps.dot(vec, c) / lit(math.sqrt(cvec.map(x => x * x).sum))).as("score"),
-        lit(cid).as("cell"))
+  /** Per-centroid scores as an array of (score, cell) structs. The query
+    * vector's own norm is a positive per-row constant — it cannot change
+    * an argmax/argsort, so only the (compile-time-constant) centroid norm
+    * divides: one dot per centroid, no per-row self-dot.
+    *
+    * Scores are ROUNDed to 6 decimals and ties break toward the larger
+    * cell id (struct-max/sort semantics) — a fully specified ordering that
+    * an external oracle (DuckDB `list_dot_product` + the same rounding)
+    * replays exactly, making cell assignment hash-checkable rather than
+    * bit-luck. A zero-norm centroid (possible only if a zero vector is
+    * sampled) scores -2.0 — below any cosine — instead of raising ANSI
+    * DIVIDE_BY_ZERO.
+    */
+  private def cellScores(centroids: Seq[(Long, Seq[Double])], vec: Column): Column =
+    array(centroids.map { case (cid, cvec) =>
+      val nrm = math.sqrt(cvec.map(x => x * x).sum)
+      val score =
+        if (nrm == 0.0) lit(-2.0)
+        else round(VectorOps.dot(vec, array(cvec.map(lit): _*)) / lit(nrm), 6)
+      struct(score.as("score"), lit(cid).as("cell"))
     }: _*)
-    array_max(scored).getField("cell")
-  }
+
+  private def scoreAgainst(centroids: Seq[(Long, Seq[Double])], vec: Column): Column =
+    array_max(cellScores(centroids, vec)).getField("cell")
 
   /** Deterministic sampled centroids: bottom-`nLists` ids by md5 priority. */
   def centroids(corpus: DataFrame, nLists: Int,
@@ -62,13 +73,9 @@ object Ivf {
            k: Int, nProbe: Int = 4,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // per-query cells: rank centroids by cosine, keep nProbe (the query
-    // norm is constant per row — dropped from the ranking, same argsort)
-    val scoredCells = array(cents.map { case (cid, cvec) =>
-      val c = array(cvec.map(lit): _*)
-      struct(
-        (VectorOps.dot(col("qvec"), c) / lit(math.sqrt(cvec.map(x => x * x).sum))).as("score"),
-        lit(cid).as("cell"))
-    }: _*)
+    // norm is constant per row — dropped from the ranking, same argsort;
+    // rounding + cell-id tie-break as in cellScores, oracle-replayable)
+    val scoredCells = cellScores(cents, col("qvec"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .withColumn("qn", VectorOps.norm(col("qvec")))
       .withColumn("cells", slice(reverse(array_sort(scoredCells)), 1, nProbe))

@@ -46,20 +46,30 @@ object TextAnalysis {
     hits / tokenCount(text).cast(DoubleType)
   }
 
-  /** Fraction of non [a-z0-9 space] characters — punctuation/noise ratio. */
+  /** Fraction of non [a-z0-9 space] characters — punctuation/noise ratio.
+    * Empty documents score 0.0: under ANSI mode a plain `/` on a
+    * zero-length text raises DIVIDE_BY_ZERO and one empty doc would abort
+    * the whole corpus job (CASE WHEN evaluates branches lazily, so the
+    * division never runs for the empty branch).
+    */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))) /
-      length(text).cast(DoubleType)
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text, "[^a-z0-9 ]", ""))) /
+          length(text).cast(DoubleType))
 
   /** Composite quality score in [0,1]: long-enough, not too repetitive,
     * not punctuation-noise. Weights are heuristic; each signal is exposed
-    * separately so pipelines can tune their own gate.
+    * separately so pipelines can tune their own gate. Empty documents get
+    * a deterministic 0.0 so quality gates filter them instead of aborting
+    * (or worse, passing them on the strength of a vacuous TTR of 1.0).
     */
   def qualityScore(text: Column): Column = {
     val lenScore = least(tokenCount(text) / 100.0, lit(1.0))
     val ttr = typeTokenRatio(text)
     val noise = punctRatio(text)
-    round(lenScore * 0.4 + ttr * 0.4 + (lit(1.0) - noise) * 0.2, 6)
+    when(length(text) === 0, lit(0.0))
+      .otherwise(round(lenScore * 0.4 + ttr * 0.4 + (lit(1.0) - noise) * 0.2, 6))
   }
 
   // -------------------------------------------------------------------

@@ -67,4 +67,38 @@ class AnnSpec extends SparkTestBase {
       assert(r.getDouble(2) >= 0.2)
     }
   }
+
+  test("embeddingNearDups: degenerate buckets are capped, not exploded") {
+    import spark.implicits._
+    // plant a boilerplate bucket: 40 copies of one direction all land in
+    // the same LSH bucket; 2 genuinely-near vectors in another direction.
+    val rnd = new scala.util.Random(3)
+    val hot = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val cold = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val corpus = ((0L until 40L).map(i => (i, hot.clone())) ++
+      Seq((100L, cold.clone()), (101L, cold.map(x => x + 0.01f))))
+      .toDF("vec_id", "embedding")
+    val pairs = Ann.embeddingNearDups(corpus, threshold = 0.9, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the 40-copy bucket (780 pairs) is dropped whole; the small bucket
+    // survives — the cap kills boilerplate without touching real signal
+    assert(pairs === Set((100L, 101L)), s"got $pairs")
+    // and without the cap the hot bucket floods the result
+    val uncapped = Ann.embeddingNearDups(corpus, threshold = 0.9, maxBucket = 1000).count()
+    assert(uncapped === 780 + 1)
+  }
+
+  test("dim mismatch fails fast instead of silently bucketing on a prefix") {
+    import spark.implicits._
+    val narrow = Seq((0L, Array.fill(32)(1.0f)), (1L, Array.fill(32)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val eN = intercept[Exception] {
+      Ann.embeddingNearDups(narrow, threshold = 0.5, dim = 64).collect()
+    }
+    assert(eN.getMessage.contains("dim=64"), eN.getMessage)
+    val eL = intercept[Exception] {
+      Ann.lshBucketedTopK(narrow, narrow, k = 1, dim = 64).collect()
+    }
+    assert(eL.getMessage.contains("dim=64"), eL.getMessage)
+  }
 }

@@ -60,12 +60,23 @@ class EdgeCaseSpec extends SparkTestBase {
 
   test("single-token and empty-string documents survive text analysis") {
     import graft.text.TextAnalysis._
-    val df = Seq((1L, "solo"), (2L, "a b"), (3L, "x y z")).toDF("doc_id", "text")
+    val df = Seq((1L, "solo"), (2L, "a b"), (3L, "x y z"), (4L, ""))
+      .toDF("doc_id", "text")
     val staged = df.select($"doc_id", $"text", tokens($"text").as("tk"))
       .select($"doc_id", shinglesFromTokens($"text", $"tk").as("sh"))
       .select($"doc_id", shingleFingerprintFromShingles($"sh").as("fp"))
     val fps = staged.orderBy("doc_id").collect().map(_.getString(1))
     assert(fps.forall(_.length === 32)) // short docs use whole-text fallback
+
+    // ANSI mode: the empty doc must yield deterministic scores, not a
+    // DIVIDE_BY_ZERO abort — one empty doc must never kill a corpus build.
+    val scored = df.select($"doc_id",
+        qualityScore($"text").as("q"), punctRatio($"text").as("p"))
+      .orderBy("doc_id").collect()
+    val empty = scored.find(_.getLong(0) == 4L).get
+    assert(empty.getDouble(1) === 0.0) // quality gate filters it
+    assert(empty.getDouble(2) === 0.0)
+    assert(scored.forall(r => !r.isNullAt(1) && !r.getDouble(1).isNaN))
   }
 
   test("pruneAllNullColumns on an all-null frame keeps only essential") {

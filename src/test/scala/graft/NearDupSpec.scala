@@ -82,4 +82,36 @@ class NearDupSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found === expected)
   }
+
+  test("simHashNearDups: two-block combination regime is exhaustive at radius 8-14") {
+    import spark.implicits._
+    // synthetic simhashes at controlled distances from a base value:
+    // flip exactly d bits for d in 0..16 — recall must be perfect ≤ radius
+    // and the exact-hamming filter must exclude everything beyond it.
+    val base = 0x0123456789abcdefL
+    def flip(v: Long, bits: Seq[Int]): Long = bits.foldLeft(v)((x, b) => x ^ (1L << b))
+    val rows = (0 to 16).map { d => (d.toLong, flip(base, (0 until d).map(i => (i * 7 + 3) % 64))) }
+    val sims = rows.toDF("id", "simhash")
+    Seq(8, 10, 14).foreach { h =>
+      val all = rows.toMap
+      val expected = (for {
+        a <- all.keys; b <- all.keys if a < b
+        if java.lang.Long.bitCount(all(a) ^ all(b)) <= h
+      } yield (a, b)).toSet
+      val found = NearDup.simHashNearDups(sims, maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found === expected, s"radius $h")
+    }
+  }
+
+  test("simHashNearDups: unsupported radii are rejected, never a degenerate join") {
+    val sims = NearDup.simHash(docs, "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      NearDup.simHashNearDups(sims, maxHamming = 15)
+    }
+    assert(e.getMessage.contains("unsupported"))
+    intercept[IllegalArgumentException] {
+      NearDup.simHashNearDups(sims, maxHamming = -1)
+    }
+  }
 }
