@@ -10,6 +10,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ShareWindowExchange + vec_dot active in the measured path
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
@@ -34,7 +36,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum // failed (-1) excluded
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "repeats" recorded so round-over-round deltas are readable as signal
+    // vs single-run JVM noise (min-of-2 is the default).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

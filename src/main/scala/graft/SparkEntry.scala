@@ -463,12 +463,13 @@ object SparkEntry {
         .withColumn("part", Cleansing.commaDecimalToDouble(col("part_raw")))
         .withColumn("qty", Cleansing.formattedToLong(col("qty_raw")))
       val guarded = Cleansing.filterNotNull(sane, Seq("code", "reference_date"))
-      // one exchange for the whole chain: hash(code) satisfies the
-      // ClusteredDistribution of BOTH the (code, reference_date) dedup
-      // window and the (code) analytic windows (subset rule), so dedup
-      // and all rolling stats run over this single shuffle.
-      val colocated = guarded.repartition(col("code"))
-      val deduped = Dedup.keepFirst(colocated, Seq("code", "reference_date"),
+      // one exchange for the whole chain: the ShareWindowExchange rule
+      // (active via GraftExtensions in Verify/Bench/test sessions) inserts
+      // a hash(code) repartition below the innermost window — hash(code)
+      // satisfies the ClusteredDistribution of BOTH the
+      // (code, reference_date) dedup window and the (code) analytic
+      // windows (subset rule). PlanAuditSpec asserts the single exchange.
+      val deduped = Dedup.keepFirst(guarded, Seq("code", "reference_date"),
         Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
       val withInitial = deduped.withColumn("initial_date",
         Windows.perKeyMin(col("reference_date"), Seq(col("code"))))

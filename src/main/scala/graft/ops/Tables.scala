@@ -29,6 +29,24 @@ object Tables {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.read.table(table)
 
+  /** S4/DynamicFrame parity (SURVEY.md §1.4): schema-on-read across schema
+    * GENERATIONS. The reference's raw zone really holds two generations
+    * (v1 English / v2 Portuguese columns); `mergeSchema` unions the parquet
+    * footers of every file so old files surface the new columns as NULL
+    * and vice versa — per-record self-description without a catalog.
+    *
+    * Scale note: merging reads one FOOTER per file (distributed since
+    * Spark 2), not the data; still, on a lake with millions of files
+    * prefer declaring the union schema explicitly via `.schema(...)` —
+    * this reader is for the exploration/ingest edge where the union isn't
+    * known yet.
+    */
+  def readMerged(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+
   /** CSV source with header + explicit schema (schema inference is a full
     * extra scan — never acceptable at lake scale, so it is not offered).
     */

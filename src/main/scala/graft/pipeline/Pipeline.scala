@@ -91,3 +91,53 @@ class Pipeline(spark: SparkSession, rawDb: String = "b3_raw",
     Transform.writePartitioned(spark, refined, refinedLocation, v2PartitionKeys)
   }
 }
+
+/** spark-submit entry point — the reference's generic job launcher with
+  * passthrough arguments (`lambda/handler.py:25-45`), so the pipeline is
+  * runnable without writing code:
+  *
+  * {{{
+  * spark-submit --class graft.pipeline.Pipeline app.jar \
+  *   mode=full raw=/lake/raw refined=/lake/refined windowDays=7
+  * spark-submit ... mode=incremental input=/lake/raw/date=2026-08-12/x.parquet refined=/lake/refined
+  * spark-submit ... mode=fullscan raw=/lake/raw refined=/lake/refined
+  * }}}
+  *
+  * Arguments are `key=value` pairs in any order (the reference forwards a
+  * dict the same way). Unknown keys are rejected loudly — a typo'd arg
+  * silently ignored is how a full-lake recompute ends up in the wrong
+  * directory.
+  */
+object Pipeline {
+  private val known = Set("mode", "raw", "refined", "input", "windowDays", "rawDb", "refinedDb")
+
+  def main(args: Array[String]): Unit = {
+    val kv = args.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"argument '$a' is not key=value")
+      a.substring(0, i) -> a.substring(i + 1)
+    }.toMap
+    val unknown = kv.keySet -- known
+    require(unknown.isEmpty, s"unknown arguments: ${unknown.mkString(", ")} — known: ${known.mkString(", ")}")
+    def need(k: String): String =
+      kv.getOrElse(k, throw new IllegalArgumentException(s"missing required argument $k=..."))
+
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-pipeline")
+      .config("spark.sql.session.timeZone", "UTC") // K4 `transform_1.py:41`
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    val p = new Pipeline(spark,
+      rawDb = kv.getOrElse("rawDb", "b3_raw"),
+      refinedDb = kv.getOrElse("refinedDb", "b3_refined"))
+    kv.getOrElse("mode", "full") match {
+      case "full" =>
+        p.run(need("raw"), need("refined"), kv.get("windowDays").map(_.toInt).getOrElse(7))
+      case "incremental" => p.runIncremental(need("input"), need("refined"))
+      case "fullscan" => p.runFullScan(need("raw"), need("refined"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"mode=$other unsupported — use full | incremental | fullscan")
+    }
+  }
+}

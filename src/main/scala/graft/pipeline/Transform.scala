@@ -75,6 +75,18 @@ object Transform {
     val renamed = Cleansing.renameColumns(pruned, Map( // P3 `transform_1.py:58-63`
       "cod" -> "code", "asset" -> "ticker", "date" -> "reference_date"))
 
+    // Reference contract (`transform_1.py:75-76`): a feed without a date
+    // column is a malformed input and must fail with a CLEAR message here,
+    // not an opaque unresolved-column AnalysisException three operators
+    // later.
+    require(renamed.columns.contains("reference_date"),
+      "input has no 'reference_date' (or raw 'date') column — cannot derive " +
+        "partition dates (reference contract: etl/transform_1.py:75-76). " +
+        s"Columns present: ${renamed.columns.mkString(", ")}")
+    require(renamed.columns.contains("code"),
+      "input has no 'code' (or raw 'cod') column — the per-ticker key is " +
+        s"mandatory. Columns present: ${renamed.columns.mkString(", ")}")
+
     val sane = renamed
       .withColumn("part", Cleansing.commaDecimalToDouble(col("part"))) // C3 :67
       .withColumn("theoricalQty", Cleansing.formattedToLong(col("theoricalQty"))) // C4 :71

@@ -96,6 +96,47 @@ class PipelineSpec extends SparkTestBase {
       Set("code", "ticker", "part", "theoricalQty", "reference_date")).size === 5)
   }
 
+  test("transformV1: missing date/key columns fail fast with a clear message") {
+    // reference contract `transform_1.py:75-76`: a malformed feed raises a
+    // readable error, not an unresolved-column AnalysisException later
+    val noDate = rawV1Fixture.drop("date")
+    val e = intercept[IllegalArgumentException] { Transform.transformV1(noDate) }
+    assert(e.getMessage.contains("reference_date"), e.getMessage)
+    assert(e.getMessage.contains("transform_1.py"), e.getMessage)
+
+    val noCod = rawV1Fixture.drop("cod")
+    val e2 = intercept[IllegalArgumentException] { Transform.transformV1(noCod) }
+    assert(e2.getMessage.contains("code"), e2.getMessage)
+  }
+
+  test("Pipeline.main: spark-submit-style key=value args drive EP2 end-to-end") {
+    val rawDir = tmpDir(); val refinedDir = tmpDir()
+    val tag = System.nanoTime()
+    // raw zone: Hive-partitioned by date, as the reference's extract lays out
+    rawV1Fixture.write.partitionBy("date").mode("overwrite").parquet(rawDir)
+
+    Pipeline.main(Array(s"raw=$rawDir", s"refined=$refinedDir",
+      "mode=full", "windowDays=7", s"rawDb=t_raw_$tag", s"refinedDb=t_ref_$tag"))
+
+    val refined = spark.read.parquet(refinedDir)
+    assert(refined.count() === 20)
+    assert(refined.columns.contains("mean_part_7_days"))
+    val codes = new java.io.File(refinedDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(codes === Set("code=PETR4", "code=VALE3"))
+
+    // arg hygiene: typos and malformed args are rejected, not ignored
+    assert(intercept[IllegalArgumentException] {
+      Pipeline.main(Array("mode=full", "rawr=/x", "refined=/y"))
+    }.getMessage.contains("unknown arguments"))
+    assert(intercept[IllegalArgumentException] {
+      Pipeline.main(Array("mode=full", "refined=/y"))
+    }.getMessage.contains("raw="))
+    assert(intercept[IllegalArgumentException] {
+      Pipeline.main(Array("mode=sideways"))
+    }.getMessage.contains("unsupported"))
+  }
+
   test("transformV2: fill, dedup, rename, windows") {
     val out = Transform.transformV2(rawV2Fixture).cache()
 

@@ -47,17 +47,39 @@ class ShareWindowExchangeSpec extends AnyFunSuite {
     assert(hashEx === 1, s"rule must leave a single exchange:\n$plan")
   }
 
+  /** Extension-FREE control session (the shared SparkTestBase session now
+    * carries GraftExtensions like Verify/Bench, so the no-rule baseline
+    * must be built explicitly).
+    */
+  private lazy val bare: SparkSession = {
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-bare-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    prevDefault.foreach(SparkSession.setDefaultSession)
+    s
+  }
+
   test("rule preserves results exactly (vs extension-free session)") {
     val withRule = stackedWindows(spark)
       .select("l_suppkey", "l_orderkey", "l_linenumber", "total")
       .orderBy("l_suppkey", "l_orderkey")
       .collect().toSeq
-    val bare = SparkTestBase.session // the shared no-extensions session
     val without = stackedWindows(bare)
       .select("l_suppkey", "l_orderkey", "l_linenumber", "total")
       .orderBy("l_suppkey", "l_orderkey")
       .collect().toSeq
     assert(withRule === without)
+    // and the control really is rule-free: two exchanges survive there
+    val barePlan = stackedWindows(bare).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(barePlan).size === 2,
+      s"control session must not run the rule:\n$barePlan")
   }
 
   test("an existing hand-written repartition under a Project is not doubled") {

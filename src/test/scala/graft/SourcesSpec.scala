@@ -45,4 +45,21 @@ class SourcesSpec extends SparkTestBase {
     assert(Tables.readTable(spark, "src_spec_tbl").count() === ref.count())
     spark.sql("DROP TABLE IF EXISTS src_spec_tbl")
   }
+
+  test("readMerged unions two schema generations (S4 DynamicFrame parity)") {
+    import spark.implicits._
+    val dir = tmp()
+    // generation 1: (id, cod); generation 2 renames adds (id, code, sector)
+    Seq((1L, "PETR4"), (2L, "VALE3")).toDF("id", "cod")
+      .write.parquet(s"$dir/gen1")
+    Seq((3L, "ITUB4", "Financeiro")).toDF("id", "code", "sector")
+      .write.parquet(s"$dir/gen2")
+
+    val merged = Tables.readMerged(spark, dir)
+    assert(merged.columns.toSet === Set("id", "cod", "code", "sector"))
+    assert(merged.count() === 3)
+    // old rows surface the new columns as NULL, and vice versa
+    assert(merged.filter($"id" === 1L).head().getAs[String]("sector") == null)
+    assert(merged.filter($"id" === 3L).head().getAs[String]("cod") == null)
+  }
 }
