@@ -112,7 +112,15 @@ object SparkEntry {
   private val qC3 = Q(
     (s, dir) => {
       val dirty = regexp_replace(col("l_quantity").cast(StringType), "\\.", ",")
+      // round-robin fan-out before the per-row regex work: the testdata
+      // table is ONE single-row-group parquet file, so the scan stage runs
+      // on one thread no matter the core count; a cheap 3-column shuffle
+      // spreads the string ops across the cluster. (On a real multi-file
+      // lake the scan is already parallel and this repartition is elided
+      // from user code — it is scaffolding for the unsplittable input.)
       t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .select(col("l_orderkey"), col("l_linenumber"),
           Cleansing.commaDecimalToDouble(dirty).as("qty_clean"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_clean"))
@@ -126,7 +134,10 @@ object SparkEntry {
       // "17,000"-style thousands-formatted string, as arrives in the raw
       // feed (`transform_1.py:71`); strip + cast recovers the exact long.
       val dirty = format_number(col("l_quantity") * 1000, 0)
+      // fan-out before the format/regex work — see qC3 for why
       t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .select(col("l_orderkey"), col("l_linenumber"),
           Cleansing.formattedToLong(dirty).as("qty_scaled"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_scaled"))
@@ -454,15 +465,9 @@ object SparkEntry {
   private val qPipeline = Q(
     (s, dir) => {
       val li = t(s, dir, "lineitem")
-        // dirty inputs synthesized so the oracle can reproduce them
-        .withColumn("part_raw", regexp_replace(col("l_discount").cast(StringType), "\\.", ","))
-        .withColumn("qty_raw", format_number(col("l_quantity") * 1000, 0))
         .withColumn("code", col("l_suppkey"))
         .withColumn("reference_date", Cleansing.formatPartitionDate(col("l_shipdate")))
-      val sane = li
-        .withColumn("part", Cleansing.commaDecimalToDouble(col("part_raw")))
-        .withColumn("qty", Cleansing.formattedToLong(col("qty_raw")))
-      val guarded = Cleansing.filterNotNull(sane, Seq("code", "reference_date"))
+      val guarded = Cleansing.filterNotNull(li, Seq("code", "reference_date"))
       // one exchange for the whole chain: the ShareWindowExchange rule
       // (active via GraftExtensions in Verify/Bench/test sessions) inserts
       // a hash(code) repartition below the innermost window — hash(code)
@@ -471,7 +476,17 @@ object SparkEntry {
       // windows (subset rule). PlanAuditSpec asserts the single exchange.
       val deduped = Dedup.keepFirst(guarded, Seq("code", "reference_date"),
         Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
-      val withInitial = deduped.withColumn("initial_date",
+      // dirty-input synthesis + sanitizer casts (the oracle reproduces
+      // them) run AFTER the exchange: dedup keeps whole rows, so deriving
+      // from the kept row is value-identical — and the regex/format work
+      // lands on every core instead of inside the scan stage, which for a
+      // single-row-group parquet file is one thread no matter the cluster.
+      val sane = deduped
+        .withColumn("part", Cleansing.commaDecimalToDouble(
+          regexp_replace(col("l_discount").cast(StringType), "\\.", ",")))
+        .withColumn("qty", Cleansing.formattedToLong(
+          format_number(col("l_quantity") * 1000, 0)))
+      val withInitial = sane.withColumn("initial_date",
         Windows.perKeyMin(col("reference_date"), Seq(col("code"))))
       val w = Windows.rolling(Seq(col("code")), Seq(col("reference_date")), 7)
       val x = col("part")
