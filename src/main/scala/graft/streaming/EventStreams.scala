@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming operators over the events stream: watermarked
   * windowed aggregation and stateful gap-based sessionization — the
@@ -126,5 +126,92 @@ object EventStreams {
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, timeout)(fold)
+  }
+
+  /** The same gap-rule fold shared by both stateful sessionizers: fold a
+    * (batch-sorted) slice of one user's events into the open session,
+    * emitting sessions closed by the gap rule.
+    */
+  private def foldSlice(user: Long, sorted: Seq[Ev], open: Option[SessionState],
+                        gapUs: Long): (Seq[ClosedSession], Option[SessionState]) = {
+    val closed = Seq.newBuilder[ClosedSession]
+    var cur = open
+    sorted.foreach { e =>
+      cur match {
+        case Some(s) if e.tsUs - s.lastUs <= gapUs =>
+          cur = Some(SessionState(s.startUs, e.tsUs, s.n + 1, s.total + e.value))
+        case Some(s) =>
+          closed += ClosedSession(user, s.startUs, s.lastUs, s.n, s.total)
+          cur = Some(SessionState(e.tsUs, e.tsUs, 1, e.value))
+        case None =>
+          cur = Some(SessionState(e.tsUs, e.tsUs, 1, e.value))
+      }
+    }
+    (closed.result(), cur)
+  }
+
+  /** Gap-based sessionization on Spark 4's `transformWithState` API — the
+    * successor to [[sessionize]]'s `flatMapGroupsWithState`: typed state
+    * handles (`ValueState`), explicit per-key timers instead of a single
+    * timeout mode, and the RocksDB state store (required by the operator;
+    * set `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`) whose changelog checkpointing
+    * is what keeps multi-TB session state restorable at 100 TB scale.
+    *
+    * `idleFlushMs > 0` registers a processing-time timer that flushes a
+    * user's open session after that much idle wall-clock time (24/7
+    * deployments); `0` leaves tails in state — deterministic for finite
+    * inputs, mirroring [[sessionize]]'s NoTimeout default.
+    */
+  class SessionProcessor(gapSeconds: Long, idleFlushMs: Long)
+      extends StatefulProcessor[Long, Ev, ClosedSession] {
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Ev],
+                                 timerValues: TimerValues): Iterator[ClosedSession] = {
+      // within a micro-batch events arrive unordered → sort the slice
+      // (bounded by batch size, not stream size), as in sessionize
+      val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.event_id))
+      val open = if (session.exists()) Some(session.get()) else None
+      val (closed, cur) = foldSlice(user, sorted, open, gapSeconds * 1000000L)
+      cur.foreach { s =>
+        session.update(s)
+        if (idleFlushMs > 0)
+          getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs + idleFlushMs)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val out = (if (session.exists()) {
+        val s = session.get()
+        Seq(ClosedSession(user, s.startUs, s.lastUs, s.n, s.total))
+      } else Seq.empty).iterator
+      session.clear()
+      out
+    }
+  }
+
+  /** [[SessionProcessor]] wired onto a typed event stream. Requires the
+    * RocksDB state store provider (see the processor's scaladoc).
+    *
+    * TimeMode follows the timer need: `ProcessingTime` only when an idle
+    * flush is requested — an unconditional ProcessingTime mode keeps a
+    * `Trigger.AvailableNow` run alive after the input drains (the operator
+    * waits on the clock), exactly the hang class the old API's NoTimeout
+    * default avoids.
+    */
+  def sessionizeTws(spark: SparkSession, events: Dataset[Ev], gapSeconds: Long,
+                    idleFlushMs: Long = 0L): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val timeMode = if (idleFlushMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds, idleFlushMs),
+        timeMode, OutputMode.Append())
   }
 }

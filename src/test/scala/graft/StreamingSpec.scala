@@ -94,4 +94,47 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() === batchClosed.count())
     assert(streamed.exceptAll(batchClosed).count() === 0)
   }
+
+  test("transformWithState sessionize matches flatMapGroupsWithState + batch rule") {
+    val dir = tmp()
+    Tables.readEvents(spark, "/root/testdata/sf0.001")
+      .filter($"user_id" < 10)
+      .select($"event_id", $"user_id", unix_micros($"ts").as("tsUs"), $"value")
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    // transformWithState requires the RocksDB state store; scope it to
+    // this query and restore whatever the suite session had.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream.schema(schema).parquet(dir).as[EventStreams.Ev]
+      val q = EventStreams.sessionizeTws(spark, stream, gapSeconds = 1800)
+        .writeStream.outputMode("append").format("memory").queryName("tws_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+
+    val streamed = spark.table("tws_out")
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+
+    // same closed-session reference as the flatMapGroupsWithState test:
+    // batch gap rule minus each user's final (still-open) session
+    val batch = graft.ops.Sessionize.sessionStats(
+      Tables.readEvents(spark, "/root/testdata/sf0.001").filter($"user_id" < 10),
+      "user_id", "ts", 1800, "value", Seq($"event_id"))
+    val lastPerUser = batch.groupBy("user_id").agg(max("session_id").as("session_id"))
+    val batchClosed = batch.join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
+      .select($"user_id", $"start_us", $"end_us", $"n_events")
+
+    assert(streamed.count() === batchClosed.count())
+    assert(streamed.exceptAll(batchClosed).count() === 0)
+  }
 }
