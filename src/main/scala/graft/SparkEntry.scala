@@ -397,6 +397,66 @@ object SparkEntry {
             UNION ALL SELECT k, 'intersect' AS op FROM i
             ORDER BY op, k"""))
 
+  /** lag/lead deltas: previous/next quantity per supplier over the
+    * deterministic ship order — the delta/velocity primitive.
+    */
+  private val qLagLead = Q(
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          Windows.lagOver(col("l_quantity"), 1, Seq(col("l_suppkey")), liOrder).as("prev_qty"),
+          Windows.leadOver(col("l_quantity"), 1, Seq(col("l_suppkey")), liOrder).as("next_qty"))
+        .withColumn("delta", col("l_quantity") - col("prev_qty"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("prev_qty"), col("next_qty")),
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+                   lag(l_quantity) OVER w AS prev_qty,
+                   lead(l_quantity) OVER w AS next_qty,
+                   l_quantity - lag(l_quantity) OVER w AS delta
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey)
+            ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity, prev_qty, next_qty"""))
+
+  /** True time-window rolling sum: RANGE frame over days-since-epoch — a
+    * calendar "last 7 days" window (sparse dates contribute nothing),
+    * semantically different from the 7-ROW frames of W1/W5.
+    */
+  private val qRangeFrame = Q(
+    (s, dir) => {
+      val days = datediff(col("l_shipdate"), lit("1970-01-01").cast(DateType))
+      val w = Windows.rollingRange(Seq(col("l_suppkey")), col("epoch_day"), 6L)
+      t(s, dir, "lineitem")
+        .withColumn("epoch_day", days)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("epoch_day"),
+          sum(col("l_quantity")).over(w).as("qty_7cal_days"),
+          count(lit(1)).over(w).as("n_in_range"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("epoch_day"), col("qty_7cal_days"))
+    },
+    Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+                   date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS epoch_day,
+                   SUM(l_quantity) OVER w AS qty_7cal_days,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_in_range
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY l_suppkey, l_orderkey, l_linenumber, epoch_day, qty_7cal_days"""))
+
+  /** Full grouping-sets lattice (cube) — rollup's big sibling. */
+  private val qCube = Q(
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
   private val qRollup = Q(
     (s, dir) =>
       t(s, dir, "lineitem")
@@ -739,8 +799,23 @@ object SparkEntry {
             SELECT qid, CAST(rk AS INTEGER) AS rank, cid, cosine
             FROM r WHERE rk <= 10 ORDER BY qid, rank"""))
 
-  /** LSH-bucketed approximate top-k — the 100 TB path. Approximate by
-    * construction → rows-only; recall vs brute force asserted in AnnSpec.
+  /** DuckDB rendering of the sign-random-projection bucket id: the SAME
+    * hyperplane constants the Spark operator plans as literals, embedded
+    * into the SQL (Scala's Double.toString is shortest-round-trip, so the
+    * oracle parses back the identical binary doubles; both engines fold
+    * dots left-to-right in double). This is what turns "approximate by
+    * construction" into "deterministic and externally replayable".
+    */
+  private def bucketSql(vecExpr: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($vecExpr, [${p.mkString(", ")}]) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** LSH-bucketed approximate top-k — the 100 TB path. Approximate w.r.t.
+    * brute force (recall asserted in AnnSpec) but fully deterministic, and
+    * the oracle replays the whole construction: per-table buckets from the
+    * embedded plane constants, 1-bit-flip multiprobe via xor, exact rank
+    * within candidates.
     */
   private val qAnnLsh = Q(
     (s, dir) => {
@@ -748,8 +823,40 @@ object SparkEntry {
       graft.similarity.Ann.lshBucketedTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
         .orderBy("qid", "rank")
-    },
-    None)
+    }, {
+      // must mirror lshBucketedTopK's defaults: nBits=8, dim=64, seed=42,
+      // nTables=4, k=10 (RegressionSpec pins the plane constants)
+      val tablePlanes = (0 until 4).map(tb => graft.similarity.Ann.hyperplanes(8, 64, 42L + tb))
+      val cbCase = tablePlanes.zipWithIndex.map { case (p, tb) =>
+        s"WHEN ${tb} THEN ${bucketSql("cv", p)}"
+      }.mkString("CASE t.tbl ", " ", " END")
+      val qbCase = tablePlanes.zipWithIndex.map { case (p, tb) =>
+        s"WHEN ${tb} THEN ${bucketSql("qv", p)}"
+      }.mkString("CASE t.tbl ", " ", " END")
+      Some(s"""WITH tables(tbl) AS (VALUES (0), (1), (2), (3)),
+            probes(mask) AS (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)),
+            cb AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, t.tbl,
+                     $cbCase AS bucket
+              FROM embeddings CROSS JOIN tables t),
+            qb AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, t.tbl,
+                     $qbCase AS b0
+              FROM embeddings CROSS JOIN tables t
+              WHERE vec_id < 5),
+            qp AS (SELECT qid, qv, tbl, xor(b0, mask) AS bucket
+                   FROM qb CROSS JOIN probes),
+            s AS (
+              SELECT DISTINCT qp.qid, cb.cid,
+                     ROUND(list_cosine_similarity(qp.qv, cb.cv), 6) AS cosine
+              FROM qp JOIN cb ON cb.tbl = qp.tbl AND cb.bucket = qp.bucket
+              WHERE cb.cid <> qp.qid),
+            r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                               ORDER BY cosine DESC, cid) AS rk
+                  FROM s)
+            SELECT qid, CAST(rk AS INTEGER) AS rank, cid, cosine
+            FROM r WHERE rk <= 10 ORDER BY qid, rank""")
+    })
 
   /** Embedding-cosine near-dup pairs (semantic dedup) through LSH buckets.
     * Random test embeddings make high-cosine pairs rare → low threshold
@@ -808,11 +915,32 @@ object SparkEntry {
             SELECT qid, CAST(rk AS INTEGER) AS rank, cid, cosine
             FROM ranked WHERE rk <= 10 ORDER BY qid, rank"""))
 
+  /** Embedding-cosine near-dup pairs through LSH buckets, bucket-capped.
+    * Oracle-replayable via the embedded plane constants (see [[bucketSql]]);
+    * caveat shared with the Spark side: zero-norm vectors would diverge
+    * (Spark NULLs the cosine, DuckDB yields NaN which sorts high) — the
+    * embeddings corpus contract excludes them.
+    */
   private val qEmbedNearDup = Q(
     (s, dir) =>
       graft.similarity.Ann.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.3)
-        .orderBy("id_a", "id_b"),
-    None)
+        .orderBy("id_a", "id_b"), {
+      // mirrors embeddingNearDups defaults: nBits=8, dim=64, seed=42,
+      // maxBucket=1000, threshold=0.3
+      val planes = graft.similarity.Ann.hyperplanes(8, 64, 42L)
+      Some(s"""WITH b AS (
+              SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                     ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket
+              FROM embeddings),
+            kept AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 1000),
+            c AS (SELECT b.* FROM b JOIN kept USING (bucket)),
+            p AS (
+              SELECT a.id AS id_a, x.id AS id_b,
+                     ROUND(list_cosine_similarity(a.v, x.v), 6) AS cosine
+              FROM c a JOIN c x ON a.bucket = x.bucket AND a.id < x.id)
+            SELECT id_a, id_b, cosine FROM p
+            WHERE cosine >= 0.3 ORDER BY id_a, id_b""")
+    })
 
   // ---------------------------------------------------------------------
   // North-star: multimodal plumbing + events (sessionize, JSON)
@@ -927,6 +1055,9 @@ object SparkEntry {
     "q_pipeline_refined" -> qPipeline,
     "q_setops" -> qSetOps,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_lag_lead" -> qLagLead,
+    "q_range_frame" -> qRangeFrame,
     "q_pivot" -> qPivot,
     "q_explode_pos" -> qExplode,
     "q_sample_per_key" -> qSamplePerKey,

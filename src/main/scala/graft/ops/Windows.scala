@@ -72,6 +72,25 @@ object Windows {
   def rowNumber(partitionCols: Seq[Column], orderCols: Seq[Column]): Column =
     row_number().over(Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*))
 
+  /** RANGE-framed rolling window: the frame covers all rows whose numeric
+    * order-key lies within `range` of the current row's — a true value/time
+    * window (e.g. "last 7 DAYS" over a days-since-epoch key), unlike the
+    * row-counted frames above. Same cost shape: one exchange + one sort;
+    * per-row frame state is bounded by the key density within `range`.
+    */
+  def rollingRange(partitionCols: Seq[Column], orderCol: Column, range: Long): WindowSpec =
+    Window.partitionBy(partitionCols: _*).orderBy(orderCol)
+      .rangeBetween(-range, Window.currentRow)
+
+  /** lag/lead over a deterministic order — the row-relative lookups the
+    * reference's rolling frames never needed but any delta/velocity
+    * computation does.
+    */
+  def lagOver(c: Column, offset: Int, partitionCols: Seq[Column], orderCols: Seq[Column]): Column =
+    lag(c, offset).over(Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*))
+  def leadOver(c: Column, offset: Int, partitionCols: Seq[Column], orderCols: Seq[Column]): Column =
+    lead(c, offset).over(Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*))
+
   /** Attach the reference's full rolling-stats bundle (W5-W9 +
     * frame-row-count) for `valueCol` in one pass — all five aggregates share
     * one WindowSpec, hence one exchange + one sort (`transform_1.py:93-99`).

@@ -51,8 +51,10 @@ object Ann {
   /** Deterministic pseudo-random hyperplanes: `nBits` × `dim`, components
     * from a fixed-seed generator, materialized as plan literals (no
     * runtime randomness — reruns and resumes see identical planes).
+    * `private[graft]` so the oracle registry can embed the SAME constants
+    * into DuckDB SQL, making LSH bucketing externally replayable.
     */
-  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }

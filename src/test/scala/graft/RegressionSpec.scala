@@ -95,4 +95,16 @@ class RegressionSpec extends SparkTestBase {
     assert(out(1).getInt(0) === 2)
   }
 
+  test("LSH hyperplane constants are pinned (oracle SQL embeds them)") {
+    // q_ann_lsh_topk / q_embed_neardup embed these exact doubles into
+    // their DuckDB oracle SQL. If the generator, seed handling, or default
+    // params drift, this fails HERE instead of as a driver hash mismatch.
+    val p = graft.similarity.Ann.hyperplanes(8, 64, 42L)
+    assert(p.length === 8 && p.forall(_.length === 64))
+    assert(p.head.head === 1.1419053154730547)
+    assert(p.head(1) === 0.9194079489827879)
+    assert(p(7)(63) === -0.5098969149356519)
+    // and the same call twice yields identical planes (no hidden state)
+    assert(graft.similarity.Ann.hyperplanes(8, 64, 42L) === p)
+  }
 }
