@@ -712,11 +712,104 @@ object SparkEntry {
                    END AS shingle_fp
             FROM t ORDER BY doc_id"""))
 
+  /** DuckDB rendering of the md5-derived 60-bit hash
+    * ([[graft.dedup.NearDup.md5Long]]): both engines parse the md5's first
+    * 15 hex chars base-16, so every hash-keyed construction below replays
+    * externally.
+    */
+  private def md5LongSql(inner: String): String =
+    s"('0x' || substring(md5($inner), 1, 15))::BIGINT"
+
+  /** CTE chain replaying [[graft.dedup.NearDup.minHashLsh]] over a prior
+    * CTE named `base` with columns (id, text). Emits CTEs ending in
+    * `pairs`(id_a, id_b, jaccard) — jaccard unrounded, filtered to
+    * `threshold` — mirroring stage-for-stage: shingles → one md5 per
+    * shingle → Kirsch–Mitzenmacher signature slots → banding → bucket cap
+    * → distinct candidates → signature estimate prefilter → exact
+    * token-set Jaccard verification.
+    */
+  private def minHashPairsCtes(bands: Int, rowsPerBand: Int,
+                               threshold: Double, maxBucket: Int): String = {
+    val numHashes = bands * rowsPerBand
+    val slack = math.max(0.0, threshold - 1.5 / math.sqrt(numHashes.toDouble))
+    val sigTerms = (0 until numHashes).map { i =>
+      s"list_min(list_transform(hs, p -> p.h1 + $i * p.h2))"
+    }.mkString(",\n                     ")
+    val bandSelects = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand)
+        .map(r => s"sig[${b * rowsPerBand + r + 1}]::VARCHAR").mkString(", ")
+      s"SELECT id, $b AS band, ${md5LongSql(s"concat_ws('|', '$b', $slots)")} AS bh FROM sig"
+    }.mkString("\n              UNION ALL ")
+    val estTerms = (1 to numHashes)
+      .map(i => s"(CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""d AS (SELECT id, text, string_split(text, ' ') AS toks FROM base),
+            shg AS (SELECT id, CASE WHEN len(toks) >= 3
+                      THEN list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                      ELSE [text] END AS sh FROM d),
+            hs AS (SELECT id, list_transform(sh, m -> struct_pack(
+                     h1 := ('0x' || substring(md5(m), 1, 15))::BIGINT,
+                     h2 := ('0x' || substring(md5(m), 16, 14))::BIGINT)) AS hs FROM shg),
+            sig AS (SELECT id, [$sigTerms] AS sig FROM hs),
+            banded AS ($bandSelects),
+            okbuckets AS (SELECT band, bh FROM banded GROUP BY band, bh HAVING COUNT(*) <= $maxBucket),
+            capped AS (SELECT banded.id, banded.band, banded.bh FROM banded JOIN okbuckets USING (band, bh)),
+            cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                     FROM capped a JOIN capped b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id),
+            est AS (SELECT c.id_a, c.id_b FROM cand c
+                    JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b
+                    WHERE ($estTerms) / $numHashes.0 >= $slack),
+            tk AS (SELECT id, list_distinct(toks) AS toks FROM d),
+            pairs AS (SELECT id_a, id_b, jacc AS jaccard FROM (
+                        SELECT e.id_a, e.id_b,
+                               CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+                               CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) AS jacc
+                        FROM est e JOIN tk ta ON ta.id = e.id_a JOIN tk tb ON tb.id = e.id_b)
+                      WHERE jacc >= $threshold)"""
+  }
+
+  /** Brute-force all-pairs SimHash oracle: per-token md5 split into a
+    * 60-bit low part (hex chars 1-15) + 4-bit high part (char 16) — the
+    * exact [[graft.dedup.NearDup.simHash]] construction — then EVERY pair
+    * within the Hamming radius (no blocking: the oracle checks the
+    * optimized blocked join against ground truth).
+    */
+  private def simHashBruteForceSql(maxHamming: Int): String = {
+    val sumTerms = (0 until 64).map { i =>
+      val (h, mask) = if (i < 60) ("h1", 1L << i) else ("h2", 1L << (i - 60))
+      s"SUM(CASE WHEN ($h & $mask) != 0 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n                     ")
+    val reassemble = (0 until 64).map { i =>
+      s"(CASE WHEN b$i > 0 THEN (${1L << i})::BIGINT ELSE 0::BIGINT END)"
+    }.mkString(" +\n                     ")
+    s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+                     FROM documents WHERE doc_id < 1000),
+            h AS (SELECT id, ${md5LongSql("tok")} AS h1,
+                         ('0x' || substring(md5(tok), 16, 1))::BIGINT AS h2 FROM tok),
+            bits AS (SELECT id, $sumTerms FROM h GROUP BY id),
+            sim AS (SELECT id, $reassemble AS simhash FROM bits)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sim a JOIN sim b ON a.id < b.id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
+            ORDER BY id_a, id_b"""
+  }
+
+  /** DuckDB rendering of [[graft.text.TextAnalysis.qualityScore]] (the
+    * q_text_quality-proven form, with the empty-doc 0.0 guard).
+    */
+  private def qualitySql(textExpr: String): String =
+    s"""CASE WHEN length($textExpr) = 0 THEN 0.0
+             ELSE ROUND(LEAST(len(string_split($textExpr, ' ')) / 100.0, 1.0) * 0.4 +
+                        len(list_distinct(string_split($textExpr, ' '))) / CAST(len(string_split($textExpr, ' ')) AS DOUBLE) * 0.4 +
+                        (1.0 - (length($textExpr) - length(regexp_replace($textExpr, '[^a-z0-9 ]', '', 'g'))) / CAST(length($textExpr) AS DOUBLE)) * 0.2, 6) END"""
+
   /** The full training-corpus builder composition (language filter →
     * quality gate → exact dedup → MinHash near-dup removal → deterministic
-    * sampling). Rows-only: the MinHash stage isn't oracle-replayable, but
-    * every component is individually oracle-checked and TrainsetSpec
-    * proves rebuild determinism + planted-duplicate removal.
+    * sampling). Fully hash-checked: the md5-derived MinHash signatures
+    * make even the near-dup stage DuckDB-replayable, so the flagship LLM
+    * pipeline is proven end-to-end, not just stage-by-stage (TrainsetSpec
+    * additionally proves rebuild determinism + planted-dup removal).
     */
   private val qTrainset = Q(
     (s, dir) =>
@@ -724,7 +817,23 @@ object SparkEntry {
         langs = Set("en", "es", "de"), minQuality = 0.3,
         nearDupThreshold = 0.95, samplePerSource = 20)
         .orderBy("source", "rk"),
-    None)
+    Some(s"""WITH f0 AS (SELECT doc_id, source, lang, text FROM documents WHERE lang IN ('en', 'es', 'de')),
+            fq AS (SELECT *, ${qualitySql("text")} AS quality FROM f0),
+            filt AS (SELECT * FROM fq WHERE quality >= 0.3),
+            keepers AS (SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY md5(lower(text))),
+            ex AS (SELECT filt.* FROM filt JOIN keepers USING (doc_id)),
+            base AS (SELECT doc_id AS id, text FROM ex),
+            ${minHashPairsCtes(bands = 4, rowsPerBand = 4, threshold = 0.95, maxBucket = 1000)},
+            losers AS (SELECT DISTINCT id_b FROM pairs),
+            nd AS (SELECT ex.* FROM ex LEFT JOIN losers l ON l.id_b = ex.doc_id WHERE l.id_b IS NULL),
+            r AS (SELECT doc_id, source, lang, quality,
+                         len(string_split(text, ' ')) AS n_tokens,
+                         row_number() OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                  FROM nd)
+            SELECT doc_id, source, lang, quality, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(rk AS INTEGER) AS rk
+            FROM r WHERE rk <= 20 ORDER BY source, rk"""))
 
   // ---------------------------------------------------------------------
   // North-star: deduplication (documents table)
@@ -757,20 +866,29 @@ object SparkEntry {
             FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
             ORDER BY id_a"""))
 
-  /** MinHash+LSH near-dup pairs (xxhash64 signatures — not reproducible in
-    * the oracle; recall vs exact Jaccard asserted in NearDupSpec). Scoped
-    * to doc_id < 1000 because the synthetic corpus is pathologically
-    * self-similar (≈74% of all pairs exceed Jaccard 0.5).
+  /** MinHash+LSH near-dup pairs. Hash-checked end to end: md5-derived
+    * signatures (NearDup.md5Long) let the oracle replay banding, bucket
+    * caps, the estimate prefilter and exact verification stage-for-stage.
+    * Scoped to doc_id < 1000 because the synthetic corpus is
+    * pathologically self-similar (≈74% of all pairs exceed Jaccard 0.5).
     */
   private val qMinHash = Q(
     (s, dir) =>
       graft.dedup.NearDup.minHashLsh(
         t(s, dir, "documents").filter(col("doc_id") < 1000),
         "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
-    None)
+    Some(s"""WITH base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 1000),
+            ${minHashPairsCtes(bands = 4, rowsPerBand = 4, threshold = 0.9, maxBucket = 1000)}
+            SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM pairs ORDER BY id_a, id_b"""))
 
-  /** SimHash near-dup pairs by Hamming radius (same oracle caveat). */
+  /** SimHash near-dup pairs by Hamming radius. The oracle is deliberately
+    * the BRUTE-FORCE all-pairs form — simHashNearDups' pigeonhole blocking
+    * is an optimization that must lose no pairs, so hash-matching against
+    * all-pairs proves both the md5 bit construction AND that the blocked
+    * join's recall is exact.
+    */
   private val qSimHash = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
@@ -778,7 +896,7 @@ object SparkEntry {
       graft.dedup.NearDup.simHashNearDups(sims, maxHamming = 10)
         .orderBy("id_a", "id_b")
     },
-    None)
+    Some(simHashBruteForceSql(maxHamming = 10)))
 
   // ---------------------------------------------------------------------
   // North-star: similarity search (embeddings table)

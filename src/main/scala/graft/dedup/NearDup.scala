@@ -26,6 +26,31 @@ import graft.text.TextAnalysis
 object NearDup {
 
   // -------------------------------------------------------------------
+  // Hashing
+  // -------------------------------------------------------------------
+
+  /** 60-bit integer hash derived from md5: the first 15 hex chars parsed
+    * base-16. Chosen over xxhash64 because md5 exists in every engine, so
+    * the whole MinHash/SimHash construction below is externally replayable
+    * (DuckDB: `('0x' || substring(md5(x), 1, 15))::BIGINT`) — the dedup
+    * tier is hash-checked against an independent oracle instead of
+    * "trust me". 60 bits keeps the value non-negative in a signed int64 in
+    * every engine; collision odds at 60 bits are ~n²/2⁶¹ — irrelevant for
+    * MinHash slots. md5 costs more CPU per row than xxhash64 but is still
+    * a codegen'd per-row map: the shuffle shape (what matters at 100 TB)
+    * is unchanged.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 15), 16, 10).cast(LongType)
+
+  /** The md5's 16th hex char (4 bits, 0..15): combined with [[md5Long]]
+    * this yields a full 64-bit digest from ONE md5 computation
+    * (bits 0..59 from md5Long, bits 60..63 from here).
+    */
+  private def md5Hi4(m: Column): Column =
+    conv(substring(m, 16, 1), 16, 10).cast(LongType)
+
+  // -------------------------------------------------------------------
   // Exact dedup
   // -------------------------------------------------------------------
 
@@ -55,20 +80,32 @@ object NearDup {
   // MinHash + LSH
   // -------------------------------------------------------------------
 
-  /** MinHash signature over a *staged* shingle array column: `numHashes`
-    * independent hash functions realized as xxhash64 with per-function
-    * salt; signature[i] = min over shingles. O(shingles × numHashes) per
-    * row — `sh` must be an attribute column (see
-    * [[TextAnalysis.shinglesFromTokens]]) or the shingle construction is
-    * re-run once per hash function in interpreted mode.
+  /** MinHash signature from a *staged* per-shingle (h1, h2) struct-array
+    * column: the `numHashes` hash functions are the Kirsch–Mitzenmacher
+    * double-hashing family gᵢ = h1 + i·h2 over ONE md5 per shingle
+    * (h1 = hex chars 1-15 → 60 bits, h2 = chars 16-29 → 56 bits), so
+    * signature computation costs one md5 per shingle instead of
+    * `numHashes` — the dominant cost of the whole operator — while
+    * remaining externally replayable digit-for-digit (the oracle runs the
+    * same integer arithmetic). No overflow: i·h2 < 16·2⁵⁶ = 2⁶⁰, so
+    * gᵢ < 2⁶¹ fits signed int64 in every engine, ANSI included.
+    * signature[i] = min over shingles of gᵢ. `numHashes` ≤ 16 keeps the
+    * overflow bound; that's bands × rowsPerBand for every supported
+    * configuration.
     */
-  def minHashSignature(sh: Column, numHashes: Int): Column =
+  def minHashSignature(hs: Column, numHashes: Int): Column = {
+    require(numHashes <= 16, s"numHashes=$numHashes: the no-overflow bound i*h2 < 2^60 needs i < 16")
     array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))
+      array_min(transform(hs, p =>
+        p.getField("h1") + lit(i.toLong) * p.getField("h2")))
     }: _*)
+  }
 
-  /** Stage (id, toks, shingles, signature) through separate projections so
-    * each intermediate is computed once per row.
+  /** Stage (id, toks, shingles, md5s, hash-pairs, signature) through
+    * separate projections so each intermediate — in particular the one
+    * md5 per shingle — is computed once per row. (Higher-order-function
+    * lambdas are interpreted; an unstaged md5 inside [[minHashSignature]]
+    * would be re-run once per hash function.)
     */
   private def signatures(docs: DataFrame, idCol: String, textCol: String,
                          numHashes: Int): DataFrame =
@@ -76,7 +113,12 @@ object NearDup {
       .select(col(idCol).as("id"), col(textCol).as("t"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
       .select(col("id"), TextAnalysis.shinglesFromTokens(col("t"), col("tk")).as("sh"))
-      .select(col("id"), minHashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), transform(col("sh"),
+        s => md5(to_binary(s, lit("utf-8")))).as("ms"))
+      .select(col("id"), transform(col("ms"), m => struct(
+        conv(substring(m, 1, 15), 16, 10).cast(LongType).as("h1"),
+        conv(substring(m, 16, 14), 16, 10).cast(LongType).as("h2"))).as("hs"))
+      .select(col("id"), minHashSignature(col("hs"), numHashes).as("sig"))
 
   /** Candidate near-dup pairs via LSH banding of MinHash signatures.
     * `numHashes = bands × rowsPerBand`; two docs become a candidate pair
@@ -91,14 +133,15 @@ object NearDup {
     val numHashes = bands * rowsPerBand
     val sig = signatures(docs, idCol, textCol, numHashes)
 
-    // band hash = xxhash64 over (band index, the band's signature slice).
-    // The band join carries ONLY (id, bandhash): a candidate pair costs 16
-    // bytes on the wire, never the document/token payload.
+    // band hash = md5Long over "band|slot|slot|..." (the band's signature
+    // slice rendered in decimal — identical text in any engine). The band
+    // join carries ONLY (id, bandhash): a candidate pair costs 16 bytes on
+    // the wire, never the document/token payload.
     val banded = sig.select(col("id"), explode(
       array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(lit(b) +: (0 until rowsPerBand)
-            .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*).as("bh"))
+          md5Long(concat_ws("|", lit(b.toString) +: (0 until rowsPerBand)
+            .map(r => element_at(col("sig"), b * rowsPerBand + r + 1).cast(StringType)): _*)).as("bh"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bh"))
 
@@ -145,16 +188,30 @@ object NearDup {
   // -------------------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens, as a single aggregation:
-    * explode tokens → per-bit ±1 contributions from each token's xxhash64
+    * explode tokens → per-bit ±1 contributions from each token's md5
     * → sum per (doc, bit) → sign → reassemble. Two groupings but both on
     * the doc id, so one shuffle; the 64 bit-sums are one wide agg row.
+    *
+    * One md5 per token supplies all 64 bits: bits 0..59 from [[md5Long]]
+    * (hex chars 1-15), bits 60..63 from the 16th hex char — so the whole
+    * construction replays in DuckDB and the simhash keeps full 64-bit
+    * entropy (no structurally-dead bits to weaken the blocked join keys in
+    * [[simHashNearDups]]). Bit sums are over disjoint powers of two, so
+    * the reassembling sum is exactly bitwise-or — no carries, no ANSI
+    * overflow even with bit 63 (= Long.MinValue) present.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("m", md5(to_binary(col("tok"), lit("utf-8"))))
+      .select(col("id"),
+        conv(substring(col("m"), 1, 15), 16, 10).cast(LongType).as("h1"),
+        md5Hi4(col("m")).as("h2"))
     val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0L, 1).otherwise(-1)).as(s"b$i")
+      val bit =
+        if (i < 60) col("h1").bitwiseAND(lit(1L << i))
+        else col("h2").bitwiseAND(lit(1L << (i - 60)))
+      sum(when(bit =!= 0L, 1).otherwise(-1)).as(s"b$i")
     }
     val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     val hashExpr = (0 until 64).map { i =>
