@@ -112,15 +112,12 @@ object SparkEntry {
   private val qC3 = Q(
     (s, dir) => {
       val dirty = regexp_replace(col("l_quantity").cast(StringType), "\\.", ",")
-      // round-robin fan-out before the per-row regex work: the testdata
-      // table is ONE single-row-group parquet file, so the scan stage runs
-      // on one thread no matter the core count; a cheap 3-column shuffle
-      // spreads the string ops across the cluster. (On a real multi-file
-      // lake the scan is already parallel and this repartition is elided
-      // from user code — it is scaffolding for the unsplittable input.)
+      // No layout-compensating shuffle: on a real lake the scan stage is
+      // already parallel (one task per file split), so the per-row string
+      // work runs at scan speed. Single-file inputs serialize the scan —
+      // bench against a multi-file layout (tools.MultiFileFixture), don't
+      // add a repartition a 100-TB user would pay for.
       t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .select(col("l_orderkey"), col("l_linenumber"),
           Cleansing.commaDecimalToDouble(dirty).as("qty_clean"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_clean"))
@@ -134,10 +131,8 @@ object SparkEntry {
       // "17,000"-style thousands-formatted string, as arrives in the raw
       // feed (`transform_1.py:71`); strip + cast recovers the exact long.
       val dirty = format_number(col("l_quantity") * 1000, 0)
-      // fan-out before the format/regex work — see qC3 for why
+      // no layout-compensating shuffle — see qC3
       t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .select(col("l_orderkey"), col("l_linenumber"),
           Cleansing.formattedToLong(dirty).as("qty_scaled"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty_scaled"))
