@@ -971,6 +971,55 @@ object SparkEntry {
             FROM r WHERE rk <= 10 ORDER BY qid, rank""")
     })
 
+  /** Corpus-vs-corpus LSH retrieval (every vector is a query) through the
+    * NON-broadcast [[graft.similarity.Ann.lshShuffledTopK]] path — the
+    * |Q| ≈ |C| trainset-curation shape where broadcasting the query side
+    * is impossible. Same embedded-plane-constant oracle technique as
+    * q_ann_lsh_topk, plus the corpus-side bucket cap replayed via a
+    * HAVING-filtered join.
+    */
+  private val qAnnRetrieval = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.Ann.lshShuffledTopK(emb, emb, k = 5)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .orderBy("qid", "rank")
+    }, {
+      // mirrors lshShuffledTopK defaults: nBits=8, dim=64, seed=42,
+      // nTables=4, maxBucket=100000, k=5
+      val tablePlanes = (0 until 4).map(tb => graft.similarity.Ann.hyperplanes(8, 64, 42L + tb))
+      val cbCase = tablePlanes.zipWithIndex.map { case (p, tb) =>
+        s"WHEN ${tb} THEN ${bucketSql("cv", p)}"
+      }.mkString("CASE t.tbl ", " ", " END")
+      val qbCase = tablePlanes.zipWithIndex.map { case (p, tb) =>
+        s"WHEN ${tb} THEN ${bucketSql("qv", p)}"
+      }.mkString("CASE t.tbl ", " ", " END")
+      Some(s"""WITH tables(tbl) AS (VALUES (0), (1), (2), (3)),
+            probes(mask) AS (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)),
+            cb AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cv, t.tbl,
+                     $cbCase AS bucket
+              FROM embeddings CROSS JOIN tables t),
+            okb AS (SELECT tbl, bucket FROM cb GROUP BY tbl, bucket HAVING COUNT(*) <= 100000),
+            cbcap AS (SELECT cb.* FROM cb JOIN okb USING (tbl, bucket)),
+            qb AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qv, t.tbl,
+                     $qbCase AS b0
+              FROM embeddings CROSS JOIN tables t),
+            qp AS (SELECT qid, qv, tbl, xor(b0, mask) AS bucket
+                   FROM qb CROSS JOIN probes),
+            s AS (
+              SELECT DISTINCT qp.qid, cbcap.cid,
+                     ROUND(list_cosine_similarity(qp.qv, cbcap.cv), 6) AS cosine
+              FROM qp JOIN cbcap ON cbcap.tbl = qp.tbl AND cbcap.bucket = qp.bucket
+              WHERE cbcap.cid <> qp.qid),
+            r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                               ORDER BY cosine DESC, cid) AS rk
+                  FROM s)
+            SELECT qid, CAST(rk AS INTEGER) AS rank, cid, cosine
+            FROM r WHERE rk <= 5 ORDER BY qid, rank""")
+    })
+
   /** Embedding-cosine near-dup pairs (semantic dedup) through LSH buckets.
     * Random test embeddings make high-cosine pairs rare → low threshold
     * keeps the result non-degenerate; rows-only (bucket membership depends
@@ -1185,6 +1234,7 @@ object SparkEntry {
     "q_dedup_simhash" -> qSimHash,
     "q_ann_bruteforce_topk" -> qAnnBrute,
     "q_ann_lsh_topk" -> qAnnLsh,
+    "q_ann_retrieval_topk" -> qAnnRetrieval,
     "q_ann_ivf_topk" -> qAnnIvf,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_multimodal_meta" -> qMultimodal,

@@ -122,6 +122,69 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Large-query-set LSH top-k: same bucket construction as
+    * [[lshBucketedTopK]] but NOTHING is broadcast — built for
+    * corpus-vs-corpus retrieval (|Q| ≈ |C|, the trainset-curation shape)
+    * where the query side is far too big for a broadcast and
+    * [[lshBucketedTopK]]'s contract breaks.
+    *
+    * Shuffle discipline (the 100 TB design):
+    *  1. Both sides post NARROW rows — (id, tbl, bucket), ≤24 bytes — into
+    *     the shuffle-hash join on (tbl, bucket); embedding payloads never
+    *     enter the candidate join.
+    *  2. Per-(tbl, bucket) corpus population is capped at `maxBucket`
+    *     BEFORE the join (counted on 16-byte rows), so a degenerate
+    *     direction (padding/template vectors) can't go quadratic — same
+    *     policy as [[embeddingNearDups]] / NearDup.minHashLsh.
+    *  3. Candidate (qid, cid) pairs are distinct-ed while still narrow;
+    *     vectors and staged norms are re-attached by two equi-joins only
+    *     for surviving pairs, then scored with the codegen'd dot product.
+    *
+    * Results are exact-ranked within the candidate set and deterministic
+    * (scores rounded, ties by cid) — identical scoring to the broadcast
+    * variant, so the two agree wherever their candidate sets overlap.
+    */
+  def lshShuffledTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                      nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
+                      nTables: Int = 4, maxBucket: Int = 100000,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val tablePlanes = (0 until nTables).map(t => hyperplanes(nBits, dim, seed + t))
+    // corpus postings: one (cid, tbl, bucket) row per table — no payload
+    val cPost = requireDim(
+      corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")),
+      col("cvec"), dim, "lshShuffledTopK(corpus)")
+      .select(col("cid"), explode(array(tablePlanes.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("tbl"), bucketExpr(col("cvec"), p).as("bucket"))
+      }: _*)).as("tb"))
+      .select(col("cid"), col("tb.tbl"), col("tb.bucket"))
+    val okBuckets = cPost.groupBy("tbl", "bucket").count()
+      .filter(col("count") <= maxBucket).select("tbl", "bucket")
+    val cCap = cPost.join(okBuckets, Seq("tbl", "bucket"))
+    // query probes: own bucket + 1-bit flips per table — still no payload
+    val probes = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
+    val qPost = requireDim(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
+      col("qvec"), dim, "lshShuffledTopK(queries)")
+      .select(col("qid"), explode(array(tablePlanes.zipWithIndex.map { case (p, t) =>
+        struct(lit(t).as("tbl"), bucketExpr(col("qvec"), p).as("b0"))
+      }: _*)).as("tb"))
+      .select(col("qid"), col("tb.tbl"),
+        explode(transform(probes, m => col("tb.b0").bitwiseXOR(m))).as("bucket"))
+    val cand = cCap.join(qPost, Seq("tbl", "bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select("qid", "cid").distinct()
+    // attach vectors + norms only for surviving candidates
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("qn", VectorOps.norm(col("qvec")))
+    val cv = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .withColumn("cn", VectorOps.norm(col("cvec")))
+    val scored = cand.join(qv, "qid").join(cv, "cid")
+      .select(col("qid"), col("cid"),
+        round(VectorOps.cosineFromParts(VectorOps.dot(col("qvec"), col("cvec")), col("qn"), col("cn")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (the "semantic dedup" step of a
     * training-data pipeline): all corpus pairs whose cosine ≥ threshold,
     * generated through the same LSH buckets instead of all-pairs.

@@ -60,6 +60,67 @@ class AnnSpec extends SparkTestBase {
     }
   }
 
+  test("lshShuffledTopK ≡ lshBucketedTopK when queries = corpus (same candidates, ranks, scores)") {
+    // identical plane seeds + probes → identical candidate sets (the cap
+    // doesn't bind at this SF), and both exact-rank within candidates →
+    // results must agree row-for-row. This pins the non-broadcast variant
+    // to the oracle-proven broadcast one.
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "cid", "cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val shuffled = rows(Ann.lshShuffledTopK(emb, emb, k = 5))
+    val broadcasted = rows(Ann.lshBucketedTopK(emb, emb, k = 5))
+    assert(shuffled === broadcasted)
+  }
+
+  test("lshShuffledTopK: planted near-neighbors recalled with queries = corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 10L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val corpus = base.flatMap { case (i, v) =>
+      val copies = (1 to 3).map { c =>
+        (i * 100 + c, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      }
+      Seq((i * 100, v)) ++ copies
+    }.toDF("vec_id", "embedding")
+    // corpus-vs-corpus retrieval: every vector is a query
+    val got = Ann.lshShuffledTopK(corpus, corpus, k = 3)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = (0L until 10L).map { i =>
+      val expect = Set(i * 100 + 1, i * 100 + 2, i * 100 + 3)
+      (got.getOrElse(i * 100, Set.empty) intersect expect).size
+    }.sum
+    assert(hits >= 24, s"planted-neighbor recall@3 = $hits/30") // ≥80%
+  }
+
+  test("lshShuffledTopK: no broadcast of either side; caps degenerate buckets") {
+    import spark.implicits._
+    // plan shape: with auto-broadcast off, the operator must not FORCE a
+    // broadcast anywhere — that's the whole point of the variant (the
+    // broadcast one, by contract, must keep its hint).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = Ann.lshShuffledTopK(emb, emb, k = 5)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastExchange"), s"large-|Q| path must not broadcast:\n$p")
+      val pb = Ann.lshBucketedTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+        .queryExecution.executedPlan.toString
+      assert(pb.contains("BroadcastExchange"), "broadcast variant must keep its hint")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // bucket cap: 40 identical vectors form one degenerate bucket per
+    // table → dropped whole; the 2-vector direction keeps its neighbors
+    val rnd = new scala.util.Random(3)
+    val hot = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val cold = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val corpus = ((0L until 40L).map(i => (i, hot.clone())) ++
+      Seq((100L, cold.clone()), (101L, cold.map(x => x + 0.01f))))
+      .toDF("vec_id", "embedding")
+    val got = Ann.lshShuffledTopK(corpus, corpus, k = 3, maxBucket = 10)
+      .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((100L, 101L), (101L, 100L)), s"got $got")
+  }
+
   test("embeddingNearDups: symmetric pairs, threshold respected, a<b") {
     val dups = Ann.embeddingNearDups(emb, threshold = 0.2).collect()
     dups.foreach { r =>
