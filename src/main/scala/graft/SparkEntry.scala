@@ -545,19 +545,13 @@ object SparkEntry {
         Windows.perKeyMin(col("reference_date"), Seq(col("code"))))
       val w = Windows.rolling(Seq(col("code")), Seq(col("reference_date")), 7)
       val x = col("part")
-      val sumX = sum(x).over(w)
-      val sumX2 = sum(x * x).over(w)
-      val cnt = count(x).over(w)
       withInitial
         .withColumn("mean_part_7_days", round(Windows.rollingAvg(x, w), 6))
         .withColumn("median_part_7_days", Windows.rollingMedianExact(x, w))
-        // sample stddev from exact window sums: NULL on 1-row frames (ANSI
-        // divide-by-zero guard) and clamped at 0 against catastrophic
-        // cancellation — the identical expression shape as the oracle SQL
-        // so both engines perform the same IEEE operations.
-        .withColumn("std_part_7_days",
-          when(cnt > 1,
-            round(sqrt(greatest(sumX2 - sumX * sumX / cnt, lit(0.0)) / (cnt - lit(1))), 6)))
+        // Windows.rollingStddevExact IS the oracle's expression shape
+        // (exact sums, NULL 1-row frames, 0-clamp): library and proven
+        // query share one definition — PipelineSpec pins the equality.
+        .withColumn("std_part_7_days", round(Windows.rollingStddevExact(x, w), 6))
         .withColumn("max_part_7_days", Windows.rollingMax(x, w))
         .withColumn("min_part_7_days", Windows.rollingMin(x, w))
         .select("code", "reference_date", "part", "qty", "initial_date",

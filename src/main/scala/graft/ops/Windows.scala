@@ -46,6 +46,28 @@ object Windows {
 
   /** W7: rolling sample stddev — NULL for 1-row frames, as the reference
     * observes (`etl/transform_1.py:97`, SURVEY.md §7.3).
+    *
+    * Computed in the EXACT-SUM form √(max(Σx² − (Σx)²/n, 0)/(n−1)) rather
+    * than `stddev_samp`: both are correct, but the accumulation order of a
+    * native stddev aggregate is engine-specific, while the exact-sum shape
+    * performs the same IEEE operations in any engine — it is the very
+    * expression the oracle-proven q_pipeline_refined/q_w5 queries use, so
+    * the library path and the externally-hash-checked path share one
+    * definition. NULL on 1-row frames (the n−1 divide never runs — `when`
+    * guards it under ANSI); clamped at 0 against catastrophic
+    * cancellation.
+    */
+  def rollingStddevExact(c: Column, w: WindowSpec): Column = {
+    val sx = sum(c).over(w)
+    val sx2 = sum(c * c).over(w)
+    val cnt = count(c).over(w)
+    when(cnt > 1, sqrt(greatest(sx2 - sx * sx / cnt, lit(0.0)) / (cnt - lit(1))))
+  }
+
+  /** Engine-native sample stddev over a window. Prefer
+    * [[rollingStddevExact]] anywhere results must be reproducible outside
+    * Spark — this one's accumulation algorithm (and hence its last ulp) is
+    * Spark's own.
     */
   def rollingStddev(c: Column, w: WindowSpec): Column = stddev_samp(c).over(w)
 
@@ -103,7 +125,7 @@ object Windows {
     val v = col(valueCol)
     df.withColumn(s"mean_$prefix", rollingAvg(v, w))
       .withColumn(s"median_$prefix", rollingMedianExact(v, w))
-      .withColumn(s"std_$prefix", rollingStddev(v, w))
+      .withColumn(s"std_$prefix", rollingStddevExact(v, w))
       .withColumn(s"max_$prefix", rollingMax(v, w))
       .withColumn(s"min_$prefix", rollingMin(v, w))
       .withColumn(s"nrows_$prefix", count(v).over(w))

@@ -89,6 +89,51 @@ class PipelineSpec extends SparkTestBase {
     assert(out.filter(col("code").isNull).count() === 0)
   }
 
+  test("transformV1 stats ≡ oracle-proven q_pipeline_refined on shared data") {
+    // The library chain and the externally hash-checked registry query
+    // share Windows.rollingStddevExact / rollingMedianExact / rollingAvg —
+    // this pins that they produce IDENTICAL values on identical input, so
+    // the DuckDB proof of q_pipeline_refined transfers to transformV1.
+    // Shared fixture: sf0.001 lineitem pre-deduped with q_pipeline's tie
+    // order (so both dedups pick the same physical rows), rendered as the
+    // raw-v1 dirty-string feed for the library path.
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_suppkey").isNotNull && col("l_shipdate").isNotNull)
+    val pre = graft.ops.Dedup.keepFirst(li, Seq("l_suppkey", "l_shipdate"),
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
+    val raw = pre.select(
+      lit(null).cast("int").as("segment"),
+      col("l_suppkey").cast("string").as("cod"),
+      lit("T").as("asset"), lit("PN").as("type"),
+      regexp_replace(col("l_discount").cast("string"), "\\.", ",").as("part"),
+      lit(1).as("partAcum"),
+      format_number(col("l_quantity") * 1000, 0).as("theoricalQty"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("date"))
+    val lib = Transform.transformV1(raw).select(
+      col("code").cast("long").as("code"), col("reference_date"),
+      round(col("mean_part_7_days"), 6).as("mean"),
+      col("median_part_7_days").as("median"),
+      round(col("std_part_7_days"), 6).as("std"),
+      col("max_part_7_days").as("mx"), col("min_part_7_days").as("mn"),
+      col("initial_date").as("init"))
+    val proven = SparkEntry.queries("q_pipeline_refined")(spark, dir).select(
+      col("code"), col("reference_date"),
+      col("mean_part_7_days").as("p_mean"), col("median_part_7_days").as("p_median"),
+      col("std_part_7_days").as("p_std"), col("max_part_7_days").as("p_mx"),
+      col("min_part_7_days").as("p_mn"), col("initial_date").as("p_init"))
+    val joined = lib.join(proven, Seq("code", "reference_date"), "full_outer").cache()
+    // key sets agree: mean is non-null on every genuine row (≥1-row frame),
+    // so a null on either side means the other side is missing that key
+    assert(joined.filter(col("p_mean").isNull || col("mean").isNull).count() === 0)
+    val mismatches = joined.filter(
+      !(col("mean") <=> col("p_mean")) || !(col("median") <=> col("p_median")) ||
+        !(col("std") <=> col("p_std")) || !(col("mx") <=> col("p_mx")) ||
+        !(col("mn") <=> col("p_mn")) || !(col("init") <=> col("p_init"))).count()
+    assert(mismatches === 0, "library path must equal the oracle-proven query path")
+    joined.unpersist()
+  }
+
   test("transformV1: all-null column is dropped, essential survive") {
     val out = Transform.transformV1(rawV1Fixture)
     assert(!out.columns.contains("segment"), "all-null 'segment' must be pruned")
