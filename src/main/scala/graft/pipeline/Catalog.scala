@@ -78,26 +78,48 @@ object Catalog {
     if (found.forall(_.isDefined)) Some(found.map(_.get)) else None
   }
 
-  /** M6: register `wanted − existing` (`extract.py:135-159,182-201`). The
-    * reference batches 100/call with exponential backoff against Glue
-    * throttling; Spark's catalog needs neither, but we keep the
-    * set-difference so only *new* partitions are touched.
+  /** One multi-partition `ADD IF NOT EXISTS` statement for a batch —
+    * a single catalog round-trip per `batchSize` partitions, the DDL
+    * equivalent of the reference's `batch_create_partition` with 100
+    * inputs per call (`extract.py:136-139`).
     */
-  def syncPartitions(spark: SparkSession, db: String, table: String,
-                     keys: Seq[String], wanted: Set[Seq[String]],
-                     location: String): Int = {
-    val existing = listPartitions(spark, db, table)
-    val missing = (wanted -- existing).toSeq.sortBy(_.mkString("/"))
-    missing.foreach { values =>
+  private[graft] def addPartitionsSql(db: String, table: String,
+                                         keys: Seq[String],
+                                         batch: Seq[Seq[String]],
+                                         location: String): String = {
+    val parts = batch.map { values =>
       val spec = keys.zip(values)
         .map { case (k, v) => s"`$k`='${v.replace("'", "''")}'" }.mkString(", ")
       val dir = keys.zip(values).map { case (k, v) => s"$k=$v" }.mkString("/")
       // LOCATION is a string literal too — quote-escape the whole path,
       // not just the PARTITION values
       val loc = s"$location/$dir".replace("'", "''")
-      spark.sql(
-        s"""ALTER TABLE `$db`.`$table` ADD IF NOT EXISTS
-           |PARTITION ($spec) LOCATION '$loc'""".stripMargin)
+      s"PARTITION ($spec) LOCATION '$loc'"
+    }.mkString("\n")
+    s"ALTER TABLE `$db`.`$table` ADD IF NOT EXISTS\n$parts"
+  }
+
+  /** M6: register `wanted − existing` (`extract.py:135-159,182-201`),
+    * with the reference's remote-catalog discipline: batches of
+    * `batchSize` partitions per DDL round-trip, each batch retried on
+    * throttling with capped exponential backoff ([[Retry.withRetry]]).
+    * The set-difference means only *new* partitions are touched; batches
+    * are ordered, so a hard mid-run failure leaves a clean prefix
+    * registered and the rerun diff picks up exactly the remainder.
+    * `sleep` is injectable for tests; the local-metastore path never
+    * throttles and so never sleeps.
+    */
+  def syncPartitions(spark: SparkSession, db: String, table: String,
+                     keys: Seq[String], wanted: Set[Seq[String]],
+                     location: String, batchSize: Int = 100,
+                     maxAttempts: Int = 5,
+                     sleep: Long => Unit = Thread.sleep): Int = {
+    val existing = listPartitions(spark, db, table)
+    val missing = (wanted -- existing).toSeq.sortBy(_.mkString("/"))
+    missing.grouped(batchSize).foreach { batch =>
+      Retry.withRetry(maxAttempts = maxAttempts, sleep = sleep) {
+        spark.sql(addPartitionsSql(db, table, keys, batch, location))
+      }
     }
     missing.size
   }
