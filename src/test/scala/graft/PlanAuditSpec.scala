@@ -49,6 +49,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(rangeEx <= 1, s"expected ≤1 range exchange:\n$p")
   }
 
+  test("q_asof: one hash exchange joins both sides (the tagged-union design claim)") {
+    // AsOfJoin's whole point is that L and R meet in ONE shuffle on the
+    // key (tagged union + window carry) — a second hash exchange would
+    // mean the union stopped sharing the partitioning.
+    val p = plan("q_asof_join")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"as-of join must cost exactly 1 hash exchange:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of is composed via union+window, not a join operator")
+  }
+
+  test("q_sessionize: lag boundary + running session-id share one exchange") {
+    val p = plan("q_sessionize")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"sessionize windows must share 1 hash exchange:\n$p")
+  }
+
   test("q_agg: partial aggregation before the shuffle") {
     val p = plan("q_agg_groupby")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
