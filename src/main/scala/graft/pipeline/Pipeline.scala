@@ -74,6 +74,21 @@ class Pipeline(spark: SparkSession, rawDb: String = "b3_raw",
     load(refinedLocation)
   }
 
+  /** EP2 with the reference's single-call sink (`etl.py:94-107`
+    * `UPDATE_IN_DATABASE`): the refined write itself creates/updates the
+    * table and registers its partitions — no separate [[load]] sync, no
+    * window where written data is invisible to table-name queries.
+    */
+  def runRegistered(rawLocation: String, refinedLocation: String,
+                    windowDays: Int = 7): Unit = {
+    extract(rawLocation)
+    val raw = spark.read.option("basePath", rawLocation)
+      .option("recursiveFileLookup", "false").parquet(rawLocation)
+    val refined = transform(raw, windowDays)
+    Transform.writePartitionedToTable(spark, refined, refinedDb,
+      "pregao_refined", refinedLocation, v1PartitionKeys)
+  }
+
   /** EP1: incremental — transform only the triggering file's rows and
     * dynamically overwrite just the partitions they land in (v2 chain,
     * `etl/etl.py`).

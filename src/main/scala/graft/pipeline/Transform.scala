@@ -134,4 +134,36 @@ object Transform {
       .option("compression", "snappy") // `etl.py:106`
       .parquet(path)
   }
+
+  /** Atomic write+register sink — the reference's `UPDATE_IN_DATABASE`
+    * semantics (`etl/etl.py:94-107`: the Glue sink registers partitions AS
+    * PART OF the write). [[writePartitioned]] + `Catalog.syncPartitions`
+    * leaves a window where data exists on storage unregistered; this sink
+    * closes it: the first call creates the external table at `location`,
+    * subsequent calls dynamically overwrite only the partitions present in
+    * `df`, and in both cases Spark's catalog partition management records
+    * new partitions as the commit happens — queries through the table name
+    * never see unregistered data.
+    */
+  def writePartitionedToTable(spark: SparkSession, df: DataFrame,
+                              db: String, table: String, location: String,
+                              partitionCols: Seq[String]): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    Catalog.ensureDatabase(spark, db)
+    val fq = s"$db.$table"
+    if (!spark.catalog.tableExists(fq)) {
+      df.write
+        .partitionBy(partitionCols: _*)
+        .option("path", location)
+        .option("compression", "snappy")
+        .saveAsTable(fq)
+    } else {
+      // insertInto is position-based — realign to the table's declared
+      // column order (data columns first, partition columns last)
+      val order = spark.table(fq).columns
+      df.select(order.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .insertInto(fq)
+    }
+  }
 }

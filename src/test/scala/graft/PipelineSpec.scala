@@ -247,6 +247,34 @@ class PipelineSpec extends SparkTestBase {
       Seq("code", "reference_date")) === Some(Seq("PETR4", "2024-01-03")))
   }
 
+  test("atomic sink: the write itself registers partitions — no sync step") {
+    val rawDir = tmpDir(); val refinedDir = tmpDir()
+    rawV1Fixture.write.partitionBy("date").mode("overwrite").parquet(rawDir)
+    val db = s"t_atomic_${System.nanoTime()}"
+    val p = new Pipeline(spark, rawDb = s"${db}_raw", refinedDb = db)
+
+    p.runRegistered(rawDir, refinedDir)
+    // partitions visible in the catalog WITHOUT any load()/syncPartitions
+    assert(Catalog.listPartitions(spark, db, "pregao_refined").size === 20)
+    assert(spark.table(s"$db.pregao_refined").count() === 20)
+
+    // rerun: dynamic overwrite, idempotent — no dupes, no lost partitions
+    p.runRegistered(rawDir, refinedDir)
+    assert(spark.table(s"$db.pregao_refined").count() === 20)
+    assert(Catalog.listPartitions(spark, db, "pregao_refined").size === 20)
+
+    // incremental write of a NEW day registers its partition atomically
+    val extra = Transform.transformV1(rawV1Fixture)
+      .filter(col("reference_date") === "2024-01-05")
+      .withColumn("reference_date", lit("2024-02-01"))
+    Transform.writePartitionedToTable(spark, extra, db, "pregao_refined",
+      refinedDir, Seq("code", "reference_date"))
+    val parts = Catalog.listPartitions(spark, db, "pregao_refined")
+    assert(parts.size === 22)
+    assert(parts.contains(Seq("PETR4", "2024-02-01")))
+    assert(spark.table(s"$db.pregao_refined").count() === 22)
+  }
+
   test("EP1 streaming incremental ingest: per-file upsert with checkpoint") {
     val rawDir = tmpDir(); val outDir = tmpDir(); val ckpt = tmpDir()
     import graft.streaming.IncrementalIngest
