@@ -510,6 +510,28 @@ object SparkEntry {
                   FROM documents)
             WHERE rk <= 5 ORDER BY source, rk"""))
 
+  /** Weighted per-key sampling (A-ES with fixed md5 priorities —
+    * [[graft.ops.Sampling]]): weight-proportional without replacement,
+    * fully oracle-replayable because u = (md5Long(id)+1)/2⁶⁰ is exact
+    * arithmetic and the ln-priority is rounded before ranking.
+    */
+  private val qSampleWeighted = Q(
+    (s, dir) =>
+      graft.ops.Sampling.weightedSamplePerKey(t(s, dir, "orders"),
+        Seq("o_orderpriority"), "o_orderkey", "o_totalprice", k = 20)
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("ares_priority"))
+        .orderBy("o_orderpriority", "rk"),
+    Some(s"""WITH pri AS (
+              SELECT o_orderpriority, o_orderkey,
+                     ROUND(ln((${md5LongSql("CAST(o_orderkey AS VARCHAR)")} + 1)::DOUBLE
+                              / 1152921504606846976.0) / o_totalprice, 9) AS ares_priority
+              FROM orders WHERE o_totalprice > 0),
+            r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                               ORDER BY ares_priority DESC, o_orderkey) AS rk
+                  FROM pri)
+            SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_orderkey, ares_priority
+            FROM r WHERE rk <= 20 ORDER BY o_orderpriority, rk"""))
+
   // ---------------------------------------------------------------------
   // Flagship composite: the reference's full transform_1.py chain
   // (sanitize → guard → dedup → initial date → rolling stats) replayed on
@@ -1217,6 +1239,7 @@ object SparkEntry {
     "q_pivot" -> qPivot,
     "q_explode_pos" -> qExplode,
     "q_sample_per_key" -> qSamplePerKey,
+    "q_sample_weighted" -> qSampleWeighted,
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+import graft.dedup.NearDup
+
+/** Deterministic weighted sampling — Efraimidis–Spirakis (A-ES) reservoir
+  * with FIXED priorities ("Weighted random sampling with a reservoir",
+  * IPL 97(5), 2006): item i gets priority uᵢ^(1/wᵢ) for uniform uᵢ; the
+  * top-k priorities per key are a weight-proportional sample without
+  * replacement.
+  *
+  * Instead of runtime randomness, uᵢ derives from the row id's md5
+  * (uᵢ = (md5Long(id)+1)/2⁶⁰ ∈ (0,1], exactly representable arithmetic in
+  * any engine), and ranking uses the order-equivalent log-domain priority
+  * ln(uᵢ)/wᵢ — so the "random" sample is reproducible run-over-run, engine-
+  * over-engine (DuckDB-oracle-checkable), yet distributionally correct
+  * A-ES for any fixed id set. Priorities are rounded to 9 dp with an id
+  * tie-break, so a last-ulp `ln` difference between math libraries cannot
+  * flip the ranking.
+  *
+  * Scale shape: one narrow projection (md5 + ln per row) + one top-k
+  * window per key — same cost as unweighted per-key sampling; the rank
+  * filter plans as WindowGroupLimit, so each partition keeps k rows of
+  * state, not its whole population.
+  */
+object Sampling {
+
+  /** uᵢ ∈ (0,1] from the id's md5: (md5Long + 1)/2⁶⁰. The +1 excludes 0
+    * (ln(0) = −∞ would tie every zero-hash row); numerator→double rounding
+    * and the power-of-two divide are IEEE-identical in every engine.
+    */
+  private[graft] def uniformFromId(id: Column): Column =
+    (NearDup.md5Long(id.cast(StringType)) + 1).cast(DoubleType) / lit(math.pow(2, 60))
+
+  /** Log-domain A-ES priority ln(u)/w — order-equivalent to u^(1/w)
+    * (larger is better), rounded for cross-engine rank stability.
+    */
+  def aresPriority(id: Column, weight: Column): Column =
+    round(log(uniformFromId(id)) / weight, 9)
+
+  /** Weight-proportional sample without replacement: `k` rows per key,
+    * weights from `weightCol` (must be > 0 — non-positive-weight rows are
+    * excluded, matching A-ES's domain). Output keeps all input columns
+    * plus `ares_priority` and the per-key rank `rk` (1 = highest
+    * priority).
+    */
+  def weightedSamplePerKey(df: DataFrame, keyCols: Seq[String],
+                           idCol: String, weightCol: String, k: Int): DataFrame =
+    df.filter(col(weightCol) > 0)
+      .withColumn("ares_priority", aresPriority(col(idCol), col(weightCol)))
+      .withColumn("rk", Windows.rowNumber(keyCols.map(col),
+        Seq(col("ares_priority").desc, col(idCol))))
+      .filter(col("rk") <= k)
+}

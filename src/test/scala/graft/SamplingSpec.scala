@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Sampling
+
+class SamplingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("weightedSamplePerKey: deterministic, k per key, ranks dense") {
+    val df = (1L to 100L).map(i => (s"k${i % 4}", i, (i % 7 + 1).toDouble))
+      .toDF("key", "id", "w")
+    val a = Sampling.weightedSamplePerKey(df, Seq("key"), "id", "w", k = 5)
+      .select("key", "rk", "id").collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val b = Sampling.weightedSamplePerKey(df, Seq("key"), "id", "w", k = 5)
+      .select("key", "rk", "id").collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(a.sorted.toSeq === b.sorted.toSeq, "rebuilds must be byte-identical")
+    val perKey = a.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    perKey.foreach { case (k, ranks) => assert(ranks === (1 to 5), s"$k: $ranks") }
+  }
+
+  test("weightedSamplePerKey: selection is weight-proportional (A-ES)") {
+    // 400 independent keys, each holding item A (w=9) and item B (w=1),
+    // k=1: A-ES selects A with probability 9/10 per key. The md5-fixed
+    // priorities make the outcome deterministic; across 400 distinct id
+    // pairs the A-fraction must sit near 0.9 (±5 sd ≈ ±0.075).
+    val df = (0L until 400L).flatMap { g =>
+      Seq((s"g$g", g * 2, 9.0, "A"), (s"g$g", g * 2 + 1, 1.0, "B"))
+    }.toDF("key", "id", "w", "tag")
+    val picked = Sampling.weightedSamplePerKey(df, Seq("key"), "id", "w", k = 1)
+      .groupBy("tag").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val aFrac = picked.getOrElse("A", 0L).toDouble / 400.0
+    assert(aFrac > 0.825 && aFrac < 0.975, s"A-fraction $aFrac should be ≈0.9")
+  }
+
+  test("weightedSamplePerKey: non-positive weights are excluded; top-k prunes") {
+    val df = Seq(("k", 1L, 2.0), ("k", 2L, 0.0), ("k", 3L, -1.0), ("k", 4L, 5.0))
+      .toDF("key", "id", "w")
+    val out = Sampling.weightedSamplePerKey(df, Seq("key"), "id", "w", k = 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 4L))
+    // the rank filter must plan as WindowGroupLimit (k rows of state per
+    // key, not the whole partition) — asserted on a realistically-sized
+    // input (the optimizer skips the rewrite when k covers the relation)
+    val big = (1L to 100L).map(i => (s"k${i % 4}", i, (i % 7 + 1).toDouble))
+      .toDF("key", "id", "w")
+    val p = Sampling.weightedSamplePerKey(big, Seq("key"), "id", "w", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+}
