@@ -23,15 +23,19 @@ object Sessionize {
     df.withColumn("session_id", sum(isStart).over(run))
   }
 
-  /** Per-session rollup: bounds + size + value total. */
+  /** Per-session rollup: bounds + size + value total. The microsecond
+    * conversion is staged once and aggregated twice, same staging
+    * discipline as the token/shingle projections elsewhere.
+    */
   def sessionStats(df: DataFrame, userCol: String, tsCol: String,
                    gapSeconds: Long, valueCol: String,
                    tieBreak: Seq[Column]): DataFrame =
     sessionIds(df, userCol, tsCol, gapSeconds, tieBreak)
+      .withColumn("__us", unix_micros(col(tsCol)))
       .groupBy(col(userCol), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(unix_micros(col(tsCol))).as("start_us"),
-        max(unix_micros(col(tsCol))).as("end_us"),
+        min(col("__us")).as("start_us"),
+        max(col("__us")).as("end_us"),
         round(sum(col(valueCol)), 2).as("total_value"))
 }
