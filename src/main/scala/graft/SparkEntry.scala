@@ -847,6 +847,80 @@ object SparkEntry {
             FROM r WHERE rk <= 20 ORDER BY source, rk"""))
 
   // ---------------------------------------------------------------------
+  // North-star: decontamination + chunking/packing (documents table)
+  // ---------------------------------------------------------------------
+
+  /** Benchmark decontamination: documents below id 450 are the "training
+    * corpus", the rest the "benchmark". n=3 (not the production 13)
+    * because the synthetic docs are short; the construction is
+    * n-independent. Oracle replays tokens → n-grams → md5Long hashes →
+    * distinct → join → per-doc counts.
+    */
+  private val qDecontaminate = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Decontaminate.flagContaminated(
+        d.filter(col("doc_id") < 450), d.filter(col("doc_id") >= 450),
+        "doc_id", "text", n = 3, minHits = 5)
+        .orderBy("id")
+    },
+    Some(s"""WITH gr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+                    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+                    WHERE len(toks) >= 3),
+            gh AS (SELECT DISTINCT doc_id, ${md5LongSql("g")} AS gh FROM gr),
+            trg AS (SELECT * FROM gh WHERE doc_id < 450),
+            beg AS (SELECT DISTINCT gh FROM gh WHERE doc_id >= 450),
+            tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM trg GROUP BY doc_id),
+            hit AS (SELECT trg.doc_id, COUNT(*) AS n_hits FROM trg JOIN beg USING (gh) GROUP BY trg.doc_id),
+            ids AS (SELECT doc_id FROM documents WHERE doc_id < 450)
+            SELECT ids.doc_id AS id,
+                   COALESCE(n_grams, 0) AS n_grams,
+                   COALESCE(n_hits, 0) AS n_hits,
+                   ROUND(COALESCE(CAST(n_hits AS DOUBLE) / n_grams, 0.0), 6) AS overlap,
+                   COALESCE(n_hits, 0) >= 5 AS contaminated
+            FROM ids LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+            ORDER BY id"""))
+
+  /** Fixed-token-window chunking (size 32, stride 24 → 8-token overlap):
+    * the per-row explode a training loader's chunker performs, with the
+    * short-doc single-chunk floor. Oracle replays the window arithmetic
+    * with DuckDB list slicing.
+    */
+  private val qChunk = Q(
+    (s, dir) =>
+      graft.text.Chunker.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+        .orderBy("id", "chunk_idx"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            c AS (SELECT doc_id, toks,
+                         GREATEST(CAST(ceil((len(toks) - 32) / 24.0) AS INTEGER) + 1, 1) AS nc
+                  FROM t),
+            e AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS k FROM c),
+            s AS (SELECT doc_id, k, toks[k*24 + 1 : k*24 + 32] AS ctk FROM e)
+            SELECT doc_id AS id, CAST(k AS INTEGER) AS chunk_idx,
+                   CAST(len(ctk) AS INTEGER) AS n_tokens,
+                   array_to_string(ctk, ' ') AS chunk_text
+            FROM s ORDER BY id, chunk_idx"""))
+
+  /** In-order sequence packing into 512-token bins per source stream: one
+    * running-sum window; bin = the budget-slot containing the doc's start
+    * offset.
+    */
+  private val qPackBins = Q(
+    (s, dir) =>
+      graft.text.Chunker.packBins(t(s, dir, "documents"), "doc_id", "text",
+        "source", budget = 512L)
+        .orderBy("source", "doc_id"),
+    Some("""WITH d AS (SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+            c AS (SELECT source, doc_id, n_tokens,
+                         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+                  FROM d)
+            SELECT source, doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+                   CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS bin
+            FROM c ORDER BY source, doc_id"""))
+
+  // ---------------------------------------------------------------------
   // North-star: deduplication (documents table)
   // ---------------------------------------------------------------------
 
@@ -1246,6 +1320,9 @@ object SparkEntry {
     "q_fingerprint" -> qFingerprint,
     "q_dedup_exact" -> qDedupExact,
     "q_trainset_build" -> qTrainset,
+    "q_decontaminate" -> qDecontaminate,
+    "q_chunk_windows" -> qChunk,
+    "q_pack_bins" -> qPackBins,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash_lsh" -> qMinHash,
     "q_dedup_simhash" -> qSimHash,

@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document chunking and sequence packing for training-data preparation:
+  * cut documents into fixed-token windows (with overlap for context
+  * continuity), and lay documents out into fixed-token-budget bins (the
+  * "how many training sequences does this corpus make" step).
+  *
+  * Both are narrow per-row / one-window operations: chunking is a per-row
+  * explode (no shuffle at all — it runs at scan speed and multiplies rows
+  * locally), packing is a single running-sum window per stream.
+  */
+object Chunker {
+
+  /** Overlapping fixed-size token windows: chunk k covers tokens
+    * [k·stride, k·stride + chunkSize); the last chunk may be shorter, and
+    * every document yields at least one chunk (short docs become one
+    * under-full chunk). `stride < chunkSize` gives overlapping chunks;
+    * `stride == chunkSize` gives a partition of the token stream.
+    *
+    * Output: (id, chunk_idx, n_tokens, chunk_text).
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize=$chunkSize must be >= 1")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride=$stride must be in [1, chunkSize=$chunkSize]")
+    // number of windows covering a sz-token doc: ceil((sz-chunkSize)/stride)+1,
+    // floored at 1 (division in double is exact: both operands are small ints)
+    val staged = docs.select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("nc", greatest(
+        (ceil((size(col("tk")) - chunkSize) / stride.toDouble) + 1).cast(IntegerType),
+        lit(1)))
+    staged
+      .select(col("id"), col("tk"), explode(sequence(lit(0), col("nc") - 1)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx"),
+        slice(col("tk"), col("chunk_idx") * stride + 1, lit(chunkSize)).as("ctk"))
+      .select(col("id"), col("chunk_idx"), size(col("ctk")).as("n_tokens"),
+        concat_ws(" ", col("ctk")).as("chunk_text"))
+  }
+
+  /** Deterministic in-order sequence packing: documents are laid out in
+    * `orderCol` order within each `groupCol` stream and the token stream is
+    * cut every `budget` tokens; a document's bin is the one containing its
+    * START offset (first-fit-in-order — the streaming packer a training
+    * loader runs, made deterministic by the explicit order).
+    *
+    * One window (partition by group, order by id) = one shuffle; the bin
+    * arithmetic is a running sum and a division. The double division is
+    * exact while per-stream cumulative tokens stay below 2⁵³ — at larger
+    * streams, split the stream (a single 2⁵³-token pack stream is already
+    * a design smell).
+    *
+    * Output: (groupCol, orderCol, n_tokens, bin).
+    */
+  def packBins(docs: DataFrame, orderCol: String, textCol: String,
+               groupCol: String, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget=$budget must be >= 1")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    docs
+      .select(col(groupCol), col(orderCol),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("n_tokens")).cast(DoubleType) / budget.toDouble).cast(LongType))
+      .drop("cum")
+  }
+}

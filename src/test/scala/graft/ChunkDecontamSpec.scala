@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{Chunker, Decontaminate, TextAnalysis}
+
+class ChunkDecontamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ------------------------------------------------------------------
+  // Decontamination
+  // ------------------------------------------------------------------
+
+  private lazy val train = Seq(
+    (0L, "alpha beta gamma delta epsilon"),           // shares "beta gamma delta" with bench
+    (1L, "one two three four five six"),              // clean
+    (2L, "too short"),                                // < 3 tokens: zero grams
+    (3L, "zeta beta gamma delta eta beta gamma delta")// two gram hits (distinct grams)
+  ).toDF("doc_id", "text")
+
+  private lazy val bench = Seq(
+    (100L, "prefix beta gamma delta suffix"),
+    (101L, "totally unrelated benchmark prompt text")
+  ).toDF("doc_id", "text")
+
+  test("ngramsFromTokens: sliding 3-grams; short docs yield none") {
+    val g = train
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), Decontaminate.ngramsFromTokens(col("tk"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(g(0L) === Seq("alpha beta gamma", "beta gamma delta", "gamma delta epsilon"))
+    assert(g(2L) === Seq.empty)
+  }
+
+  test("flagContaminated: hit counts, overlap, short docs clean, all ids present") {
+    val rep = Decontaminate.flagContaminated(train, bench, "doc_id", "text",
+      n = 3, minHits = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(rep.keySet === Set(0L, 1L, 2L, 3L))
+    // doc 0: 3 grams, 1 matches the bench ("beta gamma delta")
+    assert(rep(0L) === ((3L, 1L, 0.333333, true)))
+    // doc 1: 4 grams, none match
+    assert(rep(1L) === ((4L, 0L, 0.0, false)))
+    // doc 2: too short for any 3-gram — clean by definition, not an error
+    assert(rep(2L) === ((0L, 0L, 0.0, false)))
+    // doc 3: grams are distinct-per-doc; exactly one distinct gram matches
+    assert(rep(3L)._2 === 1L)
+    assert(rep(3L)._4)
+  }
+
+  test("removeContaminated: anti-join keeps exactly the clean docs") {
+    val kept = Decontaminate.removeContaminated(train, bench, "doc_id", "text",
+      n = 3, minHits = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
+
+  test("flagContaminated at minHits=2: single-gram overlap no longer flags") {
+    val rep = Decontaminate.flagContaminated(train, bench, "doc_id", "text",
+      n = 3, minHits = 2)
+      .filter(col("contaminated")).select("id").as[Long].collect()
+    assert(rep.isEmpty)
+  }
+
+  // ------------------------------------------------------------------
+  // Chunking
+  // ------------------------------------------------------------------
+
+  private lazy val chunkDocs = Seq(
+    (0L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+    (1L, "a b"),                           // shorter than one chunk
+    (2L, (0 until 9).map(i => s"x$i").mkString(" ")) // exactly size+overlap boundary
+  ).toDF("doc_id", "text")
+
+  test("chunk: stride windows cover the token stream; last chunk short; overlap correct") {
+    val c = Chunker.chunk(chunkDocs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3)))).toMap
+    // doc 0: starts 0,3,6,9 → nc = ceil((10-4)/3)+1 = 3
+    assert(c((0L, 0)) === ((4, "t0 t1 t2 t3")))
+    assert(c((0L, 1)) === ((4, "t3 t4 t5 t6")))
+    assert(c((0L, 2)) === ((4, "t6 t7 t8 t9")))
+    assert(!c.contains((0L, 3)))
+    // doc 1: one under-full chunk
+    assert(c((1L, 0)) === ((2, "a b")))
+    // doc 2 (9 tokens): nc = ceil(5/3)+1 = 3; last chunk starts at token 7
+    assert(c((2L, 2)) === ((3, "x6 x7 x8")))
+  }
+
+  test("chunk: stride == chunkSize partitions the stream exactly") {
+    val c = Chunker.chunk(chunkDocs.filter(col("doc_id") === 0), "doc_id", "text",
+      chunkSize = 5, stride = 5)
+      .orderBy("chunk_idx").collect()
+    assert(c.length === 2)
+    assert(c.map(_.getString(3)).toSeq === Seq("t0 t1 t2 t3 t4", "t5 t6 t7 t8 t9"))
+    // no token lost or duplicated
+    assert(c.map(_.getInt(2)).sum === 10)
+  }
+
+  // ------------------------------------------------------------------
+  // Packing
+  // ------------------------------------------------------------------
+
+  test("packBins: first-fit-in-order by start offset within each stream") {
+    val docs = Seq(
+      ("s1", 1L, Seq.fill(6)("w").mkString(" ")),  // start 0  → bin 0
+      ("s1", 2L, Seq.fill(6)("w").mkString(" ")),  // start 6  → bin 0
+      ("s1", 3L, Seq.fill(6)("w").mkString(" ")),  // start 12 → bin 1
+      ("s2", 4L, Seq.fill(11)("w").mkString(" ")), // start 0  → bin 0 (own stream)
+      ("s2", 5L, Seq.fill(1)("w").mkString(" "))   // start 11 → bin 1
+    ).toDF("source", "doc_id", "text")
+    val bins = Chunker.packBins(docs, "doc_id", "text", "source", budget = 10L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+  }
+}

@@ -78,4 +78,30 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan("q_topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("chunk: the window explode is shuffle-free (runs at scan speed)") {
+    // Chunker.chunk is a per-row multiply — ANY exchange means a shuffle
+    // crept into what must stay a narrow map at 100 TB.
+    val p = graft.text.Chunker.chunk(
+      graft.ops.Tables.read(spark, dir, "documents"), "doc_id", "text", 32, 24)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("q_pack_bins: one hash exchange for the running-sum window") {
+    val p = plan("q_pack_bins")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"packing must cost exactly 1 hash exchange:\n$p")
+  }
+
+  test("decontaminate: gram join carries hashes, no cartesian, no document payload") {
+    val d = graft.ops.Tables.read(spark, dir, "documents")
+    val p = graft.text.Decontaminate.flagContaminated(
+      d.filter(org.apache.spark.sql.functions.col("doc_id") < 450),
+      d.filter(org.apache.spark.sql.functions.col("doc_id") >= 450),
+      "doc_id", "text", n = 3, minHits = 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination must join on gram hashes, never cross:\n$p")
+  }
 }
