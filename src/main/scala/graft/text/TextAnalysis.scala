@@ -109,6 +109,29 @@ object TextAnalysis {
     langIdFromTokens(text, array_distinct(tokens(lower(text))))
 
   // -------------------------------------------------------------------
+  // PII redaction
+  // -------------------------------------------------------------------
+
+  /** Redaction rules, applied in order (most-specific first: an email's
+    * digits must not be half-eaten by the number rule). Patterns stick to
+    * the regex subset RE2 and java.util.regex interpret identically
+    * (char classes, bounded repetition, `\b`, `\d` — no lookaround, no
+    * backrefs), so redaction replays in external engines verbatim.
+    */
+  val piiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\+\\d{7,15}" -> "<PHONE>",
+    "\\b\\d{9,}\\b" -> "<NUM>")
+
+  /** Scrub emails, IPv4s, international phone numbers and long digit runs
+    * (ids, card numbers) from training text — a pure per-row codegen'd
+    * regexp chain, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    piiRules.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  // -------------------------------------------------------------------
   // Fingerprinting
   // -------------------------------------------------------------------
 
