@@ -511,15 +511,20 @@ object SparkEntry {
             WHERE rk <= 5 ORDER BY source, rk"""))
 
   /** Weighted per-key sampling (A-ES with fixed md5 priorities —
-    * [[graft.ops.Sampling]]): weight-proportional without replacement,
-    * fully oracle-replayable because u = (md5Long(id)+1)/2⁶⁰ is exact
-    * arithmetic and the ln-priority is rounded before ranking.
+    * [[graft.ops.Sampling]]): weight-proportional without replacement.
+    * The SELECTION (keys, ranks, ids) is oracle-replayable — u =
+    * (md5Long(id)+1)/2⁶⁰ is exact arithmetic and the ln-priority is
+    * rounded to 9 dp with an id tie-break before ranking, so last-ulp
+    * libm differences cannot flip it. The priority VALUE is deliberately
+    * NOT emitted: Spark's round (BigDecimal HALF_UP on shortest-decimal)
+    * and DuckDB's double-domain ROUND can disagree in the 9th digit, so
+    * the hashed contract is ids/ranks only (see [[graft.ops.Sampling]]).
     */
   private val qSampleWeighted = Q(
     (s, dir) =>
       graft.ops.Sampling.weightedSamplePerKey(t(s, dir, "orders"),
         Seq("o_orderpriority"), "o_orderkey", "o_totalprice", k = 20)
-        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("ares_priority"))
+        .select(col("o_orderpriority"), col("rk"), col("o_orderkey"))
         .orderBy("o_orderpriority", "rk"),
     Some(s"""WITH pri AS (
               SELECT o_orderpriority, o_orderkey,
@@ -529,7 +534,7 @@ object SparkEntry {
             r AS (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
                                                ORDER BY ares_priority DESC, o_orderkey) AS rk
                   FROM pri)
-            SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_orderkey, ares_priority
+            SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_orderkey
             FROM r WHERE rk <= 20 ORDER BY o_orderpriority, rk"""))
 
   // ---------------------------------------------------------------------

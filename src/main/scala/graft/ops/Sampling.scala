@@ -15,11 +15,15 @@ import graft.dedup.NearDup
   * Instead of runtime randomness, uᵢ derives from the row id's md5
   * (uᵢ = (md5Long(id)+1)/2⁶⁰ ∈ (0,1], exactly representable arithmetic in
   * any engine), and ranking uses the order-equivalent log-domain priority
-  * ln(uᵢ)/wᵢ — so the "random" sample is reproducible run-over-run, engine-
-  * over-engine (DuckDB-oracle-checkable), yet distributionally correct
-  * A-ES for any fixed id set. Priorities are rounded to 9 dp with an id
-  * tie-break, so a last-ulp `ln` difference between math libraries cannot
-  * flip the ranking.
+  * ln(uᵢ)/wᵢ — so the "random" sample is reproducible run-over-run, and the
+  * SELECTION (which ids, at which ranks) replays engine-over-engine:
+  * priorities are rounded to 9 dp with an id tie-break, so a last-ulp `ln`
+  * difference between math libraries cannot flip the ranking. The priority
+  * VALUE itself is not part of that cross-engine contract — Spark's
+  * `round` (BigDecimal HALF_UP on the shortest-decimal rendering) and
+  * another engine's double-domain ROUND can disagree in the final digit,
+  * so consumers that need external reproducibility should compare the
+  * sampled ids/ranks, not `ares_priority`.
   *
   * Scale shape: one narrow projection (md5 + ln per row) + one top-k
   * window per key — same cost as unweighted per-key sampling; the rank

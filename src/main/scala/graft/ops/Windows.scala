@@ -58,9 +58,16 @@ object Windows {
     * cancellation.
     */
   def rollingStddevExact(c: Column, w: WindowSpec): Column = {
-    val sx = sum(c).over(w)
-    val sx2 = sum(c * c).over(w)
-    val cnt = count(c).over(w)
+    // Widen to double BEFORE forming the sums: for an integer-typed value
+    // column, c*c would be 32-bit multiplication (overflow at |c|>46340 —
+    // silently wrong non-ANSI, a runtime error under ANSI), and sx*sx on
+    // long sums can overflow for large windows. Double sums of
+    // integral-valued inputs stay exact up to 2⁵³, which is the same
+    // contract the oracle-matched queries rely on.
+    val x = c.cast(org.apache.spark.sql.types.DoubleType)
+    val sx = sum(x).over(w)
+    val sx2 = sum(x * x).over(w)
+    val cnt = count(x).over(w)
     when(cnt > 1, sqrt(greatest(sx2 - sx * sx / cnt, lit(0.0)) / (cnt - lit(1))))
   }
 

@@ -38,7 +38,11 @@ object Retry {
     while (true) {
       try return op
       catch {
-        case e: Throwable if isRetryable(e) && attempt < maxAttempts =>
+        // NonFatal first: a fatal error (OutOfMemoryError, Interrupted-
+        // Exception, …) must propagate even if its message happens to
+        // contain a throttling substring or the caller's isRetryable is
+        // permissive — retrying an interrupt would swallow it.
+        case scala.util.control.NonFatal(e) if isRetryable(e) && attempt < maxAttempts =>
           attempt += 1
           sleep(math.min(1000L << attempt, capMs)) // 2^attempt seconds
       }

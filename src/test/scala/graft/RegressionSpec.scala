@@ -95,6 +95,18 @@ class RegressionSpec extends SparkTestBase {
     assert(out(1).getInt(0) === 2)
   }
 
+  test("rollingStddevExact widens integer columns before squaring") {
+    // With IntegerType input, an unwidened c*c is 32-bit multiplication:
+    // 50000² overflows int (ANSI error / silent wrap). The double-widened
+    // form must return the exact sample stddev instead.
+    val df = Seq((1, 50000), (1, 50002), (1, 50004))
+      .toDF("k", "v")
+    val w = Windows.rolling(Seq($"k"), Seq($"v"), 7)
+    val out = df.withColumn("sd", Windows.rollingStddevExact($"v", w))
+      .orderBy("v").select("sd").collect()
+    assert(math.abs(out(2).getDouble(0) - 2.0) < 1e-9)
+  }
+
   test("LSH hyperplane constants are pinned (oracle SQL embeds them)") {
     // q_ann_lsh_topk / q_embed_neardup embed these exact doubles into
     // their DuckDB oracle SQL. If the generator, seed handling, or default

@@ -56,6 +56,23 @@ class RetrySpec extends AnyFunSuite {
     assert(out === "ok")
   }
 
+  test("fatal errors propagate even under a permissive isRetryable") {
+    // InterruptedException is fatal to NonFatal: it must escape on the
+    // first throw (zero sleeps) even when isRetryable says retry-anything
+    // and its message contains a throttling substring.
+    val sleeps = collection.mutable.Buffer[Long]()
+    var calls = 0
+    intercept[InterruptedException] {
+      Retry.withRetry(maxAttempts = 5, isRetryable = _ => true,
+        sleep = sleeps.append(_)) {
+        calls += 1
+        throw new InterruptedException("Throttling: rate exceeded")
+      }
+    }
+    assert(calls === 1)
+    assert(sleeps.isEmpty)
+  }
+
   test("addPartitionsSql: one statement carries the whole batch, quoted") {
     val sql = Catalog.addPartitionsSql("db", "t", Seq("code", "day"),
       Seq(Seq("A'B", "2024-01-01"), Seq("C", "2024-01-02")), "/base")
