@@ -19,19 +19,15 @@ import graft.dedup.NearDup
   */
 object Decontaminate {
 
-  /** Token n-gram strings ("a b c" for n=3) from a *staged* token array
-    * column (same staging discipline as
-    * [[TextAnalysis.shinglesFromTokens]] — higher-order functions are
-    * interpreted, so `toks` must be a materialized attribute). Documents
-    * with fewer than `n` tokens yield an empty array: a doc too short to
-    * have any n-gram cannot be n-gram-contaminated.
+  /** Token n-gram strings ("a b c" for n=3) from a token array column,
+    * via the codegen'd [[graft.functions.NgramArray]] expression (the
+    * interpreted higher-order-function formulation measured ~30× slower —
+    * see that expression's scaladoc). Documents with fewer than `n` tokens
+    * yield an empty array: a doc too short to have any n-gram cannot be
+    * n-gram-contaminated.
     */
-  def ngramsFromTokens(toks: Column, n: Int): Column = {
-    require(n >= 1, s"n=$n: n-gram width must be >= 1")
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
-    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
-  }
+  def ngramsFromTokens(toks: Column, n: Int): Column =
+    graft.functions.NgramArray.ngrams(toks, n)
 
   /** Distinct (id, gram-hash) pairs per document: tokens and grams staged
     * as separate projections, md5 applied per exploded gram row (codegen'd,
@@ -58,13 +54,20 @@ object Decontaminate {
                        n: Int = 13, minHits: Long = 1L): DataFrame = {
     val trainGrams = ngramHashes(train, idCol, textCol, n)
     val benchGrams = ngramHashes(bench, idCol, textCol, n)
-      .select("gh").distinct()
-    val totals = trainGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
-    val hits = trainGrams.join(benchGrams, "gh")
-      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+      .select("gh").distinct().withColumn("hit", lit(1))
+    // ONE pass over the training grams: a left join against the distinct
+    // benchmark hashes (no row multiplication — benchGrams is unique on
+    // gh) marks each gram, and a single aggregate yields both the total
+    // and the hit count. The naive two-branch form (totals + hits as
+    // separate aggregations joined back) recomputes the whole
+    // tokenize→ngram→distinct chain twice — at 100 TB that is a second
+    // full corpus pass for nothing.
+    val counts = trainGrams.join(benchGrams, Seq("gh"), "left")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_hits"))
     train.select(col(idCol).as("id"))
-      .join(totals, Seq("id"), "left")
-      .join(hits, Seq("id"), "left")
+      .join(counts, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

@@ -149,8 +149,7 @@ object TextAnalysis {
     * CollapseProject keeps materialized) and pass the attribute in.
     */
   def shinglesFromTokens(text: Column, toks: Column): Column = {
-    val grams = transform(sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    val grams = graft.functions.NgramArray.ngrams(toks, 3)
     when(size(toks) >= 3, grams).otherwise(array(text))
   }
 
