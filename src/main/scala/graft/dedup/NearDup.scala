@@ -101,11 +101,12 @@ object NearDup {
     }: _*)
   }
 
-  /** Stage (id, toks, shingles, md5s, hash-pairs, signature) through
-    * separate projections so each intermediate — in particular the one
-    * md5 per shingle — is computed once per row. (Higher-order-function
-    * lambdas are interpreted; an unstaged md5 inside [[minHashSignature]]
-    * would be re-run once per hash function.)
+  /** (id, signature) via the fused codegen'd
+    * [[graft.functions.MinHashSig]] expression — one md5 per shingle and
+    * one pass over the array, replacing the staged HOF chain (md5s →
+    * (h1,h2) pairs → numHashes interpreted array_min passes). Bit-equality
+    * with the HOF construction ([[minHashSignature]], kept as the semantic
+    * reference) is pinned by NearDupSpec.
     */
   private def signatures(docs: DataFrame, idCol: String, textCol: String,
                          numHashes: Int): DataFrame =
@@ -113,12 +114,7 @@ object NearDup {
       .select(col(idCol).as("id"), col(textCol).as("t"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
       .select(col("id"), TextAnalysis.shinglesFromTokens(col("t"), col("tk")).as("sh"))
-      .select(col("id"), transform(col("sh"),
-        s => md5(to_binary(s, lit("utf-8")))).as("ms"))
-      .select(col("id"), transform(col("ms"), m => struct(
-        conv(substring(m, 1, 15), 16, 10).cast(LongType).as("h1"),
-        conv(substring(m, 16, 14), 16, 10).cast(LongType).as("h2"))).as("hs"))
-      .select(col("id"), minHashSignature(col("hs"), numHashes).as("sig"))
+      .select(col("id"), graft.functions.MinHashSig.sig(col("sh"), numHashes).as("sig"))
 
   /** Candidate near-dup pairs via LSH banding of MinHash signatures.
     * `numHashes = bands × rowsPerBand`; two docs become a candidate pair

@@ -104,6 +104,26 @@ class NearDupSpec extends SparkTestBase {
     }
   }
 
+  test("MinHashSig expression == staged HOF construction, bit for bit") {
+    // The fused codegen expression must reproduce the reference HOF chain
+    // (one md5 per shingle, h1/h2 split, per-slot array_min) exactly —
+    // the DuckDB oracle replays that construction digit-for-digit, so any
+    // drift here would surface as a driver hash mismatch.
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"), TextAnalysis.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), TextAnalysis.shinglesFromTokens(col("text"), col("tk")).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), s => md5(to_binary(s, lit("utf-8")))).as("ms"), col("sh"))
+      .select(col("doc_id"), col("sh"), transform(col("ms"), m => struct(
+        conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(m, 16, 14), 16, 10).cast("long").as("h2"))).as("hs"))
+    val bad = d.select(
+        graft.functions.MinHashSig.sig(col("sh"), 16).as("fast"),
+        NearDup.minHashSignature(col("hs"), 16).as("ref"))
+      .filter(not(col("fast") === col("ref"))).count()
+    assert(bad === 0)
+  }
+
   test("simHashNearDups: unsupported radii are rejected, never a degenerate join") {
     val sims = NearDup.simHash(docs, "doc_id", "text")
     val e = intercept[IllegalArgumentException] {
