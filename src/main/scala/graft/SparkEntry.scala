@@ -537,6 +537,52 @@ object SparkEntry {
             SELECT o_orderpriority, CAST(rk AS INTEGER) AS rk, o_orderkey
             FROM r WHERE rk <= 20 ORDER BY o_orderpriority, rk"""))
 
+  /** Proportional stratified sampling: ceil(12.5%) of every source
+    * stratum by deterministic md5 order. frac = 0.125 is deliberately
+    * dyadic — frac × count is exact IEEE arithmetic, so the ceil
+    * boundary replays in any engine (a decimal frac like 0.1 promotes to
+    * DECIMAL in DuckDB and double in Spark, which can disagree at the
+    * boundary).
+    */
+  private val qSampleStratified = Q(
+    (s, dir) =>
+      graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"),
+        Seq("source"), "doc_id", frac = 0.125)
+        .select(col("source"), col("rk"), col("doc_id"))
+        .orderBy("source", "rk"),
+    Some("""WITH r AS (SELECT source, doc_id,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY source) AS cnt
+              FROM documents)
+            SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
+            FROM r WHERE rk <= CEIL(0.125 * cnt) ORDER BY source, rk"""))
+
+  /** Token-budget mixing: per-source documents in deterministic md5 order
+    * until 2000 tokens — the "N tokens per domain" mixture step of a
+    * training-set build. Pure integer arithmetic (running sum of token
+    * counts), fully replayable.
+    */
+  private val qTokenBudget = Q(
+    (s, dir) => {
+      import graft.text.TextAnalysis
+      graft.ops.Sampling.tokenBudgetPerKey(
+        t(s, dir, "documents")
+          .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast(LongType)),
+        Seq("source"), "doc_id", "n_tokens", budget = 2000L)
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""WITH d AS (SELECT source, doc_id,
+                     len(string_split(text, ' ')) AS n_tokens FROM documents),
+            c AS (SELECT source, doc_id, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+                  FROM d)
+            SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(cum AS BIGINT) AS cum_tokens
+            FROM c WHERE cum <= 2000 ORDER BY source, doc_id"""))
+
   // ---------------------------------------------------------------------
   // Flagship composite: the reference's full transform_1.py chain
   // (sanitize → guard → dedup → initial date → rolling stats) replayed on

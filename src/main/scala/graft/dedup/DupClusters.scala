@@ -1,0 +1,89 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster resolution: near-dup PAIRS (from [[NearDup.minHashLsh]],
+  * [[NearDup.simHashNearDups]], or embedding near-dups) are only half the
+  * dedup story — "A≈B, B≈C" must collapse to ONE keeper for {A,B,C} even
+  * when (A,C) was never emitted as a pair. That is connected components
+  * over the pair graph, with the canonical keeper = the minimum id of each
+  * component (the same keep-min convention as [[NearDup.exactGroups]]).
+  *
+  * Algorithm: iterative min-label propagation — every node starts labeled
+  * with its own id; each round every node takes the min of its own and its
+  * neighbors' labels; fixpoint = component minima. Each round is one
+  * shuffle-join (edges ⋈ labels) plus one aggregation, so the total cost
+  * is O(diameter) shuffles of the EDGE list, never anything quadratic.
+  * Near-dup graphs have tiny diameters (duplicate families are
+  * near-cliques: most nodes are 1-2 hops from the component minimum), so
+  * the loop converges in a handful of rounds; for adversarial long-chain
+  * graphs the large-star/small-star alternation (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) converges
+  * in O(log n) rounds and would slot into the same driver loop. Every
+  * round is `localCheckpoint`ed: without it the lineage doubles per
+  * iteration and the 10th round replans 2¹⁰ joins.
+  *
+  * Determinism: min-label propagation is order-free (min is commutative/
+  * associative), so the result is a pure function of the pair set —
+  * oracle-replayable via a recursive reachability CTE.
+  */
+object DupClusters {
+
+  /** (id, cluster_id) for every id appearing in `pairs`, where
+    * `cluster_id` is the minimum id of the node's connected component.
+    * Throws after `maxIter` non-converged rounds (diameter > maxIter —
+    * for near-dup graphs that indicates pathological input, not a bigger
+    * budget).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // one hop: each node offers its label to every neighbor, then keeps
+      // the min of (own label, offered labels). Labels only ever decrease.
+      val offered = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.union(offered)
+        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnsRenamed(Map("cluster_id" -> "prev")), "id")
+        .filter(col("cluster_id") < col("prev"))
+        .limit(1).count() // existence check, not a full count
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the bound; raise maxIter or switch " +
+        "to star-contraction for long-chain graphs")
+    labels
+  }
+
+  /** Cluster report over a document set: every doc joined to its
+    * component (docs in no pair are their own singleton cluster), with
+    * the keep-min keeper flag — `filter(col("is_keeper"))` IS the dedup.
+    */
+  def clusterReport(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    docs.select(col(idCol).as("id"))
+      .join(cc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+        (coalesce(col("cluster_id"), col("id")) === col("id")).as("is_keeper"))
+  }
+}

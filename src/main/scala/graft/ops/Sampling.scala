@@ -58,4 +58,44 @@ object Sampling {
       .withColumn("rk", Windows.rowNumber(keyCols.map(col),
         Seq(col("ares_priority").desc, col(idCol))))
       .filter(col("rk") <= k)
+
+  /** Proportional stratified sample: `ceil(frac × stratum size)` rows per
+    * stratum (so no stratum rounds to empty), selected by the
+    * deterministic md5-of-id order. One window partition spec serves both
+    * the rank and the stratum count — one exchange, WindowGroupLimit does
+    * NOT apply (the count needs the whole stratum) but the state is one
+    * counter per stratum, not the population.
+    *
+    * Prefer dyadic `frac` values (0.125, 0.25, …) when results must
+    * replay in another engine: `frac × count` is then exact IEEE
+    * arithmetic; a decimal-literal frac invites engine-specific
+    * decimal-vs-double promotion at the ceil boundary.
+    */
+  def stratifiedSample(df: DataFrame, keyCols: Seq[String],
+                       idCol: String, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac=$frac must be in (0, 1]")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    df.withColumn("rk", Windows.rowNumber(keyCols.map(col),
+        Seq(md5(to_binary(col(idCol).cast(StringType), lit("utf-8"))), col(idCol))))
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .filter(col("rk") <= ceil(lit(frac) * col("__cnt")))
+      .drop("__cnt")
+  }
+
+  /** Token-budget mixing: per key (source/domain), keep documents in the
+    * deterministic md5-of-id order while the running token total stays
+    * within `budget` — the "N tokens per domain" mixture step of a
+    * training-set build. A doc is kept iff the budget wasn't already
+    * exhausted before it (`cum ≤ budget` on the inclusive running sum):
+    * one window, one exchange, integer arithmetic only.
+    */
+  def tokenBudgetPerKey(df: DataFrame, keyCols: Seq[String],
+                        idCol: String, tokensCol: String, budget: Long): DataFrame = {
+    val order = Seq(md5(to_binary(col(idCol).cast(StringType), lit("utf-8"))), col(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(order: _*)
+    df.withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
 }
