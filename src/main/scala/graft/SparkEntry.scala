@@ -1019,6 +1019,34 @@ object SparkEntry {
             ${minHashPairsCtes(bands = 4, rowsPerBand = 4, threshold = 0.9, maxBucket = 1000)}
             SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM pairs ORDER BY id_a, id_b"""))
 
+  /** Duplicate-CLUSTER resolution ([[graft.dedup.DupClusters]]): the LSH
+    * pair graph collapsed by connected components — "A≈B, B≈C" keeps ONE
+    * doc for {A,B,C} even though (A,C) was never emitted as a pair. The
+    * oracle replays the identical md5-replayed pair set and closes it with
+    * a recursive reachability CTE (min reachable id = cluster id), proving
+    * the iterative min-label-propagation loop against an independent
+    * fixpoint formulation.
+    */
+  private val qDupClusters = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val pairs = graft.dedup.NearDup.minHashLsh(
+        docs, "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+      graft.dedup.DupClusters.clusterReport(docs, "doc_id", pairs)
+        .orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 1000),
+            ${minHashPairsCtes(bands = 4, rowsPerBand = 4, threshold = 0.9, maxBucket = 1000)},
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (SELECT src, src FROM e
+                             UNION
+                             SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+            cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+            SELECT b.id, COALESCE(cc.cluster_id, b.id) AS cluster_id,
+                   COALESCE(cc.cluster_id, b.id) = b.id AS is_keeper
+            FROM base b LEFT JOIN cc ON cc.id = b.id ORDER BY b.id"""))
+
   /** SimHash near-dup pairs by Hamming radius. The oracle is deliberately
     * the BRUTE-FORCE all-pairs form — simHashNearDups' pigeonhole blocking
     * is an optimization that must lose no pairs, so hash-matching against
@@ -1365,6 +1393,8 @@ object SparkEntry {
     "q_explode_pos" -> qExplode,
     "q_sample_per_key" -> qSamplePerKey,
     "q_sample_weighted" -> qSampleWeighted,
+    "q_sample_stratified" -> qSampleStratified,
+    "q_token_budget" -> qTokenBudget,
     "q_text_stats" -> qTextStats,
     "q_text_quality" -> qTextQuality,
     "q_lang_id" -> qLangId,
@@ -1376,6 +1406,7 @@ object SparkEntry {
     "q_pack_bins" -> qPackBins,
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash_lsh" -> qMinHash,
+    "q_dup_clusters" -> qDupClusters,
     "q_dedup_simhash" -> qSimHash,
     "q_ann_bruteforce_topk" -> qAnnBrute,
     "q_ann_lsh_topk" -> qAnnLsh,

@@ -53,25 +53,35 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 
 object MinHashSig {
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Null shingle elements
+    * are skipped, matching the `array_min` null-skip of the HOF reference
+    * form (reachable: `shinglesFromTokens` falls back to `array(text)`,
+    * which holds a single null element when `text` is null). An array
+    * with no non-null element yields null slots, as `array_min` of an
+    * all-null array is NULL.
+    */
   def sign(shingles: ArrayData, numHashes: Int): ArrayData = {
     val n = shingles.numElements()
-    if (n == 0) return new GenericArrayData(new Array[Any](numHashes)) // null slots
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var contributed = false
     var s = 0
     while (s < n) {
-      val hex = DigestUtils.md5Hex(shingles.getUTF8String(s).getBytes)
-      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      val h2 = java.lang.Long.parseLong(hex.substring(15, 29), 16)
-      var i = 0
-      var g = h1 // h1 + i*h2, accumulated additively
-      while (i < numHashes) {
-        if (g < mins(i)) mins(i) = g
-        g += h2
-        i += 1
+      if (!shingles.isNullAt(s)) {
+        contributed = true
+        val hex = DigestUtils.md5Hex(shingles.getUTF8String(s).getBytes)
+        val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val h2 = java.lang.Long.parseLong(hex.substring(15, 29), 16)
+        var i = 0
+        var g = h1 // h1 + i*h2, accumulated additively
+        while (i < numHashes) {
+          if (g < mins(i)) mins(i) = g
+          g += h2
+          i += 1
+        }
       }
       s += 1
     }
+    if (!contributed) return new GenericArrayData(new Array[Any](numHashes)) // null slots
     new GenericArrayData(mins)
   }
 

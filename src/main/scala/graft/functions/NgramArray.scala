@@ -20,8 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * the sf0.1 documents table (5 000 docs, ~260 k 3-grams) the HOF form
   * took 16.7 s where this expression takes well under a second — a ~30×
   * gap that at 100 TB is the difference between a scan-bound and an
-  * interpreter-bound corpus pass. Semantics are identical (concat_ws
-  * skips null elements; UTF8String.concatWs does the same).
+  * interpreter-bound corpus pass. Per-element semantics are identical
+  * (concat_ws skips null elements; UTF8String.concatWs does the same).
+  *
+  * NULL-input difference vs the HOF form: a NULL token array yields NULL
+  * here (standard null-intolerant expression), where the
+  * `when(size(t) >= n, …).otherwise(empty)` formulation yielded an empty
+  * array (`size(NULL)` is NULL → otherwise branch). Equivalent under
+  * `explode`/`explode_outer`-then-drop consumers (both produce zero gram
+  * rows — every call site in this library); visible only to a consumer
+  * reading `size()` of the result directly, which should coalesce.
   */
 case class NgramArray(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"n=$n: n-gram width must be >= 1")

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DupClusters
+
+class DupClustersSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pairsDf(ps: (Long, Long)*) = ps.toDF("id_a", "id_b")
+
+  private def labelsOf(ps: Seq[(Long, Long)]): Map[Long, Long] =
+    DupClusters.connectedComponents(pairsDf(ps: _*)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+
+  test("connectedComponents: chain A-B, B-C collapses to min label") {
+    val m = labelsOf(Seq((2L, 3L), (1L, 2L))) // 1-2, 2-3: one component
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("connectedComponents: transitive closure across a pair never emitted") {
+    // A≈B and B≈C but (A,C) absent — still one cluster
+    val m = labelsOf(Seq((10L, 20L), (20L, 30L), (30L, 40L)))
+    assert(m.values.toSet === Set(10L))
+    assert(m.keySet === Set(10L, 20L, 30L, 40L))
+  }
+
+  test("connectedComponents: disjoint components keep separate minima") {
+    val m = labelsOf(Seq((1L, 5L), (5L, 3L), (7L, 9L)))
+    assert(m === Map(1L -> 1L, 5L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents: long chain converges (diameter rounds)") {
+    // path 0-1-2-...-9: worst-case diameter for 10 nodes
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    val m = labelsOf(chain)
+    assert(m.size === 10)
+    assert(m.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: edge direction is irrelevant") {
+    assert(labelsOf(Seq((5L, 1L))) === labelsOf(Seq((1L, 5L))))
+  }
+
+  test("connectedComponents: maxIter too small for the diameter throws") {
+    val chain = (0L until 9L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      DupClusters.connectedComponents(pairsDf(chain: _*), maxIter = 2).collect()
+    }
+  }
+
+  test("clusterReport: singletons are their own keeper; one keeper per cluster") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val rep = DupClusters.clusterReport(docs, "doc_id", pairsDf((2L, 3L), (3L, 4L)))
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_keeper"))).toSet
+    assert(rep === Set(
+      (1L, 1L, true),  // singleton: no pair row, own cluster, keeper
+      (2L, 2L, true),  // component {2,3,4} keeper
+      (3L, 2L, false),
+      (4L, 2L, false),
+      (5L, 5L, true)))
+  }
+
+  test("clusterReport: filter(is_keeper) is the dedup (one survivor per family)") {
+    val docs = (0L until 8L).toDF("doc_id")
+    val rep = DupClusters.clusterReport(docs, "doc_id",
+      pairsDf((0L, 1L), (1L, 2L), (4L, 5L)))
+    val keepers = rep.filter(col("is_keeper")).select("id")
+      .as[Long].collect().sorted
+    assert(keepers === Array(0L, 3L, 4L, 6L, 7L))
+  }
+}

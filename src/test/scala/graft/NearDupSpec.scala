@@ -124,6 +124,21 @@ class NearDupSpec extends SparkTestBase {
     assert(bad === 0)
   }
 
+  test("MinHashSig: null shingle elements are skipped, all-null yields null slots") {
+    // Reachable: shinglesFromTokens falls back to array(text), which holds
+    // one null element when text is null. The HOF reference form tolerated
+    // it (array_min skips nulls); the fused expression must too, not NPE.
+    val rows = Seq(
+      (1L, Seq[String]("a b c", null)),       // null mixed with real shingle
+      (2L, Seq[String](null)),                // all-null → null slots
+      (3L, Seq[String]("a b c"))              // control
+    ).toDF("id", "sh")
+    val got = rows.select(col("id"), graft.functions.MinHashSig.sig(col("sh"), 4).as("sig"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Any](1)).toMap
+    assert(got(1L) === got(3L))               // null element contributed nothing
+    assert(got(2L).forall(_ == null))         // array_min of all-null is NULL
+  }
+
   test("simHashNearDups: unsupported radii are rejected, never a degenerate join") {
     val sims = NearDup.simHash(docs, "doc_id", "text")
     val e = intercept[IllegalArgumentException] {
