@@ -915,23 +915,170 @@ object SparkEntry {
         "doc_id", "text", n = 3, minHits = 5)
         .orderBy("id")
     },
-    Some(s"""WITH gr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+    Some(decontamSql(split = 450, minHits = 5)))
+
+  /** Contamination-report oracle, shared by the exact and Bloom-prefiltered
+    * variants — the Bloom path's exact-confirm join makes its output
+    * row-identical to the exact path, which is precisely the property the
+    * shared SQL proves.
+    */
+  private def decontamSql(split: Int, minHits: Int): String =
+    s"""WITH gr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
                     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
                     WHERE len(toks) >= 3),
             gh AS (SELECT DISTINCT doc_id, ${md5LongSql("g")} AS gh FROM gr),
-            trg AS (SELECT * FROM gh WHERE doc_id < 450),
-            beg AS (SELECT DISTINCT gh FROM gh WHERE doc_id >= 450),
+            trg AS (SELECT * FROM gh WHERE doc_id < $split),
+            beg AS (SELECT DISTINCT gh FROM gh WHERE doc_id >= $split),
             tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM trg GROUP BY doc_id),
             hit AS (SELECT trg.doc_id, COUNT(*) AS n_hits FROM trg JOIN beg USING (gh) GROUP BY trg.doc_id),
-            ids AS (SELECT doc_id FROM documents WHERE doc_id < 450)
+            ids AS (SELECT doc_id FROM documents WHERE doc_id < $split)
             SELECT ids.doc_id AS id,
                    COALESCE(n_grams, 0) AS n_grams,
                    COALESCE(n_hits, 0) AS n_hits,
                    ROUND(COALESCE(CAST(n_hits AS DOUBLE) / n_grams, 0.0), 6) AS overlap,
-                   COALESCE(n_hits, 0) >= 5 AS contaminated
+                   COALESCE(n_hits, 0) >= $minHits AS contaminated
             FROM ids LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+            ORDER BY id"""
+
+  /** [[qDecontaminate]]'s 100 TB shape ([[graft.text.Decontaminate
+    * .bloomFlagContaminated]]): benchmark grams become a driver-built
+    * Bloom filter evaluated per training gram inside the scan stage
+    * (codegen'd [[graft.functions.BloomMightContainLong]]), so only
+    * hits + ~fpp of grams reach the contamination join; survivors are
+    * exact-confirmed. The oracle is the SAME report SQL as the exact
+    * variant (different split so the two queries don't alias): false
+    * positives must be invisible in the result.
+    */
+  private val qDecontaminateBloom = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Decontaminate.bloomFlagContaminated(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "doc_id", "text", n = 3, minHits = 5, fpp = 0.01)
+        .orderBy("id")
+    },
+    Some(decontamSql(split = 400, minHits = 5)))
+
+  /** Per-document n-gram repetition report ([[graft.text.CorpusStats
+    * .repetitionStats]]) — the Gopher-style "fraction of the doc that is
+    * its own most frequent / any repeated 2-gram" quality signals, as
+    * explode → two-level partial aggregation (never a per-row
+    * interpreted-lambda pass over gram arrays).
+    */
+  private val qRepetition = Q(
+    (s, dir) =>
+      graft.text.CorpusStats.repetitionStats(
+        t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .orderBy("id"),
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            gr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1])) AS g
+                   FROM d WHERE len(toks) >= 2),
+            gh AS (SELECT doc_id, ${md5LongSql("g")} AS gh FROM gr),
+            pg AS (SELECT doc_id, gh, COUNT(*) AS occ FROM gh GROUP BY doc_id, gh),
+            pd AS (SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_ngrams,
+                          CAST(MAX(occ) AS BIGINT) AS top_ngram_count,
+                          CAST(SUM(CASE WHEN occ > 1 THEN occ ELSE 0 END) AS BIGINT) AS dup_occ
+                   FROM pg GROUP BY doc_id)
+            SELECT d.doc_id AS id,
+                   COALESCE(n_ngrams, 0) AS n_ngrams,
+                   COALESCE(top_ngram_count, 0) AS top_ngram_count,
+                   ROUND(COALESCE(CAST(top_ngram_count AS DOUBLE) / n_ngrams, 0.0), 6) AS top_ngram_frac,
+                   ROUND(COALESCE(CAST(dup_occ AS DOUBLE) / n_ngrams, 0.0), 6) AS dup_ngram_frac
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
             ORDER BY id"""))
+
+  /** Corpus vocabulary top-k ([[graft.text.CorpusStats.vocabulary]]):
+    * most frequent tokens with corpus share — plans as partial agg +
+    * TakeOrderedAndProject (no global sort of a web-scale vocabulary),
+    * with the corpus total as a broadcast 1-row frame.
+    */
+  private val qVocabulary = Q(
+    (s, dir) =>
+      graft.text.CorpusStats.vocabulary(t(s, dir, "documents"), "text", topN = 50),
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+            cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS occurrences FROM tok GROUP BY token),
+            tot AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total FROM documents)
+            SELECT token, occurrences,
+                   ROUND(CAST(occurrences AS DOUBLE) / (SELECT total FROM tot), 6) AS corpus_frac
+            FROM cnt ORDER BY occurrences DESC, token LIMIT 50"""))
+
+  /** Exact grouped quantiles: Spark's `percentile` (true percentile, not
+    * approx) vs DuckDB `quantile_cont` — both linear interpolation at
+    * rank (n-1)·q, and l_quantity is integral-valued, so the
+    * interpolation arithmetic is exact IEEE in both engines (the float-
+    * determinism playbook: quarters of integers are exactly
+    * representable).
+    */
+  private val qGroupQuantiles = Q(
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_quantity")).as("q_min"),
+          percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))).as("qs"),
+          max(col("l_quantity")).as("q_max"))
+        .select(col("l_returnflag"), col("n"),
+          col("q_min"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"),
+          col("q_max"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(l_quantity) AS q_min,
+                   quantile_cont(l_quantity, 0.25) AS p25,
+                   quantile_cont(l_quantity, 0.5) AS p50,
+                   quantile_cont(l_quantity, 0.75) AS p75,
+                   MAX(l_quantity) AS q_max
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** PII redaction ([[graft.text.TextAnalysis.redactPii]]): emails, IPv4s,
+    * international phone numbers and long digit runs scrubbed by a pure
+    * per-row codegen'd regexp chain (no shuffle), plus per-class match
+    * counts on the raw text. The dirty input is constructed
+    * deterministically from customer columns (the testdata has no organic
+    * PII), and the oracle replays both the construction and the identical
+    * regex chain — the patterns are written in the common Java-regex ∩ RE2
+    * dialect so both engines match the same spans.
+    */
+  private val qPiiScrub = Q(
+    (s, dir) => {
+      val dirty = concat(
+        col("c_name"), lit(" <"),
+        col("c_custkey").cast(StringType), lit("@example.com +"),
+        (col("c_custkey") + lit(10000000L)).cast(StringType), lit(" ip 10.0."),
+        col("c_nationkey").cast(StringType), lit(".1 acct "),
+        (col("c_custkey") + lit(900000000L)).cast(StringType), lit(">"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), dirty.as("dirty"))
+        .select(col("c_custkey"),
+          graft.text.TextAnalysis.redactPii(col("dirty")).as("redacted"),
+          regexp_count(col("dirty"),
+            lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).as("n_email"),
+          regexp_count(col("dirty"), lit("\\b(\\d{1,3}\\.){3}\\d{1,3}\\b")).as("n_ip"),
+          regexp_count(col("dirty"), lit("\\+\\d{7,15}")).as("n_phone"),
+          regexp_count(col("dirty"), lit("\\b\\d{9,}\\b")).as("n_num"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH d AS (SELECT c_custkey,
+                   c_name || ' <' || c_custkey || '@example.com +' ||
+                   (c_custkey + 10000000) || ' ip 10.0.' || c_nationkey ||
+                   '.1 acct ' || (c_custkey + 900000000) || '>' AS dirty
+            FROM customer)
+            SELECT c_custkey,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(dirty,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                     '\+\d{7,15}', '<PHONE>', 'g'),
+                     '\b\d{9,}\b', '<NUM>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+                   CAST(len(regexp_extract_all(dirty, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS INTEGER) AS n_ip,
+                   CAST(len(regexp_extract_all(dirty, '\+\d{7,15}')) AS INTEGER) AS n_phone,
+                   CAST(len(regexp_extract_all(dirty, '\b\d{9,}\b')) AS INTEGER) AS n_num
+            FROM d ORDER BY c_custkey"""))
 
   /** Fixed-token-window chunking (size 32, stride 24 → 8-token overlap):
     * the per-row explode a training loader's chunker performs, with the
@@ -1402,6 +1549,11 @@ object SparkEntry {
     "q_dedup_exact" -> qDedupExact,
     "q_trainset_build" -> qTrainset,
     "q_decontaminate" -> qDecontaminate,
+    "q_decontaminate_bloom" -> qDecontaminateBloom,
+    "q_repetition" -> qRepetition,
+    "q_vocabulary" -> qVocabulary,
+    "q_group_quantiles" -> qGroupQuantiles,
+    "q_pii_scrub" -> qPiiScrub,
     "q_chunk_windows" -> qChunk,
     "q_pack_bins" -> qPackBins,
     "q_ngram_jaccard" -> qNgramJaccard,

@@ -75,6 +75,51 @@ object Decontaminate {
         (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** [[flagContaminated]] with a Bloom prefilter on the contamination
+    * join — the 100 TB shape. The exact form shuffles EVERY training
+    * (id, gram-hash) row into the hash join even though almost none match
+    * a benchmark gram; here a Bloom filter built over the benchmark
+    * hashes (driver-side `df.stat.bloomFilter`, a few hundred MB of bits
+    * even for 10⁹ grams at 1% fpp) is evaluated per training gram inside
+    * the scan stage ([[graft.functions.BloomMightContainLong]], codegen'd),
+    * so only the surviving fraction — true hits plus ~fpp of the rest —
+    * reaches the exchange. The survivors are then exact-confirmed against
+    * the real benchmark set, so false positives never reach the result:
+    * output is row-identical to [[flagContaminated]] (same oracle SQL).
+    *
+    * Costs vs the exact form, stated honestly: the tokenize→ngram chain
+    * runs twice over the training side (once for per-doc totals, once for
+    * the prefiltered hit join) — both passes are scan-stage codegen with
+    * map-side partial aggregation, trading recompute (cheap, no exchange)
+    * for shuffle volume (the bottleneck); and building the filter is one
+    * extra action over the benchmark side (count + sketch), negligible
+    * when the benchmark is the small side — which is the contract (a
+    * corpus-sized "benchmark" should use [[flagContaminated]] directly).
+    */
+  def bloomFlagContaminated(train: DataFrame, bench: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 13, minHits: Long = 1L,
+                            fpp: Double = 0.01): DataFrame = {
+    val benchGrams = ngramHashes(bench, idCol, textCol, n)
+      .select("gh").distinct()
+    val expected = math.max(benchGrams.count(), 1L)
+    val bloom = benchGrams.stat.bloomFilter("gh", expected, fpp)
+    val trainGrams = ngramHashes(train, idCol, textCol, n)
+    val totals = trainGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val hits = trainGrams
+      .filter(graft.functions.BloomMightContainLong.mightContain(col("gh"), bloom))
+      .join(benchGrams.withColumn("hit", lit(1)), Seq("gh"), "left")
+      .groupBy("id").agg(count(col("hit")).as("n_hits"))
+    train.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(try_divide(col("n_hits"), col("n_grams")), lit(0.0)), 6).as("overlap"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
   /** The filter form: `train` minus contaminated docs — the operator a
     * pipeline actually composes ([[flagContaminated]] is the report form).
     */

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{CorpusStats, TextAnalysis}
+
+class CorpusStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "a b a b a b"),        // 2-grams: ab,ba,ab,ba,ab → top "a b"=3 of 5, all dup
+    (2L, "x y z w"),            // 3 distinct 2-grams, nothing repeats
+    (3L, "solo"),               // < 2 tokens: no grams
+    (4L, "p q p q r r p q")     // 7 grams: pq×3, qp, qr, rr, rp → dup occ 3
+  ).toDF("doc_id", "text")
+
+  test("repetitionStats: counts, top fraction, duplicate fraction") {
+    val m = CorpusStats.repetitionStats(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_ngrams") === 5L)
+    assert(m(1L).getAs[Long]("top_ngram_count") === 3L)
+    assert(m(1L).getAs[Double]("top_ngram_frac") === 0.6)
+    assert(m(1L).getAs[Double]("dup_ngram_frac") === 1.0) // every gram occurs 2+
+    assert(m(2L).getAs[Long]("n_ngrams") === 3L)
+    assert(m(2L).getAs[Double]("dup_ngram_frac") === 0.0)
+    assert(m(3L).getAs[Long]("n_ngrams") === 0L)          // too short to repeat
+    assert(m(3L).getAs[Double]("top_ngram_frac") === 0.0)
+    assert(m(4L).getAs[Long]("n_ngrams") === 7L)
+    assert(m(4L).getAs[Long]("top_ngram_count") === 3L)
+    assert(m(4L).getAs[Double]("dup_ngram_frac") === math.rint(3.0 / 7.0 * 1e6) / 1e6)
+  }
+
+  test("vocabulary: top-N by count with lexicographic tie-break, exact shares") {
+    val d = Seq("b a a", "c b a").toDF("text") // a=3, b=2, c=1, total 6
+    val v = CorpusStats.vocabulary(d, "text", topN = 2).collect()
+    assert(v.map(_.getAs[String]("token")).toSeq === Seq("a", "b"))
+    assert(v.map(_.getAs[Long]("occurrences")).toSeq === Seq(3L, 2L))
+    assert(v.head.getAs[Double]("corpus_frac") === 0.5)
+    // tie: equal counts ranked lexicographically
+    val tied = CorpusStats.vocabulary(Seq("z y", "y z").toDF("text"), "text", 1).collect()
+    assert(tied.head.getAs[String]("token") === "y")
+  }
+
+  test("redactPii: each rule class, non-PII text untouched") {
+    val got = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "host 192.168.0.1 up",
+      "call +4915112345678 ok",
+      "card 4111222233334444 used",
+      "clean text stays clean",
+      "short 12345678 digits survive" // 8 digits: below the \d{9,} floor
+    ).toDF("t").select(TextAnalysis.redactPii(col("t")).as("r")).as[String].collect()
+    assert(got(0) === "mail <EMAIL> now")
+    assert(got(1) === "host <IP> up")
+    assert(got(2) === "call <PHONE> ok")
+    assert(got(3) === "card <NUM> used")
+    assert(got(4) === "clean text stays clean")
+    assert(got(5) === "short 12345678 digits survive")
+  }
+}

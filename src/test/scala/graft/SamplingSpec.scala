@@ -48,4 +48,31 @@ class SamplingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  test("stratifiedSample: ceil(frac x stratum) per stratum, deterministic") {
+    // strata of 8, 5, 1 rows at frac=0.25 → keep 2, 2, 1
+    val df = ((1L to 8L).map(("a", _)) ++ (9L to 13L).map(("b", _)) ++ Seq(("c", 14L)))
+      .toDF("key", "id")
+    val got = Sampling.stratifiedSample(df, Seq("key"), "id", frac = 0.25)
+    val byKey = got.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKey === Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    // ranks are contiguous from 1 and rebuilds agree (md5 order is fixed)
+    val a = got.select("key", "rk", "id").collect().map(_.toSeq).toSet
+    val b = Sampling.stratifiedSample(df, Seq("key"), "id", frac = 0.25)
+      .select("key", "rk", "id").collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
+  test("tokenBudgetPerKey: inclusive running sum caps each key at the budget") {
+    val df = Seq(("s", 1L, 40L), ("s", 2L, 40L), ("s", 3L, 40L), ("t", 9L, 500L))
+      .toDF("key", "id", "n_tokens")
+    val got = Sampling.tokenBudgetPerKey(df, Seq("key"), "id", "n_tokens", budget = 100L)
+      .select("key", "id", "cum_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val s = got.filter(_._1 == "s")
+    assert(s.length === 2, s"kept ${s.toSeq}") // 3rd doc would overflow 100
+    assert(s.map(_._3).max === 80L)
+    assert(got.count(_._1 == "t") === 0)       // first doc alone busts the budget
+  }
 }
