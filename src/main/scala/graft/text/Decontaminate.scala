@@ -100,8 +100,13 @@ object Decontaminate {
                             idCol: String, textCol: String,
                             n: Int = 13, minHits: Long = 1L,
                             fpp: Double = 0.01): DataFrame = {
+    // the benchmark side is read three times (count for sizing, sketch
+    // build, exact-confirm join) — persist the distinct hashes so the
+    // tokenize→ngram chain runs once; the contract is a small benchmark
+    // side, so this is cache-resident where the training side never is
     val benchGrams = ngramHashes(bench, idCol, textCol, n)
       .select("gh").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = math.max(benchGrams.count(), 1L)
     val bloom = benchGrams.stat.bloomFilter("gh", expected, fpp)
     val trainGrams = ngramHashes(train, idCol, textCol, n)

