@@ -583,6 +583,68 @@ object SparkEntry {
                    CAST(cum AS BIGINT) AS cum_tokens
             FROM c WHERE cum <= 2000 ORDER BY source, doc_id"""))
 
+  /** Interval-containment join ([[graft.ops.RangeJoin]]): lineitem ship
+    * dates against 30-day order-derived windows, bucketed on a 30-day
+    * grid so the containment predicate runs as a hash equi-join + residual
+    * — never the BroadcastNestedLoopJoin a raw theta join plans. The
+    * oracle is the naive theta join: the bucketing must be invisible in
+    * the result.
+    */
+  private val qRangeJoin = Q(
+    (s, dir) => {
+      val wins = t(s, dir, "orders").filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          col("o_orderpriority").as("priority"),
+          col("o_orderdate").as("ws"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("we"))
+      val li = t(s, dir, "lineitem").select(col("l_shipdate"), col("l_quantity"))
+      val joined = graft.ops.RangeJoin.bucketedRangeJoin(
+        li, "l_shipdate", wins, "ws", "we",
+        widthMicros = 30L * 86400L * 1000000L)
+        .groupBy("win_id", "priority")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+      wins.select("win_id", "priority")
+        .join(joined, Seq("win_id", "priority"), "left")
+        .select(col("win_id"), col("priority"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("sum_qty"), lit(0.0)).as("sum_qty"))
+        .orderBy("win_id")
+    },
+    Some("""WITH win AS (SELECT o_orderkey AS win_id, o_orderpriority AS priority,
+                   o_orderdate AS ws, o_orderdate + INTERVAL 30 DAY AS we
+            FROM orders WHERE o_orderkey % 199 = 0)
+            SELECT w.win_id, w.priority,
+                   CAST(COUNT(l.l_quantity) AS BIGINT) AS n,
+                   COALESCE(SUM(l.l_quantity), 0.0) AS sum_qty
+            FROM win w LEFT JOIN lineitem l
+              ON l.l_shipdate >= w.ws AND l.l_shipdate < w.we
+            GROUP BY 1, 2 ORDER BY win_id"""))
+
+  /** Distribution-rank features (ntile / percent_rank / cume_dist) — the
+    * per-stratum normalized-rank features of a feature pipeline. All three
+    * are exact rational arithmetic over ranks with a unique ordering key,
+    * so the doubles are bit-identical across engines (no rounding needed).
+    */
+  private val qRankFeatures = Q(
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(4).over(w).as("tile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_orderpriority,
+                   CAST(ntile(4) OVER w AS INTEGER) AS tile,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+            ORDER BY o_orderkey"""))
+
   // ---------------------------------------------------------------------
   // Flagship composite: the reference's full transform_1.py chain
   // (sanitize → guard → dedup → initial date → rolling stats) replayed on
@@ -1536,6 +1598,8 @@ object SparkEntry {
     "q_cube" -> qCube,
     "q_lag_lead" -> qLagLead,
     "q_range_frame" -> qRangeFrame,
+    "q_range_join" -> qRangeJoin,
+    "q_rank_features" -> qRankFeatures,
     "q_pivot" -> qPivot,
     "q_explode_pos" -> qExplode,
     "q_sample_per_key" -> qSamplePerKey,

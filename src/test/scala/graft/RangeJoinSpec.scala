@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.RangeJoin
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val Hour = 3600L * 1000000L
+
+  private lazy val probe = Seq(
+    (1L, ts("2024-03-01 00:00:00")), // exactly on a range start
+    (2L, ts("2024-03-01 05:59:59")),
+    (3L, ts("2024-03-01 06:00:00")), // exactly on that range's end → excluded
+    (4L, ts("2024-03-02 13:30:00")),
+    (5L, ts("2024-03-05 00:00:00"))  // in no range
+  ).toDF("pid", "t")
+
+  private lazy val ranges = Seq(
+    (100L, ts("2024-03-01 00:00:00"), ts("2024-03-01 06:00:00")), // 6h
+    (200L, ts("2024-03-02 03:00:00"), ts("2024-03-03 03:00:00")), // 24h, spans buckets
+    (300L, ts("2024-03-01 05:00:00"), ts("2024-03-01 07:00:00"))  // overlaps 100
+  ).toDF("rid", "ws", "we")
+
+  private def pairs(widthMicros: Long): Set[(Long, Long)] =
+    RangeJoin.bucketedRangeJoin(probe, "t", ranges, "ws", "we", widthMicros)
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private lazy val naive: Set[(Long, Long)] =
+    probe.join(ranges, col("t") >= col("ws") && col("t") < col("we"))
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("half-open [start, end) semantics, multi-range membership") {
+    assert(naive === Set((1L, 100L), (2L, 100L), (2L, 300L), (3L, 300L), (4L, 200L)))
+    assert(pairs(6 * Hour) === naive)
+  }
+
+  test("bucket width is invisible in the result (coarse, fine, misaligned)") {
+    for (w <- Seq(1 * Hour, 7 * Hour, 24 * Hour, 999999999L))
+      assert(pairs(w) === naive, s"width $w")
+  }
+
+  test("plans as a hash equi-join on the grid, not a nested-loop theta join") {
+    val p = RangeJoin.bucketedRangeJoin(probe, "t", ranges, "ws", "we", 6 * Hour)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed range join must be an equi-join:\n$p")
+  }
+
+  test("registry q_range_join: bucketing invisible vs the naive theta join") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q_range_join")(spark, dir).collect()
+    val wins = graft.ops.Tables.read(spark, dir, "orders")
+      .filter(col("o_orderkey") % 199 === 0)
+      .select(col("o_orderkey").as("win_id"), col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("ws"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("we"))
+    val li = graft.ops.Tables.read(spark, dir, "lineitem")
+    val naiveAgg = wins.join(li,
+        col("l_shipdate") >= col("ws") && col("l_shipdate") < col("we"), "left")
+      .groupBy("win_id", "priority")
+      .agg(count(col("l_quantity")).as("n"),
+        coalesce(sum("l_quantity"), lit(0.0)).as("sum_qty"))
+      .orderBy("win_id").collect()
+    assert(got.length === naiveAgg.length)
+    got.zip(naiveAgg).foreach { case (g, e) => assert(g === e) }
+  }
+}
