@@ -88,16 +88,38 @@ object DotProduct {
     graftbridge.column(DotProduct(graftbridge.expression(a), graftbridge.expression(b)))
 }
 
-/** Session extension registering `vec_dot(a, b)` for SQL users — install
-  * with `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+/** Session extension registering the library's codegen'd expressions for
+  * SQL users — `vec_dot(a, b)`, `minhash_sig(shingles, k)`,
+  * `ngrams(tokens, n)` — install with `.withExtensions(new
+  * GraftExtensions)` or `spark.sql.extensions=graft.functions
+  * .GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** The int a SQL-literal argument folds to (`minhash_sig(sh, 16)`),
+    * with a named error when a non-literal sneaks in.
+    */
+  private def litInt(e: Expression, fn: String, arg: String): Int =
+    if (e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType)
+      e.eval().asInstanceOf[Int]
+    else throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got ${e.sql}")
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) => MinHashSig(children.head,
+        litInt(children(1), "minhash_sig", "numHashes"))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("ngrams"),
+      new ExpressionInfo(classOf[NgramArray].getName, "ngrams"),
+      (children: Seq[Expression]) => NgramArray(children.head,
+        litInt(children(1), "ngrams", "n"))))
     e.injectOptimizerRule(_ => graft.plans.ShareWindowExchange)
   }
 }

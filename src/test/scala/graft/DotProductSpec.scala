@@ -50,4 +50,22 @@ class DotProductSpec extends SparkTestBase {
     val r = spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
     assert(r.getDouble(0) === 11.0)
   }
+
+  test("GraftExtensions registers vec_dot / minhash_sig / ngrams for SQL users") {
+    // the shared test session is built withExtensions(GraftExtensions) —
+    // these must resolve without any temp-function plumbing
+    assert(spark.sql("SELECT vec_dot(array(1.0d), array(5.0d)) AS d")
+      .head().getDouble(0) === 5.0)
+    val g = spark.sql("SELECT ngrams(array('a','b','c'), 2) AS g")
+      .head().getSeq[String](0)
+    assert(g === Seq("a b", "b c"))
+    val sig = spark.sql("SELECT minhash_sig(array('a b c'), 4) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length === 4)
+    // non-literal arity knob fails with the named error, not a cast blowup
+    val err = intercept[Exception] {
+      spark.sql("SELECT ngrams(array('a'), CAST(rand()*3 AS INT))").collect()
+    }
+    assert(err.getMessage.contains("integer literal"), err.getMessage)
+  }
 }
