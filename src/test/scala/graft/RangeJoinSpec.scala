@@ -44,6 +44,20 @@ class RangeJoinSpec extends SparkTestBase {
       assert(pairs(w) === naive, s"width $w")
   }
 
+  test("null timestamps and null bounds drop, matching theta-join semantics") {
+    val p = Seq((1L, Some(ts("2024-03-01 01:00:00"))), (2L, None))
+      .toDF("pid", "t")
+    val r = Seq(
+      (100L, Some(ts("2024-03-01 00:00:00")), Some(ts("2024-03-02 00:00:00"))),
+      (200L, None, Some(ts("2024-03-02 00:00:00"))))
+      .toDF("rid", "ws", "we")
+    val got = RangeJoin.bucketedRangeJoin(p, "t", r, "ws", "we", 24 * Hour)
+      .select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // a null on either side fails the containment predicate in a naive
+    // theta join — the bucketed form must agree (null bucket keys don't join)
+    assert(got === Set((1L, 100L)))
+  }
+
   test("plans as a hash equi-join on the grid, not a nested-loop theta join") {
     val p = RangeJoin.bucketedRangeJoin(probe, "t", ranges, "ws", "we", 6 * Hour)
       .queryExecution.executedPlan.toString

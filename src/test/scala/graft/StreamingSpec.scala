@@ -137,4 +137,34 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() === batchClosed.count())
     assert(streamed.exceptAll(batchClosed).count() === 0)
   }
+
+  test("text quality gate is streaming-safe: stream output equals batch") {
+    // the whole text tier (tokens/quality/lang-id/redaction/fingerprints)
+    // is stateless per-row expressions, so a streaming ingest can gate and
+    // scrub documents with the identical code path as batch — assert it,
+    // so a stateful construct sneaking into TextAnalysis fails here
+    import graft.text.TextAnalysis
+    def gate(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        TextAnalysis.redactPii(col("text")).as("clean_text"),
+        TextAnalysis.docFingerprint(col("text")).as("fp"))
+      .filter(col("quality") > 0.3)
+
+    val src = tmp() // stream sources must be directories
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val q = gate(spark.readStream.schema(schema).parquet(src))
+      .writeStream.outputMode("append").format("memory").queryName("gate_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("gate_out")
+    val batch = gate(spark.read.parquet(src))
+    assert(streamed.count() === batch.count())
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
 }
