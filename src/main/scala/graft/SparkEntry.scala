@@ -984,8 +984,8 @@ object SparkEntry {
     * row-identical to the exact path, which is precisely the property the
     * shared SQL proves.
     */
-  private def decontamSql(split: Int, minHits: Int): String =
-    s"""WITH gr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+  private def decontamCtes(split: Int): String =
+    s"""gr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
                     FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
                     WHERE len(toks) >= 3),
@@ -994,7 +994,10 @@ object SparkEntry {
             beg AS (SELECT DISTINCT gh FROM gh WHERE doc_id >= $split),
             tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM trg GROUP BY doc_id),
             hit AS (SELECT trg.doc_id, COUNT(*) AS n_hits FROM trg JOIN beg USING (gh) GROUP BY trg.doc_id),
-            ids AS (SELECT doc_id FROM documents WHERE doc_id < $split)
+            ids AS (SELECT doc_id FROM documents WHERE doc_id < $split)"""
+
+  private def decontamSql(split: Int, minHits: Int): String =
+    s"""WITH ${decontamCtes(split)}
             SELECT ids.doc_id AS id,
                    COALESCE(n_grams, 0) AS n_grams,
                    COALESCE(n_hits, 0) AS n_hits,
@@ -1021,6 +1024,48 @@ object SparkEntry {
         .orderBy("id")
     },
     Some(decontamSql(split = 400, minHits = 5)))
+
+  /** The filter form a pipeline actually composes ([[graft.text
+    * .Decontaminate.removeContaminated]]): training docs minus the
+    * contaminated set, as a left anti join — the report query proves the
+    * counts, this one proves the surviving id set.
+    */
+  private val qDecontaminateRemoved = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Decontaminate.removeContaminated(
+        d.filter(col("doc_id") < 450), d.filter(col("doc_id") >= 450),
+        "doc_id", "text", n = 3, minHits = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${decontamCtes(450)}
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.doc_id < 450
+              AND d.doc_id NOT IN (SELECT doc_id FROM hit WHERE n_hits >= 5)
+            ORDER BY d.doc_id"""))
+
+  /** Frame-sampling plumbing ([[graft.multimodal.Multimodal
+    * .sampleFrames]]): payloads split into fixed 64-byte frames, every
+    * 2nd kept — the oracle replays frame count and the first frame's
+    * digest byte-for-byte (ASCII text ⇒ char slices = byte slices).
+    */
+  private val qFrameSample = Q(
+    (s, dir) => {
+      val withBin = graft.multimodal.Multimodal.withBinaryPayload(
+        t(s, dir, "documents"), "text")
+      graft.multimodal.Multimodal.sampleFrames(withBin, "payload",
+        frameBytes = 64, stride = 2)
+        .select(col("doc_id"),
+          col("n_frames_sampled"),
+          md5(element_at(col("frames"), 1)).as("first_frame_digest"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS INTEGER)
+                     AS n_frames_sampled,
+                   md5(substring(text, 1, 64)) AS first_frame_digest
+            FROM documents ORDER BY doc_id"""))
 
   /** Per-document n-gram repetition report ([[graft.text.CorpusStats
     * .repetitionStats]]) — the Gopher-style "fraction of the doc that is
@@ -1614,6 +1659,8 @@ object SparkEntry {
     "q_trainset_build" -> qTrainset,
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
+    "q_decontaminate_removed" -> qDecontaminateRemoved,
+    "q_frame_sample" -> qFrameSample,
     "q_repetition" -> qRepetition,
     "q_vocabulary" -> qVocabulary,
     "q_group_quantiles" -> qGroupQuantiles,
