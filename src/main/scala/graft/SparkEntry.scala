@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.ops.{Cleansing, Dedup, Tables, Windows}
+import graft.ops.{Cleansing, Dedup, Normalize, Tables, Windows}
 
 /** Driver contract — one named query per implemented operator from
   * SURVEY.md §2 (+ the north-star LLM-pipeline operators), each with an
@@ -1067,6 +1067,71 @@ object SparkEntry {
                    md5(substring(text, 1, 64)) AS first_frame_digest
             FROM documents ORDER BY doc_id"""))
 
+  /** Per-stratum feature normalization ([[graft.ops.Normalize]]): z-score
+    * (exact-sum stddev shape — the float-determinism playbook) and
+    * min-max scaling in one window pass, one exchange.
+    */
+  private val qNormalize = Q(
+    (s, dir) => {
+      val keyed = Normalize.minMaxScale(
+        Normalize.zscore(t(s, dir, "lineitem"), Seq("l_returnflag"), "l_quantity", "z"),
+        Seq("l_returnflag"), "l_quantity", "mm")
+      keyed.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_returnflag"),
+          round(col("z"), 6).as("z"), round(col("mm"), 6).as("mm"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+    Some("""WITH w AS (
+              SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+                     l_quantity AS x,
+                     SUM(l_quantity) OVER k AS sx,
+                     SUM(l_quantity * l_quantity) OVER k AS sx2,
+                     COUNT(l_quantity) OVER k AS n,
+                     MIN(l_quantity) OVER k AS lo,
+                     MAX(l_quantity) OVER k AS hi
+              FROM lineitem
+              WINDOW k AS (PARTITION BY l_returnflag))
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+                   ROUND((x - sx / n) / SQRT((sx2 - sx * sx / n) / (n - 1)), 6) AS z,
+                   ROUND((x - lo) / (hi - lo), 6) AS mm
+            FROM w ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""))
+
+  /** Distribution profiling ([[graft.ops.Normalize.histogram]]): fixed-
+    * width token-count histogram per source — pure integer binning,
+    * partial-aggregated.
+    */
+  private val qTokenHistogram = Q(
+    (s, dir) =>
+      graft.ops.Normalize.histogram(
+        t(s, dir, "documents").select(col("source"),
+          graft.text.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        Seq("source"), "n_tokens", binWidth = 10)
+        .orderBy("source", "bin_lo"),
+    Some("""SELECT source,
+                   CAST(FLOOR(len(string_split(text, ' ')) / 10) * 10 AS BIGINT) AS bin_lo,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1, 2 ORDER BY source, bin_lo"""))
+
+  /** Incremental exact dedup ([[graft.dedup.NearDup.dedupAgainstCorpus]]):
+    * each ingest batch anti-joined against the historical corpus's
+    * fingerprint set — 16-byte digests cross the shuffle, never text.
+    */
+  private val qDedupIncremental = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.dedup.NearDup.dedupAgainstCorpus(
+        d.filter(col("doc_id") < 250), d.filter(col("doc_id") >= 250),
+        "doc_id", "text")
+        .select(col("doc_id"), col("fingerprint"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, md5(lower(text)) AS fingerprint, source
+            FROM documents
+            WHERE doc_id < 250
+              AND md5(lower(text)) NOT IN
+                  (SELECT md5(lower(text)) FROM documents WHERE doc_id >= 250)
+            ORDER BY doc_id"""))
+
   /** Per-document n-gram repetition report ([[graft.text.CorpusStats
     * .repetitionStats]]) — the Gopher-style "fraction of the doc that is
     * its own most frequent / any repeated 2-gram" quality signals, as
@@ -1662,6 +1727,9 @@ object SparkEntry {
     "q_decontaminate_removed" -> qDecontaminateRemoved,
     "q_frame_sample" -> qFrameSample,
     "q_repetition" -> qRepetition,
+    "q_normalize" -> qNormalize,
+    "q_token_histogram" -> qTokenHistogram,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_vocabulary" -> qVocabulary,
     "q_group_quantiles" -> qGroupQuantiles,
     "q_pii_scrub" -> qPiiScrub,

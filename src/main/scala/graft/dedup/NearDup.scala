@@ -64,6 +64,25 @@ object NearDup {
       .groupBy(TextAnalysis.docFingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup: `newDocs` minus any document whose content
+    * fingerprint already exists in `seenDocs` — the production shape of
+    * exact dedup, where each ingest batch checks against the historical
+    * corpus instead of re-deduplicating it. The anti join carries 128-bit
+    * digests only (the seen side reduces to its distinct fingerprint set
+    * before the join), so the historical corpus contributes 16 bytes per
+    * distinct document, not its text — in practice the seen side is a
+    * pre-materialized fingerprint table, not a rescan.
+    */
+  def dedupAgainstCorpus(newDocs: DataFrame, seenDocs: DataFrame,
+                         idCol: String, textCol: String): DataFrame = {
+    val seenFp = seenDocs
+      .select(TextAnalysis.docFingerprint(col(textCol)).as("fingerprint"))
+      .distinct()
+    newDocs
+      .withColumn("fingerprint", TextAnalysis.docFingerprint(col(textCol)))
+      .join(seenFp, Seq("fingerprint"), "left_anti")
+  }
+
   // -------------------------------------------------------------------
   // Exact Jaccard on token sets (the verifier for candidate pairs, and a
   // standalone operator for small/linear pair sets)

@@ -124,6 +124,16 @@ class NearDupSpec extends SparkTestBase {
     assert(bad === 0)
   }
 
+  test("dedupAgainstCorpus: batch minus seen fingerprints, digests not text") {
+    val seen = Seq((90L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (91L, "historical document unrelated to the new batch entirely")).toDF("doc_id", "text")
+    val kept = NearDup.dedupAgainstCorpus(docs, seen, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    // docs 0 and 1 duplicate seen#90 exactly → dropped; near-dups (2, 4) are
+    // NOT dropped — this operator is exact-only by contract
+    assert(kept === Array(2L, 3L, 4L, 5L))
+  }
+
   test("MinHashSig: null shingle elements are skipped, all-null yields null slots") {
     // Reachable: shinglesFromTokens falls back to array(text), which holds
     // one null element when text is null. The HOF reference form tolerated
