@@ -20,17 +20,24 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    // Timing policy (BASELINE.md "Bench variance"): 1 untimed warmup pass
+    // per query (JIT + code cache + parquet footer cache), then
+    // median-of-`repeats` timed passes. Two identical-binary rounds
+    // swung ±30% under the old min-of-2 — min keeps the single luckiest
+    // run, so one quiet moment fakes a speedup and one GC spike is
+    // invisible; the median of 3 warm runs is the statistic a regression
+    // has to actually move.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       // noop sink: materializes every row/column of the result (unlike
       // count(), which lets the optimizer delete sorts and projections).
-      // min over repeats: drops JIT warm-up and one-off GC/load spikes.
       // A failed query must NOT read as a near-zero "speedup": record -1
       // (clearly invalid) and shout on stderr.
       var failed = false
-      val times = (1 to repeats).map { _ =>
+      def run(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
@@ -39,14 +46,17 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> (if (failed) -1.0 else times.min)
+      (1 to warmups).foreach(_ => run())
+      val times = (1 to repeats).map(_ => run()).sorted
+      // upper median for even n: the conservative (pessimistic) pick
+      name -> (if (failed) -1.0 else times(times.length / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum // failed (-1) excluded
-    // "repeats" recorded so round-over-round deltas are readable as signal
-    // vs single-run JVM noise (min-of-2 is the default).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"queries":$qs,"sf":"$sfDir"}""")
+    // policy fields recorded so round-over-round deltas are readable as
+    // signal vs JVM noise (warmup + median-of-3 is the default).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"warmups":$warmups,"policy":"median","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -93,16 +93,43 @@ object SparkEntry {
             FROM lineitem"""))
 
   /** P2 dynamic all-null column drop: testdata has no all-null column, so we
-    * inject one and assert it (and only it) is pruned. Rows-only check here;
-    * exact schema behavior is unit-tested in CleansingSpec.
+    * inject one ("ghost") and return the pruned frame's kept columns — one
+    * row per kept name, sorted. The pruned *frame* has a data-dependent
+    * schema, but the *decision* does not: the oracle replays it from
+    * per-column non-null counts (`etl/transform_1.py:50-55`). Frame-schema
+    * behavior itself stays unit-tested (OpsSpec / PipelineSpec).
     */
   private val qP2 = Q(
     (s, dir) => {
+      import s.implicits._
       val li = t(s, dir, "lineitem").withColumn("ghost", lit(null).cast(DoubleType))
       val pruned = Cleansing.pruneAllNullColumns(li, essential = Set("l_orderkey"))
-      pruned.select(lit(pruned.columns.mkString("|")).as("kept_columns")).distinct()
+      pruned.columns.sorted.toSeq.toDF("kept_column").orderBy("kept_column")
     },
-    None)
+    Some("""WITH counts AS (
+              SELECT count(l_orderkey) AS l_orderkey, count(l_partkey) AS l_partkey,
+                     count(l_suppkey) AS l_suppkey, count(l_linenumber) AS l_linenumber,
+                     count(l_quantity) AS l_quantity, count(l_extendedprice) AS l_extendedprice,
+                     count(l_discount) AS l_discount, count(l_tax) AS l_tax,
+                     count(l_returnflag) AS l_returnflag, count(l_linestatus) AS l_linestatus,
+                     count(l_shipdate) AS l_shipdate,
+                     count(CAST(NULL AS DOUBLE)) AS ghost
+              FROM lineitem),
+            cols AS (
+              SELECT 'l_orderkey' AS kept_column, l_orderkey AS cnt, TRUE AS essential FROM counts
+              UNION ALL SELECT 'l_partkey', l_partkey, FALSE FROM counts
+              UNION ALL SELECT 'l_suppkey', l_suppkey, FALSE FROM counts
+              UNION ALL SELECT 'l_linenumber', l_linenumber, FALSE FROM counts
+              UNION ALL SELECT 'l_quantity', l_quantity, FALSE FROM counts
+              UNION ALL SELECT 'l_extendedprice', l_extendedprice, FALSE FROM counts
+              UNION ALL SELECT 'l_discount', l_discount, FALSE FROM counts
+              UNION ALL SELECT 'l_tax', l_tax, FALSE FROM counts
+              UNION ALL SELECT 'l_returnflag', l_returnflag, FALSE FROM counts
+              UNION ALL SELECT 'l_linestatus', l_linestatus, FALSE FROM counts
+              UNION ALL SELECT 'l_shipdate', l_shipdate, FALSE FROM counts
+              UNION ALL SELECT 'ghost', ghost, FALSE FROM counts)
+            SELECT kept_column FROM cols WHERE essential OR cnt > 0
+            ORDER BY kept_column"""))
 
   // ---------------------------------------------------------------------
   // §2.6 sanitizer casts (dirty inputs synthesized so the oracle can
@@ -1058,13 +1085,17 @@ object SparkEntry {
         frameBytes = 64, stride = 2)
         .select(col("doc_id"),
           col("n_frames_sampled"),
-          md5(element_at(col("frames"), 1)).as("first_frame_digest"))
+          // try_element_at: a zero-byte payload has frames = [] — ANSI
+          // element_at would ABORT the job on it; NULL matches the
+          // oracle's CASE octet_length = 0 guard
+          md5(try_element_at(col("frames"), lit(1))).as("first_frame_digest"))
         .orderBy("doc_id")
     },
     Some("""SELECT doc_id,
                    CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS INTEGER)
                      AS n_frames_sampled,
-                   md5(substring(text, 1, 64)) AS first_frame_digest
+                   CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+                        ELSE md5(substring(text, 1, 64)) END AS first_frame_digest
             FROM documents ORDER BY doc_id"""))
 
   /** Per-stratum feature normalization ([[graft.ops.Normalize]]): z-score
@@ -1205,6 +1236,27 @@ object SparkEntry {
                    quantile_cont(l_quantity, 0.5) AS p50,
                    quantile_cont(l_quantity, 0.75) AS p75,
                    MAX(l_quantity) AS q_max
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Exact per-group median via the typed [[graft.functions.ExactMedian]]
+    * Aggregator (SURVEY §4's custom-Aggregator candidate; the reference
+    * only has the `percentile_approx` sketch, `etl/transform_1.py:96`).
+    * `med_qty` is over integral-valued doubles — bit-exact in any engine,
+    * no rounding; `med_price` exercises non-integral inputs, ROUNDed on
+    * both sides because even-count interpolation differs in the last ulp
+    * between (lo+hi)/2 and DuckDB's lo+(hi-lo)*0.5.
+    */
+  private val qMedianExact = Q(
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          graft.functions.ExactMedian(col("l_quantity")).as("med_qty"),
+          round(graft.functions.ExactMedian(col("l_extendedprice")), 6).as("med_price"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   median(l_quantity) AS med_qty,
+                   ROUND(median(l_extendedprice), 6) AS med_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** PII redaction ([[graft.text.TextAnalysis.redactPii]]): emails, IPv4s,
@@ -1421,11 +1473,13 @@ object SparkEntry {
   private val qAnnLsh = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      graft.similarity.Ann.lshBucketedTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      // nBits pinned (default is AutoBits, corpus-count-sized) so the
+      // embedded-plane oracle below stays stable across SFs
+      graft.similarity.Ann.lshBucketedTopK(emb, emb.filter(col("vec_id") < 5), k = 10, nBits = 8)
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
         .orderBy("qid", "rank")
     }, {
-      // must mirror lshBucketedTopK's defaults: nBits=8, dim=64, seed=42,
+      // must mirror the pinned knobs: nBits=8, dim=64, seed=42,
       // nTables=4, k=10 (RegressionSpec pins the plane constants)
       val tablePlanes = (0 until 4).map(tb => graft.similarity.Ann.hyperplanes(8, 64, 42L + tb))
       val cbCase = tablePlanes.zipWithIndex.map { case (p, tb) =>
@@ -1469,11 +1523,13 @@ object SparkEntry {
   private val qAnnRetrieval = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      graft.similarity.Ann.lshShuffledTopK(emb, emb, k = 5)
+      // nBits pinned (default is AutoBits) so the embedded-plane oracle
+      // below stays stable across SFs
+      graft.similarity.Ann.lshShuffledTopK(emb, emb, k = 5, nBits = 8)
         .select(col("qid"), col("rank"), col("cid"), col("cosine"))
         .orderBy("qid", "rank")
     }, {
-      // mirrors lshShuffledTopK defaults: nBits=8, dim=64, seed=42,
+      // mirrors the pinned knobs: nBits=8, dim=64, seed=42,
       // nTables=4, maxBucket=100000, k=5
       val tablePlanes = (0 until 4).map(tb => graft.similarity.Ann.hyperplanes(8, 64, 42L + tb))
       val cbCase = tablePlanes.zipWithIndex.map { case (p, tb) =>
@@ -1573,9 +1629,11 @@ object SparkEntry {
     */
   private val qEmbedNearDup = Q(
     (s, dir) =>
-      graft.similarity.Ann.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.3)
+      // nBits pinned (default is AutoBits) so the embedded-plane oracle
+      // below stays stable across SFs
+      graft.similarity.Ann.embeddingNearDups(t(s, dir, "embeddings"), threshold = 0.3, nBits = 8)
         .orderBy("id_a", "id_b"), {
-      // mirrors embeddingNearDups defaults: nBits=8, dim=64, seed=42,
+      // mirrors the pinned knobs: nBits=8, dim=64, seed=42,
       // maxBucket=1000, threshold=0.3
       val planes = graft.similarity.Ann.hyperplanes(8, 64, 42L)
       Some(s"""WITH b AS (
@@ -1749,6 +1807,7 @@ object SparkEntry {
     "q_json_extract" -> qJson,
     "q_asof_join" -> qAsOf,
     "q_resample_daily" -> qResample,
+    "q_median_exact" -> qMedianExact,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -100,9 +100,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * with a named error when a non-literal sneaks in.
     */
   private def litInt(e: Expression, fn: String, arg: String): Int =
-    if (e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType)
-      e.eval().asInstanceOf[Int]
-    else throw new IllegalArgumentException(
+    if (e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType) {
+      // a foldable NULL (e.g. CAST(NULL AS INT)) evals to null, and
+      // null.asInstanceOf[Int] unboxes to 0 — silently bypassing the
+      // named error with a nonsense parameter
+      val v = e.eval()
+      if (v == null) throw new IllegalArgumentException(
+        s"$fn: $arg must be a non-NULL integer literal, got ${e.sql}")
+      v.asInstanceOf[Int]
+    } else throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got ${e.sql}")
 
   override def apply(e: SparkSessionExtensions): Unit = {

@@ -44,11 +44,18 @@ object RangeJoin {
       unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
     val p = probe.withColumn("__bucket", floor(micros(tsCol) / w))
     // end is exclusive: the last bucket a range touches is the one holding
-    // end - 1µs (a range ending exactly on a grid line does not spill over)
+    // end - 1µs (a range ending exactly on a grid line does not spill over).
+    // Inverted/empty ranges (end <= start) are dropped BEFORE the explode:
+    // the 2-arg sequence defaults to step -1 when stop < start, silently
+    // exploding |span|/width junk buckets that only the residual filter
+    // would discard — unbounded wasted work on bad input. The explicit
+    // step=1 then documents (and enforces) the ascending contract.
     val r = ranges
+      .filter(micros(endCol) > micros(startCol))
       .withColumn("__bucket", explode(sequence(
         floor(micros(startCol) / w),
-        floor((micros(endCol) - 1) / w))))
+        floor((micros(endCol) - 1) / w),
+        lit(1L))))
     p.join(r, Seq("__bucket"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")

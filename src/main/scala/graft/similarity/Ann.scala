@@ -48,6 +48,41 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Sentinel `nBits` value: size the buckets from the corpus count via
+    * [[nBitsFor]] (one `count()` action — parquet answers it from
+    * row-group metadata, no row data is read).
+    */
+  val AutoBits: Int = -1
+
+  /** The bucket-width law (BASELINE.md "ANN retrieval scale law"):
+    * expected per-(table, bucket) occupancy is |C|/2^nBits and candidate
+    * volume — hence bucket-join time — grows linearly with it, so holding
+    * nBits fixed while the corpus grows 10× makes the join ~10× heavier
+    * per query (the one measured hotspot in this module; raising the bits
+    * restored linear time, 4.7× faster at 10×). The knob must therefore
+    * track the corpus: nBits = ceil(log2(|C| / targetOccupancy)), clamped
+    * to [4, 28].
+    *
+    * `targetOccupancy = 8` reproduces the measured-good configurations
+    * (2 k corpus → 8 bits, 20 k → 12 bits — the AnnBench row that
+    * restored linearity). Occupancy buys candidates, not recall quality:
+    * use `nTables` to buy recall back (BASELINE.md interpretation).
+    */
+  def nBitsFor(corpusCount: Long, targetOccupancy: Int = 8): Int = {
+    require(corpusCount > 0, s"corpusCount=$corpusCount must be positive")
+    require(targetOccupancy > 0, s"targetOccupancy=$targetOccupancy must be positive")
+    val raw = math.ceil(
+      math.log(corpusCount.toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.min(28, math.max(4, raw))
+  }
+
+  /** Resolve the `nBits` argument: [[AutoBits]] → [[nBitsFor]] of the
+    * corpus count; an explicit value passes through (registry queries pin
+    * explicit bits so their embedded-plane oracles stay stable).
+    */
+  private def resolveBits(nBits: Int, corpus: DataFrame): Int =
+    if (nBits == AutoBits) nBitsFor(math.max(corpus.count(), 1L)) else nBits
+
   /** Deterministic pseudo-random hyperplanes: `nBits` × `dim`, components
     * from a fixed-seed generator, materialized as plan literals (no
     * runtime randomness — reruns and resumes see identical planes).
@@ -88,10 +123,11 @@ object Ann {
     * [[requireDim]]).
     */
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                      nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
+                      nBits: Int = AutoBits, dim: Int = 64, seed: Long = 42L,
                       nTables: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val tablePlanes = (0 until nTables).map(t => hyperplanes(nBits, dim, seed + t))
+    val bits = resolveBits(nBits, corpus)
+    val tablePlanes = (0 until nTables).map(t => hyperplanes(bits, dim, seed + t))
     val c0 = requireDim(
       corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")),
       col("cvec"), dim, "lshBucketedTopK(corpus)")
@@ -106,7 +142,7 @@ object Ann {
       col("qvec"), dim, "lshBucketedTopK(queries)")
       .withColumn("qn", VectorOps.norm(col("qvec")))
     // per table: own bucket + every 1-bit flip (multi-probe)
-    val probes = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
+    val probes = array((lit(0L) +: (0 until bits).map(i => lit(1L << i))): _*)
     val q = qBase.select(col("qid"), col("qvec"), col("qn"), explode(array(
       tablePlanes.zipWithIndex.map { case (p, t) =>
         struct(lit(t).as("tbl"), bucketExpr(col("qvec"), p).as("b0"))
@@ -145,10 +181,11 @@ object Ann {
     * variant, so the two agree wherever their candidate sets overlap.
     */
   def lshShuffledTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                      nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
+                      nBits: Int = AutoBits, dim: Int = 64, seed: Long = 42L,
                       nTables: Int = 4, maxBucket: Int = 100000,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val tablePlanes = (0 until nTables).map(t => hyperplanes(nBits, dim, seed + t))
+    val bits = resolveBits(nBits, corpus)
+    val tablePlanes = (0 until nTables).map(t => hyperplanes(bits, dim, seed + t))
     // corpus postings: one (cid, tbl, bucket) row per table — no payload
     val cPost = requireDim(
       corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")),
@@ -161,7 +198,7 @@ object Ann {
       .filter(col("count") <= maxBucket).select("tbl", "bucket")
     val cCap = cPost.join(okBuckets, Seq("tbl", "bucket"))
     // query probes: own bucket + 1-bit flips per table — still no payload
-    val probes = array((lit(0L) +: (0 until nBits).map(i => lit(1L << i))): _*)
+    val probes = array((lit(0L) +: (0 until bits).map(i => lit(1L << i))): _*)
     val qPost = requireDim(
       queries.select(col(idCol).as("qid"), col(vecCol).as("qvec")),
       col("qvec"), dim, "lshShuffledTopK(queries)")
@@ -201,10 +238,10 @@ object Ann {
     * comparisons.
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double,
-                        nBits: Int = 8, dim: Int = 64, seed: Long = 42L,
+                        nBits: Int = AutoBits, dim: Int = 64, seed: Long = 42L,
                         maxBucket: Int = 1000,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = hyperplanes(nBits, dim, seed)
+    val planes = hyperplanes(resolveBits(nBits, corpus), dim, seed)
     val c = requireDim(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
       col("vec"), dim, "embeddingNearDups")

@@ -101,14 +101,22 @@ object Decontaminate {
                             n: Int = 13, minHits: Long = 1L,
                             fpp: Double = 0.01): DataFrame = {
     // the benchmark side is read three times (count for sizing, sketch
-    // build, exact-confirm join) — persist the distinct hashes so the
-    // tokenize→ngram chain runs once; the contract is a small benchmark
-    // side, so this is cache-resident where the training side never is
+    // build, exact-confirm join) — persist the distinct hashes across the
+    // two eager driver-side actions (count + bloomFilter) so the
+    // tokenize→ngram chain runs once for them, then RELEASE the cache
+    // before returning: a long-lived session calling this repeatedly must
+    // not accumulate cached blocks it has no handle to drop. The lazy
+    // exact-confirm join below recomputes the chain once at execution
+    // time — the contract is a small benchmark side, so that recompute is
+    // a scan-stage pass over the small side, not a corpus read.
     val benchGrams = ngramHashes(bench, idCol, textCol, n)
       .select("gh").distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val expected = math.max(benchGrams.count(), 1L)
-    val bloom = benchGrams.stat.bloomFilter("gh", expected, fpp)
+    benchGrams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try {
+        val expected = math.max(benchGrams.count(), 1L)
+        benchGrams.stat.bloomFilter("gh", expected, fpp)
+      } finally benchGrams.unpersist(blocking = true)
     val trainGrams = ngramHashes(train, idCol, textCol, n)
     val totals = trainGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
     val hits = trainGrams

@@ -116,9 +116,51 @@ class AnnSpec extends SparkTestBase {
     val corpus = ((0L until 40L).map(i => (i, hot.clone())) ++
       Seq((100L, cold.clone()), (101L, cold.map(x => x + 0.01f))))
       .toDF("vec_id", "embedding")
-    val got = Ann.lshShuffledTopK(corpus, corpus, k = 3, maxBucket = 10)
+    // nBits pinned: this asserts the CAP; auto-sizing a 42-vector corpus
+    // would give 4-bit buckets where random directions collide by chance
+    val got = Ann.lshShuffledTopK(corpus, corpus, k = 3, nBits = 8, maxBucket = 10)
       .select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((100L, 101L), (101L, 100L)), s"got $got")
+  }
+
+  test("nBitsFor: occupancy bounded as the corpus grows — candidate volume stays ~linear") {
+    // the scale law (BASELINE.md): candidate volume ≈ nTables × (nBits+1)
+    // × |Q| × |C|/2^nBits. Auto-sizing must hold |C|/2^nBits (occupancy)
+    // bounded so 10× corpus means ~10× candidates, not ~100×.
+    val ladder = Seq(1000L, 10000L, 100000L, 1000000L, 10000000L, 100000000L)
+    ladder.foreach { n =>
+      val b = Ann.nBitsFor(n)
+      val occ = n.toDouble / (1L << b)
+      assert(occ <= 8.0 + 1e-9, s"|C|=$n nBits=$b occupancy=$occ exceeds target")
+      assert(occ > 2.0, s"|C|=$n nBits=$b occupancy=$occ over-split (recall waste)")
+    }
+    // reproduces the measured-good AnnBench configs
+    assert(Ann.nBitsFor(2000L) === 8)
+    assert(Ann.nBitsFor(20000L) === 12)
+    // 10× corpus growth at auto bits: per-query candidate volume grows
+    // ≤ ~1.4× (the (bits+1) probe factor), i.e. total work stays ~linear
+    ladder.init.zip(ladder.tail).foreach { case (n, n10) =>
+      def perQueryVol(c: Long) = {
+        val b = Ann.nBitsFor(c)
+        4.0 * (b + 1) * (c.toDouble / (1L << b))
+      }
+      val growth = perQueryVol(n10) / perQueryVol(n)
+      assert(growth <= 1.6,
+        s"per-query candidate volume grew ${growth}× for 10× corpus ($n→$n10)")
+    }
+    // clamps: tiny corpora floor at 4 bits, planet-scale ceils at 28
+    assert(Ann.nBitsFor(10L) === 4)
+    assert(Ann.nBitsFor(Long.MaxValue / 2) === 28)
+  }
+
+  test("auto-nBits wiring: default ≡ explicit nBitsFor(corpus.count())") {
+    val q = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "cid", "cosine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val auto = rows(Ann.lshBucketedTopK(emb, q, k = 5))
+    val pinned = rows(Ann.lshBucketedTopK(emb, q, k = 5, nBits = Ann.nBitsFor(emb.count())))
+    assert(auto === pinned)
   }
 
   test("embeddingNearDups: symmetric pairs, threshold respected, a<b") {

@@ -31,6 +31,24 @@ class BloomDecontaminateSpec extends SparkTestBase {
     exact.zip(bloomed).foreach { case (e, b) => assert(e === b) }
   }
 
+  test("bloomFlagContaminated releases its cache — no leaked blocks") {
+    // regression: the benchmark-gram cache used for sizing + sketch build
+    // must be dropped before the call returns — a long-lived session
+    // calling this per-batch would otherwise accumulate cached blocks
+    // with no release handle. Snapshot-diff because the suite session is
+    // shared (other suites may legitimately hold caches).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rep = Decontaminate.bloomFlagContaminated(
+      docs.filter(col("doc_id") < 80), docs.filter(col("doc_id") >= 80),
+      "doc_id", "text", n = 3, minHits = 5, fpp = 0.01)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "cache must be released before the call returns")
+    assert(rep.count() > 0) // and the returned (recomputing) plan still runs
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "execution of the returned plan must not resurrect the cache")
+  }
+
   test("bloom false positives never reach the report (exact confirm)") {
     // adversarial fpp: at 0.5 the prefilter passes ~half of everything,
     // so the exact-confirm join is what keeps the output correct

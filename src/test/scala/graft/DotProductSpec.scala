@@ -67,5 +67,11 @@ class DotProductSpec extends SparkTestBase {
       spark.sql("SELECT ngrams(array('a'), CAST(rand()*3 AS INT))").collect()
     }
     assert(err.getMessage.contains("integer literal"), err.getMessage)
+    // a foldable NULL knob is foldable AND int-typed — it must hit the
+    // named error too, not unbox null to 0 and silently run with k=0
+    val nullErr = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a b c'), CAST(NULL AS INT))").collect()
+    }
+    assert(nullErr.getMessage.contains("non-NULL integer literal"), nullErr.getMessage)
   }
 }

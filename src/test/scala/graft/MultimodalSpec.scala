@@ -33,6 +33,25 @@ class MultimodalSpec extends SparkTestBase {
       .forall { case (a, b) => a.features.sameElements(b.features) && a.n_bytes == b.n_bytes })
   }
 
+  test("sampleFrames: zero-byte payload — Spark NULL digest ≡ oracle CASE NULL") {
+    // the q_frame_sample oracle guards md5(substring(text,1,64)) with
+    // CASE octet_length(text)=0 → NULL; this pins both sides of that
+    // contract on an empty document so a fixture with one ever agrees
+    val empty = Seq((1L, ""), (2L, "payload!")).toDF("doc_id", "text")
+    val framed = Multimodal.sampleFrames(
+      Multimodal.withBinaryPayload(empty, "text"), "payload", frameBytes = 64, stride = 2)
+      .select($"doc_id", $"n_frames_sampled",
+        md5(try_element_at($"frames", lit(1))).as("spark_digest"),
+        // oracle replay (same expression the DuckDB side runs)
+        when(octet_length($"text") === 0, lit(null))
+          .otherwise(md5(substring($"text", 1, 64))).as("oracle_digest"))
+      .orderBy("doc_id").collect()
+    assert(framed(0).getInt(1) === 0)
+    assert(framed(0).isNullAt(2) && framed(0).isNullAt(3), "empty doc: both sides NULL")
+    assert(!framed(1).isNullAt(2) && framed(1).getString(2) === framed(1).getString(3),
+      "non-empty doc: both sides same digest")
+  }
+
   test("sampleFrames: byte-range frame sampling with stride") {
     val framed = Multimodal.sampleFrames(
       Multimodal.withBinaryPayload(docs, "text"), "payload", frameBytes = 4, stride = 2)

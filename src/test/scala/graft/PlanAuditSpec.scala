@@ -122,10 +122,21 @@ class PlanAuditSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.toLowerCase.contains("bloommightcontainlong"),
       s"the codegen'd bloom test must be in the plan:\n$p")
-    // the prefilter must sit under the exchange: in the text plan the
-    // Filter(bloommightcontainlong) node appears BELOW (after, in
-    // top-down print order) the first exchange of its branch — cheap
-    // proxy: the expression never appears above the scan-side projection
+    // node-order assert: the bloom Filter must sit on the SCAN side of its
+    // branch — its subtree (deeper-indented following lines) must reach a
+    // scan without crossing an Exchange. If an exchange ever slipped below
+    // the filter, every training gram would shuffle before being tested
+    // and the prefilter's whole point (shrink the exchange) is lost.
+    val lines = p.linesIterator.toVector
+    def indent(l: String) = l.indexWhere(c => !" :+-".contains(c))
+    val fIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.toLowerCase.contains("bloommightcontainlong"))
+    assert(fIdx >= 0, s"expected a Filter node carrying the bloom test:\n$p")
+    val subtree = lines.drop(fIdx + 1).takeWhile(l => indent(l) > indent(lines(fIdx)))
+    assert(subtree.exists(_.contains("Scan")),
+      s"bloom filter must sit directly above its scan:\n$p")
+    assert(!subtree.exists(_.contains("Exchange")),
+      s"no exchange may run below the bloom prefilter:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -58,6 +58,23 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got === Set((1L, 100L)))
   }
 
+  test("inverted ranges (end <= start) explode zero candidate buckets") {
+    // Regression: the 2-arg sequence defaults to step -1 when stop < start,
+    // so a 50-year inverted range at 1ms grid would explode ~1.6e12 junk
+    // buckets (the residual filter hides them — correct output, unbounded
+    // work). With the pre-explode guard this returns instantly and empty;
+    // without it this test would never finish.
+    val bad = Seq(
+      (900L, ts("2074-01-01 00:00:00"), ts("2024-03-01 00:00:00")), // inverted, huge
+      (901L, ts("2024-03-01 00:00:00"), ts("2024-03-01 00:00:00")), // empty [x, x)
+      (100L, ts("2024-03-01 00:00:00"), ts("2024-03-01 06:00:00"))  // valid
+    ).toDF("rid", "ws", "we")
+    val got = RangeJoin.bucketedRangeJoin(probe, "t", bad, "ws", "we", 1000L)
+      .select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    // valid range still matches; inverted/empty ranges contribute nothing
+    assert(got === Set((1L, 100L), (2L, 100L)))
+  }
+
   test("plans as a hash equi-join on the grid, not a nested-loop theta join") {
     val p = RangeJoin.bucketedRangeJoin(probe, "t", ranges, "ws", "we", 6 * Hour)
       .queryExecution.executedPlan.toString
