@@ -1,14 +1,25 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-stratum feature normalization — the "scale this column within its
-  * group" step of a feature pipeline, as whole-partition window
-  * aggregates: one exchange per key set, no driver-side statistics pass,
-  * no second scan (the naive groupBy-stats-then-join-back shape reads the
-  * fact table twice and shuffles it twice).
+  * group" step of a feature pipeline, as group statistics via partial
+  * aggregation + join-back.
+  *
+  * Why not `Window.partitionBy(stratum)` (the rounds-≤7 shape): a window
+  * partitioned by a LOW-cardinality stratum key routes every row of the
+  * fact table through |strata| reducer tasks — parallelism equals the
+  * number of strata, not the cluster. The 100× soak measured it: 60 M
+  * rows through 3 `l_returnflag` strata took 293 s, ~300× the 1× time
+  * (BASELINE.md round-8 soak). The agg+join shape scans the input twice,
+  * but both passes are fully parallel: the aggregation ships only
+  * map-side partials (|partitions| × |strata| tiny rows) through the
+  * exchange, and the join-back attaches ≤|strata| stats rows — which AQE
+  * turns into a broadcast join at runtime whenever they fit. No explicit
+  * broadcast hint: at 10⁸ strata a forced broadcast would OOM the driver;
+  * at 3 strata AQE broadcasts by itself. Full scan parallelism at every
+  * stratum cardinality.
   *
   * Float-determinism discipline (NOTES.md playbook): the z-score derives
   * stddev from SUM/SUM(x²)/COUNT with the exact expression shape an
@@ -18,8 +29,19 @@ import org.apache.spark.sql.functions._
   */
 object Normalize {
 
-  private def byKeys(keyCols: Seq[String]) =
-    Window.partitionBy(keyCols.map(col): _*)
+  /** Left-join per-key `stats` back onto `df` with NULL-SAFE key equality,
+    * preserving the window formulation's semantics where a NULL stratum
+    * key is a group of its own (a plain equi-join would orphan NULL-key
+    * rows). Stats key columns travel under reserved names and are dropped
+    * after the join.
+    */
+  private def joinStats(df: DataFrame, stats: DataFrame,
+                        keyCols: Seq[String]): DataFrame = {
+    val renamed = keyCols.foldLeft(stats)((s, k) => s.withColumnRenamed(k, s"__k_$k"))
+    val cond = keyCols.map(k => col(k) <=> col(s"__k_$k"))
+      .reduceOption(_ && _).getOrElse(lit(true)) // no keys → global stats row
+    df.join(renamed, cond, "left").drop(keyCols.map(k => s"__k_$k"): _*)
+  }
 
   /** Sample-stddev z-score of `valueCol` within each key group:
     * `(x − μ) / σ`. Groups with fewer than 2 rows or zero variance yield
@@ -27,19 +49,20 @@ object Normalize {
     */
   def zscore(df: DataFrame, keyCols: Seq[String], valueCol: String,
              outCol: String): DataFrame = {
-    val w = byKeys(keyCols)
     val x = col(valueCol)
-    val n = count(x).over(w)
-    val sumX = sum(x).over(w)
-    val sumX2 = sum(x * x).over(w)
-    val mean = sumX / n
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(count(x).as("__n"), sum(x).as("__sx"), sum(x * x).as("__sx2"))
+    val n = col("__n")
+    val mean = col("__sx") / n
     // try_divide: n = 1 must be NULL, not an ANSI divide-by-zero abort;
     // greatest-0 clamp: catastrophic cancellation can leave the variance
     // a hair negative — clamp lands std at 0, which the outer try_divide
     // turns into NULL (greatest skips the n=1 NULL the same way)
-    val varr = try_divide(sumX2 - sumX * sumX / n, n - lit(1))
+    val varr = try_divide(col("__sx2") - col("__sx") * col("__sx") / n, n - lit(1))
     val std = sqrt(greatest(varr, lit(0.0)))
-    df.withColumn(outCol, try_divide(x - mean, std))
+    joinStats(df, stats, keyCols)
+      .withColumn(outCol, try_divide(x - mean, std))
+      .drop("__n", "__sx", "__sx2")
   }
 
   /** Min-max scaling of `valueCol` to [0, 1] within each key group.
@@ -47,11 +70,12 @@ object Normalize {
     */
   def minMaxScale(df: DataFrame, keyCols: Seq[String], valueCol: String,
                   outCol: String): DataFrame = {
-    val w = byKeys(keyCols)
     val x = col(valueCol)
-    val lo = min(x).over(w)
-    val hi = max(x).over(w)
-    df.withColumn(outCol, try_divide(x - lo, hi - lo))
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(min(x).as("__lo"), max(x).as("__hi"))
+    joinStats(df, stats, keyCols)
+      .withColumn(outCol, try_divide(x - col("__lo"), col("__hi") - col("__lo")))
+      .drop("__lo", "__hi")
   }
 
   /** Fixed-width histogram of `valueCol` per key group: one row per

@@ -33,12 +33,32 @@ class NormalizeSpec extends SparkTestBase {
       ("c", 7.0, None)))
   }
 
-  test("zscore + minMax run in ONE window pass: a single hash exchange") {
-    val p = Normalize.minMaxScale(
+  test("agg+join shape: no stratum Window; stats broadcast back at runtime") {
+    // the window formulation collapsed parallelism to |strata| (100× soak:
+    // 60M rows through 3 tasks, BASELINE.md) — the plan must compute group
+    // stats by partial aggregation and attach them with a broadcast join,
+    // keeping the fact scan fully parallel
+    val q = Normalize.minMaxScale(
         Normalize.zscore(df, Seq("key"), "x", "z"), Seq("key"), "x", "mm")
-      .queryExecution.executedPlan.toString
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(hashEx === 1, s"both normalizations must share one exchange:\n$p")
+    q.collect() // run so AQE settles the join strategy
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"stratum windows serialize the fact table onto |strata| tasks:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"tiny stats must come back as a broadcast join:\n$p")
+  }
+
+  test("NULL stratum keys form their own group (null-safe join-back)") {
+    val d = Seq((Some("a"), 1.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 30.0), (None, 20.0)).toDF("key", "x")
+    val got = Normalize.zscore(d, Seq("key"), "x", "z").collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // a plain equi-join would orphan the NULL-key rows (z = NULL); window
+    // semantics say they normalize among themselves
+    assert(got((None, 10.0)) === -1.0)
+    assert(got((None, 20.0)) === 0.0)
+    assert(got((None, 30.0)) === 1.0)
+    assert(got((Some("a"), 3.0)) === 1.0 / math.sqrt(2.0))
   }
 
   test("histogram: lower-bound bins, negatives floor away from zero") {
