@@ -1259,6 +1259,30 @@ object SparkEntry {
                    ROUND(median(l_extendedprice), 6) AS med_price
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** The Aggregator's WINDOW form, externally checked: per-supplier
+    * deviation from the supplier's exact median, `exactMedian(x) OVER
+    * (PARTITION BY l_suppkey)` vs DuckDB's native windowed `median`.
+    * The partition key is deliberately HIGH-cardinality (suppliers grow
+    * with the data), so window parallelism tracks the cluster; a
+    * low-cardinality stratum should use the groupBy+join shape instead
+    * (q_median_exact — see the Normalize 100× soak lesson, BASELINE.md).
+    * l_quantity is integral-valued, so even-count medians are exact in
+    * both engines.
+    */
+  private val qMedianWindow = Q(
+    (s, dir) => {
+      val w = Window.partitionBy("l_suppkey")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          (col("l_quantity") - graft.functions.ExactMedian(col("l_quantity")).over(w))
+            .as("med_dev"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   l_quantity - median(l_quantity) OVER (PARTITION BY l_suppkey) AS med_dev
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""))
+
   /** PII redaction ([[graft.text.TextAnalysis.redactPii]]): emails, IPv4s,
     * international phone numbers and long digit runs scrubbed by a pure
     * per-row codegen'd regexp chain (no shuffle), plus per-class match
@@ -1665,6 +1689,39 @@ object SparkEntry {
     Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
             FROM documents ORDER BY doc_id"""))
 
+  /** KEYED range join ([[graft.ops.RangeJoin.bucketedRangeJoin]] with
+    * `keyCols`): per-user 1-hour attribution windows opened by purchase
+    * events, joined to that user's events inside the window. The equality
+    * key rides the equi-join — candidates are bounded per (user, bucket),
+    * the shape that keeps pair density constant as the data grows
+    * (BASELINE.md round-8 soak: the unkeyed form is output-linear, but
+    * output itself grows with co-located density²). Micros arithmetic on
+    * both sides (epoch_us ≡ the reader's nanos→micros floor).
+    */
+  private val qRangeJoinKeyed = Q(
+    (s, dir) => {
+      val ev = Tables.readEvents(s, dir)
+      val probe = ev.select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val wins = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("win_id"),
+          col("ts").as("ws"), (col("ts") + expr("INTERVAL 1 HOUR")).as("we"))
+      graft.ops.RangeJoin.bucketedRangeJoin(probe, "ts", wins, "ws", "we",
+          widthMicros = 3600L * 1000000L, keyCols = Seq("user_id"))
+        .groupBy("win_id")
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .orderBy("win_id")
+    },
+    Some("""WITH wins AS (
+              SELECT user_id, event_id AS win_id, epoch_us(ts) AS ws_us,
+                     epoch_us(ts) + 3600000000 AS we_us
+              FROM events WHERE event_type = 'purchase')
+            SELECT w.win_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(e.value), 2) AS total_value
+            FROM wins w JOIN events e
+              ON e.user_id = w.user_id
+             AND epoch_us(e.ts) >= w.ws_us AND epoch_us(e.ts) < w.we_us
+            GROUP BY w.win_id ORDER BY w.win_id"""))
+
   private val qSessionize = Q(
     (s, dir) =>
       graft.ops.Sessionize.sessionStats(
@@ -1808,6 +1865,8 @@ object SparkEntry {
     "q_asof_join" -> qAsOf,
     "q_resample_daily" -> qResample,
     "q_median_exact" -> qMedianExact,
+    "q_median_window" -> qMedianWindow,
+    "q_range_join_keyed" -> qRangeJoinKeyed,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -30,12 +30,24 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Inner range join: every (probe row, range row) pair with
-    * `probe.tsCol ∈ [start, end)`. Output carries all columns of both
-    * inputs; column names must not collide (rename upstream).
+    * `probe.tsCol ∈ [start, end)` — and, when `keyCols` is non-empty,
+    * matching equality keys (both sides must carry the key columns under
+    * the same names; the join dedups them). Output carries all columns of
+    * both inputs; non-key column names must not collide (rename upstream).
+    *
+    * Pass the keys whenever the domain has them ("this user's events in
+    * this user's window"): the equi-join key becomes (keys..., bucket), so
+    * pair candidates are bounded per (key, bucket) instead of per bucket.
+    * The unkeyed form's candidate volume grows with probe-density ×
+    * range-density per bucket — measured exactly output-linear at the
+    * 100× soak (BASELINE.md round 8), which is optimal for pure
+    * containment but still quadratic in co-located densities; keys are
+    * what keep those densities constant as the data grows.
     */
   def bucketedRangeJoin(probe: DataFrame, tsCol: String,
                         ranges: DataFrame, startCol: String, endCol: String,
-                        widthMicros: Long): DataFrame = {
+                        widthMicros: Long,
+                        keyCols: Seq[String] = Nil): DataFrame = {
     require(widthMicros > 0, s"widthMicros=$widthMicros must be positive")
     val w = lit(widthMicros)
     // NTZ-tolerant: parquet TIMESTAMP_NTZ casts to TIMESTAMP under the
@@ -56,7 +68,7 @@ object RangeJoin {
         floor(micros(startCol) / w),
         floor((micros(endCol) - 1) / w),
         lit(1L))))
-    p.join(r, Seq("__bucket"))
+    p.join(r, keyCols :+ "__bucket")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("__bucket")
   }

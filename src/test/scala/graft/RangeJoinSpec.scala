@@ -58,6 +58,27 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got === Set((1L, 100L)))
   }
 
+  test("keyed range join: equality keys gate containment (no cross-key pairs)") {
+    val p = Seq(
+      (1L, "u1", ts("2024-03-01 01:00:00")),
+      (2L, "u2", ts("2024-03-01 01:00:00")), // same instant, other key
+      (3L, "u1", ts("2024-03-01 07:00:00"))  // right key, outside range
+    ).toDF("pid", "k", "t")
+    val r = Seq(
+      (100L, "u1", ts("2024-03-01 00:00:00"), ts("2024-03-01 06:00:00")),
+      (200L, "u3", ts("2024-03-01 00:00:00"), ts("2024-03-01 06:00:00"))
+    ).toDF("rid", "k", "ws", "we")
+    val got = RangeJoin.bucketedRangeJoin(p, "t", r, "ws", "we", 6 * Hour,
+        keyCols = Seq("k"))
+      .select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === Set((1L, 100L)))
+    // keyed ≡ naive theta join with the key equality added
+    val naiveKeyed = p.join(r.withColumnsRenamed(Map("k" -> "rk")),
+        col("k") === col("rk") && col("t") >= col("ws") && col("t") < col("we"))
+      .select("pid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got === naiveKeyed)
+  }
+
   test("inverted ranges (end <= start) explode zero candidate buckets") {
     // Regression: the 2-arg sequence defaults to step -1 when stop < start,
     // so a 50-year inverted range at 1ms grid would explode ~1.6e12 junk
