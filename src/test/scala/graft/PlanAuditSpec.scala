@@ -113,6 +113,31 @@ class PlanAuditSpec extends SparkTestBase {
       s"regexp scrubbing must run at scan speed:\n$p")
   }
 
+  test("q_range_join_keyed: user key rides the grid equi-join, no nested loop") {
+    val p = plan("q_range_join_keyed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"keyed range join must stay an equi-join:\n$p")
+    // the key must be part of the join condition (bounding candidates per
+    // (key, bucket)), not a post-join residual filter
+    assert(p.contains("user_id#") && "user_id#\\d+L?, __bucket".r.findFirstIn(p).isDefined,
+      s"user_id must be a join key alongside the grid bucket:\n$p")
+  }
+
+  test("q_median_exact: holistic Aggregator still partial-aggregates map-side") {
+    val p = plan("q_median_exact")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"partial+final ObjectHashAggregate expected (buffers shuffle, rows don't):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_median_window: one Window operator, bounded exchanges") {
+    val p = plan("q_median_window")
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, s"a single Window expected:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size +
+      "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"window exchange + output sort only:\n$p")
+  }
+
   test("bloom decontaminate: membership prefilter runs scan-side, before any exchange") {
     val d = graft.ops.Tables.read(spark, dir, "documents")
     val df = graft.text.Decontaminate.bloomFlagContaminated(
