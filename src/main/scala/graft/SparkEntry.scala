@@ -590,6 +590,31 @@ object SparkEntry {
     * training-set build. Pure integer arithmetic (running sum of token
     * counts), fully replayable.
     */
+  /** Deterministic split assignment ([[graft.ops.Sampling.assignSplit]]):
+    * 80/10/10 train/val/test on documents by doc_id md5 bucket. The
+    * oracle replays the bucket arithmetic and the threshold CASE, so the
+    * ASSIGNMENT (per-split id-sums, not just sizes) is proven
+    * engine-independent — the property that makes the split stable under
+    * data growth.
+    */
+  private val qSplitAssign = Q(
+    (s, dir) =>
+      graft.ops.Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
+        .orderBy("split"),
+    Some(s"""WITH b AS (
+              SELECT doc_id,
+                     ${md5LongSql("CAST(doc_id AS VARCHAR)")} % 1000000 AS bucket
+              FROM documents)
+            SELECT CASE WHEN bucket < 800000 THEN 'train'
+                        WHEN bucket < 900000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_id
+            FROM b GROUP BY 1 ORDER BY split"""))
+
   private val qTokenBudget = Q(
     (s, dir) => {
       import graft.text.TextAnalysis
@@ -1867,6 +1892,7 @@ object SparkEntry {
     "q_median_exact" -> qMedianExact,
     "q_median_window" -> qMedianWindow,
     "q_range_join_keyed" -> qRangeJoinKeyed,
+    "q_split_assign" -> qSplitAssign,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

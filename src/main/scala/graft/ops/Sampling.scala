@@ -98,4 +98,40 @@ object Sampling {
     df.withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** Deterministic train/val/test assignment: the id's md5 lands in one of
+    * 10⁶ integer buckets and cumulative-fraction thresholds name the
+    * split. The properties a training pipeline needs, by construction:
+    *
+    *  - STABLE under growth — a row's split depends only on its own id,
+    *    so ingesting more data never moves an old row across splits (no
+    *    sampling state, no randomSplit re-draw);
+    *  - disjoint and exhaustive — integer thresholds, last split takes
+    *    exactly the remainder (the final threshold is pinned to 10⁶, so
+    *    fraction rounding can never orphan a bucket);
+    *  - zero-shuffle — one codegen'd md5 + compare chain per row, runs at
+    *    scan speed on 100 TB;
+    *  - engine-replayable — md5-bridge arithmetic (NOTES.md), no RNG.
+    *
+    * `splits` are (name, fraction) with fractions > 0 summing to 1.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)],
+                  outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    splits.foreach { case (n, f) =>
+      require(f > 0, s"split '$n': fraction $f must be > 0") }
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"fractions sum to $total, expected 1.0")
+    val nBuckets = 1000000L
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * nBuckets)).init // last threshold implicit: 10⁶
+    // md5Long is 60-bit non-negative, so % is a true bucket index
+    val bucket = NearDup.md5Long(col(idCol).cast(StringType)) % nBuckets
+    val chain = splits.map(_._1).zip(cums)
+      .foldRight(lit(splits.last._1): Column) { case ((name, cum), rest) =>
+        when(bucket < cum, lit(name)).otherwise(rest)
+      }
+    df.withColumn(outCol, chain)
+  }
 }

@@ -7,6 +7,42 @@ import graft.ops.Sampling
 class SamplingSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("assignSplit: disjoint, exhaustive, ~proportional, id-stable under growth") {
+    val ids = (1L to 5000L).map(i => Tuple1(i)).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.assignSplit(ids, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exhaustive: every row assigned to a declared split
+    assert(got.size === 5000 && got.values.toSet === Set("train", "val", "test"))
+    // ~proportional (md5 buckets are uniform; 5000 rows → ±3σ ≈ ±1.7%)
+    val frac = got.values.groupBy(identity).view.mapValues(_.size / 5000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.03, frac.toString)
+    assert(math.abs(frac("val") - 0.1) < 0.02, frac.toString)
+    assert(math.abs(frac("test") - 0.1) < 0.02, frac.toString)
+    // THE property: assignment depends only on the row's own id — a
+    // subset (or future superset) never re-shuffles anyone's split
+    val subset = Sampling.assignSplit(
+        ids.filter($"id" % 7 === 0), "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, s) => assert(got(id) === s, s"id $id moved splits") }
+  }
+
+  test("assignSplit: fraction rounding cannot orphan a bucket; bad fractions rejected") {
+    // thirds: cumulative thresholds 333333 / 666667 / pinned 10⁶ — the
+    // last split takes the exact remainder, nothing falls through
+    val ids = (1L to 300L).map(i => Tuple1(i)).toDF("id")
+    val thirds = Sampling.assignSplit(ids, "id",
+        Seq("a" -> (1.0 / 3), "b" -> (1.0 / 3), "c" -> (1.0 / 3)))
+      .collect().map(_.getString(1))
+    assert(thirds.length === 300 && thirds.toSet === Set("a", "b", "c"))
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(ids, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(ids, "id", Seq("a" -> 1.5, "b" -> -0.5))
+    }
+  }
+
   test("weightedSamplePerKey: deterministic, k per key, ranks dense") {
     val df = (1L to 100L).map(i => (s"k${i % 4}", i, (i % 7 + 1).toDouble))
       .toDF("key", "id", "w")
