@@ -1747,6 +1747,29 @@ object SparkEntry {
              AND epoch_us(e.ts) >= w.ws_us AND epoch_us(e.ts) < w.we_us
             GROUP BY w.win_id ORDER BY w.win_id"""))
 
+  /** Attribution join ([[graft.streaming.EventStreams.attributionJoin]],
+    * batch form — `withWatermark` is a no-op here; StreamingSpec proves
+    * stream ≡ batch for the same operator): views joined to the same
+    * user's purchases within 1 hour after, micros arithmetic both sides.
+    */
+  private val qAttribution = Q(
+    (s, dir) => {
+      val ev = Tables.readEvents(s, dir)
+      graft.streaming.EventStreams.attributionJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"))
+        .select(col("view_id"), col("purchase_id"), col("user_id"), col("purchase_value"))
+        .orderBy("view_id", "purchase_id")
+    },
+    Some("""SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+                   p.value AS purchase_value
+            FROM events v JOIN events p
+              ON p.user_id = v.user_id
+             AND epoch_us(p.ts) >= epoch_us(v.ts)
+             AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+            WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+            ORDER BY view_id, purchase_id"""))
+
   private val qSessionize = Q(
     (s, dir) =>
       graft.ops.Sessionize.sessionStats(
@@ -1893,6 +1916,7 @@ object SparkEntry {
     "q_median_window" -> qMedianWindow,
     "q_range_join_keyed" -> qRangeJoinKeyed,
     "q_split_assign" -> qSplitAssign,
+    "q_attribution" -> qAttribution,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -48,6 +48,38 @@ object EventStreams {
         unix_micros(col("session_window.start")).as("start_us"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked STREAM-STREAM inner join — the attribution query: each
+    * view joined to the same user's purchases landing within `horizon`
+    * after it. The explicit time-range predicate plus both-side watermarks
+    * are what make this runnable forever: Spark derives each side's state
+    * retention from them (a buffered view is evictable once the watermark
+    * passes `view_ts + horizon`; a purchase once it can no longer match
+    * any live view), so join state is O(events inside the horizon), not
+    * O(stream history). Without the range bound a stream-stream join
+    * buffers both streams unboundedly — the state-blowup trap this
+    * operator exists to demonstrate avoiding.
+    *
+    * Inner-join results emit as soon as they match (append mode, no
+    * watermark hold-back), and the same code runs on batch frames, where
+    * `withWatermark` is a no-op — the spec cross-checks stream ≡ batch.
+    */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      horizon: String = "1 hour",
+                      lateness: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", lateness)
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    v.join(p,
+        col("user_id") === col("purchase_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+        "inner")
+      .drop("purchase_user")
+  }
+
   /** Streaming exact dedup: drop repeated `keyCols` rows, with the
     * watermark bounding how long a key's dedup state is retained — the
     * streaming form of D1 (and of exact document dedup) whose state does

@@ -47,6 +47,33 @@ class StreamingSpec extends SparkTestBase {
     assert(viaSessionWindow.exceptAll(viaBatchRule).count() === 0)
   }
 
+  test("stream-stream attribution join: streaming result equals batch join") {
+    val events = Tables.readEvents(spark, "/root/testdata/sf0.001")
+    val vDir = tmp(); val pDir = tmp()
+    events.filter($"event_type" === "view").write.mode("overwrite").parquet(vDir)
+    events.filter($"event_type" === "purchase").write.mode("overwrite").parquet(pDir)
+    val schema = spark.read.parquet(vDir).schema
+
+    val q = EventStreams.attributionJoin(
+        spark.readStream.schema(schema).parquet(vDir),
+        spark.readStream.schema(schema).parquet(pDir))
+      .writeStream.outputMode("append").format("memory").queryName("attr_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("attr_out")
+      .select("view_id", "purchase_id", "purchase_value")
+    // same operator over batch frames (withWatermark is a no-op there)
+    val batchRef = EventStreams.attributionJoin(
+        events.filter($"event_type" === "view"),
+        events.filter($"event_type" === "purchase"))
+      .select("view_id", "purchase_id", "purchase_value")
+    assert(streamed.count() > 0, "fixture must produce attributed pairs")
+    assert(streamed.count() === batchRef.count())
+    assert(streamed.exceptAll(batchRef).count() === 0,
+      "inner stream-stream join must emit exactly the batch pairs")
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     val dir = tmp()
     val base = Tables.readEvents(spark, "/root/testdata/sf0.001")
