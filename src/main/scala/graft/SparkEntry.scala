@@ -615,6 +615,40 @@ object SparkEntry {
                    CAST(SUM(doc_id) AS BIGINT) AS sum_id
             FROM b GROUP BY 1 ORDER BY split"""))
 
+  /** Temperature mixing ([[graft.ops.Sampling.temperatureMix]]): α = 0.5
+    * source reweighting of documents under a 300-doc budget. The oracle
+    * replays the whole budget derivation — sqrt weights (IEEE
+    * correctly-rounded, engine-identical), an ORDERED cumulative
+    * denominator, integer floor budgets — and the md5-order fill.
+    */
+  private val qMixTemperature = Q(
+    (s, dir) =>
+      graft.ops.Sampling.temperatureMix(
+          t(s, dir, "documents").select("source", "doc_id"),
+          "source", "doc_id", alpha = 0.5, totalBudget = 300L)
+        .select(col("source"), col("doc_id"), col("mix_budget"), col("mix_rk"))
+        .orderBy("source", "doc_id"),
+    Some("""WITH c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+            w AS (
+              SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wgt,
+                     SUM(sqrt(CAST(n AS DOUBLE))) OVER (ORDER BY source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS wsum
+              FROM c),
+            bud AS (
+              SELECT source,
+                     LEAST(CAST(FLOOR(300.0 * wgt / (SELECT MAX(wsum) FROM w)) AS BIGINT), n)
+                       AS mix_budget
+              FROM w),
+            r AS (
+              SELECT d.source, d.doc_id, bud.mix_budget,
+                     CAST(row_number() OVER (PARTITION BY d.source
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS INT) AS mix_rk
+              FROM documents d JOIN bud USING (source))
+            SELECT source, doc_id, mix_budget, mix_rk
+            FROM r WHERE mix_rk <= mix_budget
+            ORDER BY source, doc_id"""))
+
   private val qTokenBudget = Q(
     (s, dir) => {
       import graft.text.TextAnalysis
@@ -1917,6 +1951,7 @@ object SparkEntry {
     "q_range_join_keyed" -> qRangeJoinKeyed,
     "q_split_assign" -> qSplitAssign,
     "q_attribution" -> qAttribution,
+    "q_mix_temperature" -> qMixTemperature,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

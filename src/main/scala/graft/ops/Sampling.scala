@@ -99,6 +99,62 @@ object Sampling {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Temperature-based source mixing — the `n^α` reweighting of a
+    * training-data pipeline: per-source budgets k_s ∝ n_s^α (α < 1 upweights
+    * small sources, α = 1 is natural proportions), filled deterministically
+    * by each source's md5-of-id order. Returns the selected rows with
+    * `mix_budget` and the within-source rank `mix_rk`.
+    *
+    * Determinism across engines, by construction: n_s^α uses α = p/q
+    * rational powers evaluated as `pow` on INTEGRAL n_s (both engines'
+    * libm agree on integral bases in practice — the spec pins α = 0.5,
+    * where IEEE `sqrt` is correctly-rounded and bit-identical by
+    * standard); the share denominator Σ n_s^α is an ORDERED cumulative
+    * sum (window ordered by source name, last value), so both engines add
+    * the same doubles in the same order — an unordered SUM could flip a
+    * last-ulp and shift a floor() budget by one. Budgets are then pure
+    * integer floor arithmetic.
+    *
+    * Scale shape: one tiny per-source count (map-side combined), the
+    * budget table is |sources| rows (broadcast join back), selection is
+    * the per-key bottom-k window that plans as WindowGroupLimit.
+    */
+  def temperatureMix(df: DataFrame, sourceCol: String, idCol: String,
+                     alpha: Double, totalBudget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha must be in (0, 1]")
+    require(totalBudget > 0, s"totalBudget=$totalBudget must be positive")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col(sourceCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // α = 0.5 goes through sqrt, which IEEE 754 REQUIRES to be correctly
+    // rounded — bit-identical in every engine, so budgets replay exactly.
+    // General pow is libm-dependent (last-ulp variance → a floor() budget
+    // could shift by one across engines); callers needing external
+    // replay at other α should stick to sqrt-expressible powers.
+    val wExpr =
+      if (alpha == 0.5) sqrt(col("__n").cast(DoubleType))
+      else pow(col("__n").cast(DoubleType), lit(alpha))
+    val weighted = counts.withColumn("__w", wExpr)
+      // ordered cumulative total: every engine sums sources in name order
+      .withColumn("__wsum", sum(col("__w")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(sourceCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__wtot", max(col("__wsum")).over(wAll))
+    val budgets = weighted
+      .withColumn("mix_budget",
+        least(floor(lit(totalBudget.toDouble) * col("__w") / col("__wtot")).cast("long"),
+          col("__n")))
+      .select(col(sourceCol), col("mix_budget"))
+    val order = Seq(md5(to_binary(col(idCol).cast(StringType), lit("utf-8"))), col(idCol))
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(order: _*)
+    df.join(budgets, Seq(sourceCol))
+      .withColumn("mix_rk", row_number().over(wKey))
+      .filter(col("mix_rk") <= col("mix_budget"))
+  }
+
   /** Deterministic train/val/test assignment: the id's md5 lands in one of
     * 10⁶ integer buckets and cumulative-fraction thresholds name the
     * split. The properties a training pipeline needs, by construction:

@@ -7,6 +7,32 @@ import graft.ops.Sampling
 class SamplingSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("temperatureMix: alpha=1 is natural proportions; alpha=0.5 upweights small sources") {
+    val df = ((1L to 900L).map(i => ("big", i)) ++ (901L to 1000L).map(i => ("small", i)))
+      .toDF("source", "id")
+    val natural = Sampling.temperatureMix(df, "source", "id", alpha = 1.0, totalBudget = 100L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(natural === Map("big" -> 90L, "small" -> 10L))
+    // sqrt weights: 30 vs 10 → 75/25 — the small source gains share
+    val tempered = Sampling.temperatureMix(df, "source", "id", alpha = 0.5, totalBudget = 100L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tempered === Map("big" -> 75L, "small" -> 25L))
+    // deterministic: rebuild selects the same ids
+    def ids() = Sampling.temperatureMix(df, "source", "id", alpha = 0.5, totalBudget = 100L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids() === ids())
+  }
+
+  test("temperatureMix: budget never exceeds a source's population") {
+    val df = ((1L to 5L).map(i => ("tiny", i)) ++ (6L to 1000L).map(i => ("big", i)))
+      .toDF("source", "id")
+    // tiny's tempered share would exceed its 5 rows — capped by least(n)
+    val got = Sampling.temperatureMix(df, "source", "id", alpha = 0.1, totalBudget = 800L)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("tiny") === 5L, got.toString)
+    assert(got("big") <= 995L)
+  }
+
   test("assignSplit: disjoint, exhaustive, ~proportional, id-stable under growth") {
     val ids = (1L to 5000L).map(i => Tuple1(i)).toDF("id")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
