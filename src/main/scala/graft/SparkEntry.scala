@@ -602,7 +602,11 @@ object SparkEntry {
       graft.ops.Sampling.assignSplit(t(s, dir, "documents"), "doc_id",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split")
-        .agg(count(lit(1)).as("n"), sum("doc_id").as("sum_id"))
+        // MODULAR id-checksum: a raw sum(doc_id) overflows ANSI long the
+        // moment ids carry a partition stride (the 100× soak's
+        // replica × 10¹² shift did) — n × 10⁹ stays in range to ~10⁹ rows
+        // per split
+        .agg(count(lit(1)).as("n"), sum(col("doc_id") % 1000000007L).as("sum_id"))
         .orderBy("split"),
     Some(s"""WITH b AS (
               SELECT doc_id,
@@ -612,7 +616,7 @@ object SparkEntry {
                         WHEN bucket < 900000 THEN 'val'
                         ELSE 'test' END AS split,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(doc_id) AS BIGINT) AS sum_id
+                   CAST(SUM(doc_id % 1000000007) AS BIGINT) AS sum_id
             FROM b GROUP BY 1 ORDER BY split"""))
 
   /** Temperature mixing ([[graft.ops.Sampling.temperatureMix]]): α = 0.5
