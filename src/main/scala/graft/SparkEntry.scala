@@ -1505,6 +1505,46 @@ object SparkEntry {
                    COALESCE(cc.cluster_id, b.id) = b.id AS is_keeper
             FROM base b LEFT JOIN cc ON cc.id = b.id ORDER BY b.id"""))
 
+  /** Quality-aware canonical pick ([[graft.dedup.DupClusters
+    * .canonicalPick]]): within each near-dup cluster keep the
+    * highest-token-count copy (tie → smaller id). The oracle replays the
+    * ENTIRE chain — minhash pairs, recursive-CTE connected components,
+    * and the per-cluster argmax — so the selected canonical set is proven
+    * end-to-end, not just the clustering.
+    */
+  private val qDupCanonical = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val pairs = graft.dedup.NearDup.minHashLsh(
+        docs, "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+      val scored = docs.withColumn("score",
+        graft.text.TextAnalysis.tokenCount(col("text")))
+      graft.dedup.DupClusters.canonicalPick(scored, "doc_id", "score", pairs)
+        .orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 1000),
+            ${minHashPairsCtes(bands = 4, rowsPerBand = 4, threshold = 0.9, maxBucket = 1000)},
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (SELECT src, src FROM e
+                             UNION
+                             SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+            cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+            scored AS (
+              SELECT b.id, COALESCE(cc.cluster_id, b.id) AS cluster_id,
+                     len(string_split(b.text, ' ')) AS score
+              FROM base b LEFT JOIN cc ON cc.id = b.id),
+            canon AS (
+              SELECT cluster_id, id AS canonical_id FROM (
+                SELECT cluster_id, id,
+                       row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY score DESC, id) AS rk
+                FROM scored) WHERE rk = 1)
+            SELECT s.id, s.cluster_id, c.canonical_id,
+                   s.id = c.canonical_id AS is_canonical
+            FROM scored s JOIN canon c USING (cluster_id)
+            ORDER BY s.id"""))
+
   /** SimHash near-dup pairs by Hamming radius. The oracle is deliberately
     * the BRUTE-FORCE all-pairs form — simHashNearDups' pigeonhole blocking
     * is an optimization that must lose no pairs, so hash-matching against
@@ -1956,6 +1996,7 @@ object SparkEntry {
     "q_split_assign" -> qSplitAssign,
     "q_attribution" -> qAttribution,
     "q_mix_temperature" -> qMixTemperature,
+    "q_dup_canonical" -> qDupCanonical,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

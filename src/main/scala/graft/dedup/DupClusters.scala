@@ -86,4 +86,35 @@ object DupClusters {
         coalesce(col("cluster_id"), col("id")).as("cluster_id"),
         (coalesce(col("cluster_id"), col("id")) === col("id")).as("is_keeper"))
   }
+
+  /** Quality-aware canonicalization: keep each cluster's BEST copy by
+    * `scoreCol` (ties → smaller id, deterministic) instead of the
+    * keep-min-id convention — the form a production dedup actually wants
+    * ("among these near-duplicate crawls, keep the longest/cleanest one").
+    * Output: every doc with its cluster, the chosen `canonical_id`, and
+    * `is_canonical`; `filter(col("is_canonical"))` is the dedup.
+    *
+    * Scale shape: the argmax is one window over `cluster_id` — cluster
+    * COUNT grows with the corpus (high-cardinality partition key), so the
+    * exchange spreads across the cluster, and the rank-1 filter prunes
+    * map-side via WindowGroupLimit.
+    */
+  def canonicalPick(docs: DataFrame, idCol: String, scoreCol: String,
+                    pairs: DataFrame,
+                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val clustered = docs
+      .select(col(idCol).as("id"), col(scoreCol).as("__score"))
+      .join(cc, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col("__score").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    clustered
+      .withColumn("canonical_id", first(col("id")).over(w))
+      .select(col("id"), col("cluster_id"), col("canonical_id"),
+        (col("id") === col("canonical_id")).as("is_canonical"))
+  }
 }

@@ -13,6 +13,23 @@ class DupClustersSpec extends SparkTestBase {
     DupClusters.connectedComponents(pairsDf(ps: _*)).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
 
+  test("canonicalPick: best score wins, ties break to smaller id, singletons self-canonical") {
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L), // cluster {1,2,3}: 2 and 3 tie at 9 → 2
+      (7L, 1L)                      // singleton: its own canonical
+    ).toDF("doc_id", "score")
+    val got = DupClusters.canonicalPick(docs, "doc_id", "score",
+        pairsDf((1L, 2L), (2L, 3L)))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got(1L) === ((1L, 2L, false)))
+    assert(got(2L) === ((1L, 2L, true)))
+    assert(got(3L) === ((1L, 2L, false)))
+    assert(got(7L) === ((7L, 7L, true)))
+    // exactly one canonical per cluster
+    assert(got.values.count(_._3) === 2)
+  }
+
   test("connectedComponents: chain A-B, B-C collapses to min label") {
     val m = labelsOf(Seq((2L, 3L), (1L, 2L))) // 1-2, 2-3: one component
     assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
