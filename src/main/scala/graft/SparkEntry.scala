@@ -1919,6 +1919,144 @@ object SparkEntry {
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  /** Per-stratum adaptive quality gate ([[graft.ops.Normalize
+    * .quantileGate]]): drop each language's bottom length quartile — the
+    * FineWeb-style "threshold adapts to the stratum" curation step. The
+    * per-lang cutoff is an aggregate joined back (AQE-broadcast), never a
+    * `Window.partitionBy(lang)` whose parallelism would be |langs| (the
+    * Normalize 100× soak lesson). n_chars is integral, so the
+    * interpolated quartile and the `>=` comparison are exact IEEE in both
+    * engines (q_group_quantiles precedent).
+    */
+  private val qQuantileGate = Q(
+    (s, dir) =>
+      graft.ops.Normalize.quantileGate(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        Seq("lang"), "n_chars", q = 0.25)
+        .orderBy("doc_id"),
+    Some("""WITH thr AS (SELECT lang, quantile_cont(n_chars, 0.25) AS t
+                         FROM documents GROUP BY lang)
+            SELECT doc_id, lang, n_chars
+            FROM documents JOIN thr USING (lang)
+            WHERE n_chars >= t ORDER BY doc_id"""))
+
+  /** Per-document TF-IDF keywords ([[graft.text.CorpusStats
+    * .tfIdfTopTerms]]): top-3 scoring terms per doc. One token explode
+    * feeds both frequency tables; the doc count attaches as a broadcast
+    * 1-row frame; the top-k window partitions by doc id (cardinality =
+    * corpus → full parallelism). Rank compares the ROUNDed score, so an
+    * `ln` last-ulp difference between engines cannot reorder rows.
+    */
+  private val qTfidf = Q(
+    (s, dir) =>
+      graft.text.CorpusStats.tfIdfTopTerms(
+        t(s, dir, "documents"), "doc_id", "text", topK = 3)
+        .orderBy("id", "token"),
+    Some("""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+                         FROM documents),
+            tf AS (SELECT id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY id, token),
+            dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+            nd AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT id, token, tf, df,
+                     ROUND(tf * (ln(CAST(n + 1 AS DOUBLE) / (df + 1)) + 1.0), 6) AS tfidf
+              FROM tf JOIN dfq USING (token) CROSS JOIN nd),
+            r AS (SELECT *, row_number() OVER (PARTITION BY id
+                                               ORDER BY tfidf DESC, token) AS rk
+                  FROM scored)
+            SELECT id, token, tf, df, tfidf FROM r WHERE rk <= 3
+            ORDER BY id, token"""))
+
+  /** Corpus bigram collocations ([[graft.text.CorpusStats.pmiBigrams]]):
+    * top-50 adjacent pairs by count with ROUNDed PMI. Ranking is pure
+    * integer (count, then pair) — the float pmi is a report column — so
+    * the result is hash-stable; the min-count threshold prunes the
+    * singleton tail before any join.
+    */
+  private val qPmiBigrams = Q(
+    (s, dir) =>
+      graft.text.CorpusStats.pmiBigrams(
+        t(s, dir, "documents"), "text", minCount = 5, topN = 50),
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+            uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS uc
+                   FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+            bc AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+                   FROM (SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                  i -> tk[i] || ' ' || tk[i+1])) AS pair
+                         FROM t WHERE len(tk) >= 2)
+                   GROUP BY pair HAVING COUNT(*) >= 5),
+            tot AS (SELECT CAST(SUM(len(tk)) AS BIGINT) AS tt,
+                           CAST(SUM(greatest(len(tk) - 1, 0)) AS BIGINT) AS tb
+                    FROM t),
+            j AS (SELECT pair, pair_count, u1.uc AS c1, u2.uc AS c2
+                  FROM bc
+                  JOIN uc u1 ON u1.w = split_part(pair, ' ', 1)
+                  JOIN uc u2 ON u2.w = split_part(pair, ' ', 2))
+            SELECT pair, pair_count, c1, c2,
+                   ROUND(ln(CAST(pair_count AS DOUBLE) * CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)
+                            / (CAST(tb AS DOUBLE) * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+            FROM j CROSS JOIN tot
+            ORDER BY pair_count DESC, pair LIMIT 50"""))
+
+  /** One k-means Lloyd iteration over the embeddings corpus
+    * ([[graft.similarity.Kmeans.lloydStep]]): assignment replays the
+    * q_ann_ivf centroid construction (deterministic md5-sampled
+    * centroids, ROUNDed argmax-cosine, larger-cell tie-break); the
+    * recentering means are FIXED-POINT (2³⁰-scaled long sums — exact in
+    * any partition-merge order), which is what makes a float mean
+    * hash-checkable across engines at all.
+    */
+  private val qKmeansStep = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.similarity.Ivf.centroids(emb, nLists = 8)
+      graft.similarity.Kmeans.lloydStep(emb, cents)
+        .orderBy("cell", "pos")
+    },
+    Some("""WITH cents AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 8),
+            assign AS (
+              SELECT cid, cvec, cell FROM (
+                SELECT e.vec_id AS cid, e.embedding::DOUBLE[] AS cvec, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            dims AS (
+              SELECT cell, unnest(list_transform(generate_series(1, len(cvec)),
+                       i -> {'pos': i - 1,
+                             'fx': CAST(ROUND(cvec[i] * 1073741824.0) AS BIGINT)})) AS u
+              FROM assign),
+            agg AS (SELECT cell, u.pos AS pos, CAST(COUNT(*) AS BIGINT) AS n,
+                           CAST(SUM(u.fx) AS BIGINT) AS sfx
+                    FROM dims GROUP BY cell, u.pos)
+            SELECT cell, CAST(pos AS INTEGER) AS pos, n,
+                   ROUND(CAST(sfx AS DOUBLE) / (n * 1073741824.0), 6) AS mean
+            FROM agg ORDER BY cell, pos"""))
+
+  /** Rolling 7-day distinct active users ([[graft.ops.RollingDistinct
+    * .activeKeys]]) — COUNT(DISTINCT) over a trailing window, which no
+    * window frame expresses. The day-granular explode replaces the
+    * day×window range self-join; every stage is a narrow hash agg with
+    * map-side partials.
+    */
+  private val qRollingActive = Q(
+    (s, dir) =>
+      graft.ops.RollingDistinct.activeKeys(
+        Tables.readEvents(s, dir), "ts", "user_id", windowDays = 7)
+        .orderBy("day"),
+    Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS k FROM events),
+            days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day, CAST(COUNT(DISTINCT u.k) AS BIGINT) AS active
+            FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day ORDER BY d.day"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -1997,6 +2135,11 @@ object SparkEntry {
     "q_attribution" -> qAttribution,
     "q_mix_temperature" -> qMixTemperature,
     "q_dup_canonical" -> qDupCanonical,
+    "q_quantile_gate" -> qQuantileGate,
+    "q_tfidf_topterms" -> qTfidf,
+    "q_pmi_bigrams" -> qPmiBigrams,
+    "q_kmeans_step" -> qKmeansStep,
+    "q_rolling_active" -> qRollingActive,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -90,4 +90,38 @@ object Normalize {
     df.groupBy((keyCols.map(col) :+ bin): _*)
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Per-stratum quantile gate: keep the rows of `df` whose `valueCol` is
+    * at or above (default) / at or below (`keepBelow`) their stratum's
+    * `q`-quantile — the "drop the bottom quartile of each language by
+    * length/quality" corpus-curation step, with the cutoff ADAPTIVE per
+    * stratum instead of one global constant.
+    *
+    * Same agg+join-back shape as [[zscore]] (and for the same reason —
+    * see the class scaladoc): the per-stratum threshold is a tiny
+    * aggregate attached back by a join AQE broadcasts at runtime, never a
+    * `Window.partitionBy(lowCardinalityKey)` sort that would cap scan
+    * parallelism at |strata|. A rank-per-row formulation (percent_rank)
+    * is exactly that window — this shape gets identical row selection
+    * from two fully-parallel passes.
+    *
+    * `percentile` is Spark's exact linear-interpolation quantile; over
+    * integral-valued columns the interpolated threshold is exact IEEE
+    * (quarters of integers), so the `>=` gate is deterministic and
+    * externally replayable (the q_group_quantiles precedent). For
+    * arbitrary float columns the threshold itself carries the usual
+    * last-ulp caveat; gate on a rounded/integral signal when the result
+    * must be hash-stable across engines.
+    */
+  def quantileGate(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                   q: Double, keepBelow: Boolean = false): DataFrame = {
+    require(q > 0.0 && q < 1.0, s"q=$q must be in (0, 1)")
+    val x = col(valueCol)
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(percentile(x, lit(q)).as("__thr"))
+    val kept = if (keepBelow) x <= col("__thr") else x >= col("__thr")
+    joinStats(df, stats, keyCols)
+      .filter(kept)
+      .drop("__thr")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.NearDup
@@ -71,6 +72,86 @@ object CorpusStats {
       .select(col("token"), col("occurrences"),
         round(col("occurrences") / col("__total").cast("double"), 6).as("corpus_frac"))
       .orderBy(col("occurrences").desc, col("token"))
+      .limit(topN)
+  }
+
+  /** Per-document TF-IDF keyword extraction: the `topK` highest-scoring
+    * terms of every document, `score = tf · (ln((N+1)/(df+1)) + 1)`
+    * (smoothed idf — never negative, never divides by zero).
+    *
+    * Shape: one explode of the token stream feeds BOTH frequency tables —
+    * per-doc tf by (id, token) and corpus df by token — as partial
+    * aggregations; the df side re-aggregates the already-reduced tf rows
+    * (|docs|·|distinct terms per doc|, not the raw token stream), the
+    * corpus doc count joins as a broadcast 1-row frame, and the per-doc
+    * top-k is a `row_number` window over `id` — a key whose cardinality
+    * IS the corpus, so window parallelism tracks the cluster (the
+    * Normalize low-cardinality-window lesson does not apply).
+    *
+    * Determinism: ranking compares the ROUNDed score (plus token as the
+    * total tie-break), so the last-ulp difference between two engines'
+    * `ln` cannot reorder the result; `tf`/`df` are exact integers.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    topK: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
+      .select(col("id"), col("token"), col("tf"), col("df"),
+        round(col("tf") * (log((col("__n") + lit(1)).cast("double")
+          / (col("df") + lit(1))) + lit(1.0)), 6).as("tfidf"))
+    val w = Window.partitionBy("id")
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .drop("rank")
+  }
+
+  /** Corpus-level bigram association mining: the `topN` most frequent
+    * adjacent token pairs with their pointwise mutual information
+    * `pmi = ln( p(xy) / (p(x)·p(y)) )` — the collocation-discovery /
+    * tokenizer-merge-candidate query over a training corpus.
+    *
+    * Ranking is by the exact integer pair count (then the pair string),
+    * never by the float pmi — so the result set is hash-stable across
+    * engines and the pmi column is a ROUNDed report field. `minCount`
+    * prunes the singleton-pair tail BEFORE the unigram joins (at web
+    * scale the count-1 pair mass dominates; joining it would shuffle the
+    * whole pair table twice for rows a threshold discards anyway). The
+    * two unigram attachments are plain hash joins on the token — the
+    * unigram table grows with the corpus, so no broadcast is assumed.
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long, topN: Int): DataFrame = {
+    val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("tk"))
+    val uni = toks.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+    val bi = toks
+      .select(Decontaminate.ngramsFromTokens(col("tk"), 2).as("g"))
+      .select(explode(col("g")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("pair_count"))
+      .filter(col("pair_count") >= minCount)
+      .withColumn("w1", split_part(col("pair"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("pair"), lit(" "), lit(2)))
+    val totals = toks.agg(
+      sum(size(col("tk"))).cast("long").as("__t"),
+      sum(greatest(size(col("tk")) - 1, lit(0))).cast("long").as("__tb"))
+    val u1 = uni.select(col("w").as("w1"), col("uc").as("c1"))
+    val u2 = uni.select(col("w").as("w2"), col("uc").as("c2"))
+    // ratio computed in double throughout: the integer products overflow
+    // BIGINT at corpus scale (T² alone is ~10²⁴ for a trillion-token
+    // corpus); identical left-associated double arithmetic on the oracle
+    // side replays the value bit-for-bit before the shared ROUND
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    bi.join(u1, "w1").join(u2, "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("pair"), col("pair_count"), col("c1"), col("c2"),
+        round(log(dbl(col("pair_count")) * dbl(col("__t")) * dbl(col("__t"))
+          / (dbl(col("__tb")) * dbl(col("c1")) * dbl(col("c2")))), 6).as("pmi"))
+      .orderBy(col("pair_count").desc, col("pair"))
       .limit(topN)
   }
 }

@@ -41,6 +41,43 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(tied.head.getAs[String]("token") === "y")
   }
 
+  test("tfIdfTopTerms: hand-computed scores, smoothed idf, token tie-break") {
+    val d = Seq((1L, "a a b"), (2L, "a c"), (3L, "c c c d")).toDF("doc_id", "text")
+    // N=3; df: a=2, b=1, c=2, d=1; idf(x) = ln((N+1)/(df+1)) + 1
+    val got = CorpusStats.tfIdfTopTerms(d, "doc_id", "text", topK = 1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("token"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+          r.getAs[Double]("tfidf")))).toMap
+    def s(tf: Long, df: Long) =
+      math.rint(tf * (math.log(4.0 / (df + 1)) + 1.0) * 1e6) / 1e6
+    assert(got(1L) === (("a", 2L, 2L, s(2, 2))))   // 2·idf(a) beats 1·idf(b)
+    // doc 2: a and c tie exactly (same tf, same df) → token asc wins
+    assert(got(2L) === (("a", 1L, 2L, s(1, 2))))
+    assert(got(3L) === (("c", 3L, 2L, s(3, 2))))
+  }
+
+  test("tfIdfTopTerms: topK bounds per-doc rows, no doc exceeds its vocab") {
+    val d = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    val rows = CorpusStats.tfIdfTopTerms(d, "doc_id", "text", topK = 5)
+      .collect().groupBy(_.getAs[Long]("id")).view.mapValues(_.length).toMap
+    assert(rows === Map(1L -> 2, 2L -> 1)) // k caps, short docs emit what they have
+  }
+
+  test("pmiBigrams: counts, unigram attach, hand-computed pmi, count-then-pair order") {
+    val d = Seq("a b a b", "a b c").toDF("text")
+    // T=7 tokens, TB=5 bigrams; counts: "a b"=3, "b a"=1, "b c"=1; a=3,b=3,c=1
+    val got = CorpusStats.pmiBigrams(d, "text", minCount = 1, topN = 10).collect()
+    assert(got.map(_.getAs[String]("pair")).toSeq === Seq("a b", "b a", "b c"))
+    val ab = got.head
+    assert(ab.getAs[Long]("pair_count") === 3L)
+    assert(ab.getAs[Long]("c1") === 3L && ab.getAs[Long]("c2") === 3L)
+    assert(ab.getAs[Double]("pmi") ===
+      math.rint(math.log(3.0 * 7 * 7 / (5.0 * 3 * 3)) * 1e6) / 1e6)
+    // minCount prunes the singleton tail before the joins
+    val pruned = CorpusStats.pmiBigrams(d, "text", minCount = 2, topN = 10).collect()
+    assert(pruned.map(_.getAs[String]("pair")).toSeq === Seq("a b"))
+  }
+
   test("redactPii: each rule class, non-PII text untouched") {
     val got = Seq(
       "mail bob.smith+x@corp.example.org now",

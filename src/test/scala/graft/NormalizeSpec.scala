@@ -61,6 +61,36 @@ class NormalizeSpec extends SparkTestBase {
     assert(got((Some("a"), 3.0)) === 1.0 / math.sqrt(2.0))
   }
 
+  test("quantileGate: per-stratum cutoff, keepBelow flip, NULL stratum group") {
+    val d = Seq(
+      (Some("x"), 1L), (Some("x"), 2L), (Some("x"), 3L), (Some("x"), 4L),
+      (Some("x"), 5L), (Some("x"), 6L), (Some("x"), 7L), (Some("x"), 8L),
+      (Some("y"), 10L), (Some("y"), 20L),
+      (None, 1L), (None, 100L)
+    ).toDF("key", "v")
+    def kept(keepBelow: Boolean) =
+      Normalize.quantileGate(d, Seq("key"), "v", q = 0.25, keepBelow = keepBelow)
+        .collect().map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    // x: p25 of 1..8 = 2.75 → keep 3..8; y: p25 = 12.5 → keep 20;
+    // NULL stratum gates among itself (p25 = 25.75 → keep 100)
+    assert(kept(keepBelow = false) === Set(
+      (Some("x"), 3L), (Some("x"), 4L), (Some("x"), 5L), (Some("x"), 6L),
+      (Some("x"), 7L), (Some("x"), 8L), (Some("y"), 20L), (None, 100L)))
+    // keepBelow keeps the complement plus nothing at the open boundary
+    assert(kept(keepBelow = true) === Set(
+      (Some("x"), 1L), (Some("x"), 2L), (Some("y"), 10L), (None, 1L)))
+  }
+
+  test("quantileGate plans as agg + broadcast join-back, not a stratum window") {
+    val q = Normalize.quantileGate(df, Seq("key"), "x", q = 0.5)
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"),
+      s"stratum windows serialize the fact table onto |strata| tasks:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"tiny threshold frame must come back as a broadcast join:\n$p")
+  }
+
   test("histogram: lower-bound bins, negatives floor away from zero") {
     val d = Seq(("k", -11L), ("k", -1L), ("k", 0L), ("k", 9L), ("k", 10L), ("k", 25L))
       .toDF("key", "v")
