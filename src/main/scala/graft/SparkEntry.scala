@@ -2057,6 +2057,112 @@ object SparkEntry {
             FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
             GROUP BY d.day ORDER BY d.day"""))
 
+  /** Chunk-granular exact substring dedup ([[graft.text.Chunker
+    * .dedupChunks]]): every 16-token passage keeps only its global first
+    * occurrence and documents are rebuilt from survivors. The oracle
+    * replays chunking, 60-bit hashing, keep-first ranking, and ordered
+    * reassembly — the whole chain, not just the pair decisions.
+    */
+  private val qChunkDedup = Q(
+    (s, dir) =>
+      graft.text.Chunker.dedupChunks(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 16)
+        .orderBy("id"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            c AS (SELECT doc_id, toks,
+                         GREATEST(CAST(ceil((len(toks) - 16) / 16.0) AS INTEGER) + 1, 1) AS nc
+                  FROM t),
+            e AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS k FROM c),
+            s AS (SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+                         array_to_string(toks[k*16 + 1 : k*16 + 16], ' ') AS chunk_text
+                  FROM e),
+            h AS (SELECT *, ${md5LongSql("chunk_text")} AS ch FROM s),
+            r AS (SELECT *, row_number() OVER (PARTITION BY ch
+                                               ORDER BY doc_id, chunk_idx) AS rn
+                  FROM h),
+            g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_chunks,
+                         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS text_dedup
+                  FROM r WHERE rn = 1 GROUP BY doc_id)
+            SELECT d.doc_id AS id, COALESCE(kept_chunks, 0) AS kept_chunks,
+                   COALESCE(text_dedup, '') AS text_dedup
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN g USING (doc_id)
+            ORDER BY id"""))
+
+  /** IVF probe over TRAINED centroids: [[graft.similarity.Kmeans
+    * .updatedCentroids]] refines the md5-sampled seeds by one Lloyd
+    * iteration before indexing/probing. The oracle replays sampling →
+    * fixed-point recentering (means are ROUNDed doubles, so both engines
+    * hold bit-identical centroids) → reassignment → probe ranking: the
+    * full train-then-query chain is hash-checked end to end.
+    */
+  private val qAnnIvfTrained = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.similarity.Kmeans.updatedCentroids(
+        emb, graft.similarity.Ivf.centroids(emb, nLists = 8))
+      val idx = graft.similarity.Ivf.buildIndex(emb, cents)
+      graft.similarity.Ivf.topK(idx, emb.filter(col("vec_id") < 5), cents,
+        k = 10, nProbe = 2)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH cents AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 8),
+            assign0 AS (
+              SELECT cid, cvec, cell FROM (
+                SELECT e.vec_id AS cid, e.embedding::DOUBLE[] AS cvec, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            dims AS (
+              SELECT cell, unnest(list_transform(generate_series(1, len(cvec)),
+                       i -> {'pos': i - 1,
+                             'fx': CAST(ROUND(cvec[i] * 1073741824.0) AS BIGINT)})) AS u
+              FROM assign0),
+            agg AS (SELECT cell, u.pos AS pos, COUNT(*) AS n, SUM(u.fx) AS sfx
+                    FROM dims GROUP BY cell, u.pos),
+            moved AS (SELECT cell, list(ROUND(CAST(sfx AS DOUBLE) / (n * 1073741824.0), 6)
+                                        ORDER BY pos) AS cv
+                      FROM agg GROUP BY cell),
+            cents1 AS (SELECT c.cell, COALESCE(m.cv, c.cv) AS cv
+                       FROM cents c LEFT JOIN moved m USING (cell)),
+            assign1 AS (
+              SELECT cid, cvec, cell FROM (
+                SELECT e.vec_id AS cid, e.embedding::DOUBLE[] AS cvec, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings e CROSS JOIN cents1 c)
+              WHERE rn = 1),
+            qcells AS (
+              SELECT qid, qvec, cell FROM (
+                SELECT q.vec_id AS qid, q.embedding::DOUBLE[] AS qvec, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY ROUND(list_dot_product(q.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings q CROSS JOIN cents1 c
+                WHERE q.vec_id < 5)
+              WHERE rn <= 2),
+            scored AS (
+              SELECT qc.qid, a.cid,
+                     ROUND(list_cosine_similarity(qc.qvec, a.cvec), 6) AS cosine
+              FROM qcells qc JOIN assign1 a ON a.cell = qc.cell
+              WHERE a.cid <> qc.qid),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY cosine DESC, cid) AS rk
+              FROM scored)
+            SELECT qid, CAST(rk AS INTEGER) AS rank, cid, cosine
+            FROM ranked WHERE rk <= 10 ORDER BY qid, rank"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2140,6 +2246,8 @@ object SparkEntry {
     "q_pmi_bigrams" -> qPmiBigrams,
     "q_kmeans_step" -> qKmeansStep,
     "q_rolling_active" -> qRollingActive,
+    "q_chunk_dedup" -> qChunkDedup,
+    "q_ann_ivf_trained" -> qAnnIvfTrained,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

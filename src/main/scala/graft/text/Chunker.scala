@@ -69,4 +69,45 @@ object Chunker {
         floor((col("cum") - col("n_tokens")).cast(DoubleType) / budget.toDouble).cast(LongType))
       .drop("cum")
   }
+
+  /** Corpus-level exact substring deduplication at chunk granularity — the
+    * "remove repeated passages, keep the documents" step that whole-doc
+    * exact dedup misses (boilerplate headers/footers/licenses recur inside
+    * otherwise-distinct documents): partition every document into
+    * non-overlapping `chunkSize`-token chunks, keep each distinct chunk's
+    * GLOBAL first occurrence (smallest (id, chunk_idx)), and rebuild every
+    * document from its surviving chunks in position order.
+    *
+    * Scale shape: the keep-first rank filter plans as `WindowGroupLimit`,
+    * so each map task forwards at most ONE row per chunk hash into the
+    * exchange — a passage duplicated a million times (the hot-key profile
+    * of web boilerplate) costs the shuffle a handful of rows, not a
+    * million, and the reducer-side sort never sees the hot key's mass.
+    * Reassembly is one groupBy(id) whose per-group array sort touches only
+    * SURVIVING chunks. Two exchanges total.
+    *
+    * Output: (id, kept_chunks, text_dedup); every input id appears — a
+    * document whose every chunk lost keep-first elsewhere comes back with
+    * kept_chunks = 0 and an empty string (the downstream gate decides
+    * whether an emptied doc survives).
+    */
+  def dedupChunks(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int): DataFrame = {
+    val chunks = chunk(docs, idCol, textCol, chunkSize, stride = chunkSize)
+    val w = Window.partitionBy("ch").orderBy("id", "chunk_idx")
+    val kept = chunks
+      .withColumn("ch", graft.dedup.NearDup.md5Long(col("chunk_text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("kept_chunks"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+        x => x.getField("chunk_text")), " ").as("text_dedup"))
+    docs.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

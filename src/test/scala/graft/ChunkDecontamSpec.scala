@@ -114,4 +114,40 @@ class ChunkDecontamSpec extends SparkTestBase {
       .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
     assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
   }
+
+  // ------------------------------------------------------------------
+  // Chunk-granular substring dedup
+  // ------------------------------------------------------------------
+
+  test("dedupChunks: global keep-first, reassembly in order, emptied docs survive") {
+    val docs = Seq(
+      (1L, "a b c d"),   // both chunks first occurrences
+      (2L, "a b x y"),   // "a b" loses to doc 1 → only "x y" survives
+      (3L, "c d"),       // whole doc is a repeat of doc 1's tail → emptied
+      (4L, "z z z z")    // within-doc repeat: second "z z" dropped
+    ).toDF("doc_id", "text")
+    val got = Chunker.dedupChunks(docs, "doc_id", "text", chunkSize = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("kept_chunks"), r.getAs[String]("text_dedup")))).toMap
+    assert(got === Map(
+      1L -> ((2L, "a b c d")),
+      2L -> ((1L, "x y")),
+      3L -> ((0L, "")),
+      4L -> ((1L, "z z"))))
+  }
+
+  test("dedupChunks: keep-first rank plans as WindowGroupLimit (hot-key shuffle bound)") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
+    val p = Chunker.dedupChunks(docs, "doc_id", "text", chunkSize = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rn=1 must push a map-side group limit so boilerplate chunks don't flood the exchange:\n$p")
+  }
+
+  test("dedupChunks: a clean corpus passes through byte-identical") {
+    val docs = Seq((1L, "p q r s"), (2L, "t u v w")).toDF("doc_id", "text")
+    val got = Chunker.dedupChunks(docs, "doc_id", "text", chunkSize = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("text_dedup")).toMap
+    assert(got === Map(1L -> "p q r s", 2L -> "t u v w"))
+  }
 }

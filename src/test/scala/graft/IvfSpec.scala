@@ -29,6 +29,41 @@ class IvfSpec extends SparkTestBase {
     assert(ivf === brute)
   }
 
+  test("trained centroids: probing all cells still reproduces brute force") {
+    // one Lloyd refinement must not break probe-exhaustive exactness —
+    // the recall/balance improvement is a property of FEWER probes, the
+    // correctness contract is independent of where the centroids sit
+    val cents = graft.similarity.Kmeans.updatedCentroids(
+      emb, Ivf.centroids(emb, nLists = 8))
+    val idx = Ivf.buildIndex(emb, cents)
+    val q = emb.filter(col("vec_id") < 5)
+    val ivf = Ivf.topK(idx, q, cents, k = 10, nProbe = 8)
+      .select("qid", "rank", "cid", "cosine").collect().toSet
+    val brute = Ann.bruteForceTopK(emb, q, k = 10)
+      .select("qid", "rank", "cid", "cosine").collect().toSet
+    assert(ivf === brute)
+  }
+
+  test("training shrinks within-cell spread (the reason to Lloyd at all)") {
+    // quantization error: mean cosine distance of each vector to its own
+    // cell centroid — one refinement step must not increase it
+    def spread(cents: Seq[(Long, Seq[Double])]): Double = {
+      val byCell = cents.toMap
+      Ivf.buildIndex(emb, cents).collect().map { r =>
+        val v = r.getSeq[Float](1).map(_.toDouble)
+        val c = byCell(r.getAs[Long]("cell"))
+        val dot = v.zip(c).map { case (a, b) => a * b }.sum
+        val nv = math.sqrt(v.map(x => x * x).sum)
+        val nc = math.sqrt(c.map(x => x * x).sum)
+        1.0 - dot / (nv * nc)
+      }.sum
+    }
+    val seed = Ivf.centroids(emb, nLists = 8)
+    val trained = graft.similarity.Kmeans.updatedCentroids(emb, seed)
+    assert(spread(trained) <= spread(seed) + 1e-9,
+      "a Lloyd step must not increase total quantization error")
+  }
+
   test("planted near-neighbors are recalled with few probes") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 10L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))

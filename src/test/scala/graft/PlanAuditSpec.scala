@@ -165,6 +165,64 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_quantile_gate: threshold attaches as broadcast join, no stratum window") {
+    val p = plan("q_quantile_gate")
+    assert(!p.contains("Window"),
+      s"a lang-partitioned window would cap parallelism at |langs|:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"per-stratum cutoffs must broadcast back:\n$p")
+  }
+
+  test("q_tfidf: single per-doc window, partial-aggregated counts, no cartesian") {
+    val p = plan("q_tfidf_topterms")
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, s"one top-k window expected:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partial aggregation expected")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_pmi: top-k is TakeOrderedAndProject; joins are hash, never nested-loop over data") {
+    val p = plan("q_pmi_bigrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"count-ranked top-k must not globally sort the pair table:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_kmeans_step: assignment is join-free (literal centroids); one hash exchange") {
+    val p = plan("q_kmeans_step")
+    // centroids are plan literals — the corpus pass must be a narrow map,
+    // and the only shuffle the (cell, pos) partial aggregation
+    assert(!p.contains("Join"), s"assignment must not join, centroids are literals:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx === 1, s"recentering must cost exactly 1 hash exchange:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partial aggregation expected")
+  }
+
+  test("q_rolling_active: day-granular explode, hash aggs, no range self-join") {
+    val p = plan("q_rolling_active")
+    assert(p.contains("Generate explode"), s"window fan-out must be the explode:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the day×window range join formulation must not appear:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "both distinct passes must partial-aggregate")
+  }
+
+  test("q_chunk_dedup: WindowGroupLimit bounds the keep-first shuffle; two hash exchanges") {
+    val p = plan("q_chunk_dedup")
+    assert(p.contains("WindowGroupLimit"),
+      s"hot boilerplate chunks must be map-side-limited before the exchange:\n$p")
+    // keep-first window on hash + reassembly groupBy(id); the outer
+    // left-join attaches as broadcast at this SF
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 3, s"chunk dedup must stay at the designed exchange budget:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ann_ivf_trained: literal trained centroids, no cartesian, broadcast probe join") {
+    val p = plan("q_ann_ivf_trained")
+    assert(!p.contains("CartesianProduct"),
+      s"probe must join on cell, never cross:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the tiny query side must broadcast:\n$p")
+  }
+
   test("decontaminate: gram join carries hashes, no cartesian, no document payload") {
     val d = graft.ops.Tables.read(spark, dir, "documents")
     val p = graft.text.Decontaminate.flagContaminated(
