@@ -2163,6 +2163,52 @@ object SparkEntry {
             SELECT qid, CAST(rk AS INTEGER) AS rank, cid, cosine
             FROM ranked WHERE rk <= 10 ORDER BY qid, rank"""))
 
+  /** BM25 lexical retrieval ([[graft.text.Bm25.topK]]): top-10 corpus docs
+    * per seed doc. Scores accumulate as micro-unit longs (the fixed-point
+    * discipline), so the rank — an integer sort — is hash-stable; every
+    * double in the formula has the same expression shape on both sides,
+    * and composite literals (k1+1, 1−b) are written as ARITHMETIC in the
+    * oracle so both engines derive them from identical parses rather than
+    * decimal re-parses.
+    */
+  private val qBm25 = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Bm25.topK(docs, docs.filter(col("doc_id") < 3), k = 10)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+                         FROM documents),
+            tf AS (SELECT id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY id, token),
+            dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+            dl AS (SELECT doc_id AS id, len(string_split(text, ' ')) AS dl FROM documents),
+            st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot
+                   FROM documents),
+            qt AS (SELECT DISTINCT qid, token FROM
+                     (SELECT doc_id AS qid, unnest(string_split(text, ' ')) AS token
+                      FROM documents WHERE doc_id < 3)),
+            c AS (SELECT qt.qid, tf.id,
+                         CAST(ROUND(
+                           ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                             * (tf.tf * (1.2 + 1.0))
+                             / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                + 0.75 * dl.dl / (CAST(st.tot AS DOUBLE) / st.n)))
+                           * 1000000.0) AS BIGINT) AS cfx
+                  FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+                       JOIN dl ON dl.id = tf.id CROSS JOIN st
+                  WHERE qt.qid <> tf.id),
+            agg AS (SELECT qid, id, CAST(SUM(cfx) AS BIGINT) AS sfx
+                    FROM c GROUP BY qid, id),
+            r AS (SELECT qid, id, sfx,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY sfx DESC, id) AS rk
+                  FROM agg)
+            SELECT qid, CAST(rk AS INTEGER) AS rank, id,
+                   ROUND(sfx / 1000000.0, 6) AS score
+            FROM r WHERE rk <= 10 ORDER BY qid, rank"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2248,6 +2294,7 @@ object SparkEntry {
     "q_rolling_active" -> qRollingActive,
     "q_chunk_dedup" -> qChunkDedup,
     "q_ann_ivf_trained" -> qAnnIvfTrained,
+    "q_bm25_topk" -> qBm25,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

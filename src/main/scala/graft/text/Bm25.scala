@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 lexical retrieval: for each query document, the top-k corpus
+  * documents by BM25 score — the standard "pull training docs related to
+  * this eval/seed set" tool of a data-curation pipeline (and the lexical
+  * complement to the embedding tier in [[graft.similarity.Ann]]).
+  *
+  * Scale shape: the corpus term-frequency table (id, token, tf) and the
+  * document-frequency table both come off ONE token explode as partial
+  * aggregations (the [[CorpusStats.tfIdfTopTerms]] pattern); the query
+  * side joins on token — queries are a seed set, small next to the
+  * corpus, so AQE broadcasts them, and only postings for QUERY terms ever
+  * leave the aggregation (the inverted-index access path, expressed
+  * relationally). Corpus-wide constants (N, total length) ride a
+  * broadcast 1-row frame. The final top-k is a window over qid — query
+  * cardinality, fully parallel.
+  *
+  * Determinism: a per-(query, doc) score is a SUM of per-term float
+  * contributions, and float sums depend on merge order. Each contribution
+  * is therefore quantized to micro-units (×10⁶, rounded to long) and
+  * accumulated as integers — exact in any order, same total at any
+  * parallelism, replayable externally (the [[graft.similarity.Kmeans]]
+  * fixed-point discipline). At BM25's score range (≤ ~tens per term) the
+  * 10⁻⁶ quantum is far below any meaningful score difference.
+  */
+object Bm25 {
+
+  /** Top-k corpus docs per query doc. Output: (qid, rank, id, score) with
+    * score = quantized BM25 rounded to 6 decimals; ties rank by id; a
+    * query never retrieves itself (`qid != id` on shared id spaces).
+    *
+    * `k1` (term-frequency saturation) and `b` (length normalization) are
+    * the standard Okapi knobs.
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           idCol: String = "doc_id", textCol: String = "text",
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = corpus
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = corpus.select(col(idCol).as("id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+    val stats = corpus.agg(
+      count(lit(1)).as("__n"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("__tot"))
+    val qterms = queries
+      .select(col(idCol).as("qid"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .distinct()
+    // robertson idf (always positive): ln(1 + (N - df + 0.5)/(df + 0.5));
+    // length norm against avgdl = total/N — all doubles with the exact
+    // expression shape an external engine replays
+    val n = col("__n").cast("double")
+    val idf = log(lit(1.0) + (n - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("__tot") / n))
+    val contrib: Column = idf * (tfd * lit(k1 + 1.0)) / (tfd + norm)
+    val scored = qterms
+      .join(tf, "token")
+      .filter(col("qid") =!= col("id"))
+      .join(dfreq, "token")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("id"),
+        round(contrib * lit(1e6)).cast("long").as("cfx"))
+      .groupBy("qid", "id")
+      .agg(sum(col("cfx")).as("sfx"))
+      .select(col("qid"), col("id"),
+        round(col("sfx") / lit(1e6), 6).as("score"),
+        col("sfx"))
+    val w = Window.partitionBy("qid").orderBy(col("sfx").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
+}

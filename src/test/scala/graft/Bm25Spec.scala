@@ -1,0 +1,56 @@
+package graft
+
+import graft.text.Bm25
+
+class Bm25Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "cat dog"),
+    (2L, "cat cat cat fish"),
+    (3L, "bird")
+  ).toDF("doc_id", "text")
+
+  // the reference formula in plain doubles (N=3, tot=7)
+  private def contrib(tf: Long, df: Long, dl: Long): Double = {
+    val n = 3.0; val avg = 7.0 / n
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avg))
+  }
+  private def fx(c: Double): Long = math.rint(c * 1e6).toLong
+
+  test("single-term query: tf saturation ranks the heavy doc first, scores exact") {
+    val q = Seq((100L, "cat")).toDF("doc_id", "text")
+    val got = Bm25.topK(corpus, q, k = 10).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("id"), r.getAs[Double]("score")))
+    assert(got.map(x => (x._2, x._3)).toSeq === Seq((1, 2L), (2, 1L)),
+      "doc 2 (tf=3) outranks doc 1; doc 3 has no matching term")
+    val expected2 = fx(contrib(3, 2, 4)) / 1e6
+    assert(got.find(_._3 == 2L).get._4 === math.rint(expected2 * 1e6) / 1e6)
+  }
+
+  test("multi-term query sums per-term contributions; query tf does not double-count") {
+    // "bird bird" dedups to one query term — score for doc 3 is the single
+    // bird contribution, not twice it
+    val q = Seq((101L, "cat bird bird")).toDF("doc_id", "text")
+    val got = Bm25.topK(corpus, q, k = 10).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("score")).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(3L) === fx(contrib(1, 1, 1)) / 1e6)
+  }
+
+  test("a query doc never retrieves itself") {
+    val got = Bm25.topK(corpus, corpus.filter($"doc_id" === 1L), k = 10)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(!got.contains(1L))
+    assert(got === Set(2L)) // only the shared-term doc matches
+  }
+
+  test("fixed-point accumulation is partition-invariant") {
+    val q = Seq((101L, "cat bird fish dog")).toDF("doc_id", "text")
+    val a = Bm25.topK(corpus, q, k = 10).collect().toSet
+    val b = Bm25.topK(corpus.repartition(7), q, k = 10).collect().toSet
+    assert(a === b)
+  }
+}

@@ -223,6 +223,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"the tiny query side must broadcast:\n$p")
   }
 
+  test("q_bm25: postings partial-aggregate, one qid window, no cartesian over data") {
+    val p = plan("q_bm25_topk")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "tf/df must partial-aggregate")
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, s"one top-k window expected:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("decontaminate: gram join carries hashes, no cartesian, no document payload") {
     val d = graft.ops.Tables.read(spark, dir, "documents")
     val p = graft.text.Decontaminate.flagContaminated(
