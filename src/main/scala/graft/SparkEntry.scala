@@ -2209,6 +2209,74 @@ object SparkEntry {
                    ROUND(sfx / 1000000.0, 6) AS score
             FROM r WHERE rk <= 10 ORDER BY qid, rank"""))
 
+  /** Hybrid retrieval ([[graft.similarity.Fusion.rrf]]): BM25 lexical
+    * top-20 fused with embedding-cosine top-20 by reciprocal rank, re-cut
+    * to top-10. The doc/vec id spaces coincide in the fixture, standing
+    * in for a corpus with both text and embeddings. The oracle replays
+    * BOTH retrieval chains and the fusion arithmetic — integer ranks,
+    * fixed-order two-term reciprocal sum, rounded re-rank.
+    */
+  private val qHybridRrf = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val lex = graft.text.Bm25.topK(docs, docs.filter(col("doc_id") < 3), k = 20)
+        .select(col("qid"), col("id"), col("rank"))
+      val sem = graft.similarity.Ann.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 3), k = 20)
+        .select(col("qid"), col("cid").as("id"), col("rank"))
+      graft.similarity.Fusion.rrf(lex, sem, k = 10)
+        .orderBy("qid", "rank")
+    },
+    Some("""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+                         FROM documents),
+            tf AS (SELECT id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY id, token),
+            dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+            dlen AS (SELECT doc_id AS id, len(string_split(text, ' ')) AS dl FROM documents),
+            st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tot
+                   FROM documents),
+            qt AS (SELECT DISTINCT qid, token FROM
+                     (SELECT doc_id AS qid, unnest(string_split(text, ' ')) AS token
+                      FROM documents WHERE doc_id < 3)),
+            bmc AS (SELECT qt.qid, tf.id,
+                           CAST(ROUND(
+                             ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                               * (tf.tf * (1.2 + 1.0))
+                               / (tf.tf + 1.2 * ((1.0 - 0.75)
+                                  + 0.75 * dlen.dl / (CAST(st.tot AS DOUBLE) / st.n)))
+                             * 1000000.0) AS BIGINT) AS cfx
+                    FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+                         JOIN dlen ON dlen.id = tf.id CROSS JOIN st
+                    WHERE qt.qid <> tf.id),
+            bma AS (SELECT qid, id, CAST(SUM(cfx) AS BIGINT) AS sfx
+                    FROM bmc GROUP BY qid, id),
+            lex AS (SELECT qid, id, rk AS rank_a FROM
+                      (SELECT qid, id, row_number() OVER (PARTITION BY qid
+                                       ORDER BY sfx DESC, id) AS rk FROM bma)
+                    WHERE rk <= 20),
+            aq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 3),
+            ac AS (SELECT vec_id AS id, embedding::DOUBLE[] AS cv FROM embeddings),
+            asc_ AS (SELECT qid, id, ROUND(list_cosine_similarity(qv, cv), 6) AS cosine
+                     FROM aq CROSS JOIN ac WHERE id <> qid),
+            sem AS (SELECT qid, id, rk AS rank_b FROM
+                      (SELECT qid, id, row_number() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, id) AS rk FROM asc_)
+                    WHERE rk <= 20),
+            fused AS (SELECT qid, id,
+                             CAST(rank_a AS INTEGER) AS rank_a,
+                             CAST(rank_b AS INTEGER) AS rank_b,
+                             ROUND(COALESCE(1.0 / (60 + rank_a), 0.0)
+                                 + COALESCE(1.0 / (60 + rank_b), 0.0), 6) AS rrf
+                      FROM lex FULL OUTER JOIN sem USING (qid, id)),
+            rr AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                                ORDER BY rrf DESC, id) AS rk
+                   FROM fused)
+            SELECT qid, CAST(rk AS INTEGER) AS rank, id, rrf, rank_a, rank_b
+            FROM rr WHERE rk <= 10 ORDER BY qid, rank"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2295,6 +2363,7 @@ object SparkEntry {
     "q_chunk_dedup" -> qChunkDedup,
     "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_bm25_topk" -> qBm25,
+    "q_hybrid_rrf" -> qHybridRrf,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -90,6 +90,30 @@ object EventStreams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Sliding-window distinct actives (rolling DAU/WAU), streaming form.
+    * Streaming aggregation disallows COUNT(DISTINCT) for a reason: its
+    * state IS the per-window value set, unbounded in the key cardinality.
+    * The streaming answer is the mergeable sketch — `approx_count_distinct`
+    * keeps one fixed-size HLL register array per open window, watermark
+    * bounds how many windows stay open, and register max-merge is
+    * order-insensitive, so the result is deterministic and identical
+    * between a stream and the same code over a batch frame (cross-checked
+    * in StreamingSpec). The EXACT rolling count is the batch operator
+    * ([[graft.ops.RollingDistinct.activeKeys]]) — this is the live
+    *-dashboard view of the same question, within HLL error (`rsd`).
+    */
+  def rollingActiveSketch(events: DataFrame, windowDays: Int = 7,
+                          lateness: String = "1 day",
+                          rsd: Double = 0.05): DataFrame = {
+    require(windowDays >= 1, s"windowDays=$windowDays must be >= 1")
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), s"$windowDays days", "1 day"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("active_approx"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("active_approx"))
+  }
+
   /** One event on the wire. */
   case class Ev(event_id: Long, user_id: Long, tsUs: Long, value: Double)
 

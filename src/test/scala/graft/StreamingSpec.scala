@@ -36,6 +36,44 @@ class StreamingSpec extends SparkTestBase {
       "every emitted window must match the batch computation")
   }
 
+  test("rolling active sketch: stream equals batch; sketch tracks the exact count") {
+    val batch = Tables.readEvents(spark, "/root/testdata/sf0.001")
+    val dir = tmp()
+    batch.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val q = EventStreams.rollingActiveSketch(
+        spark.readStream.schema(schema).parquet(dir), windowDays = 3)
+      .writeStream.outputMode("append").format("memory").queryName("wau_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("wau_out")
+    val batchRef = EventStreams.rollingActiveSketch(batch, windowDays = 3)
+    // append mode holds back unclosed windows on finite input — emitted
+    // windows must match the batch run of the SAME code exactly (HLL
+    // register merge is order-insensitive)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batchRef).count() === 0,
+      "every emitted window must match the batch sketch")
+
+    // and the sketch must track the exact batch answer within HLL error:
+    // compare on trailing-window day = win_end - 1 day (the batch op keys
+    // by report day, the sliding window by [start, end))
+    val exact = graft.ops.RollingDistinct.activeKeys(batch, "ts", "user_id", 3)
+      .select(col("day"), col("active"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val approx = batchRef
+      .select(to_date(col("win_end") - expr("INTERVAL 1 DAY")).as("day"), col("active_approx"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val common = exact.keySet intersect approx.keySet
+    assert(common.nonEmpty)
+    common.foreach { d =>
+      val (e, a) = (exact(d).toDouble, approx(d).toDouble)
+      assert(math.abs(a - e) / e <= 0.15,
+        s"day $d: sketch $a vs exact $e exceeds HLL tolerance")
+    }
+  }
+
   test("native session_window equals the batch gap rule (counts + starts)") {
     val ev = Tables.readEvents(spark, "/root/testdata/sf0.001").filter($"user_id" < 10)
     val viaSessionWindow = EventStreams.sessionWindowStats(ev)
