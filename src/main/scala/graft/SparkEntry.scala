@@ -982,6 +982,61 @@ object SparkEntry {
                       WHERE jacc >= $threshold)"""
   }
 
+  /** Two-table variant of [[minHashPairsCtes]] replaying [[graft.dedup
+    * .NearDup.minHashLshAgainstCorpus]] over prior CTEs `nbase`/`sbase`
+    * (id, text). Emits CTEs ending in `xpairs`(new_id, seen_id, jaccard):
+    * the same stage-for-stage chain per side, bucket cap computed on the
+    * SEEN side only, candidates joined across.
+    */
+  private def minHashXPairsCtes(bands: Int, rowsPerBand: Int,
+                                threshold: Double, maxBucket: Int): String = {
+    val numHashes = bands * rowsPerBand
+    val slack = math.max(0.0, threshold - 1.5 / math.sqrt(numHashes.toDouble))
+    val sigTerms = (0 until numHashes).map { i =>
+      s"list_min(list_transform(hs, p -> p.h1 + $i * p.h2))"
+    }.mkString(",\n                     ")
+    def sideCtes(p: String, base: String) =
+      s"""${p}d AS (SELECT id, text, string_split(text, ' ') AS toks FROM $base),
+            ${p}shg AS (SELECT id, CASE WHEN len(toks) >= 3
+                      THEN list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                      ELSE [text] END AS sh FROM ${p}d),
+            ${p}hs AS (SELECT id, list_transform(sh, m -> struct_pack(
+                     h1 := ('0x' || substring(md5(m), 1, 15))::BIGINT,
+                     h2 := ('0x' || substring(md5(m), 16, 14))::BIGINT)) AS hs FROM ${p}shg),
+            ${p}sig AS (SELECT id, [$sigTerms] AS sig FROM ${p}hs)"""
+    def bandSelects(sigCte: String) = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand)
+        .map(r => s"sig[${b * rowsPerBand + r + 1}]::VARCHAR").mkString(", ")
+      s"SELECT id, $b AS band, ${md5LongSql(s"concat_ws('|', '$b', $slots)")} AS bh FROM $sigCte"
+    }.mkString("\n              UNION ALL ")
+    val estTerms = (1 to numHashes)
+      .map(i => s"(CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""${sideCtes("n", "nbase")},
+            ${sideCtes("s", "sbase")},
+            nbanded AS (${bandSelects("nsig")}),
+            sbanded AS (${bandSelects("ssig")}),
+            okb AS (SELECT band, bh FROM sbanded GROUP BY band, bh HAVING COUNT(*) <= $maxBucket),
+            scap AS (SELECT sbanded.id, sbanded.band, sbanded.bh
+                     FROM sbanded JOIN okb USING (band, bh)),
+            xcand AS (SELECT DISTINCT n.id AS new_id, s.id AS seen_id
+                      FROM nbanded n JOIN scap s
+                        ON n.band = s.band AND n.bh = s.bh AND n.id <> s.id),
+            xest AS (SELECT c.new_id, c.seen_id FROM xcand c
+                     JOIN nsig sa ON sa.id = c.new_id
+                     JOIN ssig sb ON sb.id = c.seen_id
+                     WHERE ($estTerms) / $numHashes.0 >= $slack),
+            ntk AS (SELECT id, list_distinct(toks) AS toks FROM nd),
+            stk AS (SELECT id, list_distinct(toks) AS toks FROM sd),
+            xpairs AS (SELECT new_id, seen_id, jacc AS jaccard FROM (
+                        SELECT e.new_id, e.seen_id,
+                               CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+                               CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) AS jacc
+                        FROM xest e JOIN ntk ta ON ta.id = e.new_id
+                             JOIN stk tb ON tb.id = e.seen_id)
+                      WHERE jacc >= $threshold)"""
+  }
+
   /** Brute-force all-pairs SimHash oracle: per-token md5 split into a
     * 60-bit low part (hex chars 1-15) + 4-bit high part (char 16) — the
     * exact [[graft.dedup.NearDup.simHash]] construction — then EVERY pair
@@ -2277,6 +2332,29 @@ object SparkEntry {
             SELECT qid, CAST(rk AS INTEGER) AS rank, id, rrf, rank_a, rank_b
             FROM rr WHERE rk <= 10 ORDER BY qid, rank"""))
 
+  /** Incremental near-dup ([[graft.dedup.NearDup.minHashLshAgainstCorpus]]):
+    * the first 250 docs as an ingest batch against the rest as history —
+    * the production shape where a daily batch near-dedups against the
+    * corpus without re-pairing history with itself. The oracle replays
+    * both sides' signature chains, the seen-side bucket cap, and the
+    * cross-join candidates end to end.
+    */
+  private val qDedupLshIncremental = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.NearDup.minHashLshAgainstCorpus(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 1000),
+        "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+        .orderBy("new_id", "seen_id")
+    },
+    Some(s"""WITH nbase AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 250),
+            sbase AS (SELECT doc_id AS id, text FROM documents
+                      WHERE doc_id >= 250 AND doc_id < 1000),
+            ${minHashXPairsCtes(bands = 4, rowsPerBand = 4, threshold = 0.9, maxBucket = 1000)}
+            SELECT new_id, seen_id, jaccard FROM xpairs
+            ORDER BY new_id, seen_id"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2364,6 +2442,7 @@ object SparkEntry {
     "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_bm25_topk" -> qBm25,
     "q_hybrid_rrf" -> qHybridRrf,
+    "q_dedup_lsh_incremental" -> qDedupLshIncremental,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -135,6 +135,28 @@ object NearDup {
       .select(col("id"), TextAnalysis.shinglesFromTokens(col("t"), col("tk")).as("sh"))
       .select(col("id"), graft.functions.MinHashSig.sig(col("sh"), numHashes).as("sig"))
 
+  /** (id, band, bh) band-bucket rows from a signature frame: band hash =
+    * md5Long over "band|slot|slot|..." (the band's signature slice in
+    * decimal — identical text in any engine). Band rows carry ONLY
+    * (id, bandhash): a candidate pair costs 16 bytes on the wire, never
+    * the document/token payload.
+    */
+  private def bandRows(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("id"), explode(
+      array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          md5Long(concat_ws("|", lit(b.toString) +: (0 until rowsPerBand)
+            .map(r => element_at(col("sig"), b * rowsPerBand + r + 1).cast(StringType)): _*)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bh"))
+
+  /** MinHash-estimate prefilter threshold: exact verification is only paid
+    * by pairs whose signature agreement clears the threshold minus ~1.5
+    * standard errors of the estimator.
+    */
+  private def estSlack(threshold: Double, numHashes: Int): Double =
+    math.max(0.0, threshold - 1.5 / math.sqrt(numHashes.toDouble))
+
   /** Candidate near-dup pairs via LSH banding of MinHash signatures.
     * `numHashes = bands × rowsPerBand`; two docs become a candidate pair
     * iff at least one band of their signatures matches exactly. Returns
@@ -147,18 +169,7 @@ object NearDup {
                  maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sig = signatures(docs, idCol, textCol, numHashes)
-
-    // band hash = md5Long over "band|slot|slot|..." (the band's signature
-    // slice rendered in decimal — identical text in any engine). The band
-    // join carries ONLY (id, bandhash): a candidate pair costs 16 bytes on
-    // the wire, never the document/token payload.
-    val banded = sig.select(col("id"), explode(
-      array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          md5Long(concat_ws("|", lit(b.toString) +: (0 until rowsPerBand)
-            .map(r => element_at(col("sig"), b * rowsPerBand + r + 1).cast(StringType)): _*)).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bh"))
+    val banded = bandRows(sig, bands, rowsPerBand)
 
     // cap pathological buckets (boilerplate): they explode the join and
     // carry no dedup signal beyond "everything matches everything".
@@ -177,7 +188,7 @@ object NearDup {
     // cheap prefilter: estimated Jaccard = fraction of agreeing signature
     // slots (the MinHash estimator). Only pairs whose estimate clears a
     // slackened threshold pay for the exact token-set verification.
-    val slack = math.max(0.0, threshold - 1.5 / math.sqrt(numHashes.toDouble))
+    val slack = estSlack(threshold, numHashes)
     val sigEst = candidates
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -196,6 +207,74 @@ object NearDup {
       .select(col("id_a"), col("id_b"),
         jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental MinHash+LSH near-dup: each NEW document checked against
+    * the SEEN corpus — the ingest-batch shape of [[minHashLsh]], pairing
+    * [[dedupAgainstCorpus]] (exact) the way production pipelines do: a
+    * daily batch must not re-near-dedup the historical 100 TB against
+    * itself, only the batch against history. Returns (new_id, seen_id,
+    * jaccard) pairs at/above `threshold`.
+    *
+    * Scale shape: identical banding to [[minHashLsh]] — both sides post
+    * narrow (id, band, bandhash) rows into an equi-join; the bucket cap is
+    * computed on the SEEN side (the historical corpus carries the
+    * boilerplate mass; a new batch rarely fills a bucket alone) BEFORE
+    * the join; estimate-prefilter then exact Jaccard run only on
+    * candidates. In steady state the seen side's signatures/bands are a
+    * pre-materialized index table, so the incremental cost is one
+    * signature pass over the BATCH plus joins sized by the batch.
+    */
+  def minHashLshAgainstCorpus(newDocs: DataFrame, seenDocs: DataFrame,
+                              idCol: String, textCol: String,
+                              bands: Int = 4, rowsPerBand: Int = 4,
+                              threshold: Double = 0.7,
+                              maxBucket: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val newSig = signatures(newDocs, idCol, textCol, numHashes)
+    val seenSig = signatures(seenDocs, idCol, textCol, numHashes)
+    val seenBand = bandRows(seenSig, bands, rowsPerBand)
+    val okBuckets = seenBand.groupBy("band", "bh").count()
+      .filter(col("count") <= maxBucket).select("band", "bh")
+    val candidates = bandRows(newSig, bands, rowsPerBand)
+      .select(col("band"), col("bh"), col("id").as("new_id"))
+      .join(seenBand.join(okBuckets, Seq("band", "bh"))
+        .select(col("band"), col("bh"), col("id").as("seen_id")), Seq("band", "bh"))
+      .filter(col("new_id") =!= col("seen_id")) // overlapping id spaces allowed
+      .select("new_id", "seen_id").distinct()
+    val slack = estSlack(threshold, numHashes)
+    val sigEst = candidates
+      .join(newSig.select(col("id").as("new_id"), col("sig").as("sig_a")), "new_id")
+      .join(seenSig.select(col("id").as("seen_id"), col("sig").as("sig_b")), "seen_id")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)) /
+          lit(numHashes.toDouble))
+      .filter(col("est") >= slack)
+      .select("new_id", "seen_id")
+    val newToks = newDocs.select(col(idCol).as("new_id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_a"))
+    val seenToks = seenDocs.select(col(idCol).as("seen_id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_b"))
+    sigEst.join(newToks, "new_id").join(seenToks, "seen_id")
+      .select(col("new_id"), col("seen_id"),
+        jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The filter form of [[minHashLshAgainstCorpus]]: the new batch minus
+    * documents near-duplicating anything already seen — what an ingest
+    * pipeline actually composes after [[dedupAgainstCorpus]] has removed
+    * the exact copies.
+    */
+  def dedupNearAgainstCorpus(newDocs: DataFrame, seenDocs: DataFrame,
+                             idCol: String, textCol: String,
+                             bands: Int = 4, rowsPerBand: Int = 4,
+                             threshold: Double = 0.7,
+                             maxBucket: Int = 1000): DataFrame = {
+    val dup = minHashLshAgainstCorpus(newDocs, seenDocs, idCol, textCol,
+      bands, rowsPerBand, threshold, maxBucket)
+      .select(col("new_id")).distinct()
+    newDocs.join(dup, newDocs(idCol) === dup("new_id"), "left_anti")
   }
 
   // -------------------------------------------------------------------

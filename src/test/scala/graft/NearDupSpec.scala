@@ -62,6 +62,39 @@ class NearDupSpec extends SparkTestBase {
     assert(exact.subsetOf(lsh), s"missed: ${exact -- lsh}")
   }
 
+  test("minHashLshAgainstCorpus: batch pairs against history only, agrees with full LSH") {
+    val batch = docs.filter(col("doc_id") < 2)   // 0 (≈2), 1 (exact of 0)
+    val seen = docs.filter(col("doc_id") >= 2)   // 2, 3, 4, 5
+    val inc = NearDup.minHashLshAgainstCorpus(batch, seen, "doc_id", "text",
+      bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("seen_id"))).toSet
+    // only cross pairs: batch docs 0,1 near-dup seen doc 2; the 0↔1 exact
+    // pair is WITHIN the batch and must not appear (that's minHashLsh's job)
+    assert(inc === Set((0L, 2L), (1L, 2L)))
+    // cross-pair agreement with the full self-LSH at the same knobs
+    val full = NearDup.minHashLsh(docs, "doc_id", "text",
+      bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    inc.foreach { case (n, s) =>
+      assert(full.contains((math.min(n, s), math.max(n, s))),
+        s"incremental pair ($n,$s) must exist in the full pairing") }
+  }
+
+  test("dedupNearAgainstCorpus: batch minus near-dups of history") {
+    val batch = docs.filter(col("doc_id") < 2)
+    val seen = docs.filter(col("doc_id") >= 2)
+    val kept = NearDup.dedupNearAgainstCorpus(batch, seen, "doc_id", "text",
+      bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set.empty, "both batch docs near-duplicate seen doc 2")
+    // a clean batch passes through untouched
+    val clean = NearDup.dedupNearAgainstCorpus(
+      docs.filter(col("doc_id") === 5), docs.filter(col("doc_id") < 4),
+      "doc_id", "text", bands = 8, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(clean === Set(5L))
+  }
+
   test("simHash: identical docs equal hashes; near-dups within small hamming") {
     val sims = NearDup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
