@@ -2355,6 +2355,123 @@ object SparkEntry {
             SELECT new_id, seen_id, jaccard FROM xpairs
             ORDER BY new_id, seen_id"""))
 
+  /** CDC merge ([[graft.ops.Merge.applyChanges]]): a synthetic change
+    * batch over the orders snapshot — two competing updates per changed
+    * key (seq decides), deletes, and key-space-shifted inserts. Price
+    * mutations are pure additions (single IEEE op, bit-identical in any
+    * engine) so the merged doubles hash without rounding.
+    */
+  private val qMergeUpsert = Q(
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val upd1 = o.filter(col("o_orderkey") % 100 < 10)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("op", lit("U")).withColumn("seq", col("o_orderkey") * 10 + 1)
+      val upd2 = o.filter(col("o_orderkey") % 100 < 10)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(2000.0))
+        .withColumn("op", lit("U")).withColumn("seq", col("o_orderkey") * 10 + 2)
+      val dels = o.filter(col("o_orderkey") % 100 >= 10 && col("o_orderkey") % 100 < 15)
+        .withColumn("op", lit("D")).withColumn("seq", col("o_orderkey") * 10 + 1)
+      val ins = o.filter(col("o_orderkey") % 100 >= 15 && col("o_orderkey") % 100 < 20)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("op", lit("I")).withColumn("seq", col("o_orderkey") * 10 + 1)
+      val changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+      graft.ops.Merge.applyChanges(o, changes, Seq("o_orderkey"), "seq", "op")
+        .orderBy("o_orderkey")
+    },
+    Some("""WITH ch AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+                     o_orderpriority, 'U' AS op, o_orderkey * 10 + 1 AS seq
+              FROM orders WHERE o_orderkey % 100 < 10
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_totalprice + 2000.0, o_orderdate,
+                     o_orderpriority, 'U', o_orderkey * 10 + 2
+              FROM orders WHERE o_orderkey % 100 < 10
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                     o_orderdate, o_orderpriority, 'D', o_orderkey * 10 + 1
+              FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 15
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_custkey, o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority, 'I',
+                     (o_orderkey + 10000000) * 10 + 1
+              FROM orders WHERE o_orderkey % 100 >= 15 AND o_orderkey % 100 < 20),
+            winner AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                             ORDER BY seq DESC, op DESC) AS rn
+                FROM ch)
+              WHERE rn = 1)
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+                   o.o_orderdate, o.o_orderpriority
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM winner w
+                              WHERE w.o_orderkey = o.o_orderkey)
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM winner WHERE op <> 'D'
+            ORDER BY o_orderkey"""))
+
+  /** SCD2 maintenance ([[graft.ops.Merge.scd2Apply]]): a two-generation
+    * customer dimension (every 10th key carries a closed 2019 version)
+    * takes a change batch touching every 7th key — close-outs, appended
+    * versions, and a replayable full-history result keyed by
+    * (c_custkey, valid_from).
+    */
+  private val qScd2Apply = Q(
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val dim = c
+        .withColumn("valid_from", to_date(lit("2020-01-01")))
+        .withColumn("valid_to", lit(null).cast(DateType))
+        .unionByName(
+          c.filter(col("c_custkey") % 10 === 0)
+            .withColumn("c_acctbal", lit(0.0))
+            .withColumn("valid_from", to_date(lit("2019-01-01")))
+            .withColumn("valid_to", to_date(lit("2020-01-01"))))
+      val changes = c.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(500.0))
+        .withColumn("eff", to_date(lit("2021-06-01")))
+      graft.ops.Merge.scd2Apply(
+          dim, changes, Seq("c_custkey"), "valid_from", "valid_to", "eff")
+        .orderBy("c_custkey", "valid_from")
+    },
+    Some("""WITH dim AS (
+              SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                     DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+              FROM customer
+              UNION ALL
+              SELECT c_custkey, c_name, c_nationkey, CAST(0.0 AS DOUBLE),
+                     c_mktsegment, DATE '2019-01-01', DATE '2020-01-01'
+              FROM customer WHERE c_custkey % 10 = 0),
+            ch AS (
+              SELECT c_custkey, c_name, c_nationkey,
+                     c_acctbal + 500.0 AS c_acctbal, c_mktsegment,
+                     DATE '2021-06-01' AS eff
+              FROM customer WHERE c_custkey % 7 = 0)
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                   valid_from, valid_to
+            FROM dim WHERE valid_to IS NOT NULL
+            UNION ALL
+            SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal,
+                   d.c_mktsegment, d.valid_from, d.valid_to
+            FROM dim d
+            WHERE d.valid_to IS NULL
+              AND NOT EXISTS (SELECT 1 FROM ch WHERE ch.c_custkey = d.c_custkey)
+            UNION ALL
+            SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal,
+                   d.c_mktsegment, d.valid_from, ch.eff
+            FROM dim d JOIN ch ON ch.c_custkey = d.c_custkey
+            WHERE d.valid_to IS NULL
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                   eff, CAST(NULL AS DATE)
+            FROM ch
+            ORDER BY c_custkey, valid_from"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2443,6 +2560,8 @@ object SparkEntry {
     "q_bm25_topk" -> qBm25,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_dedup_lsh_incremental" -> qDedupLshIncremental,
+    "q_merge_upsert" -> qMergeUpsert,
+    "q_scd2_apply" -> qScd2Apply,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
