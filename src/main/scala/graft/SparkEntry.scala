@@ -2472,6 +2472,80 @@ object SparkEntry {
             FROM ch
             ORDER BY c_custkey, valid_from"""))
 
+  /** Per-source boilerplate removal ([[graft.text.Boilerplate]]): tokens
+    * in ≥ 90% of a source's documents are stripped relative to that
+    * source only; documents come back reassembled in original token
+    * order, so the cleaned text itself is hash-checked, not just counts.
+    * Threshold compare is exact integer arithmetic in both engines.
+    */
+  private val qBoilerplate = Q(
+    (s, dir) =>
+      graft.text.Boilerplate.stripBoilerplate(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        fracNum = 9, fracDen = 10)
+        .orderBy("id"),
+    Some("""WITH d AS (SELECT doc_id AS id, source AS src,
+                              string_split(text, ' ') AS tk
+                       FROM documents),
+            base AS (SELECT id, src, u.pos AS pos, u.token AS token
+                     FROM (SELECT id, src,
+                                  unnest(list_transform(generate_series(1, len(tk)),
+                                         i -> {'pos': i, 'token': tk[i]})) AS u
+                           FROM d)),
+            sdocs AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_docs
+                      FROM d GROUP BY src),
+            dfreq AS (SELECT src, token, CAST(COUNT(DISTINCT id) AS BIGINT) AS df
+                      FROM base GROUP BY src, token),
+            boiler AS (SELECT src, token FROM dfreq JOIN sdocs USING (src)
+                       WHERE df * 10 >= n_docs * 9),
+            kept AS (SELECT b.* FROM base b WHERE NOT EXISTS
+                       (SELECT 1 FROM boiler x
+                        WHERE x.src = b.src AND x.token = b.token)),
+            agg AS (SELECT id, string_agg(token, ' ' ORDER BY pos) AS clean_text,
+                           CAST(COUNT(*) AS BIGINT) AS n_kept
+                    FROM kept GROUP BY id)
+            SELECT d.id, COALESCE(agg.clean_text, '') AS clean_text,
+                   COALESCE(agg.n_kept, 0) AS n_kept,
+                   CAST(len(d.tk) AS BIGINT) - COALESCE(agg.n_kept, 0) AS n_dropped
+            FROM d LEFT JOIN agg ON agg.id = d.id
+            ORDER BY d.id"""))
+
+  /** Corpus-trained bigram-LM quality score ([[graft.text.LmScore]]):
+    * add-one-smoothed per-bigram log-probs, micro-unit-quantized before
+    * the per-doc sum (exact in any merge order), mean reported ROUNDed.
+    */
+  private val qLmScore = Q(
+    (s, dir) =>
+      graft.text.LmScore.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id"),
+    Some("""WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS tk
+                       FROM documents),
+            uni AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+                    FROM (SELECT unnest(tk) AS w1 FROM d) GROUP BY w1),
+            v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vs FROM uni),
+            pp AS (SELECT id, unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1])) AS pair
+                   FROM d WHERE len(tk) >= 2),
+            bi AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c12
+                   FROM pp GROUP BY pair),
+            scored AS (SELECT id,
+                              CAST(ROUND(ln(CAST(c12 + 1 AS DOUBLE)
+                                            / CAST(c1 + vs AS DOUBLE))
+                                         * 1000000.0) AS BIGINT) AS q
+                       FROM pp JOIN bi USING (pair)
+                            JOIN uni ON uni.w1 = split_part(pair, ' ', 1)
+                            CROSS JOIN v),
+            agg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                           CAST(SUM(q) AS BIGINT) AS lp_micro
+                    FROM scored GROUP BY id)
+            SELECT d.id, COALESCE(agg.n_pairs, 0) AS n_pairs,
+                   COALESCE(agg.lp_micro, 0) AS lp_micro,
+                   CASE WHEN agg.n_pairs IS NULL THEN NULL
+                        ELSE ROUND(agg.lp_micro / agg.n_pairs / 1000000.0, 6)
+                   END AS avg_logprob
+            FROM d LEFT JOIN agg ON agg.id = d.id
+            ORDER BY d.id"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2562,6 +2636,8 @@ object SparkEntry {
     "q_dedup_lsh_incremental" -> qDedupLshIncremental,
     "q_merge_upsert" -> qMergeUpsert,
     "q_scd2_apply" -> qScd2Apply,
+    "q_boilerplate" -> qBoilerplate,
+    "q_lm_score" -> qLmScore,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
