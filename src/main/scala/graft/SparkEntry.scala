@@ -2546,6 +2546,57 @@ object SparkEntry {
             FROM d LEFT JOIN agg ON agg.id = d.id
             ORDER BY d.id"""))
 
+  /** Pre-load data-quality gate ([[graft.ops.QualityAudit.audit]]):
+    * per-column completeness + cardinality over orders in one agg pass.
+    * `exact = true` here so DuckDB replays the distinct counts; the
+    * production default is the HLL sketch form.
+    */
+  private val qQualityAudit = Q(
+    (s, dir) =>
+      graft.ops.QualityAudit.audit(
+        t(s, dir, "orders"),
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+        exact = true)
+        .orderBy("col_name"),
+    Some("""WITH m AS (
+              SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                     CAST(COUNT(o_custkey) AS BIGINT) AS n_nonnull,
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(o_orderstatus) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(o_totalprice) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_totalprice) AS BIGINT)
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+                     CAST(COUNT(o_orderpriority) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+              FROM orders)
+            SELECT col_name, n_rows, n_nonnull, n_distinct,
+                   ROUND(n_nonnull / CAST(n_rows AS DOUBLE), 6) AS completeness
+            FROM m ORDER BY col_name"""))
+
+  /** Multi-epoch training order ([[graft.ops.Sampling.epochOrder]]):
+    * two independent md5 permutations of the documents corpus, keyed
+    * (epoch, ord) — RNG-free, so the oracle replays the exact shuffle.
+    */
+  private val qEpochOrder = Q(
+    (s, dir) =>
+      graft.ops.Sampling.epochOrder(t(s, dir, "documents"), "doc_id", epochs = 2)
+        .orderBy("epoch", "ord", "id"),
+    Some(s"""WITH e AS (SELECT doc_id AS id, CAST(epoch AS INTEGER) AS epoch
+                        FROM documents, generate_series(1, 2) AS g(epoch))
+             SELECT epoch,
+                    ${md5LongSql("epoch::VARCHAR || ':' || id::VARCHAR")} AS ord,
+                    id
+             FROM e ORDER BY epoch, ord, id"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2638,6 +2689,8 @@ object SparkEntry {
     "q_scd2_apply" -> qScd2Apply,
     "q_boilerplate" -> qBoilerplate,
     "q_lm_score" -> qLmScore,
+    "q_quality_audit" -> qQualityAudit,
+    "q_epoch_order" -> qEpochOrder,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

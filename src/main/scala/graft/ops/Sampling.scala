@@ -190,4 +190,25 @@ object Sampling {
       }
     df.withColumn(outCol, chain)
   }
+
+  /** Deterministic multi-epoch training order: epoch `e` orders the
+    * corpus by `md5(e:id)` — an independent pseudo-random permutation per
+    * epoch (the data-ordering step of a multi-epoch run), reproducible
+    * run-over-run and engine-over-engine with zero RNG state.
+    *
+    * Emits (epoch, ord, id); consumers realize the order by writing with
+    * `repartitionByRange(epoch, ord)` + in-partition sort. Deliberately
+    * NO per-epoch `row_number` dense position: a window partitioned by
+    * `epoch` has |epochs| partitions — single-digit parallelism at any
+    * scale (the Normalize low-cardinality-window lesson) — and training
+    * readers consume order, not positions.
+    */
+  def epochOrder(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs > 0, s"epochs=$epochs must be positive")
+    df.select(col(idCol).as("id"))
+      .withColumn("epoch", explode(sequence(lit(1), lit(epochs), lit(1))))
+      .withColumn("ord", NearDup.md5Long(
+        concat(col("epoch").cast(StringType), lit(":"), col("id").cast(StringType))))
+      .select("epoch", "ord", "id")
+  }
 }
