@@ -240,4 +240,52 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"contamination must join on gram hashes, never cross:\n$p")
   }
+
+  test("q_merge_upsert: winner-per-key is group-limited, change side broadcasts into the anti join") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn=1 winner filter must push a group limit:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the snapshot-sized side must NOT shuffle for the anti join: the
+    // (small) winner set broadcasts
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"anti join must broadcast the change batch:\n$p")
+  }
+
+  test("q_scd2_apply: change batch broadcasts into close-out and anti joins, no sort-merge") {
+    val p = plan("q_scd2_apply")
+    assert(!p.contains("SortMergeJoin"),
+      s"dimension maintenance must not sort-merge a small change batch:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both the close-out join and the anti join broadcast:\n$p")
+  }
+
+  test("q_boilerplate: boilerplate set broadcasts into the anti join, no cartesian") {
+    val p = plan("q_boilerplate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftAnti"), s"stripping is an anti join:\n$p")
+  }
+
+  test("q_lm_score: count tables partial-aggregate; only the 1-row vocab crosses") {
+    val p = plan("q_lm_score")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"bigram/unigram counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"nothing data-sized may cross-join:\n$p")
+  }
+
+  test("q_quality_audit: all metrics from ONE scan, no join") {
+    val p = plan("q_quality_audit")
+    assert("FileScan".r.findAllIn(p).size === 1,
+      s"the audit must profile every column in a single pass:\n$p")
+    assert(!p.contains("Join"), s"audit must not join:\n$p")
+  }
+
+  test("q_epoch_order: pure per-row map+explode — no hash exchange, no join") {
+    val p = plan("q_epoch_order")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"epoch ordering must run at scan speed:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
