@@ -2597,6 +2597,88 @@ object SparkEntry {
                     id
              FROM e ORDER BY epoch, ord, id"""))
 
+  /** Conversion funnel ([[graft.ops.Funnel.firstTouch]]): view → click →
+    * purchase within 7 days over the event log. Timestamps stay integer
+    * epoch-micros end to end, so step anchoring, the strictly-after
+    * chain, and the horizon cut all replay exactly.
+    */
+  private val qFunnel = Q(
+    (s, dir) =>
+      graft.ops.Funnel.firstTouch(
+        Tables.readEvents(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), horizonMicros = 7L * 86400L * 1000000L)
+        .orderBy("user_id"),
+    Some("""WITH b AS (SELECT user_id, event_type AS et, epoch_us(ts) AS us
+                       FROM events),
+            s1 AS (SELECT user_id, MIN(us) AS t1 FROM b
+                   WHERE et = 'view' GROUP BY user_id),
+            s2 AS (SELECT s1.user_id, s1.t1,
+                          MIN(CASE WHEN b.us > s1.t1
+                                    AND b.us <= s1.t1 + 604800000000 THEN b.us END) AS t2
+                   FROM s1 LEFT JOIN b ON b.user_id = s1.user_id AND b.et = 'click'
+                   GROUP BY s1.user_id, s1.t1),
+            s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+                          MIN(CASE WHEN b.us > s2.t2
+                                    AND b.us <= s2.t1 + 604800000000 THEN b.us END) AS t3
+                   FROM s2 LEFT JOIN b ON b.user_id = s2.user_id AND b.et = 'purchase'
+                   GROUP BY s2.user_id, s2.t1, s2.t2)
+            SELECT user_id, t1, t2, t3,
+                   CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                             WHEN t2 IS NOT NULL THEN 2
+                             ELSE 1 END AS INTEGER) AS depth,
+                   (t3 IS NOT NULL) AS converted
+            FROM s3 ORDER BY user_id"""))
+
+  /** Rolling z-score anomaly flags ([[graft.ops.Anomaly.rollingZFlags]]):
+    * per-user baseline of the 7 preceding events, 3σ threshold — the
+    * flag compare is pure integer arithmetic on milli-quantized values,
+    * so the anomaly set replays bit-for-bit.
+    */
+  private val qAnomaly = Q(
+    (s, dir) =>
+      graft.ops.Anomaly.rollingZFlags(
+        Tables.readEvents(s, dir), "user_id", "ts", "event_id", "value",
+        n = 7, k = 3, minPrior = 4)
+        .orderBy("event_id"),
+    Some("""WITH v AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                              CAST(ROUND(value * 1000) AS BIGINT) AS v_milli
+                       FROM events),
+            w AS (SELECT user_id, event_id, us, v_milli,
+                         CAST(COUNT(v_milli) OVER win AS BIGINT) AS n_prior,
+                         CAST(SUM(v_milli) OVER win AS BIGINT) AS s,
+                         CAST(SUM(v_milli * v_milli) OVER win AS BIGINT) AS q
+                  FROM v
+                  WINDOW win AS (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+            SELECT user_id, event_id, us, v_milli, n_prior,
+                   (n_prior >= 4
+                    AND (n_prior - 1) * (n_prior * v_milli - s) * (n_prior * v_milli - s)
+                        > 9 * n_prior * (n_prior * q - s * s)) AS is_anomaly
+            FROM w ORDER BY event_id"""))
+
+  /** Token-distribution entropy ([[graft.text.CorpusStats.tokenEntropy]]):
+    * the compression-ratio quality signal, micro-quantized per distinct
+    * token so the Σ cnt·ln(cnt) term is an exact integer both engines
+    * reach identically.
+    */
+  private val qTokenEntropy = Q(
+    (s, dir) =>
+      graft.text.CorpusStats.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id"),
+    Some("""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS token
+                         FROM documents),
+            c AS (SELECT id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM tok GROUP BY id, token),
+            agg AS (SELECT id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                           CAST(SUM(cnt * CAST(ROUND(ln(CAST(cnt AS DOUBLE))
+                                                     * 1000000.0) AS BIGINT)) AS BIGINT)
+                             AS ent_micro
+                    FROM c GROUP BY id)
+            SELECT id, n_tokens, ent_micro,
+                   ROUND(ln(CAST(n_tokens AS DOUBLE))
+                         - ent_micro / 1000000.0 / n_tokens, 6) AS entropy
+            FROM agg ORDER BY id"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2691,6 +2773,9 @@ object SparkEntry {
     "q_lm_score" -> qLmScore,
     "q_quality_audit" -> qQualityAudit,
     "q_epoch_order" -> qEpochOrder,
+    "q_funnel" -> qFunnel,
+    "q_anomaly" -> qAnomaly,
+    "q_token_entropy" -> qTokenEntropy,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -124,6 +124,31 @@ object CorpusStats {
     * two unigram attachments are plain hash joins on the token — the
     * unigram table grows with the corpus, so no broadcast is assumed.
     */
+  /** Per-document token-distribution entropy — the "compression ratio"
+    * quality signal: near-zero entropy means the document repeats a few
+    * tokens (boilerplate soup, keyword stuffing), maximal entropy
+    * `ln(n_tokens)` means every token is distinct. Filter low-entropy
+    * docs the way Gopher filters high `dup_ngram_frac`.
+    *
+    * Uses the identity `H = ln(n) − (Σ cnt·ln(cnt))/n` so the only
+    * order-sensitive float work is the Σ term — which is micro-quantized
+    * per DISTINCT token (`cnt · round(ln(cnt)·10⁶)`, exact integer
+    * products) before the sum, making the aggregate partition-order
+    * invariant and engine-replayable (NOTES.md fixed-point playbook).
+    */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cnts = docs
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("cnt"))
+    val perDoc = cnts.groupBy("id").agg(
+      sum(col("cnt")).as("n_tokens"),
+      sum(col("cnt") * round(log(col("cnt").cast("double")) * lit(1000000.0))
+        .cast("long")).as("ent_micro"))
+    perDoc.select(col("id"), col("n_tokens"), col("ent_micro"),
+      round(log(col("n_tokens").cast("double"))
+        - col("ent_micro") / lit(1000000.0) / col("n_tokens"), 6).as("entropy"))
+  }
+
   def pmiBigrams(docs: DataFrame, textCol: String,
                  minCount: Long, topN: Int): DataFrame = {
     val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("tk"))

@@ -94,4 +94,18 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(got(4) === "clean text stays clean")
     assert(got(5) === "short 12345678 digits survive")
   }
+
+  test("tokenEntropy: degenerate 0, uniform ln(n), half-and-half ln(2)") {
+    val docs = Seq(
+      (1L, "a a a a"),   // one token repeated: H = 0
+      (2L, "a b c d"),   // all distinct: H = ln(4)
+      (3L, "a a b b")    // two tokens twice: H = ln(2)
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out(1L) === ((4L, 0.0)))
+    assert(out(2L)._2 === math.BigDecimal(math.log(4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(out(3L)._2 - math.log(2)) < 1e-5)
+  }
 }
