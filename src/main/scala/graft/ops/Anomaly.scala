@@ -48,9 +48,15 @@ object Anomaly {
       .rowsBetween(-n, -1)
     val withSums = events
       .withColumn("v_milli", round(col(valueCol) * 1000).cast("long"))
+      // v² is projected BEFORE the window columns: an aggregate over an
+      // unprojected product forces Catalyst to stack a second Window pass
+      // (same spec, same exchange, but a full extra pass over the sorted
+      // partition); with the input column materialized, all three
+      // aggregates collapse into ONE Window operator
+      .withColumn("__v2", col("v_milli") * col("v_milli"))
       .withColumn("n_prior", count(col("v_milli")).over(w))
       .withColumn("__s", sum(col("v_milli")).over(w))
-      .withColumn("__q", sum(col("v_milli") * col("v_milli")).over(w))
+      .withColumn("__q", sum(col("__v2")).over(w))
     val m: Column = col("n_prior")
     val dev = m * col("v_milli") - col("__s")
     val varTerm = m * col("__q") - col("__s") * col("__s")

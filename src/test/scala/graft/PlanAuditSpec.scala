@@ -288,4 +288,30 @@ class PlanAuditSpec extends SparkTestBase {
       s"epoch ordering must run at scan speed:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("q_funnel: per-step joins+aggs all hash on the user key, no cartesian, no window") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"step candidates must die in partial aggregation:\n$p")
+    // out-of-horizon events are filtered during the agg, not via a
+    // time-range self-join
+    assert(!p.contains("\bWindow\b"), s"funnel is join+agg, not a window:\n$p")
+  }
+
+  test("q_anomaly: one Window over the user key, no join, no explode") {
+    val p = plan("q_anomaly")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows === 1, s"one bounded-frame window expected:\n$p")
+    assert(!p.contains("Join"), p)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"baseline stats must reuse the single key exchange:\n$p")
+  }
+
+  test("q_token_entropy: two-level partial aggregation, no join, no cartesian") {
+    val p = plan("q_token_entropy")
+    assert(!p.contains("Join"), s"entropy is a pure aggregation chain:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"(id, token) and id levels must both partial-aggregate:\n$p")
+  }
 }
