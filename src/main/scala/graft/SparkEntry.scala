@@ -2679,6 +2679,35 @@ object SparkEntry {
                          - ent_micro / 1000000.0 / n_tokens, 6) AS entropy
             FROM agg ORDER BY id"""))
 
+  /** Weekly cohort retention ([[graft.ops.Retention.cohortRetention]]):
+    * signup-anchored cohorts, integer epoch-week grid (no calendar, no
+    * timezone, no float bucketing), offsets 0–8.
+    */
+  private val qRetention = Q(
+    (s, dir) =>
+      graft.ops.Retention.cohortRetention(
+        Tables.readEvents(s, dir), "user_id", "ts", "event_type",
+        anchorType = "signup", maxWeeks = 8)
+        .orderBy("cohort_week", "week_offset"),
+    Some("""WITH b AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week,
+                              event_type AS et
+                       FROM events),
+            anchors AS (SELECT user_id, MIN(week) AS cohort_week
+                        FROM b WHERE et = 'signup' GROUP BY user_id),
+            sizes AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+                      FROM anchors GROUP BY cohort_week),
+            act AS (SELECT DISTINCT user_id, week FROM b),
+            active AS (SELECT a.cohort_week,
+                              CAST(act.week - a.cohort_week AS INTEGER) AS week_offset,
+                              CAST(COUNT(DISTINCT act.user_id) AS BIGINT) AS n_active
+                       FROM anchors a JOIN act ON act.user_id = a.user_id
+                       WHERE act.week - a.cohort_week BETWEEN 0 AND 8
+                       GROUP BY 1, 2)
+            SELECT active.cohort_week, week_offset, cohort_size, n_active,
+                   ROUND(n_active / CAST(cohort_size AS DOUBLE), 6) AS retention
+            FROM active JOIN sizes USING (cohort_week)
+            ORDER BY cohort_week, week_offset"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2776,6 +2805,7 @@ object SparkEntry {
     "q_funnel" -> qFunnel,
     "q_anomaly" -> qAnomaly,
     "q_token_entropy" -> qTokenEntropy,
+    "q_retention" -> qRetention,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
