@@ -114,6 +114,42 @@ object EventStreams {
         col("window.end").as("win_end"), col("active_approx"))
   }
 
+  /** A CDC change on the wire: key, change-log position, op ∈ I/U/D,
+    * payload.
+    */
+  case class Change(key: Long, seq: Long, op: String, payload: Double)
+
+  /** A key's current state after applying the winners seen so far. */
+  case class KeyState(key: Long, seq: Long, op: String, payload: Double,
+                      deleted: Boolean)
+
+  /** Streaming CDC latest-state — the streaming form of
+    * [[graft.ops.Merge.applyChanges]]: per key, keep the winning change
+    * ((seq, op) descending, the exact batch winner rule) across
+    * micro-batches and emit the key's updated current state whenever a
+    * batch changes it (`deleted = true` when a D wins — the downstream
+    * sink's tombstone).
+    *
+    * State is one (seq, op, payload) triple per key — the DIMENSION key
+    * population, not stream history — so no timeout is attached: a CDC
+    * state store must remember every live key forever by definition
+    * (retiring keys is the upstream's D, not a watermark's guess).
+    */
+  def cdcLatest(spark: SparkSession, changes: Dataset[Change]): Dataset[KeyState] = {
+    import spark.implicits._
+    def winner(a: (Long, String, Double), b: (Long, String, Double)) =
+      if (b._1 > a._1 || (b._1 == a._1 && b._2 > a._2)) b else a
+    changes.groupByKey(_.key)
+      .mapGroupsWithState[(Long, String, Double), KeyState](
+        GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+        val incoming = rows.map(c => (c.seq, c.op, c.payload))
+          .reduce((a, b) => winner(a, b))
+        val merged = state.getOption.map(winner(_, incoming)).getOrElse(incoming)
+        state.update(merged)
+        KeyState(key, merged._1, merged._2, merged._3, merged._2 == "D")
+      }
+  }
+
   /** One event on the wire. */
   case class Ev(event_id: Long, user_id: Long, tsUs: Long, value: Double)
 

@@ -314,4 +314,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       s"(id, token) and id levels must both partial-aggregate:\n$p")
   }
+
+  test("q_retention: user-keyed aggs, hash joins only, no cartesian") {
+    val p = plan("q_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"anchors and activity must partial-aggregate on the user key:\n$p")
+  }
 }

@@ -232,4 +232,38 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).count() === 0)
   }
+
+  test("streaming CDC latest-state: batch winner rule survives micro-batch boundaries") {
+    import EventStreams.Change
+    val dir = tmp()
+    // two files → two micro-batches under maxFilesPerTrigger=1
+    Seq(Change(1L, 1L, "I", 10.0), Change(2L, 1L, "I", 20.0),
+        Change(3L, 1L, "I", 30.0))
+      .toDF().coalesce(1).write.parquet(s"$dir/f1")
+    Seq(Change(1L, 2L, "U", 11.0), Change(2L, 2L, "D", 0.0),
+        Change(4L, 1L, "I", 40.0),
+        Change(3L, 0L, "U", 99.0)) // stale: must lose to batch-1 state
+      .toDF().coalesce(1).write.parquet(s"$dir/f2")
+    val schema = spark.read.option("recursiveFileLookup", "true").parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir).as[Change]
+    val q = EventStreams.cdcLatest(spark, stream)
+      .writeStream.outputMode("update").format("memory").queryName("cdc_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // every emission per key carries the winner-so-far; the max-seq
+    // emission is the final state (winner is monotone in (seq, op))
+    val fin = spark.table("cdc_out")
+      .orderBy(col("key"), col("seq").desc, col("op").desc)
+      .dropDuplicates("key")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(fin(1L) === ((2L, "U", 11.0, false)))
+    assert(fin(2L) === ((2L, "D", 0.0, true)))  // tombstone
+    assert(fin(3L) === ((1L, "I", 30.0, false))) // stale update lost
+    assert(fin(4L) === ((1L, "I", 40.0, false)))
+  }
 }
