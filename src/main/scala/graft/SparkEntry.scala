@@ -2708,6 +2708,38 @@ object SparkEntry {
             FROM active JOIN sizes USING (cohort_week)
             ORDER BY cohort_week, week_offset"""))
 
+  /** Canonical text normalization
+    * ([[graft.text.TextAnalysis.normalizeText]]): the corpus text is
+    * already clean, so the fixture deterministically DIRTIES it first
+    * (case noise, punctuation, padding — same construction in both
+    * engines) and hash-checks that normalization restores a canonical
+    * form. Regexes live in the Java∩RE2 dialect intersection.
+    */
+  private val qTextNormalize = Q(
+    (s, dir) => {
+      val dirty = concat(lit("  "), upper(col("text")), lit(" -- "),
+        col("text"), lit("!!  "))
+      val norm = graft.text.TextAnalysis.normalizeText(dirty)
+      t(s, dir, "documents")
+        .select(col("doc_id").as("id"), norm.as("norm_text"),
+          when(norm === "", lit(0L))
+            .otherwise(size(split(norm, " ")).cast("long")).as("n_tokens"))
+        .orderBy("id")
+    },
+    Some("""SELECT doc_id AS id,
+                   trim(regexp_replace(regexp_replace(
+                     lower('  ' || upper(text) || ' -- ' || text || '!!  '),
+                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+                   CASE WHEN trim(regexp_replace(regexp_replace(
+                          lower('  ' || upper(text) || ' -- ' || text || '!!  '),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) = ''
+                        THEN 0
+                        ELSE CAST(len(string_split(trim(regexp_replace(regexp_replace(
+                          lower('  ' || upper(text) || ' -- ' || text || '!!  '),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT)
+                   END AS n_tokens
+            FROM documents ORDER BY id"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2806,6 +2838,7 @@ object SparkEntry {
     "q_anomaly" -> qAnomaly,
     "q_token_entropy" -> qTokenEntropy,
     "q_retention" -> qRetention,
+    "q_text_normalize" -> qTextNormalize,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -20,6 +20,19 @@ object TextAnalysis {
 
   def uniqueTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
 
+  /** Canonical text normalization — the pre-dedup cleanup every corpus
+    * pass runs first (lowercase, strip non-alphanumerics, collapse
+    * whitespace, trim) so that near-identical variants hash identically
+    * downstream. The regexes deliberately stay inside the Java∩RE2
+    * dialect intersection (same rule as [[redactPii]]): character
+    * classes and `+` only, no lookarounds, no unicode properties — so an
+    * external engine replays the normalization byte-for-byte.
+    * Pure codegen'd per-row expression: runs at scan speed.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** BPE-ish subword token estimate: empirical ~4 chars/token for
     * English-like text, never below the whitespace word count.
     */

@@ -70,4 +70,19 @@ class TextAnalysisSpec extends SparkTestBase {
     // non [a-z0-9 space] chars: '!' of 20 chars
     assert(math.abs(r.getDouble(1) - 1.0 / 20) < 1e-12)
   }
+
+  test("normalizeText: case, punctuation, whitespace, degenerate inputs") {
+    val df = Seq(
+      (1L, "  Hello,   WORLD!! 42\tok "),
+      (2L, "already clean text"),
+      (3L, "§±«»"),      // nothing survives
+      (4L, "")
+    ).toDF("id", "text")
+    val r = df.select($"id", normalizeText($"text").as("n"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r(1L) === "hello world 42 ok")
+    assert(r(2L) === "already clean text")
+    assert(r(3L) === "")
+    assert(r(4L) === "")
+  }
 }
