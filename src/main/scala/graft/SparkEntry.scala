@@ -2740,6 +2740,43 @@ object SparkEntry {
                    END AS n_tokens
             FROM documents ORDER BY id"""))
 
+  /** Funnel step summary ([[graft.ops.Funnel.summary]]): per-step user
+    * counts and conversion shares off the q_funnel detail chain.
+    */
+  private val qFunnelSummary = Q(
+    (s, dir) => {
+      val detail = graft.ops.Funnel.firstTouch(
+        Tables.readEvents(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), horizonMicros = 7L * 86400L * 1000000L)
+      graft.ops.Funnel.summary(detail, Seq("view", "click", "purchase"))
+        .orderBy("step")
+    },
+    Some("""WITH b AS (SELECT user_id, event_type AS et, epoch_us(ts) AS us
+                       FROM events),
+            s1 AS (SELECT user_id, MIN(us) AS t1 FROM b
+                   WHERE et = 'view' GROUP BY user_id),
+            s2 AS (SELECT s1.user_id, s1.t1,
+                          MIN(CASE WHEN b.us > s1.t1
+                                    AND b.us <= s1.t1 + 604800000000 THEN b.us END) AS t2
+                   FROM s1 LEFT JOIN b ON b.user_id = s1.user_id AND b.et = 'click'
+                   GROUP BY s1.user_id, s1.t1),
+            s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+                          MIN(CASE WHEN b.us > s2.t2
+                                    AND b.us <= s2.t1 + 604800000000 THEN b.us END) AS t3
+                   FROM s2 LEFT JOIN b ON b.user_id = s2.user_id AND b.et = 'purchase'
+                   GROUP BY s2.user_id, s2.t1, s2.t2),
+            m AS (SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+                         CAST(COUNT(t2) AS BIGINT) AS n2,
+                         CAST(COUNT(t3) AS BIGINT) AS n3
+                  FROM s3)
+            SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name, n1 AS n_users,
+                   ROUND(n1 / CAST(n1 AS DOUBLE), 6) AS frac_of_entry FROM m
+            UNION ALL
+            SELECT 2, 'click', n2, ROUND(n2 / CAST(n1 AS DOUBLE), 6) FROM m
+            UNION ALL
+            SELECT 3, 'purchase', n3, ROUND(n3 / CAST(n1 AS DOUBLE), 6) FROM m
+            ORDER BY step"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2839,6 +2876,7 @@ object SparkEntry {
     "q_token_entropy" -> qTokenEntropy,
     "q_retention" -> qRetention,
     "q_text_normalize" -> qTextNormalize,
+    "q_funnel_summary" -> qFunnelSummary,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -80,6 +80,20 @@ class FunnelSpec extends SparkTestBase {
     assert(rows(7L)._2 === Some(us("2024-01-02 09:00:00")))
   }
 
+  test("horizon boundary is inclusive; same-instant step is not 'after'") {
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 00:00:00")),
+      (1L, "click", ts("2024-01-08 00:00:00")),  // exactly t1 + horizon
+      (2L, "view", ts("2024-01-01 00:00:00")),
+      (2L, "click", ts("2024-01-01 00:00:00"))   // same instant as the view
+    ).toDF("user_id", "event_type", "ts")
+    val out = Funnel.firstTouch(ev, "user_id", "event_type", "ts",
+        Seq("view", "click"), 7 * Day)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(out(1L).isDefined, "ts == t1 + horizon must still qualify")
+    assert(out(2L).isEmpty, "strictly-after excludes the same instant")
+  }
+
   test("summary counts per step with conversion shares") {
     val s = Funnel.summary(detail, steps).orderBy("step").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))

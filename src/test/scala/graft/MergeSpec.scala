@@ -55,6 +55,20 @@ class MergeSpec extends SparkTestBase {
       snapshot.orderBy("k").collect().toSeq)
   }
 
+  test("delete of an absent key is a no-op, not an error") {
+    val tomb = Seq((99L, "zz", 0.0, "D", 5L)).toDF("k", "name", "amt", "op", "seq")
+    val out = Merge.applyChanges(snapshot, tomb, Seq("k"), "seq", "op")
+    assert(out.orderBy("k").collect().toSeq ===
+      snapshot.orderBy("k").collect().toSeq)
+  }
+
+  test("scd2Apply with an empty change batch is the identity") {
+    val out = Merge.scd2Apply(dim, dimChanges.limit(0), Seq("k"),
+      "valid_from", "valid_to", "eff")
+    assert(out.orderBy("k", "valid_from").collect().toSeq ===
+      dim.orderBy("k", "valid_from").collect().toSeq)
+  }
+
   // ---- scd2Apply --------------------------------------------------------
 
   private lazy val dim = Seq(
