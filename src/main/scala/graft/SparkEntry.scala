@@ -2777,6 +2777,32 @@ object SparkEntry {
             SELECT 3, 'purchase', n3, ROUND(n3 / CAST(n1 AS DOUBLE), 6) FROM m
             ORDER BY step"""))
 
+  /** Incremental aggregate maintenance
+    * ([[graft.ops.Merge.upsertAggregates]]): the lineitem rollup is built
+    * as history (¾ of orders) then upserted with the new batch (¼) — and
+    * must equal the one-shot aggregate the oracle computes directly.
+    * Sums are over integral-valued doubles (exact in any merge order).
+    */
+  private val qAggUpsert = Q(
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val hist = li.filter(col("l_orderkey") % 4 =!= 0)
+      val batch = li.filter(col("l_orderkey") % 4 === 0)
+      val acc = hist.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("l_quantity"))
+        .select("l_returnflag", "l_linestatus", "n_rows", "l_quantity")
+      graft.ops.Merge.upsertAggregates(acc, batch,
+          Seq("l_returnflag", "l_linestatus"), Seq("l_quantity"), "n_rows")
+        .withColumnRenamed("l_quantity", "sum_qty")
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2877,6 +2903,7 @@ object SparkEntry {
     "q_retention" -> qRetention,
     "q_text_normalize" -> qTextNormalize,
     "q_funnel_summary" -> qFunnelSummary,
+    "q_agg_upsert" -> qAggUpsert,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

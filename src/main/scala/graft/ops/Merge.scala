@@ -95,4 +95,32 @@ object Merge {
       .select(dim.columns.map(col): _*)
     history.unionByName(untouched).unionByName(closedOut).unionByName(fresh)
   }
+
+  /** Incremental aggregate maintenance — the materialized-rollup upsert of
+    * a lambda/medallion architecture: `acc` holds per-key running sums
+    * (`sumCols`) and a row count (`countCol`); `batch` is new raw rows.
+    * The batch is partial-aggregated FIRST (map-side combine on the
+    * small new data), then merged with a full-outer union-style
+    * `groupBy.sum` — so the accumulator table is never re-scanned per
+    * row, only per key it already stores, and a re-run of the same
+    * merged result is derivable idempotently by the caller keying writes
+    * on a batch id.
+    *
+    * Only distributive aggregates (sum, count — and min/max by the same
+    * pattern) can be maintained this way; AVG is derived `sum/count` at
+    * read time, and holistic aggregates (median, distinct) need their
+    * own sketch or full recompute — the standard materialized-view
+    * contract.
+    */
+  def upsertAggregates(acc: DataFrame, batch: DataFrame, keyCols: Seq[String],
+                       sumCols: Seq[String], countCol: String): DataFrame = {
+    val batchAgg = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as(countCol),
+        sumCols.map(c => sum(col(c)).as(c)): _*)
+    acc.unionByName(batchAgg)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(countCol)).as(countCol),
+        sumCols.map(c => sum(col(c)).as(c)): _*)
+      .select(acc.columns.map(col): _*)
+  }
 }

@@ -107,4 +107,31 @@ class MergeSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(perKey === Map(1L -> 1L, 2L -> 1L, 9L -> 1L))
   }
+
+  // ---- upsertAggregates -------------------------------------------------
+
+  private lazy val rawOld = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)).toDF("g", "v")
+  private lazy val rawNew = Seq(("a", 4.0), ("b", 20.0), ("c", 100.0)).toDF("g", "v")
+  private lazy val rawAll = rawOld.unionByName(rawNew)
+
+  private def aggOf(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy("g").agg(count(lit(1)).as("n"), sum($"v").as("v"))
+      .select("g", "n", "v")
+
+  test("upsertAggregates: accumulator + batch equals the full aggregate") {
+    val merged = Merge.upsertAggregates(aggOf(rawOld), rawNew,
+      Seq("g"), Seq("v"), "n")
+    assert(merged.orderBy("g").collect().toSeq ===
+      aggOf(rawAll).orderBy("g").collect().toSeq)
+  }
+
+  test("upsertAggregates in two installments equals one (associative)") {
+    val empty = aggOf(rawAll.limit(0))
+    val oneShot = Merge.upsertAggregates(empty, rawAll, Seq("g"), Seq("v"), "n")
+    val twoShot = Merge.upsertAggregates(
+      Merge.upsertAggregates(empty, rawOld, Seq("g"), Seq("v"), "n"),
+      rawNew, Seq("g"), Seq("v"), "n")
+    assert(twoShot.orderBy("g").collect().toSeq ===
+      oneShot.orderBy("g").collect().toSeq)
+  }
 }
