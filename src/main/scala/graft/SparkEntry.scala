@@ -2803,6 +2803,40 @@ object SparkEntry {
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Contrastive negative sampling ([[graft.similarity.Negatives]]):
+    * shared md5-bottom pool (50 of the corpus), per-query salted md5
+    * pick of k=5, self/positive exclusion — the full chain replays in
+    * SQL via the md5 bridge.
+    */
+  private val qNegSample = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pool = graft.similarity.Negatives.negativePool(emb, "vec_id", poolSize = 50)
+      val positives = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), (col("vec_id") + 1).as("pid"))
+      graft.similarity.Negatives.attachNegatives(positives, "qid", "pid", pool, k = 5)
+        .orderBy("qid", "neg_rank")
+    },
+    Some(s"""WITH pool AS (SELECT vec_id AS cand_id FROM embeddings
+                           ORDER BY ${md5LongSql("CAST(vec_id AS VARCHAR)")}, vec_id
+                           LIMIT 50),
+             pos AS (SELECT vec_id AS qid, vec_id + 1 AS pid
+                     FROM embeddings WHERE vec_id < 20),
+             q AS (SELECT DISTINCT qid FROM pos),
+             cand AS (SELECT q.qid, p.cand_id FROM q CROSS JOIN pool p
+                      WHERE p.cand_id <> q.qid
+                        AND NOT EXISTS (SELECT 1 FROM pos
+                                        WHERE pos.qid = q.qid
+                                          AND pos.pid = p.cand_id)),
+             r AS (SELECT qid, cand_id,
+                          row_number() OVER (PARTITION BY qid
+                            ORDER BY ${md5LongSql(
+                              "CAST(qid AS VARCHAR) || ':' || CAST(cand_id AS VARCHAR)")},
+                              cand_id) AS rk
+                   FROM cand)
+             SELECT qid, cand_id AS neg_id, CAST(rk AS INTEGER) AS neg_rank
+             FROM r WHERE rk <= 5 ORDER BY qid, neg_rank"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2904,6 +2938,7 @@ object SparkEntry {
     "q_text_normalize" -> qTextNormalize,
     "q_funnel_summary" -> qFunnelSummary,
     "q_agg_upsert" -> qAggUpsert,
+    "q_neg_sample" -> qNegSample,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

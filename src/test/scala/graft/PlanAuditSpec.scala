@@ -321,4 +321,21 @@ class PlanAuditSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       s"anchors and activity must partial-aggregate on the user key:\n$p")
   }
+
+  test("q_agg_upsert: pure aggregation chain — both sides partial-aggregate, no join") {
+    val p = plan("q_agg_upsert")
+    assert(!p.contains("Join"), s"the rollup merge is a union+groupBy, not a join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"history, batch, and merge levels must all partial-aggregate:\n$p")
+  }
+
+  test("q_neg_sample: pool is TakeOrderedAndProject + broadcast; rank filter group-limits") {
+    val p = plan("q_neg_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the md5-bottom pool must plan as top-k, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the bounded pool may cross (as a broadcast):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-query k-cut must push a group limit:\n$p")
+  }
 }
