@@ -266,4 +266,41 @@ class StreamingSpec extends SparkTestBase {
     assert(fin(3L) === ((1L, "I", 30.0, false))) // stale update lost
     assert(fin(4L) === ((1L, "I", 40.0, false)))
   }
+
+  test("stream-static enrichment against the SCD2 current slice equals batch") {
+    // the integration story: Merge.scd2Apply maintains the dimension,
+    // its CURRENT slice (valid_to IS NULL) enriches a live event stream
+    // as a plain stream-static join — identical code path to batch
+    import java.sql.Date
+    val dim = Seq(
+      (1L, "bronze", Date.valueOf("2020-01-01"), Option(Date.valueOf("2021-01-01"))),
+      (1L, "platinum", Date.valueOf("2021-01-01"), None: Option[Date]),
+      (2L, "silver", Date.valueOf("2020-01-01"), None: Option[Date])
+    ).toDF("user_id", "tier", "valid_from", "valid_to")
+    val changes = Seq((2L, "gold", Date.valueOf("2022-06-01")))
+      .toDF("user_id", "tier", "eff")
+    val maintained = graft.ops.Merge.scd2Apply(dim, changes, Seq("user_id"),
+      "valid_from", "valid_to", "eff")
+    val current = maintained.filter(col("valid_to").isNull)
+      .select("user_id", "tier")
+
+    val src = tmp()
+    Tables.readEvents(spark, "/root/testdata/sf0.001")
+      .filter(col("user_id") <= 2).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def enrich(ev: org.apache.spark.sql.DataFrame) =
+      ev.join(current, Seq("user_id")).select(col("event_id"), col("tier"))
+    val q = enrich(spark.readStream.schema(schema).parquet(src))
+      .writeStream.outputMode("append").format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val streamed = spark.table("enrich_out")
+    val batch = enrich(spark.read.parquet(src))
+    assert(streamed.count() === batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+    // and the maintained slice is what enriched: user 2 reads gold
+    assert(streamed.filter(col("tier") === "gold").count() ===
+      spark.read.parquet(src).filter(col("user_id") === 2L).count())
+  }
 }
