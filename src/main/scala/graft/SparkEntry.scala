@@ -2837,6 +2837,38 @@ object SparkEntry {
              SELECT qid, cand_id AS neg_id, CAST(rk AS INTEGER) AS neg_rank
              FROM r WHERE rk <= 5 ORDER BY qid, neg_rank"""))
 
+  /** Z-order clustering key ([[graft.ops.ZOrder.zValue2]]): Morton
+    * interleave of (customer bucket, order-day bucket) — pure 64-bit
+    * shift/mask arithmetic, replayed step-for-step by the oracle.
+    */
+  private val qZOrder = Q(
+    (s, dir) => {
+      // NTZ → TIMESTAMP under the always-UTC session: identical micros grid
+      val day = expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000") % 65536
+      val z = graft.ops.ZOrder.zValue2(col("o_custkey") % 65536, day)
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), z.as("z"))
+        .orderBy("z", "o_orderkey")
+    },
+    Some("""WITH base AS (SELECT o_orderkey,
+                                 o_custkey % 65536 AS a0,
+                                 (epoch_us(o_orderdate) // 86400000000) % 65536 AS b0
+                          FROM orders),
+            s1 AS (SELECT o_orderkey,
+                          (a0 | (a0 << 8)) & 16711935 AS a1,
+                          (b0 | (b0 << 8)) & 16711935 AS b1 FROM base),
+            s2 AS (SELECT o_orderkey,
+                          (a1 | (a1 << 4)) & 252645135 AS a2,
+                          (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+            s3 AS (SELECT o_orderkey,
+                          (a2 | (a2 << 2)) & 858993459 AS a3,
+                          (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+            s4 AS (SELECT o_orderkey,
+                          (a3 | (a3 << 1)) & 1431655765 AS a4,
+                          (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+            SELECT o_orderkey, CAST(a4 | (b4 << 1) AS BIGINT) AS z
+            FROM s4 ORDER BY z, o_orderkey"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2939,6 +2971,7 @@ object SparkEntry {
     "q_funnel_summary" -> qFunnelSummary,
     "q_agg_upsert" -> qAggUpsert,
     "q_neg_sample" -> qNegSample,
+    "q_zorder" -> qZOrder,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

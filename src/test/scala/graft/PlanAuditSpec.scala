@@ -338,4 +338,11 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("WindowGroupLimit"),
       s"the per-query k-cut must push a group limit:\n$p")
   }
+
+  test("q_zorder: key computation is a pure per-row map — only the output sort exchanges") {
+    val p = plan("q_zorder")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the z key must compute at scan speed:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
