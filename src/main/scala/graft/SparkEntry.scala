@@ -2869,6 +2869,36 @@ object SparkEntry {
             SELECT o_orderkey, CAST(a4 | (b4 << 1) AS BIGINT) AS z
             FROM s4 ORDER BY z, o_orderkey"""))
 
+  /** Grouped Pearson correlation
+    * ([[graft.ops.Normalize.groupCorrelation]]): quantity vs FLOORed
+    * price per (returnflag, linestatus). Both inputs integral-valued →
+    * the five raw sums are exact in any merge order; the closed form +
+    * ROUND replays bit-for-bit (Spark's builtin `corr` co-moments would
+    * not).
+    */
+  private val qCorrelation = Q(
+    (s, dir) =>
+      graft.ops.Normalize.groupCorrelation(
+        t(s, dir, "lineitem")
+          .withColumn("price_fl", floor(col("l_extendedprice")).cast("double")),
+        Seq("l_returnflag", "l_linestatus"), "l_quantity", "price_fl")
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""WITH a AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(COUNT(*) AS DOUBLE) AS n,
+                     SUM(l_quantity) AS sx,
+                     SUM(CAST(FLOOR(l_extendedprice) AS DOUBLE)) AS sy,
+                     SUM(l_quantity * CAST(FLOOR(l_extendedprice) AS DOUBLE)) AS sxy,
+                     SUM(l_quantity * l_quantity) AS sxx,
+                     SUM(CAST(FLOOR(l_extendedprice) AS DOUBLE)
+                         * CAST(FLOOR(l_extendedprice) AS DOUBLE)) AS syy
+              FROM lineitem GROUP BY l_returnflag, l_linestatus)
+            SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_rows,
+                   ROUND((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                     AS pearson_r
+            FROM a ORDER BY l_returnflag, l_linestatus"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -2972,6 +3002,7 @@ object SparkEntry {
     "q_agg_upsert" -> qAggUpsert,
     "q_neg_sample" -> qNegSample,
     "q_zorder" -> qZOrder,
+    "q_correlation" -> qCorrelation,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -124,4 +124,36 @@ object Normalize {
       .filter(kept)
       .drop("__thr")
   }
+
+  /** Per-group Pearson correlation of two columns, hand-rolled from the
+    * five raw sums — NOT Spark's builtin `corr`, whose streaming
+    * co-moment updates are partition-order dependent and cannot be
+    * replayed by another engine. Here the partials are plain SUMs: on
+    * integral-valued inputs (counts, cents, quantized signals) every sum
+    * is exact in double below 2⁵³ in ANY merge order, the closed form
+    *
+    *   r = (n·Σxy − Σx·Σy) / √((n·Σxx − Σx²)(n·Σyy − Σy²))
+    *
+    * is the same finite float expression in both engines, and the ROUND
+    * makes the residual last-ulp of the final multiply/√ invisible.
+    * Degenerate groups (n < 2 or zero variance in either column) report
+    * NULL via `try_divide`, never NaN or a divide abort.
+    *
+    * Scale: one partial-aggregated pass, |groups| output rows, no window.
+    */
+  def groupCorrelation(df: DataFrame, keyCols: Seq[String],
+                       xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * y).as("__sxy"), sum(x * x).as("__sxx"), sum(y * y).as("__syy"))
+    val cov = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val vx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val vy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    agg.select(keyCols.map(col) :+
+      col("__n").cast("long").as("n_rows") :+
+      round(try_divide(cov, sqrt(vx * vy)), 6).as("pearson_r"): _*)
+  }
 }
