@@ -2899,6 +2899,33 @@ object SparkEntry {
                      AS pearson_r
             FROM a ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Source-vocabulary overlap
+    * ([[graft.text.CorpusStats.sourceVocabOverlap]]): pairwise Jaccard
+    * between the 20 sources' distinct-token sets — all-integer counts,
+    * one ROUNDed ratio.
+    */
+  private val qSourceOverlap = Q(
+    (s, dir) =>
+      graft.text.CorpusStats.sourceVocabOverlap(
+        t(s, dir, "documents"), "source", "text")
+        .orderBy("src_a", "src_b"),
+    Some("""WITH v AS (SELECT DISTINCT source AS src, token FROM
+                         (SELECT source, unnest(string_split(text, ' ')) AS token
+                          FROM documents)),
+            sizes AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM v GROUP BY src),
+            inter AS (SELECT a.src AS src_a, b.src AS src_b,
+                             CAST(COUNT(*) AS BIGINT) AS n_common
+                      FROM v a JOIN v b ON a.token = b.token AND a.src < b.src
+                      GROUP BY a.src, b.src)
+            SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_common,
+                   ROUND(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6)
+                     AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.src = src_a
+            JOIN sizes sb ON sb.src = src_b
+            ORDER BY src_a, src_b"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3003,6 +3030,7 @@ object SparkEntry {
     "q_neg_sample" -> qNegSample,
     "q_zorder" -> qZOrder,
     "q_correlation" -> qCorrelation,
+    "q_source_overlap" -> qSourceOverlap,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -149,6 +149,35 @@ object CorpusStats {
         - col("ent_micro") / lit(1000000.0) / col("n_tokens"), 6).as("entropy"))
   }
 
+  /** Pairwise vocabulary overlap between sources — the corpus-mixture
+    * diagnostic ("how redundant are my domains?") that decides merge /
+    * reweight calls before training. Jaccard over each source's DISTINCT
+    * token set, computed by one self-join of the (source, token) table
+    * on the token: candidates per token are bounded by the number of
+    * sources carrying it (≤ |sources|, a mixture has tens–hundreds),
+    * never by corpus size — so the join output is |vocab| · O(pairs per
+    * token), not documents².
+    */
+  def sourceVocabOverlap(docs: DataFrame, srcCol: String,
+                         textCol: String): DataFrame = {
+    val vocab = docs
+      .select(col(srcCol).as("src"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .distinct()
+    val sizes = vocab.groupBy("src").agg(count(lit(1)).as("n"))
+    val inter = vocab.select(col("src").as("src_a"), col("token"))
+      .join(vocab.select(col("src").as("src_b"), col("token")), "token")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("src").as("src_a"), col("n").as("__na")), "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("n").as("__nb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("__na").as("n_a"),
+        col("__nb").as("n_b"), col("n_common"),
+        round(col("n_common")
+          / (col("__na") + col("__nb") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   def pmiBigrams(docs: DataFrame, textCol: String,
                  minCount: Long, topN: Int): DataFrame = {
     val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("tk"))

@@ -95,6 +95,25 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(got(5) === "short 12345678 digits survive")
   }
 
+  test("sourceVocabOverlap: hand-computed jaccards, ordered pairs only") {
+    val docs = Seq(
+      (1L, "s1", "a b c"),
+      (2L, "s1", "a d"),        // s1 vocab {a,b,c,d}
+      (3L, "s2", "a b x"),      // s2 vocab {a,b,x}
+      (4L, "s3", "y z")         // s3 vocab {y,z} — disjoint from s1
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusStats.sourceVocabOverlap(docs, "source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // s1 ∩ s2 = {a,b} = 2; union = 4+3-2 = 5 → 0.4
+    assert(out(("s1", "s2")) === ((4L, 3L, 2L, 0.4)))
+    // disjoint pairs simply don't appear (no zero-row padding)
+    assert(!out.contains(("s1", "s3")) && !out.contains(("s2", "s3")))
+    // only src_a < src_b emitted — no mirror duplicates
+    assert(out.keySet === Set(("s1", "s2")))
+  }
+
   test("tokenEntropy: degenerate 0, uniform ln(n), half-and-half ln(2)") {
     val docs = Seq(
       (1L, "a a a a"),   // one token repeated: H = 0
