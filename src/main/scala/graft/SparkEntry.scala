@@ -2926,6 +2926,39 @@ object SparkEntry {
             JOIN sizes sb ON sb.src = src_b
             ORDER BY src_a, src_b"""))
 
+  /** Blocked fuzzy linkage ([[graft.ops.Linkage.fuzzyJoin]]): customers
+    * vs a deterministically corrupted registry (10th character deleted),
+    * blocked on the edit-invariant 4-char name suffix, distance ≤ 1.
+    * The oracle replays blocks and unbounded levenshtein — values agree
+    * with Spark's threshold form on every kept row.
+    */
+  private val qFuzzyLink = Q(
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val corrupted = c.select(
+        (col("c_custkey") + 5000000L).as("rid"),
+        concat(substring(col("c_name"), 1, 9),
+          substring(col("c_name"), 11, 1000)).as("rname"))
+      graft.ops.Linkage.fuzzyJoin(
+          c, "c_custkey", "c_name", corrupted, "rid", "rname",
+          n => substring(n, -4, 4), maxDistance = 1)
+        .orderBy("left_id", "right_id")
+    },
+    Some("""WITH l AS (SELECT c_custkey AS left_id, c_name AS lname,
+                              substring(c_name, length(c_name) - 3, 4) AS blk
+                       FROM customer),
+            r AS (SELECT c_custkey + 5000000 AS right_id,
+                         substring(c_name, 1, 9) || substring(c_name, 11) AS rname
+                  FROM customer),
+            rb AS (SELECT right_id, rname,
+                          substring(rname, length(rname) - 3, 4) AS blk
+                   FROM r)
+            SELECT left_id, right_id,
+                   CAST(levenshtein(lname, rname) AS INTEGER) AS distance
+            FROM l JOIN rb USING (blk)
+            WHERE levenshtein(lname, rname) <= 1
+            ORDER BY left_id, right_id"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3031,6 +3064,7 @@ object SparkEntry {
     "q_zorder" -> qZOrder,
     "q_correlation" -> qCorrelation,
     "q_source_overlap" -> qSourceOverlap,
+    "q_fuzzy_link" -> qFuzzyLink,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
