@@ -1043,7 +1043,7 @@ object SparkEntry {
     * within the Hamming radius (no blocking: the oracle checks the
     * optimized blocked join against ground truth).
     */
-  private def simHashBruteForceSql(maxHamming: Int): String = {
+  private def simHashPairsCtes(maxHamming: Int): String = {
     val sumTerms = (0 until 64).map { i =>
       val (h, mask) = if (i < 60) ("h1", 1L << i) else ("h2", 1L << (i - 60))
       s"SUM(CASE WHEN ($h & $mask) != 0 THEN 1 ELSE -1 END) AS b$i"
@@ -1051,18 +1051,21 @@ object SparkEntry {
     val reassemble = (0 until 64).map { i =>
       s"(CASE WHEN b$i > 0 THEN (${1L << i})::BIGINT ELSE 0::BIGINT END)"
     }.mkString(" +\n                     ")
-    s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+    s"""tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
                      FROM documents WHERE doc_id < 1000),
             h AS (SELECT id, ${md5LongSql("tok")} AS h1,
                          ('0x' || substring(md5(tok), 16, 1))::BIGINT AS h2 FROM tok),
             bits AS (SELECT id, $sumTerms FROM h GROUP BY id),
-            sim AS (SELECT id, $reassemble AS simhash FROM bits)
-            SELECT a.id AS id_a, b.id AS id_b,
-                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-            FROM sim a JOIN sim b ON a.id < b.id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming
-            ORDER BY id_a, id_b"""
+            sim AS (SELECT id, $reassemble AS simhash FROM bits),
+            spairs AS (SELECT a.id AS id_a, b.id AS id_b,
+                              CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+                       FROM sim a JOIN sim b ON a.id < b.id
+                       WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)"""
   }
+
+  private def simHashBruteForceSql(maxHamming: Int): String =
+    s"""WITH ${simHashPairsCtes(maxHamming)}
+            SELECT id_a, id_b, hamming FROM spairs ORDER BY id_a, id_b"""
 
   /** DuckDB rendering of [[graft.text.TextAnalysis.qualityScore]] (the
     * q_text_quality-proven form, with the empty-doc 0.0 guard).
@@ -2959,6 +2962,31 @@ object SparkEntry {
             WHERE levenshtein(lname, rname) <= 1
             ORDER BY left_id, right_id"""))
 
+  /** Triangle census of the SimHash near-dup graph
+    * ([[graft.dedup.GraphStats.triangleCounts]]): density diagnostics
+    * over the same 1762-edge pair list q_dedup_simhash hash-checks; the
+    * oracle replays the simhash chain and both triangle joins.
+    */
+  private val qTriangles = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val sims = graft.dedup.NearDup.simHash(docs, "doc_id", "text")
+      val pairs = graft.dedup.NearDup.simHashNearDups(sims, maxHamming = 10)
+      graft.dedup.GraphStats.triangleCounts(pairs, "id_a", "id_b")
+        .orderBy("id")
+    },
+    Some(s"""WITH ${simHashPairsCtes(10)},
+             ed AS (SELECT id_a AS a, id_b AS b FROM spairs),
+             w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                   FROM ed e1 JOIN ed e2 ON e2.a = e1.b),
+             tri AS (SELECT w.x, w.y, w.z
+                     FROM w JOIN ed e3 ON e3.a = w.x AND e3.b = w.z),
+             nodes AS (SELECT x AS id FROM tri
+                       UNION ALL SELECT y FROM tri
+                       UNION ALL SELECT z FROM tri)
+             SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+             FROM nodes GROUP BY id ORDER BY id"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3065,6 +3093,7 @@ object SparkEntry {
     "q_correlation" -> qCorrelation,
     "q_source_overlap" -> qSourceOverlap,
     "q_fuzzy_link" -> qFuzzyLink,
+    "q_triangles" -> qTriangles,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
