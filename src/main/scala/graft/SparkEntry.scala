@@ -2987,6 +2987,31 @@ object SparkEntry {
              SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
              FROM nodes GROUP BY id ORDER BY id"""))
 
+  /** Time-decayed per-user value ([[graft.ops.Decay.decayedSumPerKey]]):
+    * 7-day half-life anchored at the logical date 2024-02-01 (epoch day
+    * 19754) — per-row micro-quantized pow, exact integer aggregate.
+    */
+  private val qDecayedSum = Q(
+    (s, dir) =>
+      graft.ops.Decay.decayedSumPerKey(
+        Tables.readEvents(s, dir), "user_id", "ts", "value",
+        refEpochDay = 19754L, halfLifeDays = 7)
+        .orderBy("user_id"),
+    Some("""WITH b AS (SELECT user_id,
+                              GREATEST(19754 - (epoch_us(ts) // 86400000000), 0)
+                                AS age_days,
+                              CAST(ROUND(value * 1000) AS BIGINT) AS v_milli
+                       FROM events),
+            w AS (SELECT user_id, v_milli,
+                         CAST(ROUND(pow(0.5, age_days / 7.0) * 1000000.0)
+                              AS BIGINT) AS w_micro
+                  FROM b)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(v_milli * w_micro) AS BIGINT) AS decayed_milli,
+                   ROUND(CAST(SUM(v_milli * w_micro) AS BIGINT)
+                         / 1000000000.0, 6) AS decayed_value
+            FROM w GROUP BY user_id ORDER BY user_id"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3094,6 +3119,7 @@ object SparkEntry {
     "q_source_overlap" -> qSourceOverlap,
     "q_fuzzy_link" -> qFuzzyLink,
     "q_triangles" -> qTriangles,
+    "q_decayed_sum" -> qDecayedSum,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
