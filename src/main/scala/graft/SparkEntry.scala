@@ -3012,6 +3012,31 @@ object SparkEntry {
                          / 1000000000.0, 6) AS decayed_value
             FROM w GROUP BY user_id ORDER BY user_id"""))
 
+  /** Robust spread per group ([[graft.ops.Normalize.madPerGroup]]):
+    * median absolute deviation of quantity per (returnflag, linestatus),
+    * double application of the exact-median Aggregator vs DuckDB's
+    * replayed two-pass median chain.
+    */
+  private val qMad = Q(
+    (s, dir) =>
+      graft.ops.Normalize.madPerGroup(
+        t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"), "l_quantity")
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""WITH med AS (SELECT l_returnflag, l_linestatus,
+                                median(l_quantity) AS m
+                         FROM lineitem GROUP BY l_returnflag, l_linestatus),
+            d AS (SELECT l.l_returnflag, l.l_linestatus, med.m,
+                         abs(l.l_quantity - med.m) AS dev
+                  FROM lineitem l
+                  JOIN med ON med.l_returnflag = l.l_returnflag
+                          AND med.l_linestatus = l.l_linestatus)
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(MIN(m), 6) AS median,
+                   ROUND(median(dev), 6) AS mad
+            FROM d GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3120,6 +3145,7 @@ object SparkEntry {
     "q_fuzzy_link" -> qFuzzyLink,
     "q_triangles" -> qTriangles,
     "q_decayed_sum" -> qDecayedSum,
+    "q_mad" -> qMad,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -125,6 +125,31 @@ object Normalize {
       .drop("__thr")
   }
 
+  /** Per-group median absolute deviation — the outlier-ROBUST spread
+    * estimate (`mad = median(|x − median(x)|)`): unlike stddev, one
+    * corrupt extreme value cannot blow up the gate, which is why robust
+    * quality thresholds (flag rows beyond k·mad) survive dirty lakes
+    * where z-scores drown. Composes the engine's exact-median
+    * `Aggregator` twice: group medians, a broadcast-joined deviation
+    * projection, then deviation medians — two aggregation passes, both
+    * map-side partial via the Aggregator's `TypedImperativeAggregate`
+    * buffers, no window.
+    *
+    * On integral or dyadic-valued inputs every median and deviation is
+    * exact IEEE arithmetic; the ROUND is for arbitrary floats.
+    */
+  def madPerGroup(df: DataFrame, keyCols: Seq[String],
+                  valueCol: String): DataFrame = {
+    val med = df.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.ExactMedian(col(valueCol)).as("__med"))
+    joinStats(df, med, keyCols)
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("__med")), 6).as("median"),
+        round(graft.functions.ExactMedian(col("__dev")), 6).as("mad"))
+  }
+
   /** Per-group Pearson correlation of two columns, hand-rolled from the
     * five raw sums — NOT Spark's builtin `corr`, whose streaming
     * co-moment updates are partition-order dependent and cannot be
