@@ -28,6 +28,11 @@ object Merge {
     * replaces (or introduces) the key's row, a winning D removes it;
     * snapshot keys without a change pass through untouched.
     *
+    * Determinism contract: (`seqCol`, `opCol`) must be unique per key —
+    * which a change-LOG position is by construction. Two changes sharing
+    * both would leave the winner's payload to partition order; collapse
+    * such feeds upstream before applying.
+    *
     * Both joins hash on the merge key only; payload columns ride along
     * untouched, so wide snapshots do not widen the shuffle of the
     * (small) change side.

@@ -71,4 +71,60 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("applyChanges is partition-invariant and idempotent on re-apply") {
+    (1 to 8).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val snap = (1L to 20L).map(k => (k, rnd.nextInt(100).toDouble))
+        .toDF("k", "v")
+      // unique (seq) per key by construction: seq = k*10 + draw index
+      val ch = (1L to 20L).filter(_ => rnd.nextBoolean()).flatMap { k =>
+        (0 until 1 + rnd.nextInt(2)).map { i =>
+          (k, rnd.nextInt(100).toDouble,
+            if (rnd.nextBoolean()) "U" else "D", k * 10 + i)
+        }
+      }.toDF("k", "v", "op", "seq")
+      val once = graft.ops.Merge.applyChanges(snap, ch, Seq("k"), "seq", "op")
+      val shuffled = graft.ops.Merge.applyChanges(
+        snap.repartition(7), ch.repartition(5), Seq("k"), "seq", "op")
+      assert(once.orderBy("k").collect().toSeq ===
+        shuffled.orderBy("k").collect().toSeq, s"seed=$seed")
+      // re-applying the same batch replays the same winners → fixpoint
+      val twice = graft.ops.Merge.applyChanges(once, ch, Seq("k"), "seq", "op")
+      assert(twice.orderBy("k").collect().toSeq ===
+        once.orderBy("k").collect().toSeq, s"seed=$seed")
+    }
+  }
+
+  test("boilerplate stripping is partition-invariant") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 30L).map { id =>
+        val words = List.fill(5 + rnd.nextInt(10))(s"w${rnd.nextInt(12)}")
+        (id, s"s${id % 3}", words.mkString(" "))
+      }.toDF("id", "src", "text")
+      val a = graft.text.Boilerplate.stripBoilerplate(docs, "id", "text", "src", 3, 5)
+        .orderBy("id").collect().toSeq
+      val b = graft.text.Boilerplate.stripBoilerplate(
+          docs.repartition(7), "id", "text", "src", 3, 5)
+        .orderBy("id").collect().toSeq
+      assert(a === b, s"seed=$seed")
+    }
+  }
+
+  test("funnel detail is partition-invariant") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val types = Seq("view", "click", "purchase", "noise")
+      val ev = (1 to 200).map { i =>
+        (rnd.nextInt(10).toLong, types(rnd.nextInt(4)),
+          new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000000) * 1000L))
+      }.toDF("user_id", "event_type", "ts")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        graft.ops.Funnel.firstTouch(df, "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), 86400L * 1000000L)
+          .orderBy("user_id").collect().toSeq
+      assert(run(ev) === run(ev.repartition(9)), s"seed=$seed")
+    }
+  }
 }
