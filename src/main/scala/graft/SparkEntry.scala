@@ -3037,6 +3037,40 @@ object SparkEntry {
             FROM d GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus"""))
 
+  /** Int8 embedding quantization ([[graft.similarity.Quantize.toInt8]]):
+    * exploded per-element form so the driver hashes scalars; the oracle
+    * replays maxabs → scale → per-element round with the identical
+    * IEEE expression shape.
+    */
+  private val qQuantizeInt8 = Q(
+    (s, dir) => {
+      val q = graft.similarity.Quantize.toInt8(
+        t(s, dir, "embeddings").filter(col("vec_id") < 100), "embedding")
+      q.select(col("vec_id"), col("scale_micro"),
+          posexplode(col("q8")).as(Seq("pos", "q")))
+        .withColumn("q", col("q").cast("int"))
+        .orderBy("vec_id", "pos")
+    },
+    Some("""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id < 100),
+            m AS (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS ma
+                  FROM b),
+            s AS (SELECT vec_id, v, ma,
+                         CAST(ROUND(ma / 127.0 * 1000000.0) AS BIGINT)
+                           AS scale_micro
+                  FROM m),
+            e AS (SELECT vec_id, scale_micro,
+                         unnest(list_transform(generate_series(1, len(v)),
+                           i -> {'pos': i - 1,
+                                 'q': CASE WHEN ma = 0 THEN 0
+                                           ELSE CAST(ROUND(v[i] * 127.0 / ma)
+                                                     AS INTEGER) END})) AS u
+                  FROM s)
+            SELECT vec_id, scale_micro, CAST(u.pos AS INTEGER) AS pos,
+                   CAST(u.q AS INTEGER) AS q
+            FROM e ORDER BY vec_id, pos"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3146,6 +3180,7 @@ object SparkEntry {
     "q_triangles" -> qTriangles,
     "q_decayed_sum" -> qDecayedSum,
     "q_mad" -> qMad,
+    "q_quantize_int8" -> qQuantizeInt8,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
