@@ -345,4 +345,11 @@ class PlanAuditSpec extends SparkTestBase {
       s"the z key must compute at scan speed:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("q_quantize_int8: per-row array work, no hash exchange, no join") {
+    val p = plan("q_quantize_int8")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantization must ride the scan:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
