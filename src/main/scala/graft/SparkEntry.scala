@@ -3071,6 +3071,42 @@ object SparkEntry {
                    CAST(u.q AS INTEGER) AS q
             FROM e ORDER BY vec_id, pos"""))
 
+  /** Clustering coefficients over the SimHash near-dup graph
+    * ([[graft.dedup.GraphStats.clusteringCoefficients]]): the density
+    * read on q_triangles' graph — clique-like neighborhoods vs open
+    * template hubs.
+    */
+  private val qClustering = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val sims = graft.dedup.NearDup.simHash(docs, "doc_id", "text")
+      val pairs = graft.dedup.NearDup.simHashNearDups(sims, maxHamming = 10)
+      graft.dedup.GraphStats.clusteringCoefficients(pairs, "id_a", "id_b")
+        .orderBy("id")
+    },
+    Some(s"""WITH ${simHashPairsCtes(10)},
+             ed AS (SELECT id_a AS a, id_b AS b FROM spairs),
+             deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM
+                       (SELECT a AS id FROM ed UNION ALL SELECT b FROM ed)
+                     GROUP BY id),
+             w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                   FROM ed e1 JOIN ed e2 ON e2.a = e1.b),
+             tri AS (SELECT w.x, w.y, w.z
+                     FROM w JOIN ed e3 ON e3.a = w.x AND e3.b = w.z),
+             tcnt AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM
+                        (SELECT x AS id FROM tri
+                         UNION ALL SELECT y FROM tri
+                         UNION ALL SELECT z FROM tri)
+                      GROUP BY id)
+             SELECT deg.id, degree,
+                    COALESCE(n_triangles, 0) AS n_triangles,
+                    CASE WHEN degree < 2 THEN NULL
+                         ELSE ROUND((2.0 * COALESCE(n_triangles, 0))
+                                    / (degree * (degree - 1)), 6)
+                    END AS clustering
+             FROM deg LEFT JOIN tcnt ON tcnt.id = deg.id
+             ORDER BY deg.id"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3181,6 +3217,7 @@ object SparkEntry {
     "q_decayed_sum" -> qDecayedSum,
     "q_mad" -> qMad,
     "q_quantize_int8" -> qQuantizeInt8,
+    "q_clustering" -> qClustering,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

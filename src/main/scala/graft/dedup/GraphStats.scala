@@ -27,15 +27,40 @@ object GraphStats {
     * wedge counts further — same plan, different orientation key.
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = edges
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    val e = normalized(edges, aCol, bCol)
     val wedges = e.select(col("a").as("x"), col("b").as("y"))
       .join(e.select(col("a").as("y"), col("b").as("z")), "y")
     val tri = wedges.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Local clustering coefficient per node:
+    * `c(v) = 2·T(v) / (deg(v)·(deg(v)−1))` — 1.0 means v's neighborhood
+    * is a clique (a boilerplate family), 0 means a hub of unrelated
+    * near-dups (template reuse). Degree-1 and isolated nodes report
+    * NULL (no wedge to close). One degree aggregation joined against
+    * [[triangleCounts]]; the ratio is two exact integers through one
+    * ROUNDed divide.
+    */
+  def clusteringCoefficients(edges: DataFrame, aCol: String,
+                             bCol: String): DataFrame = {
+    val e = normalized(edges, aCol, bCol)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.join(triangleCounts(edges, aCol, bCol), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") < 2, lit(null).cast("double"))
+          .otherwise(round((lit(2.0) * coalesce(col("n_triangles"), lit(0L)))
+            / (col("degree") * (col("degree") - 1)), 6))
+          .as("clustering"))
+  }
+
+  private def normalized(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
 }
