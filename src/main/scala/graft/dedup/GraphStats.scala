@@ -26,8 +26,17 @@ object GraphStats {
     * power-law hubs, re-orient by (degree, id) instead of id to shrink
     * wedge counts further — same plan, different orientation key.
     */
-  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = normalized(edges, aCol, bCol)
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    trianglesOriented(materializedEdges(edges, aCol, bCol))
+
+  /** Triangle counting over an already-oriented, deduped, MATERIALIZED
+    * edge list. The oriented list is referenced three times (both wedge
+    * legs + the closing join); without materialization each reference
+    * re-executes the entire upstream pair chain — for near-dup graphs
+    * that is the corpus-scale shingle/simhash pipeline, re-run per plan
+    * branch. Callers must pass the result of [[materializedEdges]].
+    */
+  private def trianglesOriented(e: DataFrame): DataFrame = {
     val wedges = e.select(col("a").as("x"), col("b").as("y"))
       .join(e.select(col("a").as("y"), col("b").as("z")), "y")
     val tri = wedges.join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
@@ -45,10 +54,10 @@ object GraphStats {
     */
   def clusteringCoefficients(edges: DataFrame, aCol: String,
                              bCol: String): DataFrame = {
-    val e = normalized(edges, aCol, bCol)
+    val e = materializedEdges(edges, aCol, bCol)
     val deg = e.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("degree"))
-    deg.join(triangleCounts(edges, aCol, bCol), Seq("id"), "left")
+    deg.join(trianglesOriented(e), Seq("id"), "left")
       .select(col("id"), col("degree"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("degree") < 2, lit(null).cast("double"))
@@ -57,10 +66,23 @@ object GraphStats {
           .as("clustering"))
   }
 
-  private def normalized(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+  /** Orient (`a < b`), dedup, and MATERIALIZE the edge list via
+    * `localCheckpoint` — the oriented edges are consumed by up to four
+    * plan branches (degree, two wedge legs, triangle close), and on
+    * near-dup graphs the upstream `edges` plan is a corpus-scale
+    * shingle/minhash/simhash chain. Truncating the lineage here makes
+    * every branch read the materialized blocks instead of re-running
+    * that chain per branch (the same per-round pattern as
+    * [[DupClusters.connectedComponents]]). The edge list is the SMALL
+    * artifact of the pipeline (bounded by near-dup bucket caps), so
+    * materializing it is cheap relative to one recompute of its chain.
+    */
+  private def materializedEdges(edges: DataFrame, aCol: String,
+                                bCol: String): DataFrame =
     edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+      .localCheckpoint()
 }

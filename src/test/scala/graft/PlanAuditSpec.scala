@@ -352,4 +352,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"quantization must ride the scan:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("q_clustering/q_triangles: branches read the materialized edge list, never re-scan the corpus") {
+    // GraphStats materializes the oriented edge list ONCE (localCheckpoint);
+    // the degree branch, both wedge legs, and the triangle close must all
+    // read those blocks. A documents.parquet FileScan in the final plan
+    // means a branch re-executes the corpus-scale simhash chain — the
+    // round-8 recompute defect (8 scans, 18 exchanges) this net pins shut.
+    for (q <- Seq("q_clustering", "q_triangles")) {
+      val p = plan(q)
+      assert(!p.contains("FileScan"),
+        s"$q must not re-scan the corpus per plan branch:\n$p")
+      assert("Scan ExistingRDD".r.findAllIn(p).size >= 3,
+        s"$q branches must read the checkpointed edge list:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx <= 7, s"$q exchange count regressed (was 18 pre-fix, 7 post):\n$p")
+    }
+  }
 }
