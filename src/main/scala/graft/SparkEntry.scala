@@ -3107,6 +3107,91 @@ object SparkEntry {
              FROM deg LEFT JOIN tcnt ON tcnt.id = deg.id
              ORDER BY deg.id"""))
 
+  /** Windowed type stats run through the STREAMING code path
+    * ([[graft.streaming.EventStreams.windowedTypeStats]]): the events
+    * table drained as a file-source stream via `Trigger.AvailableNow`
+    * into a memory sink, so the oracle checks the watermark/window
+    * state machine itself — not a batch twin. Append mode emits exactly
+    * the windows finalized by the terminal watermark; Spark tracks the
+    * watermark in MILLIS (event-time stats are micros-floored to ms,
+    * then minus the 10-minute delay), which the oracle replicates with
+    * `// 1000` before the subtraction. Window starts are epoch-aligned
+    * 5-minute buckets on both engines (pure integer arithmetic in the
+    * oracle — no time_bucket origin dependence).
+    */
+  private val qStreamWindowStats = Q(
+    (s, dir) => {
+      val q = graft.streaming.EventStreams
+        .windowedTypeStats(Tables.readEventsStream(s, dir))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_q_stream_window_stats")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q_stream_window_stats")
+        .select(unix_micros(col("win_start")).as("start_us"),
+          unix_micros(col("win_end")).as("end_us"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("start_us", "event_type")
+    },
+    Some("""WITH mx AS (
+              SELECT (max(epoch_us(ts)) // 1000 - 600000) * 1000 AS wm_us
+              FROM events),
+            g AS (
+              SELECT epoch_us(ts) // 300000000 * 300000000 AS start_us,
+                     event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                     ROUND(SUM(value), 2) AS total_value
+              FROM events GROUP BY 1, 2)
+            SELECT g.start_us, g.start_us + 300000000 AS end_us,
+                   g.event_type, g.n, g.total_value
+            FROM g, mx
+            WHERE g.start_us + 300000000 <= mx.wm_us
+            ORDER BY start_us, event_type"""))
+
+  /** CDC latest-state run through the STREAMING code path
+    * ([[graft.streaming.EventStreams.cdcLatest]], `mapGroupsWithState`
+    * in update mode, `Trigger.AvailableNow` → memory sink): events
+    * deterministically recast as a change stream (key = user_id mod 50,
+    * change-log position = event_id — globally unique, so the winner
+    * rule never ties — op cycling I/U/D by event_id mod 3). The sink
+    * holds one row per key per micro-batch that changed it; the final
+    * state is the per-key (seq, op)-max row, selected by the SAME
+    * winner rule so the result is identical under any batch split.
+    */
+  private val qCdcLatest = Q(
+    (s, dir) => {
+      import s.implicits._
+      val changes = Tables.readEventsStream(s, dir)
+        .select((col("user_id") % 50).as("key"),
+          col("event_id").as("seq"),
+          element_at(array(lit("I"), lit("U"), lit("D")),
+            (col("event_id") % 3).cast("int") + 1).as("op"),
+          col("value").as("payload"))
+        .as[graft.streaming.EventStreams.Change]
+      val q = graft.streaming.EventStreams.cdcLatest(s, changes)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("graft_q_cdc_latest")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q_cdc_latest")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("key").orderBy(col("seq").desc, col("op").desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+        .orderBy("key")
+    },
+    Some("""WITH ch AS (
+              SELECT user_id % 50 AS key, event_id AS seq,
+                     ['I','U','D'][CAST(event_id % 3 AS INT) + 1] AS op,
+                     value AS payload
+              FROM events),
+            r AS (
+              SELECT ch.*, row_number() OVER (
+                       PARTITION BY key ORDER BY seq DESC, op DESC) AS rn
+              FROM ch)
+            SELECT key, seq, op, payload, (op = 'D') AS deleted
+            FROM r WHERE rn = 1 ORDER BY key"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3218,6 +3303,8 @@ object SparkEntry {
     "q_mad" -> qMad,
     "q_quantize_int8" -> qQuantizeInt8,
     "q_clustering" -> qClustering,
+    "q_stream_window_stats" -> qStreamWindowStats,
+    "q_cdc_latest" -> qCdcLatest,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -43,6 +43,14 @@ object Anomaly {
     require(n >= 2 && minPrior >= 2 && minPrior <= n,
       s"need 2 <= minPrior=$minPrior <= n=$n for a sample variance")
     require(k > 0, s"k=$k must be positive")
+    // the scaladoc's BIGINT-overflow safety argument assumes n ≤ 100 —
+    // enforce it, since on an ANSI-off session a blown bound would WRAP
+    // (flip flags) instead of abort. The |v| ≤ 5·10⁵-milli half of the
+    // bound is data-dependent and NOT checked per row (a scan-speed
+    // operator must not pay a per-row guard): run ANSI-on — every graft
+    // session builder does — for the abort-loudly guarantee on values.
+    require(n <= 100, s"n=$n must be <= 100 (BIGINT overflow headroom: " +
+      "(m-1)*dev^2 and k^2*m*varTerm stay inside 2^63 only for n <= 100)")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(idCol))
       .rowsBetween(-n, -1)

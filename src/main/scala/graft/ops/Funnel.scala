@@ -62,8 +62,8 @@ object Funnel {
     */
   def summary(detail: DataFrame, steps: Seq[String]): DataFrame = {
     val counts = detail.agg(
-      count(lit(1)).as("__entered"),
-      steps.indices.map(i => count(col(s"t${i + 1}")).as(s"__n${i + 1}")): _*)
+      count(col("t1")).as(s"__n1"),
+      steps.indices.drop(1).map(i => count(col(s"t${i + 1}")).as(s"__n${i + 1}")): _*)
     val entries = steps.zipWithIndex.map { case (name, i) =>
       struct(lit(i + 1).as("step"), lit(name).as("step_name"),
         col(s"__n${i + 1}").as("n_users"))

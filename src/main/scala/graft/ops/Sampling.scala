@@ -85,9 +85,11 @@ object Sampling {
   /** Token-budget mixing: per key (source/domain), keep documents in the
     * deterministic md5-of-id order while the running token total stays
     * within `budget` — the "N tokens per domain" mixture step of a
-    * training-set build. A doc is kept iff the budget wasn't already
-    * exhausted before it (`cum ≤ budget` on the inclusive running sum):
-    * one window, one exchange, integer arithmetic only.
+    * training-set build. A doc is kept iff it FULLY fits: its inclusive
+    * running total must stay ≤ budget, so the first doc that overflows
+    * the budget is dropped along with everything after it in the key's
+    * order (never a partial document in a token-budgeted mixture): one
+    * window, one exchange, integer arithmetic only.
     */
   def tokenBudgetPerKey(df: DataFrame, keyCols: Seq[String],
                         idCol: String, tokensCol: String, budget: Long): DataFrame = {

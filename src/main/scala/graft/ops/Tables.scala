@@ -72,4 +72,28 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+
+  /** Streaming twin of [[readEvents]]: the same events table as a file-
+    * source STREAM (a streaming source cannot infer — the schema comes
+    * from one batch footer read), with the identical nanos→micros `ts`
+    * coercion so streaming operators see the same event time as batch
+    * ones. At lake scale the file source is the right on-ramp: each
+    * micro-batch lists only NEW files, and `Trigger.AvailableNow`
+    * drains a finite backlog then stops — used by the driver queries
+    * that exercise the streaming code path against the batch oracle.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file stream source wants a directory basePath; the testdata
+    // layout is one FILE per table, so glob the one file under the
+    // scale-factor dir instead of handing it the file as a path
+    val raw = spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$dir/events.parquet*")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
 }
