@@ -1563,6 +1563,25 @@ object SparkEntry {
                    COALESCE(cc.cluster_id, b.id) = b.id AS is_keeper
             FROM base b LEFT JOIN cc ON cc.id = b.id ORDER BY b.id"""))
 
+  /** The SAME cluster report computed by large-star/small-star
+    * contraction ([[graft.dedup.DupClusters.clusterReportStar]],
+    * Kiveris et al. SoCC 2014) instead of min-label propagation — the
+    * O(log n)-round form that survives long-chain graphs where label
+    * propagation needs O(diameter) shuffles. Both fixpoints are
+    * min-id-per-component, so this shares q_dup_clusters' oracle
+    * verbatim: one recursive-CTE truth, two independent distributed
+    * algorithms proven against it.
+    */
+  private val qDupClustersStar = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val pairs = graft.dedup.NearDup.minHashLsh(
+        docs, "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+      graft.dedup.DupClusters.clusterReportStar(docs, "doc_id", pairs)
+        .orderBy("id")
+    },
+    qDupClusters.oracle)
+
   /** Quality-aware canonical pick ([[graft.dedup.DupClusters
     * .canonicalPick]]): within each near-dup cluster keep the
     * highest-token-count copy (tie → smaller id). The oracle replays the
@@ -3252,6 +3271,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash_lsh" -> qMinHash,
     "q_dup_clusters" -> qDupClusters,
+    "q_dup_clusters_star" -> qDupClustersStar,
     "q_dedup_simhash" -> qSimHash,
     "q_ann_bruteforce_topk" -> qAnnBrute,
     "q_ann_lsh_topk" -> qAnnLsh,

@@ -19,11 +19,11 @@ import org.apache.spark.storage.StorageLevel
   * Near-dup graphs have tiny diameters (duplicate families are
   * near-cliques: most nodes are 1-2 hops from the component minimum), so
   * the loop converges in a handful of rounds; for adversarial long-chain
-  * graphs the large-star/small-star alternation (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond", SoCC 2014) converges
-  * in O(log n) rounds and would slot into the same driver loop. Every
-  * round is `localCheckpoint`ed: without it the lineage doubles per
-  * iteration and the 10th round replans 2¹⁰ joins.
+  * graphs [[connectedComponentsStar]] (large-star/small-star contraction,
+  * Kiveris et al., SoCC 2014) converges in O(log n) rounds, and the label
+  * loop hands over to it automatically when the diameter exceeds its
+  * round budget. Every round is `localCheckpoint`ed: without it the
+  * lineage doubles per iteration and the 10th round replans 2¹⁰ joins.
   *
   * Determinism: min-label propagation is order-free (min is commutative/
   * associative), so the result is a pure function of the pair set —
@@ -66,11 +66,84 @@ object DupClusters {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      // diameter > maxIter: a near-dup graph this stretched is already
+      // pathological, but stay total — the star-contraction variant
+      // converges in O(log n) rounds on ANY shape, so hand over to it
+      // rather than abort (identical fixpoint: min id per component).
+      connectedComponentsStar(pairs, aCol, bCol)
+    else labels
+  }
+
+  /** Connected components by large-star/small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC 2014)
+    * — the long-chain-safe alternative to [[connectedComponents]]'s
+    * min-label propagation: label propagation needs O(diameter) rounds
+    * (a 10⁶-node chain = 10⁶ shuffles), star contraction needs
+    * O(log n) rounds on any graph shape.
+    *
+    * Per round, on edges oriented `u > v`:
+    *  - LARGE-STAR: for each node, every strictly-larger neighbor links
+    *    to the node's minimum (of itself and its neighborhood). Each
+    *    undirected edge is seen from its smaller endpoint's group, so
+    *    connectivity is preserved while long chains halve.
+    *  - SMALL-STAR: for each node, itself and all smaller neighbors
+    *    link to the smallest of them — collapsing the two-hop stars the
+    *    large-star step just built.
+    * Both steps are a groupBy-min plus one join of the edge list —
+    * O(|E|) shuffle per round, O(log n) rounds, same per-round
+    * `localCheckpoint` lineage cut as the label loop. The fixpoint is a
+    * star forest rooted at each component's minimum id, read off
+    * directly as (id, cluster_id).
+    *
+    * Same output contract as [[connectedComponents]]: (id, cluster_id)
+    * for every id appearing in `pairs`, cluster_id = component minimum.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String = "id_a",
+                              bCol: String = "id_b",
+                              maxIter: Int = 50): DataFrame = {
+    val allIds = pairs
+      .select(explode(array(col(aCol), col(bCol))).as("id")).distinct()
+      .localCheckpoint()
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      // large-star over both orientations of every edge
+      val und = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = und.groupBy("u").agg(min("v").as("mn"))
+      val ls = und.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .distinct()
+      // small-star over the (u > v)-oriented large-star output
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val next = ls.join(ssMin, "u")
+        .select(explode(array(col("v"), col("u"))).as("x"), col("m"))
+        .filter(col("x") =!= col("m"))
+        .select(col("x").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      // stable edge set ⇒ next round recomputes identically ⇒ fixpoint
+      converged = next.count() == edges.count() &&
+        next.except(edges).limit(1).count() == 0L
+      edges = next
+      iter += 1
+    }
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds — " +
-        "component diameter exceeds the bound; raise maxIter or switch " +
-        "to star-contraction for long-chain graphs")
-    labels
+      s"connectedComponentsStar did not converge in $maxIter rounds — " +
+        "star contraction needs O(log n) rounds, so this indicates a bug " +
+        "or an absurd id space, not a legitimate input")
+    allIds
+      .join(edges.select(col("u").as("id"), col("v").as("cluster_id")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** Cluster report over a document set: every doc joined to its
@@ -78,14 +151,25 @@ object DupClusters {
     * the keep-min keeper flag — `filter(col("is_keeper"))` IS the dedup.
     */
   def clusterReport(docs: DataFrame, idCol: String, pairs: DataFrame,
-                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val cc = connectedComponents(pairs, aCol, bCol)
+                    aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    report(docs, idCol, connectedComponents(pairs, aCol, bCol))
+
+  /** [[clusterReport]] computed via [[connectedComponentsStar]] —
+    * identical result (both fixpoints are min-id-per-component), O(log n)
+    * rounds regardless of component diameter. Prefer this form when the
+    * pair graph's shape is unknown (general graphs, not near-dup
+    * families).
+    */
+  def clusterReportStar(docs: DataFrame, idCol: String, pairs: DataFrame,
+                        aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    report(docs, idCol, connectedComponentsStar(pairs, aCol, bCol))
+
+  private def report(docs: DataFrame, idCol: String, cc: DataFrame): DataFrame =
     docs.select(col(idCol).as("id"))
       .join(cc, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), col("id")).as("cluster_id"),
         (coalesce(col("cluster_id"), col("id")) === col("id")).as("is_keeper"))
-  }
 
   /** Quality-aware canonicalization: keep each cluster's BEST copy by
     * `scoreCol` (ties → smaller id, deterministic) instead of the

@@ -59,11 +59,41 @@ class DupClustersSpec extends SparkTestBase {
     assert(labelsOf(Seq((5L, 1L))) === labelsOf(Seq((1L, 5L))))
   }
 
-  test("connectedComponents: maxIter too small for the diameter throws") {
+  test("connectedComponents: maxIter too small hands over to star contraction, same result") {
     val chain = (0L until 9L).map(i => (i, i + 1))
-    intercept[IllegalStateException] {
-      DupClusters.connectedComponents(pairsDf(chain: _*), maxIter = 2).collect()
-    }
+    val m = DupClusters.connectedComponents(pairsDf(chain: _*), maxIter = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(m.size === 10)
+    assert(m.values.forall(_ == 0L))
+  }
+
+  test("star contraction: 100-node path (diameter 99) converges in O(log n) rounds") {
+    // label propagation would need ~99 rounds; large-star/small-star
+    // halves chains per round — 15 rounds is generous for n=100
+    val chain = (0L until 99L).map(i => (i, i + 1))
+    val m = DupClusters.connectedComponentsStar(pairsDf(chain: _*), maxIter = 15)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(m.size === 100)
+    assert(m.values.forall(_ == 0L))
+  }
+
+  test("star contraction: agrees with label propagation on a mixed graph") {
+    // two cliques bridged by a chain, one separate pair, shuffled ids
+    val pairs = Seq(
+      (12L, 7L), (7L, 31L), (31L, 12L),      // clique {7,12,31}
+      (31L, 40L), (40L, 55L),                // chain to...
+      (55L, 60L), (60L, 58L), (58L, 55L),    // clique {55,58,60}
+      (90L, 83L))                            // separate component
+    val star = DupClusters.connectedComponentsStar(pairsDf(pairs: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val label = labelsOf(pairs).toSet
+    assert(star === label)
+    assert(star.collect { case (id, c) if id == c => id } === Set(7L, 83L))
+  }
+
+  test("star contraction: empty pair set yields no labels") {
+    val empty = pairsDf()
+    assert(DupClusters.connectedComponentsStar(empty).count() === 0L)
   }
 
   test("clusterReport: singletons are their own keeper; one keeper per cluster") {
