@@ -1869,6 +1869,58 @@ object SparkEntry {
     Some("""SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest
             FROM documents ORDER BY doc_id"""))
 
+  /** Real (de-stubbed) media decode ([[graft.multimodal.Multimodal
+    * .parseBmp]] via `extractFeatures`'s mapPartitions path): each doc
+    * gets a generated 24-bpp BMP payload with doc_id-derived dimensions
+    * ([[graft.multimodal.Multimodal.makeBmp]]), the decoder parses the
+    * headers and walks the pixel rows, and the oracle predicts the
+    * parsed width/height, the 4-byte-aligned file size, and the exact
+    * pixel-byte sum in closed form (the fixture's pixel formula
+    * `(seed + row*31 + k*7) mod 256` summed over the rows via
+    * generate_series) — proving the parse reads REAL pixels, not header
+    * echoes. The per-channel mean features are reported as the integer
+    * pixel sum they were computed from: `meanAll * 3*n*255` rounds back
+    * to the exact byte total.
+    */
+  private val qBmpDecode = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 1 + (id % 16).toInt
+          val h = 1 + (id % 8).toInt
+          (id, graft.multimodal.Multimodal.makeBmp(w, h, id))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractFeatures(s, bins)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_bytes"),
+          // feats(3) = (sumB+sumG+sumR) / (3n*255); invert to the exact
+          // integer byte sum (double holds it exactly at these sizes)
+          round(element_at(col("features"), 4) *
+            (col("width") * col("height") * lit(3L) * lit(255L)))
+            .cast(LongType).as("pixel_byte_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     CAST(1 + doc_id % 16 AS INT) AS w,
+                     CAST(1 + doc_id % 8 AS INT) AS h
+              FROM documents),
+            px AS (
+              -- fixed-size series (h <= 8, 3w <= 48 by construction)
+              -- filtered per doc: DuckDB's generate_series cannot take
+              -- lateral column bounds
+              SELECT d.doc_id, d.w, d.h,
+                     SUM((d.doc_id + r.r * 31 + k.k * 7) % 256) AS psum
+              FROM dims d
+              JOIN generate_series(0, 7) AS r(r) ON r.r < d.h
+              JOIN generate_series(0, 47) AS k(k) ON k.k < 3 * d.w
+              GROUP BY d.doc_id, d.w, d.h)
+            SELECT doc_id, 'bmp' AS format, w AS width, h AS height,
+                   CAST(54 + ((3 * w + 3) // 4) * 4 * h AS INT) AS n_bytes,
+                   CAST(psum AS BIGINT) AS pixel_byte_sum
+            FROM px ORDER BY doc_id"""))
+
   /** KEYED range join ([[graft.ops.RangeJoin.bucketedRangeJoin]] with
     * `keyCols`): per-user 1-hour attribution windows opened by purchase
     * events, joined to that user's events inside the window. The equality
@@ -3279,6 +3331,7 @@ object SparkEntry {
     "q_ann_ivf_topk" -> qAnnIvf,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_multimodal_meta" -> qMultimodal,
+    "q_bmp_decode" -> qBmpDecode,
     "q_sessionize" -> qSessionize,
     "q_json_extract" -> qJson,
     "q_asof_join" -> qAsOf,

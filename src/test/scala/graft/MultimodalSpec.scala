@@ -52,6 +52,62 @@ class MultimodalSpec extends SparkTestBase {
       "non-empty doc: both sides same digest")
   }
 
+  test("parseBmp: hand-built 1x1 bitmap — exact dims and channel features") {
+    // one pixel, B=10 G=20 R=30, bottom-up, row padded 3→4 bytes
+    val bmp = Multimodal.makeBmp(1, 1, 0)
+    // overwrite the formula pixel with known channel values
+    bmp(54) = 10; bmp(55) = 20; bmp(56) = 30
+    val f = Multimodal.parseBmp(7L, bmp).get
+    assert(f.format === "bmp" && f.width === 1 && f.height === 1)
+    assert(f.n_bytes === 54 + 4) // stride 4 (3 pixel bytes + 1 pad)
+    assert(f.features(0) === 10f / 255 && f.features(1) === 20f / 255 &&
+      f.features(2) === 30f / 255)
+    assert(f.features(3) === 60f / (3 * 255f))
+    assert(f.features(4) === 0f) // no byte > 127
+    assert(f.features(5) === 0.5f && f.features(6) === 0.5f)
+  }
+
+  test("parseBmp: row padding is excluded from pixel stats (2x2, stride 8)") {
+    val bmp = Multimodal.makeBmp(2, 2, 5)
+    val f = Multimodal.parseBmp(1L, bmp).get
+    assert(f.width === 2 && f.height === 2)
+    assert(f.n_bytes === 54 + 8 * 2) // stride ((6+3)/4)*4 = 8
+    // expected sum from the fixture formula over pixel bytes only
+    val expect = (for (r <- 0 until 2; k <- 0 until 6)
+      yield (5 + r * 31 + k * 7) % 256).sum
+    val got = math.round(f.features(3) * 3 * 4 * 255)
+    assert(got === expect, s"padding bytes must not leak into the mean")
+  }
+
+  test("decode dispatch: BMP parses for real, everything else falls to the stub") {
+    val real = Multimodal.decode(1L, Multimodal.makeBmp(4, 3, 9))
+    assert(real.format === "bmp" && real.width === 4 && real.height === 3)
+    val stub = Multimodal.decode(2L, "not a bitmap".getBytes("UTF-8"))
+    assert(stub.format === "stub")
+    // corrupt headers must not crash or lie: truncated pixel array,
+    // compressed flag, paletted bpp each fall back
+    val truncated = Multimodal.makeBmp(8, 8, 1).take(80)
+    assert(Multimodal.decode(3L, truncated).format === "stub")
+    val compressed = Multimodal.makeBmp(2, 2, 1)
+    compressed(30) = 1 // BI_RLE8
+    assert(Multimodal.decode(4L, compressed).format === "stub")
+    val paletted = Multimodal.makeBmp(2, 2, 1)
+    paletted(28) = 8 // 8-bpp
+    assert(Multimodal.decode(5L, paletted).format === "stub")
+  }
+
+  test("extractFeatures runs the real BMP path distributed (mapPartitions)") {
+    val bins = spark.range(1, 21).select(col("id").as("doc_id")).as[Long]
+      .map(id => (id, Multimodal.makeBmp(1 + (id % 16).toInt, 1 + (id % 8).toInt, id)))
+      .toDF("doc_id", "payload")
+      .repartition(4)
+    val feats = Multimodal.extractFeatures(spark, bins).collect()
+    assert(feats.length === 20)
+    assert(feats.forall(_.format === "bmp"))
+    assert(feats.forall(f => f.width === 1 + (f.doc_id % 16) &&
+      f.height === 1 + (f.doc_id % 8)))
+  }
+
   test("sampleFrames: byte-range frame sampling with stride") {
     val framed = Multimodal.sampleFrames(
       Multimodal.withBinaryPayload(docs, "text"), "payload", frameBytes = 4, stride = 2)
