@@ -54,9 +54,62 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum // failed (-1) excluded
+    // Per-tier subtotals: at 110 queries the full bench is minutes of
+    // wall, so a regression needs to LOCALIZE without a rerun — the tier
+    // whose subtotal moved is where to look.
+    val tiers = results.toSeq.filter(_._2 >= 0)
+      .groupBy { case (n, _) => tierOf(n) }.toSeq.sortBy(_._1)
+      .map { case (t, xs) => s"\"" + t + "\":" + xs.map(_._2).sum }
+      .mkString("{", ",", "}")
     // policy fields recorded so round-over-round deltas are readable as
     // signal vs JVM noise (warmup + median-of-3 is the default).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"warmups":$warmups,"policy":"median","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"warmups":$warmups,"policy":"median","queries":$qs,"tiers":$tiers,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Query → bench tier (reporting only — no behavior): reference ETL
+    * parity, window functions, relational breadth, text/corpus, dedup +
+    * pair graphs, ANN/embeddings, sampling/mixture, event analytics,
+    * CDC/layout, streaming-path, multimodal.
+    */
+  private[graft] def tierOf(name: String): String = name match {
+    case "q_s1_scan_filter" | "q_f1_notnull_filter" | "q_p1_project_rename" |
+         "q_a1_nonnull_counts" | "q_p2_prune_allnull" | "q_c3_comma_decimal" |
+         "q_c4_digit_strip" | "q_n1_fill_defaults" | "q_n2_sentinel_date" |
+         "q_d1_distinct" | "q_d2_dedup_keep_first" | "q_pipeline_refined" => "etl"
+    case "q_w1_rolling_avg" | "q_w2_group_total_window" | "q_w3_rank_rownumber" |
+         "q_w4_initial_date" | "q_w5_rolling_stats" | "q_lag_lead" |
+         "q_range_frame" | "q_median_window" => "windows"
+    case "q_agg_groupby" | "q_join_revenue_by_segment" | "q_setops" |
+         "q_rollup" | "q_cube" | "q_pivot" | "q_topk_orders" |
+         "q_explode_pos" | "q_json_extract" | "q_group_quantiles" |
+         "q_median_exact" | "q_quantile_gate" => "relational"
+    case "q_token_budget" => "sampling" // before the q_token* text glob
+    case n if n.startsWith("q_text") || n.startsWith("q_token") ||
+         n.startsWith("q_chunk") || n.startsWith("q_decontaminate") => "text"
+    case "q_bm25_topk" | "q_boilerplate" | "q_lm_score" | "q_lang_id" |
+         "q_pii_scrub" | "q_tfidf_topterms" | "q_vocabulary" |
+         "q_pmi_bigrams" | "q_fingerprint" | "q_repetition" | "q_pack_bins" |
+         "q_source_overlap" => "text"
+    case n if n.startsWith("q_dedup") || n.startsWith("q_dup_") => "dedup_graph"
+    case "q_ngram_jaccard" | "q_triangles" | "q_clustering" => "dedup_graph"
+    case n if n.startsWith("q_ann") => "ann"
+    case "q_embed_neardup" | "q_quantize_int8" | "q_kmeans_step" |
+         "q_neg_sample" | "q_hybrid_rrf" => "ann"
+    case n if n.startsWith("q_sample") => "sampling"
+    case "q_split_assign" | "q_mix_temperature" | "q_token_budget" |
+         "q_epoch_order" | "q_trainset_build" | "q_rank_features" => "sampling"
+    case "q_anomaly" | "q_asof_join" | "q_attribution" | "q_funnel" |
+         "q_funnel_summary" | "q_retention" | "q_sessionize" |
+         "q_correlation" | "q_mad" | "q_normalize" | "q_decayed_sum" |
+         "q_range_join" | "q_range_join_keyed" | "q_fuzzy_link" |
+         "q_resample_daily" | "q_rolling_active" => "events"
+    case "q_merge_upsert" | "q_scd2_apply" | "q_agg_upsert" | "q_zorder" |
+         "q_quality_audit" => "cdc_layout"
+    case "q_stream_window_stats" | "q_cdc_latest" |
+         "q_stream_sessionize" => "streaming"
+    case "q_multimodal_meta" | "q_frame_sample" | "q_bmp_decode" |
+         "q_wav_decode" => "multimodal"
+    case _ => "other"
   }
 }

@@ -1921,6 +1921,51 @@ object SparkEntry {
                    CAST(psum AS BIGINT) AS pixel_byte_sum
             FROM px ORDER BY doc_id"""))
 
+  /** Second de-stubbed format: 16-bit PCM WAV
+    * ([[graft.multimodal.Multimodal.parseWav]] — RIFF chunk walk, no
+    * codec library). Same proof shape as q_bmp_decode: generated
+    * fixtures with doc_id-derived frame/channel counts, oracle predicts
+    * the parsed sample rate, channel count, file size, and the EXACT
+    * signed-sample sum reconstructed from the mean-amplitude feature
+    * (int8-range fixture amplitudes keep the float inversion exact).
+    */
+  private val qWavDecode = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.multimodal.Multimodal.makeWav(
+            (50 + id % 50).toInt, (1 + id % 2).toInt, 8000, id))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractFeatures(s, bins)
+        .select(col("doc_id"), col("format"),
+          col("width").as("sample_rate"), col("height").as("channels"),
+          col("n_bytes"),
+          // feats(0) = sum / (nSamples * 2^15); nSamples = (bytes-44)/2
+          round(element_at(col("features"), 1) *
+            ((col("n_bytes") - lit(44)) / lit(2)) * lit(32768L))
+            .cast(LongType).as("sample_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     CAST(50 + doc_id % 50 AS INT) AS frames,
+                     CAST(1 + doc_id % 2 AS INT) AS channels
+              FROM documents),
+            s AS (
+              -- flat sample index bounded by frames*channels <= 198
+              SELECT d.doc_id, d.frames, d.channels,
+                     SUM((d.doc_id + i.i * 13) % 256 - 128) AS ssum
+              FROM dims d
+              JOIN generate_series(0, 197) AS i(i)
+                ON i.i < d.frames * d.channels
+              GROUP BY d.doc_id, d.frames, d.channels)
+            SELECT doc_id, 'wav' AS format,
+                   CAST(8000 AS INT) AS sample_rate, channels,
+                   CAST(44 + 2 * frames * channels AS INT) AS n_bytes,
+                   CAST(ssum AS BIGINT) AS sample_sum
+            FROM s ORDER BY doc_id"""))
+
   /** KEYED range join ([[graft.ops.RangeJoin.bucketedRangeJoin]] with
     * `keyCols`): per-user 1-hour attribution windows opened by purchase
     * events, joined to that user's events inside the window. The equality
@@ -3263,6 +3308,63 @@ object SparkEntry {
             SELECT key, seq, op, payload, (op = 'D') AS deleted
             FROM r WHERE rn = 1 ORDER BY key"""))
 
+  /** Gap-based sessionization run through the STREAMING code path
+    * ([[graft.streaming.EventStreams.sessionize]] —
+    * `flatMapGroupsWithState`, append mode, `Trigger.AvailableNow` →
+    * memory sink). The stream emits exactly the sessions CLOSED by the
+    * gap rule; each user's final session stays open in state when the
+    * finite input drains, so the oracle is the batch gap-rule
+    * sessionization minus each user's last session — a set that is
+    * invariant under micro-batch splits (closing is driven by event
+    * gaps, and open state carries across batches). Sum order inside a
+    * session is the same (ts, event_id) order on both sides; ROUND
+    * bridges the float tail.
+    */
+  private val qStreamSessionize = Q(
+    (s, dir) => {
+      import s.implicits._
+      val evs = Tables.readEventsStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsUs"), col("value"))
+        .as[graft.streaming.EventStreams.Ev]
+      val q = graft.streaming.EventStreams.sessionize(s, evs, gapSeconds = 1800)
+        .toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_q_stream_sessionize")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q_stream_sessionize")
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "start_us")
+    },
+    Some("""WITH flags AS (
+              SELECT user_id, event_id, value, epoch_us(ts) AS us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                          ELSE 0 END AS is_start
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id, value, us,
+                     SUM(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM flags),
+            agg AS (
+              SELECT user_id, session_id,
+                     MIN(us) AS start_us, MAX(us) AS end_us,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     ROUND(SUM(value), 2) AS total_value
+              FROM sess GROUP BY user_id, session_id),
+            last AS (
+              SELECT user_id, MAX(session_id) AS last_id
+              FROM agg GROUP BY user_id)
+            SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.total_value
+            FROM agg a JOIN last l
+              ON l.user_id = a.user_id AND a.session_id < l.last_id
+            ORDER BY a.user_id, a.start_us"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3332,6 +3434,7 @@ object SparkEntry {
     "q_embed_neardup" -> qEmbedNearDup,
     "q_multimodal_meta" -> qMultimodal,
     "q_bmp_decode" -> qBmpDecode,
+    "q_wav_decode" -> qWavDecode,
     "q_sessionize" -> qSessionize,
     "q_json_extract" -> qJson,
     "q_asof_join" -> qAsOf,
@@ -3378,6 +3481,7 @@ object SparkEntry {
     "q_clustering" -> qClustering,
     "q_stream_window_stats" -> qStreamWindowStats,
     "q_cdc_latest" -> qCdcLatest,
+    "q_stream_sessionize" -> qStreamSessionize,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

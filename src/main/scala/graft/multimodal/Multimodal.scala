@@ -121,11 +121,105 @@ object Multimodal {
     Some(MediaFeatures(id, bytes.length, "bmp", w, h, feats))
   }
 
+  // ---- real decoder: WAV (RIFF PCM, public spec) -----------------------
+
+  /** Parse + decode a 16-bit PCM WAV: RIFF/WAVE magic, then a chunk walk
+    * ("fmt " for format/channels/sample-rate, "data" for the PCM
+    * payload; chunks are 2-byte aligned). Audio has no width/height, so
+    * the metadata mapping is documented here once: `width` carries the
+    * SAMPLE RATE, `height` the CHANNEL count. Features fold the real
+    * samples: mean/(2¹⁵) and mean-abs/(2¹⁵) amplitude, positive-sample
+    * fraction, and per-frame count normalization. Returns None for
+    * non-RIFF, compressed, non-16-bit, or truncated payloads — the
+    * caller falls back to the stub.
+    */
+  def parseWav(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    def tag(off: Int): String =
+      if (off + 4 <= bytes.length)
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var channels = 0; var sampleRate = 0; var bits = 0; var fmtOk = false
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+      val id4 = tag(off)
+      val size = le32(bytes, off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      if (id4 == "fmt " && size >= 16) {
+        val audioFormat = le16(bytes, off + 8)
+        channels = le16(bytes, off + 10)
+        sampleRate = le32(bytes, off + 12)
+        bits = le16(bytes, off + 22)
+        fmtOk = audioFormat == 1 // PCM only; compressed → stub
+      } else if (id4 == "data") {
+        dataOff = off + 8; dataLen = size
+      }
+      off += 8 + size + (size & 1) // chunks are 2-byte aligned
+    }
+    if (!fmtOk || dataOff < 0 || bits != 16 || channels < 1 || channels > 8 ||
+        sampleRate <= 0 || dataLen % 2 != 0)
+      return None
+    val nSamples = dataLen / 2
+    var sum = 0L; var sumAbs = 0L; var pos = 0L
+    var i = 0
+    while (i < nSamples) {
+      val s = (le16(bytes, dataOff + 2 * i).toShort).toInt // signed PCM
+      sum += s; sumAbs += math.abs(s); pos += (if (s > 0) 1 else 0)
+      i += 1
+    }
+    val n = math.max(nSamples, 1).toDouble
+    val feats = Array(
+      (sum / (n * 32768)).toFloat, (sumAbs / (n * 32768)).toFloat,
+      (pos / n).toFloat, channels.toFloat / 8,
+      0f, 0f, 0f, 0f)
+    Some(MediaFeatures(id, bytes.length, "wav", sampleRate, channels, feats))
+  }
+
+  /** Fixture/test writer for PCM WAV: mono-or-multichannel 16-bit
+    * samples following `((seed + i*13) mod 256) - 128` (i = flat sample
+    * index) — int8-range amplitudes so a closed-form oracle can
+    * reconstruct the exact sample sum from the float mean feature
+    * without precision loss. Canonical 44-byte header, single fmt+data
+    * chunks.
+    */
+  def makeWav(nFrames: Int, channels: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    require(nFrames > 0 && channels >= 1 && channels <= 8 && sampleRate > 0 &&
+      nFrames <= (1 << 20), s"fixture shape $nFrames x $channels @ $sampleRate")
+    val nSamples = nFrames * channels
+    val dataLen = nSamples * 2
+    val out = new Array[Byte](44 + dataLen)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .copyToArray(out, off)
+    putTag(0, "RIFF"); putLe32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16); putLe16(20, 1); putLe16(22, channels)
+    putLe32(24, sampleRate); putLe32(28, sampleRate * channels * 2)
+    putLe16(32, channels * 2); putLe16(34, 16)
+    putTag(36, "data"); putLe32(40, dataLen)
+    var i = 0
+    while (i < nSamples) {
+      putLe16(44 + 2 * i, (((seed + i * 13L) % 256) - 128).toInt & 0xffff)
+      i += 1
+    }
+    out
+  }
+
   /** Decode dispatch: real parse for the formats a pure-JVM reader can
-    * own (BMP today), [[decodeStub]] for everything else.
+    * own (BMP and 16-bit PCM WAV today), [[decodeStub]] for everything
+    * else.
     */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
-    parseBmp(id, bytes).getOrElse(decodeStub(id, bytes))
+    parseBmp(id, bytes)
+      .orElse(parseWav(id, bytes))
+      .getOrElse(decodeStub(id, bytes))
 
   /** Fixture/test writer for the one de-stubbed format: a 24-bpp
     * bottom-up BI_RGB bitmap whose pixel bytes follow the deterministic

@@ -96,6 +96,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decode(5L, paletted).format === "stub")
   }
 
+  test("parseWav: hand-built mono PCM — rate, channels, exact sample stats") {
+    val wav = Multimodal.makeWav(nFrames = 4, channels = 1, sampleRate = 8000, seed = 0)
+    // overwrite the 4 samples with known values: 100, -50, 0, 25
+    def put(i: Int, v: Int): Unit = {
+      wav(44 + 2 * i) = (v & 0xff).toByte
+      wav(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    put(0, 100); put(1, -50 & 0xffff); put(2, 0); put(3, 25)
+    val f = Multimodal.parseWav(1L, wav).get
+    assert(f.format === "wav" && f.width === 8000 && f.height === 1)
+    assert(f.n_bytes === 44 + 8)
+    assert(f.features(0) === (75f / (4 * 32768)))       // mean
+    assert(f.features(1) === (175f / (4 * 32768)))      // mean abs
+    assert(f.features(2) === 0.5f)                      // 2 of 4 positive
+  }
+
+  test("parseWav: stereo frames and chunk-walk robustness") {
+    val f = Multimodal.parseWav(1L, Multimodal.makeWav(10, 2, 44100, 3)).get
+    assert(f.width === 44100 && f.height === 2)
+    assert(f.n_bytes === 44 + 2 * 20)
+    // corrupt variants fall back to the stub via decode()
+    val notRiff = Multimodal.makeWav(4, 1, 8000, 0)
+    notRiff(0) = 'X'.toByte
+    assert(Multimodal.decode(1L, notRiff).format === "stub")
+    val compressed = Multimodal.makeWav(4, 1, 8000, 0)
+    compressed(20) = 3 // IEEE float format tag
+    assert(Multimodal.decode(2L, compressed).format === "stub")
+    val truncated = Multimodal.makeWav(100, 1, 8000, 0).take(60)
+    assert(Multimodal.decode(3L, truncated).format === "stub")
+  }
+
   test("extractFeatures runs the real BMP path distributed (mapPartitions)") {
     val bins = spark.range(1, 21).select(col("id").as("doc_id")).as[Long]
       .map(id => (id, Multimodal.makeBmp(1 + (id % 16).toInt, 1 + (id % 8).toInt, id)))
