@@ -106,8 +106,8 @@ object Bench {
          "q_resample_daily" | "q_rolling_active" => "events"
     case "q_merge_upsert" | "q_scd2_apply" | "q_agg_upsert" | "q_zorder" |
          "q_quality_audit" => "cdc_layout"
-    case "q_stream_window_stats" | "q_cdc_latest" |
-         "q_stream_sessionize" => "streaming"
+    case n if n.startsWith("q_stream_") => "streaming"
+    case "q_cdc_latest" => "streaming"
     case "q_multimodal_meta" | "q_frame_sample" | "q_bmp_decode" |
          "q_wav_decode" => "multimodal"
     case _ => "other"

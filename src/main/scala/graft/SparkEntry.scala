@@ -3365,6 +3365,75 @@ object SparkEntry {
               ON l.user_id = a.user_id AND a.session_id < l.last_id
             ORDER BY a.user_id, a.start_us"""))
 
+  /** The SAME gap-rule sessionization through Spark 4's
+    * `transformWithState` API ([[graft.streaming.EventStreams
+    * .sessionizeTws]]) with the RocksDB state store provider — the
+    * production-scale state backend (changelog checkpointing keeps
+    * multi-TB session state restorable). Shares q_stream_sessionize's
+    * oracle verbatim: two stateful APIs (flatMapGroupsWithState and
+    * StatefulProcessor) proven against one truth. The provider conf is
+    * scoped to the query and restored after.
+    */
+  private val qStreamSessionizeTws = Q(
+    (s, dir) => {
+      import s.implicits._
+      val evs = Tables.readEventsStream(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tsUs"), col("value"))
+        .as[graft.streaming.EventStreams.Ev]
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = graft.streaming.EventStreams
+          .sessionizeTws(s, evs, gapSeconds = 1800)
+          .toDF()
+          .writeStream.outputMode("append").format("memory")
+          .queryName("graft_q_stream_sessionize_tws")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+      s.table("graft_q_stream_sessionize_tws")
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "start_us")
+    },
+    qStreamSessionize.oracle)
+
+  /** Watermarked STREAM-STREAM join run through the streaming engine
+    * ([[graft.streaming.EventStreams.attributionJoin]], both sides file-
+    * source streams, `Trigger.AvailableNow` → memory sink). Inner joins
+    * emit on match with no watermark hold-back, so draining a finite
+    * input yields exactly the batch join — q_attribution's oracle,
+    * reused verbatim on the streaming code path (join state buffering,
+    * watermark-derived eviction, two stream sources).
+    */
+  private val qStreamAttribution = Q(
+    (s, dir) => {
+      val views = Tables.readEventsStream(s, dir)
+        .filter(col("event_type") === "view")
+      val purchases = Tables.readEventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+      val q = graft.streaming.EventStreams.attributionJoin(views, purchases)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_q_stream_attribution")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q_stream_attribution")
+        .select(col("view_id"), col("purchase_id"), col("user_id"),
+          col("purchase_value"))
+        .orderBy("view_id", "purchase_id")
+    },
+    qAttribution.oracle)
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3482,6 +3551,8 @@ object SparkEntry {
     "q_stream_window_stats" -> qStreamWindowStats,
     "q_cdc_latest" -> qCdcLatest,
     "q_stream_sessionize" -> qStreamSessionize,
+    "q_stream_sessionize_tws" -> qStreamSessionizeTws,
+    "q_stream_attribution" -> qStreamAttribution,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
