@@ -1966,6 +1966,57 @@ object SparkEntry {
                    CAST(ssum AS BIGINT) AS sample_sum
             FROM s ORDER BY doc_id"""))
 
+  /** Nearest-neighbor image resize ([[graft.multimodal.Multimodal
+    * .resizeBmpNearest]] via [[graft.multimodal.Multimodal
+    * .resizePayloads]]'s mapPartitions path), proven end-to-end: each
+    * doc's generated BMP (dims 1..16 × 1..8) is resized to a fixed 4×3
+    * thumbnail — both UP- and DOWN-sampling exercised — and the output
+    * is then fed back through the real decoder, so the check covers
+    * "resize emits a well-formed bitmap" AND "it holds exactly the
+    * nearest-neighbor pixels". Oracle: dst pixel (x2, y2) reads src
+    * image pixel (⌊x2·w/4⌋, ⌊y2·h/3⌋); the fixture formula indexes
+    * on-disk (bottom-up) rows, so src image row sy lives at disk row
+    * h−1−sy, giving a closed-form byte sum over the 4×3×3 dst grid.
+    */
+  private val qBmpResize = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 1 + (id % 16).toInt
+          val h = 1 + (id % 8).toInt
+          (id, graft.multimodal.Multimodal.makeBmp(w, h, id))
+        }.toDF("doc_id", "payload")
+      val resized = graft.multimodal.Multimodal.resizePayloads(s, bins, 4, 3)
+      graft.multimodal.Multimodal.extractFeatures(s, resized)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_bytes"),
+          round(element_at(col("features"), 4) *
+            (col("width") * col("height") * lit(3L) * lit(255L)))
+            .cast(LongType).as("pixel_byte_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     CAST(1 + doc_id % 16 AS BIGINT) AS w,
+                     CAST(1 + doc_id % 8 AS BIGINT) AS h
+              FROM documents),
+            px AS (
+              SELECT d.doc_id,
+                     SUM((d.doc_id
+                          + (d.h - 1 - ((y.y * d.h) // 3)) * 31
+                          + (3 * ((x.x * d.w) // 4) + c.c) * 7) % 256) AS psum
+              FROM dims d
+              JOIN generate_series(0, 3) AS x(x) ON TRUE
+              JOIN generate_series(0, 2) AS y(y) ON TRUE
+              JOIN generate_series(0, 2) AS c(c) ON TRUE
+              GROUP BY d.doc_id)
+            SELECT doc_id, 'bmp' AS format,
+                   CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+                   CAST(90 AS INT) AS n_bytes,
+                   CAST(psum AS BIGINT) AS pixel_byte_sum
+            FROM px ORDER BY doc_id"""))
+
   /** KEYED range join ([[graft.ops.RangeJoin.bucketedRangeJoin]] with
     * `keyCols`): per-user 1-hour attribution windows opened by purchase
     * events, joined to that user's events inside the window. The equality
@@ -3503,6 +3554,7 @@ object SparkEntry {
     "q_embed_neardup" -> qEmbedNearDup,
     "q_multimodal_meta" -> qMultimodal,
     "q_bmp_decode" -> qBmpDecode,
+    "q_bmp_resize" -> qBmpResize,
     "q_wav_decode" -> qWavDecode,
     "q_sessionize" -> qSessionize,
     "q_json_extract" -> qJson,

@@ -221,6 +221,94 @@ object Multimodal {
       .orElse(parseWav(id, bytes))
       .getOrElse(decodeStub(id, bytes))
 
+  /** Nearest-neighbor resize of an uncompressed 24-bpp BMP — the
+    * "resize" verb of the multimodal pipeline, de-stubbed the same way
+    * as [[parseBmp]] (pure-JVM header parse + pixel copy, public BMP
+    * spec only). Sampling is image-space floor mapping — dst pixel
+    * (x2, y2) reads src pixel (⌊x2·w/outW⌋, ⌊y2·h/outH⌋) — the standard
+    * nearest-neighbor rule, which both downsamples and upsamples.
+    * Output is a canonical bottom-up bitmap (54-byte header, 4-byte-
+    * aligned zero-padded rows), so the result chains straight back into
+    * [[parseBmp]]/[[extractFeatures]] — resize → decode → features is
+    * the real pipeline shape. Returns None on anything [[parseBmp]]
+    * would reject (the caller keeps the original payload rather than
+    * guessing); top-down (negative-height) sources are handled.
+    */
+  def resizeBmpNearest(bytes: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] = {
+    require(outW > 0 && outH > 0 && outW <= (1 << 14) && outH <= (1 << 14),
+      s"resize target $outW x $outH")
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
+      return None
+    val pixelOff = le32(bytes, 10)
+    val dibSize = le32(bytes, 14)
+    val w = le32(bytes, 18)
+    val hRaw = le32(bytes, 22)
+    val planes = le16(bytes, 26)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    if (dibSize < 40 || planes != 1 || bpp != 24 || compression != 0 ||
+        w <= 0 || h == 0 || w > (1 << 14) || h > (1 << 14))
+      return None
+    val stride = ((3 * w + 3) / 4) * 4
+    if (pixelOff < 54 || pixelOff.toLong + stride.toLong * h > bytes.length)
+      return None
+    val outStride = ((3 * outW + 3) / 4) * 4
+    val out = new Array[Byte](54 + outStride * outH)
+    writeBmpHeader(out, outW, outH, outStride)
+    var y2 = 0
+    while (y2 < outH) {
+      val sy = (y2.toLong * h / outH).toInt // image-space rows: 0 = top
+      val srcDisk = if (topDown) sy else h - 1 - sy
+      val dstDisk = outH - 1 - y2 // output is canonical bottom-up
+      val sBase = pixelOff + srcDisk * stride
+      val dBase = 54 + dstDisk * outStride
+      var x2 = 0
+      while (x2 < outW) {
+        val sx = (x2.toLong * w / outW).toInt
+        out(dBase + 3 * x2) = bytes(sBase + 3 * sx)
+        out(dBase + 3 * x2 + 1) = bytes(sBase + 3 * sx + 1)
+        out(dBase + 3 * x2 + 2) = bytes(sBase + 3 * sx + 2)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    Some(out)
+  }
+
+  /** Resize over the binary column ([[resizeBmpNearest]] per row, same
+    * `mapPartitions` shape as [[extractFeatures]]): BMP payloads come
+    * back resized; anything the parser rejects passes through UNCHANGED
+    * — in a mixed-format lake the resize stage must not destroy
+    * payloads it cannot read.
+    */
+  def resizePayloads(spark: SparkSession, df: DataFrame, outW: Int, outH: Int,
+                     idCol: String = "doc_id",
+                     payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          (id, resizeBmpNearest(bytes, outW, outH).getOrElse(bytes))
+        }
+      }
+      .toDF(idCol, payloadCol)
+  }
+
+  private def writeBmpHeader(out: Array[Byte], w: Int, h: Int, stride: Int): Unit = {
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    putLe32(2, 54 + stride * h); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, w); putLe32(22, h)
+    out(26) = 1; out(28) = 24
+    putLe32(34, stride * h)
+  }
+
   /** Fixture/test writer for the one de-stubbed format: a 24-bpp
     * bottom-up BI_RGB bitmap whose pixel bytes follow the deterministic
     * formula `(seed + row*31 + k*7) mod 256` (row = on-disk row index,
@@ -232,17 +320,8 @@ object Multimodal {
   def makeBmp(w: Int, h: Int, seed: Long): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 1024 && h <= 1024, s"fixture dims $w x $h")
     val stride = ((3 * w + 3) / 4) * 4
-    val size = 54 + stride * h
-    val out = new Array[Byte](size)
-    def putLe32(off: Int, v: Int): Unit = {
-      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
-      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
-    }
-    out(0) = 'B'.toByte; out(1) = 'M'.toByte
-    putLe32(2, size); putLe32(10, 54)
-    putLe32(14, 40); putLe32(18, w); putLe32(22, h)
-    out(26) = 1; out(28) = 24
-    putLe32(34, stride * h)
+    val out = new Array[Byte](54 + stride * h)
+    writeBmpHeader(out, w, h, stride)
     var row = 0
     while (row < h) {
       var k = 0

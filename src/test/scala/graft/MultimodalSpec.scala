@@ -139,6 +139,55 @@ class MultimodalSpec extends SparkTestBase {
       f.height === 1 + (f.doc_id % 8)))
   }
 
+  test("resizeBmpNearest: identity resize is byte-identical; 1x1 picks the top-left pixel") {
+    val src = Multimodal.makeBmp(5, 4, 11)
+    // identity: same dims, canonical source → exact byte-for-byte round trip
+    assert(Multimodal.resizeBmpNearest(src, 5, 4).get.sameElements(src))
+    // 1x1 target: dst (0,0) reads src IMAGE pixel (0,0) — the top image
+    // row, which in a bottom-up bitmap is on-disk row h-1
+    val one = Multimodal.resizeBmpNearest(src, 1, 1).get
+    val f = Multimodal.parseBmp(1L, one).get
+    assert(f.width === 1 && f.height === 1)
+    val expectTop = (0 until 3).map(k => (11 + 3 * 31 + k * 7) % 256).sum
+    assert(math.round(f.features(3) * 3 * 255) === expectTop,
+      "nearest-neighbor must sample image row 0 = disk row h-1")
+  }
+
+  test("resizeBmpNearest: upsample replicates pixels; output re-decodes cleanly") {
+    val src = Multimodal.makeBmp(1, 1, 0)
+    src(54) = 10; src(55) = 20; src(56) = 30
+    val up = Multimodal.resizeBmpNearest(src, 3, 3).get
+    val f = Multimodal.parseBmp(1L, up).get
+    assert(f.width === 3 && f.height === 3)
+    // all 9 pixels are copies of the single source pixel
+    assert(f.features(0) === 10f / 255 && f.features(1) === 20f / 255 &&
+      f.features(2) === 30f / 255)
+  }
+
+  test("resizeBmpNearest: top-down (negative height) source maps rows correctly") {
+    val src = Multimodal.makeBmp(2, 2, 7)
+    // flip the height sign: rows are now stored top-down, so IMAGE row 0
+    // is on-disk row 0
+    src(22) = (-2 & 0xff).toByte; src(23) = 0xff.toByte
+    src(24) = 0xff.toByte; src(25) = 0xff.toByte
+    val one = Multimodal.resizeBmpNearest(src, 1, 1).get
+    val f = Multimodal.parseBmp(1L, one).get
+    val expectDiskRow0 = (0 until 3).map(k => (7 + k * 7) % 256).sum
+    assert(math.round(f.features(3) * 3 * 255) === expectDiskRow0)
+  }
+
+  test("resizePayloads: non-BMP payloads pass through unchanged") {
+    val mixed = Seq(
+      (1L, Multimodal.makeBmp(8, 4, 1)),
+      (2L, "definitely not a bitmap".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.resizePayloads(spark, mixed, 2, 2)
+      .orderBy("doc_id").as[(Long, Array[Byte])].collect()
+    val f1 = Multimodal.parseBmp(1L, out(0)._2).get
+    assert(f1.width === 2 && f1.height === 2)
+    assert(new String(out(1)._2, "UTF-8") === "definitely not a bitmap",
+      "unparseable payloads must survive the resize stage untouched")
+  }
+
   test("sampleFrames: byte-range frame sampling with stride") {
     val framed = Multimodal.sampleFrames(
       Multimodal.withBinaryPayload(docs, "text"), "payload", frameBytes = 4, stride = 2)
