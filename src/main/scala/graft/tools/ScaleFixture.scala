@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Replicates a scale-factor directory `factor`× into a multi-file layout
@@ -15,15 +15,30 @@ import org.apache.spark.sql.functions._
   *    the data (windows/groupBys don't see artificially hot keys);
   *  - embedding vectors are cyclically rotated by the replica index
   *    (norm-preserving, direction-changing), so ANN/near-dup queries see
-  *    10× genuinely distinct vectors rather than 10 exact copies of each
-  *    (which would make bucketed candidate generation quadratic by
-  *    construction and measure duplication, not the operator);
-  *  - document text is intentionally replicated verbatim: 10× duplicated
-  *    corpora are exactly what dedup operators face in production, so the
-  *    dedup tier soaks against realistic duplication.
+  *    `factor`× genuinely distinct vectors rather than `factor` exact
+  *    copies of each (which would make bucketed candidate generation
+  *    quadratic by construction and measure duplication, not the
+  *    operator);
+  *  - document text: VERBATIM by default (duplicated corpora are what
+  *    dedup operators face — but clique depth then grows with `factor`,
+  *    so cross-factor comparisons measure the fixture's n² cliques, not
+  *    the operator). Pass `textDupDepth` D > 0 to pin duplication depth
+  *    CONSTANT instead: a per-group salt token is interleaved between
+  *    words (group = replica / D), so each document exists in exactly D
+  *    verbatim copies, groups share zero word-3-gram shingles (every
+  *    shingle contains the salt token), and dedup cost scales with the
+  *    corpus — the mode that makes 100× vs 1000× linearity verdicts
+  *    meaningful. (Single-token documents have no whitespace to salt and
+  *    stay verbatim across groups — rare in the synthetic corpus.)
+  *
+  * The replica axis is a `crossJoin(broadcast(range(factor)))` with
+  * column arithmetic on the replica id — ONE scan of the source however
+  * large `factor` is (a union of `factor` plan branches dies in the
+  * analyzer around a few hundred).
   *
   * Usage:
   *   sbt "runMain graft.tools.ScaleFixture /root/testdata/sf0.1 /tmp/sf1_soak 10 16"
+  *   sbt "runMain graft.tools.ScaleFixture /root/testdata/sf0.1 /tmp/soak1000 1000 64 10"
   *   SPARK_GRAFT_SF_DIR=/tmp/sf1_soak SPARK_GRAFT_CPUS=32 sbt "runMain graft.Bench"
   */
 object ScaleFixture {
@@ -35,24 +50,34 @@ object ScaleFixture {
   private def isKey(name: String): Boolean =
     keyExact.contains(name) || keySuffixes.exists(s => name.endsWith(s))
 
-  private def replica(df: DataFrame, r: Int, dim: Int): DataFrame = {
+  private[graft] def scaled(df: DataFrame, factor: Int, dim: Int,
+                            textDupDepth: Int): DataFrame = {
+    val r: Column = col("__r")
     val cols = df.columns.map {
-      case "embedding" if r > 0 =>
+      case "embedding" if dim > 0 =>
         // rotate by r: element j takes value from (j + r) mod dim
         transform(sequence(lit(0), lit(dim - 1)),
-          j => element_at(col("embedding"), (j + lit(r)) % dim + 1))
+          j => element_at(col("embedding"), ((j + r) % dim).cast("int") + 1))
           .cast("array<float>").as("embedding")
-      case c if isKey(c) && r > 0 => (col(c) + lit(r * stride)).as(c)
+      case "text" if textDupDepth > 0 =>
+        regexp_replace(col("text"), lit("\\s+"),
+          concat(lit(" dg"),
+            floor(r / textDupDepth).cast("long").cast("string"), lit(" ")))
+          .as("text")
+      case c if isKey(c) => (col(c) + r * stride).as(c)
       case c => col(c)
     }
-    df.select(cols.toIndexedSeq: _*)
+    df.crossJoin(broadcast(df.sparkSession.range(factor).toDF("__r")))
+      .select(cols.toIndexedSeq: _*)
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleFixture <srcSfDir> <outDir> [factor] [nFiles]")
+    require(args.length >= 2,
+      "usage: ScaleFixture <srcSfDir> <outDir> [factor] [nFiles] [textDupDepth]")
     val (src, out) = (args(0), args(1))
     val factor = args.drop(2).headOption.map(_.toInt).getOrElse(10)
     val nFiles = args.drop(3).headOption.map(_.toInt).getOrElse(16)
+    val textDupDepth = args.drop(4).headOption.map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", nFiles)
@@ -66,8 +91,7 @@ object ScaleFixture {
       val dim =
         if (base.columns.contains("embedding")) base.select(size(col("embedding"))).head().getInt(0)
         else 0
-      (0 until factor).map(replica(base, _, dim))
-        .reduce(_ unionByName _)
+      scaled(base, factor, dim, textDupDepth)
         .repartition(nFiles)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
