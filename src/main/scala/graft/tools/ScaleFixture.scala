@@ -87,12 +87,20 @@ object ScaleFixture {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     MultiFileFixture.tables.foreach { name =>
-      val base = spark.read.parquet(s"$src/$name.parquet")
+      val raw = spark.read.parquet(s"$src/$name.parquet")
       val dim =
-        if (base.columns.contains("embedding")) base.select(size(col("embedding"))).head().getInt(0)
+        if (raw.columns.contains("embedding")) raw.select(size(col("embedding"))).head().getInt(0)
         else 0
+      // Repartition the BASE, not the multiplied output: the source SF is
+      // one file per table (one scan partition), so without this the
+      // crossJoin materializes all factor× rows in a single task — and a
+      // post-join repartition would shuffle the entire multiplied
+      // dataset (tens of GB at 1000×) just to rebalance files. The
+      // nested-loop join preserves the left side's partitioning, so
+      // nFiles balanced input slices → nFiles balanced output files,
+      // zero post-multiplication shuffle.
+      val base = raw.repartition(nFiles)
       scaled(base, factor, dim, textDupDepth)
-        .repartition(nFiles)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     spark.stop()
