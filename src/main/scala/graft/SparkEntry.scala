@@ -1313,6 +1313,50 @@ object SparkEntry {
             FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
             ORDER BY id"""))
 
+  /** Multi-width Gopher repetition GATE ([[graft.text.Repetition
+    * .report]]): the per-(doc, n∈{2,3,4}) duplicate-gram and top-gram
+    * dominance verdict. Distinct from `q_repetition` (single-width
+    * stats): ONE corpus scan builds all three gram widths via chained
+    * generators over the codegen'd [[graft.functions.NgramArray]], and
+    * the flag compare is pure BIGINT products — both engines decide the
+    * boundary identically (integer-exact-threshold discipline).
+    */
+  private val qRepetitionGate = Q(
+    (s, dir) =>
+      graft.text.Repetition.report(
+        t(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text",
+        dupPermille = Map(2 -> 400, 3 -> 300, 4 -> 250),
+        topPermille = Map(2 -> 200, 3 -> 180, 4 -> 160))
+        .orderBy("id", "n"),
+    Some("""WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id < 500),
+            w AS (SELECT unnest([2, 3, 4]) AS n),
+            g AS (SELECT id, n,
+                         unnest(list_transform(generate_series(1, len(toks) - n + 1),
+                           i -> array_to_string(toks[i : i + n - 1], ' '))) AS gram
+                  FROM d CROSS JOIN w WHERE len(toks) >= n),
+            pc AS (SELECT id, n, gram, COUNT(*) AS c FROM g GROUP BY id, n, gram),
+            st AS (SELECT id, n, CAST(SUM(c) AS BIGINT) AS total_grams,
+                          CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+                          CAST(MAX(c) AS BIGINT) AS top_count
+                   FROM pc GROUP BY id, n),
+            grid AS (SELECT id, n FROM (SELECT doc_id AS id FROM documents
+                                        WHERE doc_id < 500) CROSS JOIN w)
+            SELECT grid.id, grid.n,
+                   COALESCE(total_grams, 0) AS total_grams,
+                   COALESCE(distinct_grams, 0) AS distinct_grams,
+                   COALESCE(top_count, 0) AS top_count,
+                   (COALESCE(total_grams, 0) > 0 AND
+                    ((COALESCE(total_grams, 0) - COALESCE(distinct_grams, 0)) * 1000 >
+                       (CASE grid.n WHEN 2 THEN 400 WHEN 3 THEN 300 ELSE 250 END)
+                         * COALESCE(total_grams, 0)
+                     OR COALESCE(top_count, 0) * 1000 >
+                       (CASE grid.n WHEN 2 THEN 200 WHEN 3 THEN 180 ELSE 160 END)
+                         * COALESCE(total_grams, 0)))
+                     AS rep_flag
+            FROM grid LEFT JOIN st ON st.id = grid.id AND st.n = grid.n
+            ORDER BY 1, 2"""))
+
   /** Corpus vocabulary top-k ([[graft.text.CorpusStats.vocabulary]]):
     * most frequent tokens with corpus share — plans as partial agg +
     * TakeOrderedAndProject (no global sort of a web-scale vocabulary),
@@ -3534,6 +3578,7 @@ object SparkEntry {
     "q_decontaminate_removed" -> qDecontaminateRemoved,
     "q_frame_sample" -> qFrameSample,
     "q_repetition" -> qRepetition,
+    "q_repetition_gate" -> qRepetitionGate,
     "q_normalize" -> qNormalize,
     "q_token_histogram" -> qTokenHistogram,
     "q_dedup_incremental" -> qDedupIncremental,
