@@ -89,15 +89,15 @@ object Bench {
          n.startsWith("q_chunk") || n.startsWith("q_decontaminate") => "text"
     case "q_bm25_topk" | "q_boilerplate" | "q_lm_score" | "q_lang_id" |
          "q_pii_scrub" | "q_tfidf_topterms" | "q_vocabulary" |
-         "q_pmi_bigrams" | "q_fingerprint" | "q_repetition" | "q_pack_bins" |
-         "q_source_overlap" => "text"
+         "q_pmi_bigrams" | "q_fingerprint" | "q_repetition" |
+         "q_repetition_gate" | "q_pack_bins" | "q_source_overlap" => "text"
     case n if n.startsWith("q_dedup") || n.startsWith("q_dup_") => "dedup_graph"
     case "q_ngram_jaccard" | "q_triangles" | "q_clustering" => "dedup_graph"
     case n if n.startsWith("q_ann") => "ann"
     case "q_embed_neardup" | "q_quantize_int8" | "q_kmeans_step" |
-         "q_neg_sample" | "q_hybrid_rrf" => "ann"
+         "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" => "ann"
     case n if n.startsWith("q_sample") => "sampling"
-    case "q_split_assign" | "q_mix_temperature" | "q_token_budget" |
+    case "q_split_assign" | "q_mix_temperature" |
          "q_epoch_order" | "q_trainset_build" | "q_rank_features" => "sampling"
     case "q_anomaly" | "q_asof_join" | "q_attribution" | "q_funnel" |
          "q_funnel_summary" | "q_retention" | "q_sessionize" |

@@ -1898,6 +1898,45 @@ object SparkEntry {
             WHERE cosine >= 0.3 ORDER BY id_a, id_b""")
     })
 
+  /** SemDeDup-style semantic dedup ([[graft.similarity.SemDedup
+    * .dedupReport]]): centroid-cluster the corpus (md5-sampled cells,
+    * the [[graft.similarity.Ivf]] assignment), drop the higher id of
+    * every within-cell over-threshold cosine pair. The oracle replays
+    * assignment → capped cells → pair threshold → distinct right-sides:
+    * the whole verdict is recursion-free, unlike connected components.
+    */
+  private val qSemanticDedup = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.SemDedup.dedupReport(
+        emb, graft.similarity.Ivf.centroids(emb, nLists = 8),
+        threshold = 0.3, maxCell = 4000)
+        .orderBy("id")
+    },
+    Some("""WITH cents AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 8),
+            assign AS (
+              SELECT cid, cvec, cell FROM (
+                SELECT e.vec_id AS cid, e.embedding::DOUBLE[] AS cvec, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings e CROSS JOIN cents c)
+              WHERE rn = 1),
+            ok AS (SELECT cell FROM assign GROUP BY cell HAVING COUNT(*) <= 4000),
+            c2 AS (SELECT a.* FROM assign a JOIN ok USING (cell)),
+            drops AS (
+              SELECT DISTINCT x.cid AS id
+              FROM c2 a JOIN c2 x ON a.cell = x.cell AND a.cid < x.cid
+              WHERE ROUND(list_cosine_similarity(a.cvec, x.cvec), 6) >= 0.3)
+            SELECT a.cid AS id, a.cell, (d.id IS NULL) AS kept
+            FROM assign a LEFT JOIN drops d ON d.id = a.cid
+            ORDER BY 1"""))
+
   // ---------------------------------------------------------------------
   // North-star: multimodal plumbing + events (sessionize, JSON)
   // ---------------------------------------------------------------------
@@ -3597,6 +3636,7 @@ object SparkEntry {
     "q_ann_retrieval_topk" -> qAnnRetrieval,
     "q_ann_ivf_topk" -> qAnnIvf,
     "q_embed_neardup" -> qEmbedNearDup,
+    "q_semantic_dedup" -> qSemanticDedup,
     "q_multimodal_meta" -> qMultimodal,
     "q_bmp_decode" -> qBmpDecode,
     "q_bmp_resize" -> qBmpResize,
