@@ -95,7 +95,8 @@ object Bench {
     case "q_ngram_jaccard" | "q_triangles" | "q_clustering" => "dedup_graph"
     case n if n.startsWith("q_ann") => "ann"
     case "q_embed_neardup" | "q_quantize_int8" | "q_kmeans_step" |
-         "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" => "ann"
+         "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" |
+         "q_pq_encode" => "ann"
     case n if n.startsWith("q_sample") => "sampling"
     case "q_split_assign" | "q_mix_temperature" |
          "q_epoch_order" | "q_trainset_build" | "q_rank_features" => "sampling"

@@ -1898,6 +1898,95 @@ object SparkEntry {
             WHERE cosine >= 0.3 ORDER BY id_a, id_b""")
     })
 
+  // Shared CTEs for the PQ oracles: md5-sampled codebook rows → per-
+  // subspace slices → encode (argmin of ROUND(d²,6), index tie-break).
+  // Pinned knobs mirror the Spark side: dim=64, m=4 (dsub=16), ksub=16.
+  private val pqCtes =
+    """smp AS (
+              SELECT cv, rn - 1 AS j FROM (
+                SELECT embedding::DOUBLE[] AS cv,
+                       row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                          vec_id) AS rn
+                FROM embeddings)
+              WHERE rn <= 16),
+            sp AS (SELECT unnest(generate_series(0, 3)) AS s),
+            books AS (
+              SELECT sp.s, smp.j, smp.cv[sp.s*16 + 1 : sp.s*16 + 16] AS bv
+              FROM smp CROSS JOIN sp),
+            subv AS (
+              SELECT e.vec_id AS cid, sp.s,
+                     (e.embedding::DOUBLE[])[sp.s*16 + 1 : sp.s*16 + 16] AS sv
+              FROM embeddings e CROSS JOIN sp),
+            enc AS (
+              SELECT cid, s, j AS code FROM (
+                SELECT v.cid, v.s, b.j,
+                       row_number() OVER (PARTITION BY v.cid, v.s
+                         ORDER BY ROUND(list_dot_product(v.sv, v.sv)
+                                        - 2.0 * list_dot_product(v.sv, b.bv)
+                                        + list_dot_product(b.bv, b.bv), 6) ASC,
+                                  b.j ASC) AS rk
+                FROM subv v JOIN books b ON b.s = v.s)
+              WHERE rk = 1)"""
+
+  /** PQ encode ([[graft.similarity.Pq.encode]]): every embedding
+    * compressed to m=4 codebook indices (the 64× compression pass —
+    * 256 B of float32 → 4 nibbles). The oracle replays sample → slice →
+    * argmin, so the entire codebook model AND every code assignment are
+    * hash-checked, not just downstream rankings.
+    */
+  private val qPqEncode = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.similarity.Pq.sampledCodebooks(emb, m = 4, ksub = 16)
+      graft.similarity.Pq.encode(emb, cb)
+        .select(col("cid"),
+          element_at(col("codes"), 1).as("c0"), element_at(col("codes"), 2).as("c1"),
+          element_at(col("codes"), 3).as("c2"), element_at(col("codes"), 4).as("c3"))
+        .orderBy("cid")
+    },
+    Some(s"""WITH $pqCtes
+            SELECT cid,
+                   CAST(MAX(CASE WHEN s = 0 THEN code END) AS INTEGER) AS c0,
+                   CAST(MAX(CASE WHEN s = 1 THEN code END) AS INTEGER) AS c1,
+                   CAST(MAX(CASE WHEN s = 2 THEN code END) AS INTEGER) AS c2,
+                   CAST(MAX(CASE WHEN s = 3 THEN code END) AS INTEGER) AS c3
+            FROM enc GROUP BY cid ORDER BY cid"""))
+
+  /** PQ asymmetric-distance top-k ([[graft.similarity.Pq.adcTopK]]):
+    * queries rank the COMPRESSED corpus by exact BIGINT sums of
+    * micro-unit LUT entries — the ADC formulation where the raw vectors
+    * never move after encode. Integer scores make the ranking immune to
+    * partition merge order; the oracle replays LUT build and the summed
+    * lookup ranking.
+    */
+  private val qAnnPq = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.similarity.Pq.sampledCodebooks(emb, m = 4, ksub = 16)
+      graft.similarity.Pq.adcTopK(emb, emb.filter(col("vec_id") < 5), cb, k = 10)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH $pqCtes,
+            lut AS (
+              SELECT v.cid AS qid, b.s, b.j,
+                     CAST(ROUND((list_dot_product(v.sv, v.sv)
+                                 - 2.0 * list_dot_product(v.sv, b.bv)
+                                 + list_dot_product(b.bv, b.bv)) * 1000000.0)
+                          AS BIGINT) AS lutv
+              FROM subv v JOIN books b ON b.s = v.s
+              WHERE v.cid < 5),
+            scored AS (
+              SELECT l.qid, e.cid, CAST(SUM(l.lutv) AS BIGINT) AS iscore
+              FROM enc e JOIN lut l ON l.s = e.s AND l.j = e.code
+              WHERE e.cid <> l.qid
+              GROUP BY l.qid, e.cid),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY iscore ASC, cid) AS rk
+              FROM scored)
+            SELECT qid, CAST(rk AS INTEGER) AS rank, cid, iscore
+            FROM ranked WHERE rk <= 10 ORDER BY qid, rank"""))
+
   /** SemDeDup-style semantic dedup ([[graft.similarity.SemDedup
     * .dedupReport]]): centroid-cluster the corpus (md5-sampled cells,
     * the [[graft.similarity.Ivf]] assignment), drop the higher id of
@@ -3637,6 +3726,8 @@ object SparkEntry {
     "q_ann_ivf_topk" -> qAnnIvf,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
+    "q_pq_encode" -> qPqEncode,
+    "q_ann_pq" -> qAnnPq,
     "q_multimodal_meta" -> qMultimodal,
     "q_bmp_decode" -> qBmpDecode,
     "q_bmp_resize" -> qBmpResize,

@@ -1,0 +1,125 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Product quantization for embedding compression + asymmetric-distance
+  * ANN (Jégou, Douze, Schmid 2011, "Product Quantization for Nearest
+  * Neighbor Search" — public): split each d-dim vector into `m`
+  * contiguous subvectors, quantize every subvector to its nearest entry
+  * in a per-subspace codebook of `ksub` entries, and a vector becomes
+  * `m` small codes. Queries score compressed vectors WITHOUT decoding:
+  * per query, a lookup table of query-subvector → codebook-entry
+  * distances, and a corpus vector's (approximate squared-L2) distance is
+  * the sum of `m` table lookups — the ADC formulation.
+  *
+  * Why this is the 100 TB memory story: a 64-dim float32 embedding is
+  * 256 B; at m=4, ksub=16 the code is 4 nibbles. The encode is ONE
+  * narrow codegen'd pass (no shuffle); after it, every ANN probe reads
+  * the code column only — the raw vectors never move again.
+  *
+  * Determinism (the fixed-point discipline): codebooks are the md5
+  * bottom-`ksub` row sample (no RNG; the [[Ivf.centroids]] contract),
+  * encode argmins a ROUND(d², 6) with code-index tie-break, and ADC
+  * scores are exact BIGINT sums of micro-unit quantized table entries —
+  * an external engine replays sample → slice → encode → LUT → integer
+  * ranking end to end, and partition merge order cannot perturb a sum
+  * of longs.
+  *
+  * No Lloyd refinement here by default — sampled codebooks keep the
+  * replay recursion-free; callers wanting trained books can run
+  * [[Kmeans.updatedCentroids]] per subspace over the sliced corpus and
+  * pass the result in.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `books(s)(j)` is the j-th entry (ascending
+    * md5-priority order, j ∈ [0, ksub)) of subspace s. All subspaces
+    * slice the SAME sampled rows, so one sample pass trains every book.
+    */
+  final case class Codebooks(m: Int, dsub: Int, books: Seq[Seq[(Int, Seq[Double])]]) {
+    require(books.length == m && books.forall(b => b.forall(_._2.length == dsub)),
+      s"inconsistent codebooks: m=$m dsub=$dsub")
+  }
+
+  /** Deterministic sampled codebooks over a `dim`-dimensional corpus. */
+  def sampledCodebooks(corpus: DataFrame, m: Int, ksub: Int, dim: Int = 64,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Codebooks = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    require(ksub >= 2, s"ksub=$ksub must be >= 2")
+    val dsub = dim / m
+    val sample = Ivf.centroids(corpus, ksub, idCol, vecCol) // md5-ordered
+    Codebooks(m, dsub,
+      (0 until m).map(s => sample.zipWithIndex.map { case ((_, v), j) =>
+        j -> v.slice(s * dsub, s * dsub + dsub)
+      }))
+  }
+
+  /** ROUND(‖sv − bv‖², 6) as `sv·sv − 2 sv·bv + bv·bv` — the expansion
+    * keeps the per-row work at one codegen'd dot per codebook entry plus
+    * one self-dot per subspace, with the entry's self-dot a compile-time
+    * constant (same left-to-right fold an external engine's list
+    * dot-product performs).
+    */
+  private def d2(sub: Column, selfDot: Column, bv: Seq[Double]): Column = {
+    val blit = array(bv.map(lit): _*)
+    round(selfDot - lit(2.0) * VectorOps.dot(sub, blit) + lit(bv.map(x => x * x).sum), 6)
+  }
+
+  /** Encode the corpus: (cid, codes) where `codes(s)` is the argmin
+    * codebook entry of subspace s (ROUNDed d², index tie-break). One
+    * narrow pass, no shuffle, fully codegen'd.
+    */
+  def encode(corpus: DataFrame, cb: Codebooks,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codes = (0 until cb.m).map { s =>
+      val sub = slice(col(vecCol), s * cb.dsub + 1, cb.dsub)
+      val selfDot = VectorOps.dot(sub, sub)
+      array_min(array(cb.books(s).map { case (j, bv) =>
+        struct(d2(sub, selfDot, bv).as("d"), lit(j).as("j"))
+      }: _*)).getField("j")
+    }
+    corpus.select(col(idCol).as("cid"), array(codes: _*).as("codes"))
+  }
+
+  /** ADC top-k: per query, per subspace, a micro-unit BIGINT lookup
+    * table of d² to every codebook entry; a corpus vector's score is the
+    * exact integer sum of its `m` looked-up entries, ranked ascending
+    * with cid tie-break. The LUT is |queries|·m·ksub rows — broadcast —
+    * and the scored stream partial-aggregates map-side, so the shuffle
+    * carries (qid, cid, partial-sum) not raw code rows.
+    *
+    * Output: (qid, rank, cid, iscore) — iscore is approximate ‖q − x‖²
+    * in micro units, an exact BIGINT on any engine.
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, cb: Codebooks, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val enc = encode(corpus, cb, idCol, vecCol)
+      .select(col("cid"), posexplode(col("codes")).as(Seq("s", "code")))
+
+    val lutEntries = (0 until cb.m).flatMap { s =>
+      val sub = slice(col(vecCol), s * cb.dsub + 1, cb.dsub)
+      val selfDot = VectorOps.dot(sub, sub)
+      cb.books(s).map { case (j, bv) =>
+        struct(lit(s).as("s"), lit(j).as("j"),
+          round((selfDot - lit(2.0) * VectorOps.dot(sub, array(bv.map(lit): _*))
+            + lit(bv.map(x => x * x).sum)) * 1e6).cast("long").as("lutv"))
+      }
+    }
+    val lut = queries
+      .select(col(idCol).as("qid"), explode(array(lutEntries: _*)).as("e"))
+      .select(col("qid"), col("e.s").as("s"), col("e.j").as("j"), col("e.lutv").as("lutv"))
+
+    val scored = enc.join(broadcast(lut),
+        enc("s") === lut("s") && enc("code") === lut("j"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy("qid", "cid").agg(sum(col("lutv")).as("iscore"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("iscore").asc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("iscore"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Pq
+
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 4-dim vectors, m=2 subspaces of 2 dims; hand-built codebooks.
+  private val cb = Pq.Codebooks(m = 2, dsub = 2, books = Seq(
+    Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(1.0, 1.0)),   // subspace 0
+    Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))))  // subspace 1
+
+  private def emb(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+
+  test("encode: per-subspace argmin with index tie-break") {
+    val corpus = emb(
+      1L -> Seq(0.1f, 0.1f, 0.9f, 0.1f),  // sub0 → code 0, sub1 → code 0
+      2L -> Seq(0.9f, 0.8f, 0.1f, 0.9f),  // sub0 → code 1, sub1 → code 1
+      3L -> Seq(0.5f, 0.5f, 0.5f, 0.5f))  // both equidistant → tie → code 0
+    val m = Pq.encode(corpus, cb).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getSeq[Int](1)).toMap
+    assert(m(1L) === Seq(0, 0))
+    assert(m(2L) === Seq(1, 1))
+    assert(m(3L) === Seq(0, 0)) // strict tie on ROUND(d²,6) → smaller index
+  }
+
+  test("adcTopK: integer micro-unit scores rank by summed LUT distances, self excluded") {
+    val corpus = emb(
+      1L -> Seq(0.0f, 0.0f, 1.0f, 0.0f),  // codes (0, 0)
+      2L -> Seq(1.0f, 1.0f, 0.0f, 1.0f),  // codes (1, 1)
+      3L -> Seq(0.1f, 0.0f, 0.9f, 0.0f))  // codes (0, 0)
+    val q = emb(1L -> Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    val rows = Pq.adcTopK(corpus, q, cb, k = 2).collect()
+    // q's LUT: sub0 (0,0) → d²(b00)=0, d²(b01)=2; sub1 (1,0) → d²(b10)=0, d²(b11)=2
+    // vec 3 (codes 0,0): 0 + 0 = 0; vec 2 (codes 1,1): 2e6 + 2e6 = 4e6
+    assert(rows.map(_.getAs[Long]("cid")).toSeq === Seq(3L, 2L))
+    assert(rows.map(_.getAs[Long]("iscore")).toSeq === Seq(0L, 4000000L))
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+    assert(!rows.exists(_.getAs[Long]("cid") == 1L)) // self excluded
+  }
+
+  test("sampledCodebooks: md5-ordered sample sliced consistently across subspaces") {
+    val corpus = emb(
+      1L -> Seq(1.0f, 2.0f, 3.0f, 4.0f),
+      2L -> Seq(5.0f, 6.0f, 7.0f, 8.0f),
+      3L -> Seq(9.0f, 10.0f, 11.0f, 12.0f))
+    val got = Pq.sampledCodebooks(corpus, m = 2, ksub = 2, dim = 4)
+    assert(got.m === 2 && got.dsub === 2)
+    // whichever rows the md5 order picked, subspace slices must come from
+    // the same row at the same code index
+    val ids = graft.similarity.Ivf.centroids(corpus, 2).map(_._2)
+    (0 until 2).foreach { j =>
+      assert(got.books(0)(j)._2 === ids(j).slice(0, 2))
+      assert(got.books(1)(j)._2 === ids(j).slice(2, 4))
+    }
+  }
+
+  test("adc score of an exactly-encoded vector against itself-like query is exact d²") {
+    // corpus vector IS a codebook row in both subspaces → reconstruction
+    // error zero → ADC distance equals true distance
+    val corpus = emb(7L -> Seq(1.0f, 1.0f, 0.0f, 1.0f)) // codes (1, 1)
+    val q = emb(9L -> Seq(1.0f, 1.0f, 1.0f, 1.0f))
+    val r = Pq.adcTopK(corpus, q, cb, k = 1).collect().head
+    // true d² = (1-1)²+(1-1)² + (0-1)²+(1-1)²... sub1 query (1,1) vs b11 (0,1): d²=1
+    assert(r.getAs[Long]("iscore") === 1000000L)
+  }
+}
