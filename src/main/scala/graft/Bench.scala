@@ -110,7 +110,7 @@ object Bench {
     case n if n.startsWith("q_stream_") => "streaming"
     case "q_cdc_latest" => "streaming"
     case "q_multimodal_meta" | "q_frame_sample" | "q_bmp_decode" |
-         "q_wav_decode" | "q_bmp_resize" => "multimodal"
+         "q_wav_decode" | "q_wav_frames" | "q_bmp_resize" => "multimodal"
     case _ => "other"
   }
 }

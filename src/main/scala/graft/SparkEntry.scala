@@ -2138,6 +2138,42 @@ object SparkEntry {
                    CAST(ssum AS BIGINT) AS sample_sum
             FROM s ORDER BY doc_id"""))
 
+  /** Frame-level PCM audio analysis ([[graft.multimodal.Multimodal
+    * .wavFrameStats]]): per 32-sample frame, exact integer energy Σs²
+    * and zero-crossing count over the REAL decoded samples of generated
+    * mono WAVs — the silence-trim/VAD primitive. Every output field is
+    * a closed integer, so the oracle reconstructs the entire analysis
+    * from the fixture's sample formula with no float anywhere.
+    */
+  private val qWavFrames = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.multimodal.Multimodal.makeWav(
+            (50 + id % 50).toInt, 1, 8000, id))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.wavFrameStats(s, bins, frameLen = 32)
+        .toDF()
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id, CAST(50 + doc_id % 50 AS INT) AS n FROM documents),
+            smp AS (
+              SELECT d.doc_id, i.i AS i,
+                     (d.doc_id + i.i * 13) % 256 - 128 AS s
+              FROM dims d JOIN generate_series(0, 98) AS i(i) ON i.i < d.n),
+            sl AS (
+              SELECT doc_id, i, s,
+                     lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS sp
+              FROM smp)
+            SELECT doc_id, CAST(i // 32 AS INT) AS frame_idx,
+                   CAST(COUNT(*) AS INT) AS n_samples,
+                   CAST(SUM(s * s) AS BIGINT) AS energy,
+                   CAST(COUNT(*) FILTER (WHERE i % 32 <> 0 AND s * sp < 0)
+                        AS BIGINT) AS zcross
+            FROM sl GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Nearest-neighbor image resize ([[graft.multimodal.Multimodal
     * .resizeBmpNearest]] via [[graft.multimodal.Multimodal
     * .resizePayloads]]'s mapPartitions path), proven end-to-end: each
@@ -3732,6 +3768,7 @@ object SparkEntry {
     "q_bmp_decode" -> qBmpDecode,
     "q_bmp_resize" -> qBmpResize,
     "q_wav_decode" -> qWavDecode,
+    "q_wav_frames" -> qWavFrames,
     "q_sessionize" -> qSessionize,
     "q_json_extract" -> qJson,
     "q_asof_join" -> qAsOf,

@@ -133,7 +133,11 @@ object Multimodal {
     * non-RIFF, compressed, non-16-bit, or truncated payloads — the
     * caller falls back to the stub.
     */
-  def parseWav(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+  /** RIFF chunk walk shared by [[parseWav]] and [[wavFrameStats]]:
+    * validates the magic and the fmt/data chunks, returns
+    * (channels, sampleRate, dataOff, dataLen) for 16-bit PCM or None.
+    */
+  private def wavPcmHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     def tag(off: Int): String =
       if (off + 4 <= bytes.length)
         new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -159,7 +163,15 @@ object Multimodal {
     }
     if (!fmtOk || dataOff < 0 || bits != 16 || channels < 1 || channels > 8 ||
         sampleRate <= 0 || dataLen % 2 != 0)
-      return None
+      None
+    else Some((channels, sampleRate, dataOff, dataLen))
+  }
+
+  def parseWav(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    val (channels, sampleRate, dataOff, dataLen) = wavPcmHeader(bytes) match {
+      case Some(h) => h
+      case None => return None
+    }
     val nSamples = dataLen / 2
     var sum = 0L; var sumAbs = 0L; var pos = 0L
     var i = 0
@@ -367,5 +379,62 @@ object Multimodal {
     df.withColumn("frames",
         when(nFrames > 0, sampled).otherwise(array().cast("array<binary>")))
       .withColumn("n_frames_sampled", size(col("frames")))
+  }
+
+  /** One analysis frame of 16-bit PCM audio: exact integer energy
+    * (Σ s²) and zero-crossing count — every field a closed integer, so
+    * the whole analysis is hash-replayable by an external engine.
+    */
+  case class WavFrameStats(doc_id: Long, frame_idx: Int, n_samples: Int,
+                           energy: Long, zcross: Long)
+
+  /** Frame-level PCM analysis over a WAV binary column — the audio
+    * twin of the image feature walk, and the primitive a curation
+    * pipeline builds silence-trimming / voice-activity gates from.
+    * Splits the FLAT sample stream into fixed `frameLen`-sample frames
+    * (hop = frame length, no overlap; the final partial frame keeps its
+    * true `n_samples`); per frame: energy `Σ s²` (a 16-bit sample
+    * squares to < 2³⁰ — a 2⁶³ accumulator holds ~8·10⁹ samples per
+    * frame) and zero crossings `Σ 1{s·prev < 0}` counted over pairs
+    * WITHIN the frame (strict sign flip; zeros break runs without
+    * counting). Multi-channel payloads analyze the interleaved stream
+    * as-is — de-interleave upstream for per-channel gates.
+    *
+    * Same `mapPartitions` shape as [[extractFeatures]] (per-task init,
+    * streaming rows); payloads that are not 16-bit PCM WAV emit NO
+    * rows — gates see absent audio, not fake silence.
+    */
+  def wavFrameStats(spark: SparkSession, df: DataFrame, frameLen: Int,
+                    idCol: String = "doc_id",
+                    payloadCol: String = "payload"): Dataset[WavFrameStats] = {
+    require(frameLen >= 2, s"frameLen=$frameLen must be >= 2")
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          wavPcmHeader(bytes) match {
+            case None => Iterator.empty
+            case Some((_, _, dataOff, dataLen)) =>
+              val nSamples = dataLen / 2
+              val nFrames = (nSamples + frameLen - 1) / frameLen
+              Iterator.tabulate(nFrames) { f =>
+                val start = f * frameLen
+                val end = math.min(start + frameLen, nSamples)
+                var energy = 0L; var zc = 0L
+                var prev = 0
+                var i = start
+                while (i < end) {
+                  val s = le16(bytes, dataOff + 2 * i).toShort.toInt
+                  energy += s.toLong * s
+                  if (i > start && s * prev < 0) zc += 1
+                  prev = s
+                  i += 1
+                }
+                WavFrameStats(id, f, end - start, energy, zc)
+              }
+          }
+        }
+      }
   }
 }

@@ -195,4 +195,44 @@ class MultimodalSpec extends SparkTestBase {
     // payload len 24 → 6 frames of 4 bytes → stride 2 keeps frames 0,2,4
     assert(r.getInt(0) === 3)
   }
+
+  test("wavFrameStats: exact per-frame energy, zero crossings, partial tail frame") {
+    // 5 mono samples, frameLen 3 → frames [s0..s2], [s3, s4]
+    val wav = Multimodal.makeWav(5, 1, 8000, seed = 0L)
+    // fixture samples: ((0 + i*13) % 256) - 128 → -128, -115, -102, -89, -76
+    val rows = Multimodal.wavFrameStats(
+        spark, Seq((7L, wav)).toDF("doc_id", "payload"), frameLen = 3)
+      .orderBy("frame_idx").collect()
+    assert(rows.length === 2)
+    assert(rows(0).frame_idx === 0 && rows(0).n_samples === 3)
+    assert(rows(0).energy === 128L * 128 + 115L * 115 + 102L * 102)
+    assert(rows(0).zcross === 0L) // all negative — no sign flip
+    assert(rows(1).frame_idx === 1 && rows(1).n_samples === 2)
+    assert(rows(1).energy === 89L * 89 + 76L * 76)
+  }
+
+  test("wavFrameStats: sign flips count within frames only, zeros break runs") {
+    // hand-build PCM: header via makeWav then overwrite the data payload
+    val wav = Multimodal.makeWav(6, 1, 8000, seed = 0L)
+    val samples = Seq[Short](100, -5, 3, 0, -7, 8) // flips at 1,2 (frame 0) and 5 (frame 1)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      wav(44 + 2 * i) = (s & 0xff).toByte
+      wav(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val rows = Multimodal.wavFrameStats(
+        spark, Seq((1L, wav)).toDF("doc_id", "payload"), frameLen = 3)
+      .orderBy("frame_idx").collect()
+    assert(rows(0).zcross === 2L) // 100→-5, -5→3; the 3→0 boundary pair is frame 1's
+    // frame 1 pairs: 0→-7 (product 0, no count), -7→8 (flip)
+    assert(rows(1).zcross === 1L)
+  }
+
+  test("wavFrameStats: non-WAV payloads emit no rows") {
+    val mixed = Seq(
+      (1L, Multimodal.makeWav(4, 1, 8000, 1L)),
+      (2L, "not audio at all".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val ids = Multimodal.wavFrameStats(spark, mixed, frameLen = 4)
+      .select("doc_id").distinct().as[Long].collect().toSeq
+    assert(ids === Seq(1L))
+  }
 }
