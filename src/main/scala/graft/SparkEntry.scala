@@ -1997,9 +1997,12 @@ object SparkEntry {
   private val qSemanticDedup = Q(
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      graft.similarity.SemDedup.dedupReport(
-        emb, graft.similarity.Ivf.centroids(emb, nLists = 8),
-        threshold = 0.3, maxCell = 4000)
+      // materialize the assignment ONCE (the GraphStats lesson): the
+      // verdict's three consumers — cell sizes, both pair-join sides,
+      // join-back — would otherwise each re-run the argmax corpus pass
+      val idx = graft.similarity.Ivf.buildIndex(
+        emb, graft.similarity.Ivf.centroids(emb, nLists = 8)).localCheckpoint()
+      graft.similarity.SemDedup.reportFromIndex(idx, threshold = 0.3, maxCell = 4000)
         .orderBy("id")
     },
     Some("""WITH cents AS (

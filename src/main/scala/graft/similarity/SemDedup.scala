@@ -47,9 +47,17 @@ object SemDedup {
     */
   def semanticPairs(corpus: DataFrame, cents: Seq[(Long, Seq[Double])],
                     threshold: Double, maxCell: Int = 4000,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pairsFromIndex(Ivf.buildIndex(corpus, cents, idCol, vecCol), threshold, maxCell)
+
+  /** [[semanticPairs]] over a pre-built assignment ([[Ivf.buildIndex]]
+    * schema: cid, cvec, cell, cn). At scale, MATERIALIZE the index once
+    * (persist, or write bucketed by cell) and feed it here — the
+    * centroid-argmax pass over the corpus is the expensive stage, and
+    * every DataFrame branch below re-executes its input plan.
+    */
+  def pairsFromIndex(idx: DataFrame, threshold: Double, maxCell: Int = 4000): DataFrame = {
     require(maxCell >= 2, s"maxCell=$maxCell must be >= 2")
-    val idx = Ivf.buildIndex(corpus, cents, idCol, vecCol)
     val sizes = idx.groupBy("cell").count()
     val capped = idx.join(
       sizes.filter(col("count") <= maxCell).select("cell"), Seq("cell"))
@@ -69,16 +77,22 @@ object SemDedup {
   /** Full per-document verdict: (id, cell, kept). `kept = false` iff the
     * id is the greater side of any over-threshold within-cell pair.
     * Total over the corpus — gates filter on `kept`, audits read the
-    * drop rate per cell.
+    * drop rate per cell. The assignment expression is built ONCE and
+    * shared by the pair branches and the verdict join-back.
     */
   def dedupReport(corpus: DataFrame, cents: Seq[(Long, Seq[Double])],
                   threshold: Double, maxCell: Int = 4000,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val drops = semanticPairs(corpus, cents, threshold, maxCell, idCol, vecCol)
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    reportFromIndex(Ivf.buildIndex(corpus, cents, idCol, vecCol), threshold, maxCell)
+
+  /** [[dedupReport]] over a pre-built assignment — see [[pairsFromIndex]]
+    * for when to persist the index first.
+    */
+  def reportFromIndex(idx: DataFrame, threshold: Double, maxCell: Int = 4000): DataFrame = {
+    val drops = pairsFromIndex(idx, threshold, maxCell)
       .select(col("id_b").as("id")).distinct()
       .withColumn("__dropped", lit(true))
-    Ivf.buildIndex(corpus, cents, idCol, vecCol)
-      .select(col("cid").as("id"), col("cell"))
+    idx.select(col("cid").as("id"), col("cell"))
       .join(drops, Seq("id"), "left")
       .select(col("id"), col("cell"),
         coalesce(!col("__dropped"), lit(true)).as("kept"))

@@ -369,4 +369,50 @@ class PlanAuditSpec extends SparkTestBase {
       assert(hashEx <= 7, s"$q exchange count regressed (was 18 pre-fix, 7 post):\n$p")
     }
   }
+
+  test("q_semantic_dedup: all branches read the checkpointed index — one argmax pass total") {
+    // The verdict has FIVE consumers of the assignment (cell sizes ×2,
+    // both pair-join sides, the join-back); without the materialization
+    // each re-runs the k-dot-products argmax over the corpus.
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("FileScan"),
+      s"a FileScan means a branch re-runs the centroid argmax over the corpus:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 4,
+      s"branches must read the checkpointed index blocks:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_pq_encode: compression is one narrow codegen pass — no hash exchange, no join") {
+    val p = plan("q_pq_encode")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"PQ encode must ride the scan:\n$p")
+    assert(!p.contains("Join"), p)
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+  }
+
+  test("q_ann_pq: LUT broadcasts, scores partial-aggregate, no cartesian") {
+    val p = plan("q_ann_pq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the |q|·m·ksub LUT must broadcast into the code stream:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"ADC sums must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_repetition_gate: one corpus scan feeds all gram widths via chained generators") {
+    val p = plan("q_repetition_gate")
+    // scan 1: the multi-width generator chain; scan 2: the id×width grid
+    assert("Scan parquet".r.findAllIn(p).size <= 2,
+      s"per-width rescans regressed the single-pass design:\n$p")
+    assert("Generate".r.findAllIn(p).size >= 2,
+      s"expected chained posexplode/explode generators:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_wav_frames: PCM decode is mapPartitions at scan speed — no hash exchange") {
+    val p = plan("q_wav_frames")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"frame analysis must not shuffle sample rows:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
