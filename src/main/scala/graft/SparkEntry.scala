@@ -2029,6 +2029,172 @@ object SparkEntry {
             FROM assign a LEFT JOIN drops d ON d.id = a.cid
             ORDER BY 1"""))
 
+  /** Count-Min sketch frequency monitor ([[graft.ops.Sketches
+    * .countMinSketch]] / [[graft.ops.Sketches.countMinEstimate]]):
+    * depth-4 × width-16 sketch over the corpus token stream (width
+    * deliberately tiny so buckets collide and the one-sided CMS error is
+    * visible in the result), estimates read back for the exact top-20
+    * tokens. The md5 hash family makes the sketch itself bit-replayable
+    * in DuckDB — a hash-checkable sketch, unlike the HLL tier.
+    */
+  private val qCmsTopk = Q(
+    (s, dir) => {
+      val tokCounts = t(s, dir, "documents")
+        .select(explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        // vocab-sized; three consumers (sketch build, top-k, estimate)
+        .localCheckpoint()
+      val sketch = graft.ops.Sketches.countMinSketch(
+        tokCounts, "token", "exact_cnt", depth = 4, width = 16)
+      val top = tokCounts.orderBy(col("exact_cnt").desc, col("token")).limit(20)
+      graft.ops.Sketches.countMinEstimate(sketch, top, "token", depth = 4, width = 16)
+        .join(top, Seq("token"))
+        .select(col("token"), col("exact_cnt"), col("cms_est"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+    },
+    Some(s"""WITH tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+                         FROM (SELECT unnest(string_split(text, ' ')) AS token
+                               FROM documents)
+                         GROUP BY token),
+             rs AS (SELECT r FROM generate_series(0, 3) AS g(r)),
+             sk AS (SELECT r, ${md5LongSql("r::VARCHAR || '|' || token")} % 16 AS bucket,
+                           CAST(SUM(exact_cnt) AS BIGINT) AS cnt
+                    FROM tc CROSS JOIN rs GROUP BY 1, 2),
+             top AS (SELECT token, exact_cnt FROM tc
+                     ORDER BY exact_cnt DESC, token LIMIT 20),
+             est AS (SELECT token, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS cms_est
+                     FROM (SELECT tp.token, rs.r,
+                                  ${md5LongSql("rs.r::VARCHAR || '|' || tp.token")} % 16 AS bucket
+                           FROM top tp CROSS JOIN rs) x
+                     LEFT JOIN sk ON sk.r = x.r AND sk.bucket = x.bucket
+                     GROUP BY token)
+             SELECT tp.token, tp.exact_cnt, est.cms_est
+             FROM top tp JOIN est USING (token)
+             ORDER BY exact_cnt DESC, token"""))
+
+  /** DSIR importance weights ([[graft.text.Dsir.importanceWeights]]):
+    * hashed-unigram log-likelihood ratio of the `lang='en'` target
+    * subset vs the raw corpus, 512 buckets, micro-quantized per bucket
+    * before the per-doc BIGINT sum — the data-selection scorer for
+    * steering a 100 TB crawl toward a trusted subset.
+    */
+  private val qDsirWeights = Q(
+    (s, dir) =>
+      graft.text.Dsir.importanceWeights(
+          t(s, dir, "documents"), "doc_id", "text",
+          targetPred = col("lang") === "en", buckets = 512)
+        .orderBy("id"),
+    Some(s"""WITH tb AS (
+              SELECT doc_id AS id, (lang = 'en') AS is_t,
+                     ${md5LongSql("token")} % 512 AS b
+              FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+                    FROM documents)),
+            bc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_r,
+                          CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+                   FROM tb GROUP BY b),
+            tot AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+                           CAST(SUM(c_t) AS BIGINT) AS n_t FROM bc),
+            lr AS (SELECT b,
+                          CAST(ROUND(ln((CAST(c_t + 1 AS DOUBLE) * CAST(n_r + 512 AS DOUBLE))
+                                        / (CAST(c_r + 1 AS DOUBLE) * CAST(n_t + 512 AS DOUBLE)))
+                                     * 1000000.0) AS BIGINT) AS lr_micro
+                   FROM bc CROSS JOIN tot),
+            w AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                         CAST(SUM(lr_micro) AS BIGINT) AS weight_micro
+                  FROM tb JOIN lr USING (b) GROUP BY id)
+            SELECT d.doc_id AS id, COALESCE(w.n_tokens, 0) AS n_tokens,
+                   COALESCE(w.weight_micro, 0) AS weight_micro
+            FROM documents d LEFT JOIN w ON w.id = d.doc_id
+            ORDER BY id"""))
+
+  /** Per-source KL drift ([[graft.text.CorpusStats.sourceKlDrift]]):
+    * KL(p_source ‖ p_corpus) over token unigrams, fixed-point weighted
+    * sum — the shard-health diagnostic for a multi-source corpus.
+    */
+  private val qSourceKl = Q(
+    (s, dir) =>
+      graft.text.CorpusStats.sourceKlDrift(t(s, dir, "documents"), "source", "text")
+        .orderBy("source"),
+    Some("""WITH st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_sw
+                        FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+                              FROM documents)
+                        GROUP BY source, token),
+            tt AS (SELECT token, CAST(SUM(c_sw) AS BIGINT) AS c_w FROM st GROUP BY token),
+            srct AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM st GROUP BY source),
+            g AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_all FROM tt),
+            q AS (SELECT st.source, st.c_sw,
+                         CAST(ROUND(ln(CAST(st.c_sw AS DOUBLE) * CAST(n_all AS DOUBLE)
+                                       / (CAST(n_s AS DOUBLE) * CAST(c_w AS DOUBLE)))
+                                    * 1000000.0) AS BIGINT) AS q_micro
+                  FROM st JOIN tt USING (token) JOIN srct USING (source) CROSS JOIN g)
+            SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_tokens,
+                   CAST(SUM(c_sw * q_micro) AS BIGINT) AS kl_sum_micro,
+                   ROUND(SUM(c_sw * q_micro) / CAST(SUM(c_sw) AS BIGINT) / 1000000.0, 6) AS kl_nats
+            FROM q GROUP BY source ORDER BY source"""))
+
+  /** ANN index evaluation ([[graft.similarity.Ann.recallAtK]]):
+    * recall@10 of the nProbe-4 IVF index against exact brute force,
+    * per query — the accept/reject number for any approximate index.
+    * Oracle = the two operators' own CTE chains joined on hits.
+    */
+  private val qAnnRecall = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5)
+      val exact = graft.similarity.Ann.bruteForceTopK(emb, qs, k = 10)
+      val cents = graft.similarity.Ivf.centroids(emb, nLists = 16)
+      val idx = graft.similarity.Ivf.buildIndex(emb, cents)
+      val approx = graft.similarity.Ivf.topK(idx, qs, cents, k = 10, nProbe = 4)
+      graft.similarity.Ann.recallAtK(approx, exact, k = 10).orderBy("qid")
+    },
+    Some("""WITH bq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                        FROM embeddings WHERE vec_id < 5),
+            bc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+            bs AS (SELECT qid, cid, ROUND(list_cosine_similarity(qv, cv), 6) AS cosine
+                   FROM bq CROSS JOIN bc WHERE cid <> qid),
+            br AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                                ORDER BY cosine DESC, cid) AS rk FROM bs),
+            bft AS (SELECT qid, cid FROM br WHERE rk <= 10),
+            icents AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 16),
+            iassign AS (
+              SELECT cid, cvec, cell FROM (
+                SELECT e.vec_id AS cid, e.embedding::DOUBLE[] AS cvec, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings e CROSS JOIN icents c)
+              WHERE rn = 1),
+            iqcells AS (
+              SELECT qid, qvec, cell FROM (
+                SELECT q.vec_id AS qid, q.embedding::DOUBLE[] AS qvec, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY ROUND(list_dot_product(q.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings q CROSS JOIN icents c
+                WHERE q.vec_id < 5)
+              WHERE rn <= 4),
+            iscored AS (
+              SELECT qc.qid, a.cid,
+                     ROUND(list_cosine_similarity(qc.qvec, a.cvec), 6) AS cosine
+              FROM iqcells qc JOIN iassign a ON a.cell = qc.cell
+              WHERE a.cid <> qc.qid),
+            iranked AS (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY cosine DESC, cid) AS rk
+              FROM iscored),
+            ivt AS (SELECT qid, cid FROM iranked WHERE rk <= 10),
+            hits AS (SELECT b.qid, CAST(COUNT(x.cid) AS BIGINT) AS n_hits
+                     FROM bft b LEFT JOIN ivt x ON x.qid = b.qid AND x.cid = b.cid
+                     GROUP BY b.qid)
+            SELECT qid, n_hits, ROUND(n_hits / 10.0, 6) AS recall
+            FROM hits ORDER BY qid"""))
+
   // ---------------------------------------------------------------------
   // North-star: multimodal plumbing + events (sessionize, JSON)
   // ---------------------------------------------------------------------
@@ -3821,6 +3987,10 @@ object SparkEntry {
     "q_stream_sessionize" -> qStreamSessionize,
     "q_stream_sessionize_tws" -> qStreamSessionizeTws,
     "q_stream_attribution" -> qStreamAttribution,
+    "q_cms_topk" -> qCmsTopk,
+    "q_dsir_weights" -> qDsirWeights,
+    "q_source_kl" -> qSourceKl,
+    "q_ann_recall" -> qAnnRecall,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -262,4 +262,29 @@ object Ann {
       // no distinct needed: single table, one bucket per id, id_a < id_b →
       // each pair appears exactly once
   }
+
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the evaluation every ANN deployment needs before trusting an index
+    * (and the number the IVF/LSH knob guidance in BASELINE.md is stated
+    * in). Both inputs use the (qid, rank, cid) shape the operators above
+    * emit; `exact` is truncated to rank ≤ k so a longer ground-truth
+    * list can be reused across k values.
+    *
+    * Per query: `n_hits = |approx ∩ exact|`, `recall = n_hits / k`.
+    * Scale shape: both sides are |queries|·k rows — microscopic next to
+    * the corpus — so this is a keyed semi-join + partial count; every
+    * query appears in the output even at recall 0.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val a = approx.select(col("qid"), col("cid"))
+    val e = exact.filter(col("rank") <= k).select(col("qid"), col("cid"))
+    val hits = e.join(a, Seq("qid", "cid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    e.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("qid"), col("n_hits"),
+              round(col("n_hits") / lit(k.toDouble), 6).as("recall"))
+  }
 }

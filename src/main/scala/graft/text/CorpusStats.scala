@@ -208,4 +208,45 @@ object CorpusStats {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(topN)
   }
+
+  /** Per-source distribution drift: KL(p_source ‖ p_corpus) over token
+    * unigrams — the corpus-health diagnostic that catches a crawl shard
+    * whose language mix silently changed, scored against the pooled
+    * corpus as the baseline. No smoothing is needed: every token a
+    * source emits exists in the pooled corpus by construction
+    * (c_w ≥ c_sw ≥ 1), so the log ratio is always finite.
+    *
+    * KL = (1/N_s)·Σ_w c_sw·ln((c_sw·N)/(N_s·c_w)) — the per-token log
+    * term is micro-quantized BEFORE the Σ (fixed-point idiom), the
+    * weighted sum `Σ c_sw·q_micro` is BIGINT-exact, and only the final
+    * report column divides back to a rounded double. One corpus scan:
+    * the (source, token) counts feed BOTH the per-token join side and
+    * (via a second tiny aggregate over the vocab-sized table) the
+    * token totals and source totals — no rescan of documents.
+    *
+    * Output: (source, n_tokens, kl_sum_micro, kl_nats).
+    */
+  def sourceKlDrift(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val st = docs
+      .select(col(srcCol).as("source"),
+              explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c_sw"))
+    // vocab-sized table from here on — everything below is cheap
+    val stM = st.localCheckpoint()
+    val tokTotals = stM.groupBy("token").agg(sum(col("c_sw")).as("c_w"))
+    val srcTotals = stM.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+    val grand = tokTotals.agg(sum(col("c_w")).as("n_all"))
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    stM.join(tokTotals, Seq("token"))
+      .join(broadcast(srcTotals), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .withColumn("q_micro",
+        round(log(dbl(col("c_sw")) * dbl(col("n_all"))
+          / (dbl(col("n_s")) * dbl(col("c_w")))) * 1000000.0).cast("long"))
+      .groupBy("source")
+      .agg(sum(col("c_sw")).as("n_tokens"),
+           sum(col("c_sw") * col("q_micro")).as("kl_sum_micro"))
+      .withColumn("kl_nats",
+        round(col("kl_sum_micro") / col("n_tokens") / 1000000.0, 6))
+  }
 }

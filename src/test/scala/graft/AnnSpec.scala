@@ -204,4 +204,34 @@ class AnnSpec extends SparkTestBase {
     }
     assert(eL.getMessage.contains("dim=64"), eL.getMessage)
   }
+
+  test("recallAtK: exact-vs-itself is 1.0; hand-built overlap counts hit exactly") {
+    import spark.implicits._
+    val exact = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+    val self = Ann.recallAtK(exact, exact, k = 5).collect()
+    assert(self.length === 3)
+    self.foreach(r => assert(r.getAs[Double]("recall") === 1.0))
+
+    // synthetic: q1 shares 1 of 2; q2 shares 0 of 2 (approx missing entirely)
+    val ex = Seq((1L, 1, 10L), (1L, 2, 11L), (2L, 1, 20L), (2L, 2, 21L))
+      .toDF("qid", "rank", "cid")
+    val ap = Seq((1L, 1, 10L), (1L, 2, 99L)).toDF("qid", "rank", "cid")
+    val out = Ann.recallAtK(ap, ex, k = 2)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
+    assert(out(1L) === ((1L, 0.5)))
+    assert(out(2L) === ((0L, 0.0)), "a query the index lost entirely must still report")
+  }
+
+  test("recallAtK: IVF nProbe=all recovers brute-force recall 1.0 on the corpus") {
+    import graft.similarity.Ivf
+    val qs = emb.filter(col("vec_id") < 3)
+    val exact = Ann.bruteForceTopK(emb, qs, k = 5)
+    val cents = Ivf.centroids(emb, nLists = 4)
+    val idx = Ivf.buildIndex(emb, cents)
+    val full = Ivf.topK(idx, qs, cents, k = 5, nProbe = 4) // all cells probed
+    val rec = Ann.recallAtK(full, exact, k = 5).collect()
+    rec.foreach(r => assert(r.getAs[Double]("recall") === 1.0,
+      s"probing every cell must equal brute force: ${r}"))
+  }
 }

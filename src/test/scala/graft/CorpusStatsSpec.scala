@@ -127,4 +127,43 @@ class CorpusStatsSpec extends SparkTestBase {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     assert(math.abs(out(3L)._2 - math.log(2)) < 1e-5)
   }
+
+  test("sourceKlDrift: single source diverges from itself by exactly zero") {
+    val d = Seq((1L, "s0", "a b c"), (2L, "s0", "a a b")).toDF("doc_id", "source", "text")
+    val out = CorpusStats.sourceKlDrift(d, "source", "text").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("kl_sum_micro") === 0L,
+      "every per-token ratio is 1, every quantized log is the integer 0")
+    assert(out(0).getAs[Double]("kl_nats") === 0.0)
+  }
+
+  test("sourceKlDrift: identical distributions give zero, a skewed shard goes positive") {
+    val d = Seq(
+      (1L, "clean", "a b c d"), (2L, "clean", "a b c d"),
+      (3L, "mirror", "a b c d"), (4L, "mirror", "d c b a"),
+      (5L, "drifted", "z z z a")
+    ).toDF("doc_id", "source", "text")
+    val out = CorpusStats.sourceKlDrift(d, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Double]("kl_nats")).toMap
+    // clean and mirror both match each other but NOT the pooled corpus
+    // (the pool contains z-mass they lack) → small positive; drifted is
+    // far from the pool → much larger
+    assert(out("clean") === out("mirror"), "same token multiset → same KL")
+    assert(out("drifted") > out("clean"),
+      s"the z-heavy shard must show more drift: $out")
+    assert(out.values.forall(_ >= 0.0), s"KL against the pool is non-negative: $out")
+  }
+
+  test("sourceKlDrift replays the hand formula on a tiny corpus") {
+    val d = Seq((1L, "p", "a a b"), (2L, "q", "b b b")).toDF("doc_id", "source", "text")
+    // pooled: a=2, b=4, N=6. p: n_s=3 (a:2, b:1); q: n_s=3 (b:3)
+    def term(cSw: Long, nS: Long, cW: Long, n: Long): Long =
+      cSw * math.rint(math.log(cSw.toDouble * n / (nS.toDouble * cW)) * 1e6).toLong
+    val expP = term(2, 3, 2, 6) + term(1, 3, 4, 6)
+    val expQ = term(3, 3, 4, 6)
+    val out = CorpusStats.sourceKlDrift(d, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("kl_sum_micro")).toMap
+    assert(out("p") === expP)
+    assert(out("q") === expQ)
+  }
 }

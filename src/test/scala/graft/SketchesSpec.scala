@@ -54,4 +54,50 @@ class SketchesSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"HLL must partial-aggregate before the exchange:\n$p")
   }
+
+  test("countMin: one-sided error — est >= exact for EVERY key, est == min over rows") {
+    val counts = lineitem.groupBy(col("l_shipdate").cast("string").as("k"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val depth = 4; val width = 8 // ~2400 ship dates into 8 buckets: collisions certain
+    val sk = Sketches.countMinSketch(counts, "k", "c", depth, width)
+    val skRows = sk.collect()
+    assert(skRows.length <= depth * width, "sketch must be depth*width bounded")
+    // every row's counters sum to the total multiplicity
+    val total = counts.agg(sum("c")).collect()(0).getLong(0)
+    skRows.groupBy(_.getAs[Int]("r")).foreach { case (r, rows) =>
+      assert(rows.map(_.getAs[Long]("cnt")).sum === total,
+        s"hash row $r must partition the full count mass")
+    }
+    val est = Sketches.countMinEstimate(sk, counts.select("k"), "k", depth, width)
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("cms_est")).toMap
+    val exact = counts.collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("c")).toMap
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"$k: CMS must never underestimate (est ${est(k)} < exact $c)")
+    }
+    // at least the min-property: no estimate exceeds the total
+    est.values.foreach(e => assert(e <= total))
+  }
+
+  test("countMin estimate is exact when width makes collisions impossible") {
+    val counts = lineitem.groupBy(col("l_returnflag").as("k"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    // 3 keys into 4096 buckets across 4 rows: P(any row collides) ~ 0;
+    // the min over rows then recovers the exact count for every key
+    val sk = Sketches.countMinSketch(counts, "k", "c", depth = 4, width = 4096)
+    val est = Sketches.countMinEstimate(sk, counts.select("k"), "k", 4, 4096)
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("cms_est")).toMap
+    counts.collect().foreach { r =>
+      assert(est(r.getAs[String]("k")) === r.getAs[Long]("c"))
+    }
+  }
+
+  test("countMin estimate join broadcasts the sketch side") {
+    val counts = lineitem.groupBy(col("l_shipdate").cast("string").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val sk = Sketches.countMinSketch(counts, "k", "c", 4, 16)
+    val p = Sketches.countMinEstimate(sk, counts.select("k"), "k", 4, 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d*w-bounded sketch must broadcast, never shuffle the candidates against it:\n$p")
+  }
 }
