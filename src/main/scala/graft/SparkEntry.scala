@@ -1987,6 +1987,70 @@ object SparkEntry {
             SELECT qid, CAST(rk AS INTEGER) AS rank, cid, iscore
             FROM ranked WHERE rk <= 10 ORDER BY qid, rank"""))
 
+  /** IVF-PQ / IVFADC ([[graft.similarity.Pq.ivfAdcTopK]]): the
+    * billion-scale composition — queries probe nProbe=4 of 16 IVF cells
+    * and ADC-score only the product-quantized codes stored there. The
+    * oracle composes the PQ encode/LUT chain with the IVF assignment
+    * chain and replays the integer ranking end to end.
+    */
+  private val qAnnIvfPq = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.similarity.Ivf.centroids(emb, nLists = 16)
+      val idx = graft.similarity.Ivf.buildIndex(emb, cents)
+      val cb = graft.similarity.Pq.sampledCodebooks(emb, m = 4, ksub = 16)
+      graft.similarity.Pq.ivfAdcTopK(
+          idx, emb.filter(col("vec_id") < 5), cents, cb, k = 10, nProbe = 4)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH $pqCtes,
+            lut AS (
+              SELECT v.cid AS qid, b.s, b.j,
+                     CAST(ROUND((list_dot_product(v.sv, v.sv)
+                                 - 2.0 * list_dot_product(v.sv, b.bv)
+                                 + list_dot_product(b.bv, b.bv)) * 1000000.0)
+                          AS BIGINT) AS lutv
+              FROM subv v JOIN books b ON b.s = v.s
+              WHERE v.cid < 5),
+            icents AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 16),
+            iassign AS (
+              SELECT cid, cell FROM (
+                SELECT e.vec_id AS cid, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings e CROSS JOIN icents c)
+              WHERE rn = 1),
+            iqcells AS (
+              SELECT qid, cell FROM (
+                SELECT q.vec_id AS qid, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY ROUND(list_dot_product(q.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings q CROSS JOIN icents c
+                WHERE q.vec_id < 5)
+              WHERE rn <= 4),
+            scored AS (
+              SELECT l.qid, e.cid, CAST(SUM(l.lutv) AS BIGINT) AS iscore
+              FROM enc e
+              JOIN iassign a ON a.cid = e.cid
+              JOIN iqcells qc ON qc.cell = a.cell
+              JOIN lut l ON l.qid = qc.qid AND l.s = e.s AND l.j = e.code
+              WHERE e.cid <> qc.qid
+              GROUP BY l.qid, e.cid),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY iscore ASC, cid) AS rk
+              FROM scored)
+            SELECT qid, CAST(rk AS INTEGER) AS rank, cid, iscore
+            FROM ranked WHERE rk <= 10 ORDER BY qid, rank"""))
+
   /** SemDeDup-style semantic dedup ([[graft.similarity.SemDedup
     * .dedupReport]]): centroid-cluster the corpus (md5-sampled cells,
     * the [[graft.similarity.Ivf]] assignment), drop the higher id of
@@ -3988,6 +4052,7 @@ object SparkEntry {
     "q_stream_sessionize_tws" -> qStreamSessionizeTws,
     "q_stream_attribution" -> qStreamAttribution,
     "q_cms_topk" -> qCmsTopk,
+    "q_ann_ivfpq" -> qAnnIvfPq,
     "q_dsir_weights" -> qDsirWeights,
     "q_source_kl" -> qSourceKl,
     "q_ann_recall" -> qAnnRecall,

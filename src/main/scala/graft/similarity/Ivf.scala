@@ -68,19 +68,27 @@ object Ivf {
       .withColumn("cell", scoreAgainst(cents, col("cvec")))
       .withColumn("cn", VectorOps.norm(col("cvec")))
 
-  /** Top-k by cosine probing the `nProbe` nearest cells per query. */
-  def topK(index: DataFrame, queries: DataFrame, cents: Seq[(Long, Seq[Double])],
-           k: Int, nProbe: Int = 4,
-           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // per-query cells: rank centroids by cosine, keep nProbe (the query
-    // norm is constant per row — dropped from the ranking, same argsort;
-    // rounding + cell-id tie-break as in cellScores, oracle-replayable)
+  /** Per-query probed cells: rank centroids by cosine, keep `nProbe`
+    * (the query norm is constant per row — dropped from the ranking,
+    * same argsort; rounding + cell-id tie-break as in cellScores,
+    * oracle-replayable). Output: one (qid, qvec, qn, cell) row per
+    * probe — |queries|·nProbe rows, broadcastable by construction.
+    */
+  def probedCells(queries: DataFrame, cents: Seq[(Long, Seq[Double])], nProbe: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val scoredCells = cellScores(cents, col("qvec"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .withColumn("qn", VectorOps.norm(col("qvec")))
       .withColumn("cells", slice(reverse(array_sort(scoredCells)), 1, nProbe))
       .select(col("qid"), col("qvec"), col("qn"),
         explode(col("cells").getField("cell")).as("cell"))
+  }
+
+  /** Top-k by cosine probing the `nProbe` nearest cells per query. */
+  def topK(index: DataFrame, queries: DataFrame, cents: Seq[(Long, Seq[Double])],
+           k: Int, nProbe: Int = 4,
+           idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = probedCells(queries, cents, nProbe, idCol, vecCol)
     val scored = index.join(broadcast(q), "cell")
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),

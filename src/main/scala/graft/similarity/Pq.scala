@@ -74,7 +74,8 @@ object Pq {
     * narrow pass, no shuffle, fully codegen'd.
     */
   def encode(corpus: DataFrame, cb: Codebooks,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             passthrough: Seq[String] = Nil): DataFrame = {
     val codes = (0 until cb.m).map { s =>
       val sub = slice(col(vecCol), s * cb.dsub + 1, cb.dsub)
       val selfDot = VectorOps.dot(sub, sub)
@@ -82,7 +83,8 @@ object Pq {
         struct(d2(sub, selfDot, bv).as("d"), lit(j).as("j"))
       }: _*)).getField("j")
     }
-    corpus.select(col(idCol).as("cid"), array(codes: _*).as("codes"))
+    corpus.select(col(idCol).as("cid") +: array(codes: _*).as("codes") +:
+      passthrough.map(col): _*)
   }
 
   /** ADC top-k: per query, per subspace, a micro-unit BIGINT lookup
@@ -100,7 +102,58 @@ object Pq {
     require(k >= 1, s"k=$k must be >= 1")
     val enc = encode(corpus, cb, idCol, vecCol)
       .select(col("cid"), posexplode(col("codes")).as(Seq("s", "code")))
+    val lut = lutFor(queries, cb, idCol, vecCol)
+    val scored = enc.join(broadcast(lut),
+        enc("s") === lut("s") && enc("code") === lut("j"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy("qid", "cid").agg(sum(col("lutv")).as("iscore"))
+    rankAsc(scored, k)
+  }
 
+  /** IVF-PQ (the composition Jégou et al. call IVFADC — coarse inverted
+    * lists + product-quantized codes): queries probe their `nProbe`
+    * nearest IVF cells and ADC-score ONLY the codes stored in those
+    * cells. This is the canonical billion-scale layout — the candidate
+    * set shrinks ~nProbe/nLists AND each candidate costs m table
+    * lookups instead of a d-dim dot product; the raw vectors appear in
+    * neither the probe nor the scoring path.
+    *
+    * `index` is [[Ivf.buildIndex]] output (cid, cvec, cell) — the same
+    * inverted index the flat IVF probes, so one index serves both
+    * scoring modes. Codes are computed from the index rows in the same
+    * narrow pass that restricts to probed cells.
+    *
+    * Determinism: cell probe order and code assignment inherit the
+    * Ivf/PQ contracts; scores are exact BIGINT sums, rank ties break on
+    * cid — end-to-end oracle-replayable like both parents.
+    */
+  def ivfAdcTopK(index: DataFrame, queries: DataFrame,
+                 cents: Seq[(Long, Seq[Double])], cb: Codebooks, k: Int,
+                 nProbe: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val enc = encode(index, cb, "cid", "cvec", passthrough = Seq("cell"))
+      .select(col("cid"), col("cell"), posexplode(col("codes")).as(Seq("s", "code")))
+    val qc = Ivf.probedCells(queries, cents, nProbe, idCol, vecCol)
+      .select(col("qid"), col("cell"))
+    val lut = lutFor(queries, cb, idCol, vecCol)
+    // cell restriction first (the smaller broadcast): |Q|·nProbe rows
+    // against the code stream; then the LUT lookup keyed by (qid, s, j)
+    val candidates = enc.join(broadcast(qc), Seq("cell"))
+    val scored = candidates.join(broadcast(lut),
+        candidates("qid") === lut("qid") && candidates("s") === lut("s")
+          && candidates("code") === lut("j"))
+      .filter(col("cid") =!= candidates("qid"))
+      .groupBy(candidates("qid").as("qid"), col("cid")).agg(sum(col("lutv")).as("iscore"))
+    rankAsc(scored, k)
+  }
+
+  /** Per-query ADC lookup table: (qid, s, j, lutv) — micro-unit BIGINT
+    * d²(query-subvector, codebook entry); |queries|·m·ksub rows,
+    * broadcast at every use site.
+    */
+  private def lutFor(queries: DataFrame, cb: Codebooks,
+                     idCol: String, vecCol: String): DataFrame = {
     val lutEntries = (0 until cb.m).flatMap { s =>
       val sub = slice(col(vecCol), s * cb.dsub + 1, cb.dsub)
       val selfDot = VectorOps.dot(sub, sub)
@@ -110,14 +163,12 @@ object Pq {
             + lit(bv.map(x => x * x).sum)) * 1e6).cast("long").as("lutv"))
       }
     }
-    val lut = queries
+    queries
       .select(col(idCol).as("qid"), explode(array(lutEntries: _*)).as("e"))
       .select(col("qid"), col("e.s").as("s"), col("e.j").as("j"), col("e.lutv").as("lutv"))
+  }
 
-    val scored = enc.join(broadcast(lut),
-        enc("s") === lut("s") && enc("code") === lut("j"))
-      .filter(col("cid") =!= col("qid"))
-      .groupBy("qid", "cid").agg(sum(col("lutv")).as("iscore"))
+  private def rankAsc(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("iscore").asc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("cid"), col("iscore"))

@@ -66,4 +66,55 @@ class PqSpec extends SparkTestBase {
     // true d² = (1-1)²+(1-1)² + (0-1)²+(1-1)²... sub1 query (1,1) vs b11 (0,1): d²=1
     assert(r.getAs[Long]("iscore") === 1000000L)
   }
+
+  private lazy val realEmb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("ivfAdcTopK: probing ALL cells reproduces flat adcTopK exactly") {
+    import graft.similarity.Ivf
+    val cents = Ivf.centroids(realEmb, nLists = 4)
+    val idx = Ivf.buildIndex(realEmb, cents)
+    val books = Pq.sampledCodebooks(realEmb, m = 4, ksub = 16)
+    val qs = realEmb.filter(col("vec_id") < 3)
+    val flat = Pq.adcTopK(realEmb, qs, books, k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Long]("iscore"))).toSet
+    val ivf = Pq.ivfAdcTopK(idx, qs, cents, books, k = 5, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Long]("iscore"))).toSet
+    assert(ivf === flat, "nProbe = nLists must degenerate to the flat ADC scan")
+  }
+
+  test("ivfAdcTopK: nProbe<nLists scores only candidates from probed cells") {
+    import graft.similarity.Ivf
+    val cents = Ivf.centroids(realEmb, nLists = 4)
+    val idx = Ivf.buildIndex(realEmb, cents)
+    val books = Pq.sampledCodebooks(realEmb, m = 4, ksub = 16)
+    val qs = realEmb.filter(col("vec_id") < 3)
+    val out = Pq.ivfAdcTopK(idx, qs, cents, books, k = 5, nProbe = 1)
+    // every returned cid must live in its query's single probed cell
+    val probed = Ivf.probedCells(qs, cents, nProbe = 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("cell")).toMap
+    val cellOf = idx.select("cid", "cell")
+      .collect().map(r => r.getAs[Long]("cid") -> r.getAs[Long]("cell")).toMap
+    out.collect().foreach { r =>
+      val (qid, cid) = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+      assert(cellOf(cid) === probed(qid),
+        s"qid=$qid returned cid=$cid from an unprobed cell")
+    }
+  }
+
+  test("ivfAdcTopK plan: LUT and probed-cell sides broadcast, codes partial-aggregate") {
+    import graft.similarity.Ivf
+    val cents = Ivf.centroids(realEmb, nLists = 4)
+    val idx = Ivf.buildIndex(realEmb, cents)
+    val books = Pq.sampledCodebooks(realEmb, m = 4, ksub = 16)
+    val qs = realEmb.filter(col("vec_id") < 3)
+    val p = Pq.ivfAdcTopK(idx, qs, cents, books, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both the |Q|*nProbe cell list and the LUT must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-side shuffle join in the probe path:\n$p")
+  }
 }
