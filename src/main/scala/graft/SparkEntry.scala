@@ -2606,6 +2606,30 @@ object SparkEntry {
             FROM documents JOIN thr USING (lang)
             WHERE n_chars >= t ORDER BY doc_id"""))
 
+  /** Per-group winsorization ([[graft.ops.Normalize.winsorize]]):
+    * l_quantity clipped to its stratum's exact [p05, p95] — keeps every
+    * row, bounds tail leverage. Spark `percentile` ≡ DuckDB
+    * `quantile_cont` on integral-valued doubles, so clip bounds and all
+    * clipped values hash-match.
+    */
+  private val qWinsorize = Q(
+    (s, dir) =>
+      graft.ops.Normalize.winsorize(
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                  "l_returnflag", "l_quantity"),
+        Seq("l_returnflag"), "l_quantity", "w_qty")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+    Some("""WITH s AS (SELECT l_returnflag,
+                              quantile_cont(l_quantity, 0.05) AS lo,
+                              quantile_cont(l_quantity, 0.95) AS hi
+                       FROM lineitem GROUP BY l_returnflag)
+            SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_suppkey,
+                   l.l_returnflag, l.l_quantity,
+                   LEAST(GREATEST(l.l_quantity, s.lo), s.hi) AS w_qty
+            FROM lineitem l JOIN s USING (l_returnflag)
+            ORDER BY 1, 2, 3, 4"""))
+
   /** Per-document TF-IDF keywords ([[graft.text.CorpusStats
     * .tfIdfTopTerms]]): top-3 scoring terms per doc. One token explode
     * feeds both frequency tables; the doc count attaches as a broadcast
@@ -4053,6 +4077,7 @@ object SparkEntry {
     "q_stream_attribution" -> qStreamAttribution,
     "q_cms_topk" -> qCmsTopk,
     "q_ann_ivfpq" -> qAnnIvfPq,
+    "q_winsorize" -> qWinsorize,
     "q_dsir_weights" -> qDsirWeights,
     "q_source_kl" -> qSourceKl,
     "q_ann_recall" -> qAnnRecall,

@@ -78,6 +78,30 @@ object Normalize {
       .drop("__lo", "__hi")
   }
 
+  /** Winsorize `valueCol` within each key group: clip to the exact
+    * [pLow, pHigh] interpolating percentiles — the outlier-taming step
+    * of a feature pipeline (heavy-tailed quality scores, token counts)
+    * that keeps every row but bounds its leverage, where quantileGate
+    * would drop the tails entirely. Same agg+join-back shape as
+    * [[zscore]] (scan-parallel at any stratum cardinality; AQE
+    * broadcasts the stats rows when they fit). Spark's exact
+    * `percentile` and DuckDB's `quantile_cont` share interpolation
+    * semantics, so the clip bounds — and therefore every clipped
+    * value — replay exactly on integral-valued inputs.
+    */
+  def winsorize(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                outCol: String, pLow: Double = 0.05,
+                pHigh: Double = 0.95): DataFrame = {
+    require(0.0 <= pLow && pLow < pHigh && pHigh <= 1.0,
+      s"need 0 <= pLow < pHigh <= 1; got $pLow, $pHigh")
+    val x = col(valueCol)
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(percentile(x, lit(pLow)).as("__lo"), percentile(x, lit(pHigh)).as("__hi"))
+    joinStats(df, stats, keyCols)
+      .withColumn(outCol, least(greatest(x, col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Fixed-width histogram of `valueCol` per key group: one row per
     * (key, bin) with the bin's inclusive lower bound and count — the
     * distribution-profiling query of a corpus report, pure integer

@@ -98,4 +98,28 @@ class NormalizeSpec extends SparkTestBase {
       .collect().map(r => r.getAs[Long]("bin_lo") -> r.getAs[Long]("n")).toMap
     assert(got === Map(-20L -> 1L, -10L -> 1L, 0L -> 2L, 10L -> 1L, 20L -> 1L))
   }
+
+  test("winsorize: interpolating-percentile clip bounds, rows preserved, nulls-key group") {
+    val d = ((1 to 100).map(i => (Some("x"), i.toDouble)) :+ (None, 500.0))
+      .toDF("key", "v")
+    val w = Normalize.winsorize(d, Seq("key"), "v", "wv", pLow = 0.1, pHigh = 0.9)
+    assert(w.count() === 101, "winsorize keeps every row")
+    val xs = w.filter(col("key") === "x").select("wv")
+      .collect().map(_.getDouble(0))
+    // interpolating p10/p90 of 1..100, in the same IEEE arithmetic Spark
+    // uses (1 + 0.9*99 is NOT the literal 90.1 in binary doubles)
+    val (lo, hi) = (1.0 + 0.1 * 99.0, 1.0 + 0.9 * 99.0)
+    assert(xs.min === lo && xs.max === hi)
+    assert(xs.count(_ === lo) === 10, "values 1..10 all clip to the lower bound")
+    // the NULL stratum is its own group: its single value clips to itself
+    val nv = w.filter(col("key").isNull).select("wv").collect().map(_.getDouble(0))
+    assert(nv.toSeq === Seq(500.0))
+  }
+
+  test("winsorize: interior values pass through untouched") {
+    val d = (1 to 100).map(i => ("x", i.toDouble)).toDF("key", "v")
+    val w = Normalize.winsorize(d, Seq("key"), "v", "wv", pLow = 0.05, pHigh = 0.95)
+      .filter(col("v") === 50.0).select("wv").collect()
+    assert(w.map(_.getDouble(0)).toSeq === Seq(50.0))
+  }
 }
