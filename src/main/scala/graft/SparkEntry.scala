@@ -2371,6 +2371,48 @@ object SparkEntry {
                    CAST(ssum AS BIGINT) AS sample_sum
             FROM s ORDER BY doc_id"""))
 
+  /** Third de-stubbed format, first with a REAL compression codec in the
+    * path: PNG ([[graft.multimodal.Multimodal.parsePng]] — chunk walk,
+    * java.util.zip Inflater, all five scanline filters inverted). The
+    * fixture writer filters each row with type `row mod 5`, so the
+    * oracle's closed-form pixel sum only matches if the decoder
+    * correctly inverts None, Sub, Up, Average AND Paeth after a real
+    * zlib inflate; stored-block zlib keeps the file size closed-form.
+    */
+  private val qPngDecode = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 1 + (id % 16).toInt
+          val h = 1 + (id % 8).toInt
+          (id, graft.multimodal.Multimodal.makePng(w, h, id))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractFeatures(s, bins)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_bytes"),
+          round(element_at(col("features"), 4) *
+            (col("width") * col("height") * lit(3L) * lit(255L)))
+            .cast(LongType).as("pixel_byte_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     CAST(1 + doc_id % 16 AS INT) AS w,
+                     CAST(1 + doc_id % 8 AS INT) AS h
+              FROM documents),
+            px AS (
+              SELECT d.doc_id, d.w, d.h,
+                     SUM((d.doc_id + r.r * 31 + k.k * 7) % 256) AS psum
+              FROM dims d
+              JOIN generate_series(0, 7) AS r(r) ON r.r < d.h
+              JOIN generate_series(0, 47) AS k(k) ON k.k < 3 * d.w
+              GROUP BY d.doc_id, d.w, d.h)
+            SELECT doc_id, 'png' AS format, w AS width, h AS height,
+                   CAST(h * (3 * w + 1) + 68 AS INT) AS n_bytes,
+                   CAST(psum AS BIGINT) AS pixel_byte_sum
+            FROM px ORDER BY doc_id"""))
+
   /** Frame-level PCM audio analysis ([[graft.multimodal.Multimodal
     * .wavFrameStats]]): per 32-sample frame, exact integer energy Σs²
     * and zero-crossing count over the REAL decoded samples of generated
@@ -4078,6 +4120,7 @@ object SparkEntry {
     "q_cms_topk" -> qCmsTopk,
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_winsorize" -> qWinsorize,
+    "q_png_decode" -> qPngDecode,
     "q_dsir_weights" -> qDsirWeights,
     "q_source_kl" -> qSourceKl,
     "q_ann_recall" -> qAnnRecall,

@@ -224,13 +224,240 @@ object Multimodal {
     out
   }
 
+  // ---- real decoder: PNG (W3C PNG spec; zlib via java.util.zip) --------
+  // Third de-stubbed format, and the first with a REAL compression codec
+  // in the path: IDAT payloads inflate through java.util.zip.Inflater
+  // (public JDK), then scanlines un-filter per the spec's five filter
+  // types (None/Sub/Up/Average/Paeth). Supported: 8-bit depth,
+  // non-interlaced, truecolor (type 2) and grayscale (type 0) — the
+  // palette/alpha/interlace variants return None and fall to the stub.
+
+  private def be32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse + decode a PNG: signature, IHDR-first chunk walk (big-endian
+    * lengths), IDAT concatenation, zlib inflate, per-scanline filter
+    * inversion, then the same pixel fold as [[parseBmp]]. Channel means
+    * are in STORAGE order — R,G,B for PNG (BMP's are B,G,R); grayscale
+    * folds its single channel into all three slots. Returns None for
+    * wrong magic, unsupported depth/type/interlace, malformed chunk
+    * bounds, truncated or corrupt zlib streams, and bad filter bytes —
+    * the caller falls back to the stub rather than guessing.
+    */
+  def parsePng(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes.length < 8 + 25 || !PngSig.indices.forall(i => bytes(i) == PngSig(i)))
+      return None
+    // IHDR must be the first chunk (spec)
+    if (be32(bytes, 8) != 13 || bytes(12) != 'I' || bytes(13) != 'H' ||
+        bytes(14) != 'D' || bytes(15) != 'R')
+      return None
+    val w = be32(bytes, 16)
+    val h = be32(bytes, 20)
+    val bitDepth = bytes(24) & 0xff
+    val colorType = bytes(25) & 0xff
+    val interlace = bytes(28) & 0xff
+    val bpp = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case _ => return None
+    }
+    // same lying-header walk bound as parseBmp
+    if (bitDepth != 8 || interlace != 0 || bytes(26) != 0 || bytes(27) != 0 ||
+        w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14))
+      return None
+    // chunk walk: concatenate IDAT payloads until IEND
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8 + 25
+    var sawEnd = false
+    while (!sawEnd) {
+      if (off + 8 > bytes.length) return None
+      val len = be32(bytes, off)
+      if (len < 0 || off + 12L + len > bytes.length) return None
+      val ctype = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      ctype match {
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunks skipped
+      }
+      off += 12 + len
+    }
+    val stride = w * bpp
+    val expected = h * (stride + 1)
+    val raw = new Array[Byte](expected)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(raw, got, expected - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    if (got < expected) return None
+    // invert scanline filters into img (reconstructed bytes feed the
+    // next row's predictions, per spec)
+    val img = new Array[Byte](h * stride)
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * (stride + 1)) & 0xff
+      if (ft > 4) return None
+      val rowOff = r * (stride + 1) + 1
+      val outOff = r * stride
+      var i = 0
+      while (i < stride) {
+        val x = raw(rowOff + i) & 0xff
+        val a = if (i >= bpp) img(outOff + i - bpp) & 0xff else 0
+        val b = if (r > 0) img(outOff - stride + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) img(outOff - stride + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        img(outOff + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    // pixel fold, mirroring parseBmp's feature layout
+    val sums = new Array[Long](3)
+    var high = 0L
+    var i = 0
+    while (i < img.length) {
+      val v = img(i) & 0xff
+      sums(if (bpp == 3) i % 3 else 0) += v
+      if (v > 127) high += 1
+      i += 1
+    }
+    val n = w.toLong * h
+    val total = sums(0) + sums(1) + sums(2)
+    val feats =
+      if (bpp == 3) Array(
+        (sums(0).toDouble / (n * 255)).toFloat,
+        (sums(1).toDouble / (n * 255)).toFloat,
+        (sums(2).toDouble / (n * 255)).toFloat,
+        (total.toDouble / (3 * n * 255)).toFloat,
+        (high.toDouble / (3 * n)).toFloat,
+        w.toFloat / (w + h), h.toFloat / (w + h), 0f)
+      else {
+        val m = (sums(0).toDouble / (n * 255)).toFloat
+        Array(m, m, m, m, (high.toDouble / n).toFloat,
+          w.toFloat / (w + h), h.toFloat / (w + h), 0f)
+      }
+    Some(MediaFeatures(id, bytes.length, "png", w, h, feats))
+  }
+
+  /** Fixture/test writer for PNG: pixels follow the SAME closed form as
+    * [[makeBmp]] — byte k of row r is `(seed + r*31 + k*7) mod 256` —
+    * then each row is FILTERED with type `r mod 5`, so one fixture
+    * exercises every filter the decoder must invert (None, Sub, Up,
+    * Average, Paeth). The zlib stream is hand-rolled stored blocks
+    * (deterministic bytes, unlike Deflater's level-dependent output)
+    * with a real Adler32, so the file size is closed-form too:
+    * `h*(w*bpp+1) + 57 + 11·ceil(raw/65535)` total bytes — and the
+    * decode path still runs the REAL Inflater.
+    */
+  def makePng(w: Int, h: Int, seed: Long, colorType: Int = 2): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 256 && h <= 256, s"fixture dims $w x $h")
+    require(colorType == 0 || colorType == 2, s"colorType $colorType")
+    val bpp = if (colorType == 2) 3 else 1
+    val stride = w * bpp
+    val img = Array.tabulate(h * stride) { i =>
+      val r = i / stride; val k = i % stride
+      ((seed + r * 31L + k * 7L) % 256).toByte
+    }
+    val raw = new Array[Byte](h * (stride + 1))
+    var r = 0
+    while (r < h) {
+      val ft = r % 5
+      raw(r * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val x = img(r * stride + i) & 0xff
+        val a = if (i >= bpp) img(r * stride + i - bpp) & 0xff else 0
+        val b = if (r > 0) img((r - 1) * stride + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) img((r - 1) * stride + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(r * (stride + 1) + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    // zlib: 2-byte header + stored deflate blocks + Adler32 of the raw
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+    val zlib = new Array[Byte](2 + raw.length + 5 * nBlocks + 4)
+    zlib(0) = 0x78.toByte; zlib(1) = 0x01.toByte
+    var src = 0; var dst = 2
+    while (src < raw.length) { // raw is never empty: h, stride >= 1
+      val len = math.min(65535, raw.length - src)
+      val fin = src + len >= raw.length
+      zlib(dst) = (if (fin) 1 else 0).toByte
+      zlib(dst + 1) = (len & 0xff).toByte; zlib(dst + 2) = ((len >> 8) & 0xff).toByte
+      zlib(dst + 3) = (~len & 0xff).toByte; zlib(dst + 4) = ((~len >> 8) & 0xff).toByte
+      System.arraycopy(raw, src, zlib, dst + 5, len)
+      src += len; dst += 5 + len
+    }
+    val ad = adler.getValue
+    zlib(dst) = ((ad >> 24) & 0xff).toByte; zlib(dst + 1) = ((ad >> 16) & 0xff).toByte
+    zlib(dst + 2) = ((ad >> 8) & 0xff).toByte; zlib(dst + 3) = (ad & 0xff).toByte
+
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](12 + data.length)
+      out(0) = ((data.length >> 24) & 0xff).toByte
+      out(1) = ((data.length >> 16) & 0xff).toByte
+      out(2) = ((data.length >> 8) & 0xff).toByte
+      out(3) = (data.length & 0xff).toByte
+      ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, 4)
+      data.copyToArray(out, 8)
+      val crc = new java.util.zip.CRC32()
+      crc.update(out, 4, 4 + data.length)
+      val cv = crc.getValue
+      out(8 + data.length) = ((cv >> 24) & 0xff).toByte
+      out(9 + data.length) = ((cv >> 16) & 0xff).toByte
+      out(10 + data.length) = ((cv >> 8) & 0xff).toByte
+      out(11 + data.length) = (cv & 0xff).toByte
+      out
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
+    ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
+    ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
+    ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
+    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compression/filter/interlace stay 0
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zlib) ++ chunk("IEND", Array.empty)
+  }
+
   /** Decode dispatch: real parse for the formats a pure-JVM reader can
-    * own (BMP and 16-bit PCM WAV today), [[decodeStub]] for everything
-    * else.
+    * own (BMP, 16-bit PCM WAV, and 8-bit PNG today), [[decodeStub]] for
+    * everything else.
     */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
     parseBmp(id, bytes)
       .orElse(parseWav(id, bytes))
+      .orElse(parsePng(id, bytes))
       .getOrElse(decodeStub(id, bytes))
 
   /** Nearest-neighbor resize of an uncompressed 24-bpp BMP — the

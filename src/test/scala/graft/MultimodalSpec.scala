@@ -235,4 +235,81 @@ class MultimodalSpec extends SparkTestBase {
       .select("doc_id").distinct().as[Long].collect().toSeq
     assert(ids === Seq(1L))
   }
+
+  test("parsePng: round-trip recovers the closed-form pixels through every filter type") {
+    // h = 7 > 5 rows: filter types 0..4 all appear (r mod 5), so the
+    // decode inverts None, Sub, Up, Average AND Paeth — and the pixel
+    // statistics must still equal the pre-filter closed form
+    val png = Multimodal.makePng(5, 7, seed = 42, colorType = 2)
+    val f = Multimodal.parsePng(1L, png).get
+    assert(f.format === "png" && f.width === 5 && f.height === 7)
+    val raw = 7 * (5 * 3 + 1)
+    assert(f.n_bytes === raw + 68, "stored-block zlib makes the size closed-form")
+    val expect = (for (r <- 0 until 7; k <- 0 until 15)
+      yield (42 + r * 31 + k * 7) % 256).sum
+    val got = math.round(f.features(3).toDouble * 3 * 35 * 255)
+    assert(got === expect, "filter inversion must reproduce the exact byte sum")
+  }
+
+  test("parsePng: hand-built 1x1 RGB — exact channel features in R,G,B storage order") {
+    val png = Multimodal.makePng(1, 1, seed = 0, colorType = 2)
+    // row 0 has filter type 0 (None): pixel bytes sit at fixed offsets in
+    // the stored-block zlib stream: sig(8) + IHDR chunk(25) + IDAT
+    // len+type(8) + zlib hdr(2) + block hdr(5) = filter byte at 48,
+    // then R,G,B at 49..51
+    png(49) = 30; png(50) = 20; png(51) = 10
+    // stored blocks carry the raw bytes, so the Adler32 footer no longer
+    // matches — rebuild it the way makePng does
+    val fixed = {
+      val rawLen = 1 * (3 + 1)
+      val ad = new java.util.zip.Adler32()
+      ad.update(png, 48, rawLen)
+      val adOff = 48 + rawLen
+      val v = ad.getValue
+      png(adOff) = ((v >> 24) & 0xff).toByte; png(adOff + 1) = ((v >> 16) & 0xff).toByte
+      png(adOff + 2) = ((v >> 8) & 0xff).toByte; png(adOff + 3) = (v & 0xff).toByte
+      // IDAT CRC also covers the payload — recompute
+      val crc = new java.util.zip.CRC32()
+      crc.update(png, 37, 4 + (2 + 5 + rawLen + 4)) // "IDAT" + zlib payload
+      val cv = crc.getValue
+      val cOff = 41 + 2 + 5 + rawLen + 4
+      png(cOff) = ((cv >> 24) & 0xff).toByte; png(cOff + 1) = ((cv >> 16) & 0xff).toByte
+      png(cOff + 2) = ((cv >> 8) & 0xff).toByte; png(cOff + 3) = (cv & 0xff).toByte
+      png
+    }
+    val f = Multimodal.parsePng(9L, fixed).get
+    assert(f.features(0) === 30f / 255 && f.features(1) === 20f / 255 &&
+      f.features(2) === 10f / 255)
+    assert(f.features(4) === 0f)
+  }
+
+  test("parsePng: grayscale folds one channel into all three slots") {
+    val png = Multimodal.makePng(4, 6, seed = 3, colorType = 0)
+    val f = Multimodal.parsePng(2L, png).get
+    assert(f.format === "png" && f.width === 4 && f.height === 6)
+    assert(f.features(0) === f.features(1) && f.features(1) === f.features(2)
+      && f.features(2) === f.features(3))
+    val expect = (for (r <- 0 until 6; k <- 0 until 4)
+      yield (3 + r * 31 + k * 7) % 256).sum
+    assert(math.round(f.features(3).toDouble * 24 * 255) === expect)
+  }
+
+  test("parsePng/decode: corrupt and unsupported variants fall to the stub") {
+    assert(Multimodal.decode(1L, Multimodal.makePng(3, 3, 1)).format === "png")
+    // bad magic
+    val bad = Multimodal.makePng(3, 3, 1); bad(0) = 0
+    assert(Multimodal.decode(2L, bad).format === "stub")
+    // truncated IDAT (zlib stream cut mid-block)
+    val trunc = Multimodal.makePng(8, 8, 1).take(60)
+    assert(Multimodal.decode(3L, trunc).format === "stub")
+    // 16-bit depth and interlaced both unsupported (CRC no longer
+    // matches either, but the parser rejects on the header first)
+    val deep = Multimodal.makePng(3, 3, 1); deep(24) = 16
+    assert(Multimodal.decode(4L, deep).format === "stub")
+    val adam7 = Multimodal.makePng(3, 3, 1); adam7(28) = 1
+    assert(Multimodal.decode(5L, adam7).format === "stub")
+    // palette color type
+    val pal = Multimodal.makePng(3, 3, 1); pal(25) = 3
+    assert(Multimodal.decode(6L, pal).format === "stub")
+  }
 }
