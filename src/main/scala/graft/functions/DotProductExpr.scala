@@ -126,6 +126,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NgramArray].getName, "ngrams"),
       (children: Seq[Expression]) => NgramArray(children.head,
         litInt(children(1), "ngrams", "n"))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("md5_long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "md5_long"),
+      (children: Seq[Expression]) => Md5Long(children.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("md5_long64"),
+      new ExpressionInfo(classOf[Md5Long64].getName, "md5_long64"),
+      (children: Seq[Expression]) => Md5Long64(children.head)))
     e.injectOptimizerRule(_ => graft.plans.ShareWindowExchange)
   }
 }

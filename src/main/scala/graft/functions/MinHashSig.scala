@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.commons.codec.digest.DigestUtils
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -68,9 +67,19 @@ object MinHashSig {
     while (s < n) {
       if (!shingles.isNullAt(s)) {
         contributed = true
-        val hex = DigestUtils.md5Hex(shingles.getUTF8String(s).getBytes)
-        val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-        val h2 = java.lang.Long.parseLong(hex.substring(15, 29), 16)
+        // h1 = hex chars 1-15 (digest bytes 0-7 big-endian >>> 4),
+        // h2 = hex chars 16-29 (bytes 7-14 big-endian, outer nibbles
+        // dropped) — same bits the hex-substring/parseLong form read,
+        // without the per-shingle hex string
+        val d = Md5Long.digest(shingles.getUTF8String(s).getBytes)
+        val h1 = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+        val h2 = ((((d(7) & 0xffL) << 56) | ((d(8) & 0xffL) << 48) |
+          ((d(9) & 0xffL) << 40) | ((d(10) & 0xffL) << 32) |
+          ((d(11) & 0xffL) << 24) | ((d(12) & 0xffL) << 16) |
+          ((d(13) & 0xffL) << 8) | (d(14) & 0xffL)) >>> 4) & ((1L << 56) - 1)
         var i = 0
         var g = h1 // h1 + i*h2, accumulated additively
         while (i < numHashes) {

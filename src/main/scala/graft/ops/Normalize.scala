@@ -149,6 +149,100 @@ object Normalize {
       .drop("__thr")
   }
 
+  /** Exact per-group interpolating percentiles WITHOUT per-group value
+    * buffering: the histogram formulation of Spark's `percentile`.
+    *
+    * Why: the builtin exact `percentile` aggregate buffers a
+    * value→count map PER GROUP in executor memory — fine for modest
+    * groups, a GC cliff / OOM for billion-row groups (the q_median_exact
+    * soak characterized exactly this failure mode). Here the corpus-
+    * scale work is a fully-parallel `groupBy(key, value)` partial
+    * aggregate — the occurrence stream compresses to distinct
+    * (key, value) pairs map-side — and everything after (cumulative
+    * counts, rank lookup, interpolation) runs over the HISTOGRAM, whose
+    * size is bounded by distinct values, not rows. The windows below
+    * partition the histogram, not the fact table, so the
+    * low-cardinality-key window trap (class scaladoc) does not apply.
+    *
+    * Right tool when distinct values per group ≪ rows per group —
+    * integral counts, quantized scores, cents: the common corpus-signal
+    * case. For continuous never-repeating doubles the histogram IS the
+    * data and the buffering form is no worse; gate on a quantized signal
+    * when hash-stability matters (quantileGate scaladoc).
+    *
+    * Interpolation replicates `Percentile.getPercentile` exactly —
+    * `pos = p·(n−1)`, `(ceil(pos)−pos)·v_lo + (pos−floor(pos))·v_hi`,
+    * with the same two collapse cases (integral pos; equal keys) short-
+    * circuited to `v_lo` before any float multiply — so results are
+    * bit-identical to [[winsorize]]'s builtin-percentile form and to
+    * DuckDB's `quantile_cont`. NULL values are excluded from the
+    * histogram (the aggregate's null-skip); all-NULL groups simply have
+    * no histogram row and vanish from the output, matching the builtin's
+    * NULL stats row under a left join-back.
+    *
+    * Output: one row per key group with `quantiles[i]` = the i-th
+    * requested percentile, as `__q0, __q1, ...` columns.
+    */
+  def groupQuantilesHist(df: DataFrame, keyCols: Seq[String],
+                         valueCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0, 1], got $ps")
+    import org.apache.spark.sql.expressions.Window
+    val x = col(valueCol)
+    val hist = df.filter(x.isNotNull)
+      .groupBy((keyCols.map(col) :+ x.as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    // both windows share one hash partitioning (and the sorted one
+    // satisfies the unsorted one's requirement — single exchange)
+    val wOrd = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    // per percentile: rank bounds as per-row expressions (constant
+    // within a key group), v_lo/v_hi located by the cumulative count
+    val aggExprs = ps.zipWithIndex.flatMap { case (p, i) =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      val lo = floor(pos).cast("long")
+      val hi = ceil(pos).cast("long")
+      Seq(min(when(col("__cum") >= lo + 1, col("__v"))).as(s"__lo$i"),
+          min(when(col("__cum") >= hi + 1, col("__v"))).as(s"__hi$i"))
+    }
+    val perKey = cum.groupBy(keyCols.map(col): _*)
+      .agg(max(col("__n")).as("__n"), aggExprs.head, aggExprs.tail: _*)
+    val out = ps.zipWithIndex.map { case (p, i) =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      val loV = col(s"__lo$i").cast("double")
+      val hiV = col(s"__hi$i").cast("double")
+      when(lo === hi || loV === hiV, loV)
+        .otherwise((hi - pos) * loV + (pos - lo) * hiV)
+        .as(s"__q$i")
+    }
+    perKey.select(keyCols.map(col) ++ out: _*)
+  }
+
+  /** [[winsorize]] with the [[groupQuantilesHist]] percentile engine:
+    * identical clipped values (the interpolation is bit-identical), but
+    * the per-group state is a histogram partial aggregate instead of the
+    * builtin `percentile`'s in-memory value buffer — the shape that
+    * survives billion-row groups. Prefer this form for integral or
+    * quantized signals; see [[groupQuantilesHist]] for the trade.
+    */
+  def winsorizeHist(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                    outCol: String, pLow: Double = 0.05,
+                    pHigh: Double = 0.95): DataFrame = {
+    require(0.0 <= pLow && pLow < pHigh && pHigh <= 1.0,
+      s"need 0 <= pLow < pHigh <= 1; got $pLow, $pHigh")
+    val x = col(valueCol)
+    val stats = groupQuantilesHist(df, keyCols, valueCol, Seq(pLow, pHigh))
+      .withColumnRenamed("__q0", "__lo").withColumnRenamed("__q1", "__hi")
+    joinStats(df, stats, keyCols)
+      .withColumn(outCol, least(greatest(x, col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   /** Per-group median absolute deviation — the outlier-ROBUST spread
     * estimate (`mad = median(|x − median(x)|)`): unlike stddev, one
     * corrupt extreme value cannot blow up the gate, which is why robust

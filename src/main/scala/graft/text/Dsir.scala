@@ -20,8 +20,11 @@ import graft.dedup.NearDup
   *     (`md5Long(token) mod B`) — no learned vocabulary, fixed-size
   *     state, identical in the DuckDB oracle;
   *   - bucket unigram counts for raw and target come from ONE corpus
-  *     pass (`groupBy(bucket)` with a conditional sum — B-bounded
-  *     partial aggregate, the shuffle carries ≤ B rows per map task);
+  *     pass, aggregated to VOCAB granularity first (partial aggregate
+  *     compresses the occurrence stream to distinct tokens per task, so
+  *     the hash runs once per vocab entry, not per occurrence) and
+  *     checkpointed so the totals and ratio consumers replay a
+  *     vocab-sized table, not the corpus scan;
   *   - per-bucket log-likelihood-ratio of Laplace-smoothed bucket
   *     probabilities is quantized to micro-units BEFORE any per-doc
   *     sum (the fixed-point idiom — NOTES.md): integer sums are
@@ -30,8 +33,12 @@ import graft.dedup.NearDup
   *     the token stream and partial-aggregates per doc.
   *
   * Scale shape: exactly two scans of the corpus (stats + apply), one
-  * B-bounded stats shuffle, one linear per-doc shuffle; the ratio table
-  * broadcasts at any corpus size. No all-pairs anything.
+  * vocab-bounded stats shuffle, one linear per-doc shuffle; the ratio
+  * table broadcasts at any corpus size (B rows). The apply pass hashes
+  * per occurrence — constant work per token, no vocab-sized driver
+  * state — via the fused codegen [[graft.functions.Md5Long]] (the
+  * hex-string composite was 3x the cost of the scan itself; DsirProbe).
+  * No all-pairs anything.
   */
 object Dsir {
 
@@ -55,10 +62,26 @@ object Dsir {
         explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .withColumn("b", NearDup.md5Long(col("token")) % b)
 
-    // one stats pass: raw + target bucket counts together
-    val bucketCounts = tok.groupBy("b").agg(
-      count(lit(1)).as("c_r"),
-      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    // one stats pass, aggregated to VOCAB granularity before hashing:
+    // the partial agg compresses the occurrence stream to distinct
+    // tokens per task, so md5 runs once per vocab entry instead of once
+    // per occurrence, and the checkpoint pins the single corpus scan so
+    // the totals and ratio consumers below don't re-run it (the
+    // GraphStats lesson). Bucket rollup from vocab counts is exactly the
+    // occurrence-level bucket count — b is a function of token.
+    val tokenCounts = docs.select(
+        targetPred.as("is_t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(
+        count(lit(1)).as("c_r"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+      .localCheckpoint()
+
+    val bucketCounts = tokenCounts
+      .withColumn("b", NearDup.md5Long(col("token")) % b)
+      .groupBy("b").agg(
+        sum(col("c_r")).as("c_r"),
+        sum(col("c_t")).as("c_t"))
 
     val totals = bucketCounts.agg(
       sum(col("c_r")).as("n_r"), sum(col("c_t")).as("n_t"))

@@ -122,4 +122,67 @@ class NormalizeSpec extends SparkTestBase {
       .filter(col("v") === 50.0).select("wv").collect()
     assert(w.map(_.getDouble(0)).toSeq === Seq(50.0))
   }
+
+  test("groupQuantilesHist == builtin percentile bit-for-bit (integral, float, ties)") {
+    val ps = Seq(0.0, 0.05, 0.25, 1.0 / 3.0, 0.5, 0.9, 0.95, 1.0)
+    // md5-derived deterministic values: integral, repeating, and a float
+    // variant with non-terminating interpolation fractions
+    val base = spark.range(0, 2000).select(
+      (col("id") % 7).cast("string").as("key"),
+      (graft.dedup.NearDup.md5Long(col("id").cast("string")) % 40).as("vi"))
+    for (d <- Seq(
+        base.select(col("key"), col("vi").cast("double").as("v")),
+        base.select(col("key"), (col("vi").cast("double") / 8.0 + 0.1).as("v")))) {
+      val ref = d.groupBy("key")
+        .agg(ps.zipWithIndex.map { case (p, i) =>
+          percentile(col("v"), lit(p)).as(s"__q$i") }.head,
+          ps.zipWithIndex.map { case (p, i) =>
+            percentile(col("v"), lit(p)).as(s"__q$i") }.tail: _*)
+      val fast = Normalize.groupQuantilesHist(d, Seq("key"), "v", ps)
+      val joined = ref.as("r").join(fast.as("f"), Seq("key")).collect()
+      assert(joined.length === 7)
+      joined.foreach { row =>
+        ps.indices.foreach { i =>
+          val (r, f) = (row.getAs[Double](s"__q$i"), row.getAs[Double](s"__q${i}"))
+          assert(java.lang.Double.doubleToRawLongBits(r) ===
+            java.lang.Double.doubleToRawLongBits(f),
+            s"p=${ps(i)} key=${row.getString(0)}: builtin $r != hist $f")
+        }
+      }
+    }
+  }
+
+  test("winsorizeHist == winsorize bit-for-bit on real lineitem, incl NULL stratum") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"),
+        // NULL stratum for ~1/7 of rows: the null-safe join-back path
+        when(col("l_orderkey") % 7 === 0, lit(null)).otherwise(col("l_returnflag"))
+          .as("rf"),
+        col("l_quantity"))
+    val a = Normalize.winsorize(li, Seq("rf"), "l_quantity", "w")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .select("w").collect().map(_.getDouble(0))
+    val b = Normalize.winsorizeHist(li, Seq("rf"), "l_quantity", "w")
+      .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .select("w").collect().map(_.getDouble(0))
+    assert(a.length === b.length)
+    a.indices.foreach(i => assert(
+      java.lang.Double.doubleToRawLongBits(a(i)) ===
+        java.lang.Double.doubleToRawLongBits(b(i)), s"row $i: ${a(i)} != ${b(i)}"))
+  }
+
+  test("winsorizeHist: all-NULL group passes values through; plan has no Percentile buffer") {
+    val d = Seq(("a", Some(1.0)), ("a", Some(100.0)), ("b", None), ("b", None))
+      .toDF("key", "v")
+    val w = Normalize.winsorizeHist(d, Seq("key"), "v", "wv")
+    assert(w.count() === 4)
+    // group b has no non-null values → no stats row → least/greatest
+    // null-skip passes v (null) through, same as the builtin form
+    assert(w.filter(col("key") === "b").select("wv").collect()
+      .forall(_.isNullAt(0)))
+    val p = w.queryExecution.executedPlan.toString
+    assert(!p.contains("percentile"),
+      s"hist form must not plan the buffering percentile aggregate:\n$p")
+  }
 }
