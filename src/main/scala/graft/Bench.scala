@@ -102,15 +102,18 @@ object Bench {
          "q_epoch_order" | "q_trainset_build" | "q_rank_features" => "sampling"
     case "q_anomaly" | "q_asof_join" | "q_attribution" | "q_funnel" |
          "q_funnel_summary" | "q_retention" | "q_sessionize" |
-         "q_correlation" | "q_mad" | "q_normalize" | "q_decayed_sum" |
+         "q_correlation" | "q_mad" | "q_normalize" | "q_winsorize" |
+         "q_decayed_sum" | "q_cms_topk" |
          "q_range_join" | "q_range_join_keyed" | "q_fuzzy_link" |
          "q_resample_daily" | "q_rolling_active" => "events"
+    case "q_dsir_weights" | "q_source_kl" => "text"
     case "q_merge_upsert" | "q_scd2_apply" | "q_agg_upsert" | "q_zorder" |
          "q_quality_audit" => "cdc_layout"
     case n if n.startsWith("q_stream_") => "streaming"
     case "q_cdc_latest" => "streaming"
     case "q_multimodal_meta" | "q_frame_sample" | "q_bmp_decode" |
-         "q_wav_decode" | "q_wav_frames" | "q_bmp_resize" => "multimodal"
+         "q_wav_decode" | "q_wav_frames" | "q_bmp_resize" |
+         "q_png_decode" => "multimodal"
     case _ => "other"
   }
 }

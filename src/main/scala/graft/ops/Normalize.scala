@@ -208,8 +208,9 @@ object Normalize {
       Seq(min(when(col("__cum") >= lo + 1, col("__v"))).as(s"__lo$i"),
           min(when(col("__cum") >= hi + 1, col("__v"))).as(s"__hi$i"))
     }
+    val allAggs = max(col("__n")).as("__n") +: aggExprs
     val perKey = cum.groupBy(keyCols.map(col): _*)
-      .agg(max(col("__n")).as("__n"), aggExprs.head, aggExprs.tail: _*)
+      .agg(allAggs.head, allAggs.tail: _*)
     val out = ps.zipWithIndex.map { case (p, i) =>
       val pos = lit(p) * (col("__n") - 1).cast("double")
       val lo = floor(pos)
