@@ -2253,10 +2253,11 @@ object SparkEntry {
                                            ORDER BY cosine DESC, cid) AS rk
               FROM iscored),
             ivt AS (SELECT qid, cid FROM iranked WHERE rk <= 10),
-            hits AS (SELECT b.qid, CAST(COUNT(x.cid) AS BIGINT) AS n_hits
+            hits AS (SELECT b.qid, CAST(COUNT(x.cid) AS BIGINT) AS n_hits,
+                            CAST(COUNT(*) AS BIGINT) AS n_truth
                      FROM bft b LEFT JOIN ivt x ON x.qid = b.qid AND x.cid = b.cid
                      GROUP BY b.qid)
-            SELECT qid, n_hits, ROUND(n_hits / 10.0, 6) AS recall
+            SELECT qid, n_hits, ROUND(n_hits / CAST(n_truth AS DOUBLE), 6) AS recall
             FROM hits ORDER BY qid"""))
 
   // ---------------------------------------------------------------------

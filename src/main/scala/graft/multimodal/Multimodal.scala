@@ -287,6 +287,12 @@ object Multimodal {
     }
     val stride = w * bpp
     val expected = h * (stride + 1)
+    // a crafted 33-byte header could otherwise demand ~805 MB of decode
+    // buffers before any IDAT validation: cap the decoded size, and
+    // require the compressed stream to be at least expected/1032 bytes
+    // (deflate's hard maximum compression ratio) before allocating
+    if (expected > (64 << 20) || idat.size().toLong < expected / 1032L)
+      return None
     val raw = new Array[Byte](expected)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -294,7 +300,10 @@ object Multimodal {
     try {
       while (got < expected && !inf.finished()) {
         val n = inf.inflate(raw, got, expected - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // any zero-progress iteration is corrupt: truncated input,
+        // FDICT preset-dictionary demand, or other stall — the output
+        // buffer always has room here, so a healthy stream advances
+        if (n == 0) return None
         got += n
       }
     } catch {

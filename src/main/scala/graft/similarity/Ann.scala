@@ -270,10 +270,16 @@ object Ann {
     * emit; `exact` is truncated to rank ≤ k so a longer ground-truth
     * list can be reused across k values.
     *
-    * Per query: `n_hits = |approx ∩ exact|`, `recall = n_hits / k`.
-    * Scale shape: both sides are |queries|·k rows — microscopic next to
-    * the corpus — so this is a keyed semi-join + partial count; every
-    * query appears in the output even at recall 0.
+    * Per query: `n_hits = |approx ∩ exact|`, `recall = n_hits /
+    * |exact truth list|`. The denominator is the per-query truth size
+    * (≤ k), NOT the constant k: when the corpus is smaller than k+1 or a
+    * truth list is short, dividing by k would systematically
+    * underestimate and cap recall below 1.0. Queries absent from `exact`
+    * have no defined truth and are excluded (recall is a property of the
+    * ground-truth set). Scale shape: both sides are |queries|·k rows —
+    * microscopic next to the corpus — so this is a keyed semi-join +
+    * partial count; every truth query appears in the output even at
+    * recall 0.
     */
   def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
@@ -281,10 +287,10 @@ object Ann {
     val e = exact.filter(col("rank") <= k).select(col("qid"), col("cid"))
     val hits = e.join(a, Seq("qid", "cid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
-    e.select("qid").distinct()
+    e.groupBy("qid").agg(count(lit(1)).as("__n_truth"))
       .join(hits, Seq("qid"), "left")
       .na.fill(0L, Seq("n_hits"))
       .select(col("qid"), col("n_hits"),
-              round(col("n_hits") / lit(k.toDouble), 6).as("recall"))
+              round(col("n_hits") / col("__n_truth"), 6).as("recall"))
   }
 }

@@ -223,6 +223,18 @@ class AnnSpec extends SparkTestBase {
     assert(out(2L) === ((0L, 0.0)), "a query the index lost entirely must still report")
   }
 
+  test("recallAtK: short truth list divides by |truth|, so recall can reach 1.0") {
+    import spark.implicits._
+    // corpus smaller than k+1: truth has only 2 entries but k=5 —
+    // dividing by the constant k would cap recall at 0.4 forever
+    val ex = Seq((1L, 1, 10L), (1L, 2, 11L)).toDF("qid", "rank", "cid")
+    val ap = Seq((1L, 1, 11L), (1L, 2, 10L), (1L, 3, 99L)).toDF("qid", "rank", "cid")
+    val r = Ann.recallAtK(ap, ex, k = 5).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_hits") === 2L)
+    assert(r(0).getAs[Double]("recall") === 1.0)
+  }
+
   test("recallAtK: IVF nProbe=all recovers brute-force recall 1.0 on the corpus") {
     import graft.similarity.Ivf
     val qs = emb.filter(col("vec_id") < 3)

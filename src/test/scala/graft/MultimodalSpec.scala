@@ -312,4 +312,34 @@ class MultimodalSpec extends SparkTestBase {
     val pal = Multimodal.makePng(3, 3, 1); pal(25) = 3
     assert(Multimodal.decode(6L, pal).format === "stub")
   }
+
+  test("parsePng: FDICT zlib header rejects instead of spinning forever") {
+    // FLG=0x20 sets the preset-dictionary bit with valid check bits for
+    // CMF=0x78 ((0x78*256+0x20) % 31 == 0): Inflater.inflate() then
+    // returns 0 with needsInput()==false forever — the zero-progress
+    // guard must bail rather than hang the executor thread
+    val png = Multimodal.makePng(3, 3, 1)
+    png(42) = 0x20.toByte // zlib FLG at sig(8) + IHDR(25) + IDAT len+type(8) + 1
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = done.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = Multimodal.decode(7L, png).format
+      })
+      assert(fut.get(10, java.util.concurrent.TimeUnit.SECONDS) === "stub")
+    } finally done.shutdownNow()
+  }
+
+  test("parsePng: lying giant-dimension header rejects before allocating") {
+    // w=h=16384, colorType 2 passes the dimension gate but implies
+    // ~805 MB of decode buffers; the size cap and the deflate-ratio
+    // bound (|IDAT| >= expected/1032) must both reject this tiny file
+    val png = Multimodal.makePng(3, 3, 1)
+    png(16) = 0; png(17) = 0; png(18) = 0x40.toByte; png(19) = 0 // w = 16384
+    png(20) = 0; png(21) = 0; png(22) = 0x40.toByte; png(23) = 0 // h = 16384
+    val before = Runtime.getRuntime.totalMemory()
+    assert(Multimodal.decode(8L, png).format === "stub")
+    // no assertion on memory delta (GC noise) — the real check is that
+    // the call returns at all without an 805 MB Array alloc attempt
+    assert(before > 0)
+  }
 }

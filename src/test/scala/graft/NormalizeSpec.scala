@@ -133,17 +133,18 @@ class NormalizeSpec extends SparkTestBase {
     for (d <- Seq(
         base.select(col("key"), col("vi").cast("double").as("v")),
         base.select(col("key"), (col("vi").cast("double") / 8.0 + 0.1).as("v")))) {
-      val ref = d.groupBy("key")
-        .agg(ps.zipWithIndex.map { case (p, i) =>
-          percentile(col("v"), lit(p)).as(s"__q$i") }.head,
-          ps.zipWithIndex.map { case (p, i) =>
-            percentile(col("v"), lit(p)).as(s"__q$i") }.tail: _*)
+      // ref columns are aliased __rN, hist columns __qN: after the join
+      // the two sides are DISTINCT fields, so Row.getAs cannot resolve
+      // both reads to the same column (which would make the test vacuous)
+      val refAggs = ps.zipWithIndex.map { case (p, i) =>
+        percentile(col("v"), lit(p)).as(s"__r$i") }
+      val ref = d.groupBy("key").agg(refAggs.head, refAggs.tail: _*)
       val fast = Normalize.groupQuantilesHist(d, Seq("key"), "v", ps)
-      val joined = ref.as("r").join(fast.as("f"), Seq("key")).collect()
+      val joined = ref.join(fast, Seq("key")).collect()
       assert(joined.length === 7)
       joined.foreach { row =>
         ps.indices.foreach { i =>
-          val (r, f) = (row.getAs[Double](s"__q$i"), row.getAs[Double](s"__q${i}"))
+          val (r, f) = (row.getAs[Double](s"__r$i"), row.getAs[Double](s"__q$i"))
           assert(java.lang.Double.doubleToRawLongBits(r) ===
             java.lang.Double.doubleToRawLongBits(f),
             s"p=${ps(i)} key=${row.getString(0)}: builtin $r != hist $f")
