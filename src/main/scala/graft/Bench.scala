@@ -92,7 +92,8 @@ object Bench {
          "q_pmi_bigrams" | "q_fingerprint" | "q_repetition" |
          "q_repetition_gate" | "q_pack_bins" | "q_source_overlap" => "text"
     case n if n.startsWith("q_dedup") || n.startsWith("q_dup_") => "dedup_graph"
-    case "q_ngram_jaccard" | "q_triangles" | "q_clustering" => "dedup_graph"
+    case "q_ngram_jaccard" | "q_triangles" | "q_clustering" |
+         "q_pagerank" | "q_substr_spans" => "dedup_graph"
     case n if n.startsWith("q_ann") => "ann"
     case "q_embed_neardup" | "q_quantize_int8" | "q_kmeans_step" |
          "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" |

@@ -2825,6 +2825,33 @@ object SparkEntry {
             FROM (SELECT doc_id FROM documents) d LEFT JOIN g USING (doc_id)
             ORDER BY id"""))
 
+  /** Exact-substring duplication profile
+    * ([[graft.text.SubstrDedup.dupSpans]]): stride-16 32-char windows,
+    * a window is duplicated iff its exact text recurs anywhere in the
+    * corpus. Hash group-by on 60-bit span hashes (never pairwise, never
+    * shuffling text); dup_ppm is exact integer parts-per-million.
+    */
+  private val qSubstrSpans = Q(
+    (s, dir) =>
+      graft.text.SubstrDedup.dupSpans(t(s, dir, "documents"),
+        "doc_id", "text", window = 32, stride = 16)
+        .orderBy("id"),
+    Some(s"""WITH sh AS (
+              SELECT doc_id AS id,
+                     ${md5LongSql("substr(text, i + 1, 32)")} AS h
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, len(text) - 32 + 1, 16)) AS i
+                    FROM documents WHERE len(text) >= 32)),
+            cnt AS (SELECT h, COUNT(*) AS c FROM sh GROUP BY h)
+            SELECT id,
+                   CAST(COUNT(*) AS BIGINT) AS total_shingles,
+                   CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS dup_shingles,
+                   CAST((1000000 * SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END))
+                        // COUNT(*) AS BIGINT) AS dup_ppm
+            FROM sh JOIN cnt USING (h)
+            GROUP BY id ORDER BY id"""))
+
   /** IVF probe over TRAINED centroids: [[graft.similarity.Kmeans
     * .updatedCentroids]] refines the md5-sampled seeds by one Lloyd
     * iteration before indexing/probing. The oracle replays sampling →
@@ -3786,6 +3813,44 @@ object SparkEntry {
              FROM deg LEFT JOIN tcnt ON tcnt.id = deg.id
              ORDER BY deg.id"""))
 
+  /** Fixed-3-iteration PageRank over the simhash near-dup graph
+    * ([[graft.dedup.PageRank.rankMicro]]): exact micro-unit integer
+    * arithmetic (rank DIV degree contributions, 0.85 damping as
+    * `(85·Σ) DIV 100`), so the oracle replays the three rounds as three
+    * unrolled CTEs bit-for-bit. Spark side: one persisted
+    * adjacency+degree build, one join + one partial-agg groupBy per
+    * iteration, per-round `localCheckpoint` lineage truncation.
+    */
+  private val qPageRank = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val sims = graft.dedup.NearDup.simHash(docs, "doc_id", "text")
+      val pairs = graft.dedup.NearDup.simHashNearDups(sims, maxHamming = 10)
+      graft.dedup.PageRank.rankMicro(pairs, "id_a", "id_b", iters = 3)
+        .orderBy("id")
+    },
+    Some {
+      def iterCte(name: String, prev: String) =
+        s"""$name AS (SELECT a.dst AS id,
+                        CAST(150000 + (85 * SUM(p.r // a.d)) // 100 AS BIGINT) AS r
+                      FROM ad a JOIN $prev p ON p.id = a.src
+                      GROUP BY a.dst)"""
+      s"""WITH ${simHashPairsCtes(10)},
+             ed AS (SELECT id_a AS a, id_b AS b FROM spairs),
+             adj AS (SELECT a AS src, b AS dst FROM ed
+                     UNION SELECT b AS src, a AS dst FROM ed),
+             deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+                     FROM adj GROUP BY src),
+             ad AS (SELECT adj.src, adj.dst, deg.d
+                    FROM adj JOIN deg USING (src)),
+             r0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS r
+                    FROM adj),
+             ${iterCte("i1", "r0")},
+             ${iterCte("i2", "i1")},
+             ${iterCte("i3", "i2")}
+             SELECT id, r AS rank_micro FROM i3 ORDER BY id"""
+    })
+
   /** Windowed type stats run through the STREAMING code path
     * ([[graft.streaming.EventStreams.windowedTypeStats]]): the events
     * table drained as a file-source stream via `Trigger.AvailableNow`
@@ -4090,6 +4155,7 @@ object SparkEntry {
     "q_kmeans_step" -> qKmeansStep,
     "q_rolling_active" -> qRollingActive,
     "q_chunk_dedup" -> qChunkDedup,
+    "q_substr_spans" -> qSubstrSpans,
     "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_bm25_topk" -> qBm25,
     "q_hybrid_rrf" -> qHybridRrf,
@@ -4117,6 +4183,7 @@ object SparkEntry {
     "q_mad" -> qMad,
     "q_quantize_int8" -> qQuantizeInt8,
     "q_clustering" -> qClustering,
+    "q_pagerank" -> qPageRank,
     "q_stream_window_stats" -> qStreamWindowStats,
     "q_cdc_latest" -> qCdcLatest,
     "q_stream_sessionize" -> qStreamSessionize,
