@@ -109,7 +109,8 @@ object Bench {
          "q_resample_daily" | "q_rolling_active" => "events"
     case "q_dsir_weights" | "q_source_kl" => "text"
     case "q_merge_upsert" | "q_scd2_apply" | "q_agg_upsert" | "q_zorder" |
-         "q_quality_audit" => "cdc_layout"
+         "q_quality_audit" | "q_dataset_fingerprint" |
+         "q_snapshot_diff" => "cdc_layout"
     case n if n.startsWith("q_stream_") => "streaming"
     case "q_cdc_latest" => "streaming"
     case "q_multimodal_meta" | "q_frame_sample" | "q_bmp_decode" |

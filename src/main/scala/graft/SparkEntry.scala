@@ -2825,6 +2825,68 @@ object SparkEntry {
             FROM (SELECT doc_id FROM documents) d LEFT JOIN g USING (doc_id)
             ORDER BY id"""))
 
+  /** Per-bucket dataset fingerprint
+    * ([[graft.ops.Fingerprint.bucketFingerprints]]): 64 buckets keyed
+    * by md5(o_orderkey), per-row 60-bit md5 over a canonical '|' join,
+    * folded with overflow-free commutative bit_xor. One scan + one
+    * partial-agg group-by regardless of table size.
+    */
+  private val qDatasetFingerprint = Q(
+    (s, dir) =>
+      graft.ops.Fingerprint.bucketFingerprints(t(s, dir, "orders"),
+        "o_orderkey", Seq("o_orderkey", "o_custkey", "o_orderstatus"),
+        nBuckets = 64)
+        .orderBy("bucket"),
+    Some(s"""SELECT ${md5LongSql("CAST(o_orderkey AS VARCHAR)")} % 64 AS bucket,
+                    CAST(COUNT(*) AS BIGINT) AS n_rows,
+                    bit_xor(${md5LongSql(
+      "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)")})
+                      AS fp
+             FROM orders GROUP BY 1 ORDER BY bucket"""))
+
+  /** Snapshot diff via fingerprint compare
+    * ([[graft.ops.Fingerprint.snapshotDiff]]): snapshot B deterministically
+    * mutates orders (status flipped to 'X' where key % 97 = 0, rows
+    * deleted where key % 101 = 0); the diff surfaces exactly the buckets
+    * holding a mutated key, from two scans + a bucket-count-sized join
+    * — never a row-level cross-snapshot shuffle.
+    */
+  private val qSnapshotDiff = Q(
+    (s, dir) => {
+      val a = t(s, dir, "orders")
+      val b = a.filter(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 97 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      graft.ops.Fingerprint.snapshotDiff(a, b, "o_orderkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"), nBuckets = 512)
+        .orderBy("bucket")
+    },
+    Some {
+      def fold(src: String) =
+        s"""SELECT ${md5LongSql("CAST(o_orderkey AS VARCHAR)")} % 512 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   bit_xor(${md5LongSql(
+          "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), o_orderstatus)")})
+                     AS fp
+            FROM $src GROUP BY 1"""
+      s"""WITH snap_b AS (SELECT o_orderkey, o_custkey,
+                                 CASE WHEN o_orderkey % 97 = 0 THEN 'X'
+                                      ELSE o_orderstatus END AS o_orderstatus
+                          FROM orders WHERE o_orderkey % 101 <> 0),
+             fa AS (${fold("orders")}),
+             fb AS (${fold("snap_b")})
+             SELECT COALESCE(fa.bucket, fb.bucket) AS bucket,
+                    COALESCE(fa.n_rows, 0) AS n_rows_a,
+                    COALESCE(fb.n_rows, 0) AS n_rows_b,
+                    COALESCE(fa.fp, 0) AS fp_a,
+                    COALESCE(fb.fp, 0) AS fp_b
+             FROM fa FULL OUTER JOIN fb ON fa.bucket = fb.bucket
+             WHERE COALESCE(fa.n_rows, 0) <> COALESCE(fb.n_rows, 0)
+                OR COALESCE(fa.fp, 0) <> COALESCE(fb.fp, 0)
+             ORDER BY bucket"""
+    })
+
   /** Exact-substring duplication profile
     * ([[graft.text.SubstrDedup.dupSpans]]): stride-16 32-char windows,
     * a window is duplicated iff its exact text recurs anywhere in the
@@ -4156,6 +4218,8 @@ object SparkEntry {
     "q_rolling_active" -> qRollingActive,
     "q_chunk_dedup" -> qChunkDedup,
     "q_substr_spans" -> qSubstrSpans,
+    "q_dataset_fingerprint" -> qDatasetFingerprint,
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_bm25_topk" -> qBm25,
     "q_hybrid_rrf" -> qHybridRrf,
