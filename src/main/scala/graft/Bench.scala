@@ -90,7 +90,8 @@ object Bench {
     case "q_bm25_topk" | "q_boilerplate" | "q_lm_score" | "q_lang_id" |
          "q_pii_scrub" | "q_tfidf_topterms" | "q_vocabulary" |
          "q_pmi_bigrams" | "q_fingerprint" | "q_repetition" |
-         "q_repetition_gate" | "q_pack_bins" | "q_source_overlap" => "text"
+         "q_repetition_gate" | "q_pack_bins" | "q_source_overlap" |
+         "q_bpe_merges" => "text"
     case n if n.startsWith("q_dedup") || n.startsWith("q_dup_") => "dedup_graph"
     case "q_ngram_jaccard" | "q_triangles" | "q_clustering" |
          "q_pagerank" | "q_substr_spans" => "dedup_graph"
@@ -110,7 +111,8 @@ object Bench {
     case "q_dsir_weights" | "q_source_kl" => "text"
     case "q_merge_upsert" | "q_scd2_apply" | "q_agg_upsert" | "q_zorder" |
          "q_quality_audit" | "q_dataset_fingerprint" |
-         "q_snapshot_diff" => "cdc_layout"
+         "q_snapshot_diff" | "q_compaction_plan" |
+         "q_zone_prune" => "cdc_layout"
     case n if n.startsWith("q_stream_") => "streaming"
     case "q_cdc_latest" => "streaming"
     case "q_multimodal_meta" | "q_frame_sample" | "q_bmp_decode" |

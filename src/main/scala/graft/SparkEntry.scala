@@ -2711,6 +2711,24 @@ object SparkEntry {
     * the result is hash-stable; the min-count threshold prunes the
     * singleton tail before any join.
     */
+  /** BPE first-round merge candidates
+    * ([[graft.text.Bpe.mergeCandidates]]): corpus-frequency counts of
+    * adjacent character pairs inside lowercased words — the
+    * distributed counting step of tokenizer training, one shuffle of
+    * 2-char keys with map-side partial aggregation.
+    */
+  private val qBpeMerges = Q(
+    (s, dir) =>
+      graft.text.Bpe.mergeCandidates(t(s, dir, "documents"), "text", k = 20),
+    Some("""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                       FROM documents),
+            p AS (SELECT substr(w, i, 2) AS pair
+                  FROM (SELECT w, unnest(range(1, len(w))) AS i
+                        FROM w WHERE len(w) >= 2))
+            SELECT pair, CAST(COUNT(*) AS BIGINT) AS pair_count
+            FROM p GROUP BY pair
+            ORDER BY pair_count DESC, pair LIMIT 20"""))
+
   private val qPmiBigrams = Q(
     (s, dir) =>
       graft.text.CorpusStats.pmiBigrams(
@@ -3612,6 +3630,88 @@ object SparkEntry {
     * interleave of (customer bucket, order-day bucket) — pure 64-bit
     * shift/mask arithmetic, replayed step-for-step by the oracle.
     */
+  /** Small-file compaction plan ([[graft.ops.Compaction.planBins]]):
+    * pseudo file listing derived from documents (20-doc files, bytes =
+    * Σ n_chars per source), next-fit binned to 20 kB targets by a
+    * per-partition running sum — deterministic metadata-only planning.
+    */
+  private val qCompactionPlan = Q(
+    (s, dir) => {
+      val files = t(s, dir, "documents")
+        .groupBy(col("source"), expr("doc_id DIV 20").as("file_id"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      graft.ops.Compaction.planBins(files, "source", "file_id", "bytes",
+        targetBytes = 20000L)
+        .orderBy("part", "bin")
+    },
+    Some("""WITH f AS (SELECT source AS part, doc_id // 20 AS file_id,
+                              CAST(SUM(n_chars) AS BIGINT) AS bytes
+                       FROM documents GROUP BY 1, 2),
+            c AS (SELECT part, file_id, bytes,
+                         COALESCE(SUM(bytes) OVER (
+                           PARTITION BY part ORDER BY file_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                  FROM f)
+            SELECT part, CAST(cb // 20000 AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_files,
+                   CAST(SUM(bytes) AS BIGINT) AS total_bytes
+            FROM c GROUP BY part, bin ORDER BY part, bin"""))
+
+  /** Zone-map pruning effectiveness ([[graft.ops.ZoneMap]]): the same
+    * three shipdate range probes replayed against a date-clustered
+    * layout (30-day range buckets) vs a hash layout (md5(l_orderkey) %
+    * 84) — the measured receipt that clustering is what makes min/max
+    * stats prune. Zone maps are one group-by each; probing is
+    * zone-map × BROADCAST probe list.
+    */
+  private val qZonePrune = Q(
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select(
+        expr("datediff(to_date(l_shipdate), date'1970-01-01')").as("day"),
+        col("l_orderkey"))
+      val probes = Seq((1, 9500, 9529), (2, 10000, 10089),
+        (3, 10950, 11314)).toDF("probe_id", "lo", "hi")
+      val zRange = graft.ops.ZoneMap.zones(
+        li.withColumn("bucket", expr("day DIV 30")), "bucket", "day")
+      val zHash = graft.ops.ZoneMap.zones(
+        li.withColumn("bucket",
+          graft.dedup.NearDup.md5Long(col("l_orderkey").cast("string")) % 84),
+        "bucket", "day")
+      graft.ops.ZoneMap.probeScanStats(zRange, probes)
+        .withColumn("layout", lit("range"))
+        .unionByName(graft.ops.ZoneMap.probeScanStats(zHash, probes)
+          .withColumn("layout", lit("hash")))
+        .select("layout", "probe_id", "buckets_scanned", "rows_scanned")
+        .orderBy("layout", "probe_id")
+    },
+    Some(s"""WITH li AS (SELECT CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                                  AS day, l_orderkey
+                         FROM lineitem),
+            probes(probe_id, lo, hi) AS (VALUES (1, 9500, 9529),
+                                                (2, 10000, 10089),
+                                                (3, 10950, 11314)),
+            zr AS (SELECT day // 30 AS bucket, MIN(day) AS min_v,
+                          MAX(day) AS max_v, COUNT(*) AS n_rows
+                   FROM li GROUP BY 1),
+            zh AS (SELECT ${md5LongSql("CAST(l_orderkey AS VARCHAR)")} % 84
+                            AS bucket, MIN(day) AS min_v,
+                          MAX(day) AS max_v, COUNT(*) AS n_rows
+                   FROM li GROUP BY 1),
+            sr AS (SELECT 'range' AS layout, probe_id,
+                          CAST(COUNT(*) AS BIGINT) AS buckets_scanned,
+                          CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
+                   FROM zr, probes WHERE max_v >= lo AND min_v <= hi
+                   GROUP BY probe_id),
+            sh AS (SELECT 'hash' AS layout, probe_id,
+                          CAST(COUNT(*) AS BIGINT) AS buckets_scanned,
+                          CAST(SUM(n_rows) AS BIGINT) AS rows_scanned
+                   FROM zh, probes WHERE max_v >= lo AND min_v <= hi
+                   GROUP BY probe_id)
+            SELECT * FROM sr UNION ALL SELECT * FROM sh
+            ORDER BY layout, probe_id"""))
+
   private val qZOrder = Q(
     (s, dir) => {
       // NTZ → TIMESTAMP under the always-UTC session: identical micros grid
@@ -4220,6 +4320,9 @@ object SparkEntry {
     "q_substr_spans" -> qSubstrSpans,
     "q_dataset_fingerprint" -> qDatasetFingerprint,
     "q_snapshot_diff" -> qSnapshotDiff,
+    "q_compaction_plan" -> qCompactionPlan,
+    "q_zone_prune" -> qZonePrune,
+    "q_bpe_merges" -> qBpeMerges,
     "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_bm25_topk" -> qBm25,
     "q_hybrid_rrf" -> qHybridRrf,
