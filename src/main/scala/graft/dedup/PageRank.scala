@@ -45,14 +45,20 @@ object PageRank {
     require(iters >= 1, s"iters=$iters must be >= 1")
     // Symmetrize: each undirected pair pushes mass both ways. distinct()
     // guards against duplicate input pairs; degree then counts out-edges.
+    // localCheckpoint MATERIALIZES the edge list before it branches into
+    // the degree aggregation and the join below — on near-dup graphs the
+    // upstream `pairs` plan is a corpus-scale shingle/simhash chain, and
+    // materializing here guarantees it executes exactly once instead of
+    // once per plan branch (the GraphStats/DupClusters lesson; edge
+    // lists are the small artifact by bucket-cap construction).
     val adj = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     // Fuse degree onto the adjacency ONCE — every iteration needs
     // rank/degree per out-edge, and joining degree per round would
     // double the per-iteration shuffles. The fused list is persisted:
-    // it is the loop-invariant artifact (near-dup edge lists are small
-    // relative to the corpus by bucket-cap construction).
+    // it is the loop-invariant artifact consumed by every round.
     val deg = adj.groupBy("src").agg(count(lit(1)).as("d"))
     val adjDeg = adj.join(deg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -47,8 +47,19 @@ object SubstrDedup {
         col(textCol).as("__t"))
       .select(col("id"),
         NearDup.md5Long(expr(s"substring(__t, pos + 1, $window)")).as("h"))
-    val cnt = sh.groupBy("h").agg(count(lit(1)).as("c"))
-    sh.join(cnt, "h")
+    // Global occurrence count as a window over the span hash, NOT a
+    // groupBy + join-back: the join form reads the corpus (and re-runs
+    // shingle extraction) twice — once feeding the count aggregate,
+    // once on the probe side — because the pre-aggregated count
+    // exchange can't be reused by the probe exchange. The window form
+    // is one scan and one shuffle of (id, h) pairs. Partition cardinality
+    // is the 60-bit hash space (the low-cardinality-window anti-pattern
+    // does not apply); the residual skew exposure — ONE exact span
+    // verbatim-repeated ~10⁸ times lands its rows in one window
+    // partition — is shared by the join form (same co-location need)
+    // and marks a corpus that should be gated on [[Repetition]] first.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    sh.withColumn("c", count(lit(1)).over(w))
       .groupBy("id")
       .agg(count(lit(1)).as("total_shingles"),
         sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_shingles"))

@@ -415,4 +415,80 @@ class PlanAuditSpec extends SparkTestBase {
       s"frame analysis must not shuffle sample rows:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("q_pagerank: iterations read checkpointed blocks, never re-run the pair chain") {
+    // rankMicro localCheckpoints the symmetrized edge list BEFORE it
+    // branches (degree + join), and each iteration's rank vector after
+    // its groupBy — the final plan must read materialized blocks only.
+    val p = plan("q_pagerank")
+    assert(!p.contains("FileScan") && !p.contains("Scan parquet"),
+      s"a corpus scan in the final plan means an iteration re-runs the simhash chain:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed final rank vector:\n$p")
+  }
+
+  test("q_substr_spans: single corpus scan; span counting is one window over the hash") {
+    val p = plan("q_substr_spans")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"the groupBy+join-back form re-scans the corpus; the window form must not:\n$p")
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_dataset_fingerprint: one scan, partial+final aggregation, nothing else") {
+    val p = plan("q_dataset_fingerprint")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"bit_xor/count fold must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_orderstatus:string>"), s"fingerprint must prune to the 3 hashed columns:\n$p")
+  }
+
+  test("q_snapshot_diff: two metadata-sized folds joined — no row-level cross-snapshot join") {
+    val p = plan("q_snapshot_diff")
+    assert("Scan parquet".r.findAllIn(p).size === 2,
+      s"each snapshot folds from exactly one scan:\n$p")
+    // the only join is bucket-level: both sides are aggregated folds,
+    // so every join input sits BELOW an aggregate in the plan tree
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).size === 1,
+      s"exactly one (bucket-level) join expected:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"both snapshots must fold via partial+final aggregation before the join:\n$p")
+  }
+
+  test("q_zone_prune: probes broadcast against aggregated zone maps, never against rows") {
+    val p = plan("q_zone_prune")
+    // lineitem is scanned once per layout (two zone maps), nothing more
+    assert("Scan parquet".r.findAllIn(p).size === 2, p)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the probe list is a broadcast predicate sweep:\n$p")
+    // every BNLJ input is a zone map (post-aggregation): the plan has
+    // 2 layouts × (partial+final) aggs before the joins + final aggs
+    assert("HashAggregate".r.findAllIn(p).size >= 6, p)
+    // column pruning: the range-layout zone build reads ONLY l_shipdate;
+    // the hash layout additionally needs the bucketing key
+    assert(p.contains("ReadSchema: struct<l_shipdate:timestamp_ntz>"),
+      s"range-layout zone build must prune to the 1 probed column:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp_ntz>"),
+      s"hash-layout zone build must prune to 2 of 11 lineitem columns:\n$p")
+  }
+
+  test("q_compaction_plan: metadata-only plan — one scan, one window, partial aggs") {
+    val p = plan("q_compaction_plan")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert("\\bWindow\\b".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      s"listing derivation must prune to 3 of 5 document columns:\n$p")
+  }
+
+  test("q_bpe_merges: one scan, map-side combine, top-k via TakeOrdered") {
+    val p = plan("q_bpe_merges")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pair counts must partial-aggregate before the shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not globally sort the vocabulary:\n$p")
+  }
 }
