@@ -2711,6 +2711,55 @@ object SparkEntry {
     * the result is hash-stable; the min-count threshold prunes the
     * singleton tail before any join.
     */
+  /** Winnowed fingerprints ([[graft.text.Winnow.fingerprints]]):
+    * positions whose 16-char shingle hash is the minimum within 7
+    * positions either side — the self-synchronizing selection that
+    * re-aligns after edits (fixed-stride spans do not). One scan, one
+    * id-partitioned window; ~1/w of positions survive.
+    */
+  private val qWinnow = Q(
+    (s, dir) =>
+      graft.text.Winnow.fingerprints(t(s, dir, "documents"),
+        "doc_id", "text", k = 16, w = 8)
+        .orderBy("id", "pos"),
+    Some(s"""WITH sh AS (
+              SELECT doc_id AS id, CAST(i AS INTEGER) AS pos,
+                     ${md5LongSql("substr(text, i + 1, 16)")} AS h
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, len(text) - 16 + 1)) AS i
+                    FROM documents WHERE len(text) >= 16)),
+            m AS (SELECT id, pos, h,
+                         MIN(h) OVER (PARTITION BY id ORDER BY pos
+                                      ROWS BETWEEN 7 PRECEDING
+                                               AND 7 FOLLOWING) AS m
+                  FROM sh)
+            SELECT id, pos, h FROM m WHERE h = m ORDER BY id, pos"""))
+
+  /** Content-defined chunking stats ([[graft.text.Winnow.cdcChunkStats]]):
+    * boundaries where the shingle hash ≡ 0 (mod 64) — expected 64-char
+    * chunks that re-anchor on content after insertions. One scan
+    * (explode_outer keeps sub-k docs as one-chunk rows), exact integer
+    * average.
+    */
+  private val qCdcChunks = Q(
+    (s, dir) =>
+      graft.text.Winnow.cdcChunkStats(t(s, dir, "documents"),
+        "doc_id", "text", k = 16, modulus = 64)
+        .orderBy("id"),
+    Some(s"""WITH sh AS (
+              SELECT doc_id AS id, ${md5LongSql("substr(text, i + 1, 16)")} AS h
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, len(text) - 16 + 1)) AS i
+                    FROM documents WHERE len(text) >= 16)),
+            b AS (SELECT id, COUNT(*) AS nb FROM sh
+                  WHERE h % 64 = 0 GROUP BY id)
+            SELECT d.doc_id AS id,
+                   CAST(COALESCE(nb, 0) + 1 AS BIGINT) AS n_chunks,
+                   CAST(len(d.text) // (COALESCE(nb, 0) + 1) AS BIGINT)
+                     AS avg_chunk_chars
+            FROM documents d LEFT JOIN b ON b.id = d.doc_id
+            ORDER BY id"""))
+
   /** BPE first-round merge candidates
     * ([[graft.text.Bpe.mergeCandidates]]): corpus-frequency counts of
     * adjacent character pairs inside lowercased words — the
@@ -4323,6 +4372,8 @@ object SparkEntry {
     "q_compaction_plan" -> qCompactionPlan,
     "q_zone_prune" -> qZonePrune,
     "q_bpe_merges" -> qBpeMerges,
+    "q_winnow" -> qWinnow,
+    "q_cdc_chunks" -> qCdcChunks,
     "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_bm25_topk" -> qBm25,
     "q_hybrid_rrf" -> qHybridRrf,

@@ -483,6 +483,18 @@ class PlanAuditSpec extends SparkTestBase {
       s"listing derivation must prune to 3 of 5 document columns:\n$p")
   }
 
+  test("q_winnow/q_cdc_chunks: one corpus scan each; selection is local (window / agg)") {
+    val pw = plan("q_winnow")
+    assert("Scan parquet".r.findAllIn(pw).size === 1, pw)
+    assert("\\bWindow\\b".r.findAllIn(pw).size === 1, pw)
+    assert(!pw.contains("Join"), pw)
+    val pc = plan("q_cdc_chunks")
+    assert("Scan parquet".r.findAllIn(pc).size === 1,
+      s"explode_outer keeps short docs without a join-back re-scan:\n$pc")
+    assert(!pc.contains("Join"), pc)
+    assert("HashAggregate".r.findAllIn(pc).size >= 2, pc)
+  }
+
   test("q_bpe_merges: one scan, map-side combine, top-k via TakeOrdered") {
     val p = plan("q_bpe_merges")
     assert("Scan parquet".r.findAllIn(p).size === 1, p)
