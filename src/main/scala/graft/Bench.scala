@@ -100,7 +100,7 @@ object Bench {
          "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" |
          "q_pq_encode" => "ann"
     case n if n.startsWith("q_sample") => "sampling"
-    case "q_split_assign" | "q_mix_temperature" |
+    case "q_split_assign" | "q_group_split" | "q_mix_temperature" |
          "q_epoch_order" | "q_trainset_build" | "q_rank_features" => "sampling"
     case "q_anomaly" | "q_asof_join" | "q_attribution" | "q_funnel" |
          "q_funnel_summary" | "q_retention" | "q_sessionize" |

@@ -619,6 +619,31 @@ object SparkEntry {
                    CAST(SUM(doc_id % 1000000007) AS BIGINT) AS sum_id
             FROM b GROUP BY 1 ORDER BY split"""))
 
+  /** Leakage-safe group split ([[graft.ops.Sampling.assignGroupSplit]]):
+    * split assignment hashed on SOURCE, so every document of a source
+    * lands in one split (per-(source, split) counts — the result rows
+    * themselves witness the no-straddle property: one split per source).
+    */
+  private val qGroupSplit = Q(
+    (s, dir) =>
+      graft.ops.Sampling.assignGroupSplit(t(s, dir, "documents"), "source",
+          Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id") % 1000000007L).as("sum_id"))
+        .orderBy("source", "split"),
+    Some(s"""WITH b AS (
+              SELECT doc_id, source,
+                     ${md5LongSql("source")} % 1000000 AS bucket
+              FROM documents)
+            SELECT source,
+                   CASE WHEN bucket < 600000 THEN 'train'
+                        WHEN bucket < 800000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(doc_id % 1000000007) AS BIGINT) AS sum_id
+            FROM b GROUP BY 1, 2 ORDER BY source, split"""))
+
   /** Temperature mixing ([[graft.ops.Sampling.temperatureMix]]): α = 0.5
     * source reweighting of documents under a 300-doc budget. The oracle
     * replays the whole budget derivation — sqrt weights (IEEE
@@ -4357,6 +4382,7 @@ object SparkEntry {
     "q_median_window" -> qMedianWindow,
     "q_range_join_keyed" -> qRangeJoinKeyed,
     "q_split_assign" -> qSplitAssign,
+    "q_group_split" -> qGroupSplit,
     "q_attribution" -> qAttribution,
     "q_mix_temperature" -> qMixTemperature,
     "q_dup_canonical" -> qDupCanonical,

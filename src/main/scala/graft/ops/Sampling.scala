@@ -193,6 +193,22 @@ object Sampling {
     df.withColumn(outCol, chain)
   }
 
+  /** Leakage-safe split: [[assignSplit]] keyed on a GROUP column, so
+    * every row of a group (domain, author, near-dup cluster canonical,
+    * source shard) lands in the same split by construction. This is the
+    * guard against the classic evaluation leak — near-identical rows of
+    * one group straddling train and test make held-out metrics lie.
+    * Same zero-shuffle / stable-under-growth / engine-replayable
+    * properties as the row-level form; the fractions apply to the GROUP
+    * hash space, so realized row proportions track group sizes (exact
+    * row-proportion control and leakage safety are mutually exclusive —
+    * a group is atomic).
+    */
+  def assignGroupSplit(df: DataFrame, groupCol: String,
+                       splits: Seq[(String, Double)],
+                       outCol: String = "split"): DataFrame =
+    assignSplit(df, groupCol, splits, outCol)
+
   /** Deterministic multi-epoch training order: epoch `e` orders the
     * corpus by `md5(e:id)` — an independent pseudo-random permutation per
     * epoch (the data-ordering step of a multi-epoch run), reproducible

@@ -53,6 +53,25 @@ class SamplingSpec extends SparkTestBase {
     subset.foreach { case (id, s) => assert(got(id) === s, s"id $id moved splits") }
   }
 
+  test("assignGroupSplit: no group ever straddles two splits") {
+    // 2000 rows across 40 groups; row-level hashing WOULD straddle
+    // (q.e.d. by the row-level form), group-level hashing must not.
+    val rows = (1L to 2000L).map(i => (i, s"group_${i % 40}"))
+      .toDF("id", "grp")
+    val splits = Seq("train" -> 0.6, "val" -> 0.2, "test" -> 0.2)
+    val byGroup = Sampling.assignGroupSplit(rows, "grp", splits)
+      .select("grp", "split").distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert(byGroup.size === 40)
+    byGroup.foreach { case (g, ss) =>
+      assert(ss.size === 1, s"group $g straddles splits: $ss") }
+    // contrast: the row-level form on the same data DOES straddle —
+    // the leak this operator exists to prevent
+    val rowLevel = Sampling.assignSplit(rows, "id", splits)
+      .select("grp", "split").distinct().count()
+    assert(rowLevel > 40L, "row-level hashing should straddle groups")
+  }
+
   test("assignSplit: fraction rounding cannot orphan a bucket; bad fractions rejected") {
     // thirds: cumulative thresholds 333333 / 666667 / pinned 10⁶ — the
     // last split takes the exact remainder, nothing falls through
