@@ -2760,6 +2760,21 @@ object SparkEntry {
                   FROM sh)
             SELECT id, pos, h FROM m WHERE h = m ORDER BY id, pos"""))
 
+  /** The 100 TB winnowing path ([[graft.text.Winnow.fingerprintsFast]]):
+    * single-pass rolling-hash + deque selection via the codegen
+    * [[graft.functions.WinnowPositions]] expression — same contract as
+    * q_winnow, different hash family. No DuckDB oracle (a wrapping
+    * 64-bit rolling hash has no sane SQL replay): the driver records
+    * the weaker rows-only check; correctness is pinned by
+    * WinnowPositionsSpec's independent quadratic reference.
+    */
+  private val qWinnowFast = Q(
+    (s, dir) =>
+      graft.text.Winnow.fingerprintsFast(t(s, dir, "documents"),
+        "doc_id", "text", k = 16, w = 8)
+        .orderBy("id", "pos"),
+    None)
+
   /** Content-defined chunking stats ([[graft.text.Winnow.cdcChunkStats]]):
     * boundaries where the shingle hash ≡ 0 (mod 64) — expected 64-char
     * chunks that re-anchor on content after insertions. One scan
@@ -4399,6 +4414,7 @@ object SparkEntry {
     "q_zone_prune" -> qZonePrune,
     "q_bpe_merges" -> qBpeMerges,
     "q_winnow" -> qWinnow,
+    "q_winnow_fast" -> qWinnowFast,
     "q_cdc_chunks" -> qCdcChunks,
     "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_bm25_topk" -> qBm25,

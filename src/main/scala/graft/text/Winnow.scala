@@ -54,6 +54,23 @@ object Winnow {
       .select("id", "pos", "h")
   }
 
+  /** The 100 TB winnowing path: same selection contract as
+    * [[fingerprints]] (local-minimum in a symmetric w-window, ties all
+    * selected) via the single-pass O(n) codegen expression
+    * [[graft.functions.WinnowPositions]] — rolling polynomial hash +
+    * monotonic-deque minimum, no per-position md5, no window sort, no
+    * shuffle at all (selection is per-document local work at scan
+    * speed). Different hash family than the md5 form, so the two
+    * forms' fingerprints are not interchangeable; positions are
+    * byte-based (≡ char-based on ASCII).
+    */
+  def fingerprintsFast(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16, w: Int = 8): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(graft.functions.WinnowPositions
+          .winnowPositions(col(textCol), k, w)).as("fp"))
+      .select(col("id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+
   /** Content-defined chunk statistics: a chunk boundary falls after
     * every position whose shingle hash is ≡ 0 (mod `modulus`), so the
     * expected chunk length is `modulus` chars and boundaries re-anchor
