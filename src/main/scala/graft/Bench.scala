@@ -16,6 +16,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // ShareWindowExchange + vec_dot active in the measured path
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
@@ -95,7 +96,7 @@ object Bench {
          "q_cdc_chunks" => "text"
     case n if n.startsWith("q_dedup") || n.startsWith("q_dup_") => "dedup_graph"
     case "q_ngram_jaccard" | "q_triangles" | "q_clustering" |
-         "q_pagerank" | "q_substr_spans" => "dedup_graph"
+         "q_pagerank" | "q_substr_spans" | "q_setsim_join" => "dedup_graph"
     case n if n.startsWith("q_ann") => "ann"
     case "q_embed_neardup" | "q_quantize_int8" | "q_kmeans_step" |
          "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" |

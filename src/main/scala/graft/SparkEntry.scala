@@ -2614,10 +2614,10 @@ object SparkEntry {
   private val qAsOf = Q(
     (s, dir) => {
       val ev = Tables.readEvents(s, dir)
-        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"), col("event_type"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"), col("event_type"))
       val purchases = Tables.readEvents(s, dir)
         .filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("t"), col("value").as("last_purchase"))
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("t"), col("value").as("last_purchase"))
       graft.ops.AsOfJoin.asOf(ev, purchases, "user_id", "t", Seq("last_purchase"))
         .select("event_id", "user_id", "t", "last_purchase")
         .orderBy("event_id")
@@ -4124,8 +4124,8 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table("graft_q_stream_window_stats")
-        .select(unix_micros(col("win_start")).as("start_us"),
-          unix_micros(col("win_end")).as("end_us"),
+        .select(unix_micros(col("win_start").cast("timestamp")).as("start_us"),
+          unix_micros(col("win_end").cast("timestamp")).as("end_us"),
           col("event_type"), col("n"), col("total_value"))
         .orderBy("start_us", "event_type")
     },
@@ -4204,7 +4204,7 @@ object SparkEntry {
       import s.implicits._
       val evs = Tables.readEventsStream(s, dir)
         .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("tsUs"), col("value"))
+          unix_micros(col("ts").cast("timestamp")).as("tsUs"), col("value"))
         .as[graft.streaming.EventStreams.Ev]
       val q = graft.streaming.EventStreams.sessionize(s, evs, gapSeconds = 1800)
         .toDF()
@@ -4258,7 +4258,7 @@ object SparkEntry {
       import s.implicits._
       val evs = Tables.readEventsStream(s, dir)
         .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("tsUs"), col("value"))
+          unix_micros(col("ts").cast("timestamp")).as("tsUs"), col("value"))
         .as[graft.streaming.EventStreams.Ev]
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = s.conf.getOption(key)
@@ -4312,6 +4312,72 @@ object SparkEntry {
         .orderBy("view_id", "purchase_id")
     },
     qAttribution.oracle)
+
+  /** Streaming exact key-dedup with BOUNDED state run through the
+    * driver gate ([[graft.streaming.EventStreams.dedupStream]] —
+    * `dropDuplicatesWithinWatermark`, the production ingest-dedup form:
+    * per-key state is evicted once the watermark passes the key's event
+    * time, so state is O(keys inside the horizon) instead of O(all keys
+    * ever), which is what plain streaming `dropDuplicates` costs). The
+    * horizon here spans the whole finite input, so every distinct
+    * (user_id, event_type) is emitted exactly once and the oracle is a
+    * plain batch DISTINCT — invariant under any micro-batch split
+    * because only the key columns survive the final projection
+    * (first-seen non-key columns would be processing-order-dependent).
+    */
+  private val qStreamDedup = Q(
+    (s, dir) => {
+      val evs = Tables.readEventsStream(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val q = graft.streaming.EventStreams
+        .dedupStream(evs, Seq("user_id", "event_type"), lateness = "3650 days")
+        .select("user_id", "event_type")
+        .writeStream.outputMode("append").format("memory")
+        .queryName("graft_q_stream_dedup")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_q_stream_dedup").orderBy("user_id", "event_type")
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+            ORDER BY user_id, event_type"""))
+
+  /** Threshold set-similarity self-join via prefix filtering
+    * ([[graft.dedup.SetSimJoin]], PPJoin family): all pairs with token
+    * Jaccard >= 0.9, found by joining only on each document's RARE
+    * prefix tokens (plus the length filter), then verifying exactly.
+    * The oracle replays the BRUTE-FORCE inverted-index join — every
+    * token, no filters — so a pruning off-by-one surfaces as a missing
+    * pair, not as agreement. Threshold carried as the rational 9/10;
+    * all pruning/acceptance arithmetic is BIGINT on both engines.
+    */
+  private val qSetSimJoin = Q(
+    (s, dir) =>
+      graft.dedup.SetSimJoin.jaccardJoin(
+        t(s, dir, "documents").filter(col("doc_id") < 500), "doc_id", "text",
+        tNum = 9, tDen = 10)
+        .select(col("id_a"), col("id_b"), col("inter"), col("len_a"),
+          col("len_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+    Some("""WITH d AS (SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks
+                       FROM documents WHERE doc_id < 500),
+                 e AS (SELECT id, unnest(toks) AS tok FROM d),
+                 pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+                                  CAST(COUNT(*) AS BIGINT) AS inter
+                           FROM e a JOIN e b ON b.tok = a.tok AND a.id < b.id
+                           GROUP BY 1, 2),
+                 v AS (SELECT p.id_a, p.id_b, p.inter,
+                              CAST(len(da.toks) AS BIGINT) AS len_a,
+                              CAST(len(db.toks) AS BIGINT) AS len_b
+                       FROM pairs p
+                       JOIN d da ON da.id = p.id_a
+                       JOIN d db ON db.id = p.id_b)
+            SELECT id_a, id_b, inter, len_a, len_b,
+                   ROUND(CAST(inter AS DOUBLE) /
+                         CAST(len_a + len_b - inter AS DOUBLE), 6) AS jaccard
+            FROM v
+            WHERE 10 * inter >= 9 * (len_a + len_b - inter)
+            ORDER BY id_a, id_b"""))
 
   // ---------------------------------------------------------------------
   // Registry
@@ -4456,6 +4522,8 @@ object SparkEntry {
     "q_dsir_weights" -> qDsirWeights,
     "q_source_kl" -> qSourceKl,
     "q_ann_recall" -> qAnnRecall,
+    "q_stream_dedup" -> qStreamDedup,
+    "q_setsim_join" -> qSetSimJoin,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -19,6 +19,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long nanos and let
       // graft.ops.Tables.readEvents convert (floor to micros, = DuckDB).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // same extensions as Bench: correctness runs the plans that are timed
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()

@@ -69,7 +69,7 @@ object Anomaly {
     val dev = m * col("v_milli") - col("__s")
     val varTerm = m * col("__q") - col("__s") * col("__s")
     withSums.select(col(keyCol), col(idCol),
-      unix_micros(col(tsCol)).as("us"), col("v_milli"), col("n_prior"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"), col("v_milli"), col("n_prior"),
       (m >= minPrior && (m - 1) * dev * dev > lit(k.toLong * k) * m * varTerm)
         .as("is_anomaly"))
   }

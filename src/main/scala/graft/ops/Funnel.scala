@@ -35,7 +35,7 @@ object Funnel {
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     require(horizonMicros > 0, s"horizonMicros=$horizonMicros must be positive")
     val base = events.select(col(userCol).as("user_key"),
-      col(typeCol).as("__etype"), unix_micros(col(tsCol)).as("__us"))
+      col(typeCol).as("__etype"), unix_micros(col(tsCol).cast("timestamp")).as("__us"))
     val s1 = base.filter(col("__etype") === steps.head)
       .groupBy("user_key").agg(min(col("__us")).as("t1"))
     val chained = steps.zipWithIndex.drop(1).foldLeft(s1) { case (acc, (step, i)) =>

@@ -34,7 +34,7 @@ object Retention {
                       typeCol: String, anchorType: String,
                       maxWeeks: Int): DataFrame = {
     require(maxWeeks >= 0, s"maxWeeks=$maxWeeks must be non-negative")
-    val week = expr(s"unix_micros($tsCol) div $WeekMicros")
+    val week = expr(s"unix_micros(CAST($tsCol AS TIMESTAMP)) div $WeekMicros")
     val base = events.select(col(userCol).as("user_key"), week.as("week"),
       col(typeCol).as("__etype"))
     val anchors = base.filter(col("__etype") === anchorType)

@@ -17,7 +17,7 @@ object Sessionize {
     val order = col(tsCol) +: tieBreak
     val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val us = unix_micros(col(tsCol))
+    val us = unix_micros(col(tsCol).cast("timestamp"))
     val prev = lag(us, 1).over(w)
     val isStart = when(prev.isNull || (us - prev) > gapSeconds * 1000000L, 1).otherwise(0)
     df.withColumn("session_id", sum(isStart).over(run))
@@ -31,7 +31,7 @@ object Sessionize {
                    gapSeconds: Long, valueCol: String,
                    tieBreak: Seq[Column]): DataFrame =
     sessionIds(df, userCol, tsCol, gapSeconds, tieBreak)
-      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__us", unix_micros(col(tsCol).cast("timestamp")))
       .groupBy(col(userCol), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),

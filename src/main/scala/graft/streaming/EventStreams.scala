@@ -45,7 +45,7 @@ object EventStreams {
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
       .select(col("user_id"),
-        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.start").cast("timestamp")).as("start_us"),
         col("n_events"), col("total_value"))
 
   /** Watermarked STREAM-STREAM inner join — the attribution query: each

@@ -468,9 +468,9 @@ class PlanAuditSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 6, p)
     // column pruning: the range-layout zone build reads ONLY l_shipdate;
     // the hash layout additionally needs the bucketing key
-    assert(p.contains("ReadSchema: struct<l_shipdate:timestamp_ntz>"),
+    assert("ReadSchema: struct<l_shipdate:timestamp(_ntz)?>".r.findFirstIn(p).isDefined,
       s"range-layout zone build must prune to the 1 probed column:\n$p")
-    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp_ntz>"),
+    assert("ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp(_ntz)?>".r.findFirstIn(p).isDefined,
       s"hash-layout zone build must prune to 2 of 11 lineitem columns:\n$p")
   }
 

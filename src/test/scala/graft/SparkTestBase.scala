@@ -17,6 +17,7 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // tests run under the same extensions as Verify/Bench, so plan
       // asserts exercise the config that is actually measured
       .withExtensions(new graft.functions.GraftExtensions)

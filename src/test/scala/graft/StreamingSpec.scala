@@ -133,7 +133,7 @@ class StreamingSpec extends SparkTestBase {
     val dir = tmp()
     Tables.readEvents(spark, "/root/testdata/sf0.001")
       .filter($"user_id" < 10)
-      .select($"event_id", $"user_id", unix_micros($"ts").as("tsUs"), $"value")
+      .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("tsUs"), $"value")
       .write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
 
@@ -164,7 +164,7 @@ class StreamingSpec extends SparkTestBase {
     val dir = tmp()
     Tables.readEvents(spark, "/root/testdata/sf0.001")
       .filter($"user_id" < 10)
-      .select($"event_id", $"user_id", unix_micros($"ts").as("tsUs"), $"value")
+      .select($"event_id", $"user_id", unix_micros($"ts".cast("timestamp")).as("tsUs"), $"value")
       .write.mode("overwrite").parquet(dir)
     val schema = spark.read.parquet(dir).schema
 
