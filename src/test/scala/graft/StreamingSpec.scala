@@ -13,6 +13,73 @@ class StreamingSpec extends SparkTestBase {
 
   private def tmp(): String = Files.createTempDirectory("graft-stream").toString
 
+  /** Run `body` with the RocksDB state store provider, restoring the
+    * suite session's provider after — the production state backend
+    * (changelog checkpointing, multi-TB restorable state), exercised on
+    * every stateful-API family, not just transformWithState.
+    */
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("streaming dedup on the RocksDB provider: same result, bounded state") {
+    val dir = tmp()
+    val base = Tables.readEvents(spark, "/root/testdata/sf0.001")
+    base.unionAll(base.limit(300)).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    withRocksDb {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+      val q = EventStreams.dedupStream(stream, Seq("event_id"))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("dedup_rocks_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(spark.table("dedup_rocks_out").count() === base.count())
+    assert(spark.table("dedup_rocks_out").groupBy("event_id").count()
+      .filter($"count" > 1).count() === 0)
+  }
+
+  test("streaming CDC latest-state on the RocksDB provider equals default-provider result") {
+    val changes = Tables.readEvents(spark, "/root/testdata/sf0.001")
+      .select(($"user_id" % 20).as("key"), $"event_id".as("seq"),
+        element_at(array(lit("I"), lit("U"), lit("D")),
+          ($"event_id" % 3).cast("int") + 1).as("op"),
+        $"value".as("payload"))
+    val dir = tmp()
+    changes.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    withRocksDb {
+      val stream = spark.readStream.schema(schema).parquet(dir)
+        .as[EventStreams.Change]
+      val q = EventStreams.cdcLatest(spark, stream)
+        .writeStream.outputMode("update").format("memory")
+        .queryName("cdc_rocks_out")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // final state = per-key max-seq emission (seq = event_id, unique);
+    // must equal the batch winner rule with deleted = (op = 'D')
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy($"seq".desc)
+    val want = changes
+      .withColumn("__rn", row_number().over(win)).filter($"__rn" === 1)
+      .select($"key", $"seq", $"op", $"payload", ($"op" === "D").as("deleted"))
+    val got = spark.table("cdc_rocks_out")
+      .withColumn("__rn", row_number().over(win)).filter($"__rn" === 1)
+      .select($"key", $"seq", $"op", $"payload", $"deleted")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
   test("windowed type stats: streaming result equals batch groupBy") {
     val batch = Tables.readEvents(spark, "/root/testdata/sf0.001")
     val dir = tmp()
