@@ -52,9 +52,15 @@ object SetSimJoin {
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
                   tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
+    // The tokenized table feeds FOUR consumers (document frequencies,
+    // prefix ranking, both verification sides). Without materialization
+    // each branch re-scans + re-tokenizes the corpus — 6 parquet scans
+    // and 4 explodes in the physical plan. localCheckpoint pins it to
+    // one corpus pass (same pattern as the dedup graph operators).
     val toks = df.select(col(idCol).cast("long").as("id"),
         array_distinct(graft.text.TextAnalysis.tokens(col(textCol))).as("toks"))
       .withColumn("len", size(col("toks")).cast("long"))
+      .localCheckpoint()
 
     // Global token order: ascending document frequency, ties by token —
     // one deterministic total order shared by every document.
@@ -69,8 +75,12 @@ object SetSimJoin {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("tok"))))
     val prefixLen = col("len") - floor((lit(tNum) * col("len") + lit(tDen - 1)) / lit(tDen)) + lit(1)
+    // Both sides of the candidate self-join consume the prefix table;
+    // without materialization the ranking Window (a corpus-sized sort)
+    // runs twice. The table itself is tiny — ~(1-t)·|tokens| rows.
     val prefixes = ranked.filter(col("__rn") <= prefixLen)
       .select(col("tok"), col("id"), col("len"))
+      .localCheckpoint()
 
     // Candidate pairs: share a prefix token, pass the length filter.
     val a = prefixes.select(col("tok").as("tok_a"), col("id").as("id_a"), col("len").as("len_a"))
