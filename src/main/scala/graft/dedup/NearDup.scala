@@ -167,15 +167,21 @@ object NearDup {
                  threshold: Double = 0.7,
                  maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = signatures(docs, idCol, textCol, numHashes)
+    // The signature table feeds THREE consumers (banding + both sides of
+    // the estimate prefilter); the md5-per-shingle pass is the operator's
+    // dominant cost, so materialize it once — (id, 16 longs) rows, tiny
+    // next to the corpus. Same count-your-consumers lesson as SetSimJoin.
+    val sig = signatures(docs, idCol, textCol, numHashes).localCheckpoint()
     val banded = bandRows(sig, bands, rowsPerBand)
 
     // cap pathological buckets (boilerplate): they explode the join and
     // carry no dedup signal beyond "everything matches everything".
+    // Materialized because both self-join sides consume it.
     val bucketSizes = banded.groupBy("band", "bh").count()
     val capped = banded.join(
       bucketSizes.filter(col("count") <= maxBucket).select("band", "bh"),
       Seq("band", "bh"))
+      .localCheckpoint()
 
     // distinct candidate id-pairs (a pair hitting k bands collapses to one)
     val candidates = capped.select(col("band"), col("bh"), col("id").as("id_a"))
@@ -230,8 +236,13 @@ object NearDup {
                               threshold: Double = 0.7,
                               maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val newSig = signatures(newDocs, idCol, textCol, numHashes)
-    val seenSig = signatures(seenDocs, idCol, textCol, numHashes)
+    // Both signature tables feed two consumers each (banding + the
+    // estimate prefilter join) — materialize so the md5-per-shingle pass
+    // runs once per side. In steady state seenSig is a pre-materialized
+    // index table anyway (see scaladoc); the checkpoint is the
+    // single-session stand-in for that index.
+    val newSig = signatures(newDocs, idCol, textCol, numHashes).localCheckpoint()
+    val seenSig = signatures(seenDocs, idCol, textCol, numHashes).localCheckpoint()
     val seenBand = bandRows(seenSig, bands, rowsPerBand)
     val okBuckets = seenBand.groupBy("band", "bh").count()
       .filter(col("count") <= maxBucket).select("band", "bh")

@@ -10,7 +10,9 @@ import graft.text.TextAnalysis
 
 /** The end-to-end training-corpus builder: the LLM-data-pipeline operators
   * composed in their production order. Each stage is the library operator;
-  * the composition stays one lazy plan until the (optional) near-dup join.
+  * the exact-dedup output is materialized (localCheckpoint) because the
+  * LSH stage and the anti-join back would otherwise re-derive the whole
+  * filter chain per consumer.
   *
   *   language filter → quality gate → exact dedup (keep min id) →
   *   MinHash near-dup removal → deterministic per-source sampling
@@ -42,11 +44,18 @@ object Trainset {
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
 
-    val exactDeduped = {
-      val keepers = NearDup.exactGroups(filtered, "doc_id", "text")
-        .select(col("keeper_id").as("doc_id"))
-      filtered.join(keepers, "doc_id") // semi-join on the hash-group winners
-    }
+    // Exact dedup as window keep-first on the content fingerprint:
+    // rn=1 per md5(lower(text)) ordered by doc_id ≡ exactGroups'
+    // min-id keeper, but as ONE pass over `filtered` (WindowGroupLimit
+    // prunes the rank shuffle) instead of an agg + join-back that made
+    // Catalyst re-derive the filter chain per consumer. Checkpointed
+    // because the LSH stage consumes it three times (signatures + both
+    // verification sides) and the anti-join reads it once more.
+    val exactDeduped = filtered
+      .withColumn("__rn", Windows.rowNumber(
+        Seq(TextAnalysis.docFingerprint(col("text"))), Seq(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+      .localCheckpoint()
 
     val nearDeduped = dropNearDups(exactDeduped, "doc_id", "text", nearDupThreshold)
 
