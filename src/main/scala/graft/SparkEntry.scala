@@ -4379,6 +4379,59 @@ object SparkEntry {
             WHERE 10 * inter >= 9 * (len_a + len_b - inter)
             ORDER BY id_a, id_b"""))
 
+  /** The iterated distributed BPE trainer ([[graft.text.Bpe.train]]):
+    * three full rounds of count → argmax → merge-everywhere, run on the
+    * checkpointed word histogram (the corpus is scanned once). The
+    * oracle replays the LOOP round for round — pair counts from the
+    * '|'-delimited symbol strings, the same (count DESC, pa, pb)
+    * argmax, and the same double-`replace` merge application (two
+    * global passes are provably exact leftmost-greedy non-overlapping
+    * merging; see Bpe.train scaladoc) — so a divergence in any round's
+    * choice or count fails the gate.
+    */
+  private val qBpeTrain = Q(
+    (s, dir) =>
+      graft.text.Bpe.train(t(s, dir, "documents"), "text", rounds = 3)
+        .orderBy("round"),
+    Some("""WITH w0 AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+            words AS (SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS s,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM w0 WHERE w <> '' GROUP BY 1),
+            e1 AS (SELECT n, l, unnest(generate_series(1, len(l) - 1)) AS i
+                   FROM (SELECT string_split(trim(s, '|'), '|') AS l, n FROM words) t1
+                   WHERE len(l) >= 2),
+            p1 AS (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(SUM(n) AS BIGINT) AS pair_count
+                   FROM e1 GROUP BY 1, 2),
+            r1 AS (SELECT * FROM p1 ORDER BY pair_count DESC, pa, pb LIMIT 1),
+            w1 AS (SELECT replace(replace(s, '|' || r1.pa || '|' || r1.pb || '|',
+                                             '|' || r1.pa || r1.pb || '|'),
+                                  '|' || r1.pa || '|' || r1.pb || '|',
+                                  '|' || r1.pa || r1.pb || '|') AS s, n
+                   FROM words, r1),
+            e2 AS (SELECT n, l, unnest(generate_series(1, len(l) - 1)) AS i
+                   FROM (SELECT string_split(trim(s, '|'), '|') AS l, n FROM w1) t2
+                   WHERE len(l) >= 2),
+            p2 AS (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(SUM(n) AS BIGINT) AS pair_count
+                   FROM e2 GROUP BY 1, 2),
+            r2 AS (SELECT * FROM p2 ORDER BY pair_count DESC, pa, pb LIMIT 1),
+            w2 AS (SELECT replace(replace(s, '|' || r2.pa || '|' || r2.pb || '|',
+                                             '|' || r2.pa || r2.pb || '|'),
+                                  '|' || r2.pa || '|' || r2.pb || '|',
+                                  '|' || r2.pa || r2.pb || '|') AS s, n
+                   FROM w1, r2),
+            e3 AS (SELECT n, l, unnest(generate_series(1, len(l) - 1)) AS i
+                   FROM (SELECT string_split(trim(s, '|'), '|') AS l, n FROM w2) t3
+                   WHERE len(l) >= 2),
+            p3 AS (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(SUM(n) AS BIGINT) AS pair_count
+                   FROM e3 GROUP BY 1, 2),
+            r3 AS (SELECT * FROM p3 ORDER BY pair_count DESC, pa, pb LIMIT 1)
+            SELECT 1 AS round, pa, pb, pa || pb AS merged, pair_count FROM r1
+            UNION ALL
+            SELECT 2, pa, pb, pa || pb, pair_count FROM r2
+            UNION ALL
+            SELECT 3, pa, pb, pa || pb, pair_count FROM r3
+            ORDER BY round"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4524,6 +4577,7 @@ object SparkEntry {
     "q_ann_recall" -> qAnnRecall,
     "q_stream_dedup" -> qStreamDedup,
     "q_setsim_join" -> qSetSimJoin,
+    "q_bpe_train" -> qBpeTrain,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -38,4 +38,67 @@ object Bpe {
       .orderBy(col("pair_count").desc, col("pair"))
       .limit(k)
   }
+
+  /** The ACTUAL iterated BPE trainer, distributed: `rounds` iterations
+    * of (count adjacent symbol pairs → argmax → merge everywhere).
+    * Returns one row per round: (round, pa, pb, merged, pair_count).
+    *
+    * Scale shape: the corpus is scanned ONCE (word histogram —
+    * `(word, n)` is tiny next to the corpus and is `localCheckpoint`ed);
+    * every round then runs on that table: one explode + partial-agg for
+    * the counts, a 1-row argmax to the driver (the same
+    * literal-back-into-the-plan move as k-means centroids), and a
+    * narrow merge-apply map. Nothing per-round touches the corpus.
+    *
+    * Representation: a word's symbol sequence is a `'|'`-delimited
+    * string with sentinels — `"hello"` → `"|h|e|l|l|o|"` — so the merge
+    * of (a, b) is plain-string `replace("|a|b|", "|ab|")` applied
+    * TWICE: one global left-to-right replace pass can miss an
+    * occurrence only when the preceding overlapping occurrence consumed
+    * its leading delimiter, and such misses are never adjacent, so a
+    * second pass completes exact leftmost-greedy non-overlapping
+    * merging (the BPE rule). Plain `replace` + `regexp_replace`
+    * exist with identical semantics in DuckDB, which is what makes the
+    * whole LOOP oracle-replayable round for round — no RNG, no floats,
+    * ties broken (count DESC, pa ASC, pb ASC).
+    */
+  def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val spark = docs.sparkSession
+    val words0 = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(concat(lit("|"),
+        regexp_replace(col("w"), "(.)", "$1|")).as("s"), col("n"))
+      .localCheckpoint()
+
+    var cur = words0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val syms = cur
+        .select(col("n"), split(expr("trim(BOTH '|' FROM s)"), "\\|").as("a"))
+        .filter(size(col("a")) >= 2)
+      val best = syms
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(a) - 1), " +
+            "i -> struct(element_at(a, i) AS pa, element_at(a, i + 1) AS pb))")).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("n")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("pa"), col("pb"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (pa, pb, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((r, pa, pb, pa + pb, cnt))
+        val pat = lit("|" + pa + "|" + pb + "|")
+        val rep = lit("|" + pa + pb + "|")
+        cur = cur
+          .select(replace(replace(col("s"), pat, rep), pat, rep).as("s"), col("n"))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    out.toSeq.toDF("round", "pa", "pb", "merged", "pair_count")
+  }
 }

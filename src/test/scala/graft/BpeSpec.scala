@@ -31,4 +31,43 @@ class BpeSpec extends SparkTestBase {
     assert(!out.contains("b c") && !out.contains("bc"))
     assert(out === Map("ab" -> 1L, "cd" -> 1L))
   }
+
+  private def train(docs: Seq[String], rounds: Int): Seq[(Int, String, String, String, Long)] =
+    Bpe.train(docs.map(Tuple1(_)).toDF("text"), "text", rounds)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+
+  test("train: iterated merges with weighted counts and deterministic tie-break") {
+    // "aaab" x3: round 1 merges (a,a) cnt 6 -> [aa, a, b].
+    // round 2: (aa,a)=3 ties (a,b)=3 -> pa-asc tie-break picks (a,b) -> [aa, ab].
+    // round 3: (aa,ab)=3 -> "aaab".
+    val out = train(Seq("aaab aaab", "aaab"), rounds = 3)
+    assert(out === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 3L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
+  test("train: merge application is leftmost-greedy non-overlapping (the BPE rule)") {
+    // "bbbb": round-1 pair (b,b) has 3 occurrences (per-position), and
+    // applying it must yield [bb, bb] (leftmost-greedy), never [b, bb, b]
+    // — which round 2 exposes: (bb,bb)=1 only exists under the greedy
+    // parse.
+    val out = train(Seq("bbbb"), rounds = 2)
+    assert(out === Seq(
+      (1, "b", "b", "bb", 3L),
+      (2, "bb", "bb", "bbbb", 1L)))
+  }
+
+  test("train: multi-char symbols never false-match inside neighbors") {
+    // After round 1 merges (a,a)->aa in "aaab"x2 and "caab":
+    // "caab" -> [c, aa, b]; pair (a,b) from "aaab" words must NOT match
+    // the 'aa b' boundary in "caab" when applied (symbol-exact replace).
+    val out = train(Seq("aaab aaab caab caab caab"), rounds = 2)
+    // (a,a): 2 per "aaab" x2 + 1 per "caab" x3 = 7
+    assert(out.head === ((1, "a", "a", "aa", 7L)))
+    // round 2 counts: from 2x"aaab"=[aa,a,b]: (aa,a)=2,(a,b)=2;
+    // from 3x"caab"=[c,aa,b]: (c,aa)=3,(aa,b)=3 -> argmax (aa,b) cnt 3
+    assert(out(1) === ((2, "aa", "b", "aab", 3L)))
+  }
 }
