@@ -100,7 +100,7 @@ object Bench {
          "q_pii_scrub" | "q_tfidf_topterms" | "q_vocabulary" |
          "q_pmi_bigrams" | "q_fingerprint" | "q_repetition" |
          "q_repetition_gate" | "q_pack_bins" | "q_source_overlap" |
-         "q_bpe_merges" | "q_bpe_train" | "q_winnow" | "q_winnow_fast" |
+         "q_bpe_merges" | "q_bpe_train" | "q_bpe_encode" | "q_winnow" | "q_winnow_fast" |
          "q_cdc_chunks" => "text"
     case n if n.startsWith("q_dedup") || n.startsWith("q_dup_") => "dedup_graph"
     case "q_ngram_jaccard" | "q_triangles" | "q_clustering" |

@@ -4432,6 +4432,79 @@ object SparkEntry {
             SELECT 3, pa, pb, pa || pb, pair_count FROM r3
             ORDER BY round"""))
 
+  /** BPE encode with the merges [[graft.text.Bpe.train]] just learned:
+    * per-doc post-merge token counts — the number a token-budget
+    * planner uses after tokenizer training. Merge application is
+    * vocab-sized (distinct words), the corpus pays explode + equi-join
+    * + agg. Oracle: the train chain's three rounds re-derived, then the
+    * same double-replace chain applied to the distinct vocabulary and
+    * joined back per doc.
+    */
+  private val qBpeEncode = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val merges = graft.text.Bpe.train(d, "text", rounds = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.text.Bpe.encode(d, "doc_id", "text", merges)
+        .orderBy("doc_id")
+    },
+    Some("""WITH w0 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+            words AS (SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS s,
+                             CAST(COUNT(*) AS BIGINT) AS n
+                      FROM w0 WHERE w <> '' GROUP BY 1),
+            e1 AS (SELECT n, l, unnest(generate_series(1, len(l) - 1)) AS i
+                   FROM (SELECT string_split(trim(s, '|'), '|') AS l, n FROM words) t1
+                   WHERE len(l) >= 2),
+            p1 AS (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(SUM(n) AS BIGINT) AS pair_count
+                   FROM e1 GROUP BY 1, 2),
+            r1 AS (SELECT * FROM p1 ORDER BY pair_count DESC, pa, pb LIMIT 1),
+            w1 AS (SELECT replace(replace(s, '|' || r1.pa || '|' || r1.pb || '|',
+                                             '|' || r1.pa || r1.pb || '|'),
+                                  '|' || r1.pa || '|' || r1.pb || '|',
+                                  '|' || r1.pa || r1.pb || '|') AS s, n
+                   FROM words, r1),
+            e2 AS (SELECT n, l, unnest(generate_series(1, len(l) - 1)) AS i
+                   FROM (SELECT string_split(trim(s, '|'), '|') AS l, n FROM w1) t2
+                   WHERE len(l) >= 2),
+            p2 AS (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(SUM(n) AS BIGINT) AS pair_count
+                   FROM e2 GROUP BY 1, 2),
+            r2 AS (SELECT * FROM p2 ORDER BY pair_count DESC, pa, pb LIMIT 1),
+            w2 AS (SELECT replace(replace(s, '|' || r2.pa || '|' || r2.pb || '|',
+                                             '|' || r2.pa || r2.pb || '|'),
+                                  '|' || r2.pa || '|' || r2.pb || '|',
+                                  '|' || r2.pa || r2.pb || '|') AS s, n
+                   FROM w1, r2),
+            e3 AS (SELECT n, l, unnest(generate_series(1, len(l) - 1)) AS i
+                   FROM (SELECT string_split(trim(s, '|'), '|') AS l, n FROM w2) t3
+                   WHERE len(l) >= 2),
+            p3 AS (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(SUM(n) AS BIGINT) AS pair_count
+                   FROM e3 GROUP BY 1, 2),
+            r3 AS (SELECT * FROM p3 ORDER BY pair_count DESC, pa, pb LIMIT 1),
+            v1 AS (SELECT DISTINCT w, '|' || regexp_replace(w, '(.)', '\1|', 'g') AS s
+                   FROM w0 WHERE w <> ''),
+            v2 AS (SELECT w, replace(replace(s, '|' || r1.pa || '|' || r1.pb || '|',
+                                                '|' || r1.pa || r1.pb || '|'),
+                                     '|' || r1.pa || '|' || r1.pb || '|',
+                                     '|' || r1.pa || r1.pb || '|') AS s
+                   FROM v1, r1),
+            v3 AS (SELECT w, replace(replace(s, '|' || r2.pa || '|' || r2.pb || '|',
+                                                '|' || r2.pa || r2.pb || '|'),
+                                     '|' || r2.pa || '|' || r2.pb || '|',
+                                     '|' || r2.pa || r2.pb || '|') AS s
+                   FROM v2, r2),
+            v4 AS (SELECT w, replace(replace(s, '|' || r3.pa || '|' || r3.pb || '|',
+                                                '|' || r3.pa || r3.pb || '|'),
+                                     '|' || r3.pa || '|' || r3.pb || '|',
+                                     '|' || r3.pa || r3.pb || '|') AS s
+                   FROM v3, r3),
+            vt AS (SELECT w, CAST(len(string_split(trim(s, '|'), '|')) AS BIGINT) AS nt
+                   FROM v4)
+            SELECT w0.doc_id, SUM(vt.nt) AS n_tokens_bpe
+            FROM w0 JOIN vt USING (w)
+            WHERE w0.w <> ''
+            GROUP BY 1 ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -4578,6 +4651,7 @@ object SparkEntry {
     "q_stream_dedup" -> qStreamDedup,
     "q_setsim_join" -> qSetSimJoin,
     "q_bpe_train" -> qBpeTrain,
+    "q_bpe_encode" -> qBpeEncode,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -101,4 +101,32 @@ object Bpe {
     import spark.implicits._
     out.toSeq.toDF("round", "pa", "pb", "merged", "pair_count")
   }
+
+  /** BPE ENCODE with a trained merge list: per-document token counts
+    * after applying `merges` (rank order) to every word. The merge
+    * application runs on the DISTINCT-word vocabulary (replace chains
+    * are vocab-sized work, not corpus-sized); the corpus pays one
+    * explode + one string equi-join + one per-doc agg. Returns
+    * (idCol, n_tokens_bpe) — the post-merge token count, the number a
+    * token-budget planner actually needs after tokenizer training.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val docWords = docs
+      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 1)
+    val piped = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
+    val applied = merges.foldLeft(piped) { case (s, (pa, pb)) =>
+      val pat = lit("|" + pa + "|" + pb + "|")
+      val rep = lit("|" + pa + pb + "|")
+      replace(replace(s, pat, rep), pat, rep)
+    }
+    val vocab = docWords.select("w").distinct()
+      .withColumn("s", applied)
+      .select(col("w"),
+        size(split(expr("trim(BOTH '|' FROM s)"), "\\|")).cast("long").as("nt"))
+    docWords.join(vocab, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("nt")).as("n_tokens_bpe"))
+  }
 }

@@ -59,6 +59,21 @@ class BpeSpec extends SparkTestBase {
       (2, "bb", "bb", "bbbb", 1L)))
   }
 
+  test("encode: per-doc post-merge token counts with a fixed merge list") {
+    val docs = Seq((1L, "aaab xy"), (2L, "aaab aaab"), (3L, "q")).toDF("doc_id", "text")
+    // merges (a,a) then (a,b): "aaab" -> [aa, ab] = 2; "xy" -> 2; "q" -> 1
+    val got = Bpe.encode(docs, "doc_id", "text", Seq(("a", "a"), ("a", "b")))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 4L), (2L, 4L), (3L, 1L)))
+  }
+
+  test("encode: empty merge list counts raw characters") {
+    val docs = Seq((7L, "abc de")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", Seq.empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((7L, 5L)))
+  }
+
   test("train: multi-char symbols never false-match inside neighbors") {
     // After round 1 merges (a,a)->aa in "aaab"x2 and "caab":
     // "caab" -> [c, aa, b]; pair (a,b) from "aaab" words must NOT match
