@@ -99,7 +99,7 @@ object Bench {
     case "q_bm25_topk" | "q_boilerplate" | "q_lm_score" | "q_lang_id" |
          "q_pii_scrub" | "q_tfidf_topterms" | "q_vocabulary" |
          "q_pmi_bigrams" | "q_fingerprint" | "q_repetition" |
-         "q_repetition_gate" | "q_pack_bins" | "q_source_overlap" |
+         "q_repetition_gate" | "q_pack_bins" | "q_pack_render" | "q_source_overlap" |
          "q_bpe_merges" | "q_bpe_train" | "q_bpe_encode" | "q_winnow" | "q_winnow_fast" |
          "q_cdc_chunks" => "text"
     case n if n.startsWith("q_dedup") || n.startsWith("q_dup_") => "dedup_graph"

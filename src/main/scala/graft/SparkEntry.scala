@@ -1556,6 +1556,33 @@ object SparkEntry {
                    CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS bin
             FROM c ORDER BY source, doc_id"""))
 
+  /** Packed-sequence materialization ([[graft.text.Chunker.renderBins]]):
+    * the (stream, bin) assignment of q_pack_bins turned into the actual
+    * concatenated training sequences a packing data loader reads, with
+    * in-bin order pinned by struct-sort (collect_list alone is
+    * partition-arrival nondeterministic). The oracle's `string_agg ...
+    * ORDER BY` replays the concatenation byte-for-byte, separator
+    * included.
+    */
+  private val qPackRender = Q(
+    (s, dir) =>
+      graft.text.Chunker.renderBins(t(s, dir, "documents"), "doc_id", "text",
+        "source", budget = 512L)
+        .orderBy("source", "bin"),
+    Some("""WITH d AS (SELECT source, doc_id, text,
+                              len(string_split(text, ' ')) AS n_tokens
+                       FROM documents),
+            c AS (SELECT source, doc_id, text, n_tokens,
+                         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+                  FROM d),
+            b AS (SELECT source, doc_id, text, n_tokens,
+                         CAST(floor(CAST(cum - n_tokens AS DOUBLE) / 512.0) AS BIGINT) AS bin
+                  FROM c)
+            SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   string_agg(text, ' <eod> ' ORDER BY doc_id) AS packed_text
+            FROM b GROUP BY 1, 2 ORDER BY source, bin"""))
+
   // ---------------------------------------------------------------------
   // North-star: deduplication (documents table)
   // ---------------------------------------------------------------------
@@ -4652,6 +4679,7 @@ object SparkEntry {
     "q_setsim_join" -> qSetSimJoin,
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,
+    "q_pack_render" -> qPackRender,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

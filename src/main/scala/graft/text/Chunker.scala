@@ -70,6 +70,39 @@ object Chunker {
       .drop("cum")
   }
 
+  /** Materialize [[packBins]]' assignment into the actual packed
+    * training sequences: one row per (stream, bin) with the member
+    * documents concatenated in-order behind a separator — the artifact
+    * a sequence-packing data loader reads. Order inside a bin is pinned
+    * by sorting the collected (orderCol, text) structs (collect_list
+    * order is partition-arrival nondeterministic; `array_sort` on the
+    * struct restores determinism — same rule as every ranking here).
+    *
+    * Scale shape: packBins' one window + one (group, bin) hash agg;
+    * a bin's payload is ~budget tokens by construction, so rows stay
+    * bounded regardless of corpus size.
+    *
+    * Output: (groupCol, bin, n_docs, n_tokens, packed_text).
+    */
+  def renderBins(docs: DataFrame, orderCol: String, textCol: String,
+                 groupCol: String, budget: Long,
+                 sep: String = " <eod> "): DataFrame = {
+    val bins = packBins(docs, orderCol, textCol, groupCol, budget)
+      .select(col(groupCol), col(orderCol), col("n_tokens"), col("bin"))
+    bins
+      .join(docs.select(col(groupCol), col(orderCol), col(textCol)),
+        Seq(groupCol, orderCol))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(orderCol).as("o"), col(textCol).as("t")))),
+            x => x.getField("t")),
+          sep).as("packed_text"))
+  }
+
   /** Corpus-level exact substring deduplication at chunk granularity — the
     * "remove repeated passages, keep the documents" step that whole-doc
     * exact dedup misses (boilerplate headers/footers/licenses recur inside

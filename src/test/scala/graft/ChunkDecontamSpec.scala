@@ -115,6 +115,28 @@ class ChunkDecontamSpec extends SparkTestBase {
     assert(bins === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
   }
 
+  test("renderBins: in-order concatenation, deterministic under repartition") {
+    val docs = Seq(
+      ("s1", 1L, "a a a a a a"),
+      ("s1", 2L, "b b b b b b"),
+      ("s1", 3L, "c c c c c c"),
+      ("s2", 4L, "d d")
+    ).toDF("source", "doc_id", "text")
+    def render(d: org.apache.spark.sql.DataFrame) =
+      Chunker.renderBins(d, "doc_id", "text", "source", budget = 10L)
+        .orderBy("source", "bin")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSeq
+    val want = Seq(
+      ("s1", 0L, 2L, 12L, "a a a a a a <eod> b b b b b b"),
+      ("s1", 1L, 1L, 6L, "c c c c c c"),
+      ("s2", 0L, 1L, 2L, "d d"))
+    assert(render(docs) === want)
+    // collect_list arrival order changes under repartition; the
+    // struct-sort must keep the rendered text identical
+    assert(render(docs.repartition(7)) === want)
+  }
+
   // ------------------------------------------------------------------
   // Chunk-granular substring dedup
   // ------------------------------------------------------------------
