@@ -959,6 +959,19 @@ object SparkEntry {
   private def md5LongSql(inner: String): String =
     s"('0x' || substring(md5($inner), 1, 15))::BIGINT"
 
+  /** DuckDB replay of [[graft.text.Bpe]]'s leftmost-greedy merge apply:
+    * fold the piped symbol string `s` left to right with a string
+    * accumulator (`list_reduce`), merging exactly when the accumulator's
+    * last symbol is `pa` and the incoming symbol is `pb` — identical
+    * fold to the Spark side's `aggregate` HOF. `pa`/`pb` are SQL
+    * expressions (CTE column refs), not literals.
+    */
+  private def bpeMergeSql(s: String, pa: String, pb: String): String =
+    s"""list_reduce(list_prepend('|', string_split(trim($s, '|'), '|')),
+       (acc, x) -> CASE WHEN ends_with(acc, '|' || $pa || '|') AND x = $pb
+                   THEN left(acc, len(acc) - len($pa) - 1) || $pa || $pb || '|'
+                   ELSE acc || x || '|' END)"""
+
   /** CTE chain replaying [[graft.dedup.NearDup.minHashLsh]] over a prior
     * CTE named `base` with columns (id, text). Emits CTEs ending in
     * `pairs`(id_a, id_b, jaccard) — jaccard unrounded, filtered to
@@ -2790,17 +2803,39 @@ object SparkEntry {
   /** The 100 TB winnowing path ([[graft.text.Winnow.fingerprintsFast]]):
     * single-pass rolling-hash + deque selection via the codegen
     * [[graft.functions.WinnowPositions]] expression — same contract as
-    * q_winnow, different hash family. No DuckDB oracle (a wrapping
-    * 64-bit rolling hash has no sane SQL replay): the driver records
-    * the weaker rows-only check; correctness is pinned by
-    * WinnowPositionsSpec's independent quadratic reference.
+    * q_winnow, different hash family. The two-lane mod-P polynomial
+    * (each lane < 2^31) is chosen precisely so the oracle CAN replay
+    * it: DuckDB recomputes each position's hash from scratch with an
+    * unrolled Horner chain in plain BIGINT arithmetic (intermediates
+    * ≤ (P−1)·B + cp < 2^52, no wrapping anywhere), then replays the
+    * selection as a window MIN — the Spark side's O(1)-per-position
+    * rolling update and monotonic deque are the scale path for the
+    * same function.
     */
-  private val qWinnowFast = Q(
-    (s, dir) =>
-      graft.text.Winnow.fingerprintsFast(t(s, dir, "documents"),
-        "doc_id", "text", k = 16, w = 8)
-        .orderBy("id", "pos"),
-    None)
+  private val qWinnowFast = {
+    import graft.functions.WinnowPositions.{B1, B2, P1, P2}
+    def lane(b: Long, p: Long): String =
+      (1 to 16).foldLeft("0")((acc, j) =>
+        s"(($acc) * CAST($b AS BIGINT) + unicode(substr(text, i + $j, 1))) % $p")
+    Q(
+      (s, dir) =>
+        graft.text.Winnow.fingerprintsFast(t(s, dir, "documents"),
+          "doc_id", "text", k = 16, w = 8)
+          .orderBy("id", "pos"),
+      Some(s"""WITH sh AS (
+              SELECT doc_id AS id, CAST(i AS INTEGER) AS pos,
+                     (${lane(B1, P1)}) * CAST($P2 AS BIGINT)
+                       + (${lane(B2, P2)}) AS h
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, len(text) - 16 + 1)) AS i
+                    FROM documents WHERE len(text) >= 16)),
+            m AS (SELECT id, pos, h,
+                         MIN(h) OVER (PARTITION BY id ORDER BY pos
+                                      ROWS BETWEEN 7 PRECEDING
+                                               AND 7 FOLLOWING) AS m
+                  FROM sh)
+            SELECT id, pos, h FROM m WHERE h = m ORDER BY id, pos"""))
+  }
 
   /** Content-defined chunking stats ([[graft.text.Winnow.cdcChunkStats]]):
     * boundaries where the shingle hash ≡ 0 (mod 64) — expected 64-char
@@ -4420,7 +4455,7 @@ object SparkEntry {
     (s, dir) =>
       graft.text.Bpe.train(t(s, dir, "documents"), "text", rounds = 3)
         .orderBy("round"),
-    Some("""WITH w0 AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    Some(raw"""WITH w0 AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
             words AS (SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS s,
                              CAST(COUNT(*) AS BIGINT) AS n
                       FROM w0 WHERE w <> '' GROUP BY 1),
@@ -4430,10 +4465,7 @@ object SparkEntry {
             p1 AS (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(SUM(n) AS BIGINT) AS pair_count
                    FROM e1 GROUP BY 1, 2),
             r1 AS (SELECT * FROM p1 ORDER BY pair_count DESC, pa, pb LIMIT 1),
-            w1 AS (SELECT replace(replace(s, '|' || r1.pa || '|' || r1.pb || '|',
-                                             '|' || r1.pa || r1.pb || '|'),
-                                  '|' || r1.pa || '|' || r1.pb || '|',
-                                  '|' || r1.pa || r1.pb || '|') AS s, n
+            w1 AS (SELECT ${bpeMergeSql("s", "r1.pa", "r1.pb")} AS s, n
                    FROM words, r1),
             e2 AS (SELECT n, l, unnest(generate_series(1, len(l) - 1)) AS i
                    FROM (SELECT string_split(trim(s, '|'), '|') AS l, n FROM w1) t2
@@ -4441,10 +4473,7 @@ object SparkEntry {
             p2 AS (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(SUM(n) AS BIGINT) AS pair_count
                    FROM e2 GROUP BY 1, 2),
             r2 AS (SELECT * FROM p2 ORDER BY pair_count DESC, pa, pb LIMIT 1),
-            w2 AS (SELECT replace(replace(s, '|' || r2.pa || '|' || r2.pb || '|',
-                                             '|' || r2.pa || r2.pb || '|'),
-                                  '|' || r2.pa || '|' || r2.pb || '|',
-                                  '|' || r2.pa || r2.pb || '|') AS s, n
+            w2 AS (SELECT ${bpeMergeSql("s", "r2.pa", "r2.pb")} AS s, n
                    FROM w1, r2),
             e3 AS (SELECT n, l, unnest(generate_series(1, len(l) - 1)) AS i
                    FROM (SELECT string_split(trim(s, '|'), '|') AS l, n FROM w2) t3
@@ -4464,8 +4493,8 @@ object SparkEntry {
     * planner uses after tokenizer training. Merge application is
     * vocab-sized (distinct words), the corpus pays explode + equi-join
     * + agg. Oracle: the train chain's three rounds re-derived, then the
-    * same double-replace chain applied to the distinct vocabulary and
-    * joined back per doc.
+    * same leftmost-greedy `list_reduce` fold applied to the distinct
+    * vocabulary and joined back per doc.
     */
   private val qBpeEncode = Q(
     (s, dir) => {
@@ -4476,7 +4505,7 @@ object SparkEntry {
       graft.text.Bpe.encode(d, "doc_id", "text", merges)
         .orderBy("doc_id")
     },
-    Some("""WITH w0 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+    Some(raw"""WITH w0 AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
             words AS (SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS s,
                              CAST(COUNT(*) AS BIGINT) AS n
                       FROM w0 WHERE w <> '' GROUP BY 1),
@@ -4486,10 +4515,7 @@ object SparkEntry {
             p1 AS (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(SUM(n) AS BIGINT) AS pair_count
                    FROM e1 GROUP BY 1, 2),
             r1 AS (SELECT * FROM p1 ORDER BY pair_count DESC, pa, pb LIMIT 1),
-            w1 AS (SELECT replace(replace(s, '|' || r1.pa || '|' || r1.pb || '|',
-                                             '|' || r1.pa || r1.pb || '|'),
-                                  '|' || r1.pa || '|' || r1.pb || '|',
-                                  '|' || r1.pa || r1.pb || '|') AS s, n
+            w1 AS (SELECT ${bpeMergeSql("s", "r1.pa", "r1.pb")} AS s, n
                    FROM words, r1),
             e2 AS (SELECT n, l, unnest(generate_series(1, len(l) - 1)) AS i
                    FROM (SELECT string_split(trim(s, '|'), '|') AS l, n FROM w1) t2
@@ -4497,10 +4523,7 @@ object SparkEntry {
             p2 AS (SELECT l[i] AS pa, l[i + 1] AS pb, CAST(SUM(n) AS BIGINT) AS pair_count
                    FROM e2 GROUP BY 1, 2),
             r2 AS (SELECT * FROM p2 ORDER BY pair_count DESC, pa, pb LIMIT 1),
-            w2 AS (SELECT replace(replace(s, '|' || r2.pa || '|' || r2.pb || '|',
-                                             '|' || r2.pa || r2.pb || '|'),
-                                  '|' || r2.pa || '|' || r2.pb || '|',
-                                  '|' || r2.pa || r2.pb || '|') AS s, n
+            w2 AS (SELECT ${bpeMergeSql("s", "r2.pa", "r2.pb")} AS s, n
                    FROM w1, r2),
             e3 AS (SELECT n, l, unnest(generate_series(1, len(l) - 1)) AS i
                    FROM (SELECT string_split(trim(s, '|'), '|') AS l, n FROM w2) t3
@@ -4510,24 +4533,15 @@ object SparkEntry {
             r3 AS (SELECT * FROM p3 ORDER BY pair_count DESC, pa, pb LIMIT 1),
             v1 AS (SELECT DISTINCT w, '|' || regexp_replace(w, '(.)', '\1|', 'g') AS s
                    FROM w0 WHERE w <> ''),
-            v2 AS (SELECT w, replace(replace(s, '|' || r1.pa || '|' || r1.pb || '|',
-                                                '|' || r1.pa || r1.pb || '|'),
-                                     '|' || r1.pa || '|' || r1.pb || '|',
-                                     '|' || r1.pa || r1.pb || '|') AS s
+            v2 AS (SELECT w, ${bpeMergeSql("s", "r1.pa", "r1.pb")} AS s
                    FROM v1, r1),
-            v3 AS (SELECT w, replace(replace(s, '|' || r2.pa || '|' || r2.pb || '|',
-                                                '|' || r2.pa || r2.pb || '|'),
-                                     '|' || r2.pa || '|' || r2.pb || '|',
-                                     '|' || r2.pa || r2.pb || '|') AS s
+            v3 AS (SELECT w, ${bpeMergeSql("s", "r2.pa", "r2.pb")} AS s
                    FROM v2, r2),
-            v4 AS (SELECT w, replace(replace(s, '|' || r3.pa || '|' || r3.pb || '|',
-                                                '|' || r3.pa || r3.pb || '|'),
-                                     '|' || r3.pa || '|' || r3.pb || '|',
-                                     '|' || r3.pa || r3.pb || '|') AS s
+            v4 AS (SELECT w, ${bpeMergeSql("s", "r3.pa", "r3.pb")} AS s
                    FROM v3, r3),
             vt AS (SELECT w, CAST(len(string_split(trim(s, '|'), '|')) AS BIGINT) AS nt
                    FROM v4)
-            SELECT w0.doc_id, SUM(vt.nt) AS n_tokens_bpe
+            SELECT w0.doc_id, CAST(SUM(vt.nt) AS BIGINT) AS n_tokens_bpe
             FROM w0 JOIN vt USING (w)
             WHERE w0.w <> ''
             GROUP BY 1 ORDER BY doc_id"""))

@@ -10,29 +10,39 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd single-pass winnowing: selected fingerprint positions of a
-  * document in ONE O(n) walk — a 64-bit wrapping polynomial rolling
-  * hash (O(1) per byte: push one byte, retire one byte via the
-  * precomputed `B^(k-1)` term, finalize with a splitmix64 mixer) and a
-  * monotonic-deque sliding minimum over the symmetric `2w-1` window.
-  * Returns `array<struct<pos:int, h:bigint>>` — one element per
-  * position whose finalized hash equals its neighborhood minimum (ties
-  * all selected, matching [[graft.text.Winnow.fingerprints]] semantics).
+  * document in ONE O(n) walk — a two-lane mod-P polynomial rolling hash
+  * (O(1) per position: push one code point, retire one via the
+  * precomputed `B^(k-1) mod P` term) and a monotonic-deque sliding
+  * minimum over the symmetric `2w-1` window. Returns
+  * `array<struct<pos:int, h:bigint>>` — one element per position whose
+  * hash equals its neighborhood minimum (ties all selected, matching
+  * [[graft.text.Winnow.fingerprints]] semantics).
   *
   * Why a custom expression: the declarative form pays an md5 over a
-  * k-char substring at EVERY position — O(k) hashing per byte plus a
+  * k-char substring at EVERY position — O(k) hashing per char plus a
   * per-document window sort, ~150 M md5 calls per 100×-corpus pass
-  * (242 s in the round-11 soak). This expression is the 100 TB path:
+  * (242 s in the round-10 soak). This expression is the 100 TB path:
   * same selection CONTRACT (local-minimum, self-synchronizing,
-  * guaranteed shared fingerprints for shared runs ≥ k+w−1 bytes, ~1/w
+  * guaranteed shared fingerprints for shared runs ≥ k+w−1 chars, ~1/w
   * density), different hash family, so fingerprints from the two forms
-  * are not interchangeable — pick one per corpus. Positions/lengths
-  * are BYTE-based (UTF-8); on ASCII corpora they coincide with the
-  * declarative form's char positions.
+  * are not interchangeable — pick one per corpus.
   *
-  * The md5 twin stays the ORACLE path (DuckDB replays it); this one is
-  * pinned by spec against an independent reference implementation plus
-  * the contract properties, and by bit-equality between interpreted
-  * and codegen evaluation.
+  * Hash family — chosen for ENGINE REPLAYABILITY: each lane is a plain
+  * polynomial over code points, `h = Σ cp·B^j mod P`, with `P < 2^31`,
+  * so any engine with 64-bit integers and `%` can recompute a position
+  * hash from the k-gram (intermediates stay ≤ (P−1)·B + cp < 2^52 — no
+  * wrapping arithmetic anywhere). Two independent (B, P) lanes combined
+  * as `h1·P2 + h2` give a ~62-bit fingerprint space (single-lane 31-bit
+  * would birthday-collide at ~10^5 fingerprints — far too small for a
+  * corpus-scale join key). That makes q_winnow_fast DuckDB-oracle-
+  * checkable — the gate replays both Horner chains with
+  * `unicode(substr(...))` and the selection with a window MIN — where
+  * the previous wrapping-64-bit + splitmix64 family could not be
+  * replayed (SQL integer overflow errors rather than wraps).
+  *
+  * Positions and k-gram widths are CODE-POINT based (≡ char positions
+  * in any SQL engine's `substr`/`length`; ≡ byte positions on ASCII
+  * corpora).
   */
 case class WinnowPositions(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
@@ -64,37 +74,51 @@ case class WinnowPositions(child: Expression, k: Int, w: Int)
 }
 
 object WinnowPositions {
-  private val Base = 0x100000001b3L // FNV-1a prime; wrapping 64-bit poly
-
-  /** splitmix64 finalizer, masked non-negative so min-comparisons and
-    * any engine replay over signed 64-bit agree.
-    */
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    (z ^ (z >>> 31)) & Long.MaxValue
-  }
+  // two independent polynomial lanes, each mod a prime < 2^31 — public
+  // constants shared with the DuckDB oracle replay in SparkEntry
+  val P1 = 2147483629L
+  val B1 = 1000003L
+  val P2 = 2147483587L
+  val B2 = 1000033L
 
   /** Shared by interpreted eval and generated code. */
   def select(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val bytes = text.getBytes
-    val n = bytes.length
+    val str = text.toString
+    // decode UTF-16 to code points once: positions/k-grams are
+    // code-point indexed, matching SQL substr/length semantics
+    val nUtf16 = str.length
+    val cps = new Array[Int](str.codePointCount(0, nUtf16))
+    var ci = 0
+    var si = 0
+    while (si < nUtf16) {
+      val cp = str.codePointAt(si)
+      cps(ci) = cp; ci += 1; si += Character.charCount(cp)
+    }
+    val n = cps.length
     val m = n - k + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    // rolling hash per position, finalized
-    var pow = 1L // B^(k-1), wrapping
+    // B^(k-1) mod P per lane, for the retire step
+    var pow1 = 1L
+    var pow2 = 1L
     var i = 1
-    while (i < k) { pow *= Base; i += 1 }
+    while (i < k) { pow1 = pow1 * B1 % P1; pow2 = pow2 * B2 % P2; i += 1 }
     val hf = new Array[Long](m)
-    var h = 0L
+    var h1 = 0L
+    var h2 = 0L
     i = 0
-    while (i < k) { h = h * Base + (bytes(i) & 0xffL); i += 1 }
-    hf(0) = mix(h)
+    while (i < k) {
+      h1 = (h1 * B1 + cps(i)) % P1
+      h2 = (h2 * B2 + cps(i)) % P2
+      i += 1
+    }
+    hf(0) = h1 * P2 + h2
     i = 1
     while (i < m) {
-      h = (h - (bytes(i - 1) & 0xffL) * pow) * Base + (bytes(i + k - 1) & 0xffL)
-      hf(i) = mix(h)
+      val out = cps(i - 1)
+      val in = cps(i + k - 1)
+      h1 = (java.lang.Math.floorMod(h1 - out * pow1 % P1, P1) * B1 + in) % P1
+      h2 = (java.lang.Math.floorMod(h2 - out * pow2 % P2, P2) * B2 + in) % P2
+      hf(i) = h1 * P2 + h2
       i += 1
     }
     // monotonic-deque sliding min over the symmetric [i-w+1, i+w-1]

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge statistics — the corpus-scale counting
@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   * Occurrences are counted per word INSTANCE (not per distinct word):
   * BPE weights pairs by corpus frequency. Pure string ops + one
   * group-by — no RNG, no floats, replayable anywhere.
+  *
+  * Tokenization convention (all three entry points): words are
+  * `lower(text)` split on a LITERAL single space, empties dropped —
+  * the exact semantics of SQL `string_split(lower(text), ' ')`, so
+  * the whole module replays in any engine. Tabs/newlines are NOT
+  * separators; a corpus with those should be normalized first (see
+  * [[graft.text.Normalize]]).
+  *
+  * Precondition: input text must not contain the literal `'|'`
+  * character — it is the internal symbol delimiter (a word `"a|b"`
+  * would produce empty symbols and ambiguous merges, identically in
+  * both engines). Strip or remap pipes upstream if a corpus can
+  * contain them.
   */
 object Bpe {
 
@@ -39,6 +52,29 @@ object Bpe {
       .limit(k)
   }
 
+  /** Exact leftmost-greedy non-overlapping application of one merge
+    * (`pa`, `pb`) to a `'|'`-piped symbol string: fold the symbols
+    * left to right with a string accumulator; merge exactly when the
+    * accumulator's LAST symbol is `pa` and the incoming symbol is
+    * `pb`. A symbol merged THIS round is `pa+pb`, which can never
+    * equal `pa` (`pb` is nonempty), so the ends-with test cannot
+    * re-consume an already-merged symbol — this is precisely the BPE
+    * scan rule, including odd runs of a repeated symbol: merging
+    * (a, a) on "aaaaa" yields [aa, aa, a], where a global
+    * double-`replace` would commit [aa, a, aa] (the second match in a
+    * left-to-right replace pass steals the delimiter of the third).
+    * The DuckDB oracle replays the same fold with `list_reduce`,
+    * character for character.
+    */
+  private def mergeApply(s: Column, pa: String, pb: String): Column = {
+    val syms = split(trim(s, "|"), "\\|")
+    aggregate(syms, lit("|"), (acc, x) =>
+      when(acc.endsWith(lit("|" + pa + "|")) && x === lit(pb),
+        concat(acc.substr(lit(1), length(acc) - length(lit(pa)) - 1),
+          lit(pa + pb + "|")))
+        .otherwise(concat(acc, x, lit("|"))))
+  }
+
   /** The ACTUAL iterated BPE trainer, distributed: `rounds` iterations
     * of (count adjacent symbol pairs → argmax → merge everywhere).
     * Returns one row per round: (round, pa, pb, merged, pair_count).
@@ -51,22 +87,17 @@ object Bpe {
     * narrow merge-apply map. Nothing per-round touches the corpus.
     *
     * Representation: a word's symbol sequence is a `'|'`-delimited
-    * string with sentinels — `"hello"` → `"|h|e|l|l|o|"` — so the merge
-    * of (a, b) is plain-string `replace("|a|b|", "|ab|")` applied
-    * TWICE: one global left-to-right replace pass can miss an
-    * occurrence only when the preceding overlapping occurrence consumed
-    * its leading delimiter, and such misses are never adjacent, so a
-    * second pass completes exact leftmost-greedy non-overlapping
-    * merging (the BPE rule). Plain `replace` + `regexp_replace`
-    * exist with identical semantics in DuckDB, which is what makes the
-    * whole LOOP oracle-replayable round for round — no RNG, no floats,
-    * ties broken (count DESC, pa ASC, pb ASC).
+    * string with sentinels — `"hello"` → `"|h|e|l|l|o|"` — and the
+    * merge of (pa, pb) is the exact leftmost-greedy fold of
+    * [[mergeApply]]. No RNG, no floats, ties broken (count DESC,
+    * pa ASC, pb ASC) — the whole LOOP is oracle-replayable round for
+    * round.
     */
   def train(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     val spark = docs.sparkSession
     val words0 = docs
-      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(concat(lit("|"),
@@ -91,10 +122,8 @@ object Bpe {
         val (pa, pb, cnt) =
           (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((r, pa, pb, pa + pb, cnt))
-        val pat = lit("|" + pa + "|" + pb + "|")
-        val rep = lit("|" + pa + pb + "|")
         cur = cur
-          .select(replace(replace(col("s"), pat, rep), pat, rep).as("s"), col("n"))
+          .select(mergeApply(col("s"), pa, pb).as("s"), col("n"))
           .localCheckpoint()
       }
     }
@@ -103,23 +132,22 @@ object Bpe {
   }
 
   /** BPE ENCODE with a trained merge list: per-document token counts
-    * after applying `merges` (rank order) to every word. The merge
-    * application runs on the DISTINCT-word vocabulary (replace chains
-    * are vocab-sized work, not corpus-sized); the corpus pays one
-    * explode + one string equi-join + one per-doc agg. Returns
-    * (idCol, n_tokens_bpe) — the post-merge token count, the number a
-    * token-budget planner actually needs after tokenizer training.
+    * after applying `merges` (rank order, each via the leftmost-greedy
+    * [[mergeApply]]) to every word. The merge application runs on the
+    * DISTINCT-word vocabulary (merge chains are vocab-sized work, not
+    * corpus-sized); the corpus pays one explode + one string equi-join
+    * + one per-doc agg. Returns (idCol, n_tokens_bpe) — the post-merge
+    * token count, the number a token-budget planner actually needs
+    * after tokenizer training.
     */
   def encode(docs: DataFrame, idCol: String, textCol: String,
              merges: Seq[(String, String)]): DataFrame = {
     val docWords = docs
-      .select(col(idCol), explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) >= 1)
     val piped = concat(lit("|"), regexp_replace(col("w"), "(.)", "$1|"))
     val applied = merges.foldLeft(piped) { case (s, (pa, pb)) =>
-      val pat = lit("|" + pa + "|" + pb + "|")
-      val rep = lit("|" + pa + pb + "|")
-      replace(replace(s, pat, rep), pat, rep)
+      mergeApply(s, pa, pb)
     }
     val vocab = docWords.select("w").distinct()
       .withColumn("s", applied)

@@ -57,12 +57,14 @@ object Winnow {
   /** The 100 TB winnowing path: same selection contract as
     * [[fingerprints]] (local-minimum in a symmetric w-window, ties all
     * selected) via the single-pass O(n) codegen expression
-    * [[graft.functions.WinnowPositions]] — rolling polynomial hash +
-    * monotonic-deque minimum, no per-position md5, no window sort, no
-    * shuffle at all (selection is per-document local work at scan
-    * speed). Different hash family than the md5 form, so the two
-    * forms' fingerprints are not interchangeable; positions are
-    * byte-based (≡ char-based on ASCII).
+    * [[graft.functions.WinnowPositions]] — two-lane mod-P rolling
+    * polynomial hash + monotonic-deque minimum, no per-position md5,
+    * no window sort, no shuffle at all (selection is per-document
+    * local work at scan speed). Different hash family than the md5
+    * form, so the two forms' fingerprints are not interchangeable;
+    * positions are code-point based (≡ SQL substr positions, ≡ bytes
+    * on ASCII). The mod-P lanes make this form DuckDB-replayable, so
+    * it carries a full oracle row (q_winnow_fast) like the md5 twin.
     */
   def fingerprintsFast(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 16, w: Int = 8): DataFrame =

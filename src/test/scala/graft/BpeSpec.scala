@@ -59,6 +59,18 @@ class BpeSpec extends SparkTestBase {
       (2, "bb", "bb", "bbbb", 1L)))
   }
 
+  test("train: odd repeated-symbol runs parse greedily (bbbbb -> bb,bb,b)") {
+    // The case a global double-`replace` gets wrong: merging (b,b) on
+    // "bbbbb" must give [bb, bb, b] (leftmost-greedy), not [bb, b, bb].
+    // Round 2 exposes it: greedy gives (bb,bb)=1 + (bb,b)=1 from
+    // "bbbbb" and (bb,bb)=2 from "bbbbbb" -> argmax (bb,bb) count 3;
+    // the double-replace parse would count (bb,bb)=2 only.
+    val out = train(Seq("bbbbb bbbbbb"), rounds = 2)
+    assert(out === Seq(
+      (1, "b", "b", "bb", 9L),
+      (2, "bb", "bb", "bbbb", 3L)))
+  }
+
   test("encode: per-doc post-merge token counts with a fixed merge list") {
     val docs = Seq((1L, "aaab xy"), (2L, "aaab aaab"), (3L, "q")).toDF("doc_id", "text")
     // merges (a,a) then (a,b): "aaab" -> [aa, ab] = 2; "xy" -> 2; "q" -> 1

@@ -8,29 +8,27 @@ import graft.functions.WinnowPositions
 import graft.text.Winnow
 
 /** Pins the O(n) rolling-hash winnowing expression against an
-  * independent quadratic reference (from-scratch polynomial per
+  * independent quadratic reference (from-scratch mod-P polynomial per
   * position + O(w) min scan), plus the selection contract.
   */
 class WinnowPositionsSpec extends SparkTestBase {
   import spark.implicits._
 
-  // ---- independent reference: no rolling update, no deque ----
-  private val Base = 0x100000001b3L
-  private def mixRef(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    (z ^ (z >>> 31)) & Long.MaxValue
-  }
+  // ---- independent reference: no rolling update, no deque; BigInt
+  // arithmetic so a modular-arithmetic slip in the expression's long
+  // math (a missed floorMod, an overflowing intermediate) cannot be
+  // replicated here ----
   private def reference(s: String, k: Int, w: Int): Seq[(Int, Long)] = {
-    val b = s.getBytes("UTF-8")
-    val m = b.length - k + 1
+    val cps = s.codePoints().toArray
+    val m = cps.length - k + 1
     if (m <= 0) return Seq.empty
+    def lane(p: Int, b: Long, mod: Long): Long =
+      (0 until k).foldLeft(BigInt(0)) { (h, j) =>
+        (h * b + cps(p + j)) mod mod
+      }.toLong
     val hf = (0 until m).map { p =>
-      var h = 0L
-      var j = 0
-      while (j < k) { h = h * Base + (b(p + j) & 0xffL); j += 1 }
-      mixRef(h)
+      lane(p, WinnowPositions.B1, WinnowPositions.P1) * WinnowPositions.P2 +
+        lane(p, WinnowPositions.B2, WinnowPositions.P2)
     }
     (0 until m).flatMap { i =>
       val lo = math.max(0, i - w + 1)
@@ -70,12 +68,13 @@ class WinnowPositionsSpec extends SparkTestBase {
     }
   }
 
-  test("multibyte input: byte positions stay in range, no crash") {
+  test("multibyte input: code-point positions stay in range, match reference") {
     val s = "héllo wörld — ünïcode text with some ascii tail padding"
-    val nBytes = s.getBytes("UTF-8").length
+    val nCps = s.codePointCount(0, s.length)
     val out = run(s)
     assert(out.nonEmpty)
-    assert(out.forall { case (p, _) => p >= 0 && p <= nBytes - 16 })
+    assert(out.forall { case (p, _) => p >= 0 && p <= nCps - 16 })
+    assert(out === reference(s, 16, 8))
   }
 
   test("fingerprintsFast: the DataFrame form preserves the shared-run contract") {
