@@ -60,6 +60,31 @@ object Bench {
       // upper median for even n: the conservative (pessimistic) pick
       name -> (if (failed) -1.0 else times(times.length / 2))
     }
+    // Streaming-engine fixed-cost probe: the q_stream_* rows each carry
+    // ~1-2 s of micro-batch machinery (query start, offset/commit log,
+    // state-store provider init) that is NOT plan cost and does not grow
+    // with data. Measure it directly — a tiny file-source stream (the
+    // 5-row region table) drained via AvailableNow into a memory sink,
+    // same warmup + median policy — and report it as `stream_noop` so a
+    // reader can subtract the constant from each streaming row instead
+    // of mistaking engine setup for operator time.
+    val streamNoop: Double = if (only.isEmpty) {
+      def probe(i: Int): Double = {
+        val t0 = System.nanoTime()
+        val schema = spark.read.parquet(s"$sfDir/region.parquet").schema
+        val q = spark.readStream.schema(schema)
+          .option("basePath", sfDir).parquet(s"$sfDir/region.parquet*")
+          .writeStream.outputMode("append").format("memory")
+          .queryName(s"graft_bench_stream_noop_$i")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (0 until warmups).foreach(probe)
+      val times = (0 until repeats).map(i => probe(warmups + i)).sorted
+      times(times.length / 2)
+    } else -1.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum // failed (-1) excluded
@@ -72,7 +97,18 @@ object Bench {
       .mkString("{", ",", "}")
     // policy fields recorded so round-over-round deltas are readable as
     // signal vs JVM noise (warmup + median-of-3 is the default).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"warmups":$warmups,"policy":"median","queries":$qs,"tiers":$tiers,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"warmups":$warmups,"policy":"median","stream_noop":$streamNoop,"queries":$qs,"tiers":$tiers,"sf":"$sfDir"}"""
+    println(json)
+    // The driver captures only the TAIL of stdout (BENCH_r10 kept 55 of
+    // 143 per-query entries); persist the full line so per-query history
+    // survives log truncation.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 
@@ -127,7 +163,7 @@ object Bench {
     case "q_cdc_latest" => "streaming"
     case "q_multimodal_meta" | "q_frame_sample" | "q_bmp_decode" |
          "q_wav_decode" | "q_wav_frames" | "q_bmp_resize" |
-         "q_png_decode" => "multimodal"
+         "q_png_decode" | "q_gif_decode" => "multimodal"
     case _ => "other"
   }
 }

@@ -2479,6 +2479,54 @@ object SparkEntry {
                    CAST(psum AS BIGINT) AS pixel_byte_sum
             FROM px ORDER BY doc_id"""))
 
+  /** Fourth de-stubbed format, second with a real compression codec:
+    * GIF ([[graft.multimodal.Multimodal.parseGif]] — screen-descriptor
+    * walk, 256-entry global color table, and a from-scratch
+    * variable-width LZW decoder). The fixture is compressed by the REAL
+    * LZW encoder ([[graft.multimodal.Multimodal.lzwEncode]]), so the
+    * closed-form pixel sum only matches if the decoder rebuilds the
+    * dictionary, grows code widths, and maps every decoded index
+    * through the palette correctly. Pixel index and palette channels
+    * are both closed-form in doc_id, so the oracle predicts the exact
+    * RGB byte sum without ever seeing a GIF byte.
+    */
+  private val qGifDecode = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 1 + (id % 16).toInt
+          val h = 1 + (id % 8).toInt
+          (id, graft.multimodal.Multimodal.makeGif(w, h, id))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractFeatures(s, bins)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          round(element_at(col("features"), 4) *
+            (col("width") * col("height") * lit(3L) * lit(255L)))
+            .cast(LongType).as("pixel_byte_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     CAST(1 + doc_id % 16 AS INT) AS w,
+                     CAST(1 + doc_id % 8 AS INT) AS h
+              FROM documents),
+            px AS (
+              -- pixel index pi = (id + y*31 + x*7) % 256; palette entry
+              -- pi has channels (id + 3*pi) % 256, (id + 5*pi) % 256,
+              -- (id + 7*pi) % 256 (makeGif's closed forms)
+              SELECT d.doc_id, d.w, d.h,
+                     SUM((d.doc_id + 3 * ((d.doc_id + y.y * 31 + x.x * 7) % 256)) % 256
+                       + (d.doc_id + 5 * ((d.doc_id + y.y * 31 + x.x * 7) % 256)) % 256
+                       + (d.doc_id + 7 * ((d.doc_id + y.y * 31 + x.x * 7) % 256)) % 256) AS psum
+              FROM dims d
+              JOIN generate_series(0, 7) AS y(y) ON y.y < d.h
+              JOIN generate_series(0, 15) AS x(x) ON x.x < d.w
+              GROUP BY d.doc_id, d.w, d.h)
+            SELECT doc_id, 'gif' AS format, w AS width, h AS height,
+                   CAST(psum AS BIGINT) AS pixel_byte_sum
+            FROM px ORDER BY doc_id"""))
+
   /** Frame-level PCM audio analysis ([[graft.multimodal.Multimodal
     * .wavFrameStats]]): per 32-sample frame, exact integer energy Σs²
     * and zero-crossing count over the REAL decoded samples of generated
@@ -4421,8 +4469,11 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("inter"), col("len_a"),
           col("len_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("id_a", "id_b"),
-    Some("""WITH d AS (SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS toks
-                       FROM documents WHERE doc_id < 500),
+    Some("""WITH d0 AS (SELECT doc_id AS id,
+                               list_filter(list_distinct(string_split(text, ' ')),
+                                           x -> x <> '') AS toks
+                        FROM documents WHERE doc_id < 500),
+                 d AS (SELECT * FROM d0 WHERE len(toks) > 0),
                  e AS (SELECT id, unnest(toks) AS tok FROM d),
                  pairs AS (SELECT a.id AS id_a, b.id AS id_b,
                                   CAST(COUNT(*) AS BIGINT) AS inter
@@ -4694,6 +4745,7 @@ object SparkEntry {
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,
     "q_pack_render" -> qPackRender,
+    "q_gif_decode" -> qGifDecode,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

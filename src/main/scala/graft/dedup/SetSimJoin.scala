@@ -57,9 +57,17 @@ object SetSimJoin {
     // each branch re-scans + re-tokenizes the corpus — 6 parquet scans
     // and 4 explodes in the physical plan. localCheckpoint pins it to
     // one corpus pass (same pattern as the dedup graph operators).
+    // Token-less documents are excluded up front. The whitespace split
+    // yields [""] for empty/whitespace-only text, so the empty string is
+    // dropped from the token set first and zero-token docs are then
+    // filtered: their Jaccard is 0/0 — undefined — and the acceptance
+    // predicate `tDen*inter >= tNum*union` would evaluate 0 >= 0 as true,
+    // silently diverging from the brute-force definition on
+    // whitespace-only fixtures. Out of contract, explicitly.
     val toks = df.select(col(idCol).cast("long").as("id"),
-        array_distinct(graft.text.TextAnalysis.tokens(col(textCol))).as("toks"))
+        array_remove(array_distinct(graft.text.TextAnalysis.tokens(col(textCol))), "").as("toks"))
       .withColumn("len", size(col("toks")).cast("long"))
+      .filter(col("len") > 0)
       .localCheckpoint()
 
     // Global token order: ascending document frequency, ties by token —

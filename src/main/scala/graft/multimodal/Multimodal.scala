@@ -459,14 +459,289 @@ object Multimodal {
     PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zlib) ++ chunk("IEND", Array.empty)
   }
 
+  // ---- real decoder: GIF (GIF87a/89a; LZW per the public spec) ---------
+  // Fourth de-stubbed format, second with a real compression codec: GIF
+  // image data is variable-width LZW (the 1984 Welch scheme with GIF's
+  // clear/end codes and 12-bit cap), decoded here from first principles —
+  // LSB-first code stream across 255-byte sub-blocks, dictionary rebuild,
+  // the K-omega-K case (code == next), width growth at each table
+  // doubling, deferred-clear handling when the table fills. Supported:
+  // first image frame, global or local color table, non-interlaced.
+  // Interlaced frames return None and fall to the stub.
+
+  /** Decode a GIF LZW code stream into `expected` palette indices.
+    * `data` is the already-concatenated sub-block payload. Returns None
+    * on any malformed stream (bad code, truncated input, oversized
+    * output) — never a partial guess.
+    */
+  private[graft] def lzwDecode(data: Array[Byte], minCodeSize: Int,
+                                    expected: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8 || expected <= 0) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    // dictionary as prefix links: suffix byte + previous code per entry;
+    // entries < clear are literals. 4096 is the spec's hard table cap.
+    val suffix = new Array[Byte](4096)
+    val prefix = new Array[Int](4096)
+    var next = eoi + 1
+    var width = minCodeSize + 1
+    var prev = -1
+    var bitPos = 0L
+    val nBits = data.length.toLong * 8
+    val tail = new Array[Byte](4096) // expansion scratch (max chain length)
+    def expand(code: Int, extra: Int): Int = {
+      // walk the prefix chain (bounded by table size), write reversed
+      var c = code
+      var n = 0
+      while (c >= clear) { tail(n) = suffix(c); n += 1; c = prefix(c) }
+      tail(n) = c.toByte; n += 1
+      if (outLen + n + extra > expected) return -1
+      var i = n - 1
+      while (i >= 0) { out(outLen) = tail(i); outLen += 1; i -= 1 }
+      c // first byte of the expansion (chain root)
+    }
+    while (true) {
+      if (bitPos + width > nBits) return None // truncated: no EOI seen
+      val byteOff = (bitPos >>> 3).toInt
+      val bitOff = (bitPos & 7).toInt
+      var v = (data(byteOff) & 0xff) >>> bitOff
+      var got = 8 - bitOff
+      while (got < width) {
+        v |= (data(byteOff + (got + bitOff) / 8) & 0xff) << got
+        got += 8
+      }
+      val code = v & ((1 << width) - 1)
+      bitPos += width
+      if (code == clear) {
+        next = eoi + 1; width = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outLen == expected) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code after clear: literal only
+        out(outLen) = code.toByte; outLen += 1
+        if (outLen > expected) return None
+        prev = code
+      } else if (code < next && code != eoi && code != clear) {
+        val first = expand(code, 0)
+        if (first < 0) return None
+        if (next < 4096) {
+          suffix(next) = first.toByte; prefix(next) = prev; next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      } else if (code == next && next < 4096) {
+        // K-omega-K: entry being defined by this very code
+        suffix(next) = 0; prefix(next) = prev // placeholder, fixed below
+        val first = expand(prev, 1)
+        if (first < 0) return None
+        suffix(next) = first.toByte
+        out(outLen) = first.toByte; outLen += 1
+        next += 1
+        if (next == (1 << width) && width < 12) width += 1
+        prev = code
+      } else return None // code beyond table: corrupt stream
+    }
+    None // unreachable
+  }
+
+  /** GIF-flavored LZW encoder (fixture side): emits the variable-width,
+    * LSB-first code stream [[lzwDecode]] reads — initial clear code,
+    * width growth mirrored one step ahead of the decoder (the encoder's
+    * table leads by exactly one entry), clear + reset when the table
+    * hits the 12-bit cap. Deterministic: same bytes in, same bits out.
+    */
+  private[graft] def lzwEncode(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    require(minCodeSize >= 2 && minCodeSize <= 8, s"minCodeSize=$minCodeSize")
+    require(data.nonEmpty, "empty pixel stream")
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val outBuf = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var nbits = 0
+    var width = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << nbits; nbits += width
+      while (nbits >= 8) { outBuf.write((cur & 0xff).toInt); cur >>>= 8; nbits -= 8 }
+    }
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    var next = eoi + 1
+    def reset(): Unit = { dict.clear(); next = eoi + 1; width = minCodeSize + 1 }
+    emit(clear)
+    reset()
+    var prefixCode = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      val key = Integer.valueOf((prefixCode << 8) | c)
+      val hit = dict.get(key)
+      if (hit != null) prefixCode = hit.intValue()
+      else {
+        emit(prefixCode)
+        if (next < 4096) {
+          dict.put(key, Integer.valueOf(next)); next += 1
+          // decoder grows at next==1<<width AFTER its (one-behind) add;
+          // the encoder therefore grows one entry later
+          if (next == (1 << width) + 1 && width < 12) width += 1
+        } else {
+          emit(clear); reset()
+        }
+        prefixCode = c
+      }
+      i += 1
+    }
+    emit(prefixCode)
+    emit(eoi)
+    if (nbits > 0) outBuf.write((cur & 0xff).toInt)
+    outBuf.toByteArray
+  }
+
+  /** Parse + decode a GIF: header + logical screen descriptor, global
+    * color table, extension skip-walk, first image descriptor (local
+    * color table honored), LZW decode of the index stream, palette
+    * mapping, then the same pixel fold as [[parsePng]] (channel means in
+    * RGB storage order). Returns None for wrong magic, interlaced
+    * frames, missing color table, lying headers, or any LZW defect —
+    * the caller falls back to the stub rather than guessing.
+    */
+  def parseGif(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes.length < 14) return None
+    val magic = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val packed = bytes(10) & 0xff
+    val hasGct = (packed & 0x80) != 0
+    val gctLen = if (hasGct) 3 * (1 << ((packed & 7) + 1)) else 0
+    var off = 13
+    if (off + gctLen > bytes.length) return None
+    val gctOff = off
+    off += gctLen
+    // block walk: skip extensions until the first image descriptor
+    while (off < bytes.length && (bytes(off) & 0xff) == 0x21) {
+      off += 2 // introducer + label
+      var done = false
+      while (!done) {
+        if (off >= bytes.length) return None
+        val len = bytes(off) & 0xff
+        off += 1 + len
+        done = len == 0
+      }
+    }
+    if (off >= bytes.length || (bytes(off) & 0xff) != 0x2c) return None
+    if (off + 10 > bytes.length) return None
+    val w = le16(bytes, off + 5)
+    val h = le16(bytes, off + 7)
+    val ipacked = bytes(off + 9) & 0xff
+    off += 10
+    if ((ipacked & 0x40) != 0) return None // interlaced → stub
+    val hasLct = (ipacked & 0x80) != 0
+    val lctLen = if (hasLct) 3 * (1 << ((ipacked & 7) + 1)) else 0
+    if (off + lctLen > bytes.length) return None
+    val palOff = if (hasLct) off else gctOff
+    val palEntries = if (hasLct) lctLen / 3 else gctLen / 3
+    off += lctLen
+    if (palEntries == 0) return None // no color table anywhere
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+        w.toLong * h > (64 << 20)) return None
+    if (off >= bytes.length) return None
+    val minCodeSize = bytes(off) & 0xff
+    off += 1
+    // concatenate data sub-blocks
+    val dataBuf = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      if (off >= bytes.length) return None
+      val len = bytes(off) & 0xff
+      if (len == 0) done = true
+      else {
+        if (off + 1 + len > bytes.length) return None
+        dataBuf.write(bytes, off + 1, len)
+      }
+      off += 1 + len
+    }
+    val idx = lzwDecode(dataBuf.toByteArray, minCodeSize, w * h) match {
+      case Some(a) => a
+      case None => return None
+    }
+    // palette fold: indices → RGB, sums in storage (RGB) order
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var high = 0L
+    var i = 0
+    while (i < idx.length) {
+      val pi = idx(i) & 0xff
+      if (pi >= palEntries) return None // index outside the palette
+      val r = bytes(palOff + 3 * pi) & 0xff
+      val g = bytes(palOff + 3 * pi + 1) & 0xff
+      val b = bytes(palOff + 3 * pi + 2) & 0xff
+      sumR += r; sumG += g; sumB += b
+      high += (if (r > 127) 1 else 0) + (if (g > 127) 1 else 0) +
+        (if (b > 127) 1 else 0)
+      i += 1
+    }
+    val n = w.toLong * h
+    val feats = Array(
+      (sumR.toDouble / (n * 255)).toFloat,
+      (sumG.toDouble / (n * 255)).toFloat,
+      (sumB.toDouble / (n * 255)).toFloat,
+      ((sumR + sumG + sumB).toDouble / (3 * n * 255)).toFloat,
+      (high.toDouble / (3 * n)).toFloat,
+      w.toFloat / (w + h), h.toFloat / (w + h), 0f)
+    Some(MediaFeatures(id, bytes.length, "gif", w, h, feats))
+  }
+
+  /** Fixture/test writer for GIF: a 256-entry global color table with
+    * closed-form channels (entry i → `(seed + 3i) % 256`,
+    * `(seed + 5i) % 256`, `(seed + 7i) % 256`) and pixel indices
+    * `(seed + y*31 + x*7) % 256`, LZW-compressed by the REAL encoder
+    * ([[lzwEncode]]) — so the oracle can predict every pixel statistic
+    * in closed form while the decode path runs a genuine
+    * variable-width LZW stream (dictionary hits, width growth, the
+    * works). Canonical GIF89a layout: screen descriptor, GCT, one
+    * image descriptor, data sub-blocks, trailer.
+    */
+  def makeGif(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 256 && h <= 256, s"fixture dims $w x $h")
+    val idx = Array.tabulate(w * h) { i =>
+      val y = i / w; val x = i % w
+      ((seed + y * 31L + x * 7L) % 256).toByte
+    }
+    val lzw = lzwEncode(idx, 8)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le16out(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16out(w); le16out(h)
+    out.write(0xf7) // GCT present, 8 bits/channel, 256 entries
+    out.write(0); out.write(0) // bg index, aspect
+    var i = 0
+    while (i < 256) {
+      out.write(((seed + 3L * i) % 256).toInt)
+      out.write(((seed + 5L * i) % 256).toInt)
+      out.write(((seed + 7L * i) % 256).toInt)
+      i += 1
+    }
+    out.write(0x2c) // image descriptor
+    le16out(0); le16out(0); le16out(w); le16out(h)
+    out.write(0) // no LCT, not interlaced
+    out.write(8) // LZW min code size
+    var src = 0
+    while (src < lzw.length) {
+      val len = math.min(255, lzw.length - src)
+      out.write(len)
+      out.write(lzw, src, len)
+      src += len
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
   /** Decode dispatch: real parse for the formats a pure-JVM reader can
-    * own (BMP, 16-bit PCM WAV, and 8-bit PNG today), [[decodeStub]] for
-    * everything else.
+    * own (BMP, 16-bit PCM WAV, 8-bit PNG, and GIF today), [[decodeStub]]
+    * for everything else.
     */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
     parseBmp(id, bytes)
       .orElse(parseWav(id, bytes))
       .orElse(parsePng(id, bytes))
+      .orElse(parseGif(id, bytes))
       .getOrElse(decodeStub(id, bytes))
 
   /** Nearest-neighbor resize of an uncompressed 24-bpp BMP — the

@@ -342,4 +342,93 @@ class MultimodalSpec extends SparkTestBase {
     // the call returns at all without an 805 MB Array alloc attempt
     assert(before > 0)
   }
+
+  test("lzwEncode/lzwDecode: round-trip across code sizes and data shapes") {
+    def rt(data: Array[Byte], min: Int): Unit = {
+      val enc = Multimodal.lzwEncode(data, min)
+      val dec = Multimodal.lzwDecode(enc, min, data.length)
+      assert(dec.isDefined, s"decode failed (min=$min, n=${data.length})")
+      assert(java.util.Arrays.equals(dec.get, data),
+        s"round-trip mismatch (min=$min, n=${data.length})")
+    }
+    rt(Array[Byte](5), 8)                                   // single byte
+    rt(Array.tabulate(300)(i => (i % 7).toByte), 4)         // small alphabet
+    // K-omega-K: "abab..." makes the decoder hit code == next on the
+    // third code (the entry being defined by the code that names it)
+    rt(Array.tabulate(64)(i => (i % 2).toByte), 2)
+    // mixed-direction structured bytes, full byte alphabet
+    rt(Array.tabulate(5000)(i => ((i * 7 + i / 13) % 256).toByte), 8)
+  }
+
+  test("lzwEncode/lzwDecode: table fills to 4096, resets via clear, keeps decoding") {
+    // highly repetitive 300k stream: the dictionary saturates (width
+    // reaches 12, then the encoder emits clear + resets) several times
+    val data = Array.tabulate(300000)(i => ((i / 3) % 251).toByte)
+    val enc = Multimodal.lzwEncode(data, 8)
+    assert(enc.length < data.length, "repetitive data must actually compress")
+    val dec = Multimodal.lzwDecode(enc, 8, data.length)
+    assert(dec.isDefined && java.util.Arrays.equals(dec.get, data))
+  }
+
+  test("lzwDecode: truncated and corrupt streams reject, never guess") {
+    val data = Array.tabulate(1000)(i => (i % 11).toByte)
+    val enc = Multimodal.lzwEncode(data, 8)
+    assert(Multimodal.lzwDecode(enc.dropRight(3), 8, data.length).isEmpty,
+      "truncation (no EOI) must reject")
+    assert(Multimodal.lzwDecode(enc, 8, data.length - 5).isEmpty,
+      "wrong expected length must reject")
+  }
+
+  test("parseGif: round-trip recovers the closed-form palette-mapped pixels") {
+    val (w, h, seed) = (13, 6, 42L)
+    val gif = Multimodal.makeGif(w, h, seed)
+    val f = Multimodal.parseGif(1L, gif).get
+    assert(f.format === "gif" && f.width === w && f.height === h)
+    // expected RGB byte sum from the two closed forms
+    var expect = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val pi = ((seed + y * 31 + x * 7) % 256).toInt
+      expect += (seed + 3 * pi) % 256
+      expect += (seed + 5 * pi) % 256
+      expect += (seed + 7 * pi) % 256
+    }
+    val n = w.toLong * h
+    assert(math.round(f.features(3).toDouble * 3 * n * 255) === expect,
+      "LZW decode + palette fold must reproduce the exact byte sum")
+    // channel order is RGB storage order, like PNG
+    assert(math.round(f.features(0).toDouble * n * 255) ===
+      (for (y <- 0 until h; x <- 0 until w)
+        yield (seed + 3 * ((seed + y * 31 + x * 7) % 256)) % 256).sum)
+  }
+
+  test("parseGif: extension blocks are skipped; GIF87a magic accepted") {
+    val base = Multimodal.makeGif(4, 4, 7L)
+    // splice a graphic-control extension (0x21 0xF9, 4-byte block, 0
+    // terminator) between the GCT and the image descriptor
+    val gctEnd = 13 + 768
+    val ext = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val spliced = base.take(gctEnd) ++ ext ++ base.drop(gctEnd)
+    val f = Multimodal.parseGif(2L, spliced).get
+    assert(f.width === 4 && f.height === 4)
+    val old = Multimodal.parseGif(3L, base).get
+    assert(f.features.toSeq === old.features.toSeq)
+    // 87a magic is equally valid
+    val g87 = base.clone()
+    g87(4) = '7'.toByte
+    assert(Multimodal.parseGif(4L, g87).isDefined)
+  }
+
+  test("parseGif/decode: corrupt and unsupported variants fall to the stub") {
+    assert(Multimodal.decode(1L, Multimodal.makeGif(3, 3, 1)).format === "gif")
+    // interlaced flag set -> unsupported
+    val inter = Multimodal.makeGif(3, 3, 1)
+    inter(13 + 768 + 9) = 0x40.toByte
+    assert(Multimodal.decode(2L, inter).format === "stub")
+    // truncated mid-data
+    val gif = Multimodal.makeGif(16, 8, 5)
+    assert(Multimodal.decode(3L, gif.take(gif.length - 4)).format === "stub")
+    // wrong magic
+    val bad = gif.clone(); bad(0) = 'X'.toByte
+    assert(Multimodal.decode(4L, bad).format === "stub")
+  }
 }

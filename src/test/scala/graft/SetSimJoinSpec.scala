@@ -10,7 +10,8 @@ class SetSimJoinSpec extends SparkTestBase {
   // Brute-force ground truth: every pair, exact Jaccard on distinct tokens.
   private def bruteForce(df: org.apache.spark.sql.DataFrame, tNum: Int, tDen: Int) = {
     val toks = df.select(col("doc_id").cast("long").as("id"),
-      array_distinct(graft.text.TextAnalysis.tokens(col("text"))).as("toks"))
+      array_remove(array_distinct(graft.text.TextAnalysis.tokens(col("text"))), "").as("toks"))
+      .filter(size(col("toks")) > 0) // token-less docs out of contract (0/0 Jaccard)
     val a = toks.select(col("id").as("id_a"), col("toks").as("ta"))
     val b = toks.select(col("id").as("id_b"), col("toks").as("tb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -45,6 +46,21 @@ class SetSimJoinSpec extends SparkTestBase {
       val want = bruteForce(docs, tn, td).orderBy("id_a", "id_b").collect().toSeq
       assert(got === want, s"t=$tn/$td: prefix-filtered join diverged from brute force")
     }
+  }
+
+  test("empty and whitespace-only docs are out of contract: never paired, never crash") {
+    val docs = Seq(
+      (1L, ""),                   // zero tokens
+      (2L, "   "),                // whitespace-only -> zero tokens
+      (3L, "a b c"),
+      (4L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = SetSimJoin.jaccardJoin(docs, "doc_id", "text", 1, 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    // the empty-empty pair (1,2) must NOT appear (0/0 Jaccard is
+    // undefined, excluded by the len > 0 contract filter), and empty
+    // docs must not pair with anything else either
+    assert(got === Seq((3L, 4L)))
   }
 
   test("threshold acceptance is integer-exact at the boundary") {
