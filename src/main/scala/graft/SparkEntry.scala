@@ -2268,8 +2268,17 @@ object SparkEntry {
     */
   private val qAnnRecall = Q(
     (s, dir) => {
+      // The embeddings table feeds six consumers, but materializing the
+      // WHOLE corpus (localCheckpoint emb) measured 28.0 -> 34.8 s at
+      // 100x — wide vector rows cost more to pin than the extra
+      // columnar scans (the Bm25-tf negative-result rule). The query
+      // slice is different: 5 rows consumed by three branches, each of
+      // which otherwise re-scans the full parquet because the strided
+      // vec_id layout defeats row-group pruning. Checkpointing it costs
+      // nothing, removes those scans, and measured 27.1 -> 25.9 s at
+      // 100x (warm, median-of-3, 48 g).
       val emb = t(s, dir, "embeddings")
-      val qs = emb.filter(col("vec_id") < 5)
+      val qs = emb.filter(col("vec_id") < 5).localCheckpoint()
       val exact = graft.similarity.Ann.bruteForceTopK(emb, qs, k = 10)
       val cents = graft.similarity.Ivf.centroids(emb, nLists = 16)
       val idx = graft.similarity.Ivf.buildIndex(emb, cents)
@@ -3412,6 +3421,12 @@ object SparkEntry {
   private val qScd2Apply = Q(
     (s, dir) => {
       val c = t(s, dir, "customer")
+      // scd2Apply re-reads customer six times across its branches, but
+      // materializing dim + changes (localCheckpoint) does NOT win:
+      // 9.9 -> 12.8 s at 100x on a cold 8 g heap, and a wash (4.19 vs
+      // 4.36 s) warm at 48 g — wide dimension rows cost as much to pin
+      // as the page-cached re-scans they save (the Bm25-tf negative-
+      // result rule). Kept lazy on purpose.
       val dim = c
         .withColumn("valid_from", to_date(lit("2020-01-01")))
         .withColumn("valid_to", lit(null).cast(DateType))

@@ -43,6 +43,15 @@ object Bm25 {
       .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // The three corpus passes (tf, dl, stats) are DELIBERATELY left as
+    // independent scans. Two materializations were measured and both
+    // LOST at 100× (warm, median-of-3, 48 g): checkpointing the tf
+    // table was 3× worse (round-10 negative result — |doc×token|-sized
+    // blocks), and checkpointing even the narrow per-doc length table
+    // regressed q_bm25_topk 17.4 → 24.9 s (round 11): the eager
+    // checkpoint job costs more than two page-cached columnar re-scans.
+    // Lazy scans win here; materialize only tables whose RECOMPUTATION
+    // is expensive (shuffled/windowed intermediates), not plain scans.
     val dl = corpus.select(col(idCol).as("id"),
       TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
     val stats = corpus.agg(
