@@ -132,6 +132,7 @@ object Bench {
     case "q_token_budget" => "sampling" // before the q_token* text glob
     case n if n.startsWith("q_text") || n.startsWith("q_token") ||
          n.startsWith("q_chunk") || n.startsWith("q_decontaminate") => "text"
+    case "q_phrase_search" => "text"
     case "q_bm25_topk" | "q_boilerplate" | "q_lm_score" | "q_lang_id" |
          "q_pii_scrub" | "q_tfidf_topterms" | "q_vocabulary" |
          "q_pmi_bigrams" | "q_fingerprint" | "q_repetition" |
@@ -144,7 +145,7 @@ object Bench {
     case n if n.startsWith("q_ann") => "ann"
     case "q_embed_neardup" | "q_quantize_int8" | "q_kmeans_step" |
          "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" |
-         "q_pq_encode" => "ann"
+         "q_pq_encode" | "q_bitext_mine" => "ann"
     case n if n.startsWith("q_sample") => "sampling"
     case "q_split_assign" | "q_group_split" | "q_mix_temperature" |
          "q_epoch_order" | "q_trainset_build" | "q_rank_features" => "sampling"

@@ -3329,6 +3329,68 @@ object SparkEntry {
             SELECT qid, CAST(rk AS INTEGER) AS rank, id, rrf, rank_a, rank_b
             FROM rr WHERE rk <= 10 ORDER BY qid, rank"""))
 
+  /** Margin-based bitext mining ([[graft.similarity.BitextMine
+    * .marginPairs]] over two [[graft.similarity.Ann.bruteForceTopK]]
+    * retrievals): even vec_ids as side A, odd as side B, k = 4 both
+    * ways, mutual pairs with ratio margin ≥ 1.05, best-per-query. The
+    * oracle replays both retrieval chains, the micro-unit neighborhood
+    * sums, the exact integer denominator, and the one-division margin
+    * arithmetic operand for operand.
+    */
+  private val qBitextMine = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") % 2 === 0)
+      val b = emb.filter(col("vec_id") % 2 === 1)
+      val fwd = graft.similarity.Ann.bruteForceTopK(b, a, k = 4)
+      val bwd = graft.similarity.Ann.bruteForceTopK(a, b, k = 4)
+      graft.similarity.BitextMine.marginPairs(
+          fwd, bwd, k = 4, minMarginMicro = 1050000L)
+        .orderBy("id_a")
+    },
+    Some("""WITH av AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+                        FROM embeddings WHERE vec_id % 2 = 0),
+            bv AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id % 2 = 1),
+            fs AS (SELECT a.qid, b.cid,
+                          ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+                   FROM av a CROSS JOIN bv b),
+            fr AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                                ORDER BY cosine DESC, cid) AS rk
+                   FROM fs),
+            f AS (SELECT qid AS id_a, cid AS id_b, cosine FROM fr WHERE rk <= 4),
+            br AS (SELECT cid AS id_b, qid AS id_a, cosine,
+                          row_number() OVER (PARTITION BY cid
+                                             ORDER BY cosine DESC, qid) AS rk
+                   FROM fs),
+            bb AS (SELECT id_b, id_a, cosine FROM br WHERE rk <= 4),
+            ax AS (SELECT id_a, SUM(CAST(ROUND(cosine * 1000000.0) AS BIGINT)) AS sa,
+                          CAST(COUNT(*) AS BIGINT) AS na
+                   FROM f GROUP BY 1),
+            byt AS (SELECT id_b, SUM(CAST(ROUND(cosine * 1000000.0) AS BIGINT)) AS sb,
+                           CAST(COUNT(*) AS BIGINT) AS nb
+                    FROM bb GROUP BY 1),
+            mu AS (SELECT f.* FROM f
+                   WHERE EXISTS (SELECT 1 FROM bb
+                                 WHERE bb.id_a = f.id_a AND bb.id_b = f.id_b)),
+            mg AS (SELECT m.id_a, m.id_b, m.cosine,
+                          ROUND(2.0 * m.cosine * 1000000.0 * ax.na * byt.nb
+                                / (ax.sa * byt.nb + byt.sb * ax.na), 6) AS margin
+                   FROM mu m
+                   JOIN ax ON ax.id_a = m.id_a
+                   JOIN byt ON byt.id_b = m.id_b
+                   WHERE ax.sa * byt.nb + byt.sb * ax.na > 0),
+            mm AS (SELECT id_a, id_b, cosine,
+                          CAST(ROUND(margin * 1000000.0) AS BIGINT) AS margin_micro,
+                          margin
+                   FROM mg
+                   WHERE CAST(ROUND(margin * 1000000.0) AS BIGINT) >= 1050000),
+            fin AS (SELECT *, row_number() OVER (PARTITION BY id_a
+                                ORDER BY margin_micro DESC, id_b) AS rn
+                    FROM mm)
+            SELECT id_a, id_b, cosine, margin_micro, margin
+            FROM fin WHERE rn = 1 ORDER BY id_a"""))
+
   /** Incremental near-dup ([[graft.dedup.NearDup.minHashLshAgainstCorpus]]):
     * the first 250 docs as an ingest batch against the rest as history —
     * the production shape where a daily batch near-dedups against the
@@ -3481,6 +3543,41 @@ object SparkEntry {
     * order, so the cleaned text itself is hash-checked, not just counts.
     * Threshold compare is exact integer arithmetic in both engines.
     */
+  /** Exact phrase search ([[graft.text.PhraseSearch.phraseMatches]]):
+    * every document containing the exact 3-token phrase
+    * "table table merge" — the repeated token exercises the multi-slot
+    * alignment (both 'table' slots must be witnessed at their own
+    * offsets; a single 'table' next to 'merge' must NOT match). One
+    * corpus explode + one (id, start) aggregation, no joins; the
+    * oracle replays the positional-postings alignment with the same
+    * count-distinct-slots rule.
+    */
+  private val qPhraseSearch = Q(
+    (s, dir) =>
+      graft.text.PhraseSearch.phraseMatches(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("table", "table", "merge"))
+        .select(col("doc_id"), col("n_matches"),
+          col("first_pos").cast(LongType).as("first_pos"))
+        .orderBy("doc_id"),
+    Some("""WITH tk AS (SELECT doc_id AS id, string_split(text, ' ') AS t
+                        FROM documents),
+            tok AS (SELECT id, u.pos AS pos, u.token AS tok
+                    FROM (SELECT id,
+                                 unnest(list_transform(generate_series(1, len(t)),
+                                        i -> {'pos': i, 'token': t[i]})) AS u
+                          FROM tk)),
+            ph AS (SELECT * FROM (VALUES (0, 'table'), (1, 'table'),
+                                         (2, 'merge')) v(idx, pt)),
+            starts AS (SELECT id, pos - idx AS p0, idx
+                       FROM tok JOIN ph ON tok.tok = ph.pt
+                       WHERE pos - idx >= 1),
+            hits AS (SELECT id, p0 FROM starts
+                     GROUP BY id, p0 HAVING COUNT(DISTINCT idx) = 3)
+            SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                   CAST(MIN(p0) AS BIGINT) AS first_pos
+            FROM hits GROUP BY id ORDER BY doc_id"""))
+
   private val qBoilerplate = Q(
     (s, dir) =>
       graft.text.Boilerplate.stripBoilerplate(
@@ -4761,6 +4858,8 @@ object SparkEntry {
     "q_bpe_encode" -> qBpeEncode,
     "q_pack_render" -> qPackRender,
     "q_gif_decode" -> qGifDecode,
+    "q_phrase_search" -> qPhraseSearch,
+    "q_bitext_mine" -> qBitextMine,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

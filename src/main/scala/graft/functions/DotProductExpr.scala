@@ -134,6 +134,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("md5_long64"),
       new ExpressionInfo(classOf[Md5Long64].getName, "md5_long64"),
       (children: Seq[Expression]) => Md5Long64(children.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_positions"),
+      new ExpressionInfo(classOf[WinnowPositions].getName, "winnow_positions"),
+      (children: Seq[Expression]) => WinnowPositions(children.head,
+        litInt(children(1), "winnow_positions", "k"),
+        litInt(children(2), "winnow_positions", "w"))))
     e.injectOptimizerRule(_ => graft.plans.ShareWindowExchange)
   }
 }

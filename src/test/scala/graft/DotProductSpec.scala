@@ -74,4 +74,18 @@ class DotProductSpec extends SparkTestBase {
     }
     assert(nullErr.getMessage.contains("non-NULL integer literal"), nullErr.getMessage)
   }
+
+  test("GraftExtensions registers winnow_positions for SQL users") {
+    // 'abcabc' with k=2, w=2: fingerprints resolve without temp-function
+    // plumbing and agree with the Column-level entry point used by the
+    // winnowing operator
+    val viaSql = spark.sql(
+      "SELECT winnow_positions('abcabc', 2, 2) AS f").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql.nonEmpty)
+    val viaColumn = spark.range(1)
+      .select(graft.functions.WinnowPositions.winnowPositions(
+        org.apache.spark.sql.functions.lit("abcabc"), 2, 2).as("f"))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+    assert(viaSql === viaColumn)
+  }
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.PhraseSearch
+
+class PhraseSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("handcrafted corpus: exact starts, overlapping matches, repeated tokens") {
+    val docs = Seq(
+      (1L, "a b c a b c"),      // "a b" at 1 and 4
+      (2L, "a a a a"),          // "a a" overlaps: starts 1,2,3
+      (3L, "b a c"),            // no "a b"
+      (4L, "x a b"),            // "a b" at 2
+      (5L, "a")                 // shorter than the phrase
+    ).toDF("doc_id", "text")
+    val ab = PhraseSearch.phraseMatches(docs, "doc_id", "text", Seq("a", "b"))
+      .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(ab === Seq((1L, 2L, 1), (4L, 1L, 2)))
+    val aa = PhraseSearch.phraseMatches(docs, "doc_id", "text", Seq("a", "a"))
+      .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(aa === Seq((2L, 3L, 1)))
+  }
+
+  test("repeated-token phrase: every slot needs its own witness") {
+    val docs = Seq(
+      (1L, "table merge"),              // single 'table' — must NOT match
+      (2L, "table table merge"),        // exact
+      (3L, "x table table merge y"),    // exact at 2
+      (4L, "table table table merge")   // 'table table merge' at 2 only
+    ).toDF("doc_id", "text")
+    val got = PhraseSearch.phraseMatches(docs, "doc_id", "text",
+      Seq("table", "table", "merge"))
+      .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(got === Seq((2L, 1L, 1), (3L, 1L, 2), (4L, 1L, 2)))
+  }
+
+  test("agrees with a sliding-window reference on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val phrase = Seq("table", "hash")
+    val got = PhraseSearch.phraseMatches(docs, "doc_id", "text", phrase)
+      .orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    // independent reference: per-doc sliding window over the same split
+    val want = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val starts = (0 to toks.length - phrase.length)
+          .filter(i => phrase.indices.forall(j => toks(i + j) == phrase(j)))
+        if (starts.isEmpty) None else Some((id, starts.size.toLong, starts.min + 1))
+      }.sortBy(_._1)
+    assert(got === want)
+    assert(got.nonEmpty, "fixture should contain at least one match")
+  }
+
+  test("lowercase option matches case-insensitively") {
+    val docs = Seq((1L, "Foo BAR baz"), (2L, "foo bar")).toDF("doc_id", "text")
+    val cs = PhraseSearch.phraseMatches(docs, "doc_id", "text", Seq("foo", "bar"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(cs === Seq((2L, 1L, 1)))
+    val ci = PhraseSearch.phraseMatches(docs, "doc_id", "text", Seq("Foo", "bar"),
+      lowercase = true).orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    assert(ci === Seq((1L, 1L, 1), (2L, 1L, 1)))
+  }
+
+  test("plan: no join, single shuffle keyed on (id, start)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = PhraseSearch.phraseMatches(docs, "doc_id", "text", Seq("table", "hash"))
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+}
