@@ -3339,7 +3339,14 @@ object SparkEntry {
     */
   private val qBitextMine = Q(
     (s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      // vec_id < 100000 bounds both sides to the base corpus (a no-op
+      // on the driver testdata, a constant 2 k-vector problem on the
+      // replica-strided soak fixtures — the q_setsim_join convention):
+      // brute-force retrieval is quadratic in side size BY DESIGN and
+      // exists as the eval-scale baseline. The 100 TB path feeds
+      // marginPairs with Ann.lshShuffledTopK tables instead — the
+      // miner itself is retrieval-agnostic and |Q|·k-sized.
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 100000L)
       val a = emb.filter(col("vec_id") % 2 === 0)
       val b = emb.filter(col("vec_id") % 2 === 1)
       val fwd = graft.similarity.Ann.bruteForceTopK(b, a, k = 4)
@@ -3349,9 +3356,11 @@ object SparkEntry {
         .orderBy("id_a")
     },
     Some("""WITH av AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v
-                        FROM embeddings WHERE vec_id % 2 = 0),
+                        FROM embeddings
+                        WHERE vec_id % 2 = 0 AND vec_id < 100000),
             bv AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS v
-                   FROM embeddings WHERE vec_id % 2 = 1),
+                   FROM embeddings
+                   WHERE vec_id % 2 = 1 AND vec_id < 100000),
             fs AS (SELECT a.qid, b.cid,
                           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
                    FROM av a CROSS JOIN bv b),
