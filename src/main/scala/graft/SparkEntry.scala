@@ -3140,6 +3140,44 @@ object SparkEntry {
             FROM sh JOIN cnt USING (h)
             GROUP BY id ORDER BY id"""))
 
+  /** Maximal duplicated character ranges
+    * ([[graft.text.SubstrDedup.dupSpanRanges]]): the actionable
+    * "delete bytes [a, b]" output of exact-substring dedup — duplicated
+    * stride-16 window starts merged into maximal spans with the
+    * islands-and-gaps window trick. The oracle replays the shingle
+    * hashes, the global count, the lag-based island breaks (NULL lag →
+    * new island), and the per-island min/max fold.
+    */
+  private val qDupSpanRanges = Q(
+    (s, dir) =>
+      graft.text.SubstrDedup.dupSpanRanges(t(s, dir, "documents"),
+        "doc_id", "text", window = 32, stride = 16)
+        .orderBy("id", "span_start"),
+    Some(s"""WITH sh AS (
+              SELECT doc_id AS id, i AS pos,
+                     ${md5LongSql("substr(text, i + 1, 32)")} AS h
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, len(text) - 32 + 1, 16)) AS i
+                    FROM documents WHERE len(text) >= 32)),
+            cnt AS (SELECT h, COUNT(*) AS c FROM sh GROUP BY h),
+            dup AS (SELECT id, pos FROM sh JOIN cnt USING (h) WHERE c > 1),
+            lg AS (SELECT id, pos,
+                          lag(pos) OVER (PARTITION BY id ORDER BY pos) AS pp
+                   FROM dup),
+            br AS (SELECT id, pos,
+                          CASE WHEN pos - pp <= 16 THEN 0 ELSE 1 END AS brk
+                   FROM lg),
+            isl AS (SELECT id, pos,
+                           SUM(brk) OVER (PARTITION BY id ORDER BY pos
+                                          ROWS UNBOUNDED PRECEDING) AS g
+                    FROM br)
+            SELECT id, CAST(MIN(pos) + 1 AS INT) AS span_start,
+                   CAST(MAX(pos) + 32 AS INT) AS span_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows,
+                   CAST(MAX(pos) + 32 - MIN(pos) AS INT) AS span_chars
+            FROM isl GROUP BY id, g
+            ORDER BY id, span_start"""))
+
   /** IVF probe over TRAINED centroids: [[graft.similarity.Kmeans
     * .updatedCentroids]] refines the md5-sampled seeds by one Lloyd
     * iteration before indexing/probing. The oracle replays sampling →
@@ -4869,6 +4907,7 @@ object SparkEntry {
     "q_gif_decode" -> qGifDecode,
     "q_phrase_search" -> qPhraseSearch,
     "q_bitext_mine" -> qBitextMine,
+    "q_dup_span_ranges" -> qDupSpanRanges,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

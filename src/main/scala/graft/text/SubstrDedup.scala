@@ -66,4 +66,68 @@ object SubstrDedup {
       .select(col("id"), col("total_shingles"), col("dup_shingles"),
         expr("(1000000 * dup_shingles) DIV total_shingles").as("dup_ppm"))
   }
+
+  /** Maximal duplicated CHARACTER RANGES per document — the actionable
+    * output of exact-substring dedup: not "this doc is 40% duplicated"
+    * ([[dupSpans]]) but "delete bytes [start, end] of doc X" (the
+    * published remove-the-span recipe, rather than dropping whole
+    * documents that contain one boilerplate block).
+    *
+    * Same shingle/count machinery as [[dupSpans]]; duplicated window
+    * positions are then merged into maximal ranges with the
+    * islands-and-gaps trick: window starts are multiples of `stride`,
+    * so consecutive duplicated starts satisfy `pos/stride - rank =
+    * const` — one per-doc window over the (small) duplicated-position
+    * subset, grouped by that constant. Overlapping/adjacent windows
+    * (gap ≤ `window` chars, i.e. start delta ≤ window) merge into one
+    * island when `stride <= window` (the overlapping-shingle setup);
+    * `mergeGapWindows` extends the island rule to bridge runs whose
+    * start delta is up to `mergeGapWindows` strides (0 = exact
+    * adjacency only).
+    *
+    * Returns (id, span_start, span_end, n_windows, span_chars), spans
+    * 1-based inclusive character positions, ordered within a doc by
+    * span_start. Scale shape: everything after the global count is
+    * keyed on (id) with per-doc row counts ≤ len/stride — the range
+    * merge adds no corpus-sized shuffle.
+    */
+  def dupSpanRanges(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int = 32, stride: Int = 16,
+                    mergeGapWindows: Int = 0): DataFrame = {
+    require(window >= 1 && stride >= 1,
+      s"window=$window and stride=$stride must be >= 1")
+    require(mergeGapWindows >= 0, s"mergeGapWindows=$mergeGapWindows must be >= 0")
+    val sh = docs
+      .filter(length(col(textCol)) >= window)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(0), length(col(textCol)) - window,
+          lit(stride))).as("pos"),
+        col(textCol).as("__t"))
+      .select(col("id"), col("pos"),
+        NearDup.md5Long(expr(s"substring(__t, pos + 1, $window)")).as("h"))
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val dup = sh.withColumn("c", count(lit(1)).over(wh))
+      .filter(col("c") > 1)
+      .select(col("id"), col("pos"))
+    // islands: consecutive dup starts (stride steps, bridging up to
+    // mergeGapWindows missing steps) share pos/stride - rank·(gap+1)…
+    // with gaps > 0 the classic difference trick needs the gap-aware
+    // form: break a new island when the delta to the previous dup
+    // start exceeds (mergeGapWindows + 1)·stride.
+    val wid = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    val maxDelta = (mergeGapWindows + 1) * stride
+    val ranges = dup
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(wid) <= maxDelta, 0L).otherwise(1L))
+      .withColumn("__isl", sum(col("__brk")).over(
+        wid.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("id", "__isl")
+      .agg(min(col("pos")).as("__p0"), max(col("pos")).as("__p1"),
+        count(lit(1)).as("n_windows"))
+    ranges.select(col("id"),
+        (col("__p0") + 1).as("span_start"),
+        (col("__p1") + window).as("span_end"),
+        col("n_windows"),
+        (col("__p1") + window - col("__p0")).as("span_chars"))
+  }
 }
