@@ -4611,6 +4611,37 @@ object SparkEntry {
     Some("""SELECT DISTINCT user_id, event_type FROM events
             ORDER BY user_id, event_type"""))
 
+  /** Streaming near-dup at INGEST run through the driver gate
+    * ([[graft.streaming.NearDupIngest]]): the documents table streamed
+    * as the new-docs feed (doc_id < 250), LSH-checked per micro-batch
+    * against the static 250..1000 corpus via `foreachBatch` +
+    * [[graft.dedup.NearDup.minHashLshAgainstCorpus]], results appended
+    * to parquet and read back after the AvailableNow drain. Pairs
+    * depend only on (new doc, static corpus), so the result set is
+    * invariant under any micro-batch split — the oracle is
+    * q_dedup_lsh_incremental's chain, reused verbatim on the streaming
+    * code path.
+    */
+  private val qStreamNearDup = Q(
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_neardup")
+      val outPath = tmp.resolve("out").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val newDocs = Tables.readTableStream(s, dir, "documents")
+        .filter(col("doc_id") < 250)
+      val seen = t(s, dir, "documents")
+        .filter(col("doc_id") >= 250 && col("doc_id") < 1000)
+      val q = graft.streaming.NearDupIngest.start(
+        s, newDocs, seen, "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.9,
+        outPath = outPath, checkpoint = ckpt)
+      q.awaitTermination()
+      s.read.parquet(outPath)
+        .select(col("new_id"), col("seen_id"), col("jaccard"))
+        .orderBy("new_id", "seen_id")
+    },
+    qDedupLshIncremental.oracle)
+
   /** Threshold set-similarity self-join via prefix filtering
     * ([[graft.dedup.SetSimJoin]], PPJoin family): all pairs with token
     * Jaccard >= 0.9, found by joining only on each document's RARE
@@ -4908,6 +4939,7 @@ object SparkEntry {
     "q_phrase_search" -> qPhraseSearch,
     "q_bitext_mine" -> qBitextMine,
     "q_dup_span_ranges" -> qDupSpanRanges,
+    "q_stream_neardup" -> qStreamNearDup,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

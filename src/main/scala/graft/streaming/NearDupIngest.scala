@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming near-duplicate detection at ingest: every micro-batch of
+  * NEW documents is LSH-checked against a STATIC seen-corpus — the
+  * production shape where a continuous feed must not admit near-copies
+  * of the historical 100 TB, and must never re-pair history against
+  * itself.
+  *
+  * Mechanism: `foreachBatch` applies the BATCH operator
+  * ([[graft.dedup.NearDup.minHashLshAgainstCorpus]]) to each
+  * micro-batch — the stream side pays one signature pass per batch and
+  * joins sized by the batch, while the seen side acts as the
+  * pre-materialized band index the batch operator's scaladoc already
+  * assumes. This is deliberately NOT a stateful streaming join: LSH
+  * banding + estimate-prefilter + exact verification need multi-step
+  * aggregations that Structured Streaming's incremental model cannot
+  * express in one continuous query, and the per-batch application is
+  * exactly the semantics wanted (each new doc judged against the
+  * corpus, batch-split invariant).
+  *
+  * Results append to `outPath` as parquet, partition-agnostic and
+  * replayable: a new doc's pairs depend only on that doc and the
+  * static corpus, so ANY micro-batch split yields the same total result
+  * set. Exactly-once caveat: a batch retried after a sink-side crash
+  * would append twice; production keys the write on `batchId` (path =
+  * `.../batch=<id>` + dynamic overwrite — the [[IncrementalIngest]] O4
+  * pattern) to make retries idempotent. The finite AvailableNow drain
+  * used by the driver contract never retries.
+  */
+object NearDupIngest {
+
+  def start(spark: SparkSession, newDocs: DataFrame, seenDocs: DataFrame,
+            idCol: String, textCol: String,
+            bands: Int, rowsPerBand: Int, threshold: Double,
+            outPath: String, checkpoint: String): StreamingQuery =
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.dedup.NearDup.minHashLshAgainstCorpus(
+            batch, seenDocs, idCol, textCol, bands, rowsPerBand, threshold)
+          .write.mode("append").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
