@@ -3178,6 +3178,66 @@ object SparkEntry {
             FROM isl GROUP BY id, g
             ORDER BY id, span_start"""))
 
+  /** Span-removal APPLIER ([[graft.text.SubstrDedup.removeDupSpans]]):
+    * the cleaned corpus itself is hash-checked — every doc's duplicated
+    * ranges cut and the remainder stitched. Spark folds the sorted span
+    * array with one `aggregate`; the oracle computes the SAME string
+    * through the complementary formulation (kept segments between
+    * spans via lag + ordered string_agg) — deliberately different
+    * machinery, one answer, so a fencepost error in either stitch
+    * surfaces as a text mismatch.
+    */
+  private val qDupSpansRemoved = Q(
+    (s, dir) =>
+      graft.text.SubstrDedup.removeDupSpans(t(s, dir, "documents"),
+        "doc_id", "text", window = 32, stride = 16)
+        .orderBy("id"),
+    Some(s"""WITH sh AS (
+              SELECT doc_id AS id, i AS pos,
+                     ${md5LongSql("substr(text, i + 1, 32)")} AS h
+              FROM (SELECT doc_id, text,
+                           unnest(range(0, len(text) - 32 + 1, 16)) AS i
+                    FROM documents WHERE len(text) >= 32)),
+            cnt AS (SELECT h, COUNT(*) AS c FROM sh GROUP BY h),
+            dup AS (SELECT id, pos FROM sh JOIN cnt USING (h) WHERE c > 1),
+            lg AS (SELECT id, pos,
+                          lag(pos) OVER (PARTITION BY id ORDER BY pos) AS pp
+                   FROM dup),
+            br AS (SELECT id, pos,
+                          CASE WHEN pos - pp <= 16 THEN 0 ELSE 1 END AS brk
+                   FROM lg),
+            isl AS (SELECT id, pos,
+                           SUM(brk) OVER (PARTITION BY id ORDER BY pos
+                                          ROWS UNBOUNDED PRECEDING) AS g
+                    FROM br),
+            rg AS (SELECT id, MIN(pos) + 1 AS s0, MAX(pos) + 32 AS e0
+                   FROM isl GROUP BY id, g),
+            seg AS (SELECT id,
+                           COALESCE(lag(e0) OVER (PARTITION BY id ORDER BY s0), 0) + 1 AS ss,
+                           s0 - 1 AS se
+                    FROM rg),
+            tl AS (SELECT r.id, MAX(r.e0) + 1 AS ss, len(d.text) AS se
+                   FROM rg r JOIN documents d ON d.doc_id = r.id
+                   GROUP BY r.id, len(d.text)),
+            pieces AS (SELECT * FROM seg UNION ALL SELECT * FROM tl),
+            cl AS (SELECT p.id,
+                          string_agg(substr(d.text, CAST(p.ss AS INT),
+                                            CAST(p.se - p.ss + 1 AS INT)),
+                                     '' ORDER BY p.ss) AS ct
+                   FROM pieces p JOIN documents d ON d.doc_id = p.id
+                   WHERE p.se >= p.ss GROUP BY p.id),
+            outp AS (SELECT d.doc_id AS id, d.text,
+                            CASE WHEN rg2.id IS NULL THEN d.text
+                                 ELSE COALESCE(cl.ct, '') END AS clean_text
+                     FROM documents d
+                     LEFT JOIN (SELECT DISTINCT id FROM rg) rg2 ON rg2.id = d.doc_id
+                     LEFT JOIN cl ON cl.id = d.doc_id)
+            SELECT id, CAST(len(text) AS INT) AS orig_chars,
+                   CAST(len(clean_text) AS INT) AS clean_chars,
+                   CAST(len(text) - len(clean_text) AS INT) AS removed_chars,
+                   clean_text
+            FROM outp ORDER BY id"""))
+
   /** IVF probe over TRAINED centroids: [[graft.similarity.Kmeans
     * .updatedCentroids]] refines the md5-sampled seeds by one Lloyd
     * iteration before indexing/probing. The oracle replays sampling →
@@ -4940,6 +5000,7 @@ object SparkEntry {
     "q_bitext_mine" -> qBitextMine,
     "q_dup_span_ranges" -> qDupSpanRanges,
     "q_stream_neardup" -> qStreamNearDup,
+    "q_dup_spans_removed" -> qDupSpansRemoved,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

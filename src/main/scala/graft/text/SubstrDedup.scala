@@ -130,4 +130,49 @@ object SubstrDedup {
         col("n_windows"),
         (col("__p1") + window - col("__p0")).as("span_chars"))
   }
+
+  /** APPLY the span removal: every document comes back with its
+    * duplicated ranges ([[dupSpanRanges]]) cut out and the remainder
+    * stitched — the "clean the corpus" verb that the detection step
+    * feeds. Returns one row per input document (untouched docs pass
+    * through verbatim): (id, orig_chars, clean_chars, removed_chars,
+    * clean_text).
+    *
+    * The stitch is a single `aggregate` fold over the doc's sorted,
+    * non-overlapping span array (islands output is both by
+    * construction): accumulator (pos, s) appends the kept segment
+    * before each span and jumps past it; the finish lambda appends the
+    * tail. Per-doc work is O(len); the only added shuffle is the
+    * ranges' per-doc collect_list — duplicated-subset-sized, not
+    * corpus-sized.
+    */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int = 32, stride: Int = 16,
+                     mergeGapWindows: Int = 0): DataFrame = {
+    val ranges = dupSpanRanges(docs, idCol, textCol, window, stride, mergeGapWindows)
+    val perDoc = ranges.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("span_start"), col("span_end"))))
+        .as("__spans"))
+    val joined = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(perDoc, Seq("id"), "left")
+    val folded = aggregate(
+      col("__spans"),
+      struct(lit(1).as("pos"), lit("").as("s")),
+      (acc, r) => struct(
+        (r.getField("span_end") + 1).as("pos"),
+        concat(acc.getField("s"),
+          col("__t").substr(acc.getField("pos"),
+            greatest(r.getField("span_start") - acc.getField("pos"), lit(0))))
+          .as("s")),
+      acc => concat(acc.getField("s"),
+        col("__t").substr(acc.getField("pos"),
+          greatest(length(col("__t")) - acc.getField("pos") + 1, lit(0)))))
+    joined
+      .withColumn("clean_text",
+        when(col("__spans").isNull, col("__t")).otherwise(folded))
+      .select(col("id"), length(col("__t")).as("orig_chars"),
+        length(col("clean_text")).as("clean_chars"),
+        (length(col("__t")) - length(col("clean_text"))).as("removed_chars"),
+        col("clean_text"))
+  }
 }

@@ -70,6 +70,34 @@ class DupSpanRangesSpec extends SparkTestBase {
     assert(ranges === dupDocs.map { case (k, v) => k -> v })
   }
 
+  test("removeDupSpans stitches exactly the kept segments") {
+    val docs = Seq(
+      (1L, block + "XXXXXXXXXXXXXXXX"),          // dup span [1, 32]
+      (2L, "YYYYYYYYYYYYYYYY" + block),          // dup span [17, 48]
+      (3L, "Z" * 48),                            // fully duplicated [1, 48]
+      (4L, "unique text under window")           // untouched (short)
+    ).toDF("doc_id", "text")
+    val got = SubstrDedup.removeDupSpans(docs, "doc_id", "text", 32, 16)
+      .orderBy("id").as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 48, 16, 32, "XXXXXXXXXXXXXXXX"),
+      (2L, 48, 16, 32, "YYYYYYYYYYYYYYYY"),
+      (3L, 48, 0, 48, ""),
+      (4L, 24, 24, 0, "unique text under window")))
+  }
+
+  test("removeDupSpans: interior span keeps both flanks in order") {
+    // shared block in the MIDDLE of both docs; distinct flanks survive
+    val d1 = "HEADER_ONE_16CHR" + block + "TRAILER_ONE_16CH"
+    val d2 = "header_two_16chr" + block + "trailer_two_16ch"
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val got = SubstrDedup.removeDupSpans(docs, "doc_id", "text", 32, 16)
+      .orderBy("id").as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 64, 32, 32, "HEADER_ONE_16CHR" + "TRAILER_ONE_16CH"),
+      (2L, 64, 32, 32, "header_two_16chr" + "trailer_two_16ch")))
+  }
+
   test("docs shorter than the window emit no ranges") {
     val docs = Seq((1L, "short"), (2L, block), (3L, block)).toDF("doc_id", "text")
     val got = SubstrDedup.dupSpanRanges(docs, "doc_id", "text", 32, 16)
