@@ -3685,6 +3685,46 @@ object SparkEntry {
                    CAST(MIN(p0) AS BIGINT) AS first_pos
             FROM hits GROUP BY id ORDER BY doc_id"""))
 
+  /** Multi-phrase sweep ([[graft.text.PhraseSearch.multiPhraseMatches]]):
+    * three phrases — including the repeated-token one — located in ONE
+    * corpus pass, the decontamination-sweep shape. The oracle extends
+    * the positional alignment with the phrase id in the slot relation
+    * and a per-phrase length check.
+    */
+  private val qMultiPhrase = Q(
+    (s, dir) =>
+      graft.text.PhraseSearch.multiPhraseMatches(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq(Seq("table", "table", "merge"),
+            Seq("part", "filter"),
+            Seq("customer", "join")))
+        .select(col("doc_id"), col("phrase_id"), col("n_matches"),
+          col("first_pos").cast(LongType).as("first_pos"))
+        .orderBy("doc_id", "phrase_id"),
+    Some("""WITH tk AS (SELECT doc_id AS id, string_split(text, ' ') AS t
+                        FROM documents),
+            tok AS (SELECT id, u.pos AS pos, u.token AS tok
+                    FROM (SELECT id,
+                                 unnest(list_transform(generate_series(1, len(t)),
+                                        i -> {'pos': i, 'token': t[i]})) AS u
+                          FROM tk)),
+            ph AS (SELECT * FROM (VALUES
+                     (0, 0, 'table'), (0, 1, 'table'), (0, 2, 'merge'),
+                     (1, 0, 'part'), (1, 1, 'filter'),
+                     (2, 0, 'customer'), (2, 1, 'join')) v(pid, idx, pt)),
+            plen AS (SELECT * FROM (VALUES (0, 3), (1, 2), (2, 2)) v(pid, k)),
+            starts AS (SELECT id, pid, pos - idx AS p0, idx
+                       FROM tok JOIN ph ON tok.tok = ph.pt
+                       WHERE pos - idx >= 1),
+            hits AS (SELECT s.id, s.pid, s.p0
+                     FROM starts s JOIN plen ON plen.pid = s.pid
+                     GROUP BY s.id, s.pid, s.p0, plen.k
+                     HAVING COUNT(DISTINCT s.idx) = plen.k)
+            SELECT id AS doc_id, CAST(pid AS INT) AS phrase_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_matches,
+                   CAST(MIN(p0) AS BIGINT) AS first_pos
+            FROM hits GROUP BY id, pid ORDER BY doc_id, phrase_id"""))
+
   private val qBoilerplate = Q(
     (s, dir) =>
       graft.text.Boilerplate.stripBoilerplate(
@@ -5001,6 +5041,7 @@ object SparkEntry {
     "q_dup_span_ranges" -> qDupSpanRanges,
     "q_stream_neardup" -> qStreamNearDup,
     "q_dup_spans_removed" -> qDupSpansRemoved,
+    "q_multi_phrase" -> qMultiPhrase,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

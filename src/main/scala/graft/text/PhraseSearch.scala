@@ -41,32 +41,62 @@ object PhraseSearch {
     * (both text and phrase are lowered).
     */
   def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
-                    phrase: Seq[String], lowercase: Boolean = false): DataFrame = {
-    require(phrase.nonEmpty, "phrase must have at least one token")
-    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
-      s"phrase tokens must be non-empty and whitespace-free: $phrase")
-    val k = phrase.size
-    val ph = if (lowercase) phrase.map(_.toLowerCase) else phrase
+                    phrase: Seq[String], lowercase: Boolean = false): DataFrame =
+    multiPhraseMatches(docs, idCol, textCol, Seq(phrase), lowercase)
+      .select(col(idCol), col("n_matches"), col("first_pos"))
+
+  /** N phrases in ONE corpus pass — the decontamination-sweep shape
+    * (hundreds of benchmark prompts checked against the whole corpus at
+    * once). Identical machinery to the single-phrase form with the
+    * phrase id carried through the slot structs: still one explode, one
+    * token IN-set filter over the union of all phrase tokens, one
+    * `(id, phrase, start)` aggregation — cost grows with total
+    * phrase-token OCCURRENCES, not with |phrases| × corpus.
+    *
+    * Output: (idCol, phrase_id, n_matches, first_pos) — phrase_id is
+    * the 0-based index into `phrases`; (doc, phrase) combinations with
+    * no match emit no row.
+    */
+  def multiPhraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                         phrases: Seq[Seq[String]],
+                         lowercase: Boolean = false): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    phrases.foreach { p =>
+      require(p.nonEmpty, "phrase must have at least one token")
+      require(p.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+        s"phrase tokens must be non-empty and whitespace-free: $p")
+    }
+    val ph = if (lowercase) phrases.map(_.map(_.toLowerCase)) else phrases
     val text = if (lowercase) lower(col(textCol)) else col(textCol)
+    val allTokens = ph.flatten.distinct
     // (id, pos, token), 1-based positions over the raw split
     val postings = docs
       .select(col(idCol).as("id"), posexplode(split(text, " ")).as(Seq("pos0", "tok")))
       .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
-      .filter(col("tok").isin(ph.distinct: _*))
-    // each phrase slot this token could witness -> candidate start p0
-    val slotsFor = ph.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
-    val slotExpr = ph.distinct.foldLeft(lit(null).cast("array<int>")) { (acc, t) =>
-      when(col("tok") === t, array(slotsFor(t).map(i => lit(i)): _*)).otherwise(acc)
+      .filter(col("tok").isin(allTokens: _*))
+    // every (phrase, slot) this token witnesses -> candidate starts
+    val slotsFor: Map[String, Seq[(Int, Int)]] =
+      ph.zipWithIndex.flatMap { case (p, pid) =>
+        p.zipWithIndex.map { case (t, idx) => t -> (pid, idx) }
+      }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
+    val slotExpr = allTokens.foldLeft(
+      lit(null).cast("array<struct<pid:int,idx:int>>")) { (acc, t) =>
+      when(col("tok") === t, array(slotsFor(t).map { case (pid, idx) =>
+        struct(lit(pid).as("pid"), lit(idx).as("idx"))
+      }: _*)).otherwise(acc)
     }
+    val phraseLens = array(ph.map(p => lit(p.size)): _*)
     val starts = postings
-      .select(col("id"), col("pos"), explode(slotExpr).as("idx"))
-      .select(col("id"), (col("pos") - col("idx")).as("p0"), col("idx"))
+      .select(col("id"), col("pos"), explode(slotExpr).as("s"))
+      .select(col("id"), col("s.pid").as("pid"),
+        (col("pos") - col("s.idx")).as("p0"), col("s.idx").as("idx"))
       .filter(col("p0") >= 1)
-    starts.groupBy("id", "p0")
+    starts.groupBy("id", "pid", "p0")
       .agg(count_distinct(col("idx")).as("__slots"))
-      .filter(col("__slots") === k)
-      .groupBy("id")
+      .filter(col("__slots") === element_at(phraseLens, col("pid") + 1))
+      .groupBy("id", "pid")
       .agg(count(lit(1)).as("n_matches"), min(col("p0")).as("first_pos"))
-      .select(col("id").as(idCol), col("n_matches"), col("first_pos"))
+      .select(col("id").as(idCol), col("pid").as("phrase_id"),
+        col("n_matches"), col("first_pos"))
   }
 }

@@ -63,6 +63,35 @@ class PhraseSearchSpec extends SparkTestBase {
     assert(ci === Seq((1L, 1L, 1), (2L, 1L, 1)))
   }
 
+  test("multiPhraseMatches: N phrases in one pass agree with per-phrase runs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val phrases = Seq(Seq("table", "hash"), Seq("a", "a"), Seq("big", "order"))
+    val multi = PhraseSearch.multiPhraseMatches(docs, "doc_id", "text", phrases)
+      .orderBy("doc_id", "phrase_id")
+      .as[(Long, Int, Long, Int)].collect().toSeq
+    val singles = phrases.zipWithIndex.flatMap { case (p, pid) =>
+      PhraseSearch.phraseMatches(docs, "doc_id", "text", p)
+        .as[(Long, Long, Int)].collect().toSeq
+        .map { case (id, n, fp) => (id, pid, n, fp) }
+    }.sortBy(r => (r._1, r._2))
+    assert(multi === singles)
+    assert(multi.map(_._2).distinct.size === 3, "every phrase should match somewhere")
+  }
+
+  test("multiPhraseMatches: shared tokens across phrases do not cross-contaminate") {
+    val docs = Seq(
+      (1L, "a b c"),   // "a b" yes; "b c" yes; "a c" no
+      (2L, "a c b")    // "a c" yes; others no
+    ).toDF("doc_id", "text")
+    val got = PhraseSearch.multiPhraseMatches(docs, "doc_id", "text",
+      Seq(Seq("a", "b"), Seq("b", "c"), Seq("a", "c")))
+      .orderBy("doc_id", "phrase_id")
+      .as[(Long, Int, Long, Int)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0, 1L, 1), (1L, 1, 1L, 2),
+      (2L, 2, 1L, 1)))
+  }
+
   test("plan: no join, single shuffle keyed on (id, start)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = PhraseSearch.phraseMatches(docs, "doc_id", "text", Seq("table", "hash"))
