@@ -3521,6 +3521,30 @@ object SparkEntry {
             SELECT new_id, seen_id, jaccard FROM xpairs
             ORDER BY new_id, seen_id"""))
 
+  /** The PERSISTED-index path of incremental near-dup
+    * ([[graft.dedup.NearDup.writeNearDupIndex]] →
+    * [[graft.dedup.NearDup.minHashLshAgainstIndex]]): the seen corpus
+    * is materialized to a parquet (id, sig, toks) index first and the
+    * batch is checked against the STORED table — the steady-state
+    * production loop, under the same oracle as the from-raw form
+    * (identical semantics, spec-pinned, now gate-checked through a real
+    * disk round-trip).
+    */
+  private val qDedupLshIndexed = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxPath = java.nio.file.Files
+        .createTempDirectory("graft_lsh_index").resolve("idx").toString
+      graft.dedup.NearDup.writeNearDupIndex(
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 1000),
+        "doc_id", "text", numHashes = 16, idxPath)
+      graft.dedup.NearDup.minHashLshAgainstIndex(
+        docs.filter(col("doc_id") < 250), s.read.parquet(idxPath),
+        "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+        .orderBy("new_id", "seen_id")
+    },
+    qDedupLshIncremental.oracle)
+
   /** CDC merge ([[graft.ops.Merge.applyChanges]]): a synthetic change
     * batch over the orders snapshot — two competing updates per changed
     * key (seq decides), deletes, and key-space-shifted inserts. Price
@@ -5042,6 +5066,7 @@ object SparkEntry {
     "q_stream_neardup" -> qStreamNearDup,
     "q_dup_spans_removed" -> qDupSpansRemoved,
     "q_multi_phrase" -> qMultiPhrase,
+    "q_dedup_lsh_indexed" -> qDedupLshIndexed,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -271,6 +271,90 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // -------------------------------------------------------------------
+  // Persistent near-dup index (the "steady state" the incremental
+  // operators' scaladocs assume, made concrete)
+  // -------------------------------------------------------------------
+
+  /** The seen-corpus near-dup index as a DataFrame: (id, sig, toks) —
+    * MinHash signature for banding + estimate, distinct token set for
+    * exact verification. One narrow pass over the corpus; text never
+    * enters the index (toks are the only derivative kept, and they are
+    * what verification needs anyway).
+    */
+  def nearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("id"),
+        graft.functions.MinHashSig.sig(
+          TextAnalysis.shinglesFromTokens(col("t"), col("tk")), numHashes).as("sig"),
+        array_distinct(col("tk")).as("toks"))
+
+  /** Persist the index (overwrite = full rebuild; callers append ingest
+    * batches with `mode("append")` through [[appendNearDupIndex]]). At
+    * 100 TB this table is the difference between "one signature pass
+    * per batch" and "re-hash the whole corpus per batch".
+    */
+  def writeNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, path: String): Unit =
+    nearDupIndex(docs, idCol, textCol, numHashes)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append an accepted ingest batch to the index — the post-dedup step
+    * of the production loop (check batch against index → keep survivors
+    * → append survivors to index).
+    */
+  def appendNearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+                         numHashes: Int, path: String): Unit =
+    nearDupIndex(docs, idCol, textCol, numHashes)
+      .write.mode("append").parquet(path)
+
+  /** [[minHashLshAgainstCorpus]] against a PRE-MATERIALIZED index
+    * ([[nearDupIndex]] schema) instead of raw seen documents: the seen
+    * side contributes zero signature work — band rows, estimate slots
+    * and verification tokens all come off the stored table, so the
+    * incremental cost is one signature pass over the BATCH plus joins
+    * sized by the batch. Semantics identical to the from-raw form
+    * (spec-pinned); `numHashes` is implied by the stored signatures and
+    * must equal `bands × rowsPerBand`.
+    */
+  def minHashLshAgainstIndex(newDocs: DataFrame, index: DataFrame,
+                             idCol: String, textCol: String,
+                             bands: Int = 4, rowsPerBand: Int = 4,
+                             threshold: Double = 0.7,
+                             maxBucket: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val newSig = signatures(newDocs, idCol, textCol, numHashes).localCheckpoint()
+    val seenSig = index.select(col("id"), col("sig"))
+    val seenBand = bandRows(seenSig, bands, rowsPerBand)
+    val okBuckets = seenBand.groupBy("band", "bh").count()
+      .filter(col("count") <= maxBucket).select("band", "bh")
+    val candidates = bandRows(newSig, bands, rowsPerBand)
+      .select(col("band"), col("bh"), col("id").as("new_id"))
+      .join(seenBand.join(okBuckets, Seq("band", "bh"))
+        .select(col("band"), col("bh"), col("id").as("seen_id")), Seq("band", "bh"))
+      .filter(col("new_id") =!= col("seen_id"))
+      .select("new_id", "seen_id").distinct()
+    val slack = estSlack(threshold, numHashes)
+    val sigEst = candidates
+      .join(newSig.select(col("id").as("new_id"), col("sig").as("sig_a")), "new_id")
+      .join(seenSig.select(col("id").as("seen_id"), col("sig").as("sig_b")), "seen_id")
+      .withColumn("est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)) /
+          lit(numHashes.toDouble))
+      .filter(col("est") >= slack)
+      .select("new_id", "seen_id")
+    val newToks = newDocs.select(col(idCol).as("new_id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_a"))
+    val seenToks = index.select(col("id").as("seen_id"), col("toks").as("toks_b"))
+    sigEst.join(newToks, "new_id").join(seenToks, "seen_id")
+      .select(col("new_id"), col("seen_id"),
+        jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** The filter form of [[minHashLshAgainstCorpus]]: the new batch minus
     * documents near-duplicating anything already seen — what an ingest
     * pipeline actually composes after [[dedupAgainstCorpus]] has removed

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.NearDup
+
+class NearDupIndexSpec extends SparkTestBase {
+
+  test("against-index == against-raw-corpus; append picks up new history") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = docs.filter(col("doc_id") < 150)
+    val seen1 = docs.filter(col("doc_id") >= 150 && col("doc_id") < 500)
+    val seen2 = docs.filter(col("doc_id") >= 500 && col("doc_id") < 800)
+
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_index_spec")
+    val idxPath = tmp.resolve("idx").toString
+    NearDup.writeNearDupIndex(seen1, "doc_id", "text", numHashes = 16, idxPath)
+
+    val viaIndex = NearDup.minHashLshAgainstIndex(
+        batch, spark.read.parquet(idxPath), "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    val viaRaw = NearDup.minHashLshAgainstCorpus(
+        batch, seen1, "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    assert(viaIndex === viaRaw, "stored index must reproduce the from-raw result")
+    assert(viaIndex.nonEmpty, "fixture should contain cross near-dups")
+
+    // append the second history slice; the union index must equal the
+    // from-raw run against the combined corpus
+    NearDup.appendNearDupIndex(seen2, "doc_id", "text", numHashes = 16, idxPath)
+    val viaAppended = NearDup.minHashLshAgainstIndex(
+        batch, spark.read.parquet(idxPath), "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    val viaBoth = NearDup.minHashLshAgainstCorpus(
+        batch, seen1.unionByName(seen2), "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    assert(viaAppended === viaBoth, "appended index must cover the grown corpus")
+    assert(viaAppended.size > viaIndex.size || viaAppended === viaIndex,
+      "growing history can only add pairs")
+  }
+
+  test("index stores no text: schema is (id, sig, toks) only") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 50)
+    val idx = NearDup.nearDupIndex(docs, "doc_id", "text", numHashes = 16)
+    assert(idx.columns.toSeq === Seq("id", "sig", "toks"))
+    assert(idx.count() === 50)
+  }
+}
