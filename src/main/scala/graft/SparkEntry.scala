@@ -3521,6 +3521,31 @@ object SparkEntry {
             SELECT new_id, seen_id, jaccard FROM xpairs
             ORDER BY new_id, seen_id"""))
 
+  /** The FILTER form of incremental near-dup
+    * ([[graft.dedup.NearDup.dedupNearAgainstCorpus]]): the ingest batch
+    * minus every document that near-duplicates history — what the
+    * pipeline actually composes after exact dedup. Oracle: the
+    * incremental pair chain, then NOT IN over its new_id set.
+    */
+  private val qDedupNearFilter = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.dedup.NearDup.dedupNearAgainstCorpus(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 1000),
+        "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH nbase AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 250),
+            sbase AS (SELECT doc_id AS id, text FROM documents
+                      WHERE doc_id >= 250 AND doc_id < 1000),
+            ${minHashXPairsCtes(bands = 4, rowsPerBand = 4, threshold = 0.9, maxBucket = 1000)}
+            SELECT doc_id, source FROM documents
+            WHERE doc_id < 250
+              AND doc_id NOT IN (SELECT new_id FROM xpairs)
+            ORDER BY doc_id"""))
+
   /** The PERSISTED-index path of incremental near-dup
     * ([[graft.dedup.NearDup.writeNearDupIndex]] →
     * [[graft.dedup.NearDup.minHashLshAgainstIndex]]): the seen corpus
@@ -5067,6 +5092,7 @@ object SparkEntry {
     "q_dup_spans_removed" -> qDupSpansRemoved,
     "q_multi_phrase" -> qMultiPhrase,
     "q_dedup_lsh_indexed" -> qDedupLshIndexed,
+    "q_dedup_near_filter" -> qDedupNearFilter,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
