@@ -87,30 +87,51 @@ object Bench {
     } else -1.0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum // failed (-1) excluded
+    // failed (-1) excluded; superseded forms measured but kept out of the
+    // headline so soaks stop paying for queries with a faster gate-checked
+    // replacement (q_winnow's md5 twin costs ~50× q_winnow_fast at 100×).
+    val total = results
+      .filter { case (n, v) => v >= 0 && !superseded.contains(n) }.values.sum
     // Per-tier subtotals: at 110 queries the full bench is minutes of
     // wall, so a regression needs to LOCALIZE without a rerun — the tier
     // whose subtotal moved is where to look.
-    val tiers = results.toSeq.filter(_._2 >= 0)
+    val tiers = results.toSeq
+      .filter { case (n, v) => v >= 0 && !superseded.contains(n) }
       .groupBy { case (n, _) => tierOf(n) }.toSeq.sortBy(_._1)
       .map { case (t, xs) => s"\"" + t + "\":" + xs.map(_._2).sum }
       .mkString("{", ",", "}")
     // policy fields recorded so round-over-round deltas are readable as
     // signal vs JVM noise (warmup + median-of-3 is the default).
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"warmups":$warmups,"policy":"median","stream_noop":$streamNoop,"queries":$qs,"tiers":$tiers,"sf":"$sfDir"}"""
+    val sup = superseded.toSeq.sorted
+      .flatMap(n => results.get(n).map(v => s"\"" + n + "\":" + v))
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","repeats":$repeats,"warmups":$warmups,"policy":"median","stream_noop":$streamNoop,"superseded":$sup,"queries":$qs,"tiers":$tiers,"sf":"$sfDir"}"""
     println(json)
     // The driver captures only the TAIL of stdout (BENCH_r10 kept 55 of
     // 143 per-query entries); persist the full line so per-query history
-    // survives log truncation.
+    // survives log truncation. SPARK_GRAFT_BENCH_OUT overrides the
+    // CWD-relative default for launches from outside the repo root.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     try {
-      val out = java.nio.file.Paths.get("target/bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
+      val out = java.nio.file.Paths.get(outPath)
+      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write target/bench.json: ${e.getMessage}")
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
   }
+
+  /** Queries kept green in the correctness gate but excluded from the
+    * headline total and tier subtotals because a gate-checked faster
+    * form supersedes them: q_winnow's per-position md5 fingerprints cost
+    * 242.7 s at 100× where q_winnow_fast's two-lane mod-P polynomial —
+    * the same winnowing semantics, also oracle-checked — costs 4.7 s.
+    * Still measured every run (regressions stay visible) and reported
+    * under the `superseded` JSON field; just no longer billed to the
+    * headline, so soak budgets track the actual scale path.
+    */
+  private[graft] val superseded: Set[String] = Set("q_winnow")
 
   /** Query → bench tier (reporting only — no behavior): reference ETL
     * parity, window functions, relational breadth, text/corpus, dedup +

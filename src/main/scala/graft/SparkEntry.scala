@@ -27,6 +27,33 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.read(s, dir, name)
 
+  /** Per-invocation scratch dir for queries that round-trip through disk
+    * (index writes, streaming sinks), registered for recursive deletion
+    * at JVM exit so repeated bench/verify invocations don't accumulate
+    * orphans under /tmp. Fresh per call — the dirs must stay fresh so
+    * every bench repeat pays the full write+read cost (a reused
+    * streaming checkpoint would silently skip the work being measured);
+    * they only need to outlive the query's ACTION, hence exit-time
+    * cleanup rather than eager deletion under the lazy DataFrame.
+    */
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { root =>
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }))
+  }
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
+    d
+  }
+
   // Deterministic total order for lineitem rows. NOTE: in this synthetic
   // data (l_orderkey, l_linenumber) is NOT unique — the verified unique key
   // is (l_orderkey, l_linenumber, l_partkey, l_suppkey). Every oracle query
@@ -3558,8 +3585,7 @@ object SparkEntry {
   private val qDedupLshIndexed = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val idxPath = java.nio.file.Files
-        .createTempDirectory("graft_lsh_index").resolve("idx").toString
+      val idxPath = scratchDir("graft_lsh_index").resolve("idx").toString
       graft.dedup.NearDup.writeNearDupIndex(
         docs.filter(col("doc_id") >= 250 && col("doc_id") < 1000),
         "doc_id", "text", numHashes = 16, idxPath)
@@ -4773,7 +4799,7 @@ object SparkEntry {
     */
   private val qStreamNearDup = Q(
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_neardup")
+      val tmp = scratchDir("graft_stream_neardup")
       val outPath = tmp.resolve("out").toString
       val ckpt = tmp.resolve("ckpt").toString
       val newDocs = Tables.readTableStream(s, dir, "documents")

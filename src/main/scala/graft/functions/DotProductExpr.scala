@@ -111,35 +111,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     } else throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got ${e.sql}")
 
+  /** Readable arity error instead of an IndexOutOfBoundsException when a
+    * SQL call passes the wrong number of arguments.
+    */
+  private def arity(children: Seq[Expression], fn: String, n: Int,
+                    signature: String): Unit =
+    if (children.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments: $signature; got ${children.length}")
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        arity(children, "vec_dot", 2, "vec_dot(a, b)")
+        DotProduct(children.head, children(1))
+      }))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (children: Seq[Expression]) => MinHashSig(children.head,
-        litInt(children(1), "minhash_sig", "numHashes"))))
+      (children: Seq[Expression]) => {
+        arity(children, "minhash_sig", 2, "minhash_sig(shingles, numHashes)")
+        MinHashSig(children.head,
+          litInt(children(1), "minhash_sig", "numHashes"))
+      }))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("ngrams"),
       new ExpressionInfo(classOf[NgramArray].getName, "ngrams"),
-      (children: Seq[Expression]) => NgramArray(children.head,
-        litInt(children(1), "ngrams", "n"))))
+      (children: Seq[Expression]) => {
+        arity(children, "ngrams", 2, "ngrams(tokens, n)")
+        NgramArray(children.head, litInt(children(1), "ngrams", "n"))
+      }))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("md5_long"),
       new ExpressionInfo(classOf[Md5Long].getName, "md5_long"),
-      (children: Seq[Expression]) => Md5Long(children.head)))
+      (children: Seq[Expression]) => {
+        arity(children, "md5_long", 1, "md5_long(s)")
+        Md5Long(children.head)
+      }))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("md5_long64"),
       new ExpressionInfo(classOf[Md5Long64].getName, "md5_long64"),
-      (children: Seq[Expression]) => Md5Long64(children.head)))
+      (children: Seq[Expression]) => {
+        arity(children, "md5_long64", 1, "md5_long64(s)")
+        Md5Long64(children.head)
+      }))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("winnow_positions"),
       new ExpressionInfo(classOf[WinnowPositions].getName, "winnow_positions"),
-      (children: Seq[Expression]) => WinnowPositions(children.head,
-        litInt(children(1), "winnow_positions", "k"),
-        litInt(children(2), "winnow_positions", "w"))))
+      (children: Seq[Expression]) => {
+        arity(children, "winnow_positions", 3, "winnow_positions(tokens, k, w)")
+        WinnowPositions(children.head,
+          litInt(children(1), "winnow_positions", "k"),
+          litInt(children(2), "winnow_positions", "w"))
+      }))
     e.injectOptimizerRule(_ => graft.plans.ShareWindowExchange)
   }
 }

@@ -82,19 +82,6 @@ object Tables {
     * drains a finite backlog then stops — used by the driver queries
     * that exercise the streaming code path against the batch oracle.
     */
-  /** Generic streaming twin of [[read]]: any testdata table as a
-    * file-source stream (schema from one batch footer read, basePath
-    * glob per the layout note in [[readEventsStream]]). Used by the
-    * ingest-shaped streaming queries (near-dup at ingest) that stream
-    * tables without event-time columns.
-    */
-  def readTableStream(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val path = s"$dir/$name.parquet"
-    val schema = spark.read.parquet(path).schema
-    spark.readStream.schema(schema)
-      .option("basePath", dir).parquet(s"$dir/$name.parquet*")
-  }
-
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
@@ -108,5 +95,18 @@ object Tables {
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
+  }
+
+  /** Generic streaming twin of [[read]]: any testdata table as a
+    * file-source stream (schema from one batch footer read, basePath
+    * glob per the layout note in [[readEventsStream]]). Used by the
+    * ingest-shaped streaming queries (near-dup at ingest) that stream
+    * tables without event-time columns.
+    */
+  def readTableStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema)
+      .option("basePath", dir).parquet(s"$dir/$name.parquet*")
   }
 }

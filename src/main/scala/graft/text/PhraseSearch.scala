@@ -20,13 +20,18 @@ import org.apache.spark.sql.functions._
   * phrase are handled exactly: each slot must be witnessed by a
   * posting at its own offset.
   *
-  * Scale shape: one corpus explode, a token IN-set filter that reaches
-  * the scan (the phrase set is a literal array — only postings for
-  * phrase tokens survive the projection, the inverted-index access
-  * path), then one shuffle keyed on `(id, p0)` whose cardinality is
-  * bounded by phrase-token occurrences, not corpus tokens. No join at
-  * all, nothing pairwise, no cascade of k self-joins (the textbook
-  * formulation — k shuffles and k plan branches — is strictly worse).
+  * Scale shape: one corpus explode, an inner BROADCAST join against the
+  * tiny `(token, phrase, slot)` lookup table (sum-of-phrase-lengths
+  * rows — kilobytes even for a 500-prompt decontamination sweep) that
+  * both filters to phrase tokens and fans out slots in one hash probe,
+  * then one shuffle keyed on `(id, p0)` whose cardinality is bounded by
+  * phrase-token occurrences, not corpus tokens. Nothing pairwise, no
+  * cascade of k self-joins (the textbook formulation — k shuffles and
+  * k plan branches — is strictly worse), and — unlike an IN-set filter
+  * plus a chained `when` slot expression — the plan size is CONSTANT in
+  * the number of distinct phrase tokens: a thousand-prompt sweep grows
+  * the broadcast table, never the expression tree, so codegen and
+  * analysis cost stay flat.
   *
   * Tokenization convention: literal single-space split, positions over
   * the RAW split (empties keep their slot so positions agree with any
@@ -68,32 +73,27 @@ object PhraseSearch {
     }
     val ph = if (lowercase) phrases.map(_.map(_.toLowerCase)) else phrases
     val text = if (lowercase) lower(col(textCol)) else col(textCol)
-    val allTokens = ph.flatten.distinct
     // (id, pos, token), 1-based positions over the raw split
     val postings = docs
       .select(col(idCol).as("id"), posexplode(split(text, " ")).as(Seq("pos0", "tok")))
       .select(col("id"), (col("pos0") + 1).as("pos"), col("tok"))
-      .filter(col("tok").isin(allTokens: _*))
-    // every (phrase, slot) this token witnesses -> candidate starts
-    val slotsFor: Map[String, Seq[(Int, Int)]] =
+    // One lookup ROW per (phrase, slot): (tok, pid, idx, plen). The inner
+    // broadcast join below is simultaneously the phrase-token filter (a
+    // corpus token absent from every phrase matches no lookup row) and
+    // the slot fan-out (a token filling several slots matches several) —
+    // data, not expression tree, so N phrases never grow the plan.
+    val lookup = docs.sparkSession.createDataFrame(
       ph.zipWithIndex.flatMap { case (p, pid) =>
-        p.zipWithIndex.map { case (t, idx) => t -> (pid, idx) }
-      }.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2) }
-    val slotExpr = allTokens.foldLeft(
-      lit(null).cast("array<struct<pid:int,idx:int>>")) { (acc, t) =>
-      when(col("tok") === t, array(slotsFor(t).map { case (pid, idx) =>
-        struct(lit(pid).as("pid"), lit(idx).as("idx"))
-      }: _*)).otherwise(acc)
-    }
-    val phraseLens = array(ph.map(p => lit(p.size)): _*)
+        p.zipWithIndex.map { case (t, idx) => (t, pid, idx, p.size) }
+      }).toDF("tok", "pid", "idx", "plen")
     val starts = postings
-      .select(col("id"), col("pos"), explode(slotExpr).as("s"))
-      .select(col("id"), col("s.pid").as("pid"),
-        (col("pos") - col("s.idx")).as("p0"), col("s.idx").as("idx"))
+      .join(broadcast(lookup), "tok")
+      .select(col("id"), col("pid"), (col("pos") - col("idx")).as("p0"),
+        col("idx"), col("plen"))
       .filter(col("p0") >= 1)
     starts.groupBy("id", "pid", "p0")
-      .agg(count_distinct(col("idx")).as("__slots"))
-      .filter(col("__slots") === element_at(phraseLens, col("pid") + 1))
+      .agg(count_distinct(col("idx")).as("__slots"), first(col("plen")).as("__plen"))
+      .filter(col("__slots") === col("__plen"))
       .groupBy("id", "pid")
       .agg(count(lit(1)).as("n_matches"), min(col("p0")).as("first_pos"))
       .select(col("id").as(idCol), col("pid").as("phrase_id"),

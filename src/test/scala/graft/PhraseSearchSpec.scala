@@ -92,11 +92,44 @@ class PhraseSearchSpec extends SparkTestBase {
       (2L, 2, 1L, 1)))
   }
 
-  test("plan: no join, single shuffle keyed on (id, start)") {
+  test("plan: slot lookup is a broadcast join; no shuffle join, no cartesian") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val p = PhraseSearch.phraseMatches(docs, "doc_id", "text", Seq("table", "hash"))
       .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(!p.contains("Join"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sweep scale: 250 phrases in one pass, plan size constant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // 250 synthetic benchmark prompts: a handful planted (must match), the
+    // rest drawn from fixture vocabulary in orders that mostly don't occur.
+    val vocab = Seq("table", "hash", "big", "order", "merge", "scan", "index",
+      "join", "filter", "group", "sort", "cache", "spill", "byte", "row")
+    val planted = Seq(Seq("table", "hash"), Seq("a", "a"))
+    val generated = (0 until 248).map { i =>
+      Seq(vocab(i % vocab.size), vocab((i / vocab.size + i) % vocab.size),
+        vocab((i * 7 + 3) % vocab.size))
+    }
+    val phrases = planted ++ generated
+    val df = PhraseSearch.multiPhraseMatches(docs, "doc_id", "text", phrases)
+    // plan stays a single broadcast join regardless of phrase count
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val got = df.orderBy("doc_id", "phrase_id")
+      .as[(Long, Int, Long, Int)].collect().toSeq
+    // planted phrases hit; results agree with per-phrase runs on a sample
+    assert(got.exists(_._2 == 0), "planted phrase 0 should match")
+    val sample = Seq(0, 1, 17, 133)
+    sample.foreach { pid =>
+      val single = PhraseSearch.phraseMatches(docs, "doc_id", "text", phrases(pid))
+        .as[(Long, Long, Int)].collect().toSeq
+        .map { case (id, n, fp) => (id, pid, n, fp) }.sortBy(_._1)
+      assert(got.filter(_._2 == pid).sortBy(_._1) === single, s"phrase $pid")
+    }
   }
 }
