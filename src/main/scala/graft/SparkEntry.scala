@@ -54,6 +54,27 @@ object SparkEntry {
     d
   }
 
+  /** Temporarily pin `spark.sql.shuffle.partitions` around a STATEFUL
+    * streaming query. A stateful stream keeps state-store instances per
+    * shuffle partition (a stream-stream join: four per partition), and
+    * every micro-batch pays a commit per instance regardless of row
+    * count — inheriting the batch default (sized for table scans)
+    * multiplies that fixed cost. Measured on q_stream_attribution
+    * (tools.StreamAttributionProbe, BASELINE.md round 12): 5.5 s wall /
+    * 36 s summed state-store commit time at 32 partitions vs 1.8 s /
+    * 0.5 s at 4, identical results. Production streaming jobs size
+    * state partitions to stream volume for exactly this reason; the
+    * gate streams are small, so 4 keeps the state machinery honestly
+    * multi-partition without billing 128 commits per micro-batch. The
+    * state-partition count is fixed at checkpoint creation, so the pin
+    * only needs to cover `start()`; restored before the read-back.
+    */
+  private def withStreamShuffle[T](s: SparkSession, n: Int = 4)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // Deterministic total order for lineitem rows. NOTE: in this synthetic
   // data (l_orderkey, l_linenumber) is NOT unique — the verified unique key
   // is (l_orderkey, l_linenumber, l_partkey, l_suppkey). Every oracle query
@@ -1960,6 +1981,28 @@ object SparkEntry {
               FROM scored)
             SELECT qid, CAST(rk AS INTEGER) AS rank, cid, cosine
             FROM ranked WHERE rk <= 10 ORDER BY qid, rank"""))
+
+  /** IVF-flat ANN against a PERSISTED index
+    * ([[graft.similarity.Ivf.writeIvfIndex]] →
+    * [[graft.similarity.Ivf.topKAgainstIndex]]): centroids + inverted
+    * lists are materialized to parquet (lists partitioned by cell) and
+    * the probe runs against the STORED tables — steady-state retrieval
+    * pays no clustering or corpus-assignment work, and the probed-cell
+    * filter is parquet partition pruning. Disk round-trip inside the
+    * measured query; identical semantics to the from-raw form
+    * (spec-pinned), so [[qAnnIvf]]'s oracle is reused verbatim.
+    */
+  private val qAnnIvfIndexed = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxPath = scratchDir("graft_ivf_index").resolve("idx").toString
+      graft.similarity.Ivf.writeIvfIndex(emb, nLists = 16, idxPath)
+      graft.similarity.Ivf.topKAgainstIndex(
+        emb.filter(col("vec_id") < 5), idxPath, k = 10, nProbe = 4)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .orderBy("qid", "rank")
+    },
+    qAnnIvf.oracle)
 
   /** Embedding-cosine near-dup pairs through LSH buckets, bucket-capped.
     * Oracle-replayable via the embedded plane constants (see [[bucketSql]]);
@@ -4559,7 +4602,7 @@ object SparkEntry {
     * oracle — no time_bucket origin dependence).
     */
   private val qStreamWindowStats = Q(
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       val q = graft.streaming.EventStreams
         .windowedTypeStats(Tables.readEventsStream(s, dir))
         .writeStream.outputMode("append").format("memory")
@@ -4598,7 +4641,7 @@ object SparkEntry {
     * winner rule so the result is identical under any batch split.
     */
   private val qCdcLatest = Q(
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       import s.implicits._
       val changes = Tables.readEventsStream(s, dir)
         .select((col("user_id") % 50).as("key"),
@@ -4644,7 +4687,7 @@ object SparkEntry {
     * bridges the float tail.
     */
   private val qStreamSessionize = Q(
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       import s.implicits._
       val evs = Tables.readEventsStream(s, dir)
         .select(col("event_id"), col("user_id"),
@@ -4698,7 +4741,7 @@ object SparkEntry {
     * scoped to the query and restored after.
     */
   private val qStreamSessionizeTws = Q(
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       import s.implicits._
       val evs = Tables.readEventsStream(s, dir)
         .select(col("event_id"), col("user_id"),
@@ -4739,7 +4782,7 @@ object SparkEntry {
     * watermark-derived eviction, two stream sources).
     */
   private val qStreamAttribution = Q(
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       val views = Tables.readEventsStream(s, dir)
         .filter(col("event_type") === "view")
       val purchases = Tables.readEventsStream(s, dir)
@@ -4770,7 +4813,7 @@ object SparkEntry {
     * (first-seen non-key columns would be processing-order-dependent).
     */
   private val qStreamDedup = Q(
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       val evs = Tables.readEventsStream(s, dir)
         .select(col("user_id"), col("event_type"), col("ts"))
       val q = graft.streaming.EventStreams
@@ -5029,6 +5072,7 @@ object SparkEntry {
     "q_ann_lsh_topk" -> qAnnLsh,
     "q_ann_retrieval_topk" -> qAnnRetrieval,
     "q_ann_ivf_topk" -> qAnnIvf,
+    "q_ann_ivf_indexed" -> qAnnIvfIndexed,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_pq_encode" -> qPqEncode,

@@ -229,8 +229,10 @@ object Multimodal {
   // in the path: IDAT payloads inflate through java.util.zip.Inflater
   // (public JDK), then scanlines un-filter per the spec's five filter
   // types (None/Sub/Up/Average/Paeth). Supported: 8-bit depth,
-  // non-interlaced, truecolor (type 2) and grayscale (type 0) — the
-  // palette/alpha/interlace variants return None and fall to the stub.
+  // non-interlaced, truecolor (type 2), grayscale (type 0) and
+  // palette-indexed (type 3; filters run on the index plane, then a
+  // PLTE lookup per pixel) — alpha/interlace variants return None and
+  // fall to the stub.
 
   private def be32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
@@ -263,14 +265,17 @@ object Multimodal {
     val bpp = colorType match {
       case 0 => 1
       case 2 => 3
+      case 3 => 1 // palette index bytes; filters run on the index plane
       case _ => return None
     }
     // same lying-header walk bound as parseBmp
     if (bitDepth != 8 || interlace != 0 || bytes(26) != 0 || bytes(27) != 0 ||
         w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14))
       return None
-    // chunk walk: concatenate IDAT payloads until IEND
+    // chunk walk: concatenate IDAT payloads until IEND; capture PLTE
+    // (mandatory for type 3, and the spec puts it before the first IDAT)
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var off = 8 + 25
     var sawEnd = false
     while (!sawEnd) {
@@ -279,12 +284,18 @@ object Multimodal {
       if (len < 0 || off + 12L + len > bytes.length) return None
       val ctype = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       ctype match {
-        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "PLTE" =>
+          if (len == 0 || len % 3 != 0 || len > 768) return None
+          palette = java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + len)
+        case "IDAT" =>
+          if (colorType == 3 && palette == null) return None
+          idat.write(bytes, off + 8, len)
         case "IEND" => sawEnd = true
         case _ => // ancillary chunks skipped
       }
       off += 12 + len
     }
+    if (colorType == 3 && palette == null) return None
     val stride = w * bpp
     val expected = h * (stride + 1)
     // a crafted 33-byte header could otherwise demand ~805 MB of decode
@@ -340,20 +351,38 @@ object Multimodal {
       }
       r += 1
     }
-    // pixel fold, mirroring parseBmp's feature layout
+    // pixel fold, mirroring parseBmp's feature layout; palette images
+    // fold the LOOKED-UP RGB (what the pixels mean), not the raw indices
     val sums = new Array[Long](3)
     var high = 0L
-    var i = 0
-    while (i < img.length) {
-      val v = img(i) & 0xff
-      sums(if (bpp == 3) i % 3 else 0) += v
-      if (v > 127) high += 1
-      i += 1
+    if (colorType == 3) {
+      val nEntries = palette.length / 3
+      var i = 0
+      while (i < img.length) {
+        val idx = img(i) & 0xff
+        if (idx >= nEntries) return None // index past the palette: corrupt
+        var ch = 0
+        while (ch < 3) {
+          val v = palette(idx * 3 + ch) & 0xff
+          sums(ch) += v
+          if (v > 127) high += 1
+          ch += 1
+        }
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < img.length) {
+        val v = img(i) & 0xff
+        sums(if (bpp == 3) i % 3 else 0) += v
+        if (v > 127) high += 1
+        i += 1
+      }
     }
     val n = w.toLong * h
     val total = sums(0) + sums(1) + sums(2)
     val feats =
-      if (bpp == 3) Array(
+      if (bpp == 3 || colorType == 3) Array(
         (sums(0).toDouble / (n * 255)).toFloat,
         (sums(1).toDouble / (n * 255)).toFloat,
         (sums(2).toDouble / (n * 255)).toFloat,
@@ -376,11 +405,14 @@ object Multimodal {
     * (deterministic bytes, unlike Deflater's level-dependent output)
     * with a real Adler32, so the file size is closed-form too:
     * `h*(w*bpp+1) + 57 + 11·ceil(raw/65535)` total bytes — and the
-    * decode path still runs the REAL Inflater.
+    * decode path still runs the REAL Inflater. colorType 3 (palette)
+    * writes the same closed-form bytes as INDICES plus a full
+    * 256-entry PLTE whose entry j, channel c is
+    * `(seed + j*11 + c*97) mod 256` (+780 bytes; every index valid).
     */
   def makePng(w: Int, h: Int, seed: Long, colorType: Int = 2): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 256 && h <= 256, s"fixture dims $w x $h")
-    require(colorType == 0 || colorType == 2, s"colorType $colorType")
+    require(colorType == 0 || colorType == 2 || colorType == 3, s"colorType $colorType")
     val bpp = if (colorType == 2) 3 else 1
     val stride = w * bpp
     val img = Array.tabulate(h * stride) { i =>
@@ -456,7 +488,16 @@ object Multimodal {
     ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
     ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
     ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compression/filter/interlace stay 0
-    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zlib) ++ chunk("IEND", Array.empty)
+    // palette fixtures carry a full 256-entry PLTE (every index valid)
+    // with its own closed form: entry j channel c = (seed + j*11 + c*97) mod 256
+    val plte =
+      if (colorType == 3)
+        chunk("PLTE", Array.tabulate(768) { i =>
+          val j = i / 3; val c = i % 3
+          ((seed + j * 11L + c * 97L) % 256).toByte
+        })
+      else Array.empty[Byte]
+    PngSig ++ chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", zlib) ++ chunk("IEND", Array.empty)
   }
 
   // ---- real decoder: GIF (GIF87a/89a; LZW per the public spec) ---------

@@ -29,21 +29,86 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** Per-bin compaction plan: (part, bin, n_files, total_bytes) for
-    * every planned output group. `files` is one row per data file with
-    * its partition value, a stable file identifier (path or index — the
-    * plan's determinism rides on its ordering), and its size in bytes.
+  /** Per-FILE bin assignment — the plan's row-level form: one row per
+    * input file with the bin it lands in. [[planBins]] is its per-bin
+    * aggregate; the executor ([[compactParquetDir]]) consumes this one.
     */
-  def planBins(files: DataFrame, partCol: String, fileCol: String,
-               bytesCol: String, targetBytes: Long): DataFrame = {
+  def assignBins(files: DataFrame, partCol: String, fileCol: String,
+                 bytesCol: String, targetBytes: Long): DataFrame = {
     require(targetBytes >= 1, s"targetBytes=$targetBytes must be >= 1")
     val w = Window.partitionBy(col(partCol)).orderBy(col(fileCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     files
       .withColumn("__cb", coalesce(sum(col(bytesCol)).over(w), lit(0L)))
       .withColumn("bin", expr(s"__cb DIV ${targetBytes}L"))
-      .groupBy(col(partCol).as("part"), col("bin"))
+      .select(col(partCol).as("part"), col(fileCol).as("file"),
+        col(bytesCol).as("bytes"), col("bin"))
+  }
+
+  /** Per-bin compaction plan: (part, bin, n_files, total_bytes) for
+    * every planned output group. `files` is one row per data file with
+    * its partition value, a stable file identifier (path or index — the
+    * plan's determinism rides on its ordering), and its size in bytes.
+    */
+  def planBins(files: DataFrame, partCol: String, fileCol: String,
+               bytesCol: String, targetBytes: Long): DataFrame =
+    assignBins(files, partCol, fileCol, bytesCol, targetBytes)
+      .groupBy(col("part"), col("bin"))
       .agg(count(lit(1)).as("n_files"),
-        sum(col(bytesCol)).as("total_bytes"))
+        sum(col("bytes")).as("total_bytes"))
+
+  /** Execute the plan against a FLAT parquet directory (an appended
+    * index such as [[graft.dedup.NearDup.appendNearDupIndex]]'s output,
+    * or one `cell=` partition of an IVF list table): list the data
+    * files, bin them with [[assignBins]], rewrite every multi-file bin
+    * as ONE file, leave already-right-sized singleton bins untouched,
+    * then swap — new files in, consumed files out. Returns
+    * (files_before, files_after).
+    *
+    * Scale shape: the LISTING is metadata (collected driver-side — file
+    * counts per directory are 10³–10⁵ by construction, that being the
+    * problem compaction solves), and each bin rewrite is a
+    * target-sized read+write with NO shuffle (`coalesce(1)` merges the
+    * bin's read partitions in place). At 100 TB the pass is scoped
+    * per table-partition (this function's unit IS one directory), so
+    * bin-job counts stay bounded per invocation and partitions compact
+    * independently — embarrassingly parallel across a maintenance
+    * fleet. Query-equivalence (reads see the same rows before/after)
+    * is pinned by CompactionSpec. Not crash-atomic: a failure between
+    * "new files landed" and "old files deleted" leaves duplicates —
+    * callers wanting atomicity stage into a fresh directory and flip a
+    * pointer, which is a catalog concern, not this pass's.
+    */
+  def compactParquetDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        targetBytes: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val hPath = new HPath(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Seq[(String, Long)] =
+      fs.listStatus(hPath).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+        .map(s => (s.getPath.toString, s.getLen))
+    val before = dataFiles()
+    if (before.length <= 1) return (before.length, before.length)
+    val assigned = assignBins(
+      spark.createDataFrame(before).toDF("file", "bytes").withColumn("part", lit(0)),
+      "part", "file", "bytes", targetBytes)
+      .select("file", "bin").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val toRewrite = assigned.groupBy(_._2).values.map(_.map(_._1).sorted.toSeq)
+      .filter(_.length > 1).toSeq.sortBy(_.head)
+    if (toRewrite.isEmpty) return (before.length, before.length)
+    val tmp = new HPath(hPath, s".compact_tmp_${java.util.UUID.randomUUID()}")
+    toRewrite.foreach { binFiles =>
+      spark.read.parquet(binFiles: _*).coalesce(1)
+        .write.mode("append").parquet(tmp.toString)
+    }
+    val newFiles = fs.listStatus(tmp).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+    toRewrite.flatten.foreach(f => fs.delete(new HPath(f), false))
+    newFiles.foreach(s => fs.rename(s.getPath, new HPath(hPath, s.getPath.getName)))
+    fs.delete(tmp, true)
+    (before.length, dataFiles().length)
   }
 }

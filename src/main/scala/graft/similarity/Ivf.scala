@@ -96,4 +96,83 @@ object Ivf {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // -------------------------------------------------------------------
+  // Persistent IVF index — the near-dup-index treatment for retrieval:
+  // centroids + inverted lists live as parquet, probes hit the stored
+  // tables, new vectors append to the lists the stored centroids chose.
+  // Steady-state retrieval over a slowly-growing corpus pays ZERO
+  // clustering/assignment work per query — the difference between "one
+  // |queries|·(nProbe/nLists)-sized probe" and "re-derive the index
+  // from 100 TB of raw vectors per search".
+  // -------------------------------------------------------------------
+
+  /** Persist the index at `path`: `path/centroids` = (cell, cv) — one
+    * row per centroid; `path/lists` = the [[buildIndex]] table written
+    * `partitionBy("cell")`, so a probe's `cell IN (...)` filter becomes
+    * parquet PARTITION PRUNING — only the probed nProbe/nLists slice of
+    * the corpus is ever listed, let alone read.
+    */
+  def writeIvfIndex(corpus: DataFrame, nLists: Int, path: String,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = centroids(corpus, nLists, idCol, vecCol)
+    corpus.sparkSession.createDataFrame(cents).toDF("cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    buildIndex(corpus, cents, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
+  }
+
+  /** The stored centroid set, driver-side (≤ nLists rows — the same
+    * bounded collect the from-raw path does). Sorted by cell id for a
+    * deterministic Seq regardless of file order; cell assignment itself
+    * is order-insensitive (argmax with cell-id tie-break).
+    */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(Long, Seq[Double])] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .toSeq
+
+  /** Append an ingest batch to the stored lists: assign the NEW vectors
+    * against the STORED centroids (centroids do not move — the IVF
+    * steady-state contract; rebuild via [[writeIvfIndex]] when drift
+    * warrants), append `partitionBy("cell")`. Incremental cost is one
+    * narrow pass over the batch.
+    */
+  def appendIvfIndex(newVecs: DataFrame, path: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = readCentroids(newVecs.sparkSession, path)
+    buildIndex(newVecs, cents, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/lists")
+  }
+
+  /** [[topK]] against the STORED index: centroids come off
+    * `path/centroids` (no sampling pass over the corpus), candidate
+    * vectors off `path/lists` pruned to the union of probed cells —
+    * at most nLists values, collected from the |queries|·nProbe probe
+    * set, so the `isin` is bounded by the centroid count, never by the
+    * query count. Semantics identical to the from-raw [[topK]]
+    * (spec-pinned).
+    */
+  def topKAgainstIndex(queries: DataFrame, path: String, k: Int, nProbe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = readCentroids(spark, path)
+    val q = probedCells(queries, cents, nProbe, idCol, vecCol)
+      .localCheckpoint() // probe set reused: once for the cell list, once in the join
+    val cells = q.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    val lists = spark.read.parquet(s"$path/lists")
+      .filter(col("cell").isin(cells: _*)) // static partition pruning
+      // partition-column type inference may narrow cell to int; restore
+      // the written long so the probe join keys compare without casts
+      .withColumn("cell", col("cell").cast("long"))
+    val scored = lists.join(broadcast(q), "cell")
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round(VectorOps.cosineFromParts(VectorOps.dot(col("qvec"), col("cvec")), col("qn"), col("cn")), 6).as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

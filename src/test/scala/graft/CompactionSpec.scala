@@ -41,6 +41,35 @@ class CompactionSpec extends SparkTestBase {
     assert(out.size === 2)
   }
 
+  test("compactParquetDir: multi-file bins merge, singletons stay, rows survive") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_exec").resolve("t").toString
+    // 6 single-row files, appended one at a time (the streaming-ingest shape)
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(before.length === 6)
+    // huge target -> all files land in one bin -> one output file
+    val (nb, na) = Compaction.compactParquetDir(spark, dir, targetBytes = 1L << 30)
+    assert(nb === 6 && na === 1, s"$nb -> $na")
+    val after = spark.read.parquet(dir).collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+    // second pass: single file, nothing to do
+    assert(Compaction.compactParquetDir(spark, dir, targetBytes = 1L << 30) === ((1, 1)))
+  }
+
+  test("compactParquetDir: a tiny target leaves every file in its own bin (no-op)") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_noop").resolve("t").toString
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    // target 1 byte: every file's own cumulative span -> all singleton bins
+    assert(Compaction.compactParquetDir(spark, dir, targetBytes = 1L) === ((3, 3)))
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
   test("plan totals preserve listing totals") {
     val files = (1L to 50L).map(i => ("p" + (i % 3), i, 10L + i))
     val out = plan(files, target = 200L)

@@ -64,6 +64,53 @@ class IvfSpec extends SparkTestBase {
       "a Lloyd step must not increase total quantization error")
   }
 
+  test("persistent index: topKAgainstIndex ≡ from-raw topK after disk round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Ivf.writeIvfIndex(emb, nLists = 8, tmp)
+    val q = emb.filter(col("vec_id") < 5)
+    val stored = Ivf.topKAgainstIndex(q, tmp, k = 10, nProbe = 4)
+      .select("qid", "rank", "cid", "cosine").collect().toSet
+    val cents = Ivf.centroids(emb, nLists = 8)
+    val fromRaw = Ivf.topK(Ivf.buildIndex(emb, cents), q, cents, k = 10, nProbe = 4)
+      .select("qid", "rank", "cid", "cosine").collect().toSet
+    assert(stored === fromRaw)
+    // stored centroids survive the round-trip bit-exactly
+    assert(Ivf.readCentroids(spark, tmp).toSet === cents.toSet)
+  }
+
+  test("persistent index: append assigns new vectors to the STORED centroids") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_idx_app").toString
+    val partA = emb.filter(col("vec_id") % 2 === 0)
+    val partB = emb.filter(col("vec_id") % 2 === 1)
+    Ivf.writeIvfIndex(partA, nLists = 8, tmp)
+    Ivf.appendIvfIndex(partB, tmp)
+    val q = emb.filter(col("vec_id") < 5)
+    val stored = Ivf.topKAgainstIndex(q, tmp, k = 10, nProbe = 8)
+      .select("qid", "rank", "cid", "cosine").collect().toSet
+    // equivalent from-raw run: partA's centroids, the FULL corpus assigned
+    val centsA = Ivf.centroids(partA, nLists = 8)
+    val fromRaw = Ivf.topK(Ivf.buildIndex(emb, centsA), q, centsA, k = 10, nProbe = 8)
+      .select("qid", "rank", "cid", "cosine").collect().toSet
+    assert(stored === fromRaw)
+    // nProbe = nLists ⇒ the appended index also reproduces brute force
+    val brute = Ann.bruteForceTopK(emb, q, k = 10)
+      .select("qid", "rank", "cid", "cosine").collect().toSet
+    assert(stored === brute)
+  }
+
+  test("persistent index: probe plan prunes to the probed cells and broadcasts the probe set") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_idx_plan").toString
+    Ivf.writeIvfIndex(emb, nLists = 8, tmp)
+    val q = emb.filter(col("vec_id") < 5)
+    val df = Ivf.topKAgainstIndex(q, tmp, k = 10, nProbe = 2)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the isin over probed cells reaches the scan as a partition filter
+    assert(p.contains("PartitionFilters: [cell"), p)
+  }
+
   test("planted near-neighbors are recalled with few probes") {
     val rnd = new scala.util.Random(11)
     val base = (0L until 10L).map(i => i -> Array.fill(64)(rnd.nextGaussian().toFloat))

@@ -308,9 +308,58 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decode(4L, deep).format === "stub")
     val adam7 = Multimodal.makePng(3, 3, 1); adam7(28) = 1
     assert(Multimodal.decode(5L, adam7).format === "stub")
-    // palette color type
+    // palette color type WITHOUT a PLTE chunk (spec violation) rejects
     val pal = Multimodal.makePng(3, 3, 1); pal(25) = 3
     assert(Multimodal.decode(6L, pal).format === "stub")
+    // alpha color types remain unsupported
+    val rgba = Multimodal.makePng(3, 3, 1); rgba(25) = 6
+    assert(Multimodal.decode(7L, rgba).format === "stub")
+  }
+
+  test("parsePng: palette (type 3) decodes through the real path with PLTE lookup") {
+    val w = 5; val h = 7; val seed = 42L
+    val png = Multimodal.makePng(w, h, seed, colorType = 3)
+    val f = Multimodal.parsePng(11L, png).get
+    assert(f.format === "png" && f.width === w && f.height === h)
+    // independent expectation: indices follow makePng's closed form,
+    // palette entries follow the PLTE closed form — fold them directly
+    def palEntry(j: Int, c: Int): Int = ((seed + j * 11L + c * 97L) % 256).toInt
+    val idxs = for (r <- 0 until h; k <- 0 until w)
+      yield ((seed + r * 31L + k * 7L) % 256).toInt
+    val n = w * h
+    for (c <- 0 until 3) {
+      val expect = idxs.map(j => palEntry(j, c)).sum
+      assert(math.round(f.features(c).toDouble * n * 255) === expect, s"channel $c")
+    }
+    val expectHigh = idxs.flatMap(j => (0 until 3).map(c => palEntry(j, c)))
+      .count(_ > 127)
+    assert(math.round(f.features(4).toDouble * 3 * n) === expectHigh)
+    // palette decode runs the REAL path end-to-end (not the stub)
+    assert(Multimodal.decode(12L, png).format === "png")
+  }
+
+  test("parsePng: palette index past the PLTE length rejects") {
+    // shrink the PLTE to 1 entry by rewriting the chunk: then the
+    // closed-form indices (up to 255) exceed the palette and must reject.
+    // Easier surgical form: decode a valid palette PNG whose PLTE claims
+    // only 3 bytes — rebuild the file with a truncated PLTE chunk.
+    val w = 3; val h = 3; val seed = 9L
+    val full = Multimodal.makePng(w, h, seed, colorType = 3)
+    // layout: sig(8) + IHDR(25) + PLTE chunk(12+768) + IDAT... — replace
+    // the 768-byte PLTE with a 3-byte one (single entry), CRC rebuilt
+    val plteStart = 8 + 25
+    val data = Array[Byte](0, 0, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(full, 0, plteStart)
+    val hdr = Array[Byte](0, 0, 0, 3, 'P', 'L', 'T', 'E')
+    out.write(hdr); out.write(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(hdr, 4, 4); crc.update(data)
+    val cv = crc.getValue
+    out.write(Array(((cv >> 24) & 0xff).toByte, ((cv >> 16) & 0xff).toByte,
+      ((cv >> 8) & 0xff).toByte, (cv & 0xff).toByte))
+    out.write(full, plteStart + 12 + 768, full.length - plteStart - 12 - 768)
+    assert(Multimodal.decode(13L, out.toByteArray).format === "stub")
   }
 
   test("parsePng: FDICT zlib header rejects instead of spinning forever") {

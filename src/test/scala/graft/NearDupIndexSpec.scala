@@ -43,6 +43,46 @@ class NearDupIndexSpec extends SparkTestBase {
       "growing history can only add pairs")
   }
 
+  test("index compaction: file count drops, query results identical") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = docs.filter(col("doc_id") < 150)
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_index_compact")
+    val idxPath = tmp.resolve("idx").toString
+    // simulate a long-running ingest: many small appended batches
+    NearDup.writeNearDupIndex(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      "doc_id", "text", numHashes = 16, idxPath)
+    (3 to 7).foreach { i =>
+      NearDup.appendNearDupIndex(
+        docs.filter(col("doc_id") >= i * 100 && col("doc_id") < (i + 1) * 100),
+        "doc_id", "text", numHashes = 16, idxPath)
+    }
+    val beforeRows = spark.read.parquet(idxPath).collect()
+      .map(_.toString).sorted.toSeq
+    val beforePairs = NearDup.minHashLshAgainstIndex(
+        batch, spark.read.parquet(idxPath), "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    assert(beforePairs.nonEmpty)
+    val (nBefore, nAfter) = graft.ops.Compaction.compactParquetDir(
+      spark, idxPath, targetBytes = 512L * 1024)
+    assert(nBefore > nAfter, s"compaction must shrink the file count ($nBefore -> $nAfter)")
+    // every row survives, nothing duplicated
+    val afterRows = spark.read.parquet(idxPath).collect()
+      .map(_.toString).sorted.toSeq
+    assert(afterRows === beforeRows)
+    // the query sees the identical index
+    val afterPairs = NearDup.minHashLshAgainstIndex(
+        batch, spark.read.parquet(idxPath), "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    assert(afterPairs === beforePairs)
+    // idempotent: a second pass on an already-compacted dir is a no-op
+    val (n2Before, n2After) = graft.ops.Compaction.compactParquetDir(
+      spark, idxPath, targetBytes = 512L * 1024)
+    assert(n2Before === nAfter && n2After === nAfter)
+  }
+
   test("index stores no text: schema is (id, sig, toks) only") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 50)
