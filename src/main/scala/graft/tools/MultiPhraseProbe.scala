@@ -21,7 +21,13 @@ import graft.text.PhraseSearch
   * starting at offset (i*17 mod len) of document (i*37 mod nSample) —
   * genuine contamination probes, duplicated nothing.
   *
-  * usage: MultiPhraseProbe <sfDir> [phraseCounts,comma,separated]
+  * A third lens: `mode=absent` generates phrases whose tokens occur
+  * NOWHERE in the corpus — the floor cost of a sweep (one corpus
+  * explode + a broadcast probe that drops every posting). Real
+  * decontamination sits between the two: hundreds of mostly-disjoint
+  * prompts ≈ the absent floor plus each prompt's own (small) postings.
+  *
+  * usage: MultiPhraseProbe <sfDir> [phraseCounts,comma,separated] [mode]
   */
 object MultiPhraseProbe {
   def main(args: Array[String]): Unit = {
@@ -44,15 +50,20 @@ object MultiPhraseProbe {
     // deterministic phrase pool from a bounded sample of real documents
     val sample = docs.orderBy("doc_id").limit(200)
       .select("text").collect().map(_.getString(0))
+    val mode = args.drop(2).headOption.getOrElse("real")
     val maxPhrases = counts.max
-    val pool = (0 until maxPhrases).flatMap { i =>
-      val toks = sample(i * 37 % sample.length).split(" ").filter(_.nonEmpty)
-      if (toks.length < 3) None
-      else {
-        val off = (i * 17) % math.max(1, toks.length - 2)
-        Some(toks.slice(off, off + 3).toSeq)
-      }
-    }.distinct
+    val pool =
+      if (mode == "absent")
+        (0 until maxPhrases).map(i =>
+          Seq(s"zq${i}a", s"zq${i}b", s"zq${i}c")).toIndexedSeq
+      else (0 until maxPhrases).flatMap { i =>
+        val toks = sample(i * 37 % sample.length).split(" ").filter(_.nonEmpty)
+        if (toks.length < 3) None
+        else {
+          val off = (i * 17) % math.max(1, toks.length - 2)
+          Some(toks.slice(off, off + 3).toSeq)
+        }
+      }.distinct
 
     counts.foreach { c =>
       val phrases = pool.take(c)
