@@ -2186,6 +2186,27 @@ object SparkEntry {
             SELECT qid, CAST(rk AS INTEGER) AS rank, cid, iscore
             FROM ranked WHERE rk <= 10 ORDER BY qid, rank"""))
 
+  /** IVFADC against a PERSISTED index
+    * ([[graft.similarity.Pq.writeIvfPqIndex]] →
+    * [[graft.similarity.Pq.ivfAdcTopKAgainstIndex]]): centroids,
+    * codebooks and cell-partitioned CODES are materialized to parquet
+    * (no raw vectors in the stored table — the PQ memory story) and the
+    * probe runs entirely against the stored artifacts: no clustering,
+    * no codebook training, no encoding at query time. Disk round-trip
+    * inside the measured query; identical semantics to the from-raw
+    * [[qAnnIvfPq]] (spec-pinned), whose oracle is reused verbatim.
+    */
+  private val qAnnIvfPqIndexed = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxPath = scratchDir("graft_ivfpq_index").resolve("idx").toString
+      graft.similarity.Pq.writeIvfPqIndex(emb, nLists = 16, m = 4, ksub = 16, idxPath)
+      graft.similarity.Pq.ivfAdcTopKAgainstIndex(
+          emb.filter(col("vec_id") < 5), idxPath, k = 10, nProbe = 4)
+        .orderBy("qid", "rank")
+    },
+    qAnnIvfPq.oracle)
+
   /** SemDeDup-style semantic dedup ([[graft.similarity.SemDedup
     * .dedupReport]]): centroid-cluster the corpus (md5-sampled cells,
     * the [[graft.similarity.Ivf]] assignment), drop the higher id of
@@ -3843,6 +3864,57 @@ object SparkEntry {
                    CAST(MIN(p0) AS BIGINT) AS first_pos
             FROM hits GROUP BY id, pid ORDER BY doc_id, phrase_id"""))
 
+  /** The round-12 broadcast-lookup sweep form at moderate phrase count:
+    * 10 phrases (mixed lengths, shared tokens, repeated tokens, and
+    * phrases with zero corpus hits) through ONE
+    * [[graft.text.PhraseSearch.multiPhraseMatches]] pass. The oracle's
+    * `ph`/`plen` VALUES are generated from the same Scala constant so
+    * the two sides cannot drift; semantics identical to
+    * [[qMultiPhrase]], but this row gates the slot lookup as DATA
+    * (broadcast join) rather than as an expression tree — the form
+    * whose plan stays constant-size at a 500-prompt decontamination
+    * sweep (tools.MultiPhraseProbe, BASELINE.md round 12).
+    */
+  private val sweepPhrases: Seq[Seq[String]] = Seq(
+    Seq("table", "hash"), Seq("table", "table", "merge"), Seq("a", "a"),
+    Seq("big", "order"), Seq("part", "filter"), Seq("customer", "join"),
+    Seq("merge", "scan"), Seq("hash", "join"), Seq("no_such_tok", "ever"),
+    Seq("a", "table", "hash"))
+
+  private val qMultiPhraseSweep = Q(
+    (s, dir) =>
+      graft.text.PhraseSearch.multiPhraseMatches(
+        t(s, dir, "documents"), "doc_id", "text", sweepPhrases)
+        .select(col("doc_id"), col("phrase_id"), col("n_matches"),
+          col("first_pos").cast(LongType).as("first_pos"))
+        .orderBy("doc_id", "phrase_id"), {
+      val phVals = sweepPhrases.zipWithIndex.flatMap { case (p, pid) =>
+        p.zipWithIndex.map { case (t, idx) => s"($pid, $idx, '$t')" }
+      }.mkString(", ")
+      val plenVals = sweepPhrases.zipWithIndex
+        .map { case (p, pid) => s"($pid, ${p.size})" }.mkString(", ")
+      Some(s"""WITH tk AS (SELECT doc_id AS id, string_split(text, ' ') AS t
+                        FROM documents),
+            tok AS (SELECT id, u.pos AS pos, u.token AS tok
+                    FROM (SELECT id,
+                                 unnest(list_transform(generate_series(1, len(t)),
+                                        i -> {'pos': i, 'token': t[i]})) AS u
+                          FROM tk)),
+            ph AS (SELECT * FROM (VALUES $phVals) v(pid, idx, pt)),
+            plen AS (SELECT * FROM (VALUES $plenVals) v(pid, k)),
+            starts AS (SELECT id, pid, pos - idx AS p0, idx
+                       FROM tok JOIN ph ON tok.tok = ph.pt
+                       WHERE pos - idx >= 1),
+            hits AS (SELECT s.id, s.pid, s.p0
+                     FROM starts s JOIN plen ON plen.pid = s.pid
+                     GROUP BY s.id, s.pid, s.p0, plen.k
+                     HAVING COUNT(DISTINCT s.idx) = plen.k)
+            SELECT id AS doc_id, CAST(pid AS INT) AS phrase_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_matches,
+                   CAST(MIN(p0) AS BIGINT) AS first_pos
+            FROM hits GROUP BY id, pid ORDER BY doc_id, phrase_id""")
+    })
+
   private val qBoilerplate = Q(
     (s, dir) =>
       graft.text.Boilerplate.stripBoilerplate(
@@ -5144,6 +5216,7 @@ object SparkEntry {
     "q_stream_attribution" -> qStreamAttribution,
     "q_cms_topk" -> qCmsTopk,
     "q_ann_ivfpq" -> qAnnIvfPq,
+    "q_ann_ivfpq_indexed" -> qAnnIvfPqIndexed,
     "q_winsorize" -> qWinsorize,
     "q_png_decode" -> qPngDecode,
     "q_dsir_weights" -> qDsirWeights,
@@ -5161,6 +5234,7 @@ object SparkEntry {
     "q_stream_neardup" -> qStreamNearDup,
     "q_dup_spans_removed" -> qDupSpansRemoved,
     "q_multi_phrase" -> qMultiPhrase,
+    "q_multi_phrase_sweep" -> qMultiPhraseSweep,
     "q_dedup_lsh_indexed" -> qDedupLshIndexed,
     "q_dedup_near_filter" -> qDedupNearFilter,
   )

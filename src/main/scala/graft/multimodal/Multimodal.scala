@@ -507,8 +507,8 @@ object Multimodal {
   // LSB-first code stream across 255-byte sub-blocks, dictionary rebuild,
   // the K-omega-K case (code == next), width growth at each table
   // doubling, deferred-clear handling when the table fills. Supported:
-  // first image frame, global or local color table, non-interlaced.
-  // Interlaced frames return None and fall to the stub.
+  // first image frame, global or local color table, interlaced or not
+  // (the 4-pass row permutation is undone after the LZW stage).
 
   /** Decode a GIF LZW code stream into `expected` palette indices.
     * `data` is the already-concatenated sub-block payload. Returns None
@@ -641,9 +641,12 @@ object Multimodal {
     * color table, extension skip-walk, first image descriptor (local
     * color table honored), LZW decode of the index stream, palette
     * mapping, then the same pixel fold as [[parsePng]] (channel means in
-    * RGB storage order). Returns None for wrong magic, interlaced
-    * frames, missing color table, lying headers, or any LZW defect —
-    * the caller falls back to the stub rather than guessing.
+    * RGB storage order). Interlaced frames (GIF's 4-pass row order:
+    * every 8th row from 0, every 8th from 4, every 4th from 2, every
+    * 2nd from 1) are de-interlaced after the LZW stage via
+    * [[deinterlaceRows]]. Returns None for wrong magic, missing color
+    * table, lying headers, or any LZW defect — the caller falls back
+    * to the stub rather than guessing.
     */
   def parseGif(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
     if (bytes.length < 14) return None
@@ -673,7 +676,7 @@ object Multimodal {
     val h = le16(bytes, off + 7)
     val ipacked = bytes(off + 9) & 0xff
     off += 10
-    if ((ipacked & 0x40) != 0) return None // interlaced → stub
+    val interlaced = (ipacked & 0x40) != 0
     val hasLct = (ipacked & 0x80) != 0
     val lctLen = if (hasLct) 3 * (1 << ((ipacked & 7) + 1)) else 0
     if (off + lctLen > bytes.length) return None
@@ -699,10 +702,11 @@ object Multimodal {
       }
       off += 1 + len
     }
-    val idx = lzwDecode(dataBuf.toByteArray, minCodeSize, w * h) match {
+    val stored = lzwDecode(dataBuf.toByteArray, minCodeSize, w * h) match {
       case Some(a) => a
       case None => return None
     }
+    val idx = if (interlaced) deinterlaceRows(stored, w, h) else stored
     // palette fold: indices → RGB, sums in storage (RGB) order
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var high = 0L
     var i = 0
@@ -738,12 +742,47 @@ object Multimodal {
     * works). Canonical GIF89a layout: screen descriptor, GCT, one
     * image descriptor, data sub-blocks, trailer.
     */
-  def makeGif(w: Int, h: Int, seed: Long): Array[Byte] = {
+  /** GIF's 4-pass interlace order as display-row indices: every 8th row
+    * from 0, every 8th from 4, every 4th from 2, every 2nd from 1.
+    */
+  private[graft] def interlaceOrder(h: Int): Seq[Int] =
+    Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (start, step) =>
+      start until h by step
+    }
+
+  /** Reorder an interlaced frame's stored rows into display order:
+    * stored row k is display row `interlaceOrder(h)(k)`. Pure row
+    * permutation — pixel bytes are untouched.
+    */
+  private[graft] def deinterlaceRows(stored: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](stored.length)
+    var src = 0
+    interlaceOrder(h).foreach { r =>
+      System.arraycopy(stored, src * w, out, r * w, w)
+      src += 1
+    }
+    out
+  }
+
+  def makeGif(w: Int, h: Int, seed: Long, interlaced: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 256 && h <= 256, s"fixture dims $w x $h")
-    val idx = Array.tabulate(w * h) { i =>
+    val display = Array.tabulate(w * h) { i =>
       val y = i / w; val x = i % w
       ((seed + y * 31L + x * 7L) % 256).toByte
     }
+    // interlaced files STORE rows in pass order; the decoder must put
+    // them back
+    val idx =
+      if (!interlaced) display
+      else {
+        val stored = new Array[Byte](display.length)
+        var dst = 0
+        interlaceOrder(h).foreach { r =>
+          System.arraycopy(display, r * w, stored, dst * w, w)
+          dst += 1
+        }
+        stored
+      }
     val lzw = lzwEncode(idx, 8)
     val out = new java.io.ByteArrayOutputStream()
     out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
@@ -760,7 +799,7 @@ object Multimodal {
     }
     out.write(0x2c) // image descriptor
     le16out(0); le16out(0); le16out(w); le16out(h)
-    out.write(0) // no LCT, not interlaced
+    out.write(if (interlaced) 0x40 else 0) // no LCT; interlace flag
     out.write(8) // LZW min code size
     var src = 0
     while (src < lzw.length) {

@@ -148,6 +148,97 @@ object Pq {
     rankAsc(scored, k)
   }
 
+  // -------------------------------------------------------------------
+  // Persistent IVF-PQ index (IVFADC at rest): centroids + codebooks +
+  // cell-partitioned CODES live as parquet. This is the billion-scale
+  // steady state — the stored table holds m small codes per vector, not
+  // the vectors; a probe reads ~nProbe/nLists of the code column off
+  // partition-pruned parquet and does zero clustering, zero codebook
+  // training, zero encoding at query time.
+  // -------------------------------------------------------------------
+
+  /** Persist the IVFADC index at `path`: `path/centroids` = (cell, cv)
+    * — [[Ivf.readCentroids]]-compatible; `path/codebooks` = (s, j, bv)
+    * rows; `path/codes` = (cid, codes) written `partitionBy("cell")`,
+    * so probes prune partitions exactly like the flat IVF lists. Raw
+    * vectors are NOT stored — at 64-dim float32 vs m=4 codes that is
+    * the 64× memory story, and the reason appends must encode with the
+    * STORED codebooks (codebooks do not move between rebuilds).
+    */
+  def writeIvfPqIndex(corpus: DataFrame, nLists: Int, m: Int, ksub: Int,
+                      path: String, dim: Int = 64,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cents = Ivf.centroids(corpus, nLists, idCol, vecCol)
+    spark.createDataFrame(cents).toDF("cell", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val cb = sampledCodebooks(corpus, m, ksub, dim, idCol, vecCol)
+    val cbRows = for { s <- 0 until m; (j, bv) <- cb.books(s) } yield (s, j, bv)
+    spark.createDataFrame(cbRows).toDF("s", "j", "bv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    encode(Ivf.buildIndex(corpus, cents, idCol, vecCol), cb, "cid", "cvec",
+        passthrough = Seq("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** The stored codebooks, driver-side (m·ksub rows — the same bounded
+    * collect the from-raw path's sample pass does).
+    */
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Codebooks = {
+    val rows = spark.read.parquet(s"$path/codebooks").orderBy("s", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val m = rows.map(_._1).max + 1
+    Codebooks(m, rows.head._3.length,
+      (0 until m).map(s => rows.filter(_._1 == s).map(t => (t._2, t._3)).toSeq))
+  }
+
+  /** Append an ingest batch: assign against the STORED centroids,
+    * encode with the STORED codebooks, append codes. One narrow pass
+    * over the batch; the index's semantics for existing rows are
+    * untouched by construction.
+    */
+  def appendIvfPqIndex(newVecs: DataFrame, path: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = Ivf.readCentroids(spark, path)
+    val cb = readPqCodebooks(spark, path)
+    encode(Ivf.buildIndex(newVecs, cents, idCol, vecCol), cb, "cid", "cvec",
+        passthrough = Seq("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** [[ivfAdcTopK]] against the STORED index: centroids, codebooks and
+    * codes all come off disk; the query-time work is the LUT build
+    * (|queries|·m·ksub, broadcast) plus table lookups over the probed
+    * cells' code rows. Semantics identical to the from-raw form
+    * (spec-pinned).
+    */
+  def ivfAdcTopKAgainstIndex(queries: DataFrame, path: String, k: Int,
+                             nProbe: Int = 4,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val spark = queries.sparkSession
+    val cents = Ivf.readCentroids(spark, path)
+    val cb = readPqCodebooks(spark, path)
+    val qc = Ivf.probedCells(queries, cents, nProbe, idCol, vecCol)
+      .select(col("qid"), col("cell"))
+      .localCheckpoint() // reused: once for the cell list, once in the join
+    val cells = qc.select("cell").distinct().collect().map(_.getLong(0)).toSeq
+    val enc = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(cells: _*)) // static partition pruning
+      .withColumn("cell", col("cell").cast("long"))
+      .select(col("cid"), col("cell"), posexplode(col("codes")).as(Seq("s", "code")))
+    val lut = lutFor(queries, cb, idCol, vecCol)
+    val candidates = enc.join(broadcast(qc), Seq("cell"))
+    val scored = candidates.join(broadcast(lut),
+        candidates("qid") === lut("qid") && candidates("s") === lut("s")
+          && candidates("code") === lut("j"))
+      .filter(col("cid") =!= candidates("qid"))
+      .groupBy(candidates("qid").as("qid"), col("cid")).agg(sum(col("lutv")).as("iscore"))
+    rankAsc(scored, k)
+  }
+
   /** Per-query ADC lookup table: (qid, s, j, lutv) — micro-unit BIGINT
     * d²(query-subvector, codebook entry); |queries|·m·ksub rows,
     * broadcast at every use site.

@@ -467,17 +467,39 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.parseGif(4L, g87).isDefined)
   }
 
-  test("parseGif/decode: corrupt and unsupported variants fall to the stub") {
+  test("parseGif/decode: corrupt variants fall to the stub") {
     assert(Multimodal.decode(1L, Multimodal.makeGif(3, 3, 1)).format === "gif")
-    // interlaced flag set -> unsupported
-    val inter = Multimodal.makeGif(3, 3, 1)
-    inter(13 + 768 + 9) = 0x40.toByte
-    assert(Multimodal.decode(2L, inter).format === "stub")
     // truncated mid-data
     val gif = Multimodal.makeGif(16, 8, 5)
     assert(Multimodal.decode(3L, gif.take(gif.length - 4)).format === "stub")
     // wrong magic
     val bad = gif.clone(); bad(0) = 'X'.toByte
     assert(Multimodal.decode(4L, bad).format === "stub")
+  }
+
+  test("parseGif: interlaced frames decode through the real path") {
+    // same pixels, interlaced storage: the 4-pass row permutation must
+    // be undone, and since the features are row-permutation-invariant,
+    // the interlaced file must yield EXACTLY the plain file's features
+    val plain = Multimodal.parseGif(1L, Multimodal.makeGif(9, 13, 7L)).get
+    val inter = Multimodal.parseGif(2L, Multimodal.makeGif(9, 13, 7L, interlaced = true)).get
+    assert(inter.format === "gif" && inter.width === 9 && inter.height === 13)
+    assert(inter.features.toSeq === plain.features.toSeq)
+    // decode dispatch takes the real path, not the stub
+    assert(Multimodal.decode(3L, Multimodal.makeGif(9, 13, 7L, interlaced = true)).format === "gif")
+  }
+
+  test("interlaceOrder/deinterlaceRows: the 4-pass permutation round-trips") {
+    // h=13 exercises all four passes with uneven tails
+    val order = Multimodal.interlaceOrder(13)
+    assert(order === Seq(0, 8, 4, 12, 2, 6, 10, 1, 3, 5, 7, 9, 11))
+    assert(order.sorted === (0 until 13))
+    val w = 3
+    val display = Array.tabulate(w * 13)(i => (i / w).toByte) // row r filled with r
+    val stored = new Array[Byte](display.length)
+    order.zipWithIndex.foreach { case (r, k) =>
+      System.arraycopy(display, r * w, stored, k * w, w)
+    }
+    assert(Multimodal.deinterlaceRows(stored, w, 13).toSeq === display.toSeq)
   }
 }

@@ -104,6 +104,51 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("persistent IVFADC index: ivfAdcTopKAgainstIndex ≡ from-raw after disk round-trip") {
+    import graft.similarity.Ivf
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Pq.writeIvfPqIndex(realEmb, nLists = 4, m = 4, ksub = 16, tmp)
+    val qs = realEmb.filter(col("vec_id") < 3)
+    val stored = Pq.ivfAdcTopKAgainstIndex(qs, tmp, k = 5, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Long]("iscore"))).toSet
+    val cents = Ivf.centroids(realEmb, nLists = 4)
+    val books = Pq.sampledCodebooks(realEmb, m = 4, ksub = 16)
+    val fromRaw = Pq.ivfAdcTopK(Ivf.buildIndex(realEmb, cents), qs, cents, books,
+        k = 5, nProbe = 2)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Long]("iscore"))).toSet
+    assert(stored === fromRaw)
+    // codebooks survive the round-trip bit-exactly
+    val rb = Pq.readPqCodebooks(spark, tmp)
+    assert(rb.m === 4 && rb.dsub === 16)
+    assert(rb.books === books.books)
+    // the stored code table holds codes, never raw vectors
+    assert(spark.read.parquet(s"$tmp/codes").columns.sorted.toSeq
+      === Seq("cell", "cid", "codes"))
+  }
+
+  test("persistent IVFADC index: append encodes with the STORED artifacts") {
+    import graft.similarity.Ivf
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_idx_app").toString
+    val partA = realEmb.filter(col("vec_id") % 2 === 0)
+    val partB = realEmb.filter(col("vec_id") % 2 === 1)
+    Pq.writeIvfPqIndex(partA, nLists = 4, m = 4, ksub = 16, tmp)
+    Pq.appendIvfPqIndex(partB, tmp)
+    val qs = realEmb.filter(col("vec_id") < 3)
+    val stored = Pq.ivfAdcTopKAgainstIndex(qs, tmp, k = 5, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Long]("iscore"))).toSet
+    // from-raw twin: partA's centroids AND codebooks, the full corpus
+    val centsA = Ivf.centroids(partA, nLists = 4)
+    val booksA = Pq.sampledCodebooks(partA, m = 4, ksub = 16)
+    val fromRaw = Pq.ivfAdcTopK(Ivf.buildIndex(realEmb, centsA), qs, centsA, booksA,
+        k = 5, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Long]("iscore"))).toSet
+    assert(stored === fromRaw)
+  }
+
   test("ivfAdcTopK plan: LUT and probed-cell sides broadcast, codes partial-aggregate") {
     import graft.similarity.Ivf
     val cents = Ivf.centroids(realEmb, nLists = 4)
