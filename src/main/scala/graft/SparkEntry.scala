@@ -4423,6 +4423,173 @@ object SparkEntry {
     * between the 20 sources' distinct-token sets — all-integer counts,
     * one ROUNDed ratio.
     */
+  // ---------------------------------------------------------------------
+  // URL curation (graft.text.UrlCurate) — crawl-corpus front door.
+  // The documents fixture carries no URL column, so each query SYNTHESIZES
+  // a deterministic messy URL per row from (doc_id, source) — schemes in
+  // mixed case, www, default and explicit ports, tracking params,
+  // fragments, trailing slashes — with the IDENTICAL construction
+  // expression on the oracle side, then exercises the curation operator
+  // on top. All canonicalization is scan-side Catalyst string ops.
+  // ---------------------------------------------------------------------
+
+  /** Messy-URL synthesis, Spark side. Keep in lockstep with [[urlSynthSql]]. */
+  private def synthUrl: Column = {
+    val id = col("doc_id")
+    val scheme = when(id % 3 === 0, "http").when(id % 3 === 1, "HTTP").otherwise("https")
+    val www = when(id % 2 === 0, "www.").otherwise("")
+    val hostSuf = when(id % 5 === 0, ".example.co.uk").when(id % 5 === 1, ".example.com")
+      .when(id % 5 === 2, ".site.org").when(id % 5 === 3, ".example.com")
+      .otherwise(".pages.dev")
+    val port = when(id % 7 === 0, ":80").when(id % 7 === 1, ":8080").otherwise("")
+    val path = concat(lit("/p/"), (id % 5).cast(StringType),
+      when(id % 4 === 0, "/").otherwise(""))
+    val qry = when(id % 6 === 0, concat(lit("?utm_source=x&id="), (id % 7).cast(StringType)))
+      .when(id % 6 === 1, concat(lit("?id="), (id % 7).cast(StringType)))
+      .when(id % 6 === 2, lit("?b=2&a=1"))
+      .when(id % 6 === 3, lit("?ref=tw"))
+      .otherwise(lit(""))
+    val frag = when(id % 8 === 0, "#top").otherwise("")
+    concat(scheme, lit("://"), www, col("source"), hostSuf, port, path, qry, frag)
+  }
+
+  /** The same synthesis as [[synthUrl]], DuckDB side. */
+  private val urlSynthSql: String =
+    """syn AS (SELECT doc_id, source,
+         (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTP' ELSE 'https' END) ||
+         '://' || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+         source ||
+         (CASE doc_id % 5 WHEN 0 THEN '.example.co.uk' WHEN 1 THEN '.example.com'
+                             WHEN 2 THEN '.site.org' WHEN 3 THEN '.example.com'
+                             ELSE '.pages.dev' END) ||
+         (CASE doc_id % 7 WHEN 0 THEN ':80' WHEN 1 THEN ':8080' ELSE '' END) ||
+         '/p/' || CAST(doc_id % 5 AS VARCHAR) ||
+         (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+         (CASE doc_id % 6 WHEN 0 THEN '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR)
+                             WHEN 1 THEN '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                             WHEN 2 THEN '?b=2&a=1'
+                             WHEN 3 THEN '?ref=tw' ELSE '' END) ||
+         (CASE WHEN doc_id % 8 = 0 THEN '#top' ELSE '' END) AS url
+       FROM documents)"""
+
+  /** [[graft.text.UrlCurate.canonicalUrl]]'s normalization chain, DuckDB
+    * side, producing `host` and `canonical_url` from `syn.url`.
+    */
+  private val urlCanonSql: String =
+    """c1 AS (SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth
+       FROM syn),
+       c2 AS (SELECT *,
+         regexp_replace(regexp_replace(lower(auth), ':[0-9]+$', ''), '^www\.', '') AS host,
+         regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                        '/+$', '') AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS qs
+       FROM c1),
+       c3 AS (SELECT doc_id, url, scheme, host, path,
+         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END AS portpart,
+         list_sort(list_filter(string_split(qs, '&'),
+           p -> p <> '' AND NOT (starts_with(split_part(p, '=', 1), 'utm_')
+             OR split_part(p, '=', 1) IN ('fbclid','gclid','mc_cid','mc_eid','ref','igshid'))))
+           AS kept
+       FROM c2),
+       canon AS (SELECT doc_id, url, host,
+         CASE WHEN scheme = '' THEN NULL
+              ELSE scheme || '://' || host || portpart || path ||
+                   (CASE WHEN len(kept) = 0 THEN ''
+                         ELSE '?' || array_to_string(kept, '&') END) END AS canonical_url
+       FROM c3)"""
+
+  /** URL canonicalization over the synthesized messy corpus: the full
+    * normalization chain (case, www, default ports, tracking params,
+    * param sort, fragments, trailing slashes) replayed step-for-step by
+    * the oracle's regex/list pipeline.
+    */
+  private val qUrlCanonical = Q(
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("url", synthUrl)
+        .select(col("doc_id"), col("url"),
+          graft.text.UrlCurate.canonicalUrl(col("url")).as("canonical_url"))
+        .orderBy("doc_id"),
+    Some(s"""WITH $urlSynthSql,
+            $urlCanonSql
+            SELECT doc_id, url, canonical_url FROM canon ORDER BY doc_id"""))
+
+  /** Per-domain cap ([[graft.text.UrlCurate.capPerDomain]]): registered
+    * domains from the synthesized hosts (exercising the two-level-TLD
+    * branch via `.example.co.uk`), at most 12 docs per domain kept by
+    * md5-priority bottom-N — deterministic, partition-invariant,
+    * replayed exactly by the oracle's window.
+    */
+  private val qDomainCap = Q(
+    (s, dir) =>
+      graft.text.UrlCurate.capPerDomain(
+          t(s, dir, "documents").withColumn("url", synthUrl),
+          "url", "doc_id", maxPerDomain = 12)
+        .select(col("doc_id"), col("domain"))
+        .orderBy("doc_id"), {
+      val tldList = graft.text.UrlCurate.defaultTwoLevelTlds
+        .map(t => s"'$t'").mkString(", ")
+      Some(s"""WITH $urlSynthSql,
+            $urlCanonSql,
+            lab AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM canon),
+            dom AS (SELECT doc_id,
+              CASE WHEN regexp_matches(host, '^[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+$$')
+                        OR len(labels) <= 2 THEN host
+                   WHEN (labels[-2] || '.' || labels[-1]) IN ($tldList)
+                        THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+                   ELSE labels[-2] || '.' || labels[-1] END AS domain
+              FROM lab),
+            ranked AS (SELECT doc_id, domain,
+                              row_number() OVER (PARTITION BY domain
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                       FROM dom)
+            SELECT doc_id, domain FROM ranked WHERE rn <= 12 ORDER BY doc_id""")
+    })
+
+  /** Canonical-URL dedup ([[graft.text.UrlCurate.dedupByCanonicalUrl]]):
+    * a deliberately SMALL canonical space (scheme case, www, utm-only
+    * query and trailing slash all collapse; path is doc_id % 3) so many
+    * docs collide per canonical form and the min-id keep rule does real
+    * work. Oracle: min doc_id per replayed canonical form.
+    */
+  private val qUrlDedup = Q(
+    (s, dir) => {
+      val id = col("doc_id")
+      val simpleUrl = concat(
+        when(id % 2 === 0, "http").otherwise("HTTP"), lit("://"),
+        when(id % 3 === 0, "www.").otherwise(""),
+        col("source"), lit(".example.com/p/"), (id % 3).cast(StringType),
+        when(id % 4 === 0, "/").otherwise(""),
+        when(id % 5 === 0, "?utm_source=x").otherwise(""))
+      graft.text.UrlCurate.dedupByCanonicalUrl(
+          t(s, dir, "documents").withColumn("url", simpleUrl)
+            .select("doc_id", "source", "url"),
+          "url", "doc_id")
+        .select("doc_id", "url")
+        .orderBy("doc_id")
+    },
+    Some("""WITH syn AS (SELECT doc_id, source,
+              (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTP' END) || '://' ||
+              (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+              source || '.example.com/p/' || CAST(doc_id % 3 AS VARCHAR) ||
+              (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+              (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x' ELSE '' END) AS url
+            FROM documents),
+            canon AS (SELECT doc_id, url,
+              'http://' || source || '.example.com/p/' || CAST(doc_id % 3 AS VARCHAR)
+                AS canonical_url
+            FROM syn),
+            kept AS (SELECT canonical_url, MIN(doc_id) AS doc_id
+                     FROM canon GROUP BY canonical_url)
+            SELECT c.doc_id, c.url FROM canon c
+            JOIN kept k ON k.doc_id = c.doc_id AND k.canonical_url = c.canonical_url
+            ORDER BY c.doc_id"""))
+
   private val qSourceOverlap = Q(
     (s, dir) =>
       graft.text.CorpusStats.sourceVocabOverlap(
@@ -5202,6 +5369,9 @@ object SparkEntry {
     "q_zorder" -> qZOrder,
     "q_correlation" -> qCorrelation,
     "q_source_overlap" -> qSourceOverlap,
+    "q_url_canonical" -> qUrlCanonical,
+    "q_domain_cap" -> qDomainCap,
+    "q_url_dedup" -> qUrlDedup,
     "q_fuzzy_link" -> qFuzzyLink,
     "q_triangles" -> qTriangles,
     "q_decayed_sum" -> qDecayedSum,
