@@ -3412,6 +3412,26 @@ object SparkEntry {
     * oracle so both engines derive them from identical parses rather than
     * decimal re-parses.
     */
+  /** BM25 against a PERSISTED index ([[graft.text.Bm25.writeBm25Index]]
+    * → [[graft.text.Bm25.topKAgainstIndex]]): postings and document
+    * frequencies live as parquet partitioned by token-hash bucket, doc
+    * lengths and corpus constants as segment tables — the probe never
+    * reads the corpus TEXT, and partition pruning limits the postings
+    * read to the buckets the query terms hash to. Disk round-trip
+    * inside the measured query; identical semantics to the from-raw
+    * [[qBm25]] (spec-pinned), whose oracle is reused verbatim.
+    */
+  private lazy val qBm25Indexed = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxPath = scratchDir("graft_bm25_index").resolve("idx").toString
+      graft.text.Bm25.writeBm25Index(docs, idxPath, nBuckets = 16)
+      graft.text.Bm25.topKAgainstIndex(
+          docs.filter(col("doc_id") < 3), idxPath, k = 10, nBuckets = 16)
+        .orderBy("qid", "rank")
+    },
+    qBm25.oracle)
+
   private val qBm25 = Q(
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -5350,6 +5370,7 @@ object SparkEntry {
     "q_cdc_chunks" -> qCdcChunks,
     "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_bm25_topk" -> qBm25,
+    "q_bm25_indexed" -> qBm25Indexed,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_dedup_lsh_incremental" -> qDedupLshIncremental,
     "q_merge_upsert" -> qMergeUpsert,

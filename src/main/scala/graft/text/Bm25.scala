@@ -86,4 +86,111 @@ object Bm25 {
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("id"), col("score"))
   }
+
+  // -------------------------------------------------------------------
+  // Persistent BM25 index — the lexical-retrieval index at rest. The
+  // from-raw topK re-derives the postings, document frequencies, doc
+  // lengths and corpus stats from the corpus text on EVERY query batch;
+  // at 100 TB that is the difference between "scan the lake per search"
+  // and "read the postings for the query's terms". Layout:
+  //
+  //   path/postings : (id, token, tf) partitioned by pbucket =
+  //                   pmod(hash(token), nBuckets) — a probe lists only
+  //                   the buckets its query terms hash to (parquet
+  //                   partition pruning on a bounded-cardinality key;
+  //                   partitioning by raw token would explode the
+  //                   directory count, the hash bucket is the standard
+  //                   fix)
+  //   path/dfreq    : (token, df) with the same bucket scheme
+  //   path/doclen   : (id, dl)
+  //   path/stats    : (n, tot) — ONE ROW PER WRITE/APPEND SEGMENT
+  //
+  // Append contract: df, n and tot are all SUMS, so an appended batch
+  // just adds segment rows and readers aggregate — no read-modify-write
+  // of existing files, which is what makes ingest append-only. (tf rows
+  // assume a doc id appears in one segment only — re-ingesting a doc is
+  // the caller's dedup problem, as with every append-only index here.)
+  // -------------------------------------------------------------------
+
+  private def pbucket(tok: Column, nBuckets: Int): Column =
+    pmod(hash(tok), lit(nBuckets))
+
+  /** Persist the index (overwrite = full rebuild). */
+  def writeBm25Index(corpus: DataFrame, path: String, nBuckets: Int = 64,
+                     idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeSegment(corpus, path, nBuckets, idCol, textCol, "overwrite")
+
+  /** Append an ingest batch of NEW documents. */
+  def appendBm25Index(corpus: DataFrame, path: String, nBuckets: Int = 64,
+                      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeSegment(corpus, path, nBuckets, idCol, textCol, "append")
+
+  private def writeSegment(corpus: DataFrame, path: String, nBuckets: Int,
+                           idCol: String, textCol: String, mode: String): Unit = {
+    val tf = corpus
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    tf.withColumn("pbucket", pbucket(col("token"), nBuckets))
+      .write.mode(mode).partitionBy("pbucket").parquet(s"$path/postings")
+    tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("pbucket", pbucket(col("token"), nBuckets))
+      .write.mode(mode).partitionBy("pbucket").parquet(s"$path/dfreq")
+    corpus.select(col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
+      .write.mode(mode).parquet(s"$path/doclen")
+    corpus.agg(count(lit(1)).as("n"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("tot"))
+      .coalesce(1).write.mode(mode).parquet(s"$path/stats")
+  }
+
+  /** [[topK]] against the STORED index: the corpus text is never read —
+    * postings and df come off the buckets the query terms hash to
+    * (partition-pruned), doc lengths off the narrow doclen table, and
+    * the corpus constants are the sum of the stored segment rows.
+    * Scoring, quantization and ranking are identical to the from-raw
+    * form (spec-pinned, same oracle).
+    */
+  def topKAgainstIndex(queries: DataFrame, path: String, k: Int,
+                       nBuckets: Int = 64,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = queries.sparkSession
+    val qterms = queries
+      .select(col(idCol).as("qid"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .distinct()
+      .localCheckpoint() // reused: bucket list + two probe joins
+    val buckets = qterms.select(pbucket(col("token"), nBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    def pruned(sub: String): DataFrame =
+      spark.read.parquet(s"$path/$sub")
+        .filter(col("pbucket").isin(buckets: _*)) // static partition pruning
+        .drop("pbucket")
+    val tf = pruned("postings")
+    val dfreq = pruned("dfreq").groupBy("token").agg(sum(col("df")).as("df"))
+    val dl = spark.read.parquet(s"$path/doclen")
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n")).as("__n"), sum(col("tot")).as("__tot"))
+    val n = col("__n").cast("double")
+    val idf = log(lit(1.0) + (n - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfd = col("tf").cast("double")
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("__tot") / n))
+    val contrib: Column = idf * (tfd * lit(k1 + 1.0)) / (tfd + norm)
+    val scored = qterms
+      .join(tf, "token")
+      .filter(col("qid") =!= col("id"))
+      .join(dfreq, "token")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("id"),
+        round(contrib * lit(1e6)).cast("long").as("cfx"))
+      .groupBy("qid", "id")
+      .agg(sum(col("cfx")).as("sfx"))
+      .select(col("qid"), col("id"),
+        round(col("sfx") / lit(1e6), 6).as("score"),
+        col("sfx"))
+    val w = Window.partitionBy("qid").orderBy(col("sfx").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("id"), col("score"))
+  }
 }

@@ -53,4 +53,46 @@ class Bm25Spec extends SparkTestBase {
     val b = Bm25.topK(corpus.repartition(7), q, k = 10).collect().toSet
     assert(a === b)
   }
+
+  test("persistent index: topKAgainstIndex ≡ from-raw topK after disk round-trip") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_idx").resolve("idx").toString
+    Bm25.writeBm25Index(docs, tmp, nBuckets = 16)
+    val q = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 3)
+    val stored = Bm25.topKAgainstIndex(q, tmp, k = 10, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val fromRaw = Bm25.topK(docs, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(stored === fromRaw)
+    assert(stored.nonEmpty)
+  }
+
+  test("persistent index: append extends the corpus; df/stats aggregate across segments") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val partA = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0)
+    val partB = docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_idx_app").resolve("idx").toString
+    Bm25.writeBm25Index(partA, tmp, nBuckets = 16)
+    Bm25.appendBm25Index(partB, tmp, nBuckets = 16)
+    val q = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 3)
+    val stored = Bm25.topKAgainstIndex(q, tmp, k = 10, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val fromRaw = Bm25.topK(docs, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(stored === fromRaw,
+      "segment-summed df/n/tot must reproduce the whole-corpus scores exactly")
+  }
+
+  test("persistent index probe prunes postings partitions to the query-term buckets") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_idx_plan").resolve("idx").toString
+    Bm25.writeBm25Index(docs, tmp, nBuckets = 16)
+    // a one-word query hits exactly one bucket
+    val q = Seq((999999L, "table")).toDF("doc_id", "text")
+    val df = Bm25.topKAgainstIndex(q, tmp, k = 5, nBuckets = 16)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters: [") && l.contains("pbucket")), p)
+  }
 }
