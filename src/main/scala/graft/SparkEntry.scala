@@ -5099,6 +5099,34 @@ object SparkEntry {
     * q_dedup_lsh_incremental's chain, reused verbatim on the streaming
     * code path.
     */
+  /** Streaming BM25 index maintenance run through the driver gate
+    * ([[graft.streaming.IndexIngest.startBm25]]): the index is
+    * initialized with the even-id half of the documents table, the odd
+    * half arrives as a STREAM and is appended per micro-batch
+    * (`foreachBatch` + [[graft.text.Bm25.appendBm25Index]] — per-
+    * segment df/stats rows, batch-split invariant by the sum contract),
+    * and the probe then runs against the stored index covering the FULL
+    * corpus — so [[qBm25]]'s whole-corpus oracle replays verbatim on
+    * the streaming-maintained index.
+    */
+  private lazy val qStreamBm25Ingest = Q(
+    (s, dir) => {
+      val tmp = scratchDir("graft_stream_bm25")
+      val idxPath = tmp.resolve("idx").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val docs = t(s, dir, "documents")
+      graft.text.Bm25.writeBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), idxPath, nBuckets = 16)
+      val q = graft.streaming.IndexIngest.startBm25(
+        Tables.readTableStream(s, dir, "documents").filter(col("doc_id") % 2 === 1),
+        idxPath, ckpt, nBuckets = 16)
+      q.awaitTermination()
+      graft.text.Bm25.topKAgainstIndex(
+          docs.filter(col("doc_id") < 3), idxPath, k = 10, nBuckets = 16)
+        .orderBy("qid", "rank")
+    },
+    qBm25.oracle)
+
   private val qStreamNearDup = Q(
     (s, dir) => {
       val tmp = scratchDir("graft_stream_neardup")
@@ -5423,6 +5451,7 @@ object SparkEntry {
     "q_bitext_mine" -> qBitextMine,
     "q_dup_span_ranges" -> qDupSpanRanges,
     "q_stream_neardup" -> qStreamNearDup,
+    "q_stream_bm25_ingest" -> qStreamBm25Ingest,
     "q_dup_spans_removed" -> qDupSpansRemoved,
     "q_multi_phrase" -> qMultiPhrase,
     "q_multi_phrase_sweep" -> qMultiPhraseSweep,

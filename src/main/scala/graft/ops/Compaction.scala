@@ -111,4 +111,25 @@ object Compaction {
     fs.delete(tmp, true)
     (before.length, dataFiles().length)
   }
+
+  /** [[compactParquetDir]] over every `key=value` partition
+    * subdirectory of a PARTITIONED table (IVF `cell=` lists, BM25
+    * `pbucket=` postings): partitions compact independently — the
+    * files inside a partition dir carry no partition column (it lives
+    * in the dir name), so each subdir is exactly the flat case.
+    * Returns summed (files_before, files_after). At scale, this loop
+    * is the fleet-dispatch list: each partition is an independent
+    * maintenance task.
+    */
+  def compactPartitionedDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                            targetBytes: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val hPath = new HPath(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.toString).sorted
+    parts.map(p => compactParquetDir(spark, p, targetBytes))
+      .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
+  }
 }
