@@ -2627,6 +2627,49 @@ object SparkEntry {
                    CAST(psum AS BIGINT) AS pixel_byte_sum
             FROM px ORDER BY doc_id"""))
 
+  /** Baseline JPEG decode through the driver gate
+    * ([[graft.multimodal.Multimodal.parseJpeg]]): per-doc grayscale
+    * DC-only JPEGs from [[graft.multimodal.Multimodal.makeJpeg]] —
+    * the REAL marker walk, canonical Huffman decode, dequantize and
+    * IDCT run end-to-end, and because every block is a flat DC-only
+    * surface the decoded pixel sum is a closed integer form the oracle
+    * reconstructs exactly (the q_gif_decode discipline for the DCT
+    * family).
+    */
+  private val qJpegDecode = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 8 * (1 + (id % 3).toInt)
+          val h = 8 * (1 + (id % 2).toInt)
+          (id, graft.multimodal.Multimodal.makeJpeg(w, h, id, gray = true))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractFeatures(s, bins)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          round(element_at(col("features"), 4) *
+            (col("width") * col("height") * lit(255L)))
+            .cast(LongType).as("pixel_byte_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+                     CAST(8 * (1 + doc_id % 2) AS INT) AS h
+              FROM documents),
+            px AS (
+              -- every 8x8 block is a flat surface of
+              -- ((id + bx*31 + by*7) % 200) + 28 (makeJpeg's closed form)
+              SELECT d.doc_id, d.w, d.h,
+                     SUM(64 * (((d.doc_id + bx.bx * 31 + bb.bb * 7) % 200) + 28)) AS psum
+              FROM dims d
+              JOIN generate_series(0, 2) AS bx(bx) ON bx.bx * 8 < d.w
+              JOIN generate_series(0, 1) AS bb(bb) ON bb.bb * 8 < d.h
+              GROUP BY d.doc_id, d.w, d.h)
+            SELECT doc_id, 'jpeg' AS format, w AS width, h AS height,
+                   CAST(psum AS BIGINT) AS pixel_byte_sum
+            FROM px ORDER BY doc_id"""))
+
   /** Frame-level PCM audio analysis ([[graft.multimodal.Multimodal
     * .wavFrameStats]]): per 32-sample frame, exact integer energy Σs²
     * and zero-crossing count over the REAL decoded samples of generated
@@ -5447,6 +5490,7 @@ object SparkEntry {
     "q_bpe_encode" -> qBpeEncode,
     "q_pack_render" -> qPackRender,
     "q_gif_decode" -> qGifDecode,
+    "q_jpeg_decode" -> qJpegDecode,
     "q_phrase_search" -> qPhraseSearch,
     "q_bitext_mine" -> qBitextMine,
     "q_dup_span_ranges" -> qDupSpanRanges,

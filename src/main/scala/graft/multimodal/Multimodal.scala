@@ -813,15 +813,472 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---- real decoder: baseline JPEG (ITU T.81 / JFIF; from scratch) -----
+  // Fifth de-stubbed format, third with a real entropy codec: baseline
+  // sequential DCT JPEG — marker walk (DQT/SOF0/DHT/DRI/SOS), canonical
+  // Huffman decode with FF00 byte-stuffing and RSTn restarts, run/size
+  // AC coefficients, dequantize + zigzag, float IDCT, 4:2:0/4:2:2
+  // chroma replication, JFIF YCbCr→RGB. Progressive (SOF2), arithmetic
+  // coding, 12-bit precision and >2× sampling factors return None and
+  // fall to the stub.
+
+  private val ZigZag: Array[Int] = Array(
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // cos((2x+1)·u·π/16) · C(u)/2 — the separable 1-D IDCT basis; the 2-D
+  // IDCT is two passes of it (rows then columns)
+  private val IdctBasis: Array[Double] = {
+    val t = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      val cu = if (u == 0) math.sqrt(0.5) else 1.0
+      var x = 0
+      while (x < 8) {
+        t(u * 8 + x) = 0.5 * cu * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** Canonical Huffman table: value lookup by (length, code). */
+  private final class HuffTable(counts: Array[Int], symbols: Array[Int]) {
+    // minCode(l), maxCode(l) (exclusive), valPtr(l) for l in 1..16
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = code
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: JpegBits): Int = {
+      var code = 0; var l = 0
+      while (l < 16) {
+        code = (code << 1) | br.bit()
+        l += 1
+        if (code < maxCode(l)) return symbols(valPtr(l) + (code - minCode(l)))
+      }
+      throw new JpegBad
+    }
+  }
+
+  private final class JpegBad extends RuntimeException
+
+  /** Entropy-segment bit reader: FF00 unstuffing; RSTn markers are
+    * consumed only via [[restart]]; any other marker mid-stream is a
+    * defect.
+    */
+  private final class JpegBits(bytes: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def bit(): Int = {
+      if (nbits == 0) {
+        if (pos >= bytes.length) throw new JpegBad
+        var b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length) throw new JpegBad
+          val m = bytes(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed FF
+          else throw new JpegBad  // marker where data was expected
+        }
+        cur = b; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Align to byte and consume an expected RSTn marker. */
+    def restart(): Unit = {
+      nbits = 0
+      if (pos + 1 >= bytes.length || (bytes(pos) & 0xff) != 0xff) throw new JpegBad
+      val m = bytes(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) throw new JpegBad
+      pos += 2
+    }
+  }
+
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Parse + decode a baseline JPEG; returns None on anything outside
+    * the supported envelope (the caller falls to the stub).
+    */
+  def parseJpeg(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    try parseJpegInner(id, bytes)
+    catch { case _: JpegBad | _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  private def parseJpegInner(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    val quant = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var restartInterval = 0
+    var w = 0; var h = 0
+    // per component: id, hSamp, vSamp, quantId, dcSel, acSel
+    var comps: Array[Array[Int]] = null
+    var off = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (off + 4 > bytes.length) return None
+      if ((bytes(off) & 0xff) != 0xff) return None
+      var marker = bytes(off + 1) & 0xff
+      off += 2
+      while (marker == 0xff) { marker = bytes(off) & 0xff; off += 1 } // fill bytes
+      if (marker == 0xd9) return None // EOI before SOS
+      val len = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+      if (len < 2 || off + len > bytes.length) return None
+      val segEnd = off + len
+      var p = off + 2
+      marker match {
+        case 0xdb => // DQT
+          while (p < segEnd) {
+            val pq = (bytes(p) & 0xff) >> 4
+            val tq = bytes(p) & 0x0f
+            if (pq != 0 || tq > 3 || p + 65 > segEnd) return None
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(i) = bytes(p + 1 + i) & 0xff; i += 1 }
+            quant(tq) = t
+            p += 65
+          }
+        case 0xc0 => // SOF0 baseline
+          if (bytes(p) != 8) return None
+          h = ((bytes(p + 1) & 0xff) << 8) | (bytes(p + 2) & 0xff)
+          w = ((bytes(p + 3) & 0xff) << 8) | (bytes(p + 4) & 0xff)
+          val n = bytes(p + 5) & 0xff
+          if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+              w.toLong * h > (64 << 20) || (n != 1 && n != 3)) return None
+          comps = Array.ofDim[Int](n, 6)
+          var c = 0
+          while (c < n) {
+            val base = p + 6 + 3 * c
+            comps(c)(0) = bytes(base) & 0xff
+            comps(c)(1) = (bytes(base + 1) & 0xff) >> 4
+            comps(c)(2) = bytes(base + 1) & 0x0f
+            comps(c)(3) = bytes(base + 2) & 0xff
+            if (comps(c)(1) < 1 || comps(c)(1) > 2 ||
+                comps(c)(2) < 1 || comps(c)(2) > 2 || comps(c)(3) > 3) return None
+            c += 1
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf =>
+          return None // non-baseline SOF (progressive, arithmetic, ...)
+        case 0xc4 => // DHT
+          while (p < segEnd) {
+            val tc = (bytes(p) & 0xff) >> 4
+            val th = bytes(p) & 0x0f
+            if (tc > 1 || th > 3 || p + 17 > segEnd) return None
+            val counts = new Array[Int](16)
+            var total = 0
+            var i = 0
+            while (i < 16) { counts(i) = bytes(p + 1 + i) & 0xff; total += counts(i); i += 1 }
+            if (p + 17 + total > segEnd || total > 256) return None
+            val syms = new Array[Int](total)
+            i = 0
+            while (i < total) { syms(i) = bytes(p + 17 + i) & 0xff; i += 1 }
+            val tab = new HuffTable(counts, syms)
+            if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
+            p += 17 + total
+          }
+        case 0xdd => // DRI
+          restartInterval = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+        case 0xda => // SOS
+          if (comps == null) return None
+          val n = bytes(p) & 0xff
+          if (n != comps.length) return None
+          var c = 0
+          while (c < n) {
+            val cid = bytes(p + 1 + 2 * c) & 0xff
+            val sel = bytes(p + 2 + 2 * c) & 0xff
+            val ci = comps.indexWhere(_(0) == cid)
+            if (ci < 0) return None
+            comps(ci)(4) = sel >> 4
+            comps(ci)(5) = sel & 0x0f
+            c += 1
+          }
+          sosAt = segEnd
+        case _ => // APPn, COM, others: skip
+      }
+      off = segEnd
+    }
+    val nComp = comps.length
+    val maxH = comps.map(_(1)).max
+    val maxV = comps.map(_(2)).max
+    var c = 0
+    while (c < nComp) {
+      if (quant(comps(c)(3)) == null || dcTabs(comps(c)(4)) == null ||
+          acTabs(comps(c)(5)) == null) return None
+      c += 1
+    }
+    if (nComp == 1 && (maxH != 1 || maxV != 1)) return None
+    // the RGB fold below indexes the luma plane at full resolution
+    if (nComp == 3 && (comps(0)(1) != maxH || comps(0)(2) != maxV)) return None
+    // per-component planes at subsampled resolution, padded to whole MCUs
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+    val planeW = comps.map(cc => mcusX * 8 * cc(1))
+    val planeH = comps.map(cc => mcusY * 8 * cc(2))
+    val planes = (0 until nComp).map(i => new Array[Byte](planeW(i) * planeH(i))).toArray
+    val pred = new Array[Int](nComp)
+    val br = new JpegBits(bytes, sosAt)
+    val coef = new Array[Int](64)
+    val pix = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        br.restart()
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      c = 0
+      while (c < nComp) {
+        val q = quant(comps(c)(3))
+        val dcT = dcTabs(comps(c)(4))
+        val acT = acTabs(comps(c)(5))
+        var by = 0
+        while (by < comps(c)(2)) {
+          var bx = 0
+          while (bx < comps(c)(1)) {
+            // --- decode one 8x8 block ---
+            java.util.Arrays.fill(coef, 0)
+            val t = dcT.decode(br)
+            if (t > 11) throw new JpegBad
+            pred(c) += extend(br.receive(t), t)
+            coef(0) = pred(c) * q(0)
+            var k = 1
+            var eob = false
+            while (k < 64 && !eob) {
+              val rs = acT.decode(br)
+              if (rs == 0) eob = true
+              else if (rs == 0xf0) k += 16
+              else {
+                k += rs >> 4
+                if (k > 63) throw new JpegBad
+                coef(ZigZag(k)) = extend(br.receive(rs & 15), rs & 15) * q(k)
+                k += 1
+              }
+            }
+            // --- IDCT (rows then columns) + level shift ---
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var s = 0.0
+                var u = 0
+                while (u < 8) { s += IdctBasis(u * 8 + x) * coef(y * 8 + u); u += 1 }
+                tmp(y * 8 + x) = s
+                x += 1
+              }
+              y += 1
+            }
+            val px0 = (mx * comps(c)(1) + bx) * 8
+            val py0 = (my * comps(c)(2) + by) * 8
+            var x = 0
+            while (x < 8) {
+              var yy = 0
+              while (yy < 8) {
+                var s = 0.0
+                var v = 0
+                while (v < 8) { s += IdctBasis(v * 8 + yy) * tmp(v * 8 + x); v += 1 }
+                val vpix = math.round(s + 128.0).toInt
+                val clamped = if (vpix < 0) 0 else if (vpix > 255) 255 else vpix
+                planes(c)((py0 + yy) * planeW(c) + px0 + x) = clamped.toByte
+                yy += 1
+              }
+              x += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // fold features over the visible w×h region
+    val sums = new Array[Long](3)
+    var high = 0L
+    val n = w.toLong * h
+    if (nComp == 1) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = planes(0)(y * planeW(0) + x) & 0xff
+          sums(0) += v
+          if (v > 127) high += 1
+          x += 1
+        }
+        y += 1
+      }
+      val m = (sums(0).toDouble / (n * 255)).toFloat
+      Some(MediaFeatures(id, bytes.length, "jpeg", w, h,
+        Array(m, m, m, m, (high.toDouble / n).toFloat,
+          w.toFloat / (w + h), h.toFloat / (w + h), 0f)))
+    } else {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = planes(0)(y * planeW(0) + x) & 0xff
+          // chroma replication: subsampled planes indexed at scaled coords
+          val cbx = x * comps(1)(1) / maxH; val cby = y * comps(1)(2) / maxV
+          val crx = x * comps(2)(1) / maxH; val cry = y * comps(2)(2) / maxV
+          val cb = (planes(1)(cby * planeW(1) + cbx) & 0xff) - 128
+          val cr = (planes(2)(cry * planeW(2) + crx) & 0xff) - 128
+          def cl(d: Double): Int = {
+            val r = math.round(d).toInt
+            if (r < 0) 0 else if (r > 255) 255 else r
+          }
+          val r = cl(yv + 1.402 * cr)
+          val g = cl(yv - 0.344136 * cb - 0.714136 * cr)
+          val b = cl(yv + 1.772 * cb)
+          sums(0) += r; sums(1) += g; sums(2) += b
+          high += (if (r > 127) 1 else 0) + (if (g > 127) 1 else 0) +
+            (if (b > 127) 1 else 0)
+          x += 1
+        }
+        y += 1
+      }
+      val total = sums(0) + sums(1) + sums(2)
+      Some(MediaFeatures(id, bytes.length, "jpeg", w, h,
+        Array((sums(0).toDouble / (n * 255)).toFloat,
+          (sums(1).toDouble / (n * 255)).toFloat,
+          (sums(2).toDouble / (n * 255)).toFloat,
+          (total.toDouble / (3 * n * 255)).toFloat,
+          (high.toDouble / (3 * n)).toFloat,
+          w.toFloat / (w + h), h.toFloat / (w + h), 0f)))
+    }
+  }
+
+  /** Fixture/test writer for baseline JPEG, DC-ONLY by construction:
+    * every 8x8 block carries a single DC coefficient `8·(v − 128)` with
+    * all-ones quantization tables, so a correct IDCT reproduces a flat
+    * block of EXACTLY `v` — integer-exact round-trips through the real
+    * Huffman/marker path, no DCT rounding ambiguity (the same
+    * closed-form-fixture discipline as [[makePng]]/[[makeGif]]).
+    *
+    * Block (bx, by) of component c holds
+    * `v(c,bx,by) = ((seed + bx*31 + by*7 + c*53) mod 200) + 28`.
+    * Grayscale (`gray = true`) emits one component; color emits YCbCr
+    * 4:4:4 (`subsample = false`) or 4:2:0 (`subsample = true` — Y is
+    * 2×2 per MCU with per-Y-block values, chroma constant per MCU).
+    * Huffman tables are minimal canonical sets (12 DC categories at
+    * 4 bits; the AC table's single EOB symbol at 1 bit). Dims must be
+    * multiples of 8 (of 16 when subsampled).
+    */
+  def makeJpeg(w: Int, h: Int, seed: Long, gray: Boolean = false,
+               subsample: Boolean = false): Array[Byte] = {
+    val unit = if (subsample) 16 else 8
+    require(w > 0 && h > 0 && w <= 256 && h <= 256 && w % unit == 0 && h % unit == 0,
+      s"fixture dims $w x $h (must be multiples of $unit)")
+    require(!(gray && subsample), "subsampling applies to the color form")
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    // DQT: table 0, all ones
+    out.write(0xff); out.write(0xdb); be16(2 + 65); out.write(0x00)
+    (0 until 64).foreach(_ => out.write(1))
+    // SOF0
+    val nComp = if (gray) 1 else 3
+    out.write(0xff); out.write(0xc0); be16(8 + 3 * nComp)
+    out.write(8); be16(h); be16(w); out.write(nComp)
+    (0 until nComp).foreach { c =>
+      out.write(c + 1)
+      val samp = if (subsample && c == 0) 0x22 else 0x11
+      out.write(samp); out.write(0)
+    }
+    // DHT: DC table 0 — 12 symbols (categories 0..11) at 4 bits each
+    out.write(0xff); out.write(0xc4); be16(2 + 17 + 12); out.write(0x00)
+    (1 to 16).foreach(l => out.write(if (l == 4) 12 else 0))
+    (0 to 11).foreach(out.write)
+    // DHT: AC table 0 — single EOB symbol at 1 bit
+    out.write(0xff); out.write(0xc4); be16(2 + 17 + 1); out.write(0x10)
+    (1 to 16).foreach(l => out.write(if (l == 1) 1 else 0))
+    out.write(0x00)
+    // SOS
+    out.write(0xff); out.write(0xda); be16(6 + 2 * nComp); out.write(nComp)
+    (0 until nComp).foreach { c => out.write(c + 1); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    // entropy data: per MCU, per component, per block — DC diff + EOB
+    val bits = new StringBuilder
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bits.append((v >> i) & 1); i -= 1 }
+    }
+    def category(d: Int): Int = {
+      var s = 0; var m = math.abs(d)
+      while (m > 0) { s += 1; m >>= 1 }
+      s
+    }
+    def blockVal(c: Int, bx: Int, by: Int): Int =
+      (((seed + bx * 31L + by * 7L + c * 53L) % 200) + 28).toInt
+    val pred = new Array[Int](nComp)
+    val mcusX = w / unit
+    val mcusY = h / unit
+    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp) {
+      val (bh, bv) = if (subsample && c == 0) (2, 2) else (1, 1)
+      for (by <- 0 until bv; bx <- 0 until bh) {
+        // block coords in the component plane
+        val (cbx, cby) =
+          if (subsample && c == 0) (mx * 2 + bx, my * 2 + by) else (mx, my)
+        val dc = 8 * (blockVal(c, cbx, cby) - 128)
+        val diff = dc - pred(c)
+        pred(c) = dc
+        val s = category(diff)
+        putBits(s, 4) // DC Huffman: category code == category (4-bit canonical)
+        if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        putBits(0, 1) // AC Huffman: EOB is the single 1-bit code 0
+      }
+    }
+    while (bits.length % 8 != 0) bits.append('1') // pad with 1s per spec
+    var i = 0
+    while (i < bits.length) {
+      var b = 0
+      var j = 0
+      while (j < 8) { b = (b << 1) | (bits.charAt(i + j) - '0'); j += 1 }
+      out.write(b)
+      if (b == 0xff) out.write(0x00) // byte stuffing
+      i += 8
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Decode dispatch: real parse for the formats a pure-JVM reader can
-    * own (BMP, 16-bit PCM WAV, 8-bit PNG, and GIF today), [[decodeStub]]
-    * for everything else.
+    * own (BMP, 16-bit PCM WAV, 8-bit PNG, GIF, and baseline JPEG
+    * today), [[decodeStub]] for everything else.
     */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
     parseBmp(id, bytes)
       .orElse(parseWav(id, bytes))
       .orElse(parsePng(id, bytes))
       .orElse(parseGif(id, bytes))
+      .orElse(parseJpeg(id, bytes))
       .getOrElse(decodeStub(id, bytes))
 
   /** Nearest-neighbor resize of an uncompressed 24-bpp BMP — the

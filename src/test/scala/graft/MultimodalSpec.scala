@@ -477,6 +477,77 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decode(4L, bad).format === "stub")
   }
 
+  test("parseJpeg: grayscale DC-only fixture round-trips integer-exactly") {
+    val w = 16; val h = 24; val seed = 42L
+    val jpg = Multimodal.makeJpeg(w, h, seed, gray = true)
+    val f = Multimodal.parseJpeg(1L, jpg).get
+    assert(f.format === "jpeg" && f.width === w && f.height === h)
+    // expectation: every pixel of block (bx,by) is exactly blockVal
+    def bv(c: Int, bx: Int, by: Int): Int =
+      (((seed + bx * 31L + by * 7L + c * 53L) % 200) + 28).toInt
+    val expect = (for (y <- 0 until h; x <- 0 until w) yield bv(0, x / 8, y / 8)).sum
+    assert(math.round(f.features(0).toDouble * w * h * 255) === expect)
+    assert(f.features(0) === f.features(1) && f.features(1) === f.features(2))
+    assert(Multimodal.decode(2L, jpg).format === "jpeg")
+  }
+
+  test("parseJpeg: color 4:4:4 matches the mirrored YCbCr conversion exactly") {
+    val w = 16; val h = 8; val seed = 7L
+    val jpg = Multimodal.makeJpeg(w, h, seed)
+    val f = Multimodal.parseJpeg(3L, jpg).get
+    assert(f.format === "jpeg" && f.width === w && f.height === h)
+    def bv(c: Int, bx: Int, by: Int): Int =
+      (((seed + bx * 31L + by * 7L + c * 53L) % 200) + 28).toInt
+    def cl(d: Double): Int = math.min(255, math.max(0, math.round(d).toInt))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val yv = bv(0, x / 8, y / 8)
+      val cb = bv(1, x / 8, y / 8) - 128
+      val cr = bv(2, x / 8, y / 8) - 128
+      sr += cl(yv + 1.402 * cr)
+      sg += cl(yv - 0.344136 * cb - 0.714136 * cr)
+      sb += cl(yv + 1.772 * cb)
+    }
+    val n = w * h
+    assert(math.round(f.features(0).toDouble * n * 255) === sr)
+    assert(math.round(f.features(1).toDouble * n * 255) === sg)
+    assert(math.round(f.features(2).toDouble * n * 255) === sb)
+  }
+
+  test("parseJpeg: 4:2:0 chroma replication decodes exactly") {
+    val w = 32; val h = 16; val seed = 11L
+    val jpg = Multimodal.makeJpeg(w, h, seed, subsample = true)
+    val f = Multimodal.parseJpeg(4L, jpg).get
+    assert(f.format === "jpeg" && f.width === w && f.height === h)
+    def bv(c: Int, bx: Int, by: Int): Int =
+      (((seed + bx * 31L + by * 7L + c * 53L) % 200) + 28).toInt
+    def cl(d: Double): Int = math.min(255, math.max(0, math.round(d).toInt))
+    var sr = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      // Y blocks are 8x8 at full res; chroma constant per 16x16 MCU
+      val yv = bv(0, x / 8, y / 8)
+      val cr = bv(2, x / 16, y / 16) - 128
+      sr += cl(yv + 1.402 * cr)
+    }
+    assert(math.round(f.features(0).toDouble * w * h * 255) === sr)
+  }
+
+  test("parseJpeg: unsupported and corrupt variants fall to the stub") {
+    val good = Multimodal.makeJpeg(16, 16, 5L)
+    assert(Multimodal.decode(5L, good).format === "jpeg")
+    // progressive SOF2 rejects
+    val prog = good.clone()
+    val sof = good.indices.find(i => (good(i) & 0xff) == 0xff &&
+      i + 1 < good.length && (good(i + 1) & 0xff) == 0xc0).get
+    prog(sof + 1) = 0xc2.toByte
+    assert(Multimodal.decode(6L, prog).format === "stub")
+    // truncated entropy stream rejects
+    assert(Multimodal.decode(7L, good.take(good.length - 10)).format === "stub")
+    // wrong magic
+    val bad = good.clone(); bad(1) = 0x00
+    assert(Multimodal.decode(8L, bad).format === "stub")
+  }
+
   test("parseGif: interlaced frames decode through the real path") {
     // same pixels, interlaced storage: the 4-pass row permutation must
     // be undone, and since the features are row-permutation-invariant,
