@@ -3513,6 +3513,31 @@ object SparkEntry {
                    ROUND(sfx / 1000000.0, 6) AS score
             FROM r WHERE rk <= 10 ORDER BY qid, rank"""))
 
+  /** Right-to-erasure on the persistent BM25 index
+    * ([[graft.text.Bm25.deleteFromBm25Index]]): build the index over
+    * the full corpus, ERASE doc_ids 100..199 (append-only tombstones +
+    * negative df/stats segment rows — no rebuild, no read-modify-write)
+    * and probe. The oracle is [[qBm25]]'s chain re-rooted on the
+    * surviving corpus — so document frequencies, N and total length
+    * must all reflect the erasure EXACTLY, not just the posting rows.
+    */
+  private lazy val qBm25Deleted = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxPath = scratchDir("graft_bm25_del").resolve("idx").toString
+      graft.text.Bm25.writeBm25Index(docs, idxPath, nBuckets = 16)
+      graft.text.Bm25.deleteFromBm25Index(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 200).select("doc_id"),
+        idxPath, nBuckets = 16)
+      graft.text.Bm25.topKAgainstIndex(
+          docs.filter(col("doc_id") < 3), idxPath, k = 10, nBuckets = 16)
+        .orderBy("qid", "rank")
+    },
+    qBm25.oracle.map { sql =>
+      val inner = sql.trim.stripPrefix("WITH ").replace("FROM documents", "FROM live")
+      "WITH live AS (SELECT * FROM documents WHERE doc_id < 100 OR doc_id >= 200), " + inner
+    })
+
   /** Hybrid retrieval ([[graft.similarity.Fusion.rrf]]): BM25 lexical
     * top-20 fused with embedding-cosine top-20 by reciprocal rank, re-cut
     * to top-10. The doc/vec id spaces coincide in the fixture, standing
@@ -5442,6 +5467,7 @@ object SparkEntry {
     "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_bm25_topk" -> qBm25,
     "q_bm25_indexed" -> qBm25Indexed,
+    "q_bm25_deleted" -> qBm25Deleted,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_dedup_lsh_incremental" -> qDedupLshIncremental,
     "q_merge_upsert" -> qMergeUpsert,

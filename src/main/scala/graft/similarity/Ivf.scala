@@ -148,6 +148,26 @@ object Ivf {
       .write.mode("append").partitionBy("cell").parquet(s"$path/lists")
   }
 
+  /** Delete vectors from the stored index without rebuild: ids land in
+    * `path/tombstones` (append-only) and probes anti-join them out.
+    * Idempotent by construction (an anti-join doesn't care how many
+    * tombstone rows an id has); a compaction rewrite folds them in
+    * physically later.
+    */
+  def deleteFromIvfIndex(ids: DataFrame, path: String,
+                         idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).cast("long").as("cid")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private[similarity] def minusTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, path: String): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t)) df
+    else df.join(broadcast(spark.read.parquet(s"$path/tombstones")), Seq("cid"),
+      "left_anti")
+  }
+
   /** [[topK]] against the STORED index: centroids come off
     * `path/centroids` (no sampling pass over the corpus), candidate
     * vectors off `path/lists` pruned to the union of probed cells —
@@ -163,11 +183,13 @@ object Ivf {
     val q = probedCells(queries, cents, nProbe, idCol, vecCol)
       .localCheckpoint() // probe set reused: once for the cell list, once in the join
     val cells = q.select("cell").distinct().collect().map(_.getLong(0)).toSeq
-    val lists = spark.read.parquet(s"$path/lists")
-      .filter(col("cell").isin(cells: _*)) // static partition pruning
-      // partition-column type inference may narrow cell to int; restore
-      // the written long so the probe join keys compare without casts
-      .withColumn("cell", col("cell").cast("long"))
+    val lists = minusTombstones(spark,
+      spark.read.parquet(s"$path/lists")
+        .filter(col("cell").isin(cells: _*)) // static partition pruning
+        // partition-column type inference may narrow cell to int; restore
+        // the written long so the probe join keys compare without casts
+        .withColumn("cell", col("cell").cast("long")),
+      path)
     val scored = lists.join(broadcast(q), "cell")
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),

@@ -212,7 +212,9 @@ object Pq {
     * codes all come off disk; the query-time work is the LUT build
     * (|queries|·m·ksub, broadcast) plus table lookups over the probed
     * cells' code rows. Semantics identical to the from-raw form
-    * (spec-pinned).
+    * (spec-pinned). Deletions: [[Ivf.deleteFromIvfIndex]] on the same
+    * `path` (shared tombstone layout) — probed codes are anti-joined
+    * against the tombstones here.
     */
   def ivfAdcTopKAgainstIndex(queries: DataFrame, path: String, k: Int,
                              nProbe: Int = 4,
@@ -225,9 +227,11 @@ object Pq {
       .select(col("qid"), col("cell"))
       .localCheckpoint() // reused: once for the cell list, once in the join
     val cells = qc.select("cell").distinct().collect().map(_.getLong(0)).toSeq
-    val enc = spark.read.parquet(s"$path/codes")
-      .filter(col("cell").isin(cells: _*)) // static partition pruning
-      .withColumn("cell", col("cell").cast("long"))
+    val enc = Ivf.minusTombstones(spark,
+        spark.read.parquet(s"$path/codes")
+          .filter(col("cell").isin(cells: _*)) // static partition pruning
+          .withColumn("cell", col("cell").cast("long")),
+        path)
       .select(col("cid"), col("cell"), posexplode(col("codes")).as(Seq("s", "code")))
     val lut = lutFor(queries, cb, idCol, vecCol)
     val candidates = enc.join(broadcast(qc), Seq("cell"))

@@ -143,6 +143,44 @@ object Bm25 {
       .coalesce(1).write.mode(mode).parquet(s"$path/stats")
   }
 
+  /** Delete documents from the stored index WITHOUT rebuild — the
+    * right-to-erasure path at 100 TB. Append-only like everything else
+    * here: the deleted ids land in `path/tombstones`, and because df,
+    * n and tot are segment SUMS, the correction is NEGATIVE segment
+    * rows — one (token, -1)-shaped df row per deleted posting (derived
+    * from the stored postings, so the corpus text is not needed) and
+    * one (-k, -Σdl) stats row. Readers anti-join postings/doclen
+    * against the tombstones and keep summing df/stats as before; a
+    * compaction rewrite can later fold tombstones in physically.
+    */
+  def deleteFromBm25Index(ids: DataFrame, path: String, nBuckets: Int = 64,
+                          idCol: String = "doc_id"): Unit = {
+    val spark = ids.sparkSession
+    // already-tombstoned ids are excluded so a double delete cannot
+    // subtract its df/stats corrections twice (idempotent erasure)
+    val del = minusTombstones(spark,
+        ids.select(col(idCol).cast("long").as("id")).distinct(), path)
+      .localCheckpoint() // reused four times below
+    val deadPostings = spark.read.parquet(s"$path/postings")
+      .join(broadcast(del), "id")
+    deadPostings.groupBy("token").agg((-count(lit(1))).as("df"))
+      .withColumn("pbucket", pbucket(col("token"), nBuckets))
+      .write.mode("append").partitionBy("pbucket").parquet(s"$path/dfreq")
+    spark.read.parquet(s"$path/doclen").join(broadcast(del), "id")
+      .agg((-count(lit(1))).as("n"), (-sum(col("dl"))).as("tot"))
+      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+    del.write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  private def minusTombstones(spark: org.apache.spark.sql.SparkSession,
+                              df: DataFrame, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) df
+    else df.join(broadcast(spark.read.parquet(s"$path/tombstones")), Seq("id"),
+      "left_anti")
+  }
+
   /** [[topK]] against the STORED index: the corpus text is never read —
     * postings and df come off the buckets the query terms hash to
     * (partition-pruned), doc lengths off the narrow doclen table, and
@@ -165,9 +203,10 @@ object Bm25 {
       spark.read.parquet(s"$path/$sub")
         .filter(col("pbucket").isin(buckets: _*)) // static partition pruning
         .drop("pbucket")
-    val tf = pruned("postings")
+    val tf = minusTombstones(spark, pruned("postings"), path)
     val dfreq = pruned("dfreq").groupBy("token").agg(sum(col("df")).as("df"))
-    val dl = spark.read.parquet(s"$path/doclen")
+      .filter(col("df") > 0)
+    val dl = minusTombstones(spark, spark.read.parquet(s"$path/doclen"), path)
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n")).as("__n"), sum(col("tot")).as("__tot"))
     val n = col("__n").cast("double")

@@ -83,6 +83,33 @@ class Bm25Spec extends SparkTestBase {
       "segment-summed df/n/tot must reproduce the whole-corpus scores exactly")
   }
 
+  test("persistent index: delete ≡ index built without the deleted docs; idempotent") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_idx_del").resolve("idx").toString
+    Bm25.writeBm25Index(docs, tmp, nBuckets = 16)
+    val dead = docs.filter(col("doc_id") >= 100 && col("doc_id") < 200).select("doc_id")
+    Bm25.deleteFromBm25Index(dead, tmp, nBuckets = 16)
+    val q = docs.filter(col("doc_id") < 3)
+    val stored = Bm25.topKAgainstIndex(q, tmp, k = 10, nBuckets = 16)
+      .collect().map(_.toString).toSet
+    // from-raw twin over the corpus MINUS the erased docs: df, n, tot
+    // and the postings must all reflect the erasure exactly
+    val fromRaw = Bm25.topK(
+        docs.filter(col("doc_id") < 100 || col("doc_id") >= 200), q, k = 10)
+      .collect().map(_.toString).toSet
+    assert(stored === fromRaw)
+    // erased docs never appear
+    val ids = Bm25.topKAgainstIndex(q, tmp, k = 1000, nBuckets = 16)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(i => i < 100 || i >= 200))
+    // double delete is a no-op (df/stats not subtracted twice)
+    Bm25.deleteFromBm25Index(dead, tmp, nBuckets = 16)
+    val again = Bm25.topKAgainstIndex(q, tmp, k = 10, nBuckets = 16)
+      .collect().map(_.toString).toSet
+    assert(again === fromRaw)
+  }
+
   test("persistent index probe prunes postings partitions to the query-term buckets") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("bm25_idx_plan").resolve("idx").toString

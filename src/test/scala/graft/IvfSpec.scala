@@ -98,6 +98,27 @@ class IvfSpec extends SparkTestBase {
     assert(stored === brute)
   }
 
+  test("persistent index: deleted vectors vanish from probes; survivors unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_idx_del").toString
+    Ivf.writeIvfIndex(emb, nLists = 8, tmp)
+    val q = emb.filter(col("vec_id") < 5)
+    val before = Ivf.topKAgainstIndex(q, tmp, k = 10, nProbe = 8)
+      .select("qid", "rank", "cid", "cosine").collect().toSet
+    val deadIds = before.map(_.getLong(2)).take(3)
+    Ivf.deleteFromIvfIndex(
+      emb.filter(col("vec_id").isin(deadIds.toSeq: _*)).select("vec_id"), tmp)
+    val after = Ivf.topKAgainstIndex(q, tmp, k = 10, nProbe = 8)
+      .select("qid", "rank", "cid", "cosine").collect().toSet
+    assert(after.forall(r => !deadIds.contains(r.getLong(2))))
+    // from-raw twin: full-corpus centroids, remaining vectors assigned
+    val cents = Ivf.centroids(emb, nLists = 8)
+    val remaining = emb.filter(!col("vec_id").isin(deadIds.toSeq: _*))
+    val fromRaw = Ivf.topK(Ivf.buildIndex(remaining, cents), q, cents,
+        k = 10, nProbe = 8)
+      .select("qid", "rank", "cid", "cosine").collect().toSet
+    assert(after === fromRaw)
+  }
+
   test("persistent index: probe plan prunes to the probed cells and broadcasts the probe set") {
     val tmp = java.nio.file.Files.createTempDirectory("ivf_idx_plan").toString
     Ivf.writeIvfIndex(emb, nLists = 8, tmp)
