@@ -179,6 +179,7 @@ object Bench {
          "q_resample_daily" | "q_rolling_active" => "events"
     case "q_dsir_weights" | "q_source_kl" => "text"
     case "q_url_canonical" | "q_domain_cap" | "q_url_dedup" => "text"
+    case "q_para_dedup" | "q_para_profile" => "text"
     case "q_merge_upsert" | "q_scd2_apply" | "q_agg_upsert" | "q_zorder" |
          "q_quality_audit" | "q_dataset_fingerprint" |
          "q_snapshot_diff" | "q_compaction_plan" |

@@ -4678,6 +4678,75 @@ object SparkEntry {
             JOIN kept k ON k.doc_id = c.doc_id AND k.canonical_url = c.canonical_url
             ORDER BY c.doc_id"""))
 
+  /** Paragraph-level exact dedup ([[graft.text.ParaDedup.dedupParagraphs]]):
+    * the RefinedWeb-style "first occurrence of each exact paragraph wins,
+    * corpus-wide" pass with stitched reassembly. The fixture has no
+    * newlines, so the delimiter is the frequent token ` batch ` — blocks
+    * are variable-length token runs and the pathologically self-similar
+    * corpus makes the pass drop real volume. The oracle replays split →
+    * md5Long keys → first-occurrence window → ordered string_agg, and the
+    * reassembled `clean_text` itself is hash-checked.
+    */
+  private val qParaDedup = Q(
+    (s, dir) =>
+      graft.text.ParaDedup.dedupParagraphs(
+          t(s, dir, "documents"), "doc_id", "text", delim = " batch ")
+        .orderBy("id"),
+    Some("""WITH ps AS (SELECT doc_id AS id, string_split(text, ' batch ') AS arr
+                        FROM documents),
+            p AS (SELECT id, arr, unnest(generate_series(1, len(arr))) AS i FROM ps),
+            inst AS (SELECT id, CAST(i - 1 AS INTEGER) AS pidx, arr[i] AS para FROM p),
+            keyed AS (SELECT id, pidx, para,
+                             ('0x' || substring(md5(para), 1, 15))::BIGINT AS h
+                      FROM inst WHERE len(para) >= 1),
+            fk AS (SELECT id, pidx, para,
+                          row_number() OVER (PARTITION BY h ORDER BY id, pidx) AS rn
+                   FROM keyed),
+            surv AS (SELECT id, pidx, para FROM fk WHERE rn = 1
+                     UNION ALL
+                     SELECT id, pidx, para FROM inst WHERE len(para) < 1),
+            agg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                           string_agg(para, ' batch ' ORDER BY pidx) AS clean_text
+                    FROM surv GROUP BY id)
+            SELECT d.doc_id AS id,
+                   CAST(len(string_split(d.text, ' batch ')) AS BIGINT) AS n_paras,
+                   COALESCE(a.n_kept, 0) AS n_kept,
+                   CAST(length(d.text) - length(COALESCE(a.clean_text, ''))
+                        AS BIGINT) AS removed_chars,
+                   COALESCE(a.clean_text, '') AS clean_text
+            FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+            ORDER BY id"""))
+
+  /** The detection half ([[graft.text.ParaDedup.dupParagraphProfile]]):
+    * which blocks repeat, how often, across how many documents, and which
+    * instance the dedup keeps — the audit table a curation run reports
+    * before committing the destructive pass.
+    */
+  private val qParaProfile = Q(
+    (s, dir) =>
+      graft.text.ParaDedup.dupParagraphProfile(
+          t(s, dir, "documents"), "doc_id", "text", delim = " batch ")
+        .orderBy("keep_id", "keep_pidx", "para_hash"),
+    Some("""WITH ps AS (SELECT doc_id AS id, string_split(text, ' batch ') AS arr
+                        FROM documents),
+            p AS (SELECT id, arr, unnest(generate_series(1, len(arr))) AS i FROM ps),
+            inst AS (SELECT id, CAST(i - 1 AS INTEGER) AS pidx, arr[i] AS para FROM p),
+            keyed AS (SELECT id, pidx, para,
+                             ('0x' || substring(md5(para), 1, 15))::BIGINT AS h
+                      FROM inst WHERE len(para) >= 1),
+            prof AS (SELECT h AS para_hash,
+                            CAST(COUNT(*) AS BIGINT) AS n_copies,
+                            CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+                            MIN(id * 1000000 + pidx) AS fk,
+                            CAST(MAX(len(para)) AS INTEGER) AS para_chars
+                     FROM keyed GROUP BY h HAVING COUNT(*) > 1)
+            SELECT para_hash, n_copies, n_docs,
+                   fk // 1000000 AS keep_id,
+                   CAST(fk % 1000000 AS INTEGER) AS keep_pidx,
+                   para_chars
+            FROM prof
+            ORDER BY keep_id, keep_pidx, para_hash"""))
+
   private val qSourceOverlap = Q(
     (s, dir) =>
       graft.text.CorpusStats.sourceVocabOverlap(
@@ -5490,6 +5559,8 @@ object SparkEntry {
     "q_url_canonical" -> qUrlCanonical,
     "q_domain_cap" -> qDomainCap,
     "q_url_dedup" -> qUrlDedup,
+    "q_para_dedup" -> qParaDedup,
+    "q_para_profile" -> qParaProfile,
     "q_fuzzy_link" -> qFuzzyLink,
     "q_triangles" -> qTriangles,
     "q_decayed_sum" -> qDecayedSum,
