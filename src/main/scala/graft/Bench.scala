@@ -180,6 +180,8 @@ object Bench {
     case "q_dsir_weights" | "q_source_kl" => "text"
     case "q_url_canonical" | "q_domain_cap" | "q_url_dedup" => "text"
     case "q_para_dedup" | "q_para_profile" => "text"
+    case "q_linear_train" | "q_linear_score" => "text"
+    case "q_nb_train" | "q_nb_score" => "text"
     case "q_merge_upsert" | "q_scd2_apply" | "q_agg_upsert" | "q_zorder" |
          "q_quality_audit" | "q_dataset_fingerprint" |
          "q_snapshot_diff" | "q_compaction_plan" |

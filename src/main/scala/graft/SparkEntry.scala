@@ -4747,6 +4747,186 @@ object SparkEntry {
             FROM prof
             ORDER BY keep_id, keep_pidx, para_hash"""))
 
+  /** Shared CTE prefix for the linear-classifier oracles: hashed
+    * token-count features (md5Long % dims + bias rows), weak labels
+    * (y = +1 iff n_chars ≥ 300), and `iters` chained full-batch
+    * perceptron rounds — w0 is the empty (zero) model; each round joins
+    * the current model back to the features, finds `y·(w·x) <= 0` docs
+    * and folds their `Σ y·x` into the next model. Every quantity is an
+    * exact integer, so DuckDB replays TRAINING itself, not just scoring.
+    */
+  private def linearTrainCtes(dims: Int, iters: Int): String = {
+    val feats =
+      s"""feats AS (SELECT id, bucket, CAST(COUNT(*) AS BIGINT) AS x FROM (
+            SELECT doc_id AS id,
+                   ('0x' || substring(md5(tok), 1, 15))::BIGINT % $dims AS bucket
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents))
+          GROUP BY id, bucket
+          UNION ALL
+          SELECT doc_id AS id, CAST(-1 AS BIGINT) AS bucket,
+                 CAST(1 AS BIGINT) AS x FROM documents),
+          labels AS (SELECT doc_id AS id,
+                            CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y
+                     FROM documents),
+          w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+                        CAST(NULL AS BIGINT) AS w WHERE 1 = 0)"""
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""m$k AS (SELECT f.id, CAST(SUM(f.x * COALESCE(w$p.w, 0)) AS BIGINT) AS s
+            FROM feats f LEFT JOIN w$p USING (bucket) GROUP BY f.id),
+          mis$k AS (SELECT l.id, l.y FROM labels l JOIN m$k USING (id)
+                    WHERE l.y * m$k.s <= 0),
+          d$k AS (SELECT f.bucket, CAST(SUM(l.y * f.x) AS BIGINT) AS dw
+                  FROM mis$k l JOIN feats f USING (id) GROUP BY f.bucket),
+          w$k AS (SELECT bucket, COALESCE(w$p.w, 0) + COALESCE(d$k.dw, 0) AS w
+                  FROM w$p FULL JOIN d$k USING (bucket))"""
+    }
+    (feats +: rounds).mkString(",\n")
+  }
+
+  /** In-engine classifier TRAINING ([[graft.text.LinearModel]]): 3
+    * full-batch perceptron rounds over hashed token features against the
+    * length-derived weak label; the oracle replays every round and the
+    * final weight table is hash-checked — the model itself is the result
+    * set.
+    */
+  private val qLinearTrain = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.text.LinearModel.hashedFeatures(docs, "doc_id", "text", dims = 16)
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("n_chars") >= 300, lit(1)).otherwise(lit(-1)).as("y"))
+      graft.text.LinearModel.trainPerceptron(s, feats, labels, iters = 3)
+        .orderBy("bucket")
+    },
+    Some(s"""WITH ${linearTrainCtes(dims = 16, iters = 3)}
+            SELECT bucket, CAST(w AS BIGINT) AS w FROM w3 ORDER BY bucket"""))
+
+  /** Scoring with the trained model ([[graft.text.LinearModel.score]]):
+    * per-document integer margin and accept/reject decision, replayed by
+    * the oracle through the same 3 training rounds plus one scoring
+    * join — transitively re-checking training through every document's
+    * margin.
+    */
+  private val qLinearScore = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.text.LinearModel.hashedFeatures(docs, "doc_id", "text", dims = 16)
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("n_chars") >= 300, lit(1)).otherwise(lit(-1)).as("y"))
+      val w = graft.text.LinearModel.trainPerceptron(s, feats, labels, iters = 3)
+      graft.text.LinearModel.score(feats, w)
+        .join(labels, "id")
+        .withColumn("correct", (col("pred") === col("y")).cast("int"))
+        .orderBy("id")
+    },
+    Some(s"""WITH ${linearTrainCtes(dims = 16, iters = 3)},
+            sc AS (SELECT f.id, CAST(SUM(f.x * COALESCE(w3.w, 0)) AS BIGINT) AS margin
+                   FROM feats f LEFT JOIN w3 USING (bucket) GROUP BY f.id)
+            SELECT sc.id, sc.margin,
+                   CASE WHEN sc.margin > 0 THEN 1 ELSE -1 END AS pred,
+                   l.y,
+                   CASE WHEN (CASE WHEN sc.margin > 0 THEN 1 ELSE -1 END) = l.y
+                        THEN 1 ELSE 0 END AS correct
+            FROM sc JOIN labels l USING (id)
+            ORDER BY id"""))
+
+  /** Shared CTE prefix for the Naive Bayes oracles: token-presence weak
+    * label, per-class token counts, class stats, micro-unit smoothed
+    * log-probs (the [[qLmScore]] quantizer convention).
+    */
+  private val nbCtes: String =
+    """lab AS (SELECT doc_id AS id,
+                      CASE WHEN text LIKE '%vector%' THEN 1 ELSE -1 END AS y
+               FROM documents),
+       tk AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+       tl AS (SELECT tk.tok, lab.y FROM tk JOIN lab USING (id)),
+       pc AS (SELECT tok,
+                     CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+                     CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+              FROM tl GROUP BY tok),
+       st AS (SELECT CAST(SUM(c_pos) AS BIGINT) AS tot_pos,
+                     CAST(SUM(c_neg) AS BIGINT) AS tot_neg,
+                     CAST(COUNT(*) AS BIGINT) AS v
+              FROM pc),
+       model AS (SELECT tok AS token, c_pos, c_neg,
+                        CAST(ROUND(ln(CAST(c_pos + 1 AS DOUBLE)
+                                      / CAST(tot_pos + v AS DOUBLE))
+                                   * 1000000.0) AS BIGINT) AS lp_pos_micro,
+                        CAST(ROUND(ln(CAST(c_neg + 1 AS DOUBLE)
+                                      / CAST(tot_neg + v AS DOUBLE))
+                                   * 1000000.0) AS BIGINT) AS lp_neg_micro
+                 FROM pc CROSS JOIN st),
+       nd AS (SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                     CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+              FROM lab),
+       priors AS (SELECT
+                    CAST(ROUND(ln(CAST(n_pos AS DOUBLE)
+                                  / CAST(n_pos + n_neg AS DOUBLE))
+                               * 1000000.0) AS BIGINT) AS prior_pos,
+                    CAST(ROUND(ln(CAST(n_neg AS DOUBLE)
+                                  / CAST(n_pos + n_neg AS DOUBLE))
+                               * 1000000.0) AS BIGINT) AS prior_neg
+                  FROM nd)"""
+
+  /** One-pass multinomial Naive Bayes TRAINING
+    * ([[graft.text.NaiveBayes.trainMultinomial]]): the vocab-sized model
+    * table itself is the hash-checked result — class-conditional counts
+    * and micro-unit smoothed log-probs against the token-presence weak
+    * label.
+    */
+  private val qNbTrain = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("text").contains("vector"), lit(1)).otherwise(lit(-1)).as("y"))
+      graft.text.NaiveBayes.trainMultinomial(docs, labels, "doc_id", "text")
+        .orderBy("token")
+    },
+    Some(s"""WITH $nbCtes
+            SELECT token, c_pos, c_neg, lp_pos_micro, lp_neg_micro
+            FROM model ORDER BY token"""))
+
+  /** Naive Bayes SCORING ([[graft.text.NaiveBayes.score]]): per-document
+    * integer class scores (prior + Σ token log-probs), prediction, label
+    * and correctness — on this corpus the one-pass model reaches ~0.89
+    * training accuracy where the full-batch perceptron oscillates at the
+    * 0.764 trivial rate (see BASELINE.md round-12 classifier note).
+    */
+  private val qNbScore = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("text").contains("vector"), lit(1)).otherwise(lit(-1)).as("y"))
+      val m = graft.text.NaiveBayes.trainMultinomial(docs, labels, "doc_id", "text")
+      val st = graft.text.NaiveBayes.classStats(docs, labels, "doc_id", "text")
+      graft.text.NaiveBayes.score(docs, m, st, "doc_id", "text")
+        .join(labels, "id")
+        .withColumn("correct", (col("pred") === col("y")).cast("int"))
+        .orderBy("id")
+    },
+    Some(s"""WITH $nbCtes,
+            sc AS (SELECT tk.id,
+                          CAST(SUM(lp_pos_micro) AS BIGINT) AS sum_pos,
+                          CAST(SUM(lp_neg_micro) AS BIGINT) AS sum_neg
+                   FROM tk JOIN model ON model.token = tk.tok
+                   GROUP BY tk.id)
+            SELECT sc.id,
+                   priors.prior_pos + sc.sum_pos AS s_pos_micro,
+                   priors.prior_neg + sc.sum_neg AS s_neg_micro,
+                   CASE WHEN priors.prior_pos + sc.sum_pos
+                             > priors.prior_neg + sc.sum_neg
+                        THEN 1 ELSE -1 END AS pred,
+                   lab.y,
+                   CASE WHEN (CASE WHEN priors.prior_pos + sc.sum_pos
+                                        > priors.prior_neg + sc.sum_neg
+                                   THEN 1 ELSE -1 END) = lab.y
+                        THEN 1 ELSE 0 END AS correct
+            FROM sc JOIN lab USING (id) CROSS JOIN priors
+            ORDER BY id"""))
+
   private val qSourceOverlap = Q(
     (s, dir) =>
       graft.text.CorpusStats.sourceVocabOverlap(
@@ -5561,6 +5741,10 @@ object SparkEntry {
     "q_url_dedup" -> qUrlDedup,
     "q_para_dedup" -> qParaDedup,
     "q_para_profile" -> qParaProfile,
+    "q_linear_train" -> qLinearTrain,
+    "q_linear_score" -> qLinearScore,
+    "q_nb_train" -> qNbTrain,
+    "q_nb_score" -> qNbScore,
     "q_fuzzy_link" -> qFuzzyLink,
     "q_triangles" -> qTriangles,
     "q_decayed_sum" -> qDecayedSum,
