@@ -182,6 +182,7 @@ object Bench {
     case "q_para_dedup" | "q_para_profile" => "text"
     case "q_linear_train" | "q_linear_score" => "text"
     case "q_nb_train" | "q_nb_score" => "text"
+    case "q_curation_disposition" | "q_curation_funnel" => "text"
     case "q_merge_upsert" | "q_scd2_apply" | "q_agg_upsert" | "q_zorder" |
          "q_quality_audit" | "q_dataset_fingerprint" |
          "q_snapshot_diff" | "q_compaction_plan" |

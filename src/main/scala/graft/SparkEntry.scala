@@ -4927,6 +4927,120 @@ object SparkEntry {
             FROM sc JOIN lab USING (id) CROSS JOIN priors
             ORDER BY id"""))
 
+  /** Shared CTE chain for the curation-funnel oracles: the corpus plus 30
+    * planted exact-text twins (unique URLs, +10000 ids), then the five
+    * stages replayed — closed-form canonical (the synth URL is already
+    * canonical), min-id URL/text dedup, the [[qualitySql]] gate at 0.6,
+    * trigram decontamination vs the doc_id ≥ 480 benchmark slice at
+    * minHits 5, and the 500-token md5-priority budget per source.
+    */
+  private val curationCtes: String =
+    s"""aug AS (SELECT doc_id, source, text,
+              'http://example.com/p/' ||
+              (CASE WHEN doc_id >= 10000 THEN 'x' || CAST(doc_id AS VARCHAR)
+                    ELSE CAST(doc_id % 300 AS VARCHAR) END) AS canon
+            FROM (SELECT doc_id, source, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 10000, source, text FROM documents
+                  WHERE doc_id < 30)),
+       k1 AS (SELECT canon, MIN(doc_id) AS kid FROM aug GROUP BY canon),
+       drop1 AS (SELECT doc_id, 1 AS stage_order, 'url_dup' AS drop_stage
+                 FROM aug JOIN k1 USING (canon) WHERE doc_id <> kid),
+       s1 AS (SELECT aug.doc_id, aug.source, aug.text
+              FROM aug JOIN k1 ON k1.canon = aug.canon AND k1.kid = aug.doc_id),
+       h2 AS (SELECT doc_id, source, text, ${md5LongSql("text")} AS h FROM s1),
+       k2 AS (SELECT h, MIN(doc_id) AS kid FROM h2 GROUP BY h),
+       drop2 AS (SELECT doc_id, 2 AS stage_order, 'exact_dup' AS drop_stage
+                 FROM h2 JOIN k2 USING (h) WHERE doc_id <> kid),
+       s2 AS (SELECT h2.doc_id, h2.source, h2.text
+              FROM h2 JOIN k2 ON k2.h = h2.h AND k2.kid = h2.doc_id),
+       q3 AS (SELECT doc_id, source, text, ${qualitySql("text")} AS q FROM s2),
+       drop3 AS (SELECT doc_id, 3 AS stage_order, 'quality' AS drop_stage
+                 FROM q3 WHERE q < 0.6),
+       s3 AS (SELECT doc_id, source, text FROM q3 WHERE q >= 0.6),
+       bgr AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+               FROM (SELECT string_split(text, ' ') AS toks FROM documents
+                     WHERE doc_id >= 480)
+               WHERE len(toks) >= 3),
+       beg AS (SELECT DISTINCT ${md5LongSql("g")} AS gh FROM bgr),
+       tgr AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+               FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM s3)
+               WHERE len(toks) >= 3),
+       tgh AS (SELECT DISTINCT doc_id, ${md5LongSql("g")} AS gh FROM tgr),
+       hits AS (SELECT tgh.doc_id, COUNT(*) AS n
+                FROM tgh JOIN beg USING (gh) GROUP BY tgh.doc_id),
+       drop4 AS (SELECT s3.doc_id, 4 AS stage_order, 'contaminated' AS drop_stage
+                 FROM s3 JOIN hits USING (doc_id) WHERE n >= 5),
+       s4 AS (SELECT s3.doc_id, s3.source, s3.text FROM s3
+              LEFT JOIN hits USING (doc_id) WHERE COALESCE(n, 0) < 5),
+       cum AS (SELECT doc_id, source,
+                      SUM(len(string_split(text, ' '))) OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS c
+               FROM s4),
+       drop5 AS (SELECT doc_id, 5 AS stage_order, 'budget' AS drop_stage
+                 FROM cum WHERE c > 500),
+       kept AS (SELECT doc_id, 6 AS stage_order, 'kept' AS drop_stage
+                FROM cum WHERE c <= 500),
+       disp AS (SELECT * FROM drop1 UNION ALL SELECT * FROM drop2
+                UNION ALL SELECT * FROM drop3 UNION ALL SELECT * FROM drop4
+                UNION ALL SELECT * FROM drop5 UNION ALL SELECT * FROM kept)"""
+
+  /** Spark side of the curation-funnel fixture: corpus + 30 planted
+    * exact-text twins with unique URLs, synth URL colliding mod 300.
+    */
+  private def curationInput(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = t(s, dir, "documents")
+    val aug = base.select(col("doc_id"), col("source"), col("text"))
+      .unionByName(base.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("source"), col("text")))
+      .withColumn("url", concat(lit("http://example.com/p/"),
+        when(col("doc_id") >= 10000L, concat(lit("x"), col("doc_id").cast(StringType)))
+          .otherwise((col("doc_id") % 300).cast(StringType))))
+    (aug, base.filter(col("doc_id") >= 480))
+  }
+
+  /** Per-document curation disposition
+    * ([[graft.pipeline.Curation.disposition]]): every input document
+    * attributed to the FIRST stage that rejected it (or kept) across the
+    * five-stage C4/CCNet-order funnel — URL dedup, exact-text dedup
+    * (the planted twins die here), quality gate, benchmark
+    * decontamination (the benchmark slice itself is crawled into the
+    * corpus and correctly removed), per-source token budget. The oracle
+    * replays all five stages end-to-end.
+    */
+  private val qCurationDisposition = Q(
+    (s, dir) => {
+      val (aug, bench) = curationInput(s, dir)
+      graft.pipeline.Curation.disposition(aug, bench,
+          "url", "doc_id", "text", "source",
+          minQuality = 0.6, ngramN = 3, minHits = 5L, budgetPerSource = 500L)
+        .orderBy("id")
+    },
+    Some(s"""WITH $curationCtes
+            SELECT doc_id AS id, stage_order, drop_stage FROM disp
+            ORDER BY id"""))
+
+  /** The attrition report ([[graft.pipeline.Curation.funnel]]): stage
+    * counts that reconcile to the input total by construction — the
+    * "where did my 100 TB go" table.
+    */
+  private val qCurationFunnel = Q(
+    (s, dir) => {
+      val (aug, bench) = curationInput(s, dir)
+      graft.pipeline.Curation.funnel(
+        graft.pipeline.Curation.disposition(aug, bench,
+          "url", "doc_id", "text", "source",
+          minQuality = 0.6, ngramN = 3, minHits = 5L, budgetPerSource = 500L))
+        .orderBy("stage_order")
+    },
+    Some(s"""WITH $curationCtes
+            SELECT stage_order, drop_stage, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM disp GROUP BY stage_order, drop_stage
+            ORDER BY stage_order"""))
+
   private val qSourceOverlap = Q(
     (s, dir) =>
       graft.text.CorpusStats.sourceVocabOverlap(
@@ -5745,6 +5859,8 @@ object SparkEntry {
     "q_linear_score" -> qLinearScore,
     "q_nb_train" -> qNbTrain,
     "q_nb_score" -> qNbScore,
+    "q_curation_disposition" -> qCurationDisposition,
+    "q_curation_funnel" -> qCurationFunnel,
     "q_fuzzy_link" -> qFuzzyLink,
     "q_triangles" -> qTriangles,
     "q_decayed_sum" -> qDecayedSum,

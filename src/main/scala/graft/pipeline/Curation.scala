@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.NearDup
+import graft.ops.Sampling
+import graft.text.{Decontaminate, TextAnalysis, UrlCurate}
+
+/** The end-to-end curation FUNNEL with per-document accountability —
+  * "where did my 100 TB go?". [[Trainset.build]] outputs the survivors;
+  * production curation also has to explain the attrition: every dropped
+  * document is attributed to exactly ONE stage (the first that rejected
+  * it), so the corpus partitions cleanly into
+  * `url_dup | exact_dup | quality | contaminated | budget | kept` and
+  * stage-level counts reconcile to the input total by construction.
+  *
+  * Stage order is the C4/CCNet-lineage order: identity dedup first
+  * (canonical URL, then exact text — cheap, large-volume), content
+  * gates second (quality score, benchmark decontamination), the
+  * token-budget mixture last (budgets are meaningful only over the
+  * clean pool).
+  *
+  * Scale shape (100 TB): each stage is one narrow shuffle over the
+  * SHRINKING survivor set — URL and text dedup are min-id aggregations
+  * joined back (never a corpus-wide sort), the quality gate is
+  * scan-stage arithmetic, decontamination is the one-pass left join
+  * against distinct benchmark gram hashes ([[Decontaminate]]; swap in
+  * the Bloom variant when the gram table outgrows the exchange), and
+  * the budget pass windows per source. Dispositions are emitted as
+  * id-plus-tag rows and unioned — no stage ever re-reads the corpus.
+  */
+object Curation {
+
+  val stages: Seq[(Int, String)] = Seq(
+    1 -> "url_dup", 2 -> "exact_dup", 3 -> "quality",
+    4 -> "contaminated", 5 -> "budget", 6 -> "kept")
+
+  /** Per-document disposition: (id, stage_order, drop_stage) — one row
+    * per input document; `drop_stage` names the first stage that
+    * rejected it, or `kept` (stage_order 6) for survivors.
+    */
+  def disposition(docs: DataFrame, bench: DataFrame,
+                  urlCol: String, idCol: String, textCol: String,
+                  sourceCol: String,
+                  minQuality: Double, ngramN: Int, minHits: Long,
+                  budgetPerSource: Long): DataFrame = {
+    def tag(ids: DataFrame, order: Int, stage: String): DataFrame =
+      ids.select(col("id"), lit(order).as("stage_order"),
+        lit(stage).as("drop_stage"))
+
+    val base = docs.select(col(idCol).as("id"), col(urlCol).as("__url"),
+      col(textCol).as("__text"), col(sourceCol).as("__src"))
+
+    // 1. canonical-URL dedup: min id per canonical form wins; rows that
+    // fail to canonicalize (NULL) all survive (no URL identity to dedup).
+    val canon = base.withColumn("__canon", UrlCurate.canonicalUrl(col("__url")))
+    val urlFirst = canon.filter(col("__canon").isNotNull)
+      .groupBy("__canon").agg(min(col("id")).as("__kid"))
+    val withK1 = canon.join(urlFirst, Seq("__canon"), "left")
+    val drop1 = tag(withK1.filter(col("__kid").isNotNull && col("id") =!= col("__kid")),
+      1, "url_dup")
+    val surv1 = withK1.filter(col("__kid").isNull || col("id") === col("__kid"))
+      .drop("__canon", "__kid")
+
+    // 2. exact text dedup, same min-id aggregation shape
+    val h2 = surv1.withColumn("__h", NearDup.md5Long(col("__text")))
+    val txtFirst = h2.groupBy("__h").agg(min(col("id")).as("__kid"))
+    val withK2 = h2.join(txtFirst, "__h")
+    val drop2 = tag(withK2.filter(col("id") =!= col("__kid")), 2, "exact_dup")
+    val surv2 = withK2.filter(col("id") === col("__kid")).drop("__h", "__kid")
+
+    // 3. quality gate
+    val q3 = surv2.withColumn("__q", TextAnalysis.qualityScore(col("__text")))
+    val drop3 = tag(q3.filter(col("__q") < minQuality), 3, "quality")
+    val surv3 = q3.filter(col("__q") >= minQuality).drop("__q")
+
+    // 4. benchmark decontamination over the remaining pool
+    val flags = Decontaminate.flagContaminated(
+      surv3.select(col("id").as("doc_id"), col("__text").as("text")),
+      bench.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      "doc_id", "text", n = ngramN, minHits = minHits)
+      .select(col("id"), col("contaminated"))
+    val withF = surv3.join(flags, "id")
+    val drop4 = tag(withF.filter(col("contaminated")), 4, "contaminated")
+    val surv4 = withF.filter(!col("contaminated")).drop("contaminated")
+
+    // 5. per-source token budget (md5-priority order, whole docs only)
+    val nt = surv4.withColumn("__nt",
+      TextAnalysis.tokenCount(col("__text")).cast("long"))
+    val kept5 = Sampling.tokenBudgetPerKey(nt, Seq("__src"), "id", "__nt",
+      budgetPerSource).select("id")
+    val drop5 = tag(nt.join(kept5, Seq("id"), "left_anti"), 5, "budget")
+    val kept = tag(kept5, 6, "kept")
+
+    drop1.unionByName(drop2).unionByName(drop3).unionByName(drop4)
+      .unionByName(drop5).unionByName(kept)
+  }
+
+  /** Stage-level attrition report from a [[disposition]] frame:
+    * (stage_order, drop_stage, n_docs) — drop rows count casualties,
+    * the final row counts the surviving corpus; rows sum to the input.
+    */
+  def funnel(disp: DataFrame): DataFrame =
+    disp.groupBy("stage_order", "drop_stage")
+      .agg(count(lit(1)).as("n_docs"))
+}

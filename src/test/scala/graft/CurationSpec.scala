@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Curation
+
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // hand fixture: each stage has a designated casualty
+  //  1,2 share a canonical URL (utm param) -> 2 drops at url_dup
+  //  3 repeats 1's text exactly (own URL)  -> drops at exact_dup
+  //  4 is empty text                        -> drops at quality
+  //  5 contains the benchmark trigram       -> drops at contaminated
+  //  6,7 same source, budget fits only one  -> later-priority drops at budget
+  private val longA = ("alpha beta gamma delta " * 6).trim
+  private val longB = ("omega psi chi phi tau " * 6).trim
+  private val docs = Seq(
+    (1L, "http://a.com/x", longA, "s1"),
+    (2L, "http://a.com/x?utm_source=z", "unused text variant", "s1"),
+    (3L, "http://a.com/y", longA, "s2"),
+    (4L, "http://a.com/z", "", "s3"),
+    (5L, "http://a.com/w", "leaked bench secret words " + longB, "s4"),
+    (6L, "http://a.com/u", longB, "s5"),
+    (7L, "http://a.com/v", longB + " extra tail words", "s5")
+  ).toDF("doc_id", "url", "text", "source")
+  private val bench = Seq((100L, "leaked bench secret words here"))
+    .toDF("doc_id", "text")
+
+  private def disp = Curation.disposition(docs, bench,
+    "url", "doc_id", "text", "source",
+    minQuality = 0.3, ngramN = 3, minHits = 1, budgetPerSource = 30L)
+
+  test("every document lands in exactly one stage") {
+    val d = disp.collect()
+    assert(d.length === 7)
+    assert(d.map(_.getLong(0)).toSet === (1L to 7L).toSet)
+  }
+
+  test("each stage claims its designed casualty") {
+    val m = disp.select("id", "drop_stage").as[(Long, String)].collect().toMap
+    assert(m(2L) === "url_dup")
+    assert(m(3L) === "exact_dup")
+    assert(m(4L) === "quality")
+    assert(m(5L) === "contaminated")
+    assert(m(1L) === "kept")
+    // 6 and 7 share source s5 with budget 30: md5 priority picks one
+    assert(Set(m(6L), m(7L)) === Set("kept", "budget"))
+  }
+
+  test("funnel counts reconcile to the input total") {
+    val f = Curation.funnel(disp)
+      .select("stage_order", "drop_stage", "n_docs")
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(f.map(_._3).sum === 7L)
+    assert(f.find(_._2 == "kept").get._3 === 2L)
+  }
+
+  test("disposition is partition-invariant") {
+    def run(parts: Int) = Curation.disposition(
+      docs.repartition(parts), bench, "url", "doc_id", "text", "source",
+      0.3, 3, 1, 30L).orderBy("id").collect().toSeq
+    assert(run(1) === run(5))
+  }
+
+  test("null-canonical urls are never deduped away") {
+    val weird = Seq(
+      (1L, "not a url", "some words here one", "s1"),
+      (2L, "not a url", "other words here two", "s1")
+    ).toDF("doc_id", "url", "text", "source")
+    val d = Curation.disposition(weird, bench, "url", "doc_id", "text", "source",
+      0.0, 3, 1, 1000L).select("id", "drop_stage").as[(Long, String)].collect().toMap
+    assert(d(1L) === "kept" && d(2L) === "kept")
+  }
+}
