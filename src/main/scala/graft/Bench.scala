@@ -155,7 +155,7 @@ object Bench {
          n.startsWith("q_chunk") || n.startsWith("q_decontaminate") => "text"
     case "q_phrase_search" | "q_multi_phrase" | "q_multi_phrase_sweep" => "text"
     case "q_bm25_topk" | "q_bm25_indexed" | "q_bm25_deleted" |
-         "q_boilerplate" | "q_lm_score" | "q_lang_id" |
+         "q_boilerplate" | "q_lm_score" | "q_lm_kneser_ney" | "q_lang_id" |
          "q_pii_scrub" | "q_tfidf_topterms" | "q_vocabulary" |
          "q_pmi_bigrams" | "q_fingerprint" | "q_repetition" |
          "q_repetition_gate" | "q_pack_bins" | "q_pack_render" | "q_source_overlap" |
@@ -183,6 +183,7 @@ object Bench {
     case "q_linear_train" | "q_linear_score" => "text"
     case "q_nb_train" | "q_nb_score" => "text"
     case "q_curation_disposition" | "q_curation_funnel" => "text"
+    case "q_jsonl_roundtrip" => "etl"
     case "q_merge_upsert" | "q_scd2_apply" | "q_agg_upsert" | "q_zorder" |
          "q_quality_audit" | "q_dataset_fingerprint" |
          "q_snapshot_diff" | "q_compaction_plan" |

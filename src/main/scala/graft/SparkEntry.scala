@@ -4071,6 +4071,73 @@ object SparkEntry {
             FROM d LEFT JOIN agg ON agg.id = d.id
             ORDER BY d.id"""))
 
+  /** Interpolated Kneser-Ney bigram scoring
+    * ([[graft.text.LmScore.knBigramLogProb]]) — the KenLM smoothing
+    * family: discounted observed mass plus the continuation-probability
+    * backoff, every count exact, one fixed IEEE expression shape behind
+    * the micro-unit log quantizer. The oracle rebuilds the bigram,
+    * history, continuation and type tables and replays the formula
+    * term-for-term.
+    */
+  private val qLmKneserNey = Q(
+    (s, dir) =>
+      graft.text.LmScore.knBigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id"),
+    Some("""WITH d AS (SELECT doc_id AS id, string_split(text, ' ') AS tk
+                       FROM documents),
+            pp AS (SELECT id, unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i+1])) AS pair
+                   FROM d WHERE len(tk) >= 2),
+            bi AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c12,
+                          split_part(pair, ' ', 1) AS w1,
+                          split_part(pair, ' ', 2) AS w2
+                   FROM pp GROUP BY pair),
+            hist AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                            CAST(COUNT(*) AS BIGINT) AS n1fw
+                     FROM bi GROUP BY w1),
+            cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nw2
+                     FROM bi GROUP BY w2),
+            nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bi),
+            scored AS (SELECT pp.id,
+                              CAST(ROUND(ln(
+                                GREATEST(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                                  / CAST(c1 AS DOUBLE)
+                                + 0.75 * CAST(n1fw AS DOUBLE)
+                                    / CAST(c1 AS DOUBLE)
+                                    * (CAST(nw2 AS DOUBLE) / CAST(nb AS DOUBLE))
+                              ) * 1000000.0) AS BIGINT) AS q
+                       FROM pp JOIN bi USING (pair)
+                            JOIN hist USING (w1) JOIN cont USING (w2)
+                            CROSS JOIN nb),
+            agg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                           CAST(SUM(q) AS BIGINT) AS lp_micro
+                    FROM scored GROUP BY id)
+            SELECT d.id, COALESCE(agg.n_pairs, 0) AS n_pairs,
+                   COALESCE(agg.lp_micro, 0) AS lp_micro,
+                   CASE WHEN agg.n_pairs IS NULL THEN NULL
+                        ELSE ROUND(agg.lp_micro / agg.n_pairs / 1000000.0, 6)
+                   END AS avg_logprob
+            FROM d LEFT JOIN agg ON agg.id = d.id
+            ORDER BY d.id"""))
+
+  /** JSONL interchange round-trip ([[graft.ops.Tables.writeJsonl]] /
+    * readJsonl): the corpus exported as gzip JSON-Lines — the format
+    * tokenizer trainers and public corpus releases consume — re-imported
+    * with the writer's explicit schema, value-identical to the parquet
+    * original (the oracle reads the parquet directly, so any
+    * serialization loss in the text/number round-trip fails the hash).
+    */
+  private val qJsonlRoundtrip = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val out = scratchDir("graft_jsonl").resolve("docs").toString
+      graft.ops.Tables.writeJsonl(docs, out, compression = "gzip")
+      graft.ops.Tables.readJsonl(s, out, docs.schema).orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, text, lang, source, n_chars
+            FROM documents ORDER BY doc_id"""))
+
   /** Pre-load data-quality gate ([[graft.ops.QualityAudit.audit]]):
     * per-column completeness + cardinality over orders in one agg pass.
     * `exact = true` here so DuckDB replays the distinct counts; the
@@ -5837,6 +5904,8 @@ object SparkEntry {
     "q_scd2_apply" -> qScd2Apply,
     "q_boilerplate" -> qBoilerplate,
     "q_lm_score" -> qLmScore,
+    "q_lm_kneser_ney" -> qLmKneserNey,
+    "q_jsonl_roundtrip" -> qJsonlRoundtrip,
     "q_quality_audit" -> qQualityAudit,
     "q_epoch_order" -> qEpochOrder,
     "q_funnel" -> qFunnel,

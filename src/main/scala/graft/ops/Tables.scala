@@ -109,4 +109,25 @@ object Tables {
     spark.readStream.schema(schema)
       .option("basePath", dir).parquet(s"$dir/$name.parquet*")
   }
+
+  /** JSON-Lines export — the LLM-corpus interchange format (one JSON
+    * object per line; what tokenizer trainers, inspection tooling and
+    * most public corpus releases consume). `compression` takes any
+    * Spark-supported codec name ("gzip", "zstd", "none"); partitioned
+    * text output, one file per partition, so a 100 TB export is as
+    * parallel as its partitioning.
+    */
+  def writeJsonl(df: org.apache.spark.sql.DataFrame, path: String,
+                 compression: String = "none"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
+  /** JSON-Lines import with an EXPLICIT schema — inference over JSONL
+    * is a full extra pass and type-guesses (longs vs doubles, empty vs
+    * null); corpus pipelines know their schema and should say so. Pass
+    * the writer's `df.schema` for an exact round-trip.
+    */
+  def readJsonl(spark: SparkSession,
+                path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
 }

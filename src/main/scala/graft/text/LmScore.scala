@@ -32,6 +32,64 @@ object LmScore {
     * ROUNDed mean (NULL for documents with fewer than two tokens:
     * a bigram model has no evidence about them either way).
     */
+  /** Interpolated Kneser-Ney bigram scoring — the smoothing family the
+    * real perplexity filters use (KenLM's default; Kneser & Ney 1995,
+    * Chen & Goodman 1998): instead of add-one's uniform mass,
+    * `P(w2|w1) = max(c12 − d, 0)/c1 + λ(w1)·P_cont(w2)` with
+    * `λ(w1) = d·N1+(w1·)/c1` and the continuation probability
+    * `P_cont(w2) = N1+(·w2)/N1+(··)` — "how many contexts does w2
+    * follow" rather than "how often does w2 occur", which is what makes
+    * KN the strong baseline.
+    *
+    * Determinism: all counts (c12, history totals, distinct-continuation
+    * and distinct-context counts, total bigram types) are exact
+    * integers; `d` defaults to 0.75 (binary-exact); the probability is
+    * ONE fixed shape of IEEE divides/multiply/add evaluated identically
+    * by any engine, and the log sits behind the micro-unit quantizer
+    * like [[bigramLogProb]]. `c1` is the HISTORY count Σ_w c(w1 w) (the
+    * bigram-table-consistent convention), so every observed pair has
+    * c1 ≥ c12 ≥ 1 and the formula never divides by zero.
+    *
+    * Scale shape: one explode feeds the bigram count table; history,
+    * continuation and type counts are three narrow re-aggregations of
+    * that (vocabulary-sized) table, NOT of the corpus; scoring joins
+    * hash on pair/w1/w2 and the 1-row type total broadcasts.
+    */
+  def knBigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount out of (0,1)")
+    val d = docs.select(col(idCol).as("id"),
+      TextAnalysis.tokens(col(textCol)).as("tk"))
+    val pairs = d.select(col("id"),
+      explode(Decontaminate.ngramsFromTokens(col("tk"), 2)).as("pair"))
+    val bi = pairs.groupBy("pair").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", split_part(col("pair"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("pair"), lit(" "), lit(2)))
+    val hist = bi.groupBy("w1").agg(
+      sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val cont = bi.groupBy("w2").agg(count(lit(1)).as("nw2"))
+    val nbi = bi.agg(count(lit(1)).as("__nb"))
+    val scored = pairs
+      .join(bi, "pair").join(hist, "w1").join(cont, "w2")
+      .crossJoin(broadcast(nbi))
+      .withColumn("q", round(log(
+        greatest(col("c12").cast("double") - lit(discount), lit(0.0))
+          / col("c1").cast("double")
+          + lit(discount) * col("n1fw").cast("double") / col("c1").cast("double")
+            * (col("nw2").cast("double") / col("__nb").cast("double"))
+      ) * lit(1000000.0)).cast("long"))
+    val perDoc = scored.groupBy("id").agg(
+      count(lit(1)).as("n_pairs"), sum(col("q")).as("lp_micro"))
+    d.select(col("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("lp_micro"), lit(0L)).as("lp_micro"),
+        when(coalesce(col("n_pairs"), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(round(col("lp_micro") / col("n_pairs") / lit(1000000.0), 6))
+          .as("avg_logprob"))
+  }
+
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("tk"))

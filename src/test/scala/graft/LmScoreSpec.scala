@@ -3,6 +3,45 @@ package graft
 import graft.text.LmScore
 
 class LmScoreSpec extends SparkTestBase {
+
+  test("knBigramLogProb matches the hand-computed Kneser-Ney values") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a b c"), (2L, "b c")).toDF("doc_id", "text")
+    // bigram types: ab(2), ba(1), bc(2); hist a:(c1=2,n1=1) b:(c1=3,n1=2);
+    // cont: a<-1, b<-1, c<-1; total types nb=3
+    def p(c12: Long, c1: Long, n1: Long, nw2: Long): Double =
+      math.max(c12.toDouble - 0.75, 0.0) / c1.toDouble +
+        0.75 * n1.toDouble / c1.toDouble * (nw2.toDouble / 3.0)
+    def q(x: Double): Long = math.round(math.log(x) * 1e6)
+    val pAb = p(2, 2, 1, 1) // 0.625 + 0.125  = 0.75
+    val pBa = p(1, 3, 2, 1) // 1/12 + 1/6     = 0.25
+    val pBc = p(2, 3, 2, 1) // 5/12 + 1/6
+    val out = graft.text.LmScore.knBigramLogProb(docs, "doc_id", "text")
+      .orderBy("id").select("id", "n_pairs", "lp_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 4L, q(pAb) + q(pBa) + q(pAb) + q(pBc)),
+      (2L, 1L, q(pBc))))
+  }
+
+  test("knBigramLogProb: single-token and empty docs score NULL mean, 0 pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "only"), (2L, "a b")).toDF("doc_id", "text")
+    val r = graft.text.LmScore.knBigramLogProb(docs, "doc_id", "text")
+      .orderBy("id").select("id", "n_pairs").as[(Long, Long)].collect().toSeq
+    assert(r === Seq((1L, 0L), (2L, 1L)))
+  }
+
+  test("knBigramLogProb is partition-invariant") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"w${i % 5} w${i % 3} w${i % 7} w${i % 5}"))
+      .toDF("doc_id", "text")
+    def run(n: Int) =
+      graft.text.LmScore.knBigramLogProb(docs.repartition(n), "doc_id", "text")
+        .orderBy("id").collect().toSeq
+    assert(run(1) === run(6))
+  }
   import spark.implicits._
 
   // corpus: "a b" transition dominates; doc 4 uses unseen-direction

@@ -62,4 +62,25 @@ class SourcesSpec extends SparkTestBase {
     assert(merged.filter($"id" === 1L).head().getAs[String]("sector") == null)
     assert(merged.filter($"id" === 3L).head().getAs[String]("cod") == null)
   }
+
+  test("JSONL round-trip preserves values, schema and special characters") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq(
+      (1L, "plain words", "en"),
+      (2L, "quote \" backslash \\ newline\nand tab\tdone", "en"),
+      (3L, "unicode é中文 ok", "und"),
+      (4L, null.asInstanceOf[String], "en")
+    ).toDF("id", "text", "lang")
+    Tables.writeJsonl(df, s"$dir/out", compression = "gzip")
+    val back = Tables.readJsonl(spark, s"$dir/out", df.schema)
+    // JSON sources surface every field nullable; names+types must match
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      === df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    // the files really are gzip jsonl
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty)
+  }
 }
