@@ -3137,6 +3137,88 @@ object SparkEntry {
                    ROUND(CAST(sfx AS DOUBLE) / (n * 1073741824.0), 6) AS mean
             FROM agg ORDER BY cell, pos"""))
 
+  /** Shared CTE chain for the PCA oracles ([[graft.similarity.Pca]]):
+    * fixed-point quantization → truncating-division means → exact
+    * integer covariance → `iters` power-iteration rounds replayed
+    * term-for-term in HUGEINT (the iteration state is renormalized by
+    * truncating division against max-|entry| each round, exactly the
+    * driver's BigInt arithmetic). Iteration CTEs are MATERIALIZED:
+    * inlined, each round's two references to the previous one double
+    * the plan — 2^iters blowup (measured: the un-hinted 12-round chain
+    * exhausted file handles re-opening the parquet).
+    */
+  private def pcaCtes(scaleBits: Int, iters: Int): String = {
+    val s = 1L << scaleBits
+    val base =
+      s"""xq AS MATERIALIZED (
+            SELECT vec_id AS id, u.pos AS pos,
+                   CAST(ROUND(u.v * $s.0) AS BIGINT) AS fx
+            FROM (SELECT vec_id,
+                         unnest(list_transform(generate_series(1, len(embedding)),
+                           i -> {'pos': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+                  FROM embeddings)),
+          mn AS (SELECT pos, CASE WHEN SUM(fx) < 0 THEN -1 ELSE 1 END
+                            * (ABS(CAST(SUM(fx) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)) AS mfx
+                 FROM xq GROUP BY pos),
+          dxt AS MATERIALIZED (SELECT id, pos, fx - mfx AS dxv
+                               FROM xq JOIN mn USING (pos)),
+          cov AS MATERIALIZED (
+            SELECT a.pos AS i, b.pos AS j, CAST(SUM(a.dxv * b.dxv) AS BIGINT) AS cfx
+            FROM dxt a JOIN dxt b USING (id) GROUP BY 1, 2),
+          seed AS (SELECT i AS sdim FROM cov WHERE i = j
+                   ORDER BY cfx DESC, i LIMIT 1),
+          it0 AS MATERIALIZED (
+            SELECT i AS dim,
+                   CASE WHEN i = (SELECT sdim FROM seed) THEN CAST($s AS HUGEINT)
+                        ELSE CAST(0 AS HUGEINT) END AS vfx
+            FROM (SELECT DISTINCT i FROM cov))"""
+    val rounds = (1 to iters).map { k =>
+      s"""it$k AS MATERIALIZED (
+            SELECT dim, CASE WHEN w < 0 THEN -1 ELSE 1 END
+                        * ((ABS(w) * $s) // GREATEST(MAX(ABS(w)) OVER (), 1)) AS vfx
+            FROM (SELECT c.i AS dim, SUM(CAST(c.cfx AS HUGEINT) * v.vfx) AS w
+                  FROM cov c JOIN it${k - 1} v ON c.j = v.dim GROUP BY 1))"""
+    }
+    val sgn =
+      s"""sgn AS (SELECT CASE WHEN (SELECT vfx FROM it$iters
+                                    WHERE ABS(vfx) = (SELECT MAX(ABS(vfx)) FROM it$iters)
+                                    ORDER BY dim LIMIT 1) < 0
+                              THEN -1 ELSE 1 END AS sg)"""
+    (base +: rounds :+ sgn).mkString(",\n")
+  }
+
+  /** Deterministic top principal component ([[graft.similarity.Pca
+    * .topComponentFx]]): 12 fixed-point power-iteration rounds over the
+    * exact integer covariance of the embedding corpus; the d-row loading
+    * table IS the hash-checked result, and the oracle replays the entire
+    * training — quantization, means, covariance, every iteration, the
+    * sign rule — in SQL.
+    */
+  private val qPcaPower = Q(
+    (s, dir) =>
+      graft.similarity.Pca.componentDf(s, t(s, dir, "embeddings"), dim = 64)
+        .orderBy("pos"),
+    Some(s"""WITH ${pcaCtes(scaleBits = 18, iters = 12)}
+            SELECT CAST(dim AS INTEGER) AS pos, CAST(vfx * sg AS BIGINT) AS loading_fx
+            FROM it12, sgn ORDER BY pos"""))
+
+  /** Per-vector projection onto the trained component
+    * ([[graft.similarity.Pca.fitProject]]): the centered integer dot
+    * product per embedding — a drift/outlier feature column. The oracle
+    * re-trains through the same 12 rounds and joins the component back,
+    * transitively re-checking training through every row's projection.
+    */
+  private val qPcaProject = Q(
+    (s, dir) =>
+      graft.similarity.Pca.fitProject(s, t(s, dir, "embeddings"), dim = 64)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id"),
+    Some(s"""WITH ${pcaCtes(scaleBits = 18, iters = 12)}
+            SELECT d.id AS vec_id,
+                   CAST(SUM(d.dxv * CAST(f.vfx * sg AS BIGINT)) AS BIGINT) AS proj_fx
+            FROM dxt d JOIN it12 f ON d.pos = f.dim CROSS JOIN sgn
+            GROUP BY d.id ORDER BY vec_id"""))
+
   /** Rolling 7-day distinct active users ([[graft.ops.RollingDistinct
     * .activeKeys]]) — COUNT(DISTINCT) over a trailing window, which no
     * window frame expresses. The day-granular explode replaces the
@@ -5883,6 +5965,8 @@ object SparkEntry {
     "q_tfidf_topterms" -> qTfidf,
     "q_pmi_bigrams" -> qPmiBigrams,
     "q_kmeans_step" -> qKmeansStep,
+    "q_pca_power" -> qPcaPower,
+    "q_pca_project" -> qPcaProject,
     "q_rolling_active" -> qRollingActive,
     "q_chunk_dedup" -> qChunkDedup,
     "q_substr_spans" -> qSubstrSpans,

@@ -1,0 +1,182 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic top-principal-component extraction over an embedding
+  * corpus — the analysis primitive behind embedding-drift monitoring,
+  * one-dimensional corpus ordering ("sort by the dominant axis of
+  * variation"), and projection-based outlier triage in a training-data
+  * pipeline.
+  *
+  * Method: classical power iteration on the (uncentered-scale-free)
+  * covariance matrix, run entirely in fixed point so the trained
+  * component is BIT-IDENTICAL at any parallelism and replayable by an
+  * external SQL engine (the same contract as [[Kmeans]]' fixed-point
+  * recentering and `LinearModel`'s integer perceptron):
+  *
+  *  - each vector component is quantized once to `2^scaleBits` units
+  *    (HALF_UP, matching DuckDB/Spark ROUND);
+  *  - per-dimension means are exact integer sums followed by one
+  *    truncating division (sign · |sum| div n — identical in Scala
+  *    BigInt, Spark `div`, and DuckDB `//` on the absolute value);
+  *  - the d×d covariance accumulates exact integer products, so the
+  *    partition-merge order cannot change a single bit;
+  *  - the iteration itself runs on the d×d integer matrix with
+  *    arbitrary-precision arithmetic, renormalizing each round to
+  *    `2^scaleBits` by truncating division against the max-|entry|.
+  *
+  * Scale shape: ONE narrow pass for the means (d-sized aggregate), one
+  * narrow pass for the covariance — the d²-per-row pair fan-out happens
+  * inside the scan stage (posexplode × posexplode, both codegen'd, the
+  * i ≤ j triangle only), and the exchange carries per-partition partial
+  * sums (|partitions| · d(d+1)/2 tiny rows), never vectors. The only
+  * driver materialization is the d(d+1)/2-entry covariance — the model,
+  * not data (32 KB at d = 64), exactly the bounded move [[Kmeans]] makes
+  * for its centroid table. The iteration is driver-side arithmetic on
+  * that matrix: free at any corpus size. Projection is a single
+  * shuffle-free map pass (a d-term codegen'd dot product per row).
+  *
+  * Overflow budget: |x| ≤ 2 per component (unit-norm embeddings) keeps
+  * a quantized value under 2^(scaleBits+1); a covariance entry then
+  * fits 2^(2·scaleBits+2) · n — at the default scaleBits = 18 that is
+  * ~2.7e12 · n, safely inside Int64 up to n ≈ 3·10⁶ rows per entry and
+  * checked nowhere else because the iteration is BigInt. At larger
+  * corpora, lower scaleBits (the spec pins the bound, not this comment).
+  */
+object Pca {
+
+  /** Per-dimension fixed-point means: (pos, n, mfx) where
+    * mfx = sign(Σfx) · (|Σfx| div n) — truncating division so DuckDB's
+    * `//` on the absolute value replays it exactly.
+    */
+  def meansFx(corpus: DataFrame, vecCol: String = "embedding",
+              scaleBits: Int = 18): DataFrame = {
+    require(scaleBits > 0 && scaleBits < 30, s"scaleBits=$scaleBits out of (0, 30)")
+    val scale = (1L << scaleBits).toDouble
+    corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("pos"), round(col("v").cast("double") * scale).cast("long").as("fx"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("fx")).as("sfx"))
+      .select(col("pos"), col("n"),
+        (when(col("sfx") < 0, lit(-1L)).otherwise(lit(1L)) *
+          expr("abs(sfx) div n")).as("mfx"))
+  }
+
+  /** [[meansFx]] folded to a driver vector (d longs — the model move). */
+  def meansVec(corpus: DataFrame, dim: Int, vecCol: String = "embedding",
+               scaleBits: Int = 18): Seq[Long] = {
+    val m = meansFx(corpus, vecCol, scaleBits)
+      .select("pos", "mfx").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until dim).map(i => m.getOrElse(i, 0L))
+  }
+
+  /** Centered fixed-point vectors as a d-slot array column built from d
+    * EXPLICIT expressions (no higher-order function — those are
+    * CodegenFallback; see NOTES round-1): dxv[i] = round(x[i]·2^b) − mfx[i].
+    */
+  private def centeredCol(means: Seq[Long], vecCol: String, scaleBits: Int) = {
+    val scale = (1L << scaleBits).toDouble
+    array(means.indices.map { i =>
+      round(element_at(col(vecCol), i + 1).cast("double") * scale)
+        .cast("long") - lit(means(i))
+    }: _*)
+  }
+
+  /** Upper-triangle covariance in exact integers: (i, j, cfx) for
+    * i ≤ j, cfx = Σ_rows dxv[i]·dxv[j]. The pair fan-out is two chained
+    * posexplodes inside the scan stage — no self-join, no shuffle of
+    * vectors; only d(d+1)/2 partial sums per partition reach the
+    * exchange.
+    */
+  def covarianceFx(corpus: DataFrame, means: Seq[Long],
+                   vecCol: String = "embedding", scaleBits: Int = 18): DataFrame =
+    corpus
+      .select(centeredCol(means, vecCol, scaleBits).as("dxv"))
+      .select(col("dxv"), posexplode(col("dxv")).as(Seq("i", "dxi")))
+      .select(col("i"), col("dxi"), posexplode(col("dxv")).as(Seq("j", "dxj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum(col("dxi") * col("dxj")).as("cfx"))
+
+  /** Fixed-point power iteration on the collected covariance: `iters`
+    * rounds of v ← C·v renormalized to 2^scaleBits by truncating
+    * division against max|entry| (floored at 1), seeded with 2^scaleBits
+    * on the largest-variance dimension (smallest index on ties), signed
+    * so the largest-|loading| dimension (smallest index on ties) is
+    * positive. Every step is integer arithmetic — the returned loadings
+    * are bit-stable across runs, partitionings, and engines.
+    */
+  def topComponentFx(corpus: DataFrame, dim: Int,
+                     vecCol: String = "embedding", scaleBits: Int = 18,
+                     iters: Int = 12): Seq[Long] = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val means = meansVec(corpus, dim, vecCol, scaleBits)
+    val scale = BigInt(1L << scaleBits)
+    val c = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim) c(i)(j) = BigInt(0)
+    covarianceFx(corpus, means, vecCol, scaleBits).collect().foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(2)))
+      c(i)(j) = v
+      c(j)(i) = v
+    }
+    val seedDim = (0 until dim).maxBy(i => (c(i)(i), -i))
+    var v: IndexedSeq[BigInt] =
+      (0 until dim).map(i => if (i == seedDim) scale else BigInt(0))
+    for (_ <- 1 to iters) {
+      val w = (0 until dim).map(i =>
+        (0 until dim).foldLeft(BigInt(0))((s, j) => s + c(i)(j) * v(j)))
+      val ma = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(x => (x.abs * scale / ma) * (if (x < 0) -1 else 1))
+    }
+    val mx = v.map(_.abs).max
+    val first = v.indexWhere(_.abs == mx)
+    val signed = if (v(first) < 0) v.map(-_) else v
+    signed.map(_.toLong)
+  }
+
+  /** Per-row projection onto the trained component: one shuffle-free
+    * codegen pass computing the d-term integer dot product
+    * Σ dxv[i]·loading[i] (scale 2^2b — a BIGINT feature column ready for
+    * range-partitioned ordering, drift histograms, or outlier gates).
+    */
+  def projectFx(corpus: DataFrame, means: Seq[Long], component: Seq[Long],
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                scaleBits: Int = 18): DataFrame = {
+    require(means.length == component.length,
+      s"means dim ${means.length} != component dim ${component.length}")
+    val scale = (1L << scaleBits).toDouble
+    val terms = means.indices.map { i =>
+      (round(element_at(col(vecCol), i + 1).cast("double") * scale)
+        .cast("long") - lit(means(i))) * lit(component(i))
+    }
+    corpus.select(col(idCol).as("id"),
+      terms.reduce(_ + _).as("proj_fx"))
+  }
+
+  /** Convenience: train on the corpus, project the corpus — the
+    * embedding-drift / outlier-triage composition, two distributed
+    * passes total (means+cov, then projection).
+    */
+  def fitProject(spark: SparkSession, corpus: DataFrame, dim: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding",
+                 scaleBits: Int = 18, iters: Int = 12): DataFrame = {
+    val means = meansVec(corpus, dim, vecCol, scaleBits)
+    val comp = topComponentFx(corpus, dim, vecCol, scaleBits, iters)
+    projectFx(corpus, means, comp, idCol, vecCol, scaleBits)
+  }
+
+  /** The component itself as a DataFrame (pos, loading_fx) — the model
+    * table is the result set, [[graft.text.LinearModel]]-style.
+    */
+  def componentDf(spark: SparkSession, corpus: DataFrame, dim: Int,
+                  vecCol: String = "embedding", scaleBits: Int = 18,
+                  iters: Int = 12): DataFrame = {
+    import spark.implicits._
+    topComponentFx(corpus, dim, vecCol, scaleBits, iters)
+      .zipWithIndex.map { case (l, i) => (i, l) }
+      .toDF("pos", "loading_fx")
+  }
+}

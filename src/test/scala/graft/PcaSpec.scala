@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, expr}
+
+import graft.similarity.Pca
+
+class PcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val S = 1L << 18
+
+  // HALF_UP away-from-zero, matching Spark/DuckDB ROUND (math.round
+  // rounds -0.5 toward +inf — wrong side for negatives)
+  private def halfAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  // 3-dim corpus whose variance is overwhelmingly along (3, 4, 0)/5:
+  // points at t·(3,4,0)/5 for spread t, plus tiny off-axis jitter on z.
+  private lazy val lineCorpus = Seq(
+    (0L, Array(0.60f, 0.80f, 0.01f)),
+    (1L, Array(-0.60f, -0.80f, -0.01f)),
+    (2L, Array(0.30f, 0.40f, 0.02f)),
+    (3L, Array(-0.30f, -0.40f, 0.00f)),
+    (4L, Array(0.48f, 0.64f, -0.01f)),
+    (5L, Array(-0.48f, -0.64f, 0.01f))
+  ).toDF("vec_id", "embedding")
+
+  test("topComponentFx recovers a dominant direction: loadings ∝ (3, 4, ~0)") {
+    val v = Pca.topComponentFx(lineCorpus, dim = 3)
+    // dominant dim (y, loading 4/5) is positive by the sign rule
+    assert(v(1) > 0)
+    // ratio x/y = 3/4 within fixed-point tolerance
+    assert(math.abs(v(0).toDouble / v(1).toDouble - 0.75) < 1e-3)
+    // z loading is noise-sized relative to the dominant axis
+    assert(math.abs(v(2).toDouble / v(1).toDouble) < 0.05)
+    // renormalization contract: max |loading| is exactly the scale
+    assert(v.map(math.abs).max === S)
+  }
+
+  test("component is bit-identical at any parallelism") {
+    val a = Pca.topComponentFx(lineCorpus.repartition(1), dim = 3)
+    val b = Pca.topComponentFx(lineCorpus.repartition(7), dim = 3)
+    assert(a === b)
+  }
+
+  test("sign rule: the largest-|loading| dimension is positive") {
+    // same corpus negated — the subspace is identical, so the signed
+    // component must come out the same
+    val neg = lineCorpus.select(col("vec_id"),
+      expr("transform(embedding, x -> -x)").as("embedding"))
+    val a = Pca.topComponentFx(lineCorpus, dim = 3)
+    val b = Pca.topComponentFx(neg, dim = 3)
+    assert(a === b)
+    assert(a(a.map(math.abs).zipWithIndex.maxBy(_._1)._2) > 0)
+  }
+
+  test("meansFx: truncating signed division (negative sums round toward zero)") {
+    // 3 rows, dim 1: fx = round(v·2^18): -1, -1, 0 → sum -2, n 3 → mfx 0
+    val df = Seq(
+      (0L, Array(-1.0f / S)), (1L, Array(-1.0f / S)), (2L, Array(0.0f))
+    ).toDF("vec_id", "embedding")
+    val m = Pca.meansFx(df).collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(m.toSeq === Seq((0, 0L)))
+    // and with a sum that does divide: -3 / 3 = -1
+    val df2 = Seq(
+      (0L, Array(-1.0f / S)), (1L, Array(-1.0f / S)), (2L, Array(-1.0f / S))
+    ).toDF("vec_id", "embedding")
+    val m2 = Pca.meansVec(df2, dim = 1)
+    assert(m2 === Seq(-1L))
+  }
+
+  test("covarianceFx: hand-computed 2-dim integer entries") {
+    // two rows: (1, 2) and (-1, -2) in raw units of 2^-18 → means 0,
+    // cov = [[2, 4], [4, 8]] exactly (upper triangle)
+    val df = Seq(
+      (0L, Array(1.0f / S, 2.0f / S)),
+      (1L, Array(-1.0f / S, -2.0f / S))
+    ).toDF("vec_id", "embedding")
+    val means = Pca.meansVec(df, dim = 2)
+    assert(means === Seq(0L, 0L))
+    val cov = Pca.covarianceFx(df, means).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cov === Map((0, 0) -> 2L, (0, 1) -> 4L, (1, 1) -> 8L))
+  }
+
+  test("projectFx equals the manual centered dot product") {
+    val means = Pca.meansVec(lineCorpus, dim = 3)
+    val comp = Pca.topComponentFx(lineCorpus, dim = 3)
+    val rows = lineCorpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val got = Pca.projectFx(lineCorpus, means, comp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, xs) =>
+      val expected = xs.indices.map { i =>
+        (halfAway(xs(i).toDouble * S) - means(i)) * comp(i)
+      }.sum
+      assert(got(id) === expected, s"vec $id")
+    }
+  }
+
+  test("projection separates the line ends: monotone in t along the axis") {
+    val proj = Pca.fitProject(spark, lineCorpus, dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // t-order: 1 (-1.0) < 3 (-0.5) < 5 (-0.8)... actual t values:
+    // id0 t=1.0, id1 t=-1.0, id2 t=0.5, id3 t=-0.5, id4 t=0.8, id5 t=-0.8
+    val byT = Seq(1L -> -1.0, 5L -> -0.8, 3L -> -0.5, 2L -> 0.5, 4L -> 0.8, 0L -> 1.0)
+    val projs = byT.map { case (id, _) => proj(id) }
+    assert(projs === projs.sorted, s"projections not monotone: $projs")
+  }
+
+  test("component improves the Rayleigh quotient over the seed axis") {
+    // on the real embeddings fixture: quotient v'Cv / v'v of the trained
+    // component must be >= that of the best coordinate axis (the seed) —
+    // power iteration can only go up
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = 64
+    val means = Pca.meansVec(emb, dim)
+    val cov = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- 0 until dim) cov(i)(j) = BigInt(0)
+    Pca.covarianceFx(emb, means).collect().foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(2)))
+      cov(i)(j) = v; cov(j)(i) = v
+    }
+    def rayleigh(v: Seq[BigInt]): Double = {
+      val num = (0 until dim).map(i =>
+        (0 until dim).map(j => cov(i)(j) * v(i) * v(j)).sum).sum
+      val den = v.map(x => x * x).sum
+      (BigDecimal(num) / BigDecimal(den)).toDouble
+    }
+    val comp = Pca.topComponentFx(emb, dim).map(BigInt(_))
+    val bestAxis = (0 until dim).map { a =>
+      rayleigh((0 until dim).map(i => if (i == a) BigInt(1) else BigInt(0)))
+    }.max
+    assert(rayleigh(comp) >= bestAxis,
+      s"rayleigh(comp)=${rayleigh(comp)} < best axis $bestAxis")
+  }
+}
