@@ -177,7 +177,8 @@ object Bench {
          "q_correlation" | "q_mad" | "q_normalize" | "q_winsorize" |
          "q_decayed_sum" | "q_cms_topk" |
          "q_range_join" | "q_range_join_keyed" | "q_fuzzy_link" |
-         "q_resample_daily" | "q_rolling_active" => "events"
+         "q_resample_daily" | "q_rolling_active" |
+         "q_hll_distinct" | "q_hll_incremental" => "events"
     case "q_dsir_weights" | "q_source_kl" => "text"
     case "q_url_canonical" | "q_domain_cap" | "q_url_dedup" => "text"
     case "q_para_dedup" | "q_para_profile" => "text"

@@ -3236,6 +3236,74 @@ object SparkEntry {
             FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
             GROUP BY d.day ORDER BY d.day"""))
 
+  /** Shared CTE chain for the HLL oracles ([[graft.ops.Hll]]): 60-bit
+    * md5 hash → register/rank split → per-(day, register) max → exact
+    * BIGINT indicator sum at scale 2^54 → the single-float estimator
+    * expression, term-for-term the Scala shape.
+    */
+  private val hllCtes: String =
+    s"""ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+       hh AS (SELECT day, ${md5LongSql("CAST(user_id AS VARCHAR)")} AS h FROM ev),
+       rr AS (SELECT day, h % 64 AS reg, h // 64 AS rest FROM hh),
+       rh AS (SELECT day, reg,
+                     CASE WHEN rest = 0 THEN 55
+                          ELSE 55 - length(bin(rest)) END AS rho
+              FROM rr),
+       regs AS (SELECT day, reg, MAX(rho) AS maxrho FROM rh GROUP BY day, reg),
+       agg AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS nreg,
+                      CAST(SUM(CAST(1 AS BIGINT) << (54 - maxrho)) AS BIGINT) AS t_present
+               FROM regs GROUP BY day),
+       fin AS (SELECT day, CAST(64 - nreg AS BIGINT) AS v_zero,
+                      t_present + (64 - nreg) * 18014398509481984 AS t_scaled
+               FROM agg)"""
+
+  private val hllSelect: String =
+    """SELECT day, v_zero, t_scaled,
+              CAST(ROUND((CASE WHEN v_zero > 0
+                                AND (0.709 * 4096.0 * (18014398509481984.0
+                                     / CAST(t_scaled AS DOUBLE))) <= 160.0
+                          THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+                          ELSE 0.709 * 4096.0 * (18014398509481984.0
+                               / CAST(t_scaled AS DOUBLE)) END)
+                         * 1000000.0) AS BIGINT) AS est_micro
+       FROM fin ORDER BY day"""
+
+  /** Mergeable HLL distinct sketch ([[graft.ops.Hll.distinctSketch]]):
+    * per-day distinct-user registers and estimate. The two integer
+    * columns (empty-register count, exact power-of-two indicator sum)
+    * pin the sketch bit-for-bit; the estimate is one micro-quantized
+    * float expression repeated verbatim in the oracle.
+    */
+  private val qHllDistinct = Q(
+    (s, dir) =>
+      graft.ops.Hll.distinctSketch(
+        Tables.readEvents(s, dir)
+          .select(to_date(col("ts")).as("day"), col("user_id")),
+        Seq("day"), "user_id")
+        .orderBy("day"),
+    Some(s"WITH $hllCtes\n$hllSelect"))
+
+  /** The PERSISTED-segment path ([[graft.ops.Hll.writeSegments]] →
+    * [[graft.ops.Hll.estimateFromSegments]]): the same per-day sketch,
+    * but built as two appended half-corpus segments (user parity) and
+    * merged FROM DISK — union-of-sketches ≡ sketch-of-union is the
+    * algebraic invariant this gate row checks through a real round
+    * trip, under the one-shot oracle verbatim.
+    */
+  private val qHllIncremental = Q(
+    (s, dir) => {
+      val ev = Tables.readEvents(s, dir)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val segPath = scratchDir("graft_hll_seg").resolve("seg").toString
+      graft.ops.Hll.writeSegments(
+        ev.filter(col("user_id") % 2 === 0), Seq("day"), "user_id", segPath)
+      graft.ops.Hll.writeSegments(
+        ev.filter(col("user_id") % 2 =!= 0), Seq("day"), "user_id", segPath)
+      graft.ops.Hll.estimateFromSegments(s, segPath, Seq("day"))
+        .orderBy("day")
+    },
+    Some(s"WITH $hllCtes\n$hllSelect"))
+
   /** Chunk-granular exact substring dedup ([[graft.text.Chunker
     * .dedupChunks]]): every 16-token passage keeps only its global first
     * occurrence and documents are rebuilt from survivors. The oracle
@@ -3829,6 +3897,40 @@ object SparkEntry {
         .orderBy("new_id", "seen_id")
     },
     qDedupLshIncremental.oracle)
+
+  /** Index erase without rebuild ([[graft.dedup.NearDup
+    * .deleteFromNearDupIndex]] → [[graft.dedup.NearDup
+    * .readNearDupIndex]]): the stored seen-index takes a takedown batch
+    * (ids 300–399) as tombstones, and the ingest check runs against the
+    * surviving rows — no re-hash of the seen corpus. The oracle is the
+    * incremental chain with the seen side reduced to the live range, so
+    * a tombstone leak (a deleted doc still producing candidate pairs or
+    * still counting toward bucket caps) hash-fails.
+    */
+  private val qDedupLshErased = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxPath = scratchDir("graft_lsh_erase").resolve("idx").toString
+      graft.dedup.NearDup.writeNearDupIndex(
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 1000),
+        "doc_id", "text", numHashes = 16, idxPath)
+      graft.dedup.NearDup.deleteFromNearDupIndex(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+          .select(col("doc_id")),
+        idxPath, "doc_id")
+      graft.dedup.NearDup.minHashLshAgainstIndex(
+        docs.filter(col("doc_id") < 250),
+        graft.dedup.NearDup.readNearDupIndex(s, idxPath),
+        "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+        .orderBy("new_id", "seen_id")
+    },
+    Some(s"""WITH nbase AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 250),
+            sbase AS (SELECT doc_id AS id, text FROM documents
+                      WHERE doc_id >= 250 AND doc_id < 1000
+                        AND NOT (doc_id >= 300 AND doc_id < 400)),
+            ${minHashXPairsCtes(bands = 4, rowsPerBand = 4, threshold = 0.9, maxBucket = 1000)}
+            SELECT new_id, seen_id, jaccard FROM xpairs
+            ORDER BY new_id, seen_id"""))
 
   /** CDC merge ([[graft.ops.Merge.applyChanges]]): a synthetic change
     * batch over the orders snapshot — two competing updates per changed
@@ -5967,6 +6069,8 @@ object SparkEntry {
     "q_kmeans_step" -> qKmeansStep,
     "q_pca_power" -> qPcaPower,
     "q_pca_project" -> qPcaProject,
+    "q_hll_distinct" -> qHllDistinct,
+    "q_hll_incremental" -> qHllIncremental,
     "q_rolling_active" -> qRollingActive,
     "q_chunk_dedup" -> qChunkDedup,
     "q_substr_spans" -> qSubstrSpans,
@@ -6050,6 +6154,7 @@ object SparkEntry {
     "q_multi_phrase" -> qMultiPhrase,
     "q_multi_phrase_sweep" -> qMultiPhraseSweep,
     "q_dedup_lsh_indexed" -> qDedupLshIndexed,
+    "q_dedup_lsh_erased" -> qDedupLshErased,
     "q_dedup_near_filter" -> qDedupNearFilter,
   )
 

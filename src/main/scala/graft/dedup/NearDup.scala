@@ -311,6 +311,35 @@ object NearDup {
     nearDupIndex(docs, idCol, textCol, numHashes)
       .write.mode("append").parquet(path)
 
+  /** Delete documents from the stored index WITHOUT rebuild — the erase
+    * verb the BM25 and IVF indexes already have (takedowns, retention,
+    * re-curation). Ids land in the append-only sibling dir
+    * `<path>.tombstones` (a subdirectory inside the flat index table
+    * would break plain parquet reads and the compaction pass;
+    * [[graft.similarity.Ivf]] nests its tombstones only because its
+    * layout is already multi-dir), and [[readNearDupIndex]] anti-joins
+    * them out. Idempotent by construction — an anti-join doesn't care
+    * how many tombstone rows an id has; a compaction-time rewrite of
+    * the live rows folds them in physically later.
+    */
+  def deleteFromNearDupIndex(ids: DataFrame, path: String,
+                             idCol: String = "id"): Unit =
+    ids.select(col(idCol).cast(LongType).as("id")).distinct()
+      .write.mode("append").parquet(s"$path.tombstones")
+
+  /** Load the stored index minus tombstones — THE read path for index
+    * queries (identical to a plain read until the first delete; the
+    * tombstone side is takedown-sized, so the anti-join broadcasts).
+    */
+  def readNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val t = new org.apache.hadoop.fs.Path(s"$path.tombstones")
+    if (!t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t)) df
+    else df.join(broadcast(spark.read.parquet(s"$path.tombstones")),
+      Seq("id"), "left_anti")
+  }
+
   /** [[minHashLshAgainstCorpus]] against a PRE-MATERIALIZED index
     * ([[nearDupIndex]] schema) instead of raw seen documents: the seen
     * side contributes zero signature work — band rows, estimate slots

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.dedup.NearDup
+
+/** HyperLogLog distinct-count sketches with PERSISTABLE, MERGEABLE
+  * register segments (Flajolet et al., "HyperLogLog: the analysis of a
+  * near-optimal cardinality estimation algorithm" — public).
+  *
+  * Spark has `approx_count_distinct`, but its sketch lives and dies
+  * inside one aggregation: the registers are not a table you can store,
+  * ship, or merge with last month's. At lake scale the USEFUL form of a
+  * distinct count is exactly that table — "distinct users ever seen",
+  * maintained by appending a small per-batch segment and merging at
+  * read, never re-scanning history (the same append-only segment-stats
+  * design as the BM25 index's df/n rows). This module makes the sketch
+  * a first-class dataset:
+  *
+  *  - [[registers]]: per (key, register) max leading-zero rank — 60-bit
+  *    md5-derived hashes, integer-exact, so the register table is
+  *    bit-stable at any parallelism AND replayable by an external
+  *    engine (max is order-free; no float enters the sketch);
+  *  - [[mergeRegisters]]: segment union = groupBy max — associative,
+  *    commutative, idempotent, so batch boundaries cannot change the
+  *    merged sketch (union-of-sketches ≡ sketch-of-union BY ALGEBRA,
+  *    not by testing);
+  *  - [[estimate]]: the HLL estimator with the indicator sum kept as an
+  *    exact BIGINT (Σ 2^(p−M_j) — every term a power of two, summed at
+  *    scale 2^p, so no float accumulation order exists) and ONE
+  *    division + the standard small-range linear-counting branch at the
+  *    end, micro-unit quantized for the oracle contract.
+  *
+  * Scale shape: the only exchange is the (key, reg) partial-max — at
+  * m = 64 registers, ≤ 64·|keys| rows per partition regardless of row
+  * count; values never shuffle. A segment is ≤ 64·|keys| rows per
+  * batch. Reading "distinct over all history" costs a scan of segment
+  * rows (sketch-sized, not data-sized) + one merge agg.
+  */
+object Hll {
+
+  /** Register-index width: m = 2^bits registers; md5Long supplies 60
+    * hash bits, the low `bits` select the register and the remaining
+    * p = 60 − bits bits feed the rank.
+    */
+  val Bits = 6
+  val M: Int = 1 << Bits          // 64 registers
+  val P: Int = 60 - Bits          // 54 rank bits
+  private val Alpha = 0.709       // alpha_64 (Flajolet et al., m = 64)
+
+  /** rho(rest) = position of the leftmost 1-bit among the p rank bits
+    * (1-based), p+1 when all zero — via the length of the minimal
+    * binary string (`bin`), identical in Spark and DuckDB, so the rank
+    * is integer arithmetic end to end.
+    */
+  private def rho(rest: Column): Column =
+    when(rest === 0L, lit(P + 1))
+      .otherwise(lit(P + 1) - length(bin(rest)))
+
+  /** Per-(key, register) max rank: the sketch as a DataFrame
+    * (keyCols..., reg, maxrho). One narrow pass + one m-bounded
+    * partial-max exchange; registers never observed stay absent
+    * (0-valued implicitly — [[estimate]] accounts for them).
+    */
+  def registers(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame = {
+    val h = NearDup.md5Long(col(valCol).cast("string"))
+    df.select(keyCols.map(col) :+ h.as("h"): _*)
+      .select(keyCols.map(col) :+ (col("h") % M).as("reg") :+
+        shiftright(col("h"), Bits).as("rest"): _*)
+      .select(keyCols.map(col) :+ col("reg") :+ rho(col("rest")).as("rho"): _*)
+      .groupBy(keyCols.map(col) :+ col("reg"): _*)
+      .agg(max(col("rho")).as("maxrho"))
+  }
+
+  /** Union of sketch segments: groupBy max — the merge is the same
+    * aggregate that built the segments, so merging is associative and
+    * idempotent by construction.
+    */
+  def mergeRegisters(segments: DataFrame, keyCols: Seq[String]): DataFrame =
+    segments.groupBy(keyCols.map(col) :+ col("reg"): _*)
+      .agg(max(col("maxrho")).as("maxrho"))
+
+  /** Per-key cardinality estimate from (merged) registers:
+    * (keyCols..., v_zero, t_scaled, est_micro) where `v_zero` counts
+    * empty registers, `t_scaled` = Σ 2^(p − M_j) EXACTLY in BIGINT
+    * (empty registers contribute 2^p each), and `est_micro` is the HLL
+    * estimate — alpha·m²·2^p / t with the linear-counting branch below
+    * 2.5·m — quantized to micro-units. The two integer columns pin the
+    * sketch; the float appears in exactly one expression whose shape
+    * the oracle repeats verbatim.
+    */
+  def estimate(regs: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val twoP = 1L << P // 2^54
+    val merged = regs.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("nreg"),
+        // each term is an exact power of two at scale 2^p; the sum is a
+        // plain BIGINT — no float accumulation order exists to disagree on
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $P - maxrho)")).as("t_present"))
+      .withColumn("v_zero", (lit(M.toLong) - col("nreg")).cast(LongType))
+      .withColumn("t_scaled", col("t_present") + col("v_zero") * lit(twoP))
+    // E_raw = alpha · m² · (2^p / t) — one cast, one division, two
+    // multiplications, written in the identical order in the oracle SQL
+    val eRaw = lit(Alpha) * lit((M.toLong * M).toDouble) *
+      (lit(twoP.toDouble) / col("t_scaled").cast("double"))
+    val est = when(col("v_zero") > 0 && eRaw <= lit(2.5 * M),
+      lit(M.toDouble) * log(lit(M.toDouble) / col("v_zero").cast("double")))
+      .otherwise(eRaw)
+    merged.select(keyCols.map(col) :+ col("v_zero") :+ col("t_scaled") :+
+      round(est * lit(1e6)).cast(LongType).as("est_micro"): _*)
+  }
+
+  /** [[registers]] → [[estimate]] in one call — the ad-hoc form. */
+  def distinctSketch(df: DataFrame, keyCols: Seq[String], valCol: String): DataFrame =
+    estimate(registers(df, keyCols, valCol), keyCols)
+
+  /** Persist a batch's registers as an append-only segment — the ingest
+    * verb. Segments are sketch-sized (≤ m·|keys| rows per batch).
+    */
+  def writeSegments(df: DataFrame, keyCols: Seq[String], valCol: String,
+                    path: String): Unit =
+    registers(df, keyCols, valCol).write.mode("append").parquet(path)
+
+  /** Distinct estimate over ALL history from the stored segments: merge
+    * (groupBy max) + estimate — history is never re-scanned; the read
+    * cost is the segment table, which is sketch-sized.
+    */
+  def estimateFromSegments(spark: SparkSession, path: String,
+                           keyCols: Seq[String]): DataFrame =
+    estimate(mergeRegisters(spark.read.parquet(path), keyCols), keyCols)
+}

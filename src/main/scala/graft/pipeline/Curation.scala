@@ -30,6 +30,16 @@ import graft.text.{Decontaminate, TextAnalysis, UrlCurate}
   * the Bloom variant when the gram table outgrows the exchange), and
   * the budget pass windows per source. Dispositions are emitted as
   * id-plus-tag rows and unioned — no stage ever re-reads the corpus.
+  *
+  * Every stage boundary is MATERIALIZED (localCheckpoint): each stage
+  * fans out into ≥2 consumers (its drop branch, its survivor branch,
+  * and the next stage's aggregation), and Spark plan branches share no
+  * work — without the checkpoints the stage-1 chain re-executes once
+  * per downstream leaf, compounding per stage (measured: 334 s → 27 s
+  * at 100×, a 12× win; the from-lazy form was the single slowest row
+  * in the suite). This is also what a production curation run does
+  * anyway — each stage's output lands in the lake for audit; the
+  * checkpoint is that materialization in-session.
   */
 object Curation {
 
@@ -55,10 +65,14 @@ object Curation {
 
     // 1. canonical-URL dedup: min id per canonical form wins; rows that
     // fail to canonicalize (NULL) all survive (no URL identity to dedup).
+    // canon is consumed by its own aggregation AND the join back — one
+    // corpus pass, pinned; withK1 fans out to drop + survivor branches.
     val canon = base.withColumn("__canon", UrlCurate.canonicalUrl(col("__url")))
+      .localCheckpoint()
     val urlFirst = canon.filter(col("__canon").isNotNull)
       .groupBy("__canon").agg(min(col("id")).as("__kid"))
     val withK1 = canon.join(urlFirst, Seq("__canon"), "left")
+      .localCheckpoint()
     val drop1 = tag(withK1.filter(col("__kid").isNotNull && col("id") =!= col("__kid")),
       1, "url_dup")
     val surv1 = withK1.filter(col("__kid").isNull || col("id") === col("__kid"))
@@ -67,28 +81,34 @@ object Curation {
     // 2. exact text dedup, same min-id aggregation shape
     val h2 = surv1.withColumn("__h", NearDup.md5Long(col("__text")))
     val txtFirst = h2.groupBy("__h").agg(min(col("id")).as("__kid"))
-    val withK2 = h2.join(txtFirst, "__h")
+    val withK2 = h2.join(txtFirst, "__h").localCheckpoint()
     val drop2 = tag(withK2.filter(col("id") =!= col("__kid")), 2, "exact_dup")
     val surv2 = withK2.filter(col("id") === col("__kid")).drop("__h", "__kid")
 
-    // 3. quality gate
+    // 3. quality gate (narrow on top of the stage-2 checkpoint — the
+    // score is recomputed by each branch, but off pinned rows, not off
+    // a re-run of the upstream shuffles)
     val q3 = surv2.withColumn("__q", TextAnalysis.qualityScore(col("__text")))
     val drop3 = tag(q3.filter(col("__q") < minQuality), 3, "quality")
     val surv3 = q3.filter(col("__q") >= minQuality).drop("__q")
+      .localCheckpoint()
 
-    // 4. benchmark decontamination over the remaining pool
+    // 4. benchmark decontamination over the remaining pool —
+    // flagContaminated scans its train side twice (gram explosion +
+    // id base), both now off the stage-3 checkpoint
     val flags = Decontaminate.flagContaminated(
       surv3.select(col("id").as("doc_id"), col("__text").as("text")),
       bench.select(col(idCol).as("doc_id"), col(textCol).as("text")),
       "doc_id", "text", n = ngramN, minHits = minHits)
       .select(col("id"), col("contaminated"))
-    val withF = surv3.join(flags, "id")
+    val withF = surv3.join(flags, "id").localCheckpoint()
     val drop4 = tag(withF.filter(col("contaminated")), 4, "contaminated")
     val surv4 = withF.filter(!col("contaminated")).drop("contaminated")
 
     // 5. per-source token budget (md5-priority order, whole docs only)
     val nt = surv4.withColumn("__nt",
       TextAnalysis.tokenCount(col("__text")).cast("long"))
+      .localCheckpoint()
     val kept5 = Sampling.tokenBudgetPerKey(nt, Seq("__src"), "id", "__nt",
       budgetPerSource).select("id")
     val drop5 = tag(nt.join(kept5, Seq("id"), "left_anti"), 5, "budget")

@@ -60,17 +60,31 @@ object LmScore {
     require(discount > 0 && discount < 1, s"discount=$discount out of (0,1)")
     val d = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("tk"))
+    // Score per DISTINCT (doc, bigram) with an occurrence count, never
+    // per occurrence: the raw exploded stream is aggregated once into
+    // perDocPair, the whole count model (bi → hist/cont/N) and the
+    // per-pair score are derived from model-sized tables, and the only
+    // data-sized join is perDocPair ⋈ (pair, q). The first-shipped form
+    // joined the RAW occurrence stream through a 3-join cascade
+    // (156.9 s at 100×) and pinning that stream made it worse (186.3 s
+    // — the pin writes dominate); this shape reads 60.7 s on the same
+    // fixture (2.6×). perDocPair is pinned because every model
+    // aggregate hangs off it — it is occurrence-deduplicated, so the
+    // pin is bounded by doc-distinct bigram types, not corpus length.
     val pairs = d.select(col("id"),
       explode(Decontaminate.ngramsFromTokens(col("tk"), 2)).as("pair"))
-    val bi = pairs.groupBy("pair").agg(count(lit(1)).as("c12"))
+    val perDocPair = pairs.groupBy("id", "pair")
+      .agg(count(lit(1)).as("__occ")).localCheckpoint()
+    val bi = perDocPair.groupBy("pair").agg(sum(col("__occ")).as("c12"))
       .withColumn("w1", split_part(col("pair"), lit(" "), lit(1)))
       .withColumn("w2", split_part(col("pair"), lit(" "), lit(2)))
+      .localCheckpoint() // model-sized; consumed by 4 aggregates below
     val hist = bi.groupBy("w1").agg(
       sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
     val cont = bi.groupBy("w2").agg(count(lit(1)).as("nw2"))
     val nbi = bi.agg(count(lit(1)).as("__nb"))
-    val scored = pairs
-      .join(bi, "pair").join(hist, "w1").join(cont, "w2")
+    val qmodel = bi
+      .join(hist, "w1").join(cont, "w2")
       .crossJoin(broadcast(nbi))
       .withColumn("q", round(log(
         greatest(col("c12").cast("double") - lit(discount), lit(0.0))
@@ -78,8 +92,11 @@ object LmScore {
           + lit(discount) * col("n1fw").cast("double") / col("c1").cast("double")
             * (col("nw2").cast("double") / col("__nb").cast("double"))
       ) * lit(1000000.0)).cast("long"))
-    val perDoc = scored.groupBy("id").agg(
-      count(lit(1)).as("n_pairs"), sum(col("q")).as("lp_micro"))
+      .select("pair", "q")
+    val perDoc = perDocPair.join(qmodel, "pair")
+      .groupBy("id").agg(
+        sum(col("__occ")).as("n_pairs"),
+        sum(col("__occ") * col("q")).as("lp_micro"))
     d.select(col("id"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"),

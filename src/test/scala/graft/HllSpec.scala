@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Hll
+
+class HllSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val events =
+    graft.ops.Tables.readEvents(spark, "/root/testdata/sf0.001")
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+
+  test("registers: rho derived from the 60-bit hash, bounds [1, 55]") {
+    val df = Seq(("k", "someval")).toDF("k", "v")
+    val regs = Hll.registers(df, Seq("k"), "v").collect()
+    assert(regs.length === 1)
+    val (reg, maxrho) = (regs(0).getAs[Long]("reg"), regs(0).getAs[Int]("maxrho"))
+    // independent recomputation from the same md5-derived hash
+    val h = df.select(graft.dedup.NearDup.md5Long(col("v")).as("h"))
+      .head.getLong(0)
+    assert(reg === h % 64)
+    val rest = h >> 6
+    val expectedRho =
+      if (rest == 0L) 55 else 55 - java.lang.Long.toBinaryString(rest).length
+    assert(maxrho === expectedRho)
+    assert(maxrho >= 1 && maxrho <= 55)
+  }
+
+  test("registers are partition-invariant (max is order-free)") {
+    val a = Hll.registers(events.repartition(1), Seq("day"), "user_id")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Hll.registers(events.repartition(7), Seq("day"), "user_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("union-of-sketches == sketch-of-union, bit-equal registers") {
+    val even = events.filter(col("user_id") % 2 === 0)
+    val odd = events.filter(col("user_id") % 2 =!= 0)
+    val merged = Hll.mergeRegisters(
+        Hll.registers(even, Seq("day"), "user_id")
+          .unionByName(Hll.registers(odd, Seq("day"), "user_id")),
+        Seq("day"))
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = Hll.registers(events, Seq("day"), "user_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(merged === oneShot)
+  }
+
+  test("merge is idempotent: merging a sketch with itself is identity") {
+    val regs = Hll.registers(events, Seq("day"), "user_id")
+    val doubled = Hll.mergeRegisters(regs.unionByName(regs), Seq("day"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(doubled === regs.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("estimate tracks exact distinct within HLL error (m=64 → assert ±30%)") {
+    val est = Hll.distinctSketch(events, Seq("day"), "user_id")
+      .collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("est_micro") / 1e6).toMap
+    val exact = events.groupBy("day")
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (day, d) =>
+      val e = est(day)
+      assert(math.abs(e - d) <= math.max(0.30 * d, 3.0),
+        s"day $day: est $e vs exact $d out of tolerance")
+    }
+  }
+
+  test("register accounting: nreg + v_zero = 64, t_scaled consistent") {
+    val out = Hll.distinctSketch(events, Seq("day"), "user_id").collect()
+    out.foreach { r =>
+      val vz = r.getAs[Long]("v_zero")
+      val t = r.getAs[Long]("t_scaled")
+      assert(vz >= 0 && vz < 64)
+      // empty registers contribute 2^54 each; occupied ones at least 1
+      assert(t >= vz * (1L << 54) + (64 - vz))
+      assert(t <= 64L * (1L << 54))
+    }
+  }
+
+  test("segments round-trip: disk merge equals in-memory one-shot estimate") {
+    val tmp = java.nio.file.Files.createTempDirectory("hll_seg_spec")
+    val segPath = tmp.resolve("seg").toString
+    Hll.writeSegments(events.filter(col("user_id") % 2 === 0),
+      Seq("day"), "user_id", segPath)
+    Hll.writeSegments(events.filter(col("user_id") % 2 =!= 0),
+      Seq("day"), "user_id", segPath)
+    val fromDisk = Hll.estimateFromSegments(spark, segPath, Seq("day"))
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = Hll.distinctSketch(events, Seq("day"), "user_id")
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromDisk === oneShot)
+  }
+}

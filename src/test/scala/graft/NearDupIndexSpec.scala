@@ -83,6 +83,62 @@ class NearDupIndexSpec extends SparkTestBase {
     assert(n2Before === nAfter && n2After === nAfter)
   }
 
+  test("delete: tombstoned docs vanish from results; idempotent; read-path equivalence") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val batch = docs.filter(col("doc_id") < 150)
+    val seen = docs.filter(col("doc_id") >= 150 && col("doc_id") < 800)
+    val live = docs.filter(col("doc_id") >= 150 && col("doc_id") < 800)
+      .filter(!(col("doc_id") >= 300 && col("doc_id") < 500))
+
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_index_erase")
+    val idxPath = tmp.resolve("idx").toString
+    NearDup.writeNearDupIndex(seen, "doc_id", "text", numHashes = 16, idxPath)
+
+    // before any delete, the tombstone-aware read path is a plain read
+    val plain = NearDup.minHashLshAgainstIndex(
+        batch, spark.read.parquet(idxPath), "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    val viaReader = NearDup.minHashLshAgainstIndex(
+        batch, NearDup.readNearDupIndex(spark, idxPath), "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    assert(viaReader === plain, "read path must be identity before any delete")
+
+    NearDup.deleteFromNearDupIndex(
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 500).select(col("doc_id")),
+      idxPath, "doc_id")
+    val afterDelete = NearDup.minHashLshAgainstIndex(
+        batch, NearDup.readNearDupIndex(spark, idxPath), "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    val fromLiveRaw = NearDup.minHashLshAgainstCorpus(
+        batch, live, "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    assert(afterDelete === fromLiveRaw,
+      "erased index must equal the from-raw run on the live slice")
+    assert(afterDelete.size < plain.size,
+      "the fixture's dup structure should lose pairs when half the seen side is erased")
+    assert(!afterDelete.exists { r =>
+      val sid = r.getLong(r.fieldIndex("seen_id")); sid >= 300 && sid < 500
+    }, "no tombstoned id may surface as a pair")
+
+    // idempotent: deleting the same ids again changes nothing
+    NearDup.deleteFromNearDupIndex(
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 500).select(col("doc_id")),
+      idxPath, "doc_id")
+    val again = NearDup.minHashLshAgainstIndex(
+        batch, NearDup.readNearDupIndex(spark, idxPath), "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    assert(again === afterDelete)
+
+    // the index table itself is untouched (tombstones live in the sibling
+    // dir) — a rebuild-free erase by construction
+    assert(spark.read.parquet(idxPath).count() === seen.count())
+  }
+
   test("index stores no text: schema is (id, sig, toks) only") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 50)
