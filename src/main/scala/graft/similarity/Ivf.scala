@@ -119,6 +119,13 @@ object Ivf {
     corpus.sparkSession.createDataFrame(cents).toDF("cell", "cv")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     buildIndex(corpus, cents, idCol, vecCol)
+      // repartition ON the partition column first: without it every
+      // upstream task writes a file into every cell directory —
+      // tasks × cells files per rebuild (~160k at 10k-task cluster
+      // scale), a metadata-layer scale-killer. Hashing each cell to one
+      // task makes files-per-cell ≈ 1 (spec-asserted); shard a cell
+      // further (cell + salt) only when one cell outgrows a task.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
   }
 
@@ -145,6 +152,7 @@ object Ivf {
                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val cents = readCentroids(newVecs.sparkSession, path)
     buildIndex(newVecs, cents, idCol, vecCol)
+      .repartition(col("cell")) // one file per cell per batch, not tasks × cells
       .write.mode("append").partitionBy("cell").parquet(s"$path/lists")
   }
 

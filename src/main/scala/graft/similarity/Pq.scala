@@ -178,6 +178,9 @@ object Pq {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
     encode(Ivf.buildIndex(corpus, cents, idCol, vecCol), cb, "cid", "cvec",
         passthrough = Seq("cell"))
+      // repartition ON cell first — otherwise tasks × cells files per
+      // rebuild (the [[Ivf.writeIvfIndex]] scale-hygiene rule)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
@@ -205,6 +208,7 @@ object Pq {
     val cb = readPqCodebooks(spark, path)
     encode(Ivf.buildIndex(newVecs, cents, idCol, vecCol), cb, "cid", "cvec",
         passthrough = Seq("cell"))
+      .repartition(col("cell")) // one file per cell per batch, not tasks × cells
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 

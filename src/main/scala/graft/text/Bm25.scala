@@ -130,10 +130,16 @@ object Bm25 {
     val tf = corpus
       .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    // repartition ON pbucket before each partitionBy: without it every
+    // shuffle task writes a file into every bucket directory — tasks ×
+    // buckets files per segment (the cluster-scale metadata killer);
+    // hashed-to-one-task buckets give files-per-bucket ≈ 1 per segment
     tf.withColumn("pbucket", pbucket(col("token"), nBuckets))
+      .repartition(col("pbucket"))
       .write.mode(mode).partitionBy("pbucket").parquet(s"$path/postings")
     tf.groupBy("token").agg(count(lit(1)).as("df"))
       .withColumn("pbucket", pbucket(col("token"), nBuckets))
+      .repartition(col("pbucket"))
       .write.mode(mode).partitionBy("pbucket").parquet(s"$path/dfreq")
     corpus.select(col(idCol).as("id"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
@@ -165,6 +171,7 @@ object Bm25 {
       .join(broadcast(del), "id")
     deadPostings.groupBy("token").agg((-count(lit(1))).as("df"))
       .withColumn("pbucket", pbucket(col("token"), nBuckets))
+      .repartition(col("pbucket")) // one file per bucket, not tasks × buckets
       .write.mode("append").partitionBy("pbucket").parquet(s"$path/dfreq")
     spark.read.parquet(s"$path/doclen").join(broadcast(del), "id")
       .agg((-count(lit(1))).as("n"), (-sum(col("dl"))).as("tot"))

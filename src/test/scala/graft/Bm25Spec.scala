@@ -110,6 +110,22 @@ class Bm25Spec extends SparkTestBase {
     assert(again === fromRaw)
   }
 
+  test("persistent index writes leave ≈1 file per bucket per segment (no fan-out)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_idx_files").resolve("idx").toString
+    Bm25.writeBm25Index(docs, tmp, nBuckets = 16)
+    Seq("postings", "dfreq").foreach { sub =>
+      val counts = leafFileCounts(s"$tmp/$sub")
+      assert(counts.nonEmpty)
+      assert(counts.values.forall(_ == 1),
+        s"$sub rebuild must write one file per bucket dir, got $counts")
+    }
+    // an appended segment adds at most one more file per touched bucket
+    Bm25.appendBm25Index(docs.filter(col("doc_id") < 20), tmp, nBuckets = 16)
+    assert(leafFileCounts(s"$tmp/postings").values.forall(_ <= 2))
+  }
+
   test("persistent index probe prunes postings partitions to the query-term buckets") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("bm25_idx_plan").resolve("idx").toString

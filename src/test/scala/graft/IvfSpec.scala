@@ -119,6 +119,18 @@ class IvfSpec extends SparkTestBase {
     assert(after === fromRaw)
   }
 
+  test("persistent index write leaves ≈1 file per cell (no tasks × cells fan-out)") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_idx_files").toString
+    Ivf.writeIvfIndex(emb, nLists = 8, tmp)
+    val counts = leafFileCounts(s"$tmp/lists")
+    assert(counts.nonEmpty)
+    assert(counts.values.forall(_ == 1),
+      s"rebuild must write one file per cell dir, got $counts")
+    // an appended batch adds at most one more file per cell it touches
+    Ivf.appendIvfIndex(emb.filter(col("vec_id") < 50), tmp)
+    assert(leafFileCounts(s"$tmp/lists").values.forall(_ <= 2))
+  }
+
   test("persistent index: probe plan prunes to the probed cells and broadcasts the probe set") {
     val tmp = java.nio.file.Files.createTempDirectory("ivf_idx_plan").toString
     Ivf.writeIvfIndex(emb, nLists = 8, tmp)

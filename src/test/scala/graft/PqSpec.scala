@@ -149,6 +149,17 @@ class PqSpec extends SparkTestBase {
     assert(stored === fromRaw)
   }
 
+  test("persistent IVFADC index write leaves ≈1 file per cell (no tasks × cells fan-out)") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_idx_files").toString
+    Pq.writeIvfPqIndex(realEmb, nLists = 4, m = 4, ksub = 16, tmp)
+    val counts = leafFileCounts(s"$tmp/codes")
+    assert(counts.nonEmpty)
+    assert(counts.values.forall(_ == 1),
+      s"rebuild must write one file per cell dir, got $counts")
+    Pq.appendIvfPqIndex(realEmb.filter(col("vec_id") < 20), tmp)
+    assert(leafFileCounts(s"$tmp/codes").values.forall(_ <= 2))
+  }
+
   test("ivfAdcTopK plan: LUT and probed-cell sides broadcast, codes partial-aggregate") {
     import graft.similarity.Ivf
     val cents = Ivf.centroids(realEmb, nLists = 4)
