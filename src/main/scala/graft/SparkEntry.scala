@@ -3251,7 +3251,7 @@ object SparkEntry {
               FROM rr),
        regs AS (SELECT day, reg, MAX(rho) AS maxrho FROM rh GROUP BY day, reg),
        agg AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS nreg,
-                      CAST(SUM(CAST(1 AS BIGINT) << (54 - maxrho)) AS BIGINT) AS t_present
+                      CAST(SUM(CAST(1 AS BIGINT) << GREATEST(54 - maxrho, 0)) AS BIGINT) AS t_present
                FROM regs GROUP BY day),
        fin AS (SELECT day, CAST(64 - nreg AS BIGINT) AS v_zero,
                       t_present + (64 - nreg) * 18014398509481984 AS t_scaled
@@ -5178,6 +5178,53 @@ object SparkEntry {
             FROM sc JOIN lab USING (id) CROSS JOIN priors
             ORDER BY id"""))
 
+  /** Naive Bayes scoring on HELD-OUT text ([[graft.text.NaiveBayes
+    * .score]] over documents guaranteed to contain a token the model
+    * never saw): every document is augmented with the synthetic token
+    * `qz<doc_id>`, absent from the training vocabulary, so the
+    * unseen-token smoothing-floor path (coalesce to the classStats
+    * floors) is exercised for every row — and the oracle replays it
+    * with the same LEFT JOIN + COALESCE, transitively pinning the
+    * floor/classStats consistency (V, class totals) the inner-join
+    * qNbScore oracle cannot see.
+    */
+  private val qNbScoreHoldout = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("text").contains("vector"), lit(1)).otherwise(lit(-1)).as("y"))
+      val m = graft.text.NaiveBayes.trainMultinomial(docs, labels, "doc_id", "text")
+      val st = graft.text.NaiveBayes.classStats(docs, labels, "doc_id", "text")
+      val held = docs.select(col("doc_id"),
+        concat(col("text"), lit(" qz"), col("doc_id").cast(StringType)).as("text"))
+      graft.text.NaiveBayes.score(held, m, st, "doc_id", "text")
+        .orderBy("id")
+    },
+    Some(s"""WITH $nbCtes,
+            fl AS (SELECT
+                     CAST(ROUND(ln(1.0 / CAST(tot_pos + v AS DOUBLE))
+                                * 1000000.0) AS BIGINT) AS floor_pos,
+                     CAST(ROUND(ln(1.0 / CAST(tot_neg + v AS DOUBLE))
+                                * 1000000.0) AS BIGINT) AS floor_neg
+                   FROM st),
+            tk2 AS (SELECT doc_id AS id,
+                           unnest(string_split(text || ' qz' || CAST(doc_id AS VARCHAR), ' ')) AS tok
+                    FROM documents),
+            sc AS (SELECT tk2.id,
+                          CAST(SUM(COALESCE(lp_pos_micro, floor_pos)) AS BIGINT) AS sum_pos,
+                          CAST(SUM(COALESCE(lp_neg_micro, floor_neg)) AS BIGINT) AS sum_neg
+                   FROM tk2 LEFT JOIN model ON model.token = tk2.tok
+                   CROSS JOIN fl
+                   GROUP BY tk2.id)
+            SELECT sc.id,
+                   priors.prior_pos + sc.sum_pos AS s_pos_micro,
+                   priors.prior_neg + sc.sum_neg AS s_neg_micro,
+                   CASE WHEN priors.prior_pos + sc.sum_pos
+                             > priors.prior_neg + sc.sum_neg
+                        THEN 1 ELSE -1 END AS pred
+            FROM sc CROSS JOIN priors
+            ORDER BY id"""))
+
   /** Shared CTE chain for the curation-funnel oracles: the corpus plus 30
     * planted exact-text twins (unique URLs, +10000 ids), then the five
     * stages replayed — closed-form canonical (the synth URL is already
@@ -6116,6 +6163,7 @@ object SparkEntry {
     "q_linear_score" -> qLinearScore,
     "q_nb_train" -> qNbTrain,
     "q_nb_score" -> qNbScore,
+    "q_nb_score_holdout" -> qNbScoreHoldout,
     "q_curation_disposition" -> qCurationDisposition,
     "q_curation_funnel" -> qCurationFunnel,
     "q_fuzzy_link" -> qFuzzyLink,

@@ -324,7 +324,11 @@ object NearDup {
     */
   def deleteFromNearDupIndex(ids: DataFrame, path: String,
                              idCol: String = "id"): Unit =
-    ids.select(col(idCol).cast(LongType).as("id")).distinct()
+    // tombstones keep the caller's id type: the index verbs are id-type
+    // generic, and casting (say) string ids to long here would yield
+    // NULL tombstones whose anti-join never matches — a takedown that
+    // silently becomes a no-op
+    ids.select(col(idCol).as("id")).distinct()
       .write.mode("append").parquet(s"$path.tombstones")
 
   /** Load the stored index minus tombstones — THE read path for index

@@ -96,8 +96,12 @@ object Hll {
     val merged = regs.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("nreg"),
         // each term is an exact power of two at scale 2^p; the sum is a
-        // plain BIGINT — no float accumulation order exists to disagree on
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $P - maxrho)")).as("t_present"))
+        // plain BIGINT — no float accumulation order exists to disagree on.
+        // greatest(..., 0) clamps the rho = p+1 all-rank-bits-zero case
+        // (probability 2^-54 per value, but unclamped it shifts by -1,
+        // which Java wraps to 1L<<63 and silently corrupts t_scaled;
+        // standard HLL folds that case into rank p — error ≤ 2^-55)
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), greatest($P - maxrho, 0))")).as("t_present"))
       .withColumn("v_zero", (lit(M.toLong) - col("nreg")).cast(LongType))
       .withColumn("t_scaled", col("t_present") + col("v_zero") * lit(twoP))
     // E_raw = alpha · m² · (2^p / t) — one cast, one division, two

@@ -78,17 +78,28 @@ object Curation {
     val surv1 = withK1.filter(col("__kid").isNull || col("id") === col("__kid"))
       .drop("__canon", "__kid")
 
-    // 2. exact text dedup, same min-id aggregation shape
+    // 2. exact text dedup, same min-id aggregation shape. NULL text has
+    // no content identity — md5Long(NULL) is NULL and an inner join on
+    // __h would drop such rows from BOTH branches (breaking the
+    // every-doc-gets-one-row reconciliation invariant on dirty input),
+    // so the join is left like stage 1 and NULL-hash rows pass through
+    // to die at the quality gate below.
     val h2 = surv1.withColumn("__h", NearDup.md5Long(col("__text")))
-    val txtFirst = h2.groupBy("__h").agg(min(col("id")).as("__kid"))
-    val withK2 = h2.join(txtFirst, "__h").localCheckpoint()
-    val drop2 = tag(withK2.filter(col("id") =!= col("__kid")), 2, "exact_dup")
-    val surv2 = withK2.filter(col("id") === col("__kid")).drop("__h", "__kid")
+    val txtFirst = h2.filter(col("__h").isNotNull)
+      .groupBy("__h").agg(min(col("id")).as("__kid"))
+    val withK2 = h2.join(txtFirst, Seq("__h"), "left").localCheckpoint()
+    val drop2 = tag(withK2.filter(col("__kid").isNotNull && col("id") =!= col("__kid")),
+      2, "exact_dup")
+    val surv2 = withK2.filter(col("__kid").isNull || col("id") === col("__kid"))
+      .drop("__h", "__kid")
 
     // 3. quality gate (narrow on top of the stage-2 checkpoint — the
     // score is recomputed by each branch, but off pinned rows, not off
-    // a re-run of the upstream shuffles)
-    val q3 = surv2.withColumn("__q", TextAnalysis.qualityScore(col("__text")))
+    // a re-run of the upstream shuffles). A NULL score (NULL text)
+    // coalesces below every threshold so the row is ATTRIBUTED here
+    // rather than silently falling through both filter branches.
+    val q3 = surv2.withColumn("__q",
+      coalesce(TextAnalysis.qualityScore(col("__text")), lit(Double.MinValue)))
     val drop3 = tag(q3.filter(col("__q") < minQuality), 3, "quality")
     val surv3 = q3.filter(col("__q") >= minQuality).drop("__q")
       .localCheckpoint()

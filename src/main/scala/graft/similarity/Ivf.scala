@@ -164,7 +164,9 @@ object Ivf {
     */
   def deleteFromIvfIndex(ids: DataFrame, path: String,
                          idCol: String = "vec_id"): Unit =
-    ids.select(col(idCol).cast("long").as("cid")).distinct()
+    // no cast: tombstones keep the stored id type so the anti-join
+    // matches (a long cast of string ids yields NULLs = silent no-op)
+    ids.select(col(idCol).as("cid")).distinct()
       .write.mode("append").parquet(s"$path/tombstones")
 
   private[similarity] def minusTombstones(

@@ -90,6 +90,12 @@ object Pca {
     * posexplodes inside the scan stage — no self-join, no shuffle of
     * vectors; only d(d+1)/2 partial sums per partition reach the
     * exchange.
+    *
+    * The per-row product fits a long comfortably (|dx| ≤ ~2^19 at the
+    * default scaleBits, product ≤ 2^38), but a LONG running sum wraps
+    * silently past ~3e6 rows — so the accumulator is DECIMAL(38,0):
+    * exact to ~10^26 rows and overflow-CHECKED (ANSI error, never a
+    * deterministic-but-wrong component).
     */
   def covarianceFx(corpus: DataFrame, means: Seq[Long],
                    vecCol: String = "embedding", scaleBits: Int = 18): DataFrame =
@@ -99,7 +105,8 @@ object Pca {
       .select(col("i"), col("dxi"), posexplode(col("dxv")).as(Seq("j", "dxj")))
       .filter(col("j") >= col("i"))
       .groupBy("i", "j")
-      .agg(sum(col("dxi") * col("dxj")).as("cfx"))
+      .agg(sum((col("dxi") * col("dxj")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("cfx"))
 
   /** Fixed-point power iteration on the collected covariance: `iters`
     * rounds of v ← C·v renormalized to 2^scaleBits by truncating
@@ -118,7 +125,7 @@ object Pca {
     val c = Array.ofDim[BigInt](dim, dim)
     for (i <- 0 until dim; j <- 0 until dim) c(i)(j) = BigInt(0)
     covarianceFx(corpus, means, vecCol, scaleBits).collect().foreach { r =>
-      val (i, j, v) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(2)))
+      val (i, j, v) = (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger))
       c(i)(j) = v
       c(j)(i) = v
     }

@@ -163,9 +163,12 @@ object Bm25 {
                           idCol: String = "doc_id"): Unit = {
     val spark = ids.sparkSession
     // already-tombstoned ids are excluded so a double delete cannot
-    // subtract its df/stats corrections twice (idempotent erasure)
+    // subtract its df/stats corrections twice (idempotent erasure).
+    // No cast on the id: tombstones keep the stored id type so the
+    // anti-joins match (casting string ids to long yields NULLs and a
+    // silently no-op erasure)
     val del = minusTombstones(spark,
-        ids.select(col(idCol).cast("long").as("id")).distinct(), path)
+        ids.select(col(idCol).as("id")).distinct(), path)
       .localCheckpoint() // reused four times below
     val deadPostings = spark.read.parquet(s"$path/postings")
       .join(broadcast(del), "id")

@@ -63,6 +63,23 @@ class CurationSpec extends SparkTestBase {
     assert(run(1) === run(5))
   }
 
+  test("NULL text rows are attributed (quality), not silently vanished") {
+    val dirty = Seq(
+      (1L, "http://a.com/x", longA, "s1"),
+      (2L, "http://a.com/y", null.asInstanceOf[String], "s1"),
+      (3L, "http://a.com/z", null.asInstanceOf[String], "s2"),
+      (4L, "http://a.com/w", longB, "s2")
+    ).toDF("doc_id", "url", "text", "source")
+    val d = Curation.disposition(dirty, bench, "url", "doc_id", "text", "source",
+      0.3, 3, 1, 1000L).select("id", "drop_stage").as[(Long, String)].collect().toMap
+    // the reconciliation invariant holds on dirty input: one row per doc
+    assert(d.keySet === Set(1L, 2L, 3L, 4L))
+    // NULL text has no content identity — not an exact_dup of the other
+    // NULL row; it dies at the quality gate with an explicit disposition
+    assert(d(2L) === "quality" && d(3L) === "quality")
+    assert(d(1L) === "kept" && d(4L) === "kept")
+  }
+
   test("null-canonical urls are never deduped away") {
     val weird = Seq(
       (1L, "not a url", "some words here one", "s1"),

@@ -83,6 +83,20 @@ class HllSpec extends SparkTestBase {
     }
   }
 
+  test("estimate clamps the rho = p+1 all-zero-rank-bits case (no negative shift)") {
+    // no 54-zero-bit preimage is findable, so feed estimate() a
+    // hand-built register row at the maximal rank 55: unclamped,
+    // 1L << (54-55) wraps to Long.MinValue and corrupts t_scaled
+    val regs = Seq(("k", 0L, 55), ("k", 1L, 1)).toDF("k", "reg", "maxrho")
+    val out = Hll.estimate(regs, Seq("k")).collect()
+    assert(out.length === 1)
+    val t = out(0).getAs[Long]("t_scaled")
+    // reg 0 at rho=55 clamps to 2^0 = 1 (the rho=54 value); reg 1 at
+    // rho=1 contributes 2^53; 62 empty registers contribute 2^54 each
+    assert(t === 1L + (1L << 53) + 62L * (1L << 54))
+    assert(out(0).getAs[Long]("est_micro") > 0)
+  }
+
   test("segments round-trip: disk merge equals in-memory one-shot estimate") {
     val tmp = java.nio.file.Files.createTempDirectory("hll_seg_spec")
     val segPath = tmp.resolve("seg").toString

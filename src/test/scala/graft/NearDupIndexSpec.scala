@@ -139,6 +139,35 @@ class NearDupIndexSpec extends SparkTestBase {
     assert(spark.read.parquet(idxPath).count() === seen.count())
   }
 
+  test("delete works for STRING ids (tombstones keep the index id type)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 300)
+      .select(concat(lit("doc-"), col("doc_id")).as("doc_id"), col("text"))
+    // the batch re-submits verbatim copies of indexed docs under new
+    // string ids — guaranteed near-dups of their seen originals
+    val batch = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 3)
+      .select(concat(lit("copy-"), col("doc_id")).as("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("neardup_idx_strid")
+    val idxPath = tmp.resolve("idx").toString
+    NearDup.writeNearDupIndex(docs, "doc_id", "text", numHashes = 16, idxPath)
+    val before = NearDup.minHashLshAgainstIndex(
+        batch, NearDup.readNearDupIndex(spark, idxPath), "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .select("seen_id").as[String].collect().toSet
+    assert(before.nonEmpty, "fixture must produce at least one near-dup pair")
+    // a long-typed tombstone would NULL-cast 'doc-N' and silently no-op
+    NearDup.deleteFromNearDupIndex(
+      before.toSeq.toDF("doc_id"), idxPath, "doc_id")
+    val after = NearDup.minHashLshAgainstIndex(
+        batch, NearDup.readNearDupIndex(spark, idxPath), "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.7)
+      .select("seen_id").as[String].collect().toSet
+    assert(after.intersect(before).isEmpty,
+      s"tombstoned string ids must vanish, still saw ${after.intersect(before)}")
+  }
+
   test("index stores no text: schema is (id, sig, toks) only") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .filter(col("doc_id") < 50)

@@ -79,7 +79,7 @@ class PcaSpec extends SparkTestBase {
     val means = Pca.meansVec(df, dim = 2)
     assert(means === Seq(0L, 0L))
     val cov = Pca.covarianceFx(df, means).collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).longValueExact()).toMap
     assert(cov === Map((0, 0) -> 2L, (0, 1) -> 4L, (1, 1) -> 8L))
   }
 
@@ -118,7 +118,7 @@ class PcaSpec extends SparkTestBase {
     val cov = Array.ofDim[BigInt](dim, dim)
     for (i <- 0 until dim; j <- 0 until dim) cov(i)(j) = BigInt(0)
     Pca.covarianceFx(emb, means).collect().foreach { r =>
-      val (i, j, v) = (r.getInt(0), r.getInt(1), BigInt(r.getLong(2)))
+      val (i, j, v) = (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger))
       cov(i)(j) = v; cov(j)(i) = v
     }
     def rayleigh(v: Seq[BigInt]): Double = {
