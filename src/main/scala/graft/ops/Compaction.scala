@@ -129,7 +129,77 @@ object Compaction {
     val parts = fs.listStatus(hPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .map(_.getPath.toString).sorted
-    parts.map(p => compactParquetDir(spark, p, targetBytes))
-      .foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
+    parts.map { p =>
+      // nested partitioning (batch_id=N/pbucket=M): recurse until the
+      // leaf level — each leaf dir is exactly the flat case
+      val hasSubParts = fs.listStatus(new HPath(p)).exists(s =>
+        s.isDirectory && s.getPath.getName.contains("="))
+      if (hasSubParts) compactPartitionedDir(spark, p, targetBytes)
+      else compactParquetDir(spark, p, targetBytes)
+    }.foldLeft((0, 0)) { case ((b, a), (pb, pa)) => (b + pb, a + pa) }
+  }
+
+  /** Fold CLOSED streaming batch segments of a [[graft.ops.Segments]]-
+    * keyed table into one consolidated segment — the maintenance pass
+    * that keeps a continuously-ingesting index's file count bounded by
+    * the fold cadence instead of growing one segment per micro-batch.
+    *
+    * Folds every `batch_id=N` directory with 0 ≤ N < `upTo` (the
+    * in-flight batch stays out: Structured Streaming can only retry the
+    * CURRENT batch, so committed batches below it are safe to move)
+    * plus any prior fold output (batch_id ≤ −10), into a fresh segment
+    * named `batch_id=-(10 + maxFoldedBatch)` — deterministic, so a
+    * re-run of the same fold overwrites its own target rather than
+    * duplicating. Base (-1) and correction (-2) segments are left
+    * alone. Readers see identical rows before and after (segments are
+    * summed; which segment a row sits in is irrelevant — spec-pinned).
+    *
+    * `innerCol`: the inner partition level to preserve (`pbucket`,
+    * `cell`), or None for flat segment tables (doclen, stats).
+    *
+    * Same crash-atomicity caveat as [[compactParquetDir]]: a failure
+    * between "target written" and "sources deleted" leaves duplicate
+    * rows until the fold is re-run to completion; staging + pointer
+    * flip is the catalog-level fix. Returns the number of segment dirs
+    * folded (0 = nothing to do).
+    */
+  def foldStreamSegments(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         upTo: Long, innerCol: Option[String]): Int = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.spark.sql.functions.col
+    val hPath = new HPath(dir)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return 0
+    val segIds = fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    val foldable = segIds.filter(n => (n >= 0 && n < upTo) || n <= -10L).sorted
+    if (foldable.size < 2) return 0
+    val maxBatch = foldable.filter(_ >= 0).maxOption
+      .getOrElse(foldable.map(n => -10L - n).max) // re-fold of folds only
+    val targetId = -10L - maxBatch
+    val target = s"$dir/batch_id=$targetId"
+    // crash recovery: the target is excluded from its own sources, and a
+    // _SUCCESS-marked target means the previous identical fold finished
+    // its write — the remaining sources are duplicates to delete, NOT
+    // inputs to re-fold (re-folding from a partial source set after some
+    // deletes would lose the already-deleted segments' rows)
+    val srcIds = foldable.filterNot(_ == targetId)
+    val srcDirs = srcIds.map(n => s"$dir/batch_id=$n")
+    if (fs.exists(new HPath(s"$target/_SUCCESS"))) {
+      srcDirs.foreach(p => fs.delete(new HPath(p), true))
+      return srcIds.size
+    }
+    val df = spark.read.option("basePath", dir).parquet(srcDirs: _*)
+      .drop("batch_id")
+    innerCol match {
+      case Some(c) =>
+        df.repartition(col(c))
+          .write.mode("overwrite").partitionBy(c).parquet(target)
+      case None =>
+        df.coalesce(1).write.mode("overwrite").parquet(target)
+    }
+    srcDirs.foreach(p => fs.delete(new HPath(p), true))
+    srcIds.size
   }
 }

@@ -109,9 +109,12 @@ object Ivf {
 
   /** Persist the index at `path`: `path/centroids` = (cell, cv) — one
     * row per centroid; `path/lists` = the [[buildIndex]] table written
-    * `partitionBy("cell")`, so a probe's `cell IN (...)` filter becomes
-    * parquet PARTITION PRUNING — only the probed nProbe/nLists slice of
-    * the corpus is ever listed, let alone read.
+    * `partitionBy("batch_id", "cell")`, so a probe's `cell IN (...)`
+    * filter becomes parquet PARTITION PRUNING — only the probed
+    * nProbe/nLists slice of the corpus is ever listed, let alone read.
+    * `batch_id` is the append-segment dimension (-1 = base rebuild;
+    * streaming appends key their micro-batch id for idempotent
+    * retries — see [[appendIvfIndex]]); readers drop it.
     */
   def writeIvfIndex(corpus: DataFrame, nLists: Int, path: String,
                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -126,7 +129,8 @@ object Ivf {
       // task makes files-per-cell ≈ 1 (spec-asserted); shard a cell
       // further (cell + salt) only when one cell outgrows a task.
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/lists")
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").partitionBy("batch_id", "cell").parquet(s"$path/lists")
   }
 
   /** The stored centroid set, driver-side (≤ nLists rows — the same
@@ -145,15 +149,23 @@ object Ivf {
   /** Append an ingest batch to the stored lists: assign the NEW vectors
     * against the STORED centroids (centroids do not move — the IVF
     * steady-state contract; rebuild via [[writeIvfIndex]] when drift
-    * warrants), append `partitionBy("cell")`. Incremental cost is one
-    * narrow pass over the batch.
+    * warrants), append under the batch's segment partition. Incremental
+    * cost is one narrow pass over the batch.
+    *
+    * Exactly-once: with `batchId` set (the streaming `foreachBatch`
+    * id), the segment is written with DYNAMIC partition overwrite into
+    * `batch_id=<id>/cell=*` — a retried micro-batch replaces its own
+    * partitions instead of double-appending vectors.
     */
   def appendIvfIndex(newVecs: DataFrame, path: String,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     batchId: Option[Long] = None): Unit = {
     val cents = readCentroids(newVecs.sparkSession, path)
-    buildIndex(newVecs, cents, idCol, vecCol)
-      .repartition(col("cell")) // one file per cell per batch, not tasks × cells
-      .write.mode("append").partitionBy("cell").parquet(s"$path/lists")
+    graft.ops.Segments.writer(
+        buildIndex(newVecs, cents, idCol, vecCol)
+          .repartition(col("cell")), // one file per cell per batch, not tasks × cells
+        "append", batchId)
+      .partitionBy("batch_id", "cell").parquet(s"$path/lists")
   }
 
   /** Delete vectors from the stored index without rebuild: ids land in
@@ -198,7 +210,8 @@ object Ivf {
         .filter(col("cell").isin(cells: _*)) // static partition pruning
         // partition-column type inference may narrow cell to int; restore
         // the written long so the probe join keys compare without casts
-        .withColumn("cell", col("cell").cast("long")),
+        .withColumn("cell", col("cell").cast("long"))
+        .drop("batch_id"), // segment dimension, irrelevant to probes
       path)
     val scored = lists.join(broadcast(q), "cell")
       .filter(col("cid") =!= col("qid"))

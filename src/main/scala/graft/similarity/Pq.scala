@@ -181,7 +181,8 @@ object Pq {
       // repartition ON cell first — otherwise tasks × cells files per
       // rebuild (the [[Ivf.writeIvfIndex]] scale-hygiene rule)
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      .withColumn("batch_id", lit(-1L)) // segment dimension (Segments contract)
+      .write.mode("overwrite").partitionBy("batch_id", "cell").parquet(s"$path/codes")
   }
 
   /** The stored codebooks, driver-side (m·ksub rows — the same bounded
@@ -199,17 +200,22 @@ object Pq {
   /** Append an ingest batch: assign against the STORED centroids,
     * encode with the STORED codebooks, append codes. One narrow pass
     * over the batch; the index's semantics for existing rows are
-    * untouched by construction.
+    * untouched by construction. With `batchId` set (streaming
+    * `foreachBatch`), the segment is dynamically overwritten under
+    * `batch_id=<id>` so a retried micro-batch cannot double-append.
     */
   def appendIvfPqIndex(newVecs: DataFrame, path: String,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       batchId: Option[Long] = None): Unit = {
     val spark = newVecs.sparkSession
     val cents = Ivf.readCentroids(spark, path)
     val cb = readPqCodebooks(spark, path)
-    encode(Ivf.buildIndex(newVecs, cents, idCol, vecCol), cb, "cid", "cvec",
-        passthrough = Seq("cell"))
-      .repartition(col("cell")) // one file per cell per batch, not tasks × cells
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    graft.ops.Segments.writer(
+        encode(Ivf.buildIndex(newVecs, cents, idCol, vecCol), cb, "cid", "cvec",
+          passthrough = Seq("cell"))
+          .repartition(col("cell")), // one file per cell per batch, not tasks × cells
+        "append", batchId)
+      .partitionBy("batch_id", "cell").parquet(s"$path/codes")
   }
 
   /** [[ivfAdcTopK]] against the STORED index: centroids, codebooks and

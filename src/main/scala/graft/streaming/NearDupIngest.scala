@@ -21,26 +21,36 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * exactly the semantics wanted (each new doc judged against the
   * corpus, batch-split invariant).
   *
-  * Results append to `outPath` as parquet, partition-agnostic and
-  * replayable: a new doc's pairs depend only on that doc and the
-  * static corpus, so ANY micro-batch split yields the same total result
-  * set. Exactly-once caveat: a batch retried after a sink-side crash
-  * would append twice; production keys the write on `batchId` (path =
-  * `.../batch=<id>` + dynamic overwrite — the [[IncrementalIngest]] O4
-  * pattern) to make retries idempotent. The finite AvailableNow drain
-  * used by the driver contract never retries.
+  * Results land in `outPath` as parquet partitioned by `batch_id`,
+  * partition-agnostic and replayable: a new doc's pairs depend only on
+  * that doc and the static corpus, so ANY micro-batch split yields the
+  * same total result set. Exactly-once: each batch's pairs are written
+  * with DYNAMIC partition overwrite into its own `batch_id=<id>`
+  * partition ([[graft.ops.Segments]]), so a batch retried after a
+  * sink-side crash replaces its own rows instead of appending them
+  * twice (spec-pinned by replaying a batch).
   */
 object NearDupIngest {
+
+  /** One micro-batch check+write — public so a retry can be simulated. */
+  def writeBatch(batch: DataFrame, batchId: Long, seenDocs: DataFrame,
+                 idCol: String, textCol: String,
+                 bands: Int, rowsPerBand: Int, threshold: Double,
+                 outPath: String): Unit =
+    graft.ops.Segments.writer(
+        graft.dedup.NearDup.minHashLshAgainstCorpus(
+          batch, seenDocs, idCol, textCol, bands, rowsPerBand, threshold),
+        "append", Some(batchId))
+      .partitionBy("batch_id").parquet(outPath)
 
   def start(spark: SparkSession, newDocs: DataFrame, seenDocs: DataFrame,
             idCol: String, textCol: String,
             bands: Int, rowsPerBand: Int, threshold: Double,
             outPath: String, checkpoint: String): StreamingQuery =
     newDocs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.dedup.NearDup.minHashLshAgainstCorpus(
-            batch, seenDocs, idCol, textCol, bands, rowsPerBand, threshold)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId, seenDocs, idCol, textCol,
+          bands, rowsPerBand, threshold, outPath)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

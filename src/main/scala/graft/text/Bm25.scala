@@ -94,15 +94,15 @@ object Bm25 {
   // at 100 TB that is the difference between "scan the lake per search"
   // and "read the postings for the query's terms". Layout:
   //
-  //   path/postings : (id, token, tf) partitioned by pbucket =
-  //                   pmod(hash(token), nBuckets) — a probe lists only
-  //                   the buckets its query terms hash to (parquet
-  //                   partition pruning on a bounded-cardinality key;
-  //                   partitioning by raw token would explode the
-  //                   directory count, the hash bucket is the standard
-  //                   fix)
+  //   path/postings : (id, token, tf) partitioned by (batch_id,
+  //                   pbucket) with pbucket = pmod(hash(token),
+  //                   nBuckets) — a probe lists only the buckets its
+  //                   query terms hash to (parquet partition pruning on
+  //                   a bounded-cardinality key; partitioning by raw
+  //                   token would explode the directory count, the hash
+  //                   bucket is the standard fix)
   //   path/dfreq    : (token, df) with the same bucket scheme
-  //   path/doclen   : (id, dl)
+  //   path/doclen   : (id, dl) partitioned by batch_id
   //   path/stats    : (n, tot) — ONE ROW PER WRITE/APPEND SEGMENT
   //
   // Append contract: df, n and tot are all SUMS, so an appended batch
@@ -110,6 +110,15 @@ object Bm25 {
   // of existing files, which is what makes ingest append-only. (tf rows
   // assume a doc id appears in one segment only — re-ingesting a doc is
   // the caller's dedup problem, as with every append-only index here.)
+  //
+  // Exactly-once: `batch_id` is the OUTER partition level. The base
+  // rebuild writes batch_id=-1, plain appends stack more files under
+  // batch_id=-1 (append mode), erase corrections land in batch_id=-2,
+  // and a STREAMING append passes its micro-batch id — written with
+  // DYNAMIC partition overwrite, so a batch retried after a sink-side
+  // crash REPLACES its own (batch_id, pbucket) partitions instead of
+  // double-appending postings and silently inflating df/N. Readers
+  // treat batch_id as one more segment dimension and drop it.
   // -------------------------------------------------------------------
 
   private def pbucket(tok: Column, nBuckets: Int): Column =
@@ -118,15 +127,24 @@ object Bm25 {
   /** Persist the index (overwrite = full rebuild). */
   def writeBm25Index(corpus: DataFrame, path: String, nBuckets: Int = 64,
                      idCol: String = "doc_id", textCol: String = "text"): Unit =
-    writeSegment(corpus, path, nBuckets, idCol, textCol, "overwrite")
+    writeSegment(corpus, path, nBuckets, idCol, textCol, "overwrite", None)
 
-  /** Append an ingest batch of NEW documents. */
+  /** Append an ingest batch of NEW documents. Pass `batchId` from a
+    * streaming `foreachBatch` to make the append idempotent under
+    * retries (the segment is keyed on the id and dynamically
+    * overwritten); batchless appends stack under the base segment.
+    */
   def appendBm25Index(corpus: DataFrame, path: String, nBuckets: Int = 64,
-                      idCol: String = "doc_id", textCol: String = "text"): Unit =
-    writeSegment(corpus, path, nBuckets, idCol, textCol, "append")
+                      idCol: String = "doc_id", textCol: String = "text",
+                      batchId: Option[Long] = None): Unit =
+    writeSegment(corpus, path, nBuckets, idCol, textCol, "append", batchId)
+
+  private def segmentWriter(df: DataFrame, mode: String, batchId: Option[Long]) =
+    graft.ops.Segments.writer(df, mode, batchId)
 
   private def writeSegment(corpus: DataFrame, path: String, nBuckets: Int,
-                           idCol: String, textCol: String, mode: String): Unit = {
+                           idCol: String, textCol: String, mode: String,
+                           batchId: Option[Long]): Unit = {
     val tf = corpus
       .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
@@ -134,19 +152,20 @@ object Bm25 {
     // shuffle task writes a file into every bucket directory — tasks ×
     // buckets files per segment (the cluster-scale metadata killer);
     // hashed-to-one-task buckets give files-per-bucket ≈ 1 per segment
-    tf.withColumn("pbucket", pbucket(col("token"), nBuckets))
-      .repartition(col("pbucket"))
-      .write.mode(mode).partitionBy("pbucket").parquet(s"$path/postings")
-    tf.groupBy("token").agg(count(lit(1)).as("df"))
-      .withColumn("pbucket", pbucket(col("token"), nBuckets))
-      .repartition(col("pbucket"))
-      .write.mode(mode).partitionBy("pbucket").parquet(s"$path/dfreq")
-    corpus.select(col(idCol).as("id"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl"))
-      .write.mode(mode).parquet(s"$path/doclen")
-    corpus.agg(count(lit(1)).as("n"),
+    segmentWriter(tf.withColumn("pbucket", pbucket(col("token"), nBuckets))
+        .repartition(col("pbucket")), mode, batchId)
+      .partitionBy("batch_id", "pbucket").parquet(s"$path/postings")
+    segmentWriter(tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .withColumn("pbucket", pbucket(col("token"), nBuckets))
+        .repartition(col("pbucket")), mode, batchId)
+      .partitionBy("batch_id", "pbucket").parquet(s"$path/dfreq")
+    segmentWriter(corpus.select(col(idCol).as("id"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl")), mode, batchId)
+      .partitionBy("batch_id").parquet(s"$path/doclen")
+    segmentWriter(corpus.agg(count(lit(1)).as("n"),
         sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("tot"))
-      .coalesce(1).write.mode(mode).parquet(s"$path/stats")
+        .coalesce(1), mode, batchId)
+      .partitionBy("batch_id").parquet(s"$path/stats")
   }
 
   /** Delete documents from the stored index WITHOUT rebuild — the
@@ -172,13 +191,16 @@ object Bm25 {
       .localCheckpoint() // reused four times below
     val deadPostings = spark.read.parquet(s"$path/postings")
       .join(broadcast(del), "id")
+    // corrections are ordinary NEGATIVE segments under batch_id=-2
     deadPostings.groupBy("token").agg((-count(lit(1))).as("df"))
       .withColumn("pbucket", pbucket(col("token"), nBuckets))
+      .withColumn("batch_id", lit(-2L))
       .repartition(col("pbucket")) // one file per bucket, not tasks × buckets
-      .write.mode("append").partitionBy("pbucket").parquet(s"$path/dfreq")
+      .write.mode("append").partitionBy("batch_id", "pbucket").parquet(s"$path/dfreq")
     spark.read.parquet(s"$path/doclen").join(broadcast(del), "id")
       .agg((-count(lit(1))).as("n"), (-sum(col("dl"))).as("tot"))
-      .coalesce(1).write.mode("append").parquet(s"$path/stats")
+      .withColumn("batch_id", lit(-2L))
+      .coalesce(1).write.mode("append").partitionBy("batch_id").parquet(s"$path/stats")
     del.write.mode("append").parquet(s"$path/tombstones")
   }
 
@@ -212,11 +234,12 @@ object Bm25 {
     def pruned(sub: String): DataFrame =
       spark.read.parquet(s"$path/$sub")
         .filter(col("pbucket").isin(buckets: _*)) // static partition pruning
-        .drop("pbucket")
+        .drop("pbucket", "batch_id")
     val tf = minusTombstones(spark, pruned("postings"), path)
     val dfreq = pruned("dfreq").groupBy("token").agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
-    val dl = minusTombstones(spark, spark.read.parquet(s"$path/doclen"), path)
+    val dl = minusTombstones(spark,
+      spark.read.parquet(s"$path/doclen").drop("batch_id"), path)
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n")).as("__n"), sum(col("tot")).as("__tot"))
     val n = col("__n").cast("double")

@@ -31,8 +31,23 @@ class NearDupIngestSpec extends SparkTestBase {
       checkpoint = tmp.resolve("ckpt").toString)
     q.awaitTermination()
     val got = spark.read.parquet(tmp.resolve("out").toString)
+      .select("new_id", "seen_id", "jaccard") // drop the batch_id segment key
       .orderBy("new_id", "seen_id").collect().toSeq
     assert(got === want,
       "per-micro-batch LSH against the static corpus must equal the batch run")
+
+    // exactly-once: replaying a micro-batch (simulated sink-side retry)
+    // dynamically overwrites its own batch_id partition — results unchanged
+    NearDupIngest.writeBatch(newBatch.filter(col("doc_id") < 40), batchId = 0L, seen,
+      "doc_id", "text", 4, 4, 0.7, tmp.resolve("out2").toString)
+    val once = spark.read.parquet(tmp.resolve("out2").toString)
+      .select("new_id", "seen_id", "jaccard")
+      .orderBy("new_id", "seen_id").collect().toSeq
+    NearDupIngest.writeBatch(newBatch.filter(col("doc_id") < 40), batchId = 0L, seen,
+      "doc_id", "text", 4, 4, 0.7, tmp.resolve("out2").toString)
+    val twice = spark.read.parquet(tmp.resolve("out2").toString)
+      .select("new_id", "seen_id", "jaccard")
+      .orderBy("new_id", "seen_id").collect().toSeq
+    assert(twice === once, "a retried batch must not double-append")
   }
 }

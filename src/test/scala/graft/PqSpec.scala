@@ -123,9 +123,10 @@ class PqSpec extends SparkTestBase {
     val rb = Pq.readPqCodebooks(spark, tmp)
     assert(rb.m === 4 && rb.dsub === 16)
     assert(rb.books === books.books)
-    // the stored code table holds codes, never raw vectors
+    // the stored code table holds codes (+ segment/partition keys),
+    // never raw vectors
     assert(spark.read.parquet(s"$tmp/codes").columns.sorted.toSeq
-      === Seq("cell", "cid", "codes"))
+      === Seq("batch_id", "cell", "cid", "codes"))
   }
 
   test("persistent IVFADC index: append encodes with the STORED artifacts") {
