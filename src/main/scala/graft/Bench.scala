@@ -184,7 +184,7 @@ object Bench {
     case "q_para_dedup" | "q_para_profile" => "text"
     case "q_linear_train" | "q_linear_score" => "text"
     case "q_nb_train" | "q_nb_score" | "q_nb_score_holdout" => "text"
-    case "q_curation_disposition" | "q_curation_funnel" => "text"
+    case "q_curation_disposition" | "q_curation_bloom" | "q_curation_funnel" => "text"
     case "q_jsonl_roundtrip" => "etl"
     case "q_merge_upsert" | "q_scd2_apply" | "q_agg_upsert" | "q_zorder" |
          "q_quality_audit" | "q_dataset_fingerprint" |

@@ -5321,6 +5321,27 @@ object SparkEntry {
             SELECT doc_id AS id, stage_order, drop_stage FROM disp
             ORDER BY id"""))
 
+  /** [[qCurationDisposition]] through the BLOOM decontamination stage
+    * ([[graft.text.Decontaminate.bloomFlagContaminated]] swapped in via
+    * `bloomDecontam = true`): the 100 TB shape where the benchmark gram
+    * table outgrows the exchange and only Bloom-surviving grams reach
+    * the confirm join. The prefilter is exact-confirmed, so the oracle
+    * is qCurationDisposition's, verbatim — a false positive leaking
+    * into a disposition fails the gate.
+    */
+  private val qCurationBloom = Q(
+    (s, dir) => {
+      val (aug, bench) = curationInput(s, dir)
+      graft.pipeline.Curation.disposition(aug, bench,
+          "url", "doc_id", "text", "source",
+          minQuality = 0.6, ngramN = 3, minHits = 5L, budgetPerSource = 500L,
+          bloomDecontam = true)
+        .orderBy("id")
+    },
+    Some(s"""WITH $curationCtes
+            SELECT doc_id AS id, stage_order, drop_stage FROM disp
+            ORDER BY id"""))
+
   /** The attrition report ([[graft.pipeline.Curation.funnel]]): stage
     * counts that reconcile to the input total by construction — the
     * "where did my 100 TB go" table.
@@ -6165,6 +6186,7 @@ object SparkEntry {
     "q_nb_score" -> qNbScore,
     "q_nb_score_holdout" -> qNbScoreHoldout,
     "q_curation_disposition" -> qCurationDisposition,
+    "q_curation_bloom" -> qCurationBloom,
     "q_curation_funnel" -> qCurationFunnel,
     "q_fuzzy_link" -> qFuzzyLink,
     "q_triangles" -> qTriangles,

@@ -18,9 +18,9 @@ import graft.text.{Decontaminate, TextAnalysis, UrlCurate}
   *
   * Stage order is the C4/CCNet-lineage order: identity dedup first
   * (canonical URL, then exact text — cheap, large-volume), content
-  * gates second (quality score, benchmark decontamination), the
-  * token-budget mixture last (budgets are meaningful only over the
-  * clean pool).
+  * gates second (quality score, benchmark decontamination — exact or
+  * Bloom-prefiltered via `bloomDecontam`), the token-budget mixture
+  * last (budgets are meaningful only over the clean pool).
   *
   * Scale shape (100 TB): each stage is one narrow shuffle over the
   * SHRINKING survivor set — URL and text dedup are min-id aggregations
@@ -55,7 +55,8 @@ object Curation {
                   urlCol: String, idCol: String, textCol: String,
                   sourceCol: String,
                   minQuality: Double, ngramN: Int, minHits: Long,
-                  budgetPerSource: Long): DataFrame = {
+                  budgetPerSource: Long,
+                  bloomDecontam: Boolean = false): DataFrame = {
     def tag(ids: DataFrame, order: Int, stage: String): DataFrame =
       ids.select(col("id"), lit(order).as("stage_order"),
         lit(stage).as("drop_stage"))
@@ -106,11 +107,19 @@ object Curation {
 
     // 4. benchmark decontamination over the remaining pool —
     // flagContaminated scans its train side twice (gram explosion +
-    // id base), both now off the stage-3 checkpoint
-    val flags = Decontaminate.flagContaminated(
-      surv3.select(col("id").as("doc_id"), col("__text").as("text")),
-      bench.select(col(idCol).as("doc_id"), col(textCol).as("text")),
-      "doc_id", "text", n = ngramN, minHits = minHits)
+    // id base), both now off the stage-3 checkpoint. `bloomDecontam`
+    // swaps in the Bloom-prefiltered variant (row-identical output by
+    // contract, spec-pinned): the right knob once the benchmark gram
+    // table outgrows a broadcast/shuffled exchange — only grams
+    // surviving the scan-stage Bloom probe reach the confirm join.
+    val surv3t = surv3.select(col("id").as("doc_id"), col("__text").as("text"))
+    val bencht = bench.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val flags = (if (bloomDecontam)
+        Decontaminate.bloomFlagContaminated(surv3t, bencht,
+          "doc_id", "text", n = ngramN, minHits = minHits)
+      else
+        Decontaminate.flagContaminated(surv3t, bencht,
+          "doc_id", "text", n = ngramN, minHits = minHits))
       .select(col("id"), col("contaminated"))
     val withF = surv3.join(flags, "id").localCheckpoint()
     val drop4 = tag(withF.filter(col("contaminated")), 4, "contaminated")

@@ -56,6 +56,17 @@ class CurationSpec extends SparkTestBase {
     assert(f.find(_._2 == "kept").get._3 === 2L)
   }
 
+  test("bloom decontamination path yields identical dispositions") {
+    val exact = disp.orderBy("id").collect().toSeq
+    val bloom = Curation.disposition(docs, bench,
+        "url", "doc_id", "text", "source",
+        minQuality = 0.3, ngramN = 3, minHits = 1, budgetPerSource = 30L,
+        bloomDecontam = true)
+      .orderBy("id").collect().toSeq
+    assert(bloom === exact,
+      "the Bloom prefilter is a physical optimization — dispositions must not move")
+  }
+
   test("disposition is partition-invariant") {
     def run(parts: Int) = Curation.disposition(
       docs.repartition(parts), bench, "url", "doc_id", "text", "source",
