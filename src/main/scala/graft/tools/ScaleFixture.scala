@@ -50,8 +50,35 @@ object ScaleFixture {
   private def isKey(name: String): Boolean =
     keyExact.contains(name) || keySuffixes.exists(s => name.endsWith(s))
 
+  /** Zipf-vocabulary token rewrite: every token position becomes
+    * `w<rank>` with rank drawn log-uniformly from [1, vocabSize] — the
+    * standard inverse-CDF trick (rank = V^u for uniform u gives density
+    * ∝ 1/rank, i.e. Zipf s=1). The uniform u is md5-derived from
+    * (doc_id, replica, position), so the rewrite is deterministic and
+    * every replica gets genuinely distinct text. Token COUNTS are
+    * preserved exactly (dl/budget distributions unchanged); token
+    * IDENTITY gets a web-corpus-shaped long tail instead of the
+    * template fixture's ~32-token vocabulary — which made every bigram
+    * hot, voided BM25 bucket pruning, and blew up wide phrase sweeps
+    * (round-12 verdict: those soak rows measured the fixture, not the
+    * operator).
+    */
+  private def zipfText(r: Column, vocabSize: Int): Column = {
+    val toks = split(col("text"), "\\s+")
+    val rewritten = zip_with(toks, sequence(lit(0), size(toks) - 1), (_, i) => {
+      val h = graft.dedup.NearDup.md5Long(
+        concat_ws(":", col("doc_id").cast("string"), r.cast("string"),
+          i.cast("string")))
+      val u = pmod(h, lit(1000000L)).cast("double") / lit(1e6)
+      val rank = least(greatest(floor(pow(lit(vocabSize.toDouble), u)), lit(1.0)),
+        lit(vocabSize.toDouble)).cast("long")
+      concat(lit("w"), rank.cast("string"))
+    })
+    array_join(rewritten, " ").as("text")
+  }
+
   private[graft] def scaled(df: DataFrame, factor: Int, dim: Int,
-                            textDupDepth: Int): DataFrame = {
+                            textDupDepth: Int, vocabSize: Int = 0): DataFrame = {
     val r: Column = col("__r")
     val cols = df.columns.map {
       case "embedding" if dim > 0 =>
@@ -59,6 +86,8 @@ object ScaleFixture {
         transform(sequence(lit(0), lit(dim - 1)),
           j => element_at(col("embedding"), ((j + r) % dim).cast("int") + 1))
           .cast("array<float>").as("embedding")
+      case "text" if vocabSize > 0 && df.columns.contains("doc_id") =>
+        zipfText(r, vocabSize)
       case "text" if textDupDepth > 0 =>
         regexp_replace(col("text"), lit("\\s+"),
           concat(lit(" dg"),
@@ -73,11 +102,12 @@ object ScaleFixture {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: ScaleFixture <srcSfDir> <outDir> [factor] [nFiles] [textDupDepth]")
+      "usage: ScaleFixture <srcSfDir> <outDir> [factor] [nFiles] [textDupDepth] [vocabSize]")
     val (src, out) = (args(0), args(1))
     val factor = args.drop(2).headOption.map(_.toInt).getOrElse(10)
     val nFiles = args.drop(3).headOption.map(_.toInt).getOrElse(16)
     val textDupDepth = args.drop(4).headOption.map(_.toInt).getOrElse(0)
+    val vocabSize = args.drop(5).headOption.map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", nFiles)
@@ -101,7 +131,7 @@ object ScaleFixture {
       // nFiles balanced input slices → nFiles balanced output files,
       // zero post-multiplication shuffle.
       val base = raw.repartition(nFiles)
-      scaled(base, factor, dim, textDupDepth)
+      scaled(base, factor, dim, textDupDepth, vocabSize)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
     spark.stop()

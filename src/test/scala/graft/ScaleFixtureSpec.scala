@@ -56,4 +56,32 @@ class ScaleFixtureSpec extends SparkTestBase {
       .select("text").as[String].collect()
     assert(out.forall(_ === "alpha beta"))
   }
+
+  test("zipf vocab mode: token counts preserved, long-tail vocab, deterministic, replica-distinct") {
+    val docs = (0L until 40L)
+      .map(i => (i, ("tok " * 50).trim)).toDF("doc_id", "text")
+    val out = ScaleFixture.scaled(docs, 2, 0, 0, vocabSize = 50000)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(out.length === 80)
+    // token counts survive exactly (dl/budget distributions unchanged)
+    assert(out.forall(_._2.split("\\s+").length === 50))
+    // all tokens come from the synthetic vocabulary
+    val toks = out.flatMap(_._2.split("\\s+"))
+    assert(toks.forall(t => t.matches("w\\d+")))
+    val ranks = toks.map(_.drop(1).toLong)
+    assert(ranks.forall(r => r >= 1 && r <= 50000))
+    // log-uniform ranks → heavy head AND a long tail: rank 1..10 tokens
+    // appear many times, while most of the 4000 positions are rare types
+    val nLow = ranks.count(_ <= 10)
+    assert(nLow > 400, s"zipf head too light: $nLow/4000 positions at rank<=10")
+    assert(ranks.distinct.length > 500,
+      s"vocabulary too small: ${ranks.distinct.length} types over 4000 positions")
+    // deterministic: a re-run is bit-identical
+    val again = ScaleFixture.scaled(docs, 2, 0, 0, vocabSize = 50000)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(out.sortBy(_._1).map(_._2).toSeq === again.sortBy(_._1).map(_._2).toSeq)
+    // replicas get distinct text (the hash keys on the replica index)
+    val byBase = out.groupBy(_._1 % 1000000000000L)
+    assert(byBase.values.forall(g => g.map(_._2).distinct.length === g.length))
+  }
 }
