@@ -2579,6 +2579,98 @@ object SparkEntry {
                    CAST(psum AS BIGINT) AS pixel_byte_sum
             FROM px ORDER BY doc_id"""))
 
+  /** RGBA PNG decode ([[graft.multimodal.Multimodal.parsePng]] color
+    * type 6 — the alpha-plane extension): same proof shape as
+    * q_png_decode, but the closed-form byte stream splits by channel
+    * position — k%4<3 are color bytes, k%4=3 is alpha — and the oracle
+    * predicts BOTH sums; the alpha mean surfaces in feature slot 7, so
+    * a decoder that mixed alpha into the color fold (or dropped it)
+    * fails on either column.
+    */
+  private val qPngAlpha = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 1 + (id % 16).toInt
+          val h = 1 + (id % 8).toInt
+          (id, graft.multimodal.Multimodal.makePng(w, h, id, colorType = 6))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractFeatures(s, bins)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_bytes"),
+          round(element_at(col("features"), 4) *
+            (col("width") * col("height") * lit(3L) * lit(255L)))
+            .cast(LongType).as("pixel_byte_sum"),
+          round(element_at(col("features"), 8) *
+            (col("width") * col("height") * lit(255L)))
+            .cast(LongType).as("alpha_byte_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     CAST(1 + doc_id % 16 AS INT) AS w,
+                     CAST(1 + doc_id % 8 AS INT) AS h
+              FROM documents),
+            px AS (
+              SELECT d.doc_id, d.w, d.h,
+                     SUM(CASE WHEN k.k % 4 < 3
+                         THEN (d.doc_id + r.r * 31 + k.k * 7) % 256 ELSE 0 END) AS psum,
+                     SUM(CASE WHEN k.k % 4 = 3
+                         THEN (d.doc_id + r.r * 31 + k.k * 7) % 256 ELSE 0 END) AS asum
+              FROM dims d
+              JOIN generate_series(0, 7) AS r(r) ON r.r < d.h
+              JOIN generate_series(0, 63) AS k(k) ON k.k < 4 * d.w
+              GROUP BY d.doc_id, d.w, d.h)
+            SELECT doc_id, 'png' AS format, w AS width, h AS height,
+                   CAST(h * (4 * w + 1) + 68 AS INT) AS n_bytes,
+                   CAST(psum AS BIGINT) AS pixel_byte_sum,
+                   CAST(asum AS BIGINT) AS alpha_byte_sum
+            FROM px ORDER BY doc_id"""))
+
+  /** 16-bit PNG decode ([[graft.multimodal.Multimodal.parsePng]] depth
+    * 16): samples are big-endian 16-bit and reduce to their HIGH byte,
+    * so the oracle sums the closed-form bytes at even positions
+    * (k = 2s). Filters run on BYTES with bpp = 6 here — a decoder that
+    * kept the 8-bit bpp would corrupt every Sub/Average/Paeth row and
+    * miss the sum.
+    */
+  private val qPng16 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 1 + (id % 16).toInt
+          val h = 1 + (id % 8).toInt
+          (id, graft.multimodal.Multimodal.makePng(w, h, id, colorType = 2,
+            bitDepth = 16))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractFeatures(s, bins)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_bytes"),
+          round(element_at(col("features"), 4) *
+            (col("width") * col("height") * lit(3L) * lit(255L)))
+            .cast(LongType).as("pixel_byte_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     CAST(1 + doc_id % 16 AS INT) AS w,
+                     CAST(1 + doc_id % 8 AS INT) AS h
+              FROM documents),
+            px AS (
+              -- sample s (s < 3w) has its high byte at position k = 2s
+              SELECT d.doc_id, d.w, d.h,
+                     SUM((d.doc_id + r.r * 31 + 2 * s.s * 7) % 256) AS psum
+              FROM dims d
+              JOIN generate_series(0, 7) AS r(r) ON r.r < d.h
+              JOIN generate_series(0, 47) AS s(s) ON s.s < 3 * d.w
+              GROUP BY d.doc_id, d.w, d.h)
+            SELECT doc_id, 'png' AS format, w AS width, h AS height,
+                   CAST(h * (6 * w + 1) + 68 AS INT) AS n_bytes,
+                   CAST(psum AS BIGINT) AS pixel_byte_sum
+            FROM px ORDER BY doc_id"""))
+
   /** Fourth de-stubbed format, second with a real compression codec:
     * GIF ([[graft.multimodal.Multimodal.parseGif]] — screen-descriptor
     * walk, 256-entry global color table, and a from-scratch
@@ -2669,6 +2761,33 @@ object SparkEntry {
             SELECT doc_id, 'jpeg' AS format, w AS width, h AS height,
                    CAST(psum AS BIGINT) AS pixel_byte_sum
             FROM px ORDER BY doc_id"""))
+
+  /** PROGRESSIVE JPEG decode ([[graft.multimodal.Multimodal
+    * .parseJpeg]] over [[graft.multimodal.Multimodal
+    * .makeJpegProgressive]] fixtures): the same DC-only closed form as
+    * q_jpeg_decode, delivered as a successive-approximation DC-first
+    * scan (Al=1) + DC refinement + per-component EOB-run AC scans —
+    * the T.81 G.2 multi-scan machinery must accumulate and refine
+    * coefficients across scans to land the identical flat blocks, so
+    * q_jpeg_decode's oracle replays verbatim on this query's result.
+    */
+  private val qJpegProgressive = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 8 * (1 + (id % 3).toInt)
+          val h = 8 * (1 + (id % 2).toInt)
+          (id, graft.multimodal.Multimodal.makeJpegProgressive(w, h, id, gray = true))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractFeatures(s, bins)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          round(element_at(col("features"), 4) *
+            (col("width") * col("height") * lit(255L)))
+            .cast(LongType).as("pixel_byte_sum"))
+        .orderBy("doc_id")
+    },
+    qJpegDecode.oracle)
 
   /** Frame-level PCM audio analysis ([[graft.multimodal.Multimodal
     * .wavFrameStats]]): per 32-sample frame, exact integer energy Σs²
@@ -6205,6 +6324,8 @@ object SparkEntry {
     "q_ann_ivfpq_indexed" -> qAnnIvfPqIndexed,
     "q_winsorize" -> qWinsorize,
     "q_png_decode" -> qPngDecode,
+    "q_png_alpha" -> qPngAlpha,
+    "q_png_16bit" -> qPng16,
     "q_dsir_weights" -> qDsirWeights,
     "q_source_kl" -> qSourceKl,
     "q_ann_recall" -> qAnnRecall,
@@ -6215,6 +6336,7 @@ object SparkEntry {
     "q_pack_render" -> qPackRender,
     "q_gif_decode" -> qGifDecode,
     "q_jpeg_decode" -> qJpegDecode,
+    "q_jpeg_progressive" -> qJpegProgressive,
     "q_phrase_search" -> qPhraseSearch,
     "q_bitext_mine" -> qBitextMine,
     "q_dup_span_ranges" -> qDupSpanRanges,

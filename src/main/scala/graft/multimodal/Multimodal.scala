@@ -228,11 +228,13 @@ object Multimodal {
   // Third de-stubbed format, and the first with a REAL compression codec
   // in the path: IDAT payloads inflate through java.util.zip.Inflater
   // (public JDK), then scanlines un-filter per the spec's five filter
-  // types (None/Sub/Up/Average/Paeth). Supported: 8-bit depth,
-  // non-interlaced, truecolor (type 2), grayscale (type 0) and
-  // palette-indexed (type 3; filters run on the index plane, then a
-  // PLTE lookup per pixel) — alpha/interlace variants return None and
-  // fall to the stub.
+  // types (None/Sub/Up/Average/Paeth). Supported: all five color types
+  // — grayscale (0), truecolor (2), palette-indexed (3; filters run on
+  // the index plane, then a PLTE lookup per pixel), gray+alpha (4) and
+  // RGBA (6) — at 8-bit depth, plus 16-bit for the non-palette types
+  // (samples reduce to their high byte; filters always run on bytes
+  // with bpp = bytes/pixel, per spec). Interlaced (Adam7) images
+  // return None and fall to the stub.
 
   private def be32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
@@ -262,14 +264,20 @@ object Multimodal {
     val bitDepth = bytes(24) & 0xff
     val colorType = bytes(25) & 0xff
     val interlace = bytes(28) & 0xff
-    val bpp = colorType match {
+    val channels = colorType match {
       case 0 => 1
       case 2 => 3
       case 3 => 1 // palette index bytes; filters run on the index plane
+      case 4 => 2 // grayscale + alpha
+      case 6 => 4 // RGBA
       case _ => return None
     }
+    // 8-bit everywhere; 16-bit for the non-palette types (the spec's
+    // depth matrix). Filters operate on BYTES with bpp = bytes/pixel.
+    val okDepth = bitDepth == 8 || (bitDepth == 16 && colorType != 3)
+    val bpp = channels * (bitDepth / 8)
     // same lying-header walk bound as parseBmp
-    if (bitDepth != 8 || interlace != 0 || bytes(26) != 0 || bytes(27) != 0 ||
+    if (!okDepth || interlace != 0 || bytes(26) != 0 || bytes(27) != 0 ||
         w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14))
       return None
     // chunk walk: concatenate IDAT payloads until IEND; capture PLTE
@@ -352,8 +360,11 @@ object Multimodal {
       r += 1
     }
     // pixel fold, mirroring parseBmp's feature layout; palette images
-    // fold the LOOKED-UP RGB (what the pixels mean), not the raw indices
-    val sums = new Array[Long](3)
+    // fold the LOOKED-UP RGB (what the pixels mean), not the raw
+    // indices; 16-bit samples reduce to their HIGH byte (the spec's
+    // standard 16→8 downsample); alpha folds into feature slot 7
+    // (mean alpha — 0 for formats without an alpha plane).
+    val sums = new Array[Long](4) // r/g/b (or gray in 0) + alpha in 3
     var high = 0L
     if (colorType == 3) {
       val nEntries = palette.length / 3
@@ -371,28 +382,40 @@ object Multimodal {
         i += 1
       }
     } else {
-      var i = 0
-      while (i < img.length) {
-        val v = img(i) & 0xff
-        sums(if (bpp == 3) i % 3 else 0) += v
-        if (v > 127) high += 1
-        i += 1
+      val bps = bitDepth / 8
+      val nSamples = img.length / bps
+      var s = 0
+      while (s < nSamples) {
+        val v = img(s * bps) & 0xff // depth 16: big-endian high byte
+        val ch = s % channels
+        val slot = colorType match {
+          case 0 => 0
+          case 2 => ch
+          case 4 => if (ch == 0) 0 else 3 // gray, alpha
+          case 6 => ch                    // r, g, b, alpha
+        }
+        sums(slot) += v
+        if (slot < 3 && v > 127) high += 1 // brightness over color planes only
+        s += 1
       }
     }
     val n = w.toLong * h
     val total = sums(0) + sums(1) + sums(2)
+    val hasAlpha = colorType == 4 || colorType == 6
+    val alphaMean = if (hasAlpha) (sums(3).toDouble / (n * 255)).toFloat else 0f
+    val colored = colorType == 2 || colorType == 3 || colorType == 6
     val feats =
-      if (bpp == 3 || colorType == 3) Array(
+      if (colored) Array(
         (sums(0).toDouble / (n * 255)).toFloat,
         (sums(1).toDouble / (n * 255)).toFloat,
         (sums(2).toDouble / (n * 255)).toFloat,
         (total.toDouble / (3 * n * 255)).toFloat,
         (high.toDouble / (3 * n)).toFloat,
-        w.toFloat / (w + h), h.toFloat / (w + h), 0f)
+        w.toFloat / (w + h), h.toFloat / (w + h), alphaMean)
       else {
         val m = (sums(0).toDouble / (n * 255)).toFloat
         Array(m, m, m, m, (high.toDouble / n).toFloat,
-          w.toFloat / (w + h), h.toFloat / (w + h), 0f)
+          w.toFloat / (w + h), h.toFloat / (w + h), alphaMean)
       }
     Some(MediaFeatures(id, bytes.length, "png", w, h, feats))
   }
@@ -409,11 +432,18 @@ object Multimodal {
     * writes the same closed-form bytes as INDICES plus a full
     * 256-entry PLTE whose entry j, channel c is
     * `(seed + j*11 + c*97) mod 256` (+780 bytes; every index valid).
+    * colorType 4/6 add the alpha plane (2/4 channels); bitDepth 16
+    * doubles bpp with the same per-BYTE closed form, so the decoded
+    * high-byte fold stays closed-form too.
     */
-  def makePng(w: Int, h: Int, seed: Long, colorType: Int = 2): Array[Byte] = {
+  def makePng(w: Int, h: Int, seed: Long, colorType: Int = 2,
+              bitDepth: Int = 8): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 256 && h <= 256, s"fixture dims $w x $h")
-    require(colorType == 0 || colorType == 2 || colorType == 3, s"colorType $colorType")
-    val bpp = if (colorType == 2) 3 else 1
+    require(Set(0, 2, 3, 4, 6).contains(colorType), s"colorType $colorType")
+    require(bitDepth == 8 || (bitDepth == 16 && colorType != 3),
+      s"bitDepth $bitDepth invalid for colorType $colorType")
+    val channels = colorType match { case 2 => 3; case 4 => 2; case 6 => 4; case _ => 1 }
+    val bpp = channels * (bitDepth / 8)
     val stride = w * bpp
     val img = Array.tabulate(h * stride) { i =>
       val r = i / stride; val k = i % stride
@@ -487,7 +517,7 @@ object Multimodal {
     ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
     ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
     ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
-    ihdr(8) = 8; ihdr(9) = colorType.toByte // depth 8; compression/filter/interlace stay 0
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte // compression/filter/interlace stay 0
     // palette fixtures carry a full 256-entry PLTE (every index valid)
     // with its own closed form: entry j channel c = (seed + j*11 + c*97) mod 256
     val plte =
@@ -919,8 +949,45 @@ object Multimodal {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Parse + decode a baseline JPEG; returns None on anything outside
-    * the supported envelope (the caller falls to the stub).
+  /** Separable 8×8 IDCT (rows into `tmp`, then columns) + level shift,
+    * clamped into `plane` at (px0, py0) — shared by the baseline
+    * streaming decode and the progressive coefficient-buffer pass.
+    */
+  private def idctWrite(coef: Array[Int], tmp: Array[Double],
+                        plane: Array[Byte], planeW: Int, px0: Int, py0: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += IdctBasis(u * 8 + x) * coef(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = s
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += IdctBasis(v * 8 + yy) * tmp(v * 8 + x); v += 1 }
+        val vpix = math.round(s + 128.0).toInt
+        val clamped = if (vpix < 0) 0 else if (vpix > 255) 255 else vpix
+        plane((py0 + yy) * planeW + px0 + x) = clamped.toByte
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  /** Parse + decode a baseline (SOF0) or progressive (SOF2) JPEG;
+    * returns None on anything outside the supported envelope (the
+    * caller falls to the stub). Progressive streams accumulate
+    * coefficients across DC/AC first and refinement scans (T.81 G.2)
+    * and render once at EOI.
     */
   def parseJpeg(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
@@ -939,16 +1006,213 @@ object Multimodal {
     var comps: Array[Array[Int]] = null
     var off = 2
     var sosAt = -1
+    var progressive = false
+    var scansDone = 0
+    // progressive coefficient state, allocated at the first SOS
+    var pCoefs: Array[Array[Int]] = null
+    var pCompBX: Array[Int] = null
+    var pCompBY: Array[Int] = null
+
+    /** Decode one progressive scan's entropy data (T.81 G.2): DC
+      * first/refinement over interleaved MCUs (or a single component's
+      * block raster), AC first/refinement with EOB-run bookkeeping —
+      * coefficients accumulate in `pCoefs` at natural (un-zigzagged)
+      * positions, UNQUANTIZED; dequant + IDCT happen once after EOI.
+      * Returns the offset of the next marker's 0xFF.
+      */
+    def progScan(scanCis: Array[Int], ss: Int, se: Int, ah: Int, al: Int,
+                 startPos: Int): Int = {
+      val nComp = comps.length
+      val maxH = comps.map(_(1)).max
+      val maxV = comps.map(_(2)).max
+      val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+      val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+      if (pCoefs == null) {
+        // coefficient buffers hold every block as 64 ints — bound the
+        // image harder than the baseline streaming path
+        if (w.toLong * h > (16 << 20)) throw new JpegBad
+        pCompBX = comps.map(cc => mcusX * cc(1))
+        pCompBY = comps.map(cc => mcusY * cc(2))
+        pCoefs = (0 until nComp).map(i =>
+          new Array[Int](pCompBX(i) * pCompBY(i) * 64)).toArray
+      }
+      val br = new JpegBits(bytes, startPos)
+      val pred = new Array[Int](nComp)
+      var eobrun = 0
+
+      def dcBlock(c: Int, bx: Int, by: Int): Unit = {
+        val base = (by * pCompBX(c) + bx) * 64
+        if (ah == 0) {
+          val tab = dcTabs(comps(c)(4)); if (tab == null) throw new JpegBad
+          val t = tab.decode(br)
+          if (t > 11) throw new JpegBad
+          pred(c) += extend(br.receive(t), t)
+          pCoefs(c)(base) = pred(c) << al
+        } else if (br.bit() == 1) pCoefs(c)(base) |= (1 << al)
+      }
+
+      def acFirst(co: Array[Int], base: Int, acT: HuffTable): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        while (k <= se) {
+          val rs = acT.decode(br)
+          val r = rs >> 4; val s = rs & 15
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << r) - 1 + (if (r > 0) br.receive(r) else 0)
+              return
+            }
+          } else {
+            k += r
+            if (k > se) throw new JpegBad
+            co(base + ZigZag(k)) = extend(br.receive(s), s) << al
+            k += 1
+          }
+        }
+      }
+
+      def acRefine(co: Array[Int], base: Int, acT: HuffTable): Unit = {
+        val p1 = 1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var ended = false
+          while (k <= se && !ended) {
+            val rs = acT.decode(br)
+            var r = rs >> 4; val s = rs & 15
+            var newval = 0
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) + (if (r > 0) br.receive(r) else 0)
+                ended = true
+              } // r == 15: ZRL — skip 16 zero-history slots below
+            } else {
+              if (s != 1) throw new JpegBad
+              newval = if (br.bit() == 1) p1 else -p1
+            }
+            if (!ended) {
+              var placed = false
+              while (k <= se && !placed) {
+                val z = base + ZigZag(k)
+                if (co(z) != 0) {
+                  if (br.bit() == 1 && (co(z) & p1) == 0)
+                    co(z) += (if (co(z) >= 0) p1 else -p1)
+                } else if (r == 0) {
+                  if (newval != 0) co(z) = newval
+                  placed = true
+                } else r -= 1
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val z = base + ZigZag(k)
+            if (co(z) != 0 && br.bit() == 1 && (co(z) & p1) == 0)
+              co(z) += (if (co(z) >= 0) p1 else -p1)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+
+      def maybeRestart(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.restart()
+          java.util.Arrays.fill(pred, 0)
+          eobrun = 0
+        }
+
+      if (ss == 0) {
+        if (se != 0 || ah > 13 || al > 13) throw new JpegBad
+        if (scanCis.length > 1 || nComp == 1) {
+          // interleaved DC scan over MCUs
+          var mcu = 0
+          val total = mcusX * mcusY
+          while (mcu < total) {
+            maybeRestart(mcu)
+            val mx = mcu % mcusX
+            val my = mcu / mcusX
+            var i = 0
+            while (i < scanCis.length) {
+              val c = scanCis(i)
+              var by = 0
+              while (by < comps(c)(2)) {
+                var bx = 0
+                while (bx < comps(c)(1)) {
+                  dcBlock(c, mx * comps(c)(1) + bx, my * comps(c)(2) + by)
+                  bx += 1
+                }
+                by += 1
+              }
+              i += 1
+            }
+            mcu += 1
+          }
+        } else {
+          // single-component DC scan: the component's own block raster
+          val c = scanCis(0)
+          val nbx = (((w * comps(c)(1) + maxH - 1) / maxH) + 7) / 8
+          val nby = (((h * comps(c)(2) + maxV - 1) / maxV) + 7) / 8
+          var b = 0
+          while (b < nbx * nby) {
+            maybeRestart(b)
+            dcBlock(c, b % nbx, b / nbx)
+            b += 1
+          }
+        }
+      } else {
+        // AC scans are single-component by spec
+        if (scanCis.length != 1 || se > 63 || ss > se || ah > 13 || al > 13)
+          throw new JpegBad
+        val c = scanCis(0)
+        val acT = acTabs(comps(c)(5)); if (acT == null) throw new JpegBad
+        val co = pCoefs(c)
+        val nbx = (((w * comps(c)(1) + maxH - 1) / maxH) + 7) / 8
+        val nby = (((h * comps(c)(2) + maxV - 1) / maxV) + 7) / 8
+        var b = 0
+        while (b < nbx * nby) {
+          maybeRestart(b)
+          val base = ((b / nbx) * pCompBX(c) + b % nbx) * 64
+          if (ah == 0) acFirst(co, base, acT) else acRefine(co, base, acT)
+          b += 1
+        }
+      }
+      // locate the next marker (skip pad bits, stuffed FFs and fills)
+      var q = br.pos
+      var found = -1
+      while (found < 0) {
+        if (q + 1 >= bytes.length) throw new JpegBad
+        val m = bytes(q + 1) & 0xff
+        if ((bytes(q) & 0xff) == 0xff && m != 0 && m != 0xff &&
+            !(m >= 0xd0 && m <= 0xd7)) found = q
+        else q += 1
+      }
+      found
+    }
+
     while (sosAt < 0) {
-      if (off + 4 > bytes.length) return None
+      // EOI is a bare 2-byte marker — only require the length bytes
+      // AFTER ruling it out
+      if (off + 2 > bytes.length) return None
       if ((bytes(off) & 0xff) != 0xff) return None
       var marker = bytes(off + 1) & 0xff
       off += 2
-      while (marker == 0xff) { marker = bytes(off) & 0xff; off += 1 } // fill bytes
-      if (marker == 0xd9) return None // EOI before SOS
+      while (marker == 0xff) { // fill bytes
+        if (off >= bytes.length) return None
+        marker = bytes(off) & 0xff; off += 1
+      }
+      if (marker == 0xd9) { // EOI: the exit for a progressive stream
+        if (progressive && scansDone > 0) return progFinish(id, bytes, comps,
+          quant, pCoefs, pCompBX, pCompBY, w, h)
+        return None // EOI before any image data
+      }
+      if (off + 2 > bytes.length) return None
       val len = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
       if (len < 2 || off + len > bytes.length) return None
       val segEnd = off + len
+      var nextOff = segEnd
       var p = off + 2
       marker match {
         case 0xdb => // DQT
@@ -962,7 +1226,8 @@ object Multimodal {
             quant(tq) = t
             p += 65
           }
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          progressive = marker == 0xc2
           if (bytes(p) != 8) return None
           h = ((bytes(p + 1) & 0xff) << 8) | (bytes(p + 2) & 0xff)
           w = ((bytes(p + 3) & 0xff) << 8) | (bytes(p + 4) & 0xff)
@@ -981,9 +1246,9 @@ object Multimodal {
                 comps(c)(2) < 1 || comps(c)(2) > 2 || comps(c)(3) > 3) return None
             c += 1
           }
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
-          return None // non-baseline SOF (progressive, arithmetic, ...)
+          return None // unsupported SOF (extended, lossless, arithmetic, ...)
         case 0xc4 => // DHT
           while (p < segEnd) {
             val tc = (bytes(p) & 0xff) >> 4
@@ -1006,7 +1271,9 @@ object Multimodal {
         case 0xda => // SOS
           if (comps == null) return None
           val n = bytes(p) & 0xff
-          if (n != comps.length) return None
+          if (n < 1 || n > comps.length || (!progressive && n != comps.length))
+            return None
+          val scanCis = new Array[Int](n)
           var c = 0
           while (c < n) {
             val cid = bytes(p + 1 + 2 * c) & 0xff
@@ -1015,12 +1282,19 @@ object Multimodal {
             if (ci < 0) return None
             comps(ci)(4) = sel >> 4
             comps(ci)(5) = sel & 0x0f
+            scanCis(c) = ci
             c += 1
           }
-          sosAt = segEnd
+          if (progressive) {
+            val ss = bytes(p + 1 + 2 * n) & 0xff
+            val se = bytes(p + 2 + 2 * n) & 0xff
+            val ahal = bytes(p + 3 + 2 * n) & 0xff
+            nextOff = progScan(scanCis, ss, se, ahal >> 4, ahal & 15, segEnd)
+            scansDone += 1
+          } else sosAt = segEnd
         case _ => // APPn, COM, others: skip
       }
-      off = segEnd
+      off = nextOff
     }
     val nComp = comps.length
     val maxH = comps.map(_(1)).max
@@ -1082,35 +1356,9 @@ object Multimodal {
                 k += 1
               }
             }
-            // --- IDCT (rows then columns) + level shift ---
-            var y = 0
-            while (y < 8) {
-              var x = 0
-              while (x < 8) {
-                var s = 0.0
-                var u = 0
-                while (u < 8) { s += IdctBasis(u * 8 + x) * coef(y * 8 + u); u += 1 }
-                tmp(y * 8 + x) = s
-                x += 1
-              }
-              y += 1
-            }
-            val px0 = (mx * comps(c)(1) + bx) * 8
-            val py0 = (my * comps(c)(2) + by) * 8
-            var x = 0
-            while (x < 8) {
-              var yy = 0
-              while (yy < 8) {
-                var s = 0.0
-                var v = 0
-                while (v < 8) { s += IdctBasis(v * 8 + yy) * tmp(v * 8 + x); v += 1 }
-                val vpix = math.round(s + 128.0).toInt
-                val clamped = if (vpix < 0) 0 else if (vpix > 255) 255 else vpix
-                planes(c)((py0 + yy) * planeW(c) + px0 + x) = clamped.toByte
-                yy += 1
-              }
-              x += 1
-            }
+            // --- IDCT + level shift ---
+            idctWrite(coef, tmp, planes(c), planeW(c),
+              (mx * comps(c)(1) + bx) * 8, (my * comps(c)(2) + by) * 8)
             bx += 1
           }
           by += 1
@@ -1119,7 +1367,19 @@ object Multimodal {
       }
       mcu += 1
     }
-    // fold features over the visible w×h region
+    foldJpegPlanes(id, bytes.length, comps, planes, planeW, w, h)
+  }
+
+  /** Shared feature fold over decoded component planes (visible w×h
+    * region; grayscale or YCbCr→RGB with chroma replication) — the tail
+    * of both the baseline and the progressive decode paths.
+    */
+  private def foldJpegPlanes(id: Long, nBytes: Int, comps: Array[Array[Int]],
+                             planes: Array[Array[Byte]], planeW: Array[Int],
+                             w: Int, h: Int): Option[MediaFeatures] = {
+    val nComp = comps.length
+    val maxH = comps.map(_(1)).max
+    val maxV = comps.map(_(2)).max
     val sums = new Array[Long](3)
     var high = 0L
     val n = w.toLong * h
@@ -1136,7 +1396,7 @@ object Multimodal {
         y += 1
       }
       val m = (sums(0).toDouble / (n * 255)).toFloat
-      Some(MediaFeatures(id, bytes.length, "jpeg", w, h,
+      Some(MediaFeatures(id, nBytes, "jpeg", w, h,
         Array(m, m, m, m, (high.toDouble / n).toFloat,
           w.toFloat / (w + h), h.toFloat / (w + h), 0f)))
     } else {
@@ -1165,7 +1425,7 @@ object Multimodal {
         y += 1
       }
       val total = sums(0) + sums(1) + sums(2)
-      Some(MediaFeatures(id, bytes.length, "jpeg", w, h,
+      Some(MediaFeatures(id, nBytes, "jpeg", w, h,
         Array((sums(0).toDouble / (n * 255)).toFloat,
           (sums(1).toDouble / (n * 255)).toFloat,
           (sums(2).toDouble / (n * 255)).toFloat,
@@ -1173,6 +1433,50 @@ object Multimodal {
           (high.toDouble / (3 * n)).toFloat,
           w.toFloat / (w + h), h.toFloat / (w + h), 0f)))
     }
+  }
+
+  /** Progressive finish: after EOI, dequantize the accumulated
+    * coefficient buffers, IDCT every block into its component plane,
+    * and fold — identical semantics to a baseline decode of the fully
+    * refined coefficients.
+    */
+  private def progFinish(id: Long, bytes: Array[Byte], comps: Array[Array[Int]],
+                         quant: Array[Array[Int]], pCoefs: Array[Array[Int]],
+                         pCompBX: Array[Int], pCompBY: Array[Int],
+                         w: Int, h: Int): Option[MediaFeatures] = {
+    if (pCoefs == null) return None
+    val nComp = comps.length
+    val maxH = comps.map(_(1)).max
+    val maxV = comps.map(_(2)).max
+    if (nComp == 1 && (maxH != 1 || maxV != 1)) return None
+    if (nComp == 3 && (comps(0)(1) != maxH || comps(0)(2) != maxV)) return None
+    var c = 0
+    while (c < nComp) {
+      if (quant(comps(c)(3)) == null) return None
+      c += 1
+    }
+    val planeW = pCompBX.map(_ * 8)
+    val planes = (0 until nComp).map(i =>
+      new Array[Byte](pCompBX(i) * pCompBY(i) * 64)).toArray
+    val dq = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    c = 0
+    while (c < nComp) {
+      val q = quant(comps(c)(3))
+      val co = pCoefs(c)
+      var b = 0
+      val nBlocks = pCompBX(c) * pCompBY(c)
+      while (b < nBlocks) {
+        val base = b * 64
+        var k = 0
+        while (k < 64) { dq(ZigZag(k)) = co(base + ZigZag(k)) * q(k); k += 1 }
+        idctWrite(dq, tmp, planes(c), planeW(c),
+          (b % pCompBX(c)) * 8, (b / pCompBX(c)) * 8)
+        b += 1
+      }
+      c += 1
+    }
+    foldJpegPlanes(id, bytes.length, comps, planes, planeW, w, h)
   }
 
   /** Fixture/test writer for baseline JPEG, DC-ONLY by construction:
@@ -1269,9 +1573,127 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Fixture writer for PROGRESSIVE JPEG (SOF2) with DC-only content
+    * following [[makeJpeg]]'s exact closed form — same all-ones quant
+    * tables, same per-block values — delivered through the progressive
+    * machinery the decoder must implement: a DC-first scan at
+    * successive approximation Al=1 (the sent values are dc/2, exact
+    * because dc = 8·(v−128) is even), an interleaved DC-refinement scan
+    * delivering bit 0, and one per-component AC-first scan encoded
+    * PURELY as EOB-runs (every AC is zero) — including an EOB1 run so
+    * the decoder's eobrun bookkeeping is on the path. The fully refined
+    * image is bit-identical to the baseline twin, so the same
+    * closed-form oracle replays it.
+    */
+  def makeJpegProgressive(w: Int, h: Int, seed: Long, gray: Boolean = false,
+                          subsample: Boolean = false): Array[Byte] = {
+    val unit = if (subsample) 16 else 8
+    require(w > 0 && h > 0 && w <= 256 && h <= 256 && w % unit == 0 && h % unit == 0,
+      s"fixture dims $w x $h (must be multiples of $unit)")
+    require(!(gray && subsample), "subsampling applies to the color form")
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    out.write(0xff); out.write(0xdb); be16(2 + 65); out.write(0x00) // DQT, all ones
+    (0 until 64).foreach(_ => out.write(1))
+    val nComp = if (gray) 1 else 3
+    out.write(0xff); out.write(0xc2); be16(8 + 3 * nComp) // SOF2
+    out.write(8); be16(h); be16(w); out.write(nComp)
+    (0 until nComp).foreach { c =>
+      out.write(c + 1)
+      out.write(if (subsample && c == 0) 0x22 else 0x11); out.write(0)
+    }
+    // DHT DC 0: categories 0..11 at 4 bits (as makeJpeg)
+    out.write(0xff); out.write(0xc4); be16(2 + 17 + 12); out.write(0x00)
+    (1 to 16).foreach(l => out.write(if (l == 4) 12 else 0))
+    (0 to 11).foreach(out.write)
+    // DHT AC 0: EOB0 (0x00) and EOB1 (0x10), both at 2 bits
+    out.write(0xff); out.write(0xc4); be16(2 + 17 + 2); out.write(0x10)
+    (1 to 16).foreach(l => out.write(if (l == 2) 2 else 0))
+    out.write(0x00); out.write(0x10)
+
+    def blockVal(c: Int, bx: Int, by: Int): Int =
+      (((seed + bx * 31L + by * 7L + c * 53L) % 200) + 28).toInt
+    def category(d: Int): Int = {
+      var s = 0; var m = math.abs(d)
+      while (m > 0) { s += 1; m >>= 1 }
+      s
+    }
+    def emitScan(comps: Seq[Int], ss: Int, se: Int, ahal: Int,
+                 bits: StringBuilder): Unit = {
+      out.write(0xff); out.write(0xda); be16(6 + 2 * comps.length)
+      out.write(comps.length)
+      comps.foreach { c => out.write(c + 1); out.write(0x00) }
+      out.write(ss); out.write(se); out.write(ahal)
+      while (bits.length % 8 != 0) bits.append('1')
+      var i = 0
+      while (i < bits.length) {
+        var b = 0
+        var j = 0
+        while (j < 8) { b = (b << 1) | (bits.charAt(i + j) - '0'); j += 1 }
+        out.write(b)
+        if (b == 0xff) out.write(0x00)
+        i += 8
+      }
+    }
+    def putBits(bits: StringBuilder, v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bits.append((v >> i) & 1); i -= 1 }
+    }
+    val mcusX = w / unit
+    val mcusY = h / unit
+    def forEachBlock(f: (Int, Int, Int) => Unit): Unit =
+      for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp) {
+        val (bh, bv) = if (subsample && c == 0) (2, 2) else (1, 1)
+        for (by <- 0 until bv; bx <- 0 until bh) {
+          val (cbx, cby) =
+            if (subsample && c == 0) (mx * 2 + bx, my * 2 + by) else (mx, my)
+          f(c, cbx, cby)
+        }
+      }
+    // scan 1: DC first, Al=1 — diffs of dc>>1 in interleaved MCU order
+    locally {
+      val bits = new StringBuilder
+      val pred = new Array[Int](nComp)
+      forEachBlock { (c, cbx, cby) =>
+        val approx = (8 * (blockVal(c, cbx, cby) - 128)) >> 1
+        val diff = approx - pred(c)
+        pred(c) = approx
+        val s = category(diff)
+        putBits(bits, s, 4)
+        if (s > 0) putBits(bits, if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      }
+      emitScan(0 until nComp, 0, 0, 0x01, bits)
+    }
+    // scan 2: DC refinement, Ah=1 Al=0 — bit 0 of every dc (always 0)
+    locally {
+      val bits = new StringBuilder
+      forEachBlock { (_, _, _) => bits.append('0') }
+      emitScan(0 until nComp, 0, 0, 0x10, bits)
+    }
+    // per-component AC-first scans: every AC zero, so pure EOB-runs —
+    // one EOB1(appended bit 1) covering 3 blocks when possible, then
+    // per-block EOB0 (code 00); EOB1 is code 01
+    (0 until nComp).foreach { c =>
+      val (bw, bh2) =
+        if (subsample && c == 0) (w / 8, h / 8)
+        else if (subsample) (w / 16, h / 16)
+        else (w / 8, h / 8)
+      val nb = bw * bh2
+      val bits = new StringBuilder
+      var b = 0
+      if (nb >= 3) { putBits(bits, 1, 2); bits.append('1'); b = 3 } // EOB1, run 3
+      while (b < nb) { putBits(bits, 0, 2); b += 1 } // EOB0 per block
+      emitScan(Seq(c), 1, 63, 0x00, bits)
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
   /** Decode dispatch: real parse for the formats a pure-JVM reader can
-    * own (BMP, 16-bit PCM WAV, 8-bit PNG, GIF, and baseline JPEG
-    * today), [[decodeStub]] for everything else.
+    * own (BMP, 16-bit PCM WAV, PNG incl. alpha/16-bit, GIF, and
+    * baseline + progressive JPEG today), [[decodeStub]] for everything
+    * else.
     */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
     parseBmp(id, bytes)

@@ -302,18 +302,74 @@ class MultimodalSpec extends SparkTestBase {
     // truncated IDAT (zlib stream cut mid-block)
     val trunc = Multimodal.makePng(8, 8, 1).take(60)
     assert(Multimodal.decode(3L, trunc).format === "stub")
-    // 16-bit depth and interlaced both unsupported (CRC no longer
-    // matches either, but the parser rejects on the header first)
+    // a LYING header (depth/type claims more payload than the stream
+    // holds) rejects on the inflate-size check, not a wrong guess
     val deep = Multimodal.makePng(3, 3, 1); deep(24) = 16
     assert(Multimodal.decode(4L, deep).format === "stub")
+    val rgba = Multimodal.makePng(3, 3, 1); rgba(25) = 6
+    assert(Multimodal.decode(7L, rgba).format === "stub")
+    // interlaced (Adam7) remains header-rejected
     val adam7 = Multimodal.makePng(3, 3, 1); adam7(28) = 1
     assert(Multimodal.decode(5L, adam7).format === "stub")
     // palette color type WITHOUT a PLTE chunk (spec violation) rejects
     val pal = Multimodal.makePng(3, 3, 1); pal(25) = 3
     assert(Multimodal.decode(6L, pal).format === "stub")
-    // alpha color types remain unsupported
-    val rgba = Multimodal.makePng(3, 3, 1); rgba(25) = 6
-    assert(Multimodal.decode(7L, rgba).format === "stub")
+  }
+
+  test("parsePng: RGBA (type 6) decodes — alpha folds into feature slot 7") {
+    val w = 5; val h = 7; val seed = 42L
+    val png = Multimodal.makePng(w, h, seed, colorType = 6)
+    val f = Multimodal.parsePng(21L, png).get
+    assert(f.format === "png" && f.width === w && f.height === h)
+    assert(f.n_bytes === h * (4 * w + 1) + 68)
+    // closed form split by channel position: k%4==3 is alpha
+    val all = for (r <- 0 until h; k <- 0 until 4 * w)
+      yield (k % 4, ((seed + r * 31L + k * 7L) % 256).toInt)
+    val rgbSum = all.filter(_._1 < 3).map(_._2).sum
+    val aSum = all.filter(_._1 == 3).map(_._2).sum
+    val n = w * h
+    assert(math.round(f.features(3).toDouble * 3 * n * 255) === rgbSum)
+    assert(math.round(f.features(7).toDouble * n * 255) === aSum)
+  }
+
+  test("parsePng: gray+alpha (type 4) decodes — gray in slots 0-3, alpha in 7") {
+    val w = 4; val h = 6; val seed = 3L
+    val png = Multimodal.makePng(w, h, seed, colorType = 4)
+    val f = Multimodal.parsePng(22L, png).get
+    assert(f.features(0) === f.features(3))
+    val all = for (r <- 0 until h; k <- 0 until 2 * w)
+      yield (k % 2, ((seed + r * 31L + k * 7L) % 256).toInt)
+    val gSum = all.filter(_._1 == 0).map(_._2).sum
+    val aSum = all.filter(_._1 == 1).map(_._2).sum
+    assert(math.round(f.features(3).toDouble * w * h * 255) === gSum)
+    assert(math.round(f.features(7).toDouble * w * h * 255) === aSum)
+  }
+
+  test("parsePng: 16-bit truecolor decodes — samples reduce to their high byte") {
+    val w = 5; val h = 7; val seed = 42L
+    val png = Multimodal.makePng(w, h, seed, colorType = 2, bitDepth = 16)
+    val f = Multimodal.parsePng(23L, png).get
+    assert(f.format === "png" && f.width === w && f.height === h)
+    assert(f.n_bytes === h * (6 * w + 1) + 68)
+    // high byte of big-endian sample s sits at byte k = 2s
+    val hiSum = (for (r <- 0 until h; s <- 0 until 3 * w)
+      yield ((seed + r * 31L + (2 * s) * 7L) % 256).toInt).sum
+    assert(math.round(f.features(3).toDouble * 3 * w * h * 255) === hiSum)
+    // filters ran on BYTES across all five types (h > 5) — a bpp
+    // mismatch (3 vs 6) would corrupt Sub/Average/Paeth rows
+  }
+
+  test("parsePng: 16-bit RGBA decodes (both extensions compose)") {
+    val w = 3; val h = 6; val seed = 9L
+    val png = Multimodal.makePng(w, h, seed, colorType = 6, bitDepth = 16)
+    val f = Multimodal.parsePng(24L, png).get
+    val all = for (r <- 0 until h; s <- 0 until 4 * w)
+      yield (s % 4, ((seed + r * 31L + (2 * s) * 7L) % 256).toInt)
+    val rgbSum = all.filter(_._1 < 3).map(_._2).sum
+    val aSum = all.filter(_._1 == 3).map(_._2).sum
+    val n = w * h
+    assert(math.round(f.features(3).toDouble * 3 * n * 255) === rgbSum)
+    assert(math.round(f.features(7).toDouble * n * 255) === aSum)
   }
 
   test("parsePng: palette (type 3) decodes through the real path with PLTE lookup") {
@@ -535,7 +591,8 @@ class MultimodalSpec extends SparkTestBase {
   test("parseJpeg: unsupported and corrupt variants fall to the stub") {
     val good = Multimodal.makeJpeg(16, 16, 5L)
     assert(Multimodal.decode(5L, good).format === "jpeg")
-    // progressive SOF2 rejects
+    // a baseline stream re-labeled SOF2 is MALFORMED progressive (its
+    // SOS claims a DC scan with Se=63) — rejected, not mis-decoded
     val prog = good.clone()
     val sof = good.indices.find(i => (good(i) & 0xff) == 0xff &&
       i + 1 < good.length && (good(i + 1) & 0xff) == 0xc0).get
@@ -546,6 +603,35 @@ class MultimodalSpec extends SparkTestBase {
     // wrong magic
     val bad = good.clone(); bad(1) = 0x00
     assert(Multimodal.decode(8L, bad).format === "stub")
+  }
+
+  test("parseJpeg: progressive grayscale ≡ its baseline twin, bit-exact features") {
+    val w = 16; val h = 24; val seed = 42L
+    val base = Multimodal.parseJpeg(1L, Multimodal.makeJpeg(w, h, seed, gray = true)).get
+    val prog = Multimodal.parseJpeg(2L,
+      Multimodal.makeJpegProgressive(w, h, seed, gray = true)).get
+    assert(prog.format === "jpeg" && prog.width === w && prog.height === h)
+    // DC first (Al=1) + refinement + EOB-run AC scans refine to the
+    // same coefficients the baseline stream carries in one scan
+    assert(prog.features.toSeq === base.features.toSeq)
+    assert(Multimodal.decode(3L,
+      Multimodal.makeJpegProgressive(w, h, seed, gray = true)).format === "jpeg")
+  }
+
+  test("parseJpeg: progressive color 4:4:4 and 4:2:0 ≡ their baseline twins") {
+    val base444 = Multimodal.parseJpeg(4L, Multimodal.makeJpeg(16, 8, 7L)).get
+    val prog444 = Multimodal.parseJpeg(5L, Multimodal.makeJpegProgressive(16, 8, 7L)).get
+    assert(prog444.features.toSeq === base444.features.toSeq)
+    val base420 = Multimodal.parseJpeg(6L,
+      Multimodal.makeJpeg(32, 16, 11L, subsample = true)).get
+    val prog420 = Multimodal.parseJpeg(7L,
+      Multimodal.makeJpegProgressive(32, 16, 11L, subsample = true)).get
+    assert(prog420.features.toSeq === base420.features.toSeq)
+  }
+
+  test("parseJpeg: truncated progressive stream rejects") {
+    val p = Multimodal.makeJpegProgressive(16, 16, 5L)
+    assert(Multimodal.decode(9L, p.take(p.length - 6)).format === "stub")
   }
 
   test("parseGif: interlaced frames decode through the real path") {
