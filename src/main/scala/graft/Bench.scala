@@ -160,6 +160,7 @@ object Bench {
          "q_pmi_bigrams" | "q_fingerprint" | "q_repetition" |
          "q_repetition_gate" | "q_pack_bins" | "q_pack_render" | "q_source_overlap" |
          "q_bpe_merges" | "q_bpe_train" | "q_bpe_encode" | "q_winnow" | "q_winnow_fast" |
+         "q_wordpiece_vocab" | "q_wordpiece_encode" |
          "q_cdc_chunks" => "text"
     case n if n.startsWith("q_dedup") || n.startsWith("q_dup_") => "dedup_graph"
     case "q_ngram_jaccard" | "q_triangles" | "q_clustering" |
@@ -178,7 +179,8 @@ object Bench {
          "q_decayed_sum" | "q_cms_topk" |
          "q_range_join" | "q_range_join_keyed" | "q_fuzzy_link" |
          "q_resample_daily" | "q_rolling_active" |
-         "q_hll_distinct" | "q_hll_incremental" => "events"
+         "q_hll_distinct" | "q_hll_incremental" |
+         "q_quantile_sketch" | "q_quantile_sketch_seg" => "events"
     case "q_dsir_weights" | "q_source_kl" => "text"
     case "q_url_canonical" | "q_domain_cap" | "q_url_dedup" => "text"
     case "q_para_dedup" | "q_para_profile" => "text"

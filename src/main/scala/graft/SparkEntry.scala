@@ -6161,6 +6161,182 @@ object SparkEntry {
             WHERE w0.w <> ''
             GROUP BY 1 ORDER BY doc_id"""))
 
+  /** Shared CTE chain for the WordPiece oracles: occurrence-weighted
+    * corpus word counts, then the four vocabulary tiers of
+    * [[graft.text.WordPiece.vocab]] — unconditional coverage singles
+    * (word-initial and `##`-continuation), thresholded initial prefixes
+    * of length 2..maxPrefix, thresholded continuation bigrams.
+    */
+  private def wordpieceVocabCtes(maxPrefix: Int, minCount: Long): String =
+    s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+              WHERE len(word) > 0 GROUP BY word),
+       vinit1 AS (SELECT DISTINCT substr(word, 1, 1) AS piece, 1 AS plen FROM w),
+       vsuf1 AS (SELECT DISTINCT '##' || substr(word, p, 1) AS piece, 1 AS plen
+                 FROM (SELECT word, unnest(generate_series(2, len(word))) AS p
+                       FROM w WHERE len(word) >= 2)),
+       vpre AS (SELECT piece, plen FROM (
+                  SELECT substr(word, 1, CAST(l AS INTEGER)) AS piece,
+                         CAST(l AS INTEGER) AS plen, SUM(cnt) AS c
+                  FROM w, (SELECT unnest(generate_series(2, $maxPrefix)) AS l)
+                  WHERE len(word) >= l GROUP BY 1, 2)
+                WHERE c >= $minCount),
+       vbig AS (SELECT piece, 2 AS plen FROM (
+                  SELECT '##' || substr(word, p, 2) AS piece, SUM(cnt) AS c
+                  FROM (SELECT word, cnt,
+                               unnest(generate_series(2, len(word) - 1)) AS p
+                        FROM w WHERE len(word) >= 3)
+                  GROUP BY 1)
+                WHERE c >= $minCount),
+       vocab AS (SELECT DISTINCT piece, plen FROM (
+                   SELECT * FROM vinit1 UNION ALL SELECT * FROM vsuf1
+                   UNION ALL SELECT * FROM vpre UNION ALL SELECT * FROM vbig))"""
+
+  /** WordPiece piece-vocabulary construction ([[graft.text.WordPiece
+    * .vocab]]; Schuster & Nakajima 2012 — the BERT tokenizer family,
+    * the second tokenizer next to [[qBpeTrain]]'s BPE): unconditional
+    * coverage singles plus occurrence-thresholded initial prefixes and
+    * continuation bigrams. The vocabulary table itself is the
+    * hash-checked result.
+    */
+  private val qWordpieceVocab = Q(
+    (s, dir) => graft.text.WordPiece.vocab(
+      t(s, dir, "documents"), "doc_id", "text", maxPrefix = 4, minCount = 50L)
+      .orderBy("piece"),
+    Some(s"""WITH ${wordpieceVocabCtes(maxPrefix = 4, minCount = 50L)}
+            SELECT piece, CAST(plen AS INTEGER) AS plen
+            FROM vocab ORDER BY piece"""))
+
+  /** Per-document WordPiece encode ([[graft.text.WordPiece.encode]]):
+    * greedy longest-match-first segmentation of every word against the
+    * corpus-derived vocabulary, `##` continuation marking, whole-word
+    * `[UNK]` fallback (the BERT rule), and the in-order piece stream
+    * reassembled per document — `wp_text` itself is hash-checked. The
+    * oracle replays the greedy loop as a recursive CTE over the DISTINCT
+    * word set: each word's final state is emitted exactly once, when its
+    * cursor passes the end (done) or no piece matches (whole-word
+    * [UNK]); the longest match at each position is a correlated MAX over
+    * the vocabulary, exactly [[graft.text.WordPiece.encodeWords]]'s
+    * per-round max-plen join.
+    */
+  private val qWordpieceEncode = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val v = graft.text.WordPiece.vocab(d, "doc_id", "text",
+        maxPrefix = 4, minCount = 50L)
+      graft.text.WordPiece.encode(d, "doc_id", "text", v, maxWordLen = 16)
+        .orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE ${wordpieceVocabCtes(maxPrefix = 4, minCount = 50L)},
+            enc(word, pos, pieces, done) AS (
+              SELECT word, 1 AS pos,
+                     CASE WHEN len(word) > 16 THEN '[UNK]' ELSE '' END AS pieces,
+                     len(word) > 16 AS done
+              FROM (SELECT DISTINCT word FROM w)
+              UNION ALL
+              SELECT s.word, s.pos + COALESCE(s.bl, 0) AS pos,
+                     CASE WHEN s.bl IS NULL THEN '[UNK]'
+                          ELSE (CASE WHEN s.pieces = '' THEN ''
+                                     ELSE s.pieces || ' ' END) ||
+                               (CASE WHEN s.pos = 1
+                                        THEN substr(s.word, s.pos, s.bl)
+                                        ELSE '##' || substr(s.word, s.pos, s.bl) END)
+                     END AS pieces,
+                     (s.bl IS NULL)
+                       OR (s.pos + COALESCE(s.bl, 0) > len(s.word)) AS done
+              FROM (SELECT e.word, e.pos, e.pieces,
+                           (SELECT MAX(v.plen) FROM vocab v
+                            WHERE e.pos + v.plen - 1 <= len(e.word)
+                              AND v.piece = CASE WHEN e.pos = 1
+                                   THEN substr(e.word, e.pos, v.plen)
+                                   ELSE '##' || substr(e.word, e.pos, v.plen) END
+                           ) AS bl
+                    FROM enc e WHERE NOT e.done) s),
+            encf AS (SELECT word, pieces,
+                            CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces
+                     FROM enc WHERE done),
+            tk AS (SELECT doc_id AS id, i AS idx, toks[i] AS word
+                   FROM (SELECT doc_id, toks,
+                                unnest(generate_series(1, len(toks))) AS i
+                         FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                               FROM documents)))
+            SELECT tk.id,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(e.n_pieces) AS BIGINT) AS n_pieces,
+                   string_agg(e.pieces, ' ' ORDER BY tk.idx) AS wp_text
+            FROM tk JOIN encf e USING (word)
+            WHERE len(tk.word) > 0
+            GROUP BY tk.id ORDER BY id"""))
+
+  /** Shared oracle for the histogram-quantile-sketch queries: exact
+    * integer binning of n_chars into 64 fixed bins over [0, 4096),
+    * per-source cumulative counts, per-mille rank targets, and the
+    * one-float-expression within-bin interpolation — term-for-term
+    * [[graft.ops.QuantileSketch.quantiles]]. Serves BOTH the ad-hoc and
+    * the segment-merged query: segment union is `groupBy sum`, so the
+    * batch split is invisible by algebra.
+    */
+  private val quantileSketchSql: String =
+    """WITH b AS (SELECT source,
+                       LEAST(GREATEST(((CAST(n_chars AS BIGINT) - 0) * 64)
+                                      // (4096 - 0), 0), 63) AS bin,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1, 2),
+       cum AS (SELECT source, bin, n,
+                      SUM(n) OVER (PARTITION BY source ORDER BY bin) AS cum,
+                      SUM(n) OVER (PARTITION BY source) AS nt
+               FROM b),
+       qs AS (SELECT unnest([250, 500, 750, 950]) AS q_pm),
+       r AS (SELECT source, q_pm, nt, bin, n, cum, cum - n AS cb,
+                    (CAST(q_pm AS BIGINT) * nt + 999) // 1000 AS rk
+             FROM cum CROSS JOIN qs)
+       SELECT source, CAST(q_pm AS INTEGER) AS q_pm,
+              CAST(nt AS BIGINT) AS n_total,
+              CAST(ROUND((0.0 + (CAST(bin AS DOUBLE)
+                                 + CAST(rk - cb AS DOUBLE) / CAST(n AS DOUBLE))
+                                * 64.0) * 1000000.0) AS BIGINT) AS est_micro
+       FROM r WHERE cum >= rk AND cb < rk
+       ORDER BY source, q_pm"""
+
+  /** Mergeable histogram quantile sketch, ad-hoc form ([[graft.ops
+    * .QuantileSketch.quantileSketch]]): per-source p25/p50/p75/p95 of
+    * document length over fixed [0,4096)×64 bins — integer binning and
+    * ranks, one micro-quantized interpolation float. The persistable
+    * complement to `approx_percentile`, whose sketch cannot be stored
+    * or merged across batches.
+    */
+  private val qQuantileSketch = Q(
+    (s, dir) => graft.ops.QuantileSketch.quantileSketch(
+      t(s, dir, "documents"), Seq("source"), "n_chars",
+      qsPerMille = Seq(250, 500, 750, 950), lo = 0L, hi = 4096L, nBins = 64)
+      .orderBy("source", "q_pm"),
+    Some(quantileSketchSql))
+
+  /** The segment path ([[graft.ops.QuantileSketch.writeSegments]] /
+    * [[graft.ops.QuantileSketch.quantilesFromSegments]]): the corpus
+    * arrives as TWO batches appended as independent histogram segments,
+    * quantiles read from the store — answers must equal the one-shot
+    * sketch (segment union is groupBy-sum by algebra), so this shares
+    * [[qQuantileSketch]]'s oracle verbatim. History is never re-scanned:
+    * the read costs ≤ nBins·|keys| rows per segment.
+    */
+  private val qQuantileSketchSeg = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val segPath = scratchDir("graft_quantile_seg").resolve("seg").toString
+      graft.ops.QuantileSketch.writeSegments(
+        d.filter(col("doc_id") < 250), Seq("source"), "n_chars",
+        lo = 0L, hi = 4096L, nBins = 64, path = segPath)
+      graft.ops.QuantileSketch.writeSegments(
+        d.filter(col("doc_id") >= 250), Seq("source"), "n_chars",
+        lo = 0L, hi = 4096L, nBins = 64, path = segPath)
+      graft.ops.QuantileSketch.quantilesFromSegments(
+        s, segPath, Seq("source"), qsPerMille = Seq(250, 500, 750, 950),
+        lo = 0L, hi = 4096L, nBins = 64)
+        .orderBy("source", "q_pm")
+    },
+    Some(quantileSketchSql))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6333,6 +6509,10 @@ object SparkEntry {
     "q_setsim_join" -> qSetSimJoin,
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,
+    "q_wordpiece_vocab" -> qWordpieceVocab,
+    "q_wordpiece_encode" -> qWordpieceEncode,
+    "q_quantile_sketch" -> qQuantileSketch,
+    "q_quantile_sketch_seg" -> qQuantileSketchSeg,
     "q_pack_render" -> qPackRender,
     "q_gif_decode" -> qGifDecode,
     "q_jpeg_decode" -> qJpegDecode,
