@@ -181,6 +181,10 @@ object CorpusStats {
   def pmiBigrams(docs: DataFrame, textCol: String,
                  minCount: Long, topN: Int): DataFrame = {
     val toks = docs.select(TextAnalysis.tokens(col(textCol)).as("tk"))
+    // lazy on purpose: the unigram table is consumed twice (w1 and w2
+    // join sides) but the identical explode+count subchains share their
+    // shuffle via ReusedExchange at runtime (round-13 plan audit) — a
+    // pin would only serialize an extra job
     val uni = toks.select(explode(col("tk")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("uc"))
     val bi = toks

@@ -110,6 +110,15 @@ object LmScore {
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = docs.select(col(idCol).as("id"),
       TextAnalysis.tokens(col(textCol)).as("tk"))
+    // Deliberately LAZY and single-join (round-13 negative result):
+    // applying the [[knBigramLogProb]] per-(doc,pair) restructure here —
+    // perDocPair + uni pins, model-sized scoring joins — measured
+    // 24.6 → 81.5 s at 100× (3.3× LOSS). KN's win came from collapsing a
+    // 3-join occurrence cascade; this form has ONE occurrence-level hash
+    // join, so the pins only added serial materialization jobs in front
+    // of it. The plan audit's 5 documents scans collapse at runtime:
+    // the identical aggregation subchains share their shuffle output
+    // via ReusedExchange (NOTES.md round-13 audit).
     val uni = d.select(explode(col("tk")).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("__v"))

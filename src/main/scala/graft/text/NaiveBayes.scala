@@ -40,6 +40,13 @@ object NaiveBayes {
     val toks = docs
       .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .join(labels, "id")
+    // Deliberately LAZY (round-13 negative result): the plan audit read
+    // 12 documents scans in the scoring plan (perClass feeds both the
+    // stats aggregate and the final select; score references stats
+    // twice), but those identical subchains share their shuffle output
+    // at runtime via ReusedExchange — pinning perClass + the stats frame
+    // measured 19.0 → 21.3 s at 100× (the eager jobs serialize what the
+    // scheduler otherwise overlaps). "Lazy never loses" (BASELINE r11).
     val perClass = toks.groupBy("tok").agg(
       sum(when(col("y") === 1, 1L).otherwise(0L)).as("c_pos"),
       sum(when(col("y") === -1, 1L).otherwise(0L)).as("c_neg"))

@@ -47,7 +47,7 @@ object ExplainAudit {
     * node's Location line names the path; group by last path segment.
     */
   private def scanCounts(plan: String): Map[String, Int] = {
-    val loc = raw"InMemoryFileIndex(?:\([0-9]+ paths\))?\[([^,\]]+)".r
+    val loc = raw"InMemoryFileIndex(?:\([0-9]+ paths\))?\s*\[([^,\]]+)".r
     loc.findAllMatchIn(plan)
       .map(_.group(1).split('/').filter(_.nonEmpty).takeRight(2).mkString("/"))
       .toSeq.groupBy(identity).view.mapValues(_.size).toMap
