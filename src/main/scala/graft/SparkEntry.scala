@@ -6337,6 +6337,82 @@ object SparkEntry {
     },
     Some(quantileSketchSql))
 
+  /** Mergeable heavy-hitter segments ([[graft.ops.TopKSketch]]): the
+    * event stream arrives as TWO batches, each appending its exact
+    * top-20 user counts plus the (k+1)-th-count error bound; the merged
+    * report's [cnt_lower, cnt_upper] bracket is a theorem (stored
+    * counts are exact where present, absent batches contribute at most
+    * their bound). The oracle replays both batch summaries, the
+    * distinct-per-batch bound bookkeeping, and the merge — all exact
+    * integer arithmetic.
+    */
+  private val qTopkSketch = Q(
+    (s, dir) => {
+      val ev = Tables.readEvents(s, dir).select(col("event_id"), col("user_id"))
+      val seg = graft.ops.TopKSketch.batchSummary(
+        ev.filter(col("event_id") % 2 === 0), Seq.empty, "user_id", k = 20)
+        .withColumn("batch_id", lit("b1"))
+        .unionByName(graft.ops.TopKSketch.batchSummary(
+          ev.filter(col("event_id") % 2 =!= 0), Seq.empty, "user_id", k = 20)
+          .withColumn("batch_id", lit("b2")))
+      graft.ops.TopKSketch.mergedTopK(seg, Seq.empty, topN = 10)
+        .orderBy(col("cnt_lower").desc, col("item"))
+    },
+    Some("""WITH b1 AS (SELECT user_id AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+                      FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+            r1 AS (SELECT item, cnt,
+                          row_number() OVER (ORDER BY cnt DESC, item) AS rn
+                   FROM b1),
+            bd1 AS (SELECT COALESCE(MAX(CASE WHEN rn = 21 THEN cnt END),
+                                    CAST(0 AS BIGINT)) AS bound FROM r1),
+            s1 AS (SELECT item, cnt, bound, 'b1' AS batch_id
+                   FROM r1 CROSS JOIN bd1 WHERE rn <= 20),
+            b2 AS (SELECT user_id AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM events WHERE event_id % 2 <> 0 GROUP BY 1),
+            r2 AS (SELECT item, cnt,
+                          row_number() OVER (ORDER BY cnt DESC, item) AS rn
+                   FROM b2),
+            bd2 AS (SELECT COALESCE(MAX(CASE WHEN rn = 21 THEN cnt END),
+                                    CAST(0 AS BIGINT)) AS bound FROM r2),
+            s2 AS (SELECT item, cnt, bound, 'b2' AS batch_id
+                   FROM r2 CROSS JOIN bd2 WHERE rn <= 20),
+            seg AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+            tb AS (SELECT CAST(SUM(bound) AS BIGINT) AS total
+                   FROM (SELECT DISTINCT batch_id, bound FROM seg)),
+            pi AS (SELECT item, CAST(SUM(cnt) AS BIGINT) AS cnt_lower,
+                          CAST(SUM(bound) AS BIGINT) AS pb
+                   FROM seg GROUP BY 1)
+            SELECT item, cnt_lower,
+                   cnt_lower + total - pb AS cnt_upper
+            FROM pi CROSS JOIN tb
+            ORDER BY cnt_lower DESC, item LIMIT 10"""))
+
+  /** Streaming sketch maintenance ([[graft.streaming.SketchIngest]]):
+    * the corpus arrives as a STREAM whose micro-batches each append a
+    * batch_id-keyed quantile-histogram segment (the [[graft.ops
+    * .Segments]] exactly-once convention); quantiles read from the
+    * stored segments. Histogram merge is sum with FIXED bin edges, so
+    * the result is invariant to how the stream was cut into batches —
+    * this query shares [[qQuantileSketch]]'s one-shot oracle VERBATIM,
+    * which is the invariance proof.
+    */
+  private lazy val qStreamQuantile = Q(
+    (s, dir) => {
+      val tmp = scratchDir("graft_stream_quantile")
+      val seg = tmp.resolve("seg").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val q = graft.streaming.SketchIngest.startQuantile(
+        Tables.readTableStream(s, dir, "documents")
+          .select(col("source"), col("n_chars")),
+        seg, ckpt, Seq("source"), "n_chars", lo = 0L, hi = 4096L, nBins = 64)
+      q.awaitTermination()
+      graft.ops.QuantileSketch.quantilesFromSegments(
+        s, seg, Seq("source"), qsPerMille = Seq(250, 500, 750, 950),
+        lo = 0L, hi = 4096L, nBins = 64)
+        .orderBy("source", "q_pm")
+    },
+    Some(quantileSketchSql))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6513,6 +6589,8 @@ object SparkEntry {
     "q_wordpiece_encode" -> qWordpieceEncode,
     "q_quantile_sketch" -> qQuantileSketch,
     "q_quantile_sketch_seg" -> qQuantileSketchSeg,
+    "q_topk_sketch" -> qTopkSketch,
+    "q_stream_quantile" -> qStreamQuantile,
     "q_pack_render" -> qPackRender,
     "q_gif_decode" -> qGifDecode,
     "q_jpeg_decode" -> qJpegDecode,

@@ -120,11 +120,18 @@ object Hll {
     estimate(registers(df, keyCols, valCol), keyCols)
 
   /** Persist a batch's registers as an append-only segment — the ingest
-    * verb. Segments are sketch-sized (≤ m·|keys| rows per batch).
+    * verb. Segments are sketch-sized (≤ m·|keys| rows per batch). With
+    * `batchId` set, the segment lands under a `batch_id=<id>` partition
+    * with dynamic overwrite (the [[Segments]] exactly-once convention) —
+    * HLL merge is idempotent (max), so retries were never WRONG here,
+    * but keying them keeps file counts from growing on every retry and
+    * matches the rest of the segment family.
     */
   def writeSegments(df: DataFrame, keyCols: Seq[String], valCol: String,
-                    path: String): Unit =
-    registers(df, keyCols, valCol).write.mode("append").parquet(path)
+                    path: String, batchId: Option[Long] = None): Unit =
+    Segments.writer(registers(df, keyCols, valCol), mode = "append",
+        batchId = batchId)
+      .partitionBy("batch_id").parquet(path)
 
   /** Distinct estimate over ALL history from the stored segments: merge
     * (groupBy max) + estimate — history is never re-scanned; the read

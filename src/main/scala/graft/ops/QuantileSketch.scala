@@ -49,9 +49,17 @@ object QuantileSketch {
            lo: Long, hi: Long, nBins: Int): DataFrame = {
     require(hi > lo, s"empty bin range [$lo, $hi)")
     require(nBins > 0, s"nBins=$nBins")
-    val raw = expr(s"(( CAST($valCol AS BIGINT) - $lo ) * $nBins) div (${hi} - ${lo})")
+    // clamp the VALUE into [lo, hi] before the bin arithmetic, so the
+    // (v − lo)·nBins product is bounded by range·nBins even for wild
+    // outliers (an unclamped 10¹⁸ metric value would overflow BIGINT
+    // and bin silently wrong — the Hll negative-shift lesson class);
+    // the range itself is require-bounded below
+    require((hi - lo) <= Long.MaxValue / nBins,
+      s"bin range ${hi - lo} * nBins=$nBins would overflow BIGINT")
+    val clamped = s"least(greatest(CAST($valCol AS BIGINT), ${lo}L), ${hi}L)"
+    val raw = expr(s"(($clamped - ${lo}L) * $nBins) div (${hi}L - ${lo}L)")
     df.select(keyCols.map(col) :+
-        least(greatest(raw, lit(0L)), lit(nBins - 1L)).as("bin"): _*)
+        least(raw, lit(nBins - 1L)).as("bin"): _*)
       .groupBy(keyCols.map(col) :+ col("bin"): _*)
       .agg(count(lit(1)).as("n"))
   }
@@ -106,11 +114,17 @@ object QuantileSketch {
 
   /** Persist a batch's histogram as an append-only segment — the ingest
     * verb. Segments are sketch-sized (≤ nBins·|keys| rows per batch).
+    * With `batchId` set, the segment lands under a `batch_id=<id>`
+    * partition with dynamic overwrite (the [[Segments]] exactly-once
+    * convention): a retried micro-batch replaces its own partial
+    * segment instead of double-counting.
     */
   def writeSegments(df: DataFrame, keyCols: Seq[String], valCol: String,
-                    lo: Long, hi: Long, nBins: Int, path: String): Unit =
-    bins(df, keyCols, valCol, lo, hi, nBins)
-      .write.mode("append").parquet(path)
+                    lo: Long, hi: Long, nBins: Int, path: String,
+                    batchId: Option[Long] = None): Unit =
+    Segments.writer(bins(df, keyCols, valCol, lo, hi, nBins),
+        mode = "append", batchId = batchId)
+      .partitionBy("batch_id").parquet(path)
 
   /** Quantiles over ALL history from the stored segments: merge
     * (groupBy sum) + extract — history is never re-scanned.

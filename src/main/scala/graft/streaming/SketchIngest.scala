@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.{Hll, QuantileSketch, TopKSketch}
+
+/** Streaming SKETCH maintenance at ingest — the [[IndexIngest]] twin
+  * for the persistable-sketch family: every micro-batch appends one
+  * sketch-sized segment ([[graft.ops.Hll]] registers,
+  * [[graft.ops.QuantileSketch]] histograms, [[graft.ops.TopKSketch]]
+  * top-k summaries), so "distinct users ever", "p95 doc length ever"
+  * and "top items ever" stay answerable from sketch-sized tables while
+  * the feed runs — history is never re-scanned.
+  *
+  * Exactly-once: every append lands under a `batch_id=<id>` partition
+  * with dynamic overwrite (the [[graft.ops.Segments]] convention), so a
+  * micro-batch retried after a sink-side crash REPLACES its own partial
+  * segment. For HLL a retry was never WRONG (merge is an idempotent
+  * max) but would stack files; for quantile histograms and top-k counts
+  * an unkeyed retry would double-count — here it cannot.
+  *
+  * Batch-split invariance: HLL (max-merge) and quantile (sum-merge with
+  * FIXED bin edges) reads are invariant to how the feed was cut into
+  * micro-batches, by algebra. Top-k reads are NOT: the per-batch
+  * truncation bound depends on the cut, so only the BRACKET guarantee
+  * (true count ∈ [lower, upper]) is split-invariant — the spec pins
+  * exactly that.
+  */
+object SketchIngest {
+
+  /** One quantile-histogram micro-batch append — public so a retry can
+    * be simulated and batch-level orchestration can reuse it.
+    */
+  def appendQuantileBatch(batch: DataFrame, batchId: Long,
+                          keyCols: Seq[String], valCol: String,
+                          lo: Long, hi: Long, nBins: Int,
+                          path: String): Unit =
+    if (!batch.isEmpty)
+      QuantileSketch.writeSegments(batch, keyCols, valCol, lo, hi, nBins,
+        path, batchId = Some(batchId))
+
+  /** Stream rows into quantile-histogram segments. */
+  def startQuantile(stream: DataFrame, path: String, checkpoint: String,
+                    keyCols: Seq[String], valCol: String,
+                    lo: Long, hi: Long, nBins: Int): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendQuantileBatch(batch, batchId, keyCols, valCol, lo, hi, nBins, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One HLL-register micro-batch append. */
+  def appendHllBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
+                     valCol: String, path: String): Unit =
+    if (!batch.isEmpty)
+      Hll.writeSegments(batch, keyCols, valCol, path, batchId = Some(batchId))
+
+  /** Stream rows into HLL register segments. */
+  def startHll(stream: DataFrame, path: String, checkpoint: String,
+               keyCols: Seq[String], valCol: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendHllBatch(batch, batchId, keyCols, valCol, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One top-k-summary micro-batch append. */
+  def appendTopKBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
+                      itemCol: String, k: Int, path: String): Unit =
+    if (!batch.isEmpty)
+      TopKSketch.writeSegment(batch, keyCols, itemCol, k, batchId, path)
+
+  /** Stream rows into top-k heavy-hitter segments. */
+  def startTopK(stream: DataFrame, path: String, checkpoint: String,
+                keyCols: Seq[String], itemCol: String, k: Int): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendTopKBatch(batch, batchId, keyCols, itemCol, k, path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

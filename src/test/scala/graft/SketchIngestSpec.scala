@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Hll, QuantileSketch, TopKSketch}
+import graft.streaming.SketchIngest
+
+class SketchIngestSpec extends SparkTestBase {
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private lazy val events = graft.ops.Tables
+    .readEvents(spark, "/root/testdata/sf0.001")
+
+  private def streamOf(path: String) = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema)
+      .option("basePath", new java.io.File(path).getParent)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(path + "*")
+  }
+
+  test("streamed quantile segments ≡ one-shot sketch (split-invariant by algebra)") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_qsk")
+    val seg = tmp.resolve("seg").toString
+    val q = SketchIngest.startQuantile(
+      streamOf("/root/testdata/sf0.001/documents.parquet"),
+      seg, tmp.resolve("ckpt").toString,
+      Seq("source"), "n_chars", lo = 0L, hi = 4096L, nBins = 64)
+    q.awaitTermination()
+    val streamed = QuantileSketch.quantilesFromSegments(
+      spark, seg, Seq("source"), Seq(500, 950), 0L, 4096L, 64)
+      .orderBy("source", "q_pm").collect().toSeq
+    val oneShot = QuantileSketch.quantileSketch(
+      docs, Seq("source"), "n_chars", Seq(500, 950), 0L, 4096L, 64)
+      .orderBy("source", "q_pm").collect().toSeq
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streamed HLL segments ≡ one-shot estimate") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_hll")
+    val seg = tmp.resolve("seg").toString
+    // events parquet read via the NTZ-safe reader for the static side;
+    // the stream side only touches event_id/user_id (no ts), so a plain
+    // schema-pinned readStream is safe
+    val q = SketchIngest.startHll(
+      streamOf("/root/testdata/sf0.001/events.parquet")
+        .select(col("event_id"), col("user_id")),
+      seg, tmp.resolve("ckpt").toString, Seq.empty, "user_id")
+    q.awaitTermination()
+    val streamed = Hll.estimateFromSegments(spark, seg, Seq.empty)
+      .select("v_zero", "t_scaled", "est_micro").collect().toSeq
+    val oneShot = Hll.distinctSketch(
+      events.select("event_id", "user_id"), Seq.empty, "user_id")
+      .select("v_zero", "t_scaled", "est_micro").collect().toSeq
+    assert(streamed === oneShot)
+  }
+
+  test("streamed top-k segments: bracket contains exact counts whatever the split") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_topk")
+    val seg = tmp.resolve("seg").toString
+    val q = SketchIngest.startTopK(
+      streamOf("/root/testdata/sf0.001/events.parquet")
+        .select(col("event_id"), col("user_id")),
+      seg, tmp.resolve("ckpt").toString, Seq.empty, "user_id", k = 10)
+    q.awaitTermination()
+    val exact = events.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rep = TopKSketch.topKFromSegments(spark, seg, Seq.empty, topN = 10)
+      .select("item", "cnt_lower", "cnt_upper")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rep.nonEmpty)
+    rep.foreach { case (u, lo, hi) =>
+      assert(lo <= exact(u) && exact(u) <= hi, s"user $u [$lo,$hi] vs ${exact(u)}")
+    }
+  }
+
+  test("exactly-once: a replayed micro-batch replaces its own segment") {
+    val tmp = java.nio.file.Files.createTempDirectory("retry_sketch")
+    val qseg = tmp.resolve("qseg").toString
+    val tseg = tmp.resolve("tseg").toString
+    val half1 = docs.filter(col("doc_id") < 250)
+    val half2 = docs.filter(col("doc_id") >= 250)
+    SketchIngest.appendQuantileBatch(half1, 0L, Seq("source"), "n_chars", 0L, 4096L, 64, qseg)
+    SketchIngest.appendQuantileBatch(half2, 1L, Seq("source"), "n_chars", 0L, 4096L, 64, qseg)
+    SketchIngest.appendTopKBatch(events, 0L, Seq.empty, "user_id", 10, tseg)
+    val qBefore = QuantileSketch.quantilesFromSegments(
+      spark, qseg, Seq("source"), Seq(500), 0L, 4096L, 64)
+      .orderBy("source").collect().toSeq
+    val tBefore = TopKSketch.topKFromSegments(spark, tseg, Seq.empty, 10)
+      .orderBy("item").collect().toSeq
+    // sink-side crash replay: the same micro-batches run again
+    SketchIngest.appendQuantileBatch(half2, 1L, Seq("source"), "n_chars", 0L, 4096L, 64, qseg)
+    SketchIngest.appendTopKBatch(events, 0L, Seq.empty, "user_id", 10, tseg)
+    val qAfter = QuantileSketch.quantilesFromSegments(
+      spark, qseg, Seq("source"), Seq(500), 0L, 4096L, 64)
+      .orderBy("source").collect().toSeq
+    val tAfter = TopKSketch.topKFromSegments(spark, tseg, Seq.empty, 10)
+      .orderBy("item").collect().toSeq
+    assert(qAfter === qBefore)
+    assert(tAfter === tBefore)
+  }
+}
