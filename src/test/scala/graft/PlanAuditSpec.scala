@@ -503,4 +503,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must not globally sort the vocabulary:\n$p")
   }
+
+  test("q_wordpiece_encode: the piece table is the BUILD side, never the corpus") {
+    // regression net for the round-13 bug class: the checkpoint-backed
+    // word->pieces table has opaque stats, and the planner once chose
+    // BuildLeft — broadcasting the EXPLODED CORPUS (110 s at 100×)
+    val p = plan("q_wordpiece_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BuildRight"),
+      s"the vocabulary-sized encode table must be the broadcast build side:\n$p")
+    assert(!p.contains("BuildLeft"), s"corpus side must never build:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_topk_sketch: global batch summaries ride TakeOrderedAndProject") {
+    val p = plan("q_topk_sketch")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-(k+1) must be the distributed primitive, not a global sort of all items:\n$p")
+  }
 }
