@@ -58,7 +58,11 @@ object QuantileSketch {
       s"bin range ${hi - lo} * nBins=$nBins would overflow BIGINT")
     val clamped = s"least(greatest(CAST($valCol AS BIGINT), ${lo}L), ${hi}L)"
     val raw = expr(s"(($clamped - ${lo}L) * $nBins) div (${hi}L - ${lo}L)")
-    df.select(keyCols.map(col) :+
+    // NULL metric values are excluded (a quantile over NULLs is
+    // meaningless, and a NULL bin would sort ahead of bin 0 in the
+    // cumulative window and silently shift every rank)
+    df.filter(col(valCol).isNotNull)
+      .select(keyCols.map(col) :+
         least(raw, lit(nBins - 1L)).as("bin"): _*)
       .groupBy(keyCols.map(col) :+ col("bin"): _*)
       .agg(count(lit(1)).as("n"))

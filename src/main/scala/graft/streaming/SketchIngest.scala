@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.{Hll, QuantileSketch, TopKSketch}
+import graft.ops.{Compaction, Hll, QuantileSketch, TopKSketch}
 
 /** Streaming SKETCH maintenance at ingest — the [[IndexIngest]] twin
   * for the persistable-sketch family: every micro-batch appends one
@@ -30,46 +30,69 @@ import graft.ops.{Hll, QuantileSketch, TopKSketch}
 object SketchIngest {
 
   /** One quantile-histogram micro-batch append — public so a retry can
-    * be simulated and batch-level orchestration can reuse it.
+    * be simulated and batch-level orchestration can reuse it. With
+    * `compactEvery` > 0, every N-th batch folds the committed segments
+    * below the current one ([[graft.ops.Compaction.foldStreamSegments]])
+    * — LOSSLESS here: histogram rows are merged by groupBy-sum at read,
+    * so consolidating files changes nothing.
     */
   def appendQuantileBatch(batch: DataFrame, batchId: Long,
                           keyCols: Seq[String], valCol: String,
                           lo: Long, hi: Long, nBins: Int,
-                          path: String): Unit =
+                          path: String, compactEvery: Int = 0): Unit = {
     if (!batch.isEmpty)
       QuantileSketch.writeSegments(batch, keyCols, valCol, lo, hi, nBins,
         path, batchId = Some(batchId))
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      Compaction.foldStreamSegments(batch.sparkSession, path, batchId, None)
+  }
 
   /** Stream rows into quantile-histogram segments. */
   def startQuantile(stream: DataFrame, path: String, checkpoint: String,
                     keyCols: Seq[String], valCol: String,
-                    lo: Long, hi: Long, nBins: Int): StreamingQuery =
+                    lo: Long, hi: Long, nBins: Int,
+                    compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendQuantileBatch(batch, batchId, keyCols, valCol, lo, hi, nBins, path)
+        appendQuantileBatch(batch, batchId, keyCols, valCol, lo, hi, nBins,
+          path, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** One HLL-register micro-batch append. */
+  /** One HLL-register micro-batch append — `compactEvery` folds as in
+    * [[appendQuantileBatch]], equally lossless (register merge is max).
+    */
   def appendHllBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
-                     valCol: String, path: String): Unit =
+                     valCol: String, path: String,
+                     compactEvery: Int = 0): Unit = {
     if (!batch.isEmpty)
       Hll.writeSegments(batch, keyCols, valCol, path, batchId = Some(batchId))
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      Compaction.foldStreamSegments(batch.sparkSession, path, batchId, None)
+  }
 
   /** Stream rows into HLL register segments. */
   def startHll(stream: DataFrame, path: String, checkpoint: String,
-               keyCols: Seq[String], valCol: String): StreamingQuery =
+               keyCols: Seq[String], valCol: String,
+               compactEvery: Int = 0): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendHllBatch(batch, batchId, keyCols, valCol, path)
+        appendHllBatch(batch, batchId, keyCols, valCol, path, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** One top-k-summary micro-batch append. */
+  /** One top-k-summary micro-batch append. NO compaction hook here, on
+    * purpose: top-k reads recover each batch's truncation bound from the
+    * `batch_id` partition identity (`distinct(batch_id, bound)`), so
+    * folding batches together would collapse equal bounds from different
+    * batches and silently NARROW the bracket — segment identity is
+    * load-bearing. Bound the file count with k (segments are ≤ k·|keys|
+    * rows) and batch cadence instead.
+    */
   def appendTopKBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
                       itemCol: String, k: Int, path: String): Unit =
     if (!batch.isEmpty)

@@ -37,6 +37,8 @@ object WordPiece {
     */
   def vocab(docs: DataFrame, idCol: String, textCol: String,
             maxPrefix: Int = 4, minCount: Long = 50L): DataFrame = {
+    require(maxPrefix >= 2, s"maxPrefix=$maxPrefix — the prefix tier " +
+      "starts at length 2 (singles are unconditional coverage)")
     val words = docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)

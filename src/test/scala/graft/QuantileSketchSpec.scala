@@ -53,6 +53,16 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(run(1).size === 6)
   }
 
+  test("NULL metric values are excluded, not binned") {
+    val withNulls = (Seq[java.lang.Long](1L, 2L, 3L, null, null))
+      .map(v => ("k", v)).toDF("k", "v")
+    val b = QuantileSketch.bins(withNulls, Seq("k"), "v", 0L, 10L, 10)
+    assert(b.agg(sum($"n")).as[Long].head() === 3L)
+    val q = QuantileSketch.quantileSketch(withNulls, Seq("k"), "v",
+      Seq(1000), 0L, 10L, 10).select("n_total").as[Long].head()
+    assert(q === 3L)
+  }
+
   test("estimate is within one bin width of the exact quantile") {
     val vals = (1L to 1000L).map(("k", _)).toDF("k", "v")
     val est = QuantileSketch.quantileSketch(vals, Seq("k"), "v",

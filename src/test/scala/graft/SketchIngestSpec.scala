@@ -76,6 +76,35 @@ class SketchIngestSpec extends SparkTestBase {
     }
   }
 
+  test("in-loop compaction folds quantile segments without changing answers") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_qsk_fold")
+    val seg = tmp.resolve("seg").toString
+    // multi-file copy so AvailableNow + maxFilesPerTrigger=1 yields
+    // several micro-batches (the single-file source is one batch and
+    // nothing would fold)
+    val multi = tmp.resolve("docs.parquet").toString
+    docs.repartition(5).write.parquet(multi)
+    val q = SketchIngest.startQuantile(
+      streamOf(multi),
+      seg, tmp.resolve("ckpt").toString,
+      Seq("source"), "n_chars", lo = 0L, hi = 4096L, nBins = 64,
+      compactEvery = 2)
+    q.awaitTermination()
+    val folded = QuantileSketch.quantilesFromSegments(
+      spark, seg, Seq("source"), Seq(500, 950), 0L, 4096L, 64)
+      .orderBy("source", "q_pm").collect().toSeq
+    val oneShot = QuantileSketch.quantileSketch(
+      docs, Seq("source"), "n_chars", Seq(500, 950), 0L, 4096L, 64)
+      .orderBy("source", "q_pm").collect().toSeq
+    assert(folded === oneShot)
+    // folded partitions (batch_id=-10-x) exist and the per-batch count
+    // is bounded by the cadence, not the batch count
+    val dirs = new java.io.File(seg).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch_id="))
+    assert(dirs.exists(_.startsWith("batch_id=-1")),
+      s"expected a folded segment among ${dirs.toSeq}")
+  }
+
   test("exactly-once: a replayed micro-batch replaces its own segment") {
     val tmp = java.nio.file.Files.createTempDirectory("retry_sketch")
     val qseg = tmp.resolve("qseg").toString
