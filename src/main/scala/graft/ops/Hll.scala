@@ -129,8 +129,14 @@ object Hll {
     */
   def writeSegments(df: DataFrame, keyCols: Seq[String], valCol: String,
                     path: String, batchId: Option[Long] = None): Unit =
-    Segments.writer(registers(df, keyCols, valCol), mode = "append",
-        batchId = batchId)
+    // repartition(1) AFTER the agg (coalesce would collapse the
+    // aggregation itself to one reducer): the register table is sketch-sized (≤ m·|keys| rows)
+    // but arrives on shuffle partitioning — without this every segment
+    // write fans out one near-empty file per partition (512 files per
+    // segment in the 1000× soak, and q_hll_incremental read 19× on 10×
+    // data mostly from segment-file churn)
+    Segments.writer(registers(df, keyCols, valCol).repartition(1),
+        mode = "append", batchId = batchId)
       .partitionBy("batch_id").parquet(path)
 
   /** Distinct estimate over ALL history from the stored segments: merge

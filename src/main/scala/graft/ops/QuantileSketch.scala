@@ -126,7 +126,9 @@ object QuantileSketch {
   def writeSegments(df: DataFrame, keyCols: Seq[String], valCol: String,
                     lo: Long, hi: Long, nBins: Int, path: String,
                     batchId: Option[Long] = None): Unit =
-    Segments.writer(bins(df, keyCols, valCol, lo, hi, nBins),
+    // repartition(1) after the agg (see Hll.writeSegments): a segment is ≤ nBins·|keys| rows — one file, not one
+    // near-empty file per shuffle partition (the Hll fan-out lesson)
+    Segments.writer(bins(df, keyCols, valCol, lo, hi, nBins).repartition(1),
         mode = "append", batchId = batchId)
       .partitionBy("batch_id").parquet(path)
 

@@ -112,8 +112,9 @@ object TopKSketch {
     */
   def writeSegment(df: DataFrame, keyCols: Seq[String], itemCol: String,
                    k: Int, batchId: Long, path: String): Unit =
-    Segments.writer(batchSummary(df, keyCols, itemCol, k), mode = "append",
-        batchId = Some(batchId))
+    // repartition(1) after the agg (see Hll.writeSegments): a segment is ≤ k·|keys| rows — one file per batch
+    Segments.writer(batchSummary(df, keyCols, itemCol, k).repartition(1),
+        mode = "append", batchId = Some(batchId))
       .partitionBy("batch_id").parquet(path)
 
   /** Heavy hitters over ALL history from the stored segments. */

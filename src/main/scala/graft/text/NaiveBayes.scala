@@ -37,9 +37,17 @@ object NaiveBayes {
     */
   def trainMultinomial(docs: DataFrame, labels: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
+    // join labels at DOCUMENT granularity, then explode: labels are
+    // data-sized, so past the broadcast threshold this join becomes a
+    // shuffle join — joining before the explode shuffles |docs| rows
+    // instead of sorting the exploded token stream (the 1000× soak read
+    // 65× on 10× data with the explode-first shape: the 600 M-row token
+    // stream hit a SortMergeJoin when the 5 M-row labels stopped
+    // broadcasting)
     val toks = docs
-      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col(idCol).as("id"), col(textCol))
       .join(labels, "id")
+      .select(col("id"), col("y"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     // Deliberately LAZY (round-13 negative result): the plan audit read
     // 12 documents scans in the scoring plan (perClass feeds both the
     // stats aggregate and the final select; score references stats
@@ -70,9 +78,11 @@ object NaiveBayes {
     */
   def classStats(docs: DataFrame, labels: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
+    // explode AFTER the labels join — see [[trainMultinomial]]
     val toks = docs
-      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col(idCol).as("id"), col(textCol))
       .join(labels, "id")
+      .select(col("id"), col("y"), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val tot = toks.agg(
       sum(when(col("y") === 1, 1L).otherwise(0L)).as("tot_pos"),
       sum(when(col("y") === -1, 1L).otherwise(0L)).as("tot_neg"),
