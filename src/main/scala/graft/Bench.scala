@@ -180,7 +180,8 @@ object Bench {
          "q_range_join" | "q_range_join_keyed" | "q_fuzzy_link" |
          "q_resample_daily" | "q_rolling_active" |
          "q_hll_distinct" | "q_hll_incremental" |
-         "q_quantile_sketch" | "q_quantile_sketch_seg" | "q_topk_sketch" => "events"
+         "q_quantile_sketch" | "q_quantile_sketch_seg" |
+         "q_topk_sketch" | "q_topk_sketch_keyed" => "events"
     case "q_dsir_weights" | "q_source_kl" => "text"
     case "q_url_canonical" | "q_domain_cap" | "q_url_dedup" => "text"
     case "q_para_dedup" | "q_para_profile" => "text"

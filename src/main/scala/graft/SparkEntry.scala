@@ -6413,6 +6413,68 @@ object SparkEntry {
     },
     Some(quantileSketchSql))
 
+  /** KEYED heavy-hitter segments ([[graft.ops.TopKSketch]] with
+    * keyCols): per-source top tokens with per-(source, batch) bounds —
+    * the per-key window path of the sketch (the global path is
+    * [[qTopkSketch]]). Oracle replays the per-source ranking, bound
+    * bookkeeping and merge.
+    */
+  private val qTopkSketchKeyed = Q(
+    (s, dir) => {
+      import graft.text.TextAnalysis.tokens
+      val toks = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(tokens(col("text"))).as("tok"))
+      val seg = graft.ops.TopKSketch.batchSummary(
+        toks.filter(col("doc_id") % 2 === 0), Seq("source"), "tok", k = 5)
+        .withColumn("batch_id", lit("b1"))
+        .unionByName(graft.ops.TopKSketch.batchSummary(
+          toks.filter(col("doc_id") % 2 =!= 0), Seq("source"), "tok", k = 5)
+          .withColumn("batch_id", lit("b2")))
+      graft.ops.TopKSketch.mergedTopK(seg, Seq("source"), topN = 3)
+        .orderBy(col("source"), col("cnt_lower").desc, col("item"))
+    },
+    Some("""WITH tk AS (SELECT source, doc_id,
+                             unnest(string_split(text, ' ')) AS item
+                      FROM documents),
+            c1 AS (SELECT source, item, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM tk WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+            r1 AS (SELECT source, item, cnt, row_number() OVER (
+                     PARTITION BY source ORDER BY cnt DESC, item) AS rn
+                   FROM c1),
+            bd1 AS (SELECT source,
+                           COALESCE(MAX(CASE WHEN rn = 6 THEN cnt END),
+                                    CAST(0 AS BIGINT)) AS bound
+                    FROM r1 GROUP BY source),
+            s1 AS (SELECT r1.source, item, cnt, bound, 'b1' AS batch_id
+                   FROM r1 JOIN bd1 USING (source) WHERE rn <= 5),
+            c2 AS (SELECT source, item, CAST(COUNT(*) AS BIGINT) AS cnt
+                   FROM tk WHERE doc_id % 2 <> 0 GROUP BY 1, 2),
+            r2 AS (SELECT source, item, cnt, row_number() OVER (
+                     PARTITION BY source ORDER BY cnt DESC, item) AS rn
+                   FROM c2),
+            bd2 AS (SELECT source,
+                           COALESCE(MAX(CASE WHEN rn = 6 THEN cnt END),
+                                    CAST(0 AS BIGINT)) AS bound
+                    FROM r2 GROUP BY source),
+            s2 AS (SELECT r2.source, item, cnt, bound, 'b2' AS batch_id
+                   FROM r2 JOIN bd2 USING (source) WHERE rn <= 5),
+            seg AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+            tb AS (SELECT source, CAST(SUM(bound) AS BIGINT) AS total
+                   FROM (SELECT DISTINCT source, batch_id, bound FROM seg)
+                   GROUP BY source),
+            pi AS (SELECT source, item, CAST(SUM(cnt) AS BIGINT) AS cnt_lower,
+                          CAST(SUM(bound) AS BIGINT) AS pb
+                   FROM seg GROUP BY 1, 2),
+            rep AS (SELECT pi.source, item, cnt_lower,
+                           cnt_lower + tb.total - pb AS cnt_upper,
+                           row_number() OVER (PARTITION BY pi.source
+                             ORDER BY cnt_lower DESC, item) AS rn
+                    FROM pi JOIN tb USING (source))
+            SELECT source, item, cnt_lower, cnt_upper
+            FROM rep WHERE rn <= 3
+            ORDER BY source, cnt_lower DESC, item"""))
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -6590,6 +6652,7 @@ object SparkEntry {
     "q_quantile_sketch" -> qQuantileSketch,
     "q_quantile_sketch_seg" -> qQuantileSketchSeg,
     "q_topk_sketch" -> qTopkSketch,
+    "q_topk_sketch_keyed" -> qTopkSketchKeyed,
     "q_stream_quantile" -> qStreamQuantile,
     "q_pack_render" -> qPackRender,
     "q_gif_decode" -> qGifDecode,
