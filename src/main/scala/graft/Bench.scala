@@ -179,13 +179,14 @@ object Bench {
          "q_decayed_sum" | "q_cms_topk" |
          "q_range_join" | "q_range_join_keyed" | "q_fuzzy_link" |
          "q_resample_daily" | "q_rolling_active" |
-         "q_hll_distinct" | "q_hll_incremental" |
+         "q_hll_distinct" | "q_hll_incremental" | "q_hll_overlap" |
          "q_quantile_sketch" | "q_quantile_sketch_seg" |
          "q_topk_sketch" | "q_topk_sketch_keyed" => "events"
     case "q_dsir_weights" | "q_source_kl" => "text"
     case "q_url_canonical" | "q_domain_cap" | "q_url_dedup" => "text"
     case "q_para_dedup" | "q_para_profile" => "text"
-    case "q_linear_train" | "q_linear_score" => "text"
+    case "q_linear_train" | "q_linear_score" |
+         "q_logistic_train" | "q_logistic_score" => "text"
     case "q_nb_train" | "q_nb_score" | "q_nb_score_holdout" => "text"
     case "q_curation_disposition" | "q_curation_bloom" | "q_curation_funnel" => "text"
     case "q_jsonl_roundtrip" => "etl"

@@ -3423,6 +3423,89 @@ object SparkEntry {
     },
     Some(s"WITH $hllCtes\n$hllSelect"))
 
+  /** HLL set algebra ([[graft.ops.Hll.pairwiseOverlap]]): per-source-pair
+    * distinct-TOKEN overlap by inclusion–exclusion — est(A) + est(B) −
+    * est(A ∪ B) with the union estimated from the MERGED registers (the
+    * sketch-union algebra), then a quantized-integer Jaccard. The oracle
+    * replays the registers, both estimator applications (single-key and
+    * pair-key — the identical float shape), and the integer
+    * inclusion–exclusion + clamp + division chain.
+    */
+  private val qHllOverlap = Q(
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      val regs = graft.ops.Hll.registers(toks, Seq("source"), "tok")
+      graft.ops.Hll.pairwiseOverlap(regs, "source").orderBy("ka", "kb")
+    },
+    Some(s"""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+            hh AS (SELECT source, ${md5LongSql("tok")} AS h FROM tk),
+            rr AS (SELECT source, h % 64 AS reg, h // 64 AS rest FROM hh),
+            rh AS (SELECT source, reg,
+                          CASE WHEN rest = 0 THEN 55
+                               ELSE 55 - length(bin(rest)) END AS rho
+                   FROM rr),
+            regs AS (SELECT source, reg, MAX(rho) AS maxrho FROM rh
+                     GROUP BY source, reg),
+            sagg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nreg,
+                            CAST(SUM(CAST(1 AS BIGINT)
+                                     << GREATEST(54 - maxrho, 0)) AS BIGINT)
+                              AS t_present
+                     FROM regs GROUP BY source),
+            sfin AS (SELECT source, CAST(64 - nreg AS BIGINT) AS v_zero,
+                            t_present + (64 - nreg) * 18014398509481984 AS t_scaled
+                     FROM sagg),
+            sest AS (SELECT source,
+                            CAST(ROUND((CASE WHEN v_zero > 0
+                                  AND (0.709 * 4096.0 * (18014398509481984.0
+                                       / CAST(t_scaled AS DOUBLE))) <= 160.0
+                                 THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+                                 ELSE 0.709 * 4096.0 * (18014398509481984.0
+                                      / CAST(t_scaled AS DOUBLE)) END)
+                                * 1000000.0) AS BIGINT) AS est_micro
+                     FROM sfin),
+            keys AS (SELECT DISTINCT source FROM regs),
+            pairs AS (SELECT a.source AS ka, b.source AS kb
+                      FROM keys a, keys b WHERE a.source < b.source),
+            ur AS (SELECT ka, kb, reg, MAX(maxrho) AS maxrho FROM (
+                     SELECT p.ka, p.kb, r.reg, r.maxrho
+                     FROM pairs p JOIN regs r ON r.source = p.ka
+                     UNION ALL
+                     SELECT p.ka, p.kb, r.reg, r.maxrho
+                     FROM pairs p JOIN regs r ON r.source = p.kb)
+                   GROUP BY ka, kb, reg),
+            uagg AS (SELECT ka, kb, CAST(COUNT(*) AS BIGINT) AS nreg,
+                            CAST(SUM(CAST(1 AS BIGINT)
+                                     << GREATEST(54 - maxrho, 0)) AS BIGINT)
+                              AS t_present
+                     FROM ur GROUP BY ka, kb),
+            ufin AS (SELECT ka, kb, CAST(64 - nreg AS BIGINT) AS v_zero,
+                            t_present + (64 - nreg) * 18014398509481984 AS t_scaled
+                     FROM uagg),
+            uest AS (SELECT ka, kb,
+                            CAST(ROUND((CASE WHEN v_zero > 0
+                                  AND (0.709 * 4096.0 * (18014398509481984.0
+                                       / CAST(t_scaled AS DOUBLE))) <= 160.0
+                                 THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+                                 ELSE 0.709 * 4096.0 * (18014398509481984.0
+                                      / CAST(t_scaled AS DOUBLE)) END)
+                                * 1000000.0) AS BIGINT) AS est_union_micro
+                     FROM ufin),
+            ie AS (SELECT u.ka, u.kb, a.est_micro AS est_a_micro,
+                          b.est_micro AS est_b_micro, u.est_union_micro,
+                          GREATEST(a.est_micro + b.est_micro - u.est_union_micro,
+                                   0) AS est_inter_micro
+                   FROM uest u JOIN sest a ON a.source = u.ka
+                               JOIN sest b ON b.source = u.kb)
+            SELECT ka, kb, est_a_micro, est_b_micro, est_union_micro,
+                   est_inter_micro,
+                   CAST(ROUND(CAST(est_inter_micro AS DOUBLE) * 1000000.0
+                              / CAST(est_union_micro AS DOUBLE)) AS BIGINT)
+                     AS jaccard_micro
+            FROM ie ORDER BY ka, kb"""))
+
   /** Chunk-granular exact substring dedup ([[graft.text.Chunker
     * .dedupChunks]]): every 16-token passage keeps only its global first
     * occurrence and documents are rebuilt from survivors. The oracle
@@ -5202,6 +5285,107 @@ object SparkEntry {
             FROM sc JOIN labels l USING (id)
             ORDER BY id"""))
 
+  /** Shared CTE prefix for the logistic-regression oracles: the same
+    * hashed features and weak labels as [[linearTrainCtes]], then
+    * `iters` chained full-batch hard-sigmoid gradient rounds —
+    * p_q = clamp(2e6 + z, 0, 4e6) in quarter-micro units, gradient
+    * Σ (p_q − 4e6·y01)·x, update −sign·(|g·lrNum| // (4·N·lrDen))
+    * (truncating division on the magnitude — the Pca `//` replay
+    * convention). TRAINING itself is replayed, round for round.
+    */
+  private def logisticTrainCtes(dims: Int, iters: Int,
+                                lrNum: Long, lrDen: Long): String = {
+    val feats =
+      s"""feats AS (SELECT id, bucket, CAST(COUNT(*) AS BIGINT) AS x FROM (
+            SELECT doc_id AS id,
+                   ('0x' || substring(md5(tok), 1, 15))::BIGINT % $dims AS bucket
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents))
+          GROUP BY id, bucket
+          UNION ALL
+          SELECT doc_id AS id, CAST(-1 AS BIGINT) AS bucket,
+                 CAST(1 AS BIGINT) AS x FROM documents),
+          labels AS (SELECT doc_id AS id,
+                            CASE WHEN n_chars >= 300 THEN 1 ELSE -1 END AS y
+                     FROM documents),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM labels),
+          w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+                        CAST(NULL AS BIGINT) AS w WHERE 1 = 0)"""
+    val rounds = (1 to iters).map { k =>
+      val p = k - 1
+      s"""z$k AS (SELECT f.id, CAST(SUM(f.x * COALESCE(w$p.w, 0)) AS BIGINT) AS z
+            FROM feats f LEFT JOIN w$p USING (bucket) GROUP BY f.id),
+          e$k AS (SELECT l.id,
+                         LEAST(GREATEST(2000000 + z.z, 0), 4000000)
+                         - CASE WHEN l.y = 1 THEN 4000000 ELSE 0 END AS e_q
+                  FROM labels l JOIN z$k z USING (id)),
+          g$k AS (SELECT f.bucket, CAST(SUM(e.e_q * f.x) AS BIGINT) AS g
+                  FROM e$k e JOIN feats f USING (id) GROUP BY f.bucket),
+          d$k AS (SELECT bucket,
+                         CASE WHEN g * $lrNum < 0
+                              THEN -((-(g * $lrNum)) // (4 * nn.n * $lrDen))
+                              ELSE (g * $lrNum) // (4 * nn.n * $lrDen)
+                         END AS dw
+                  FROM g$k CROSS JOIN nn),
+          w$k AS (SELECT bucket, COALESCE(w$p.w, 0) - COALESCE(d$k.dw, 0) AS w
+                  FROM w$p FULL JOIN d$k USING (bucket))"""
+    }
+    (feats +: rounds).mkString(",\n")
+  }
+
+  /** Hard-sigmoid logistic-regression TRAINING
+    * ([[graft.text.LinearModel.trainLogistic]]): 3 full-batch
+    * gradient-descent rounds at lr = 1/2 over the same hashed features /
+    * weak labels as [[qLinearTrain]] — the micro-unit weight table is the
+    * hash-checked result, every round replayed in the oracle including
+    * the clamp, the q-unit error, and the truncating mean-gradient
+    * division.
+    */
+  private val qLogisticTrain = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.text.LinearModel.hashedFeatures(docs, "doc_id", "text", dims = 16)
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("n_chars") >= 300, lit(1)).otherwise(lit(-1)).as("y"))
+      graft.text.LinearModel.trainLogistic(s, feats, labels, iters = 3)
+        .orderBy("bucket")
+    },
+    Some(s"""WITH ${logisticTrainCtes(dims = 16, iters = 3, lrNum = 1, lrDen = 2)}
+            SELECT bucket, CAST(w AS BIGINT) AS w FROM w3 ORDER BY bucket"""))
+
+  /** Probability scoring under the trained logistic model
+    * ([[graft.text.LinearModel.scoreLogistic]]): per-document micro-unit
+    * margin, quarter-micro hard-sigmoid probability, and the p > 1/2
+    * accept decision — the oracle replays training then the scoring
+    * join, re-checking all three rounds through every document's
+    * probability.
+    */
+  private val qLogisticScore = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.text.LinearModel.hashedFeatures(docs, "doc_id", "text", dims = 16)
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("n_chars") >= 300, lit(1)).otherwise(lit(-1)).as("y"))
+      val w = graft.text.LinearModel.trainLogistic(s, feats, labels, iters = 3)
+      graft.text.LinearModel.scoreLogistic(feats, w)
+        .join(labels, "id")
+        .withColumn("correct", (col("pred") === col("y")).cast("int"))
+        .orderBy("id")
+    },
+    Some(s"""WITH ${logisticTrainCtes(dims = 16, iters = 3, lrNum = 1, lrDen = 2)},
+            sc AS (SELECT f.id, CAST(SUM(f.x * COALESCE(w3.w, 0)) AS BIGINT) AS z_micro
+                   FROM feats f LEFT JOIN w3 USING (bucket) GROUP BY f.id),
+            pp AS (SELECT id, z_micro,
+                          LEAST(GREATEST(2000000 + z_micro, 0), 4000000) AS p_q
+                   FROM sc)
+            SELECT pp.id, pp.z_micro, pp.p_q,
+                   CASE WHEN pp.p_q > 2000000 THEN 1 ELSE -1 END AS pred,
+                   l.y,
+                   CASE WHEN (CASE WHEN pp.p_q > 2000000 THEN 1 ELSE -1 END) = l.y
+                        THEN 1 ELSE 0 END AS correct
+            FROM pp JOIN labels l USING (id)
+            ORDER BY id"""))
+
   /** Shared CTE prefix for the Naive Bayes oracles: token-presence weak
     * label, per-class token counts, class stats, micro-unit smoothed
     * log-probs (the [[qLmScore]] quantizer convention).
@@ -6572,6 +6756,7 @@ object SparkEntry {
     "q_pca_project" -> qPcaProject,
     "q_hll_distinct" -> qHllDistinct,
     "q_hll_incremental" -> qHllIncremental,
+    "q_hll_overlap" -> qHllOverlap,
     "q_rolling_active" -> qRollingActive,
     "q_chunk_dedup" -> qChunkDedup,
     "q_substr_spans" -> qSubstrSpans,
@@ -6615,6 +6800,8 @@ object SparkEntry {
     "q_para_profile" -> qParaProfile,
     "q_linear_train" -> qLinearTrain,
     "q_linear_score" -> qLinearScore,
+    "q_logistic_train" -> qLogisticTrain,
+    "q_logistic_score" -> qLogisticScore,
     "q_nb_train" -> qNbTrain,
     "q_nb_score" -> qNbScore,
     "q_nb_score_holdout" -> qNbScoreHoldout,

@@ -139,4 +139,99 @@ object LinearModel {
       .groupBy("id")
       .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("margin"))
       .withColumn("pred", when(col("margin") > 0, lit(1)).otherwise(lit(-1)))
+
+  // ------------------------------------------------------------------
+  // Logistic regression, hard-sigmoid link — the PROBABILITY-emitting
+  // member of the family. The perceptron above yields a margin and a
+  // sign; curation pipelines usually want a calibrated-ish score to
+  // threshold at different strictness tiers (fastText quality filters
+  // ship probabilities for exactly this reason). True logistic SGD is
+  // out (row-order-dependent, libm exp in every update — unreplayable);
+  // the published escape is the hard sigmoid (piecewise-linear
+  // σ̂(z) = clamp(z/4 + 1/2, 0, 1) — Courbariaux et al.'s
+  // BinaryConnect approximation), whose full-batch gradient
+  // Σ (σ̂(z_i) − y01_i)·x_i is EXACT integer arithmetic end to end:
+  // margins are micro-unit integers, σ̂ is one add + one clamp in
+  // quarter-micro units (q-units: 4·10⁶ = probability 1 — the /4 slope
+  // folds into the unit so no division ever happens row-side), and the
+  // update's single truncating division happens ON THE DRIVER over the
+  // dims+1 collected gradient rows (sign·(|g·lrNum| div d) — the
+  // [[graft.similarity.Pca]] replay convention for DuckDB `//`).
+  //
+  // Scale shape: identical to [[trainPerceptron]] — per round, one
+  // broadcast model join + two narrow shuffles (margins on id,
+  // gradient on bucket); the collect is dims+1 rows. Gradient
+  // magnitude budget: |e_q| ≤ 4·10⁶, so a bucket's gradient is bounded
+  // by 4·10⁶ · (tokens hashing to it) — Int64-safe while
+  // tokens/bucket < 2.3·10¹²; at larger corpora raise `dims` (the
+  // hashing trick's standard lever), which divides the per-bucket
+  // token mass.
+  // ------------------------------------------------------------------
+
+  /** Probability 1.0 in q-units (quarter-micro). */
+  val OneQ: Long = 4000000L
+
+  /** One full-batch hard-sigmoid gradient: (bucket, g) with
+    * `g = Σ_docs (p_q − OneQ·y01)·x` where `p_q = clamp(2e6 + z, 0,
+    * 4e6)` and `z = Σ x·w` (w in micro-units). Labels y ∈ {−1,+1}.
+    */
+  def logisticGradient(feats: DataFrame, labels: DataFrame,
+                       weights: DataFrame): DataFrame = {
+    val probs = feats
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("z"))
+      .withColumn("p_q",
+        least(greatest(lit(OneQ / 2) + col("z"), lit(0L)), lit(OneQ)))
+    labels.join(probs, "id")
+      .withColumn("e_q",
+        col("p_q") - when(col("y") === 1, lit(OneQ)).otherwise(lit(0L)))
+      .join(feats, "id")
+      .groupBy("bucket")
+      .agg(sum(col("e_q") * col("x")).as("g"))
+  }
+
+  /** Train `iters` full-batch gradient-descent rounds from the zero
+    * model with learning rate `lrNum/lrDen`. Per round each weight
+    * moves by `−truncDiv(g·lrNum, 4·N·lrDen)` micro-units (the /4
+    * unwinds the q-unit scale; /N makes the gradient a mean) — Scala's
+    * native truncating Long division, replayed in SQL as
+    * sign·(abs // d). Returns (bucket, w) in micro-units.
+    */
+  def trainLogistic(spark: SparkSession, feats: DataFrame, labels: DataFrame,
+                    iters: Int, lrNum: Long = 1L, lrDen: Long = 2L): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(lrNum >= 1 && lrDen >= 1, s"lr $lrNum/$lrDen must be positive")
+    import spark.implicits._
+    val f = feats.localCheckpoint()
+    val l = labels.localCheckpoint()
+    val n = l.count()
+    require(n > 0, "empty label set")
+    val d = 4L * n * lrDen
+    var w = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val wDf = w.toSeq.toDF("bucket", "w")
+      val grad = logisticGradient(f, l, wDf).collect()
+      grad.foreach { r =>
+        val b = r.getLong(0)
+        val dw = (r.getLong(1) * lrNum) / d // truncating, like SQL abs-//
+        w = w.updated(b, w.getOrElse(b, 0L) - dw)
+      }
+    }
+    w.toSeq.toDF("bucket", "w")
+  }
+
+  /** Score under a trained logistic model: (id, z_micro, p_q, pred) —
+    * `p_q` is the hard-sigmoid probability in q-units (4e6 = 1.0),
+    * `pred = +1` iff p > 1/2 strictly (ties reject, the family's
+    * conservative-gate convention).
+    */
+  def scoreLogistic(feats: DataFrame, weights: DataFrame): DataFrame =
+    feats.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy("id")
+      .agg(sum(col("x") * coalesce(col("w"), lit(0L))).as("z_micro"))
+      .withColumn("p_q",
+        least(greatest(lit(OneQ / 2) + col("z_micro"), lit(0L)), lit(OneQ)))
+      .withColumn("pred",
+        when(col("p_q") > OneQ / 2, lit(1)).otherwise(lit(-1)))
 }

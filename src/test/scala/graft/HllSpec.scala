@@ -97,6 +97,51 @@ class HllSpec extends SparkTestBase {
     assert(out(0).getAs[Long]("est_micro") > 0)
   }
 
+  test("pairwiseOverlap: identical sets → inter = each single, jaccard = 1e6 exactly") {
+    // keys a and b carry the SAME value set: union registers == each
+    // single's registers, so est_union == est_a == est_b and the
+    // inclusion–exclusion collapses algebraically, not approximately
+    val vals = (1 to 300).map(_.toString)
+    val df = (vals.map(("a", _)) ++ vals.map(("b", _))).toDF("k", "v")
+    val out = Hll.pairwiseOverlap(Hll.registers(df, Seq("k"), "v"), "k").collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[String]("ka") === "a" && r.getAs[String]("kb") === "b")
+    assert(r.getAs[Long]("est_a_micro") === r.getAs[Long]("est_union_micro"))
+    assert(r.getAs[Long]("est_inter_micro") === r.getAs[Long]("est_a_micro"))
+    assert(r.getAs[Long]("jaccard_micro") === 1000000L)
+  }
+
+  test("pairwiseOverlap: disjoint sets → small jaccard; half-overlap sits between") {
+    val base = (1 to 600).map(i => s"tok$i")
+    val disjoint = (base.take(300).map(("a", _)) ++ base.drop(300).map(("b", _)))
+      .toDF("k", "v")
+    val dj = Hll.pairwiseOverlap(Hll.registers(disjoint, Seq("k"), "v"), "k")
+      .head.getAs[Long]("jaccard_micro")
+    // m=64 → ~13% per-estimate error; inclusion–exclusion compounds it,
+    // so assert a loose ordering-scale bound, not a tight value
+    assert(dj < 400000L, s"disjoint jaccard_micro $dj not near 0")
+    val half = (base.take(400).map(("a", _)) ++ base.drop(200).map(("b", _)))
+      .toDF("k", "v") // 200 shared of 600 union → true jaccard 1/3
+    val hj = Hll.pairwiseOverlap(Hll.registers(half, Seq("k"), "v"), "k")
+      .head.getAs[Long]("jaccard_micro")
+    assert(hj > dj, s"half-overlap jaccard $hj not above disjoint $dj")
+    assert(hj < 1000000L)
+  }
+
+  test("pairwiseOverlap: C(k,2) unordered pairs, ka < kb, partition-invariant") {
+    val df = (1 to 200).flatMap(i => Seq(("s1", s"v$i"), ("s2", s"w$i"),
+      ("s3", s"v$i"), ("s4", s"x${i % 50}"))).toDF("k", "v")
+    val a = Hll.pairwiseOverlap(Hll.registers(df.repartition(1), Seq("k"), "v"), "k")
+      .collect().map(_.toString).sorted.toSeq
+    val b = Hll.pairwiseOverlap(Hll.registers(df.repartition(7), Seq("k"), "v"), "k")
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    assert(a.length === 6) // C(4,2)
+    Hll.pairwiseOverlap(Hll.registers(df, Seq("k"), "v"), "k").collect()
+      .foreach(r => assert(r.getAs[String]("ka") < r.getAs[String]("kb")))
+  }
+
   test("segments round-trip: disk merge equals in-memory one-shot estimate") {
     val tmp = java.nio.file.Files.createTempDirectory("hll_seg_spec")
     val segPath = tmp.resolve("seg").toString

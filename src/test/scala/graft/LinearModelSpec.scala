@@ -61,6 +61,69 @@ class LinearModelSpec extends SparkTestBase {
     assert(run(1) === run(7))
   }
 
+  test("trainLogistic reproduces the hand-computed gradient sequence (both ±.5 truncations)") {
+    val feats = Seq((1L, 0L, 2L), (1L, -1L, 1L), (2L, 1L, 3L), (2L, -1L, 1L))
+      .toDF("id", "bucket", "x")
+    val labels = Seq((1L, 1), (2L, -1)).toDF("id", "y")
+    // N=2, lr=1/2 -> d=16. Round 1 (zero model, p_q=2e6 everywhere):
+    //   e1=-2e6, e2=+2e6; g_b0=-4e6, g_b1=+6e6, g_bias=0
+    //   -> w = (b0: 250000, b1: -375000, bias: 0)
+    // Round 2: z1=500000 -> e1=-1.5e6; z2=-1125000 -> p_q=875000, e2=875000
+    //   g_b0=-3e6 -> dw=-187500; g_b1=2625000 -> dw=trunc(164062.5)=164062
+    //   g_bias=-625000 -> dw=trunc(-39062.5)=-39062 (toward zero, BOTH signs)
+    val w = LinearModel.trainLogistic(spark, feats, labels, iters = 2)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(w === Seq((-1L, 39062L), (0L, 437500L), (1L, -539062L)))
+    val scored = LinearModel.scoreLogistic(feats,
+        LinearModel.trainLogistic(spark, feats, labels, iters = 2))
+      .orderBy("id").select("id", "z_micro", "p_q", "pred")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(scored === Seq((1L, 914062L, 2914062L, 1), (2L, -1578124L, 421876L, -1)))
+  }
+
+  test("logistic: hard sigmoid clamps to [0, 4e6] on saturated margins") {
+    val feats = Seq((1L, 0L, 100L), (2L, 0L, 1L)).toDF("id", "bucket", "x")
+    val w = Seq((0L, 1000000L)).toDF("bucket", "w") // 1.0 per count
+    val out = LinearModel.scoreLogistic(feats, w)
+      .orderBy("id").select("p_q").as[Long].collect().toSeq
+    assert(out === Seq(4000000L, 3000000L)) // doc1 saturates, doc2 = 2e6+1e6
+    val wneg = Seq((0L, -1000000L)).toDF("bucket", "w")
+    val neg = LinearModel.scoreLogistic(feats, wneg)
+      .orderBy("id").select("p_q", "pred").as[(Long, Int)].collect().toSeq
+    assert(neg === Seq((0L, -1), (1000000L, -1)))
+  }
+
+  test("logistic: separable corpus reaches perfect accuracy with monotone probabilities") {
+    val docs = (0L until 40L).map { i =>
+      val marker = if (i % 2 == 0) "excellent prose paragraph" else "spam junk listing"
+      (i, s"$marker filler token$i common words here")
+    }.toDF("doc_id", "text")
+    val labels = (0L until 40L).map(i => (i, if (i % 2 == 0) 1 else -1)).toDF("id", "y")
+    val feats = LinearModel.hashedFeatures(docs, "doc_id", "text", dims = 32)
+    val w = LinearModel.trainLogistic(spark, feats, labels, iters = 6)
+    val scored = LinearModel.scoreLogistic(feats, w).join(labels, "id")
+    val acc = scored.agg(avg(when($"pred" === $"y", 1.0).otherwise(0.0)))
+      .as[Double].head()
+    assert(acc === 1.0)
+    // probabilities separate the classes: min positive p_q > max negative p_q
+    val minPos = scored.filter($"y" === 1).agg(min("p_q")).as[Long].head()
+    val maxNeg = scored.filter($"y" === -1).agg(max("p_q")).as[Long].head()
+    assert(minPos > maxNeg)
+  }
+
+  test("logistic training is partition-invariant") {
+    val docs = (0L until 30L)
+      .map(i => (i, s"tok${i % 7} tok${i % 3} shared words tok${i % 11}"))
+      .toDF("doc_id", "text")
+    val labels = (0L until 30L).map(i => (i, if (i % 3 == 0) 1 else -1)).toDF("id", "y")
+    def run(parts: Int) = {
+      val f = LinearModel.hashedFeatures(docs.repartition(parts), "doc_id", "text", 16)
+      LinearModel.trainLogistic(spark, f, labels.repartition(parts), iters = 3)
+        .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    }
+    assert(run(1) === run(7))
+  }
+
   test("zero-margin docs count as misclassified and score rejects on zero") {
     val feats = Seq((1L, 0L, 1L)).toDF("id", "bucket", "x")
     val labels = Seq((1L, -1)).toDF("id", "y")
