@@ -1,0 +1,201 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenization (Kudo 2018, "Subword Regularization" — the
+  * SentencePiece unigram model; public) as the THIRD tokenizer family
+  * next to [[Bpe]] (merge-based) and [[WordPiece]] (greedy longest
+  * prefix): each word takes the segmentation MAXIMIZING the sum of
+  * per-piece log-probabilities — Viterbi dynamic programming over the
+  * piece lattice, not a greedy scan. Where BPE/WordPiece commit to a
+  * local choice, unigram picks the globally best split under the model,
+  * which is why SentencePiece ships it as the quality-default.
+  *
+  * Deliberate, documented deviation from Kudo's full recipe: the piece
+  * probabilities come from ONE frequency pass (occurrence-weighted
+  * substring counts, threshold-kept), not iterated EM — the same
+  * determinism trade [[WordPiece.vocab]] makes (thresholds, not top-k:
+  * no rank ties to break; no float EM state to replay). The
+  * SEGMENTATION algorithm — the part users run per-corpus — is the
+  * published Viterbi, exact.
+  *
+  * Determinism contract: piece scores are micro-quantized
+  * (`round(ln(c/total)·1e6)` — the [[LmScore]]/[[NaiveBayes]]
+  * convention), so every lattice value is an exact integer; the DP
+  * argmax at each end-position packs (candidate value, previous
+  * position) into ONE integer key `value·16 + prev_pos`
+  * (prev_pos < 16), so "max score, tie → shortest last piece" is a
+  * plain MAX — bit-stable at any parallelism and replayed key-for-key
+  * by the DuckDB oracle's unrolled CTE chain.
+  *
+  * Scale shape (100 TB): the corpus pays ONE token explode for word
+  * counts, one substring fan-out (≤ maxWordLen·maxPieceLen per distinct
+  * word, in-scan), and at encode time one word-keyed join of the
+  * (word → segmentation) table back to the token stream
+  * (word-vocabulary sized, explicitly broadcast — the
+  * [[WordPiece.encode]] build-side lesson) plus one per-doc
+  * aggregation. ALL Viterbi iteration runs on the DISTINCT-WORD set:
+  * `maxWordLen` forward rounds + `maxWordLen` backward rounds of
+  * vocab-keyed joins over word-sized tables, each pinned model-sized
+  * per round (the [[Bpe.train]] discipline).
+  */
+object Unigram {
+
+  /** Max characters per vocabulary piece (the lattice edge length). */
+  val MaxPieceLen = 6
+
+  /** Words longer than this take the whole-word OOV fallback (bounds
+    * both DP loops; the [[WordPiece.encodeWords]] convention).
+    */
+  val MaxWordLen = 16
+
+  /** Fixed OOV piece score in micro-units (SentencePiece's fixed unk
+    * penalty, kept clear of any in-vocab score so OOV never outranks a
+    * real segmentation).
+    */
+  val UnkScoreMicro: Long = -25000000L
+
+  /** Frequency-seeded piece vocabulary: every substring of length
+    * 1..[[MaxPieceLen]] of every distinct word, occurrence-weighted;
+    * single characters kept unconditionally (coverage — every in-corpus
+    * word of admissible length segments), longer pieces kept at
+    * `c >= minCount`. Returns (piece, plen, c, score_micro) with
+    * `score_micro = round(ln(c / total)·1e6)`, `total` summed over the
+    * KEPT pieces (the vocabulary is the probability model).
+    *
+    * One corpus explode; the substring fan-out and everything after it
+    * is distinct-word sized.
+    */
+  def vocab(docs: DataFrame, idCol: String, textCol: String,
+            minCount: Long = 50L): DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount must be >= 1")
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val subs = words
+      .select(col("word"), col("cnt"),
+        explode(sequence(lit(1), length(col("word")))).as("p"))
+      .select(col("word"), col("cnt"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(MaxPieceLen), length(col("word")) - col("p") + 1))).as("l"))
+      .groupBy(col("word").substr(col("p"), col("l")).as("piece"),
+        col("l").as("plen"))
+      .agg(sum(col("cnt")).as("c"))
+    val kept = subs.filter(col("plen") === 1 || col("c") >= minCount)
+    val tot = kept.agg(sum(col("c")).as("t"))
+    kept.crossJoin(broadcast(tot))
+      .select(col("piece"), col("plen").cast("int").as("plen"), col("c"),
+        round(log(col("c").cast("double") / col("t").cast("double")) * 1e6)
+          .cast("long").as("score_micro"))
+  }
+
+  /** Pack a lattice candidate into the argmax key: `value·16 + prevPos`
+    * — value differences dominate (≥16 apart after scaling), equal
+    * values fall to the LARGEST previous position (shortest last
+    * piece). Unpack via canonical non-negative mod (identical under
+    * Spark's and DuckDB's truncating `%`).
+    */
+  private val KeySlots = 16L
+
+  /** Viterbi-encode a DISTINCT word set against a [[vocab]] table:
+    * (word, seg, n_pieces, score_micro) where `seg` is the space-joined
+    * max-probability piece sequence. Words longer than [[MaxWordLen]]
+    * (or empty) take the whole-word OOV row at [[UnkScoreMicro]].
+    *
+    * Forward pass: `best(word, pos)` holds the packed
+    * (best value · 16 + backpointer) for each prefix length; round j
+    * maxes over previous positions j−[[MaxPieceLen]]..j−1 joined to the
+    * vocabulary on the exact candidate substring. Backward pass walks
+    * the stored backpointers — no per-step argmax, so the
+    * reconstruction is a pure join loop.
+    */
+  def encodeWords(words: DataFrame, vocabDf: DataFrame): DataFrame = {
+    // vocab-sized pin ONCE before the loops ([[WordPiece.encodeWords]]:
+    // each round's state pin is its own action; unpinned, the whole
+    // vocab-derivation chain re-executes per round)
+    val v = broadcast(
+      vocabDf.select(col("piece"), col("plen"), col("score_micro"))
+        .localCheckpoint())
+    val dw = words.select(col("word")).distinct()
+      .filter(length(col("word")) > 0)
+      .localCheckpoint()
+    val inRange = dw.filter(length(col("word")) <= MaxWordLen)
+
+    // forward DP: rows (word, pos, s, bp); pos 0 is the empty prefix
+    var all = inRange
+      .select(col("word"), lit(0).as("pos"), lit(0L).as("s"), lit(-1).as("bp"))
+      .localCheckpoint()
+    for (j <- 1 to MaxWordLen) {
+      val cand = all
+        .filter(col("pos") >= j - MaxPieceLen && col("pos") <= j - 1 &&
+          length(col("word")) >= j)
+        .join(v,
+          col("plen") === (lit(j) - col("pos")) &&
+            col("piece") === expr(s"substring(word, pos + 1, $j - pos)"))
+      val bj = cand
+        .groupBy("word")
+        .agg(max((col("s") + col("score_micro")) * KeySlots + col("pos")).as("mk"))
+        .select(col("word"), lit(j).as("pos"),
+          // exactly divisible after subtracting the canonical mod, so
+          // integral `div` is exact (no float enters the lattice)
+          expr(s"CAST((mk - pmod(mk, $KeySlots)) DIV $KeySlots AS BIGINT)").as("s"),
+          pmod(col("mk"), lit(KeySlots)).cast("int").as("bp"))
+      all = all.unionByName(bj).localCheckpoint()
+    }
+
+    // backward walk over stored backpointers, prepending pieces
+    var state = inRange
+      .select(col("word"), length(col("word")).cast("int").as("pos"),
+        lit("").as("seg"), lit(0L).as("n_pieces"))
+      .localCheckpoint()
+    for (_ <- 1 to MaxWordLen) {
+      val active = state.filter(col("pos") > 0)
+      val stepped = active
+        .join(all, Seq("word", "pos"))
+        .select(col("word"), col("bp").as("pos"),
+          concat(
+            expr("substring(word, bp + 1, pos - bp)"),
+            when(col("seg") === "", lit("")).otherwise(concat(lit(" "), col("seg"))))
+            .as("seg"),
+          (col("n_pieces") + 1).as("n_pieces"))
+      state = state.filter(col("pos") === 0).unionByName(stepped)
+        .localCheckpoint()
+    }
+
+    val scores = all.filter(col("pos") === length(col("word")))
+      .select(col("word"), col("s").as("score_micro"))
+    val segmented = state.join(scores, "word")
+      .select(col("word"), col("seg"), col("n_pieces"), col("score_micro"))
+    val oov = dw.filter(length(col("word")) > MaxWordLen)
+      .select(col("word"), col("word").as("seg"), lit(1L).as("n_pieces"),
+        lit(UnkScoreMicro).as("score_micro"))
+    segmented.unionByName(oov)
+  }
+
+  /** Per-document unigram encode: (id, n_words, n_pieces, score_micro,
+    * ug_text) — the in-order max-probability piece stream of the whole
+    * document plus its total unigram-LM score. The corpus pays one
+    * positional explode, one broadcast join against the word-sized
+    * segmentation table, and one per-doc aggregation.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             vocabDf: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("idx", "word")))
+      .filter(length(col("word")) > 0)
+    val enc = encodeWords(toks.select("word"), vocabDf)
+    // explicit build side: enc is word-vocabulary-sized but
+    // checkpoint-backed (opaque stats — the [[WordPiece.encode]]
+    // 60M-row-broadcast lesson)
+    toks.join(broadcast(enc), "word")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("score_micro")).as("score_micro"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("seg")))),
+          x => x.getField("seg")), " ").as("ug_text"))
+  }
+}
