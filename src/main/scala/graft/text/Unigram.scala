@@ -122,15 +122,28 @@ object Unigram {
       .filter(length(col("word")) > 0)
       .localCheckpoint()
     val inRange = dw.filter(length(col("word")) <= MaxWordLen)
+    // rounds bound: the corpus's actual longest admissible word, not
+    // the worst case — a 1-row action against the pinned word set.
+    // (Purely a loop bound: rounds past it produce empty slices; the
+    // first 100× soak paid 42 s mostly for 2·16 fixed-overhead rounds
+    // on a corpus whose longest word was far shorter.)
+    val maxLen = math.min(MaxWordLen,
+      inRange.agg(coalesce(max(length(col("word"))), lit(0))).head.getInt(0))
 
-    // forward DP: rows (word, pos, s, bp); pos 0 is the empty prefix
-    var all = inRange
+    // forward DP: one slice per end position (word, pos, s, bp), pos 0
+    // = the empty prefix. ONLY the new slice is pinned per round — the
+    // accumulated lattice is a lazy union of checkpoint-backed slices
+    // (pinning the union re-materializes O(maxLen²) rows), and round j
+    // draws candidates from just the previous MaxPieceLen slices.
+    val b0 = inRange
       .select(col("word"), lit(0).as("pos"), lit(0L).as("s"), lit(-1).as("bp"))
       .localCheckpoint()
-    for (j <- 1 to MaxWordLen) {
-      val cand = all
-        .filter(col("pos") >= j - MaxPieceLen && col("pos") <= j - 1 &&
-          length(col("word")) >= j)
+    val slices = scala.collection.mutable.ArrayBuffer(b0)
+    for (j <- 1 to maxLen) {
+      val prior = slices.slice(math.max(0, j - MaxPieceLen), j)
+        .reduce(_ unionByName _)
+      val cand = prior
+        .filter(length(col("word")) >= j)
         .join(v,
           col("plen") === (lit(j) - col("pos")) &&
             col("piece") === expr(s"substring(word, pos + 1, $j - pos)"))
@@ -142,17 +155,22 @@ object Unigram {
           // integral `div` is exact (no float enters the lattice)
           expr(s"CAST((mk - pmod(mk, $KeySlots)) DIV $KeySlots AS BIGINT)").as("s"),
           pmod(col("mk"), lit(KeySlots)).cast("int").as("bp"))
-      all = all.unionByName(bj).localCheckpoint()
+      slices += bj.localCheckpoint()
     }
+    val all = slices.reduce(_ unionByName _)
 
-    // backward walk over stored backpointers, prepending pieces
-    var state = inRange
+    // backward walk over stored backpointers, prepending pieces; only
+    // the still-active set is pinned per round (words leave the walk
+    // after n_pieces steps), finished rows stay lazy on their source
+    // checkpoint
+    var cur = inRange
       .select(col("word"), length(col("word")).cast("int").as("pos"),
         lit("").as("seg"), lit(0L).as("n_pieces"))
       .localCheckpoint()
-    for (_ <- 1 to MaxWordLen) {
-      val active = state.filter(col("pos") > 0)
-      val stepped = active
+    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to maxLen) {
+      done += cur.filter(col("pos") === 0)
+      val stepped = cur.filter(col("pos") > 0)
         .join(all, Seq("word", "pos"))
         .select(col("word"), col("bp").as("pos"),
           concat(
@@ -160,13 +178,13 @@ object Unigram {
             when(col("seg") === "", lit("")).otherwise(concat(lit(" "), col("seg"))))
             .as("seg"),
           (col("n_pieces") + 1).as("n_pieces"))
-      state = state.filter(col("pos") === 0).unionByName(stepped)
-        .localCheckpoint()
+      cur = stepped.localCheckpoint()
     }
+    val walked = (done :+ cur.filter(col("pos") === 0)).reduce(_ unionByName _)
 
     val scores = all.filter(col("pos") === length(col("word")))
       .select(col("word"), col("s").as("score_micro"))
-    val segmented = state.join(scores, "word")
+    val segmented = walked.join(scores, "word")
       .select(col("word"), col("seg"), col("n_pieces"), col("score_micro"))
     val oov = dw.filter(length(col("word")) > MaxWordLen)
       .select(col("word"), col("word").as("seg"), lit(1L).as("n_pieces"),
