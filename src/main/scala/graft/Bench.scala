@@ -162,6 +162,7 @@ object Bench {
          "q_bpe_merges" | "q_bpe_train" | "q_bpe_encode" | "q_winnow" | "q_winnow_fast" |
          "q_wordpiece_vocab" | "q_wordpiece_encode" |
          "q_unigram_vocab" | "q_unigram_encode" |
+         "q_unigram_em" | "q_unigram_encode_em" |
          "q_cdc_chunks" => "text"
     case n if n.startsWith("q_dedup") || n.startsWith("q_dup_") => "dedup_graph"
     case "q_ngram_jaccard" | "q_triangles" | "q_clustering" |

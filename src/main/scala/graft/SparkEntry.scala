@@ -6351,86 +6351,129 @@ object SparkEntry {
     * (word-initial and `##`-continuation), thresholded initial prefixes
     * of length 2..maxPrefix, thresholded continuation bigrams.
     */
-  /** Shared CTE chain for the unigram-LM tokenizer oracles
-    * ([[graft.text.Unigram]]): occurrence-weighted substring vocabulary
-    * (singles unconditional, longer pieces thresholded), micro-quantized
-    * log-prob scores, then the Viterbi lattice UNROLLED — one CTE per
-    * end position, each maxing the packed `(value·16 + prev_pos)` key
-    * over the previous [[graft.text.Unigram.MaxPieceLen]] positions
-    * joined to the vocabulary on the exact candidate substring — and the
-    * backpointer walk as a recursive CTE (pure join per step; the
-    * argmaxes all happened in the forward pass). Requires the WITH list
-    * to open RECURSIVE.
+  private def unigramBaseCtes(minCount: Long): String = {
+    val P = graft.text.Unigram.MaxPieceLen
+    val L = graft.text.Unigram.MaxWordLen
+    s"""w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE len(word) > 0 GROUP BY word),
+        sub0 AS (SELECT word, cnt, unnest(generate_series(1, len(word))) AS p
+                 FROM w),
+        sub1 AS (SELECT word, cnt, p,
+                        unnest(generate_series(1, LEAST($P, len(word) - p + 1))) AS l
+                 FROM sub0),
+        sub AS (SELECT substr(word, p, l) AS piece, CAST(l AS INTEGER) AS plen,
+                       CAST(SUM(cnt) AS BIGINT) AS c
+                FROM sub1 GROUP BY 1, 2),
+        keep AS (SELECT piece, plen, c FROM sub
+                 WHERE plen = 1 OR c >= $minCount),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM keep),
+        vocab AS MATERIALIZED (SELECT piece, plen, c,
+                         CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                                    * 1000000.0) AS BIGINT) AS score_micro
+                  FROM keep CROSS JOIN tot),
+        dw AS MATERIALIZED (SELECT DISTINCT word FROM w),
+        inr AS MATERIALIZED (SELECT word, CAST(len(word) AS INTEGER) AS n FROM dw
+                WHERE len(word) <= $L)"""
+  }
+
+  /** One full Viterbi unroll against the vocabulary CTE `vocabName`:
+    * lattice CTEs `b<sfx>0..16`, the recursive backpointer walk
+    * `walk<sfx>`, and the per-word result `wordseg<sfx>` — so the EM
+    * oracle can run the ENTIRE dynamic program twice (once under the
+    * seed model, once under the refined one). Every lattice CTE is
+    * MATERIALIZED: each references the previous MaxPieceLen rounds, so
+    * DuckDB's default inlining expands the chain EXPONENTIALLY (b16
+    * would inline thousands of documents scans — measured as fd
+    * exhaustion).
     */
-  private def unigramCtes(minCount: Long): String = {
+  private def unigramDpCtes(vocabName: String, sfx: String): String = {
     val P = graft.text.Unigram.MaxPieceLen
     val L = graft.text.Unigram.MaxWordLen
     val unk = graft.text.Unigram.UnkScoreMicro
-    val base =
-      s"""w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-              FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-              WHERE len(word) > 0 GROUP BY word),
-          sub0 AS (SELECT word, cnt, unnest(generate_series(1, len(word))) AS p
-                   FROM w),
-          sub1 AS (SELECT word, cnt, p,
-                          unnest(generate_series(1, LEAST($P, len(word) - p + 1))) AS l
-                   FROM sub0),
-          sub AS (SELECT substr(word, p, l) AS piece, CAST(l AS INTEGER) AS plen,
-                         CAST(SUM(cnt) AS BIGINT) AS c
-                  FROM sub1 GROUP BY 1, 2),
-          keep AS (SELECT piece, plen, c FROM sub
-                   WHERE plen = 1 OR c >= $minCount),
-          tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM keep),
-          vocab AS MATERIALIZED (SELECT piece, plen, c,
-                           CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
-                                      * 1000000.0) AS BIGINT) AS score_micro
-                    FROM keep CROSS JOIN tot),
-          dw AS MATERIALIZED (SELECT DISTINCT word FROM w),
-          inr AS MATERIALIZED (SELECT word, CAST(len(word) AS INTEGER) AS n FROM dw
-                  WHERE len(word) <= $L),
-          b0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS s, -1 AS bp FROM inr)"""
+    val b0 =
+      s"""b${sfx}0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS s,
+                 -1 AS bp FROM inr)"""
     val rounds = (1 to L).map { j =>
       val prior = (math.max(0, j - P) until j)
-        .map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
-      // MATERIALIZED is load-bearing, not a hint: each lattice CTE
-      // references the previous MaxPieceLen rounds, so DuckDB's default
-      // inlining expands the chain EXPONENTIALLY (b16 would inline
-      // thousands of documents scans — measured as fd exhaustion)
-      s"""b$j AS MATERIALIZED (SELECT word, $j AS pos,
+        .map(i => s"SELECT * FROM b$sfx$i").mkString(" UNION ALL ")
+      s"""b$sfx$j AS MATERIALIZED (SELECT word, $j AS pos,
                  CAST((mk - (mk % 16 + 16) % 16) // 16 AS BIGINT) AS s,
                  CAST((mk % 16 + 16) % 16 AS INTEGER) AS bp
           FROM (SELECT p.word,
                        MAX((p.s + v.score_micro) * 16 + p.pos) AS mk
                 FROM ($prior) p
-                JOIN vocab v
+                JOIN $vocabName v
                   ON v.plen = $j - p.pos
                  AND v.piece = substr(p.word, p.pos + 1, $j - p.pos)
                 WHERE len(p.word) >= $j
                 GROUP BY p.word))"""
     }
-    val ballUnion = (0 to L).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    val ballUnion = (0 to L).map(i => s"SELECT * FROM b$sfx$i").mkString(" UNION ALL ")
     val tail =
-      s"""ball AS MATERIALIZED ($ballUnion),
-          walk(word, pos, seg, np) AS (
+      s"""ball$sfx AS MATERIALIZED ($ballUnion),
+          walk$sfx(word, pos, seg, np) AS (
             SELECT word, n AS pos, '' AS seg, CAST(0 AS BIGINT) AS np FROM inr
             UNION ALL
             SELECT wk.word, b.bp AS pos,
                    substr(wk.word, b.bp + 1, wk.pos - b.bp) ||
                      (CASE WHEN wk.seg = '' THEN '' ELSE ' ' || wk.seg END) AS seg,
                    wk.np + 1 AS np
-            FROM walk wk JOIN ball b ON b.word = wk.word AND b.pos = wk.pos
+            FROM walk$sfx wk JOIN ball$sfx b ON b.word = wk.word AND b.pos = wk.pos
             WHERE wk.pos > 0),
-          segs AS (SELECT word, seg, np FROM walk WHERE pos = 0),
-          fsc AS (SELECT b.word, b.s FROM ball b
+          segs$sfx AS MATERIALIZED (SELECT word, seg, np FROM walk$sfx WHERE pos = 0),
+          fsc$sfx AS (SELECT b.word, b.s FROM ball$sfx b
                   JOIN inr i ON i.word = b.word AND b.pos = i.n),
-          wordseg AS (SELECT s.word, s.seg, s.np, f.s AS score
-                      FROM segs s JOIN fsc f USING (word)
+          wordseg$sfx AS (SELECT s.word, s.seg, s.np, f.s AS score
+                      FROM segs$sfx s JOIN fsc$sfx f USING (word)
                       UNION ALL
                       SELECT word, word AS seg, CAST(1 AS BIGINT) AS np,
                              CAST($unk AS BIGINT) AS score
                       FROM dw WHERE len(word) > $L)"""
-    (base +: rounds :+ tail).mkString(",\n")
+    (b0 +: rounds :+ tail).mkString(",\n")
   }
+
+  /** One Viterbi-EM refinement ([[graft.text.Unigram.refineVocab]]) in
+    * CTEs: occurrence-weighted piece-usage counts over the chosen
+    * segmentations (`segs<dpSfx>`), the singles coverage floor, and the
+    * re-quantized scores as `vocab2`.
+    */
+  private def unigramEmCtes(dpSfx: String): String =
+    s"""usage AS (SELECT piece, CAST(SUM(cnt) AS BIGINT) AS u FROM (
+                 SELECT w.cnt, unnest(string_split(sg.seg, ' ')) AS piece
+                 FROM segs$dpSfx sg JOIN w USING (word))
+               GROUP BY piece),
+        sing AS (SELECT DISTINCT substr(word, p, 1) AS piece
+                 FROM (SELECT word, unnest(generate_series(1, len(word))) AS p
+                       FROM w)),
+        kept2 AS (SELECT s.piece, GREATEST(COALESCE(u.u, 0), 1) AS c
+                  FROM sing s LEFT JOIN usage u USING (piece)
+                  UNION ALL
+                  SELECT piece, u AS c FROM usage WHERE len(piece) > 1),
+        tot2 AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM kept2),
+        vocab2 AS MATERIALIZED (SELECT piece, CAST(len(piece) AS INTEGER) AS plen, c,
+                         CAST(ROUND(ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+                                    * 1000000.0) AS BIGINT) AS score_micro
+                  FROM kept2 CROSS JOIN tot2)"""
+
+  /** The per-document reassembly tail shared by the encode oracles:
+    * positional token explode joined to `wordseg<dpSfx>`, grouped per
+    * doc.
+    */
+  private def unigramSelectSql(dpSfx: String): String =
+    s"""tk AS (SELECT doc_id AS id, i AS idx, toks[i] AS word
+               FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks))) AS i
+                     FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                           FROM documents)))
+        SELECT tk.id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(ws.np) AS BIGINT) AS n_pieces,
+               CAST(SUM(ws.score) AS BIGINT) AS score_micro,
+               string_agg(ws.seg, ' ' ORDER BY tk.idx) AS ug_text
+        FROM tk JOIN wordseg$dpSfx ws USING (word)
+        WHERE len(tk.word) > 0
+        GROUP BY tk.id ORDER BY id"""
 
   /** Unigram-LM piece vocabulary ([[graft.text.Unigram.vocab]]; Kudo
     * 2018, the SentencePiece unigram family — the third tokenizer next
@@ -6443,7 +6486,7 @@ object SparkEntry {
     (s, dir) => graft.text.Unigram.vocab(
       t(s, dir, "documents"), "doc_id", "text", minCount = 50L)
       .orderBy("piece"),
-    Some(s"""WITH ${unigramVocabOnlyCtes(minCount = 50L)}
+    Some(s"""WITH ${unigramBaseCtes(minCount = 50L)}
             SELECT piece, CAST(plen AS INTEGER) AS plen, c, score_micro
             FROM vocab ORDER BY piece"""))
 
@@ -6463,20 +6506,49 @@ object SparkEntry {
       val v = graft.text.Unigram.vocab(d, "doc_id", "text", minCount = 50L)
       graft.text.Unigram.encode(d, "doc_id", "text", v).orderBy("id")
     },
-    Some(s"""WITH RECURSIVE ${unigramCtes(minCount = 50L)},
-            tk AS (SELECT doc_id AS id, i AS idx, toks[i] AS word
-                   FROM (SELECT doc_id, toks,
-                                unnest(generate_series(1, len(toks))) AS i
-                         FROM (SELECT doc_id, string_split(text, ' ') AS toks
-                               FROM documents)))
-            SELECT tk.id,
-                   CAST(COUNT(*) AS BIGINT) AS n_words,
-                   CAST(SUM(ws.np) AS BIGINT) AS n_pieces,
-                   CAST(SUM(ws.score) AS BIGINT) AS score_micro,
-                   string_agg(ws.seg, ' ' ORDER BY tk.idx) AS ug_text
-            FROM tk JOIN wordseg ws USING (word)
-            WHERE len(tk.word) > 0
-            GROUP BY tk.id ORDER BY id"""))
+    Some(s"""WITH RECURSIVE ${unigramBaseCtes(minCount = 50L)},
+            ${unigramDpCtes("vocab", "")},
+            ${unigramSelectSql("")}"""))
+
+  /** Viterbi-EM vocabulary refinement
+    * ([[graft.text.Unigram.refineVocab]]; hard EM — Kudo 2018's
+    * training loop with the argmax commitment): segment every word
+    * under the seed model, recount piece usage occurrence-weighted over
+    * the CHOSEN segmentations, prune unused pieces (singles floor-kept
+    * for coverage), re-quantize scores. The refined vocabulary table is
+    * the hash-checked result — the oracle runs the whole seed DP to get
+    * the segmentations the recount depends on.
+    */
+  private val qUnigramEm = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val v = graft.text.Unigram.vocab(d, "doc_id", "text", minCount = 50L)
+      graft.text.Unigram.refineVocab(d, "doc_id", "text", v, iters = 1)
+        .orderBy("piece")
+    },
+    Some(s"""WITH RECURSIVE ${unigramBaseCtes(minCount = 50L)},
+            ${unigramDpCtes("vocab", "")},
+            ${unigramEmCtes("")}
+            SELECT piece, plen, c, score_micro FROM vocab2 ORDER BY piece"""))
+
+  /** Encode under the REFINED model: the oracle replays BOTH dynamic
+    * programs — the seed DP (to reproduce the usage recount) and a
+    * second full unroll under the refined scores — so the gate row
+    * transitively checks EM training through every document's
+    * segmentation.
+    */
+  private val qUnigramEncodeEm = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val v0 = graft.text.Unigram.vocab(d, "doc_id", "text", minCount = 50L)
+      val v1 = graft.text.Unigram.refineVocab(d, "doc_id", "text", v0, iters = 1)
+      graft.text.Unigram.encode(d, "doc_id", "text", v1).orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE ${unigramBaseCtes(minCount = 50L)},
+            ${unigramDpCtes("vocab", "")},
+            ${unigramEmCtes("")},
+            ${unigramDpCtes("vocab2", "e")},
+            ${unigramSelectSql("e")}"""))
 
   /** The vocabulary-only prefix of [[unigramCtes]] (no lattice, no
     * recursion — [[qUnigramVocab]] doesn't need the DP).
@@ -6990,6 +7062,8 @@ object SparkEntry {
     "q_wordpiece_encode" -> qWordpieceEncode,
     "q_unigram_vocab" -> qUnigramVocab,
     "q_unigram_encode" -> qUnigramEncode,
+    "q_unigram_em" -> qUnigramEm,
+    "q_unigram_encode_em" -> qUnigramEncodeEm,
     "q_quantile_sketch" -> qQuantileSketch,
     "q_quantile_sketch_seg" -> qQuantileSketchSeg,
     "q_topk_sketch" -> qTopkSketch,

@@ -192,6 +192,63 @@ object Unigram {
     segmented.unionByName(oov)
   }
 
+  /** Viterbi-EM vocabulary refinement (the hard-EM variant of Kudo
+    * 2018's EM training loop: commit to the argmax segmentation under
+    * the current model, recount piece usage from those segmentations,
+    * re-score — published as Viterbi/hard EM; the soft-EM
+    * forward–backward would put log-sum-exp floats in every lattice
+    * node, which the determinism contract forbids). Per iteration:
+    *
+    *  1. Viterbi-segment the distinct words under the current scores
+    *     ([[encodeWords]] — integer lattice, replayable);
+    *  2. usage count per piece = occurrence-weighted count over the
+    *     chosen segmentations (words carry their corpus counts);
+    *  3. pieces with zero usage are PRUNED (the EM prune), except
+    *     single characters, which are floor-counted at 1 — coverage
+    *     must survive refinement or a word goes unsegmentable;
+    *  4. scores re-quantized: round(ln(c / total)·1e6) over the new
+    *     kept mass.
+    *
+    * Scale shape: ONE corpus pass for the word counts (pinned before
+    * the loop); every iteration is distinct-word-sized (a Viterbi
+    * encode + two small aggregations). Returns the refined
+    * (piece, plen, c, score_micro) table.
+    */
+  def refineVocab(docs: DataFrame, idCol: String, textCol: String,
+                  baseVocab: DataFrame, iters: Int = 1): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val wc = docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // the one corpus pass, paid once
+    val singles = wc
+      .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("p"))
+      .select(col("word").substr(col("p"), lit(1)).as("piece")).distinct()
+    var v = baseVocab
+    for (_ <- 1 to iters) {
+      // OOV whole-word fallbacks (len > MaxWordLen) are words, not
+      // model pieces — exclude them from the recount (seg == word AND
+      // beyond piece length bounds anyway via the explode filter below)
+      val usage = encodeWords(wc.select("word"), v)
+        .filter(length(col("word")) <= MaxWordLen)
+        .join(wc, "word")
+        .select(col("cnt"), explode(split(col("seg"), " ")).as("piece"))
+        .groupBy("piece").agg(sum(col("cnt")).as("u"))
+      val kept = singles.join(usage, Seq("piece"), "left")
+        .select(col("piece"), greatest(coalesce(col("u"), lit(0L)), lit(1L)).as("c"))
+        .unionByName(
+          usage.filter(length(col("piece")) > 1)
+            .select(col("piece"), col("u").as("c")))
+      val tot = kept.agg(sum(col("c")).as("t"))
+      v = kept.crossJoin(broadcast(tot))
+        .select(col("piece"), length(col("piece")).cast("int").as("plen"), col("c"),
+          round(log(col("c").cast("double") / col("t").cast("double")) * 1e6)
+            .cast("long").as("score_micro"))
+    }
+    v
+  }
+
   /** Per-document unigram encode: (id, n_words, n_pieces, score_micro,
     * ug_text) — the in-order max-probability piece stream of the whole
     * document plus its total unigram-LM score. The corpus pays one

@@ -98,6 +98,47 @@ class UnigramSpec extends SparkTestBase {
     assert(out(1) === ((1L, 1L, abNp, abS, abSeg)))
   }
 
+  test("refineVocab: hand-computed hard-EM recount, singles floor, re-quantized scores") {
+    // corpus "ab ab b": seed vocab (minCount=2) = a:2, b:3, ab:2, total 7.
+    // Viterbi("ab"): [ab] = ln(2/7) beats [a b] = ln(2/7)+ln(3/7) -> usage ab=2;
+    // Viterbi("b") -> usage b=1. Singles floor: a -> 1. kept = a:1, b:1, ab:2,
+    // total 4 -> scores ln(1/4), ln(1/4), ln(2/4).
+    val docs = docsOf("ab ab b")
+    val v0 = Unigram.vocab(docs, "doc_id", "text", minCount = 2L)
+    val v1 = Unigram.refineVocab(docs, "doc_id", "text", v0, iters = 1)
+      .orderBy("piece").as[(String, Int, Long, Long)].collect().toSeq
+    def sc(c: Long, t: Long) = math.round(math.log(c.toDouble / t) * 1e6)
+    assert(v1 === Seq(("a", 1, 1L, sc(1, 4)), ("ab", 2, 2L, sc(2, 4)),
+      ("b", 1, 1L, sc(1, 4))))
+  }
+
+  test("refineVocab prunes multi-char pieces the Viterbi never uses") {
+    // hand-built seed: "ab" scored so badly that [a b] always wins ->
+    // usage(ab) = 0 -> pruned; singles survive on the floor
+    val docs = docsOf("ab ab")
+    val v0 = Seq(("a", 1, 1L, -1000000L), ("b", 1, 1L, -1000000L),
+      ("ab", 2, 1L, -9000000L)).toDF("piece", "plen", "c", "score_micro")
+    val v1 = Unigram.refineVocab(docs, "doc_id", "text", v0, iters = 1)
+    assert(v1.select("piece").as[String].collect().toSet === Set("a", "b"))
+  }
+
+  test("refineVocab: encode under the refined model still reassembles; iters=2 deterministic") {
+    val docs = docsOf("the quick brown fox", "the the quick jumps",
+      "quick brown brown the")
+    val v0 = Unigram.vocab(docs, "doc_id", "text", minCount = 2L)
+    val v2a = Unigram.refineVocab(docs, "doc_id", "text", v0, iters = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val v2b = Unigram.refineVocab(docs.repartition(5), "doc_id", "text", v0, iters = 2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(v2a === v2b)
+    val v1 = Unigram.refineVocab(docs, "doc_id", "text", v0, iters = 1)
+    val enc = Unigram.encodeWords(
+      docs.select(explode(split(col("text"), " ")).as("word")), v1).collect()
+    enc.foreach { r =>
+      assert(r.getString(1).replace(" ", "") === r.getString(0))
+    }
+  }
+
   test("encodeWords is partition-invariant") {
     val docs = docsOf("the quick brown fox", "the the quick jumps over lazy dogs",
       "quick quick brown")
