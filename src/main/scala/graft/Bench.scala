@@ -188,7 +188,8 @@ object Bench {
     case "q_url_canonical" | "q_domain_cap" | "q_url_dedup" => "text"
     case "q_para_dedup" | "q_para_profile" => "text"
     case "q_linear_train" | "q_linear_score" |
-         "q_logistic_train" | "q_logistic_score" => "text"
+         "q_logistic_train" | "q_logistic_score" |
+         "q_logistic_sweep" => "text"
     case "q_nb_train" | "q_nb_score" | "q_nb_score_holdout" => "text"
     case "q_curation_disposition" | "q_curation_bloom" | "q_curation_funnel" => "text"
     case "q_jsonl_roundtrip" => "etl"

@@ -5386,6 +5386,62 @@ object SparkEntry {
             FROM pp JOIN labels l USING (id)
             ORDER BY id"""))
 
+  /** Operating-point sweep over the trained logistic gate
+    * ([[graft.text.LinearModel.thresholdSweep]]): confusion counts and
+    * micro-quantized precision / recall / F1 at 7 acceptance
+    * thresholds — the strictness-tier tuning table. The Spark side
+    * buckets each doc ONCE (count of thresholds below its p_q) and
+    * cumulates on the ≤2·(K+1)-row aggregate; the oracle states the
+    * semantics directly as a thresholds×docs cross join — same counts,
+    * transitively re-checking training and scoring.
+    */
+  private val qLogisticSweep = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.text.LinearModel.hashedFeatures(docs, "doc_id", "text", dims = 16)
+      val labels = docs.select(col("doc_id").as("id"),
+        when(col("n_chars") >= 300, lit(1)).otherwise(lit(-1)).as("y"))
+      val w = graft.text.LinearModel.trainLogistic(s, feats, labels, iters = 3)
+      val scored = graft.text.LinearModel.scoreLogistic(feats, w)
+      graft.text.LinearModel.thresholdSweep(scored, labels,
+        Seq(500000L, 1000000L, 1500000L, 2000000L, 2500000L, 3000000L, 3500000L))
+        .orderBy("thr_q")
+    },
+    Some(s"""WITH ${logisticTrainCtes(dims = 16, iters = 3, lrNum = 1, lrDen = 2)},
+            sc AS (SELECT f.id, CAST(SUM(f.x * COALESCE(w3.w, 0)) AS BIGINT) AS z
+                   FROM feats f LEFT JOIN w3 USING (bucket) GROUP BY f.id),
+            pp AS (SELECT sc.id,
+                          LEAST(GREATEST(2000000 + sc.z, 0), 4000000) AS p_q,
+                          l.y
+                   FROM sc JOIN labels l USING (id)),
+            thr AS (SELECT * FROM (VALUES (500000), (1000000), (1500000),
+                                          (2000000), (2500000), (3000000),
+                                          (3500000)) AS v(thr_q)),
+            agg AS (SELECT t.thr_q,
+                           CAST(SUM(CASE WHEN p.p_q > t.thr_q AND p.y = 1
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                           CAST(SUM(CASE WHEN p.p_q > t.thr_q AND p.y = -1
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                           CAST(SUM(CASE WHEN p.p_q <= t.thr_q AND p.y = 1
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                           CAST(SUM(CASE WHEN p.p_q <= t.thr_q AND p.y = -1
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                    FROM pp p CROSS JOIN thr t GROUP BY t.thr_q)
+            SELECT CAST(thr_q AS BIGINT) AS thr_q, tp, fp, fn, tn,
+                   CASE WHEN tp + fp = 0 THEN 0
+                        ELSE CAST(ROUND(CAST(tp AS DOUBLE) * 1000000.0
+                                        / CAST(tp + fp AS DOUBLE)) AS BIGINT)
+                   END AS precision_micro,
+                   CASE WHEN tp + fn = 0 THEN 0
+                        ELSE CAST(ROUND(CAST(tp AS DOUBLE) * 1000000.0
+                                        / CAST(tp + fn AS DOUBLE)) AS BIGINT)
+                   END AS recall_micro,
+                   CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                        ELSE CAST(ROUND(CAST(2 * tp AS DOUBLE) * 1000000.0
+                                        / CAST(2 * tp + fp + fn AS DOUBLE)) AS BIGINT)
+                   END AS f1_micro
+            FROM agg ORDER BY thr_q"""))
+
   /** Shared CTE prefix for the Naive Bayes oracles: token-presence weak
     * label, per-class token counts, class stats, micro-unit smoothed
     * log-probs (the [[qLmScore]] quantizer convention).
@@ -7026,6 +7082,7 @@ object SparkEntry {
     "q_linear_score" -> qLinearScore,
     "q_logistic_train" -> qLogisticTrain,
     "q_logistic_score" -> qLogisticScore,
+    "q_logistic_sweep" -> qLogisticSweep,
     "q_nb_train" -> qNbTrain,
     "q_nb_score" -> qNbScore,
     "q_nb_score_holdout" -> qNbScoreHoldout,

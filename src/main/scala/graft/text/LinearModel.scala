@@ -234,4 +234,58 @@ object LinearModel {
         least(greatest(lit(OneQ / 2) + col("z_micro"), lit(0L)), lit(OneQ)))
       .withColumn("pred",
         when(col("p_q") > OneQ / 2, lit(1)).otherwise(lit(-1)))
+
+  /** Operating-point sweep for a probability-scored quality gate:
+    * per threshold θ (accept iff `p_q > θ` — the [[scoreLogistic]]
+    * strict convention) the confusion counts and micro-quantized
+    * precision / recall / F1. This is the table a curation pipeline
+    * reads to pick its strictness tier — and the reason the logistic
+    * member emits probabilities at all.
+    *
+    * ONE pass over the scored corpus, not |thresholds| passes: each doc
+    * is bucketed by the COUNT of thresholds strictly below its `p_q`
+    * (a codegen'd when-chain — `pred@θ_k ⇔ bucket ≥ k+1` for sorted
+    * distinct thresholds), the corpus aggregates to ≤ 2·(K+1) rows, and
+    * the per-threshold cumulation runs on that tiny frame. F1 is
+    * computed as 2·tp / (2·tp + fp + fn) — one division, no compounded
+    * rounding. Zero denominators yield 0 (the conservative "gate
+    * rejects everything / accepts nothing useful" reading), not NULL.
+    *
+    * `scored` needs (id, p_q); `labels` (id, y ∈ {−1,+1}).
+    */
+  def thresholdSweep(scored: DataFrame, labels: DataFrame,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "empty threshold list")
+    val ts = thresholds.sorted
+    require(ts.distinct == ts, s"thresholds must be distinct: $thresholds")
+    val bucket = ts.foldLeft(lit(0)) { (acc, t) =>
+      acc + when(col("p_q") > t, 1).otherwise(0)
+    }
+    val byBucket = scored.join(labels, "id")
+      .groupBy(bucket.as("b"))
+      .agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y") === -1, 1L).otherwise(0L)).as("n_neg"))
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val thr = ts.zipWithIndex.map { case (t, k) => (t, k) }.toDF("thr_q", "k")
+    val joined = broadcast(thr).join(byBucket, col("b") >= col("k") + 1, "left")
+    val counts = joined.groupBy("thr_q")
+      .agg(sum(coalesce(col("n_pos"), lit(0L))).as("tp"),
+        sum(coalesce(col("n_neg"), lit(0L))).as("fp"))
+    val totals = labels.agg(
+      sum(when(col("y") === 1, 1L).otherwise(0L)).as("all_pos"),
+      sum(when(col("y") === -1, 1L).otherwise(0L)).as("all_neg"))
+    def ratioMicro(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      when(den === 0, lit(0L))
+        .otherwise(round(num.cast("double") * lit(1e6) / den.cast("double"))
+          .cast("long"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("thr_q"), col("tp"), col("fp"),
+        (col("all_pos") - col("tp")).as("fn"),
+        (col("all_neg") - col("fp")).as("tn"))
+      .withColumn("precision_micro", ratioMicro(col("tp"), col("tp") + col("fp")))
+      .withColumn("recall_micro", ratioMicro(col("tp"), col("tp") + col("fn")))
+      .withColumn("f1_micro",
+        ratioMicro(lit(2L) * col("tp"), lit(2L) * col("tp") + col("fp") + col("fn")))
+  }
 }

@@ -124,6 +124,46 @@ class LinearModelSpec extends SparkTestBase {
     assert(run(1) === run(7))
   }
 
+  test("thresholdSweep: hand-computed confusion table, zero-denominator rule") {
+    val scored = Seq((1L, 3500000L), (2L, 2500000L), (3L, 1500000L), (4L, 500000L))
+      .toDF("id", "p_q")
+    val labels = Seq((1L, 1), (2L, -1), (3L, 1), (4L, -1)).toDF("id", "y")
+    val out = LinearModel.thresholdSweep(scored, labels,
+        Seq(1000000L, 2000000L, 3000000L, 4000000L))
+      .orderBy("thr_q")
+      .select("thr_q", "tp", "fp", "fn", "tn",
+        "precision_micro", "recall_micro", "f1_micro")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1000000L, 2L, 1L, 0L, 1L, 666667L, 1000000L, 800000L),
+      (2000000L, 1L, 1L, 1L, 1L, 500000L, 500000L, 500000L),
+      (3000000L, 1L, 0L, 1L, 2L, 1000000L, 500000L, 666667L),
+      // p_q is clamped to <= 4e6, accept is STRICT > -> nothing accepted:
+      // zero denominators read as 0, not NULL
+      (4000000L, 0L, 0L, 2L, 2L, 0L, 0L, 0L)))
+  }
+
+  test("thresholdSweep bucketing matches the direct per-threshold definition") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i => (i, (rnd.nextInt(4000001)).toLong))
+    val ys = (1L to 200L).map(i => (i, if (rnd.nextBoolean()) 1 else -1))
+    val scored = rows.toDF("id", "p_q")
+    val labels = ys.toDF("id", "y")
+    val ts = Seq(0L, 800000L, 1600000L, 2400000L, 3200000L, 4000000L)
+    val got = LinearModel.thresholdSweep(scored, labels, ts)
+      .orderBy("thr_q").select("thr_q", "tp", "fp", "fn", "tn")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val yMap = ys.toMap
+    val expected = ts.map { t =>
+      val tp = rows.count { case (i, p) => p > t && yMap(i) == 1 }.toLong
+      val fp = rows.count { case (i, p) => p > t && yMap(i) == -1 }.toLong
+      val fn = rows.count { case (i, p) => p <= t && yMap(i) == 1 }.toLong
+      val tn = rows.count { case (i, p) => p <= t && yMap(i) == -1 }.toLong
+      (t, tp, fp, fn, tn)
+    }
+    assert(got === expected)
+  }
+
   test("zero-margin docs count as misclassified and score rejects on zero") {
     val feats = Seq((1L, 0L, 1L)).toDF("id", "bucket", "x")
     val labels = Seq((1L, -1)).toDF("id", "y")
