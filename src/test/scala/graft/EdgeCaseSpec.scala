@@ -84,4 +84,52 @@ class EdgeCaseSpec extends SparkTestBase {
     val pruned = Cleansing.pruneAllNullColumns(df, essential = Set("b"))
     assert(pruned.columns.toSeq === Seq("b"))
   }
+
+  test("HLL pairwiseOverlap: NULL keys drop out of the pair list; one key → no pairs") {
+    import graft.ops.Hll
+    val df = Seq(("a", "x"), ("a", "y"), (null: String, "z"), ("b", "x"))
+      .toDF("k", "v")
+    val out = Hll.pairwiseOverlap(Hll.registers(df, Seq("k"), "v"), "k").collect()
+    // NULL never satisfies ka < kb, so NULL-keyed registers contribute
+    // to no pair (the null-key guard is the caller's F1 job)
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("ka") === "a" && out(0).getAs[String]("kb") === "b")
+    val one = Hll.pairwiseOverlap(
+      Hll.registers(Seq(("solo", "x")).toDF("k", "v"), Seq("k"), "v"), "k")
+    assert(one.count() === 0)
+  }
+
+  test("unigram: NULL/empty text drops the doc (tokenizer family convention); 16/17-char boundary") {
+    import graft.text.Unigram
+    val docs = Seq((1L, "aaaaaaaaaaaaaaaa bb"), // 16-char word: admissible
+      (2L, "aaaaaaaaaaaaaaaaa bb"),             // 17-char word: OOV whole-word
+      (3L, null.asInstanceOf[String]), (4L, ""))
+      .toDF("doc_id", "text")
+    val v = Unigram.vocab(docs, "doc_id", "text", minCount = 1L)
+    val out = Unigram.encode(docs, "doc_id", "text", v).collect()
+      .map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(out.keySet === Set(1L, 2L)) // NULL and empty text vanish, as WordPiece
+    assert(out(1L).replace(" ", "") === "aaaaaaaaaaaaaaaa" + "bb")
+    assert(out(2L).contains("aaaaaaaaaaaaaaaaa")) // un-split OOV token
+    val enc = Unigram.encodeWords(
+      Seq("aaaaaaaaaaaaaaaaa").toDF("word"), v).collect()
+    assert(enc.length === 1 && enc(0).getLong(2) === 1L &&
+      enc(0).getLong(3) === Unigram.UnkScoreMicro)
+  }
+
+  test("logistic: docs without labels are ignored; single-class labels train without crashing") {
+    import graft.text.LinearModel
+    val feats = Seq((1L, 0L, 2L), (2L, 0L, 3L), (99L, 0L, 7L)) // 99 unlabeled
+      .toDF("id", "bucket", "x")
+    val labels = Seq((1L, 1), (2L, 1)).toDF("id", "y") // single class
+    val w = LinearModel.trainLogistic(spark, feats, labels, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // all-positive labels: gradient is negative (p < 1 everywhere), so
+    // weights strictly increase; the unlabeled doc contributed nothing
+    assert(w(0L) > 0L)
+    val w2 = LinearModel.trainLogistic(spark,
+      feats.filter($"id" =!= 99L), labels, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(w === w2, "unlabeled docs must not affect training")
+  }
 }
