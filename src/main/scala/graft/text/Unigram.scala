@@ -189,7 +189,9 @@ object Unigram {
     val oov = dw.filter(length(col("word")) > MaxWordLen)
       .select(col("word"), col("word").as("seg"), lit(1L).as("n_pieces"),
         lit(UnkScoreMicro).as("score_micro"))
-    segmented.unionByName(oov)
+    // ONE final pin: otherwise every consuming action re-schedules the
+    // ~2·maxLen slice stages behind the union (the WordPiece lesson)
+    segmented.unionByName(oov).localCheckpoint()
   }
 
   /** Viterbi-EM vocabulary refinement (the hard-EM variant of Kudo

@@ -93,15 +93,25 @@ object WordPiece {
     // re-executes per round — ReusedExchange cannot span actions.
     // Measured at 100×: 251 s unpinned → BASELINE round-13 row pinned.
     val v = broadcast(vocabDf.select(col("piece"), col("plen")).localCheckpoint())
-    var state = words.select(col("word")).distinct()
+    val init = words.select(col("word")).distinct()
       .withColumn("pos", lit(1))
       .withColumn("pieces", lit(""))
       .withColumn("unk", length(col("word")) > maxWordLen)
       .withColumn("done", col("unk") || length(col("word")) === 0)
       .withColumn("pieces", when(col("unk"), lit("[UNK]")).otherwise(col("pieces")))
       .localCheckpoint()
-    for (_ <- 1 to maxWordLen) {
-      val active = state.filter(!col("done"))
+    // loop bound: the corpus's actual longest admissible word (each
+    // round consumes ≥1 character of every active word), and ONLY the
+    // still-active set is re-pinned per round — finished rows stay lazy
+    // one short join off their round's checkpoint (re-pinning the full
+    // state is O(rounds²) materialization; the graft.text.Unigram
+    // lesson, back-ported)
+    val maxLen = math.min(maxWordLen,
+      init.filter(!col("done"))
+        .agg(coalesce(max(length(col("word"))), lit(0))).head.getInt(0))
+    var active = init.filter(!col("done")).localCheckpoint()
+    val doneSlices = scala.collection.mutable.ArrayBuffer(init.filter(col("done")))
+    for (_ <- 1 to maxLen) {
       val best = active
         .join(v, (col("pos") + col("plen") - 1 <= length(col("word"))) &&
           (col("piece") === pieceAt(col("pos"), col("plen"))))
@@ -114,10 +124,17 @@ object WordPiece {
           when(col("bl").isNull, lit("[UNK]")).otherwise(appended).as("pieces"),
           col("bl").isNull.as("unk"))
         .withColumn("done", col("unk") || col("pos") > length(col("word")))
-      state = state.filter(col("done"))
-        .unionByName(next.select("word", "pos", "pieces", "unk", "done"))
-        .localCheckpoint() // model-sized pin: the loop never re-derives prior rounds
+        .select("word", "pos", "pieces", "unk", "done")
+        .localCheckpoint() // one active-set-sized pin per round; both
+                           // splits below are narrow filters over it
+      doneSlices += next.filter(col("done"))
+      active = next.filter(!col("done"))
     }
+    // ONE final pin: the result is otherwise a ~maxLen-way union of
+    // filters whose per-slice stages re-schedule on EVERY consuming
+    // action (measured +3.6 s at 100× when left lazy under the
+    // broadcast build)
+    val state = (doneSlices :+ active).reduce(_ unionByName _).localCheckpoint()
     state.select(col("word"), col("pieces"),
       size(split(col("pieces"), " ")).cast("long").as("n_pieces"))
   }
