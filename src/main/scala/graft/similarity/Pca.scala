@@ -121,7 +121,6 @@ object Pca {
                      iters: Int = 12): Seq[Long] = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     val means = meansVec(corpus, dim, vecCol, scaleBits)
-    val scale = BigInt(1L << scaleBits)
     val c = Array.ofDim[BigInt](dim, dim)
     for (i <- 0 until dim; j <- 0 until dim) c(i)(j) = BigInt(0)
     covarianceFx(corpus, means, vecCol, scaleBits).collect().foreach { r =>
@@ -129,6 +128,19 @@ object Pca {
       c(i)(j) = v
       c(j)(i) = v
     }
+    powerIterate(c, dim, scaleBits, iters)
+  }
+
+  /** The shared driver-side iteration: `iters` rounds of v ← C·v on a
+    * collected BigInt covariance, renormalized and signed exactly as
+    * documented on [[topComponentFx]]. Pure integer arithmetic — both
+    * the batch and the segment-merged paths funnel through this one
+    * function, so their components can only differ if their covariance
+    * MATRICES differ.
+    */
+  private def powerIterate(c: Array[Array[BigInt]], dim: Int,
+                           scaleBits: Int, iters: Int): Seq[Long] = {
+    val scale = BigInt(1L << scaleBits)
     val seedDim = (0 until dim).maxBy(i => (c(i)(i), -i))
     var v: IndexedSeq[BigInt] =
       (0 until dim).map(i => if (i == seedDim) scale else BigInt(0))
@@ -183,6 +195,106 @@ object Pca {
                   iters: Int = 12): DataFrame = {
     import spark.implicits._
     topComponentFx(corpus, dim, vecCol, scaleBits, iters)
+      .zipWithIndex.map { case (l, i) => (i, l) }
+      .toDF("pos", "loading_fx")
+  }
+
+  // ---------------------------------------------------------------------
+  // Mergeable raw-moment segments — the INCREMENTAL covariance path
+  // ---------------------------------------------------------------------
+
+  /** One batch's exact raw moments as a model-sized table, via the
+    * homogeneous-coordinate trick: extend each quantized vector with a
+    * trailing constant-1 slot (gxv = [fx_0 … fx_{d−1}, 1]) and take the
+    * upper-triangle pair sums ONCE —
+    *
+    *  - (i, j)  with i, j < d : Σ fx_i·fx_j   (second moments)
+    *  - (i, d)                : Σ fx_i        (first moments — fx_i·1)
+    *  - (d, d)                : n             (the count — 1·1)
+    *
+    * so one scan + one (d+1)(d+2)/2-row exchange carries EVERYTHING the
+    * centered covariance needs. Because
+    * Σ(fx_i−m_i)(fx_j−m_j) = S_ij − m_i·S_j − m_j·S_i + n·m_i·m_j holds
+    * exactly for integer m_i, a union of segments reproduces
+    * [[covarianceFx]] on the union of rows BIT-FOR-BIT — so the
+    * segment-merged component is the batch component by algebra, the
+    * same union-of-sketches ≡ sketch-of-union contract as
+    * [[graft.ops.Hll]].
+    *
+    * Scale shape (100 TB): appending a day of embeddings costs one
+    * narrow pass over the NEW rows; the historical corpus is never
+    * re-scanned — refreshing the component reads only segment rows
+    * ((d+1)(d+2)/2 per batch; ~2 k rows at d = 64) and iterates on the
+    * driver. The accumulator is DECIMAL(38,0): exact and
+    * overflow-CHECKED (same budget note as [[covarianceFx]]).
+    */
+  def momentSegment(corpus: DataFrame, dim: Int, vecCol: String = "embedding",
+                    scaleBits: Int = 18): DataFrame = {
+    require(scaleBits > 0 && scaleBits < 30, s"scaleBits=$scaleBits out of (0, 30)")
+    val scale = (1L << scaleBits).toDouble
+    val gxv = array((0 until dim).map { i =>
+      round(element_at(col(vecCol), i + 1).cast("double") * scale).cast("long")
+    } :+ lit(1L): _*)
+    corpus
+      .select(gxv.as("gxv"))
+      .select(col("gxv"), posexplode(col("gxv")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("gxv")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum((col("xi") * col("xj")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .as("s"))
+  }
+
+  /** Persist one batch's moments as an append-only segment
+    * ([[graft.ops.Segments]] conventions: batch_id outer partition,
+    * dynamic overwrite per micro-batch for exactly-once retries,
+    * repartition(1) because the table is model-sized).
+    */
+  def writeMomentSegments(corpus: DataFrame, dim: Int, path: String,
+                          vecCol: String = "embedding", scaleBits: Int = 18,
+                          batchId: Option[Long] = None): Unit =
+    graft.ops.Segments.writer(momentSegment(corpus, dim, vecCol, scaleBits).repartition(1),
+        mode = "append", batchId = batchId)
+      .partitionBy("batch_id").parquet(path)
+
+  /** Merged moments → centered covariance → the SAME [[powerIterate]] the
+    * batch path runs. History is never re-scanned: the read is segment
+    * rows summed per (i, j) — the merge is `sum`, associative and
+    * commutative, so batch boundaries cannot change the component.
+    */
+  def componentFromMomentSegments(spark: SparkSession, path: String, dim: Int,
+                                  scaleBits: Int = 18, iters: Int = 12): Seq[Long] = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val merged = spark.read.parquet(path)
+      .groupBy("i", "j")
+      .agg(sum(col("s")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> BigInt(r.getDecimal(2).toBigInteger))
+      .toMap
+    val n = merged.getOrElse((dim, dim), BigInt(0))
+    require(n > 0, s"moment segments at $path are empty")
+    def s1(i: Int) = merged.getOrElse((i, dim), BigInt(0))
+    val mfx = (0 until dim).map { i =>
+      val s = s1(i)
+      (if (s < 0) -BigInt(1) else BigInt(1)) * (s.abs / n)
+    }
+    val c = Array.ofDim[BigInt](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val sij = merged.getOrElse((i, j), BigInt(0))
+      val cij = sij - mfx(i) * s1(j) - mfx(j) * s1(i) + n * mfx(i) * mfx(j)
+      c(i)(j) = cij
+      c(j)(i) = cij
+    }
+    powerIterate(c, dim, scaleBits, iters)
+  }
+
+  /** [[componentFromMomentSegments]] as the (pos, loading_fx) model
+    * table — the segment-path twin of [[componentDf]].
+    */
+  def momentComponentDf(spark: SparkSession, path: String, dim: Int,
+                        scaleBits: Int = 18, iters: Int = 12): DataFrame = {
+    import spark.implicits._
+    componentFromMomentSegments(spark, path, dim, scaleBits, iters)
       .zipWithIndex.map { case (l, i) => (i, l) }
       .toDF("pos", "loading_fx")
   }

@@ -85,6 +85,38 @@ object SketchIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** One raw-moment micro-batch append ([[graft.similarity.Pca
+    * .writeMomentSegments]]) — `compactEvery` folds as in
+    * [[appendQuantileBatch]], equally lossless (moment merge is sum).
+    */
+  def appendMomentBatch(batch: DataFrame, batchId: Long, dim: Int,
+                        vecCol: String, path: String,
+                        compactEvery: Int = 0): Unit = {
+    if (!batch.isEmpty)
+      graft.similarity.Pca.writeMomentSegments(batch, dim, path,
+        vecCol = vecCol, batchId = Some(batchId))
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      Compaction.foldStreamSegments(batch.sparkSession, path, batchId, None)
+  }
+
+  /** Stream embedding rows into raw-moment segments — the streaming
+    * covariance/PCA maintenance loop: the principal component of
+    * "everything ingested so far" stays answerable from a model-sized
+    * segment table ((d+1)(d+2)/2 rows per batch), with the corpus never
+    * re-scanned. Sum-merge makes reads batch-split invariant by algebra,
+    * the same contract as the quantile histograms.
+    */
+  def startMoments(stream: DataFrame, path: String, checkpoint: String,
+                   dim: Int, vecCol: String = "embedding",
+                   compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendMomentBatch(batch, batchId, dim, vecCol, path, compactEvery)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** One top-k-summary micro-batch append. NO compaction hook here, on
     * purpose: top-k reads recover each batch's truncation bound from the
     * `batch_id` partition identity (`distinct(batch_id, bound)`), so

@@ -108,6 +108,49 @@ class PcaSpec extends SparkTestBase {
     assert(projs === projs.sorted, s"projections not monotone: $projs")
   }
 
+  test("moment segments: union-of-segments component ≡ batch component, bit-for-bit") {
+    val segPath = java.nio.file.Files.createTempDirectory("pca_seg").resolve("seg").toString
+    Pca.writeMomentSegments(lineCorpus.filter(col("vec_id") % 2 === 0), dim = 3, segPath)
+    Pca.writeMomentSegments(lineCorpus.filter(col("vec_id") % 2 =!= 0), dim = 3, segPath)
+    val merged = Pca.componentFromMomentSegments(spark, segPath, dim = 3)
+    val batch = Pca.topComponentFx(lineCorpus, dim = 3)
+    assert(merged === batch)
+    // appending a third segment (a re-weighted slice) still matches the
+    // batch run over the corresponding union
+    Pca.writeMomentSegments(lineCorpus.filter(col("vec_id") < 2), dim = 3, segPath)
+    val merged3 = Pca.componentFromMomentSegments(spark, segPath, dim = 3)
+    val batch3 = Pca.topComponentFx(
+      lineCorpus.unionByName(lineCorpus.filter(col("vec_id") < 2)), dim = 3)
+    assert(merged3 === batch3)
+  }
+
+  test("momentSegment: homogeneous slot carries count, first and second moments") {
+    // two rows (1, 2) and (-1, -2) in raw 2^-18 units: n = 2, sums 0,
+    // second moments [[2, 4], [4, 8]]
+    val df = Seq(
+      (0L, Array(1.0f / S, 2.0f / S)),
+      (1L, Array(-1.0f / S, -2.0f / S))
+    ).toDF("vec_id", "embedding")
+    val m = Pca.momentSegment(df, dim = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDecimal(2).longValueExact()).toMap
+    assert(m === Map(
+      (0, 0) -> 2L, (0, 1) -> 4L, (1, 1) -> 8L, // Σ fx_i·fx_j
+      (0, 2) -> 0L, (1, 2) -> 0L,               // Σ fx_i
+      (2, 2) -> 2L))                            // n
+  }
+
+  test("moment segments: batch_id-keyed write is retry-idempotent") {
+    val segPath = java.nio.file.Files.createTempDirectory("pca_seg2").resolve("seg").toString
+    Pca.writeMomentSegments(lineCorpus, dim = 3, segPath, batchId = Some(0L))
+    val once = Pca.componentFromMomentSegments(spark, segPath, dim = 3)
+    // simulated sink-side retry of the same micro-batch: dynamic
+    // overwrite replaces batch_id=0 instead of double-appending
+    Pca.writeMomentSegments(lineCorpus, dim = 3, segPath, batchId = Some(0L))
+    val twice = Pca.componentFromMomentSegments(spark, segPath, dim = 3)
+    assert(once === twice)
+    assert(once === Pca.topComponentFx(lineCorpus, dim = 3))
+  }
+
   test("component improves the Rayleigh quotient over the seed axis") {
     // on the real embeddings fixture: quotient v'Cv / v'v of the trained
     // component must be >= that of the best coordinate axis (the seed) —

@@ -76,6 +76,30 @@ class SketchIngestSpec extends SparkTestBase {
     }
   }
 
+  test("streamed moment segments ≡ one-shot component (sum-merge split-invariant)") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_pca")
+    val seg = tmp.resolve("seg").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // multi-file copy so several micro-batches append separate segments
+    val multi = tmp.resolve("emb.parquet").toString
+    emb.repartition(4).write.parquet(multi)
+    val q = SketchIngest.startMoments(
+      streamOf(multi).select(col("embedding")),
+      seg, tmp.resolve("ckpt").toString, dim = 64)
+    q.awaitTermination()
+    val streamed = graft.similarity.Pca.componentFromMomentSegments(spark, seg, dim = 64)
+    val oneShot = graft.similarity.Pca.topComponentFx(emb, dim = 64)
+    assert(streamed === oneShot)
+    // exactly-once: replaying one micro-batch's append leaves the
+    // component unchanged (dynamic overwrite of its batch_id partition)
+    SketchIngest.appendMomentBatch(emb.limit(0), 99L, 64, "embedding", seg)
+    SketchIngest.appendMomentBatch(emb.filter(col("vec_id") < 10), 3L, 64, "embedding", seg)
+    val once = graft.similarity.Pca.componentFromMomentSegments(spark, seg, dim = 64)
+    SketchIngest.appendMomentBatch(emb.filter(col("vec_id") < 10), 3L, 64, "embedding", seg)
+    val twice = graft.similarity.Pca.componentFromMomentSegments(spark, seg, dim = 64)
+    assert(once === twice)
+  }
+
   test("in-loop compaction folds quantile segments without changing answers") {
     val tmp = java.nio.file.Files.createTempDirectory("stream_qsk_fold")
     val seg = tmp.resolve("seg").toString
