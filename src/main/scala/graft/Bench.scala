@@ -154,6 +154,7 @@ object Bench {
     case n if n.startsWith("q_text") || n.startsWith("q_token") ||
          n.startsWith("q_chunk") || n.startsWith("q_decontaminate") => "text"
     case "q_phrase_search" | "q_multi_phrase" | "q_multi_phrase_sweep" => "text"
+    case "q_decontam_fuzzy" | "q_decontam_fuzzy_removed" => "text"
     case "q_bm25_topk" | "q_bm25_indexed" | "q_bm25_deleted" |
          "q_boilerplate" | "q_lm_score" | "q_lm_kneser_ney" | "q_lang_id" |
          "q_pii_scrub" | "q_tfidf_topterms" | "q_vocabulary" |
@@ -171,7 +172,7 @@ object Bench {
     case "q_embed_neardup" | "q_quantize_int8" | "q_kmeans_step" |
          "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" |
          "q_pq_encode" | "q_bitext_mine" |
-         "q_pca_power" | "q_pca_project" => "ann"
+         "q_pca_power" | "q_pca_project" | "q_pca_incremental" => "ann"
     case n if n.startsWith("q_sample") => "sampling"
     case "q_split_assign" | "q_group_split" | "q_mix_temperature" |
          "q_epoch_order" | "q_trainset_build" | "q_rank_features" => "sampling"
@@ -182,6 +183,7 @@ object Bench {
          "q_range_join" | "q_range_join_keyed" | "q_fuzzy_link" |
          "q_resample_daily" | "q_rolling_active" |
          "q_hll_distinct" | "q_hll_incremental" | "q_hll_overlap" |
+         "q_kmv_distinct" | "q_kmv_sample" | "q_kmv_incremental" |
          "q_quantile_sketch" | "q_quantile_sketch_seg" |
          "q_topk_sketch" | "q_topk_sketch_keyed" => "events"
     case "q_dsir_weights" | "q_source_kl" => "text"

@@ -1279,6 +1279,64 @@ object SparkEntry {
               AND d.doc_id NOT IN (SELECT doc_id FROM hit WHERE n_hits >= 5)
             ORDER BY d.doc_id"""))
 
+  /** FUZZY decontamination ([[graft.text.Decontaminate
+    * .flagNearContaminated]]): training docs that MinHash-LSH-near-match
+    * a benchmark item at token-Jaccard ≥ 0.9 — the paraphrase-robust
+    * complement to the exact n-gram pass. The oracle replays the whole
+    * two-table LSH chain over the SAME disjoint prefixed id spaces the
+    * operator uses internally, then the per-train-doc aggregation and
+    * the prefix-strip back to numeric ids. Threshold 0.9 because this
+    * synthetic corpus is pathologically self-similar (74% of pairs ≥
+    * 0.5 — FIXTURES.md); real benchmarks sit at 0.7-0.8.
+    */
+  private val qDecontamFuzzy = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Decontaminate.flagNearContaminated(
+        d.filter(col("doc_id") < 450), d.filter(col("doc_id") >= 450),
+        "doc_id", "text", bands = 4, rowsPerBand = 4,
+        threshold = 0.9, maxBucket = 1000)
+        .orderBy("id")
+    },
+    Some(s"""WITH nbase AS (SELECT 't:' || CAST(doc_id AS VARCHAR) AS id, text
+                            FROM documents WHERE doc_id < 450),
+            sbase AS (SELECT 'b:' || CAST(doc_id AS VARCHAR) AS id, text
+                      FROM documents WHERE doc_id >= 450),
+            ${minHashXPairsCtes(bands = 4, rowsPerBand = 4,
+                                threshold = 0.9, maxBucket = 1000)},
+            agg AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
+                           MAX(jaccard) AS max_jaccard
+                    FROM xpairs GROUP BY new_id)
+            SELECT CAST(substring(new_id, 3) AS BIGINT) AS id,
+                   n_bench_matches, max_jaccard
+            FROM agg ORDER BY id"""))
+
+  /** The fuzzy filter form ([[graft.text.Decontaminate
+    * .removeNearContaminated]]): the surviving id set after the
+    * near-match anti-join — the operator a release pipeline composes.
+    */
+  private val qDecontamFuzzyRemoved = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.Decontaminate.removeNearContaminated(
+        d.filter(col("doc_id") < 450), d.filter(col("doc_id") >= 450),
+        "doc_id", "text", bands = 4, rowsPerBand = 4,
+        threshold = 0.9, maxBucket = 1000)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH nbase AS (SELECT 't:' || CAST(doc_id AS VARCHAR) AS id, text
+                            FROM documents WHERE doc_id < 450),
+            sbase AS (SELECT 'b:' || CAST(doc_id AS VARCHAR) AS id, text
+                      FROM documents WHERE doc_id >= 450),
+            ${minHashXPairsCtes(bands = 4, rowsPerBand = 4,
+                                threshold = 0.9, maxBucket = 1000)},
+            bad AS (SELECT DISTINCT CAST(substring(new_id, 3) AS BIGINT) AS id
+                    FROM xpairs)
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.doc_id < 450 AND d.doc_id NOT IN (SELECT id FROM bad)
+            ORDER BY d.doc_id"""))
+
   /** Frame-sampling plumbing ([[graft.multimodal.Multimodal
     * .sampleFrames]]): payloads split into fixed 64-byte frames, every
     * 2nd kept — the oracle replays frame count and the first frame's
@@ -3338,6 +3396,30 @@ object SparkEntry {
             FROM dxt d JOIN it12 f ON d.pos = f.dim CROSS JOIN sgn
             GROUP BY d.id ORDER BY vec_id"""))
 
+  /** The INCREMENTAL covariance path ([[graft.similarity.Pca
+    * .writeMomentSegments]] → [[graft.similarity.Pca
+    * .momentComponentDf]]): the same component, but trained from two
+    * appended half-corpus raw-moment segments (vec_id parity) merged
+    * FROM DISK. Union-of-segments ≡ covariance-of-union holds exactly
+    * for integer moments, so the one-shot [[qPcaPower]] oracle checks
+    * the round trip verbatim — the algebraic contract of every segment
+    * family (HLL, quantile, top-k), extended to second moments.
+    */
+  private val qPcaIncremental = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val segPath = scratchDir("graft_pca_seg").resolve("seg").toString
+      graft.similarity.Pca.writeMomentSegments(
+        emb.filter(col("vec_id") % 2 === 0), dim = 64, segPath)
+      graft.similarity.Pca.writeMomentSegments(
+        emb.filter(col("vec_id") % 2 =!= 0), dim = 64, segPath)
+      graft.similarity.Pca.momentComponentDf(s, segPath, dim = 64)
+        .orderBy("pos")
+    },
+    Some(s"""WITH ${pcaCtes(scaleBits = 18, iters = 12)}
+            SELECT CAST(dim AS INTEGER) AS pos, CAST(vfx * sg AS BIGINT) AS loading_fx
+            FROM it12, sgn ORDER BY pos"""))
+
   /** Rolling 7-day distinct active users ([[graft.ops.RollingDistinct
     * .activeKeys]]) — COUNT(DISTINCT) over a trailing window, which no
     * window frame expresses. The day-granular explode replaces the
@@ -3505,6 +3587,94 @@ object SparkEntry {
                               / CAST(est_union_micro AS DOUBLE)) AS BIGINT)
                      AS jaccard_micro
             FROM ie ORDER BY ka, kb"""))
+
+  /** Shared oracle for the KMV distinct sketch over events
+    * ([[graft.ops.Kmv]]): distinct (event_type, user) values → 60-bit
+    * md5 hash → per-key bottom-64 by (h, v) → count/kth-hash → the
+    * (k−1)·2^60/(h_k+1) estimator in ONE float expression (exact-count
+    * branch below k), micro-quantized — term-for-term the Scala shape.
+    */
+  private val kmvEventsSql: String =
+    s"""WITH dv AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS v
+                    FROM events),
+       hh AS (SELECT event_type, v, ${md5LongSql("v")} AS h FROM dv),
+       rk AS (SELECT event_type, h, v,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY h, v) AS rn
+              FROM hh),
+       bk AS (SELECT * FROM rk WHERE rn <= 64),
+       agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_seen,
+                      MAX(h) AS kth_h
+               FROM bk GROUP BY 1)
+       SELECT event_type, n_seen, kth_h,
+              CAST(ROUND((CASE WHEN n_seen < 64 THEN CAST(n_seen AS DOUBLE)
+                               ELSE 63.0 * 1152921504606846976.0
+                                    / CAST(kth_h + 1 AS DOUBLE) END)
+                         * 1000000.0) AS BIGINT) AS est_micro
+       FROM agg ORDER BY event_type"""
+
+  /** KMV bottom-k distinct sketch ([[graft.ops.Kmv.distinctSketch]]):
+    * per-event-type distinct-user estimate. 150 distinct users per key
+    * at the gate SF > k = 64, so this row exercises the ESTIMATOR
+    * branch; [[qKmvSample]] pins the exact-below-k branch — both
+    * branches sit under oracles on real fixtures.
+    */
+  private val qKmvDistinct = Q(
+    (s, dir) =>
+      graft.ops.Kmv.distinctSketch(
+        Tables.readEvents(s, dir).select(col("event_type"), col("user_id")),
+        Seq("event_type"), "user_id", k = 64)
+        .orderBy("event_type"),
+    Some(kmvEventsSql))
+
+  /** The KMV sketch's SAMPLE surface ([[graft.ops.Kmv.bottomK]]): the 8
+    * smallest-hash distinct tokens per source — a deterministic uniform
+    * sample of each key's distinct set, hash-checked row for row
+    * (sources have ~31 distinct tokens > 8 here, so ranks are a real
+    * selection; n_seen < k in [[qKmvDistinct]]'s terms would be the
+    * exact-count regime).
+    */
+  private val qKmvSample = Q(
+    (s, dir) =>
+      graft.ops.Kmv.bottomK(
+        t(s, dir, "documents")
+          .select(col("source"),
+            explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok")),
+        Seq("source"), "tok", k = 8)
+        .orderBy("source", "rnk"),
+    Some(s"""WITH tk AS (SELECT DISTINCT source, tok FROM (
+                        SELECT source, unnest(string_split(text, ' ')) AS tok
+                        FROM documents)),
+            hh AS (SELECT source, tok AS v, ${md5LongSql("tok")} AS h FROM tk),
+            rk AS (SELECT source, h, v,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY h, v) AS rnk
+                   FROM hh)
+            SELECT source, CAST(rnk AS INTEGER) AS rnk, h, v
+            FROM rk WHERE rnk <= 8 ORDER BY source, rnk"""))
+
+  /** The PERSISTED-segment path ([[graft.ops.Kmv.writeSegments]] →
+    * [[graft.ops.Kmv.estimateFromSegments]]): the same per-event-type
+    * estimate, built as two appended half-corpus segments (event parity)
+    * and merged FROM DISK — bottom-k-of-union ≡ union-of-bottom-ks is
+    * the selection algebra this row checks through a real round trip,
+    * under the one-shot oracle verbatim.
+    */
+  private val qKmvIncremental = Q(
+    (s, dir) => {
+      val ev = Tables.readEvents(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val segPath = scratchDir("graft_kmv_seg").resolve("seg").toString
+      graft.ops.Kmv.writeSegments(
+        ev.filter(col("event_id") % 2 === 0), Seq("event_type"), "user_id",
+        k = 64, segPath)
+      graft.ops.Kmv.writeSegments(
+        ev.filter(col("event_id") % 2 =!= 0), Seq("event_type"), "user_id",
+        k = 64, segPath)
+      graft.ops.Kmv.estimateFromSegments(s, segPath, Seq("event_type"), k = 64)
+        .orderBy("event_type")
+    },
+    Some(kmvEventsSql))
 
   /** Chunk-granular exact substring dedup ([[graft.text.Chunker
     * .dedupChunks]]): every 16-token passage keeps only its global first
@@ -6877,6 +7047,32 @@ object SparkEntry {
     },
     Some(quantileSketchSql))
 
+  /** Streaming covariance/PCA maintenance ([[graft.streaming
+    * .SketchIngest.startMoments]]): the embedding corpus arrives as a
+    * STREAM whose micro-batches each append a batch_id-keyed raw-moment
+    * segment; the principal component is then trained from the stored
+    * segments alone. Moment merge is sum, so the result is invariant to
+    * the micro-batch cut — this query shares [[qPcaPower]]'s one-shot
+    * oracle VERBATIM, re-checking the full fixed-point training through
+    * a streamed, disk-persisted moment table.
+    */
+  private lazy val qStreamPca = Q(
+    (s, dir) => {
+      val tmp = scratchDir("graft_stream_pca")
+      val seg = tmp.resolve("seg").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val q = graft.streaming.SketchIngest.startMoments(
+        Tables.readTableStream(s, dir, "embeddings")
+          .select(col("embedding")),
+        seg, ckpt, dim = 64)
+      q.awaitTermination()
+      graft.similarity.Pca.momentComponentDf(s, seg, dim = 64)
+        .orderBy("pos")
+    },
+    Some(s"""WITH ${pcaCtes(scaleBits = 18, iters = 12)}
+            SELECT CAST(dim AS INTEGER) AS pos, CAST(vfx * sg AS BIGINT) AS loading_fx
+            FROM it12, sgn ORDER BY pos"""))
+
   /** KEYED heavy-hitter segments ([[graft.ops.TopKSketch]] with
     * keyCols): per-source top tokens with per-(source, batch) bounds —
     * the per-key window path of the sketch (the global path is
@@ -6984,6 +7180,8 @@ object SparkEntry {
     "q_dedup_exact" -> qDedupExact,
     "q_trainset_build" -> qTrainset,
     "q_decontaminate" -> qDecontaminate,
+    "q_decontam_fuzzy" -> qDecontamFuzzy,
+    "q_decontam_fuzzy_removed" -> qDecontamFuzzyRemoved,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_decontaminate_removed" -> qDecontaminateRemoved,
     "q_frame_sample" -> qFrameSample,
@@ -7034,8 +7232,12 @@ object SparkEntry {
     "q_kmeans_step" -> qKmeansStep,
     "q_pca_power" -> qPcaPower,
     "q_pca_project" -> qPcaProject,
+    "q_pca_incremental" -> qPcaIncremental,
     "q_hll_distinct" -> qHllDistinct,
     "q_hll_incremental" -> qHllIncremental,
+    "q_kmv_distinct" -> qKmvDistinct,
+    "q_kmv_sample" -> qKmvSample,
+    "q_kmv_incremental" -> qKmvIncremental,
     "q_hll_overlap" -> qHllOverlap,
     "q_rolling_active" -> qRollingActive,
     "q_chunk_dedup" -> qChunkDedup,
@@ -7126,6 +7328,7 @@ object SparkEntry {
     "q_topk_sketch" -> qTopkSketch,
     "q_topk_sketch_keyed" -> qTopkSketchKeyed,
     "q_stream_quantile" -> qStreamQuantile,
+    "q_stream_pca" -> qStreamPca,
     "q_pack_render" -> qPackRender,
     "q_gif_decode" -> qGifDecode,
     "q_jpeg_decode" -> qJpegDecode,

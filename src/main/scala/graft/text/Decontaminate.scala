@@ -143,4 +143,62 @@ object Decontaminate {
       .filter(col("contaminated")).select(col("id"))
     train.join(bad, train(idCol) === bad("id"), "left_anti")
   }
+
+  /** FUZZY decontamination: flag training documents that NEAR-match a
+    * benchmark item by MinHash-LSH token-set Jaccard — the method the
+    * exact n-gram pass cannot cover (a paraphrased or lightly-edited
+    * benchmark answer shares few verbatim 13-grams but most of its token
+    * set; fuzzy decontamination of this shape is standard practice in
+    * public corpus releases). Returns one row per flagged training doc:
+    * (id, n_bench_matches, max_jaccard).
+    *
+    * Built on [[NearDup.minHashLshAgainstCorpus]] (train = batch side,
+    * bench = seen side, so the bucket cap and the steady-state index
+    * reading both land on the benchmark). Train and benchmark ids live
+    * in DIFFERENT id spaces, but the underlying operator drops
+    * equal-id pairs (its two sides share one space by contract) — so
+    * both sides are remapped to disjoint prefixed string ids ("t:…" /
+    * "b:…") internally and the original-typed id is joined back at the
+    * end; a train doc numerically sharing an id with a benchmark item
+    * can therefore never be silently skipped.
+    *
+    * Scale shape: one signature pass per side; candidates are narrow
+    * (id, bandhash) equi-joins with the cap on the bench side;
+    * verification pays only surviving pairs. A real benchmark is tiny
+    * next to a 100 TB corpus, so every bench-side table broadcasts
+    * under AQE; nothing here assumes it.
+    */
+  def flagNearContaminated(train: DataFrame, bench: DataFrame,
+                           idCol: String, textCol: String,
+                           bands: Int = 4, rowsPerBand: Int = 4,
+                           threshold: Double = 0.7,
+                           maxBucket: Int = 1000): DataFrame = {
+    def prefixed(df: DataFrame, p: String) =
+      df.select(concat(lit(p), col(idCol).cast("string")).as("id"),
+        col(textCol).as("text"))
+    val pairs = NearDup.minHashLshAgainstCorpus(
+      prefixed(train, "t:"), prefixed(bench, "b:"), "id", "text",
+      bands, rowsPerBand, threshold, maxBucket)
+    val flagged = pairs.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_bench_matches"), max(col("jaccard")).as("max_jaccard"))
+    train
+      .select(col(idCol).as("id"),
+        concat(lit("t:"), col(idCol).cast("string")).as("new_id"))
+      .join(flagged, "new_id")
+      .select("id", "n_bench_matches", "max_jaccard")
+  }
+
+  /** The fuzzy filter form: `train` minus near-contaminated docs. The
+    * flagged set is benchmark-match-sized (takedown-scale), so the anti
+    * join broadcasts under AQE.
+    */
+  def removeNearContaminated(train: DataFrame, bench: DataFrame,
+                             idCol: String, textCol: String,
+                             bands: Int = 4, rowsPerBand: Int = 4,
+                             threshold: Double = 0.7,
+                             maxBucket: Int = 1000): DataFrame = {
+    val bad = flagNearContaminated(train, bench, idCol, textCol,
+      bands, rowsPerBand, threshold, maxBucket).select(col("id"))
+    train.join(bad, train(idCol) === bad("id"), "left_anti")
+  }
 }

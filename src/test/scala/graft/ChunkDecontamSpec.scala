@@ -73,6 +73,59 @@ class ChunkDecontamSpec extends SparkTestBase {
     (2L, (0 until 9).map(i => s"x$i").mkString(" ")) // exactly size+overlap boundary
   ).toDF("doc_id", "text")
 
+  // ------------------------------------------------------------------
+  // Fuzzy (MinHash-LSH) decontamination
+  // ------------------------------------------------------------------
+
+  test("flagNearContaminated catches a light edit the exact 13-gram pass misses") {
+    // fBench(100) is 20 tokens; fTrain(0) edits position 9 — EVERY
+    // 13-token window contains the edit, so no 13-gram survives (the
+    // production exact pass scores zero hits), while 15 of 18 shingles
+    // and 19/21 of the token set survive (Jaccard ≈ 0.905) — the
+    // "benchmark answer with one word swapped" case fuzzy decontam
+    // exists for
+    val benchToks = (0 until 20).map(i => s"a$i")
+    val trainToks = benchToks.updated(9, "xx")
+    val fTrain = Seq(
+      (0L, trainToks.mkString(" ")),
+      (1L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val fBench = Seq((100L, benchToks.mkString(" "))).toDF("doc_id", "text")
+    val exact = Decontaminate.flagContaminated(fTrain, fBench, "doc_id", "text",
+      n = 13, minHits = 1).filter(col("contaminated"))
+      .collect().map(_.getLong(0)).toSet
+    assert(exact === Set.empty[Long])
+    val fuzzy = Decontaminate.flagNearContaminated(fTrain, fBench, "doc_id", "text",
+      threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(fuzzy.keySet === Set(0L))
+    assert(fuzzy(0L)._1 === 1L)
+    assert(math.abs(fuzzy(0L)._2 - 19.0 / 21.0) < 1e-12)
+  }
+
+  test("flagNearContaminated: a train id numerically equal to a bench id is NOT skipped") {
+    // same numeric id 7 on both sides with identical text — the prefix
+    // remap must keep the pair (the raw two-table LSH drops equal ids)
+    val fTrain = Seq((7L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val fBench = Seq((7L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val fuzzy = Decontaminate.flagNearContaminated(fTrain, fBench, "doc_id", "text",
+      threshold = 0.9).collect()
+    assert(fuzzy.map(_.getLong(0)).toSeq === Seq(7L))
+  }
+
+  test("removeNearContaminated: anti-join keeps exactly the unflagged docs") {
+    val fTrain = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val fBench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val kept = Decontaminate.removeNearContaminated(fTrain, fBench, "doc_id", "text",
+      threshold = 0.9).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
+
   test("chunk: stride windows cover the token stream; last chunk short; overlap correct") {
     val c = Chunker.chunk(chunkDocs, "doc_id", "text", chunkSize = 4, stride = 3)
       .collect()
