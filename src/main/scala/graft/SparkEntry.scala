@@ -7073,6 +7073,29 @@ object SparkEntry {
             SELECT CAST(dim AS INTEGER) AS pos, CAST(vfx * sg AS BIGINT) AS loading_fx
             FROM it12, sgn ORDER BY pos"""))
 
+  /** Streaming KMV maintenance ([[graft.streaming.SketchIngest
+    * .startKmv]]): the event feed appends batch_id-keyed bottom-k
+    * segments; the distinct estimate reads the stored segments.
+    * Bottom-k-of-union ≡ union-of-bottom-ks (selection algebra), so
+    * this query shares [[qKmvDistinct]]'s one-shot oracle VERBATIM —
+    * the split-invariance proof, same contract as the other four
+    * streamed sketch families.
+    */
+  private lazy val qStreamKmv = Q(
+    (s, dir) => {
+      val tmp = scratchDir("graft_stream_kmv")
+      val seg = tmp.resolve("seg").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val q = graft.streaming.SketchIngest.startKmv(
+        Tables.readTableStream(s, dir, "events")
+          .select(col("event_type"), col("user_id")),
+        seg, ckpt, Seq("event_type"), "user_id", k = 64)
+      q.awaitTermination()
+      graft.ops.Kmv.estimateFromSegments(s, seg, Seq("event_type"), k = 64)
+        .orderBy("event_type")
+    },
+    Some(kmvEventsSql))
+
   /** KEYED heavy-hitter segments ([[graft.ops.TopKSketch]] with
     * keyCols): per-source top tokens with per-(source, batch) bounds —
     * the per-key window path of the sketch (the global path is
@@ -7329,6 +7352,7 @@ object SparkEntry {
     "q_topk_sketch_keyed" -> qTopkSketchKeyed,
     "q_stream_quantile" -> qStreamQuantile,
     "q_stream_pca" -> qStreamPca,
+    "q_stream_kmv" -> qStreamKmv,
     "q_pack_render" -> qPackRender,
     "q_gif_decode" -> qGifDecode,
     "q_jpeg_decode" -> qJpegDecode,

@@ -93,19 +93,33 @@ object Pca {
     *
     * The per-row product fits a long comfortably (|dx| ≤ ~2^19 at the
     * default scaleBits, product ≤ 2^38), but a LONG running sum wraps
-    * silently past ~3e6 rows — so the accumulator is DECIMAL(38,0):
-    * exact to ~10^26 rows and overflow-CHECKED (ANSI error, never a
-    * deterministic-but-wrong component).
+    * past ~3e6 rows and an all-DECIMAL(38,0) sum costs ~8× on the hot
+    * pass (measured 7.5 → 60 s at 100× when this accumulator briefly
+    * went all-decimal). So the sum is TWO-LEVEL exact: a LONG partial
+    * per (i, j, input partition) — bounded by rows-per-partition
+    * (overflow needs > 2^25 ≈ 33 M rows in ONE scan partition, ~25 GB
+    * at default maxPartitionBytes; ANSI mode errors loudly, never
+    * wraps, if a pathological layout gets there) — then a DECIMAL(38,0)
+    * merge over the tiny (d(d+1)/2 · |partitions|)-row partial table:
+    * exact to ~10^26 rows total. Integer addition is associative, so
+    * the grouping cannot change a bit of the result.
     */
   def covarianceFx(corpus: DataFrame, means: Seq[Long],
                    vecCol: String = "embedding", scaleBits: Int = 18): DataFrame =
     corpus
       .select(centeredCol(means, vecCol, scaleBits).as("dxv"))
-      .select(col("dxv"), posexplode(col("dxv")).as(Seq("i", "dxi")))
-      .select(col("i"), col("dxi"), posexplode(col("dxv")).as(Seq("j", "dxj")))
+      // salt = the INPUT PARTITION id, deliberately: constant within a
+      // task, so the map-side partial agg holds only d(d+1)/2 groups
+      // (a random hash salt measured 54.9 s vs 15.3 s at 100× — 1024
+      // live groups per task per cell blow the partial-agg hash map)
+      .withColumn("pid", spark_partition_id())
+      .select(col("pid"), col("dxv"), posexplode(col("dxv")).as(Seq("i", "dxi")))
+      .select(col("pid"), col("i"), col("dxi"), posexplode(col("dxv")).as(Seq("j", "dxj")))
       .filter(col("j") >= col("i"))
+      .groupBy("i", "j", "pid")
+      .agg(sum(col("dxi") * col("dxj")).as("part"))
       .groupBy("i", "j")
-      .agg(sum((col("dxi") * col("dxj")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .agg(sum(col("part").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
         .as("cfx"))
 
   /** Fixed-point power iteration on the collected covariance: `iters`
@@ -225,8 +239,13 @@ object Pca {
     * narrow pass over the NEW rows; the historical corpus is never
     * re-scanned — refreshing the component reads only segment rows
     * ((d+1)(d+2)/2 per batch; ~2 k rows at d = 64) and iterates on the
-    * driver. The accumulator is DECIMAL(38,0): exact and
-    * overflow-CHECKED (same budget note as [[covarianceFx]]).
+    * driver. The accumulator is the same two-level exact sum as
+    * [[covarianceFx]] (bounded LONG partials per input partition, tiny
+    * DECIMAL(38,0) merge — all-decimal summing measured ~8× slower on
+    * the hot pass). NOTE the raw second moments are UNCENTERED, so the
+    * long-partial bound is tighter than the centered pass when the data
+    * is far from the origin; unit-norm embeddings (|fx| ≤ 2^(b+1)) keep
+    * the same 2^38-per-row budget.
     */
   def momentSegment(corpus: DataFrame, dim: Int, vecCol: String = "embedding",
                     scaleBits: Int = 18): DataFrame = {
@@ -237,11 +256,14 @@ object Pca {
     } :+ lit(1L): _*)
     corpus
       .select(gxv.as("gxv"))
-      .select(col("gxv"), posexplode(col("gxv")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("gxv")).as(Seq("j", "xj")))
+      .withColumn("pid", spark_partition_id())
+      .select(col("pid"), col("gxv"), posexplode(col("gxv")).as(Seq("i", "xi")))
+      .select(col("pid"), col("i"), col("xi"), posexplode(col("gxv")).as(Seq("j", "xj")))
       .filter(col("j") >= col("i"))
+      .groupBy("i", "j", "pid")
+      .agg(sum(col("xi") * col("xj")).as("part"))
       .groupBy("i", "j")
-      .agg(sum((col("xi") * col("xj")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .agg(sum(col("part").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
         .as("s"))
   }
 

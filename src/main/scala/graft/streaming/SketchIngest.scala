@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ops.{Compaction, Hll, QuantileSketch, TopKSketch}
+import graft.ops.{Compaction, Hll, Kmv, QuantileSketch, TopKSketch}
 
 /** Streaming SKETCH maintenance at ingest — the [[IndexIngest]] twin
   * for the persistable-sketch family: every micro-batch appends one
@@ -80,6 +80,36 @@ object SketchIngest {
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendHllBatch(batch, batchId, keyCols, valCol, path, compactEvery)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One KMV bottom-k micro-batch append — `compactEvery` folds as in
+    * [[appendQuantileBatch]], lossless here too (bottom-k merge is a
+    * selection: re-ranking consolidated segments keeps the same rows).
+    */
+  def appendKmvBatch(batch: DataFrame, batchId: Long, keyCols: Seq[String],
+                     valCol: String, k: Int, path: String,
+                     compactEvery: Int = 0): Unit = {
+    if (!batch.isEmpty)
+      Kmv.writeSegments(batch, keyCols, valCol, k, path, batchId = Some(batchId))
+    if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+      Compaction.foldStreamSegments(batch.sparkSession, path, batchId, None)
+  }
+
+  /** Stream rows into KMV bottom-k segments — "distinct values ever
+    * seen, with a deterministic uniform sample of them" stays a
+    * sketch-table read while the feed runs. Bottom-k-of-union ≡
+    * union-of-bottom-ks (selection algebra), so reads are batch-split
+    * invariant like HLL and quantile.
+    */
+  def startKmv(stream: DataFrame, path: String, checkpoint: String,
+               keyCols: Seq[String], valCol: String, k: Int,
+               compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendKmvBatch(batch, batchId, keyCols, valCol, k, path, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -76,6 +76,33 @@ class SketchIngestSpec extends SparkTestBase {
     }
   }
 
+  test("streamed KMV segments ≡ one-shot sketch; replayed batch idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream_kmv")
+    val seg = tmp.resolve("seg").toString
+    val q = SketchIngest.startKmv(
+      streamOf("/root/testdata/sf0.001/events.parquet")
+        .select(col("event_type"), col("user_id")),
+      seg, tmp.resolve("ckpt").toString, Seq("event_type"), "user_id", k = 16)
+    q.awaitTermination()
+    val streamed = graft.ops.Kmv.estimateFromSegments(
+      spark, seg, Seq("event_type"), k = 16)
+      .orderBy("event_type").collect().toSeq
+    val oneShot = graft.ops.Kmv.distinctSketch(
+      events.select("event_type", "user_id"), Seq("event_type"), "user_id", k = 16)
+      .orderBy("event_type").collect().toSeq
+    assert(streamed === oneShot)
+    SketchIngest.appendKmvBatch(
+      events.select("event_type", "user_id").filter(col("user_id") < 5),
+      7L, Seq("event_type"), "user_id", 16, seg)
+    SketchIngest.appendKmvBatch(
+      events.select("event_type", "user_id").filter(col("user_id") < 5),
+      7L, Seq("event_type"), "user_id", 16, seg)
+    val after = graft.ops.Kmv.estimateFromSegments(
+      spark, seg, Seq("event_type"), k = 16)
+      .orderBy("event_type").collect().toSeq
+    assert(after === oneShot) // the extra batch is a subset: sketch unchanged
+  }
+
   test("streamed moment segments ≡ one-shot component (sum-merge split-invariant)") {
     val tmp = java.nio.file.Files.createTempDirectory("stream_pca")
     val seg = tmp.resolve("seg").toString
