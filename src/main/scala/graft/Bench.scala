@@ -172,7 +172,8 @@ object Bench {
     case "q_embed_neardup" | "q_quantize_int8" | "q_kmeans_step" |
          "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" |
          "q_pq_encode" | "q_bitext_mine" |
-         "q_pca_power" | "q_pca_project" | "q_pca_incremental" => "ann"
+         "q_pca_power" | "q_pca_project" | "q_pca_incremental" |
+         "q_embed_drift" => "ann"
     case n if n.startsWith("q_sample") => "sampling"
     case "q_split_assign" | "q_group_split" | "q_mix_temperature" |
          "q_epoch_order" | "q_trainset_build" | "q_rank_features" => "sampling"

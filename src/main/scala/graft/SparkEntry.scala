@@ -3420,6 +3420,52 @@ object SparkEntry {
             SELECT CAST(dim AS INTEGER) AS pos, CAST(vfx * sg AS BIGINT) AS loading_fx
             FROM it12, sgn ORDER BY pos"""))
 
+  /** Embedding drift between two corpus epochs ([[graft.similarity.Pca
+    * .embeddingDrift]]): per-dimension Welch-style standardized mean
+    * shift computed ONLY from stored moment segments (two sketch-sized
+    * reads — neither corpus is re-scanned). The two epochs here are the
+    * vec_id parity halves; integer columns pin both sides' counts and
+    * sums, z lives in one micro-quantized float expression the oracle
+    * repeats term for term over the same quantized halves.
+    */
+  private val qEmbedDrift = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = scratchDir("graft_drift")
+      val segA = tmp.resolve("a").toString
+      val segB = tmp.resolve("b").toString
+      graft.similarity.Pca.writeMomentSegments(
+        emb.filter(col("vec_id") % 2 === 0), dim = 64, segA)
+      graft.similarity.Pca.writeMomentSegments(
+        emb.filter(col("vec_id") % 2 =!= 0), dim = 64, segB)
+      graft.similarity.Pca.embeddingDrift(
+        s.read.parquet(segA), s.read.parquet(segB), dim = 64)
+        .orderBy("pos")
+    },
+    Some {
+      def half(tag: String, pred: String) =
+        s"""x$tag AS (SELECT u.pos AS pos, CAST(ROUND(u.v * 262144.0) AS BIGINT) AS fx
+                 FROM (SELECT vec_id,
+                              unnest(list_transform(generate_series(1, len(embedding)),
+                                i -> {'pos': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+                       FROM embeddings WHERE $pred)),
+           s$tag AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS n_$tag,
+                            CAST(SUM(fx) AS BIGINT) AS s1_$tag,
+                            SUM(fx * fx) AS s2_$tag
+                     FROM x$tag GROUP BY pos)"""
+      def mean(t: String) = s"(CAST(s1_$t AS DOUBLE) / CAST(n_$t AS DOUBLE))"
+      def vr(t: String) =
+        s"(CAST(s2_$t AS DOUBLE) / CAST(n_$t AS DOUBLE) - ${mean(t)} * ${mean(t)})"
+      s"""WITH ${half("a", "vec_id % 2 = 0")},
+          ${half("b", "vec_id % 2 <> 0")}
+          SELECT CAST(pos AS INTEGER) AS pos, n_a, s1_a, n_b, s1_b,
+                 CAST(ROUND((${mean("a")} - ${mean("b")})
+                            / sqrt(${vr("a")} / CAST(n_a AS DOUBLE)
+                                   + ${vr("b")} / CAST(n_b AS DOUBLE))
+                            * 1000000.0) AS BIGINT) AS z_micro
+          FROM sa JOIN sb USING (pos) ORDER BY pos"""
+    })
+
   /** Rolling 7-day distinct active users ([[graft.ops.RollingDistinct
     * .activeKeys]]) — COUNT(DISTINCT) over a trailing window, which no
     * window frame expresses. The day-granular explode replaces the
@@ -7256,6 +7302,7 @@ object SparkEntry {
     "q_pca_power" -> qPcaPower,
     "q_pca_project" -> qPcaProject,
     "q_pca_incremental" -> qPcaIncremental,
+    "q_embed_drift" -> qEmbedDrift,
     "q_hll_distinct" -> qHllDistinct,
     "q_hll_incremental" -> qHllIncremental,
     "q_kmv_distinct" -> qKmvDistinct,

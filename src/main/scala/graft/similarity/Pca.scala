@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic top-principal-component extraction over an embedding
@@ -320,4 +320,57 @@ object Pca {
       .zipWithIndex.map { case (l, i) => (i, l) }
       .toDF("pos", "loading_fx")
   }
+
+  /** Per-dimension sufficient statistics sliced out of a (merged)
+    * moment table: (pos, n, s1, s2) = count, Σfx, Σfx² — everything a
+    * mean/variance/drift read needs, recovered from stored segments
+    * without touching the corpus. All inputs are (i, j, s) rows; the
+    * whole computation is sketch-sized.
+    */
+  def dimStats(moments: DataFrame, dim: Int): DataFrame = {
+    val m = moments.groupBy("i", "j").agg(sum(col("s")).as("s"))
+    val n = m.filter(col("i") === dim && col("j") === dim)
+      .select(col("s").as("n"))
+    val s1 = m.filter(col("j") === dim && col("i") < dim)
+      .select(col("i").as("pos"), col("s").as("s1"))
+    val s2 = m.filter(col("i") === col("j") && col("i") < dim)
+      .select(col("i").as("pos"), col("s").as("s2"))
+    s1.join(s2, "pos").crossJoin(broadcast(n))
+  }
+
+  /** Per-dimension EMBEDDING DRIFT between two moment tables (reference
+    * vs current — e.g. last month's segments vs this week's): the
+    * Welch-style standardized mean shift
+    *
+    *   z_i = (meanA_i − meanB_i) / sqrt(varA_i/nA + varB_i/nB)
+    *
+    * computed from the exact integer sums in ONE float expression
+    * (micro-quantized), with the integer columns (n, Σfx per side)
+    * pinning the inputs — the [[graft.ops.Hll]] est_micro contract.
+    * This is the drift-monitoring read the moment segments exist for:
+    * comparing two corpus epochs costs two sketch-sized reads, never a
+    * re-scan of either corpus. Requires non-degenerate variance on
+    * both sides (a constant dimension divides by zero — IEEE ±inf,
+    * surfaced rather than masked).
+    */
+  def embeddingDrift(momentsA: DataFrame, momentsB: DataFrame, dim: Int): DataFrame = {
+    def side(m: DataFrame, suffix: String) =
+      dimStats(m, dim).select(col("pos"),
+        col("n").cast(LongType).as(s"n_$suffix"),
+        col("s1").cast(LongType).as(s"s1_$suffix"),
+        col("s2").as(s"s2_$suffix"))
+    val j = side(momentsA, "a").join(side(momentsB, "b"), "pos")
+    def mean(s1: Column, n: Column) = s1.cast("double") / n.cast("double")
+    def variance(s2: Column, s1: Column, n: Column) = {
+      val mu = mean(s1, n)
+      s2.cast("double") / n.cast("double") - mu * mu
+    }
+    val z = (mean(col("s1_a"), col("n_a")) - mean(col("s1_b"), col("n_b"))) /
+      sqrt(variance(col("s2_a"), col("s1_a"), col("n_a")) / col("n_a").cast("double") +
+        variance(col("s2_b"), col("s1_b"), col("n_b")) / col("n_b").cast("double"))
+    j.select(col("pos"), col("n_a"), col("s1_a"), col("n_b"), col("s1_b"),
+      round(z * lit(1e6)).cast(LongType).as("z_micro"))
+  }
+
+  private val LongType = org.apache.spark.sql.types.LongType
 }

@@ -151,6 +151,43 @@ class PcaSpec extends SparkTestBase {
     assert(once === Pca.topComponentFx(lineCorpus, dim = 3))
   }
 
+  test("dimStats recovers count / Σfx / Σfx² from the moment table") {
+    // rows (1, 2) and (3, 4) in raw 2^-18 units
+    val df = Seq(
+      (0L, Array(1.0f / S, 2.0f / S)),
+      (1L, Array(3.0f / S, 4.0f / S))
+    ).toDF("vec_id", "embedding")
+    val st = Pca.dimStats(Pca.momentSegment(df, dim = 2), dim = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getDecimal(3).longValueExact(), r.getDecimal(1).longValueExact(),
+          r.getDecimal(2).longValueExact()))).toMap
+    // (n, s1, s2): dim0 sums 1+3=4, 1+9=10; dim1 sums 2+4=6, 4+16=20
+    assert(st(0) === ((2L, 4L, 10L)))
+    assert(st(1) === ((2L, 6L, 20L)))
+  }
+
+  test("embeddingDrift: zero shift on identical epochs; hand-computed z on a designed one") {
+    val a = Seq(
+      (0L, Array(1.0f / S, 8.0f / S)), (1L, Array(3.0f / S, 8.0f / S)),
+      (2L, Array(1.0f / S, 12.0f / S)), (3L, Array(3.0f / S, 12.0f / S))
+    ).toDF("vec_id", "embedding")
+    val same = Pca.embeddingDrift(
+      Pca.momentSegment(a, dim = 2), Pca.momentSegment(a, dim = 2), dim = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(5)).toMap
+    assert(same === Map(0 -> 0L, 1 -> 0L))
+    // epoch B shifts dim0 by +2 units, leaves dim1: z0 = 2/sqrt(1/4+1/4)
+    // = 2/sqrt(.5), z1 = 0 (means 10 vs 10, var 4 both sides)
+    val b = Seq(
+      (0L, Array(3.0f / S, 8.0f / S)), (1L, Array(5.0f / S, 8.0f / S)),
+      (2L, Array(3.0f / S, 12.0f / S)), (3L, Array(5.0f / S, 12.0f / S))
+    ).toDF("vec_id", "embedding")
+    val z = Pca.embeddingDrift(
+      Pca.momentSegment(b, dim = 2), Pca.momentSegment(a, dim = 2), dim = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(5)).toMap
+    assert(z(1) === 0L)
+    assert(z(0) === math.round(2.0 / math.sqrt(0.5) * 1e6))
+  }
+
   test("component improves the Rayleigh quotient over the seed axis") {
     // on the real embeddings fixture: quotient v'Cv / v'v of the trained
     // component must be >= that of the best coordinate axis (the seed) —
