@@ -175,7 +175,7 @@ object Bench {
          "q_pca_power" | "q_pca_project" | "q_pca_incremental" |
          "q_embed_drift" => "ann"
     case n if n.startsWith("q_sample") => "sampling"
-    case "q_split_assign" | "q_group_split" | "q_mix_temperature" |
+    case "q_split_assign" | "q_group_split" | "q_split_neardup_safe" | "q_mix_temperature" |
          "q_epoch_order" | "q_trainset_build" | "q_rank_features" => "sampling"
     case "q_anomaly" | "q_asof_join" | "q_attribution" | "q_funnel" |
          "q_funnel_summary" | "q_retention" | "q_sessionize" |

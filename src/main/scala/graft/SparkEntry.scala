@@ -692,6 +692,47 @@ object SparkEntry {
                    CAST(SUM(doc_id % 1000000007) AS BIGINT) AS sum_id
             FROM b GROUP BY 1, 2 ORDER BY source, split"""))
 
+  /** Near-dup-safe split ([[graft.ops.Sampling.nearDupSafeSplit]]):
+    * split assignment hashed on the near-dup CLUSTER id, so two
+    * near-identical documents can never straddle train/test (the
+    * classic eval leak a doc-id hash split commits per near-dup pair).
+    * One result row per (cluster, split) — the output shape itself
+    * witnesses the no-straddle property. The oracle replays the whole
+    * chain: LSH pairs → recursive-CTE connected components → cluster
+    * hash buckets → per-cluster counts and id checksums.
+    */
+  private val qSplitNearDupSafe = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val pairs = graft.dedup.NearDup.minHashLsh(
+        docs, "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+      graft.ops.Sampling.nearDupSafeSplit(docs, "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("cluster_id", "split")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id") % 1000000007L).as("sum_id"))
+        .orderBy("cluster_id", "split")
+    },
+    Some(s"""WITH RECURSIVE base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 1000),
+            ${minHashPairsCtes(bands = 4, rowsPerBand = 4, threshold = 0.9, maxBucket = 1000)},
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (SELECT src, src FROM e
+                             UNION
+                             SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+            ccm AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+            cl AS (SELECT b.id, COALESCE(ccm.cluster_id, b.id) AS cluster_id
+                   FROM base b LEFT JOIN ccm ON ccm.id = b.id),
+            bk AS (SELECT id, cluster_id,
+                          ${md5LongSql("CAST(cluster_id AS VARCHAR)")} % 1000000 AS bucket
+                   FROM cl)
+            SELECT cluster_id,
+                   CASE WHEN bucket < 800000 THEN 'train'
+                        WHEN bucket < 900000 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(id % 1000000007) AS BIGINT) AS sum_id
+            FROM bk GROUP BY 1, 2 ORDER BY cluster_id, split"""))
+
   /** Temperature mixing ([[graft.ops.Sampling.temperatureMix]]): α = 0.5
     * source reweighting of documents under a 300-doc budget. The oracle
     * replays the whole budget derivation — sqrt weights (IEEE
@@ -7292,6 +7333,7 @@ object SparkEntry {
     "q_range_join_keyed" -> qRangeJoinKeyed,
     "q_split_assign" -> qSplitAssign,
     "q_group_split" -> qGroupSplit,
+    "q_split_neardup_safe" -> qSplitNearDupSafe,
     "q_attribution" -> qAttribution,
     "q_mix_temperature" -> qMixTemperature,
     "q_dup_canonical" -> qDupCanonical,

@@ -209,6 +209,33 @@ object Sampling {
                        outCol: String = "split"): DataFrame =
     assignSplit(df, groupCol, splits, outCol)
 
+  /** NEAR-DUP-safe split: [[assignGroupSplit]] keyed on the near-dup
+    * CLUSTER id — the leakage guard [[assignGroupSplit]]'s scaladoc
+    * names, made concrete. A document-level hash split puts two
+    * near-identical documents on opposite sides of the train/test
+    * boundary whenever their ids hash apart (a ~2·p·(1−p) event PER
+    * near-dup pair — at corpus scale, a guarantee of leaked eval items);
+    * hashing the connected-component id instead makes every near-dup
+    * cluster atomic by construction. `pairs` is any (id_a, id_b)
+    * similarity edge table ([[graft.dedup.NearDup.minHashLsh]],
+    * SimHash, embedding near-dup — caller's choice of detector);
+    * singleton docs keep their own id as cluster id, so their
+    * assignment is unchanged vs the naive split.
+    *
+    * Scale shape: the O(log n) star-contraction CC over the edge table
+    * + one hash per row — no new corpus-sized work beyond the detector
+    * the pipeline already ran for dedup; pipelines REUSE those pairs.
+    */
+  def nearDupSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)],
+                       outCol: String = "split"): DataFrame = {
+    val cc = graft.dedup.DupClusters.clusterReportStar(docs, idCol, pairs)
+      .select(col("id").as("__cc_id"), col("cluster_id"))
+    val withCluster = docs.join(cc, docs(idCol) === cc("__cc_id"))
+      .drop("__cc_id")
+    assignGroupSplit(withCluster, "cluster_id", splits, outCol)
+  }
+
   /** Deterministic multi-epoch training order: epoch `e` orders the
     * corpus by `md5(e:id)` — an independent pseudo-random permutation per
     * epoch (the data-ordering step of a multi-epoch run), reproducible

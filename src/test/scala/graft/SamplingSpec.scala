@@ -72,6 +72,39 @@ class SamplingSpec extends SparkTestBase {
     assert(rowLevel > 40L, "row-level hashing should straddle groups")
   }
 
+  test("nearDupSafeSplit: near-dup pairs are atomic; singletons match the naive split") {
+    import org.apache.spark.sql.DataFrame
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def naiveOf(df: DataFrame) = Sampling.assignSplit(df, "doc_id", splits)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    // find two ids whose DOC-LEVEL hashes land in different splits, so
+    // the naive split WOULD leak a near-dup pair across the boundary —
+    // this keeps the test non-vacuous whatever md5 does
+    val probe = (0L until 64L).toDF("doc_id")
+    val naive = naiveOf(probe)
+    val (idA, idB) = (0L until 64L).combinations(2)
+      .map(p => (p(0), p(1)))
+      .find { case (a, b) => naive(a) != naive(b) }
+      .get
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (idA, shared), (idB, shared + " iota"), // near-dups of each other
+      (7000L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((idA, idB)).toDF("id_a", "id_b")
+    val safe = Sampling.nearDupSafeSplit(docs, "doc_id", pairs, splits)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("split"), r.getAs[Long]("cluster_id")))).toMap
+    // the pair shares one split and one cluster (the min id)
+    assert(safe(idA)._1 === safe(idB)._1)
+    assert(safe(idA)._2 === idA && safe(idB)._2 === idA)
+    // and the naive split on these ids WOULD have straddled
+    assert(naive(idA) !== naive(idB))
+    // the singleton keeps its own id as cluster — assignment unchanged
+    assert(safe(7000L)._2 === 7000L)
+    assert(safe(7000L)._1 === naiveOf(docs.filter(col("doc_id") === 7000L))(7000L))
+  }
+
   test("assignSplit: fraction rounding cannot orphan a bucket; bad fractions rejected") {
     // thirds: cumulative thresholds 333333 / 666667 / pinned 10⁶ — the
     // last split takes the exact remainder, nothing falls through
