@@ -3497,13 +3497,14 @@ object SparkEntry {
       def mean(t: String) = s"(CAST(s1_$t AS DOUBLE) / CAST(n_$t AS DOUBLE))"
       def vr(t: String) =
         s"(CAST(s2_$t AS DOUBLE) / CAST(n_$t AS DOUBLE) - ${mean(t)} * ${mean(t)})"
+      val varSum = s"(${vr("a")} / CAST(n_a AS DOUBLE) + ${vr("b")} / CAST(n_b AS DOUBLE))"
       s"""WITH ${half("a", "vec_id % 2 = 0")},
           ${half("b", "vec_id % 2 <> 0")}
           SELECT CAST(pos AS INTEGER) AS pos, n_a, s1_a, n_b, s1_b,
-                 CAST(ROUND((${mean("a")} - ${mean("b")})
-                            / sqrt(${vr("a")} / CAST(n_a AS DOUBLE)
-                                   + ${vr("b")} / CAST(n_b AS DOUBLE))
-                            * 1000000.0) AS BIGINT) AS z_micro
+                 CASE WHEN $varSum > 0
+                      THEN CAST(ROUND((${mean("a")} - ${mean("b")})
+                                      / sqrt($varSum) * 1000000.0) AS BIGINT)
+                      ELSE NULL END AS z_micro
           FROM sa JOIN sb USING (pos) ORDER BY pos"""
     })
 

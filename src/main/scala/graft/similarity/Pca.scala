@@ -285,7 +285,17 @@ object Pca {
     * commutative, so batch boundaries cannot change the component.
     */
   def componentFromMomentSegments(spark: SparkSession, path: String, dim: Int,
-                                  scaleBits: Int = 18, iters: Int = 12): Seq[Long] = {
+                                  scaleBits: Int = 18, iters: Int = 12): Seq[Long] =
+    modelFromMomentSegments(spark, path, dim, scaleBits, iters)._2
+
+  /** The full (means, component) model trained from stored segments —
+    * everything [[projectFx]] needs, so "refresh the model from
+    * history, project the NEW batch" never re-reads old data. Both
+    * vectors are bit-identical to the batch-trained ones.
+    */
+  def modelFromMomentSegments(spark: SparkSession, path: String, dim: Int,
+                              scaleBits: Int = 18,
+                              iters: Int = 12): (Seq[Long], Seq[Long]) = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     val merged = spark.read.parquet(path)
       .groupBy("i", "j")
@@ -307,7 +317,7 @@ object Pca {
       c(i)(j) = cij
       c(j)(i) = cij
     }
-    powerIterate(c, dim, scaleBits, iters)
+    (mfx.map(_.toLong), powerIterate(c, dim, scaleBits, iters))
   }
 
   /** [[componentFromMomentSegments]] as the (pos, loading_fx) model
@@ -349,9 +359,10 @@ object Pca {
     * pinning the inputs — the [[graft.ops.Hll]] est_micro contract.
     * This is the drift-monitoring read the moment segments exist for:
     * comparing two corpus epochs costs two sketch-sized reads, never a
-    * re-scan of either corpus. Requires non-degenerate variance on
-    * both sides (a constant dimension divides by zero — IEEE ±inf,
-    * surfaced rather than masked).
+    * re-scan of either corpus. A dimension CONSTANT on both sides has
+    * no variance to standardize against — its z_micro is NULL (an ANSI
+    * cast of the raw ±inf/NaN would instead abort the whole job at the
+    * first degenerate dimension, the wrong failure mode for a monitor).
     */
   def embeddingDrift(momentsA: DataFrame, momentsB: DataFrame, dim: Int): DataFrame = {
     def side(m: DataFrame, suffix: String) =
@@ -365,11 +376,14 @@ object Pca {
       val mu = mean(s1, n)
       s2.cast("double") / n.cast("double") - mu * mu
     }
+    val varSum =
+      variance(col("s2_a"), col("s1_a"), col("n_a")) / col("n_a").cast("double") +
+        variance(col("s2_b"), col("s1_b"), col("n_b")) / col("n_b").cast("double")
     val z = (mean(col("s1_a"), col("n_a")) - mean(col("s1_b"), col("n_b"))) /
-      sqrt(variance(col("s2_a"), col("s1_a"), col("n_a")) / col("n_a").cast("double") +
-        variance(col("s2_b"), col("s1_b"), col("n_b")) / col("n_b").cast("double"))
+      sqrt(varSum)
     j.select(col("pos"), col("n_a"), col("s1_a"), col("n_b"), col("s1_b"),
-      round(z * lit(1e6)).cast(LongType).as("z_micro"))
+      when(varSum > 0, round(z * lit(1e6)).cast(LongType))
+        .otherwise(lit(null).cast(LongType)).as("z_micro"))
   }
 
   private val LongType = org.apache.spark.sql.types.LongType

@@ -151,6 +151,33 @@ class PcaSpec extends SparkTestBase {
     assert(once === Pca.topComponentFx(lineCorpus, dim = 3))
   }
 
+  test("modelFromMomentSegments: projecting a new batch needs no history re-read") {
+    val segPath = java.nio.file.Files.createTempDirectory("pca_model").resolve("seg").toString
+    Pca.writeMomentSegments(lineCorpus, dim = 3, segPath)
+    val (means, comp) = Pca.modelFromMomentSegments(spark, segPath, dim = 3)
+    assert(means === Pca.meansVec(lineCorpus, dim = 3))
+    assert(comp === Pca.topComponentFx(lineCorpus, dim = 3))
+    // projection of a "new batch" under the segment-trained model equals
+    // the batch-trained projection
+    val fromSeg = Pca.projectFx(lineCorpus, means, comp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Pca.fitProject(spark, lineCorpus, dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fromSeg === batch)
+  }
+
+  test("embeddingDrift: a constant dimension yields NULL z, not a job abort") {
+    val a = Seq((0L, Array(1.0f / S, 5.0f / S)), (1L, Array(3.0f / S, 5.0f / S)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((2L, Array(2.0f / S, 5.0f / S)), (3L, Array(4.0f / S, 5.0f / S)))
+      .toDF("vec_id", "embedding")
+    val rows = Pca.embeddingDrift(
+      Pca.momentSegment(a, dim = 2), Pca.momentSegment(b, dim = 2), dim = 2)
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(rows(1) === None)     // dim1 constant on both sides
+    assert(rows(0).isDefined)    // dim0 varies: a real z
+  }
+
   test("dimStats recovers count / Σfx / Σfx² from the moment table") {
     // rows (1, 2) and (3, 4) in raw 2^-18 units
     val df = Seq(
