@@ -173,7 +173,7 @@ object Bench {
          "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" |
          "q_pq_encode" | "q_bitext_mine" |
          "q_pca_power" | "q_pca_project" | "q_pca_incremental" |
-         "q_embed_drift" => "ann"
+         "q_embed_drift" | "q_embed_corr" => "ann"
     case n if n.startsWith("q_sample") => "sampling"
     case "q_split_assign" | "q_group_split" | "q_split_neardup_safe" | "q_mix_temperature" |
          "q_epoch_order" | "q_trainset_build" | "q_rank_features" => "sampling"

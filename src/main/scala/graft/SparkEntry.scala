@@ -3508,6 +3508,48 @@ object SparkEntry {
           FROM sa JOIN sb USING (pos) ORDER BY pos"""
     })
 
+  /** Embedding-dimension correlation audit ([[graft.similarity.Pca
+    * .dimCorrelationFromMoments]]): Pearson correlation of every
+    * dimension pair, computed only from the stored moment table — the
+    * redundancy audit costs a sketch-sized read at any corpus size.
+    * Exact-integer numerators, one float ratio per pair, replayed
+    * term for term.
+    */
+  private val qEmbedCorr = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val segPath = scratchDir("graft_corr").resolve("seg").toString
+      graft.similarity.Pca.writeMomentSegments(emb, dim = 64, segPath)
+      graft.similarity.Pca.dimCorrelationFromMoments(
+        s.read.parquet(segPath), dim = 64)
+        .orderBy("i", "j")
+    },
+    Some("""WITH xq AS (
+              SELECT vec_id AS id, u.pos AS pos,
+                     CAST(ROUND(u.v * 262144.0) AS BIGINT) AS fx
+              FROM (SELECT vec_id,
+                           unnest(list_transform(generate_series(1, len(embedding)),
+                             i -> {'pos': i - 1, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+                    FROM embeddings)),
+            st AS (SELECT pos, CAST(COUNT(*) AS HUGEINT) AS n,
+                          CAST(SUM(fx) AS HUGEINT) AS s1,
+                          CAST(SUM(fx * fx) AS HUGEINT) AS s2
+                   FROM xq GROUP BY pos),
+            pr AS (SELECT a.pos AS i, b.pos AS j,
+                          CAST(SUM(a.fx * b.fx) AS HUGEINT) AS sij
+                   FROM xq a JOIN xq b ON a.id = b.id AND a.pos < b.pos
+                   GROUP BY 1, 2)
+            SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+                   CASE WHEN (sa.n * sa.s2 - sa.s1 * sa.s1) > 0
+                         AND (sb.n * sb.s2 - sb.s1 * sb.s1) > 0
+                        THEN CAST(ROUND(CAST(sa.n * sij - sa.s1 * sb.s1 AS DOUBLE)
+                                        / sqrt(CAST(sa.n * sa.s2 - sa.s1 * sa.s1 AS DOUBLE)
+                                               * CAST(sb.n * sb.s2 - sb.s1 * sb.s1 AS DOUBLE))
+                                        * 1000000.0) AS BIGINT)
+                        ELSE NULL END AS corr_micro
+            FROM pr JOIN st sa ON sa.pos = pr.i JOIN st sb ON sb.pos = pr.j
+            ORDER BY i, j"""))
+
   /** Rolling 7-day distinct active users ([[graft.ops.RollingDistinct
     * .activeKeys]]) — COUNT(DISTINCT) over a trailing window, which no
     * window frame expresses. The day-granular explode replaces the
@@ -7346,6 +7388,7 @@ object SparkEntry {
     "q_pca_project" -> qPcaProject,
     "q_pca_incremental" -> qPcaIncremental,
     "q_embed_drift" -> qEmbedDrift,
+    "q_embed_corr" -> qEmbedCorr,
     "q_hll_distinct" -> qHllDistinct,
     "q_hll_incremental" -> qHllIncremental,
     "q_kmv_distinct" -> qKmvDistinct,

@@ -386,5 +386,45 @@ object Pca {
         .otherwise(lit(null).cast(LongType)).as("z_micro"))
   }
 
+  /** Pairwise DIMENSION correlation from a (merged) moment table: for
+    * every i < j, the Pearson correlation of embedding dimensions i and
+    * j over the corpus —
+    *
+    *   corr_ij = (n·S_ij − S_i·S_j) / sqrt((n·S_ii − S_i²)(n·S_jj − S_j²))
+    *
+    * — the redundancy audit over an embedding space ("which dimensions
+    * carry the same signal"), computed ENTIRELY from segment rows: the
+    * d(d+1)/2 sums are already on disk, so auditing a 100 TB corpus's
+    * dimension structure costs a sketch-sized read. Numerators and the
+    * two variance terms are exact integers (DECIMAL arithmetic — n·S_ij
+    * at d=64/b=18 stays well inside 38 digits to ~10^10 rows); the one
+    * float is the final ratio, micro-quantized. Zero-variance
+    * dimensions yield NULL (same monitor contract as
+    * [[embeddingDrift]]).
+    */
+  def dimCorrelationFromMoments(moments: DataFrame, dim: Int): DataFrame = {
+    val m = moments.groupBy("i", "j").agg(sum(col("s")).as("s"))
+    val n = m.filter(col("i") === dim && col("j") === dim).select(col("s").as("n"))
+    val s1 = m.filter(col("j") === dim && col("i") < dim)
+      .select(col("i").as("pos"), col("s").as("s1"))
+    val diag = m.filter(col("i") === col("j") && col("i") < dim)
+      .select(col("i").as("pos"), col("s").as("s2"))
+    val sides = s1.join(diag, "pos").crossJoin(broadcast(n))
+      // m2 = n·S_ii − S_i² — the exact integer variance numerator
+      .select(col("pos"), col("s1"), (col("n") * col("s2") - col("s1") * col("s1")).as("m2"), col("n"))
+    val pairs = m.filter(col("i") < col("j") && col("j") < dim)
+      .select(col("i"), col("j"), col("s").as("sij"))
+    val a = sides.select(col("pos").as("i"), col("s1").as("s1_i"), col("m2").as("m2_i"))
+    val b = sides.select(col("pos").as("j"), col("s1").as("s1_j"), col("m2").as("m2_j"), col("n"))
+    val joined = pairs.join(a, "i").join(b, "j")
+      .withColumn("num", col("n") * col("sij") - col("s1_i") * col("s1_j"))
+    val corr = col("num").cast("double") /
+      sqrt(col("m2_i").cast("double") * col("m2_j").cast("double"))
+    joined.select(col("i"), col("j"),
+      when(col("m2_i") > 0 && col("m2_j") > 0,
+        round(corr * lit(1e6)).cast(LongType))
+        .otherwise(lit(null).cast(LongType)).as("corr_micro"))
+  }
+
   private val LongType = org.apache.spark.sql.types.LongType
 }

@@ -178,6 +178,23 @@ class PcaSpec extends SparkTestBase {
     assert(rows(0).isDefined)    // dim0 varies: a real z
   }
 
+  test("dimCorrelationFromMoments: ±1 on designed (anti)correlated dims, NULL on constant") {
+    // dim1 = 2·dim0 (corr +1), dim2 = −dim0 (corr −1), dim3 constant (NULL)
+    val df = Seq(
+      (0L, Array(1.0f / S, 2.0f / S, -1.0f / S, 5.0f / S)),
+      (1L, Array(2.0f / S, 4.0f / S, -2.0f / S, 5.0f / S)),
+      (2L, Array(4.0f / S, 8.0f / S, -4.0f / S, 5.0f / S))
+    ).toDF("vec_id", "embedding")
+    val c = Pca.dimCorrelationFromMoments(Pca.momentSegment(df, dim = 4), dim = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(c((0, 1)) === Some(1000000L))
+    assert(c((0, 2)) === Some(-1000000L))
+    assert(c((0, 3)) === None)
+    assert(c((1, 2)) === Some(-1000000L))
+    assert(c.size === 6) // all C(4,2) pairs present
+  }
+
   test("dimStats recovers count / Σfx / Σfx² from the moment table") {
     // rows (1, 2) and (3, 4) in raw 2^-18 units
     val df = Seq(
