@@ -1335,19 +1335,21 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.text.Decontaminate.flagNearContaminated(
         d.filter(col("doc_id") < 450), d.filter(col("doc_id") >= 450),
-        "doc_id", "text", bands = 4, rowsPerBand = 4,
-        threshold = 0.9, maxBucket = 1000)
+        "doc_id", "text", threshold = 0.9)
         .orderBy("id")
     },
+    // recall posture (see flagNearContaminated): 16×1 banding, LSH run
+    // at threshold 0 (estimate prefilter inert), exact-Jaccard filter
+    // applied on verified pairs
     Some(s"""WITH nbase AS (SELECT 't:' || CAST(doc_id AS VARCHAR) AS id, text
                             FROM documents WHERE doc_id < 450),
             sbase AS (SELECT 'b:' || CAST(doc_id AS VARCHAR) AS id, text
                       FROM documents WHERE doc_id >= 450),
-            ${minHashXPairsCtes(bands = 4, rowsPerBand = 4,
-                                threshold = 0.9, maxBucket = 1000)},
+            ${minHashXPairsCtes(bands = 16, rowsPerBand = 1,
+                                threshold = 0.0, maxBucket = 1000)},
             agg AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_bench_matches,
                            MAX(jaccard) AS max_jaccard
-                    FROM xpairs GROUP BY new_id)
+                    FROM xpairs WHERE jaccard >= 0.9 GROUP BY new_id)
             SELECT CAST(substring(new_id, 3) AS BIGINT) AS id,
                    n_bench_matches, max_jaccard
             FROM agg ORDER BY id"""))
@@ -1361,8 +1363,7 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       graft.text.Decontaminate.removeNearContaminated(
         d.filter(col("doc_id") < 450), d.filter(col("doc_id") >= 450),
-        "doc_id", "text", bands = 4, rowsPerBand = 4,
-        threshold = 0.9, maxBucket = 1000)
+        "doc_id", "text", threshold = 0.9)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
@@ -1370,10 +1371,10 @@ object SparkEntry {
                             FROM documents WHERE doc_id < 450),
             sbase AS (SELECT 'b:' || CAST(doc_id AS VARCHAR) AS id, text
                       FROM documents WHERE doc_id >= 450),
-            ${minHashXPairsCtes(bands = 4, rowsPerBand = 4,
-                                threshold = 0.9, maxBucket = 1000)},
+            ${minHashXPairsCtes(bands = 16, rowsPerBand = 1,
+                                threshold = 0.0, maxBucket = 1000)},
             bad AS (SELECT DISTINCT CAST(substring(new_id, 3) AS BIGINT) AS id
-                    FROM xpairs)
+                    FROM xpairs WHERE jaccard >= 0.9)
             SELECT d.doc_id, d.source FROM documents d
             WHERE d.doc_id < 450 AND d.doc_id NOT IN (SELECT id FROM bad)
             ORDER BY d.doc_id"""))

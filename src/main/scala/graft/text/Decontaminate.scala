@@ -162,15 +162,33 @@ object Decontaminate {
     * end; a train doc numerically sharing an id with a benchmark item
     * can therefore never be silently skipped.
     *
+    * RECALL posture — decontamination's failure asymmetry is the
+    * opposite of dedup's (a missed contaminated eval item poisons the
+    * benchmark; an extra exact-verification is just compute), so this
+    * wrapper is tuned for recall where the shared LSH machinery tunes
+    * for cost: (1) default banding is 16 bands × 1 row — a pair
+    * becomes a candidate when ANY signature slot agrees; (2) the
+    * MinHash ESTIMATE prefilter is disabled (the LSH runs at threshold
+    * 0 and the exact token-Jaccard ≥ `threshold` filter is applied
+    * here, on verified pairs). The prefilter is unsafe for borderline
+    * pairs under the Kirsch–Mitzenmacher double-hash family: slot
+    * agreement is BIMODAL, not binomial — one unshared shingle whose
+    * h2 is small can win every g_i = h1 + i·h2 minimum, so a pair with
+    * true shingle-J ≈ 0.8 and token-J ≈ 0.92 can realize 1/16 agreeing
+    * slots (measured; the recall spec pins it) and die at a filter
+    * calibrated with the binomial 1.5/√n slack. Residual misses need
+    * ZERO of 16 slots to agree.
+    *
     * Scale shape: one signature pass per side; candidates are narrow
     * (id, bandhash) equi-joins with the cap on the bench side;
-    * verification pays only surviving pairs. A real benchmark is tiny
-    * next to a 100 TB corpus, so every bench-side table broadcasts
-    * under AQE; nothing here assumes it.
+    * verification pays every banded candidate (the deliberate recall
+    * trade — bounded by the bucket cap, and the bench side is tiny in
+    * production). A real benchmark broadcasts under AQE; nothing here
+    * assumes it.
     */
   def flagNearContaminated(train: DataFrame, bench: DataFrame,
                            idCol: String, textCol: String,
-                           bands: Int = 4, rowsPerBand: Int = 4,
+                           bands: Int = 16, rowsPerBand: Int = 1,
                            threshold: Double = 0.7,
                            maxBucket: Int = 1000): DataFrame = {
     def prefixed(df: DataFrame, p: String) =
@@ -178,7 +196,8 @@ object Decontaminate {
         col(textCol).as("text"))
     val pairs = NearDup.minHashLshAgainstCorpus(
       prefixed(train, "t:"), prefixed(bench, "b:"), "id", "text",
-      bands, rowsPerBand, threshold, maxBucket)
+      bands, rowsPerBand, threshold = 0.0, maxBucket)
+      .filter(col("jaccard") >= threshold)
     val flagged = pairs.groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_bench_matches"), max(col("jaccard")).as("max_jaccard"))
     train
@@ -194,7 +213,7 @@ object Decontaminate {
     */
   def removeNearContaminated(train: DataFrame, bench: DataFrame,
                              idCol: String, textCol: String,
-                             bands: Int = 4, rowsPerBand: Int = 4,
+                             bands: Int = 16, rowsPerBand: Int = 1,
                              threshold: Double = 0.7,
                              maxBucket: Int = 1000): DataFrame = {
     val bad = flagNearContaminated(train, bench, idCol, textCol,

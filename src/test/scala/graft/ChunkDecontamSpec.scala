@@ -113,6 +113,35 @@ class ChunkDecontamSpec extends SparkTestBase {
     assert(fuzzy.map(_.getLong(0)).toSeq === Seq(7L))
   }
 
+  test("flagNearContaminated recall: every planted single-edit near-dup is caught") {
+    // 20 benchmark docs of 24-40 tokens; each train doc copies one with
+    // a single mid-doc word swapped — every one must be flagged, and
+    // the 5 clean train docs must not be
+    val benches = (0 until 20).map { d =>
+      val len = 24 + (d % 5) * 4
+      (100L + d, (0 until len).map(i => s"b${d}w$i").mkString(" "))
+    }
+    val planted = benches.zipWithIndex.map { case ((bid, text), d) =>
+      val toks = text.split(" ")
+      (d.toLong, toks.updated(toks.length / 2, "EDIT").mkString(" "))
+    }
+    val clean = (50L until 55L).map(i =>
+      (i, (0 until 30).map(j => s"c${i}w$j").mkString(" ")))
+    val fTrain = (planted ++ clean).toDF("doc_id", "text")
+    val fBench = benches.toDF("doc_id", "text")
+    // the wrapper's recall posture (16×1 banding, estimate prefilter
+    // disabled) is load-bearing here: this same fixture measured 16/20
+    // under dedup-style 4×4 banding + prefilter, because the
+    // Kirsch–Mitzenmacher family's slot agreement is bimodal — doc 0
+    // realizes 1/16 agreeing slots at true token-J 0.92 (one unshared
+    // shingle with a small h2 sweeps every g_i minimum)
+    val flagged = graft.text.Decontaminate.flagNearContaminated(
+      fTrain, fBench, "doc_id", "text", threshold = 0.85)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === (0L until 20L).toSet,
+      s"recall failure: missed ${(0L until 20L).toSet -- flagged}, false ${flagged -- (0L until 20L).toSet}")
+  }
+
   test("removeNearContaminated: anti-join keeps exactly the unflagged docs") {
     val fTrain = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -97,6 +97,23 @@ class KmvSpec extends SparkTestBase {
     }
   }
 
+  test("estimator accuracy sweep: within 3/sqrt(k-2) across cardinalities") {
+    val k = 128
+    val tol = 3.0 / math.sqrt(k - 2.0)
+    Seq(500, 5000, 50000).foreach { ndv =>
+      val df = (1 to ndv).map(i => s"u${ndv}_$i").toDF("v")
+      val est = Kmv.distinctSketch(df, Seq.empty, "v", k = k).collect().head
+      val rel = est.getAs[Long]("est_micro").toDouble / 1e6 / ndv.toDouble
+      assert(math.abs(rel - 1.0) < tol, s"ndv=$ndv relative estimate $rel outside 1±$tol")
+    }
+  }
+
+  test("empty input: bottomK and the estimate are empty, not an error") {
+    val empty = events.filter(col("event_id") < -1)
+    assert(Kmv.bottomK(empty, Seq("event_type"), "user_id", k = 8).count() === 0L)
+    assert(Kmv.distinctSketch(empty, Seq("event_type"), "user_id", k = 8).count() === 0L)
+  }
+
   test("NULL values are dropped, not hashed") {
     val df = Seq(Some("a"), None, Some("b"), Some("a")).toDF("v")
     val bk = Kmv.bottomK(df, Seq.empty, "v", k = 10).collect()

@@ -232,6 +232,17 @@ class PcaSpec extends SparkTestBase {
     assert(z(0) === math.round(2.0 / math.sqrt(0.5) * 1e6))
   }
 
+  test("componentFromMomentSegments on an EMPTY segment set fails loudly") {
+    val segPath = java.nio.file.Files.createTempDirectory("pca_empty").resolve("seg").toString
+    Pca.writeMomentSegments(lineCorpus.filter(col("vec_id") < -1), dim = 3, segPath)
+    // an all-empty write leaves no parquet files: the read itself is the
+    // loud failure (schema inference); segments PRESENT but zero-row is
+    // the require(n > 0) layer
+    intercept[Exception] {
+      Pca.componentFromMomentSegments(spark, segPath, dim = 3)
+    }
+  }
+
   test("component improves the Rayleigh quotient over the seed axis") {
     // on the real embeddings fixture: quotient v'Cv / v'v of the trained
     // component must be >= that of the best coordinate axis (the seed) —
