@@ -154,7 +154,7 @@ object Bench {
     case n if n.startsWith("q_text") || n.startsWith("q_token") ||
          n.startsWith("q_chunk") || n.startsWith("q_decontaminate") => "text"
     case "q_phrase_search" | "q_multi_phrase" | "q_multi_phrase_sweep" => "text"
-    case "q_decontam_fuzzy" | "q_decontam_fuzzy_removed" => "text"
+    case "q_decontam_fuzzy" | "q_decontam_fuzzy_removed" | "q_decontam_fuzzy_indexed" => "text"
     case "q_bm25_topk" | "q_bm25_indexed" | "q_bm25_deleted" |
          "q_boilerplate" | "q_lm_score" | "q_lm_kneser_ney" | "q_lang_id" |
          "q_pii_scrub" | "q_tfidf_topterms" | "q_vocabulary" |

@@ -1354,6 +1354,28 @@ object SparkEntry {
                    n_bench_matches, max_jaccard
             FROM agg ORDER BY id"""))
 
+  /** The STEADY-STATE fuzzy-decontam loop ([[graft.text.Decontaminate
+    * .writeBenchIndex]] → [[graft.text.Decontaminate
+    * .flagNearContaminatedAgainstIndex]]): the benchmark's signatures
+    * and token sets come off a stored index (built once; appends/erases
+    * compose through the NearDup index verbs), so each batch pays only
+    * its own signature pass. Shares [[qDecontamFuzzy]]'s oracle
+    * VERBATIM — steady state ≡ from-raw is the invariance this row
+    * checks through a real disk round trip.
+    */
+  private val qDecontamFuzzyIndexed = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val idxPath = scratchDir("graft_fz_idx").resolve("idx").toString
+      graft.text.Decontaminate.writeBenchIndex(
+        d.filter(col("doc_id") >= 450), "doc_id", "text", idxPath)
+      graft.text.Decontaminate.flagNearContaminatedAgainstIndex(
+        d.filter(col("doc_id") < 450), idxPath, "doc_id", "text",
+        threshold = 0.9)
+        .orderBy("id")
+    },
+    qDecontamFuzzy.oracle)
+
   /** The fuzzy filter form ([[graft.text.Decontaminate
     * .removeNearContaminated]]): the surviving id set after the
     * near-match anti-join — the operator a release pipeline composes.
@@ -7336,6 +7358,7 @@ object SparkEntry {
     "q_decontaminate" -> qDecontaminate,
     "q_decontam_fuzzy" -> qDecontamFuzzy,
     "q_decontam_fuzzy_removed" -> qDecontamFuzzyRemoved,
+    "q_decontam_fuzzy_indexed" -> qDecontamFuzzyIndexed,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_decontaminate_removed" -> qDecontaminateRemoved,
     "q_frame_sample" -> qFrameSample,

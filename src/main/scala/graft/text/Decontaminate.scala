@@ -207,6 +207,47 @@ object Decontaminate {
       .select("id", "n_bench_matches", "max_jaccard")
   }
 
+  /** Persist the benchmark as a near-dup index ([[NearDup
+    * .writeNearDupIndex]] layout: (id, sig, toks), ids prefixed into the
+    * "b:" space so [[flagNearContaminatedAgainstIndex]] can never drop a
+    * numeric id collision) — the STEADY-STATE fuzzy-decontam loop:
+    * benchmark sets change rarely, daily batches arrive constantly, so
+    * the bench side's signature work is paid once at index build and
+    * every batch pays only its own signature pass. Appends and erases
+    * compose through the NearDup index verbs on the same path.
+    */
+  def writeBenchIndex(bench: DataFrame, idCol: String, textCol: String,
+                      path: String, numHashes: Int = 16): Unit =
+    NearDup.writeNearDupIndex(
+      bench.select(concat(lit("b:"), col(idCol).cast("string")).as("id"),
+        col(textCol).as("text")),
+      "id", "text", numHashes, path)
+
+  /** [[flagNearContaminated]] against a stored benchmark index — the
+    * same recall posture (16×1 banding on the stored signatures,
+    * estimate prefilter disabled, exact token-Jaccard on verified
+    * pairs); `bands × rowsPerBand` must equal the index's `numHashes`.
+    */
+  def flagNearContaminatedAgainstIndex(train: DataFrame, indexPath: String,
+                                       idCol: String, textCol: String,
+                                       bands: Int = 16, rowsPerBand: Int = 1,
+                                       threshold: Double = 0.7,
+                                       maxBucket: Int = 1000): DataFrame = {
+    val idx = NearDup.readNearDupIndex(train.sparkSession, indexPath)
+    val pairs = NearDup.minHashLshAgainstIndex(
+      train.select(concat(lit("t:"), col(idCol).cast("string")).as("id"),
+        col(textCol).as("text")),
+      idx, "id", "text", bands, rowsPerBand, threshold = 0.0, maxBucket)
+      .filter(col("jaccard") >= threshold)
+    val flagged = pairs.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_bench_matches"), max(col("jaccard")).as("max_jaccard"))
+    train
+      .select(col(idCol).as("id"),
+        concat(lit("t:"), col(idCol).cast("string")).as("new_id"))
+      .join(flagged, "new_id")
+      .select("id", "n_bench_matches", "max_jaccard")
+  }
+
   /** The fuzzy filter form: `train` minus near-contaminated docs. The
     * flagged set is benchmark-match-sized (takedown-scale), so the anti
     * join broadcasts under AQE.

@@ -142,6 +142,37 @@ class ChunkDecontamSpec extends SparkTestBase {
       s"recall failure: missed ${(0L until 20L).toSet -- flagged}, false ${flagged -- (0L until 20L).toSet}")
   }
 
+  test("indexed fuzzy decontam ≡ from-raw; erase via the index verbs") {
+    val benches = (0 until 6).map { d =>
+      (100L + d, (0 until 24).map(i => s"b${d}w$i").mkString(" "))
+    }
+    val planted = benches.take(3).zipWithIndex.map { case ((_, text), d) =>
+      val toks = text.split(" ")
+      (d.toLong, toks.updated(12, "EDIT").mkString(" "))
+    }
+    val fTrain = (planted :+ (50L, (0 until 30).map(j => s"cw$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fBench = benches.toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("fz_idx").resolve("idx").toString
+    graft.text.Decontaminate.writeBenchIndex(fBench, "doc_id", "text", idx)
+    val indexed = graft.text.Decontaminate.flagNearContaminatedAgainstIndex(
+      fTrain, idx, "doc_id", "text", threshold = 0.85)
+      .orderBy("id").collect().toSeq
+    val fromRaw = graft.text.Decontaminate.flagNearContaminated(
+      fTrain, fBench, "doc_id", "text", threshold = 0.85)
+      .orderBy("id").collect().toSeq
+    assert(indexed === fromRaw)
+    assert(indexed.map(_.getLong(0)) === Seq(0L, 1L, 2L))
+    // erase benchmark item 100 from the index (prefixed id space): train
+    // doc 0 (its near-dup) is no longer flagged
+    import spark.implicits._
+    graft.dedup.NearDup.deleteFromNearDupIndex(Seq("b:100").toDF("id"), idx)
+    val afterErase = graft.text.Decontaminate.flagNearContaminatedAgainstIndex(
+      fTrain, idx, "doc_id", "text", threshold = 0.85)
+      .collect().map(_.getLong(0)).toSet
+    assert(afterErase === Set(1L, 2L))
+  }
+
   test("removeNearContaminated: anti-join keeps exactly the unflagged docs") {
     val fTrain = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),
