@@ -127,6 +127,28 @@ class SketchIngestSpec extends SparkTestBase {
     assert(once === twice)
   }
 
+  test("epoch drift straight off ingested moment segments, by batch_id range") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seg = java.nio.file.Files.createTempDirectory("drift_seg").resolve("seg").toString
+    val epochA = emb.filter(col("vec_id") % 2 === 0)
+    val epochB = emb.filter(col("vec_id") % 2 =!= 0)
+    SketchIngest.appendMomentBatch(epochA, 0L, 64, "embedding", seg)
+    SketchIngest.appendMomentBatch(epochB, 1L, 64, "embedding", seg)
+    // the monitoring read: slice the ONE segment store by batch_id range
+    // — no corpus re-scan, no second store
+    val stored = spark.read.parquet(seg)
+    val viaSegments = graft.similarity.Pca.embeddingDrift(
+      stored.filter(col("batch_id") === 0L),
+      stored.filter(col("batch_id") === 1L), dim = 64)
+      .orderBy("pos").collect().toSeq
+    val direct = graft.similarity.Pca.embeddingDrift(
+      graft.similarity.Pca.momentSegment(epochA, dim = 64),
+      graft.similarity.Pca.momentSegment(epochB, dim = 64), dim = 64)
+      .orderBy("pos").collect().toSeq
+    assert(viaSegments === direct)
+    assert(viaSegments.nonEmpty)
+  }
+
   test("in-loop compaction folds quantile segments without changing answers") {
     val tmp = java.nio.file.Files.createTempDirectory("stream_qsk_fold")
     val seg = tmp.resolve("seg").toString
