@@ -248,6 +248,21 @@ object Decontaminate {
       .select("id", "n_bench_matches", "max_jaccard")
   }
 
+  /** The filter form of the indexed path: `train` minus docs
+    * near-matching the stored benchmark — what the production batch
+    * loop composes ([[flagNearContaminatedAgainstIndex]] is its report
+    * form).
+    */
+  def removeNearContaminatedAgainstIndex(train: DataFrame, indexPath: String,
+                                         idCol: String, textCol: String,
+                                         bands: Int = 16, rowsPerBand: Int = 1,
+                                         threshold: Double = 0.7,
+                                         maxBucket: Int = 1000): DataFrame = {
+    val bad = flagNearContaminatedAgainstIndex(train, indexPath, idCol, textCol,
+      bands, rowsPerBand, threshold, maxBucket).select(col("id"))
+    train.join(bad, train(idCol) === bad("id"), "left_anti")
+  }
+
   /** The fuzzy filter form: `train` minus near-contaminated docs. The
     * flagged set is benchmark-match-sized (takedown-scale), so the anti
     * join broadcasts under AQE.

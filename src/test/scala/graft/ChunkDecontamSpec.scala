@@ -171,6 +171,11 @@ class ChunkDecontamSpec extends SparkTestBase {
       fTrain, idx, "doc_id", "text", threshold = 0.85)
       .collect().map(_.getLong(0)).toSet
     assert(afterErase === Set(1L, 2L))
+    // the filter form keeps exactly the complement
+    val kept = graft.text.Decontaminate.removeNearContaminatedAgainstIndex(
+      fTrain, idx, "doc_id", "text", threshold = 0.85)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 50L))
   }
 
   test("removeNearContaminated: anti-join keeps exactly the unflagged docs") {
