@@ -65,12 +65,32 @@ object Kmv {
     // (still casting 600 M values to string pre-dedup) at 94 s; deduping
     // on the raw typed value first reads at the events-scan floor. The
     // partial-distinct exchange carries narrow typed (key, value) pairs.
-    val dist = df
+    //
+    // Identity contract: the sketch's value domain is the STRING image
+    // (h and v are both string-derived, and [[mergeBottomK]] dedups on
+    // them), so a value type whose string cast is NOT injective would
+    // let two raw values survive the typed dedup as duplicate (h, v)
+    // rows — double-counted in n_seen and inconsistent with the merge
+    // identity. String/integral/boolean/date casts are injective and
+    // skip the re-dedup; any other type pays one extra exchange over
+    // the already-distinct set (distinct-set-sized, not corpus-sized).
+    val injectiveStringCast = df.schema(valCol).dataType match {
+      case org.apache.spark.sql.types.StringType | LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
+    val typedDist = df
       .select(keyCols.map(col) :+ col(valCol).as("vraw"): _*)
       .filter(col("vraw").isNotNull)
       .dropDuplicates(keyCols :+ "vraw")
       .withColumn("v", col("vraw").cast("string"))
       .drop("vraw")
+    val dist = (if (injectiveStringCast) typedDist
+                else typedDist.dropDuplicates(keyCols :+ "v"))
       .withColumn("h", NearDup.md5Long(col("v")))
     val w1 = Window.partitionBy((keyCols :+ "b").map(col): _*)
       .orderBy(col("h"), col("v"))

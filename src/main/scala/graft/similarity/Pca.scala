@@ -363,6 +363,12 @@ object Pca {
     * no variance to standardize against — its z_micro is NULL (an ANSI
     * cast of the raw ±inf/NaN would instead abort the whole job at the
     * first degenerate dimension, the wrong failure mode for a monitor).
+    * A NEAR-constant dimension (tiny positive variance, large n) can
+    * push |z| past what a BIGINT micro column holds — z saturates at
+    * ±10⁹ (z_micro ±10¹⁵) instead of ANSI-aborting: unlike the NULL
+    * branch, a saturated value still reads as "enormous drift", which
+    * is the signal a monitor must not swallow (any true z beyond 10⁹
+    * is already pure degenerate-variance territory).
     */
   def embeddingDrift(momentsA: DataFrame, momentsB: DataFrame, dim: Int): DataFrame = {
     def side(m: DataFrame, suffix: String) =
@@ -381,8 +387,10 @@ object Pca {
         variance(col("s2_b"), col("s1_b"), col("n_b")) / col("n_b").cast("double")
     val z = (mean(col("s1_a"), col("n_a")) - mean(col("s1_b"), col("n_b"))) /
       sqrt(varSum)
+    // saturate before the ANSI cast (scaladoc: near-constant dims)
+    val zSat = least(greatest(z, lit(-1e9)), lit(1e9))
     j.select(col("pos"), col("n_a"), col("s1_a"), col("n_b"), col("s1_b"),
-      when(varSum > 0, round(z * lit(1e6)).cast(LongType))
+      when(varSum > 0, round(zSat * lit(1e6)).cast(LongType))
         .otherwise(lit(null).cast(LongType)).as("z_micro"))
   }
 

@@ -119,4 +119,22 @@ class KmvSpec extends SparkTestBase {
     val bk = Kmv.bottomK(df, Seq.empty, "v", k = 10).collect()
     assert(bk.map(_.getString(2)).sorted.toSeq === Seq("a", "b"))
   }
+
+  test("non-injective string casts collapse to ONE sketch row per string image") {
+    // distinct raw arrays with the same string image: ["a", "b"] and
+    // ["a, b"] both cast to "[a, b]" — the typed dedup keeps both, so
+    // without the string-image re-dedup the sketch would carry duplicate
+    // (h, v) rows, double-count n_seen, and disagree with mergeBottomK's
+    // (h, v) identity
+    val df = Seq(Seq("a", "b"), Seq("a, b"), Seq("c")).toDF("v")
+    val images = df.select(col("v").cast("string")).distinct().count()
+    assert(images === 2L) // the collision is real
+    val bk = Kmv.bottomK(df, Seq.empty, "v", k = 10)
+    // identity contract: one row per distinct STRING image, rnk gapless
+    assert(bk.count() === images)
+    assert(Kmv.distinctSketch(df, Seq.empty, "v", k = 10)
+      .select("n_seen").as[Long].head() === images)
+    val ranks = bk.select("rnk").as[Int].collect().sorted
+    assert(ranks.toSeq === (1 to images.toInt))
+  }
 }

@@ -178,6 +178,28 @@ class PcaSpec extends SparkTestBase {
     assert(rows(0).isDefined)    // dim0 varies: a real z
   }
 
+  test("embeddingDrift: a NEAR-constant dimension saturates at ±1e15 micro, not an ANSI abort") {
+    // dim0: one-quantum variance on side A (fx 0,1,0), side B constant at
+    // 4096 (fx 2^30) — z ≈ −2^30/sqrt(2/27) ≈ −3.9e9 exceeds the ±1e9
+    // saturation bound; the monitor must report a saturated ±1e15 micro,
+    // never NULL (that means "no variance") and never an ANSI
+    // CAST_OVERFLOW job abort on a pathological epoch pair
+    val big = 4096.0f // exact as a float; fx = 2^30 keeps moment products in LONG range
+    val a = Seq(
+      (0L, Array(0.0f, 1.0f)), (1L, Array(1.0f / S, 1.0f)),
+      (2L, Array(0.0f, 3.0f))) // dim1 varies: a normal z alongside
+      .toDF("vec_id", "embedding")
+    val b = Seq(
+      (3L, Array(big, 1.0f)), (4L, Array(big, 1.0f)),
+      (5L, Array(big, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val z = Pca.embeddingDrift(
+      Pca.momentSegment(a, dim = 2), Pca.momentSegment(b, dim = 2), dim = 2)
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(5)) None else Some(r.getLong(5)))).toMap
+    assert(z(0) === Some(-1000000000000000L)) // saturated at −1e15 micro, sign kept
+    assert(z(1).exists(v => math.abs(v) < 1000000000000000L))
+  }
+
   test("dimCorrelationFromMoments: ±1 on designed (anti)correlated dims, NULL on constant") {
     // dim1 = 2·dim0 (corr +1), dim2 = −dim0 (corr −1), dim3 constant (NULL)
     val df = Seq(
