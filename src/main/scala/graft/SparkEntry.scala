@@ -54,6 +54,27 @@ object SparkEntry {
     d
   }
 
+  /** Per-JVM memoized index location for the STEADY-STATE gate rows
+    * (`q_*_steady`): the build closure runs ONCE per (prefix, sf dir) —
+    * under the bench policy that is the untimed warmup pass — and every
+    * later invocation probes the stored artifacts only, which is what a
+    * production user's query loop actually pays. The build-shaped
+    * `q_*_indexed` rows deliberately keep the write inside the measured
+    * query (they gate the rebuild path); splitting the two was the
+    * round-13 measurement-honesty finding. Keyed on the sf dir so
+    * verify/bench runs over different scale factors never share an
+    * index; dirs are registered for the same exit-time cleanup as
+    * [[scratchDir]].
+    */
+  private val steadyIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+  private def steadyIndex(prefix: String, dir: String)(build: String => Unit): String =
+    steadyIndexes.computeIfAbsent((prefix, dir), { _: (String, String) =>
+      val p = scratchDir(prefix).resolve("idx").toString
+      build(p)
+      p
+    })
+
   /** Temporarily pin `spark.sql.shuffle.partitions` around a STATEFUL
     * streaming query. A stateful stream keeps state-store instances per
     * shuffle partition (a stream-stream join: four per partition), and
@@ -1376,6 +1397,26 @@ object SparkEntry {
     },
     qDecontamFuzzy.oracle)
 
+  /** STEADY-STATE fuzzy decontam ([[qDecontamFuzzyIndexed]]'s
+    * production split): the benchmark signature index is built once per
+    * session/SF via [[steadyIndex]]; the measured query pays one
+    * signature pass over the BATCH plus index-side joins — the daily
+    * decontam loop. Same oracle verbatim.
+    */
+  private val qDecontamFuzzySteady = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val idxPath = steadyIndex("graft_fz_steady", dir) { p =>
+        graft.text.Decontaminate.writeBenchIndex(
+          d.filter(col("doc_id") >= 450), "doc_id", "text", p)
+      }
+      graft.text.Decontaminate.flagNearContaminatedAgainstIndex(
+        d.filter(col("doc_id") < 450), idxPath, "doc_id", "text",
+        threshold = 0.9)
+        .orderBy("id")
+    },
+    qDecontamFuzzy.oracle)
+
   /** The fuzzy filter form ([[graft.text.Decontaminate
     * .removeNearContaminated]]): the surviving id set after the
     * near-match anti-join — the operator a release pipeline composes.
@@ -2126,6 +2167,28 @@ object SparkEntry {
     },
     qAnnIvf.oracle)
 
+  /** STEADY-STATE IVF probe: the index is built once per session/SF
+    * (the [[steadyIndex]] memoizer — under bench policy the untimed
+    * warmup pays it) and the measured work is ONLY the probe against
+    * the stored centroids + partition-pruned cell lists: the query a
+    * production retrieval loop actually runs, split from the
+    * rebuild-shaped [[qAnnIvfIndexed]] so the bench row measures the
+    * probe, not the write. Same oracle verbatim — steady-state
+    * retrieval must stay bit-identical to from-raw.
+    */
+  private val qAnnIvfSteady = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxPath = steadyIndex("graft_ivf_steady", dir) { p =>
+        graft.similarity.Ivf.writeIvfIndex(emb, nLists = 16, p)
+      }
+      graft.similarity.Ivf.topKAgainstIndex(
+        emb.filter(col("vec_id") < 5), idxPath, k = 10, nProbe = 4)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .orderBy("qid", "rank")
+    },
+    qAnnIvf.oracle)
+
   /** Embedding-cosine near-dup pairs through LSH buckets, bucket-capped.
     * Oracle-replayable via the embedded plane constants (see [[bucketSql]]);
     * caveat shared with the Spark side: zero-norm vectors would diverge
@@ -2323,6 +2386,23 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val idxPath = scratchDir("graft_ivfpq_index").resolve("idx").toString
       graft.similarity.Pq.writeIvfPqIndex(emb, nLists = 16, m = 4, ksub = 16, idxPath)
+      graft.similarity.Pq.ivfAdcTopKAgainstIndex(
+          emb.filter(col("vec_id") < 5), idxPath, k = 10, nProbe = 4)
+        .orderBy("qid", "rank")
+    },
+    qAnnIvfPq.oracle)
+
+  /** STEADY-STATE IVFADC probe ([[qAnnIvfPqIndexed]]'s production
+    * split): centroids/codebooks/codes built once per session/SF via
+    * [[steadyIndex]], the measured query pays only the LUT build +
+    * partition-pruned code lookups. Same oracle verbatim.
+    */
+  private val qAnnIvfPqSteady = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxPath = steadyIndex("graft_ivfpq_steady", dir) { p =>
+        graft.similarity.Pq.writeIvfPqIndex(emb, nLists = 16, m = 4, ksub = 16, p)
+      }
       graft.similarity.Pq.ivfAdcTopKAgainstIndex(
           emb.filter(col("vec_id") < 5), idxPath, k = 10, nProbe = 4)
         .orderBy("qid", "rank")
@@ -2749,6 +2829,62 @@ object SparkEntry {
                    CAST(psum AS BIGINT) AS pixel_byte_sum,
                    CAST(asum AS BIGINT) AS alpha_byte_sum
             FROM px ORDER BY doc_id"""))
+
+  /** Adam7 INTERLACED PNG decode ([[graft.multimodal.Multimodal
+    * .parsePng]] interlace 1 — the last PNG path that previously fell
+    * to the stub): seven reduced passes, each filtered independently
+    * (type cycling per pass row), scattered back onto the display grid.
+    * The decoded pixels are the same closed form as [[qPngDecode]], so
+    * the pixel-sum oracle carries over verbatim; n_bytes changes to one
+    * filter byte per PASS scanline (the oracle recomputes the Adam7
+    * line count per image — small fixtures exercise absent-pass edges,
+    * 16×8 exercises all seven passes).
+    */
+  private val qPngInterlaced = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 1 + (id % 16).toInt
+          val h = 1 + (id % 8).toInt
+          (id, graft.multimodal.Multimodal.makePng(w, h, id, interlaced = true))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractFeatures(s, bins)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_bytes"),
+          round(element_at(col("features"), 4) *
+            (col("width") * col("height") * lit(3L) * lit(255L)))
+            .cast(LongType).as("pixel_byte_sum"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     CAST(1 + doc_id % 16 AS INT) AS w,
+                     CAST(1 + doc_id % 8 AS INT) AS h
+              FROM documents),
+            passes(xs, ys, xst, yst) AS (VALUES
+              (0,0,8,8), (4,0,8,8), (0,4,4,8), (2,0,4,4),
+              (0,2,2,4), (1,0,2,2), (0,1,1,2)),
+            lines AS (
+              -- present passes contribute ceil((h-ys)/yst) scanlines
+              SELECT d.doc_id,
+                     SUM(CASE WHEN d.w > p.xs AND d.h > p.ys
+                         THEN (d.h - p.ys + p.yst - 1) // p.yst
+                         ELSE 0 END) AS nlines
+              FROM dims d CROSS JOIN passes p
+              GROUP BY d.doc_id),
+            px AS (
+              SELECT d.doc_id, d.w, d.h,
+                     SUM((d.doc_id + r.r * 31 + k.k * 7) % 256) AS psum
+              FROM dims d
+              JOIN generate_series(0, 7) AS r(r) ON r.r < d.h
+              JOIN generate_series(0, 47) AS k(k) ON k.k < 3 * d.w
+              GROUP BY d.doc_id, d.w, d.h)
+            SELECT px.doc_id, 'png' AS format, w AS width, h AS height,
+                   CAST(3 * w * h + l.nlines + 68 AS INT) AS n_bytes,
+                   CAST(psum AS BIGINT) AS pixel_byte_sum
+            FROM px JOIN lines l ON l.doc_id = px.doc_id
+            ORDER BY px.doc_id"""))
 
   /** 16-bit PNG decode ([[graft.multimodal.Multimodal.parsePng]] depth
     * 16): samples are big-endian 16-bit and reduce to their HIGH byte,
@@ -4144,6 +4280,24 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val idxPath = scratchDir("graft_bm25_index").resolve("idx").toString
       graft.text.Bm25.writeBm25Index(docs, idxPath, nBuckets = 16)
+      graft.text.Bm25.topKAgainstIndex(
+          docs.filter(col("doc_id") < 3), idxPath, k = 10, nBuckets = 16)
+        .orderBy("qid", "rank")
+    },
+    qBm25.oracle)
+
+  /** STEADY-STATE BM25 probe ([[qBm25Indexed]]'s production split): the
+    * postings/df/doclen/stats tables are built once per session/SF via
+    * [[steadyIndex]]; the measured query reads only the query-term
+    * buckets (partition-pruned) and never touches corpus text. Same
+    * oracle verbatim.
+    */
+  private lazy val qBm25Steady = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxPath = steadyIndex("graft_bm25_steady", dir) { p =>
+        graft.text.Bm25.writeBm25Index(docs, p, nBuckets = 16)
+      }
       graft.text.Bm25.topKAgainstIndex(
           docs.filter(col("doc_id") < 3), idxPath, k = 10, nBuckets = 16)
         .orderBy("qid", "rank")
@@ -7226,6 +7380,37 @@ object SparkEntry {
             SELECT CAST(dim AS INTEGER) AS pos, CAST(vfx * sg AS BIGINT) AS loading_fx
             FROM it12, sgn ORDER BY pos"""))
 
+  /** Streaming drift monitoring ([[graft.streaming.SketchIngest
+    * .startMoments]] → [[graft.similarity.Pca.embeddingDrift]]): TWO
+    * corpus epochs (vec_id parity halves) arrive as separate moment-
+    * segment STREAMS into ONE segment table, the second at a disjoint
+    * `batchIdOffset` range — and the drift monitor reads each epoch as
+    * a batch_id RANGE filter on the shared table. Shares
+    * [[qEmbedDrift]]'s oracle VERBATIM: the z table must be invariant
+    * to each epoch's micro-batch cut (sum-merge algebra) AND to living
+    * in a shared segment table instead of two private ones.
+    */
+  private lazy val qStreamDrift = Q(
+    (s, dir) => {
+      val tmp = scratchDir("graft_stream_drift")
+      val seg = tmp.resolve("seg").toString
+      val offset = 1L << 20 // epoch B's batch_id range: [2^20, …)
+      def epoch(pred: Column, ckpt: String, off: Long): Unit =
+        graft.streaming.SketchIngest.startMoments(
+          Tables.readTableStream(s, dir, "embeddings")
+            .filter(pred).select(col("embedding")),
+          seg, tmp.resolve(ckpt).toString, dim = 64, batchIdOffset = off)
+          .awaitTermination()
+      epoch(col("vec_id") % 2 === 0, "ckptA", 0L)
+      epoch(col("vec_id") % 2 =!= 0, "ckptB", offset)
+      val all = s.read.parquet(seg)
+      graft.similarity.Pca.embeddingDrift(
+        all.filter(col("batch_id") < offset),
+        all.filter(col("batch_id") >= offset), dim = 64)
+        .orderBy("pos")
+    },
+    qEmbedDrift.oracle)
+
   /** Streaming KMV maintenance ([[graft.streaming.SketchIngest
     * .startKmv]]): the event feed appends batch_id-keyed bottom-k
     * segments; the distinct estimate reads the stored segments.
@@ -7359,6 +7544,7 @@ object SparkEntry {
     "q_decontam_fuzzy" -> qDecontamFuzzy,
     "q_decontam_fuzzy_removed" -> qDecontamFuzzyRemoved,
     "q_decontam_fuzzy_indexed" -> qDecontamFuzzyIndexed,
+    "q_decontam_fuzzy_steady" -> qDecontamFuzzySteady,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_decontaminate_removed" -> qDecontaminateRemoved,
     "q_frame_sample" -> qFrameSample,
@@ -7382,6 +7568,7 @@ object SparkEntry {
     "q_ann_retrieval_topk" -> qAnnRetrieval,
     "q_ann_ivf_topk" -> qAnnIvf,
     "q_ann_ivf_indexed" -> qAnnIvfIndexed,
+    "q_ann_ivf_steady" -> qAnnIvfSteady,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_pq_encode" -> qPqEncode,
@@ -7433,6 +7620,7 @@ object SparkEntry {
     "q_ann_ivf_trained" -> qAnnIvfTrained,
     "q_bm25_topk" -> qBm25,
     "q_bm25_indexed" -> qBm25Indexed,
+    "q_bm25_steady" -> qBm25Steady,
     "q_bm25_deleted" -> qBm25Deleted,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_dedup_lsh_incremental" -> qDedupLshIncremental,
@@ -7486,10 +7674,12 @@ object SparkEntry {
     "q_cms_topk" -> qCmsTopk,
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_indexed" -> qAnnIvfPqIndexed,
+    "q_ann_ivfpq_steady" -> qAnnIvfPqSteady,
     "q_winsorize" -> qWinsorize,
     "q_png_decode" -> qPngDecode,
     "q_png_alpha" -> qPngAlpha,
     "q_png_16bit" -> qPng16,
+    "q_png_interlaced" -> qPngInterlaced,
     "q_dsir_weights" -> qDsirWeights,
     "q_source_kl" -> qSourceKl,
     "q_ann_recall" -> qAnnRecall,
@@ -7509,6 +7699,7 @@ object SparkEntry {
     "q_topk_sketch_keyed" -> qTopkSketchKeyed,
     "q_stream_quantile" -> qStreamQuantile,
     "q_stream_pca" -> qStreamPca,
+    "q_stream_drift" -> qStreamDrift,
     "q_stream_kmv" -> qStreamKmv,
     "q_pack_render" -> qPackRender,
     "q_gif_decode" -> qGifDecode,

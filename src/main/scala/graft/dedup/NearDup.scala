@@ -126,8 +126,8 @@ object NearDup {
     * with the HOF construction ([[minHashSignature]], kept as the semantic
     * reference) is pinned by NearDupSpec.
     */
-  private def signatures(docs: DataFrame, idCol: String, textCol: String,
-                         numHashes: Int): DataFrame =
+  private[graft] def signatures(docs: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int): DataFrame =
     docs
       .select(col(idCol).as("id"), col(textCol).as("t"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
@@ -140,7 +140,7 @@ object NearDup {
     * (id, bandhash): a candidate pair costs 16 bytes on the wire, never
     * the document/token payload.
     */
-  private def bandRows(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  private[graft] def bandRows(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sig.select(col("id"), explode(
       array((0 until bands).map { b =>
         struct(lit(b).as("band"),
@@ -161,11 +161,30 @@ object NearDup {
     * iff at least one band of their signatures matches exactly. Returns
     * distinct (id_a < id_b) candidate pairs with their exact token-set
     * Jaccard attached, filtered to `threshold`.
+    *
+    * `estPrefilter` is the documented RECALL/COST knob (the round-13
+    * bimodal-slot finding): when true (default — dedup's cost posture),
+    * only candidates whose signature-agreement estimate clears
+    * `threshold − 1.5/√numHashes` pay the exact verification. That
+    * slack is calibrated for a binomial estimator, but under the
+    * Kirsch–Mitzenmacher gᵢ = h1 + i·h2 family slot agreement is
+    * BIMODAL for borderline pairs — one unshared shingle with a small
+    * h2 can sweep every slot minimum, so a pair at true token-J ≈ 0.92
+    * can realize 1/16 agreeing slots and die at the prefilter (measured
+    * 16/20 recall on a planted-single-edit probe at 4×4 banding).
+    * Dedup keeps the prefilter: a missed near-dup costs storage, and
+    * the prefilter saves the exact-verify join on the candidate bulk.
+    * RECALL-primary callers (decontamination, takedown sweeps — a miss
+    * poisons an eval set or leaves liability live) should pass
+    * `estPrefilter = false`, usually with 1-row bands: every banded
+    * candidate is exact-verified (the probe reads 20/20, at ~+10%
+    * cost). The estimate is a COST device, never a correctness device.
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  bands: Int = 4, rowsPerBand: Int = 4,
                  threshold: Double = 0.7,
-                 maxBucket: Int = 1000): DataFrame = {
+                 maxBucket: Int = 1000,
+                 estPrefilter: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
     // The signature table feeds THREE consumers (banding + both sides of
     // the estimate prefilter); the md5-per-shingle pass is the operator's
@@ -192,16 +211,19 @@ object NearDup {
 
     // cheap prefilter: estimated Jaccard = fraction of agreeing signature
     // slots (the MinHash estimator). Only pairs whose estimate clears a
-    // slackened threshold pay for the exact token-set verification.
+    // slackened threshold pay for the exact token-set verification —
+    // skipped entirely under the recall posture (see scaladoc).
     val slack = estSlack(threshold, numHashes)
-    val sigEst = candidates
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)) /
-          lit(numHashes.toDouble))
-      .filter(col("est") >= slack)
-      .select("id_a", "id_b")
+    val sigEst =
+      if (!estPrefilter) candidates
+      else candidates
+        .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .withColumn("est",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)) /
+            lit(numHashes.toDouble))
+        .filter(col("est") >= slack)
+        .select("id_a", "id_b")
 
     // exact verification on the surviving pairs only
     val toks = docs.select(col(idCol).as("id"),
@@ -234,7 +256,8 @@ object NearDup {
                               idCol: String, textCol: String,
                               bands: Int = 4, rowsPerBand: Int = 4,
                               threshold: Double = 0.7,
-                              maxBucket: Int = 1000): DataFrame = {
+                              maxBucket: Int = 1000,
+                              estPrefilter: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Both signature tables feed two consumers each (banding + the
     // estimate prefilter join) — materialize so the md5-per-shingle pass
@@ -253,14 +276,16 @@ object NearDup {
       .filter(col("new_id") =!= col("seen_id")) // overlapping id spaces allowed
       .select("new_id", "seen_id").distinct()
     val slack = estSlack(threshold, numHashes)
-    val sigEst = candidates
-      .join(newSig.select(col("id").as("new_id"), col("sig").as("sig_a")), "new_id")
-      .join(seenSig.select(col("id").as("seen_id"), col("sig").as("sig_b")), "seen_id")
-      .withColumn("est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)) /
-          lit(numHashes.toDouble))
-      .filter(col("est") >= slack)
-      .select("new_id", "seen_id")
+    val sigEst =
+      if (!estPrefilter) candidates // recall posture (see minHashLsh)
+      else candidates
+        .join(newSig.select(col("id").as("new_id"), col("sig").as("sig_a")), "new_id")
+        .join(seenSig.select(col("id").as("seen_id"), col("sig").as("sig_b")), "seen_id")
+        .withColumn("est",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)) /
+            lit(numHashes.toDouble))
+        .filter(col("est") >= slack)
+        .select("new_id", "seen_id")
     val newToks = newDocs.select(col(idCol).as("new_id"),
       array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_a"))
     val seenToks = seenDocs.select(col(idCol).as("seen_id"),
@@ -357,7 +382,8 @@ object NearDup {
                              idCol: String, textCol: String,
                              bands: Int = 4, rowsPerBand: Int = 4,
                              threshold: Double = 0.7,
-                             maxBucket: Int = 1000): DataFrame = {
+                             maxBucket: Int = 1000,
+                             estPrefilter: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
     val newSig = signatures(newDocs, idCol, textCol, numHashes).localCheckpoint()
     val seenSig = index.select(col("id"), col("sig"))
@@ -371,14 +397,16 @@ object NearDup {
       .filter(col("new_id") =!= col("seen_id"))
       .select("new_id", "seen_id").distinct()
     val slack = estSlack(threshold, numHashes)
-    val sigEst = candidates
-      .join(newSig.select(col("id").as("new_id"), col("sig").as("sig_a")), "new_id")
-      .join(seenSig.select(col("id").as("seen_id"), col("sig").as("sig_b")), "seen_id")
-      .withColumn("est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)) /
-          lit(numHashes.toDouble))
-      .filter(col("est") >= slack)
-      .select("new_id", "seen_id")
+    val sigEst =
+      if (!estPrefilter) candidates // recall posture (see minHashLsh)
+      else candidates
+        .join(newSig.select(col("id").as("new_id"), col("sig").as("sig_a")), "new_id")
+        .join(seenSig.select(col("id").as("seen_id"), col("sig").as("sig_b")), "seen_id")
+        .withColumn("est",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)) /
+            lit(numHashes.toDouble))
+        .filter(col("est") >= slack)
+        .select("new_id", "seen_id")
     val newToks = newDocs.select(col(idCol).as("new_id"),
       array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_a"))
     val seenToks = index.select(col("id").as("seen_id"), col("toks").as("toks_b"))

@@ -233,8 +233,9 @@ object Multimodal {
   // the index plane, then a PLTE lookup per pixel), gray+alpha (4) and
   // RGBA (6) — at 8-bit depth, plus 16-bit for the non-palette types
   // (samples reduce to their high byte; filters always run on bytes
-  // with bpp = bytes/pixel, per spec). Interlaced (Adam7) images
-  // return None and fall to the stub.
+  // with bpp = bytes/pixel, per spec). Interlaced (Adam7) images decode
+  // for real too: seven reduced passes, each filtered independently,
+  // scattered back onto the (xStart + i·xStep, yStart + j·yStep) grid.
 
   private def be32(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
@@ -242,6 +243,62 @@ object Multimodal {
 
   private val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Adam7 pass grid (W3C PNG §8.2): (xStart, yStart, xStep, yStep). */
+  private val Adam7: Seq[(Int, Int, Int, Int)] = Seq(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** A pass's reduced dimensions (0 × 0 when the image is too small to
+    * place any pixel on that pass's grid — such passes are ABSENT from
+    * the stream, not empty, per spec).
+    */
+  private def passDims(w: Int, h: Int, p: (Int, Int, Int, Int)): (Int, Int) = {
+    val (xs, ys, xst, yst) = p
+    (if (w > xs) (w - xs + xst - 1) / xst else 0,
+      if (h > ys) (h - ys + yst - 1) / yst else 0)
+  }
+
+  /** Invert the five scanline filters over one (sub-)image: `rows`
+    * scanlines of `stride` bytes, each preceded by its filter byte, at
+    * `raw[rawOff…]`. Reconstructed bytes feed the next row's
+    * predictions, per spec; a filter byte > 4 returns null (caller
+    * falls to the stub). Interlaced passes filter INDEPENDENTLY — the
+    * caller invokes this once per pass, so row 0's `b`/`c` predictors
+    * are 0 inside every pass.
+    */
+  private def unfilterRows(raw: Array[Byte], rawOff: Int, rows: Int,
+                           stride: Int, bpp: Int): Array[Byte] = {
+    val img = new Array[Byte](rows * stride)
+    var r = 0
+    while (r < rows) {
+      val ft = raw(rawOff + r * (stride + 1)) & 0xff
+      if (ft > 4) return null
+      val rowOff = rawOff + r * (stride + 1) + 1
+      val outOff = r * stride
+      var i = 0
+      while (i < stride) {
+        val x = raw(rowOff + i) & 0xff
+        val a = if (i >= bpp) img(outOff + i - bpp) & 0xff else 0
+        val b = if (r > 0) img(outOff - stride + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) img(outOff - stride + i - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + ((a + b) >> 1)
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        img(outOff + i) = (v & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    img
+  }
 
   /** Parse + decode a PNG: signature, IHDR-first chunk walk (big-endian
     * lengths), IDAT concatenation, zlib inflate, per-scanline filter
@@ -276,8 +333,9 @@ object Multimodal {
     // depth matrix). Filters operate on BYTES with bpp = bytes/pixel.
     val okDepth = bitDepth == 8 || (bitDepth == 16 && colorType != 3)
     val bpp = channels * (bitDepth / 8)
-    // same lying-header walk bound as parseBmp
-    if (!okDepth || interlace != 0 || bytes(26) != 0 || bytes(27) != 0 ||
+    // same lying-header walk bound as parseBmp; interlace 0 (none) and
+    // 1 (Adam7) both decode for real
+    if (!okDepth || interlace > 1 || bytes(26) != 0 || bytes(27) != 0 ||
         w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14))
       return None
     // chunk walk: concatenate IDAT payloads until IEND; capture PLTE
@@ -305,7 +363,14 @@ object Multimodal {
     }
     if (colorType == 3 && palette == null) return None
     val stride = w * bpp
-    val expected = h * (stride + 1)
+    // interlaced streams carry one filter byte per PASS scanline, so the
+    // inflated size is the sum over present passes
+    val expected =
+      if (interlace == 0) h * (stride + 1)
+      else Adam7.map { p =>
+        val (wp, hp) = passDims(w, h, p)
+        if (wp > 0 && hp > 0) hp * (wp * bpp + 1) else 0
+      }.sum
     // a crafted 33-byte header could otherwise demand ~805 MB of decode
     // buffers before any IDAT validation: cap the decoded size, and
     // require the compressed stream to be at least expected/1032 bytes
@@ -329,35 +394,34 @@ object Multimodal {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
     if (got < expected) return None
-    // invert scanline filters into img (reconstructed bytes feed the
-    // next row's predictions, per spec)
+    // invert scanline filters into img: one shot for sequential files;
+    // per-pass unfilter + grid scatter for Adam7
     val img = new Array[Byte](h * stride)
-    var r = 0
-    while (r < h) {
-      val ft = raw(r * (stride + 1)) & 0xff
-      if (ft > 4) return None
-      val rowOff = r * (stride + 1) + 1
-      val outOff = r * stride
-      var i = 0
-      while (i < stride) {
-        val x = raw(rowOff + i) & 0xff
-        val a = if (i >= bpp) img(outOff + i - bpp) & 0xff else 0
-        val b = if (r > 0) img(outOff - stride + i) & 0xff else 0
-        val c = if (r > 0 && i >= bpp) img(outOff - stride + i - bpp) & 0xff else 0
-        val v = ft match {
-          case 0 => x
-          case 1 => x + a
-          case 2 => x + b
-          case 3 => x + ((a + b) >> 1)
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+    if (interlace == 0) {
+      val flat = unfilterRows(raw, 0, h, stride, bpp)
+      if (flat == null) return None
+      System.arraycopy(flat, 0, img, 0, flat.length)
+    } else {
+      var off = 0
+      Adam7.foreach { case p @ (xs, ys, xst, yst) =>
+        val (wp, hp) = passDims(w, h, p)
+        if (wp > 0 && hp > 0) {
+          val ps = wp * bpp
+          val sub = unfilterRows(raw, off, hp, ps, bpp)
+          if (sub == null) return None
+          var rr = 0
+          while (rr < hp) {
+            var cc = 0
+            while (cc < wp) {
+              System.arraycopy(sub, rr * ps + cc * bpp,
+                img, (ys + rr * yst) * stride + (xs + cc * xst) * bpp, bpp)
+              cc += 1
+            }
+            rr += 1
+          }
+          off += hp * (ps + 1)
         }
-        img(outOff + i) = (v & 0xff).toByte
-        i += 1
       }
-      r += 1
     }
     // pixel fold, mirroring parseBmp's feature layout; palette images
     // fold the LOOKED-UP RGB (what the pixels mean), not the raw
@@ -434,10 +498,14 @@ object Multimodal {
     * `(seed + j*11 + c*97) mod 256` (+780 bytes; every index valid).
     * colorType 4/6 add the alpha plane (2/4 channels); bitDepth 16
     * doubles bpp with the same per-BYTE closed form, so the decoded
-    * high-byte fold stays closed-form too.
+    * high-byte fold stays closed-form too. `interlaced = true` writes
+    * Adam7 pass order (each pass filtered independently, filter type
+    * cycling per pass row) — the DECODED pixels are the identical
+    * closed form, so every oracle statistic carries over; only the
+    * total file size changes (one filter byte per pass scanline).
     */
   def makePng(w: Int, h: Int, seed: Long, colorType: Int = 2,
-              bitDepth: Int = 8): Array[Byte] = {
+              bitDepth: Int = 8, interlaced: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 256 && h <= 256, s"fixture dims $w x $h")
     require(Set(0, 2, 3, 4, 6).contains(colorType), s"colorType $colorType")
     require(bitDepth == 8 || (bitDepth == 16 && colorType != 3),
@@ -449,32 +517,61 @@ object Multimodal {
       val r = i / stride; val k = i % stride
       ((seed + r * 31L + k * 7L) % 256).toByte
     }
-    val raw = new Array[Byte](h * (stride + 1))
-    var r = 0
-    while (r < h) {
-      val ft = r % 5
-      raw(r * (stride + 1)) = ft.toByte
-      var i = 0
-      while (i < stride) {
-        val x = img(r * stride + i) & 0xff
-        val a = if (i >= bpp) img(r * stride + i - bpp) & 0xff else 0
-        val b = if (r > 0) img((r - 1) * stride + i) & 0xff else 0
-        val c = if (r > 0 && i >= bpp) img((r - 1) * stride + i - bpp) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => a
-          case 2 => b
-          case 3 => (a + b) >> 1
-          case 4 =>
-            val p = a + b - c
-            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    // filter `rows` scanlines of a (sub-)image with ft = row % 5, so one
+    // fixture exercises every filter type — per pass when interlaced
+    def filterRows(src: Array[Byte], rows: Int, st: Int): Array[Byte] = {
+      val out = new Array[Byte](rows * (st + 1))
+      var r = 0
+      while (r < rows) {
+        val ft = r % 5
+        out(r * (st + 1)) = ft.toByte
+        var i = 0
+        while (i < st) {
+          val x = src(r * st + i) & 0xff
+          val a = if (i >= bpp) src(r * st + i - bpp) & 0xff else 0
+          val b = if (r > 0) src((r - 1) * st + i) & 0xff else 0
+          val c = if (r > 0 && i >= bpp) src((r - 1) * st + i - bpp) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) >> 1
+            case 4 =>
+              val p = a + b - c
+              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+          }
+          out(r * (st + 1) + 1 + i) = ((x - pred) & 0xff).toByte
+          i += 1
         }
-        raw(r * (stride + 1) + 1 + i) = ((x - pred) & 0xff).toByte
-        i += 1
+        r += 1
       }
-      r += 1
+      out
     }
+    val raw: Array[Byte] =
+      if (!interlaced) filterRows(img, h, stride)
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        Adam7.foreach { case p @ (xs, ys, xst, yst) =>
+          val (wp, hp) = passDims(w, h, p)
+          if (wp > 0 && hp > 0) {
+            val ps = wp * bpp
+            val sub = new Array[Byte](hp * ps)
+            var rr = 0
+            while (rr < hp) {
+              var cc = 0
+              while (cc < wp) {
+                System.arraycopy(img, (ys + rr * yst) * stride + (xs + cc * xst) * bpp,
+                  sub, rr * ps + cc * bpp, bpp)
+                cc += 1
+              }
+              rr += 1
+            }
+            bos.write(filterRows(sub, hp, ps))
+          }
+        }
+        bos.toByteArray
+      }
     // zlib: 2-byte header + stored deflate blocks + Adler32 of the raw
     val adler = new java.util.zip.Adler32()
     adler.update(raw)
@@ -517,7 +614,8 @@ object Multimodal {
     ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
     ihdr(4) = ((h >> 24) & 0xff).toByte; ihdr(5) = ((h >> 16) & 0xff).toByte
     ihdr(6) = ((h >> 8) & 0xff).toByte; ihdr(7) = (h & 0xff).toByte
-    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte // compression/filter/interlace stay 0
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte // compression/filter stay 0
+    ihdr(12) = (if (interlaced) 1 else 0).toByte // Adam7 flag
     // palette fixtures carry a full 256-entry PLTE (every index valid)
     // with its own closed form: entry j channel c = (seed + j*11 + c*97) mod 256
     val plte =

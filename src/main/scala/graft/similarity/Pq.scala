@@ -69,13 +69,35 @@ object Pq {
     round(selfDot - lit(2.0) * VectorOps.dot(sub, blit) + lit(bv.map(x => x * x).sum), 6)
   }
 
+  /** The m × ksub × dsub entry tensor in ascending-j order — the shape
+    * the [[graft.functions.PqKernels]] expressions take.
+    */
+  private def bookTensor(cb: Codebooks): Seq[Seq[Seq[Double]]] =
+    cb.books.map(_.sortBy(_._1).map(_._2))
+
   /** Encode the corpus: (cid, codes) where `codes(s)` is the argmin
     * codebook entry of subspace s (ROUNDed d², index tie-break). One
-    * narrow pass, no shuffle, fully codegen'd.
+    * narrow pass, no shuffle, fully codegen'd via the runtime-looped
+    * [[graft.functions.PqKernels.codes]] kernel — the unrolled
+    * `array_min(array(struct(…)))` form ([[encodeUnrolled]], bit-equal,
+    * spec-pinned) blows janino's 64 KB method limit at m·ksub = 64 and
+    * silently falls back to interpreted.
     */
   def encode(corpus: DataFrame, cb: Codebooks,
              idCol: String = "vec_id", vecCol: String = "embedding",
-             passthrough: Seq[String] = Nil): DataFrame = {
+             passthrough: Seq[String] = Nil): DataFrame =
+    corpus.select(col(idCol).as("cid") +:
+      graft.functions.PqKernels.codes(col(vecCol), bookTensor(cb)).as("codes") +:
+      passthrough.map(col): _*)
+
+  /** The pre-round-14 unrolled encode — retained as the semantic
+    * reference for the kernel-equivalence spec ONLY (it compiles to one
+    * >64 KB generated method and runs interpreted after the janino
+    * failure; never use it on a measured path).
+    */
+  private[graft] def encodeUnrolled(corpus: DataFrame, cb: Codebooks,
+                                    idCol: String = "vec_id", vecCol: String = "embedding",
+                                    passthrough: Seq[String] = Nil): DataFrame = {
     val codes = (0 until cb.m).map { s =>
       val sub = slice(col(vecCol), s * cb.dsub + 1, cb.dsub)
       val selfDot = VectorOps.dot(sub, sub)
@@ -255,10 +277,30 @@ object Pq {
 
   /** Per-query ADC lookup table: (qid, s, j, lutv) — micro-unit BIGINT
     * d²(query-subvector, codebook entry); |queries|·m·ksub rows,
-    * broadcast at every use site.
+    * broadcast at every use site. The flat per-row table comes from the
+    * runtime-looped [[graft.functions.PqKernels.lut]] kernel (one small
+    * generated loop nest) and (s, j) are recovered from the slot index —
+    * the unrolled explode-of-64-literal-structs form ([[lutForUnrolled]],
+    * bit-equal, spec-pinned) was the round-13 janino 64 KB failure.
     */
   private def lutFor(queries: DataFrame, cb: Codebooks,
                      idCol: String, vecCol: String): DataFrame = {
+    val ksub = cb.books.head.length
+    queries
+      .select(col(idCol).as("qid"),
+        posexplode(graft.functions.PqKernels.lut(col(vecCol), bookTensor(cb)))
+          .as(Seq("idx", "lutv")))
+      .select(col("qid"),
+        floor(col("idx") / lit(ksub)).cast("int").as("s"),
+        (col("idx") % lit(ksub)).cast("int").as("j"),
+        col("lutv"))
+  }
+
+  /** The pre-round-14 unrolled LUT — the kernel-equivalence spec's
+    * reference form only (interpreted after the janino failure).
+    */
+  private[graft] def lutForUnrolled(queries: DataFrame, cb: Codebooks,
+                                    idCol: String, vecCol: String): DataFrame = {
     val lutEntries = (0 until cb.m).flatMap { s =>
       val sub = slice(col(vecCol), s * cb.dsub + 1, cb.dsub)
       val selfDot = VectorOps.dot(sub, sub)

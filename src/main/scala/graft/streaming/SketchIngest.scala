@@ -135,13 +135,27 @@ object SketchIngest {
     * segment table ((d+1)(d+2)/2 rows per batch), with the corpus never
     * re-scanned. Sum-merge makes reads batch-split invariant by algebra,
     * the same contract as the quantile histograms.
+    *
+    * `batchIdOffset` shifts this stream's segment keys by a constant —
+    * the multi-feed convention: several ingest jobs (or corpus EPOCHS —
+    * last month's feed vs this week's) can share one segment table with
+    * disjoint batch_id ranges, so epoch-scoped reads (drift between two
+    * ranges, per-epoch components) are parquet partition filters on
+    * batch_id, and exactly-once stays per-stream (a retry overwrites its
+    * own shifted key; ranges never collide across feeds by construction
+    * — callers space offsets wider than any feed's batch count). Do NOT
+    * combine `compactEvery` with epoch-scoped reads: folding merges
+    * segments across batch_id boundaries, which is lossless for the
+    * "everything so far" read but erases the range identity an
+    * epoch-filtered read keys on.
     */
   def startMoments(stream: DataFrame, path: String, checkpoint: String,
                    dim: Int, vecCol: String = "embedding",
-                   compactEvery: Int = 0): StreamingQuery =
+                   compactEvery: Int = 0, batchIdOffset: Long = 0L): StreamingQuery =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendMomentBatch(batch, batchId, dim, vecCol, path, compactEvery)
+        appendMomentBatch(batch, batchId + batchIdOffset, dim, vecCol, path,
+          compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -168,9 +168,10 @@ object Decontaminate {
     * wrapper is tuned for recall where the shared LSH machinery tunes
     * for cost: (1) default banding is 16 bands × 1 row — a pair
     * becomes a candidate when ANY signature slot agrees; (2) the
-    * MinHash ESTIMATE prefilter is disabled (the LSH runs at threshold
-    * 0 and the exact token-Jaccard ≥ `threshold` filter is applied
-    * here, on verified pairs). The prefilter is unsafe for borderline
+    * MinHash ESTIMATE prefilter is disabled ([[NearDup
+    * .minHashLshAgainstCorpus]]'s `estPrefilter = false` knob — the
+    * exact token-Jaccard ≥ `threshold` runs on every banded
+    * candidate). The prefilter is unsafe for borderline
     * pairs under the Kirsch–Mitzenmacher double-hash family: slot
     * agreement is BIMODAL, not binomial — one unshared shingle whose
     * h2 is small can win every g_i = h1 + i·h2 minimum, so a pair with
@@ -196,8 +197,7 @@ object Decontaminate {
         col(textCol).as("text"))
     val pairs = NearDup.minHashLshAgainstCorpus(
       prefixed(train, "t:"), prefixed(bench, "b:"), "id", "text",
-      bands, rowsPerBand, threshold = 0.0, maxBucket)
-      .filter(col("jaccard") >= threshold)
+      bands, rowsPerBand, threshold, maxBucket, estPrefilter = false)
     val flagged = pairs.groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_bench_matches"), max(col("jaccard")).as("max_jaccard"))
     train
@@ -207,37 +207,170 @@ object Decontaminate {
       .select("id", "n_bench_matches", "max_jaccard")
   }
 
-  /** Persist the benchmark as a near-dup index ([[NearDup
-    * .writeNearDupIndex]] layout: (id, sig, toks), ids prefixed into the
-    * "b:" space so [[flagNearContaminatedAgainstIndex]] can never drop a
-    * numeric id collision) — the STEADY-STATE fuzzy-decontam loop:
-    * benchmark sets change rarely, daily batches arrive constantly, so
-    * the bench side's signature work is paid once at index build and
-    * every batch pays only its own signature pass. Appends and erases
-    * compose through the NearDup index verbs on the same path.
+  // -------------------------------------------------------------------
+  // Persistent benchmark index — the STEADY-STATE fuzzy-decontam loop:
+  // benchmark sets change rarely, daily batches arrive constantly, so
+  // the bench side's signature AND banding work is paid once at index
+  // build and every batch pays only its own signature pass. Layout
+  // (mirrors [[graft.text.Bm25]]'s pbucket scheme):
+  //
+  //   path/sig   : (id, sig, toks) partitioned by batch_id — the
+  //                verification tokens and, for re-banding after a
+  //                config change, the raw signatures
+  //   path/bands : (id, band, bh) partitioned by (batch_id, bbucket)
+  //                with bbucket = pmod(hash(bh), nBuckets) — a probe
+  //                lists only the buckets its OWN band hashes land in
+  //                (parquet partition pruning on a bounded-cardinality
+  //                key), instead of scanning the full signature table
+  //                per query batch (the round-13 design watch)
+  //   path/meta  : one row (bands, rows_per_band, n_buckets) — the
+  //                stored banding IS the probe banding; a mismatched
+  //                probe fails loudly instead of silently hashing
+  //                against different band boundaries
+  //   path/tombstones : erased ids (append-only; anti-joined at read)
+  //
+  // Ids live in the prefixed "b:" space so a probe can never drop a
+  // numeric id collision with a training doc (see
+  // [[flagNearContaminated]]). Exactly-once: segments follow the
+  // [[graft.ops.Segments]] batch_id convention.
+  // -------------------------------------------------------------------
+
+  private def bbucket(bh: Column, nBuckets: Int): Column =
+    pmod(hash(bh), lit(nBuckets))
+
+  private def benchPrefixed(bench: DataFrame, idCol: String, textCol: String) =
+    bench.select(concat(lit("b:"), col(idCol).cast("string")).as("id"),
+      col(textCol).as("text"))
+
+  private def writeBenchSegment(bench: DataFrame, idCol: String, textCol: String,
+                                path: String, bands: Int, rowsPerBand: Int,
+                                nBuckets: Int, mode: String,
+                                batchId: Option[Long]): Unit = {
+    // one signature pass feeds both tables (sig write + band derivation)
+    val idx = NearDup.nearDupIndex(
+      benchPrefixed(bench, idCol, textCol), "id", "text", bands * rowsPerBand)
+      .localCheckpoint()
+    graft.ops.Segments.writer(idx, mode, batchId)
+      .partitionBy("batch_id").parquet(s"$path/sig")
+    // repartition ON bbucket before partitionBy — the Bm25 fan-out rule:
+    // hashed-to-one-task buckets give ≈1 file per bucket per segment
+    // instead of tasks × buckets
+    val banded = NearDup.bandRows(idx.select("id", "sig"), bands, rowsPerBand)
+      .withColumn("bbucket", bbucket(col("bh"), nBuckets))
+      .repartition(col("bbucket"))
+    graft.ops.Segments.writer(banded, mode, batchId)
+      .partitionBy("batch_id", "bbucket").parquet(s"$path/bands")
+  }
+
+  /** Persist the benchmark index (overwrite = full rebuild; the banding
+    * and bucket scheme are frozen into `path/meta` for appends/probes).
     */
   def writeBenchIndex(bench: DataFrame, idCol: String, textCol: String,
-                      path: String, numHashes: Int = 16): Unit =
-    NearDup.writeNearDupIndex(
-      bench.select(concat(lit("b:"), col(idCol).cast("string")).as("id"),
-        col(textCol).as("text")),
-      "id", "text", numHashes, path)
+                      path: String, bands: Int = 16, rowsPerBand: Int = 1,
+                      nBuckets: Int = 16): Unit = {
+    val spark = bench.sparkSession
+    writeBenchSegment(bench, idCol, textCol, path, bands, rowsPerBand,
+      nBuckets, "overwrite", None)
+    import spark.implicits._
+    Seq((bands, rowsPerBand, nBuckets)).toDF("bands", "rows_per_band", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
 
-  /** [[flagNearContaminated]] against a stored benchmark index — the
-    * same recall posture (16×1 banding on the stored signatures,
-    * estimate prefilter disabled, exact token-Jaccard on verified
-    * pairs); `bands × rowsPerBand` must equal the index's `numHashes`.
+  /** The stored banding config — read once per append/probe (3 ints). */
+  private def readBenchMeta(spark: org.apache.spark.sql.SparkSession,
+                            path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").collect().head
+    (r.getAs[Int]("bands"), r.getAs[Int]("rows_per_band"), r.getAs[Int]("n_buckets"))
+  }
+
+  /** Append new benchmark items (a refreshed eval set): banding/buckets
+    * come off the stored meta so appended rows land in the same bucket
+    * space. Pass `batchId` from a streaming `foreachBatch` for
+    * exactly-once retries.
+    */
+  def appendBenchIndex(bench: DataFrame, idCol: String, textCol: String,
+                       path: String, batchId: Option[Long] = None): Unit = {
+    val (bands, rowsPerBand, nBuckets) = readBenchMeta(bench.sparkSession, path)
+    writeBenchSegment(bench, idCol, textCol, path, bands, rowsPerBand,
+      nBuckets, "append", batchId)
+  }
+
+  /** Erase benchmark items WITHOUT rebuild (a retired eval set): raw
+    * bench ids land as "b:"-prefixed tombstones, anti-joined out of
+    * every read. Idempotent — the anti-join doesn't care how many
+    * tombstone rows an id has.
+    */
+  def deleteFromBenchIndex(ids: DataFrame, path: String,
+                           idCol: String = "doc_id"): Unit =
+    ids.select(concat(lit("b:"), col(idCol).cast("string")).as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def minusBenchTombstones(spark: org.apache.spark.sql.SparkSession,
+                                   df: DataFrame, path: String): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t)) df
+    else df.join(broadcast(spark.read.parquet(s"$path/tombstones")),
+      Seq("id"), "left_anti")
+  }
+
+  /** [[flagNearContaminated]] against the stored benchmark index — the
+    * same recall posture (banding per the STORED meta, estimate
+    * prefilter disabled by construction, exact token-Jaccard on
+    * verified pairs). The batch's band rows prune the stored band read
+    * to their own buckets (parquet partition pruning — the probe never
+    * scans the full signature table); bucket caps count live stored
+    * rows per (band, bh), exact under pruning because a band hash lives
+    * entirely inside one bucket. `bands × rowsPerBand` must match the
+    * stored meta — a mismatch would silently band against different
+    * boundaries, so it fails loudly instead (r13 ADVICE).
     */
   def flagNearContaminatedAgainstIndex(train: DataFrame, indexPath: String,
                                        idCol: String, textCol: String,
                                        bands: Int = 16, rowsPerBand: Int = 1,
                                        threshold: Double = 0.7,
                                        maxBucket: Int = 1000): DataFrame = {
-    val idx = NearDup.readNearDupIndex(train.sparkSession, indexPath)
-    val pairs = NearDup.minHashLshAgainstIndex(
-      train.select(concat(lit("t:"), col(idCol).cast("string")).as("id"),
-        col(textCol).as("text")),
-      idx, "id", "text", bands, rowsPerBand, threshold = 0.0, maxBucket)
+    val spark = train.sparkSession
+    val (storedBands, storedRpb, nBuckets) = readBenchMeta(spark, indexPath)
+    require(storedBands == bands && storedRpb == rowsPerBand,
+      s"probe banding ${bands}x$rowsPerBand != stored index banding " +
+        s"${storedBands}x$storedRpb at $indexPath — rebuild or re-band the index")
+    val newPrefixed = train.select(
+      concat(lit("t:"), col(idCol).cast("string")).as("id"),
+      col(textCol).as("text"))
+    // one signature pass over the BATCH; banded twice (bucket list +
+    // candidate join) and joined once more for nothing — the sig table
+    // is batch-sized, so materialize it
+    val newSig = NearDup.signatures(newPrefixed, "id", "text",
+      bands * rowsPerBand).localCheckpoint()
+    val newBand = NearDup.bandRows(newSig, bands, rowsPerBand)
+      .withColumn("bbucket", bbucket(col("bh"), nBuckets))
+      .localCheckpoint()
+    val buckets = newBand.select("bbucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val seenBand = minusBenchTombstones(spark,
+      spark.read.parquet(s"$indexPath/bands")
+        .filter(col("bbucket").isin(buckets: _*)) // static partition pruning
+        .drop("bbucket", "batch_id"),
+      indexPath)
+    val okBuckets = seenBand.groupBy("band", "bh").count()
+      .filter(col("count") <= maxBucket).select("band", "bh")
+    val candidates = newBand
+      .select(col("band"), col("bh"), col("id").as("new_id"))
+      .join(seenBand.join(okBuckets, Seq("band", "bh"))
+        .select(col("band"), col("bh"), col("id").as("seen_id")), Seq("band", "bh"))
+      .select("new_id", "seen_id").distinct()
+    // recall posture: NO estimate prefilter — exact token-Jaccard on
+    // every banded candidate (see flagNearContaminated's scaladoc)
+    val newToks = train.select(
+      concat(lit("t:"), col(idCol).cast("string")).as("new_id"),
+      array_distinct(graft.text.TextAnalysis.tokens(col(textCol))).as("toks_a"))
+    val seenToks = minusBenchTombstones(spark,
+        spark.read.parquet(s"$indexPath/sig"), indexPath)
+      .select(col("id").as("seen_id"), col("toks").as("toks_b"))
+    val pairs = candidates
+      .join(newToks, "new_id").join(seenToks, "seen_id")
+      .select(col("new_id"), col("seen_id"),
+        NearDup.jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     val flagged = pairs.groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_bench_matches"), max(col("jaccard")).as("max_jaccard"))

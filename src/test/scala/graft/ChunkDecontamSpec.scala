@@ -163,10 +163,11 @@ class ChunkDecontamSpec extends SparkTestBase {
       .orderBy("id").collect().toSeq
     assert(indexed === fromRaw)
     assert(indexed.map(_.getLong(0)) === Seq(0L, 1L, 2L))
-    // erase benchmark item 100 from the index (prefixed id space): train
-    // doc 0 (its near-dup) is no longer flagged
+    // erase benchmark item 100 from the index (raw bench id — the verb
+    // prefixes internally): train doc 0 (its near-dup) is no longer
+    // flagged
     import spark.implicits._
-    graft.dedup.NearDup.deleteFromNearDupIndex(Seq("b:100").toDF("id"), idx)
+    graft.text.Decontaminate.deleteFromBenchIndex(Seq(100L).toDF("doc_id"), idx)
     val afterErase = graft.text.Decontaminate.flagNearContaminatedAgainstIndex(
       fTrain, idx, "doc_id", "text", threshold = 0.85)
       .collect().map(_.getLong(0)).toSet
@@ -176,6 +177,39 @@ class ChunkDecontamSpec extends SparkTestBase {
       fTrain, idx, "doc_id", "text", threshold = 0.85)
       .collect().map(_.getLong(0)).toSet
     assert(kept === Set(0L, 50L))
+    // append a NEW benchmark item that train doc 50 copies: the stored
+    // banding/buckets come off meta, and the next probe flags doc 50
+    val extra = Seq((200L, (0 until 30).map(j => s"cw$j")
+      .updated(15, "EDIT").mkString(" "))).toDF("doc_id", "text")
+    graft.text.Decontaminate.appendBenchIndex(extra, "doc_id", "text", idx)
+    val afterAppend = graft.text.Decontaminate.flagNearContaminatedAgainstIndex(
+      fTrain, idx, "doc_id", "text", threshold = 0.85)
+      .collect().map(_.getLong(0)).toSet
+    assert(afterAppend === Set(1L, 2L, 50L))
+    // a probe with banding different from the stored meta fails loudly
+    // instead of silently hashing against other band boundaries
+    val err = intercept[IllegalArgumentException] {
+      graft.text.Decontaminate.flagNearContaminatedAgainstIndex(
+        fTrain, idx, "doc_id", "text", bands = 4, rowsPerBand = 4)
+    }
+    assert(err.getMessage.contains("banding"))
+  }
+
+  test("indexed fuzzy decontam probe prunes the stored band read to its own buckets") {
+    val fBench = (0 until 6).map { d =>
+      (100L + d, (0 until 24).map(i => s"b${d}w$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    // ONE short train doc → few band hashes → strictly fewer than all 8
+    // buckets probed; the bands scan must carry a PartitionFilters
+    // bbucket restriction (partition pruning, not a full-table read)
+    val fTrain = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("fz_prune").resolve("idx").toString
+    graft.text.Decontaminate.writeBenchIndex(fBench, "doc_id", "text", idx, nBuckets = 8)
+    val plan = graft.text.Decontaminate.flagNearContaminatedAgainstIndex(
+      fTrain, idx, "doc_id", "text", threshold = 0.85)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bbucket".r.findFirstIn(plan).isDefined,
+      s"stored band read must prune to the batch's buckets:\n$plan")
   }
 
   test("removeNearContaminated: anti-join keeps exactly the unflagged docs") {

@@ -308,12 +308,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decode(4L, deep).format === "stub")
     val rgba = Multimodal.makePng(3, 3, 1); rgba(25) = 6
     assert(Multimodal.decode(7L, rgba).format === "stub")
-    // interlaced (Adam7) remains header-rejected
+    // a LYING interlace flag on a sequential stream (pass layout needs
+    // more scanline bytes than the stream holds) rejects on the
+    // inflate-size check — real Adam7 files decode (see the interlace
+    // round-trip tests)
     val adam7 = Multimodal.makePng(3, 3, 1); adam7(28) = 1
     assert(Multimodal.decode(5L, adam7).format === "stub")
+    // interlace methods beyond Adam7 are header-rejected
+    val badIl = Multimodal.makePng(3, 3, 1); badIl(28) = 2
+    assert(Multimodal.decode(8L, badIl).format === "stub")
     // palette color type WITHOUT a PLTE chunk (spec violation) rejects
     val pal = Multimodal.makePng(3, 3, 1); pal(25) = 3
     assert(Multimodal.decode(6L, pal).format === "stub")
+  }
+
+  test("parsePng: Adam7 interlaced round-trip ≡ sequential decode, all 7 passes") {
+    // 16×16 places pixels on every pass; each pass filters its rows
+    // with type (pass-row mod 5), so the decode must reset filter
+    // predictors per pass AND scatter onto the right grid cells — any
+    // off-by-one reads as a wrong pixel sum vs the sequential twin
+    for ((w, h) <- Seq((16, 16), (5, 7), (1, 1), (2, 3), (8, 1), (1, 9))) {
+      val seq = Multimodal.parsePng(1L, Multimodal.makePng(w, h, seed = 42)).get
+      val il = Multimodal.parsePng(1L,
+        Multimodal.makePng(w, h, seed = 42, interlaced = true)).get
+      assert(il.width === seq.width && il.height === seq.height, s"dims at ${w}x$h")
+      assert(il.features.toSeq === seq.features.toSeq,
+        s"interlaced decode diverged from sequential at ${w}x$h")
+    }
+  }
+
+  test("parsePng: Adam7 interlaced RGBA and 16-bit variants round-trip too") {
+    // bpp > 3 exercises whole-pixel scatter (arraycopy length = bpp)
+    for ((ct, depth) <- Seq((6, 8), (0, 8), (2, 16))) {
+      val seq = Multimodal.parsePng(1L,
+        Multimodal.makePng(6, 6, seed = 7, colorType = ct, bitDepth = depth)).get
+      val il = Multimodal.parsePng(1L,
+        Multimodal.makePng(6, 6, seed = 7, colorType = ct, bitDepth = depth,
+          interlaced = true)).get
+      assert(il.features.toSeq === seq.features.toSeq, s"ct=$ct depth=$depth")
+    }
   }
 
   test("parsePng: RGBA (type 6) decodes — alpha folds into feature slot 7") {

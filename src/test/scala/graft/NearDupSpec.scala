@@ -182,6 +182,41 @@ class NearDupSpec extends SparkTestBase {
     assert(got(2L).forall(_ == null))         // array_min of all-null is NULL
   }
 
+  test("estPrefilter=false: the recall posture catches every planted single edit") {
+    // the round-13 bimodal-slot probe: 20 bench docs of 24-40 tokens,
+    // each train doc a single-mid-word edit of one — under dedup
+    // defaults (4×4 banding + estimate prefilter) the Kirsch–
+    // Mitzenmacher slot agreement is bimodal and the probe measured
+    // 16/20; the documented recall knob (1-row bands, prefilter OFF)
+    // must read 20/20 with zero false positives on the clean docs
+    val benches = (0 until 20).map { d =>
+      val len = 24 + (d % 5) * 4
+      (100L + d, (0 until len).map(i => s"b${d}w$i").mkString(" "))
+    }
+    val planted = benches.zipWithIndex.map { case ((_, text), d) =>
+      val toks = text.split(" ")
+      (d.toLong, toks.updated(toks.length / 2, "EDIT").mkString(" "))
+    }
+    val clean = (50L until 55L).map(i =>
+      (i, (0 until 30).map(j => s"c${i}w$j").mkString(" ")))
+    val batch = (planted ++ clean).toDF("doc_id", "text")
+    val seen = benches.toDF("doc_id", "text")
+    val recall = NearDup.minHashLshAgainstCorpus(batch, seen, "doc_id", "text",
+      bands = 16, rowsPerBand = 1, threshold = 0.85, estPrefilter = false)
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    assert(recall === (0L until 20L).toSet,
+      s"recall posture missed ${(0L until 20L).toSet -- recall}")
+    // the cost posture on the same fixture is a SUBSET (never junk) —
+    // and on this designed-borderline fixture a strict one, which is
+    // exactly why the knob exists
+    val cost = NearDup.minHashLshAgainstCorpus(batch, seen, "doc_id", "text",
+      bands = 4, rowsPerBand = 4, threshold = 0.85)
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    assert(cost.subsetOf(recall))
+    assert(cost.size < 20, "fixture regression: the cost posture now reads 20/20, " +
+      "so it no longer demonstrates the bimodal-slot miss this spec pins")
+  }
+
   test("simHashNearDups: unsupported radii are rejected, never a degenerate join") {
     val sims = NearDup.simHash(docs, "doc_id", "text")
     val e = intercept[IllegalArgumentException] {

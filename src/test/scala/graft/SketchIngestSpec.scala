@@ -149,6 +149,45 @@ class SketchIngestSpec extends SparkTestBase {
     assert(viaSegments.nonEmpty)
   }
 
+  test("STREAMED epoch drift: z table invariant to each epoch's micro-batch cut") {
+    // both epochs arrive as multi-micro-batch STREAMS into ONE segment
+    // table (epoch B at a disjoint batchIdOffset range); the drift read
+    // slices by batch_id range and must equal the one-shot two-segment
+    // computation — sum-merge algebra says the z table cannot see how
+    // either feed was cut into batches
+    val tmp = java.nio.file.Files.createTempDirectory("stream_drift")
+    val seg = tmp.resolve("seg").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val epochA = emb.filter(col("vec_id") % 2 === 0)
+    val epochB = emb.filter(col("vec_id") % 2 =!= 0)
+    // different file counts → different micro-batch cuts per epoch
+    val multiA = tmp.resolve("a.parquet").toString
+    val multiB = tmp.resolve("b.parquet").toString
+    epochA.repartition(3).write.parquet(multiA)
+    epochB.repartition(5).write.parquet(multiB)
+    val off = 1L << 20
+    SketchIngest.startMoments(streamOf(multiA).select(col("embedding")),
+      seg, tmp.resolve("ckptA").toString, dim = 64).awaitTermination()
+    SketchIngest.startMoments(streamOf(multiB).select(col("embedding")),
+      seg, tmp.resolve("ckptB").toString, dim = 64, batchIdOffset = off)
+      .awaitTermination()
+    val stored = spark.read.parquet(seg)
+    // several batches landed per epoch (the cut is real)
+    val perEpoch = stored.select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).partition(_ < off)
+    assert(perEpoch._1.length >= 3 && perEpoch._2.length >= 5)
+    val streamed = graft.similarity.Pca.embeddingDrift(
+      stored.filter(col("batch_id") < off),
+      stored.filter(col("batch_id") >= off), dim = 64)
+      .orderBy("pos").collect().toSeq
+    val oneShot = graft.similarity.Pca.embeddingDrift(
+      graft.similarity.Pca.momentSegment(epochA, dim = 64),
+      graft.similarity.Pca.momentSegment(epochB, dim = 64), dim = 64)
+      .orderBy("pos").collect().toSeq
+    assert(streamed === oneShot)
+    assert(streamed.nonEmpty)
+  }
+
   test("in-loop compaction folds quantile segments without changing answers") {
     val tmp = java.nio.file.Files.createTempDirectory("stream_qsk_fold")
     val seg = tmp.resolve("seg").toString
