@@ -190,7 +190,7 @@ object Bench {
          n.startsWith("q_chunk") || n.startsWith("q_decontaminate") => "text"
     case "q_phrase_search" | "q_multi_phrase" | "q_multi_phrase_sweep" => "text"
     case "q_decontam_fuzzy" | "q_decontam_fuzzy_removed" | "q_decontam_fuzzy_indexed" |
-         "q_decontam_fuzzy_steady" => "text"
+         "q_decontam_fuzzy_steady" | "q_decontam_chunked" => "text"
     case "q_bm25_topk" | "q_bm25_indexed" | "q_bm25_steady" | "q_bm25_deleted" |
          "q_boilerplate" | "q_lm_score" | "q_lm_kneser_ney" | "q_lang_id" |
          "q_pii_scrub" | "q_tfidf_topterms" | "q_vocabulary" |
@@ -240,6 +240,7 @@ object Bench {
     case "q_cdc_latest" => "streaming"
     case "q_multimodal_meta" | "q_frame_sample" | "q_bmp_decode" |
          "q_wav_decode" | "q_wav_frames" | "q_bmp_resize" |
+         "q_image_ahash" | "q_image_neardup" |
          "q_png_decode" | "q_png_alpha" | "q_png_16bit" | "q_png_interlaced" |
          "q_gif_decode" | "q_jpeg_decode" | "q_jpeg_progressive" => "multimodal"
     case _ => "other"

@@ -1417,6 +1417,49 @@ object SparkEntry {
     },
     qDecontamFuzzy.oracle)
 
+  /** CHUNKED fuzzy decontamination ([[graft.text.Decontaminate
+    * .flagNearContaminatedChunked]]) — the CONTAINMENT case: a (possibly
+    * edited) benchmark item EMBEDDED in a longer training doc, invisible
+    * to whole-doc Jaccard and, once edited, to the exact n-gram pass.
+    * Fixture: benchmark items are the 24-token PREFIXES of docs 450-469
+    * (so containment relationships exist in the synthetic corpus);
+    * training docs < 450 are cut into 24-token windows at stride 12 and
+    * window-vs-item matched at Jaccard ≥ 0.5. The oracle replays the
+    * window explode (ceil count, clamped tail slice), the full two-table
+    * LSH chain over the composite "t:<id>#<chunk>" key space, and the
+    * per-doc distinct-item aggregation.
+    */
+  private val qDecontamChunked = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.filter(col("doc_id") >= 450 && col("doc_id") < 470)
+        .select(col("doc_id"),
+          concat_ws(" ",
+            slice(graft.text.TextAnalysis.tokens(col("text")), 1, 24)).as("text"))
+      graft.text.Decontaminate.flagNearContaminatedChunked(
+        d.filter(col("doc_id") < 450), bench, "doc_id", "text",
+        chunkSize = 24, stride = 12, threshold = 0.5)
+        .orderBy("id")
+    },
+    Some(s"""WITH ttk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                          FROM documents WHERE doc_id < 450),
+            nch AS (SELECT doc_id, i.i AS ci,
+                           array_to_string(tk[i.i*12+1 : i.i*12+24], ' ') AS text
+                    FROM ttk JOIN generate_series(0, 300) i(i)
+                      ON i.i < GREATEST(CAST(CEIL((len(tk) - 24) / 12.0) + 1 AS INT), 1)),
+            nbase AS (SELECT 't:' || CAST(doc_id AS VARCHAR) || '#' || CAST(ci AS VARCHAR) AS id,
+                             text FROM nch),
+            sbase AS (SELECT 'b:' || CAST(doc_id AS VARCHAR) AS id,
+                             array_to_string(string_split(text, ' ')[1:24], ' ') AS text
+                      FROM documents WHERE doc_id >= 450 AND doc_id < 470),
+            ${minHashXPairsCtes(bands = 16, rowsPerBand = 1,
+                                threshold = 0.0, maxBucket = 1000)},
+            agg AS (SELECT CAST(string_split(substring(new_id, 3), '#')[1] AS BIGINT) AS id,
+                           CAST(COUNT(DISTINCT seen_id) AS BIGINT) AS n_bench_matches,
+                           MAX(jaccard) AS max_jaccard
+                    FROM xpairs WHERE jaccard >= 0.5 GROUP BY 1)
+            SELECT id, n_bench_matches, max_jaccard FROM agg ORDER BY id"""))
+
   /** The fuzzy filter form ([[graft.text.Decontaminate
     * .removeNearContaminated]]): the surviving id set after the
     * near-match anti-join — the operator a release pipeline composes.
@@ -3095,6 +3138,107 @@ object SparkEntry {
     * on-disk (bottom-up) rows, so src image row sy lives at disk row
     * h−1−sy, giving a closed-form byte sum over the 4×3×3 dst grid.
     */
+  /** Perceptual image hashing ([[graft.multimodal.Multimodal
+    * .imageAHashes]]): 64-bit average hash over the decoded 16×16 BMP
+    * grid — 8×8 block means vs the global mean, compared by EXACT
+    * integer cross-multiplication, so the oracle reconstructs every one
+    * of the 64 bits from the closed-form pixel bytes (bottom-up storage
+    * flipped to display rows) and assembles the hash through a HUGEINT
+    * accumulator wrapped to signed 64-bit.
+    */
+  private val qImageAHash = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(id => (id, graft.multimodal.Multimodal.makeBmp(16, 16, id)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imageAHashes(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH px AS (
+              SELECT d.doc_id, r.r AS r, x.x AS x,
+                     (d.doc_id + (15 - r.r) * 31 + (3*x.x + 0) * 7) % 256
+                   + (d.doc_id + (15 - r.r) * 31 + (3*x.x + 1) * 7) % 256
+                   + (d.doc_id + (15 - r.r) * 31 + (3*x.x + 2) * 7) % 256 AS gray
+              FROM documents d
+              JOIN generate_series(0, 15) r(r) ON TRUE
+              JOIN generate_series(0, 15) x(x) ON TRUE),
+            tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+            blk AS (SELECT doc_id, r // 2 AS bi, x // 2 AS bj, SUM(gray) AS bsum
+                    FROM px GROUP BY 1, 2, 3),
+            bits AS (SELECT b.doc_id, bi, bj,
+                            CASE WHEN b.bsum * 256 >= t.total * 4 THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id)),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
+            FROM hs ORDER BY doc_id"""))
+
+  /** Image near-dup pairs ([[graft.multimodal.Multimodal
+    * .imageNearDups]] — decode → aHash → the pigeonhole-blocked Hamming
+    * join): ids share one of 40 image seeds, and every second seed
+    * cohort carries a ONE-PIXEL edit (display (0,0) blown to white) —
+    * exact copies pair at Hamming 0, edited-vs-clean pairs land
+    * wherever the block arithmetic puts them, and the oracle replays
+    * hash construction AND the brute-force Hamming filter, so the
+    * blocked join is checked against ground truth on data with real
+    * near-miss structure.
+    */
+  private val qImageNearDup = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter(col("doc_id") < 200)
+        .map { id =>
+          val b = graft.multimodal.Multimodal.makeBmp(16, 16, id % 40)
+          if ((id / 40) % 2 == 1) {
+            // storage row 15 = display row 0; stride(w=16) = 48
+            val base = 54 + 15 * 48
+            b(base) = 255.toByte; b(base + 1) = 255.toByte; b(base + 2) = 255.toByte
+          }
+          (id, b)
+        }.toDF("doc_id", "payload")
+      val hashes = graft.multimodal.Multimodal.imageAHashes(s, bins)
+      graft.multimodal.Multimodal.imageNearDups(hashes, maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH px AS (
+              SELECT d.doc_id, r.r AS r, x.x AS x,
+                     CASE WHEN (d.doc_id // 40) % 2 = 1 AND r.r = 0 AND x.x = 0
+                          THEN 765
+                          ELSE (d.doc_id % 40 + (15 - r.r) * 31 + (3*x.x + 0) * 7) % 256
+                             + (d.doc_id % 40 + (15 - r.r) * 31 + (3*x.x + 1) * 7) % 256
+                             + (d.doc_id % 40 + (15 - r.r) * 31 + (3*x.x + 2) * 7) % 256
+                     END AS gray
+              FROM documents d
+              JOIN generate_series(0, 15) r(r) ON TRUE
+              JOIN generate_series(0, 15) x(x) ON TRUE
+              WHERE d.doc_id < 200),
+            tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+            blk AS (SELECT doc_id, r // 2 AS bi, x // 2 AS bj, SUM(gray) AS bsum
+                    FROM px GROUP BY 1, 2, 3),
+            bits AS (SELECT b.doc_id, bi, bj,
+                            CASE WHEN b.bsum * 256 >= t.total * 4 THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id)),
+            hs AS (SELECT doc_id,
+                          CAST(CASE WHEN s >= 9223372036854775808
+                               THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
+                   FROM (SELECT doc_id,
+                                SUM(CASE WHEN bit = 1
+                                    THEN (1::HUGEINT << (bi*8 + bj))
+                                    ELSE 0::HUGEINT END) AS s
+                         FROM bits GROUP BY doc_id)),
+            pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                             CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+                      FROM hs a JOIN hs b ON a.doc_id < b.doc_id)
+            SELECT id_a, id_b, hamming FROM pairs
+            WHERE hamming <= 6 ORDER BY id_a, id_b"""))
+
   private val qBmpResize = Q(
     (s, dir) => {
       import s.implicits._
@@ -7545,6 +7689,7 @@ object SparkEntry {
     "q_decontam_fuzzy_removed" -> qDecontamFuzzyRemoved,
     "q_decontam_fuzzy_indexed" -> qDecontamFuzzyIndexed,
     "q_decontam_fuzzy_steady" -> qDecontamFuzzySteady,
+    "q_decontam_chunked" -> qDecontamChunked,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_decontaminate_removed" -> qDecontaminateRemoved,
     "q_frame_sample" -> qFrameSample,
@@ -7576,6 +7721,8 @@ object SparkEntry {
     "q_multimodal_meta" -> qMultimodal,
     "q_bmp_decode" -> qBmpDecode,
     "q_bmp_resize" -> qBmpResize,
+    "q_image_ahash" -> qImageAHash,
+    "q_image_neardup" -> qImageNearDup,
     "q_wav_decode" -> qWavDecode,
     "q_wav_frames" -> qWavFrames,
     "q_sessionize" -> qSessionize,

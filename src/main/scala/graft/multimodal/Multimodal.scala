@@ -1914,6 +1914,124 @@ object Multimodal {
     out
   }
 
+  // ---- perceptual image hashing (aHash) + near-dup --------------------
+  // The image twin of text MinHash dedup: a 64-bit AVERAGE HASH over the
+  // decoded pixel grid (8×8 block means vs the global mean — the classic
+  // public aHash construction), then near-dup pairs via the SAME
+  // pigeonhole-blocked Hamming join the SimHash path uses
+  // ([[graft.dedup.NearDup.simHashNearDups]]) — never all-pairs. At
+  // 100 TB the decode+hash is one scan-stage mapPartitions pass and
+  // everything downstream moves (id, 8-byte hash) rows only.
+
+  /** Grayscale grid of a 24-bpp BMP in DISPLAY orientation: (w, h, gray)
+    * with gray(r·w+x) = b+g+r channel sum (scale-free — every aHash
+    * comparison is a ratio, so the /3 normalization cancels). Bottom-up
+    * storage (positive height) flips to display rows; top-down (negative
+    * height) reads straight. Same header validation as [[parseBmp]].
+    */
+  private def bmpGrayGrid(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
+      return None
+    val pixelOff = le32(bytes, 10)
+    val dibSize = le32(bytes, 14)
+    val w = le32(bytes, 18)
+    val hRaw = le32(bytes, 22)
+    val h = math.abs(hRaw)
+    if (dibSize < 40 || le16(bytes, 26) != 1 || le16(bytes, 28) != 24 ||
+        le32(bytes, 30) != 0 || w <= 0 || h == 0 || w > (1 << 14) || h > (1 << 14))
+      return None
+    val stride = ((3 * w + 3) / 4) * 4
+    if (pixelOff < 54 || pixelOff.toLong + stride.toLong * h > bytes.length)
+      return None
+    val gray = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val display = if (hRaw > 0) h - 1 - row else row
+      val base = pixelOff + row * stride
+      var x = 0
+      while (x < w) {
+        gray(display * w + x) = (bytes(base + 3 * x) & 0xff) +
+          (bytes(base + 3 * x + 1) & 0xff) + (bytes(base + 3 * x + 2) & 0xff)
+        x += 1
+      }
+      row += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** 64-bit average hash of a grayscale grid: the image splits into an
+    * 8×8 grid of blocks (truncated-division bounds — row block bi spans
+    * [bi·h/8, (bi+1)·h/8)), and bit bi·8+bj is set iff the block's mean
+    * ≥ the global mean. The comparison is EXACT integer cross-
+    * multiplication (blockSum·nTotal ≥ totalSum·nBlock — no float mean,
+    * so the hash is bit-replayable by an external engine; the products
+    * stay under 2⁶⁰ at the 2¹⁴-pixel dimension cap). Images smaller than
+    * 8×8 have no meaningful hash → None.
+    */
+  private[graft] def aHash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w < 8 || h < 8) return None
+    var total = 0L
+    var i = 0
+    while (i < gray.length) { total += gray(i); i += 1 }
+    val nTotal = w.toLong * h
+    var hash = 0L
+    var bi = 0
+    while (bi < 8) {
+      val r0 = bi * h / 8; val r1 = (bi + 1) * h / 8
+      var bj = 0
+      while (bj < 8) {
+        val c0 = bj * w / 8; val c1 = (bj + 1) * w / 8
+        var blockSum = 0L
+        var r = r0
+        while (r < r1) {
+          var c = c0
+          while (c < c1) { blockSum += gray(r * w + c); c += 1 }
+          r += 1
+        }
+        val nBlock = (r1 - r0).toLong * (c1 - c0)
+        if (blockSum * nTotal >= total * nBlock)
+          hash |= 1L << (bi * 8 + bj)
+        bj += 1
+      }
+      bi += 1
+    }
+    Some(hash)
+  }
+
+  /** Perceptual hash of one payload — BMP decodes today; other formats
+    * join by exposing their pixel grid (the PNG/GIF/JPEG decoders keep
+    * their pixel walks fold-local for now). Non-images → None.
+    */
+  def imageAHash(bytes: Array[Byte]): Option[Long] =
+    bmpGrayGrid(bytes).flatMap { case (w, h, g) => aHash64(w, h, g) }
+
+  /** (doc_id, ahash) over a binary column — the same streaming
+    * `mapPartitions` shape as [[extractFeatures]]; payloads that don't
+    * decode emit NO rows (dedup sees absent images, not fake hashes).
+    */
+  def imageAHashes(spark: SparkSession, df: DataFrame,
+                   idCol: String = "doc_id",
+                   payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        imageAHash(bytes).map(h => (id, h))
+      })
+      .toDF(idCol, "ahash")
+  }
+
+  /** Near-duplicate image pairs within `maxHamming` bits: delegates to
+    * the pigeonhole-blocked Hamming join ([[graft.dedup.NearDup
+    * .simHashNearDups]] — identical 64-bit-hash shape, identical scale
+    * properties: blocked equi-join, never all-pairs).
+    */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3,
+                    idCol: String = "doc_id",
+                    hashCol: String = "ahash"): DataFrame =
+    graft.dedup.NearDup.simHashNearDups(
+      hashes.select(col(idCol).as("id"), col(hashCol).as("simhash")), maxHamming)
+
   /** Decode/feature-extract over the binary column. `mapPartitions` is the
     * deliberate shape: per-task decoder init happens once, rows stream
     * through without materializing the partition, and the output is a

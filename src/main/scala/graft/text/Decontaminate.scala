@@ -396,6 +396,73 @@ object Decontaminate {
     train.join(bad, train(idCol) === bad("id"), "left_anti")
   }
 
+  /** CHUNKED fuzzy decontamination — the CONTAINMENT case both other
+    * passes miss: a benchmark answer EMBEDDED inside a long training
+    * document. Whole-doc [[flagNearContaminated]] can't see it (a
+    * 20-token answer inside a 2 000-token doc has token-Jaccard ≈ 0.01
+    * against the doc), and once the answer is lightly edited the exact
+    * 13-gram pass loses every window too. Here the TRAINING side is cut
+    * into overlapping `chunkSize`-token windows ([[Chunker.chunk]],
+    * `stride` ≤ chunkSize so an answer split across one boundary still
+    * lands whole in the next window) and each WINDOW is fuzzy-matched
+    * against the benchmark at the same recall posture as
+    * [[flagNearContaminated]] (1-row bands, estimate prefilter off,
+    * exact window-vs-item token-Jaccard ≥ `threshold`). Returns one row
+    * per flagged training doc: (id, n_bench_matches, max_jaccard) —
+    * `n_bench_matches` counts DISTINCT benchmark items any window hit
+    * (several windows hitting one item count once), `max_jaccard` the
+    * best window-level match.
+    *
+    * Sizing: `chunkSize` should bracket the benchmark item length (a
+    * window ~2× the item caps the achievable Jaccard near 0.5 — size
+    * windows to items, or run two window sizes). Cost shape: the
+    * corpus-side row count multiplies by ~tokens/stride windows, but
+    * every downstream join stays banded/bucketed exactly like the
+    * whole-doc pass — no new quadratic term; the window explode is
+    * scan-stage work.
+    */
+  def flagNearContaminatedChunked(train: DataFrame, bench: DataFrame,
+                                  idCol: String, textCol: String,
+                                  chunkSize: Int = 32, stride: Int = 16,
+                                  bands: Int = 16, rowsPerBand: Int = 1,
+                                  threshold: Double = 0.7,
+                                  maxBucket: Int = 1000): DataFrame = {
+    // composite window key "<id>#<chunk_idx>" (string id space, same
+    // uniqueness contract as the prefix remap: the id's string cast is
+    // injective per the corpus contract)
+    val chunks = Chunker.chunk(
+      train.select(col(idCol).as("id"), col(textCol).as("text")),
+      "id", "text", chunkSize, stride)
+      .select(col("id"),
+        concat(lit("t:"), col("id").cast("string"),
+          lit("#"), col("chunk_idx").cast("string")).as("ckey"),
+        col("chunk_text"))
+    val pairs = NearDup.minHashLshAgainstCorpus(
+      chunks.select(col("ckey").as("id"), col("chunk_text").as("text")),
+      benchPrefixed(bench, idCol, textCol), "id", "text",
+      bands, rowsPerBand, threshold, maxBucket, estPrefilter = false)
+    pairs
+      .join(chunks.select(col("id"), col("ckey").as("new_id")), "new_id")
+      .groupBy(col("id"))
+      .agg(count_distinct(col("seen_id")).as("n_bench_matches"),
+        max(col("jaccard")).as("max_jaccard"))
+  }
+
+  /** The filter form of [[flagNearContaminatedChunked]]: `train` minus
+    * docs any of whose windows near-match a benchmark item.
+    */
+  def removeNearContaminatedChunked(train: DataFrame, bench: DataFrame,
+                                    idCol: String, textCol: String,
+                                    chunkSize: Int = 32, stride: Int = 16,
+                                    bands: Int = 16, rowsPerBand: Int = 1,
+                                    threshold: Double = 0.7,
+                                    maxBucket: Int = 1000): DataFrame = {
+    val bad = flagNearContaminatedChunked(train, bench, idCol, textCol,
+      chunkSize, stride, bands, rowsPerBand, threshold, maxBucket)
+      .select(col("id"))
+    train.join(bad, train(idCol) === bad("id"), "left_anti")
+  }
+
   /** The fuzzy filter form: `train` minus near-contaminated docs. The
     * flagged set is benchmark-match-sized (takedown-scale), so the anti
     * join broadcasts under AQE.

@@ -212,6 +212,63 @@ class ChunkDecontamSpec extends SparkTestBase {
       s"stored band read must prune to the batch's buckets:\n$plan")
   }
 
+  test("flagNearContaminatedChunked: an EDITED answer EMBEDDED in a long doc is caught") {
+    // benchmark item: 20 tokens. train doc 0: 200 filler tokens with the
+    // item (one word edited) spliced in at position 100 — the
+    // containment case: whole-doc token-Jaccard vs the item is ~19/201
+    // (invisible to flagNearContaminated at any sane threshold) and the
+    // single edit kills every exact 13-gram window
+    val item = (0 until 20).map(i => s"a$i")
+    val edited = item.updated(9, "EDIT")
+    val filler = (0 until 200).map(i => s"f$i")
+    val fTrain = Seq(
+      (0L, (filler.take(100) ++ edited ++ filler.drop(100)).mkString(" ")),
+      (1L, (0 until 220).map(i => s"g$i").mkString(" ")) // clean, same length
+    ).toDF("doc_id", "text")
+    val fBench = Seq((100L, item.mkString(" "))).toDF("doc_id", "text")
+    // whole-doc fuzzy: invisible
+    val wholeDoc = Decontaminate.flagNearContaminated(
+      fTrain, fBench, "doc_id", "text", threshold = 0.5)
+      .collect()
+    assert(wholeDoc.isEmpty, "containment must NOT be visible to whole-doc Jaccard")
+    // exact 13-grams: invisible (every window contains the edit)
+    val exact = Decontaminate.flagContaminated(fTrain, fBench, "doc_id", "text",
+      n = 13, minHits = 1).filter(col("contaminated")).collect()
+    assert(exact.isEmpty)
+    // chunked fuzzy: the 20-token window bracketing the splice sees
+    // 19/21 ≈ 0.905 — caught; the clean doc stays clean
+    val chunked = Decontaminate.flagNearContaminatedChunked(
+      fTrain, fBench, "doc_id", "text", chunkSize = 20, stride = 5,
+      threshold = 0.85)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(chunked.keySet === Set(0L))
+    assert(chunked(0L)._1 === 1L) // one distinct bench item, however many windows hit
+    assert(chunked(0L)._2 >= 19.0 / 21.0 - 1e-9)
+    // the filter form drops exactly the containment-flagged doc
+    val kept = Decontaminate.removeNearContaminatedChunked(
+      fTrain, fBench, "doc_id", "text", chunkSize = 20, stride = 5,
+      threshold = 0.85)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+  }
+
+  test("flagNearContaminatedChunked: several windows hitting ONE item count once") {
+    // the item appears twice in the train doc → multiple windows match,
+    // but n_bench_matches is per DISTINCT benchmark item
+    val item = (0 until 20).map(i => s"a$i")
+    val filler = (0 until 60).map(i => s"f$i")
+    val fTrain = Seq(
+      (0L, (item ++ filler ++ item).mkString(" "))
+    ).toDF("doc_id", "text")
+    val fBench = Seq((100L, item.mkString(" "))).toDF("doc_id", "text")
+    val got = Decontaminate.flagNearContaminatedChunked(
+      fTrain, fBench, "doc_id", "text", chunkSize = 20, stride = 10,
+      threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(0L)._1 === 1L)
+    assert(got(0L)._2 === 1.0) // the aligned window matches exactly
+  }
+
   test("removeNearContaminated: anti-join keeps exactly the unflagged docs") {
     val fTrain = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -236,6 +236,65 @@ class MultimodalSpec extends SparkTestBase {
     assert(ids === Seq(1L))
   }
 
+  test("aHash64: hand grid — right-half-bright sets exactly the right-half bits") {
+    // 8x8 grid: columns 0-3 gray 0, columns 4-7 gray 100 → global mean
+    // 50; block (bi,bj) is one pixel, so bits bj>=4 set in every row
+    val gray = Array.tabulate(64)(i => if (i % 8 >= 4) 100 else 0)
+    val h = Multimodal.aHash64(8, 8, gray).get
+    val expect = (0 until 8).flatMap(bi => (4 until 8).map(bj => 1L << (bi * 8 + bj)))
+      .foldLeft(0L)(_ | _)
+    assert(h === expect)
+    // all-equal grid: every block mean == global mean → all bits set
+    // (the >= tie convention)
+    assert(Multimodal.aHash64(8, 8, Array.fill(64)(7)).get === -1L)
+    // sub-8x8 grids have no hash
+    assert(Multimodal.aHash64(7, 8, Array.fill(56)(1)) === None)
+  }
+
+  test("imageAHash respects display orientation (bottom-up BMP rows flip)") {
+    // hand image: everything black except the TOP TWO display rows
+    // (= the LAST TWO stored rows of a bottom-up BMP) at full white —
+    // display block row 0 is the only bright one, so exactly bits 0..7
+    // are set; a decoder that forgot the flip would set bits 56..63
+    val b = Multimodal.makeBmp(16, 16, seed = 0)
+    val stride = 48
+    for (k <- 54 until b.length) b(k) = 0.toByte
+    for (row <- 14 to 15; k <- 0 until 48)
+      b(54 + row * stride + k) = 255.toByte
+    val hash = Multimodal.imageAHash(b).get
+    assert(hash === 0xffL, f"expected bits 0..7 only, hash=$hash%016x")
+  }
+
+  test("imageAHashes/imageNearDups: exact copies at Hamming 0, non-images emit no rows") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.makeBmp(16, 16, 7)),
+      (2L, Multimodal.makeBmp(16, 16, 7)),   // identical copy
+      (3L, Multimodal.makeBmp(16, 16, 9)),   // different image
+      (4L, "not an image at all".getBytes("UTF-8")),
+      (5L, Multimodal.makeBmp(4, 4, 7))      // too small to hash
+    ).toDF("doc_id", "payload")
+    val hashes = Multimodal.imageAHashes(spark, rows)
+    val got = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L)) // 4 (non-image) and 5 (tiny) absent
+    assert(got(1L) === got(2L))
+    val pairs = Multimodal.imageNearDups(hashes, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("imageNearDups: a one-pixel edit stays within a small Hamming radius") {
+    import spark.implicits._
+    val clean = Multimodal.makeBmp(16, 16, 7)
+    val edited = Multimodal.makeBmp(16, 16, 7)
+    edited(54) = 255.toByte; edited(55) = 255.toByte; edited(56) = 255.toByte
+    val rows = Seq((1L, clean), (2L, edited)).toDF("doc_id", "payload")
+    val hashes = Multimodal.imageAHashes(spark, rows)
+    val within = Multimodal.imageNearDups(hashes, maxHamming = 6).collect()
+    assert(within.length === 1, "a one-pixel edit of 256 must survive radius 6")
+    assert(within.head.getInt(2) <= 6)
+  }
+
   test("parsePng: round-trip recovers the closed-form pixels through every filter type") {
     // h = 7 > 5 rows: filter types 0..4 all appear (r mod 5), so the
     // decode inverts None, Sub, Up, Average AND Paeth — and the pixel
