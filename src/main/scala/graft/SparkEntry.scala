@@ -3138,6 +3138,54 @@ object SparkEntry {
     * on-disk (bottom-up) rows, so src image row sy lives at disk row
     * h−1−sy, giving a closed-form byte sum over the 4×3×3 dst grid.
     */
+  /** Perceptual audio fingerprinting ([[graft.multimodal.Multimodal
+    * .audioFingerprints]]): 64-bit energy-delta hash over the decoded
+    * PCM stream — 65 truncated-division frames, exact integer energies,
+    * bit i = energy(i+1) > energy(i). The oracle rebuilds every sample
+    * from the WAV fixture's closed form, re-bins them with a range join
+    * against the same integer frame bounds, and assembles the hash
+    * through the HUGEINT wrap; sub-65-sample payloads emit NO row on
+    * either side (mono 50-64-frame docs — the edge is data, not spec).
+    */
+  private val qAudioFingerprint = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.multimodal.Multimodal.makeWav(
+            (50 + id % 50).toInt, (1 + id % 2).toInt, 8000, id))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFingerprints(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     (CAST(50 + doc_id % 50 AS INT) * CAST(1 + doc_id % 2 AS INT)) AS n
+              FROM documents),
+            d2 AS (SELECT doc_id, n FROM dims WHERE n >= 65),
+            sm AS (SELECT doc_id, n, i.i AS i,
+                          ((doc_id + i.i * 13) % 256 - 128) AS v
+                   FROM d2 JOIN generate_series(0, 197) i(i) ON i.i < n),
+            fr AS (SELECT d2.doc_id, f.f AS f,
+                          (f.f * d2.n) // 65 AS lo, ((f.f + 1) * d2.n) // 65 AS hi
+                   FROM d2 JOIN generate_series(0, 64) f(f) ON TRUE),
+            fe AS (SELECT fr.doc_id, fr.f, CAST(SUM(sm.v * sm.v) AS BIGINT) AS e
+                   FROM fr JOIN sm ON sm.doc_id = fr.doc_id
+                     AND sm.i >= fr.lo AND sm.i < fr.hi
+                   GROUP BY 1, 2),
+            bits AS (SELECT a.doc_id, a.f - 1 AS idx,
+                            CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                     FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                     WHERE a.f >= 1),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << idx) ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
+            FROM hs ORDER BY doc_id"""))
+
   /** Perceptual image hashing ([[graft.multimodal.Multimodal
     * .imageAHashes]]): 64-bit average hash over the decoded 16×16 BMP
     * grid — 8×8 block means vs the global mean, compared by EXACT
@@ -7723,6 +7771,7 @@ object SparkEntry {
     "q_bmp_resize" -> qBmpResize,
     "q_image_ahash" -> qImageAHash,
     "q_image_neardup" -> qImageNearDup,
+    "q_audio_fingerprint" -> qAudioFingerprint,
     "q_wav_decode" -> qWavDecode,
     "q_wav_frames" -> qWavFrames,
     "q_sessionize" -> qSessionize,

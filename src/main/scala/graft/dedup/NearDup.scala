@@ -186,10 +186,12 @@ object NearDup {
                  maxBucket: Int = 1000,
                  estPrefilter: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // The signature table feeds THREE consumers (banding + both sides of
-    // the estimate prefilter); the md5-per-shingle pass is the operator's
-    // dominant cost, so materialize it once — (id, 16 longs) rows, tiny
-    // next to the corpus. Same count-your-consumers lesson as SetSimJoin.
+    // The signature table feeds at least TWO consumers in every posture
+    // (its band rows drive BOTH the bucket-size agg and the candidate
+    // join; the estimate prefilter adds two more) and the
+    // md5-per-shingle pass is the operator's dominant cost — so
+    // materialize it once: (id, 16 longs) rows, tiny next to the corpus.
+    // Same count-your-consumers lesson as SetSimJoin.
     val sig = signatures(docs, idCol, textCol, numHashes).localCheckpoint()
     val banded = bandRows(sig, bands, rowsPerBand)
 
@@ -259,12 +261,17 @@ object NearDup {
                               maxBucket: Int = 1000,
                               estPrefilter: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Both signature tables feed two consumers each (banding + the
-    // estimate prefilter join) — materialize so the md5-per-shingle pass
-    // runs once per side. In steady state seenSig is a pre-materialized
-    // index table anyway (see scaladoc); the checkpoint is the
-    // single-session stand-in for that index.
-    val newSig = signatures(newDocs, idCol, textCol, numHashes).localCheckpoint()
+    // Consumer count decides the pins (the SetSimJoin lesson, corrected
+    // by a measured A/B on the recall posture — BASELINE round 14):
+    // the SEEN side's band rows feed both the bucket-size agg and the
+    // candidate join, so seenSig always pins (dropping it measured
+    // 7.25 → 7.98 s at 100× — the signature pass re-ran); the NEW
+    // side's signatures feed banding plus the estimate join, so under
+    // the recall posture (estPrefilter = false) they have ONE consumer
+    // and the pin would only spend block-manager space — corpus-sized
+    // on the chunked-decontam path, where the "docs" are windows.
+    val newSigRaw = signatures(newDocs, idCol, textCol, numHashes)
+    val newSig = if (estPrefilter) newSigRaw.localCheckpoint() else newSigRaw
     val seenSig = signatures(seenDocs, idCol, textCol, numHashes).localCheckpoint()
     val seenBand = bandRows(seenSig, bands, rowsPerBand)
     val okBuckets = seenBand.groupBy("band", "bh").count()
@@ -385,7 +392,9 @@ object NearDup {
                              maxBucket: Int = 1000,
                              estPrefilter: Boolean = true): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val newSig = signatures(newDocs, idCol, textCol, numHashes).localCheckpoint()
+    val newSigRaw = signatures(newDocs, idCol, textCol, numHashes)
+    // banding is the only consumer under the recall posture — no pin
+    val newSig = if (estPrefilter) newSigRaw.localCheckpoint() else newSigRaw
     val seenSig = index.select(col("id"), col("sig"))
     val seenBand = bandRows(seenSig, bands, rowsPerBand)
     val okBuckets = seenBand.groupBy("band", "bh").count()

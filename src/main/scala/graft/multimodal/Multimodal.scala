@@ -2032,6 +2032,74 @@ object Multimodal {
     graft.dedup.NearDup.simHashNearDups(
       hashes.select(col(idCol).as("id"), col(hashCol).as("simhash")), maxHamming)
 
+  // ---- perceptual audio fingerprinting ---------------------------------
+  // The audio member of the multimodal-dedup triple (text MinHash, image
+  // aHash, this): a 64-bit ENERGY-DELTA fingerprint — the PCM stream
+  // splits into 65 equal frames (truncated-division bounds, the aHash
+  // block convention) and bit i records whether frame i+1's exact
+  // integer energy (Σ s²) exceeds frame i's. Sign-of-delta is the
+  // classic public fingerprint shape (Chromaprint-style features reduced
+  // to one comparison per transition); energies are exact longs, the
+  // comparison is strict >, so the fingerprint is bit-replayable by an
+  // external engine. Robust to volume scaling trends per-frame? No —
+  // deliberately simple: it keys EXACT and NEAR-exact duplicates (same
+  // recording re-encoded at these fixtures' PCM level), which is the
+  // dedup use case; acoustic similarity search is an embedding problem.
+
+  /** Fingerprint one payload (16-bit PCM WAV only today): None for
+    * non-audio or streams shorter than 65 samples (no meaningful
+    * transition structure).
+    */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
+    wavPcmHeader(bytes).flatMap { case (_, _, dataOff, dataLen) =>
+      val n = dataLen / 2
+      if (n < 65) None
+      else {
+        val energies = new Array[Long](65)
+        var f = 0
+        while (f < 65) {
+          val lo = f * n / 65
+          val hi = (f + 1) * n / 65
+          var e = 0L
+          var i = lo
+          while (i < hi) {
+            val s = ((bytes(dataOff + 2 * i) & 0xff) |
+              (bytes(dataOff + 2 * i + 1) << 8)).toShort.toLong
+            e += s * s
+            i += 1
+          }
+          energies(f) = e
+          f += 1
+        }
+        var hash = 0L
+        var b = 0
+        while (b < 64) {
+          if (energies(b + 1) > energies(b)) hash |= 1L << b
+          b += 1
+        }
+        Some(hash)
+      }
+    }
+  }
+
+  /** (doc_id, afp) over a binary column — same streaming mapPartitions
+    * shape as [[imageAHashes]]; non-audio payloads emit NO rows. Near-
+    * dup pairs: feed the hash column to [[graft.dedup.NearDup
+    * .simHashNearDups]] (identical 64-bit Hamming-join shape), or reuse
+    * [[imageNearDups]] with `hashCol = "afp"`.
+    */
+  def audioFingerprints(spark: SparkSession, df: DataFrame,
+                        idCol: String = "doc_id",
+                        payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        audioFingerprint(bytes).map(h => (id, h))
+      })
+      .toDF(idCol, "afp")
+  }
+
   /** Decode/feature-extract over the binary column. `mapPartitions` is the
     * deliberate shape: per-task decoder init happens once, rows stream
     * through without materializing the partition, and the output is a

@@ -337,11 +337,12 @@ object Decontaminate {
     val newPrefixed = train.select(
       concat(lit("t:"), col(idCol).cast("string")).as("id"),
       col(textCol).as("text"))
-    // one signature pass over the BATCH; banded twice (bucket list +
-    // candidate join) and joined once more for nothing — the sig table
-    // is batch-sized, so materialize it
+    // one signature pass over the BATCH: the band table is consumed by
+    // TWO ACTIONS (the bucket-list collect, then the candidate join) so
+    // it is pinned — which also covers the signature work above it
+    // (AQE stage reuse cannot span actions; round-13 rule)
     val newSig = NearDup.signatures(newPrefixed, "id", "text",
-      bands * rowsPerBand).localCheckpoint()
+      bands * rowsPerBand)
     val newBand = NearDup.bandRows(newSig, bands, rowsPerBand)
       .withColumn("bbucket", bbucket(col("bh"), nBuckets))
       .localCheckpoint()

@@ -295,6 +295,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(within.head.getInt(2) <= 6)
   }
 
+  test("audioFingerprint: hand-checked energy deltas; identical audio at Hamming 0") {
+    import spark.implicits._
+    val wav = Multimodal.makeWav(100, 1, 8000, seed = 3) // 100 samples ≥ 65
+    val fp = Multimodal.audioFingerprint(wav).get
+    // independent recomputation from the fixture's closed form
+    val samples = (0 until 100).map(i => ((3 + i * 13) % 256 - 128).toLong)
+    val energies = (0 until 65).map { f =>
+      val lo = f * 100 / 65; val hi = (f + 1) * 100 / 65
+      (lo until hi).map(i => samples(i) * samples(i)).sum
+    }
+    val expect = (0 until 64).filter(b => energies(b + 1) > energies(b))
+      .foldLeft(0L)((h, b) => h | (1L << b))
+    assert(fp === expect)
+    // too short for transitions → None; non-audio → None
+    assert(Multimodal.audioFingerprint(Multimodal.makeWav(32, 1, 8000, 3)) === None)
+    assert(Multimodal.audioFingerprint("nope".getBytes("UTF-8")) === None)
+    // DataFrame path: identical audio pairs at Hamming 0, short/non-audio absent
+    val rows = Seq(
+      (1L, Multimodal.makeWav(100, 1, 8000, 7)),
+      (2L, Multimodal.makeWav(100, 1, 8000, 7)),
+      (3L, Multimodal.makeWav(100, 1, 8000, 9)),
+      (4L, Multimodal.makeWav(32, 1, 8000, 7)),
+      (5L, "noise".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val fps = Multimodal.audioFingerprints(spark, rows)
+    assert(fps.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    val pairs = Multimodal.imageNearDups(fps, maxHamming = 0, hashCol = "afp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
   test("parsePng: round-trip recovers the closed-form pixels through every filter type") {
     // h = 7 > 5 rows: filter types 0..4 all appear (r mod 5), so the
     // decode inverts None, Sub, Up, Average AND Paeth — and the pixel
