@@ -190,7 +190,8 @@ object Bench {
          n.startsWith("q_chunk") || n.startsWith("q_decontaminate") => "text"
     case "q_phrase_search" | "q_multi_phrase" | "q_multi_phrase_sweep" => "text"
     case "q_decontam_fuzzy" | "q_decontam_fuzzy_removed" | "q_decontam_fuzzy_indexed" |
-         "q_decontam_fuzzy_steady" | "q_decontam_chunked" => "text"
+         "q_decontam_fuzzy_steady" | "q_decontam_chunked" |
+         "q_decontam_chunked_steady" => "text"
     case "q_bm25_topk" | "q_bm25_indexed" | "q_bm25_steady" | "q_bm25_deleted" |
          "q_boilerplate" | "q_lm_score" | "q_lm_kneser_ney" | "q_lang_id" |
          "q_pii_scrub" | "q_tfidf_topterms" | "q_vocabulary" |

@@ -1185,6 +1185,20 @@ object SparkEntry {
                       WHERE jacc >= $threshold)"""
   }
 
+  /** Two-table (batch vs seen) variant of [[simHashPairsCtes]]: the
+    * same hash construction over doc_id < 1000, but ground-truth pairs
+    * CROSS the `split` boundary (new side < split, seen side ≥ split).
+    */
+  private def simHashPairsCtesCross(maxHamming: Int, split: Long): String = {
+    val base = simHashPairsCtes(maxHamming)
+    val head = base.substring(0, base.lastIndexOf("spairs AS"))
+    s"""$head
+            xspairs AS (SELECT a.id AS new_id, b.id AS seen_id,
+                               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+                        FROM sim a JOIN sim b ON a.id < $split AND b.id >= $split
+                        WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)"""
+  }
+
   /** Brute-force all-pairs SimHash oracle: per-token md5 split into a
     * 60-bit low part (hex chars 1-15) + 4-bit high part (char 16) — the
     * exact [[graft.dedup.NearDup.simHash]] construction — then EVERY pair
@@ -1459,6 +1473,31 @@ object SparkEntry {
                            MAX(jaccard) AS max_jaccard
                     FROM xpairs WHERE jaccard >= 0.5 GROUP BY 1)
             SELECT id, n_bench_matches, max_jaccard FROM agg ORDER BY id"""))
+
+  /** STEADY-STATE chunked decontam ([[graft.text.Decontaminate
+    * .flagNearContaminatedChunkedAgainstIndex]]): the benchmark-prefix
+    * index is built once per session/SF; the measured query pays one
+    * window-signature pass over the batch plus bucket-pruned index
+    * joins — the production containment scan. Shares
+    * [[qDecontamChunked]]'s oracle VERBATIM.
+    */
+  private val qDecontamChunkedSteady = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val idxPath = steadyIndex("graft_fzc_steady", dir) { p =>
+        graft.text.Decontaminate.writeBenchIndex(
+          d.filter(col("doc_id") >= 450 && col("doc_id") < 470)
+            .select(col("doc_id"),
+              concat_ws(" ",
+                slice(graft.text.TextAnalysis.tokens(col("text")), 1, 24)).as("text")),
+          "doc_id", "text", p)
+      }
+      graft.text.Decontaminate.flagNearContaminatedChunkedAgainstIndex(
+        d.filter(col("doc_id") < 450), idxPath, "doc_id", "text",
+        chunkSize = 24, stride = 12, threshold = 0.5)
+        .orderBy("id")
+    },
+    qDecontamChunked.oracle)
 
   /** The fuzzy filter form ([[graft.text.Decontaminate
     * .removeNearContaminated]]): the surviving id set after the
@@ -1999,6 +2038,31 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
     Some(simHashBruteForceSql(maxHamming = 10)))
+
+  /** Incremental SimHash near-dup ([[graft.dedup.NearDup
+    * .simHashNearDupsAgainstCorpus]]): each batch hash checked against
+    * the seen corpus's hashes through the pigeonhole-blocked join —
+    * completing the incremental family (exact and MinHash-LSH already
+    * have batch-vs-history forms), and the incremental read path for
+    * the perceptual image/audio hashes (same 64-bit shape). The oracle
+    * replays hash construction and brute-force CROSS-pair Hamming
+    * ground truth, so the blocked join's recall guarantee is checked
+    * against an unblocked reference.
+    */
+  private val qSimHashIncremental = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSims = graft.dedup.NearDup.simHash(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      val seenSims = graft.dedup.NearDup.simHash(
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 1000), "doc_id", "text")
+      graft.dedup.NearDup.simHashNearDupsAgainstCorpus(newSims, seenSims,
+        maxHamming = 10)
+        .orderBy("new_id", "seen_id")
+    },
+    Some(s"""WITH ${simHashPairsCtesCross(maxHamming = 10, split = 250)}
+            SELECT new_id, seen_id, hamming FROM xspairs
+            ORDER BY new_id, seen_id"""))
 
   // ---------------------------------------------------------------------
   // North-star: similarity search (embeddings table)
@@ -7738,6 +7802,8 @@ object SparkEntry {
     "q_decontam_fuzzy_indexed" -> qDecontamFuzzyIndexed,
     "q_decontam_fuzzy_steady" -> qDecontamFuzzySteady,
     "q_decontam_chunked" -> qDecontamChunked,
+    "q_decontam_chunked_steady" -> qDecontamChunkedSteady,
+    "q_dedup_simhash_incremental" -> qSimHashIncremental,
     "q_decontaminate_bloom" -> qDecontaminateBloom,
     "q_decontaminate_removed" -> qDecontaminateRemoved,
     "q_frame_sample" -> qFrameSample,

@@ -511,36 +511,75 @@ object NearDup {
     * Both regimes are exact w.r.t. recall: candidates are a superset of
     * the true pairs, then filtered by the exact Hamming distance.
     */
-  def simHashNearDups(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Pigeonhole block keys for a Hamming radius — the shared machinery
+    * of [[simHashNearDups]] and [[simHashNearDupsAgainstCorpus]].
+    */
+  private def hammingBlockKeys(maxHamming: Int): Seq[Column] = {
     require(maxHamming >= 0 && maxHamming <= 14,
       s"maxHamming=$maxHamming unsupported: ≤7 uses single-block joins, 8..14 " +
         "two-block combinations; beyond 14 the join key entropy collapses")
     val combine = maxHamming >= 8
     val nBlocks = if (combine) maxHamming + 2 else maxHamming + 1
     val bounds = blockBounds(nBlocks)
-    val keys: Seq[Column] =
-      if (!combine)
-        bounds.zipWithIndex.map { case ((off, w), b) =>
-          struct(lit(b).as("blk"), blockVal(col("simhash"), off, w).as("bv"),
-            lit(0L).as("bv2"))
-        }
-      else
-        (for {
-          i <- 0 until nBlocks; j <- (i + 1) until nBlocks
-        } yield {
-          val (oi, wi) = bounds(i)
-          val (oj, wj) = bounds(j)
-          struct(lit(i * nBlocks + j).as("blk"),
-            blockVal(col("simhash"), oi, wi).as("bv"),
-            blockVal(col("simhash"), oj, wj).as("bv2"))
-        })
-    val blocked = sims.select(col("id"), col("simhash"), explode(array(keys: _*)).as("bb"))
+    if (!combine)
+      bounds.zipWithIndex.map { case ((off, w), b) =>
+        struct(lit(b).as("blk"), blockVal(col("simhash"), off, w).as("bv"),
+          lit(0L).as("bv2"))
+      }
+    else
+      (for {
+        i <- 0 until nBlocks; j <- (i + 1) until nBlocks
+      } yield {
+        val (oi, wi) = bounds(i)
+        val (oj, wj) = bounds(j)
+        struct(lit(i * nBlocks + j).as("blk"),
+          blockVal(col("simhash"), oi, wi).as("bv"),
+          blockVal(col("simhash"), oj, wj).as("bv2"))
+      })
+  }
+
+  private def hammingBlocked(sims: DataFrame, keys: Seq[Column]): DataFrame =
+    sims.select(col("id"), col("simhash"), explode(array(keys: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.blk"), col("bb.bv"), col("bb.bv2"))
+
+  def simHashNearDups(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val blocked = hammingBlocked(sims, hammingBlockKeys(maxHamming))
     val l = blocked.select(col("blk"), col("bv"), col("bv2"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val r = blocked.select(col("blk"), col("bv"), col("bv2"), col("id").as("id_b"), col("simhash").as("sh_b"))
     l.join(r, Seq("blk", "bv", "bv2"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Incremental SimHash near-dup: each NEW hash checked against the
+    * SEEN corpus's hashes — the ingest-batch form [[minHashLshAgainstCorpus]]
+    * and [[dedupAgainstCorpus]] already have, completing the family (a
+    * daily batch must never re-near-dedup history against itself). Also
+    * the incremental read path for the PERCEPTUAL hashes
+    * ([[graft.multimodal.Multimodal.imageAHashes]] /
+    * `audioFingerprints` — same 64-bit shape): store the corpus's
+    * hashes once, check each batch against the stored table.
+    *
+    * Same pigeonhole guarantee and scale shape as [[simHashNearDups]]:
+    * both sides post (id, block-key) rows into an equi-join — blocked,
+    * never all-pairs; candidates superset the true pairs and the exact
+    * Hamming filter runs on candidates only. Overlapping id spaces are
+    * allowed (equal ids are skipped, the [[minHashLshAgainstCorpus]]
+    * convention). Returns (new_id, seen_id, hamming).
+    */
+  def simHashNearDupsAgainstCorpus(newSims: DataFrame, seenSims: DataFrame,
+                                   maxHamming: Int = 3): DataFrame = {
+    val keys = hammingBlockKeys(maxHamming)
+    val l = hammingBlocked(newSims, keys)
+      .select(col("blk"), col("bv"), col("bv2"), col("id").as("new_id"), col("simhash").as("sh_a"))
+    val r = hammingBlocked(seenSims, keys)
+      .select(col("blk"), col("bv"), col("bv2"), col("id").as("seen_id"), col("simhash").as("sh_b"))
+    l.join(r, Seq("blk", "bv", "bv2"))
+      .filter(col("new_id") =!= col("seen_id"))
+      .select(col("new_id"), col("seen_id"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()

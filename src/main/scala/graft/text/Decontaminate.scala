@@ -324,24 +324,25 @@ object Decontaminate {
     * stored meta — a mismatch would silently band against different
     * boundaries, so it fails loudly instead (r13 ADVICE).
     */
-  def flagNearContaminatedAgainstIndex(train: DataFrame, indexPath: String,
-                                       idCol: String, textCol: String,
-                                       bands: Int = 16, rowsPerBand: Int = 1,
-                                       threshold: Double = 0.7,
-                                       maxBucket: Int = 1000): DataFrame = {
-    val spark = train.sparkSession
+  /** The shared probe core: (new_id, seen_id, jaccard) pairs between a
+    * (PREFIXED string id, text) batch table and the stored benchmark
+    * index — band the batch, prune the stored band read to the batch's
+    * buckets, cap, candidate-join, exact-verify. Both the doc-level and
+    * the chunked wrappers aggregate on top of this.
+    */
+  private def indexPairs(newDocs: DataFrame, indexPath: String,
+                         bands: Int, rowsPerBand: Int,
+                         threshold: Double, maxBucket: Int): DataFrame = {
+    val spark = newDocs.sparkSession
     val (storedBands, storedRpb, nBuckets) = readBenchMeta(spark, indexPath)
     require(storedBands == bands && storedRpb == rowsPerBand,
       s"probe banding ${bands}x$rowsPerBand != stored index banding " +
         s"${storedBands}x$storedRpb at $indexPath — rebuild or re-band the index")
-    val newPrefixed = train.select(
-      concat(lit("t:"), col(idCol).cast("string")).as("id"),
-      col(textCol).as("text"))
     // one signature pass over the BATCH: the band table is consumed by
     // TWO ACTIONS (the bucket-list collect, then the candidate join) so
     // it is pinned — which also covers the signature work above it
     // (AQE stage reuse cannot span actions; round-13 rule)
-    val newSig = NearDup.signatures(newPrefixed, "id", "text",
+    val newSig = NearDup.signatures(newDocs, "id", "text",
       bands * rowsPerBand)
     val newBand = NearDup.bandRows(newSig, bands, rowsPerBand)
       .withColumn("bbucket", bbucket(col("bh"), nBuckets))
@@ -362,17 +363,28 @@ object Decontaminate {
       .select("new_id", "seen_id").distinct()
     // recall posture: NO estimate prefilter — exact token-Jaccard on
     // every banded candidate (see flagNearContaminated's scaladoc)
-    val newToks = train.select(
-      concat(lit("t:"), col(idCol).cast("string")).as("new_id"),
-      array_distinct(graft.text.TextAnalysis.tokens(col(textCol))).as("toks_a"))
+    val newToks = newDocs.select(col("id").as("new_id"),
+      array_distinct(graft.text.TextAnalysis.tokens(col("text"))).as("toks_a"))
     val seenToks = minusBenchTombstones(spark,
         spark.read.parquet(s"$indexPath/sig"), indexPath)
       .select(col("id").as("seen_id"), col("toks").as("toks_b"))
-    val pairs = candidates
+    candidates
       .join(newToks, "new_id").join(seenToks, "seen_id")
       .select(col("new_id"), col("seen_id"),
         NearDup.jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  def flagNearContaminatedAgainstIndex(train: DataFrame, indexPath: String,
+                                       idCol: String, textCol: String,
+                                       bands: Int = 16, rowsPerBand: Int = 1,
+                                       threshold: Double = 0.7,
+                                       maxBucket: Int = 1000): DataFrame = {
+    val newPrefixed = train.select(
+      concat(lit("t:"), col(idCol).cast("string")).as("id"),
+      col(textCol).as("text"))
+    val pairs = indexPairs(newPrefixed, indexPath, bands, rowsPerBand,
+      threshold, maxBucket)
     val flagged = pairs.groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_bench_matches"), max(col("jaccard")).as("max_jaccard"))
     train
@@ -380,6 +392,35 @@ object Decontaminate {
         concat(lit("t:"), col(idCol).cast("string")).as("new_id"))
       .join(flagged, "new_id")
       .select("id", "n_bench_matches", "max_jaccard")
+  }
+
+  /** [[flagNearContaminatedChunked]] against the STORED benchmark index
+    * — the steady-state CONTAINMENT scan a production batch loop runs:
+    * windows come off the batch, bench signatures/bands/tokens off
+    * disk, with the same bucket pruning as the doc-level probe. Window
+    * banding must match the stored meta (the probe `require`s it).
+    */
+  def flagNearContaminatedChunkedAgainstIndex(train: DataFrame, indexPath: String,
+                                              idCol: String, textCol: String,
+                                              chunkSize: Int = 32, stride: Int = 16,
+                                              bands: Int = 16, rowsPerBand: Int = 1,
+                                              threshold: Double = 0.7,
+                                              maxBucket: Int = 1000): DataFrame = {
+    val chunks = Chunker.chunk(
+      train.select(col(idCol).as("id"), col(textCol).as("text")),
+      "id", "text", chunkSize, stride)
+      .select(col("id"),
+        concat(lit("t:"), col("id").cast("string"),
+          lit("#"), col("chunk_idx").cast("string")).as("ckey"),
+        col("chunk_text"))
+    val pairs = indexPairs(
+      chunks.select(col("ckey").as("id"), col("chunk_text").as("text")),
+      indexPath, bands, rowsPerBand, threshold, maxBucket)
+    pairs
+      .join(chunks.select(col("id"), col("ckey").as("new_id")), "new_id")
+      .groupBy(col("id"))
+      .agg(count_distinct(col("seen_id")).as("n_bench_matches"),
+        max(col("jaccard")).as("max_jaccard"))
   }
 
   /** The filter form of the indexed path: `train` minus docs

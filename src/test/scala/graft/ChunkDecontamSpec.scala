@@ -269,6 +269,35 @@ class ChunkDecontamSpec extends SparkTestBase {
     assert(got(0L)._2 === 1.0) // the aligned window matches exactly
   }
 
+  test("chunked decontam against the stored index ≡ from-raw") {
+    val item = (0 until 20).map(i => s"a$i")
+    val edited = item.updated(9, "EDIT")
+    val filler = (0 until 200).map(i => s"f$i")
+    val fTrain = Seq(
+      (0L, (filler.take(100) ++ edited ++ filler.drop(100)).mkString(" ")),
+      (1L, (0 until 220).map(i => s"g$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val fBench = Seq((100L, item.mkString(" ")),
+      (101L, (0 until 20).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("fzc_idx").resolve("idx").toString
+    graft.text.Decontaminate.writeBenchIndex(fBench, "doc_id", "text", idx)
+    val indexed = graft.text.Decontaminate.flagNearContaminatedChunkedAgainstIndex(
+      fTrain, idx, "doc_id", "text", chunkSize = 20, stride = 5, threshold = 0.85)
+      .orderBy("id").collect().toSeq
+    val fromRaw = graft.text.Decontaminate.flagNearContaminatedChunked(
+      fTrain, fBench, "doc_id", "text", chunkSize = 20, stride = 5, threshold = 0.85)
+      .orderBy("id").collect().toSeq
+    assert(indexed === fromRaw)
+    assert(indexed.map(_.getLong(0)) === Seq(0L))
+    // erase the matched item: the containment flag disappears
+    import spark.implicits._
+    graft.text.Decontaminate.deleteFromBenchIndex(Seq(100L).toDF("doc_id"), idx)
+    val afterErase = graft.text.Decontaminate.flagNearContaminatedChunkedAgainstIndex(
+      fTrain, idx, "doc_id", "text", chunkSize = 20, stride = 5, threshold = 0.85)
+      .collect()
+    assert(afterErase.isEmpty)
+  }
+
   test("removeNearContaminated: anti-join keeps exactly the unflagged docs") {
     val fTrain = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -217,6 +217,27 @@ class NearDupSpec extends SparkTestBase {
       "so it no longer demonstrates the bimodal-slot miss this spec pins")
   }
 
+  test("simHashNearDupsAgainstCorpus: cross pairs only, agrees with the self-join") {
+    val sims = NearDup.simHash(docs, "doc_id", "text")
+    val ids = sims.select("id").collect().map(_.getLong(0)).toSet
+    val split = ids.toSeq.sorted.apply(ids.size / 2)
+    val newS = sims.filter(col("id") < split)
+    val seenS = sims.filter(col("id") >= split)
+    val inc = NearDup.simHashNearDupsAgainstCorpus(newS, seenS, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // ground truth: the (exhaustively spec-pinned) self-join restricted
+    // to pairs crossing the split
+    val full = NearDup.simHashNearDups(sims, maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, _) => (a < split) != (b < split) }
+      .map { case (a, b, h) => if (a < split) (a, b, h) else (b, a, h) }.toSet
+    assert(inc === full)
+    // overlapping id spaces: equal ids are skipped, not self-paired
+    val overlap = NearDup.simHashNearDupsAgainstCorpus(sims, sims, maxHamming = 0)
+      .filter(col("new_id") === col("seen_id")).count()
+    assert(overlap === 0L)
+  }
+
   test("simHashNearDups: unsupported radii are rejected, never a degenerate join") {
     val sims = NearDup.simHash(docs, "doc_id", "text")
     val e = intercept[IllegalArgumentException] {
