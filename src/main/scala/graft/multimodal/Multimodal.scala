@@ -309,7 +309,16 @@ object Multimodal {
     * bounds, truncated or corrupt zlib streams, and bad filter bytes —
     * the caller falls back to the stub rather than guessing.
     */
-  def parsePng(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+  /** The decoded-but-unfolded PNG: header fields + the reconstructed
+    * byte plane (indices for palette images) + the palette if any —
+    * shared by the feature fold ([[parsePng]]) and the perceptual-hash
+    * grid ([[imageAHash]]).
+    */
+  private case class PngImage(w: Int, h: Int, colorType: Int, bitDepth: Int,
+                              channels: Int, img: Array[Byte],
+                              palette: Array[Byte])
+
+  private def pngDecode(bytes: Array[Byte]): Option[PngImage] = {
     if (bytes.length < 8 + 25 || !PngSig.indices.forall(i => bytes(i) == PngSig(i)))
       return None
     // IHDR must be the first chunk (spec)
@@ -423,6 +432,20 @@ object Multimodal {
         }
       }
     }
+    Some(PngImage(w, h, colorType, bitDepth, channels, img, palette))
+  }
+
+  /** Parse + decode a PNG and fold features (see [[pngDecode]] for the
+    * decode half; the fold mirrors [[parseBmp]]'s layout).
+    */
+  def parsePng(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    val pi = pngDecode(bytes) match {
+      case Some(p) => p
+      case None => return None
+    }
+    val w = pi.w; val h = pi.h; val colorType = pi.colorType
+    val bitDepth = pi.bitDepth; val channels = pi.channels
+    val img = pi.img; val palette = pi.palette
     // pixel fold, mirroring parseBmp's feature layout; palette images
     // fold the LOOKED-UP RGB (what the pixels mean), not the raw
     // indices; 16-bit samples reduce to their HIGH byte (the spec's
@@ -776,7 +799,11 @@ object Multimodal {
     * table, lying headers, or any LZW defect — the caller falls back
     * to the stub rather than guessing.
     */
-  def parseGif(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+  /** The decoded-but-unfolded GIF: dims + de-interlaced index plane +
+    * where its active color table lives — shared by [[parseGif]]'s
+    * feature fold and the perceptual-hash grid.
+    */
+  private def gifDecode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte], Int, Int)] = {
     if (bytes.length < 14) return None
     val magic = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
     if (magic != "GIF87a" && magic != "GIF89a") return None
@@ -835,6 +862,17 @@ object Multimodal {
       case None => return None
     }
     val idx = if (interlaced) deinterlaceRows(stored, w, h) else stored
+    Some((w, h, idx, palOff, palEntries))
+  }
+
+  /** Parse + decode a GIF and fold features (decode half in
+    * [[gifDecode]]).
+    */
+  def parseGif(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+    val (w, h, idx, palOff, palEntries) = gifDecode(bytes) match {
+      case Some(t) => t
+      case None => return None
+    }
     // palette fold: indices → RGB, sums in storage (RGB) order
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var high = 0L
     var i = 0
@@ -1998,12 +2036,77 @@ object Multimodal {
     Some(hash)
   }
 
-  /** Perceptual hash of one payload — BMP decodes today; other formats
-    * join by exposing their pixel grid (the PNG/GIF/JPEG decoders keep
-    * their pixel walks fold-local for now). Non-images → None.
+  /** PNG grayscale grid through the real decode path ([[pngDecode]]):
+    * gray = sum of the COLOR channel bytes (alpha excluded — opacity is
+    * not luminance; palette images look their RGB up; 16-bit samples
+    * contribute their high byte). Channel-count differences don't
+    * matter downstream: every aHash comparison is a within-image ratio,
+    * so a gray PNG and its (v,v,v) RGB twin hash IDENTICALLY
+    * (spec-pinned).
+    */
+  private def pngGrayGrid(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    pngDecode(bytes).flatMap { pi =>
+      val n = pi.w * pi.h
+      val gray = new Array[Int](n)
+      var bad = false
+      if (pi.colorType == 3) {
+        val entries = pi.palette.length / 3
+        var p = 0
+        while (p < n && !bad) {
+          val idx = pi.img(p) & 0xff
+          if (idx >= entries) bad = true // corrupt index: no hash
+          else {
+            gray(p) = (pi.palette(3 * idx) & 0xff) + (pi.palette(3 * idx + 1) & 0xff) +
+              (pi.palette(3 * idx + 2) & 0xff)
+            p += 1
+          }
+        }
+      } else {
+        val bps = pi.bitDepth / 8
+        val colorCh = if (pi.colorType == 2 || pi.colorType == 6) 3 else 1
+        var p = 0
+        while (p < n) {
+          var s = 0
+          var c = 0
+          while (c < colorCh) {
+            s += pi.img((p * pi.channels + c) * bps) & 0xff // high byte at depth 16
+            c += 1
+          }
+          gray(p) = s
+          p += 1
+        }
+      }
+      if (bad) None else Some((pi.w, pi.h, gray))
+    }
+
+  /** GIF grayscale grid through the real decode path ([[gifDecode]]):
+    * palette-looked-up channel sums over the de-interlaced index plane.
+    */
+  private def gifGrayGrid(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    gifDecode(bytes).flatMap { case (w, h, idx, palOff, palEntries) =>
+      val gray = new Array[Int](w * h)
+      var bad = false
+      var p = 0
+      while (p < gray.length && !bad) {
+        val pi = idx(p) & 0xff
+        if (pi >= palEntries) bad = true // corrupt index: no hash
+        else {
+          gray(p) = (bytes(palOff + 3 * pi) & 0xff) + (bytes(palOff + 3 * pi + 1) & 0xff) +
+            (bytes(palOff + 3 * pi + 2) & 0xff)
+          p += 1
+        }
+      }
+      if (bad) None else Some((w, h, gray))
+    }
+
+  /** Perceptual hash of one payload — BMP, PNG (every supported color
+    * type/depth/interlace) and GIF all hash through their REAL decode
+    * paths; other formats → None. Format follows content (magic
+    * bytes), the [[decode]] convention.
     */
   def imageAHash(bytes: Array[Byte]): Option[Long] =
-    bmpGrayGrid(bytes).flatMap { case (w, h, g) => aHash64(w, h, g) }
+    bmpGrayGrid(bytes).orElse(pngGrayGrid(bytes)).orElse(gifGrayGrid(bytes))
+      .flatMap { case (w, h, g) => aHash64(w, h, g) }
 
   /** (doc_id, ahash) over a binary column — the same streaming
     * `mapPartitions` shape as [[extractFeatures]]; payloads that don't

@@ -265,6 +265,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(hash === 0xffL, f"expected bits 0..7 only, hash=$hash%016x")
   }
 
+  test("imageAHash hashes PNG and GIF through their real decode paths") {
+    // the hash must be storage-invariant: an interlaced file decodes to
+    // the same display pixels, so it must hash identically to its
+    // sequential twin — for PNG (Adam7) and GIF (4-pass) alike
+    val pngSeq = Multimodal.imageAHash(Multimodal.makePng(16, 16, 7)).get
+    val pngIl = Multimodal.imageAHash(Multimodal.makePng(16, 16, 7, interlaced = true)).get
+    assert(pngSeq === pngIl)
+    val gifSeq = Multimodal.imageAHash(Multimodal.makeGif(16, 16, 7)).get
+    val gifIl = Multimodal.imageAHash(Multimodal.makeGif(16, 16, 7, interlaced = true)).get
+    assert(gifSeq === gifIl)
+    // every supported PNG shape hashes (palette, gray+alpha, 16-bit)
+    for ((ct, depth) <- Seq((0, 8), (3, 8), (4, 8), (6, 8), (2, 16)))
+      assert(Multimodal.imageAHash(
+        Multimodal.makePng(16, 16, 7, colorType = ct, bitDepth = depth)).isDefined,
+        s"ct=$ct depth=$depth must hash")
+    // scale-freeness (why channel counts never skew the hash): scaling
+    // every gray value by the channel count changes NO comparison
+    val gray = Array.tabulate(64)(i => (i * 37) % 256)
+    assert(Multimodal.aHash64(8, 8, gray) === Multimodal.aHash64(8, 8, gray.map(_ * 3)))
+  }
+
   test("imageAHashes/imageNearDups: exact copies at Hamming 0, non-images emit no rows") {
     import spark.implicits._
     val rows = Seq(
