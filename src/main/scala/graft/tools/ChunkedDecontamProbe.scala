@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.text.Decontaminate
+
+/** Steady-state-vs-from-raw soak for the CHUNKED containment scan
+  * ([[graft.text.Decontaminate.flagNearContaminatedChunked]] family).
+  * Readings:
+  *
+  *   1. from_raw — both sides pay signatures (windows + bench);
+  *   2. build    — writeBenchIndex over the bench items;
+  *   3. steady   — flagNearContaminatedChunkedAgainstIndex on the
+  *                 stored index (what every batch pays), cold then warm.
+  *
+  * Fixture shape: the benchmark side is the 24-token PREFIX of every
+  * doc at/after `split` (HUGE on the soak fixtures — inverting
+  * production shape, so the numbers are the conservative upper bound);
+  * the batch side is the docs below `split`, windowed at 24/12.
+  *
+  * usage: ChunkedDecontamProbe <sfDir> [split] [threshold]
+  */
+object ChunkedDecontamProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val split = args.drop(1).headOption.map(_.toLong).getOrElse(450L)
+    val threshold = args.drop(2).headOption.map(_.toDouble).getOrElse(0.5)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "128"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val train = docs.filter(col("doc_id") < split)
+    val bench = docs.filter(col("doc_id") >= split)
+      .select(col("doc_id"),
+        concat_ws(" ",
+          slice(graft.text.TextAnalysis.tokens(col("text")), 1, 24)).as("text"))
+    val idx = java.nio.file.Files.createTempDirectory("fzc_probe")
+      .resolve("idx").toString
+
+    def timed(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[probe] $label%-9s wall=${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
+    }
+
+    docs.count() // warmup scan
+    timed("from_raw") {
+      Decontaminate.flagNearContaminatedChunked(train, bench, "doc_id", "text",
+        chunkSize = 24, stride = 12, threshold = threshold).count()
+    }
+    timed("build") { Decontaminate.writeBenchIndex(bench, "doc_id", "text", idx); 0L }
+    timed("steady") {
+      Decontaminate.flagNearContaminatedChunkedAgainstIndex(train, idx,
+        "doc_id", "text", chunkSize = 24, stride = 12, threshold = threshold).count()
+    }
+    timed("steady2") {
+      Decontaminate.flagNearContaminatedChunkedAgainstIndex(train, idx,
+        "doc_id", "text", chunkSize = 24, stride = 12, threshold = threshold).count()
+    }
+    spark.stop()
+  }
+}
