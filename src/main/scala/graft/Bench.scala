@@ -69,7 +69,15 @@ object Bench {
       // in-suite vs 14.4 s isolated. A GC nudge between queries keeps
       // each measurement the query's own.
       System.gc()
-      (1 to warmups).foreach(_ => run())
+      // The q_*_steady rows measure a probe against a session-memoized
+      // index; the build runs inside SparkEntry's memoizer on the FIRST
+      // invocation. With warmups=0 that first invocation would be a
+      // timed run, quietly billing the build to the "probe-only" number
+      // the steady/rebuild split exists to isolate — so steady rows
+      // always get at least one untimed pass regardless of the env var.
+      val effWarmups =
+        if (warmups == 0 && name.endsWith("_steady")) 1 else warmups
+      (1 to effWarmups).foreach(_ => run())
       val times = (1 to repeats).map(_ => run()).sorted
       // upper median for even n: the conservative (pessimistic) pick
       if (failed) -1.0 else times(times.length / 2)
@@ -93,6 +101,11 @@ object Bench {
     // reader can subtract the constant from each streaming row instead
     // of mistaking engine setup for operator time.
     val streamNoop: Double = if (only.isEmpty) {
+      // Under tier isolation the probe must not inherit whichever tier
+      // session happened to run last (its suite pressure would skew the
+      // constant that gets subtracted from per-tier-isolated q_stream_*
+      // rows) — give it the same fresh-session posture as the tiers.
+      if (isolateTiers) { spark.stop(); spark = newSession() }
       def probe(i: Int): Double = {
         val t0 = System.nanoTime()
         val schema = spark.read.parquet(s"$sfDir/region.parquet").schema
@@ -163,10 +176,13 @@ object Bench {
     * probe against a session-memoized index — what a production user's
     * loop pays — under the identical oracle. Headline and the 2× guard
     * now track the steady rows; the rebuild rows stay measured here.
+    * q_bm25_deleted (round 15) follows: its measured query rebuilds the
+    * full index before erasing, so q_bm25_deleted_steady (tombstone
+    * append + probe on the memoized index) carries the headline.
     */
   private[graft] val superseded: Set[String] = Set("q_winnow",
     "q_ann_ivf_indexed", "q_ann_ivfpq_indexed", "q_bm25_indexed",
-    "q_decontam_fuzzy_indexed")
+    "q_bm25_deleted", "q_decontam_fuzzy_indexed")
 
   /** Query → bench tier (reporting only — no behavior): reference ETL
     * parity, window functions, relational breadth, text/corpus, dedup +
@@ -174,7 +190,8 @@ object Bench {
     * CDC/layout, streaming-path, multimodal.
     */
   private[graft] def tierOf(name: String): String = name match {
-    case "q_s1_scan_filter" | "q_f1_notnull_filter" | "q_p1_project_rename" |
+    case "q_s1_scan_filter" | "q_s2_scan_recursive" | "q_s3_scan_catalog" |
+         "q_f1_notnull_filter" | "q_p1_project_rename" |
          "q_a1_nonnull_counts" | "q_p2_prune_allnull" | "q_c3_comma_decimal" |
          "q_c4_digit_strip" | "q_n1_fill_defaults" | "q_n2_sentinel_date" |
          "q_d1_distinct" | "q_d2_dedup_keep_first" | "q_pipeline_refined" => "etl"
@@ -193,6 +210,7 @@ object Bench {
          "q_decontam_fuzzy_steady" | "q_decontam_chunked" |
          "q_decontam_chunked_steady" => "text"
     case "q_bm25_topk" | "q_bm25_indexed" | "q_bm25_steady" | "q_bm25_deleted" |
+         "q_bm25_deleted_steady" |
          "q_boilerplate" | "q_lm_score" | "q_lm_kneser_ney" | "q_lang_id" |
          "q_pii_scrub" | "q_tfidf_topterms" | "q_vocabulary" |
          "q_pmi_bigrams" | "q_fingerprint" | "q_repetition" |
@@ -241,7 +259,8 @@ object Bench {
     case "q_cdc_latest" => "streaming"
     case "q_multimodal_meta" | "q_frame_sample" | "q_bmp_decode" |
          "q_wav_decode" | "q_wav_frames" | "q_bmp_resize" |
-         "q_image_ahash" | "q_image_neardup" | "q_audio_fingerprint" |
+         "q_image_ahash" | "q_image_ahash_jpeg" | "q_image_neardup" |
+         "q_audio_fingerprint" |
          "q_png_decode" | "q_png_alpha" | "q_png_16bit" | "q_png_interlaced" |
          "q_gif_decode" | "q_jpeg_decode" | "q_jpeg_progressive" => "multimodal"
     case _ => "other"

@@ -119,6 +119,47 @@ object SparkEntry {
             FROM lineitem WHERE l_quantity > 45
             ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice"""))
 
+  /** S2 recursive prefix scan ([[graft.ops.Tables.readRecursive]]): the
+    * supplier table is laid out as a multi-file raw/ prefix — two nested
+    * subdirectories, each holding a parquet part of the split — and read
+    * back through the recursive scan, which must surface every file
+    * under the prefix regardless of nesting (`_SUCCESS` markers and all).
+    * The oracle is simply the whole table: a recursive scan that drops
+    * or double-reads a file fails the row count/hash.
+    */
+  private val qS2 = Q(
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val p = scratchDir("graft_s2_raw")
+      sup.filter(col("s_suppkey") % 2 === 0)
+        .write.parquet(p.resolve("d1").resolve("inner").toString)
+      sup.filter(col("s_suppkey") % 2 =!= 0)
+        .write.parquet(p.resolve("d2").toString)
+      graft.ops.Tables.readRecursive(s, p.toString)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy("s_suppkey")
+    },
+    Some("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+            FROM supplier ORDER BY s_suppkey"""))
+
+  /** S3 catalog table scan ([[graft.ops.Tables.readTable]]): a
+    * saveAsTable → read-back round trip through the session catalog —
+    * what the reference's catalog-table reads do — hashed against the
+    * source table, so catalog registration, schema persistence and the
+    * managed-table read path are all on the verified line.
+    */
+  private val qS3 = Q(
+    (s, dir) => {
+      val nat = t(s, dir, "nation")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_s3")
+      nat.write.mode("overwrite").saveAsTable("graft_s3.nation_cat")
+      graft.ops.Tables.readTable(s, "graft_s3.nation_cat")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey
+            FROM nation ORDER BY n_nationkey"""))
+
   private val qF1 = Q(
     (s, dir) => {
       val li = Cleansing.filterNotNull(t(s, dir, "lineitem"), Seq("l_returnflag", "l_shipdate"))
@@ -1457,10 +1498,16 @@ object SparkEntry {
     },
     Some(s"""WITH ttk AS (SELECT doc_id, string_split(text, ' ') AS tk
                           FROM documents WHERE doc_id < 450),
-            nch AS (SELECT doc_id, i.i AS ci,
-                           array_to_string(tk[i.i*12+1 : i.i*12+24], ' ') AS text
-                    FROM ttk JOIN generate_series(0, 300) i(i)
-                      ON i.i < GREATEST(CAST(CEIL((len(tk) - 24) / 12.0) + 1 AS INT), 1)),
+            -- per-row range() unnest: the window count is exact for ANY
+            -- doc length (a fixed generate_series bound would silently
+            -- truncate docs longer than its cap at larger SFs)
+            nch0 AS (SELECT doc_id, tk,
+                            unnest(range(0, GREATEST(
+                              CAST(CEIL((len(tk) - 24) / 12.0) + 1 AS INT), 1))) AS ci
+                     FROM ttk),
+            nch AS (SELECT doc_id, ci,
+                           array_to_string(tk[ci*12+1 : ci*12+24], ' ') AS text
+                    FROM nch0),
             nbase AS (SELECT 't:' || CAST(doc_id AS VARCHAR) || '#' || CAST(ci AS VARCHAR) AS id,
                              text FROM nch),
             sbase AS (SELECT 'b:' || CAST(doc_id AS VARCHAR) AS id,
@@ -3291,6 +3338,49 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
             FROM hs ORDER BY doc_id"""))
 
+  /** Perceptual image hashing over JPEG payloads ([[graft.multimodal
+    * .Multimodal.imageAHashes]] through the REAL entropy path): 64×64
+    * grayscale DC-only JPEGs — baseline (even ids) and PROGRESSIVE
+    * (odd ids) streams of the identical closed form — so each 8×8
+    * aHash block aligns exactly with one flat 8×8 JPEG block of value
+    * `((id + bj·31 + bi·7) mod 200) + 28`, and the oracle reconstructs
+    * all 64 bits at BLOCK granularity: bit(bi,bj) = v·64 ≥ Σv (the
+    * exact cross-multiplication `blockSum·nTotal ≥ total·nBlock`
+    * reduced by the flat-block structure).
+    */
+  private val qImageAHashJpeg = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val b =
+            if (id % 2 == 0) graft.multimodal.Multimodal.makeJpeg(64, 64, id, gray = true)
+            else graft.multimodal.Multimodal.makeJpegProgressive(64, 64, id, gray = true)
+          (id, b)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imageAHashes(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH blk AS (
+              SELECT d.doc_id, br.bi AS bi, bc.bj AS bj,
+                     ((d.doc_id + bc.bj * 31 + br.bi * 7) % 200) + 28 AS v
+              FROM documents d
+              JOIN generate_series(0, 7) br(bi) ON TRUE
+              JOIN generate_series(0, 7) bc(bj) ON TRUE),
+            tot AS (SELECT doc_id, SUM(v) AS total FROM blk GROUP BY doc_id),
+            bits AS (SELECT b.doc_id, bi, bj,
+                            CASE WHEN b.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id)),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
+            FROM hs ORDER BY doc_id"""))
+
   /** Image near-dup pairs ([[graft.multimodal.Multimodal
     * .imageNearDups]] — decode → aHash → the pigeonhole-blocked Hamming
     * join): ids share one of 40 image seeds, and every second seed
@@ -4622,6 +4712,31 @@ object SparkEntry {
       val inner = sql.trim.stripPrefix("WITH ").replace("FROM documents", "FROM live")
       "WITH live AS (SELECT * FROM documents WHERE doc_id < 100 OR doc_id >= 200), " + inner
     })
+
+  /** STEADY-STATE right-to-erasure ([[qBm25Deleted]]'s production
+    * split, the round-14 `*_steady` pattern): the full-corpus index
+    * build is memoized per session/SF via [[steadyIndex]] (own prefix —
+    * never shared with q_bm25_steady's un-erased index); the measured
+    * query pays what an erasure request actually costs a production
+    * user — the tombstone append (idempotent by construction: already-
+    * tombstoned ids anti-join away, so repeated measured runs re-verify
+    * but never double-subtract) plus the partition-pruned probe. Same
+    * re-rooted oracle as the rebuild row.
+    */
+  private lazy val qBm25DeletedSteady = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxPath = steadyIndex("graft_bm25_del_steady", dir) { p =>
+        graft.text.Bm25.writeBm25Index(docs, p, nBuckets = 16)
+      }
+      graft.text.Bm25.deleteFromBm25Index(
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 200).select("doc_id"),
+        idxPath, nBuckets = 16)
+      graft.text.Bm25.topKAgainstIndex(
+          docs.filter(col("doc_id") < 3), idxPath, k = 10, nBuckets = 16)
+        .orderBy("qid", "rank")
+    },
+    qBm25Deleted.oracle)
 
   /** Hybrid retrieval ([[graft.similarity.Fusion.rrf]]): BM25 lexical
     * top-20 fused with embedding-cosine top-20 by reciprocal rank, re-cut
@@ -7758,6 +7873,8 @@ object SparkEntry {
 
   private val registry: Vector[(String, Q)] = Vector(
     "q_s1_scan_filter" -> qS1,
+    "q_s2_scan_recursive" -> qS2,
+    "q_s3_scan_catalog" -> qS3,
     "q_f1_notnull_filter" -> qF1,
     "q_p1_project_rename" -> qP1,
     "q_a1_nonnull_counts" -> qA1,
@@ -7836,6 +7953,7 @@ object SparkEntry {
     "q_bmp_decode" -> qBmpDecode,
     "q_bmp_resize" -> qBmpResize,
     "q_image_ahash" -> qImageAHash,
+    "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_neardup" -> qImageNearDup,
     "q_audio_fingerprint" -> qAudioFingerprint,
     "q_wav_decode" -> qWavDecode,
@@ -7884,6 +8002,7 @@ object SparkEntry {
     "q_bm25_indexed" -> qBm25Indexed,
     "q_bm25_steady" -> qBm25Steady,
     "q_bm25_deleted" -> qBm25Deleted,
+    "q_bm25_deleted_steady" -> qBm25DeletedSteady,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_dedup_lsh_incremental" -> qDedupLshIncremental,
     "q_merge_upsert" -> qMergeUpsert,

@@ -1125,14 +1125,27 @@ object Multimodal {
     * coefficients across DC/AC first and refinement scans (T.81 G.2)
     * and render once at EOI.
     */
-  def parseJpeg(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+  def parseJpeg(id: Long, bytes: Array[Byte]): Option[MediaFeatures] =
+    jpegPlanes(bytes).flatMap(jp =>
+      foldJpegPlanes(id, bytes.length, jp.comps, jp.planes, jp.planeW, jp.w, jp.h))
+
+  /** Decoded component planes of a JPEG in MCU-padded storage — the
+    * shared product of the baseline and progressive decode paths, folded
+    * to [[MediaFeatures]] by [[parseJpeg]] and to an aHash gray grid by
+    * [[jpegGrayGrid]].
+    */
+  private final case class JpegPlanes(comps: Array[Array[Int]],
+                                      planes: Array[Array[Byte]],
+                                      planeW: Array[Int], w: Int, h: Int)
+
+  private def jpegPlanes(bytes: Array[Byte]): Option[JpegPlanes] = {
     if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
       return None
-    try parseJpegInner(id, bytes)
+    try jpegPlanesInner(bytes)
     catch { case _: JpegBad | _: ArrayIndexOutOfBoundsException => None }
   }
 
-  private def parseJpegInner(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+  private def jpegPlanesInner(bytes: Array[Byte]): Option[JpegPlanes] = {
     val quant = new Array[Array[Int]](4)
     val dcTabs = new Array[HuffTable](4)
     val acTabs = new Array[HuffTable](4)
@@ -1340,7 +1353,7 @@ object Multimodal {
         marker = bytes(off) & 0xff; off += 1
       }
       if (marker == 0xd9) { // EOI: the exit for a progressive stream
-        if (progressive && scansDone > 0) return progFinish(id, bytes, comps,
+        if (progressive && scansDone > 0) return progFinish(comps,
           quant, pCoefs, pCompBX, pCompBY, w, h)
         return None // EOI before any image data
       }
@@ -1503,7 +1516,7 @@ object Multimodal {
       }
       mcu += 1
     }
-    foldJpegPlanes(id, bytes.length, comps, planes, planeW, w, h)
+    Some(JpegPlanes(comps, planes, planeW, w, h))
   }
 
   /** Shared feature fold over decoded component planes (visible w×h
@@ -1576,10 +1589,10 @@ object Multimodal {
     * and fold — identical semantics to a baseline decode of the fully
     * refined coefficients.
     */
-  private def progFinish(id: Long, bytes: Array[Byte], comps: Array[Array[Int]],
+  private def progFinish(comps: Array[Array[Int]],
                          quant: Array[Array[Int]], pCoefs: Array[Array[Int]],
                          pCompBX: Array[Int], pCompBY: Array[Int],
-                         w: Int, h: Int): Option[MediaFeatures] = {
+                         w: Int, h: Int): Option[JpegPlanes] = {
     if (pCoefs == null) return None
     val nComp = comps.length
     val maxH = comps.map(_(1)).max
@@ -1612,7 +1625,7 @@ object Multimodal {
       }
       c += 1
     }
-    foldJpegPlanes(id, bytes.length, comps, planes, planeW, w, h)
+    Some(JpegPlanes(comps, planes, planeW, w, h))
   }
 
   /** Fixture/test writer for baseline JPEG, DC-ONLY by construction:
@@ -2099,13 +2112,63 @@ object Multimodal {
       if (bad) None else Some((w, h, gray))
     }
 
+  /** JPEG grayscale grid through the real decode path ([[jpegPlanes]] —
+    * baseline AND progressive, every supported subsampling): grayscale
+    * streams hash their luma plane directly (scale-free — aHash
+    * comparisons are within-image ratios, so Y and the BMP convention's
+    * 3-channel sum of a (v,v,v) twin hash IDENTICALLY, spec-pinned);
+    * color streams replay the same YCbCr→RGB conversion as
+    * [[foldJpegPlanes]] and sum the channels, the BMP/PNG/GIF gray
+    * convention.
+    */
+  private def jpegGrayGrid(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    jpegPlanes(bytes).map { jp =>
+      val w = jp.w; val h = jp.h
+      val gray = new Array[Int](w * h)
+      if (jp.comps.length == 1) {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            gray(y * w + x) = jp.planes(0)(y * jp.planeW(0) + x) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+      } else {
+        val maxH = jp.comps.map(_(1)).max
+        val maxV = jp.comps.map(_(2)).max
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val yv = jp.planes(0)(y * jp.planeW(0) + x) & 0xff
+            val cbx = x * jp.comps(1)(1) / maxH; val cby = y * jp.comps(1)(2) / maxV
+            val crx = x * jp.comps(2)(1) / maxH; val cry = y * jp.comps(2)(2) / maxV
+            val cb = (jp.planes(1)(cby * jp.planeW(1) + cbx) & 0xff) - 128
+            val cr = (jp.planes(2)(cry * jp.planeW(2) + crx) & 0xff) - 128
+            def cl(d: Double): Int = {
+              val r = math.round(d).toInt
+              if (r < 0) 0 else if (r > 255) 255 else r
+            }
+            gray(y * w + x) = cl(yv + 1.402 * cr) +
+              cl(yv - 0.344136 * cb - 0.714136 * cr) + cl(yv + 1.772 * cb)
+            x += 1
+          }
+          y += 1
+        }
+      }
+      (w, h, gray)
+    }
+
   /** Perceptual hash of one payload — BMP, PNG (every supported color
-    * type/depth/interlace) and GIF all hash through their REAL decode
-    * paths; other formats → None. Format follows content (magic
-    * bytes), the [[decode]] convention.
+    * type/depth/interlace), GIF and JPEG (baseline + progressive) all
+    * hash through their REAL decode paths; other formats → None. Format
+    * follows content (magic bytes), the [[decode]] convention.
     */
   def imageAHash(bytes: Array[Byte]): Option[Long] =
     bmpGrayGrid(bytes).orElse(pngGrayGrid(bytes)).orElse(gifGrayGrid(bytes))
+      .orElse(jpegGrayGrid(bytes))
       .flatMap { case (w, h, g) => aHash64(w, h, g) }
 
   /** (doc_id, ahash) over a binary column — the same streaming

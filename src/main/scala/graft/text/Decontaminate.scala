@@ -297,18 +297,30 @@ object Decontaminate {
 
   /** Erase benchmark items WITHOUT rebuild (a retired eval set): raw
     * bench ids land as "b:"-prefixed tombstones, anti-joined out of
-    * every read. Idempotent — the anti-join doesn't care how many
-    * tombstone rows an id has.
+    * every read. Idempotent ON DISK, not just in effect: ids already
+    * tombstoned anti-join away before the append, so repeated deletes
+    * (retry loops, re-played erasure requests) cannot grow the table —
+    * it is bounded by the count of DISTINCT erased ids, which is
+    * benchmark-sized, which is why [[minusBenchTombstones]] may safely
+    * broadcast it.
     */
   def deleteFromBenchIndex(ids: DataFrame, path: String,
-                           idCol: String = "doc_id"): Unit =
-    ids.select(concat(lit("b:"), col(idCol).cast("string")).as("id")).distinct()
+                           idCol: String = "doc_id"): Unit = {
+    val spark = ids.sparkSession
+    minusBenchTombstones(spark,
+        ids.select(concat(lit("b:"), col(idCol).cast("string")).as("id")).distinct(),
+        path)
       .write.mode("append").parquet(s"$path/tombstones")
+  }
 
   private def minusBenchTombstones(spark: org.apache.spark.sql.SparkSession,
                                    df: DataFrame, path: String): DataFrame = {
     val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     if (!t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t)) df
+    // broadcast is safe: the table holds one row per distinct erased
+    // benchmark id (deleteFromBenchIndex dedups against it before
+    // appending), and benchmarks are model-sized by this module's
+    // design contract
     else df.join(broadcast(spark.read.parquet(s"$path/tombstones")),
       Seq("id"), "left_anti")
   }

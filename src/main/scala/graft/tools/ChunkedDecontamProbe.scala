@@ -43,8 +43,16 @@ object ChunkedDecontamProbe {
       .select(col("doc_id"),
         concat_ws(" ",
           slice(graft.text.TextAnalysis.tokens(col("text")), 1, 24)).as("text"))
-    val idx = java.nio.file.Files.createTempDirectory("fzc_probe")
-      .resolve("idx").toString
+    // exit-time cleanup (the SparkEntry.scratchDir discipline) — repeated
+    // soak runs must not accumulate index copies in /tmp
+    val idxRoot = java.nio.file.Files.createTempDirectory("fzc_probe")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        Files.walk(idxRoot).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+    val idx = idxRoot.resolve("idx").toString
 
     def timed(label: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -65,6 +73,20 @@ object ChunkedDecontamProbe {
     timed("steady2") {
       Decontaminate.flagNearContaminatedChunkedAgainstIndex(train, idx,
         "doc_id", "text", chunkSize = 24, stride = 12, threshold = threshold).count()
+    }
+    // the honest floor the steady claim compares against: the BATCH
+    // side's window explode + signature + band pass alone (no index
+    // read, no joins) — "steady ≈ sig_floor" is the production-shape
+    // receipt
+    timed("sig_floor") {
+      val chunks = graft.text.Chunker.chunk(
+          train.select(col("doc_id").as("id"), col("text")),
+          "id", "text", 24, 12)
+        .select(concat(lit("t:"), col("id").cast("string"),
+            lit("#"), col("chunk_idx").cast("string")).as("id"),
+          col("chunk_text").as("text"))
+      graft.dedup.NearDup.bandRows(
+        graft.dedup.NearDup.signatures(chunks, "id", "text", 16), 16, 1).count()
     }
     spark.stop()
   }

@@ -65,6 +65,15 @@ object FuzzyDecontamProbe {
       Decontaminate.flagNearContaminatedAgainstIndex(train, idx, "doc_id", "text",
         threshold = threshold).count()
     }
+    // the honest floor the steady claim compares against: the BATCH
+    // side's signature + band pass alone (no index read, no joins) —
+    // "steady ≈ sig_floor" is the production-shape receipt
+    timed("sig_floor") {
+      val pref = train.select(
+        concat(lit("t:"), col("doc_id").cast("string")).as("id"), col("text"))
+      graft.dedup.NearDup.bandRows(
+        graft.dedup.NearDup.signatures(pref, "id", "text", 16), 16, 1).count()
+    }
     spark.stop()
   }
 }

@@ -286,6 +286,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.aHash64(8, 8, gray) === Multimodal.aHash64(8, 8, gray.map(_ * 3)))
   }
 
+  test("imageAHash hashes JPEG through the real entropy path") {
+    // 64x64 gray DC-only fixture: each 8x8 aHash block IS one flat JPEG
+    // block of v(bj,bi) = ((seed + bj*31 + bi*7) % 200) + 28, so all 64
+    // bits have the closed form bit(bi,bj) = v*64 >= sum(v)
+    def v(seed: Long, bj: Int, bi: Int): Int =
+      (((seed + bj * 31L + bi * 7L) % 200) + 28).toInt
+    val vs = for (bi <- 0 until 8; bj <- 0 until 8) yield v(7, bj, bi)
+    val tot = vs.map(_.toLong).sum
+    var expected = 0L
+    for (bi <- 0 until 8; bj <- 0 until 8)
+      if (v(7, bj, bi) * 64L >= tot) expected |= 1L << (bi * 8 + bj)
+    val base = Multimodal.imageAHash(Multimodal.makeJpeg(64, 64, 7, gray = true)).get
+    assert(base === expected, f"baseline gray JPEG hash=$base%016x expected=$expected%016x")
+    // the progressive twin refines to the identical image -> identical hash
+    val prog = Multimodal.imageAHash(
+      Multimodal.makeJpegProgressive(64, 64, 7, gray = true)).get
+    assert(prog === base)
+    // BMP twin of the same pixels — (v,v,v) channels, so BMP gray = 3v,
+    // and the hash is scale-free -> bit-identical to the JPEG's
+    val stride = 3 * 64 // w=64: already a multiple of 4
+    val bmp = Multimodal.makeBmp(64, 64, 0)
+    for (display <- 0 until 64; x <- 0 until 64; c <- 0 until 3)
+      // bottom-up storage: storage row = 63 - display row
+      bmp(54 + (63 - display) * stride + 3 * x + c) = v(7, x / 8, display / 8).toByte
+    assert(Multimodal.imageAHash(bmp).get === base,
+      "BMP twin of the same pixels must hash identically")
+    // color forms hash too, and progressive twins agree (4:4:4 and 4:2:0)
+    val c444 = Multimodal.imageAHash(Multimodal.makeJpeg(16, 16, 5)).get
+    assert(c444 === Multimodal.imageAHash(Multimodal.makeJpegProgressive(16, 16, 5)).get)
+    val c420 = Multimodal.imageAHash(Multimodal.makeJpeg(32, 16, 11, subsample = true)).get
+    assert(c420 === Multimodal.imageAHash(
+      Multimodal.makeJpegProgressive(32, 16, 11, subsample = true)).get)
+    // a truncated stream still emits NO hash (decode failure -> None)
+    assert(Multimodal.imageAHash(
+      Multimodal.makeJpeg(16, 16, 5).take(40)) === None)
+  }
+
   test("imageAHashes/imageNearDups: exact copies at Hamming 0, non-images emit no rows") {
     import spark.implicits._
     val rows = Seq(
