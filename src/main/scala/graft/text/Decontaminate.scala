@@ -350,22 +350,40 @@ object Decontaminate {
     require(storedBands == bands && storedRpb == rowsPerBand,
       s"probe banding ${bands}x$rowsPerBand != stored index banding " +
         s"${storedBands}x$storedRpb at $indexPath — rebuild or re-band the index")
-    // one signature pass over the BATCH: the band table is consumed by
-    // TWO ACTIONS (the bucket-list collect, then the candidate join) so
-    // it is pinned — which also covers the signature work above it
-    // (AQE stage reuse cannot span actions; round-13 rule)
+    // Bucket pruning is ADAPTIVE on batch size (r15, measured on the
+    // production-shape probe — 10³-item benchmark under a 500k-doc
+    // batch at 100×): a batch emits `bands` band rows per doc, so once
+    // those rows outnumber the buckets ~4× essentially every bucket is
+    // hit (expected empty fraction e^(−rows/buckets) ≈ 2%) and the
+    // prune machinery — a localCheckpoint of the batch-sized band
+    // table plus a distinct+collect over it — costs a full extra
+    // materialization for zero pruning (52 s steady vs 21 s from-raw
+    // before this cutover). Pruning is an optimization only (the
+    // (band, bh) equi-join drops non-matching buckets anyway), so the
+    // big-batch branch streams the single-consumer band rows straight
+    // into the join; the small-batch branch (interactive probes, the
+    // gate fixtures) keeps the static partition prune that makes a
+    // small probe touch only its own buckets.
+    val nNew = newDocs.count()
+    val prune = nNew * bands < 4L * nBuckets
     val newSig = NearDup.signatures(newDocs, "id", "text",
       bands * rowsPerBand)
-    val newBand = NearDup.bandRows(newSig, bands, rowsPerBand)
+    val newBandRaw = NearDup.bandRows(newSig, bands, rowsPerBand)
       .withColumn("bbucket", bbucket(col("bh"), nBuckets))
-      .localCheckpoint()
-    val buckets = newBand.select("bbucket").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // small batch: the band table is consumed by TWO ACTIONS (the
+    // bucket-list collect, then the candidate join) so it is pinned —
+    // which also covers the signature work above it (AQE stage reuse
+    // cannot span actions; round-13 rule)
+    val newBand = if (prune) newBandRaw.localCheckpoint() else newBandRaw
+    val seenBandRead =
+      if (prune) {
+        val buckets = newBand.select("bbucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        spark.read.parquet(s"$indexPath/bands")
+          .filter(col("bbucket").isin(buckets: _*)) // static partition pruning
+      } else spark.read.parquet(s"$indexPath/bands")
     val seenBand = minusBenchTombstones(spark,
-      spark.read.parquet(s"$indexPath/bands")
-        .filter(col("bbucket").isin(buckets: _*)) // static partition pruning
-        .drop("bbucket", "batch_id"),
-      indexPath)
+      seenBandRead.drop("bbucket", "batch_id"), indexPath)
     val okBuckets = seenBand.groupBy("band", "bh").count()
       .filter(col("count") <= maxBucket).select("band", "bh")
     val candidates = newBand

@@ -37,12 +37,20 @@ object ChunkedDecontamProbe {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 4th arg "salt": suffix every bench token so the benchmark shares
+    // no shingles with the corpus — the CLEAN-benchmark production case
+    // (see FuzzyDecontamProbe).
+    val salt = args.drop(3).headOption.contains("salt")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val train = docs.filter(col("doc_id") < split)
-    val bench = docs.filter(col("doc_id") >= split)
+    val benchRaw = docs.filter(col("doc_id") >= split)
       .select(col("doc_id"),
         concat_ws(" ",
           slice(graft.text.TextAnalysis.tokens(col("text")), 1, 24)).as("text"))
+    val bench =
+      if (salt) benchRaw.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", "$1zq"))
+      else benchRaw
     // exit-time cleanup (the SparkEntry.scratchDir discipline) — repeated
     // soak runs must not accumulate index copies in /tmp
     val idxRoot = java.nio.file.Files.createTempDirectory("fzc_probe")
@@ -55,6 +63,7 @@ object ChunkedDecontamProbe {
     val idx = idxRoot.resolve("idx").toString
 
     def timed(label: String)(body: => Long): Unit = {
+      System.gc() // free prior readings' checkpoint blocks (the Bench rule)
       val t0 = System.nanoTime()
       val n = body
       println(f"[probe] $label%-9s wall=${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
@@ -77,7 +86,8 @@ object ChunkedDecontamProbe {
     // the honest floor the steady claim compares against: the BATCH
     // side's window explode + signature + band pass alone (no index
     // read, no joins) — "steady ≈ sig_floor" is the production-shape
-    // receipt
+    // receipt. Must MATERIALIZE (noop write): count() lets the
+    // optimizer delete the signature columns and times an empty scan.
     timed("sig_floor") {
       val chunks = graft.text.Chunker.chunk(
           train.select(col("doc_id").as("id"), col("text")),
@@ -86,7 +96,9 @@ object ChunkedDecontamProbe {
             lit("#"), col("chunk_idx").cast("string")).as("id"),
           col("chunk_text").as("text"))
       graft.dedup.NearDup.bandRows(
-        graft.dedup.NearDup.signatures(chunks, "id", "text", 16), 16, 1).count()
+        graft.dedup.NearDup.signatures(chunks, "id", "text", 16), 16, 1)
+        .write.format("noop").mode("overwrite").save()
+      0L
     }
     spark.stop()
   }

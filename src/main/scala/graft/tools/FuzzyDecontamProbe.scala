@@ -39,13 +39,34 @@ object FuzzyDecontamProbe {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // 4th arg "salt": suffix every bench token so the benchmark shares
+    // no shingles with the corpus — the CLEAN-benchmark production case
+    // (contamination is rare, so verification mass ≈ 0 and steady should
+    // sit on the batch signature floor). Without it, a dup-depth soak
+    // fixture gives every bench item dozens of train twins and steady is
+    // dominated by exact verification of TRUE pairs — the contamination-
+    // found cost, not the probe floor.
+    val salt = args.drop(3).headOption.contains("salt")
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val train = docs.filter(col("doc_id") < split)
-    val bench = docs.filter(col("doc_id") >= split)
-    val idx = java.nio.file.Files.createTempDirectory("fz_probe")
-      .resolve("idx").toString
+    val benchRaw = docs.filter(col("doc_id") >= split)
+    val bench =
+      if (salt) benchRaw.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", "$1zq"))
+      else benchRaw
+    // exit-time cleanup (the SparkEntry.scratchDir discipline) — repeated
+    // soak runs must not accumulate index copies in /tmp
+    val idxRoot = java.nio.file.Files.createTempDirectory("fz_probe")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        Files.walk(idxRoot).sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+    val idx = idxRoot.resolve("idx").toString
 
     def timed(label: String)(body: => Long): Unit = {
+      System.gc() // free prior readings' checkpoint blocks (the Bench rule)
       val t0 = System.nanoTime()
       val n = body
       println(f"[probe] $label%-9s wall=${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
@@ -67,12 +88,16 @@ object FuzzyDecontamProbe {
     }
     // the honest floor the steady claim compares against: the BATCH
     // side's signature + band pass alone (no index read, no joins) —
-    // "steady ≈ sig_floor" is the production-shape receipt
+    // "steady ≈ sig_floor" is the production-shape receipt. Must
+    // MATERIALIZE (noop write): count() lets the optimizer delete the
+    // signature columns and times an empty scan.
     timed("sig_floor") {
       val pref = train.select(
         concat(lit("t:"), col("doc_id").cast("string")).as("id"), col("text"))
       graft.dedup.NearDup.bandRows(
-        graft.dedup.NearDup.signatures(pref, "id", "text", 16), 16, 1).count()
+        graft.dedup.NearDup.signatures(pref, "id", "text", 16), 16, 1)
+        .write.format("noop").mode("overwrite").save()
+      0L
     }
     spark.stop()
   }
