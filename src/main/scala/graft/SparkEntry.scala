@@ -146,12 +146,17 @@ object SparkEntry {
     * saveAsTable → read-back round trip through the session catalog —
     * what the reference's catalog-table reads do — hashed against the
     * source table, so catalog registration, schema persistence and the
-    * managed-table read path are all on the verified line.
+    * managed-table read path are all on the verified line. The database
+    * lives at a per-JVM scratch location (exit-cleaned): the default
+    * warehouse dir persists across sessions while the in-memory catalog
+    * does not, so a fresh session's overwrite would take the CREATE path
+    * and collide with the previous JVM's orphaned table directory.
     */
+  private lazy val s3DbLoc = scratchDir("graft_s3_db").toString
   private val qS3 = Q(
     (s, dir) => {
       val nat = t(s, dir, "nation")
-      s.sql("CREATE DATABASE IF NOT EXISTS graft_s3")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_s3 LOCATION '$s3DbLoc'")
       nat.write.mode("overwrite").saveAsTable("graft_s3.nation_cat")
       graft.ops.Tables.readTable(s, "graft_s3.nation_cat")
         .select("n_nationkey", "n_name", "n_regionkey")

@@ -99,6 +99,12 @@ object DupClusters {
     * Same output contract as [[connectedComponents]]: (id, cluster_id)
     * for every id appearing in `pairs`, cluster_id = component minimum.
     */
+  /** Convergence rounds of the most recent [[connectedComponentsStar]]
+    * call in this JVM — a measurement-probe diagnostic (the O(log n)
+    * receipt wants rounds next to wall), not part of the data contract.
+    */
+  @volatile private[graft] var lastStarRounds: Int = -1
+
   def connectedComponentsStar(pairs: DataFrame, aCol: String = "id_a",
                               bCol: String = "id_b",
                               maxIter: Int = 50): DataFrame = {
@@ -140,6 +146,7 @@ object DupClusters {
       s"connectedComponentsStar did not converge in $maxIter rounds — " +
         "star contraction needs O(log n) rounds, so this indicates a bug " +
         "or an absurd id space, not a legitimate input")
+    lastStarRounds = iter
     allIds
       .join(edges.select(col("u").as("id"), col("v").as("cluster_id")),
         Seq("id"), "left")

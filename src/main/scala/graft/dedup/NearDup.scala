@@ -228,8 +228,9 @@ object NearDup {
         .select("id_a", "id_b")
 
     // exact verification on the surviving pairs only
-    val toks = docs.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks"))
+    val bigCorpus = sig.count() > BroadcastSafeRows // sig is pinned: cheap
+    val toks = mergeIfBig(docs.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks")), bigCorpus)
     sigEst
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
@@ -237,6 +238,25 @@ object NearDup {
         jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Join-strategy guard for corpus-derived join inputs (token tables,
+    * band rows): their STATIC size estimates come off the compressed
+    * parquet scan scaled by column-width ratios, which sits orders of
+    * magnitude below true in-memory size — compressed text plus the
+    * ×bands / ×windows explodes are invisible to width-ratio stats.
+    * Measured on the 100× production-shape decontam probe: a 500k-doc
+    * batch's band table ESTIMATED 4 MB (under the 10 MB broadcast
+    * threshold) and the static planner picked it as a broadcast BUILD
+    * side — 8+ GiB materialized on the driver, job dead. AQE cannot
+    * save a statically-planned broadcast deep in a no-shuffle pipeline
+    * (there is no stage boundary to re-plan at), so when the caller
+    * KNOWS the side is big — one cheap count — it forces the
+    * sort-merge path. Small sides keep the unhinted plan (the tiny
+    * benchmark/batch broadcasts the planner already gets right).
+    */
+  private[graft] val BroadcastSafeRows = 8192L
+  private[graft] def mergeIfBig(df: DataFrame, big: Boolean): DataFrame =
+    if (big) df.hint("merge") else df
 
   /** Incremental MinHash+LSH near-dup: each NEW document checked against
     * the SEEN corpus — the ingest-batch shape of [[minHashLsh]], pairing
@@ -270,13 +290,17 @@ object NearDup {
     // the recall posture (estPrefilter = false) they have ONE consumer
     // and the pin would only spend block-manager space — corpus-sized
     // on the chunked-decontam path, where the "docs" are windows.
+    // a NEW side above broadcast-safe size must never become a static
+    // broadcast build side off its corrupted scan estimate (see
+    // [[mergeIfBig]]); the seen side is pinned, so its stats are true
+    val bigNew = newDocs.count() > BroadcastSafeRows
     val newSigRaw = signatures(newDocs, idCol, textCol, numHashes)
     val newSig = if (estPrefilter) newSigRaw.localCheckpoint() else newSigRaw
     val seenSig = signatures(seenDocs, idCol, textCol, numHashes).localCheckpoint()
     val seenBand = bandRows(seenSig, bands, rowsPerBand)
     val okBuckets = seenBand.groupBy("band", "bh").count()
       .filter(col("count") <= maxBucket).select("band", "bh")
-    val candidates = bandRows(newSig, bands, rowsPerBand)
+    val candidates = mergeIfBig(bandRows(newSig, bands, rowsPerBand), bigNew)
       .select(col("band"), col("bh"), col("id").as("new_id"))
       .join(seenBand.join(okBuckets, Seq("band", "bh"))
         .select(col("band"), col("bh"), col("id").as("seen_id")), Seq("band", "bh"))
@@ -293,8 +317,8 @@ object NearDup {
             lit(numHashes.toDouble))
         .filter(col("est") >= slack)
         .select("new_id", "seen_id")
-    val newToks = newDocs.select(col(idCol).as("new_id"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_a"))
+    val newToks = mergeIfBig(newDocs.select(col(idCol).as("new_id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_a")), bigNew)
     val seenToks = seenDocs.select(col(idCol).as("seen_id"),
       array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_b"))
     sigEst.join(newToks, "new_id").join(seenToks, "seen_id")

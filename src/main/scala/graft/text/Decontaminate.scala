@@ -200,9 +200,13 @@ object Decontaminate {
       bands, rowsPerBand, threshold, maxBucket, estPrefilter = false)
     val flagged = pairs.groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_bench_matches"), max(col("jaccard")).as("max_jaccard"))
-    train
-      .select(col(idCol).as("id"),
-        concat(lit("t:"), col(idCol).cast("string")).as("new_id"))
+    // the id join-back must not broadcast a big train side off its
+    // corrupted scan estimate (NearDup.mergeIfBig); flagged is
+    // contamination-sized either way
+    NearDup.mergeIfBig(
+      train.select(col(idCol).as("id"),
+        concat(lit("t:"), col(idCol).cast("string")).as("new_id")),
+      train.count() > NearDup.BroadcastSafeRows)
       .join(flagged, "new_id")
       .select("id", "n_bench_matches", "max_jaccard")
   }
@@ -366,9 +370,13 @@ object Decontaminate {
     // small probe touch only its own buckets.
     val nNew = newDocs.count()
     val prune = nNew * bands < 4L * nBuckets
+    // big batches must never become static broadcast build sides off
+    // their corrupted scan estimates ([[graft.dedup.NearDup.mergeIfBig]])
+    val bigNew = nNew > NearDup.BroadcastSafeRows
     val newSig = NearDup.signatures(newDocs, "id", "text",
       bands * rowsPerBand)
-    val newBandRaw = NearDup.bandRows(newSig, bands, rowsPerBand)
+    val newBandRaw = NearDup.mergeIfBig(
+      NearDup.bandRows(newSig, bands, rowsPerBand), bigNew)
       .withColumn("bbucket", bbucket(col("bh"), nBuckets))
     // small batch: the band table is consumed by TWO ACTIONS (the
     // bucket-list collect, then the candidate join) so it is pinned —
@@ -393,8 +401,10 @@ object Decontaminate {
       .select("new_id", "seen_id").distinct()
     // recall posture: NO estimate prefilter — exact token-Jaccard on
     // every banded candidate (see flagNearContaminated's scaladoc)
-    val newToks = newDocs.select(col("id").as("new_id"),
-      array_distinct(graft.text.TextAnalysis.tokens(col("text"))).as("toks_a"))
+    val newToks = NearDup.mergeIfBig(
+      newDocs.select(col("id").as("new_id"),
+        array_distinct(graft.text.TextAnalysis.tokens(col("text"))).as("toks_a")),
+      bigNew)
     val seenToks = minusBenchTombstones(spark,
         spark.read.parquet(s"$indexPath/sig"), indexPath)
       .select(col("id").as("seen_id"), col("toks").as("toks_b"))
@@ -417,9 +427,13 @@ object Decontaminate {
       threshold, maxBucket)
     val flagged = pairs.groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_bench_matches"), max(col("jaccard")).as("max_jaccard"))
-    train
-      .select(col(idCol).as("id"),
-        concat(lit("t:"), col(idCol).cast("string")).as("new_id"))
+    // the id join-back must not broadcast a big train side off its
+    // corrupted scan estimate (NearDup.mergeIfBig); flagged is
+    // contamination-sized either way
+    NearDup.mergeIfBig(
+      train.select(col(idCol).as("id"),
+        concat(lit("t:"), col(idCol).cast("string")).as("new_id")),
+      train.count() > NearDup.BroadcastSafeRows)
       .join(flagged, "new_id")
       .select("id", "n_bench_matches", "max_jaccard")
   }
@@ -447,7 +461,9 @@ object Decontaminate {
       chunks.select(col("ckey").as("id"), col("chunk_text").as("text")),
       indexPath, bands, rowsPerBand, threshold, maxBucket)
     pairs
-      .join(chunks.select(col("id"), col("ckey").as("new_id")), "new_id")
+      .join(NearDup.mergeIfBig(
+        chunks.select(col("id"), col("ckey").as("new_id")),
+        train.count() > NearDup.BroadcastSafeRows), "new_id")
       .groupBy(col("id"))
       .agg(count_distinct(col("seen_id")).as("n_bench_matches"),
         max(col("jaccard")).as("max_jaccard"))
@@ -514,7 +530,9 @@ object Decontaminate {
       benchPrefixed(bench, idCol, textCol), "id", "text",
       bands, rowsPerBand, threshold, maxBucket, estPrefilter = false)
     pairs
-      .join(chunks.select(col("id"), col("ckey").as("new_id")), "new_id")
+      .join(NearDup.mergeIfBig(
+        chunks.select(col("id"), col("ckey").as("new_id")),
+        train.count() > NearDup.BroadcastSafeRows), "new_id")
       .groupBy(col("id"))
       .agg(count_distinct(col("seen_id")).as("n_bench_matches"),
         max(col("jaccard")).as("max_jaccard"))
