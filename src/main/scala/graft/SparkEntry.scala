@@ -3302,6 +3302,55 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
             FROM hs ORDER BY doc_id"""))
 
+  /** Audio fingerprinting over FLAC payloads ([[graft.multimodal.Flac
+    * .decode]] → the shared energy-delta fold): REAL compressed streams
+    * — Rice-coded FIXED and LPC predictors, all four stereo channel
+    * assignments cycling across frames — whose decoded PCM follows the
+    * WAV fixture's exact closed form, so the oracle reconstructs the
+    * fingerprint from the sample formula without modeling the codec at
+    * all: losslessness IS the oracle trick (any decode error anywhere
+    * in the predictor/residual/decorrelation chain moves some frame
+    * energy and flips bits).
+    */
+  private val qAudioFingerprintFlac = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.multimodal.Flac.make(
+            (192 * (1 + id % 4)).toInt, (1 + id % 2).toInt, 8000, id))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFingerprints(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     (CAST(192 * (1 + doc_id % 4) AS INT)
+                      * CAST(1 + doc_id % 2 AS INT)) AS n
+              FROM documents),
+            sm AS (SELECT doc_id, n, i.i AS i,
+                          ((doc_id + i.i * 13) % 256 - 128) AS v
+                   FROM dims JOIN generate_series(0, 1535) i(i) ON i.i < n),
+            fr AS (SELECT dims.doc_id, f.f AS f,
+                          (f.f * dims.n) // 65 AS lo, ((f.f + 1) * dims.n) // 65 AS hi
+                   FROM dims JOIN generate_series(0, 64) f(f) ON TRUE),
+            fe AS (SELECT fr.doc_id, fr.f, CAST(SUM(sm.v * sm.v) AS BIGINT) AS e
+                   FROM fr JOIN sm ON sm.doc_id = fr.doc_id
+                     AND sm.i >= fr.lo AND sm.i < fr.hi
+                   GROUP BY 1, 2),
+            bits AS (SELECT a.doc_id, a.f - 1 AS idx,
+                            CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                     FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                     WHERE a.f >= 1),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << idx) ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
+            FROM hs ORDER BY doc_id"""))
+
   /** Perceptual image hashing ([[graft.multimodal.Multimodal
     * .imageAHashes]]): 64-bit average hash over the decoded 16×16 BMP
     * grid — 8×8 block means vs the global mean, compared by EXACT
@@ -7975,6 +8024,7 @@ object SparkEntry {
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_neardup" -> qImageNearDup,
     "q_audio_fingerprint" -> qAudioFingerprint,
+    "q_audio_fingerprint_flac" -> qAudioFingerprintFlac,
     "q_wav_decode" -> qWavDecode,
     "q_wav_frames" -> qWavFrames,
     "q_sessionize" -> qSessionize,

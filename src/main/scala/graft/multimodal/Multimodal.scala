@@ -188,6 +188,28 @@ object Multimodal {
     Some(MediaFeatures(id, bytes.length, "wav", sampleRate, channels, feats))
   }
 
+  /** FLAC through the real decode path ([[Flac.decode]]) folded to the
+    * same feature shape as [[parseWav]] — the two encodings of one PCM
+    * stream produce IDENTICAL features (lossless, spec-pinned).
+    */
+  def parseFlac(id: Long, bytes: Array[Byte]): Option[MediaFeatures] =
+    Flac.decode(bytes).map { a =>
+      val nSamples = a.samples.length
+      var sum = 0L; var sumAbs = 0L; var pos = 0L
+      var i = 0
+      while (i < nSamples) {
+        val s = a.samples(i)
+        sum += s; sumAbs += math.abs(s); pos += (if (s > 0) 1 else 0)
+        i += 1
+      }
+      val n = math.max(nSamples, 1).toDouble
+      val feats = Array(
+        (sum / (n * 32768)).toFloat, (sumAbs / (n * 32768)).toFloat,
+        (pos / n).toFloat, a.channels.toFloat / 8,
+        0f, 0f, 0f, 0f)
+      MediaFeatures(id, bytes.length, "flac", a.sampleRate, a.channels, feats)
+    }
+
   /** Fixture/test writer for PCM WAV: mono-or-multichannel 16-bit
     * samples following `((seed + i*13) mod 256) - 128` (i = flat sample
     * index) — int8-range amplitudes so a closed-form oracle can
@@ -1850,6 +1872,7 @@ object Multimodal {
       .orElse(parsePng(id, bytes))
       .orElse(parseGif(id, bytes))
       .orElse(parseJpeg(id, bytes))
+      .orElse(parseFlac(id, bytes))
       .getOrElse(decodeStub(id, bytes))
 
   /** Nearest-neighbor resize of an uncompressed 24-bpp BMP — the
@@ -2212,39 +2235,54 @@ object Multimodal {
   // recording re-encoded at these fixtures' PCM level), which is the
   // dedup use case; acoustic similarity search is an embedding problem.
 
-  /** Fingerprint one payload (16-bit PCM WAV only today): None for
-    * non-audio or streams shorter than 65 samples (no meaningful
-    * transition structure).
+  /** The shared 65-frame energy-delta fold: None below 65 samples (no
+    * meaningful transition structure). `sampleAt` indexes the flat
+    * interleaved PCM stream.
+    */
+  private def energyDeltaFingerprint(n: Int, sampleAt: Int => Long): Option[Long] = {
+    if (n < 65) None
+    else {
+      val energies = new Array[Long](65)
+      var f = 0
+      while (f < 65) {
+        val lo = f * n / 65
+        val hi = (f + 1) * n / 65
+        var e = 0L
+        var i = lo
+        while (i < hi) {
+          val s = sampleAt(i)
+          e += s * s
+          i += 1
+        }
+        energies(f) = e
+        f += 1
+      }
+      var hash = 0L
+      var b = 0
+      while (b < 64) {
+        if (energies(b + 1) > energies(b)) hash |= 1L << b
+        b += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Fingerprint one payload — 16-bit PCM WAV, or FLAC through the real
+    * decode path ([[Flac.decode]]: Rice residuals, fixed/LPC predictors,
+    * stereo decorrelation), since the fingerprint is a function of the
+    * DECODED samples a lossless twin of the same PCM fingerprints
+    * IDENTICALLY (spec-pinned). None for non-audio, payloads outside the
+    * decode envelope, or streams shorter than 65 samples.
     */
   def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
-    wavPcmHeader(bytes).flatMap { case (_, _, dataOff, dataLen) =>
-      val n = dataLen / 2
-      if (n < 65) None
-      else {
-        val energies = new Array[Long](65)
-        var f = 0
-        while (f < 65) {
-          val lo = f * n / 65
-          val hi = (f + 1) * n / 65
-          var e = 0L
-          var i = lo
-          while (i < hi) {
-            val s = ((bytes(dataOff + 2 * i) & 0xff) |
-              (bytes(dataOff + 2 * i + 1) << 8)).toShort.toLong
-            e += s * s
-            i += 1
-          }
-          energies(f) = e
-          f += 1
-        }
-        var hash = 0L
-        var b = 0
-        while (b < 64) {
-          if (energies(b + 1) > energies(b)) hash |= 1L << b
-          b += 1
-        }
-        Some(hash)
-      }
+    wavPcmHeader(bytes) match {
+      case Some((_, _, dataOff, dataLen)) =>
+        energyDeltaFingerprint(dataLen / 2, i =>
+          ((bytes(dataOff + 2 * i) & 0xff) |
+            (bytes(dataOff + 2 * i + 1) << 8)).toShort.toLong)
+      case None =>
+        Flac.decode(bytes).flatMap(a =>
+          energyDeltaFingerprint(a.samples.length, i => a.samples(i).toLong))
     }
   }
 

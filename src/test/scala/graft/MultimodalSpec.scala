@@ -384,6 +384,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("Flac: decode recovers the exact closed-form PCM through every fixture path") {
+    // mono: 4 frames of 192 = 768 samples through VERBATIM, FIXED-1,
+    // FIXED-2 (Rice residuals) and LPC-2 — byte-exact sample equality
+    val mono = graft.multimodal.Flac.decode(
+      graft.multimodal.Flac.make(768, 1, 8000, seed = 3)).get
+    assert(mono.channels === 1 && mono.sampleRate === 8000)
+    assert(mono.samples.length === 768)
+    for (i <- 0 until 768)
+      assert(mono.samples(i) === ((3 + i * 13L) % 256 - 128).toInt, s"sample $i")
+    // stereo: all four channel assignments cycle with the frames —
+    // independent, left/side, mid/side, side/right (side at 17 bits)
+    val st = graft.multimodal.Flac.decode(
+      graft.multimodal.Flac.make(768, 2, 44100, seed = 9)).get
+    assert(st.channels === 2 && st.samples.length === 1536)
+    for (i <- 0 until 1536)
+      assert(st.samples(i) === ((9 + i * 13L) % 256 - 128).toInt, s"sample $i")
+    // truncation and non-FLAC reject cleanly
+    assert(graft.multimodal.Flac.decode(
+      graft.multimodal.Flac.make(768, 1, 8000, 3).take(60)) === None)
+    assert(graft.multimodal.Flac.decode("fLaC but not really".getBytes("UTF-8")) === None)
+  }
+
+  test("audioFingerprint: a FLAC twin of the same PCM fingerprints identically to WAV") {
+    // 192-sample mono streams, identical closed-form samples: the
+    // fingerprint is a function of DECODED samples, so the lossless
+    // re-encoding must collide at Hamming 0
+    val wav = Multimodal.makeWav(192, 1, 8000, seed = 5)
+    val flac = graft.multimodal.Flac.make(192, 1, 8000, seed = 5)
+    assert(Multimodal.audioFingerprint(flac).isDefined)
+    assert(Multimodal.audioFingerprint(flac) === Multimodal.audioFingerprint(wav))
+    // stereo twin too (decorrelated FIXED frames + independent VERBATIM)
+    val wav2 = Multimodal.makeWav(576, 2, 8000, seed = 11)
+    val flac2 = graft.multimodal.Flac.make(576, 2, 8000, seed = 11)
+    assert(Multimodal.audioFingerprint(flac2) === Multimodal.audioFingerprint(wav2))
+    // parseFlac features equal parseWav features on the same PCM
+    val fw = Multimodal.parseWav(1L, wav).get
+    val ff = Multimodal.parseFlac(1L, flac).get
+    assert(ff.format === "flac" && ff.width === 8000 && ff.height === 1)
+    assert(ff.features.toSeq === fw.features.toSeq)
+    // dispatch: decode() picks the real parse, not the stub
+    assert(Multimodal.decode(1L, flac).format === "flac")
+  }
+
   test("parsePng: round-trip recovers the closed-form pixels through every filter type") {
     // h = 7 > 5 rows: filter types 0..4 all appear (r mod 5), so the
     // decode inverts None, Sub, Up, Average AND Paeth — and the pixel
