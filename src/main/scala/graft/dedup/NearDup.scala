@@ -77,9 +77,14 @@ object NearDup {
     val seenFp = seenDocs
       .select(TextAnalysis.docFingerprint(col(textCol)).as("fingerprint"))
       .distinct()
+    // a left-anti join can ONLY broadcast its right side, and the seen
+    // corpus's fingerprint table is history-sized with a corrupted
+    // static estimate (r15 [[mergeIfBig]] hazard) — guard it; a small
+    // history keeps the broadcast anti-join
+    val bigSeen = seenDocs.count() > BroadcastSafeRows
     newDocs
       .withColumn("fingerprint", TextAnalysis.docFingerprint(col(textCol)))
-      .join(seenFp, Seq("fingerprint"), "left_anti")
+      .join(mergeIfBig(seenFp, bigSeen), Seq("fingerprint"), "left_anti")
   }
 
   // -------------------------------------------------------------------
@@ -319,8 +324,14 @@ object NearDup {
         .select("new_id", "seen_id")
     val newToks = mergeIfBig(newDocs.select(col(idCol).as("new_id"),
       array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_a")), bigNew)
-    val seenToks = seenDocs.select(col(idCol).as("seen_id"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_b"))
+    // the SEEN side's verification tokens derive from raw text (unlike
+    // its band rows, which come off the PINNED signature table with
+    // true stats) — guard them too; the seen side is history-sized for
+    // the dedup-ingest callers even though decontam keeps it small.
+    // seenSig is materialized, so this count is block-manager cheap.
+    val bigSeen = seenSig.count() > BroadcastSafeRows
+    val seenToks = mergeIfBig(seenDocs.select(col(idCol).as("seen_id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_b")), bigSeen)
     sigEst.join(newToks, "new_id").join(seenToks, "seen_id")
       .select(col("new_id"), col("seen_id"),
         jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
@@ -567,7 +578,15 @@ object NearDup {
       .select(col("id"), col("simhash"), col("bb.blk"), col("bb.bv"), col("bb.bv2"))
 
   def simHashNearDups(sims: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val blocked = hammingBlocked(sims, hammingBlockKeys(maxHamming))
+    // PIN the (id, 64-bit) hash table: the self-join consumes it twice
+    // (so the hash computation — or an upstream media decode, for the
+    // perceptual-hash callers — would otherwise run once per side), and
+    // materialized stats are TRUE sizes, so the static planner can never
+    // pick a corpus-sized build side off a corrupted scan estimate (the
+    // r15 [[mergeIfBig]] hazard; narrow rows make the pin block-manager
+    // cheap at any corpus size)
+    val pinned = sims.localCheckpoint()
+    val blocked = hammingBlocked(pinned, hammingBlockKeys(maxHamming))
     val l = blocked.select(col("blk"), col("bv"), col("bv2"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val r = blocked.select(col("blk"), col("bv"), col("bv2"), col("id").as("id_b"), col("simhash").as("sh_b"))
     l.join(r, Seq("blk", "bv", "bv2"))
@@ -596,10 +615,14 @@ object NearDup {
     */
   def simHashNearDupsAgainstCorpus(newSims: DataFrame, seenSims: DataFrame,
                                    maxHamming: Int = 3): DataFrame = {
+    // PIN both narrow hash tables: true materialized stats mean the
+    // static planner can never broadcast a corpus-sized side off a
+    // corrupted scan estimate (the r15 [[mergeIfBig]] hazard), and the
+    // join computes each side's hashes exactly once
     val keys = hammingBlockKeys(maxHamming)
-    val l = hammingBlocked(newSims, keys)
+    val l = hammingBlocked(newSims.localCheckpoint(), keys)
       .select(col("blk"), col("bv"), col("bv2"), col("id").as("new_id"), col("simhash").as("sh_a"))
-    val r = hammingBlocked(seenSims, keys)
+    val r = hammingBlocked(seenSims.localCheckpoint(), keys)
       .select(col("blk"), col("bv"), col("bv2"), col("id").as("seen_id"), col("simhash").as("sh_b"))
     l.join(r, Seq("blk", "bv", "bv2"))
       .filter(col("new_id") =!= col("seen_id"))

@@ -254,7 +254,11 @@ object Ann {
       bucketSizes.filter(col("count") <= maxBucket).select("bucket"), Seq("bucket"))
     val l = capped.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("na"))
     val r = capped.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nb"))
-    l.join(r, "bucket")
+    // the self-join's build side carries the corpus VECTORS — never a
+    // static broadcast off a corrupted scan estimate (the r15
+    // NearDup.mergeIfBig hazard); one cheap count decides
+    val big = corpus.count() > graft.dedup.NearDup.BroadcastSafeRows
+    l.join(graft.dedup.NearDup.mergeIfBig(r, big), "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(VectorOps.cosineFromParts(VectorOps.dot(col("vec_a"), col("vec_b")), col("na"), col("nb")), 6).as("cosine"))

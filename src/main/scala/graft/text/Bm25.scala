@@ -68,11 +68,21 @@ object Bm25 {
     val tfd = col("tf").cast("double")
     val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("__tot") / n))
     val contrib: Column = idf * (tfd * lit(k1 + 1.0)) / (tfd + norm)
+    // The df and dl tables are vocab- and corpus-sized; their static
+    // estimates are not (the r15 misestimate hazard —
+    // [[graft.dedup.NearDup.mergeIfBig]]): the planner must never pick
+    // them as broadcast build sides just because the qterm-postings
+    // side's join-output estimate looks bigger. One cheap count decides;
+    // small corpora keep the unhinted broadcast plans. (The indexed
+    // probe needs no guard: its postings/df reads are bucket-pruned to
+    // the query terms and the doclen table's parquet estimate is honest
+    // column data, not compressed text.)
+    val bigCorpus = corpus.count() > graft.dedup.NearDup.BroadcastSafeRows
     val scored = qterms
       .join(tf, "token")
       .filter(col("qid") =!= col("id"))
-      .join(dfreq, "token")
-      .join(dl, "id")
+      .join(graft.dedup.NearDup.mergeIfBig(dfreq, bigCorpus), "token")
+      .join(graft.dedup.NearDup.mergeIfBig(dl, bigCorpus), "id")
       .crossJoin(broadcast(stats))
       .select(col("qid"), col("id"),
         round(contrib * lit(1e6)).cast("long").as("cfx"))

@@ -99,7 +99,12 @@ object CorpusStats {
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__n"))
-    val scored = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
+    // the df table is vocab-sized (unbounded on web text: typos,
+    // numbers) with a corrupted static estimate — guard the join
+    // (r15 NearDup.mergeIfBig hazard); small corpora keep broadcasts
+    val big = docs.count() > graft.dedup.NearDup.BroadcastSafeRows
+    val scored = tf.join(graft.dedup.NearDup.mergeIfBig(dfreq, big), "token")
+      .crossJoin(broadcast(nDocs))
       .select(col("id"), col("token"), col("tf"), col("df"),
         round(col("tf") * (log((col("__n") + lit(1)).cast("double")
           / (col("df") + lit(1))) + lit(1.0)), 6).as("tfidf"))
@@ -204,7 +209,12 @@ object CorpusStats {
     // corpus); identical left-associated double arithmetic on the oracle
     // side replays the value bit-for-bit before the shared ROUND
     val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
-    bi.join(u1, "w1").join(u2, "w2")
+    // the unigram table grows with the corpus — the scaladoc's "no
+    // broadcast is assumed" is ENFORCED against the static-estimate lie
+    // (r15 NearDup.mergeIfBig hazard)
+    val big = docs.count() > graft.dedup.NearDup.BroadcastSafeRows
+    bi.join(graft.dedup.NearDup.mergeIfBig(u1, big), "w1")
+      .join(graft.dedup.NearDup.mergeIfBig(u2, big), "w2")
       .crossJoin(broadcast(totals))
       .select(col("pair"), col("pair_count"), col("c1"), col("c2"),
         round(log(dbl(col("pair_count")) * dbl(col("__t")) * dbl(col("__t"))

@@ -66,8 +66,12 @@ object Decontaminate {
       .groupBy("id").agg(
         count(lit(1)).as("n_grams"),
         count(col("hit")).as("n_hits"))
+    // the per-doc counts table is corpus-sized; its static estimate is
+    // not (r15 NearDup.mergeIfBig hazard) — the left join builds RIGHT,
+    // so an unguarded plan would broadcast it at scale
+    val big = train.count() > NearDup.BroadcastSafeRows
     train.select(col(idCol).as("id"))
-      .join(counts, Seq("id"), "left")
+      .join(NearDup.mergeIfBig(counts, big), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
@@ -123,9 +127,12 @@ object Decontaminate {
       .filter(graft.functions.BloomMightContainLong.mightContain(col("gh"), bloom))
       .join(benchGrams.withColumn("hit", lit(1)), Seq("gh"), "left")
       .groupBy("id").agg(count(col("hit")).as("n_hits"))
+    // same r15 guard: totals and hits are per-doc corpus-sized tables
+    // on the build side of left joins
+    val big = train.count() > NearDup.BroadcastSafeRows
     train.select(col(idCol).as("id"))
-      .join(totals, Seq("id"), "left")
-      .join(hits, Seq("id"), "left")
+      .join(NearDup.mergeIfBig(totals, big), Seq("id"), "left")
+      .join(NearDup.mergeIfBig(hits, big), Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
