@@ -2036,6 +2036,35 @@ object SparkEntry {
     },
     qDupClusters.oracle)
 
+  /** INCREMENTAL duplicate-cluster maintenance ([[graft.dedup
+    * .DupClusters.mergeComponents]]): the pair set is split into two
+    * deterministic batches (id_a parity), batch 1 is clustered from
+    * scratch, then batch 2's edges are FOLDED into that labeling via the
+    * quotient-graph merge — no CC rerun over batch 1's graph. Shares
+    * q_dup_clusters' one-shot recursive-CTE oracle verbatim: the
+    * two-batch fold must land on the same fixpoint as one CC over the
+    * union of all pairs (associativity of component merging under the
+    * min-id contract). This is the ingest-loop read path: the
+    * incremental pair detectors (LSH/SimHash/exact batch-vs-history)
+    * emit batch edges, and cluster ids refresh at batch cost.
+    */
+  private val qDupClustersIncremental = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      // one pair pass, two batch slices — checkpoint so the LSH chain
+      // (signatures + banded join + verify) runs once, not per slice
+      val pairs = graft.dedup.NearDup.minHashLsh(
+        docs, "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+        .localCheckpoint()
+      val labels1 = graft.dedup.DupClusters.connectedComponentsStar(
+        pairs.filter(col("id_a") % 2 === 0))
+      val merged = graft.dedup.DupClusters.mergeComponents(
+        labels1, pairs.filter(col("id_a") % 2 === 1))
+      graft.dedup.DupClusters.clusterReportFromLabels(docs, "doc_id", merged)
+        .orderBy("id")
+    },
+    qDupClusters.oracle)
+
   /** Quality-aware canonical pick ([[graft.dedup.DupClusters
     * .canonicalPick]]): within each near-dup cluster keep the
     * highest-token-count copy (tie → smaller id). The oracle replays the
@@ -2567,6 +2596,93 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
     qAnnIvfPq.oracle)
+
+  /** IVFADC with EXACT re-ranking ([[graft.similarity.Pq
+    * .ivfAdcRefineTopK]] — IVFADC+R, the two-stage production pattern):
+    * the ADC pass shortlists 40 candidates per query in the compressed
+    * domain, then ONLY those rows are re-scored against the raw vectors
+    * with the exact squared-L2 distance and re-ranked to top-10. The
+    * oracle replays BOTH stages: the full IVFADC chain ranked to the
+    * shortlist bound, then the micro-quantized exact-d² refine — so the
+    * shortlist membership AND the exact re-ranking are hash-checked.
+    * iscore here is the EXACT ‖q − x‖² in micro units, unlike
+    * [[qAnnIvfPq]]'s compressed-domain approximation.
+    */
+  private val qAnnIvfPqRefined = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.similarity.Ivf.centroids(emb, nLists = 16)
+      val idx = graft.similarity.Ivf.buildIndex(emb, cents)
+      val cb = graft.similarity.Pq.sampledCodebooks(emb, m = 4, ksub = 16)
+      graft.similarity.Pq.ivfAdcRefineTopK(
+          idx, emb.filter(col("vec_id") < 5), cents, cb,
+          k = 10, shortlist = 40, nProbe = 4)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH $pqCtes,
+            lut AS (
+              SELECT v.cid AS qid, b.s, b.j,
+                     CAST(ROUND((list_dot_product(v.sv, v.sv)
+                                 - 2.0 * list_dot_product(v.sv, b.bv)
+                                 + list_dot_product(b.bv, b.bv)) * 1000000.0)
+                          AS BIGINT) AS lutv
+              FROM subv v JOIN books b ON b.s = v.s
+              WHERE v.cid < 5),
+            icents AS (
+              SELECT vec_id AS cell, embedding::DOUBLE[] AS cv
+              FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT 16),
+            iassign AS (
+              SELECT cid, cell FROM (
+                SELECT e.vec_id AS cid, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings e CROSS JOIN icents c)
+              WHERE rn = 1),
+            iqcells AS (
+              SELECT qid, cell FROM (
+                SELECT q.vec_id AS qid, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY ROUND(list_dot_product(q.embedding::DOUBLE[], c.cv)
+                                        / sqrt(list_dot_product(c.cv, c.cv)), 6) DESC,
+                                  c.cell DESC) AS rn
+                FROM embeddings q CROSS JOIN icents c
+                WHERE q.vec_id < 5)
+              WHERE rn <= 4),
+            scored AS (
+              SELECT l.qid, e.cid, CAST(SUM(l.lutv) AS BIGINT) AS iscore
+              FROM enc e
+              JOIN iassign a ON a.cid = e.cid
+              JOIN iqcells qc ON qc.cell = a.cell
+              JOIN lut l ON l.qid = qc.qid AND l.s = e.s AND l.j = e.code
+              WHERE e.cid <> qc.qid
+              GROUP BY l.qid, e.cid),
+            shortlist AS (
+              SELECT qid, cid FROM (
+                SELECT *, row_number() OVER (PARTITION BY qid
+                                             ORDER BY iscore ASC, cid) AS rk
+                FROM scored)
+              WHERE rk <= 40),
+            refined AS (
+              SELECT sl.qid, sl.cid,
+                     CAST(ROUND((list_dot_product(q.qv, q.qv)
+                                 - 2.0 * list_dot_product(q.qv, c.cv)
+                                 + list_dot_product(c.cv, c.cv)) * 1000000.0)
+                          AS BIGINT) AS iscore
+              FROM shortlist sl
+              JOIN (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 5) q ON q.qid = sl.qid
+              JOIN (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+                    FROM embeddings) c ON c.cid = sl.cid),
+            reranked AS (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY iscore ASC, cid) AS rk
+              FROM refined)
+            SELECT qid, CAST(rk AS INTEGER) AS rank, cid, iscore
+            FROM reranked WHERE rk <= 10 ORDER BY qid, rank"""))
 
   /** SemDeDup-style semantic dedup ([[graft.similarity.SemDedup
     * .dedupReport]]): centroid-cluster the corpus (md5-sampled cells,
@@ -8005,6 +8121,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> qNgramJaccard,
     "q_dedup_minhash_lsh" -> qMinHash,
     "q_dup_clusters" -> qDupClusters,
+    "q_dup_clusters_incremental" -> qDupClustersIncremental,
     "q_dup_clusters_star" -> qDupClustersStar,
     "q_dedup_simhash" -> qSimHash,
     "q_ann_bruteforce_topk" -> qAnnBrute,
@@ -8125,6 +8242,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_indexed" -> qAnnIvfPqIndexed,
     "q_ann_ivfpq_steady" -> qAnnIvfPqSteady,
+    "q_ann_ivfpq_refined" -> qAnnIvfPqRefined,
     "q_winsorize" -> qWinsorize,
     "q_png_decode" -> qPngDecode,
     "q_png_alpha" -> qPngAlpha,

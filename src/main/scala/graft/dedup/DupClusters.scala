@@ -153,6 +153,78 @@ object DupClusters {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Incremental connected-components maintenance — fold a batch of NEW
+    * near-dup edges into an EXISTING (id, cluster_id) labeling without
+    * re-running CC over the historical pair graph. This is the ingest
+    * shape: the pair DETECTORS have had incremental forms for rounds
+    * ([[NearDup.minHashLshAgainstCorpus]], [[NearDup
+    * .simHashNearDupsAgainstCorpus]], [[NearDup.dedupAgainstCorpus]]),
+    * but their output edges previously forced a full-history CC rerun to
+    * refresh cluster ids.
+    *
+    * Algorithm (the classic union-find quotient step, distributed):
+    *  1. map each new edge endpoint through its current label (ids never
+    *     seen before label themselves) — one equi-join against the
+    *     history labeling, the only history-sized work;
+    *  2. run [[connectedComponentsStar]] on the QUOTIENT graph whose
+    *     nodes are current cluster representatives — at most 2·|batch|
+    *     nodes, so the iterative part scales with the BATCH, never with
+    *     history;
+    *  3. relabel: history rows pass through the (old root → merged root)
+    *     remap (batch-bounded join side), batch-new ids take their
+    *     quotient component's root.
+    *
+    * Correctness of the min-id contract: every quotient node is either a
+    * history cluster's MINIMUM id (labels are min-per-component by the
+    * [[connectedComponents]]/[[connectedComponentsStar]] contract) or a
+    * brand-new id, so the quotient component's minimum IS the merged
+    * component's global minimum — merging is associative, and folding
+    * batches one at a time lands on the same fixpoint as one CC over the
+    * union of all edges (spec-pinned, and the gate row's oracle replays
+    * the one-shot recursive-CTE truth against the two-batch fold).
+    *
+    * Input `labels` must be a valid min-rooted labeling (the output of
+    * either CC form or of a previous mergeComponents). Output: the full
+    * updated labeling — history ids ∪ batch-edge ids, (id, cluster_id).
+    */
+  def mergeComponents(labels: DataFrame, newEdges: DataFrame,
+                      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val lbl = labels.select(col("id"), col("cluster_id"))
+    val e = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
+    val mapped = e
+      .join(lbl.select(col("id").as("a"), col("cluster_id").as("la")), Seq("a"), "left")
+      .join(lbl.select(col("id").as("b"), col("cluster_id").as("lb")), Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("qa"),
+        coalesce(col("lb"), col("b")).as("qb"))
+    // localCheckpoint: consumed by the CC loop AND (via remap) two join
+    // sites, and it hands the planner TRUE stats for the batch-sized
+    // side (the r15 static-broadcast-misestimate rule)
+    val quotient = mapped.filter(col("qa") =!= col("qb")).distinct().localCheckpoint()
+    // (quotient node → merged root); min per quotient component = global
+    // min of the merged component (see scaladoc)
+    val remap = connectedComponentsStar(quotient, "qa", "qb")
+      .select(col("id").as("__node"), col("cluster_id").as("__root"))
+    val updatedHistory = lbl
+      .join(remap.withColumnRenamed("__node", "cluster_id"), Seq("cluster_id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("cluster_id")).as("cluster_id"))
+    // ids in the batch but absent from history (self-pairs and edges that
+    // collapsed inside one existing cluster never reach the quotient)
+    val batchNew = e.select(explode(array(col("a"), col("b"))).as("id")).distinct()
+      .join(lbl.select("id"), Seq("id"), "left_anti")
+    val newRows = batchNew
+      .join(remap.withColumnRenamed("__node", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("cluster_id"))
+    updatedHistory.union(newRows)
+  }
+
+  /** [[clusterReport]] over a PRECOMPUTED labeling (the incremental
+    * loop's read path: maintain labels via [[mergeComponents]], report
+    * against the current doc set without re-running any CC).
+    */
+  def clusterReportFromLabels(docs: DataFrame, idCol: String,
+                              labels: DataFrame): DataFrame =
+    report(docs, idCol, labels.select(col("id"), col("cluster_id")))
+
   /** Cluster report over a document set: every doc joined to its
     * component (docs in no pair are their own singleton cluster), with
     * the keep-min keeper flag — `filter(col("is_keeper"))` IS the dedup.

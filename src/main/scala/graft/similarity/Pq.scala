@@ -170,6 +170,80 @@ object Pq {
     rankAsc(scored, k)
   }
 
+  /** Two-stage IVFADC retrieval with EXACT re-ranking — the "refine"
+    * stage every production PQ deployment runs (Jégou et al. 2011 §V.D
+    * call it IVFADC+R; public): stage 1 probes `nProbe` cells and
+    * ADC-scores the compressed codes down to a SHORTLIST of `shortlist`
+    * candidates per query (cheap, compressed-domain, slightly lossy);
+    * stage 2 re-scores ONLY those |Q|·shortlist candidates against the
+    * raw vectors with the exact squared-L2 distance and re-ranks to
+    * top-k. Recall approaches exact search as `shortlist` grows while
+    * the expensive full-precision work stays bounded by |Q|·shortlist —
+    * never corpus-sized.
+    *
+    * Scale shape: the shortlist (|Q|·shortlist rows) and the query
+    * vectors are broadcast; the raw-vector table is touched by ONE
+    * broadcast-hash join on the scan (a semi-join-shaped candidate
+    * filter — no corpus shuffle, no vectors on the wire beyond the
+    * |Q|·shortlist matched rows).
+    *
+    * Determinism: stage 1 inherits the full IVFADC replay contract;
+    * stage 2's exact d² is the micro-quantized `q·q − 2 q·x + x·x`
+    * expansion (same left-to-right double folds both engines run, the
+    * proven [[adcTopK]] LUT arithmetic), ranked ascending with cid
+    * tie-break — end-to-end oracle-replayable.
+    *
+    * Output: (qid, rank, cid, iscore) — iscore is the EXACT ‖q − x‖² in
+    * micro units (BIGINT), unlike the approximate iscore of
+    * [[ivfAdcTopK]].
+    */
+  def ivfAdcRefineTopK(index: DataFrame, queries: DataFrame,
+                       cents: Seq[(Long, Seq[Double])], cb: Codebooks, k: Int,
+                       shortlist: Int, nProbe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cand = ivfAdcTopK(index, queries, cents, cb, shortlist, nProbe, idCol, vecCol)
+      .select(col("qid"), col("cid"))
+    refineExact(index.select(col("cid"), col("cvec")), cand, queries, k, idCol, vecCol)
+  }
+
+  /** [[ivfAdcRefineTopK]] against the STORED index: the shortlist comes
+    * from [[ivfAdcTopKAgainstIndex]] (partition-pruned code reads, no
+    * raw vectors), then the exact re-rank reads the |Q|·shortlist
+    * candidate rows out of `corpus` — the base table production keeps
+    * the full-precision vectors in (the index deliberately stores only
+    * codes; refine is exactly the read path that justifies that split).
+    */
+  def ivfAdcRefineTopKAgainstIndex(queries: DataFrame, path: String, corpus: DataFrame,
+                                   k: Int, shortlist: Int, nProbe: Int = 4,
+                                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cand = ivfAdcTopKAgainstIndex(queries, path, shortlist, nProbe, idCol, vecCol)
+      .select(col("qid"), col("cid"))
+    refineExact(corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec")),
+      cand, queries, k, idCol, vecCol)
+  }
+
+  /** Exact-L2 re-rank of a (qid, cid) candidate table: one broadcast
+    * candidate join on the raw-vector scan, micro-quantized exact d²,
+    * ascending rank with cid tie-break. Both join sides that move are
+    * query-sized by construction (|Q|·shortlist and |Q| rows).
+    */
+  private def refineExact(vecs: DataFrame, cand: DataFrame, queries: DataFrame,
+                          k: Int, idCol: String, vecCol: String): DataFrame = {
+    val qv = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val scored = vecs
+      .join(broadcast(cand), "cid")
+      .join(broadcast(qv), "qid")
+      .select(col("qid"), col("cid"),
+        round((VectorOps.dot(col("qv"), col("qv"))
+          - lit(2.0) * VectorOps.dot(col("qv"), col("cvec"))
+          + VectorOps.dot(col("cvec"), col("cvec"))) * lit(1e6)).cast("long").as("iscore"))
+    rankAsc(scored, k)
+  }
+
   // -------------------------------------------------------------------
   // Persistent IVF-PQ index (IVFADC at rest): centroids + codebooks +
   // cell-partitioned CODES live as parquet. This is the billion-scale

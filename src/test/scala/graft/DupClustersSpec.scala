@@ -117,4 +117,76 @@ class DupClustersSpec extends SparkTestBase {
       .as[Long].collect().sorted
     assert(keepers === Array(0L, 3L, 4L, 6L, 7L))
   }
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+
+  test("mergeComponents: folding batches ≡ one-shot CC on the union of edges") {
+    val batch1 = pairsDf((1L, 2L), (5L, 6L), (9L, 10L))
+    val batch2 = pairsDf((2L, 5L), (7L, 8L), (10L, 11L))
+    val batch3 = pairsDf((8L, 9L), (3L, 4L))
+    val oneShot = labelMap(DupClusters.connectedComponentsStar(
+      batch1.union(batch2).union(batch3)))
+    var labels = DupClusters.connectedComponentsStar(batch1)
+    labels = DupClusters.mergeComponents(labels, batch2)
+    labels = DupClusters.mergeComponents(labels, batch3)
+    assert(labelMap(labels) === oneShot,
+      "three-batch fold must land on the one-shot fixpoint")
+  }
+
+  test("mergeComponents: a new edge bridges two existing clusters to the global min") {
+    val labels = DupClusters.connectedComponentsStar(pairsDf((1L, 2L), (10L, 11L)))
+    val merged = labelMap(DupClusters.mergeComponents(labels, pairsDf((2L, 11L))))
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
+
+  test("mergeComponents: brand-new ids join existing clusters or form their own") {
+    val labels = DupClusters.connectedComponentsStar(pairsDf((5L, 6L)))
+    val merged = labelMap(DupClusters.mergeComponents(labels,
+      pairsDf((6L, 100L), (200L, 201L))))
+    assert(merged === Map(5L -> 5L, 6L -> 5L, 100L -> 5L, 200L -> 200L, 201L -> 200L))
+  }
+
+  test("mergeComponents: idempotent — re-merging the same edges changes nothing") {
+    val edges = pairsDf((1L, 2L), (2L, 3L))
+    val labels = DupClusters.connectedComponentsStar(edges)
+    val again = DupClusters.mergeComponents(labels, edges)
+    assert(labelMap(again) === labelMap(labels))
+  }
+
+  test("mergeComponents: batch whose edges all collapse within one cluster (incl. self-pairs)") {
+    val labels = DupClusters.connectedComponentsStar(pairsDf((1L, 2L), (2L, 3L)))
+    // (1,3) maps to quotient (1,1) — filtered; (2,2) is a self-pair;
+    // nothing reaches the quotient graph, labeling must pass through
+    val merged = labelMap(DupClusters.mergeComponents(labels, pairsDf((1L, 3L), (2L, 2L))))
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("mergeComponents: a new-id-only self-pair still registers the id as a singleton") {
+    val labels = DupClusters.connectedComponentsStar(pairsDf((1L, 2L)))
+    val merged = labelMap(DupClusters.mergeComponents(labels, pairsDf((42L, 42L))))
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 42L -> 42L))
+  }
+
+  test("mergeComponents: a batch chain through a new id merges three old clusters") {
+    val labels = DupClusters.connectedComponentsStar(
+      pairsDf((10L, 11L), (20L, 21L), (30L, 31L)))
+    val merged = labelMap(DupClusters.mergeComponents(labels,
+      pairsDf((11L, 99L), (99L, 21L), (21L, 31L))))
+    assert(merged.values.toSet === Set(10L))
+    assert(merged.keySet === Set(10L, 11L, 20L, 21L, 30L, 31L, 99L))
+  }
+
+  test("clusterReportFromLabels ≡ clusterReport over the same pair set") {
+    val docs = (0L until 8L).toDF("doc_id")
+    val edges = pairsDf((0L, 1L), (1L, 2L), (4L, 5L))
+    val viaLabels = DupClusters.clusterReportFromLabels(docs, "doc_id",
+        DupClusters.connectedComponentsStar(edges))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_keeper"))).toSet
+    val direct = DupClusters.clusterReport(docs, "doc_id", edges)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Boolean]("is_keeper"))).toSet
+    assert(viaLabels === direct)
+  }
 }

@@ -233,4 +233,101 @@ class PqSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-side shuffle join in the probe path:\n$p")
   }
+
+  /** Exact micro-quantized L2 top-k reference (same d² expansion the
+    * refine stage computes, over ALL corpus vectors — the ground truth
+    * the shortlist approximates).
+    */
+  private def exactTopK(qs: org.apache.spark.sql.DataFrame, k: Int) = {
+    import graft.functions.VectorOps
+    val c = realEmb.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val q = qs.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = q.crossJoin(c).filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        round((VectorOps.dot(col("qv"), col("qv"))
+          - lit(2.0) * VectorOps.dot(col("qv"), col("cv"))
+          + VectorOps.dot(col("cv"), col("cv"))) * lit(1e6)).cast("long").as("iscore"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("iscore").asc, col("cid"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("qid", "rank", "cid", "iscore")
+  }
+
+  test("ivfAdcRefineTopK: full shortlist + all cells probed ≡ exact L2 top-k") {
+    import graft.similarity.Ivf
+    val cents = Ivf.centroids(realEmb, nLists = 4)
+    val idx = Ivf.buildIndex(realEmb, cents)
+    val books = Pq.sampledCodebooks(realEmb, m = 4, ksub = 16)
+    val qs = realEmb.filter(col("vec_id") < 3)
+    val n = realEmb.count().toInt
+    val refined = Pq.ivfAdcRefineTopK(idx, qs, cents, books, k = 5,
+        shortlist = n, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Long]("iscore"))).toSet
+    val exact = exactTopK(qs, 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Long]("iscore"))).toSet
+    assert(refined === exact,
+      "a corpus-wide shortlist over all probed cells must degenerate to exact search")
+  }
+
+  test("ivfAdcRefineTopK: recall vs exact is >= plain ADC recall at the same k") {
+    import graft.similarity.Ivf
+    val cents = Ivf.centroids(realEmb, nLists = 4)
+    val idx = Ivf.buildIndex(realEmb, cents)
+    val books = Pq.sampledCodebooks(realEmb, m = 4, ksub = 16)
+    val qs = realEmb.filter(col("vec_id") < 5)
+    val truth = exactTopK(qs, 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    def hits(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      .intersect(truth).size
+    val adc = hits(Pq.ivfAdcTopK(idx, qs, cents, books, k = 5, nProbe = 4).collect())
+    val ref = hits(Pq.ivfAdcRefineTopK(idx, qs, cents, books, k = 5,
+      shortlist = 25, nProbe = 4).collect())
+    assert(ref >= adc,
+      s"exact re-ranking of a 5x shortlist must not lose recall: refine=$ref adc=$adc")
+    // the refined iscores ARE the exact distances for the returned pairs
+    val exactD = exactTopK(qs, realEmb.count().toInt).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid")) -> r.getAs[Long]("iscore")).toMap
+    Pq.ivfAdcRefineTopK(idx, qs, cents, books, k = 5, shortlist = 25, nProbe = 4)
+      .collect().foreach { r =>
+        val key = (r.getAs[Long]("qid"), r.getAs[Long]("cid"))
+        assert(r.getAs[Long]("iscore") === exactD(key),
+          s"refined iscore must equal the exact micro-d2 for $key")
+      }
+  }
+
+  test("ivfAdcRefineTopKAgainstIndex ≡ from-raw refine after disk round-trip") {
+    import graft.similarity.Ivf
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_refine_idx").toString
+    Pq.writeIvfPqIndex(realEmb, nLists = 4, m = 4, ksub = 16, tmp)
+    val qs = realEmb.filter(col("vec_id") < 3)
+    val stored = Pq.ivfAdcRefineTopKAgainstIndex(qs, tmp, realEmb,
+        k = 5, shortlist = 20, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Long]("iscore"))).toSet
+    val cents = Ivf.centroids(realEmb, nLists = 4)
+    val books = Pq.sampledCodebooks(realEmb, m = 4, ksub = 16)
+    val fromRaw = Pq.ivfAdcRefineTopK(Ivf.buildIndex(realEmb, cents), qs, cents, books,
+        k = 5, shortlist = 20, nProbe = 4)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cid"), r.getAs[Long]("iscore"))).toSet
+    assert(stored === fromRaw)
+  }
+
+  test("ivfAdcRefineTopK: shortlist < k rejected; refine plan broadcasts both small sides") {
+    import graft.similarity.Ivf
+    val cents = Ivf.centroids(realEmb, nLists = 4)
+    val idx = Ivf.buildIndex(realEmb, cents)
+    val books = Pq.sampledCodebooks(realEmb, m = 4, ksub = 16)
+    val qs = realEmb.filter(col("vec_id") < 3)
+    intercept[IllegalArgumentException] {
+      Pq.ivfAdcRefineTopK(idx, qs, cents, books, k = 10, shortlist = 5)
+    }
+    val p = Pq.ivfAdcRefineTopK(idx, qs, cents, books, k = 5, shortlist = 20, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"the refine stage must join the raw vectors via broadcast candidates, not a shuffle:\n$p")
+  }
 }
