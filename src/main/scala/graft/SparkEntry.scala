@@ -2065,6 +2065,42 @@ object SparkEntry {
     },
     qDupClusters.oracle)
 
+  /** STREAMING cluster-label maintenance ([[graft.streaming
+    * .ClusterIngest]]): the LSH pair set arrives as a file-source
+    * STREAM (4 files, one per micro-batch) and each micro-batch's edges
+    * are folded into a persistent label store via
+    * [[graft.dedup.DupClusters.mergeComponentsDelta]] — only the rows a
+    * batch actually changed are written (append-only `batch_id`
+    * segments, exactly-once dynamic overwrite), and the read path is
+    * latest-per-id. Because component merging is associative, the final
+    * labeling is invariant to the micro-batch split and equals the
+    * one-shot CC fixpoint — q_dup_clusters' recursive-CTE oracle is
+    * shared verbatim, now proven through the streaming engine +
+    * segment-store round trip.
+    */
+  private val qStreamDupClusters = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val tmp = scratchDir("graft_stream_dup_clusters")
+      val pairsPath = tmp.resolve("pairs").toString
+      val storePath = tmp.resolve("labels").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      graft.dedup.NearDup.minHashLsh(
+          docs, "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+        .repartition(4)
+        .write.mode("overwrite").parquet(pairsPath)
+      val sch = s.read.parquet(pairsPath).schema
+      val pairStream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(pairsPath)
+      val q = graft.streaming.ClusterIngest.start(
+        s, pairStream, storePath, ckpt)
+      q.awaitTermination()
+      graft.dedup.DupClusters.clusterReportFromLabels(docs, "doc_id",
+          graft.streaming.ClusterIngest.readLabels(s, storePath))
+        .orderBy("id")
+    },
+    qDupClusters.oracle)
+
   /** Quality-aware canonical pick ([[graft.dedup.DupClusters
     * .canonicalPick]]): within each near-dup cluster keep the
     * highest-token-count copy (tie → smaller id). The oracle replays the
@@ -8122,6 +8158,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> qMinHash,
     "q_dup_clusters" -> qDupClusters,
     "q_dup_clusters_incremental" -> qDupClustersIncremental,
+    "q_stream_dup_clusters" -> qStreamDupClusters,
     "q_dup_clusters_star" -> qDupClustersStar,
     "q_dedup_simhash" -> qSimHash,
     "q_ann_bruteforce_topk" -> qAnnBrute,

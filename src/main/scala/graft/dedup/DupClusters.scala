@@ -190,6 +190,26 @@ object DupClusters {
   def mergeComponents(labels: DataFrame, newEdges: DataFrame,
                       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     val lbl = labels.select(col("id"), col("cluster_id"))
+    val delta = mergeComponentsDelta(lbl, newEdges, aCol, bCol)
+    lbl
+      .join(delta.select(col("id"), col("cluster_id").as("__new")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
+      .union(delta.join(lbl.select("id"), Seq("id"), "left_anti"))
+  }
+
+  /** The CHANGED-ROWS form of [[mergeComponents]] — only ids whose
+    * cluster assignment differs from `labels` (relabeled history rows +
+    * batch-new ids) are emitted. This is the append-only persistence
+    * primitive: a per-batch label STORE writes just the delta segment
+    * and reads back latest-per-id ([[graft.streaming.ClusterIngest]]),
+    * so steady-state write cost tracks how much actually merged, not
+    * history size. `labels` unioned with the delta (delta wins) is
+    * exactly [[mergeComponents]]'s output — that equivalence is how
+    * mergeComponents is implemented.
+    */
+  def mergeComponentsDelta(labels: DataFrame, newEdges: DataFrame,
+                           aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val lbl = labels.select(col("id"), col("cluster_id"))
     val e = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
     val mapped = e
       .join(lbl.select(col("id").as("a"), col("cluster_id").as("la")), Seq("a"), "left")
@@ -201,12 +221,14 @@ object DupClusters {
     // side (the r15 static-broadcast-misestimate rule)
     val quotient = mapped.filter(col("qa") =!= col("qb")).distinct().localCheckpoint()
     // (quotient node → merged root); min per quotient component = global
-    // min of the merged component (see scaladoc)
+    // min of the merged component (see [[mergeComponents]] scaladoc)
     val remap = connectedComponentsStar(quotient, "qa", "qb")
       .select(col("id").as("__node"), col("cluster_id").as("__root"))
-    val updatedHistory = lbl
-      .join(remap.withColumnRenamed("__node", "cluster_id"), Seq("cluster_id"), "left")
-      .select(col("id"), coalesce(col("__root"), col("cluster_id")).as("cluster_id"))
+    // history rows change iff their old root is remapped to a NEW root
+    val changedHistory = lbl
+      .join(remap.withColumnRenamed("__node", "cluster_id"), Seq("cluster_id"))
+      .filter(col("__root") =!= col("cluster_id"))
+      .select(col("id"), col("__root").as("cluster_id"))
     // ids in the batch but absent from history (self-pairs and edges that
     // collapsed inside one existing cluster never reach the quotient)
     val batchNew = e.select(explode(array(col("a"), col("b"))).as("id")).distinct()
@@ -214,7 +236,7 @@ object DupClusters {
     val newRows = batchNew
       .join(remap.withColumnRenamed("__node", "id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("cluster_id"))
-    updatedHistory.union(newRows)
+    changedHistory.union(newRows)
   }
 
   /** [[clusterReport]] over a PRECOMPUTED labeling (the incremental

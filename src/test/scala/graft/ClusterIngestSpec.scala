@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.DupClusters
+import graft.streaming.ClusterIngest
+
+class ClusterIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+
+  test("streamed label store == one-shot CC fixpoint, invariant under micro-batch splits") {
+    val pairs = Seq((1L, 2L), (5L, 6L), (2L, 5L), (9L, 10L), (10L, 11L),
+      (20L, 21L), (21L, 9L)).toDF("id_a", "id_b")
+    val oneShot = labelMap(DupClusters.connectedComponentsStar(pairs))
+
+    // drain the pair set one file per micro-batch through the engine
+    val tmp = java.nio.file.Files.createTempDirectory("cluster_ingest_spec")
+    val srcDir = tmp.resolve("src").toString
+    pairs.repartition(4).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val store = tmp.resolve("labels").toString
+    val q = ClusterIngest.start(spark, stream, store,
+      tmp.resolve("ckpt").toString)
+    q.awaitTermination()
+    assert(labelMap(ClusterIngest.readLabels(spark, store)) === oneShot,
+      "any micro-batch split must read back the one-shot fixpoint")
+
+    // and a single-batch drain lands on the same labeling
+    val tmp2 = java.nio.file.Files.createTempDirectory("cluster_ingest_one")
+    val src2 = tmp2.resolve("src").toString
+    pairs.coalesce(1).write.parquet(src2)
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src2)
+    val store2 = tmp2.resolve("labels").toString
+    ClusterIngest.start(spark, stream2, store2,
+      tmp2.resolve("ckpt").toString).awaitTermination()
+    assert(labelMap(ClusterIngest.readLabels(spark, store2)) === oneShot)
+  }
+
+  test("segments hold only the rows a batch changed; retry replaces, never double-appends") {
+    val tmp = java.nio.file.Files.createTempDirectory("cluster_ingest_delta")
+    val store = tmp.resolve("labels").toString
+    ClusterIngest.writeBatch(Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b"), 0L, store)
+    // batch 1 bridges {1,2} and {10,11}: 10 and 11 relabel to 1, id 99 is new;
+    // ids 1 and 2 are UNCHANGED and must not be rewritten
+    ClusterIngest.writeBatch(Seq((2L, 11L), (99L, 99L)).toDF("id_a", "id_b"), 1L, store)
+    val seg1 = spark.read.parquet(store).filter(col("batch_id") === 1L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(seg1 === Map(10L -> 1L, 11L -> 1L, 99L -> 99L),
+      s"batch-1 segment must carry only changed/new rows, got $seg1")
+    val want = labelMap(ClusterIngest.readLabels(spark, store))
+    assert(want === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 99L -> 99L))
+    // simulated sink-side retry of batch 1: identical store afterwards
+    ClusterIngest.writeBatch(Seq((2L, 11L), (99L, 99L)).toDF("id_a", "id_b"), 1L, store)
+    assert(labelMap(ClusterIngest.readLabels(spark, store)) === want)
+    assert(spark.read.parquet(store).count() ===
+      spark.read.parquet(store).dropDuplicates("id", "batch_id").count(),
+      "a retried batch must replace its segment, not append a second copy")
+  }
+
+  test("readLabels beforeBatch slices make a batch's own partial rows invisible") {
+    val tmp = java.nio.file.Files.createTempDirectory("cluster_ingest_slice")
+    val store = tmp.resolve("labels").toString
+    ClusterIngest.writeBatch(Seq((1L, 2L)).toDF("id_a", "id_b"), 0L, store)
+    ClusterIngest.writeBatch(Seq((2L, 3L)).toDF("id_a", "id_b"), 1L, store)
+    // a batch-1 reader must see only batch 0's world
+    assert(labelMap(ClusterIngest.readLabels(spark, store, beforeBatch = Some(1L)))
+      === Map(1L -> 1L, 2L -> 1L))
+    assert(labelMap(ClusterIngest.readLabels(spark, store))
+      === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+}
