@@ -800,6 +800,39 @@ object SparkEntry {
                    CAST(SUM(id % 1000000007) AS BIGINT) AS sum_id
             FROM bk GROUP BY 1, 2 ORDER BY cluster_id, split"""))
 
+  /** Duplication-aware SOFT-dedup weights ([[graft.ops.Sampling
+    * .dupAwareWeights]]): every member of a near-dup family downweighted
+    * by the family size (`1e6 div cluster_n`, truncating integer
+    * division — exact on both engines) so each family carries ~unit
+    * sampling mass instead of being dropped. The oracle replays LSH
+    * pairs → recursive-CTE connected components → cluster sizes → the
+    * integer division, so the weights are proven end-to-end.
+    */
+  private val qDupAwareWeights = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      val pairs = graft.dedup.NearDup.minHashLsh(
+        docs, "doc_id", "text", bands = 4, rowsPerBand = 4, threshold = 0.9)
+      graft.ops.Sampling.dupAwareWeights(docs, "doc_id", pairs)
+        .orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE base AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 1000),
+            ${minHashPairsCtes(bands = 4, rowsPerBand = 4, threshold = 0.9, maxBucket = 1000)},
+            e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                  UNION SELECT id_b, id_a FROM pairs),
+            reach(id, r) AS (SELECT src, src FROM e
+                             UNION
+                             SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+            ccm AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+            cl AS (SELECT b.id, COALESCE(ccm.cluster_id, b.id) AS cluster_id
+                   FROM base b LEFT JOIN ccm ON ccm.id = b.id),
+            sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_n
+                      FROM cl GROUP BY 1)
+            SELECT cl.id, cl.cluster_id, s.cluster_n,
+                   CAST(1000000 AS BIGINT) // s.cluster_n AS weight_micro
+            FROM cl JOIN sizes s ON s.cluster_id = cl.cluster_id
+            ORDER BY cl.id"""))
+
   /** Temperature mixing ([[graft.ops.Sampling.temperatureMix]]): α = 0.5
     * source reweighting of documents under a 300-doc budget. The oracle
     * replays the whole budget derivation — sqrt weights (IEEE
@@ -8191,6 +8224,7 @@ object SparkEntry {
     "q_split_assign" -> qSplitAssign,
     "q_group_split" -> qGroupSplit,
     "q_split_neardup_safe" -> qSplitNearDupSafe,
+    "q_dup_aware_weights" -> qDupAwareWeights,
     "q_attribution" -> qAttribution,
     "q_mix_temperature" -> qMixTemperature,
     "q_dup_canonical" -> qDupCanonical,

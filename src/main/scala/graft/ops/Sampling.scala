@@ -236,6 +236,35 @@ object Sampling {
     assignGroupSplit(withCluster, "cluster_id", splits, outCol)
   }
 
+  /** Duplication-aware sampling weights — SOFT dedup: instead of
+    * dropping near-duplicates, downweight every member of a duplicate
+    * family so the family contributes ~unit sampling mass
+    * (`weight_micro = 1e6 div cluster_size`, truncating integer
+    * division — exact on any engine). Hard dedup loses the small signal
+    * that a document was independently produced N times; soft dedup
+    * keeps all copies visible to a weighted sampler
+    * ([[weightedSample]]) while neutralizing their over-representation —
+    * the downweight-by-duplicity idea behind public "soft dedup" /
+    * duplication-aware sampling treatments of web corpora.
+    *
+    * `pairs` is any (id_a, id_b) similarity edge table (MinHash-LSH,
+    * SimHash, embedding near-dup — caller's detector); singletons get
+    * cluster_n = 1 and full weight. Scale shape: the O(log n)
+    * star-contraction CC the pipeline already pays for dedup, one
+    * cluster-size aggregation (cluster count scales with the corpus —
+    * spreadable), one join back on the doc id.
+    *
+    * Output: (id, cluster_id, cluster_n, weight_micro).
+    */
+  def dupAwareWeights(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val cc = graft.dedup.DupClusters.clusterReportStar(docs, idCol, pairs)
+      .select(col("id"), col("cluster_id"))
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
+    cc.join(sizes, "cluster_id")
+      .select(col("id"), col("cluster_id"), col("cluster_n"),
+        expr("CAST(1000000 AS BIGINT) div cluster_n").as("weight_micro"))
+  }
+
   /** Deterministic multi-epoch training order: epoch `e` orders the
     * corpus by `md5(e:id)` — an independent pseudo-random permutation per
     * epoch (the data-ordering step of a multi-epoch run), reproducible

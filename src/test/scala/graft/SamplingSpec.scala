@@ -189,4 +189,28 @@ class SamplingSpec extends SparkTestBase {
     assert(s.map(_._3).max === 80L)
     assert(got.count(_._1 == "t") === 0)       // first doc alone busts the budget
   }
+
+  test("dupAwareWeights: families share ~unit mass, singletons keep full weight") {
+    val docs = (1L to 7L).toDF("doc_id")
+    // {1,2,3} via transitive pairs, {5,6} direct, 4 and 7 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Sampling.dupAwareWeights(docs, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_n"),
+         r.getAs[Long]("weight_micro"))).toMap
+    assert(got(1L) === ((1L, 3L, 333333L)))
+    assert(got(2L) === ((1L, 3L, 333333L)))
+    assert(got(3L) === ((1L, 3L, 333333L)))
+    assert(got(4L) === ((4L, 1L, 1000000L)))
+    assert(got(5L) === ((5L, 2L, 500000L)))
+    assert(got(6L) === ((5L, 2L, 500000L)))
+    assert(got(7L) === ((7L, 1L, 1000000L)))
+    // every doc present exactly once; per-family mass within 1 ulp of 1e6
+    assert(got.keySet === (1L to 7L).toSet)
+    got.values.groupBy(_._1).foreach { case (_, members) =>
+      val mass = members.map(_._3).sum
+      assert(mass <= 1000000L && mass > 1000000L - members.size,
+        s"family mass $mass drifted from unit")
+    }
+  }
 }
