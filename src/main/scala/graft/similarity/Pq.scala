@@ -122,8 +122,17 @@ object Pq {
   def adcTopK(corpus: DataFrame, queries: DataFrame, cb: Codebooks, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
+    // The exploded code table is PINNED before the broadcast join: fusing
+    // scan + encode kernel + generate + BHJ into one codegen stage
+    // measured 12x slower than the pinned split at 100x (74 s vs 7 s,
+    // IvfPqProbe — the stage compiles, so this is not the janino
+    // fallback; the fused consume loop just defeats the kernel's
+    // per-row pipelining). The pinned table is exactly the narrow
+    // (cid, s, code) layout the persistent index stores — the from-raw
+    // form now materializes what writeIvfPqIndex would persist.
     val enc = encode(corpus, cb, idCol, vecCol)
       .select(col("cid"), posexplode(col("codes")).as(Seq("s", "code")))
+      .localCheckpoint()
     val lut = lutFor(queries, cb, idCol, vecCol)
     val scored = enc.join(broadcast(lut),
         enc("s") === lut("s") && enc("code") === lut("j"))
@@ -154,8 +163,11 @@ object Pq {
                  nProbe: Int = 4,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
+    // pinned for the same measured reason as [[adcTopK]]'s enc (74 s vs
+    // 7 s at 100x when fused with the cell-restriction BHJ)
     val enc = encode(index, cb, "cid", "cvec", passthrough = Seq("cell"))
       .select(col("cid"), col("cell"), posexplode(col("codes")).as(Seq("s", "code")))
+      .localCheckpoint()
     val qc = Ivf.probedCells(queries, cents, nProbe, idCol, vecCol)
       .select(col("qid"), col("cell"))
     val lut = lutFor(queries, cb, idCol, vecCol)
@@ -357,7 +369,7 @@ object Pq {
     * the unrolled explode-of-64-literal-structs form ([[lutForUnrolled]],
     * bit-equal, spec-pinned) was the round-13 janino 64 KB failure.
     */
-  private def lutFor(queries: DataFrame, cb: Codebooks,
+  private[graft] def lutFor(queries: DataFrame, cb: Codebooks,
                      idCol: String, vecCol: String): DataFrame = {
     val ksub = cb.books.head.length
     queries
