@@ -70,6 +70,52 @@ object ClusterIngest {
       .partitionBy("batch_id").parquet(path)
   }
 
+  /** Fold committed label segments into ONE latest-per-id segment — the
+    * maintenance verb that keeps the store's file count bounded by fold
+    * cadence instead of one segment per micro-batch. Unlike the generic
+    * [[graft.ops.Compaction.foldStreamSegments]] (which MOVES rows and
+    * would collapse the per-id batch order `readLabels` ranks by), this
+    * fold is SEMANTIC: latest-per-id is computed across the source
+    * segments at fold time, so the folded segment carries exactly one
+    * row per id. Target naming and crash posture mirror
+    * foldStreamSegments: segments `0 ≤ batch_id < upTo` plus any prior
+    * fold (≤ −10) land in `batch_id = −(10 + maxFoldedBatch)` —
+    * deterministic, so a re-run overwrites its own target; the fold
+    * segment is numerically BELOW every live batch id, which is the
+    * correct rank (everything in it predates any surviving batch), and
+    * at most one fold segment exists at a time (each fold consumes its
+    * predecessors). A `_SUCCESS`-marked target means the previous
+    * identical fold finished writing — remaining sources are duplicates
+    * to delete, never inputs to re-fold. Returns segments folded.
+    */
+  def compactLabels(spark: SparkSession, path: String, upTo: Long): Int = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val hPath = new HPath(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return 0
+    val segIds = fs.listStatus(hPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(_.getPath.getName.stripPrefix("batch_id=").toLong)
+    val foldable = segIds.filter(n => (n >= 0 && n < upTo) || n <= -10L).sorted
+    if (foldable.size < 2) return 0
+    val maxBatch = foldable.filter(_ >= 0).maxOption
+      .getOrElse(foldable.map(n => -10L - n).max)
+    val targetId = -10L - maxBatch
+    val target = s"$path/batch_id=$targetId"
+    val srcIds = foldable.filterNot(_ == targetId)
+    val srcDirs = srcIds.map(n => s"$path/batch_id=$n")
+    if (fs.exists(new HPath(s"$target/_SUCCESS"))) {
+      srcDirs.foreach(p => fs.delete(new HPath(p), true))
+      return srcIds.size
+    }
+    spark.read.option("basePath", path).parquet(srcDirs: _*)
+      .groupBy("id")
+      .agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"))
+      .coalesce(1).write.mode("overwrite").parquet(target)
+    srcDirs.foreach(p => fs.delete(new HPath(p), true))
+    srcIds.size
+  }
+
   def start(spark: SparkSession, pairStream: DataFrame, path: String,
             checkpoint: String,
             aCol: String = "id_a", bCol: String = "id_b"): StreamingQuery =

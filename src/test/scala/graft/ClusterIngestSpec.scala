@@ -63,6 +63,57 @@ class ClusterIngestSpec extends SparkTestBase {
       "a retried batch must replace its segment, not append a second copy")
   }
 
+  test("compactLabels: one latest-per-id segment, read-identical, sources consumed") {
+    val tmp = java.nio.file.Files.createTempDirectory("cluster_ingest_compact")
+    val store = tmp.resolve("labels").toString
+    ClusterIngest.writeBatch(Seq((1L, 2L), (10L, 11L)).toDF("id_a", "id_b"), 0L, store)
+    ClusterIngest.writeBatch(Seq((2L, 11L)).toDF("id_a", "id_b"), 1L, store)
+    ClusterIngest.writeBatch(Seq((20L, 21L)).toDF("id_a", "id_b"), 2L, store)
+    val before = labelMap(ClusterIngest.readLabels(spark, store))
+    // fold batches 0 and 1 (2 is "in flight"): ids 10/11 must keep their
+    // batch-1 relabel, not batch 0's original
+    assert(ClusterIngest.compactLabels(spark, store, upTo = 2L) === 2)
+    assert(labelMap(ClusterIngest.readLabels(spark, store)) === before)
+    val segs = spark.read.parquet(store)
+      .select(col("batch_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(segs === Array(-11L, 2L), s"expected fold(-11) + live batch 2, got ${segs.toSeq}")
+    // the fold segment is latest-per-id: exactly one row per id
+    val fold = spark.read.parquet(store).filter(col("batch_id") === -11L)
+    assert(fold.count() === fold.select("id").distinct().count())
+    assert(labelMap(fold.select("id", "cluster_id")) ===
+      Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+    // ingest continues after the fold; a re-fold consumes the prior fold
+    ClusterIngest.writeBatch(Seq((21L, 1L)).toDF("id_a", "id_b"), 3L, store)
+    val after3 = labelMap(ClusterIngest.readLabels(spark, store))
+    assert(after3 === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 1L, 21L -> 1L))
+    assert(ClusterIngest.compactLabels(spark, store, upTo = 4L) === 3)
+    assert(labelMap(ClusterIngest.readLabels(spark, store)) === after3)
+    // nothing left to fold
+    assert(ClusterIngest.compactLabels(spark, store, upTo = 4L) === 0)
+  }
+
+  test("compactLabels: crash between target write and source deletes is value-idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("cluster_ingest_crash")
+    val store = tmp.resolve("labels").toString
+    ClusterIngest.writeBatch(Seq((1L, 2L)).toDF("id_a", "id_b"), 0L, store)
+    ClusterIngest.writeBatch(Seq((2L, 3L)).toDF("id_a", "id_b"), 1L, store)
+    val want = labelMap(ClusterIngest.readLabels(spark, store))
+    // simulate the crash: write the fold target (with _SUCCESS) but keep
+    // the sources — that is exactly the state a failure between "target
+    // written" and "sources deleted" leaves behind
+    spark.read.option("basePath", store).parquet(s"$store/batch_id=0", s"$store/batch_id=1")
+      .groupBy("id").agg(max_by(col("cluster_id"), col("batch_id")).as("cluster_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$store/batch_id=-11")
+    // duplicate rows are value-consistent, so reads stay correct even mid-crash
+    assert(labelMap(ClusterIngest.readLabels(spark, store)) === want)
+    // recovery: the _SUCCESS-marked target short-circuits to source deletion
+    assert(ClusterIngest.compactLabels(spark, store, upTo = 2L) === 2)
+    assert(labelMap(ClusterIngest.readLabels(spark, store)) === want)
+    assert(spark.read.parquet(store).select("batch_id").distinct().count() === 1)
+  }
+
   test("readLabels beforeBatch slices make a batch's own partial rows invisible") {
     val tmp = java.nio.file.Files.createTempDirectory("cluster_ingest_slice")
     val store = tmp.resolve("labels").toString
