@@ -228,7 +228,8 @@ object Bench {
     case "q_ngram_jaccard" | "q_triangles" | "q_clustering" |
          "q_pagerank" | "q_substr_spans" | "q_setsim_join" => "dedup_graph"
     case n if n.startsWith("q_ann") => "ann"
-    case "q_embed_neardup" | "q_quantize_int8" | "q_kmeans_step" |
+    case "q_embed_neardup" | "q_embed_neardup_incremental" |
+         "q_quantize_int8" | "q_kmeans_step" |
          "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" |
          "q_pq_encode" | "q_bitext_mine" |
          "q_pca_power" | "q_pca_project" | "q_pca_incremental" |

@@ -2475,6 +2475,48 @@ object SparkEntry {
             WHERE cosine >= 0.3 ORDER BY id_a, id_b""")
     })
 
+  /** INCREMENTAL embedding near-dup ([[graft.similarity.Ann
+    * .embeddingNearDupsAgainstCorpus]]): the batch-vs-history form of
+    * q_embed_neardup — new vectors (vec_id < 2500) checked against the
+    * seen corpus (vec_id ≥ 2500) through the shared LSH buckets, bucket
+    * cap on the SEEN side, equal-id skip. Completes the incremental
+    * detector family (exact / MinHash / SimHash / embedding-cosine);
+    * the oracle replays planes → buckets → seen-side cap → the
+    * cross-table bucket join → exact cosine threshold.
+    */
+  private val qEmbedNearDupIncremental = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      // parity split (not a range): the fixture's near-dup structure
+      // concentrates in low ids, so a range split would leave the gate
+      // row vacuously empty — parity makes real pairs straddle the
+      // batch/history boundary
+      graft.similarity.Ann.embeddingNearDupsAgainstCorpus(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          threshold = 0.3, nBits = 8)
+        .orderBy("new_id", "seen_id")
+    }, {
+      val planes = graft.similarity.Ann.hyperplanes(8, 64, 42L)
+      Some(s"""WITH nb AS (
+              SELECT vec_id AS new_id, embedding::DOUBLE[] AS v,
+                     ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket
+              FROM embeddings WHERE vec_id % 2 = 0),
+            sb AS (
+              SELECT vec_id AS seen_id, embedding::DOUBLE[] AS v,
+                     ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket
+              FROM embeddings WHERE vec_id % 2 = 1),
+            kept AS (SELECT bucket FROM sb GROUP BY bucket HAVING COUNT(*) <= 1000),
+            p AS (
+              SELECT n.new_id, s.seen_id,
+                     ROUND(list_cosine_similarity(n.v, s.v), 6) AS cosine
+              FROM nb n
+              JOIN (SELECT sb.* FROM sb JOIN kept USING (bucket)) s
+                ON n.bucket = s.bucket AND n.new_id <> s.seen_id)
+            SELECT new_id, seen_id, cosine FROM p
+            WHERE cosine >= 0.3 ORDER BY new_id, seen_id""")
+    })
+
   // Shared CTEs for the PQ oracles: md5-sampled codebook rows → per-
   // subspace slices → encode (argmin of ROUND(d²,6), index tie-break).
   // Pinned knobs mirror the Spark side: dim=64, m=4 (dsub=16), ksub=16.
@@ -8201,6 +8243,7 @@ object SparkEntry {
     "q_ann_ivf_indexed" -> qAnnIvfIndexed,
     "q_ann_ivf_steady" -> qAnnIvfSteady,
     "q_embed_neardup" -> qEmbedNearDup,
+    "q_embed_neardup_incremental" -> qEmbedNearDupIncremental,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_pq_encode" -> qPqEncode,
     "q_ann_pq" -> qAnnPq,

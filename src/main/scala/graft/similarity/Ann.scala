@@ -267,6 +267,58 @@ object Ann {
       // each pair appears exactly once
   }
 
+  /** Incremental embedding-cosine near-dup: each NEW vector checked
+    * against the SEEN corpus through the shared LSH buckets — the
+    * batch-vs-history ingest shape the other three detectors have had
+    * for rounds ([[graft.dedup.NearDup.dedupAgainstCorpus]] exact,
+    * `minHashLshAgainstCorpus` token-Jaccard,
+    * `simHashNearDupsAgainstCorpus` Hamming); this completes the
+    * detector family, and its (new_id, seen_id) pairs feed the same
+    * incremental cluster maintenance
+    * ([[graft.dedup.DupClusters.mergeComponents]] /
+    * [[graft.streaming.ClusterIngest]]).
+    *
+    * Scale shape: mirrors [[embeddingNearDups]] — same hyperplanes,
+    * same bucket geometry (AutoBits resolves on the SEEN corpus: probe
+    * batches must not change bucket structure), and the bucket cap is
+    * computed on the SEEN side (history carries the degenerate-direction
+    * mass; a batch rarely fills a bucket alone — the
+    * minHashLshAgainstCorpus convention). Per batch: one bucket+norm
+    * pass over the batch, a bucket equi-join sized by the batch, and
+    * exact cosine only on co-bucketed candidates. Both join inputs are
+    * count-guarded against the static-broadcast misestimate hazard.
+    *
+    * Output: (new_id, seen_id, cosine ≥ threshold); equal ids are
+    * skipped (a re-ingested vector is not its own near-dup).
+    */
+  def embeddingNearDupsAgainstCorpus(newVecs: DataFrame, seenVecs: DataFrame,
+                                     threshold: Double,
+                                     nBits: Int = AutoBits, dim: Int = 64,
+                                     seed: Long = 42L, maxBucket: Int = 1000,
+                                     idCol: String = "vec_id",
+                                     vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(resolveBits(nBits, seenVecs), dim, seed)
+    def staged(df: DataFrame, side: String) = requireDim(
+        df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"vec_$side")),
+        col(s"vec_$side"), dim, "embeddingNearDupsAgainstCorpus")
+      .withColumn("bucket", bucketExpr(col(s"vec_$side"), planes))
+      .withColumn(s"n_$side", VectorOps.norm(col(s"vec_$side")))
+    val seen = staged(seenVecs, "seen")
+    val okBuckets = seen.groupBy("bucket").count()
+      .filter(col("count") <= maxBucket).select("bucket")
+    val bigSeen = seenVecs.count() > graft.dedup.NearDup.BroadcastSafeRows
+    val bigNew = newVecs.count() > graft.dedup.NearDup.BroadcastSafeRows
+    graft.dedup.NearDup.mergeIfBig(staged(newVecs, "new"), bigNew)
+      .join(graft.dedup.NearDup.mergeIfBig(seen.join(okBuckets, Seq("bucket")), bigSeen),
+        Seq("bucket"))
+      .filter(col("new_id") =!= col("seen_id"))
+      .select(col("new_id"), col("seen_id"),
+        round(VectorOps.cosineFromParts(
+          VectorOps.dot(col("vec_new"), col("vec_seen")),
+          col("n_new"), col("n_seen")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the evaluation every ANN deployment needs before trusting an index
     * (and the number the IVF/LSH knob guidance in BASELINE.md is stated

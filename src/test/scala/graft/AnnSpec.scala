@@ -191,6 +191,56 @@ class AnnSpec extends SparkTestBase {
     assert(uncapped === 780 + 1)
   }
 
+  test("embeddingNearDupsAgainstCorpus: planted cross-split dup found; batch-split invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val other = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // seen corpus holds base; the batch carries a near-copy + an unrelated vector
+    val seen = Seq((100L, base.clone()), (101L, other.clone()))
+      .toDF("vec_id", "embedding")
+    val batch = Seq((1L, base.map(x => x + 0.01f)),
+      (2L, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val got = Ann.embeddingNearDupsAgainstCorpus(batch, seen, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 100L)), s"got $got")
+    // split invariance: per-row independence means any batch split unions
+    // to the one-shot result
+    val oneShot = Ann.embeddingNearDupsAgainstCorpus(
+        emb.filter(col("vec_id") < 1000), emb.filter(col("vec_id") >= 1000),
+        threshold = 0.3, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unioned = (Ann.embeddingNearDupsAgainstCorpus(
+        emb.filter(col("vec_id") < 500), emb.filter(col("vec_id") >= 1000),
+        threshold = 0.3, nBits = 8).collect() ++
+      Ann.embeddingNearDupsAgainstCorpus(
+        emb.filter(col("vec_id") >= 500 && col("vec_id") < 1000),
+        emb.filter(col("vec_id") >= 1000),
+        threshold = 0.3, nBits = 8).collect())
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unioned === oneShot)
+  }
+
+  test("embeddingNearDupsAgainstCorpus: seen-side bucket cap; equal-id self-skip") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val hot = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // 40 boilerplate copies in the SEEN corpus fill one bucket past the cap
+    val seen = (0L until 40L).map(i => (i, hot.clone())).toDF("vec_id", "embedding")
+    val batch = Seq((200L, hot.map(x => x + 0.001f))).toDF("vec_id", "embedding")
+    val capped = Ann.embeddingNearDupsAgainstCorpus(batch, seen,
+      threshold = 0.9, maxBucket = 10)
+    assert(capped.count() === 0L, "the over-cap seen bucket must drop whole")
+    val uncapped = Ann.embeddingNearDupsAgainstCorpus(batch, seen,
+      threshold = 0.9, maxBucket = 1000)
+    assert(uncapped.count() === 40L)
+    // re-ingesting the corpus against itself never pairs an id with itself
+    val self = Ann.embeddingNearDupsAgainstCorpus(seen, seen,
+        threshold = 0.9, maxBucket = 1000)
+      .filter(col("new_id") === col("seen_id")).count()
+    assert(self === 0L)
+  }
+
   test("dim mismatch fails fast instead of silently bucketing on a prefix") {
     import spark.implicits._
     val narrow = Seq((0L, Array.fill(32)(1.0f)), (1L, Array.fill(32)(1.0f)))
