@@ -2517,6 +2517,62 @@ object SparkEntry {
             WHERE cosine >= 0.3 ORDER BY new_id, seen_id""")
     })
 
+  /** The FUSED streaming dedup-ingest loop ([[graft.streaming
+    * .ClusterIngest.startFromVectors]]): micro-batches of new embedding
+    * vectors are LSH-checked against the static seen corpus and the
+    * resulting pairs fold straight into the persistent label store —
+    * detector + cluster maintenance in ONE pipeline, the shape a
+    * production ingest actually runs. Stream = even vec_ids (4 files,
+    * one per micro-batch), seen = odd vec_ids; the oracle replays the
+    * detector (planes → buckets → seen-side cap → cosine threshold)
+    * and closes its pairs with the recursive-CTE connected components —
+    * so the END-TO-END loop (streaming engine + detector + quotient
+    * merges + segment store) is hash-checked against one SQL truth.
+    */
+  private val qStreamEmbedClusters = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val tmp = scratchDir("graft_stream_embed_clusters")
+      val srcPath = tmp.resolve("src").toString
+      val storePath = tmp.resolve("labels").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      emb.filter(col("vec_id") % 2 === 0).repartition(4)
+        .write.mode("overwrite").parquet(srcPath)
+      val sch = s.read.parquet(srcPath).schema
+      val vecStream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(srcPath)
+      val q = graft.streaming.ClusterIngest.startFromVectors(
+        s, vecStream, emb.filter(col("vec_id") % 2 === 1),
+        threshold = 0.3, storePath, ckpt, nBits = 8)
+      q.awaitTermination()
+      graft.streaming.ClusterIngest.readLabels(s, storePath)
+        .orderBy("id")
+    }, {
+      val planes = graft.similarity.Ann.hyperplanes(8, 64, 42L)
+      Some(s"""WITH RECURSIVE nb AS (
+              SELECT vec_id AS new_id, embedding::DOUBLE[] AS v,
+                     ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket
+              FROM embeddings WHERE vec_id % 2 = 0),
+            sb AS (
+              SELECT vec_id AS seen_id, embedding::DOUBLE[] AS v,
+                     ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket
+              FROM embeddings WHERE vec_id % 2 = 1),
+            kept AS (SELECT bucket FROM sb GROUP BY bucket HAVING COUNT(*) <= 1000),
+            p AS (
+              SELECT n.new_id, s.seen_id
+              FROM nb n
+              JOIN (SELECT sb.* FROM sb JOIN kept USING (bucket)) s
+                ON n.bucket = s.bucket AND n.new_id <> s.seen_id
+              WHERE ROUND(list_cosine_similarity(n.v, s.v), 6) >= 0.3),
+            e AS (SELECT new_id AS src, seen_id AS dst FROM p
+                  UNION SELECT seen_id, new_id FROM p),
+            reach(id, r) AS (SELECT src, src FROM e
+                             UNION
+                             SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+            cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+            SELECT id, cluster_id FROM cc ORDER BY id""")
+    })
+
   // Shared CTEs for the PQ oracles: md5-sampled codebook rows → per-
   // subspace slices → encode (argmin of ROUND(d²,6), index tie-break).
   // Pinned knobs mirror the Spark side: dim=64, m=4 (dsub=16), ksub=16.
@@ -8244,6 +8300,7 @@ object SparkEntry {
     "q_ann_ivf_steady" -> qAnnIvfSteady,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_embed_neardup_incremental" -> qEmbedNearDupIncremental,
+    "q_stream_embed_clusters" -> qStreamEmbedClusters,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_pq_encode" -> qPqEncode,
     "q_ann_pq" -> qAnnPq,

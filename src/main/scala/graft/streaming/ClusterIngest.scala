@@ -126,4 +126,34 @@ object ClusterIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The fused ingest loop — detector AND cluster maintenance in one
+    * streaming pipeline: each micro-batch of NEW embedding vectors is
+    * LSH-checked against the static seen corpus
+    * ([[graft.similarity.Ann.embeddingNearDupsAgainstCorpus]]) and the
+    * resulting (new_id, seen_id) pairs fold straight into the label
+    * store. Detection is per-row independent and merging associative,
+    * so the read-back labeling is micro-batch-split-invariant: it
+    * equals one CC over all batch-vs-seen pairs (the gate row's
+    * recursive-CTE oracle). The same fusion works verbatim for the
+    * other three incremental detectors — swap the detector call.
+    */
+  def startFromVectors(spark: SparkSession, vecStream: DataFrame,
+                       seenVecs: DataFrame, threshold: Double, path: String,
+                       checkpoint: String,
+                       nBits: Int = graft.similarity.Ann.AutoBits,
+                       maxBucket: Int = 1000,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(
+          graft.similarity.Ann.embeddingNearDupsAgainstCorpus(
+            batch, seenVecs, threshold, nBits = nBits, maxBucket = maxBucket,
+            idCol = idCol, vecCol = vecCol),
+          batchId, path, aCol = "new_id", bCol = "seen_id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

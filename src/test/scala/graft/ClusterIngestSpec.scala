@@ -114,6 +114,26 @@ class ClusterIngestSpec extends SparkTestBase {
     assert(spark.read.parquet(store).select("batch_id").distinct().count() === 1)
   }
 
+  test("startFromVectors: fused detector+maintenance ≡ batch detector + one-shot CC") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val newSide = emb.filter(col("vec_id") % 2 === 0)
+    val seenSide = emb.filter(col("vec_id") % 2 === 1)
+    val pairs = graft.similarity.Ann.embeddingNearDupsAgainstCorpus(
+      newSide, seenSide, threshold = 0.3, nBits = 8)
+    val want = labelMap(DupClusters.connectedComponentsStar(pairs, "new_id", "seen_id"))
+    assert(want.nonEmpty, "fixture should produce cross-parity pairs")
+    val tmp = java.nio.file.Files.createTempDirectory("cluster_ingest_fused")
+    val srcDir = tmp.resolve("src").toString
+    newSide.repartition(3).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val store = tmp.resolve("labels").toString
+    ClusterIngest.startFromVectors(spark, stream, seenSide, threshold = 0.3,
+      store, tmp.resolve("ckpt").toString, nBits = 8).awaitTermination()
+    assert(labelMap(ClusterIngest.readLabels(spark, store)) === want)
+  }
+
   test("readLabels beforeBatch slices make a batch's own partial rows invisible") {
     val tmp = java.nio.file.Files.createTempDirectory("cluster_ingest_slice")
     val store = tmp.resolve("labels").toString
