@@ -186,7 +186,7 @@ object Bench {
     */
   private[graft] val superseded: Set[String] = Set("q_winnow",
     "q_ann_ivf_indexed", "q_ann_ivfpq_indexed", "q_bm25_indexed",
-    "q_bm25_deleted", "q_decontam_fuzzy_indexed")
+    "q_bm25_deleted", "q_decontam_fuzzy_indexed", "q_embed_neardup_indexed")
 
   /** Query → bench tier (reporting only — no behavior): reference ETL
     * parity, window functions, relational breadth, text/corpus, dedup +
@@ -229,6 +229,7 @@ object Bench {
          "q_pagerank" | "q_substr_spans" | "q_setsim_join" => "dedup_graph"
     case n if n.startsWith("q_ann") => "ann"
     case "q_embed_neardup" | "q_embed_neardup_incremental" |
+         "q_embed_neardup_indexed" | "q_embed_neardup_steady" |
          "q_quantize_int8" | "q_kmeans_step" |
          "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" |
          "q_pq_encode" | "q_bitext_mine" |

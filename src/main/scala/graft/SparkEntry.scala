@@ -2517,6 +2517,44 @@ object SparkEntry {
             WHERE cosine >= 0.3 ORDER BY new_id, seen_id""")
     })
 
+  /** Persistent embedding near-dup index ([[graft.similarity.Ann
+    * .writeEmbedNearDupIndex]] → [[graft.similarity.Ann
+    * .embeddingNearDupsAgainstIndex]]): the seen corpus staged ONCE as
+    * bucket-partitioned (id, nrm, vec) rows + geometry meta; the probe
+    * pays zero seen-side staging and partition-prunes to the batch's
+    * buckets. Rebuild-in-row (write + probe — `Bench.superseded`);
+    * identical semantics to the from-raw incremental detector, whose
+    * oracle is shared verbatim.
+    */
+  private val qEmbedNearDupIndexed = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxPath = scratchDir("graft_embed_index").resolve("idx").toString
+      graft.similarity.Ann.writeEmbedNearDupIndex(
+        emb.filter(col("vec_id") % 2 === 1), idxPath, nBits = 8)
+      graft.similarity.Ann.embeddingNearDupsAgainstIndex(
+          emb.filter(col("vec_id") % 2 === 0), idxPath, threshold = 0.3)
+        .orderBy("new_id", "seen_id")
+    },
+    qEmbedNearDupIncremental.oracle)
+
+  /** STEADY-STATE probe of the stored embedding index ([[steadyIndex]]
+    * memoizes the build): what a production ingest batch pays per
+    * check. Same oracle verbatim.
+    */
+  private val qEmbedNearDupSteady = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxPath = steadyIndex("graft_embed_steady", dir) { p =>
+        graft.similarity.Ann.writeEmbedNearDupIndex(
+          emb.filter(col("vec_id") % 2 === 1), p, nBits = 8)
+      }
+      graft.similarity.Ann.embeddingNearDupsAgainstIndex(
+          emb.filter(col("vec_id") % 2 === 0), idxPath, threshold = 0.3)
+        .orderBy("new_id", "seen_id")
+    },
+    qEmbedNearDupIncremental.oracle)
+
   /** The FUSED streaming dedup-ingest loop ([[graft.streaming
     * .ClusterIngest.startFromVectors]]): micro-batches of new embedding
     * vectors are LSH-checked against the static seen corpus and the
@@ -8300,6 +8338,8 @@ object SparkEntry {
     "q_ann_ivf_steady" -> qAnnIvfSteady,
     "q_embed_neardup" -> qEmbedNearDup,
     "q_embed_neardup_incremental" -> qEmbedNearDupIncremental,
+    "q_embed_neardup_indexed" -> qEmbedNearDupIndexed,
+    "q_embed_neardup_steady" -> qEmbedNearDupSteady,
     "q_stream_embed_clusters" -> qStreamEmbedClusters,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_pq_encode" -> qPqEncode,

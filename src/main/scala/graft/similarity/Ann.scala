@@ -319,6 +319,96 @@ object Ann {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Persist the embedding near-dup index: the seen corpus staged once
+    * — (id, nrm, vec) rows under `path/vecs` PARTITIONED BY the LSH
+    * bucket, plus `path/meta` = (nbits, dim, seed) so probes derive the
+    * exact stored geometry (no caller-supplied knob can mismatch). This
+    * is the steady-state split the MinHash detector has had since r11
+    * ([[graft.dedup.NearDup.writeNearDupIndex]]): without it every
+    * ingest batch re-pays the seen side's bucket+norm staging (measured
+    * 3 passes over history per micro-batch on the fused streaming
+    * loop); with it the seen side costs zero per batch and probes
+    * partition-prune to the batch's buckets.
+    */
+  def writeEmbedNearDupIndex(seenVecs: DataFrame, path: String,
+                             nBits: Int = AutoBits, dim: Int = 64,
+                             seed: Long = 42L,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): Unit = {
+    val spark = seenVecs.sparkSession
+    val bits = resolveBits(nBits, seenVecs)
+    val planes = hyperplanes(bits, dim, seed)
+    requireDim(
+        seenVecs.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        col("vec"), dim, "writeEmbedNearDupIndex")
+      .withColumn("bucket", bucketExpr(col("vec"), planes))
+      .withColumn("nrm", VectorOps.norm(col("vec")))
+      // one file per bucket, not tasks × buckets (the index fan-out rule)
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/vecs")
+    import spark.implicits._
+    Seq((bits, dim, seed)).toDF("nbits", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** [[embeddingNearDupsAgainstCorpus]] against the STORED index: the
+    * seen side's buckets/norms/vectors come off `path/vecs` — zero
+    * staging work per batch — and the read is partition-pruned to the
+    * batch's buckets when the batch could leave buckets untouched
+    * (≤ 1024 distinct buckets; a saturating batch streams the full
+    * index instead — the r15 bucket-prune guard from the decontam
+    * probes: pruning machinery that prunes nothing is pure overhead).
+    * Geometry (nbits/dim/seed) comes from the stored meta, so indexed ≡
+    * from-raw by construction (spec-pinned). Bucket caps count the FULL
+    * stored bucket (a bucket lives whole inside its partition).
+    */
+  def embeddingNearDupsAgainstIndex(newVecs: DataFrame, path: String,
+                                    threshold: Double, maxBucket: Int = 1000,
+                                    idCol: String = "vec_id",
+                                    vecCol: String = "embedding"): DataFrame = {
+    val spark = newVecs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (bits, dim, seed) =
+      (meta.getAs[Int]("nbits"), meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    val planes = hyperplanes(bits, dim, seed)
+    val neu = requireDim(
+        newVecs.select(col(idCol).as("new_id"), col(vecCol).as("vec_new")),
+        col("vec_new"), dim, "embeddingNearDupsAgainstIndex")
+      .withColumn("bucket", bucketExpr(col("vec_new"), planes))
+      .withColumn("n_new", VectorOps.norm(col("vec_new")))
+      // two consumers (bucket list + candidate join) and true stats
+      .localCheckpoint()
+    val batchBuckets = neu.select("bucket").distinct()
+      .limit(1025).collect().map(_.getLong(0))
+    val vecs = spark.read.parquet(s"$path/vecs")
+    // literals in the PARTITION column's inferred type (small buckets
+    // infer INT) — a cast wrapped around the attribute could block the
+    // partition prune this read exists for
+    val bucketLits: Seq[Any] =
+      if (vecs.schema("bucket").dataType == org.apache.spark.sql.types.IntegerType)
+        batchBuckets.map(_.toInt).toSeq
+      else batchBuckets.toSeq
+    val seenRead =
+      if (batchBuckets.length <= 1024)
+        vecs.filter(col("bucket").isin(bucketLits: _*)) // partition prune
+      else vecs
+    val seen = seenRead.select(col("bucket").cast("long").as("bucket"),
+      col("id").as("seen_id"), col("vec").as("vec_seen"), col("nrm").as("n_seen"))
+    val okBuckets = seen.groupBy("bucket").count()
+      .filter(col("count") <= maxBucket).select("bucket")
+    val bigSeen = vecs.count() > graft.dedup.NearDup.BroadcastSafeRows
+    val bigNew = newVecs.count() > graft.dedup.NearDup.BroadcastSafeRows
+    graft.dedup.NearDup.mergeIfBig(neu, bigNew)
+      .join(graft.dedup.NearDup.mergeIfBig(seen.join(okBuckets, Seq("bucket")), bigSeen),
+        Seq("bucket"))
+      .filter(col("new_id") =!= col("seen_id"))
+      .select(col("new_id"), col("seen_id"),
+        round(VectorOps.cosineFromParts(
+          VectorOps.dot(col("vec_new"), col("vec_seen")),
+          col("n_new"), col("n_seen")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the evaluation every ANN deployment needs before trusting an index
     * (and the number the IVF/LSH knob guidance in BASELINE.md is stated

@@ -241,6 +241,40 @@ class AnnSpec extends SparkTestBase {
     assert(self === 0L)
   }
 
+  test("embeddingNearDupsAgainstIndex ≡ from-raw after disk round-trip; probes prune") {
+    val tmp = java.nio.file.Files.createTempDirectory("embed_idx").toString
+    val seen = emb.filter(col("vec_id") % 2 === 1)
+    val batch = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200)
+    Ann.writeEmbedNearDupIndex(seen, tmp, nBits = 8)
+    val stored = Ann.embeddingNearDupsAgainstIndex(batch, tmp, threshold = 0.3)
+    val got = stored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val raw = Ann.embeddingNearDupsAgainstCorpus(batch, seen, threshold = 0.3, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === raw, "stored-index probe must equal the from-raw detector")
+    assert(got.nonEmpty)
+    // the small batch's bucket list must reach the file index as a
+    // partition filter, not a post-scan filter
+    val p = stored.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && !p.contains("PartitionFilters: []"),
+      s"expected a non-empty PartitionFilters on the index read:\n$p")
+  }
+
+  test("embeddingNearDupsAgainstIndex: coarse geometry and full-batch probes stay exact") {
+    // nBits=2 (4 buckets): every bucket is hit by the full-parity batch,
+    // so the prune filter degenerates to all buckets — results must
+    // still equal the from-raw detector bit-for-bit
+    val tmp = java.nio.file.Files.createTempDirectory("embed_idx_sat").toString
+    val seen = emb.filter(col("vec_id") % 2 === 1)
+    Ann.writeEmbedNearDupIndex(seen, tmp, nBits = 2)
+    val batch = emb.filter(col("vec_id") % 2 === 0)
+    val got = Ann.embeddingNearDupsAgainstIndex(batch, tmp, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = Ann.embeddingNearDupsAgainstCorpus(batch, seen, threshold = 0.3, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === raw, "coarse-bucket geometry must still agree with from-raw")
+  }
+
   test("dim mismatch fails fast instead of silently bucketing on a prefix") {
     import spark.implicits._
     val narrow = Seq((0L, Array.fill(32)(1.0f)), (1L, Array.fill(32)(1.0f)))
