@@ -2611,6 +2611,37 @@ object SparkEntry {
             SELECT id, cluster_id FROM cc ORDER BY id""")
     })
 
+  /** STEADY-STATE fused loop ([[graft.streaming.ClusterIngest
+    * .startFromIndex]]): the same streamed detector+maintenance
+    * pipeline, but the seen side comes off the stored bucket-partitioned
+    * embed index ([[steadyIndex]] memoizes the build) — zero seen-side
+    * staging per micro-batch, partition-pruned probes. Indexed ≡
+    * from-raw, so q_stream_embed_clusters' oracle is shared verbatim.
+    */
+  private val qStreamEmbedClustersSteady = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxPath = steadyIndex("graft_embed_steady", dir) { p =>
+        graft.similarity.Ann.writeEmbedNearDupIndex(
+          emb.filter(col("vec_id") % 2 === 1), p, nBits = 8)
+      }
+      val tmp = scratchDir("graft_stream_embed_clusters_steady")
+      val srcPath = tmp.resolve("src").toString
+      val storePath = tmp.resolve("labels").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      emb.filter(col("vec_id") % 2 === 0).repartition(4)
+        .write.mode("overwrite").parquet(srcPath)
+      val sch = s.read.parquet(srcPath).schema
+      val vecStream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(srcPath)
+      val q = graft.streaming.ClusterIngest.startFromIndex(
+        s, vecStream, idxPath, threshold = 0.3, storePath, ckpt)
+      q.awaitTermination()
+      graft.streaming.ClusterIngest.readLabels(s, storePath)
+        .orderBy("id")
+    },
+    qStreamEmbedClusters.oracle)
+
   // Shared CTEs for the PQ oracles: md5-sampled codebook rows → per-
   // subspace slices → encode (argmin of ROUND(d²,6), index tie-break).
   // Pinned knobs mirror the Spark side: dim=64, m=4 (dsub=16), ksub=16.
@@ -8341,6 +8372,7 @@ object SparkEntry {
     "q_embed_neardup_indexed" -> qEmbedNearDupIndexed,
     "q_embed_neardup_steady" -> qEmbedNearDupSteady,
     "q_stream_embed_clusters" -> qStreamEmbedClusters,
+    "q_stream_embed_clusters_steady" -> qStreamEmbedClustersSteady,
     "q_semantic_dedup" -> qSemanticDedup,
     "q_pq_encode" -> qPqEncode,
     "q_ann_pq" -> qAnnPq,

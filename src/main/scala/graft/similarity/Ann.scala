@@ -351,6 +351,51 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Append an ingest batch to the stored embed index with the STORED
+    * geometry (planes do not move between rebuilds — the
+    * [[graft.similarity.Pq.appendIvfPqIndex]] contract): one staging
+    * pass over the batch, bucket-partitioned append. The post-dedup
+    * step of the production loop (check batch against index → keep
+    * survivors → append survivors).
+    */
+  def appendEmbedNearDupIndex(newVecs: DataFrame, path: String,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (bits, dim, seed) =
+      (meta.getAs[Int]("nbits"), meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    val planes = hyperplanes(bits, dim, seed)
+    requireDim(
+        newVecs.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        col("vec"), dim, "appendEmbedNearDupIndex")
+      .withColumn("bucket", bucketExpr(col("vec"), planes))
+      .withColumn("nrm", VectorOps.norm(col("vec")))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/vecs")
+  }
+
+  /** Erase vectors from the stored embed index WITHOUT rebuild — the
+    * takedown verb the other index families carry. Ids land in the
+    * append-only `path/tombstones` (caller's id type preserved — the
+    * [[graft.dedup.NearDup.deleteFromNearDupIndex]] type-genericity
+    * rule); probes anti-join, so a deleted vector stops matching
+    * immediately and a repeated delete is a no-op.
+    */
+  def deleteFromEmbedNearDupIndex(ids: DataFrame, path: String,
+                                  idCol: String = "vec_id"): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def minusEmbedTombstones(spark: org.apache.spark.sql.SparkSession,
+                                   df: DataFrame, path: String): DataFrame = {
+    val t = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!t.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(t)) df
+    else df.join(broadcast(spark.read.parquet(s"$path/tombstones")
+        .withColumnRenamed("id", "seen_id")),
+      Seq("seen_id"), "left_anti")
+  }
+
   /** [[embeddingNearDupsAgainstCorpus]] against the STORED index: the
     * seen side's buckets/norms/vectors come off `path/vecs` — zero
     * staging work per batch — and the read is partition-pruned to the
@@ -392,8 +437,12 @@ object Ann {
       if (batchBuckets.length <= 1024)
         vecs.filter(col("bucket").isin(bucketLits: _*)) // partition prune
       else vecs
-    val seen = seenRead.select(col("bucket").cast("long").as("bucket"),
-      col("id").as("seen_id"), col("vec").as("vec_seen"), col("nrm").as("n_seen"))
+    // tombstones first: the bucket caps below count the LIVE set, so
+    // erased ≡ from-raw-on-live (the NearDup erased contract)
+    val seen = minusEmbedTombstones(spark,
+      seenRead.select(col("bucket").cast("long").as("bucket"),
+        col("id").as("seen_id"), col("vec").as("vec_seen"), col("nrm").as("n_seen")),
+      path)
     val okBuckets = seen.groupBy("bucket").count()
       .filter(col("count") <= maxBucket).select("bucket")
     val bigSeen = vecs.count() > graft.dedup.NearDup.BroadcastSafeRows

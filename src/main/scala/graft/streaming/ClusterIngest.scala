@@ -156,4 +156,30 @@ object ClusterIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[startFromVectors]] probing the STORED embed index
+    * ([[graft.similarity.Ann.writeEmbedNearDupIndex]]) instead of raw
+    * seen vectors — the steady-state fused loop: the from-raw form
+    * re-stages the seen side (bucket + norm passes over history) inside
+    * EVERY micro-batch, while here the seen side comes off the
+    * bucket-partitioned index at zero staging cost and small batches
+    * partition-prune. Identical labels by the indexed ≡ from-raw
+    * contract (shares the gate oracle verbatim).
+    */
+  def startFromIndex(spark: SparkSession, vecStream: DataFrame,
+                     indexPath: String, threshold: Double, path: String,
+                     checkpoint: String, maxBucket: Int = 1000,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): StreamingQuery =
+    vecStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(
+          graft.similarity.Ann.embeddingNearDupsAgainstIndex(
+            batch, indexPath, threshold, maxBucket = maxBucket,
+            idCol = idCol, vecCol = vecCol),
+          batchId, path, aCol = "new_id", bCol = "seen_id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -275,6 +275,34 @@ class AnnSpec extends SparkTestBase {
     assert(got === raw, "coarse-bucket geometry must still agree with from-raw")
   }
 
+  test("embed index append ≡ whole-corpus from-raw; erase unflags and is idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("embed_idx_verbs").toString
+    val seen = emb.filter(col("vec_id") % 2 === 1)
+    val partA = seen.filter(col("vec_id") % 4 === 1)
+    val partB = seen.filter(col("vec_id") % 4 === 3)
+    Ann.writeEmbedNearDupIndex(partA, tmp, nBits = 8)
+    Ann.appendEmbedNearDupIndex(partB, tmp)
+    val batch = emb.filter(col("vec_id") % 2 === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val appended = pairs(Ann.embeddingNearDupsAgainstIndex(batch, tmp, threshold = 0.3))
+    // from-raw twin under the same pinned geometry (nBits=8 at write)
+    val raw = pairs(Ann.embeddingNearDupsAgainstCorpus(batch, seen,
+      threshold = 0.3, nBits = 8))
+    assert(appended === raw, "write+append must equal the whole-corpus detector")
+    assert(appended.nonEmpty)
+    // erase one matched seen id: its pairs vanish, everything else stays
+    val victim = appended.head._2
+    import spark.implicits._
+    Ann.deleteFromEmbedNearDupIndex(Seq(victim).toDF("vec_id"), tmp)
+    val afterErase = pairs(Ann.embeddingNearDupsAgainstIndex(batch, tmp, threshold = 0.3))
+    assert(afterErase === appended.filterNot(_._2 == victim))
+    // double delete is a no-op
+    Ann.deleteFromEmbedNearDupIndex(Seq(victim).toDF("vec_id"), tmp)
+    assert(pairs(Ann.embeddingNearDupsAgainstIndex(batch, tmp, threshold = 0.3))
+      === afterErase)
+  }
+
   test("dim mismatch fails fast instead of silently bucketing on a prefix") {
     import spark.implicits._
     val narrow = Seq((0L, Array.fill(32)(1.0f)), (1L, Array.fill(32)(1.0f)))
