@@ -186,7 +186,8 @@ object Bench {
     */
   private[graft] val superseded: Set[String] = Set("q_winnow",
     "q_ann_ivf_indexed", "q_ann_ivfpq_indexed", "q_bm25_indexed",
-    "q_bm25_deleted", "q_decontam_fuzzy_indexed", "q_embed_neardup_indexed")
+    "q_bm25_deleted", "q_decontam_fuzzy_indexed", "q_embed_neardup_indexed",
+    "q_decontam_semantic_indexed")
 
   /** Query → bench tier (reporting only — no behavior): reference ETL
     * parity, window functions, relational breadth, text/corpus, dedup +
@@ -230,6 +231,8 @@ object Bench {
     case n if n.startsWith("q_ann") => "ann"
     case "q_embed_neardup" | "q_embed_neardup_incremental" |
          "q_embed_neardup_indexed" | "q_embed_neardup_steady" |
+         "q_decontam_semantic" | "q_decontam_semantic_removed" |
+         "q_decontam_semantic_indexed" | "q_decontam_semantic_steady" |
          "q_quantize_int8" | "q_kmeans_step" |
          "q_neg_sample" | "q_hybrid_rrf" | "q_semantic_dedup" |
          "q_pq_encode" | "q_bitext_mine" |
@@ -268,7 +271,8 @@ object Bench {
          "q_image_ahash" | "q_image_ahash_jpeg" | "q_image_neardup" |
          "q_audio_fingerprint" | "q_audio_fingerprint_flac" |
          "q_png_decode" | "q_png_alpha" | "q_png_16bit" | "q_png_interlaced" |
-         "q_gif_decode" | "q_jpeg_decode" | "q_jpeg_progressive" => "multimodal"
+         "q_gif_decode" | "q_jpeg_decode" | "q_jpeg_progressive" |
+         "q_jpeg_12bit" => "multimodal"
     case _ => "other"
   }
 }

@@ -2555,6 +2555,116 @@ object SparkEntry {
     },
     qEmbedNearDupIncremental.oracle)
 
+  /** SEMANTIC decontamination ([[graft.similarity.SemanticDecontam
+    * .flagSemanticContaminated]]): train docs whose embedding lands at
+    * cosine ≥ 0.3 of ANY benchmark embedding, with top-1 evidence
+    * (max cosine, ties → min bench id). Bench = vec_id % 10 = 1 (the
+    * benchmark-sized broadcast side), train = the rest. EXACT — recall
+    * 1.0, the property the token-side decontam gates can't give for
+    * paraphrased leakage. The oracle replays the full product + argmax.
+    */
+  private val qDecontamSemantic = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.SemanticDecontam.flagSemanticContaminated(
+          emb.filter(col("vec_id") % 10 =!= 1),
+          emb.filter(col("vec_id") % 10 === 1), tau = 0.3)
+        .orderBy("id")
+    },
+    Some("""WITH b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id % 10 = 1),
+              tr AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                     FROM embeddings WHERE vec_id % 10 <> 1),
+              p AS (SELECT t.id, bb.bid,
+                           ROUND(list_cosine_similarity(t.v, bb.v), 6) AS cosine
+                    FROM tr t CROSS JOIN b bb),
+              f AS (SELECT id, bid, cosine,
+                           row_number() OVER (PARTITION BY id
+                                              ORDER BY cosine DESC, bid) AS rn
+                    FROM p WHERE cosine >= 0.3)
+            SELECT id, bid AS bench_id, cosine FROM f WHERE rn = 1 ORDER BY id"""))
+
+  /** The filter form ([[graft.similarity.SemanticDecontam
+    * .removeSemanticContaminated]]): train minus semantically
+    * contaminated docs, via a broadcast nested-loop ANTI join — one
+    * corpus pass, zero exchange, per-row short-circuit on the first ≥ τ
+    * hit. Output = the surviving rows' (vec_id, label).
+    */
+  private val qDecontamSemanticRemoved = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.SemanticDecontam.removeSemanticContaminated(
+          emb.filter(col("vec_id") % 10 =!= 1),
+          emb.filter(col("vec_id") % 10 === 1), tau = 0.3)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+    Some("""WITH b AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS v
+                       FROM embeddings WHERE vec_id % 10 = 1)
+            SELECT vec_id, label
+            FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                  FROM embeddings WHERE vec_id % 10 <> 1) t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM b bb
+              WHERE ROUND(list_cosine_similarity(t.v, bb.v), 6) >= 0.3)
+            ORDER BY vec_id"""))
+
+  /** Semantic decontam against the STORED embedding index
+    * ([[graft.similarity.SemanticDecontam
+    * .flagSemanticContaminatedAgainstIndex]]) — the corpus-sized-benchmark
+    * path: bucket-partitioned index of the bench side, partition-pruned
+    * probe, top-evidence fold over the same-bucket pairs. Rebuild-in-row
+    * (`Bench.superseded`); the oracle replays planes → buckets → cap →
+    * bucket join → argmax, so the LSH recall contract is explicit in the
+    * checked result.
+    */
+  private val qDecontamSemanticIndexed = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxPath = scratchDir("graft_semdecon_index").resolve("idx").toString
+      graft.similarity.Ann.writeEmbedNearDupIndex(
+        emb.filter(col("vec_id") % 10 === 1), idxPath, nBits = 8)
+      graft.similarity.SemanticDecontam.flagSemanticContaminatedAgainstIndex(
+          emb.filter(col("vec_id") % 10 =!= 1), idxPath, tau = 0.3)
+        .orderBy("id")
+    }, {
+      val planes = graft.similarity.Ann.hyperplanes(8, 64, 42L)
+      Some(s"""WITH sb AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS v,
+                     ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket
+                     FROM embeddings WHERE vec_id % 10 = 1),
+              nb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                     ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket
+                     FROM embeddings WHERE vec_id % 10 <> 1),
+              kept AS (SELECT bucket FROM sb GROUP BY bucket HAVING COUNT(*) <= 1000),
+              p AS (SELECT n.id, s.bid,
+                           ROUND(list_cosine_similarity(n.v, s.v), 6) AS cosine
+                    FROM nb n
+                    JOIN (SELECT sb.* FROM sb JOIN kept USING (bucket)) s
+                      ON n.bucket = s.bucket AND n.id <> s.bid),
+              f AS (SELECT id, bid, cosine,
+                           row_number() OVER (PARTITION BY id
+                                              ORDER BY cosine DESC, bid) AS rn
+                    FROM p WHERE cosine >= 0.3)
+            SELECT id, bid AS bench_id, cosine FROM f WHERE rn = 1 ORDER BY id""")
+    })
+
+  /** STEADY-STATE semantic decontam probe ([[steadyIndex]] memoizes the
+    * bench-index build): what each training batch pays per check in a
+    * production gate. Same oracle verbatim.
+    */
+  private val qDecontamSemanticSteady = Q(
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxPath = steadyIndex("graft_semdecon_steady", dir) { p =>
+        graft.similarity.Ann.writeEmbedNearDupIndex(
+          emb.filter(col("vec_id") % 10 === 1), p, nBits = 8)
+      }
+      graft.similarity.SemanticDecontam.flagSemanticContaminatedAgainstIndex(
+          emb.filter(col("vec_id") % 10 =!= 1), idxPath, tau = 0.3)
+        .orderBy("id")
+    },
+    qDecontamSemanticIndexed.oracle)
+
   /** The FUSED streaming dedup-ingest loop ([[graft.streaming
     * .ClusterIngest.startFromVectors]]): micro-batches of new embedding
     * vectors are LSH-checked against the static seen corpus and the
@@ -3548,6 +3658,32 @@ object SparkEntry {
           val w = 8 * (1 + (id % 3).toInt)
           val h = 8 * (1 + (id % 2).toInt)
           (id, graft.multimodal.Multimodal.makeJpegProgressive(w, h, id, gray = true))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.extractFeatures(s, bins)
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          round(element_at(col("features"), 4) *
+            (col("width") * col("height") * lit(255L)))
+            .cast(LongType).as("pixel_byte_sum"))
+        .orderBy("doc_id")
+    },
+    qJpegDecode.oracle)
+
+  /** 12-BIT extended-sequential JPEG decode ([[graft.multimodal
+    * .Multimodal.parseJpeg]] over [[graft.multimodal.Multimodal
+    * .makeJpeg12]] fixtures): SOF1 frames at precision 12 with 16-bit
+    * DQT entries and DC categories up to 15 — the same DC-only closed
+    * form at 16× amplitude, so after the decoder's documented `>> 4`
+    * canonicalization the pixels are bit-identical to the 8-bit twin
+    * and q_jpeg_decode's oracle replays VERBATIM.
+    */
+  private val qJpeg12bit = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 8 * (1 + (id % 3).toInt)
+          val h = 8 * (1 + (id % 2).toInt)
+          (id, graft.multimodal.Multimodal.makeJpeg12(w, h, id, gray = true))
         }.toDF("doc_id", "payload")
       graft.multimodal.Multimodal.extractFeatures(s, bins)
         .select(col("doc_id"), col("format"), col("width"), col("height"),
@@ -7510,6 +7646,36 @@ object SparkEntry {
     },
     qDedupLshIncremental.oracle)
 
+  /** Streaming decontamination at INGEST ([[graft.streaming
+    * .DecontamIngest]]): documents < 450 arrive as the candidate stream
+    * and each micro-batch is fuzzy-checked against the STORED benchmark
+    * index (docs ≥ 450); only clean rows are admitted, appended
+    * exactly-once into their `batch_id` partition. A doc's verdict
+    * depends only on (doc, index), so the admitted set is micro-batch-
+    * split invariant and [[qDecontamFuzzyRemoved]]'s oracle replays
+    * VERBATIM on the streaming code path (engine + store round trip
+    * included in the check).
+    */
+  private val qStreamDecontam = Q(
+    (s, dir) => {
+      val tmp = scratchDir("graft_stream_decontam")
+      val idxPath = tmp.resolve("idx").toString
+      val outPath = tmp.resolve("out").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val d = t(s, dir, "documents")
+      graft.text.Decontaminate.writeBenchIndex(
+        d.filter(col("doc_id") >= 450), "doc_id", "text", idxPath)
+      val q = graft.streaming.DecontamIngest.start(
+        s, Tables.readTableStream(s, dir, "documents").filter(col("doc_id") < 450),
+        idxPath, "doc_id", "text", threshold = 0.9,
+        outPath = outPath, checkpoint = ckpt)
+      q.awaitTermination()
+      s.read.parquet(outPath)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+    qDecontamFuzzyRemoved.oracle)
+
   /** Threshold set-similarity self-join via prefix filtering
     * ([[graft.dedup.SetSimJoin]], PPJoin family): all pairs with token
     * Jaccard >= 0.9, found by joining only on each document's RARE
@@ -8371,6 +8537,10 @@ object SparkEntry {
     "q_embed_neardup_incremental" -> qEmbedNearDupIncremental,
     "q_embed_neardup_indexed" -> qEmbedNearDupIndexed,
     "q_embed_neardup_steady" -> qEmbedNearDupSteady,
+    "q_decontam_semantic" -> qDecontamSemantic,
+    "q_decontam_semantic_removed" -> qDecontamSemanticRemoved,
+    "q_decontam_semantic_indexed" -> qDecontamSemanticIndexed,
+    "q_decontam_semantic_steady" -> qDecontamSemanticSteady,
     "q_stream_embed_clusters" -> qStreamEmbedClusters,
     "q_stream_embed_clusters_steady" -> qStreamEmbedClustersSteady,
     "q_semantic_dedup" -> qSemanticDedup,
@@ -8516,10 +8686,12 @@ object SparkEntry {
     "q_gif_decode" -> qGifDecode,
     "q_jpeg_decode" -> qJpegDecode,
     "q_jpeg_progressive" -> qJpegProgressive,
+    "q_jpeg_12bit" -> qJpeg12bit,
     "q_phrase_search" -> qPhraseSearch,
     "q_bitext_mine" -> qBitextMine,
     "q_dup_span_ranges" -> qDupSpanRanges,
     "q_stream_neardup" -> qStreamNearDup,
+    "q_stream_decontam" -> qStreamDecontam,
     "q_stream_bm25_ingest" -> qStreamBm25Ingest,
     "q_dup_spans_removed" -> qDupSpansRemoved,
     "q_multi_phrase" -> qMultiPhrase,

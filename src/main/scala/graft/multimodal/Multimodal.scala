@@ -1006,9 +1006,11 @@ object Multimodal {
   // sequential DCT JPEG — marker walk (DQT/SOF0/DHT/DRI/SOS), canonical
   // Huffman decode with FF00 byte-stuffing and RSTn restarts, run/size
   // AC coefficients, dequantize + zigzag, float IDCT, 4:2:0/4:2:2
-  // chroma replication, JFIF YCbCr→RGB. Progressive (SOF2), arithmetic
-  // coding, 12-bit precision and >2× sampling factors return None and
-  // fall to the stub.
+  // chroma replication, JFIF YCbCr→RGB. Also decoded: progressive
+  // (SOF2, 8-bit) and 12-bit extended sequential (SOF1, incl. 16-bit
+  // DQT entries; samples canonicalized to the 8-bit planes by v >> 4).
+  // Arithmetic coding, progressive-12 and >2× sampling factors return
+  // None and fall to the stub (COVERAGE.md boundary rows).
 
   private val ZigZag: Array[Int] = Array(
     0,  1,  8, 16,  9,  2,  3, 10,
@@ -1110,9 +1112,17 @@ object Multimodal {
   /** Separable 8×8 IDCT (rows into `tmp`, then columns) + level shift,
     * clamped into `plane` at (px0, py0) — shared by the baseline
     * streaming decode and the progressive coefficient-buffer pass.
+    * `precision` 12 (extended sequential, SOF1) level-shifts by 2048,
+    * clamps to [0, 4095] and canonicalizes to the stored 8-bit plane by
+    * top-byte truncation (v >> 4) — the documented sample mapping for
+    * every downstream consumer (grids, hashes, RGB fold).
     */
   private def idctWrite(coef: Array[Int], tmp: Array[Double],
-                        plane: Array[Byte], planeW: Int, px0: Int, py0: Int): Unit = {
+                        plane: Array[Byte], planeW: Int, px0: Int, py0: Int,
+                        precision: Int = 8): Unit = {
+    val levelShift = 1 << (precision - 1)
+    val maxVal = (1 << precision) - 1
+    val down = precision - 8
     var y = 0
     while (y < 8) {
       var x = 0
@@ -1132,9 +1142,9 @@ object Multimodal {
         var s = 0.0
         var v = 0
         while (v < 8) { s += IdctBasis(v * 8 + yy) * tmp(v * 8 + x); v += 1 }
-        val vpix = math.round(s + 128.0).toInt
-        val clamped = if (vpix < 0) 0 else if (vpix > 255) 255 else vpix
-        plane((py0 + yy) * planeW + px0 + x) = clamped.toByte
+        val vpix = math.round(s + levelShift).toInt
+        val clamped = if (vpix < 0) 0 else if (vpix > maxVal) maxVal else vpix
+        plane((py0 + yy) * planeW + px0 + x) = (clamped >> down).toByte
         yy += 1
       }
       x += 1
@@ -1178,6 +1188,7 @@ object Multimodal {
     var off = 2
     var sosAt = -1
     var progressive = false
+    var precision = 8
     var scansDone = 0
     // progressive coefficient state, allocated at the first SOS
     var pCoefs: Array[Array[Int]] = null
@@ -1386,20 +1397,28 @@ object Multimodal {
       var nextOff = segEnd
       var p = off + 2
       marker match {
-        case 0xdb => // DQT
+        case 0xdb => // DQT (pq=1: 16-bit entries — the 12-bit form)
           while (p < segEnd) {
             val pq = (bytes(p) & 0xff) >> 4
             val tq = bytes(p) & 0x0f
-            if (pq != 0 || tq > 3 || p + 65 > segEnd) return None
+            if (pq > 1 || tq > 3 || p + 1 + 64 * (pq + 1) > segEnd) return None
             val t = new Array[Int](64)
             var i = 0
-            while (i < 64) { t(i) = bytes(p + 1 + i) & 0xff; i += 1 }
+            if (pq == 0) while (i < 64) { t(i) = bytes(p + 1 + i) & 0xff; i += 1 }
+            else while (i < 64) {
+              t(i) = ((bytes(p + 1 + 2 * i) & 0xff) << 8) | (bytes(p + 2 + 2 * i) & 0xff)
+              i += 1
+            }
             quant(tq) = t
-            p += 65
+            p += 1 + 64 * (pq + 1)
           }
-        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0 baseline / SOF1 extended / SOF2 progressive
           progressive = marker == 0xc2
-          if (bytes(p) != 8) return None
+          precision = bytes(p) & 0xff
+          // 12-bit samples only through the extended-sequential frame
+          // (SOF1); SOF0 is 8-bit by T.81, progressive-12 stays outside
+          // the envelope (COVERAGE.md boundary row)
+          if (precision != 8 && !(marker == 0xc1 && precision == 12)) return None
           h = ((bytes(p + 1) & 0xff) << 8) | (bytes(p + 2) & 0xff)
           w = ((bytes(p + 3) & 0xff) << 8) | (bytes(p + 4) & 0xff)
           val n = bytes(p + 5) & 0xff
@@ -1417,9 +1436,9 @@ object Multimodal {
                 comps(c)(2) < 1 || comps(c)(2) > 2 || comps(c)(3) > 3) return None
             c += 1
           }
-        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
              0xcd | 0xce | 0xcf =>
-          return None // unsupported SOF (extended, lossless, arithmetic, ...)
+          return None // unsupported SOF (lossless, arithmetic, hierarchical ...)
         case 0xc4 => // DHT
           while (p < segEnd) {
             val tc = (bytes(p) & 0xff) >> 4
@@ -1511,7 +1530,8 @@ object Multimodal {
             // --- decode one 8x8 block ---
             java.util.Arrays.fill(coef, 0)
             val t = dcT.decode(br)
-            if (t > 11) throw new JpegBad
+            // DC categories: ≤11 at 8-bit, ≤15 at 12-bit (T.81 F.1.2.1.2)
+            if (t > (if (precision == 12) 15 else 11)) throw new JpegBad
             pred(c) += extend(br.receive(t), t)
             coef(0) = pred(c) * q(0)
             var k = 1
@@ -1529,7 +1549,8 @@ object Multimodal {
             }
             // --- IDCT + level shift ---
             idctWrite(coef, tmp, planes(c), planeW(c),
-              (mx * comps(c)(1) + bx) * 8, (my * comps(c)(2) + by) * 8)
+              (mx * comps(c)(1) + bx) * 8, (my * comps(c)(2) + by) * 8,
+              precision)
             bx += 1
           }
           by += 1
@@ -1726,6 +1747,93 @@ object Multimodal {
         pred(c) = dc
         val s = category(diff)
         putBits(s, 4) // DC Huffman: category code == category (4-bit canonical)
+        if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        putBits(0, 1) // AC Huffman: EOB is the single 1-bit code 0
+      }
+    }
+    while (bits.length % 8 != 0) bits.append('1') // pad with 1s per spec
+    var i = 0
+    while (i < bits.length) {
+      var b = 0
+      var j = 0
+      while (j < 8) { b = (b << 1) | (bits.charAt(i + j) - '0'); j += 1 }
+      out.write(b)
+      if (b == 0xff) out.write(0x00) // byte stuffing
+      i += 8
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Fixture writer for 12-BIT extended-sequential JPEG (SOF1) with
+    * DC-only content following [[makeJpeg]]'s closed form at 16× the
+    * amplitude: block (bx, by) of component c holds the flat 12-bit
+    * value `16 · v(c,bx,by)` (same `v` law as [[makeJpeg]]), so after
+    * the decoder's documented `>> 4` canonicalization the pixel planes
+    * are BIT-IDENTICAL to the 8-bit twin of the same seed — the
+    * property MultimodalSpec pins. Exercises the whole 12-bit envelope:
+    * 16-bit DQT entries (pq=1), DC categories up to 15 (16-symbol DC
+    * table at 5 bits), level shift 2048.
+    */
+  def makeJpeg12(w: Int, h: Int, seed: Long, gray: Boolean = false,
+                 subsample: Boolean = false): Array[Byte] = {
+    val unit = if (subsample) 16 else 8
+    require(w > 0 && h > 0 && w <= 256 && h <= 256 && w % unit == 0 && h % unit == 0,
+      s"fixture dims $w x $h (must be multiples of $unit)")
+    require(!(gray && subsample), "subsampling applies to the color form")
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    out.write(0xff); out.write(0xd8) // SOI
+    // DQT: table 0, all ones, SIXTEEN-bit entries (pq=1)
+    out.write(0xff); out.write(0xdb); be16(2 + 1 + 128); out.write(0x10)
+    (0 until 64).foreach { _ => out.write(0); out.write(1) }
+    // SOF1 (extended sequential), precision 12
+    val nComp = if (gray) 1 else 3
+    out.write(0xff); out.write(0xc1); be16(8 + 3 * nComp)
+    out.write(12); be16(h); be16(w); out.write(nComp)
+    (0 until nComp).foreach { c =>
+      out.write(c + 1)
+      val samp = if (subsample && c == 0) 0x22 else 0x11
+      out.write(samp); out.write(0)
+    }
+    // DHT: DC table 0 — 16 symbols (categories 0..15) at 5 bits each
+    out.write(0xff); out.write(0xc4); be16(2 + 17 + 16); out.write(0x00)
+    (1 to 16).foreach(l => out.write(if (l == 5) 16 else 0))
+    (0 to 15).foreach(out.write)
+    // DHT: AC table 0 — single EOB symbol at 1 bit
+    out.write(0xff); out.write(0xc4); be16(2 + 17 + 1); out.write(0x10)
+    (1 to 16).foreach(l => out.write(if (l == 1) 1 else 0))
+    out.write(0x00)
+    // SOS
+    out.write(0xff); out.write(0xda); be16(6 + 2 * nComp); out.write(nComp)
+    (0 until nComp).foreach { c => out.write(c + 1); out.write(0x00) }
+    out.write(0); out.write(63); out.write(0)
+    // entropy data: per MCU, per component, per block — DC diff + EOB
+    val bits = new StringBuilder
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bits.append((v >> i) & 1); i -= 1 }
+    }
+    def category(d: Int): Int = {
+      var s = 0; var m = math.abs(d)
+      while (m > 0) { s += 1; m >>= 1 }
+      s
+    }
+    def blockVal(c: Int, bx: Int, by: Int): Int =
+      16 * (((seed + bx * 31L + by * 7L + c * 53L) % 200) + 28).toInt
+    val pred = new Array[Int](nComp)
+    val mcusX = w / unit
+    val mcusY = h / unit
+    for (my <- 0 until mcusY; mx <- 0 until mcusX; c <- 0 until nComp) {
+      val (bh, bv) = if (subsample && c == 0) (2, 2) else (1, 1)
+      for (by <- 0 until bv; bx <- 0 until bh) {
+        val (cbx, cby) =
+          if (subsample && c == 0) (mx * 2 + bx, my * 2 + by) else (mx, my)
+        val dc = 8 * (blockVal(c, cbx, cby) - 2048) // 12-bit level shift
+        val diff = dc - pred(c)
+        pred(c) = dc
+        val s = category(diff)
+        putBits(s, 5) // DC Huffman: category code == category (5-bit canonical)
         if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
         putBits(0, 1) // AC Huffman: EOB is the single 1-bit code 0
       }

@@ -323,6 +323,53 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.makeJpeg(16, 16, 5).take(40)) === None)
   }
 
+  test("12-bit SOF1 JPEG decodes bit-identical to its 8-bit twin; envelope pinned") {
+    // same seed, 16x amplitude, >>4 canonicalization -> identical planes
+    val base = Multimodal.imageAHash(Multimodal.makeJpeg(64, 64, 7, gray = true)).get
+    assert(Multimodal.imageAHash(Multimodal.makeJpeg12(64, 64, 7, gray = true)).get === base,
+      "12-bit gray twin must hash identically to the 8-bit baseline")
+    val c444 = Multimodal.imageAHash(Multimodal.makeJpeg(16, 16, 5)).get
+    assert(Multimodal.imageAHash(Multimodal.makeJpeg12(16, 16, 5)).get === c444)
+    val c420 = Multimodal.imageAHash(Multimodal.makeJpeg(32, 16, 11, subsample = true)).get
+    assert(Multimodal.imageAHash(Multimodal.makeJpeg12(32, 16, 11, subsample = true)).get === c420)
+
+    // the 12-bit fixture really exercises the wide envelope: 16-bit DQT
+    // (pq=1) and a DC category above the 8-bit cap of 11
+    val bytes12 = Multimodal.makeJpeg12(64, 64, 7, gray = true)
+    assert((bytes12(6) & 0xf0) === 0x10, "DQT must carry pq=1 (16-bit entries)")
+
+    // envelope rejects: SOF0 must be 8-bit — patching the baseline
+    // twin's precision byte to 12 must fail the decode
+    val sof0at12 = Multimodal.makeJpeg(16, 16, 5, gray = true).clone()
+    val sofIdx = {
+      // locate FFC0 and point at its precision byte
+      val b = sof0at12
+      val i = (0 until b.length - 1)
+        .find(i => (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc0).get
+      i + 4
+    }
+    assert((sof0at12(sofIdx) & 0xff) === 8)
+    sof0at12(sofIdx) = 12
+    assert(Multimodal.imageAHash(sof0at12) === None,
+      "12-bit through SOF0 is outside T.81 and must reject")
+
+    // ...and 12-bit through SOF1 with a nonsense precision rejects too
+    val badPrec = Multimodal.makeJpeg12(16, 16, 5, gray = true).clone()
+    val sof1Idx = {
+      val b = badPrec
+      val i = (0 until b.length - 1)
+        .find(i => (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc1).get
+      i + 4
+    }
+    assert((badPrec(sof1Idx) & 0xff) === 12)
+    badPrec(sof1Idx) = 10
+    assert(Multimodal.imageAHash(badPrec) === None,
+      "SOF1 precision other than 8/12 must reject")
+
+    // truncated 12-bit stream -> None, same as the 8-bit contract
+    assert(Multimodal.imageAHash(bytes12.take(48)) === None)
+  }
+
   test("imageAHashes/imageNearDups: exact copies at Hamming 0, non-images emit no rows") {
     import spark.implicits._
     val rows = Seq(
