@@ -7676,6 +7676,52 @@ object SparkEntry {
     },
     qDecontamFuzzyRemoved.oracle)
 
+  /** Streaming SEMANTIC decontamination at ingest ([[graft.streaming
+    * .DecontamIngest.startSemantic]]) — the (streaming × semantic) cell
+    * of the decontamination matrix: embedding micro-batches gated
+    * against the STORED benchmark embed index, clean vectors admitted
+    * exactly-once per batch_id. The oracle replays the indexed
+    * detector's LSH chain (planes → buckets → cap → bucket join) in
+    * remove form — the same-bucket recall contract stays explicit in
+    * the checked result, through the streaming engine + store round
+    * trip.
+    */
+  private val qStreamDecontamSemantic = Q(
+    (s, dir) => {
+      val tmp = scratchDir("graft_stream_semdecon")
+      val idxPath = tmp.resolve("idx").toString
+      val outPath = tmp.resolve("out").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val emb = t(s, dir, "embeddings")
+      graft.similarity.Ann.writeEmbedNearDupIndex(
+        emb.filter(col("vec_id") % 10 === 1), idxPath, nBits = 8)
+      val q = graft.streaming.DecontamIngest.startSemantic(
+        s, Tables.readTableStream(s, dir, "embeddings")
+          .filter(col("vec_id") % 10 =!= 1),
+        idxPath, tau = 0.3, outPath = outPath, checkpoint = ckpt)
+      q.awaitTermination()
+      s.read.parquet(outPath)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    }, {
+      val planes = graft.similarity.Ann.hyperplanes(8, 64, 42L)
+      Some(s"""WITH sb AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS v,
+                     ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket
+                     FROM embeddings WHERE vec_id % 10 = 1),
+              nb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+                     ${bucketSql("embedding::DOUBLE[]", planes)} AS bucket
+                     FROM embeddings WHERE vec_id % 10 <> 1),
+              kept AS (SELECT bucket FROM sb GROUP BY bucket HAVING COUNT(*) <= 1000),
+              bad AS (SELECT DISTINCT n.id
+                      FROM nb n
+                      JOIN (SELECT sb.* FROM sb JOIN kept USING (bucket)) s
+                        ON n.bucket = s.bucket AND n.id <> s.bid
+                      WHERE ROUND(list_cosine_similarity(n.v, s.v), 6) >= 0.3)
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id % 10 <> 1 AND vec_id NOT IN (SELECT id FROM bad)
+            ORDER BY vec_id""")
+    })
+
   /** Threshold set-similarity self-join via prefix filtering
     * ([[graft.dedup.SetSimJoin]], PPJoin family): all pairs with token
     * Jaccard >= 0.9, found by joining only on each document's RARE
@@ -8692,6 +8738,7 @@ object SparkEntry {
     "q_dup_span_ranges" -> qDupSpanRanges,
     "q_stream_neardup" -> qStreamNearDup,
     "q_stream_decontam" -> qStreamDecontam,
+    "q_stream_decontam_semantic" -> qStreamDecontamSemantic,
     "q_stream_bm25_ingest" -> qStreamBm25Ingest,
     "q_dup_spans_removed" -> qDupSpansRemoved,
     "q_multi_phrase" -> qMultiPhrase,

@@ -56,4 +56,38 @@ object DecontamIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The SEMANTIC twin — one embedding-vector micro-batch gated against
+    * the stored embed index of the benchmark ([[graft.similarity
+    * .SemanticDecontam.removeSemanticContaminatedAgainstIndex]]).
+    * Public so a retry can be simulated.
+    */
+  def writeSemanticBatch(batch: DataFrame, batchId: Long, indexPath: String,
+                         tau: Double, idCol: String, vecCol: String,
+                         outPath: String): Unit =
+    graft.ops.Segments.writer(
+        graft.similarity.SemanticDecontam.removeSemanticContaminatedAgainstIndex(
+          batch, indexPath, tau, idCol, vecCol),
+        "append", Some(batchId))
+      .partitionBy("batch_id").parquet(outPath)
+
+  /** Streaming SEMANTIC decontamination at ingest: the embedding feed's
+    * micro-batches are gated against the stored benchmark embed index —
+    * the filter-on-arrival form of the paraphrase-robust pass, closing
+    * the decontamination matrix's (streaming × semantic) cell. Same
+    * invariances as [[start]]: verdict = f(vector, index) so the
+    * admitted set is split-invariant, and each batch's rows land
+    * exactly-once in their own `batch_id` partition.
+    */
+  def startSemantic(spark: SparkSession, newVecs: DataFrame, indexPath: String,
+                    tau: Double, outPath: String, checkpoint: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): StreamingQuery =
+    newVecs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeSemanticBatch(batch, batchId, indexPath, tau, idCol, vecCol, outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

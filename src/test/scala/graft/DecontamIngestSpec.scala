@@ -64,4 +64,43 @@ class DecontamIngestSpec extends SparkTestBase {
     assert(afterErase === candidates.count(),
       "with the benchmark erased, the gate must admit every doc")
   }
+
+  test("semantic stream admit == batch indexed-remove form, split-invariant, exactly-once") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val candidates = emb.filter(col("vec_id") % 10 =!= 1)
+    val bench = emb.filter(col("vec_id") % 10 === 1)
+
+    val tmp = java.nio.file.Files.createTempDirectory("semdecon_ingest_spec")
+    val idx = tmp.resolve("idx").toString
+    graft.similarity.Ann.writeEmbedNearDupIndex(bench, idx, nBits = 8)
+
+    val want = graft.similarity.SemanticDecontam
+      .removeSemanticContaminatedAgainstIndex(candidates, idx, tau = 0.3)
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(want.nonEmpty && want.size < candidates.count(),
+      "fixture must both admit and reject")
+
+    val srcDir = tmp.resolve("src").toString
+    candidates.repartition(4).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = DecontamIngest.startSemantic(spark, stream, idx, tau = 0.3,
+      outPath = tmp.resolve("out").toString,
+      checkpoint = tmp.resolve("ckpt").toString)
+    q.awaitTermination()
+    val got = spark.read.parquet(tmp.resolve("out").toString)
+      .select("vec_id").orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(got === want,
+      "per-micro-batch semantic gate against the stored index must equal the batch run")
+
+    // retried micro-batch replaces its own partition
+    DecontamIngest.writeSemanticBatch(candidates.filter(col("vec_id") < 100), 0L,
+      idx, 0.3, "vec_id", "embedding", tmp.resolve("out2").toString)
+    val once = spark.read.parquet(tmp.resolve("out2").toString).count()
+    DecontamIngest.writeSemanticBatch(candidates.filter(col("vec_id") < 100), 0L,
+      idx, 0.3, "vec_id", "embedding", tmp.resolve("out2").toString)
+    assert(spark.read.parquet(tmp.resolve("out2").toString).count() === once,
+      "a retried batch must not double-admit")
+  }
 }
