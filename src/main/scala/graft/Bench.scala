@@ -259,7 +259,7 @@ object Bench {
          "q_logistic_sweep" => "text"
     case "q_nb_train" | "q_nb_score" | "q_nb_score_holdout" => "text"
     case "q_curation_disposition" | "q_curation_bloom" | "q_curation_funnel" => "text"
-    case "q_jsonl_roundtrip" => "etl"
+    case "q_jsonl_roundtrip" | "q_csv_roundtrip" | "q_orc_roundtrip" => "etl"
     case "q_merge_upsert" | "q_scd2_apply" | "q_agg_upsert" | "q_zorder" |
          "q_quality_audit" | "q_dataset_fingerprint" |
          "q_snapshot_diff" | "q_compaction_plan" |

@@ -5914,6 +5914,39 @@ object SparkEntry {
     Some("""SELECT doc_id, text, lang, source, n_chars
             FROM documents ORDER BY doc_id"""))
 
+  /** CSV interchange round-trip ([[graft.ops.Tables.writeCsv]] /
+    * readCsv): the corpus exported as RFC-4180-quoted gzip CSV — the
+    * tabular-sidecar interchange floor — re-imported with the writer's
+    * explicit schema and dialect, value-identical to the parquet
+    * original (same oracle trick as [[qJsonlRoundtrip]]: the oracle
+    * reads the parquet directly, so any quoting/typing loss fails the
+    * hash). Hostile content (embedded quotes/newlines/separators) is
+    * spec-pinned in SourcesSpec — the synthetic fixture has none.
+    */
+  private val qCsvRoundtrip = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val out = scratchDir("graft_csv").resolve("docs").toString
+      graft.ops.Tables.writeCsv(docs, out, compression = "gzip")
+      graft.ops.Tables.readCsv(s, out, docs.schema).orderBy("doc_id")
+    },
+    qJsonlRoundtrip.oracle)
+
+  /** ORC interchange round-trip ([[graft.ops.Tables.writeOrc]] /
+    * readOrc) — the Hive-ecosystem columnar handoff, same read-back-
+    * equals-table oracle.
+    */
+  private val qOrcRoundtrip = Q(
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val out = scratchDir("graft_orc").resolve("docs").toString
+      graft.ops.Tables.writeOrc(docs, out)
+      graft.ops.Tables.readOrc(s, out).orderBy("doc_id")
+    },
+    qJsonlRoundtrip.oracle)
+
   /** Pre-load data-quality gate ([[graft.ops.QualityAudit.audit]]):
     * per-column completeness + cardinality over orders in one agg pass.
     * `exact = true` here so DuckDB replays the distinct counts; the
@@ -8656,6 +8689,8 @@ object SparkEntry {
     "q_lm_score" -> qLmScore,
     "q_lm_kneser_ney" -> qLmKneserNey,
     "q_jsonl_roundtrip" -> qJsonlRoundtrip,
+    "q_csv_roundtrip" -> qCsvRoundtrip,
+    "q_orc_roundtrip" -> qOrcRoundtrip,
     "q_quality_audit" -> qQualityAudit,
     "q_epoch_order" -> qEpochOrder,
     "q_funnel" -> qFunnel,

@@ -49,9 +49,21 @@ object Tables {
 
   /** CSV source with header + explicit schema (schema inference is a full
     * extra scan — never acceptable at lake scale, so it is not offered).
+    * Reads the RFC-4180 dialect [[writeCsv]] emits (quote = escape = `"`,
+    * embedded quotes doubled) — which also parses plain unquoted CSV —
+    * with `multiLine` on so quoted embedded newlines reassemble. NOTE the
+    * scale contract: multiLine makes each file unsplittable (one task per
+    * file), so large CSV inputs must arrive as many files; for 100 TB
+    * corpus text use JSONL/parquet instead.
     */
-  def readCsv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(path)
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType,
+              header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(path)
 
   /** JSON-lines source with explicit schema (same inference rule). */
   def readJson(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
@@ -130,4 +142,31 @@ object Tables {
                 path: String,
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** CSV export with RFC-4180 quoting (quote = escape = `"` — embedded
+    * quotes double, fields with separators/newlines/quotes are wrapped)
+    * so corpus text survives the trip byte-for-byte. CSV is the
+    * interchange floor for tabular sidecars (metadata tables, label
+    * files, spreadsheet-born blocklists) — corpus TEXT itself should
+    * ride JSONL/parquet, but the reader below still round-trips it.
+    */
+  def writeCsv(df: org.apache.spark.sql.DataFrame, path: String,
+               header: Boolean = true, compression: String = "none"): Unit =
+    df.write.mode("overwrite")
+      .option("header", header.toString)
+      .option("quote", "\"").option("escape", "\"")
+      .option("compression", compression)
+      .csv(path)
+
+  /** ORC export/import — the other columnar interchange format Spark
+    * carries natively (Hive-ecosystem handoffs). Full predicate
+    * pushdown + column pruning on read, same as parquet; schema rides
+    * in the file, so the reader needs none.
+    */
+  def writeOrc(df: org.apache.spark.sql.DataFrame, path: String,
+               compression: String = "zlib"): Unit =
+    df.write.mode("overwrite").option("compression", compression).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

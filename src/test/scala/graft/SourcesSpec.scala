@@ -83,4 +83,47 @@ class SourcesSpec extends SparkTestBase {
       .filter(_.getName.endsWith(".json.gz"))
     assert(files.nonEmpty)
   }
+
+  test("CSV round-trip survives hostile content: quotes, newlines, separators, nulls") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq(
+      (1L, "plain words", "en"),
+      (2L, "comma, semicolon; pipe| done", "en"),
+      (3L, "embedded \"quotes\" and \"\"doubled\"\"", "en"),
+      (4L, "newline\ninside a\r\nquoted field", "en"),
+      (5L, "unicode é中文 ok", "und"),
+      (6L, null.asInstanceOf[String], "en")
+    ).toDF("id", "text", "lang")
+    Tables.writeCsv(df, s"$dir/out", compression = "gzip")
+    val back = Tables.readCsv(spark, s"$dir/out", df.schema)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      === df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq,
+      "RFC-4180 quoting must round-trip every value byte-for-byte")
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.endsWith(".csv.gz"))
+    assert(files.nonEmpty)
+  }
+
+  test("ORC round-trip is value- and schema-identical") {
+    import spark.implicits._
+    val dir = tmp()
+    val df = Seq(
+      (1L, "plain words", 3.5, Array(1.0f, 2.0f)),
+      (2L, "unicode é中文", -0.25, Array.empty[Float]),
+      (3L, null.asInstanceOf[String], 0.0, null.asInstanceOf[Array[Float]])
+    ).toDF("id", "text", "score", "vec")
+    Tables.writeOrc(df, s"$dir/out")
+    val back = Tables.readOrc(spark, s"$dir/out")
+    // .sql compares types ignoring containsNull (ORC reads arrays back
+    // nullable-element — Seq-derived writers stamp containsNull=false)
+    assert(back.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq
+      === df.schema.fields.map(f => (f.name, f.dataType.sql)).toSeq)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+    // pushdown reaches the ORC scan (the format carries min/max indexes)
+    val plan = back.filter(col("id") === 2L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,2)]"),
+      s"ORC scan must receive the pushed filter:\n$plan")
+  }
 }
