@@ -3880,6 +3880,59 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
             FROM hs ORDER BY doc_id"""))
 
+  /** DCT perceptual hash (pHash) through the driver gate
+    * ([[graft.multimodal.Multimodal.imagePHashes]] / [[graft.multimodal
+    * .Multimodal.pHash64]]): 64×64 grayscale DC-only JPEGs through the
+    * real entropy path. The whole spectral pipeline is integer — 32×32
+    * area cells (here exact: each 2×2 cell sits inside one flat 8×8
+    * block, so cell value = `((id + (gx div 4)·31 + (gy div 4)·7) mod
+    * 200) + 28`), 2-D DCT through the 1024 embedded quantized basis
+    * constants, 63 low-frequency coefficients, strict-> median
+    * threshold — so the oracle replays every bit from the closed form
+    * and the hash law itself (not just the decode) is externally
+    * checked.
+    */
+  private val qImagePHash = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 150)
+        .map(id => (id, graft.multimodal.Multimodal.makeJpeg(64, 64, id, gray = true)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imagePHashes(s, bins).orderBy("doc_id")
+    }, {
+      val basis = graft.multimodal.Multimodal.PHashBasis.mkString(", ")
+      Some(s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+              cells AS (SELECT i.doc_id, gx.x AS gx, gy.x AS gy,
+                               CAST(((i.doc_id + (gx.x // 4) * 31 + (gy.x // 4) * 7) % 200) + 28 AS BIGINT) AS cv
+                        FROM ids i
+                        JOIN generate_series(0, 31) gx(x) ON TRUE
+                        JOIN generate_series(0, 31) gy(x) ON TRUE),
+              basis AS (SELECT t.i // 32 AS u, t.i % 32 AS x,
+                               CAST(([$basis])[t.i + 1] AS BIGINT) AS b
+                        FROM generate_series(0, 1023) t(i)),
+              co AS (SELECT c.doc_id, bu.u AS u, bv.u AS v,
+                            SUM(c.cv * bu.b * bv.b) AS coef
+                     FROM cells c
+                     JOIN basis bu ON bu.x = c.gx AND bu.u < 8
+                     JOIN basis bv ON bv.x = c.gy AND bv.u < 8
+                     WHERE NOT (bu.u = 0 AND bv.u = 0)
+                     GROUP BY 1, 2, 3),
+              med AS (SELECT doc_id, coef AS m
+                      FROM (SELECT doc_id, coef,
+                                   row_number() OVER (PARTITION BY doc_id
+                                                      ORDER BY coef) AS rn
+                            FROM co)
+                      WHERE rn = 32),
+              bits AS (SELECT co.doc_id,
+                              SUM(CASE WHEN co.coef > med.m
+                                  THEN CAST(1 AS BIGINT) << (v * 8 + u - 1)
+                                  ELSE 0 END) AS phash
+                       FROM co JOIN med USING (doc_id)
+                       GROUP BY co.doc_id)
+            SELECT doc_id, phash FROM bits ORDER BY doc_id""")
+    })
+
   /** Perceptual image hashing over JPEG payloads ([[graft.multimodal
     * .Multimodal.imageAHashes]] through the REAL entropy path): 64×64
     * grayscale DC-only JPEGs — baseline (even ids) and PROGRESSIVE
@@ -8629,6 +8682,7 @@ object SparkEntry {
     "q_bmp_decode" -> qBmpDecode,
     "q_bmp_resize" -> qBmpResize,
     "q_image_ahash" -> qImageAHash,
+    "q_image_phash" -> qImagePHash,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_neardup" -> qImageNearDup,
     "q_audio_fingerprint" -> qAudioFingerprint,

@@ -2180,6 +2180,121 @@ object Multimodal {
     Some(hash)
   }
 
+  /** Integer-quantized orthonormal 32-point DCT-II basis for [[pHash64]]:
+    * `PHashBasis(u*32 + x) = round(2^14 · C(u) · cos((2x+1)·u·π/64))`,
+    * C(0) = √(1/32), C(u>0) = √(2/32). Quantizing the basis (instead of
+    * the transform) makes every downstream operation pure integer
+    * arithmetic, so the hash is bit-replayable by an external engine
+    * with the same 1024 constants — the [[aHash64]] exactness discipline
+    * applied to a spectral hash.
+    */
+  private[graft] val PHashBasis: Array[Long] = {
+    val t = new Array[Long](32 * 32)
+    var u = 0
+    while (u < 32) {
+      val cu = if (u == 0) math.sqrt(1.0 / 32) else math.sqrt(2.0 / 32)
+      var x = 0
+      while (x < 32) {
+        t(u * 32 + x) = math.round(16384.0 * cu * math.cos((2 * x + 1) * u * math.Pi / 64.0))
+        x += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** 64-bit DCT perceptual hash (pHash) of a grayscale grid — the
+    * robustness upgrade over [[aHash64]]: block means compare LOCAL
+    * structure, low-frequency DCT coefficients compare the image's
+    * global shape, so re-encoding noise, mild sharpening and small
+    * local edits move far fewer bits.
+    *
+    * Pipeline (all integer, deterministic): (1) area-downsample to a
+    * 32×32 cell grid (truncated-division bounds, cell value =
+    * `sum div count` — the aHash block convention); (2) 2-D DCT through
+    * the quantized [[PHashBasis]]; (3) keep the top-left 8×8
+    * coefficients minus the DC term (63 values — the low-frequency
+    * signature); (4) threshold at the MEDIAN (32nd-smallest of 63) with
+    * strict `>`, bit p = v·8+u−1. Bit 63 is never set, so the hash is
+    * non-negative. Scale-free: a gray grid and its 3× (RGB-sum) twin
+    * hash identically when cell sums divide exactly, and in general
+    * differ only through the `div` rounding (spec-pinned on exact
+    * twins). Images smaller than 32×32 → None.
+    */
+  private[graft] def pHash64(w: Int, h: Int, gray: Array[Int]): Option[Long] = {
+    if (w < 32 || h < 32) return None
+    // (1) 32×32 area means
+    val cells = new Array[Long](32 * 32)
+    var gy = 0
+    while (gy < 32) {
+      val r0 = gy * h / 32; val r1 = (gy + 1) * h / 32
+      var gx = 0
+      while (gx < 32) {
+        val c0 = gx * w / 32; val c1 = (gx + 1) * w / 32
+        var s = 0L
+        var r = r0
+        while (r < r1) {
+          var c = c0
+          while (c < c1) { s += gray(r * w + c); c += 1 }
+          r += 1
+        }
+        cells(gy * 32 + gx) = s / ((r1 - r0).toLong * (c1 - c0))
+        gx += 1
+      }
+      gy += 1
+    }
+    // (2)+(3) low-frequency coefficients: row pass over the 8 needed u's
+    // first (32×8), then the column pass (8×8) — 20k multiplies per image
+    val rowPass = new Array[Long](32 * 8) // (gy, u)
+    var ry = 0
+    while (ry < 32) {
+      var u = 0
+      while (u < 8) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += cells(ry * 32 + x) * PHashBasis(u * 32 + x); x += 1 }
+        rowPass(ry * 8 + u) = s
+        u += 1
+      }
+      ry += 1
+    }
+    val coefs = new Array[Long](63)
+    var k = 0
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        if (u != 0 || v != 0) {
+          var s = 0L
+          var y = 0
+          while (y < 32) { s += rowPass(y * 8 + u) * PHashBasis(v * 32 + y); y += 1 }
+          coefs(k) = s
+          k += 1
+        }
+        u += 1
+      }
+      v += 1
+    }
+    // (4) strict-> median threshold
+    val sorted = coefs.clone(); java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var hash = 0L
+    k = 0
+    v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        if (u != 0 || v != 0) {
+          if (coefs(k) > med) hash |= 1L << (v * 8 + u - 1)
+          k += 1
+        }
+        u += 1
+      }
+      v += 1
+    }
+    Some(hash)
+  }
+
   /** PNG grayscale grid through the real decode path ([[pngDecode]]):
     * gray = sum of the COLOR channel bytes (alpha excluded — opacity is
     * not luminance; palette images look their RGB up; 16-bit samples
@@ -2316,6 +2431,32 @@ object Multimodal {
         imageAHash(bytes).map(h => (id, h))
       })
       .toDF(idCol, "ahash")
+  }
+
+  /** DCT perceptual hash of one payload — same format dispatch and
+    * decode paths as [[imageAHash]], spectral signature per [[pHash64]].
+    * Use when near-dup must survive re-encoding noise and small local
+    * edits; aHash remains the cheaper block-structure key.
+    */
+  def imagePHash(bytes: Array[Byte]): Option[Long] =
+    bmpGrayGrid(bytes).orElse(pngGrayGrid(bytes)).orElse(gifGrayGrid(bytes))
+      .orElse(jpegGrayGrid(bytes))
+      .flatMap { case (w, h, g) => pHash64(w, h, g) }
+
+  /** (doc_id, phash) over a binary column — the [[imageAHashes]] shape;
+    * near-dup pairs: [[imageNearDups]] with `hashCol = "phash"` (the
+    * blocked Hamming join is hash-agnostic).
+    */
+  def imagePHashes(spark: SparkSession, df: DataFrame,
+                   idCol: String = "doc_id",
+                   payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        imagePHash(bytes).map(h => (id, h))
+      })
+      .toDF(idCol, "phash")
   }
 
   /** Near-duplicate image pairs within `maxHamming` bits: delegates to

@@ -370,6 +370,55 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.imageAHash(bytes12.take(48)) === None)
   }
 
+  test("pHash: integer DCT law, format/scale invariance, local-edit robustness") {
+    // independent replay of the documented law on one fixture: cells ->
+    // quantized-basis DCT -> 63 low-freq coefs -> strict-> median bits
+    def cellV(id: Long, gx: Int, gy: Int): Long =
+      ((id + (gx / 4) * 31L + (gy / 4) * 7L) % 200) + 28
+    val id = 7L
+    val b = Multimodal.PHashBasis
+    val coefs = (for (v <- 0 until 8; u <- 0 until 8 if u != 0 || v != 0) yield {
+      var s = BigInt(0)
+      for (gy <- 0 until 32; gx <- 0 until 32)
+        s += BigInt(cellV(id, gx, gy)) * b(u * 32 + gx) * b(v * 32 + gy)
+      (u, v, s)
+    }).toSeq
+    val med = coefs.map(_._3).sorted.apply(31)
+    var expected = 0L
+    coefs.foreach { case (u, v, c) => if (c > med) expected |= 1L << (v * 8 + u - 1) }
+    val got = Multimodal.imagePHash(Multimodal.makeJpeg(64, 64, id, gray = true)).get
+    assert(got === expected, f"pHash=$got%016x expected=$expected%016x")
+    assert(got >= 0, "bit 63 is never set")
+
+    // format invariance: the BMP twin of the same pixels (3v channels —
+    // cell sums divide exactly) and the 12-bit JPEG twin hash identically
+    def v(seed: Long, bj: Int, bi: Int): Int =
+      (((seed + bj * 31L + bi * 7L) % 200) + 28).toInt
+    val stride = 3 * 64
+    val bmp = Multimodal.makeBmp(64, 64, 0)
+    for (display <- 0 until 64; x <- 0 until 64; c <- 0 until 3)
+      bmp(54 + (63 - display) * stride + 3 * x + c) = v(id, x / 8, display / 8).toByte
+    assert(Multimodal.imagePHash(bmp).get === got,
+      "BMP twin (3x scale) must pHash identically")
+    assert(Multimodal.imagePHash(Multimodal.makeJpeg12(64, 64, id, gray = true)).get === got)
+    assert(Multimodal.imagePHash(
+      Multimodal.makeJpegProgressive(64, 64, id, gray = true)).get === got)
+
+    // a one-block edit moves few spectral bits (robustness vs exactness)
+    val edited = Multimodal.makeBmp(64, 64, 0)
+    for (display <- 0 until 64; x <- 0 until 64; c <- 0 until 3)
+      edited(54 + (63 - display) * stride + 3 * x + c) =
+        (if (display < 8 && x < 8) 255 else v(id, x / 8, display / 8)).toByte
+    val ph = Multimodal.imagePHash(edited).get
+    val hamming = java.lang.Long.bitCount(got ^ ph)
+    assert(hamming <= 16, s"one-block edit moved $hamming pHash bits")
+    assert(hamming > 0, "the edit must be visible")
+
+    // sub-32px images have no spectral hash
+    assert(Multimodal.imagePHash(Multimodal.makeBmp(16, 16, 3)) === None)
+    assert(Multimodal.imagePHash("not an image".getBytes("UTF-8")) === None)
+  }
+
   test("imageAHashes/imageNearDups: exact copies at Hamming 0, non-images emit no rows") {
     import spark.implicits._
     val rows = Seq(
