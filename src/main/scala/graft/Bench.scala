@@ -269,7 +269,7 @@ object Bench {
     case "q_multimodal_meta" | "q_frame_sample" | "q_bmp_decode" |
          "q_wav_decode" | "q_wav_frames" | "q_bmp_resize" |
          "q_image_ahash" | "q_image_ahash_jpeg" | "q_image_phash" |
-         "q_image_neardup" |
+         "q_image_neardup" | "q_video_hashes" | "q_video_neardup" |
          "q_audio_fingerprint" | "q_audio_fingerprint_flac" |
          "q_png_decode" | "q_png_alpha" | "q_png_16bit" | "q_png_interlaced" |
          "q_gif_decode" | "q_jpeg_decode" | "q_jpeg_progressive" |

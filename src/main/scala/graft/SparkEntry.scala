@@ -3933,6 +3933,105 @@ object SparkEntry {
             SELECT doc_id, phash FROM bits ORDER BY doc_id""")
     })
 
+  /** Decoded-VIDEO frame hashing ([[graft.multimodal.Multimodal
+    * .videoFrameHashes]] over [[graft.multimodal.Multimodal
+    * .makeGifAnimated]] fixtures): animated GIFs — a real container
+    * with per-frame LZW streams, GCE state and canvas compositing —
+    * decoded frame by frame, one aHash per COMPOSITED frame. Clip
+    * doc_id < 200 carries 2 + id mod 3 full-canvas frames of
+    * closed-form pixels, so the oracle reconstructs EVERY hash bit of
+    * EVERY frame at pixel granularity (the q_image_ahash replay with a
+    * frame dimension).
+    */
+  private val qVideoHashes = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 200)
+        .map(id => (id, graft.multimodal.Multimodal.makeGifAnimated(
+          16, 16, id, 2 + (id % 3).toInt)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.videoFrameHashes(s, bins)
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+            fr AS (SELECT doc_id, f.f AS f FROM ids
+                   JOIN generate_series(0, 3) f(f) ON f.f < 2 + doc_id % 3),
+            g AS (SELECT doc_id, f, r.r AS r, x.x AS x,
+                         (doc_id + 3*((doc_id + f*17 + r.r*31 + x.x*7) % 256)) % 256
+                       + (doc_id + 5*((doc_id + f*17 + r.r*31 + x.x*7) % 256)) % 256
+                       + (doc_id + 7*((doc_id + f*17 + r.r*31 + x.x*7) % 256)) % 256 AS gray
+                  FROM fr
+                  JOIN generate_series(0, 15) r(r) ON TRUE
+                  JOIN generate_series(0, 15) x(x) ON TRUE),
+            tot AS (SELECT doc_id, f, SUM(gray) AS total FROM g GROUP BY 1, 2),
+            blk AS (SELECT doc_id, f, r // 2 AS bi, x // 2 AS bj, SUM(gray) AS bsum
+                    FROM g GROUP BY 1, 2, 3, 4),
+            bits AS (SELECT b.doc_id, b.f, bi, bj,
+                            CASE WHEN b.bsum * 256 >= t.total * 4 THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id, f)),
+            hs AS (SELECT doc_id, f,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY 1, 2)
+            SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS fhash
+            FROM hs ORDER BY doc_id, frame_idx"""))
+
+  /** Clip-level near-dup ([[graft.multimodal.Multimodal
+    * .videoNearDups]]): doc_id < 100 clips built with seed = id mod 50,
+    * so clip i and i+50 are exact duplicates (3 frames each at Hamming
+    * 0); the blocked frame-level Hamming join folds to (id_a, id_b,
+    * n_pairs ≥ 2). The oracle replays frame hashes from the closed form
+    * and the FULL cross-pair Hamming rule (bit_count over the 64-bit
+    * xor) — accidental near-matches between different seeds count on
+    * both sides, so the check is the rule, not just the plant.
+    */
+  private val qVideoNearDup = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 100)
+        .map(id => (id, graft.multimodal.Multimodal.makeGifAnimated(
+          16, 16, id % 50, 3)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.videoNearDups(
+          graft.multimodal.Multimodal.videoFrameHashes(s, bins),
+          maxHamming = 2, minPairs = 2)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+            fr AS (SELECT doc_id, doc_id % 50 AS seed, f.f AS f FROM ids
+                   JOIN generate_series(0, 2) f(f) ON TRUE),
+            g AS (SELECT doc_id, f, r.r AS r, x.x AS x,
+                         (seed + 3*((seed + f*17 + r.r*31 + x.x*7) % 256)) % 256
+                       + (seed + 5*((seed + f*17 + r.r*31 + x.x*7) % 256)) % 256
+                       + (seed + 7*((seed + f*17 + r.r*31 + x.x*7) % 256)) % 256 AS gray
+                  FROM fr
+                  JOIN generate_series(0, 15) r(r) ON TRUE
+                  JOIN generate_series(0, 15) x(x) ON TRUE),
+            tot AS (SELECT doc_id, f, SUM(gray) AS total FROM g GROUP BY 1, 2),
+            blk AS (SELECT doc_id, f, r // 2 AS bi, x // 2 AS bj, SUM(gray) AS bsum
+                    FROM g GROUP BY 1, 2, 3, 4),
+            bits AS (SELECT b.doc_id, b.f, bi, bj,
+                            CASE WHEN b.bsum * 256 >= t.total * 4 THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id, f)),
+            hs AS (SELECT doc_id, f,
+                          CAST(SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS UBIGINT) AS u
+                   FROM bits GROUP BY 1, 2),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM hs a JOIN hs b
+                    ON a.doc_id < b.doc_id
+                   AND bit_count(xor(a.u, b.u)) <= 2),
+            agg AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                    FROM p GROUP BY 1, 2)
+            SELECT id_a, id_b, n_pairs FROM agg
+            WHERE n_pairs >= 2 ORDER BY id_a, id_b"""))
+
   /** Perceptual image hashing over JPEG payloads ([[graft.multimodal
     * .Multimodal.imageAHashes]] through the REAL entropy path): 64×64
     * grayscale DC-only JPEGs — baseline (even ids) and PROGRESSIVE
@@ -8683,6 +8782,8 @@ object SparkEntry {
     "q_bmp_resize" -> qBmpResize,
     "q_image_ahash" -> qImageAHash,
     "q_image_phash" -> qImagePHash,
+    "q_video_hashes" -> qVideoHashes,
+    "q_video_neardup" -> qVideoNearDup,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_neardup" -> qImageNearDup,
     "q_audio_fingerprint" -> qAudioFingerprint,

@@ -890,6 +890,147 @@ object Multimodal {
   /** Parse + decode a GIF and fold features (decode half in
     * [[gifDecode]]).
     */
+  /** ALL frames of a (possibly animated) GIF as display-ready grayscale
+    * canvases — the decoded-VIDEO path of the multimodal family (an
+    * animated GIF is a real container with per-frame palettes, region
+    * updates, transparency and disposal; the decode below implements
+    * the full GIF89a compositing model, not a frame-extraction stub).
+    *
+    * Returns (canvasW, canvasH, one gray canvas per image descriptor),
+    * gray = R+G+B per pixel (the [[aHash64]] grid convention). Frame f
+    * is the canvas AS DISPLAYED after drawing image f:
+    *  - each image draws at its (left, top) region with its own LCT
+    *    when present, GCT otherwise;
+    *  - a GCE transparency index leaves the underlying canvas pixel;
+    *  - disposal 0/1 keep the composited result for the next frame,
+    *    disposal 2 restores the frame's REGION to the background color
+    *    (the screen descriptor's index; transparent background → 0),
+    *    disposal 3 restores the canvas to its pre-frame state;
+    *  - the initial canvas is the background color everywhere.
+    * None outside the envelope (bad magic, corrupt LZW, missing
+    * palette, out-of-range indices/regions — same strictness as the
+    * single-frame decode).
+    */
+  private[graft] def gifFrameGrids(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+    if (bytes.length < 14) return None
+    val magic = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val cw = le16(bytes, 6)
+    val ch = le16(bytes, 8)
+    if (cw <= 0 || ch <= 0 || cw > (1 << 14) || ch > (1 << 14) ||
+        cw.toLong * ch > (64 << 20)) return None
+    val packed = bytes(10) & 0xff
+    val hasGct = (packed & 0x80) != 0
+    val gctLen = if (hasGct) 3 * (1 << ((packed & 7) + 1)) else 0
+    val bgIndex = bytes(11) & 0xff
+    var off = 13
+    if (off + gctLen > bytes.length) return None
+    val gctOff = off
+    off += gctLen
+    def grayAt(palOff: Int, pi: Int): Int =
+      (bytes(palOff + 3 * pi) & 0xff) + (bytes(palOff + 3 * pi + 1) & 0xff) +
+        (bytes(palOff + 3 * pi + 2) & 0xff)
+    val bgGray =
+      if (hasGct && bgIndex < gctLen / 3) grayAt(gctOff, bgIndex) else 0
+    val canvas = Array.fill(cw * ch)(bgGray)
+    val frames = Seq.newBuilder[Array[Int]]
+    var nFrames = 0
+    // GCE state for the NEXT image descriptor
+    var disposal = 0
+    var transIndex = -1
+    while (off < bytes.length && (bytes(off) & 0xff) != 0x3b) {
+      (bytes(off) & 0xff) match {
+        case 0x21 => // extension
+          if (off + 1 >= bytes.length) return None
+          val label = bytes(off + 1) & 0xff
+          if (label == 0xf9 && off + 6 < bytes.length && (bytes(off + 2) & 0xff) >= 4) {
+            val gpacked = bytes(off + 3) & 0xff
+            disposal = (gpacked >> 2) & 7
+            transIndex = if ((gpacked & 1) != 0) bytes(off + 6) & 0xff else -1
+          }
+          off += 2
+          var done = false
+          while (!done) {
+            if (off >= bytes.length) return None
+            val len = bytes(off) & 0xff
+            off += 1 + len
+            done = len == 0
+          }
+        case 0x2c => // image descriptor
+          if (off + 10 > bytes.length) return None
+          val left = le16(bytes, off + 1)
+          val top = le16(bytes, off + 3)
+          val fw = le16(bytes, off + 5)
+          val fh = le16(bytes, off + 7)
+          val ipacked = bytes(off + 9) & 0xff
+          off += 10
+          if (fw <= 0 || fh <= 0 || left + fw > cw || top + fh > ch) return None
+          val interlaced = (ipacked & 0x40) != 0
+          val hasLct = (ipacked & 0x80) != 0
+          val lctLen = if (hasLct) 3 * (1 << ((ipacked & 7) + 1)) else 0
+          if (off + lctLen > bytes.length) return None
+          val palOff = if (hasLct) off else gctOff
+          val palEntries = if (hasLct) lctLen / 3 else gctLen / 3
+          if (palEntries == 0) return None
+          off += lctLen
+          if (off >= bytes.length) return None
+          val minCodeSize = bytes(off) & 0xff
+          off += 1
+          val dataBuf = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (off >= bytes.length) return None
+            val len = bytes(off) & 0xff
+            if (len == 0) done = true
+            else {
+              if (off + 1 + len > bytes.length) return None
+              dataBuf.write(bytes, off + 1, len)
+            }
+            off += 1 + len
+          }
+          val stored = lzwDecode(dataBuf.toByteArray, minCodeSize, fw * fh) match {
+            case Some(a) => a
+            case None => return None
+          }
+          val idx = if (interlaced) deinterlaceRows(stored, fw, fh) else stored
+          val before = if (disposal == 3) canvas.clone() else null
+          var y = 0
+          while (y < fh) {
+            var x = 0
+            while (x < fw) {
+              val pi = idx(y * fw + x) & 0xff
+              if (pi >= palEntries) return None
+              if (pi != transIndex)
+                canvas((top + y) * cw + left + x) = grayAt(palOff, pi)
+              x += 1
+            }
+            y += 1
+          }
+          frames += canvas.clone()
+          nFrames += 1
+          if (nFrames > 4096) return None // runaway-container backstop
+          disposal match {
+            case 2 =>
+              var yy = 0
+              while (yy < fh) {
+                var xx = 0
+                while (xx < fw) {
+                  canvas((top + yy) * cw + left + xx) = bgGray
+                  xx += 1
+                }
+                yy += 1
+              }
+            case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+            case _ => ()
+          }
+          disposal = 0; transIndex = -1 // GCE applies to ONE image
+        case _ => return None // unknown top-level block: corrupt
+      }
+    }
+    val out = frames.result()
+    if (out.isEmpty) None else Some((cw, ch, out))
+  }
+
   def parseGif(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
     val (w, h, idx, palOff, palEntries) = gifDecode(bytes) match {
       case Some(t) => t
@@ -998,6 +1139,59 @@ object Multimodal {
     }
     out.write(0) // block terminator
     out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Fixture writer for ANIMATED GIF: `frames` full-canvas image
+    * descriptors over [[makeGif]]'s closed-form global palette
+    * (entry i → `(seed+3i)%256, (seed+5i)%256, (seed+7i)%256`), frame f
+    * pixel indices `(seed + f*17 + y*31 + x*7) % 256`, each preceded by
+    * a GCE with disposal `1` (keep) and no transparency, every stream
+    * through the REAL LZW encoder. Full-canvas frames make every
+    * composited frame equal its own image — so per-frame statistics and
+    * hashes are closed-form — while the decode still walks the whole
+    * animation machinery (GCE state, per-frame LZW, compositing).
+    */
+  def makeGifAnimated(w: Int, h: Int, seed: Long, frames: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 256 && h <= 256 && frames >= 1 && frames <= 64,
+      s"fixture dims $w x $h x $frames")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def le16out(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16out(w); le16out(h)
+    out.write(0xf7); out.write(0); out.write(0) // GCT 256, bg 0, aspect
+    var i = 0
+    while (i < 256) {
+      out.write(((seed + 3L * i) % 256).toInt)
+      out.write(((seed + 5L * i) % 256).toInt)
+      out.write(((seed + 7L * i) % 256).toInt)
+      i += 1
+    }
+    var f = 0
+    while (f < frames) {
+      // GCE: disposal 1 (keep), no transparency, delay 4/100 s
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0x04); le16out(4); out.write(0); out.write(0)
+      out.write(0x2c) // image descriptor, full canvas
+      le16out(0); le16out(0); le16out(w); le16out(h)
+      out.write(0) // GCT, sequential
+      val idx = Array.tabulate(w * h) { p =>
+        val y = p / w; val x = p % w
+        ((seed + f * 17L + y * 31L + x * 7L) % 256).toByte
+      }
+      val lzw = lzwEncode(idx, 8)
+      out.write(8)
+      var src = 0
+      while (src < lzw.length) {
+        val len = math.min(255, lzw.length - src)
+        out.write(len)
+        out.write(lzw, src, len)
+        src += len
+      }
+      out.write(0)
+      f += 1
+    }
+    out.write(0x3b)
     out.toByteArray
   }
 
@@ -2469,6 +2663,60 @@ object Multimodal {
                     hashCol: String = "ahash"): DataFrame =
     graft.dedup.NearDup.simHashNearDups(
       hashes.select(col(idCol).as("id"), col(hashCol).as("simhash")), maxHamming)
+
+  /** (doc_id, frame_idx, fhash) over a binary column of (possibly
+    * animated) GIFs — one [[aHash64]] per COMPOSITED frame through
+    * [[gifFrameGrids]]. The decoded-video member of the multimodal
+    * hashing family: a clip is its frame-hash sequence, so clip-level
+    * near-dup reduces to frame-level Hamming joins ([[videoNearDups]]).
+    * Non-GIF / non-decodable payloads and sub-8×8 canvases emit NO
+    * rows; a single-frame GIF emits exactly its image hash (frame 0).
+    */
+  def videoFrameHashes(spark: SparkSession, df: DataFrame,
+                       idCol: String = "doc_id",
+                       payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        gifFrameGrids(bytes).toSeq.flatMap { case (w, h, frames) =>
+          frames.zipWithIndex.flatMap { case (g, fi) =>
+            aHash64(w, h, g).map(hh => (id, fi.toLong, hh))
+          }
+        }
+      })
+      .toDF(idCol, "frame_idx", "fhash")
+  }
+
+  /** Near-duplicate VIDEO pairs: two clips match when at least
+    * `minPairs` of their cross-clip frame-hash pairs sit within
+    * `maxHamming` bits (n_pairs counts matched frame PAIRS — a shared
+    * still that both clips hold for many frames counts once per
+    * combination, deliberately weighting dwelled-on content). Frames
+    * ride the same pigeonhole-blocked Hamming join as every other
+    * 64-bit hash (composite id = doc_id·2²⁰ + frame_idx — frame counts
+    * are capped at 4096 by the decoder, far under the 2²⁰ slot; clip
+    * ids must fit 2⁴³), so the clip join is |matched frame pairs| work,
+    * never clips². Output: (id_a, id_b, n_pairs) with id_a < id_b.
+    */
+  def videoNearDups(frameHashes: DataFrame, maxHamming: Int = 3,
+                    minPairs: Int = 2,
+                    idCol: String = "doc_id"): DataFrame = {
+    val pairs = graft.dedup.NearDup.simHashNearDups(
+      frameHashes.select(
+        (col(idCol) * lit(1L << 20) + col("frame_idx")).as("id"),
+        col("fhash").as("simhash")),
+      maxHamming)
+    pairs
+      // exact integer decode of the composite (shiftright, not double
+      // division — clip ids stay exact up to 2^43)
+      .select(shiftright(col("id_a"), 20).as("vid_a"),
+        shiftright(col("id_b"), 20).as("vid_b"))
+      .filter(col("vid_a") =!= col("vid_b"))
+      .groupBy(col("vid_a").as("id_a"), col("vid_b").as("id_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= minPairs)
+  }
 
   // ---- perceptual audio fingerprinting ---------------------------------
   // The audio member of the multimodal-dedup triple (text MinHash, image

@@ -419,6 +419,113 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.imagePHash("not an image".getBytes("UTF-8")) === None)
   }
 
+  test("gifFrameGrids: animated fixture frames match the closed form; single-frame = image path") {
+    val (w, h, frames) = Multimodal.gifFrameGrids(
+      Multimodal.makeGifAnimated(16, 16, 9, frames = 4)).get
+    assert((w, h, frames.length) === (16, 16, 4))
+    for (f <- 0 until 4; y <- 0 until 16; x <- 0 until 16) {
+      val pi = (9 + f * 17 + y * 31 + x * 7) % 256
+      val expect = (9 + 3 * pi) % 256 + (9 + 5 * pi) % 256 + (9 + 7 * pi) % 256
+      assert(frames(f)(y * 16 + x) === expect, s"frame $f pixel ($x,$y)")
+    }
+    // a plain single-frame GIF is a 1-frame video whose hash IS the image hash
+    val single = Multimodal.makeGif(16, 16, 7)
+    val (_, _, one) = Multimodal.gifFrameGrids(single).get
+    assert(one.length === 1)
+    assert(Multimodal.imageAHash(single).get ===
+      Multimodal.aHash64(16, 16, one.head).get)
+    // garbage / truncated → None
+    assert(Multimodal.gifFrameGrids("GIF89a junk".getBytes("UTF-8")) === None)
+    assert(Multimodal.gifFrameGrids(single.take(30)) === None)
+  }
+
+  test("gifFrameGrids: compositing model — subregion, transparency, disposal 2 and 3") {
+    // hand-built 4x4 canvas, 4-entry GCT: entry 0 black(0), 1 = (10,0,0)
+    // -> gray 10, 2 = (20,0,0) -> 20, 3 = (30,0,0) -> 30; bg index 0
+    def gif(frames: Seq[(Int, Int, Int, Int, Array[Byte], Int, Int)]): Array[Byte] = {
+      // (left, top, fw, fh, indices, disposal, transIndex or -1)
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+      le16(4); le16(4)
+      out.write(0xf1) // GCT present, 4 entries (2 bits)
+      out.write(0); out.write(0)
+      Seq(0, 10, 20, 30).foreach { g => out.write(g); out.write(0); out.write(0) }
+      frames.foreach { case (left, top, fw, fh, idx, disposal, trans) =>
+        out.write(0x21); out.write(0xf9); out.write(4)
+        out.write((disposal << 2) | (if (trans >= 0) 1 else 0))
+        le16(0); out.write(if (trans >= 0) trans else 0); out.write(0)
+        out.write(0x2c); le16(left); le16(top); le16(fw); le16(fh); out.write(0)
+        val lzw = Multimodal.lzwEncode(idx, 2)
+        out.write(2)
+        var s = 0
+        while (s < lzw.length) {
+          val len = math.min(255, lzw.length - s)
+          out.write(len); out.write(lzw, s, len); s += len
+        }
+        out.write(0)
+      }
+      out.write(0x3b)
+      out.toByteArray
+    }
+    val full1 = Array.fill[Byte](16)(1) // full canvas of entry 1 (gray 10)
+    // frame 2: 2x2 patch of entry 2 at (1,1) with entry-3 pixels TRANSPARENT
+    val patch = Array[Byte](2, 3, 3, 2)
+
+    // disposal 1 (keep): frame 2 composites onto frame 1's result
+    val (_, _, k) = Multimodal.gifFrameGrids(gif(Seq(
+      (0, 0, 4, 4, full1, 1, -1), (1, 1, 2, 2, patch, 1, 3)))).get
+    assert(k.length === 2)
+    assert(k(0).forall(_ === 10))
+    val f2 = k(1)
+    assert(f2(1 * 4 + 1) === 20 && f2(2 * 4 + 2) === 20, "opaque patch pixels drawn")
+    assert(f2(1 * 4 + 2) === 10 && f2(2 * 4 + 1) === 10,
+      "transparent patch pixels keep the prior canvas")
+    assert(f2(0) === 10 && f2(15) === 10, "outside the region untouched")
+
+    // disposal 2 (restore background): frame 1's region clears to bg
+    // before frame 3; frame 2's subregion survives where not redrawn
+    val (_, _, d2) = Multimodal.gifFrameGrids(gif(Seq(
+      (0, 0, 2, 2, Array[Byte](1, 1, 1, 1), 2, -1),
+      (0, 0, 4, 4, full1, 1, -1)))).get
+    assert(d2(0).take(2).forall(_ === 10), "frame 1 shows its own pixels")
+    assert(d2(1).forall(_ === 10), "after bg-restore the full redraw covers all")
+    val (_, _, d2b) = Multimodal.gifFrameGrids(gif(Seq(
+      (0, 0, 2, 2, Array[Byte](1, 1, 1, 1), 2, -1),
+      (3, 3, 1, 1, Array[Byte](2), 1, -1)))).get
+    assert(d2b(1)(0) === 0, "disposal-2 region restored to background (gray 0)")
+    assert(d2b(1)(3 * 4 + 3) === 20, "second frame's own pixel drawn")
+
+    // disposal 3 (restore previous): frame 2's effect vanishes in frame 3
+    val (_, _, d3) = Multimodal.gifFrameGrids(gif(Seq(
+      (0, 0, 4, 4, full1, 1, -1),
+      (1, 1, 2, 2, Array[Byte](2, 2, 2, 2), 3, -1),
+      (0, 0, 1, 1, Array[Byte](3), 1, -1)))).get
+    assert(d3(1)(1 * 4 + 1) === 20, "frame 2 shows the patch")
+    assert(d3(2)(1 * 4 + 1) === 10, "disposal-3 rolled the patch back")
+    assert(d3(2)(0) === 30, "frame 3's own pixel drawn")
+
+    // out-of-canvas region → None (strict envelope)
+    assert(Multimodal.gifFrameGrids(gif(Seq((3, 3, 2, 2, patch, 1, -1)))) === None)
+  }
+
+  test("videoFrameHashes + videoNearDups: planted duplicate clips pair at Hamming 0") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Multimodal.makeGifAnimated(16, 16, 5, 3)),
+      (1L, Multimodal.makeGifAnimated(16, 16, 5, 3)),   // exact dup of 0
+      (2L, Multimodal.makeGifAnimated(16, 16, 123, 3)), // unrelated
+      (3L, "not a gif".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val fh = Multimodal.videoFrameHashes(spark, rows).cache()
+    assert(fh.filter(col("doc_id") === 3L).count() === 0, "non-video emits no rows")
+    assert(fh.filter(col("doc_id") === 0L).count() === 3)
+    val pairs = Multimodal.videoNearDups(fh, maxHamming = 0, minPairs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((0L, 1L, 3L)),
+      "exact-dup clips must pair on all three frames, unrelated clips must not")
+  }
+
   test("imageAHashes/imageNearDups: exact copies at Hamming 0, non-images emit no rows") {
     import spark.implicits._
     val rows = Seq(
