@@ -271,6 +271,7 @@ object Bench {
          "q_image_ahash" | "q_image_ahash_jpeg" | "q_image_phash" |
          "q_image_neardup" | "q_video_hashes" | "q_video_neardup" |
          "q_audio_fingerprint" | "q_audio_fingerprint_flac" |
+         "q_audio_spectral" |
          "q_png_decode" | "q_png_alpha" | "q_png_16bit" | "q_png_interlaced" |
          "q_gif_decode" | "q_jpeg_decode" | "q_jpeg_progressive" |
          "q_jpeg_12bit" => "multimodal"

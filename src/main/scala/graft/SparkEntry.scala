@@ -3790,6 +3790,65 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
             FROM hs ORDER BY doc_id"""))
 
+  /** SPECTRAL-envelope audio fingerprint ([[graft.multimodal.Multimodal
+    * .audioSpectralFingerprints]]): 16 time frames × 4 modulation
+    * bands — per-frame 8-point mean-power envelopes projected through
+    * the 32 embedded quantized-DCT constants, bit = strict response
+    * sign. Complements q_audio_fingerprint's loudness-trajectory key
+    * with within-frame modulation structure; the oracle rebuilds every
+    * sample, every envelope cell (non-negative integer division — no
+    * floor/trunc divergence), every band response and every bit.
+    * Mono sub-128-sample docs emit NO row on either side.
+    */
+  private val qAudioSpectral = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.multimodal.Multimodal.makeWav(
+            (50 + id % 50).toInt, (1 + id % 2).toInt, 8000, id))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioSpectralFingerprints(s, bins)
+        .orderBy("doc_id")
+    }, {
+      val basis = graft.multimodal.Multimodal.SpecBasis.mkString(", ")
+      Some(s"""WITH dims AS (
+              SELECT doc_id,
+                     (CAST(50 + doc_id % 50 AS INT) * CAST(1 + doc_id % 2 AS INT)) AS n
+              FROM documents),
+            d2 AS (SELECT doc_id, n FROM dims WHERE n >= 128),
+            sm AS (SELECT doc_id, n, i.i AS i,
+                          ((doc_id + i.i * 13) % 256 - 128) AS v
+                   FROM d2 JOIN generate_series(0, 197) i(i) ON i.i < n),
+            fr AS (SELECT d2.doc_id, f.f AS f,
+                          (f.f * d2.n) // 16 AS flo, ((f.f + 1) * d2.n) // 16 AS fhi
+                   FROM d2 JOIN generate_series(0, 15) f(f) ON TRUE),
+            ch AS (SELECT fr.doc_id, fr.f, k.k AS k,
+                          fr.flo + (k.k * (fr.fhi - fr.flo)) // 8 AS lo,
+                          fr.flo + ((k.k + 1) * (fr.fhi - fr.flo)) // 8 AS hi
+                   FROM fr JOIN generate_series(0, 7) k(k) ON TRUE),
+            en AS (SELECT ch.doc_id, ch.f, ch.k,
+                          CAST(SUM(sm.v * sm.v) AS BIGINT) // (ch.hi - ch.lo) AS e
+                   FROM ch JOIN sm ON sm.doc_id = ch.doc_id
+                     AND sm.i >= ch.lo AND sm.i < ch.hi
+                   GROUP BY ch.doc_id, ch.f, ch.k, ch.hi, ch.lo),
+            basis AS (SELECT t.i // 8 + 1 AS b, t.i % 8 AS k,
+                             CAST(([$basis])[t.i + 1] AS BIGINT) AS c
+                      FROM generate_series(0, 31) t(i)),
+            resp AS (SELECT en.doc_id, en.f, basis.b, SUM(en.e * basis.c) AS r
+                     FROM en JOIN basis ON basis.k = en.k
+                     GROUP BY 1, 2, 3),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN r > 0
+                              THEN (1::HUGEINT << (f * 4 + b - 1))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM resp GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS asfp
+            FROM hs ORDER BY doc_id""")
+    })
+
   /** Audio fingerprinting over FLAC payloads ([[graft.multimodal.Flac
     * .decode]] → the shared energy-delta fold): REAL compressed streams
     * — Rice-coded FIXED and LPC predictors, all four stereo channel
@@ -8787,6 +8846,7 @@ object SparkEntry {
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_neardup" -> qImageNearDup,
     "q_audio_fingerprint" -> qAudioFingerprint,
+    "q_audio_spectral" -> qAudioSpectral,
     "q_audio_fingerprint_flac" -> qAudioFingerprintFlac,
     "q_wav_decode" -> qWavDecode,
     "q_wav_frames" -> qWavFrames,

@@ -2764,6 +2764,101 @@ object Multimodal {
     }
   }
 
+  /** Quantized 8-point DCT-II rows 1..4 for [[audioSpectralFingerprint]]:
+    * `SpecBasis((b-1)*8 + k) = round(128 · cos((2k+1)·b·π/16))`. The
+    * [[pHash64]] discipline on audio: quantize the basis, keep every
+    * downstream op integer, and the fingerprint is bit-replayable by an
+    * external engine from 32 embedded constants.
+    */
+  private[graft] val SpecBasis: Array[Long] = {
+    val t = new Array[Long](32)
+    var b = 1
+    while (b <= 4) {
+      var k = 0
+      while (k < 8) {
+        t((b - 1) * 8 + k) = math.round(128.0 * math.cos((2 * k + 1) * b * math.Pi / 16.0))
+        k += 1
+      }
+      b += 1
+    }
+    t
+  }
+
+  /** The SPECTRAL-envelope fold: 16 time frames × 4 modulation bands.
+    * Each frame splits into 8 sub-chunks whose MEAN POWER (Σs² div n —
+    * non-negative, so integer division agrees across engines) forms an
+    * 8-point energy envelope; band b's response is the envelope's
+    * quantized-DCT row-b projection and bit `f·4 + b − 1` records its
+    * strict sign. Where [[energyDeltaFingerprint]] keys the coarse
+    * LOUDNESS TRAJECTORY across the clip, this keys how energy
+    * modulates WITHIN each frame (attack/decay structure, rhythm) — the
+    * two are complementary near-dup keys over the same decoded PCM.
+    * None below 128 samples (sub-chunks would be empty).
+    */
+  private def spectralFingerprint(n: Int, sampleAt: Int => Long): Option[Long] = {
+    if (n < 128) return None
+    var hash = 0L
+    var f = 0
+    while (f < 16) {
+      val flo = f * n / 16
+      val fhi = (f + 1) * n / 16
+      val len = fhi - flo
+      val e = new Array[Long](8)
+      var k = 0
+      while (k < 8) {
+        val lo = flo + k * len / 8
+        val hi = flo + (k + 1) * len / 8
+        var s = 0L
+        var i = lo
+        while (i < hi) { val v = sampleAt(i); s += v * v; i += 1 }
+        e(k) = s / (hi - lo)
+        k += 1
+      }
+      var b = 1
+      while (b <= 4) {
+        var r = 0L
+        var k2 = 0
+        while (k2 < 8) { r += e(k2) * SpecBasis((b - 1) * 8 + k2); k2 += 1 }
+        if (r > 0) hash |= 1L << (f * 4 + b - 1)
+        b += 1
+      }
+      f += 1
+    }
+    Some(hash)
+  }
+
+  /** Spectral-envelope fingerprint of one payload — same WAV/FLAC
+    * dispatch as [[audioFingerprint]], [[spectralFingerprint]] fold.
+    * A lossless re-encoding of the same PCM fingerprints identically
+    * (function of decoded samples — spec-pinned via the FLAC twin).
+    */
+  def audioSpectralFingerprint(bytes: Array[Byte]): Option[Long] = {
+    wavPcmHeader(bytes) match {
+      case Some((_, _, dataOff, dataLen)) =>
+        spectralFingerprint(dataLen / 2, i =>
+          ((bytes(dataOff + 2 * i) & 0xff) |
+            (bytes(dataOff + 2 * i + 1) << 8)).toShort.toLong)
+      case None =>
+        Flac.decode(bytes).flatMap(a =>
+          spectralFingerprint(a.samples.length, i => a.samples(i).toLong))
+    }
+  }
+
+  /** (doc_id, asfp) over a binary column — the [[audioFingerprints]]
+    * shape; near-dup pairs via the hash-agnostic blocked Hamming join.
+    */
+  def audioSpectralFingerprints(spark: SparkSession, df: DataFrame,
+                                idCol: String = "doc_id",
+                                payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        audioSpectralFingerprint(bytes).map(h => (id, h))
+      })
+      .toDF(idCol, "asfp")
+  }
+
   /** Fingerprint one payload — 16-bit PCM WAV, or FLAC through the real
     * decode path ([[Flac.decode]]: Rice residuals, fixed/LPC predictors,
     * stereo decorrelation), since the fingerprint is a function of the

@@ -587,6 +587,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("audioSpectralFingerprint: independent replay of the quantized-DCT law; FLAC twin identity") {
+    import spark.implicits._
+    val n = 192
+    val asf = Multimodal.audioSpectralFingerprint(
+      Multimodal.makeWav(n, 1, 8000, seed = 5)).get
+    // replay the documented law from the fixture's closed form
+    val samples = (0 until n).map(i => ((5 + i * 13) % 256 - 128).toLong)
+    var expect = 0L
+    for (f <- 0 until 16) {
+      val flo = f * n / 16; val fhi = (f + 1) * n / 16; val len = fhi - flo
+      val e = (0 until 8).map { k =>
+        val lo = flo + k * len / 8; val hi = flo + (k + 1) * len / 8
+        (lo until hi).map(i => samples(i) * samples(i)).sum / (hi - lo)
+      }
+      for (b <- 1 to 4) {
+        val r = (0 until 8).map(k => e(k) * Multimodal.SpecBasis((b - 1) * 8 + k)).sum
+        if (r > 0) expect |= 1L << (f * 4 + b - 1)
+      }
+    }
+    assert(asf === expect, f"asfp=$asf%016x expected=$expect%016x")
+
+    // lossless twin identity: same PCM through FLAC collides exactly
+    assert(Multimodal.audioSpectralFingerprint(
+      graft.multimodal.Flac.make(n, 1, 8000, seed = 5)) === Some(asf))
+
+    // it keys DIFFERENT structure than the energy-delta fingerprint
+    // (complementary, not redundant): distinct value on this fixture
+    assert(Multimodal.audioFingerprint(Multimodal.makeWav(n, 1, 8000, 5)).get !== asf)
+
+    // sub-128-sample and non-audio payloads emit nothing
+    assert(Multimodal.audioSpectralFingerprint(Multimodal.makeWav(100, 1, 8000, 5)) === None)
+    assert(Multimodal.audioSpectralFingerprint("nope".getBytes("UTF-8")) === None)
+
+    // DataFrame path + Hamming-0 pairing of identical audio
+    val rows = Seq(
+      (1L, Multimodal.makeWav(192, 1, 8000, 7)),
+      (2L, Multimodal.makeWav(192, 1, 8000, 7)),
+      (3L, Multimodal.makeWav(192, 1, 8000, 9)),
+      (4L, Multimodal.makeWav(100, 1, 8000, 7))
+    ).toDF("doc_id", "payload")
+    val fps = Multimodal.audioSpectralFingerprints(spark, rows)
+    assert(fps.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    val pairs = Multimodal.imageNearDups(fps, maxHamming = 0, hashCol = "asfp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
   test("Flac: decode recovers the exact closed-form PCM through every fixture path") {
     // mono: 4 frames of 192 = 768 samples through VERBATIM, FIXED-1,
     // FIXED-2 (Rice residuals) and LPC-2 — byte-exact sample equality
