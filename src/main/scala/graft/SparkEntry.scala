@@ -7920,6 +7920,61 @@ object SparkEntry {
     },
     qDecontamFuzzyRemoved.oracle)
 
+  /** Streaming IMAGE near-dup at ingest ([[graft.streaming
+    * .MediaIngest]]): 16×16 BMP payloads (seed = doc_id mod 40, so ids
+    * 40 apart are exact duplicate images) stream in; each micro-batch
+    * is decoded + aHashed once, Hamming-checked against the ACCUMULATED
+    * hash table and within itself, and appends pairs + its own hashes
+    * exactly-once. Canonical pair semantics make the union over batches
+    * equal "all near-dup pairs over the corpus", so the oracle replays
+    * every hash bit from the BMP closed form and the full cross-pair
+    * bit_count(xor) rule — through the streaming engine and both store
+    * round trips.
+    */
+  private val qStreamImageDedup = Q(
+    (s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("graft_stream_media")
+      val hashPath = tmp.resolve("hashes").toString
+      val pairsPath = tmp.resolve("pairs").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val stream = Tables.readTableStream(s, dir, "documents")
+        .filter(col("doc_id") < 120)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, graft.multimodal.Multimodal.makeBmp(16, 16, id % 40)))
+        .toDF("doc_id", "payload")
+      val q = graft.streaming.MediaIngest.start(
+        s, stream, hashPath, pairsPath, ckpt, maxHamming = 2)
+      q.awaitTermination()
+      s.read.parquet(pairsPath)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+            px AS (SELECT doc_id, r.r AS r, x.x AS x,
+                     (doc_id % 40 + (15 - r.r) * 31 + (3*x.x + 0) * 7) % 256
+                   + (doc_id % 40 + (15 - r.r) * 31 + (3*x.x + 1) * 7) % 256
+                   + (doc_id % 40 + (15 - r.r) * 31 + (3*x.x + 2) * 7) % 256 AS gray
+                   FROM ids
+                   JOIN generate_series(0, 15) r(r) ON TRUE
+                   JOIN generate_series(0, 15) x(x) ON TRUE),
+            tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+            blk AS (SELECT doc_id, r // 2 AS bi, x // 2 AS bj, SUM(gray) AS bsum
+                    FROM px GROUP BY 1, 2, 3),
+            bits AS (SELECT b.doc_id, bi, bj,
+                            CASE WHEN b.bsum * 256 >= t.total * 4 THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id)),
+            hs AS (SELECT doc_id,
+                          CAST(SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS UBIGINT) AS u
+                   FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming
+            FROM hs a JOIN hs b
+              ON a.doc_id < b.doc_id AND bit_count(xor(a.u, b.u)) <= 2
+            ORDER BY id_a, id_b"""))
+
   /** Streaming SEMANTIC decontamination at ingest ([[graft.streaming
     * .DecontamIngest.startSemantic]]) — the (streaming × semantic) cell
     * of the decontamination matrix: embedding micro-batches gated
@@ -8989,6 +9044,7 @@ object SparkEntry {
     "q_stream_neardup" -> qStreamNearDup,
     "q_stream_decontam" -> qStreamDecontam,
     "q_stream_decontam_semantic" -> qStreamDecontamSemantic,
+    "q_stream_image_dedup" -> qStreamImageDedup,
     "q_stream_bm25_ingest" -> qStreamBm25Ingest,
     "q_dup_spans_removed" -> qDupSpansRemoved,
     "q_multi_phrase" -> qMultiPhrase,

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming IMAGE near-dup at ingest: every micro-batch of media
+  * payloads is decoded + perceptually hashed ONCE, checked against the
+  * accumulated hash table, and both the new pairs and the batch's own
+  * hashes land exactly-once — the production shape where a continuous
+  * media feed must not admit near-copies of the historical corpus and
+  * pixels never ride a shuffle (hashes are 8 bytes/doc; decode happens
+  * in the scan stage of each batch, exactly once per payload ever).
+  *
+  * Pair semantics are CANONICAL and micro-batch-split invariant: the
+  * union over batches is exactly "all unordered near-dup pairs over the
+  * corpus" — each batch emits the pairs whose LATER endpoint it holds
+  * (batch-vs-history through [[graft.dedup.NearDup
+  * .simHashNearDupsAgainstCorpus]], plus the batch's internal pairs),
+  * so any split of the feed yields the same total set, each pair once.
+  *
+  * Exactly-once ([[graft.ops.Segments]]): both tables are batch_id
+  * partitions with dynamic overwrite, and the history read is pinned to
+  * `batch_id < current` — a crashed attempt's partial rows are
+  * invisible to its own retry (the ClusterIngest convention).
+  */
+object MediaIngest {
+
+  /** One micro-batch hash+check+admit — public so a retry can be
+    * simulated. Writes (id_a, id_b, hamming) pairs under `pairsPath`
+    * and the batch's (id, ahash) rows under `hashPath`.
+    */
+  def writeBatch(batch: DataFrame, batchId: Long,
+                 hashPath: String, pairsPath: String, maxHamming: Int,
+                 idCol: String, payloadCol: String): Unit = {
+    val spark = batch.sparkSession
+    val newHashes = graft.multimodal.Multimodal
+      .imageAHashes(spark, batch, idCol, payloadCol)
+      // one decode pass ever: both joins below consume the pinned hashes
+      .localCheckpoint()
+    val sims = newHashes.select(col(idCol).as("id"), col("ahash").as("simhash"))
+    val fs = new org.apache.hadoop.fs.Path(hashPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen =
+      if (fs.exists(new org.apache.hadoop.fs.Path(hashPath)))
+        spark.read.parquet(hashPath)
+          .filter(col("batch_id") < batchId) // a retry must not see itself
+          .select(col(idCol).as("id"), col("ahash").as("simhash"))
+      else spark.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0L).as("simhash")).limit(0)
+    val vsSeen = graft.dedup.NearDup
+      .simHashNearDupsAgainstCorpus(sims, seen, maxHamming)
+      .select(least(col("new_id"), col("seen_id")).as("id_a"),
+        greatest(col("new_id"), col("seen_id")).as("id_b"),
+        col("hamming"))
+    val inBatch = graft.dedup.NearDup.simHashNearDups(sims, maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    graft.ops.Segments.writer(
+        vsSeen.unionByName(inBatch).distinct(), "append", Some(batchId))
+      .partitionBy("batch_id").parquet(pairsPath)
+    graft.ops.Segments.writer(newHashes, "append", Some(batchId))
+      .partitionBy("batch_id").parquet(hashPath)
+  }
+
+  def start(spark: SparkSession, newMedia: DataFrame,
+            hashPath: String, pairsPath: String, checkpoint: String,
+            maxHamming: Int = 3,
+            idCol: String = "doc_id",
+            payloadCol: String = "payload"): StreamingQuery =
+    newMedia.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId, hashPath, pairsPath, maxHamming, idCol, payloadCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

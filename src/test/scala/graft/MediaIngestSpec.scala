@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.streaming.MediaIngest
+
+class MediaIngestSpec extends SparkTestBase {
+
+  test("streamed pairs == all-corpus batch pairs, split-invariant, exactly-once") {
+    import spark.implicits._
+    // seeds mod 7 -> planted duplicate images across the feed
+    val docs = (0L until 60L)
+      .map(id => (id, Multimodal.makeBmp(16, 16, id % 7)))
+      .toDF("doc_id", "payload")
+
+    // ground truth: all near-dup pairs over the full corpus in one shot
+    val hashes = Multimodal.imageAHashes(spark, docs)
+      .select(col("doc_id").as("id"), col("ahash").as("simhash"))
+    val want = graft.dedup.NearDup.simHashNearDups(hashes, maxHamming = 2)
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+
+    val tmp = java.nio.file.Files.createTempDirectory("media_ingest_spec")
+    val srcDir = tmp.resolve("src").toString
+    docs.repartition(5).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = MediaIngest.start(spark, stream,
+      tmp.resolve("hashes").toString, tmp.resolve("pairs").toString,
+      tmp.resolve("ckpt").toString, maxHamming = 2)
+    q.awaitTermination()
+
+    val got = spark.read.parquet(tmp.resolve("pairs").toString)
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want,
+      "union of per-batch pair emissions must equal the one-shot pair set")
+
+    // the hash table accumulated every decodable doc exactly once
+    val stored = spark.read.parquet(tmp.resolve("hashes").toString)
+    assert(stored.select("doc_id").distinct().count() === 60)
+    assert(stored.count() === 60, "one hash row per doc, no double-admits")
+
+    // retry: replaying a batch overwrites its own partitions on BOTH tables
+    val b0 = docs.filter(col("doc_id") < 12)
+    MediaIngest.writeBatch(b0, 0L, tmp.resolve("h2").toString,
+      tmp.resolve("p2").toString, 2, "doc_id", "payload")
+    val oncePairs = spark.read.parquet(tmp.resolve("p2").toString).count()
+    val onceHashes = spark.read.parquet(tmp.resolve("h2").toString).count()
+    MediaIngest.writeBatch(b0, 0L, tmp.resolve("h2").toString,
+      tmp.resolve("p2").toString, 2, "doc_id", "payload")
+    assert(spark.read.parquet(tmp.resolve("p2").toString).count() === oncePairs)
+    assert(spark.read.parquet(tmp.resolve("h2").toString).count() === onceHashes)
+    // and crucially: the retry did NOT pair the batch against its own
+    // crashed-attempt rows (batch_id < current pin) — every pair is in-batch
+    val inBatchOnly = graft.dedup.NearDup.simHashNearDups(
+      Multimodal.imageAHashes(spark, b0)
+        .select(col("doc_id").as("id"), col("ahash").as("simhash")),
+      maxHamming = 2).count()
+    assert(oncePairs === inBatchOnly)
+
+    // non-decodable payloads flow through without rows or failures
+    val junk = Seq((999L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    MediaIngest.writeBatch(junk, 7L, tmp.resolve("h2").toString,
+      tmp.resolve("p2").toString, 2, "doc_id", "payload")
+    assert(spark.read.parquet(tmp.resolve("h2").toString)
+      .filter(col("doc_id") === 999L).count() === 0)
+  }
+}
