@@ -2398,10 +2398,16 @@ object Multimodal {
   }
 
   /** 64-bit DCT perceptual hash (pHash) of a grayscale grid — the
-    * robustness upgrade over [[aHash64]]: block means compare LOCAL
-    * structure, low-frequency DCT coefficients compare the image's
-    * global shape, so re-encoding noise, mild sharpening and small
-    * local edits move far fewer bits.
+    * SPECTRAL near-dup key, complementary to [[aHash64]]'s block-mean
+    * key. Measured relationship (MediaHashProbe A/B, BASELINE
+    * "Perceptual-hash family at 100×"): under a smooth GLOBAL
+    * perturbation (brightness ramp — the lighting/vignette/re-render
+    * class) pHash moves ~4 bits where aHash moves ~30, because the ramp
+    * concentrates in the lowest spatial frequency while block-vs-mean
+    * comparisons all reorder; under iid pixel noise on flat regions the
+    * ranking inverts (64-pixel block means average noise away, fine
+    * spectral cells keep it). Run both keys when the duplicate class is
+    * unknown — they are one scan-stage map each.
     *
     * Pipeline (all integer, deterministic): (1) area-downsample to a
     * 32×32 cell grid (truncated-division bounds, cell value =
@@ -2629,8 +2635,9 @@ object Multimodal {
 
   /** DCT perceptual hash of one payload — same format dispatch and
     * decode paths as [[imageAHash]], spectral signature per [[pHash64]].
-    * Use when near-dup must survive re-encoding noise and small local
-    * edits; aHash remains the cheaper block-structure key.
+    * Use when near-dup must survive smooth global changes (lighting,
+    * gradients, re-renders); aHash remains the noise-stable
+    * block-structure key — see the measured A/B in [[pHash64]]'s doc.
     */
   def imagePHash(bytes: Array[Byte]): Option[Long] =
     bmpGrayGrid(bytes).orElse(pngGrayGrid(bytes)).orElse(gifGrayGrid(bytes))
