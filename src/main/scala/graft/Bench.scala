@@ -213,7 +213,7 @@ object Bench {
     case "q_phrase_search" | "q_multi_phrase" | "q_multi_phrase_sweep" => "text"
     case "q_decontam_fuzzy" | "q_decontam_fuzzy_removed" | "q_decontam_fuzzy_indexed" |
          "q_decontam_fuzzy_steady" | "q_decontam_chunked" |
-         "q_decontam_chunked_steady" => "text"
+         "q_decontam_chunked_steady" | "q_decontam_matrix" => "text"
     case "q_bm25_topk" | "q_bm25_indexed" | "q_bm25_steady" | "q_bm25_deleted" |
          "q_bm25_deleted_steady" |
          "q_boilerplate" | "q_lm_score" | "q_lm_kneser_ney" | "q_lang_id" |

@@ -1609,6 +1609,53 @@ object SparkEntry {
             WHERE d.doc_id < 450 AND d.doc_id NOT IN (SELECT id FROM bad)
             ORDER BY d.doc_id"""))
 
+  /** The per-document decontamination MATRIX ([[graft.pipeline.Curation
+    * .decontamMatrix]]): every detector family's verdict side by side —
+    * exact 3-grams at ≥5 hits, fuzzy whole-doc Jaccard ≥ 0.9, semantic
+    * embedding cosine ≥ 0.3 — under ONE coherent 450 split on both the
+    * doc and embedding tables. The oracle replays all three detector
+    * chains (the exact CTEs, the full two-table LSH chain, the
+    * embedding product) and the fold, so a drift in ANY family breaks
+    * this row even if the family's own gate row still passes its
+    * different split.
+    */
+  private val qDecontamMatrix = Q(
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      graft.pipeline.Curation.decontamMatrix(
+          d.filter(col("doc_id") < 450), d.filter(col("doc_id") >= 450),
+          emb.filter(col("vec_id") < 450), emb.filter(col("vec_id") >= 450),
+          "doc_id", "text", ngramN = 3, minHits = 5L)
+        .orderBy("id")
+    },
+    Some(s"""WITH ${decontamCtes(450)},
+            exacts AS (SELECT ids.doc_id AS id,
+                              COALESCE(n_hits, 0) >= 5 AS exact
+                       FROM ids LEFT JOIN hit USING (doc_id)),
+            nbase AS (SELECT 't:' || CAST(doc_id AS VARCHAR) AS id, text
+                      FROM documents WHERE doc_id < 450),
+            sbase AS (SELECT 'b:' || CAST(doc_id AS VARCHAR) AS id, text
+                      FROM documents WHERE doc_id >= 450),
+            ${minHashXPairsCtes(bands = 16, rowsPerBand = 1,
+                                threshold = 0.0, maxBucket = 1000)},
+            fz AS (SELECT DISTINCT CAST(substring(new_id, 3) AS BIGINT) AS id
+                   FROM xpairs WHERE jaccard >= 0.9),
+            sv AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id >= 450),
+            tv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+                   FROM embeddings WHERE vec_id < 450),
+            sm AS (SELECT DISTINCT t.id FROM tv t JOIN sv b
+                   ON ROUND(list_cosine_similarity(t.v, b.v), 6) >= 0.3)
+            SELECT e.id, e.exact,
+                   fz.id IS NOT NULL AS fuzzy,
+                   sm.id IS NOT NULL AS semantic,
+                   (e.exact OR fz.id IS NOT NULL OR sm.id IS NOT NULL) AS contaminated
+            FROM exacts e
+            LEFT JOIN fz ON fz.id = e.id
+            LEFT JOIN sm ON sm.id = e.id
+            ORDER BY e.id"""))
+
   /** Frame-sampling plumbing ([[graft.multimodal.Multimodal
     * .sampleFrames]]): payloads split into fixed 64-byte frames, every
     * 2nd kept — the oracle replays frame count and the first frame's
@@ -8886,6 +8933,7 @@ object SparkEntry {
     "q_decontam_semantic_removed" -> qDecontamSemanticRemoved,
     "q_decontam_semantic_indexed" -> qDecontamSemanticIndexed,
     "q_decontam_semantic_steady" -> qDecontamSemanticSteady,
+    "q_decontam_matrix" -> qDecontamMatrix,
     "q_stream_embed_clusters" -> qStreamEmbedClusters,
     "q_stream_embed_clusters_steady" -> qStreamEmbedClustersSteady,
     "q_semantic_dedup" -> qSemanticDedup,

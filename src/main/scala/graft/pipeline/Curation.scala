@@ -145,4 +145,48 @@ object Curation {
   def funnel(disp: DataFrame): DataFrame =
     disp.groupBy("stage_order", "drop_stage")
       .agg(count(lit(1)).as("n_docs"))
+
+  /** The per-document decontamination MATRIX — the release-review
+    * artifact the single-detector flag tables can't give: one row per
+    * training doc with EVERY detector family's verdict side by side,
+    * `(id, exact, fuzzy, semantic, contaminated)`. The families fail
+    * differently (exact n-grams miss edits, token Jaccard misses
+    * paraphrase, embeddings miss what the encoder can't see), so a
+    * release decision reads the union while an incident review reads
+    * the disagreements — e.g. semantic-only rows are the paraphrase
+    * candidates worth a human look.
+    *
+    * Inputs: the doc-side split (train/bench texts) plus the
+    * EMBEDDING-side split (train/bench vectors, ids aligned with doc
+    * ids); a train doc with no vector simply can't be semantically
+    * flagged (NULL-safe false). Scale shape: three independent detector
+    * passes (each already scale-shaped — see their own docs) folded by
+    * two id-keyed left joins onto the exact report's one-row-per-doc
+    * base; flag sets can be corpus-sized, so no broadcast hints — AQE
+    * sizes the joins (the r15 static-broadcast sweep rule).
+    */
+  def decontamMatrix(train: DataFrame, bench: DataFrame,
+                     trainVecs: DataFrame, benchVecs: DataFrame,
+                     idCol: String, textCol: String,
+                     vecIdCol: String = "vec_id", vecCol: String = "embedding",
+                     ngramN: Int = 13, minHits: Long = 1L,
+                     fuzzyThreshold: Double = 0.9,
+                     tau: Double = 0.3): DataFrame = {
+    val exact = Decontaminate
+      .flagContaminated(train, bench, idCol, textCol, ngramN, minHits)
+      .select(col("id"), col("contaminated").as("exact"))
+    val fuzzy = Decontaminate
+      .flagNearContaminated(train, bench, idCol, textCol, threshold = fuzzyThreshold)
+      .select(col("id"), lit(true).as("fuzzy"))
+    val semantic = graft.similarity.SemanticDecontam
+      .flagSemanticContaminated(trainVecs, benchVecs, tau, vecIdCol, vecCol)
+      .select(col("id"), lit(true).as("semantic"))
+    exact
+      .join(fuzzy, Seq("id"), "left")
+      .join(semantic, Seq("id"), "left")
+      .select(col("id"), col("exact"),
+        coalesce(col("fuzzy"), lit(false)).as("fuzzy"),
+        coalesce(col("semantic"), lit(false)).as("semantic"))
+      .withColumn("contaminated", col("exact") || col("fuzzy") || col("semantic"))
+  }
 }

@@ -100,4 +100,51 @@ class CurationSpec extends SparkTestBase {
       0.0, 3, 1, 1000L).select("id", "drop_stage").as[(Long, String)].collect().toMap
     assert(d(1L) === "kept" && d(2L) === "kept")
   }
+
+  test("decontamMatrix: columns equal the component detectors; fold is the union") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (train, bench) = (d.filter(col("doc_id") < 300), d.filter(col("doc_id") >= 300))
+    val (tv, bv) = (emb.filter(col("vec_id") < 300), emb.filter(col("vec_id") >= 300))
+    val m = Curation.decontamMatrix(train, bench, tv, bv,
+      "doc_id", "text", ngramN = 3, minHits = 5L).cache()
+
+    // one row per train doc, no more no less
+    assert(m.count() === train.count())
+    assert(m.select("id").distinct().count() === train.count())
+
+    // each column reproduces its own detector verbatim
+    val exact = graft.text.Decontaminate
+      .flagContaminated(train, bench, "doc_id", "text", 3, 5L)
+      .select("id", "contaminated").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val fuzzy = graft.text.Decontaminate
+      .flagNearContaminated(train, bench, "doc_id", "text", threshold = 0.9)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val sem = graft.similarity.SemanticDecontam
+      .flagSemanticContaminated(tv, bv, tau = 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    m.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1) === exact(id), s"exact column, doc $id")
+      assert(r.getBoolean(2) === fuzzy.contains(id), s"fuzzy column, doc $id")
+      assert(r.getBoolean(3) === sem.contains(id), s"semantic column, doc $id")
+      assert(r.getBoolean(4) === (r.getBoolean(1) || r.getBoolean(2) || r.getBoolean(3)))
+    }
+    // the matrix must exercise DISAGREEMENT — a family flagging a doc
+    // the others miss is the artifact's reason to exist
+    val rows = m.collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(rows.exists { case (e, f, s) => s && !e && !f },
+      "fixture must contain semantic-only (paraphrase-class) flags")
+    assert(rows.exists { case (e, f, s) => !e && !f && !s }, "and clean docs")
+
+    // a train doc with NO embedding row can still be token-flagged but
+    // never semantically (NULL-safe false)
+    val m2 = Curation.decontamMatrix(train, bench,
+      tv.filter(col("vec_id") < 10), bv, "doc_id", "text", ngramN = 3, minHits = 5L)
+    assert(m2.filter(col("id") >= 10 && col("semantic")).count() === 0)
+    assert(m2.count() === train.count())
+  }
 }
