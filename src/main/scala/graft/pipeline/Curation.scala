@@ -163,7 +163,10 @@ object Curation {
     * passes (each already scale-shaped — see their own docs) folded by
     * two id-keyed left joins onto the exact report's one-row-per-doc
     * base; flag sets can be corpus-sized, so no broadcast hints — AQE
-    * sizes the joins (the r15 static-broadcast sweep rule).
+    * sizes the joins (the r15 static-broadcast sweep rule). The doc
+    * inputs are MATERIALIZED once (the [[disposition]] stage-boundary
+    * rule): three detectors × two branches each would otherwise re-read
+    * the corpus parquet up to 7× — with the pin, one scan per side ever.
     */
   def decontamMatrix(train: DataFrame, bench: DataFrame,
                      trainVecs: DataFrame, benchVecs: DataFrame,
@@ -172,11 +175,13 @@ object Curation {
                      ngramN: Int = 13, minHits: Long = 1L,
                      fuzzyThreshold: Double = 0.9,
                      tau: Double = 0.3): DataFrame = {
+    val trainP = train.select(col(idCol), col(textCol)).localCheckpoint()
+    val benchP = bench.select(col(idCol), col(textCol)).localCheckpoint()
     val exact = Decontaminate
-      .flagContaminated(train, bench, idCol, textCol, ngramN, minHits)
+      .flagContaminated(trainP, benchP, idCol, textCol, ngramN, minHits)
       .select(col("id"), col("contaminated").as("exact"))
     val fuzzy = Decontaminate
-      .flagNearContaminated(train, bench, idCol, textCol, threshold = fuzzyThreshold)
+      .flagNearContaminated(trainP, benchP, idCol, textCol, threshold = fuzzyThreshold)
       .select(col("id"), lit(true).as("fuzzy"))
     val semantic = graft.similarity.SemanticDecontam
       .flagSemanticContaminated(trainVecs, benchVecs, tau, vecIdCol, vecCol)
