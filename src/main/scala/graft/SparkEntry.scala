@@ -1215,23 +1215,30 @@ object SparkEntry {
     * the same stage-for-stage chain per side, bucket cap computed on the
     * SEEN side only, candidates joined across.
     */
+  /** `cteSuffix` (default "" keeps every existing oracle byte-identical)
+    * renames all internal CTEs so TWO independent LSH chains — e.g. the
+    * whole-doc fuzzy pass and the chunked containment pass in
+    * [[qDecontamMatrix]] — can coexist in one WITH clause.
+    */
   private def minHashXPairsCtes(bands: Int, rowsPerBand: Int,
-                                threshold: Double, maxBucket: Int): String = {
+                                threshold: Double, maxBucket: Int,
+                                cteSuffix: String = ""): String = {
+    val x = cteSuffix
     val numHashes = bands * rowsPerBand
     val slack = math.max(0.0, threshold - 1.5 / math.sqrt(numHashes.toDouble))
     val sigTerms = (0 until numHashes).map { i =>
       s"list_min(list_transform(hs, p -> p.h1 + $i * p.h2))"
     }.mkString(",\n                     ")
     def sideCtes(p: String, base: String) =
-      s"""${p}d AS (SELECT id, text, string_split(text, ' ') AS toks FROM $base),
-            ${p}shg AS (SELECT id, CASE WHEN len(toks) >= 3
+      s"""${p}d$x AS (SELECT id, text, string_split(text, ' ') AS toks FROM $base),
+            ${p}shg$x AS (SELECT id, CASE WHEN len(toks) >= 3
                       THEN list_transform(generate_series(1, len(toks) - 2),
                              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                      ELSE [text] END AS sh FROM ${p}d),
-            ${p}hs AS (SELECT id, list_transform(sh, m -> struct_pack(
+                      ELSE [text] END AS sh FROM ${p}d$x),
+            ${p}hs$x AS (SELECT id, list_transform(sh, m -> struct_pack(
                      h1 := ('0x' || substring(md5(m), 1, 15))::BIGINT,
-                     h2 := ('0x' || substring(md5(m), 16, 14))::BIGINT)) AS hs FROM ${p}shg),
-            ${p}sig AS (SELECT id, [$sigTerms] AS sig FROM ${p}hs)"""
+                     h2 := ('0x' || substring(md5(m), 16, 14))::BIGINT)) AS hs FROM ${p}shg$x),
+            ${p}sig$x AS (SELECT id, [$sigTerms] AS sig FROM ${p}hs$x)"""
     def bandSelects(sigCte: String) = (0 until bands).map { b =>
       val slots = (0 until rowsPerBand)
         .map(r => s"sig[${b * rowsPerBand + r + 1}]::VARCHAR").mkString(", ")
@@ -1239,28 +1246,28 @@ object SparkEntry {
     }.mkString("\n              UNION ALL ")
     val estTerms = (1 to numHashes)
       .map(i => s"(CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""${sideCtes("n", "nbase")},
-            ${sideCtes("s", "sbase")},
-            nbanded AS (${bandSelects("nsig")}),
-            sbanded AS (${bandSelects("ssig")}),
-            okb AS (SELECT band, bh FROM sbanded GROUP BY band, bh HAVING COUNT(*) <= $maxBucket),
-            scap AS (SELECT sbanded.id, sbanded.band, sbanded.bh
-                     FROM sbanded JOIN okb USING (band, bh)),
-            xcand AS (SELECT DISTINCT n.id AS new_id, s.id AS seen_id
-                      FROM nbanded n JOIN scap s
+    s"""${sideCtes("n", s"nbase$x")},
+            ${sideCtes("s", s"sbase$x")},
+            nbanded$x AS (${bandSelects(s"nsig$x")}),
+            sbanded$x AS (${bandSelects(s"ssig$x")}),
+            okb$x AS (SELECT band, bh FROM sbanded$x GROUP BY band, bh HAVING COUNT(*) <= $maxBucket),
+            scap$x AS (SELECT sbanded$x.id, sbanded$x.band, sbanded$x.bh
+                     FROM sbanded$x JOIN okb$x USING (band, bh)),
+            xcand$x AS (SELECT DISTINCT n.id AS new_id, s.id AS seen_id
+                      FROM nbanded$x n JOIN scap$x s
                         ON n.band = s.band AND n.bh = s.bh AND n.id <> s.id),
-            xest AS (SELECT c.new_id, c.seen_id FROM xcand c
-                     JOIN nsig sa ON sa.id = c.new_id
-                     JOIN ssig sb ON sb.id = c.seen_id
+            xest$x AS (SELECT c.new_id, c.seen_id FROM xcand$x c
+                     JOIN nsig$x sa ON sa.id = c.new_id
+                     JOIN ssig$x sb ON sb.id = c.seen_id
                      WHERE ($estTerms) / $numHashes.0 >= $slack),
-            ntk AS (SELECT id, list_distinct(toks) AS toks FROM nd),
-            stk AS (SELECT id, list_distinct(toks) AS toks FROM sd),
-            xpairs AS (SELECT new_id, seen_id, jacc AS jaccard FROM (
+            ntk$x AS (SELECT id, list_distinct(toks) AS toks FROM nd$x),
+            stk$x AS (SELECT id, list_distinct(toks) AS toks FROM sd$x),
+            xpairs$x AS (SELECT new_id, seen_id, jacc AS jaccard FROM (
                         SELECT e.new_id, e.seen_id,
                                CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
                                CAST(len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) AS jacc
-                        FROM xest e JOIN ntk ta ON ta.id = e.new_id
-                             JOIN stk tb ON tb.id = e.seen_id)
+                        FROM xest$x e JOIN ntk$x ta ON ta.id = e.new_id
+                             JOIN stk$x tb ON tb.id = e.seen_id)
                       WHERE jacc >= $threshold)"""
   }
 
@@ -1611,13 +1618,14 @@ object SparkEntry {
 
   /** The per-document decontamination MATRIX ([[graft.pipeline.Curation
     * .decontamMatrix]]): every detector family's verdict side by side —
-    * exact 3-grams at ≥5 hits, fuzzy whole-doc Jaccard ≥ 0.9, semantic
-    * embedding cosine ≥ 0.3 — under ONE coherent 450 split on both the
-    * doc and embedding tables. The oracle replays all three detector
-    * chains (the exact CTEs, the full two-table LSH chain, the
-    * embedding product) and the fold, so a drift in ANY family breaks
-    * this row even if the family's own gate row still passes its
-    * different split.
+    * exact 3-grams at ≥5 hits, fuzzy whole-doc Jaccard ≥ 0.9, CHUNKED
+    * containment (24-token windows at stride 12 vs the benchmark items'
+    * 24-token prefixes, J ≥ 0.5), semantic embedding cosine ≥ 0.3 —
+    * under ONE coherent 450 split on both the doc and embedding tables.
+    * The oracle replays all four detector chains (the exact CTEs, TWO
+    * full LSH chains via the suffixed CTE instantiation, the embedding
+    * product) and the fold, so a drift in ANY family breaks this row
+    * even if the family's own gate row still passes its different split.
     */
   private val qDecontamMatrix = Q(
     (s, dir) => {
@@ -1641,6 +1649,25 @@ object SparkEntry {
                                 threshold = 0.0, maxBucket = 1000)},
             fz AS (SELECT DISTINCT CAST(substring(new_id, 3) AS BIGINT) AS id
                    FROM xpairs WHERE jaccard >= 0.9),
+            ttk AS (SELECT doc_id, string_split(text, ' ') AS tk
+                    FROM documents WHERE doc_id < 450),
+            nch0 AS (SELECT doc_id, tk,
+                            unnest(range(0, GREATEST(
+                              CAST(CEIL((len(tk) - 24) / 12.0) + 1 AS INT), 1))) AS ci
+                     FROM ttk),
+            nch AS (SELECT doc_id, ci,
+                           array_to_string(tk[ci*12+1 : ci*12+24], ' ') AS text
+                    FROM nch0),
+            nbasec AS (SELECT 't:' || CAST(doc_id AS VARCHAR) || '#' || CAST(ci AS VARCHAR) AS id,
+                              text FROM nch),
+            sbasec AS (SELECT 'b:' || CAST(doc_id AS VARCHAR) AS id,
+                              array_to_string(string_split(text, ' ')[1:24], ' ') AS text
+                       FROM documents WHERE doc_id >= 450),
+            ${minHashXPairsCtes(bands = 16, rowsPerBand = 1,
+                                threshold = 0.0, maxBucket = 1000,
+                                cteSuffix = "c")},
+            ck AS (SELECT DISTINCT CAST(string_split(substring(new_id, 3), '#')[1] AS BIGINT) AS id
+                   FROM xpairsc WHERE jaccard >= 0.5),
             sv AS (SELECT vec_id AS bid, embedding::DOUBLE[] AS v
                    FROM embeddings WHERE vec_id >= 450),
             tv AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
@@ -1649,10 +1676,13 @@ object SparkEntry {
                    ON ROUND(list_cosine_similarity(t.v, b.v), 6) >= 0.3)
             SELECT e.id, e.exact,
                    fz.id IS NOT NULL AS fuzzy,
+                   ck.id IS NOT NULL AS chunked,
                    sm.id IS NOT NULL AS semantic,
-                   (e.exact OR fz.id IS NOT NULL OR sm.id IS NOT NULL) AS contaminated
+                   (e.exact OR fz.id IS NOT NULL OR ck.id IS NOT NULL
+                      OR sm.id IS NOT NULL) AS contaminated
             FROM exacts e
             LEFT JOIN fz ON fz.id = e.id
+            LEFT JOIN ck ON ck.id = e.id
             LEFT JOIN sm ON sm.id = e.id
             ORDER BY e.id"""))
 

@@ -149,12 +149,14 @@ object Curation {
   /** The per-document decontamination MATRIX — the release-review
     * artifact the single-detector flag tables can't give: one row per
     * training doc with EVERY detector family's verdict side by side,
-    * `(id, exact, fuzzy, semantic, contaminated)`. The families fail
-    * differently (exact n-grams miss edits, token Jaccard misses
-    * paraphrase, embeddings miss what the encoder can't see), so a
-    * release decision reads the union while an incident review reads
-    * the disagreements — e.g. semantic-only rows are the paraphrase
-    * candidates worth a human look.
+    * `(id, exact, fuzzy, chunked, semantic, contaminated)`. The
+    * families fail differently (exact n-grams miss edits, whole-doc
+    * token Jaccard misses paraphrase AND containment, the chunked
+    * window scan catches the embedded-item case, embeddings miss what
+    * the encoder can't see), so a release decision reads the union
+    * while an incident review reads the disagreements — e.g.
+    * semantic-only rows are the paraphrase candidates worth a human
+    * look, chunked-only rows the embedded-item ones.
     *
     * Inputs: the doc-side split (train/bench texts) plus the
     * EMBEDDING-side split (train/bench vectors, ids aligned with doc
@@ -174,6 +176,8 @@ object Curation {
                      vecIdCol: String = "vec_id", vecCol: String = "embedding",
                      ngramN: Int = 13, minHits: Long = 1L,
                      fuzzyThreshold: Double = 0.9,
+                     chunkSize: Int = 24, chunkStride: Int = 12,
+                     chunkThreshold: Double = 0.5,
                      tau: Double = 0.3): DataFrame = {
     val trainP = train.select(col(idCol), col(textCol)).localCheckpoint()
     val benchP = bench.select(col(idCol), col(textCol)).localCheckpoint()
@@ -183,15 +187,29 @@ object Curation {
     val fuzzy = Decontaminate
       .flagNearContaminated(trainP, benchP, idCol, textCol, threshold = fuzzyThreshold)
       .select(col("id"), lit(true).as("fuzzy"))
+    // containment scan against the benchmark ITEMS — the matrix treats
+    // each bench doc's first `chunkSize` tokens as the item (the
+    // embedded-benchmark fixture convention); windows of the train docs
+    // are LSH-matched item-vs-window
+    val benchItems = benchP.select(col(idCol),
+      concat_ws(" ", slice(graft.text.TextAnalysis.tokens(col(textCol)), 1, chunkSize))
+        .as(textCol))
+    val chunked = Decontaminate
+      .flagNearContaminatedChunked(trainP, benchItems, idCol, textCol,
+        chunkSize = chunkSize, stride = chunkStride, threshold = chunkThreshold)
+      .select(col("id"), lit(true).as("chunked"))
     val semantic = graft.similarity.SemanticDecontam
       .flagSemanticContaminated(trainVecs, benchVecs, tau, vecIdCol, vecCol)
       .select(col("id"), lit(true).as("semantic"))
     exact
       .join(fuzzy, Seq("id"), "left")
+      .join(chunked, Seq("id"), "left")
       .join(semantic, Seq("id"), "left")
       .select(col("id"), col("exact"),
         coalesce(col("fuzzy"), lit(false)).as("fuzzy"),
+        coalesce(col("chunked"), lit(false)).as("chunked"),
         coalesce(col("semantic"), lit(false)).as("semantic"))
-      .withColumn("contaminated", col("exact") || col("fuzzy") || col("semantic"))
+      .withColumn("contaminated",
+        col("exact") || col("fuzzy") || col("chunked") || col("semantic"))
   }
 }

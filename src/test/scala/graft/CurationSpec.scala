@@ -123,6 +123,12 @@ class CurationSpec extends SparkTestBase {
     val fuzzy = graft.text.Decontaminate
       .flagNearContaminated(train, bench, "doc_id", "text", threshold = 0.9)
       .select("id").collect().map(_.getLong(0)).toSet
+    val benchItems = bench.select(col("doc_id"),
+      concat_ws(" ", slice(graft.text.TextAnalysis.tokens(col("text")), 1, 24)).as("text"))
+    val chunked = graft.text.Decontaminate
+      .flagNearContaminatedChunked(train, benchItems, "doc_id", "text",
+        chunkSize = 24, stride = 12, threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
     val sem = graft.similarity.SemanticDecontam
       .flagSemanticContaminated(tv, bv, tau = 0.3)
       .select("id").collect().map(_.getLong(0)).toSet
@@ -130,15 +136,18 @@ class CurationSpec extends SparkTestBase {
       val id = r.getLong(0)
       assert(r.getBoolean(1) === exact(id), s"exact column, doc $id")
       assert(r.getBoolean(2) === fuzzy.contains(id), s"fuzzy column, doc $id")
-      assert(r.getBoolean(3) === sem.contains(id), s"semantic column, doc $id")
-      assert(r.getBoolean(4) === (r.getBoolean(1) || r.getBoolean(2) || r.getBoolean(3)))
+      assert(r.getBoolean(3) === chunked.contains(id), s"chunked column, doc $id")
+      assert(r.getBoolean(4) === sem.contains(id), s"semantic column, doc $id")
+      assert(r.getBoolean(5) === (r.getBoolean(1) || r.getBoolean(2) ||
+        r.getBoolean(3) || r.getBoolean(4)))
     }
     // the matrix must exercise DISAGREEMENT — a family flagging a doc
     // the others miss is the artifact's reason to exist
-    val rows = m.collect().map(r => (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
-    assert(rows.exists { case (e, f, s) => s && !e && !f },
+    val rows = m.collect().map(r =>
+      (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.exists { case (e, f, _, s) => s && !e && !f },
       "fixture must contain semantic-only (paraphrase-class) flags")
-    assert(rows.exists { case (e, f, s) => !e && !f && !s }, "and clean docs")
+    assert(rows.exists { case (e, f, c, s) => !e && !f && !c && !s }, "and clean docs")
 
     // a train doc with NO embedding row can still be token-flagged but
     // never semantically (NULL-safe false)
