@@ -4061,9 +4061,9 @@ object SparkEntry {
                             FROM co)
                       WHERE rn = 32),
               bits AS (SELECT co.doc_id,
-                              SUM(CASE WHEN co.coef > med.m
+                              CAST(SUM(CASE WHEN co.coef > med.m
                                   THEN CAST(1 AS BIGINT) << (v * 8 + u - 1)
-                                  ELSE 0 END) AS phash
+                                  ELSE 0 END) AS BIGINT) AS phash
                        FROM co JOIN med USING (doc_id)
                        GROUP BY co.doc_id)
             SELECT doc_id, phash FROM bits ORDER BY doc_id""")
@@ -8052,6 +8052,37 @@ object SparkEntry {
               ON a.doc_id < b.doc_id AND bit_count(xor(a.u, b.u)) <= 2
             ORDER BY id_a, id_b"""))
 
+  /** STEADY-STATE streaming image near-dup ([[graft.streaming
+    * .MediaIngest.startSteady]]): the same fused decode+hash+check+admit
+    * loop, but the hash history lives as a Hamming-blocked stored index
+    * ([[graft.dedup.NearDup.writeSimHashIndex]]) instead of a flat
+    * table — per micro-batch the flat form re-reads and re-blocks ALL
+    * accumulated hashes (O(history) per batch), while here probes
+    * partition-prune to the pkeys the batch touches. Indexed ≡ flat by
+    * the stored-blocking contract, so q_stream_image_dedup's oracle is
+    * shared verbatim.
+    */
+  private val qStreamImageDedupSteady = Q(
+    (s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("graft_stream_media_steady")
+      val idxPath = tmp.resolve("idx").toString
+      val pairsPath = tmp.resolve("pairs").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val stream = Tables.readTableStream(s, dir, "documents")
+        .filter(col("doc_id") < 120)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, graft.multimodal.Multimodal.makeBmp(16, 16, id % 40)))
+        .toDF("doc_id", "payload")
+      val q = graft.streaming.MediaIngest.startSteady(
+        s, stream, idxPath, pairsPath, ckpt, maxHamming = 2)
+      q.awaitTermination()
+      s.read.parquet(pairsPath)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+    qStreamImageDedup.oracle)
+
   /** Streaming SEMANTIC decontamination at ingest ([[graft.streaming
     * .DecontamIngest.startSemantic]]) — the (streaming × semantic) cell
     * of the decontamination matrix: embedding micro-batches gated
@@ -9123,6 +9154,7 @@ object SparkEntry {
     "q_stream_decontam" -> qStreamDecontam,
     "q_stream_decontam_semantic" -> qStreamDecontamSemantic,
     "q_stream_image_dedup" -> qStreamImageDedup,
+    "q_stream_image_dedup_steady" -> qStreamImageDedupSteady,
     "q_stream_bm25_ingest" -> qStreamBm25Ingest,
     "q_dup_spans_removed" -> qDupSpansRemoved,
     "q_multi_phrase" -> qMultiPhrase,

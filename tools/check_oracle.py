@@ -17,6 +17,29 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+import pyarrow as pa
+
+
+def _family(t: "pa.DataType") -> str:
+    """Python-value family of an arrow type — the granularity the driver's
+    hash distinguishes (int widths collapse to int; decimal is its own)."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_family(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(
+            f"{t.field(i).name}:{_family(t.field(i).type)}" for i in range(t.num_fields)) + ">"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    return str(t)
+
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
@@ -43,6 +66,19 @@ def main(sf_dir: str, out_dir: str) -> int:
         if ecols != gcols:
             problems.append(f"cols exp={ecols} got={gcols}")
         else:
+            # Type-drift check: the driver's hash canonicalizes integer
+            # WIDTHS (int32 vs int64 hash alike — q_range_frame is green)
+            # but NOT type families (DuckDB widening SUM(BIGINT) to
+            # decimal128(38,0) vs Spark's int64 broke q_image_phash in
+            # r15 with equal values). Flag drift across families so that
+            # class fails locally before the driver sees it.
+            for c in ecols:
+                et = _family(exp.schema.field(c).type)
+                gt = _family(got.schema.field(c).type)
+                if et != gt:
+                    problems.append(
+                        f"type-family drift on '{c}': oracle={exp.schema.field(c).type}"
+                        f" spark={got.schema.field(c).type}")
             e = exp.select(ecols).to_pylist()
             g = got.select(gcols).to_pylist()
             if e != g:
