@@ -4168,6 +4168,132 @@ object SparkEntry {
             SELECT id_a, id_b, n_pairs FROM agg
             WHERE n_pairs >= 2 ORDER BY id_a, id_b"""))
 
+  /** SPECTRAL per-frame video hashing ([[graft.multimodal.Multimodal
+    * .videoFramePHashes]]): 32×32 animated GIFs — the minimum canvas
+    * the DCT key is defined on (16×16 gate fixtures hash via aHash
+    * only) — decoded frame by frame, one [[graft.multimodal.Multimodal
+    * .pHash64]] per composited frame. At 32×32 each DCT cell is exactly
+    * one pixel, so the oracle replays the WHOLE law per frame: pixel
+    * closed form → quantized DCT basis product → 32nd-smallest-of-63
+    * median → strict-> threshold bits.
+    */
+  private val qVideoPHash = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 60)
+        .map(id => (id, graft.multimodal.Multimodal.makeGifAnimated(
+          32, 32, id, 2 + (id % 3).toInt)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.videoFramePHashes(s, bins)
+        .orderBy("doc_id", "frame_idx")
+    }, {
+      val basis = graft.multimodal.Multimodal.PHashBasis.mkString(", ")
+      Some(s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+              fr AS (SELECT doc_id, f.f AS f FROM ids
+                     JOIN generate_series(0, 3) f(f) ON f.f < 2 + doc_id % 3),
+              cells AS (SELECT doc_id, f, r.r AS gy, x.x AS gx,
+                          CAST((doc_id + 3*((doc_id + f*17 + r.r*31 + x.x*7) % 256)) % 256
+                             + (doc_id + 5*((doc_id + f*17 + r.r*31 + x.x*7) % 256)) % 256
+                             + (doc_id + 7*((doc_id + f*17 + r.r*31 + x.x*7) % 256)) % 256
+                            AS BIGINT) AS cv
+                        FROM fr
+                        JOIN generate_series(0, 31) r(r) ON TRUE
+                        JOIN generate_series(0, 31) x(x) ON TRUE),
+              basis AS (SELECT t.i // 32 AS u, t.i % 32 AS x,
+                               CAST(([$basis])[t.i + 1] AS BIGINT) AS b
+                        FROM generate_series(0, 1023) t(i)),
+              co AS (SELECT c.doc_id, c.f, bu.u AS u, bv.u AS v,
+                            SUM(c.cv * bu.b * bv.b) AS coef
+                     FROM cells c
+                     JOIN basis bu ON bu.x = c.gx AND bu.u < 8
+                     JOIN basis bv ON bv.x = c.gy AND bv.u < 8
+                     WHERE NOT (bu.u = 0 AND bv.u = 0)
+                     GROUP BY 1, 2, 3, 4),
+              med AS (SELECT doc_id, f, coef AS m
+                      FROM (SELECT doc_id, f, coef,
+                                   row_number() OVER (PARTITION BY doc_id, f
+                                                      ORDER BY coef) AS rn
+                            FROM co)
+                      WHERE rn = 32),
+              bits AS (SELECT co.doc_id, co.f,
+                              CAST(SUM(CASE WHEN co.coef > med.m
+                                  THEN CAST(1 AS BIGINT) << (v * 8 + u - 1)
+                                  ELSE 0 END) AS BIGINT) AS fhash
+                       FROM co JOIN med USING (doc_id, f)
+                       GROUP BY co.doc_id, co.f)
+            SELECT doc_id, CAST(f AS BIGINT) AS frame_idx, fhash
+            FROM bits ORDER BY doc_id, frame_idx""")
+    })
+
+  /** Clip-level near-dup on the SPECTRAL key ([[graft.multimodal
+    * .Multimodal.videoNearDups]] over [[graft.multimodal.Multimodal
+    * .videoFramePHashes]] — the blocked Hamming join is hash-agnostic):
+    * 32×32 clips with seed = id mod 40, so clip i and i+40 are exact
+    * duplicates (2 frames each at Hamming 0). This is the re-render
+    * duplicate class's clip detector: pHash holds under smooth global
+    * change where aHash reorders (the measured division of labor in
+    * pHash64's doc). The oracle replays the per-frame pHash law AND the
+    * full cross-pair bit_count(xor) ≤ 2 / n_pairs ≥ 2 fold — the rule,
+    * not just the plant.
+    */
+  private val qVideoNearDupPHash = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 80)
+        .map(id => (id, graft.multimodal.Multimodal.makeGifAnimated(
+          32, 32, id % 40, 2)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.videoNearDups(
+          graft.multimodal.Multimodal.videoFramePHashes(s, bins),
+          maxHamming = 2, minPairs = 2)
+        .orderBy("id_a", "id_b")
+    }, {
+      val basis = graft.multimodal.Multimodal.PHashBasis.mkString(", ")
+      Some(s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 80),
+              fr AS (SELECT doc_id, doc_id % 40 AS seed, f.f AS f FROM ids
+                     JOIN generate_series(0, 1) f(f) ON TRUE),
+              cells AS (SELECT doc_id, f, r.r AS gy, x.x AS gx,
+                          CAST((seed + 3*((seed + f*17 + r.r*31 + x.x*7) % 256)) % 256
+                             + (seed + 5*((seed + f*17 + r.r*31 + x.x*7) % 256)) % 256
+                             + (seed + 7*((seed + f*17 + r.r*31 + x.x*7) % 256)) % 256
+                            AS BIGINT) AS cv
+                        FROM fr
+                        JOIN generate_series(0, 31) r(r) ON TRUE
+                        JOIN generate_series(0, 31) x(x) ON TRUE),
+              basis AS (SELECT t.i // 32 AS u, t.i % 32 AS x,
+                               CAST(([$basis])[t.i + 1] AS BIGINT) AS b
+                        FROM generate_series(0, 1023) t(i)),
+              co AS (SELECT c.doc_id, c.f, bu.u AS u, bv.u AS v,
+                            SUM(c.cv * bu.b * bv.b) AS coef
+                     FROM cells c
+                     JOIN basis bu ON bu.x = c.gx AND bu.u < 8
+                     JOIN basis bv ON bv.x = c.gy AND bv.u < 8
+                     WHERE NOT (bu.u = 0 AND bv.u = 0)
+                     GROUP BY 1, 2, 3, 4),
+              med AS (SELECT doc_id, f, coef AS m
+                      FROM (SELECT doc_id, f, coef,
+                                   row_number() OVER (PARTITION BY doc_id, f
+                                                      ORDER BY coef) AS rn
+                            FROM co)
+                      WHERE rn = 32),
+              hs AS (SELECT co.doc_id, co.f,
+                            CAST(SUM(CASE WHEN co.coef > med.m
+                                THEN 1::HUGEINT << (v * 8 + u - 1)
+                                ELSE 0::HUGEINT END) AS UBIGINT) AS u
+                     FROM co JOIN med USING (doc_id, f)
+                     GROUP BY co.doc_id, co.f),
+              p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM hs a JOIN hs b
+                      ON a.doc_id < b.doc_id
+                     AND bit_count(xor(a.u, b.u)) <= 2),
+              agg AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                      FROM p GROUP BY 1, 2)
+            SELECT id_a, id_b, n_pairs FROM agg
+            WHERE n_pairs >= 2 ORDER BY id_a, id_b""")
+    })
+
   /** Perceptual image hashing over JPEG payloads ([[graft.multimodal
     * .Multimodal.imageAHashes]] through the REAL entropy path): 64×64
     * grayscale DC-only JPEGs — baseline (even ids) and PROGRESSIVE
@@ -9007,6 +9133,8 @@ object SparkEntry {
     "q_image_phash" -> qImagePHash,
     "q_video_hashes" -> qVideoHashes,
     "q_video_neardup" -> qVideoNearDup,
+    "q_video_phash" -> qVideoPHash,
+    "q_video_neardup_phash" -> qVideoNearDupPHash,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_neardup" -> qImageNearDup,
     "q_audio_fingerprint" -> qAudioFingerprint,

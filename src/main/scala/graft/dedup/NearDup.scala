@@ -631,4 +631,102 @@ object NearDup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Partition key for the STORED simhash index: block id × a hash of
+    * the block value, folded into `parts` cells per block. Placement
+    * only — results never depend on it: a candidate pair shares an
+    * entire (blk, bv, bv2) key exactly (the pigeonhole guarantee), so
+    * it shares the pkey too, and a probe can prune the store to the
+    * pkeys its own postings land in.
+    */
+  private def simIndexPKey(parts: Int): Column =
+    col("blk") * parts +
+      pmod(xxhash64(lit("simidx"), col("blk"), col("bv"), col("bv2")), lit(parts.toLong))
+
+  private def simIndexPostings(sims: DataFrame, maxHamming: Int, parts: Int): DataFrame =
+    hammingBlocked(sims, hammingBlockKeys(maxHamming))
+      .withColumn("pkey", simIndexPKey(parts))
+
+  /** Persist a SimHash/perceptual-hash near-dup index: posting rows
+    * (id, simhash, blk, bv, bv2) under `path/post` PARTITIONED BY a
+    * Hamming-block pkey, plus `path/meta` = (maxhamming, parts) so
+    * probes derive the exact stored blocking (no caller knob can
+    * mismatch) — the [[graft.similarity.Ann.writeEmbedNearDupIndex]]
+    * pattern applied to the 64-bit Hamming families (text SimHash,
+    * image aHash/pHash, audio fingerprints). Without it, every ingest
+    * batch re-reads and re-blocks the FULL hash history
+    * (O(history) per micro-batch — the r15 MediaIngest gap); with it a
+    * batch's probe partition-prunes to the pkeys the batch itself
+    * touches. Postings are 5 narrow columns ≈ 40 bytes × (nBlocks per
+    * hash) — tiny next to any media corpus.
+    *
+    * `batchId`: segments the postings under `batch_id=` for the
+    * streaming retry rule (probes pin `batch_id < current`); None for a
+    * one-shot build.
+    */
+  def writeSimHashIndex(sims: DataFrame, path: String, maxHamming: Int = 3,
+                        parts: Int = 64, batchId: Option[Long] = None): Unit = {
+    val spark = sims.sparkSession
+    graft.ops.Segments.writer(
+        simIndexPostings(sims, maxHamming, parts), "overwrite", batchId)
+      // one file per (batch, pkey), not tasks × pkeys (the index fan-out rule)
+      .partitionBy("batch_id", "pkey").parquet(s"$path/post")
+    import spark.implicits._
+    Seq((maxHamming, parts)).toDF("maxhamming", "parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Append a batch's hashes to the stored simhash index with the STORED
+    * blocking geometry — the admit step of the streaming media loop.
+    * Dynamic overwrite of this batch's own partitions: a retried batch
+    * replaces instead of double-appending (the [[graft.ops.Segments]]
+    * contract).
+    */
+  def appendSimHashIndex(sims: DataFrame, path: String, batchId: Long): Unit = {
+    val spark = sims.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    graft.ops.Segments.writer(
+        simIndexPostings(sims, meta.getAs[Int]("maxhamming"), meta.getAs[Int]("parts")),
+        "append", Some(batchId))
+      .partitionBy("batch_id", "pkey").parquet(s"$path/post")
+  }
+
+  /** [[simHashNearDupsAgainstCorpus]] against the STORED index: the
+    * seen side's posting rows come pre-blocked off `path/post`,
+    * partition-pruned to the pkeys the batch's own postings touch —
+    * per-batch cost tracks the touched slice of history, not all of it.
+    * `beforeBatch` pins `batch_id < b` (a streaming retry must not see
+    * its own partial rows — the ClusterIngest convention). Identical
+    * pairs to the from-raw detector by construction: same blocking from
+    * stored meta, same exact Hamming filter on candidates.
+    */
+  def simHashNearDupsAgainstIndex(newSims: DataFrame, path: String,
+                                  beforeBatch: Option[Long] = None): DataFrame = {
+    val spark = newSims.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (maxHamming, parts) = (meta.getAs[Int]("maxhamming"), meta.getAs[Int]("parts"))
+    // two consumers (pkey list + candidate join) and true stats
+    val l = simIndexPostings(newSims.localCheckpoint(), maxHamming, parts)
+      .select(col("pkey"), col("blk"), col("bv"), col("bv2"),
+        col("id").as("new_id"), col("simhash").as("sh_a"))
+      .localCheckpoint()
+    // pkey space is nKeys × parts (e.g. 4 × 64 = 256 at radius 3) — the
+    // distinct list is always collectable
+    val touched = l.select("pkey").distinct().collect().map(_.getLong(0))
+    val post = spark.read.parquet(s"$path/post")
+    val sliced = beforeBatch.map(b => post.filter(col("batch_id") < b)).getOrElse(post)
+    val pkeyLits: Seq[Any] =
+      if (sliced.schema("pkey").dataType == org.apache.spark.sql.types.IntegerType)
+        touched.map(_.toInt).toSeq
+      else touched.toSeq
+    val r = sliced.filter(col("pkey").isin(pkeyLits: _*)) // partition prune
+      .select(col("blk"), col("bv"), col("bv2"),
+        col("id").as("seen_id"), col("simhash").as("sh_b"))
+    l.join(r, Seq("blk", "bv", "bv2"))
+      .filter(col("new_id") =!= col("seen_id"))
+      .select(col("new_id"), col("seen_id"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -2695,6 +2695,33 @@ object Multimodal {
       .toDF(idCol, "frame_idx", "fhash")
   }
 
+  /** (doc_id, frame_idx, fhash) of SPECTRAL per-frame hashes — the
+    * [[videoFrameHashes]] shape with [[pHash64]] instead of [[aHash64]].
+    * The clip-level key for the gradient/re-render duplicate class:
+    * a smooth global change (lighting ramp, vignette, re-encode shading)
+    * moves ~4 pHash bits where it moves ~30 aHash bits (the measured
+    * MediaHashProbe A/B in [[pHash64]]'s doc), so clip near-dup over
+    * these hashes ([[videoNearDups]] — the blocked Hamming join is
+    * hash-agnostic) catches re-renders the block-mean key can't.
+    * Frames below 32×32 emit NO rows (pHash needs the full 32×32 cell
+    * grid); run both keys when the duplicate class is unknown.
+    */
+  def videoFramePHashes(spark: SparkSession, df: DataFrame,
+                        idCol: String = "doc_id",
+                        payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        gifFrameGrids(bytes).toSeq.flatMap { case (w, h, frames) =>
+          frames.zipWithIndex.flatMap { case (g, fi) =>
+            pHash64(w, h, g).map(hh => (id, fi.toLong, hh))
+          }
+        }
+      })
+      .toDF(idCol, "frame_idx", "fhash")
+  }
+
   /** Near-duplicate VIDEO pairs: two clips match when at least
     * `minPairs` of their cross-clip frame-hash pairs sit within
     * `maxHamming` bits (n_pairs counts matched frame PAIRS — a shared

@@ -458,6 +458,99 @@ object Ann {
       .filter(col("cosine") >= threshold)
   }
 
+  /** A stored embed index resolved ONCE for a whole stream/session: the
+    * geometry constants plus the seen side fully staged — tombstones
+    * applied, over-cap buckets dropped, rows materialized via
+    * localCheckpoint (lineage-free, true stats). Everything in here is
+    * immutable for the life of the handle, which is exactly the fused
+    * steady loop's contract: the index does not move while the stream
+    * runs, so meta collects, index-file listings, bucket-cap
+    * aggregations and corpus counts belong at stream START, not in the
+    * foreachBatch hot loop (the r15 steady row paid all four per
+    * micro-batch and ran 1.8× SLOWER than its from-raw twin).
+    */
+  final case class EmbedIndexHandle private[similarity] (
+      bits: Int, dim: Int, seed: Long, maxBucket: Int,
+      seen: DataFrame, bigSeen: Boolean)
+
+  /** Resolve a stored embed near-dup index ([[writeEmbedNearDupIndex]])
+    * into an [[EmbedIndexHandle]]: one meta read, one staging pass over
+    * `path/vecs` (tombstone anti-join + bucket cap), one materialize,
+    * one count. Per-probe cost against the handle is then pure batch
+    * work — see [[embeddingNearDupsAgainstHandle]].
+    *
+    * Scale note: the handle pins the LIVE capped index in executor
+    * storage (memory, spilling to local disk). That is the right trade
+    * for a stream that will probe the same index every micro-batch; a
+    * ONE-SHOT probe of a huge index should keep using the path-based
+    * [[embeddingNearDupsAgainstIndex]], whose partition-pruned read
+    * touches only the batch's buckets and stages nothing.
+    */
+  def openEmbedNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            maxBucket: Int = 1000): EmbedIndexHandle = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (bits, dim, seed) =
+      (meta.getAs[Int]("nbits"), meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    val staged = minusEmbedTombstones(spark,
+      spark.read.parquet(s"$path/vecs")
+        .select(col("bucket").cast("long").as("bucket"),
+          col("id").as("seen_id"), col("vec").as("vec_seen"),
+          col("nrm").as("n_seen")),
+      path)
+    val okBuckets = staged.groupBy("bucket").count()
+      .filter(col("count") <= maxBucket).select("bucket")
+    // pre-partition by the join key BEFORE pinning: the cached side then
+    // satisfies every per-batch bucket join's distribution requirement,
+    // so only the (small) batch side shuffles each micro-batch
+    val seen = staged.join(okBuckets, Seq("bucket"))
+      .repartition(col("bucket")).localCheckpoint()
+    val bigSeen = seen.count() > graft.dedup.NearDup.BroadcastSafeRows
+    EmbedIndexHandle(bits, dim, seed, maxBucket, seen, bigSeen)
+  }
+
+  /** [[embeddingNearDupsAgainstIndex]] against a pre-resolved
+    * [[EmbedIndexHandle]] — identical pairs by construction (same
+    * geometry, same live set, same caps; the cap decisions are
+    * per-bucket totals either way), but the per-call cost is ONLY batch
+    * work: stage the batch, list its buckets, filter the cached seen
+    * side, one bucket equi-join. No meta collect, no index listing, no
+    * cap re-aggregation, no history-sized count — those were paid once
+    * in [[openEmbedNearDupIndex]].
+    */
+  def embeddingNearDupsAgainstHandle(newVecs: DataFrame,
+                                     handle: EmbedIndexHandle,
+                                     threshold: Double,
+                                     idCol: String = "vec_id",
+                                     vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(handle.bits, handle.dim, handle.seed)
+    val neu = requireDim(
+        newVecs.select(col(idCol).as("new_id"), col(vecCol).as("vec_new")),
+        col("vec_new"), handle.dim, "embeddingNearDupsAgainstHandle")
+      .withColumn("bucket", bucketExpr(col("vec_new"), planes))
+      .withColumn("n_new", VectorOps.norm(col("vec_new")))
+      // two consumers (bucket list + candidate join) and true stats
+      .localCheckpoint()
+    val batchBuckets = neu.select("bucket").distinct()
+      .limit(1025).collect().map(_.getLong(0))
+    // narrow the cached seen side to the batch's buckets — an in-memory
+    // filter (the cached analogue of the path variant's partition
+    // prune); a saturating batch (>1024 buckets) skips the inert filter
+    val seen =
+      if (batchBuckets.length <= 1024)
+        handle.seen.filter(col("bucket").isin(batchBuckets.map(b => b: Any): _*))
+      else handle.seen
+    val bigNew = neu.count() > graft.dedup.NearDup.BroadcastSafeRows
+    graft.dedup.NearDup.mergeIfBig(neu, bigNew)
+      .join(graft.dedup.NearDup.mergeIfBig(seen, handle.bigSeen), Seq("bucket"))
+      .filter(col("new_id") =!= col("seen_id"))
+      .select(col("new_id"), col("seen_id"),
+        round(VectorOps.cosineFromParts(
+          VectorOps.dot(col("vec_new"), col("vec_seen")),
+          col("n_new"), col("n_seen")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Recall@k of an approximate top-k result against the exact one —
     * the evaluation every ANN deployment needs before trusting an index
     * (and the number the IVF/LSH knob guidance in BASELINE.md is stated

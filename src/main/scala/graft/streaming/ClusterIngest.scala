@@ -116,12 +116,30 @@ object ClusterIngest {
     srcIds.size
   }
 
+  /** Post-write maintenance hook shared by every loop below: every
+    * `compactEvery` committed batches, fold the label segments so
+    * [[readLabels]]' per-batch segment list stays bounded by the cadence
+    * instead of growing one segment per micro-batch forever (without
+    * this, per-batch read cost grows linearly in stream age ⇒ quadratic
+    * total). Transparent to retries: the fold segment ranks below every
+    * live batch id, so a replayed batch reads the identical labeling.
+    * `compactEvery <= 0` disables.
+    */
+  private def maybeCompact(spark: SparkSession, path: String,
+                           batchId: Long, compactEvery: Int): Unit =
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      compactLabels(spark, path, upTo = batchId)
+      () // segments-folded count is a maintenance detail here
+    }
+
   def start(spark: SparkSession, pairStream: DataFrame, path: String,
             checkpoint: String,
-            aCol: String = "id_a", bCol: String = "id_b"): StreamingQuery =
+            aCol: String = "id_a", bCol: String = "id_b",
+            compactEvery: Int = 16): StreamingQuery =
     pairStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatch(batch, batchId, path, aCol, bCol)
+        maybeCompact(spark, path, batchId, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -144,7 +162,8 @@ object ClusterIngest {
                        nBits: Int = graft.similarity.Ann.AutoBits,
                        maxBucket: Int = 1000,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): StreamingQuery =
+                       vecCol: String = "embedding",
+                       compactEvery: Int = 16): StreamingQuery =
     vecStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatch(
@@ -152,6 +171,7 @@ object ClusterIngest {
             batch, seenVecs, threshold, nBits = nBits, maxBucket = maxBucket,
             idCol = idCol, vecCol = vecCol),
           batchId, path, aCol = "new_id", bCol = "seen_id")
+        maybeCompact(spark, path, batchId, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -159,27 +179,36 @@ object ClusterIngest {
 
   /** [[startFromVectors]] probing the STORED embed index
     * ([[graft.similarity.Ann.writeEmbedNearDupIndex]]) instead of raw
-    * seen vectors — the steady-state fused loop: the from-raw form
-    * re-stages the seen side (bucket + norm passes over history) inside
-    * EVERY micro-batch, while here the seen side comes off the
-    * bucket-partitioned index at zero staging cost and small batches
-    * partition-prune. Identical labels by the indexed ≡ from-raw
-    * contract (shares the gate oracle verbatim).
+    * seen vectors — the steady-state fused loop. The index is IMMUTABLE
+    * for the life of the stream, so everything index-shaped is resolved
+    * exactly once here, before the stream starts
+    * ([[graft.similarity.Ann.openEmbedNearDupIndex]]: meta collect,
+    * index-file read, tombstone anti-join, bucket-cap aggregation, one
+    * materialize + count) and the foreachBatch closes over the handle —
+    * per micro-batch only batch-sized work remains. (The r15 shape
+    * re-paid all of that inside every micro-batch and measured 1.8×
+    * SLOWER than its from-raw twin; hoisting is the fix the steady
+    * split's claim was always about.) Identical labels by the indexed ≡
+    * from-raw contract (shares the gate oracle verbatim).
     */
   def startFromIndex(spark: SparkSession, vecStream: DataFrame,
                      indexPath: String, threshold: Double, path: String,
                      checkpoint: String, maxBucket: Int = 1000,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): StreamingQuery =
+                     vecCol: String = "embedding",
+                     compactEvery: Int = 16): StreamingQuery = {
+    val handle = graft.similarity.Ann.openEmbedNearDupIndex(
+      spark, indexPath, maxBucket = maxBucket)
     vecStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatch(
-          graft.similarity.Ann.embeddingNearDupsAgainstIndex(
-            batch, indexPath, threshold, maxBucket = maxBucket,
-            idCol = idCol, vecCol = vecCol),
+          graft.similarity.Ann.embeddingNearDupsAgainstHandle(
+            batch, handle, threshold, idCol = idCol, vecCol = vecCol),
           batchId, path, aCol = "new_id", bCol = "seen_id")
+        maybeCompact(spark, path, batchId, compactEvery)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

@@ -74,4 +74,73 @@ object MediaIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** One steady micro-batch against the INDEXED history — public so a
+    * retry can be simulated. Identical pair semantics to [[writeBatch]]
+    * (probe ≡ from-raw by the stored-blocking contract); the history
+    * side is the partition-pruned simhash index instead of a full
+    * re-read + re-block of every stored hash.
+    */
+  def writeBatchSteady(batch: DataFrame, batchId: Long,
+                       indexPath: String, pairsPath: String,
+                       idCol: String, payloadCol: String): Unit = {
+    val spark = batch.sparkSession
+    val newHashes = graft.multimodal.Multimodal
+      .imageAHashes(spark, batch, idCol, payloadCol)
+      // one decode pass ever: probe, in-batch join and admit all consume
+      // the pinned hashes
+      .localCheckpoint()
+    val sims = newHashes.select(col(idCol).as("id"), col("ahash").as("simhash"))
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = spark.read.parquet(s"$indexPath/meta").collect().head
+    val maxHamming = meta.getAs[Int]("maxhamming")
+    val vsSeen =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/post")))
+        graft.dedup.NearDup
+          .simHashNearDupsAgainstIndex(sims, indexPath, beforeBatch = Some(batchId))
+          .select(least(col("new_id"), col("seen_id")).as("id_a"),
+            greatest(col("new_id"), col("seen_id")).as("id_b"),
+            col("hamming"))
+      else sims.select(col("id").as("id_a"), col("id").as("id_b"),
+        bit_count(col("simhash")).as("hamming")).limit(0)
+    val inBatch = graft.dedup.NearDup.simHashNearDups(sims, maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    graft.ops.Segments.writer(
+        vsSeen.unionByName(inBatch).distinct(), "append", Some(batchId))
+      .partitionBy("batch_id").parquet(pairsPath)
+    graft.dedup.NearDup.appendSimHashIndex(sims, indexPath, batchId)
+  }
+
+  /** [[start]] with the hash history kept as a STORED Hamming-blocked
+    * index ([[graft.dedup.NearDup.writeSimHashIndex]]) instead of a
+    * flat table — the steady-state split: per micro-batch the flat
+    * form re-reads and re-blocks the FULL accumulated hash history
+    * (O(history) per batch — fine at gate scale, a scale-killer at
+    * 10⁹-image history), while here the history is stored pre-blocked
+    * and partition-pruned to the pkeys the batch touches. Index
+    * geometry is pinned ONCE here (meta written before the stream
+    * starts, with the blocking radius); every batch probes
+    * `batch_id < current` and appends its own postings exactly-once —
+    * identical pair stream to [[start]] (shares its oracle verbatim).
+    */
+  def startSteady(spark: SparkSession, newMedia: DataFrame,
+                  indexPath: String, pairsPath: String, checkpoint: String,
+                  maxHamming: Int = 3, parts: Int = 64,
+                  idCol: String = "doc_id",
+                  payloadCol: String = "payload"): StreamingQuery = {
+    val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+    if (!metaP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaP)) {
+      import spark.implicits._
+      Seq((maxHamming, parts)).toDF("maxhamming", "parts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+    }
+    newMedia.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchSteady(batch, batchId, indexPath, pairsPath, idCol, payloadCol)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -260,6 +260,38 @@ class AnnSpec extends SparkTestBase {
       s"expected a non-empty PartitionFilters on the index read:\n$p")
   }
 
+  test("openEmbedNearDupIndex handle ≡ path probe ≡ from-raw; tombstones honored") {
+    val tmp = java.nio.file.Files.createTempDirectory("embed_idx_handle").toString
+    val seen = emb.filter(col("vec_id") % 2 === 1)
+    val batch = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200)
+    Ann.writeEmbedNearDupIndex(seen, tmp, nBits = 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val handle = Ann.openEmbedNearDupIndex(spark, tmp)
+    val viaHandle = pairs(Ann.embeddingNearDupsAgainstHandle(batch, handle, threshold = 0.3))
+    val viaPath = pairs(Ann.embeddingNearDupsAgainstIndex(batch, tmp, threshold = 0.3))
+    assert(viaHandle === viaPath, "handle probe must equal the path probe")
+    assert(viaHandle.nonEmpty)
+    // the handle is a point-in-time snapshot: tombstones written BEFORE
+    // open are honored, exactly like the path variant
+    val victim = viaHandle.head._2
+    import spark.implicits._
+    Ann.deleteFromEmbedNearDupIndex(Seq(victim).toDF("vec_id"), tmp)
+    val h2 = Ann.openEmbedNearDupIndex(spark, tmp)
+    assert(pairs(Ann.embeddingNearDupsAgainstHandle(batch, h2, threshold = 0.3))
+      === viaHandle.filterNot(_._2 == victim))
+    // saturating probe (every bucket hit) also agrees with from-raw
+    val tmpSat = java.nio.file.Files.createTempDirectory("embed_idx_handle_sat").toString
+    Ann.writeEmbedNearDupIndex(seen, tmpSat, nBits = 2)
+    val full = emb.filter(col("vec_id") % 2 === 0)
+    val hSat = Ann.openEmbedNearDupIndex(spark, tmpSat)
+    val gotSat = Ann.embeddingNearDupsAgainstHandle(full, hSat, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawSat = Ann.embeddingNearDupsAgainstCorpus(full, seen, threshold = 0.3, nBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSat === rawSat)
+  }
+
   test("embeddingNearDupsAgainstIndex: coarse geometry and full-batch probes stay exact") {
     // nBits=2 (4 buckets): every bucket is hit by the full-parity batch,
     // so the prune filter degenerates to all buckets — results must

@@ -114,6 +114,28 @@ class ClusterIngestSpec extends SparkTestBase {
     assert(spark.read.parquet(store).select("batch_id").distinct().count() === 1)
   }
 
+  test("in-stream compaction cadence: labels identical, segment count bounded by cadence") {
+    val pairs = Seq((1L, 2L), (5L, 6L), (2L, 5L), (9L, 10L), (10L, 11L),
+      (20L, 21L), (21L, 9L), (30L, 31L), (31L, 1L), (40L, 41L)).toDF("id_a", "id_b")
+    val oneShot = labelMap(DupClusters.connectedComponentsStar(pairs))
+    val tmp = java.nio.file.Files.createTempDirectory("cluster_ingest_cadence")
+    val srcDir = tmp.resolve("src").toString
+    pairs.repartition(5).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val store = tmp.resolve("labels").toString
+    ClusterIngest.start(spark, stream, store, tmp.resolve("ckpt").toString,
+      compactEvery = 2).awaitTermination()
+    assert(labelMap(ClusterIngest.readLabels(spark, store)) === oneShot,
+      "compaction mid-stream must not change the read-back labeling")
+    // 5 micro-batches at cadence 2 → folds after batches 2 and 4 leave at
+    // most (one fold segment + cadence live batches) on disk, not 5
+    val nSegs = spark.read.parquet(store)
+      .select("batch_id").distinct().count()
+    assert(nSegs <= 3, s"expected ≤3 segments after cadence-2 folds, got $nSegs")
+  }
+
   test("startFromVectors: fused detector+maintenance ≡ batch detector + one-shot CC") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val newSide = emb.filter(col("vec_id") % 2 === 0)

@@ -69,4 +69,55 @@ class MediaIngestSpec extends SparkTestBase {
     assert(spark.read.parquet(tmp.resolve("h2").toString)
       .filter(col("doc_id") === 999L).count() === 0)
   }
+
+  test("startSteady (indexed history) emits the identical pair stream; probes prune") {
+    import spark.implicits._
+    val docs = (0L until 60L)
+      .map(id => (id, Multimodal.makeBmp(16, 16, id % 7)))
+      .toDF("doc_id", "payload")
+    val hashes = Multimodal.imageAHashes(spark, docs)
+      .select(col("doc_id").as("id"), col("ahash").as("simhash"))
+    val want = graft.dedup.NearDup.simHashNearDups(hashes, maxHamming = 2)
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    val tmp = java.nio.file.Files.createTempDirectory("media_ingest_steady")
+    val srcDir = tmp.resolve("src").toString
+    docs.repartition(5).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val idx = tmp.resolve("idx").toString
+    MediaIngest.startSteady(spark, stream, idx,
+      tmp.resolve("pairs").toString, tmp.resolve("ckpt").toString,
+      maxHamming = 2).awaitTermination()
+    val got = spark.read.parquet(tmp.resolve("pairs").toString)
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want, "indexed-history steady loop must equal the flat-history loop")
+
+    // the index accumulated one posting set per doc (3 blocks at radius 2)
+    val post = spark.read.parquet(s"$idx/post")
+    assert(post.select("id").distinct().count() === 60)
+    assert(post.count() === 60 * 3)
+
+    // a small probe's pkey list must reach the store as a partition filter
+    val probe = graft.dedup.NearDup.simHashNearDupsAgainstIndex(
+      hashes.filter(col("id") < 3), idx)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && !p.contains("PartitionFilters: []"),
+      s"expected a non-empty PartitionFilters on the index read:\n$p")
+
+    // retry: replaying a batch replaces its own partitions on both stores
+    // and must not pair the batch against its crashed-attempt postings
+    val b0 = docs.filter(col("doc_id") < 12)
+    MediaIngest.writeBatchSteady(b0, 0L, idx,
+      tmp.resolve("p2").toString, "doc_id", "payload")
+    val once = spark.read.parquet(tmp.resolve("p2").toString).count()
+    val oncePost = spark.read.parquet(s"$idx/post").count()
+    MediaIngest.writeBatchSteady(b0, 0L, idx,
+      tmp.resolve("p2").toString, "doc_id", "payload")
+    assert(spark.read.parquet(tmp.resolve("p2").toString).count() === once)
+    assert(spark.read.parquet(s"$idx/post").count() === oncePost)
+  }
 }

@@ -526,6 +526,32 @@ class MultimodalSpec extends SparkTestBase {
       "exact-dup clips must pair on all three frames, unrelated clips must not")
   }
 
+  test("videoFramePHashes: spectral per-frame key — dup clips pair, sub-32 emits none") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Multimodal.makeGifAnimated(32, 32, 5, 3)),
+      (1L, Multimodal.makeGifAnimated(32, 32, 5, 3)),   // exact dup of 0
+      (2L, Multimodal.makeGifAnimated(32, 32, 123, 3)), // unrelated
+      (3L, Multimodal.makeGifAnimated(16, 16, 5, 3)),   // below pHash's 32×32 floor
+      (4L, "not a gif".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val fh = Multimodal.videoFramePHashes(spark, rows).cache()
+    assert(fh.filter(col("doc_id") === 3L).count() === 0,
+      "sub-32×32 frames have no spectral key — aHash covers them")
+    assert(fh.filter(col("doc_id") === 4L).count() === 0)
+    assert(fh.filter(col("doc_id") === 0L).count() === 3)
+    // a single-frame clip's spectral key IS the image pHash of the GIF
+    val still = Seq((9L, Multimodal.makeGifAnimated(32, 32, 5, 1))).toDF("doc_id", "payload")
+    val frame0 = Multimodal.videoFramePHashes(spark, still).collect()
+    assert(frame0.length === 1 && frame0.head.getLong(1) === 0L)
+    assert(Multimodal.imagePHash(Multimodal.makeGifAnimated(32, 32, 5, 1))
+      .contains(frame0.head.getLong(2)))
+    val pairs = Multimodal.videoNearDups(fh, maxHamming = 0, minPairs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((0L, 1L, 3L)),
+      "exact-dup clips must pair on all three spectral frame keys")
+  }
+
   test("imageAHashes/imageNearDups: exact copies at Hamming 0, non-images emit no rows") {
     import spark.implicits._
     val rows = Seq(
