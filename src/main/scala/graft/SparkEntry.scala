@@ -3975,6 +3975,222 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
             FROM hs ORDER BY doc_id"""))
 
+  /** LOSSY audio through the real G.711 mu-law decode ([[graft
+    * .multimodal.Multimodal.muLawToPcm]] — the ITU expansion law, exact
+    * integer arithmetic): mono 8-bit companded WAV fixtures with
+    * closed-form bytes, fingerprinted from the DECODED samples. The
+    * oracle replays the expansion law itself — invert, rebuild the
+    * biased mantissa, shift by segment, strip the bias — then the
+    * 65-frame energy-delta fold, end to end in SQL.
+    */
+  private val qAudioFingerprintMulaw = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 50)
+        .map(id => (id, graft.multimodal.Multimodal.makeWavG711(
+          (600 + (id % 3) * 37).toInt, 8000, id, aLaw = false)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFingerprints(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (SELECT doc_id, CAST(600 + (doc_id % 3) * 37 AS INT) AS n
+                   FROM documents WHERE doc_id < 50),
+            sm AS (SELECT doc_id, n, i.i AS i,
+                          255 - ((doc_id + i.i * 11) % 256) AS u1
+                   FROM dims JOIN generate_series(0, 673) i(i) ON i.i < n),
+            dec AS (SELECT doc_id, n, i,
+                           CASE WHEN u1 >= 128
+                                THEN 132 - (((u1 % 16) * 8 + 132) << ((u1 // 16) % 8))
+                                ELSE (((u1 % 16) * 8 + 132) << ((u1 // 16) % 8)) - 132
+                           END AS v
+                    FROM sm),
+            fr AS (SELECT dims.doc_id, f.f AS f,
+                          (f.f * dims.n) // 65 AS lo, ((f.f + 1) * dims.n) // 65 AS hi
+                   FROM dims JOIN generate_series(0, 64) f(f) ON TRUE),
+            fe AS (SELECT fr.doc_id, fr.f, CAST(SUM(dec.v * dec.v) AS BIGINT) AS e
+                   FROM fr JOIN dec ON dec.doc_id = fr.doc_id
+                     AND dec.i >= fr.lo AND dec.i < fr.hi
+                   GROUP BY 1, 2),
+            bits AS (SELECT a.doc_id, a.f - 1 AS idx,
+                            CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                     FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                     WHERE a.f >= 1),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << idx) ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
+            FROM hs ORDER BY doc_id"""))
+
+  /** G.711 A-law twin of [[qAudioFingerprintMulaw]] — XOR 0x55, segment
+    * mantissa rebuild (seg 0: +8; seg 1: +0x108; else shifted), sign bit
+    * SET means positive. Same fixture/fingerprint frame, different law.
+    */
+  private val qAudioFingerprintAlaw = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 50)
+        .map(id => (id, graft.multimodal.Multimodal.makeWavG711(
+          (600 + (id % 3) * 37).toInt, 8000, id, aLaw = true)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFingerprints(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (SELECT doc_id, CAST(600 + (doc_id % 3) * 37 AS INT) AS n
+                   FROM documents WHERE doc_id < 50),
+            sm AS (SELECT doc_id, n, i.i AS i,
+                          xor((doc_id + i.i * 11) % 256, 85) AS a
+                   FROM dims JOIN generate_series(0, 673) i(i) ON i.i < n),
+            mag AS (SELECT doc_id, n, i, a,
+                           CASE (a // 16) % 8
+                                WHEN 0 THEN (a % 16) * 16 + 8
+                                WHEN 1 THEN (a % 16) * 16 + 264
+                                ELSE ((a % 16) * 16 + 264) << ((a // 16) % 8 - 1)
+                           END AS t
+                    FROM sm),
+            dec AS (SELECT doc_id, n, i,
+                           CASE WHEN a >= 128 THEN t ELSE -t END AS v
+                    FROM mag),
+            fr AS (SELECT dims.doc_id, f.f AS f,
+                          (f.f * dims.n) // 65 AS lo, ((f.f + 1) * dims.n) // 65 AS hi
+                   FROM dims JOIN generate_series(0, 64) f(f) ON TRUE),
+            fe AS (SELECT fr.doc_id, fr.f, CAST(SUM(dec.v * dec.v) AS BIGINT) AS e
+                   FROM fr JOIN dec ON dec.doc_id = fr.doc_id
+                     AND dec.i >= fr.lo AND dec.i < fr.hi
+                   GROUP BY 1, 2),
+            bits AS (SELECT a.doc_id, a.f - 1 AS idx,
+                            CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                     FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                     WHERE a.f >= 1),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << idx) ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
+            FROM hs ORDER BY doc_id"""))
+
+  /** LOSSY audio through the real IMA/DVI ADPCM decode ([[graft
+    * .multimodal.Multimodal.imaAdpcmDecode]] — the canonical 4-bit
+    * differential state machine over the published step/index tables):
+    * mono format-0x11 WAV fixtures, 2 independent 132-byte blocks (257
+    * samples each: header predictor + 256 nibbles). The oracle replays
+    * the WHOLE predictor/step recursion per block as a recursive CTE —
+    * clamps, table lookups, low-nibble-first order — then the 65-frame
+    * energy-delta fold. The decoded stream is genuinely lossy (4 bits
+    * per sample) and still bit-replayable, because the law is integer.
+    */
+  private val qAudioFingerprintAdpcm = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 40)
+        .map(id => (id, graft.multimodal.Multimodal.makeWavImaAdpcm(
+          2, 132, 8000, id)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFingerprints(s, bins)
+        .orderBy("doc_id")
+    }, {
+      val steps = graft.multimodal.Multimodal.ImaStepTable.mkString(", ")
+      Some(s"""WITH RECURSIVE ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+            init AS (SELECT doc_id, b.b AS b, -1 AS i,
+                            CAST((doc_id + 97 * b.b) % 4096 - 2048 AS BIGINT) AS pred,
+                            CAST((doc_id + 13 * b.b) % 89 AS BIGINT) AS idx
+                     FROM ids JOIN generate_series(0, 1) b(b) ON TRUE),
+            rec(doc_id, b, i, pred, idx) AS (
+              SELECT doc_id, b, i, pred, idx FROM init
+              UNION ALL
+              SELECT doc_id, b, i,
+                     GREATEST(-32768, LEAST(32767,
+                       pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)) AS pred,
+                     GREATEST(0, LEAST(88,
+                       idx + ([-1, -1, -1, -1, 2, 4, 6, 8])[(nib % 8) + 1])) AS idx
+              FROM (
+                SELECT doc_id, b, i, pred, idx, nib,
+                       step // 8 + (nib // 4) % 2 * step
+                         + (nib // 2) % 2 * (step // 2)
+                         + (nib % 2) * (step // 4) AS diff
+                FROM (
+                  SELECT doc_id, b, i, pred, idx, nib,
+                         ([$steps])[idx + 1] AS step
+                  FROM (
+                    SELECT doc_id, b, i + 1 AS i, pred, idx,
+                           CASE WHEN (i + 1) % 2 = 0
+                             THEN ((doc_id + 131 * b + 7 * (4 + (i + 1) // 2)) % 256) % 16
+                             ELSE ((doc_id + 131 * b + 7 * (4 + (i + 1) // 2)) % 256) // 16
+                           END AS nib
+                    FROM rec WHERE i < 255) n0) n1) n2),
+            sm AS (SELECT doc_id, b * 257 + i + 1 AS s, pred AS v FROM rec),
+            fr AS (SELECT ids.doc_id, f.f AS f,
+                          (f.f * 514) // 65 AS lo, ((f.f + 1) * 514) // 65 AS hi
+                   FROM ids JOIN generate_series(0, 64) f(f) ON TRUE),
+            fe AS (SELECT fr.doc_id, fr.f, CAST(SUM(sm.v * sm.v) AS BIGINT) AS e
+                   FROM fr JOIN sm ON sm.doc_id = fr.doc_id
+                     AND sm.s >= fr.lo AND sm.s < fr.hi
+                   GROUP BY 1, 2),
+            bits AS (SELECT a.doc_id, a.f - 1 AS idx,
+                            CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                     FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                     WHERE a.f >= 1),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << idx) ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
+            FROM hs ORDER BY doc_id""")
+    })
+
+  /** The MEASURED audio-decode boundary ([[graft.multimodal.Multimodal
+    * .audioCoverage]]): a mixed corpus across every sniffable container
+    * class — PCM16/FLAC/mu-law/A-law/ADPCM (decoded + fingerprinted)
+    * and MP3/OGG/AAC-shaped payloads (valid magics, no decode path) —
+    * folded to per-format (n_docs, n_fingerprinted). The formats the
+    * tier cannot decode are a NUMBER per corpus, not a footnote; the
+    * oracle replays the class arithmetic.
+    */
+  private val qAudioCoverage = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 400)
+        .map { id =>
+          val bytes = (id % 8) match {
+            case 0 => graft.multimodal.Multimodal.makeWav(600, 1, 8000, id)
+            case 1 => graft.multimodal.Flac.make(192, 1, 8000, id)
+            case 2 => graft.multimodal.Multimodal.makeWavG711(600, 8000, id, aLaw = false)
+            case 3 => graft.multimodal.Multimodal.makeWavG711(600, 8000, id, aLaw = true)
+            case 4 => graft.multimodal.Multimodal.makeWavImaAdpcm(2, 132, 8000, id)
+            case 5 => "ID3".getBytes("US-ASCII") ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
+            case 6 => "OggS".getBytes("US-ASCII") ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
+            case _ => Array(0xff.toByte, 0xf1.toByte) ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioCoverage(s, bins)
+        .orderBy("format")
+    },
+    Some("""WITH cls AS (SELECT doc_id, doc_id % 8 AS k FROM documents WHERE doc_id < 400),
+            fm AS (SELECT k,
+                          CASE k WHEN 0 THEN 'wav_pcm16' WHEN 1 THEN 'flac'
+                                 WHEN 2 THEN 'wav_mulaw' WHEN 3 THEN 'wav_alaw'
+                                 WHEN 4 THEN 'wav_ima_adpcm' WHEN 5 THEN 'mp3'
+                                 WHEN 6 THEN 'ogg' ELSE 'aac_adts' END AS format,
+                          CASE WHEN k <= 4 THEN 1 ELSE 0 END AS dec
+                   FROM (SELECT DISTINCT k FROM cls)),
+            agg AS (SELECT fm.format,
+                           CAST(COUNT(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(fm.dec) AS BIGINT) AS n_fingerprinted
+                    FROM cls JOIN fm ON fm.k = cls.k
+                    GROUP BY fm.format)
+            SELECT format, n_docs, n_fingerprinted FROM agg ORDER BY format"""))
+
   /** Perceptual image hashing ([[graft.multimodal.Multimodal
     * .imageAHashes]]): 64-bit average hash over the decoded 16×16 BMP
     * grid — 8×8 block means vs the global mean, compared by EXACT
@@ -9140,6 +9356,10 @@ object SparkEntry {
     "q_audio_fingerprint" -> qAudioFingerprint,
     "q_audio_spectral" -> qAudioSpectral,
     "q_audio_fingerprint_flac" -> qAudioFingerprintFlac,
+    "q_audio_fingerprint_mulaw" -> qAudioFingerprintMulaw,
+    "q_audio_fingerprint_alaw" -> qAudioFingerprintAlaw,
+    "q_audio_fingerprint_adpcm" -> qAudioFingerprintAdpcm,
+    "q_audio_coverage" -> qAudioCoverage,
     "q_wav_decode" -> qWavDecode,
     "q_wav_frames" -> qWavFrames,
     "q_sessionize" -> qSessionize,

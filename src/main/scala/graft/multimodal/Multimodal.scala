@@ -246,6 +246,246 @@ object Multimodal {
     out
   }
 
+  // ---- real decoders: LOSSY audio (G.711 companding, IMA ADPCM) --------
+  // The lossy half of the audio tier that is buildable from FORMULAS:
+  // G.711 mu-law/A-law (8-bit log PCM — the telephony codecs; ITU G.711
+  // expansion laws are closed-form integer arithmetic) and IMA/DVI ADPCM
+  // (4-bit differential — games/telephony; the step/index tables are the
+  // canonical published IMA constants). Both live in WAV containers
+  // (format tags 7, 6, 0x11) and decode to exact integers, so every
+  // fingerprint law replays in SQL — the mu-law byte expands per-sample
+  // with no state, ADPCM threads (predictor, index) per independent
+  // block (a recursive-CTE replay). The table-data codecs (MP3 Huffman,
+  // MP2 synthesis window, Vorbis dB table) stay a DOCUMENTED and
+  // MEASURED boundary — see audioCoverage/COVERAGE.md: their normative
+  // constant tables aren't derivable from first principles.
+
+  /** General WAV header: (formatTag, channels, sampleRate, bits,
+    * blockAlign, dataOff, dataLen). Unlike [[wavPcmHeader]] (format-1
+    * 16-bit only — the stats/feature paths' envelope), this accepts the
+    * companded/ADPCM format tags so the decode dispatch can route them.
+    */
+  private def wavAnyHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int, Int)] = {
+    def tag(off: Int): String =
+      if (off + 4 <= bytes.length)
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtTag = -1; var channels = 0; var sampleRate = 0; var bits = 0
+    var blockAlign = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= bytes.length && (dataOff < 0 || fmtTag < 0)) {
+      val id4 = tag(off)
+      val size = le32(bytes, off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      if (id4 == "fmt " && size >= 16) {
+        fmtTag = le16(bytes, off + 8)
+        channels = le16(bytes, off + 10)
+        sampleRate = le32(bytes, off + 12)
+        blockAlign = le16(bytes, off + 20)
+        bits = le16(bytes, off + 22)
+      } else if (id4 == "data") {
+        dataOff = off + 8; dataLen = size
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (fmtTag < 0 || dataOff < 0 || channels < 1 || channels > 8 || sampleRate <= 0)
+      None
+    else Some((fmtTag, channels, sampleRate, bits, blockAlign, dataOff, dataLen))
+  }
+
+  /** ITU G.711 mu-law expansion — the canonical integer law: invert the
+    * byte, rebuild the biased mantissa, shift by the segment, strip the
+    * bias with the sign folded in. Exactly the published reference
+    * arithmetic; output is a 14-bit-range signed sample.
+    */
+  private[graft] def muLawToPcm(uIn: Int): Int = {
+    val u = (~uIn) & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU G.711 A-law expansion: XOR 0x55, rebuild the segment mantissa
+    * (seg 0: +8; seg 1: +0x108; seg ≥2: (+0x108) << (seg−1)), sign bit
+    * SET means positive. 13-bit-range signed sample.
+    */
+  private[graft] def aLawToPcm(aIn: Int): Int = {
+    val a = aIn ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val base = (a & 0x0f) << 4
+    val t = seg match {
+      case 0 => base + 8
+      case 1 => base + 0x108
+      case s => (base + 0x108) << (s - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  /** The canonical IMA ADPCM step-size table (89 entries) and index
+    * adjustment table — the published DVI/IMA constants every
+    * implementation shares.
+    */
+  private[graft] val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private[graft] val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode MONO IMA/DVI ADPCM blocks: each `blockAlign`-byte block is
+    * independent — 4-byte header (init predictor int16le, init step
+    * index, reserved) then 2 nibbles/byte, LOW nibble first. Per nibble:
+    * diff = step>>3 (+step if bit2)(+step>>1 if bit1)(+step>>2 if bit0),
+    * subtract when bit3, clamp to int16; index += ImaIndexTable(n&7),
+    * clamp to [0,88]. Sample 0 of each block is the header predictor —
+    * the canonical block law, so block boundaries re-sync exactly.
+    */
+  private[graft] def imaAdpcmDecode(bytes: Array[Byte], blockAlign: Int,
+                                    dataOff: Int, dataLen: Int): Option[Array[Int]] = {
+    if (blockAlign < 5 || dataLen < blockAlign || dataLen % blockAlign != 0)
+      return None
+    val nBlocks = dataLen / blockAlign
+    val perBlock = 1 + (blockAlign - 4) * 2
+    val out = new Array[Int](nBlocks * perBlock)
+    var b = 0
+    while (b < nBlocks) {
+      val base = dataOff + b * blockAlign
+      var pred = le16(bytes, base).toShort.toInt
+      var idx = math.min(88, bytes(base + 2) & 0xff)
+      var o = b * perBlock
+      out(o) = pred; o += 1
+      var j = 4
+      while (j < blockAlign) {
+        val byte = bytes(base + j) & 0xff
+        var half = 0
+        while (half < 2) {
+          val nib = if (half == 0) byte & 0x0f else byte >> 4
+          val step = ImaStepTable(idx)
+          var diff = step >> 3
+          if ((nib & 4) != 0) diff += step
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 1) != 0) diff += step >> 2
+          pred = if ((nib & 8) != 0) pred - diff else pred + diff
+          if (pred > 32767) pred = 32767
+          if (pred < -32768) pred = -32768
+          idx += ImaIndexTable(nib & 7)
+          if (idx < 0) idx = 0
+          if (idx > 88) idx = 88
+          out(o) = pred; o += 1
+          half += 1
+        }
+        j += 1
+      }
+      b += 1
+    }
+    Some(out)
+  }
+
+  /** Decoded sample stream of any supported audio payload:
+    * (nSamples, sampleAt) — PCM16/mu-law/A-law WAV read straight off
+    * the container (per-sample formulas, nothing materialized), IMA
+    * ADPCM and FLAC materialize their decoded arrays. None outside the
+    * envelope (see [[audioCoverage]] for the measured boundary).
+    */
+  private def decodedAudioSamples(bytes: Array[Byte]): Option[(Int, Int => Long)] =
+    wavAnyHeader(bytes) match {
+      case Some((1, _, _, 16, _, dataOff, dataLen)) if dataLen % 2 == 0 =>
+        Some((dataLen / 2, i =>
+          ((bytes(dataOff + 2 * i) & 0xff) | (bytes(dataOff + 2 * i + 1) << 8))
+            .toShort.toLong))
+      case Some((7, _, _, 8, _, dataOff, dataLen)) => // G.711 mu-law
+        Some((dataLen, i => muLawToPcm(bytes(dataOff + i) & 0xff).toLong))
+      case Some((6, _, _, 8, _, dataOff, dataLen)) => // G.711 A-law
+        Some((dataLen, i => aLawToPcm(bytes(dataOff + i) & 0xff).toLong))
+      case Some((0x11, 1, _, 4, blockAlign, dataOff, dataLen)) => // IMA mono
+        imaAdpcmDecode(bytes, blockAlign, dataOff, dataLen)
+          .map(a => (a.length, (i: Int) => a(i).toLong))
+      case Some(_) => None // other WAV envelopes: documented boundary
+      case None =>
+        Flac.decode(bytes).map(a => (a.samples.length, (i: Int) => a.samples(i).toLong))
+    }
+
+  /** Fixture writer for G.711 WAV (format 7 = mu-law, 6 = A-law): mono
+    * 8-bit companded bytes following `(seed + i*11) mod 256` — arbitrary
+    * bytes are always decodable, so the oracle replays the expansion law
+    * itself from the closed form.
+    */
+  def makeWavG711(nSamples: Int, sampleRate: Int, seed: Long,
+                  aLaw: Boolean): Array[Byte] = {
+    require(nSamples > 0 && nSamples <= (1 << 20) && sampleRate > 0,
+      s"fixture shape $nSamples @ $sampleRate")
+    val out = new Array[Byte](44 + nSamples)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, off)
+    putTag(0, "RIFF"); putLe32(4, 36 + nSamples); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16); putLe16(20, if (aLaw) 6 else 7)
+    putLe16(22, 1); putLe32(24, sampleRate); putLe32(28, sampleRate)
+    putLe16(32, 1); putLe16(34, 8)
+    putTag(36, "data"); putLe32(40, nSamples)
+    var i = 0
+    while (i < nSamples) {
+      out(44 + i) = ((seed + i * 11L) % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Fixture writer for mono IMA ADPCM WAV (format 0x11): `nBlocks`
+    * independent blocks of `blockAlign` bytes — header predictor
+    * `((seed + 97b) mod 4096) − 2048`, step index `(seed + 13b) mod 89`,
+    * nibble bytes `(seed + 131b + 7j) mod 256` (j = byte offset in the
+    * block) — arbitrary nibble streams are always decodable, so the
+    * oracle replays the full predictor/step state machine from the
+    * closed form.
+    */
+  def makeWavImaAdpcm(nBlocks: Int, blockAlign: Int, sampleRate: Int,
+                      seed: Long): Array[Byte] = {
+    require(nBlocks > 0 && nBlocks <= 4096 && blockAlign >= 8 &&
+      blockAlign <= 4096 && sampleRate > 0,
+      s"fixture shape $nBlocks x $blockAlign @ $sampleRate")
+    val dataLen = nBlocks * blockAlign
+    val out = new Array[Byte](44 + dataLen)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, off)
+    putTag(0, "RIFF"); putLe32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16); putLe16(20, 0x11)
+    putLe16(22, 1); putLe32(24, sampleRate); putLe32(28, sampleRate / 2)
+    putLe16(32, blockAlign); putLe16(34, 4)
+    putTag(36, "data"); putLe32(40, dataLen)
+    var b = 0
+    while (b < nBlocks) {
+      val base = 44 + b * blockAlign
+      putLe16(base, (((seed + 97L * b) % 4096) - 2048).toInt & 0xffff)
+      out(base + 2) = ((seed + 13L * b) % 89).toByte
+      out(base + 3) = 0
+      var j = 4
+      while (j < blockAlign) {
+        out(base + j) = ((seed + 131L * b + 7L * j) % 256).toByte
+        j += 1
+      }
+      b += 1
+    }
+    out
+  }
+
   // ---- real decoder: PNG (W3C PNG spec; zlib via java.util.zip) --------
   // Third de-stubbed format, and the first with a REAL compression codec
   // in the path: IDAT payloads inflate through java.util.zip.Inflater
@@ -2861,22 +3101,14 @@ object Multimodal {
     Some(hash)
   }
 
-  /** Spectral-envelope fingerprint of one payload — same WAV/FLAC
-    * dispatch as [[audioFingerprint]], [[spectralFingerprint]] fold.
-    * A lossless re-encoding of the same PCM fingerprints identically
-    * (function of decoded samples — spec-pinned via the FLAC twin).
+  /** Spectral-envelope fingerprint of one payload — same decode
+    * dispatch as [[audioFingerprint]] (PCM16/G.711/IMA-ADPCM WAV,
+    * FLAC), [[spectralFingerprint]] fold. A lossless re-encoding of the
+    * same PCM fingerprints identically (function of decoded samples —
+    * spec-pinned via the FLAC twin).
     */
-  def audioSpectralFingerprint(bytes: Array[Byte]): Option[Long] = {
-    wavPcmHeader(bytes) match {
-      case Some((_, _, dataOff, dataLen)) =>
-        spectralFingerprint(dataLen / 2, i =>
-          ((bytes(dataOff + 2 * i) & 0xff) |
-            (bytes(dataOff + 2 * i + 1) << 8)).toShort.toLong)
-      case None =>
-        Flac.decode(bytes).flatMap(a =>
-          spectralFingerprint(a.samples.length, i => a.samples(i).toLong))
-    }
-  }
+  def audioSpectralFingerprint(bytes: Array[Byte]): Option[Long] =
+    decodedAudioSamples(bytes).flatMap { case (n, at) => spectralFingerprint(n, at) }
 
   /** (doc_id, asfp) over a binary column — the [[audioFingerprints]]
     * shape; near-dup pairs via the hash-agnostic blocked Hamming join.
@@ -2893,24 +3125,18 @@ object Multimodal {
       .toDF(idCol, "asfp")
   }
 
-  /** Fingerprint one payload — 16-bit PCM WAV, or FLAC through the real
-    * decode path ([[Flac.decode]]: Rice residuals, fixed/LPC predictors,
-    * stereo decorrelation), since the fingerprint is a function of the
-    * DECODED samples a lossless twin of the same PCM fingerprints
-    * IDENTICALLY (spec-pinned). None for non-audio, payloads outside the
-    * decode envelope, or streams shorter than 65 samples.
+  /** Fingerprint one payload — 16-bit PCM WAV, the LOSSY companded/ADPCM
+    * WAV formats (G.711 mu-law/A-law, mono IMA ADPCM — real decode, see
+    * [[decodedAudioSamples]]), or FLAC through the real decode path
+    * ([[Flac.decode]]: Rice residuals, fixed/LPC predictors, stereo
+    * decorrelation). The fingerprint is a function of the DECODED
+    * samples, so a lossless twin of the same PCM fingerprints
+    * IDENTICALLY (spec-pinned). None for non-audio, payloads outside
+    * the decode envelope (MP3/OGG/AAC — the measured [[audioCoverage]]
+    * boundary), or streams shorter than 65 samples.
     */
-  def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
-    wavPcmHeader(bytes) match {
-      case Some((_, _, dataOff, dataLen)) =>
-        energyDeltaFingerprint(dataLen / 2, i =>
-          ((bytes(dataOff + 2 * i) & 0xff) |
-            (bytes(dataOff + 2 * i + 1) << 8)).toShort.toLong)
-      case None =>
-        Flac.decode(bytes).flatMap(a =>
-          energyDeltaFingerprint(a.samples.length, i => a.samples(i).toLong))
-    }
-  }
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] =
+    decodedAudioSamples(bytes).flatMap { case (n, at) => energyDeltaFingerprint(n, at) }
 
   /** (doc_id, afp) over a binary column — same streaming mapPartitions
     * shape as [[imageAHashes]]; non-audio payloads emit NO rows. Near-
@@ -2928,6 +3154,55 @@ object Multimodal {
         audioFingerprint(bytes).map(h => (id, h))
       })
       .toDF(idCol, "afp")
+  }
+
+  /** Container-level audio format sniff — classification only, no
+    * decode: WAV format tags, the fLaC/ID3/MP3-sync/OggS/ADTS magics.
+    * The measurement key for [[audioCoverage]]: which formats a corpus
+    * actually carries, independent of whether we can decode them.
+    */
+  private[graft] def audioFormatOf(bytes: Array[Byte]): String = {
+    def ascii(off: Int, n: Int): String =
+      if (off + n <= bytes.length)
+        new String(bytes, off, n, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    wavAnyHeader(bytes) match {
+      case Some((1, _, _, 16, _, _, _)) => "wav_pcm16"
+      case Some((7, _, _, _, _, _, _)) => "wav_mulaw"
+      case Some((6, _, _, _, _, _, _)) => "wav_alaw"
+      case Some((0x11, _, _, _, _, _, _)) => "wav_ima_adpcm"
+      case Some(_) => "wav_other"
+      case None =>
+        if (ascii(0, 4) == "fLaC") "flac"
+        else if (ascii(0, 4) == "OggS") "ogg"
+        else if (ascii(0, 3) == "ID3") "mp3"
+        else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+                 (bytes(1) & 0xf6) == 0xf0) "aac_adts" // layer 00
+        else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+                 (bytes(1) & 0xe0) == 0xe0 && ((bytes(1) >> 1) & 3) != 0) "mpeg_audio"
+        else "unknown"
+    }
+  }
+
+  /** The MEASURED audio-decode boundary: per sniffed container format,
+    * how many payloads the fingerprint tier actually covers. This is
+    * the honest complement to the decode envelope — "MP3/OGG/AAC emit
+    * no row" stated as a number per corpus, not a footnote. One decode
+    * pass per payload (fingerprint attempt), one scan — the same
+    * mapPartitions stage computes both columns.
+    */
+  def audioCoverage(spark: SparkSession, df: DataFrame,
+                    idCol: String = "doc_id",
+                    payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (_, bytes) =>
+        (audioFormatOf(bytes), if (audioFingerprint(bytes).isDefined) 1L else 0L)
+      })
+      .toDF("format", "fp")
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_docs"), sum(col("fp")).as("n_fingerprinted"))
   }
 
   /** Decode/feature-extract over the binary column. `mapPartitions` is the

@@ -682,6 +682,81 @@ class MultimodalSpec extends SparkTestBase {
     assert(graft.multimodal.Flac.decode("fLaC but not really".getBytes("UTF-8")) === None)
   }
 
+  test("G.711 expansion laws: hand-checked reference points, full-range sanity") {
+    // mu-law: 0xFF encodes 0; 0x7F is "minus zero"; 0x80 is the most
+    // negative step; 0x00 is the most negative full-scale value
+    assert(Multimodal.muLawToPcm(0xff) === 0)
+    assert(Multimodal.muLawToPcm(0x7f) === 0)
+    assert(Multimodal.muLawToPcm(0x80) === 32124, "0x80 decodes to +max (sign bit clear after invert)")
+    assert(Multimodal.muLawToPcm(0x00) === -32124)
+    // A-law: 0xD5 encodes +8 (the smallest positive), 0x55 encodes -8;
+    // 0xAA is full-scale positive? 0xAA^0x55=0xFF: seg 7, mantissa 15
+    assert(Multimodal.aLawToPcm(0xd5) === 8)
+    assert(Multimodal.aLawToPcm(0x55) === -8)
+    assert(Multimodal.aLawToPcm(0xaa) === (((15 << 4) + 0x108) << 6))
+    // both laws are odd-symmetric: flipping the sign bit negates
+    for (b <- 0 until 128) {
+      assert(Multimodal.muLawToPcm(b) === -Multimodal.muLawToPcm(b | 0x80))
+      assert(Multimodal.aLawToPcm(b | 0x80) === -Multimodal.aLawToPcm(b))
+    }
+  }
+
+  test("IMA ADPCM: zero nibbles hold the predictor; blocks are independent; clamps hold") {
+    // block of all-zero nibbles from index 0: step 7 -> diff 0 -> every
+    // sample equals the header predictor
+    val quiet = Multimodal.makeWavImaAdpcm(1, 12, 8000, 0)
+    // overwrite header+nibbles: pred=1000, idx=0, nibbles 0
+    for (i <- 44 until quiet.length) quiet(i) = 0
+    quiet(44) = (1000 & 0xff).toByte; quiet(45) = (1000 >> 8).toByte
+    val dq = Multimodal.imaAdpcmDecode(quiet, 12, 44, 12).get
+    assert(dq.length === 1 + 8 * 2)
+    assert(dq.forall(_ === 1000), s"zero nibbles must hold the predictor: ${dq.toSeq}")
+
+    // block independence: decoding a 2-block stream equals decoding each
+    // block alone — the resync property the format exists for
+    val two = Multimodal.makeWavImaAdpcm(2, 132, 8000, 7)
+    val all = Multimodal.imaAdpcmDecode(two, 132, 44, 264).get
+    val b0 = Multimodal.imaAdpcmDecode(two, 132, 44, 132).get
+    val b1 = Multimodal.imaAdpcmDecode(two, 132, 44 + 132, 132).get
+    assert(all.toSeq === (b0 ++ b1).toSeq)
+    assert(all.length === 2 * 257)
+    // decoded values always inside int16 (the clamp law)
+    assert(all.forall(v => v >= -32768 && v <= 32767))
+    // saturating upward nibbles (7 = +max magnitude) must hit the clamp
+    val hot = Multimodal.makeWavImaAdpcm(1, 132, 8000, 0)
+    for (i <- 48 until hot.length) hot(i) = 0x77.toByte
+    hot(44) = 0; hot(45) = 0; hot(46) = 88 // start at max step
+    val dh = Multimodal.imaAdpcmDecode(hot, 132, 44, 132).get
+    assert(dh.last === 32767, "monotone +max nibbles from max step must clamp at 32767")
+  }
+
+  test("lossy-audio fingerprints: G.711/ADPCM payloads fingerprint; coverage measures the boundary") {
+    import spark.implicits._
+    assert(Multimodal.audioFingerprint(Multimodal.makeWavG711(600, 8000, 3, aLaw = false)).isDefined)
+    assert(Multimodal.audioFingerprint(Multimodal.makeWavG711(600, 8000, 3, aLaw = true)).isDefined)
+    assert(Multimodal.audioFingerprint(Multimodal.makeWavImaAdpcm(2, 132, 8000, 3)).isDefined)
+    // identical payloads fingerprint identically; the two companding
+    // laws of the same byte stream do NOT (different decoded PCM)
+    assert(Multimodal.audioFingerprint(Multimodal.makeWavG711(600, 8000, 3, aLaw = false))
+      === Multimodal.audioFingerprint(Multimodal.makeWavG711(600, 8000, 3, aLaw = false)))
+    // sniffer + coverage: decodable classes fully fingerprinted, the
+    // table-data codecs (mp3/ogg/aac shapes) measured at zero
+    val rows = Seq(
+      (0L, Multimodal.makeWav(600, 1, 8000, 1)),
+      (1L, Multimodal.makeWavG711(600, 8000, 1, aLaw = false)),
+      (2L, Multimodal.makeWavImaAdpcm(2, 132, 8000, 1)),
+      (3L, "ID3junkjunkjunk".getBytes("US-ASCII")),
+      (4L, "OggSjunkjunkjunk".getBytes("US-ASCII")),
+      (5L, Array(0xff.toByte, 0xf1.toByte) ++ Array.fill(32)(9.toByte))
+    ).toDF("doc_id", "payload")
+    val cov = Multimodal.audioCoverage(spark, rows).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cov === Map(
+      "wav_pcm16" -> ((1L, 1L)), "wav_mulaw" -> ((1L, 1L)),
+      "wav_ima_adpcm" -> ((1L, 1L)), "mp3" -> ((1L, 0L)),
+      "ogg" -> ((1L, 0L)), "aac_adts" -> ((1L, 0L))))
+  }
+
   test("audioFingerprint: a FLAC twin of the same PCM fingerprints identically to WAV") {
     // 192-sample mono streams, identical closed-form samples: the
     // fingerprint is a function of DECODED samples, so the lossless
