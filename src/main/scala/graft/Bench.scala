@@ -269,8 +269,12 @@ object Bench {
     case "q_multimodal_meta" | "q_frame_sample" | "q_bmp_decode" |
          "q_wav_decode" | "q_wav_frames" | "q_bmp_resize" |
          "q_image_ahash" | "q_image_ahash_jpeg" | "q_image_phash" |
+         "q_image_dual_hash" |
          "q_image_neardup" | "q_video_hashes" | "q_video_neardup" |
+         "q_video_phash" | "q_video_neardup_phash" |
          "q_audio_fingerprint" | "q_audio_fingerprint_flac" |
+         "q_audio_fingerprint_mulaw" | "q_audio_fingerprint_alaw" |
+         "q_audio_fingerprint_adpcm" | "q_audio_coverage" |
          "q_audio_spectral" |
          "q_png_decode" | "q_png_alpha" | "q_png_16bit" | "q_png_interlaced" |
          "q_gif_decode" | "q_jpeg_decode" | "q_jpeg_progressive" |

@@ -4553,6 +4553,75 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
             FROM hs ORDER BY doc_id"""))
 
+  /** Both perceptual keys in ONE decode pass ([[graft.multimodal
+    * .Multimodal.imageDualHashes]]): the measured division of labor
+    * says run aHash AND pHash when the duplicate class is unknown, and
+    * decode dominates the hash cost — so the dual operator emits both
+    * from a single grid instead of two full decode scans. The oracle
+    * replays BOTH laws over the shared closed-form JPEG blocks: the
+    * block-mean cross-multiplication (every aHash bit) joined to the
+    * full DCT chain (every pHash bit).
+    */
+  private val qImageDualHash = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 150)
+        .map(id => (id, graft.multimodal.Multimodal.makeJpeg(64, 64, id, gray = true)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imageDualHashes(s, bins).orderBy("doc_id")
+    }, {
+      val basis = graft.multimodal.Multimodal.PHashBasis.mkString(", ")
+      Some(s"""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+              blk AS (SELECT i.doc_id, br.bi AS bi, bc.bj AS bj,
+                             ((i.doc_id + bc.bj * 31 + br.bi * 7) % 200) + 28 AS v
+                      FROM ids i
+                      JOIN generate_series(0, 7) br(bi) ON TRUE
+                      JOIN generate_series(0, 7) bc(bj) ON TRUE),
+              tot AS (SELECT doc_id, SUM(v) AS total FROM blk GROUP BY doc_id),
+              abits AS (SELECT b.doc_id, bi, bj,
+                               CASE WHEN b.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+                        FROM blk b JOIN tot t USING (doc_id)),
+              ah AS (SELECT doc_id,
+                            SUM(CASE WHEN bit = 1
+                                THEN (1::HUGEINT << (bi*8 + bj))
+                                ELSE 0::HUGEINT END) AS s
+                     FROM abits GROUP BY doc_id),
+              cells AS (SELECT b.doc_id, gx.x AS gx, gy.x AS gy,
+                               CAST(b.v AS BIGINT) AS cv
+                        FROM blk b
+                        JOIN generate_series(0, 31) gx(x) ON gx.x // 4 = b.bj
+                        JOIN generate_series(0, 31) gy(x) ON gy.x // 4 = b.bi),
+              basis AS (SELECT t.i // 32 AS u, t.i % 32 AS x,
+                               CAST(([$basis])[t.i + 1] AS BIGINT) AS b
+                        FROM generate_series(0, 1023) t(i)),
+              co AS (SELECT c.doc_id, bu.u AS u, bv.u AS v,
+                            SUM(c.cv * bu.b * bv.b) AS coef
+                     FROM cells c
+                     JOIN basis bu ON bu.x = c.gx AND bu.u < 8
+                     JOIN basis bv ON bv.x = c.gy AND bv.u < 8
+                     WHERE NOT (bu.u = 0 AND bv.u = 0)
+                     GROUP BY 1, 2, 3),
+              med AS (SELECT doc_id, coef AS m
+                      FROM (SELECT doc_id, coef,
+                                   row_number() OVER (PARTITION BY doc_id
+                                                      ORDER BY coef) AS rn
+                            FROM co)
+                      WHERE rn = 32),
+              ph AS (SELECT co.doc_id,
+                            CAST(SUM(CASE WHEN co.coef > med.m
+                                THEN CAST(1 AS BIGINT) << (v * 8 + u - 1)
+                                ELSE 0 END) AS BIGINT) AS phash
+                     FROM co JOIN med USING (doc_id)
+                     GROUP BY co.doc_id)
+            SELECT ah.doc_id,
+                   CAST(CASE WHEN ah.s >= 9223372036854775808
+                        THEN ah.s - 18446744073709551616 ELSE ah.s END AS BIGINT) AS ahash,
+                   ph.phash
+            FROM ah JOIN ph ON ph.doc_id = ah.doc_id
+            ORDER BY ah.doc_id""")
+    })
+
   /** Image near-dup pairs ([[graft.multimodal.Multimodal
     * .imageNearDups]] — decode → aHash → the pigeonhole-blocked Hamming
     * join): ids share one of 40 image seeds, and every second seed
@@ -9347,6 +9416,7 @@ object SparkEntry {
     "q_bmp_resize" -> qBmpResize,
     "q_image_ahash" -> qImageAHash,
     "q_image_phash" -> qImagePHash,
+    "q_image_dual_hash" -> qImageDualHash,
     "q_video_hashes" -> qVideoHashes,
     "q_video_neardup" -> qVideoNearDup,
     "q_video_phash" -> qVideoPHash,

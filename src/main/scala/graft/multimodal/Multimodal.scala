@@ -2900,6 +2900,31 @@ object Multimodal {
       .toDF(idCol, "phash")
   }
 
+  /** (doc_id, ahash, phash) in ONE decode pass — the "run both keys"
+    * default from [[pHash64]]'s measured division of labor, without
+    * paying the decode twice: [[imageAHashes]] + [[imagePHashes]] as
+    * separate scans each re-decode every payload (decode dominates —
+    * ~200 k images/s is the decode rate, the hash folds are arithmetic
+    * on the already-decoded grid), while this emits both keys from one
+    * grid. `phash` is NULL below 32×32 (no spectral key — aHash covers
+    * those alone); payloads that don't decode emit NO rows.
+    */
+  def imageDualHashes(spark: SparkSession, df: DataFrame,
+                      idCol: String = "doc_id",
+                      payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
+        bmpGrayGrid(bytes).orElse(pngGrayGrid(bytes)).orElse(gifGrayGrid(bytes))
+          .orElse(jpegGrayGrid(bytes))
+          .flatMap { case (w, h, g) =>
+            aHash64(w, h, g).map(a => (id, a, pHash64(w, h, g)))
+          }
+      })
+      .toDF(idCol, "ahash", "phash")
+  }
+
   /** Near-duplicate image pairs within `maxHamming` bits: delegates to
     * the pigeonhole-blocked Hamming join ([[graft.dedup.NearDup
     * .simHashNearDups]] — identical 64-bit-hash shape, identical scale

@@ -552,6 +552,26 @@ class MultimodalSpec extends SparkTestBase {
       "exact-dup clips must pair on all three spectral frame keys")
   }
 
+  test("imageDualHashes: one decode pass ≡ the two separate hash scans; NULL pHash below 32") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.makeBmp(32, 32, 7)),
+      (2L, Multimodal.makeBmp(16, 16, 7)),   // aHash only — no spectral key
+      (3L, Multimodal.makeJpeg(64, 64, 9, gray = true)),
+      (4L, "not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val dual = Multimodal.imageDualHashes(spark, rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val a = Multimodal.imageAHashes(spark, rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p = Multimodal.imagePHashes(spark, rows).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dual.keySet === Set(1L, 2L, 3L))
+    assert(dual.view.mapValues(_._1).toMap === a)
+    assert(dual.collect { case (k, (_, Some(v))) => k -> v } === p)
+    assert(dual(2L)._2 === None, "16×16 has no spectral key in the dual row either")
+  }
+
   test("imageAHashes/imageNearDups: exact copies at Hamming 0, non-images emit no rows") {
     import spark.implicits._
     val rows = Seq(
