@@ -8494,6 +8494,61 @@ object SparkEntry {
     },
     qStreamImageDedup.oracle)
 
+  /** Streaming AUDIO near-dup at ingest — the same hash-agnostic
+    * [[graft.streaming.MediaIngest]] loop dispatched on the audio
+    * fingerprint (`kind = "audio"`): WAV payloads (seed = doc_id mod
+    * 40, so ids 40 apart are exact duplicate recordings) decode +
+    * fingerprint ONCE per micro-batch, Hamming-check against the
+    * accumulated fingerprint table and within the batch, and append
+    * exactly-once under the canonical split-invariant pair semantics.
+    * The oracle replays the energy-delta fingerprint law per doc and
+    * the full cross-pair bit_count(xor) rule through the streaming
+    * engine and both store round trips.
+    */
+  private val qStreamAudioDedup = Q(
+    (s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("graft_stream_audio")
+      val hashPath = tmp.resolve("hashes").toString
+      val pairsPath = tmp.resolve("pairs").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val stream = Tables.readTableStream(s, dir, "documents")
+        .filter(col("doc_id") < 120)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, graft.multimodal.Multimodal.makeWav(130, 1, 8000, id % 40)))
+        .toDF("doc_id", "payload")
+      val q = graft.streaming.MediaIngest.start(
+        s, stream, hashPath, pairsPath, ckpt, maxHamming = 2, kind = "audio")
+      q.awaitTermination()
+      s.read.parquet(pairsPath)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+            sm AS (SELECT doc_id, i.i AS i,
+                          ((doc_id % 40 + i.i * 13) % 256 - 128) AS v
+                   FROM ids JOIN generate_series(0, 129) i(i) ON TRUE),
+            fr AS (SELECT ids.doc_id, f.f AS f,
+                          (f.f * 130) // 65 AS lo, ((f.f + 1) * 130) // 65 AS hi
+                   FROM ids JOIN generate_series(0, 64) f(f) ON TRUE),
+            fe AS (SELECT fr.doc_id, fr.f, CAST(SUM(sm.v * sm.v) AS BIGINT) AS e
+                   FROM fr JOIN sm ON sm.doc_id = fr.doc_id
+                     AND sm.i >= fr.lo AND sm.i < fr.hi
+                   GROUP BY 1, 2),
+            bits AS (SELECT a.doc_id, a.f - 1 AS idx,
+                            CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                     FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                     WHERE a.f >= 1),
+            hs AS (SELECT doc_id,
+                          CAST(SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << idx) ELSE 0::HUGEINT END) AS UBIGINT) AS u
+                   FROM bits GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming
+            FROM hs a JOIN hs b
+              ON a.doc_id < b.doc_id AND bit_count(xor(a.u, b.u)) <= 2
+            ORDER BY id_a, id_b"""))
+
   /** Streaming SEMANTIC decontamination at ingest ([[graft.streaming
     * .DecontamIngest.startSemantic]]) — the (streaming × semantic) cell
     * of the decontamination matrix: embedding micro-batches gated
@@ -9573,6 +9628,7 @@ object SparkEntry {
     "q_stream_decontam_semantic" -> qStreamDecontamSemantic,
     "q_stream_image_dedup" -> qStreamImageDedup,
     "q_stream_image_dedup_steady" -> qStreamImageDedupSteady,
+    "q_stream_audio_dedup" -> qStreamAudioDedup,
     "q_stream_bm25_ingest" -> qStreamBm25Ingest,
     "q_dup_spans_removed" -> qDupSpansRemoved,
     "q_multi_phrase" -> qMultiPhrase,

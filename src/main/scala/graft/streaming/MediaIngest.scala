@@ -26,26 +26,42 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object MediaIngest {
 
+  /** Per-modality perceptual hashers the ingest loops dispatch on: the
+    * loop itself is hash-agnostic (any 64-bit key feeds the same
+    * blocked Hamming machinery) — only the decode+hash map and its
+    * output column differ between images and audio.
+    */
+  private def hashesOf(spark: SparkSession, batch: DataFrame, kind: String,
+                       idCol: String, payloadCol: String): (DataFrame, String) =
+    kind match {
+      case "image" =>
+        (graft.multimodal.Multimodal.imageAHashes(spark, batch, idCol, payloadCol), "ahash")
+      case "audio" =>
+        (graft.multimodal.Multimodal.audioFingerprints(spark, batch, idCol, payloadCol), "afp")
+      case other => throw new IllegalArgumentException(
+        s"unknown media kind '$other' (supported: image, audio)")
+    }
+
   /** One micro-batch hash+check+admit — public so a retry can be
     * simulated. Writes (id_a, id_b, hamming) pairs under `pairsPath`
-    * and the batch's (id, ahash) rows under `hashPath`.
+    * and the batch's (id, <hash>) rows under `hashPath`.
     */
   def writeBatch(batch: DataFrame, batchId: Long,
                  hashPath: String, pairsPath: String, maxHamming: Int,
-                 idCol: String, payloadCol: String): Unit = {
+                 idCol: String, payloadCol: String,
+                 kind: String = "image"): Unit = {
     val spark = batch.sparkSession
-    val newHashes = graft.multimodal.Multimodal
-      .imageAHashes(spark, batch, idCol, payloadCol)
-      // one decode pass ever: both joins below consume the pinned hashes
-      .localCheckpoint()
-    val sims = newHashes.select(col(idCol).as("id"), col("ahash").as("simhash"))
+    val (hashed, hashCol) = hashesOf(spark, batch, kind, idCol, payloadCol)
+    // one decode pass ever: both joins below consume the pinned hashes
+    val newHashes = hashed.localCheckpoint()
+    val sims = newHashes.select(col(idCol).as("id"), col(hashCol).as("simhash"))
     val fs = new org.apache.hadoop.fs.Path(hashPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val seen =
       if (fs.exists(new org.apache.hadoop.fs.Path(hashPath)))
         spark.read.parquet(hashPath)
           .filter(col("batch_id") < batchId) // a retry must not see itself
-          .select(col(idCol).as("id"), col("ahash").as("simhash"))
+          .select(col(idCol).as("id"), col(hashCol).as("simhash"))
       else spark.emptyDataFrame
         .select(lit(0L).as("id"), lit(0L).as("simhash")).limit(0)
     val vsSeen = graft.dedup.NearDup
@@ -66,10 +82,12 @@ object MediaIngest {
             hashPath: String, pairsPath: String, checkpoint: String,
             maxHamming: Int = 3,
             idCol: String = "doc_id",
-            payloadCol: String = "payload"): StreamingQuery =
+            payloadCol: String = "payload",
+            kind: String = "image"): StreamingQuery =
     newMedia.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(batch, batchId, hashPath, pairsPath, maxHamming, idCol, payloadCol)
+        writeBatch(batch, batchId, hashPath, pairsPath, maxHamming, idCol,
+          payloadCol, kind)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -83,14 +101,14 @@ object MediaIngest {
     */
   def writeBatchSteady(batch: DataFrame, batchId: Long,
                        indexPath: String, pairsPath: String,
-                       idCol: String, payloadCol: String): Unit = {
+                       idCol: String, payloadCol: String,
+                       kind: String = "image"): Unit = {
     val spark = batch.sparkSession
-    val newHashes = graft.multimodal.Multimodal
-      .imageAHashes(spark, batch, idCol, payloadCol)
-      // one decode pass ever: probe, in-batch join and admit all consume
-      // the pinned hashes
-      .localCheckpoint()
-    val sims = newHashes.select(col(idCol).as("id"), col("ahash").as("simhash"))
+    val (hashed, hashCol) = hashesOf(spark, batch, kind, idCol, payloadCol)
+    // one decode pass ever: probe, in-batch join and admit all consume
+    // the pinned hashes
+    val newHashes = hashed.localCheckpoint()
+    val sims = newHashes.select(col(idCol).as("id"), col(hashCol).as("simhash"))
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val meta = spark.read.parquet(s"$indexPath/meta").collect().head
@@ -128,7 +146,8 @@ object MediaIngest {
                   indexPath: String, pairsPath: String, checkpoint: String,
                   maxHamming: Int = 3, parts: Int = 64,
                   idCol: String = "doc_id",
-                  payloadCol: String = "payload"): StreamingQuery = {
+                  payloadCol: String = "payload",
+                  kind: String = "image"): StreamingQuery = {
     val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
     if (!metaP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaP)) {
       import spark.implicits._
@@ -137,7 +156,8 @@ object MediaIngest {
     }
     newMedia.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatchSteady(batch, batchId, indexPath, pairsPath, idCol, payloadCol)
+        writeBatchSteady(batch, batchId, indexPath, pairsPath, idCol,
+          payloadCol, kind)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -70,6 +70,40 @@ class MediaIngestSpec extends SparkTestBase {
       .filter(col("doc_id") === 999L).count() === 0)
   }
 
+  test("audio kind: streamed fingerprint pairs == one-shot pair set; unknown kind rejected") {
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(id => (id, Multimodal.makeWav(130, 1, 8000, id % 5)))
+      .toDF("doc_id", "payload")
+    val fps = Multimodal.audioFingerprints(spark, docs)
+      .select(col("doc_id").as("id"), col("afp").as("simhash"))
+    val want = graft.dedup.NearDup.simHashNearDups(fps, maxHamming = 2)
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(want.nonEmpty, "fixture must contain duplicate recordings")
+    val tmp = java.nio.file.Files.createTempDirectory("media_ingest_audio")
+    val srcDir = tmp.resolve("src").toString
+    docs.repartition(4).write.parquet(srcDir)
+    val stream = spark.readStream.schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    MediaIngest.start(spark, stream,
+      tmp.resolve("hashes").toString, tmp.resolve("pairs").toString,
+      tmp.resolve("ckpt").toString, maxHamming = 2, kind = "audio")
+      .awaitTermination()
+    val got = spark.read.parquet(tmp.resolve("pairs").toString)
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === want)
+    // the fingerprint table uses the audio column name
+    assert(spark.read.parquet(tmp.resolve("hashes").toString)
+      .columns.contains("afp"))
+    val e = intercept[IllegalArgumentException] {
+      MediaIngest.writeBatch(docs, 0L, tmp.resolve("h3").toString,
+        tmp.resolve("p3").toString, 2, "doc_id", "payload", kind = "video")
+    }
+    assert(e.getMessage.contains("unknown media kind"))
+  }
+
   test("startSteady (indexed history) emits the identical pair stream; probes prune") {
     import spark.implicits._
     val docs = (0L until 60L)
