@@ -53,6 +53,18 @@ object EmbedIndexProbe {
     probeIdx(); probeRaw()
     (1 to 3).foreach(i => timed(s"small-batch steady probe $i")(probeIdx()))
     (1 to 3).foreach(i => timed(s"small-batch from-raw $i")(probeRaw()))
+    // the r16 stream shape: resolve the index ONCE (open pays the
+    // staging), then every probe is batch-sized work against the cached
+    // handle — what each micro-batch of ClusterIngest.startFromIndex pays
+    var handle: graft.similarity.Ann.EmbedIndexHandle = null
+    timed("open handle (once per stream)") {
+      handle = graft.similarity.Ann.openEmbedNearDupIndex(spark, idx)
+    }
+    def probeHandle(): Unit =
+      graft.similarity.Ann.embeddingNearDupsAgainstHandle(smallBatch, handle, threshold = 0.3)
+        .write.format("noop").mode("overwrite").save()
+    probeHandle()
+    (1 to 3).foreach(i => timed(s"small-batch handle probe $i")(probeHandle()))
     spark.stop()
   }
 }
