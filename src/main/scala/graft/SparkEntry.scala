@@ -4147,6 +4147,51 @@ object SparkEntry {
             FROM hs ORDER BY doc_id""")
     })
 
+  /** PCM width envelope ([[graft.multimodal.Multimodal
+    * .decodedAudioSamples]]): 8-bit UNSIGNED and 24-bit signed PCM WAV
+    * — the two real-world PCM widths beyond 16-bit — through their
+    * exact widening laws ((v−128)<<8 and signed 3-byte LE). Even ids
+    * carry 8-bit payloads, odd ids 24-bit; the oracle replays both
+    * laws under one CASE and the shared fingerprint fold.
+    */
+  private val qAudioFingerprintPcmWidths = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 50)
+        .map(id => (id, graft.multimodal.Multimodal.makeWavPcmWidth(
+          600, 8000, id, bits = if (id % 2 == 0) 8 else 24)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFingerprints(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+            sm AS (SELECT doc_id, i.i AS i,
+                          CASE WHEN doc_id % 2 = 0
+                               THEN ((doc_id + i.i * 11) % 256 - 128) * 256
+                               ELSE (doc_id + i.i * 9901) % 1000000 - 500000
+                          END AS v
+                   FROM ids JOIN generate_series(0, 599) i(i) ON TRUE),
+            fr AS (SELECT ids.doc_id, f.f AS f,
+                          (f.f * 600) // 65 AS lo, ((f.f + 1) * 600) // 65 AS hi
+                   FROM ids JOIN generate_series(0, 64) f(f) ON TRUE),
+            fe AS (SELECT fr.doc_id, fr.f, CAST(SUM(sm.v * sm.v) AS BIGINT) AS e
+                   FROM fr JOIN sm ON sm.doc_id = fr.doc_id
+                     AND sm.i >= fr.lo AND sm.i < fr.hi
+                   GROUP BY 1, 2),
+            bits AS (SELECT a.doc_id, a.f - 1 AS idx,
+                            CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                     FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                     WHERE a.f >= 1),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << idx) ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
+            FROM hs ORDER BY doc_id"""))
+
   /** The MEASURED audio-decode boundary ([[graft.multimodal.Multimodal
     * .audioCoverage]]): a mixed corpus across every sniffable container
     * class — PCM16/FLAC/mu-law/A-law/ADPCM (decoded + fingerprinted)
@@ -8549,6 +8594,34 @@ object SparkEntry {
               ON a.doc_id < b.doc_id AND bit_count(xor(a.u, b.u)) <= 2
             ORDER BY id_a, id_b"""))
 
+  /** STEADY-STATE streaming audio dedup ([[graft.streaming.MediaIngest
+    * .startSteady]] with `kind = "audio"`): the fingerprint history
+    * lives as the Hamming-blocked stored index — the same indexed/flat
+    * split as the image twin, dispatched on the audio hasher. Shares
+    * q_stream_audio_dedup's oracle verbatim (indexed ≡ flat by the
+    * stored-blocking contract).
+    */
+  private val qStreamAudioDedupSteady = Q(
+    (s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("graft_stream_audio_steady")
+      val idxPath = tmp.resolve("idx").toString
+      val pairsPath = tmp.resolve("pairs").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val stream = Tables.readTableStream(s, dir, "documents")
+        .filter(col("doc_id") < 120)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, graft.multimodal.Multimodal.makeWav(130, 1, 8000, id % 40)))
+        .toDF("doc_id", "payload")
+      val q = graft.streaming.MediaIngest.startSteady(
+        s, stream, idxPath, pairsPath, ckpt, maxHamming = 2, kind = "audio")
+      q.awaitTermination()
+      s.read.parquet(pairsPath)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+    qStreamAudioDedup.oracle)
+
   /** Streaming SEMANTIC decontamination at ingest ([[graft.streaming
     * .DecontamIngest.startSemantic]]) — the (streaming × semantic) cell
     * of the decontamination matrix: embedding micro-batches gated
@@ -9484,6 +9557,7 @@ object SparkEntry {
     "q_audio_fingerprint_mulaw" -> qAudioFingerprintMulaw,
     "q_audio_fingerprint_alaw" -> qAudioFingerprintAlaw,
     "q_audio_fingerprint_adpcm" -> qAudioFingerprintAdpcm,
+    "q_audio_fingerprint_pcm_widths" -> qAudioFingerprintPcmWidths,
     "q_audio_coverage" -> qAudioCoverage,
     "q_wav_decode" -> qWavDecode,
     "q_wav_frames" -> qWavFrames,
@@ -9629,6 +9703,7 @@ object SparkEntry {
     "q_stream_image_dedup" -> qStreamImageDedup,
     "q_stream_image_dedup_steady" -> qStreamImageDedupSteady,
     "q_stream_audio_dedup" -> qStreamAudioDedup,
+    "q_stream_audio_dedup_steady" -> qStreamAudioDedupSteady,
     "q_stream_bm25_ingest" -> qStreamBm25Ingest,
     "q_dup_spans_removed" -> qDupSpansRemoved,
     "q_multi_phrase" -> qMultiPhrase,

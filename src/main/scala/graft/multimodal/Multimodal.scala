@@ -397,6 +397,17 @@ object Multimodal {
         Some((dataLen / 2, i =>
           ((bytes(dataOff + 2 * i) & 0xff) | (bytes(dataOff + 2 * i + 1) << 8))
             .toShort.toLong))
+      case Some((1, _, _, 8, _, dataOff, dataLen)) =>
+        // 8-bit PCM is UNSIGNED per the RIFF spec; canonical widening is
+        // (v − 128) << 8 so full scale lands on the 16-bit range
+        Some((dataLen, i => (((bytes(dataOff + i) & 0xff) - 128) << 8).toLong))
+      case Some((1, _, _, 24, _, dataOff, dataLen)) if dataLen % 3 == 0 =>
+        // 24-bit signed little-endian; samples stay exact 24-bit ints
+        // (the fingerprint laws are width-agnostic functions of them)
+        Some((dataLen / 3, i =>
+          (((bytes(dataOff + 3 * i) & 0xff) |
+            ((bytes(dataOff + 3 * i + 1) & 0xff) << 8) |
+            (bytes(dataOff + 3 * i + 2) << 16))).toLong))
       case Some((7, _, _, 8, _, dataOff, dataLen)) => // G.711 mu-law
         Some((dataLen, i => muLawToPcm(bytes(dataOff + i) & 0xff).toLong))
       case Some((6, _, _, 8, _, dataOff, dataLen)) => // G.711 A-law
@@ -436,6 +447,47 @@ object Multimodal {
     var i = 0
     while (i < nSamples) {
       out(44 + i) = ((seed + i * 11L) % 256).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Fixture writer for non-16-bit PCM WAV (`bits` = 8 or 24, mono):
+    * 8-bit samples are the UNSIGNED bytes `(seed + i*11) mod 256`;
+    * 24-bit samples follow `((seed + i*9901) mod 1000000) − 500000`,
+    * stored signed little-endian — both closed-form so the width-
+    * widening laws replay in SQL.
+    */
+  def makeWavPcmWidth(nSamples: Int, sampleRate: Int, seed: Long,
+                      bits: Int): Array[Byte] = {
+    require(nSamples > 0 && nSamples <= (1 << 20) && sampleRate > 0 &&
+      (bits == 8 || bits == 24), s"fixture shape $nSamples @ $sampleRate x${bits}b")
+    val bytesPer = bits / 8
+    val dataLen = nSamples * bytesPer
+    val out = new Array[Byte](44 + dataLen)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, off)
+    putTag(0, "RIFF"); putLe32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16); putLe16(20, 1)
+    putLe16(22, 1); putLe32(24, sampleRate); putLe32(28, sampleRate * bytesPer)
+    putLe16(32, bytesPer); putLe16(34, bits)
+    putTag(36, "data"); putLe32(40, dataLen)
+    var i = 0
+    while (i < nSamples) {
+      if (bits == 8) out(44 + i) = ((seed + i * 11L) % 256).toByte
+      else {
+        val v = (((seed + i * 9901L) % 1000000) - 500000).toInt
+        out(44 + 3 * i) = (v & 0xff).toByte
+        out(44 + 3 * i + 1) = ((v >> 8) & 0xff).toByte
+        out(44 + 3 * i + 2) = ((v >> 16) & 0xff).toByte
+      }
       i += 1
     }
     out
@@ -3193,6 +3245,8 @@ object Multimodal {
       else ""
     wavAnyHeader(bytes) match {
       case Some((1, _, _, 16, _, _, _)) => "wav_pcm16"
+      case Some((1, _, _, 8, _, _, _)) => "wav_pcm8"
+      case Some((1, _, _, 24, _, _, _)) => "wav_pcm24"
       case Some((7, _, _, _, _, _, _)) => "wav_mulaw"
       case Some((6, _, _, _, _, _, _)) => "wav_alaw"
       case Some((0x11, _, _, _, _, _, _)) => "wav_ima_adpcm"

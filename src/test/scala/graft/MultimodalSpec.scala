@@ -759,6 +759,13 @@ class MultimodalSpec extends SparkTestBase {
     // laws of the same byte stream do NOT (different decoded PCM)
     assert(Multimodal.audioFingerprint(Multimodal.makeWavG711(600, 8000, 3, aLaw = false))
       === Multimodal.audioFingerprint(Multimodal.makeWavG711(600, 8000, 3, aLaw = false)))
+    // PCM widths: 8-bit widens (v-128)<<8 — a DC byte decodes to exact
+    // silence at 128; 24-bit stays exact signed
+    val flat8 = Multimodal.makeWavPcmWidth(600, 8000, 0, bits = 8)
+    for (i <- 44 until flat8.length) flat8(i) = 128.toByte
+    assert(Multimodal.audioFingerprint(flat8).contains(0L),
+      "constant 8-bit PCM has zero energy deltas everywhere")
+    assert(Multimodal.audioFingerprint(Multimodal.makeWavPcmWidth(600, 8000, 3, bits = 24)).isDefined)
     // sniffer + coverage: decodable classes fully fingerprinted, the
     // table-data codecs (mp3/ogg/aac shapes) measured at zero
     val rows = Seq(
