@@ -124,6 +124,34 @@ object SemanticDecontam {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** [[flagSemanticContaminatedAgainstIndex]] against a pre-resolved
+    * [[Ann.EmbedIndexHandle]] — identical flags (handle ≡ path by the
+    * Ann contract), but per-call cost is pure batch work. The streaming
+    * gate's form: the benchmark index is immutable for a stream's life,
+    * so its meta/caps/staging belong at stream START
+    * ([[Ann.openEmbedNearDupIndex]]), not in every micro-batch.
+    */
+  def flagSemanticContaminatedAgainstHandle(train: DataFrame,
+                                            handle: Ann.EmbedIndexHandle,
+                                            tau: Double,
+                                            idCol: String = "vec_id",
+                                            vecCol: String = "embedding"): DataFrame =
+    topEvidence(
+      Ann.embeddingNearDupsAgainstHandle(train, handle, tau,
+          idCol = idCol, vecCol = vecCol)
+        .select(col("new_id").as("id"), col("seen_id").as("bid"), col("cosine")))
+
+  /** Filter form of the handle path — `train` minus flagged. */
+  def removeSemanticContaminatedAgainstHandle(train: DataFrame,
+                                              handle: Ann.EmbedIndexHandle,
+                                              tau: Double,
+                                              idCol: String = "vec_id",
+                                              vecCol: String = "embedding"): DataFrame =
+    train.join(
+      flagSemanticContaminatedAgainstHandle(train, handle, tau, idCol, vecCol)
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Top-1 evidence fold over (id, bid, cosine) pairs: max cosine per id,
     * ties → MIN bench id. One partial aggregate — `min` over a
     * (−cosine, bid) struct makes both directions a single lexicographic

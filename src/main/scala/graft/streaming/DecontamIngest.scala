@@ -77,17 +77,28 @@ object DecontamIngest {
     * the decontamination matrix's (streaming × semantic) cell. Same
     * invariances as [[start]]: verdict = f(vector, index) so the
     * admitted set is split-invariant, and each batch's rows land
-    * exactly-once in their own `batch_id` partition.
+    * exactly-once in their own `batch_id` partition. The benchmark
+    * index is IMMUTABLE for the stream's life, so it is resolved ONCE
+    * here ([[graft.similarity.Ann.openEmbedNearDupIndex]]) and every
+    * micro-batch gates against the cached handle — the same hoist as
+    * [[ClusterIngest.startFromIndex]]; the r15 shape re-paid the meta
+    * collect, cap aggregation and index read per batch.
     */
   def startSemantic(spark: SparkSession, newVecs: DataFrame, indexPath: String,
                     tau: Double, outPath: String, checkpoint: String,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): StreamingQuery =
+                    vecCol: String = "embedding"): StreamingQuery = {
+    val handle = graft.similarity.Ann.openEmbedNearDupIndex(spark, indexPath)
     newVecs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeSemanticBatch(batch, batchId, indexPath, tau, idCol, vecCol, outPath)
+        graft.ops.Segments.writer(
+            graft.similarity.SemanticDecontam.removeSemanticContaminatedAgainstHandle(
+              batch, handle, tau, idCol, vecCol),
+            "append", Some(batchId))
+          .partitionBy("batch_id").parquet(outPath)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

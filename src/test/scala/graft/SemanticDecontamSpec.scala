@@ -93,6 +93,23 @@ class SemanticDecontamSpec extends SparkTestBase {
     assert(viaIndex.nonEmpty, "fixture must exercise the indexed path")
   }
 
+  test("handle-based flag/remove ≡ the path-based indexed forms") {
+    val idx = java.nio.file.Files.createTempDirectory("semdecon_idx_h").resolve("idx").toString
+    Ann.writeEmbedNearDupIndex(bench, idx, nBits = 8)
+    val handle = Ann.openEmbedNearDupIndex(spark, idx)
+    val viaPath = SemanticDecontam.flagSemanticContaminatedAgainstIndex(train, idx, tau = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val viaHandle = SemanticDecontam.flagSemanticContaminatedAgainstHandle(train, handle, tau = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaHandle === viaPath)
+    assert(viaHandle.nonEmpty)
+    val keptPath = SemanticDecontam.removeSemanticContaminatedAgainstIndex(train, idx, tau = 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val keptHandle = SemanticDecontam.removeSemanticContaminatedAgainstHandle(train, handle, tau = 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptHandle === keptPath)
+  }
+
   test("removeAgainstIndex = train minus indexed-flag ids") {
     val idx = java.nio.file.Files.createTempDirectory("semdecon_idx_rm").resolve("idx").toString
     Ann.writeEmbedNearDupIndex(bench, idx, nBits = 8)
