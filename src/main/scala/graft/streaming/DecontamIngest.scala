@@ -46,16 +46,29 @@ object DecontamIngest {
     * any live benchmark item at token-Jaccard ≥ `threshold`, with the
     * input schema preserved (plus the `batch_id` partition column).
     */
+  /** Drain `newDocs` through the decontamination gate into `outPath`.
+    * The benchmark index is IMMUTABLE for the stream's life, so it is
+    * resolved ONCE here ([[graft.text.Decontaminate.openBenchIndex]]:
+    * meta, tombstones, bucket caps, both bench tables pinned) and every
+    * micro-batch gates against the cached handle — the same hoist as
+    * [[ClusterIngest.startFromIndex]] / [[startSemantic]].
+    */
   def start(spark: SparkSession, newDocs: DataFrame, indexPath: String,
             idCol: String, textCol: String, threshold: Double,
-            outPath: String, checkpoint: String): StreamingQuery =
+            outPath: String, checkpoint: String): StreamingQuery = {
+    val handle = graft.text.Decontaminate.openBenchIndex(spark, indexPath)
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(batch, batchId, indexPath, idCol, textCol, threshold, outPath)
+        graft.ops.Segments.writer(
+            graft.text.Decontaminate.removeNearContaminatedAgainstHandle(
+              batch, handle, idCol, textCol, threshold = threshold),
+            "append", Some(batchId))
+          .partitionBy("batch_id").parquet(outPath)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** The SEMANTIC twin — one embedding-vector micro-batch gated against
     * the stored embed index of the benchmark ([[graft.similarity

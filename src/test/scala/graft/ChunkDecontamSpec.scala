@@ -195,6 +195,41 @@ class ChunkDecontamSpec extends SparkTestBase {
     assert(err.getMessage.contains("banding"))
   }
 
+  test("handle-based fuzzy flag/remove ≡ the path-based indexed forms; tombstones honored") {
+    val benches = (0 until 6).map { d =>
+      (100L + d, (0 until 24).map(i => s"b${d}w$i").mkString(" "))
+    }
+    val planted = benches.take(3).zipWithIndex.map { case ((_, text), d) =>
+      val toks = text.split(" ")
+      (d.toLong, toks.updated(12, "EDIT").mkString(" "))
+    }
+    val fTrain = (planted :+ (50L, (0 until 30).map(j => s"cw$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fBench = benches.toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("fz_idx_h").resolve("idx").toString
+    graft.text.Decontaminate.writeBenchIndex(fBench, "doc_id", "text", idx)
+    val h = graft.text.Decontaminate.openBenchIndex(spark, idx)
+    val viaHandle = graft.text.Decontaminate.flagNearContaminatedAgainstHandle(
+      fTrain, h, "doc_id", "text", threshold = 0.85)
+      .orderBy("id").collect().toSeq
+    val viaPath = graft.text.Decontaminate.flagNearContaminatedAgainstIndex(
+      fTrain, idx, "doc_id", "text", threshold = 0.85)
+      .orderBy("id").collect().toSeq
+    assert(viaHandle === viaPath)
+    assert(viaHandle.map(_.getLong(0)) === Seq(0L, 1L, 2L))
+    assert(graft.text.Decontaminate.removeNearContaminatedAgainstHandle(
+        fTrain, h, "doc_id", "text", threshold = 0.85)
+      .collect().map(_.getLong(0)).toSet === Set(50L))
+    // the handle is a point-in-time snapshot: tombstones written BEFORE
+    // open are honored, exactly like the path variant
+    import spark.implicits._
+    graft.text.Decontaminate.deleteFromBenchIndex(Seq(100L).toDF("doc_id"), idx)
+    val h2 = graft.text.Decontaminate.openBenchIndex(spark, idx)
+    assert(graft.text.Decontaminate.flagNearContaminatedAgainstHandle(
+        fTrain, h2, "doc_id", "text", threshold = 0.85)
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("indexed fuzzy decontam probe prunes the stored band read to its own buckets") {
     val fBench = (0 until 6).map { d =>
       (100L + d, (0 until 24).map(i => s"b${d}w$i").mkString(" "))
