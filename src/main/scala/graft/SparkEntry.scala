@@ -8423,6 +8423,39 @@ object SparkEntry {
     },
     qDedupLshIncremental.oracle)
 
+  /** STEADY-STATE streaming near-dup ([[graft.streaming.NearDupIngest
+    * .startFromIndex]]): the seen side comes off the STORED near-dup
+    * index ([[steadyIndex]] memoizes the build), resolved ONCE at
+    * stream start into a pinned handle — per micro-batch only the
+    * batch's own signature pass and batch-sized joins remain, where the
+    * from-raw twin re-pays the whole seen corpus's signature pass every
+    * batch. Indexed ≡ from-raw, so q_stream_neardup's oracle is shared
+    * verbatim.
+    */
+  private val qStreamNearDupSteady = Q(
+    (s, dir) => {
+      val tmp = scratchDir("graft_stream_neardup_steady")
+      val outPath = tmp.resolve("out").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val idxPath = steadyIndex("graft_neardup_steady", dir) { p =>
+        graft.dedup.NearDup.writeNearDupIndex(
+          t(s, dir, "documents")
+            .filter(col("doc_id") >= 250 && col("doc_id") < 1000),
+          "doc_id", "text", numHashes = 16, p)
+      }
+      val newDocs = Tables.readTableStream(s, dir, "documents")
+        .filter(col("doc_id") < 250)
+      val q = graft.streaming.NearDupIngest.startFromIndex(
+        s, newDocs, idxPath, "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.9,
+        outPath = outPath, checkpoint = ckpt)
+      q.awaitTermination()
+      s.read.parquet(outPath)
+        .select(col("new_id"), col("seen_id"), col("jaccard"))
+        .orderBy("new_id", "seen_id")
+    },
+    qStreamNearDup.oracle)
+
   /** Streaming decontamination at INGEST ([[graft.streaming
     * .DecontamIngest]]): documents < 450 arrive as the candidate stream
     * and each micro-batch is fuzzy-checked against the STORED benchmark
@@ -9698,6 +9731,7 @@ object SparkEntry {
     "q_bitext_mine" -> qBitextMine,
     "q_dup_span_ranges" -> qDupSpanRanges,
     "q_stream_neardup" -> qStreamNearDup,
+    "q_stream_neardup_steady" -> qStreamNearDupSteady,
     "q_stream_decontam" -> qStreamDecontam,
     "q_stream_decontam_semantic" -> qStreamDecontamSemantic,
     "q_stream_image_dedup" -> qStreamImageDedup,

@@ -460,6 +460,79 @@ object NearDup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** A stored near-dup index resolved ONCE for a whole stream/session:
+    * the seen side's band rows derived, capped and pinned, signatures
+    * and verification tokens pinned — the [[graft.similarity.Ann
+    * .EmbedIndexHandle]] pattern for the MinHash family. Without it
+    * every streaming micro-batch re-derives seenBand (a bands-×
+    * explode over the WHOLE index) and re-aggregates the bucket caps —
+    * O(index) invariant work per batch. Scale note: the handle pins the
+    * index in executor storage (memory, spilling to local disk) — the
+    * right trade for a stream probing the same index every micro-batch;
+    * a one-shot probe should keep using [[minHashLshAgainstIndex]].
+    */
+  final case class SeenIndexHandle private[dedup] (
+      bands: Int, rowsPerBand: Int, maxBucket: Int,
+      seenBand: DataFrame, seenSig: DataFrame, seenToks: DataFrame)
+
+  /** Resolve a stored near-dup index ([[writeNearDupIndex]] layout,
+    * tombstones honored at open time) into a [[SeenIndexHandle]]. */
+  def openNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, bands: Int = 4, rowsPerBand: Int = 4,
+                       maxBucket: Int = 1000): SeenIndexHandle = {
+    val index = readNearDupIndex(spark, path).localCheckpoint()
+    val seenBandAll = bandRows(index.select(col("id"), col("sig")), bands, rowsPerBand)
+    val okBuckets = seenBandAll.groupBy("band", "bh").count()
+      .filter(col("count") <= maxBucket).select("band", "bh")
+    val seenBand = seenBandAll.join(okBuckets, Seq("band", "bh"))
+      // pre-partition by the candidate join's key: only the batch side
+      // shuffles per micro-batch
+      .repartition(col("band"), col("bh")).localCheckpoint()
+    val seenSig = index.select(col("id").as("seen_id"), col("sig").as("sig_b"))
+      .localCheckpoint()
+    val seenToks = index.select(col("id").as("seen_id"), col("toks").as("toks_b"))
+      .localCheckpoint()
+    SeenIndexHandle(bands, rowsPerBand, maxBucket, seenBand, seenSig, seenToks)
+  }
+
+  /** [[minHashLshAgainstIndex]] against a pre-resolved
+    * [[SeenIndexHandle]] — identical pairs (same banding, caps and live
+    * set), per-call cost only batch work: one signature pass over the
+    * batch, the band equi-join against the cached capped bench side,
+    * estimate prefilter and exact Jaccard on candidates.
+    */
+  def minHashLshAgainstHandle(newDocs: DataFrame, h: SeenIndexHandle,
+                              idCol: String, textCol: String,
+                              threshold: Double = 0.7,
+                              estPrefilter: Boolean = true): DataFrame = {
+    val numHashes = h.bands * h.rowsPerBand
+    val newSigRaw = signatures(newDocs, idCol, textCol, numHashes)
+    val newSig = if (estPrefilter) newSigRaw.localCheckpoint() else newSigRaw
+    val candidates = bandRows(newSig, h.bands, h.rowsPerBand)
+      .select(col("band"), col("bh"), col("id").as("new_id"))
+      .join(h.seenBand.select(col("band"), col("bh"), col("id").as("seen_id")),
+        Seq("band", "bh"))
+      .filter(col("new_id") =!= col("seen_id"))
+      .select("new_id", "seen_id").distinct()
+    val slack = estSlack(threshold, numHashes)
+    val sigEst =
+      if (!estPrefilter) candidates
+      else candidates
+        .join(newSig.select(col("id").as("new_id"), col("sig").as("sig_a")), "new_id")
+        .join(h.seenSig, "seen_id")
+        .withColumn("est",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _), x => x)) /
+            lit(numHashes.toDouble))
+        .filter(col("est") >= slack)
+        .select("new_id", "seen_id")
+    val newToks = newDocs.select(col(idCol).as("new_id"),
+      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_a"))
+    sigEst.join(newToks, "new_id").join(h.seenToks, "seen_id")
+      .select(col("new_id"), col("seen_id"),
+        jaccard(col("toks_a"), col("toks_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** The filter form of [[minHashLshAgainstCorpus]]: the new batch minus
     * documents near-duplicating anything already seen — what an ingest
     * pipeline actually composes after [[dedupAgainstCorpus]] has removed

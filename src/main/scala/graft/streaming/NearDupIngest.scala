@@ -55,4 +55,35 @@ object NearDupIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** [[start]] probing the STORED near-dup index ([[graft.dedup.NearDup
+    * .writeNearDupIndex]]) — the steady-state split: the from-raw form
+    * re-pays the seen corpus's signature pass inside EVERY micro-batch,
+    * while here the index is resolved ONCE at stream start
+    * ([[graft.dedup.NearDup.openNearDupIndex]]: tombstones, band
+    * derivation, bucket caps, all three seen tables pinned and the band
+    * side pre-partitioned on the join key) and the foreachBatch closes
+    * over the handle — per micro-batch only batch-sized work remains.
+    * Identical pairs by the indexed ≡ from-raw contract (shares the
+    * from-raw gate oracle verbatim).
+    */
+  def startFromIndex(spark: SparkSession, newDocs: DataFrame,
+                     indexPath: String,
+                     idCol: String, textCol: String,
+                     bands: Int, rowsPerBand: Int, threshold: Double,
+                     outPath: String, checkpoint: String): StreamingQuery = {
+    val handle = graft.dedup.NearDup.openNearDupIndex(
+      spark, indexPath, bands, rowsPerBand)
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Segments.writer(
+            graft.dedup.NearDup.minHashLshAgainstHandle(
+              batch, handle, idCol, textCol, threshold),
+            "append", Some(batchId))
+          .partitionBy("batch_id").parquet(outPath)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

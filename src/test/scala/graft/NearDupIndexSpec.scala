@@ -41,6 +41,14 @@ class NearDupIndexSpec extends SparkTestBase {
     assert(viaAppended === viaBoth, "appended index must cover the grown corpus")
     assert(viaAppended.size > viaIndex.size || viaAppended === viaIndex,
       "growing history can only add pairs")
+
+    // the stream-shape handle (open once, probe per batch) must equal
+    // the path probe on the same live index
+    val handle = NearDup.openNearDupIndex(spark, idxPath, bands = 4, rowsPerBand = 4)
+    val viaHandle = NearDup.minHashLshAgainstHandle(
+        batch, handle, "doc_id", "text", threshold = 0.7)
+      .orderBy("new_id", "seen_id").collect().toSeq
+    assert(viaHandle === viaAppended, "handle probe must equal the path probe")
   }
 
   test("index compaction: file count drops, query results identical") {
