@@ -275,6 +275,7 @@ object Bench {
          "q_audio_fingerprint" | "q_audio_fingerprint_flac" |
          "q_audio_fingerprint_mulaw" | "q_audio_fingerprint_alaw" |
          "q_audio_fingerprint_adpcm" | "q_audio_fingerprint_pcm_widths" |
+         "q_audio_fingerprint_msadpcm" |
          "q_audio_coverage" |
          "q_audio_spectral" |
          "q_png_decode" | "q_png_alpha" | "q_png_16bit" | "q_png_interlaced" |

@@ -4192,6 +4192,84 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
             FROM hs ORDER BY doc_id"""))
 
+  /** LOSSY audio through the real MS-ADPCM decode ([[graft.multimodal
+    * .Multimodal.msAdpcmDecode]] — the canonical 7-coefficient
+    * predictor + delta-adaptation state machine, WAV format tag 2):
+    * mono fixtures of 2 independent 132-byte blocks (252 samples each:
+    * two header samples + 250 HIGH-nibble-first codes). The oracle
+    * replays the WHOLE recursion per block — truncate-toward-zero
+    * prediction, int16 clamp, delta adaptation with its floor — then
+    * the 65-frame energy-delta fold.
+    */
+  private val qAudioFingerprintMsAdpcm = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 40)
+        .map(id => (id, graft.multimodal.Multimodal.makeWavMsAdpcm(
+          2, 132, 8000, id)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFingerprints(s, bins)
+        .orderBy("doc_id")
+    }, {
+      val c1 = graft.multimodal.Multimodal.MsAdpcmCoeff1.mkString(", ")
+      val c2 = graft.multimodal.Multimodal.MsAdpcmCoeff2.mkString(", ")
+      val ad = graft.multimodal.Multimodal.MsAdpcmAdapt.mkString(", ")
+      Some(s"""WITH RECURSIVE ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+            init AS (SELECT doc_id, b.b AS b,
+                            CAST(([$c1])[(doc_id + b.b) % 7 + 1] AS BIGINT) AS c1,
+                            CAST(([$c2])[(doc_id + b.b) % 7 + 1] AS BIGINT) AS c2,
+                            CAST((doc_id + 131 * b.b) % 2000 - 1000 AS BIGINT) AS s1,
+                            CAST((doc_id + 77 * b.b) % 2000 - 1000 AS BIGINT) AS s2,
+                            CAST(40 + (doc_id * 7 + b.b * 11) % 500 AS BIGINT) AS delta
+                     FROM ids JOIN generate_series(0, 1) b(b) ON TRUE),
+            rec(doc_id, b, i, c1, c2, s1, s2, delta) AS (
+              SELECT doc_id, b, -1, c1, c2, s1, s2, delta FROM init
+              UNION ALL
+              SELECT doc_id, b, i, c1, c2,
+                     GREATEST(-32768, LEAST(32767, basepred + signed * delta)) AS s1,
+                     s1 AS s2,
+                     LEAST(65535, GREATEST(16, (([$ad])[nib + 1] * delta) // 256)) AS delta
+              FROM (
+                SELECT doc_id, b, i, c1, c2, s1, s2, delta, nib,
+                       CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END AS signed,
+                       CASE WHEN s1 * c1 + s2 * c2 >= 0
+                            THEN (s1 * c1 + s2 * c2) // 256
+                            ELSE -((-(s1 * c1 + s2 * c2)) // 256) END AS basepred
+                FROM (
+                  SELECT doc_id, b, i + 1 AS i, c1, c2, s1, s2, delta,
+                         CASE WHEN (i + 1) % 2 = 0
+                           THEN ((doc_id + 131 * b + 7 * (7 + (i + 1) // 2)) % 256) // 16
+                           ELSE ((doc_id + 131 * b + 7 * (7 + (i + 1) // 2)) % 256) % 16
+                         END AS nib
+                  FROM rec WHERE i < 249) n0) n1),
+            sm AS (SELECT doc_id, b * 252 AS s, s2 AS v FROM init
+                   UNION ALL
+                   SELECT doc_id, b * 252 + 1 AS s, s1 AS v FROM init
+                   UNION ALL
+                   SELECT doc_id, b * 252 + 2 + i AS s, s1 AS v
+                   FROM rec WHERE i >= 0),
+            fr AS (SELECT ids.doc_id, f.f AS f,
+                          (f.f * 504) // 65 AS lo, ((f.f + 1) * 504) // 65 AS hi
+                   FROM ids JOIN generate_series(0, 64) f(f) ON TRUE),
+            fe AS (SELECT fr.doc_id, fr.f, CAST(SUM(sm.v * sm.v) AS BIGINT) AS e
+                   FROM fr JOIN sm ON sm.doc_id = fr.doc_id
+                     AND sm.s >= fr.lo AND sm.s < fr.hi
+                   GROUP BY 1, 2),
+            bits AS (SELECT a.doc_id, a.f - 1 AS idx,
+                            CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                     FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                     WHERE a.f >= 1),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << idx) ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
+            FROM hs ORDER BY doc_id""")
+    })
+
   /** The MEASURED audio-decode boundary ([[graft.multimodal.Multimodal
     * .audioCoverage]]): a mixed corpus across every sniffable container
     * class — PCM16/FLAC/mu-law/A-law/ADPCM (decoded + fingerprinted)
@@ -9591,6 +9669,7 @@ object SparkEntry {
     "q_audio_fingerprint_alaw" -> qAudioFingerprintAlaw,
     "q_audio_fingerprint_adpcm" -> qAudioFingerprintAdpcm,
     "q_audio_fingerprint_pcm_widths" -> qAudioFingerprintPcmWidths,
+    "q_audio_fingerprint_msadpcm" -> qAudioFingerprintMsAdpcm,
     "q_audio_coverage" -> qAudioCoverage,
     "q_wav_decode" -> qWavDecode,
     "q_wav_frames" -> qWavFrames,

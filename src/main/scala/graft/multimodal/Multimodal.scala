@@ -385,6 +385,72 @@ object Multimodal {
     Some(out)
   }
 
+  /** The canonical MS-ADPCM constants (the published standard set): the
+    * seven predictor coefficient pairs (×256 fixed point) and the
+    * 16-entry delta adaptation table.
+    */
+  private[graft] val MsAdpcmCoeff1: Array[Int] = Array(256, 512, 0, 192, 240, 460, 392)
+  private[graft] val MsAdpcmCoeff2: Array[Int] = Array(0, -256, 0, 64, 0, -208, -232)
+  private[graft] val MsAdpcmAdapt: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230)
+
+  /** Decode MONO MS-ADPCM blocks (WAV format tag 2): each
+    * `blockAlign`-byte block is independent — 7-byte header (predictor
+    * index 0..6, initial idelta int16le, sample1 int16le, sample2
+    * int16le) then 2 nibbles/byte, HIGH nibble first (the opposite of
+    * IMA). Per nibble n: predictor = trunc((s1·C1[p] + s2·C2[p])/256) +
+    * signed4(n)·idelta, clamp to int16; idelta = max(16,
+    * trunc(Adapt[n]·idelta/256)). A block emits sample2, sample1, then
+    * one sample per nibble. idelta is clamped to [16, 65535]: reference
+    * decoders leave the top open and silently overflow their int on
+    * adversarial nibble streams (growth ≈1.35×/nibble on random codes);
+    * no sanely-ENCODED stream ever exceeds the bound (|signed|·delta
+    * already saturates the int16 sample far below it), so the clamp
+    * changes nothing on real files and makes the law total + exactly
+    * replayable. Envelope: the STANDARD 7-coefficient set (files
+    * carrying custom extra coefficient pairs in the fmt extension are
+    * outside it — essentially unseen in practice).
+    */
+  private[graft] def msAdpcmDecode(bytes: Array[Byte], blockAlign: Int,
+                                   dataOff: Int, dataLen: Int): Option[Array[Int]] = {
+    if (blockAlign < 8 || dataLen < blockAlign || dataLen % blockAlign != 0)
+      return None
+    val nBlocks = dataLen / blockAlign
+    val perBlock = 2 + (blockAlign - 7) * 2
+    val out = new Array[Int](nBlocks * perBlock)
+    var b = 0
+    while (b < nBlocks) {
+      val base = dataOff + b * blockAlign
+      val p = math.min(6, bytes(base) & 0xff)
+      val c1 = MsAdpcmCoeff1(p); val c2 = MsAdpcmCoeff2(p)
+      var delta = le16(bytes, base + 1).toShort.toInt
+      if (delta < 16) delta = 16
+      var s1 = le16(bytes, base + 3).toShort.toInt
+      var s2 = le16(bytes, base + 5).toShort.toInt
+      var o = b * perBlock
+      out(o) = s2; out(o + 1) = s1; o += 2
+      var j = 7
+      while (j < blockAlign) {
+        val byte = bytes(base + j) & 0xff
+        var half = 0
+        while (half < 2) {
+          val nib = if (half == 0) byte >> 4 else byte & 0x0f
+          val signed = if (nib >= 8) nib - 16 else nib
+          var pred = (s1 * c1 + s2 * c2) / 256 + signed * delta
+          if (pred > 32767) pred = 32767
+          if (pred < -32768) pred = -32768
+          s2 = s1; s1 = pred
+          delta = math.min(65535, math.max(16, MsAdpcmAdapt(nib) * delta / 256))
+          out(o) = pred; o += 1
+          half += 1
+        }
+        j += 1
+      }
+      b += 1
+    }
+    Some(out)
+  }
+
   /** Decoded sample stream of any supported audio payload:
     * (nSamples, sampleAt) — PCM16/mu-law/A-law WAV read straight off
     * the container (per-sample formulas, nothing materialized), IMA
@@ -414,6 +480,9 @@ object Multimodal {
         Some((dataLen, i => aLawToPcm(bytes(dataOff + i) & 0xff).toLong))
       case Some((0x11, 1, _, 4, blockAlign, dataOff, dataLen)) => // IMA mono
         imaAdpcmDecode(bytes, blockAlign, dataOff, dataLen)
+          .map(a => (a.length, (i: Int) => a(i).toLong))
+      case Some((2, 1, _, 4, blockAlign, dataOff, dataLen)) => // MS-ADPCM mono
+        msAdpcmDecode(bytes, blockAlign, dataOff, dataLen)
           .map(a => (a.length, (i: Int) => a(i).toLong))
       case Some(_) => None // other WAV envelopes: documented boundary
       case None =>
@@ -529,6 +598,52 @@ object Multimodal {
       out(base + 2) = ((seed + 13L * b) % 89).toByte
       out(base + 3) = 0
       var j = 4
+      while (j < blockAlign) {
+        out(base + j) = ((seed + 131L * b + 7L * j) % 256).toByte
+        j += 1
+      }
+      b += 1
+    }
+    out
+  }
+
+  /** Fixture writer for mono MS-ADPCM WAV (format 2): `nBlocks`
+    * independent blocks — predictor index `(seed + b) mod 7`, idelta
+    * `40 + (7·seed + 11·b) mod 500`, sample1/sample2
+    * `((seed + 131b) mod 2000) − 1000` / `((seed + 77b) mod 2000) −
+    * 1000`, nibble bytes `(seed + 131b + 7j) mod 256` — arbitrary
+    * nibble streams are always decodable, so the oracle replays the
+    * full predictor/delta state machine from the closed form.
+    */
+  def makeWavMsAdpcm(nBlocks: Int, blockAlign: Int, sampleRate: Int,
+                     seed: Long): Array[Byte] = {
+    require(nBlocks > 0 && nBlocks <= 4096 && blockAlign >= 8 &&
+      blockAlign <= 4096 && sampleRate > 0,
+      s"fixture shape $nBlocks x $blockAlign @ $sampleRate")
+    val dataLen = nBlocks * blockAlign
+    val out = new Array[Byte](44 + dataLen)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, off)
+    putTag(0, "RIFF"); putLe32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16); putLe16(20, 2)
+    putLe16(22, 1); putLe32(24, sampleRate); putLe32(28, sampleRate / 2)
+    putLe16(32, blockAlign); putLe16(34, 4)
+    putTag(36, "data"); putLe32(40, dataLen)
+    var b = 0
+    while (b < nBlocks) {
+      val base = 44 + b * blockAlign
+      out(base) = ((seed + b) % 7).toByte
+      putLe16(base + 1, (40 + (seed * 7 + b * 11L) % 500).toInt)
+      putLe16(base + 3, (((seed + 131L * b) % 2000) - 1000).toInt & 0xffff)
+      putLe16(base + 5, (((seed + 77L * b) % 2000) - 1000).toInt & 0xffff)
+      var j = 7
       while (j < blockAlign) {
         out(base + j) = ((seed + 131L * b + 7L * j) % 256).toByte
         j += 1
@@ -3250,6 +3365,7 @@ object Multimodal {
       case Some((7, _, _, _, _, _, _)) => "wav_mulaw"
       case Some((6, _, _, _, _, _, _)) => "wav_alaw"
       case Some((0x11, _, _, _, _, _, _)) => "wav_ima_adpcm"
+      case Some((2, _, _, _, _, _, _)) => "wav_ms_adpcm"
       case Some(_) => "wav_other"
       case None =>
         if (ascii(0, 4) == "fLaC") "flac"

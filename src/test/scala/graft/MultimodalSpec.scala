@@ -750,6 +750,32 @@ class MultimodalSpec extends SparkTestBase {
     assert(dh.last === 32767, "monotone +max nibbles from max step must clamp at 32767")
   }
 
+  test("MS-ADPCM: zero nibbles follow the pure predictor; blocks independent; delta clamps") {
+    // predictor index 0 (c1=256, c2=0): with all-zero nibbles each new
+    // sample is trunc(s1·256/256) = s1 — the stream holds at sample1
+    val quiet = Multimodal.makeWavMsAdpcm(1, 16, 8000, 0)
+    quiet(44) = 0 // predictor 0
+    quiet(45) = 40; quiet(46) = 0 // idelta 40
+    quiet(47) = ((1234 & 0xff)).toByte; quiet(48) = (1234 >> 8).toByte // sample1
+    quiet(49) = ((777 & 0xff)).toByte; quiet(50) = (777 >> 8).toByte // sample2
+    for (i <- 51 until quiet.length) quiet(i) = 0
+    val dq = Multimodal.msAdpcmDecode(quiet, 16, 44, 16).get
+    assert(dq.take(2).toSeq === Seq(777, 1234))
+    assert(dq.drop(2).forall(_ === 1234), s"zero nibbles must hold sample1: ${dq.toSeq}")
+
+    // block independence (per-block resync) and total-law bounds
+    val two = Multimodal.makeWavMsAdpcm(2, 132, 8000, 7)
+    val all = Multimodal.msAdpcmDecode(two, 132, 44, 264).get
+    val b0 = Multimodal.msAdpcmDecode(two, 132, 44, 132).get
+    val b1 = Multimodal.msAdpcmDecode(two, 132, 44 + 132, 132).get
+    assert(all.toSeq === (b0 ++ b1).toSeq)
+    assert(all.length === 2 * 252)
+    assert(all.forall(v => v >= -32768 && v <= 32767))
+    // fingerprint + sniff
+    assert(Multimodal.audioFingerprint(two).isDefined)
+    assert(Multimodal.audioFormatOf(two) === "wav_ms_adpcm")
+  }
+
   test("lossy-audio fingerprints: G.711/ADPCM payloads fingerprint; coverage measures the boundary") {
     import spark.implicits._
     assert(Multimodal.audioFingerprint(Multimodal.makeWavG711(600, 8000, 3, aLaw = false)).isDefined)
