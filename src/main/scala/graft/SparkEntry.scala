@@ -4282,16 +4282,19 @@ object SparkEntry {
     (s, dir) => {
       import s.implicits._
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .filter((id: Long) => id < 400)
+        .filter((id: Long) => id < 440)
         .map { id =>
-          val bytes = (id % 8) match {
+          val bytes = (id % 11) match {
             case 0 => graft.multimodal.Multimodal.makeWav(600, 1, 8000, id)
             case 1 => graft.multimodal.Flac.make(192, 1, 8000, id)
             case 2 => graft.multimodal.Multimodal.makeWavG711(600, 8000, id, aLaw = false)
             case 3 => graft.multimodal.Multimodal.makeWavG711(600, 8000, id, aLaw = true)
             case 4 => graft.multimodal.Multimodal.makeWavImaAdpcm(2, 132, 8000, id)
-            case 5 => "ID3".getBytes("US-ASCII") ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
-            case 6 => "OggS".getBytes("US-ASCII") ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
+            case 5 => graft.multimodal.Multimodal.makeWavMsAdpcm(2, 132, 8000, id)
+            case 6 => graft.multimodal.Multimodal.makeWavPcmWidth(600, 8000, id, bits = 8)
+            case 7 => graft.multimodal.Multimodal.makeWavPcmWidth(600, 8000, id, bits = 24)
+            case 8 => "ID3".getBytes("US-ASCII") ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
+            case 9 => "OggS".getBytes("US-ASCII") ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
             case _ => Array(0xff.toByte, 0xf1.toByte) ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
           }
           (id, bytes)
@@ -4299,13 +4302,15 @@ object SparkEntry {
       graft.multimodal.Multimodal.audioCoverage(s, bins)
         .orderBy("format")
     },
-    Some("""WITH cls AS (SELECT doc_id, doc_id % 8 AS k FROM documents WHERE doc_id < 400),
+    Some("""WITH cls AS (SELECT doc_id, doc_id % 11 AS k FROM documents WHERE doc_id < 440),
             fm AS (SELECT k,
                           CASE k WHEN 0 THEN 'wav_pcm16' WHEN 1 THEN 'flac'
                                  WHEN 2 THEN 'wav_mulaw' WHEN 3 THEN 'wav_alaw'
-                                 WHEN 4 THEN 'wav_ima_adpcm' WHEN 5 THEN 'mp3'
-                                 WHEN 6 THEN 'ogg' ELSE 'aac_adts' END AS format,
-                          CASE WHEN k <= 4 THEN 1 ELSE 0 END AS dec
+                                 WHEN 4 THEN 'wav_ima_adpcm' WHEN 5 THEN 'wav_ms_adpcm'
+                                 WHEN 6 THEN 'wav_pcm8' WHEN 7 THEN 'wav_pcm24'
+                                 WHEN 8 THEN 'mp3'
+                                 WHEN 9 THEN 'ogg' ELSE 'aac_adts' END AS format,
+                          CASE WHEN k <= 7 THEN 1 ELSE 0 END AS dec
                    FROM (SELECT DISTINCT k FROM cls)),
             agg AS (SELECT fm.format,
                            CAST(COUNT(*) AS BIGINT) AS n_docs,
