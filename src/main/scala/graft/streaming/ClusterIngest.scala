@@ -196,9 +196,23 @@ object ClusterIngest {
                      checkpoint: String, maxBucket: Int = 1000,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
-                     compactEvery: Int = 16): StreamingQuery = {
-    val handle = graft.similarity.Ann.openEmbedNearDupIndex(
-      spark, indexPath, maxBucket = maxBucket)
+                     compactEvery: Int = 16): StreamingQuery =
+    startFromHandle(spark, vecStream,
+      graft.similarity.Ann.openEmbedNearDupIndex(spark, indexPath, maxBucket = maxBucket),
+      threshold, path, checkpoint, idCol, vecCol, compactEvery)
+
+  /** [[startFromIndex]] with a caller-resolved handle — for callers that
+    * run several streams (or several gate passes) over the SAME
+    * immutable index and want to pay [[graft.similarity.Ann
+    * .openEmbedNearDupIndex]] exactly once across all of them.
+    */
+  def startFromHandle(spark: SparkSession, vecStream: DataFrame,
+                      handle: graft.similarity.Ann.EmbedIndexHandle,
+                      threshold: Double, path: String,
+                      checkpoint: String,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      compactEvery: Int = 16): StreamingQuery =
     vecStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatch(
@@ -210,5 +224,4 @@ object ClusterIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
-  }
 }

@@ -71,9 +71,19 @@ object NearDupIngest {
                      indexPath: String,
                      idCol: String, textCol: String,
                      bands: Int, rowsPerBand: Int, threshold: Double,
-                     outPath: String, checkpoint: String): StreamingQuery = {
-    val handle = graft.dedup.NearDup.openNearDupIndex(
-      spark, indexPath, bands, rowsPerBand)
+                     outPath: String, checkpoint: String): StreamingQuery =
+    startFromHandle(spark, newDocs,
+      graft.dedup.NearDup.openNearDupIndex(spark, indexPath, bands, rowsPerBand),
+      idCol, textCol, threshold, outPath, checkpoint)
+
+  /** [[startFromIndex]] with a caller-resolved handle — pay
+    * [[graft.dedup.NearDup.openNearDupIndex]] once across several
+    * streams over the same immutable index.
+    */
+  def startFromHandle(spark: SparkSession, newDocs: DataFrame,
+                      handle: graft.dedup.NearDup.SeenIndexHandle,
+                      idCol: String, textCol: String, threshold: Double,
+                      outPath: String, checkpoint: String): StreamingQuery = {
     newDocs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.Segments.writer(
