@@ -755,12 +755,21 @@ object NearDup {
     * replaces instead of double-appending (the [[graft.ops.Segments]]
     * contract).
     */
-  def appendSimHashIndex(sims: DataFrame, path: String, batchId: Long): Unit = {
+  /** `geometry` short-circuits the per-call meta read when the caller
+    * already resolved (maxHamming, parts) — meta is immutable, so a
+    * streaming loop resolves it ONCE at stream start instead of paying
+    * a driver-side parquet job per micro-batch (three per batch in the
+    * fused loop before the r16 hoist).
+    */
+  def appendSimHashIndex(sims: DataFrame, path: String, batchId: Long,
+                         geometry: Option[(Int, Int)] = None): Unit = {
     val spark = sims.sparkSession
-    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (mh, parts) = geometry.getOrElse {
+      val meta = spark.read.parquet(s"$path/meta").collect().head
+      (meta.getAs[Int]("maxhamming"), meta.getAs[Int]("parts"))
+    }
     graft.ops.Segments.writer(
-        simIndexPostings(sims, meta.getAs[Int]("maxhamming"), meta.getAs[Int]("parts")),
-        "append", Some(batchId))
+        simIndexPostings(sims, mh, parts), "append", Some(batchId))
       .partitionBy("batch_id", "pkey").parquet(s"$path/post")
   }
 
@@ -774,10 +783,13 @@ object NearDup {
     * stored meta, same exact Hamming filter on candidates.
     */
   def simHashNearDupsAgainstIndex(newSims: DataFrame, path: String,
-                                  beforeBatch: Option[Long] = None): DataFrame = {
+                                  beforeBatch: Option[Long] = None,
+                                  geometry: Option[(Int, Int)] = None): DataFrame = {
     val spark = newSims.sparkSession
-    val meta = spark.read.parquet(s"$path/meta").collect().head
-    val (maxHamming, parts) = (meta.getAs[Int]("maxhamming"), meta.getAs[Int]("parts"))
+    val (maxHamming, parts) = geometry.getOrElse {
+      val meta = spark.read.parquet(s"$path/meta").collect().head
+      (meta.getAs[Int]("maxhamming"), meta.getAs[Int]("parts"))
+    }
     // two consumers (pkey list + candidate join) and true stats
     val l = simIndexPostings(newSims.localCheckpoint(), maxHamming, parts)
       .select(col("pkey"), col("blk"), col("bv"), col("bv2"),

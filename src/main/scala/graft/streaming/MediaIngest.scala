@@ -102,7 +102,8 @@ object MediaIngest {
   def writeBatchSteady(batch: DataFrame, batchId: Long,
                        indexPath: String, pairsPath: String,
                        idCol: String, payloadCol: String,
-                       kind: String = "image"): Unit = {
+                       kind: String = "image",
+                       geometry: Option[(Int, Int)] = None): Unit = {
     val spark = batch.sparkSession
     val (hashed, hashCol) = hashesOf(spark, batch, kind, idCol, payloadCol)
     // one decode pass ever: probe, in-batch join and admit all consume
@@ -111,23 +112,30 @@ object MediaIngest {
     val sims = newHashes.select(col(idCol).as("id"), col(hashCol).as("simhash"))
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val meta = spark.read.parquet(s"$indexPath/meta").collect().head
-    val maxHamming = meta.getAs[Int]("maxhamming")
+    // index meta is immutable: resolved once at stream start and passed
+    // through (the r16 hoist) — the fallback read covers direct
+    // retry-simulation calls
+    val geo = geometry.getOrElse {
+      val meta = spark.read.parquet(s"$indexPath/meta").collect().head
+      (meta.getAs[Int]("maxhamming"), meta.getAs[Int]("parts"))
+    }
     val vsSeen =
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/post")))
         graft.dedup.NearDup
-          .simHashNearDupsAgainstIndex(sims, indexPath, beforeBatch = Some(batchId))
+          .simHashNearDupsAgainstIndex(sims, indexPath,
+            beforeBatch = Some(batchId), geometry = Some(geo))
           .select(least(col("new_id"), col("seen_id")).as("id_a"),
             greatest(col("new_id"), col("seen_id")).as("id_b"),
             col("hamming"))
       else sims.select(col("id").as("id_a"), col("id").as("id_b"),
         bit_count(col("simhash")).as("hamming")).limit(0)
-    val inBatch = graft.dedup.NearDup.simHashNearDups(sims, maxHamming)
+    val inBatch = graft.dedup.NearDup.simHashNearDups(sims, geo._1)
       .select(col("id_a"), col("id_b"), col("hamming"))
     graft.ops.Segments.writer(
         vsSeen.unionByName(inBatch).distinct(), "append", Some(batchId))
       .partitionBy("batch_id").parquet(pairsPath)
-    graft.dedup.NearDup.appendSimHashIndex(sims, indexPath, batchId)
+    graft.dedup.NearDup.appendSimHashIndex(sims, indexPath, batchId,
+      geometry = Some(geo))
   }
 
   /** [[start]] with the hash history kept as a STORED Hamming-blocked
@@ -149,15 +157,21 @@ object MediaIngest {
                   payloadCol: String = "payload",
                   kind: String = "image"): StreamingQuery = {
     val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
-    if (!metaP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaP)) {
-      import spark.implicits._
-      Seq((maxHamming, parts)).toDF("maxhamming", "parts")
-        .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
-    }
+    val geo =
+      if (!metaP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaP)) {
+        import spark.implicits._
+        Seq((maxHamming, parts)).toDF("maxhamming", "parts")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/meta")
+        (maxHamming, parts)
+      } else {
+        // a pre-seeded index wins: its stored geometry IS the blocking
+        val meta = spark.read.parquet(s"$indexPath/meta").collect().head
+        (meta.getAs[Int]("maxhamming"), meta.getAs[Int]("parts"))
+      }
     newMedia.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatchSteady(batch, batchId, indexPath, pairsPath, idCol,
-          payloadCol, kind)
+          payloadCol, kind, geometry = Some(geo))
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
