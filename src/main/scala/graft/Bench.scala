@@ -154,12 +154,24 @@ object Bench {
     // survives log truncation. SPARK_GRAFT_BENCH_OUT overrides the
     // CWD-relative default for launches from outside the repo root.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    try {
-      val out = java.nio.file.Paths.get(outPath)
-      if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    // ALSO mirror the full line to a git-TRACKED path: BENCH_rN.json
+    // truncates to a tail, and target/ is wiped by clean builds — r16's
+    // cross-round per-query analysis only worked because target/
+    // happened to survive (VERDICT r16 #6). bench/full_latest.json gets
+    // committed with each round, so git history keeps one full
+    // per-query artifact per round. Skipped for filtered
+    // (SPARK_GRAFT_ONLY) runs — a partial map must never masquerade as
+    // the round's full bench.
+    val paths =
+      if (only.isEmpty) Seq(outPath, "bench/full_latest.json") else Seq(outPath)
+    paths.foreach { p =>
+      try {
+        val out = java.nio.file.Paths.get(p)
+        if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }
@@ -276,7 +288,7 @@ object Bench {
          "q_audio_fingerprint_mulaw" | "q_audio_fingerprint_alaw" |
          "q_audio_fingerprint_adpcm" | "q_audio_fingerprint_pcm_widths" |
          "q_audio_fingerprint_msadpcm" |
-         "q_audio_coverage" |
+         "q_audio_coverage" | "q_image_coverage" | "q_image_ahash_tiff" |
          "q_audio_spectral" |
          "q_png_decode" | "q_png_alpha" | "q_png_16bit" | "q_png_interlaced" |
          "q_gif_decode" | "q_jpeg_decode" | "q_jpeg_progressive" |

@@ -83,9 +83,15 @@ object SparkEntry {
     * factors / indexes never share a handle.
     */
   private val steadyHandles =
-    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]
-  private def steadyHandle[T <: AnyRef](key: String)(open: => T): T =
-    steadyHandles.computeIfAbsent(key, { _: String => open }).asInstanceOf[T]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnyRef]
+  private def steadyHandle[T <: AnyRef](s: SparkSession, key: String)(open: => T): T =
+    // keyed by (session, path), not path alone: a handle pins
+    // localCheckpoint RDDs of its owning SparkContext, and under
+    // SPARK_GRAFT_BENCH_ISOLATE=tier sessions are stopped between tiers
+    // — a path-only key could hand a later tier a handle whose RDDs
+    // belong to a stopped context (ADVICE r16).
+    steadyHandles.computeIfAbsent((s, key), { _: (SparkSession, String) => open })
+      .asInstanceOf[T]
 
   /** Temporarily pin `spark.sql.shuffle.partitions` around a STATEFUL
     * streaming query. A stateful stream keeps state-store instances per
@@ -2833,7 +2839,7 @@ object SparkEntry {
       val sch = s.read.parquet(srcPath).schema
       val vecStream = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1").parquet(srcPath)
-      val handle = steadyHandle(s"embed:$idxPath")(
+      val handle = steadyHandle(s, s"embed:$idxPath")(
         graft.similarity.Ann.openEmbedNearDupIndex(s, idxPath))
       val q = graft.streaming.ClusterIngest.startFromHandle(
         s, vecStream, handle, threshold = 0.3, storePath, ckpt)
@@ -4296,9 +4302,9 @@ object SparkEntry {
     (s, dir) => {
       import s.implicits._
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .filter((id: Long) => id < 440)
+        .filter((id: Long) => id < 480)
         .map { id =>
-          val bytes = (id % 11) match {
+          val bytes = (id % 12) match {
             case 0 => graft.multimodal.Multimodal.makeWav(600, 1, 8000, id)
             case 1 => graft.multimodal.Flac.make(192, 1, 8000, id)
             case 2 => graft.multimodal.Multimodal.makeWavG711(600, 8000, id, aLaw = false)
@@ -4309,20 +4315,23 @@ object SparkEntry {
             case 7 => graft.multimodal.Multimodal.makeWavPcmWidth(600, 8000, id, bits = 24)
             case 8 => "ID3".getBytes("US-ASCII") ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
             case 9 => "OggS".getBytes("US-ASCII") ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
-            case _ => Array(0xff.toByte, 0xf1.toByte) ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
+            case 10 => Array(0xff.toByte, 0xf1.toByte) ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
+            // bare (un-containered) MP3: MPEG frame sync + Layer III
+            // bits — sniffed into the SAME 'mp3' row as the ID3 case
+            case _ => Array(0xff.toByte, 0xfb.toByte) ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
           }
           (id, bytes)
         }.toDF("doc_id", "payload")
       graft.multimodal.Multimodal.audioCoverage(s, bins)
         .orderBy("format")
     },
-    Some("""WITH cls AS (SELECT doc_id, doc_id % 11 AS k FROM documents WHERE doc_id < 440),
+    Some("""WITH cls AS (SELECT doc_id, doc_id % 12 AS k FROM documents WHERE doc_id < 480),
             fm AS (SELECT k,
                           CASE k WHEN 0 THEN 'wav_pcm16' WHEN 1 THEN 'flac'
                                  WHEN 2 THEN 'wav_mulaw' WHEN 3 THEN 'wav_alaw'
                                  WHEN 4 THEN 'wav_ima_adpcm' WHEN 5 THEN 'wav_ms_adpcm'
                                  WHEN 6 THEN 'wav_pcm8' WHEN 7 THEN 'wav_pcm24'
-                                 WHEN 8 THEN 'mp3'
+                                 WHEN 8 THEN 'mp3' WHEN 11 THEN 'mp3'
                                  WHEN 9 THEN 'ogg' ELSE 'aac_adts' END AS format,
                           CASE WHEN k <= 7 THEN 1 ELSE 0 END AS dec
                    FROM (SELECT DISTINCT k FROM cls)),
@@ -4373,6 +4382,114 @@ object SparkEntry {
                    CAST(CASE WHEN s >= 9223372036854775808
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
             FROM hs ORDER BY doc_id"""))
+
+  /** TIFF through the perceptual-hash gate ([[graft.multimodal
+    * .Multimodal.tiffGrayGrid]] via `imageAHashes` — VERDICT r16 #3):
+    * baseline uncompressed TIFF across the container's degrees of
+    * freedom — grayscale vs RGB, II vs MM byte order, single- vs
+    * multi-strip layout (doc_id mod 4 picks the variant) — all decoding
+    * to the SAME closed-form display pixels a tag-directory walk away.
+    * The oracle replays every hash bit from the fixture formula: byte
+    * (r, k) = (id + r·31 + k·7) mod 256 top-down, gray = r+g+b for RGB
+    * and 3× the sample for grayscale, then the exact integer aHash law
+    * (q_image_ahash's CTE without the BMP bottom-up flip). Endianness
+    * and strip geometry must NOT appear in the oracle — that absence IS
+    * the storage-invariance proof.
+    */
+  private val qImageAHashTiff = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes = (id % 4) match {
+            case 0 => graft.multimodal.Multimodal.makeTiff(16, 16, id, rgb = false)
+            case 1 => graft.multimodal.Multimodal.makeTiff(16, 16, id)
+            case 2 => graft.multimodal.Multimodal.makeTiff(16, 16, id,
+              bigEndian = true, rowsPerStrip = 5)
+            case _ => graft.multimodal.Multimodal.makeTiff(16, 16, id, rgb = false,
+              bigEndian = true, rowsPerStrip = 3)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imageAHashes(s, bins).orderBy("doc_id")
+    },
+    Some("""WITH px AS (
+              SELECT d.doc_id, r.r AS r, x.x AS x,
+                     CASE WHEN d.doc_id % 4 IN (0, 3)
+                          THEN 3 * ((d.doc_id + r.r * 31 + x.x * 7) % 256)
+                          ELSE (d.doc_id + r.r * 31 + (3*x.x + 0) * 7) % 256
+                             + (d.doc_id + r.r * 31 + (3*x.x + 1) * 7) % 256
+                             + (d.doc_id + r.r * 31 + (3*x.x + 2) * 7) % 256
+                     END AS gray
+              FROM documents d
+              JOIN generate_series(0, 15) r(r) ON TRUE
+              JOIN generate_series(0, 15) x(x) ON TRUE),
+            tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+            blk AS (SELECT doc_id, r // 2 AS bi, x // 2 AS bj, SUM(gray) AS bsum
+                    FROM px GROUP BY 1, 2, 3),
+            bits AS (SELECT b.doc_id, bi, bj,
+                            CASE WHEN b.bsum * 256 >= t.total * 4 THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id)),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
+            FROM hs ORDER BY doc_id"""))
+
+  /** The MEASURED image-decode boundary ([[graft.multimodal.Multimodal
+    * .imageCoverage]] — VERDICT r16 #2, q_audio_coverage's image twin):
+    * a mixed corpus across every sniffable container class —
+    * BMP/PNG/GIF/JPEG/TIFF (decoded + hashed, TIFF in both gray and
+    * big-endian multi-strip RGB shapes) and WebP/AVIF/unknown payloads
+    * (valid magics, no decode path) — folded to per-format
+    * (n_docs, n_hashed). The image envelope becomes a number per
+    * corpus, not a COVERAGE.md footnote; the oracle replays the class
+    * arithmetic.
+    */
+  private val qImageCoverage = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 450)
+        .map { id =>
+          val bytes = (id % 9) match {
+            case 0 => graft.multimodal.Multimodal.makeBmp(16, 16, id)
+            case 1 => graft.multimodal.Multimodal.makePng(16, 16, id)
+            case 2 => graft.multimodal.Multimodal.makeGif(16, 16, id)
+            case 3 => graft.multimodal.Multimodal.makeJpeg(16, 16, id, gray = true)
+            case 4 => graft.multimodal.Multimodal.makeTiff(16, 16, id, rgb = false)
+            case 5 => graft.multimodal.Multimodal.makeTiff(16, 16, id,
+              bigEndian = true, rowsPerStrip = 5)
+            case 6 => "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+              "WEBP".getBytes("US-ASCII") ++ Array.tabulate(16)(i => ((id + i) % 256).toByte)
+            case 7 => Array[Byte](0, 0, 0, 24) ++ "ftypavif".getBytes("US-ASCII") ++
+              Array.tabulate(16)(i => ((id + i) % 256).toByte)
+            case _ => Array.fill(24)(1.toByte)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imageCoverage(s, bins)
+        .orderBy("format")
+    },
+    Some("""WITH cls AS (SELECT doc_id, doc_id % 9 AS k FROM documents WHERE doc_id < 450),
+            fm AS (SELECT k,
+                          CASE k WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                                 WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg'
+                                 WHEN 4 THEN 'tiff' WHEN 5 THEN 'tiff'
+                                 WHEN 6 THEN 'webp' WHEN 7 THEN 'avif'
+                                 ELSE 'unknown' END AS format,
+                          CASE WHEN k <= 5 THEN 1 ELSE 0 END AS dec
+                   FROM (SELECT DISTINCT k FROM cls)),
+            agg AS (SELECT fm.format,
+                           CAST(COUNT(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(fm.dec) AS BIGINT) AS n_hashed
+                    FROM cls JOIN fm ON fm.k = cls.k
+                    GROUP BY fm.format)
+            SELECT format, n_docs, n_hashed FROM agg ORDER BY format"""))
 
   /** DCT perceptual hash (pHash) through the driver gate
     * ([[graft.multimodal.Multimodal.imagePHashes]] / [[graft.multimodal
@@ -8542,7 +8659,7 @@ object SparkEntry {
       }
       val newDocs = Tables.readTableStream(s, dir, "documents")
         .filter(col("doc_id") < 250)
-      val handle = steadyHandle(s"neardup:$idxPath")(
+      val handle = steadyHandle(s, s"neardup:$idxPath")(
         graft.dedup.NearDup.openNearDupIndex(s, idxPath, bands = 4, rowsPerBand = 4))
       val q = graft.streaming.NearDupIngest.startFromHandle(
         s, newDocs, handle, "doc_id", "text", threshold = 0.9,
@@ -9681,6 +9798,8 @@ object SparkEntry {
     "q_video_phash" -> qVideoPHash,
     "q_video_neardup_phash" -> qVideoNearDupPHash,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
+    "q_image_ahash_tiff" -> qImageAHashTiff,
+    "q_image_coverage" -> qImageCoverage,
     "q_image_neardup" -> qImageNearDup,
     "q_audio_fingerprint" -> qAudioFingerprint,
     "q_audio_spectral" -> qAudioSpectral,

@@ -481,6 +481,17 @@ object NearDup {
                        path: String, bands: Int = 4, rowsPerBand: Int = 4,
                        maxBucket: Int = 1000): SeenIndexHandle = {
     val index = readNearDupIndex(spark, path).localCheckpoint()
+    // fail fast on geometry mismatch: this index family stores no meta
+    // (unlike the bench index), so a caller passing bands/rowsPerBand
+    // that don't factor the stored signature length would silently get
+    // wrong band rows. One head row is enough — every signature in a
+    // store has the same length by construction (ADVICE r16).
+    index.select(size(col("sig"))).head(1).foreach { r =>
+      val sigLen = r.getInt(0)
+      require(bands * rowsPerBand == sigLen,
+        s"openNearDupIndex($path): bands=$bands x rowsPerBand=$rowsPerBand " +
+          s"= ${bands * rowsPerBand} does not match stored signature length $sigLen")
+    }
     val seenBandAll = bandRows(index.select(col("id"), col("sig")), bands, rowsPerBand)
     val okBuckets = seenBandAll.groupBy("band", "bh").count()
       .filter(col("count") <= maxBucket).select("band", "bh")

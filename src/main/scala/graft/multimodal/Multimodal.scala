@@ -53,10 +53,14 @@ object Multimodal {
   }
 
   // ---- real decoder: BMP (Windows bitmap, public spec) ----------------
-  // One format is de-stubbed with public knowledge only: uncompressed
-  // 24-bpp BI_RGB bitmaps are a fixed-layout header + raw pixel rows, so
-  // a header parse + pixel walk needs zero codec libraries. Every other
-  // format still routes to [[decodeStub]].
+  // The first de-stubbed format (r11): uncompressed 24-bpp BI_RGB
+  // bitmaps are a fixed-layout header + raw pixel rows, so a header
+  // parse + pixel walk needs zero codec libraries. The decode envelope
+  // has since grown well past BMP — PNG/GIF/JPEG/TIFF, WAV PCM
+  // 8/16/24-bit, FLAC, G.711, IMA/MS ADPCM all decode for real (see
+  // COVERAGE.md for the measured boundary); [[decodeStub]] remains only
+  // as the documented deterministic fallback for formats OUTSIDE that
+  // envelope (MP3/OGG/AAC and the exotic image containers).
 
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
@@ -1640,6 +1644,152 @@ object Multimodal {
     t
   }
 
+  // ---- real decoder: AVI/MJPEG (RIFF container, public spec) -----------
+  // The real-world video container the GIF89a path doesn't cover: an AVI
+  // is the same even-aligned fourcc-chunk walk as WAV ([[wavAnyHeader]])
+  // — RIFF/'AVI ' → LIST hdrl (avih main header for the canvas dims,
+  // LIST strl → strh declaring a 'vids' stream with the MJPG handler) →
+  // LIST movi whose 00dc/00db chunks each carry ONE complete baseline/
+  // progressive JPEG, decoded by the existing [[parseJpeg]] machinery.
+  // No new codec: the container walk is pure offset arithmetic and every
+  // frame rides the entropy decoder the repo already owns.
+
+  /** ALL frames of an MJPEG AVI as display-ready grayscale canvases —
+    * the [[gifFrameGrids]] contract for the RIFF container: returns
+    * (canvasW, canvasH, one gray canvas per video chunk), gray per the
+    * JPEG grid law ([[jpegGrayGrid]] — Y for grayscale frames, R+G+B
+    * after exact YCbCr inversion for color). None outside the envelope:
+    * bad RIFF/AVI magic, truncated or oversized chunks, a non-MJPG
+    * video stream, a frame that fails JPEG decode or disagrees with the
+    * declared canvas — a poisoned clip yields NO hashes, never a
+    * partial lie.
+    */
+  private[graft] def aviFrameGrids(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+    def tag(off: Int): String =
+      if (off >= 0 && off + 4 <= bytes.length)
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (bytes.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val riffEnd = math.min(bytes.length.toLong,
+      12L + (le32(bytes, 4) & 0xffffffffL) - 4L).toInt
+    var w = -1; var h = -1
+    var mjpgVids = false
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var off = 12
+    while (off + 8 <= riffEnd) {
+      val ck = tag(off)
+      val size = le32(bytes, off + 4)
+      if (size < 0 || off + 8 + size.toLong > riffEnd) return None
+      if (ck == "LIST" && size >= 4) {
+        val listType = tag(off + 8)
+        val end = off + 8 + size
+        if (listType == "hdrl") {
+          var p = off + 12
+          while (p + 8 <= end) {
+            val sck = tag(p)
+            val ssz = le32(bytes, p + 4)
+            if (ssz < 0 || p + 8 + ssz.toLong > end) return None
+            if (sck == "avih" && ssz >= 40) {
+              w = le32(bytes, p + 8 + 32) // dwWidth
+              h = le32(bytes, p + 8 + 36) // dwHeight
+            } else if (sck == "LIST" && ssz >= 4 && tag(p + 8) == "strl" &&
+                       p + 20 <= end && tag(p + 12) == "strh") {
+              // strh data: fccType, then fccHandler
+              if (tag(p + 20) == "vids")
+                mjpgVids = tag(p + 24) == "MJPG" || tag(p + 24) == "mjpg"
+            }
+            p += 8 + ssz + (ssz & 1)
+          }
+        } else if (listType == "movi") {
+          var p = off + 12
+          while (p + 8 <= end) {
+            val sck = tag(p)
+            val ssz = le32(bytes, p + 4)
+            if (ssz < 0 || p + 8 + ssz.toLong > end) return None
+            // stream-0 video data (MJPG frames arrive as 00dc; 00db is
+            // the uncompressed-DIB slot some muxers still use for JPEG)
+            if ((sck == "00dc" || sck == "00db") && ssz > 0) {
+              if (frames.length >= 4096) return None // runaway-container backstop
+              val fb = java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + ssz)
+              jpegGrayGrid(fb) match {
+                case Some((fw, fh, g)) if fw == w && fh == h => frames += g
+                case _ => return None
+              }
+            }
+            p += 8 + ssz + (ssz & 1)
+          }
+        }
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+        !mjpgVids || frames.isEmpty) None
+    else Some((w, h, frames.toSeq))
+  }
+
+  /** Fixture/test writer for MJPEG AVI: `frames` video chunks, frame f
+    * a [[makeJpeg]] fixture with seed `seed + f·17` (the
+    * [[makeGifAnimated]] per-frame seed convention), so every frame
+    * replays the DC-only JPEG closed form. Writes the minimal honest
+    * container: avih with the real dims/frame count, a vids/MJPG strl
+    * with a BITMAPINFOHEADER strf, and a movi list of 00dc chunks
+    * (odd-sized frames get the spec's pad byte — the walk must honor
+    * even alignment).
+    */
+  def makeAviMjpeg(w: Int, h: Int, seed: Long, frames: Int,
+                   gray: Boolean = true): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 1024 && h <= 1024 && frames >= 1 && frames <= 64,
+      s"fixture dims $w x $h x $frames")
+    val frameData = (0 until frames).map(f => makeJpeg(w, h, seed + f * 17L, gray = gray))
+    val out = new java.io.ByteArrayOutputStream()
+    def le32out(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def tagOut(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val strlSize = 4 + (8 + 56) + (8 + 40)          // 'strl' + strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)    // 'hdrl' + avih + LIST strl
+    val moviSize = 4 + frameData.map(f => 8 + f.length + (f.length & 1)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    tagOut("RIFF"); le32out(riffSize); tagOut("AVI ")
+    tagOut("LIST"); le32out(hdrlSize); tagOut("hdrl")
+    tagOut("avih"); le32out(56)
+    le32out(100000)                                  // dwMicroSecPerFrame (10 fps)
+    le32out(0); le32out(0); le32out(0)               // maxBytesPerSec, padding, flags
+    le32out(frames)                                  // dwTotalFrames
+    le32out(0); le32out(1); le32out(0)               // initialFrames, streams, bufSize
+    le32out(w); le32out(h)                           // dwWidth, dwHeight
+    (0 until 4).foreach(_ => le32out(0))             // reserved
+    tagOut("LIST"); le32out(strlSize); tagOut("strl")
+    tagOut("strh"); le32out(56)
+    tagOut("vids"); tagOut("MJPG")
+    le32out(0); le32out(0); le32out(0)               // flags, prio+lang, initialFrames
+    le32out(1); le32out(10)                          // dwScale, dwRate (10 fps)
+    le32out(0); le32out(frames)                      // dwStart, dwLength
+    le32out(frameData.map(_.length).max)             // suggestedBufferSize
+    le32out(0); le32out(0)                           // quality, sampleSize
+    le32out(0); le32out(0)                           // rcFrame (4 shorts)
+    tagOut("strf"); le32out(40)
+    le32out(40); le32out(w); le32out(h)              // biSize, biWidth, biHeight
+    out.write(1); out.write(0); out.write(24); out.write(0) // planes, bitcount
+    tagOut("MJPG")                                   // biCompression fourcc
+    le32out(3 * w * h)                               // biSizeImage
+    (0 until 4).foreach(_ => le32out(0))             // resolution, clr fields
+    tagOut("LIST"); le32out(moviSize); tagOut("movi")
+    frameData.foreach { f =>
+      tagOut("00dc"); le32out(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0)          // even alignment pad
+    }
+    out.toByteArray
+  }
+
+  /** Container dispatch for the decoded-video family: animated GIF or
+    * MJPEG AVI, both yielding the same (w, h, gray frames) contract.
+    */
+  private[graft] def videoFrameGrids(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] =
+    gifFrameGrids(bytes).orElse(aviFrameGrids(bytes))
+
   /** Canonical Huffman table: value lookup by (length, code). */
   private final class HuffTable(counts: Array[Int], symbols: Array[Int]) {
     // minCode(l), maxCode(l) (exclusive), valPtr(l) for l in 1..16
@@ -2570,10 +2720,245 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---- real decoder: TIFF (baseline uncompressed, public spec) ---------
+  // TIFF 6.0's uncompressed core is a pointer structure, not a codec:
+  // an 8-byte header picks the byte order (II little-endian / MM
+  // big-endian, magic 42) and points at a tag directory (IFD) of
+  // 12-byte entries; the tags this subset needs are ImageWidth(256),
+  // ImageLength(257), BitsPerSample(258)=8, Compression(259)=1,
+  // PhotometricInterpretation(262) in {0,1,2}, StripOffsets(273),
+  // SamplesPerPixel(277) in {1,3}, RowsPerStrip(278) and
+  // StripByteCounts(279). Pixel data is row-major top-down in one or
+  // more strips. Anything outside that subset (LZW/PackBits/
+  // JPEG-in-TIFF compression, planar config 2, 16-bit samples, tiles)
+  // returns None → the stub, and the boundary is measured per corpus
+  // by [[imageCoverage]].
+
+  /** Decoded baseline TIFF: (w, h, samplesPerPixel, samples) with
+    * samples row-major interleaved top-down and WhiteIsZero
+    * (photometric 0) already inverted to intensity-up. None outside
+    * the baseline uncompressed subset.
+    */
+  private def tiffDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (bytes.length < 8) return None
+    val little =
+      if (bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte) true
+      else if (bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte) false
+      else return None
+    def u16(off: Int): Int =
+      if (off < 0 || off + 2 > bytes.length) -1
+      else if (little) le16(bytes, off)
+      else ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    def u32(off: Int): Long =
+      if (off < 0 || off + 4 > bytes.length) -1L
+      else if (little) le32(bytes, off) & 0xffffffffL
+      else be32(bytes, off) & 0xffffffffL
+    if (u16(2) != 42) return None
+    val ifdOff = u32(4)
+    if (ifdOff < 8 || ifdOff + 2 > bytes.length) return None
+    val nEntries = u16(ifdOff.toInt)
+    if (nEntries <= 0 || ifdOff + 2 + 12L * nEntries + 4 > bytes.length) return None
+    // one IFD entry's values as longs — SHORT(3)/LONG(4) only, inline
+    // when count·size ≤ 4 (spec: the value field then holds the data
+    // itself, left-justified in file byte order), via offset otherwise
+    def values(entryOff: Int): Option[Array[Long]] = {
+      val typ = u16(entryOff + 2)
+      val count = u32(entryOff + 4)
+      val size = typ match { case 3 => 2; case 4 => 4; case _ => return None }
+      if (count <= 0 || count > (1 << 16)) return None
+      val base =
+        if (count * size <= 4) entryOff + 8
+        else {
+          val off = u32(entryOff + 8)
+          if (off < 0 || off + count * size > bytes.length) return None
+          off.toInt
+        }
+      Some(Array.tabulate(count.toInt) { i =>
+        if (size == 2) u16(base + 2 * i).toLong else u32(base + 4 * i)
+      })
+    }
+    val needed = Set(256, 257, 258, 259, 262, 273, 277, 278, 279)
+    var tags = Map.empty[Int, Array[Long]]
+    var e = 0
+    while (e < nEntries) {
+      val entryOff = ifdOff.toInt + 2 + 12 * e
+      val tag = u16(entryOff)
+      // unknown tags are legal and skipped; a needed tag must parse
+      if (needed.contains(tag)) {
+        values(entryOff) match {
+          case Some(v) => tags += tag -> v
+          case None => return None
+        }
+      }
+      e += 1
+    }
+    def first(tag: Int, default: Long): Long =
+      tags.get(tag).flatMap(_.headOption).getOrElse(default)
+    val w = first(256, -1L).toInt
+    val h = first(257, -1L).toInt
+    val spp = first(277, 1L).toInt
+    val photometric = first(262, -1L).toInt
+    val compression = first(259, 1L).toInt
+    // 1<<14 sanity bound: a lying directory must not drive a huge walk
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    if (compression != 1) return None
+    if (!((spp == 1 && (photometric == 0 || photometric == 1)) ||
+          (spp == 3 && photometric == 2))) return None
+    val bits = tags.getOrElse(258, Array(8L))
+    if (bits.length != spp || bits.exists(_ != 8L)) return None
+    val rps0 = first(278, 0xffffffffL) // spec default: all rows, one strip
+    val rps = if (rps0 <= 0 || rps0 > h) h.toLong else rps0
+    val offs = tags.getOrElse(273, return None)
+    val counts = tags.getOrElse(279, return None)
+    val nStrips = ((h + rps - 1) / rps).toInt
+    if (offs.length != nStrips || counts.length != nStrips) return None
+    val rowBytes = w.toLong * spp
+    val out = new Array[Byte]((rowBytes * h).toInt)
+    var s = 0
+    var row = 0
+    while (s < nStrips) {
+      val rowsHere = math.min(rps, (h - row).toLong).toInt
+      val need = rowBytes * rowsHere
+      if (counts(s) != need) return None // baseline: strips are exact rows
+      val off = offs(s)
+      if (off < 8 || off + need > bytes.length) return None
+      System.arraycopy(bytes, off.toInt, out, (row * rowBytes).toInt, need.toInt)
+      row += rowsHere
+      s += 1
+    }
+    if (photometric == 0) { // WhiteIsZero: invert to intensity-up
+      var i = 0
+      while (i < out.length) { out(i) = (255 - (out(i) & 0xff)).toByte; i += 1 }
+    }
+    Some((w, h, spp, out))
+  }
+
+  /** Parse + decode a baseline uncompressed TIFF and fold features
+    * ([[tiffDecode]] for the decode half; the fold mirrors
+    * [[parseBmp]]'s layout, gray images folding like PNG's gray branch).
+    */
+  def parseTiff(id: Long, bytes: Array[Byte]): Option[MediaFeatures] =
+    tiffDecode(bytes).map { case (w, h, spp, samples) =>
+      val n = w.toLong * h
+      if (spp == 3) {
+        var sumR = 0L; var sumG = 0L; var sumB = 0L; var high = 0L
+        var p = 0
+        while (p < samples.length) {
+          val r = samples(p) & 0xff; val g = samples(p + 1) & 0xff
+          val b = samples(p + 2) & 0xff
+          sumR += r; sumG += g; sumB += b
+          high += (if (r > 127) 1 else 0) + (if (g > 127) 1 else 0) +
+            (if (b > 127) 1 else 0)
+          p += 3
+        }
+        val feats = Array(
+          (sumB.toDouble / (n * 255)).toFloat,
+          (sumG.toDouble / (n * 255)).toFloat,
+          (sumR.toDouble / (n * 255)).toFloat,
+          ((sumB + sumG + sumR).toDouble / (3 * n * 255)).toFloat,
+          (high.toDouble / (3 * n)).toFloat,
+          w.toFloat / (w + h), h.toFloat / (w + h), 0f)
+        MediaFeatures(id, bytes.length, "tiff", w, h, feats)
+      } else {
+        var sum = 0L; var high = 0L
+        var p = 0
+        while (p < samples.length) {
+          val v = samples(p) & 0xff
+          sum += v; if (v > 127) high += 1
+          p += 1
+        }
+        val m = (sum.toDouble / (n * 255)).toFloat
+        val feats = Array(m, m, m, m, (high.toDouble / n).toFloat,
+          w.toFloat / (w + h), h.toFloat / (w + h), 0f)
+        MediaFeatures(id, bytes.length, "tiff", w, h, feats)
+      }
+    }
+
+  /** Fixture/test writer for baseline uncompressed TIFF: pixels follow
+    * the closed form `(seed + row·31 + k·7) mod 256` with row the
+    * DISPLAY (top-down) row and k the byte index in the row (3x+c for
+    * RGB, x for grayscale) — oracle-replayable like [[makeBmp]] but
+    * without the bottom-up flip. `bigEndian` exercises the MM byte
+    * order; `rowsPerStrip` 0 means one strip for the whole image.
+    */
+  def makeTiff(w: Int, h: Int, seed: Long, rgb: Boolean = true,
+               bigEndian: Boolean = false, rowsPerStrip: Int = 0): Array[Byte] = {
+    val spp = if (rgb) 3 else 1
+    val rps = if (rowsPerStrip <= 0) h else math.min(rowsPerStrip, h)
+    val nStrips = (h + rps - 1) / rps
+    val rowBytes = w * spp
+    val pixBytes = rowBytes * h
+    val nEntries = 9
+    val ifdOff = 8 + pixBytes
+    val extraOff = ifdOff + 2 + nEntries * 12 + 4
+    val bitsOff = extraOff               // out-of-line BitsPerSample (RGB)
+    val bitsLen = if (rgb) 6 else 0
+    val soOff = bitsOff + bitsLen        // strip-offset array (multi-strip)
+    val arrLen = if (nStrips > 1) 4 * nStrips else 0
+    val scOff = soOff + arrLen           // strip-byte-count array
+    val out = new Array[Byte](scOff + arrLen)
+    def putU16(off: Int, v: Int): Unit =
+      if (bigEndian) { out(off) = (v >> 8).toByte; out(off + 1) = v.toByte }
+      else { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte }
+    def putU32(off: Int, v: Int): Unit =
+      if (bigEndian) {
+        out(off) = (v >> 24).toByte; out(off + 1) = (v >> 16).toByte
+        out(off + 2) = (v >> 8).toByte; out(off + 3) = v.toByte
+      } else {
+        out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+        out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+      }
+    out(0) = (if (bigEndian) 'M' else 'I').toByte
+    out(1) = out(0)
+    putU16(2, 42)
+    putU32(4, ifdOff)
+    var r = 0
+    while (r < h) {
+      var k = 0
+      while (k < rowBytes) {
+        out(8 + r * rowBytes + k) = ((seed + r * 31L + k * 7L) % 256).toByte
+        k += 1
+      }
+      r += 1
+    }
+    putU16(ifdOff, nEntries)
+    var e = 0
+    def entry(tag: Int, typ: Int, count: Int)(writeValue: Int => Unit): Unit = {
+      val off = ifdOff + 2 + e * 12
+      putU16(off, tag); putU16(off + 2, typ); putU32(off + 4, count)
+      writeValue(off + 8)
+      e += 1
+    }
+    entry(256, 3, 1)(putU16(_, w))
+    entry(257, 3, 1)(putU16(_, h))
+    if (rgb) {
+      entry(258, 3, 3)(putU32(_, bitsOff))
+      putU16(bitsOff, 8); putU16(bitsOff + 2, 8); putU16(bitsOff + 4, 8)
+    } else entry(258, 3, 1)(putU16(_, 8))
+    entry(259, 3, 1)(putU16(_, 1))                 // Compression = none
+    entry(262, 3, 1)(putU16(_, if (rgb) 2 else 1)) // photometric
+    if (nStrips > 1) {
+      entry(273, 4, nStrips)(putU32(_, soOff))
+      var s = 0
+      while (s < nStrips) {
+        putU32(soOff + 4 * s, 8 + s * rps * rowBytes)
+        putU32(scOff + 4 * s, math.min(rps, h - s * rps) * rowBytes)
+        s += 1
+      }
+    } else entry(273, 4, 1)(putU32(_, 8))
+    entry(277, 3, 1)(putU16(_, spp))
+    entry(278, 3, 1)(putU16(_, rps))
+    if (nStrips > 1) entry(279, 4, nStrips)(putU32(_, scOff))
+    else entry(279, 4, 1)(putU32(_, pixBytes))
+    // next-IFD pointer stays 0 (array is zero-initialized)
+    out
+  }
+
   /** Decode dispatch: real parse for the formats a pure-JVM reader can
-    * own (BMP, 16-bit PCM WAV, PNG incl. alpha/16-bit, GIF, and
-    * baseline + progressive JPEG today), [[decodeStub]] for everything
-    * else.
+    * own (BMP, WAV PCM + G.711 + ADPCM, PNG incl. alpha/16-bit, GIF,
+    * baseline + progressive JPEG, FLAC, baseline uncompressed TIFF),
+    * [[decodeStub]] for everything else — the envelope COVERAGE.md
+    * documents and [[imageCoverage]]/[[audioCoverage]] measure.
     */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
     parseBmp(id, bytes)
@@ -2582,6 +2967,7 @@ object Multimodal {
       .orElse(parseGif(id, bytes))
       .orElse(parseJpeg(id, bytes))
       .orElse(parseFlac(id, bytes))
+      .orElse(parseTiff(id, bytes))
       .getOrElse(decodeStub(id, bytes))
 
   /** Nearest-neighbor resize of an uncompressed 24-bpp BMP — the
@@ -3020,9 +3406,36 @@ object Multimodal {
     * follows content (magic bytes), the [[decode]] convention.
     */
   def imageAHash(bytes: Array[Byte]): Option[Long] =
+    grayGridOf(bytes).flatMap { case (w, h, g) => aHash64(w, h, g) }
+
+  /** TIFF grayscale grid through the real decode path ([[tiffDecode]]):
+    * the house gray law — r+g+b for RGB, 3× the sample for grayscale
+    * (so identical content hashes identically across formats).
+    */
+  private def tiffGrayGrid(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    tiffDecode(bytes).map { case (w, h, spp, samples) =>
+      val gray = new Array[Int](w * h)
+      if (spp == 3) {
+        var p = 0
+        while (p < gray.length) {
+          gray(p) = (samples(3 * p) & 0xff) + (samples(3 * p + 1) & 0xff) +
+            (samples(3 * p + 2) & 0xff)
+          p += 1
+        }
+      } else {
+        var p = 0
+        while (p < gray.length) { gray(p) = 3 * (samples(p) & 0xff); p += 1 }
+      }
+      (w, h, gray)
+    }
+
+  /** Format dispatch for the perceptual-hash family: each real
+    * decoder's gray-grid path in cheap-sniff order (every branch
+    * rejects on its magic bytes before doing any work).
+    */
+  private def grayGridOf(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     bmpGrayGrid(bytes).orElse(pngGrayGrid(bytes)).orElse(gifGrayGrid(bytes))
-      .orElse(jpegGrayGrid(bytes))
-      .flatMap { case (w, h, g) => aHash64(w, h, g) }
+      .orElse(jpegGrayGrid(bytes)).orElse(tiffGrayGrid(bytes))
 
   /** (doc_id, ahash) over a binary column — the same streaming
     * `mapPartitions` shape as [[extractFeatures]]; payloads that don't
@@ -3047,9 +3460,7 @@ object Multimodal {
     * block-structure key — see the measured A/B in [[pHash64]]'s doc.
     */
   def imagePHash(bytes: Array[Byte]): Option[Long] =
-    bmpGrayGrid(bytes).orElse(pngGrayGrid(bytes)).orElse(gifGrayGrid(bytes))
-      .orElse(jpegGrayGrid(bytes))
-      .flatMap { case (w, h, g) => pHash64(w, h, g) }
+    grayGridOf(bytes).flatMap { case (w, h, g) => pHash64(w, h, g) }
 
   /** (doc_id, phash) over a binary column — the [[imageAHashes]] shape;
     * near-dup pairs: [[imageNearDups]] with `hashCol = "phash"` (the
@@ -3083,11 +3494,9 @@ object Multimodal {
     df.select(col(idCol).cast(LongType), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
-        bmpGrayGrid(bytes).orElse(pngGrayGrid(bytes)).orElse(gifGrayGrid(bytes))
-          .orElse(jpegGrayGrid(bytes))
-          .flatMap { case (w, h, g) =>
-            aHash64(w, h, g).map(a => (id, a, pHash64(w, h, g)))
-          }
+        grayGridOf(bytes).flatMap { case (w, h, g) =>
+          aHash64(w, h, g).map(a => (id, a, pHash64(w, h, g)))
+        }
       })
       .toDF(idCol, "ahash", "phash")
   }
@@ -3103,13 +3512,14 @@ object Multimodal {
     graft.dedup.NearDup.simHashNearDups(
       hashes.select(col(idCol).as("id"), col(hashCol).as("simhash")), maxHamming)
 
-  /** (doc_id, frame_idx, fhash) over a binary column of (possibly
-    * animated) GIFs — one [[aHash64]] per COMPOSITED frame through
-    * [[gifFrameGrids]]. The decoded-video member of the multimodal
-    * hashing family: a clip is its frame-hash sequence, so clip-level
-    * near-dup reduces to frame-level Hamming joins ([[videoNearDups]]).
-    * Non-GIF / non-decodable payloads and sub-8×8 canvases emit NO
-    * rows; a single-frame GIF emits exactly its image hash (frame 0).
+  /** (doc_id, frame_idx, fhash) over a binary column of video clips —
+    * animated GIF ([[gifFrameGrids]]) or MJPEG AVI ([[aviFrameGrids]]),
+    * one [[aHash64]] per COMPOSITED/decoded frame. The decoded-video
+    * member of the multimodal hashing family: a clip is its frame-hash
+    * sequence, so clip-level near-dup reduces to frame-level Hamming
+    * joins ([[videoNearDups]]). Non-video / non-decodable payloads and
+    * sub-8×8 canvases emit NO rows; a single-frame clip emits exactly
+    * its image hash (frame 0).
     */
   def videoFrameHashes(spark: SparkSession, df: DataFrame,
                        idCol: String = "doc_id",
@@ -3118,7 +3528,7 @@ object Multimodal {
     df.select(col(idCol).cast(LongType), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
-        gifFrameGrids(bytes).toSeq.flatMap { case (w, h, frames) =>
+        videoFrameGrids(bytes).toSeq.flatMap { case (w, h, frames) =>
           frames.zipWithIndex.flatMap { case (g, fi) =>
             aHash64(w, h, g).map(hh => (id, fi.toLong, hh))
           }
@@ -3145,7 +3555,7 @@ object Multimodal {
     df.select(col(idCol).cast(LongType), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.flatMap { case (id, bytes) =>
-        gifFrameGrids(bytes).toSeq.flatMap { case (w, h, frames) =>
+        videoFrameGrids(bytes).toSeq.flatMap { case (w, h, frames) =>
           frames.zipWithIndex.flatMap { case (g, fi) =>
             pHash64(w, h, g).map(hh => (id, fi.toLong, hh))
           }
@@ -3373,6 +3783,13 @@ object Multimodal {
         else if (ascii(0, 3) == "ID3") "mp3"
         else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
                  (bytes(1) & 0xf6) == 0xf0) "aac_adts" // layer 00
+        // bare MPEG frame sync: layer bits 01 = Layer III, i.e. a raw
+        // (un-containered) MP3 stream — the SAME real-world format as
+        // the ID3-tagged case, so it folds into 'mp3' rather than
+        // splitting one format across two coverage rows (ADVICE r16);
+        // Layers I/II stay 'mpeg_audio'.
+        else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+                 (bytes(1) & 0xe0) == 0xe0 && ((bytes(1) >> 1) & 3) == 1) "mp3"
         else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
                  (bytes(1) & 0xe0) == 0xe0 && ((bytes(1) >> 1) & 3) != 0) "mpeg_audio"
         else "unknown"
@@ -3398,6 +3815,58 @@ object Multimodal {
       .toDF("format", "fp")
       .groupBy("format")
       .agg(count(lit(1)).as("n_docs"), sum(col("fp")).as("n_fingerprinted"))
+  }
+
+  /** Container-level IMAGE format sniff — classification only, no
+    * decode (the [[audioFormatOf]] discipline): magics for the decoded
+    * envelope (BMP/PNG/GIF/JPEG/TIFF) plus the common formats OUTSIDE
+    * it (WebP, AVIF/HEIC ftyp brands). A compressed or 16-bit TIFF
+    * still sniffs 'tiff' — coverage then shows it un-hashed, which is
+    * exactly the boundary the measurement exists to expose.
+    */
+  private[graft] def imageFormatOf(bytes: Array[Byte]): String = {
+    def ascii(off: Int, n: Int): String =
+      if (off + n <= bytes.length)
+        new String(bytes, off, n, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) "bmp"
+    else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && ascii(1, 3) == "PNG") "png"
+    else if (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a") "gif"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+             (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) "jpeg"
+    else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "WEBP") "webp"
+    else if (bytes.length >= 4 && (ascii(0, 2) == "II" || ascii(0, 2) == "MM") && {
+      val magic =
+        if (bytes(0) == 'I'.toByte) le16(bytes, 2)
+        else ((bytes(2) & 0xff) << 8) | (bytes(3) & 0xff)
+      magic == 42
+    }) "tiff"
+    else if (ascii(4, 4) == "ftyp") {
+      val brand = ascii(8, 4)
+      if (brand.startsWith("avif")) "avif"
+      else if (brand.startsWith("hei")) "heic"
+      else "isobmff"
+    }
+    else "unknown"
+  }
+
+  /** The MEASURED image-decode boundary ([[audioCoverage]]'s image
+    * twin, VERDICT r16 #2): per sniffed container format, how many
+    * payloads the perceptual-hash tier actually covers. One decode
+    * pass per payload (aHash attempt), one scan.
+    */
+  def imageCoverage(spark: SparkSession, df: DataFrame,
+                    idCol: String = "doc_id",
+                    payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (_, bytes) =>
+        (imageFormatOf(bytes), if (imageAHash(bytes).isDefined) 1L else 0L)
+      })
+      .toDF("format", "h")
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("n_hashed"))
   }
 
   /** Decode/feature-extract over the binary column. `mapPartitions` is the

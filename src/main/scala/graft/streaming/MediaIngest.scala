@@ -114,8 +114,15 @@ object MediaIngest {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // index meta is immutable: resolved once at stream start and passed
     // through (the r16 hoist) — the fallback read covers direct
-    // retry-simulation calls
+    // retry-simulation calls. A retry by definition follows an attempt
+    // whose [[startSteady]] seeded meta; a direct call on a FRESH path
+    // is a misuse, so fail with the contract instead of an opaque
+    // parquet error (ADVICE r16).
     val geo = geometry.getOrElse {
+      val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+      if (!fs.exists(metaP)) throw new IllegalStateException(
+        s"writeBatchSteady($indexPath): no index meta — pass geometry " +
+          "explicitly or run startSteady first (it seeds meta before batch 0)")
       val meta = spark.read.parquet(s"$indexPath/meta").collect().head
       (meta.getAs[Int]("maxhamming"), meta.getAs[Int]("parts"))
     }

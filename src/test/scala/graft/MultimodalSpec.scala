@@ -1287,4 +1287,210 @@ class MultimodalSpec extends SparkTestBase {
     }
     assert(Multimodal.deinterlaceRows(stored, w, 13).toSeq === display.toSeq)
   }
+
+  test("parseTiff: RGB fixture round-trips the closed-form pixels exactly") {
+    val w = 5; val h = 4; val seed = 7L
+    val f = Multimodal.parseTiff(1L, Multimodal.makeTiff(w, h, seed)).get
+    assert(f.format === "tiff" && f.width === w && f.height === h)
+    // fixture byte (r, k) = (seed + r*31 + k*7) % 256 with k = 3x+c in
+    // R,G,B order; feats are B,G,R means (the parseBmp layout)
+    def ch(c: Int): Long =
+      (for (r <- 0 until h; x <- 0 until w)
+        yield (seed + r * 31L + (3 * x + c) * 7L) % 256).sum
+    val n = w.toLong * h
+    assert(math.abs(f.features(0) - ch(2).toDouble / (n * 255)) < 1e-6)
+    assert(math.abs(f.features(1) - ch(1).toDouble / (n * 255)) < 1e-6)
+    assert(math.abs(f.features(2) - ch(0).toDouble / (n * 255)) < 1e-6)
+  }
+
+  test("parseTiff: grayscale folds one channel into all slots; WhiteIsZero inverts") {
+    val f = Multimodal.parseTiff(1L, Multimodal.makeTiff(6, 3, 11L, rgb = false)).get
+    assert(f.format === "tiff" && f.width === 6 && f.height === 3)
+    assert(f.features(0) === f.features(1) && f.features(1) === f.features(2) &&
+      f.features(2) === f.features(3))
+    // WhiteIsZero: flip the photometric tag on the gray fixture (entry 5,
+    // value field) and the decoded intensities must invert — mean' = 1 - mean
+    val bytes = Multimodal.makeTiff(6, 3, 11L, rgb = false)
+    val ifdOff = 8 + 6 * 3
+    val entryOff = ifdOff + 2 + 4 * 12 // entries: 256,257,258,259,262
+    assert((bytes(entryOff) & 0xff) === 6 && (bytes(entryOff + 1) & 0xff) === 1,
+      "expected tag 262 at entry index 4")
+    bytes(entryOff + 8) = 0 // photometric = WhiteIsZero
+    val inv = Multimodal.parseTiff(1L, bytes).get
+    val n = 6L * 3
+    val expInv = (for (r <- 0 until 3; x <- 0 until 6)
+      yield 255 - (11L + r * 31L + x * 7L) % 256).sum
+    assert(math.abs(inv.features(0) - expInv.toDouble / (n * 255)) < 1e-6)
+  }
+
+  test("imageAHash: TIFF hashes are endianness- and strip-layout-invariant") {
+    val ii = Multimodal.imageAHash(Multimodal.makeTiff(16, 16, 7)).get
+    val mm = Multimodal.imageAHash(Multimodal.makeTiff(16, 16, 7, bigEndian = true)).get
+    val strips = Multimodal.imageAHash(Multimodal.makeTiff(16, 16, 7, rowsPerStrip = 5)).get
+    val mmStrips = Multimodal.imageAHash(
+      Multimodal.makeTiff(16, 16, 7, bigEndian = true, rowsPerStrip = 3)).get
+    assert(ii === mm && ii === strips && ii === mmStrips)
+    // independent replay of the hash from the pixel closed form
+    val gray = Array.tabulate(16 * 16) { p =>
+      val r = p / 16; val x = p % 16
+      (0 until 3).map(c => ((7L + r * 31L + (3 * x + c) * 7L) % 256).toInt).sum
+    }
+    assert(ii === Multimodal.aHash64(16, 16, gray).get)
+    // gray fixture: 3x the sample keeps the law scale-consistent
+    val g = Multimodal.imageAHash(Multimodal.makeTiff(16, 16, 7, rgb = false)).get
+    val grayG = Array.tabulate(16 * 16) { p =>
+      3 * ((7L + (p / 16) * 31L + (p % 16) * 7L) % 256).toInt
+    }
+    assert(g === Multimodal.aHash64(16, 16, grayG).get)
+    assert(Multimodal.imagePHash(Multimodal.makeTiff(32, 32, 9)).isDefined)
+  }
+
+  test("parseTiff: outside-the-envelope variants reject to the stub, never guess") {
+    def mut(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = Multimodal.makeTiff(4, 4, 3L); f(b); b
+    }
+    val ifdOff = 8 + 4 * 4 * 3
+    def entryValOff(idx: Int) = ifdOff + 2 + idx * 12 + 8
+    // Compression = 5 (LZW): entry index 3 (256,257,258,259)
+    assert(Multimodal.decode(1L, mut(_(entryValOff(3)) = 5)).format === "stub")
+    // truncated pixel strip
+    assert(Multimodal.decode(2L,
+      Multimodal.makeTiff(4, 4, 3L).dropRight(60)).format === "stub")
+    // bad magic
+    assert(Multimodal.decode(3L, mut(_(2) = 43)).format === "stub")
+    // strip byte count that disagrees with the geometry (entry 8 = 279)
+    assert(Multimodal.decode(4L, mut(_(entryValOff(8)) = 7)).format === "stub")
+    // lying giant dimensions reject before allocating (entry 0 = 256)
+    assert(Multimodal.decode(5L, mut { b =>
+      b(entryValOff(0)) = 0xff.toByte; b(entryValOff(0) + 1) = 0x7f.toByte
+    }).format === "stub")
+    // 16-bit BitsPerSample (gray fixture: entry 2 value inline)
+    val g16 = Multimodal.makeTiff(4, 4, 3L, rgb = false)
+    g16(8 + 4 * 4 + 2 + 2 * 12 + 8) = 16
+    assert(Multimodal.decode(6L, g16).format === "stub")
+  }
+
+  test("aviFrameGrids: MJPEG frames hash identically to their standalone JPEG twins") {
+    val seed = 7L
+    val avi = Multimodal.makeAviMjpeg(64, 64, seed, 3)
+    import spark.implicits._
+    val hashes = Multimodal.videoFrameHashes(
+        spark, Seq((1L, avi)).toDF("doc_id", "payload"))
+      .orderBy("frame_idx").as[(Long, Long, Long)].collect().toSeq
+    assert(hashes.map(_._2) === Seq(0L, 1L, 2L))
+    // each 00dc chunk is a complete JPEG: the frame hash must equal the
+    // image hash of the identical standalone fixture
+    for (f <- 0 until 3)
+      assert(hashes(f)._3 ===
+        Multimodal.imageAHash(Multimodal.makeJpeg(64, 64, seed + f * 17L, gray = true)).get,
+        s"frame $f must ride the same JPEG decode as the image path")
+    // spectral key decodes the same container
+    val ph = Multimodal.videoFramePHashes(
+        spark, Seq((1L, avi)).toDF("doc_id", "payload")).count()
+    assert(ph === 3)
+    // color frames decode too (YCbCr inversion path)
+    assert(Multimodal.aviFrameGrids(
+      Multimodal.makeAviMjpeg(16, 16, 3L, 2, gray = false)).get._3.size === 2)
+  }
+
+  test("aviFrameGrids: odd-sized chunks honor the RIFF pad byte; unknown chunks skip") {
+    // splice an ODD-sized JUNK chunk ahead of the frames: a walk that
+    // forgets the pad byte lands one byte off and misreads every
+    // subsequent fourcc (frames lost), so both frames surviving IS the
+    // alignment proof
+    val base = Multimodal.makeAviMjpeg(16, 16, 3L, 2)
+    val moviIdx = base.indexOfSlice("movi".getBytes("US-ASCII"))
+    assert(moviIdx > 0)
+    val insertAt = moviIdx + 4
+    val junk = "JUNK".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0) ++
+      Array[Byte](9, 9, 9, 0) // size 3 + 1 pad byte
+    val avi = base.take(insertAt) ++ junk ++ base.drop(insertAt)
+    def bump(off: Int): Unit = {
+      val old = (avi(off) & 0xff) | ((avi(off + 1) & 0xff) << 8) |
+        ((avi(off + 2) & 0xff) << 16) | ((avi(off + 3) & 0xff) << 24)
+      val v = old + junk.length
+      avi(off) = v.toByte; avi(off + 1) = (v >> 8).toByte
+      avi(off + 2) = (v >> 16).toByte; avi(off + 3) = (v >> 24).toByte
+    }
+    bump(4)           // RIFF size
+    bump(moviIdx - 4) // movi LIST size
+    val (w, h, frames) = Multimodal.aviFrameGrids(avi).get
+    assert(w === 16 && h === 16 && frames.size === 2)
+    assert(frames.map(_.toSeq) === Multimodal.aviFrameGrids(base).get._3.map(_.toSeq))
+  }
+
+  test("aviFrameGrids: container robustness — rejects never guess") {
+    // a RIFF that is not an AVI (a WAV) is not a video
+    assert(Multimodal.aviFrameGrids(Multimodal.makeWav(100, 1, 8000, 1L)).isEmpty)
+    // truncated movi: cut mid-frame
+    val avi = Multimodal.makeAviMjpeg(16, 16, 3L, 2)
+    assert(Multimodal.aviFrameGrids(avi.dropRight(40)).isEmpty)
+    // non-MJPG video handler: patch the strh fccHandler (first MJPG)
+    val xvid = avi.clone()
+    val hIdx = xvid.indexOfSlice("MJPG".getBytes("US-ASCII"))
+    assert(hIdx > 0)
+    "XVID".getBytes("US-ASCII").copyToArray(xvid, hIdx)
+    assert(Multimodal.aviFrameGrids(xvid).isEmpty)
+    // a frame whose JPEG payload is corrupt poisons the whole clip
+    val bad = avi.clone()
+    val jIdx = bad.indexOfSlice(Array(0xff.toByte, 0xd8.toByte, 0xff.toByte))
+    assert(jIdx > 0)
+    bad(jIdx + 2) = 0x00 // break the first frame's marker stream
+    assert(Multimodal.aviFrameGrids(bad).isEmpty)
+    // bad magic
+    val notRiff = avi.clone(); notRiff(0) = 'X'.toByte
+    assert(Multimodal.aviFrameGrids(notRiff).isEmpty)
+  }
+
+  test("videoNearDups: AVI clips pair with GIF-era semantics; mixed corpus hashes both") {
+    import spark.implicits._
+    // clips 1 and 51 share a seed → exact dup (3 frames at Hamming 0);
+    // clip 2 is unrelated; one animated GIF rides the same scan
+    val corpus = Seq(
+      (1L, Multimodal.makeAviMjpeg(64, 64, 100L, 3)),
+      (51L, Multimodal.makeAviMjpeg(64, 64, 100L, 3)),
+      (2L, Multimodal.makeAviMjpeg(64, 64, 999L, 3)),
+      (3L, Multimodal.makeGifAnimated(16, 16, 5L, 2)),
+      (4L, "not a video".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val fh = Multimodal.videoFrameHashes(spark, corpus)
+    assert(fh.filter($"doc_id" === 3L).count() === 2, "GIF still decodes in the mixed scan")
+    assert(fh.filter($"doc_id" === 4L).count() === 0)
+    val pairs = Multimodal.videoNearDups(fh, maxHamming = 0, minPairs = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists(p => p._1 === 1L && p._2 === 51L && p._3 >= 3L),
+      s"planted dup clip pair missing from $pairs")
+    assert(!pairs.exists(p => p._1 === 2L || p._2 === 2L))
+  }
+
+  test("imageFormatOf/imageCoverage: the measured image boundary per corpus") {
+    import spark.implicits._
+    assert(Multimodal.imageFormatOf(Multimodal.makeBmp(4, 4, 1)) === "bmp")
+    assert(Multimodal.imageFormatOf(Multimodal.makePng(8, 8, 1)) === "png")
+    assert(Multimodal.imageFormatOf(Multimodal.makeGif(8, 8, 1)) === "gif")
+    assert(Multimodal.imageFormatOf(Multimodal.makeJpeg(8, 8, 1)) === "jpeg")
+    assert(Multimodal.imageFormatOf(Multimodal.makeTiff(8, 8, 1)) === "tiff")
+    assert(Multimodal.imageFormatOf(
+      Multimodal.makeTiff(8, 8, 1, bigEndian = true)) === "tiff")
+    val webp = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WEBP".getBytes("US-ASCII") ++ new Array[Byte](16)
+    assert(Multimodal.imageFormatOf(webp) === "webp")
+    val avif = Array[Byte](0, 0, 0, 24) ++ "ftypavif".getBytes("US-ASCII") ++
+      new Array[Byte](16)
+    assert(Multimodal.imageFormatOf(avif) === "avif")
+    val heic = Array[Byte](0, 0, 0, 24) ++ "ftypheic".getBytes("US-ASCII") ++
+      new Array[Byte](16)
+    assert(Multimodal.imageFormatOf(heic) === "heic")
+    assert(Multimodal.imageFormatOf(Array.fill(8)(1.toByte)) === "unknown")
+    // a compressed TIFF still SNIFFS tiff but does not hash — that gap
+    // is exactly what the coverage row measures
+    val lzw = Multimodal.makeTiff(8, 8, 1)
+    lzw(8 + 8 * 8 * 3 + 2 + 3 * 12 + 8) = 5
+    val corpus = Seq(
+      (1L, Multimodal.makeBmp(16, 16, 1)), (2L, Multimodal.makeTiff(16, 16, 2)),
+      (3L, lzw), (4L, webp), (5L, avif)).toDF("doc_id", "payload")
+    val cov = Multimodal.imageCoverage(spark, corpus)
+      .orderBy("format").as[(String, Long, Long)].collect().toSeq
+    assert(cov === Seq(("avif", 1L, 0L), ("bmp", 1L, 1L),
+      ("tiff", 2L, 1L), ("webp", 1L, 0L)))
+  }
 }
