@@ -4769,6 +4769,97 @@ object SparkEntry {
             WHERE n_pairs >= 2 ORDER BY id_a, id_b""")
     })
 
+  /** Decoded-VIDEO frame hashing over the MJPEG AVI container
+    * ([[graft.multimodal.Multimodal.aviFrameGrids]] via
+    * `videoFrameHashes` — VERDICT r16 #1): real RIFF AVIs (avih header,
+    * vids/MJPG stream declaration, movi chunk list) whose 00dc chunks
+    * each carry a 64×64 grayscale DC-only JPEG with per-frame seed
+    * `id + f·17`, decoded through the SAME entropy path as
+    * q_image_ahash_jpeg — so the oracle reconstructs every hash bit of
+    * every frame at BLOCK granularity (that query's closed form with a
+    * frame dimension). Clip doc_id < 150 carries 2 + id mod 3 frames.
+    */
+  private val qVideoMjpeg = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 150)
+        .map(id => (id, graft.multimodal.Multimodal.makeAviMjpeg(
+          64, 64, id, 2 + (id % 3).toInt)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.videoFrameHashes(s, bins)
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+            fr AS (SELECT doc_id, f.f AS f FROM ids
+                   JOIN generate_series(0, 3) f(f) ON f.f < 2 + doc_id % 3),
+            blk AS (SELECT doc_id, f, br.bi AS bi, bc.bj AS bj,
+                           ((doc_id + f*17 + bc.bj * 31 + br.bi * 7) % 200) + 28 AS v
+                    FROM fr
+                    JOIN generate_series(0, 7) br(bi) ON TRUE
+                    JOIN generate_series(0, 7) bc(bj) ON TRUE),
+            tot AS (SELECT doc_id, f, SUM(v) AS total FROM blk GROUP BY 1, 2),
+            bits AS (SELECT b.doc_id, b.f, bi, bj,
+                            CASE WHEN b.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id, f)),
+            hs AS (SELECT doc_id, f,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY 1, 2)
+            SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS fhash
+            FROM hs ORDER BY doc_id, frame_idx"""))
+
+  /** Clip-level near-dup over MJPEG AVI ([[graft.multimodal.Multimodal
+    * .videoNearDups]] — the q_video_neardup semantics on the RIFF
+    * container): doc_id < 100 clips built with seed = id mod 50, so
+    * clip i and i+50 are exact duplicates (3 frames each at Hamming 0).
+    * The oracle replays frame hashes from the JPEG block closed form
+    * and the FULL cross-pair Hamming rule — accidental near-matches
+    * between different seeds count on both sides, so the check is the
+    * rule, not just the plant.
+    */
+  private val qVideoMjpegNearDup = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 100)
+        .map(id => (id, graft.multimodal.Multimodal.makeAviMjpeg(
+          64, 64, id % 50, 3)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.videoNearDups(
+          graft.multimodal.Multimodal.videoFrameHashes(s, bins),
+          maxHamming = 2, minPairs = 2)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+            fr AS (SELECT doc_id, doc_id % 50 AS seed, f.f AS f FROM ids
+                   JOIN generate_series(0, 2) f(f) ON TRUE),
+            blk AS (SELECT doc_id, f, br.bi AS bi, bc.bj AS bj,
+                           ((seed + f*17 + bc.bj * 31 + br.bi * 7) % 200) + 28 AS v
+                    FROM fr
+                    JOIN generate_series(0, 7) br(bi) ON TRUE
+                    JOIN generate_series(0, 7) bc(bj) ON TRUE),
+            tot AS (SELECT doc_id, f, SUM(v) AS total FROM blk GROUP BY 1, 2),
+            bits AS (SELECT b.doc_id, b.f, bi, bj,
+                            CASE WHEN b.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id, f)),
+            hs AS (SELECT doc_id, f,
+                          CAST(SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS UBIGINT) AS u
+                   FROM bits GROUP BY 1, 2),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM hs a JOIN hs b
+                    ON a.doc_id < b.doc_id
+                   AND bit_count(xor(a.u, b.u)) <= 2),
+            agg AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                    FROM p GROUP BY 1, 2)
+            SELECT id_a, id_b, n_pairs FROM agg
+            WHERE n_pairs >= 2 ORDER BY id_a, id_b"""))
+
   /** Perceptual image hashing over JPEG payloads ([[graft.multimodal
     * .Multimodal.imageAHashes]] through the REAL entropy path): 64×64
     * grayscale DC-only JPEGs — baseline (even ids) and PROGRESSIVE
@@ -9797,6 +9888,8 @@ object SparkEntry {
     "q_video_neardup" -> qVideoNearDup,
     "q_video_phash" -> qVideoPHash,
     "q_video_neardup_phash" -> qVideoNearDupPHash,
+    "q_video_mjpeg" -> qVideoMjpeg,
+    "q_video_mjpeg_neardup" -> qVideoMjpegNearDup,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_ahash_tiff" -> qImageAHashTiff,
     "q_image_coverage" -> qImageCoverage,
