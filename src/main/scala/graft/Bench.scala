@@ -153,7 +153,10 @@ object Bench {
     // 143 per-query entries); persist the full line so per-query history
     // survives log truncation. SPARK_GRAFT_BENCH_OUT overrides the
     // CWD-relative default for launches from outside the repo root.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    // filtered (SPARK_GRAFT_ONLY) runs write to a sibling path: a
+    // partial map must never clobber the last full run's artifact
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isEmpty) "target/bench.json" else "target/bench_only.json")
     // ALSO mirror the full line to a git-TRACKED path: BENCH_rN.json
     // truncates to a tail, and target/ is wiped by clean builds — r16's
     // cross-round per-query analysis only worked because target/

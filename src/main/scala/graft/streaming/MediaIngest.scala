@@ -157,12 +157,19 @@ object MediaIngest {
     * `batch_id < current` and appends its own postings exactly-once —
     * identical pair stream to [[start]] (shares its oracle verbatim).
     */
+  /** `compactEvery`: every that many committed batches, fold the
+    * accumulated per-batch posting segments ([[graft.dedup.NearDup
+    * .compactSimHashIndex]]) so the per-batch probe's listing +
+    * small-file-open constant stays bounded by the cadence instead of
+    * growing one segment set per micro-batch forever. <= 0 disables.
+    */
   def startSteady(spark: SparkSession, newMedia: DataFrame,
                   indexPath: String, pairsPath: String, checkpoint: String,
                   maxHamming: Int = 3, parts: Int = 64,
                   idCol: String = "doc_id",
                   payloadCol: String = "payload",
-                  kind: String = "image"): StreamingQuery = {
+                  kind: String = "image",
+                  compactEvery: Int = 16): StreamingQuery = {
     val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
     val geo =
       if (!metaP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(metaP)) {
@@ -179,6 +186,12 @@ object MediaIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatchSteady(batch, batchId, indexPath, pairsPath, idCol,
           payloadCol, kind, geometry = Some(geo))
+        // maintenance AFTER the admit: folds only batches < this one, so
+        // a replayed batch reads the identical index either way
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          graft.dedup.NearDup.compactSimHashIndex(spark, indexPath, upTo = batchId)
+          ()
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -78,6 +78,76 @@ object MediaIndexProbe {
       require(flatPairs == idxPairs,
         s"indexed probe must equal flat probe: $idxPairs vs $flatPairs")
     }
+
+    // ---- r17: the pile the STEADY LOOP actually accretes -------------
+    // The one-shot build above writes ONE segment; a stream appends one
+    // per micro-batch, so the probe ALSO pays listing + a small-file
+    // open per (touched pkey × stored segment) — the ~4-5 s/batch
+    // constant r16 attributed to exactly this. Build the same history
+    // as 64 per-batch appends, probe (piled), fold with
+    // compactSimHashIndex, probe again (folded): the folded probe must
+    // return to the one-shot shape, pairs identical throughout.
+    val nSegs = 64
+    val segN = nHistory / nSegs
+    // sized for the initial 64 segments PLUS the steady-state cycle's 16
+    val hist = hashes(nHistory + 16L * segN, 0L).localCheckpoint()
+    val segIdx = tmp.resolve("idx_piled").toString
+    timed(s"append_${nSegs}_segments (once)") {
+      graft.dedup.NearDup.writeSimHashIndex(
+        hist.filter(col("id") < segN), segIdx, maxHamming = 3, parts = parts)
+      (1 until nSegs).foreach { s =>
+        graft.dedup.NearDup.appendSimHashIndex(
+          hist.filter(col("id") >= s * segN && col("id") < (s + 1) * segN),
+          segIdx, s.toLong, geometry = Some((3, parts)))
+      }
+      nHistory
+    }
+    var piledPairs = 0L
+    var foldedPairs = 0L
+    timed("piled_probe (per batch)") {
+      piledPairs = graft.dedup.NearDup
+        .simHashNearDupsAgainstIndex(batch, segIdx).count()
+      piledPairs
+    }
+    timed("compact (maintenance, once per cadence)") {
+      graft.dedup.NearDup.compactSimHashIndex(spark, segIdx, upTo = nSegs.toLong).toLong
+    }
+    timed("folded_probe (per batch)") {
+      foldedPairs = graft.dedup.NearDup
+        .simHashNearDupsAgainstIndex(batch, segIdx).count()
+      foldedPairs
+    }
+    require(piledPairs == foldedPairs,
+      s"folded probe must equal piled probe: $foldedPairs vs $piledPairs")
+
+    // steady-state maintenance cycle: once the pile is folded, the NEXT
+    // fold reads one fold + cadence-many small segments — that, not the
+    // first-fold catch-up above, is the recurring cost a long stream
+    // amortizes over its cadence. (The fold is a full rewrite of
+    // history: amortized write cost per batch is |history| / cadence
+    // rows — the documented trade; a geometric cadence bounds total
+    // rewrite work at O(N log N) when that matters.)
+    val cadence = 16
+    timed(s"append_${cadence}_more (per cadence)") {
+      (nSegs until nSegs + cadence).foreach { s =>
+        graft.dedup.NearDup.appendSimHashIndex(
+          hist.filter(col("id") >= s * segN && col("id") < (s + 1) * segN),
+          segIdx, s.toLong, geometry = Some((3, parts)))
+      }
+      segN * cadence
+    }
+    timed("steady_fold (per cadence)") {
+      graft.dedup.NearDup
+        .compactSimHashIndex(spark, segIdx, upTo = (nSegs + cadence).toLong).toLong
+    }
+    var refoldedPairs = 0L
+    timed("refolded_probe (per batch)") {
+      refoldedPairs = graft.dedup.NearDup
+        .simHashNearDupsAgainstIndex(batch, segIdx).count()
+      refoldedPairs
+    }
+    require(refoldedPairs >= foldedPairs,
+      s"history only grew: $refoldedPairs vs $foldedPairs")
     org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     spark.stop()
   }

@@ -154,4 +154,72 @@ class MediaIngestSpec extends SparkTestBase {
     assert(spark.read.parquet(tmp.resolve("p2").toString).count() === once)
     assert(spark.read.parquet(s"$idx/post").count() === oncePost)
   }
+
+  test("postings compaction: folded index is probe-identical and the segment pile stays bounded") {
+    import spark.implicits._
+    val docs = (0L until 60L)
+      .map(id => (id, Multimodal.makeBmp(16, 16, id % 7)))
+      .toDF("doc_id", "payload")
+    val hashes = Multimodal.imageAHashes(spark, docs)
+      .select(col("doc_id").as("id"), col("ahash").as("simhash"))
+    val want = graft.dedup.NearDup.simHashNearDups(hashes, maxHamming = 2)
+      .select("id_a", "id_b").orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    def segDirs(idx: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/post")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath.getName.stripPrefix("batch_id=").toLong).sorted
+    }
+    def run(compactEvery: Int): (Seq[(Long, Long)], String) = {
+      val tmp = java.nio.file.Files.createTempDirectory(s"media_compact_$compactEvery")
+      val srcDir = tmp.resolve("src").toString
+      docs.repartition(6).write.parquet(srcDir)
+      val stream = spark.readStream.schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      val idx = tmp.resolve("idx").toString
+      MediaIngest.startSteady(spark, stream, idx,
+        tmp.resolve("pairs").toString, tmp.resolve("ckpt").toString,
+        maxHamming = 2, compactEvery = compactEvery).awaitTermination()
+      val pairs = spark.read.parquet(tmp.resolve("pairs").toString)
+        .select("id_a", "id_b").orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      (pairs, idx)
+    }
+    val (flatPairs, flatIdx) = run(0)
+    val (foldPairs, foldIdx) = run(2)
+    // identity is REQUIRED, not sampled: same pair stream either way
+    assert(flatPairs === want && foldPairs === want)
+    // the pile: 6 per-batch segments uncompacted vs fold + tail compacted
+    assert(segDirs(flatIdx) === (0L until 6L))
+    val folded = segDirs(foldIdx)
+    assert(folded.count(_ <= -10L) === 1 && folded.count(_ >= 0) < 6,
+      s"expected one fold segment and a bounded tail, got $folded")
+    // no postings lost or invented by the fold
+    assert(spark.read.parquet(s"$foldIdx/post").count() ===
+      spark.read.parquet(s"$flatIdx/post").count())
+    // a probe against the folded store equals the never-folded one
+    def probe(idx: String) = graft.dedup.NearDup.simHashNearDupsAgainstIndex(
+        hashes.filter(col("id") < 5), idx)
+      .select("new_id", "seen_id").orderBy("new_id", "seen_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probe(foldIdx) === probe(flatIdx))
+
+    // base-build (-1) + appends fold too; a fold-only store no-ops
+    val idx2 = java.nio.file.Files.createTempDirectory("media_compact_base")
+      .resolve("idx").toString
+    graft.dedup.NearDup.writeSimHashIndex(
+      hashes.filter(col("id") < 30), idx2, maxHamming = 2)
+    graft.dedup.NearDup.appendSimHashIndex(
+      hashes.filter(col("id") >= 30 && col("id") < 45), idx2, 0L)
+    graft.dedup.NearDup.appendSimHashIndex(
+      hashes.filter(col("id") >= 45), idx2, 1L)
+    assert(graft.dedup.NearDup.compactSimHashIndex(spark, idx2, upTo = 2L) === 3)
+    assert(segDirs(idx2) === Seq(-11L))
+    assert(probe(idx2) === probe(flatIdx))
+    assert(graft.dedup.NearDup.compactSimHashIndex(spark, idx2, upTo = 2L) === 0,
+      "a fold-only store must no-op, never self-fold")
+  }
 }
