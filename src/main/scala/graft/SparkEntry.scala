@@ -4860,6 +4860,50 @@ object SparkEntry {
             SELECT id_a, id_b, n_pairs FROM agg
             WHERE n_pairs >= 2 ORDER BY id_a, id_b"""))
 
+  /** The MEASURED video-decode boundary ([[graft.multimodal.Multimodal
+    * .videoCoverage]] — completes the coverage triple with audio and
+    * image): a mixed corpus across the sniffable container classes —
+    * animated GIF and MJPEG AVI (framed), a RIFF AVI with no decodable
+    * video stream (sniffs 'avi', frames nothing — the boundary INSIDE a
+    * known container), and mp4/EBML/unknown payloads (valid magics, no
+    * decode path) — folded to per-format (n_docs, n_framed).
+    */
+  private val qVideoCoverage = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 480)
+        .map { id =>
+          val bytes = (id % 6) match {
+            case 0 => graft.multimodal.Multimodal.makeGifAnimated(16, 16, id, 2)
+            case 1 => graft.multimodal.Multimodal.makeAviMjpeg(16, 16, id, 2)
+            case 2 => "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
+              "AVI ".getBytes("US-ASCII") ++ Array.tabulate(16)(i => ((id + i) % 256).toByte)
+            case 3 => Array[Byte](0, 0, 0, 24) ++ "ftypmp42".getBytes("US-ASCII") ++
+              Array.tabulate(16)(i => ((id + i) % 256).toByte)
+            case 4 => Array[Byte](0x1a, 0x45.toByte, 0xdf.toByte, 0xa3.toByte) ++
+              Array.tabulate(20)(i => ((id + i) % 256).toByte)
+            case _ => Array.fill(24)(2.toByte)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.videoCoverage(s, bins)
+        .orderBy("format")
+    },
+    Some("""WITH cls AS (SELECT doc_id, doc_id % 6 AS k FROM documents WHERE doc_id < 480),
+            fm AS (SELECT k,
+                          CASE k WHEN 0 THEN 'gif' WHEN 1 THEN 'avi'
+                                 WHEN 2 THEN 'avi' WHEN 3 THEN 'mp4'
+                                 WHEN 4 THEN 'ebml' ELSE 'unknown' END AS format,
+                          CASE WHEN k <= 1 THEN 1 ELSE 0 END AS dec
+                   FROM (SELECT DISTINCT k FROM cls)),
+            agg AS (SELECT fm.format,
+                           CAST(COUNT(*) AS BIGINT) AS n_docs,
+                           CAST(SUM(fm.dec) AS BIGINT) AS n_framed
+                    FROM cls JOIN fm ON fm.k = cls.k
+                    GROUP BY fm.format)
+            SELECT format, n_docs, n_framed FROM agg ORDER BY format"""))
+
   /** Perceptual image hashing over JPEG payloads ([[graft.multimodal
     * .Multimodal.imageAHashes]] through the REAL entropy path): 64×64
     * grayscale DC-only JPEGs — baseline (even ids) and PROGRESSIVE
@@ -9890,6 +9934,7 @@ object SparkEntry {
     "q_video_neardup_phash" -> qVideoNearDupPHash,
     "q_video_mjpeg" -> qVideoMjpeg,
     "q_video_mjpeg_neardup" -> qVideoMjpegNearDup,
+    "q_video_coverage" -> qVideoCoverage,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_ahash_tiff" -> qImageAHashTiff,
     "q_image_coverage" -> qImageCoverage,

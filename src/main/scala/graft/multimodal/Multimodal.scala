@@ -3850,6 +3850,50 @@ object Multimodal {
     else "unknown"
   }
 
+  /** Container-level VIDEO format sniff — classification only (the
+    * [[audioFormatOf]]/[[imageFormatOf]] discipline): the decoded
+    * envelope (animated GIF, RIFF AVI) plus the common containers
+    * OUTSIDE it (ISO-BMFF mp4/mov brands, EBML webm/mkv). An AVI whose
+    * video stream is not MJPG still sniffs 'avi' — coverage then shows
+    * it un-framed, which is the boundary the measurement exposes.
+    */
+  private[graft] def videoFormatOf(bytes: Array[Byte]): String = {
+    def ascii(off: Int, n: Int): String =
+      if (off + n <= bytes.length)
+        new String(bytes, off, n, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a") "gif"
+    else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ") "avi"
+    else if (ascii(4, 4) == "ftyp") {
+      val brand = ascii(8, 4)
+      if (brand == "qt  ") "mov" else if (brand.nonEmpty) "mp4" else "isobmff"
+    }
+    else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x1a &&
+             (bytes(1) & 0xff) == 0x45 && (bytes(2) & 0xff) == 0xdf &&
+             (bytes(3) & 0xff) == 0xa3) "ebml" // webm/mkv share the magic
+    else "unknown"
+  }
+
+  /** The MEASURED video-decode boundary — the third leg of the coverage
+    * triple ([[audioCoverage]], [[imageCoverage]]): per sniffed
+    * container format, how many clips the frame-hash tier actually
+    * decodes (n_framed counts clips yielding ≥1 frame grid). One decode
+    * pass per payload, one scan.
+    */
+  def videoCoverage(spark: SparkSession, df: DataFrame,
+                    idCol: String = "doc_id",
+                    payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (_, bytes) =>
+        (videoFormatOf(bytes), if (videoFrameGrids(bytes).isDefined) 1L else 0L)
+      })
+      .toDF("format", "f")
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_docs"), sum(col("f")).as("n_framed"))
+  }
+
   /** The MEASURED image-decode boundary ([[audioCoverage]]'s image
     * twin, VERDICT r16 #2): per sniffed container format, how many
     * payloads the perceptual-hash tier actually covers. One decode

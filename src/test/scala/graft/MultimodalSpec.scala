@@ -1462,6 +1462,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 === 2L || p._2 === 2L))
   }
 
+  test("videoFormatOf/videoCoverage: the measured video boundary per corpus") {
+    import spark.implicits._
+    assert(Multimodal.videoFormatOf(Multimodal.makeGifAnimated(8, 8, 1, 2)) === "gif")
+    assert(Multimodal.videoFormatOf(Multimodal.makeAviMjpeg(8, 8, 1, 2)) === "avi")
+    val mp4 = Array[Byte](0, 0, 0, 24) ++ "ftypmp42".getBytes("US-ASCII") ++
+      new Array[Byte](16)
+    assert(Multimodal.videoFormatOf(mp4) === "mp4")
+    val mov = Array[Byte](0, 0, 0, 24) ++ "ftypqt  ".getBytes("US-ASCII") ++
+      new Array[Byte](16)
+    assert(Multimodal.videoFormatOf(mov) === "mov")
+    val ebml = Array[Byte](0x1a, 0x45.toByte, 0xdf.toByte, 0xa3.toByte) ++
+      new Array[Byte](16)
+    assert(Multimodal.videoFormatOf(ebml) === "ebml")
+    assert(Multimodal.videoFormatOf(Array.fill(8)(2.toByte)) === "unknown")
+    // an AVI whose movi never yields a decodable MJPG stream still
+    // SNIFFS avi but frames nothing — the inside-a-known-container gap
+    val hollow = "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
+      "AVI ".getBytes("US-ASCII") ++ new Array[Byte](16)
+    assert(Multimodal.videoFormatOf(hollow) === "avi")
+    assert(Multimodal.aviFrameGrids(hollow).isEmpty)
+    val corpus = Seq(
+      (1L, Multimodal.makeGifAnimated(16, 16, 1, 2)),
+      (2L, Multimodal.makeAviMjpeg(16, 16, 2, 2)),
+      (3L, hollow), (4L, mp4), (5L, ebml)).toDF("doc_id", "payload")
+    val cov = Multimodal.videoCoverage(spark, corpus)
+      .orderBy("format").as[(String, Long, Long)].collect().toSeq
+    assert(cov === Seq(("avi", 2L, 1L), ("ebml", 1L, 0L),
+      ("gif", 1L, 1L), ("mp4", 1L, 0L)))
+  }
+
   test("imageFormatOf/imageCoverage: the measured image boundary per corpus") {
     import spark.implicits._
     assert(Multimodal.imageFormatOf(Multimodal.makeBmp(4, 4, 1)) === "bmp")
