@@ -288,11 +288,14 @@ object Bench {
          "q_image_neardup" | "q_video_hashes" | "q_video_neardup" |
          "q_video_phash" | "q_video_neardup_phash" |
          "q_video_mjpeg" | "q_video_mjpeg_neardup" | "q_video_coverage" |
+         "q_video_dib" |
          "q_audio_fingerprint" | "q_audio_fingerprint_flac" |
          "q_audio_fingerprint_mulaw" | "q_audio_fingerprint_alaw" |
          "q_audio_fingerprint_adpcm" | "q_audio_fingerprint_pcm_widths" |
          "q_audio_fingerprint_msadpcm" |
+         "q_audio_fingerprint_au" | "q_audio_fingerprint_aiff" |
          "q_audio_coverage" | "q_image_coverage" | "q_image_ahash_tiff" |
+         "q_image_ahash_tiff_c" |
          "q_audio_spectral" |
          "q_png_decode" | "q_png_alpha" | "q_png_16bit" | "q_png_interlaced" |
          "q_gif_decode" | "q_jpeg_decode" | "q_jpeg_progressive" |

@@ -4290,21 +4290,119 @@ object SparkEntry {
             FROM hs ORDER BY doc_id""")
     })
 
+  /** Sun .au through the fingerprint gate ([[graft.multimodal
+    * .Multimodal.makeAu]] — r17): the legacy-but-living container
+    * carrying BOTH decoded encodings — even ids G.711 mu-law (the SAME
+    * expansion law as WAV format 7, replayed per sample), odd ids
+    * 16-bit linear PCM stored BIG-endian (the byte-order mirror of the
+    * WAV path — the law itself is storage-invariant, so the oracle is
+    * the WAV closed form untouched). One row, two codecs, one fold.
+    */
+  private val qAudioFingerprintAu = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 50)
+        .map(id => (id, graft.multimodal.Multimodal.makeAu(
+          (600 + (id % 3) * 37).toInt, 8000, id, muLaw = id % 2 == 0)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFingerprints(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (SELECT doc_id, CAST(600 + (doc_id % 3) * 37 AS INT) AS n
+                   FROM documents WHERE doc_id < 50),
+            sm0 AS (SELECT doc_id, n, i.i AS i,
+                           255 - ((doc_id + i.i * 11) % 256) AS u1
+                    FROM dims JOIN generate_series(0, 673) i(i) ON i.i < n),
+            sm AS (SELECT doc_id, n, i,
+                          CASE WHEN doc_id % 2 = 0 THEN
+                            CASE WHEN u1 >= 128
+                                 THEN 132 - (((u1 % 16) * 8 + 132) << ((u1 // 16) % 8))
+                                 ELSE (((u1 % 16) * 8 + 132) << ((u1 // 16) % 8)) - 132
+                            END
+                          ELSE (doc_id + i * 13) % 256 - 128 END AS v
+                   FROM sm0),
+            fr AS (SELECT dims.doc_id, f.f AS f,
+                          (f.f * dims.n) // 65 AS lo, ((f.f + 1) * dims.n) // 65 AS hi
+                   FROM dims JOIN generate_series(0, 64) f(f) ON TRUE),
+            fe AS (SELECT fr.doc_id, fr.f, CAST(SUM(sm.v * sm.v) AS BIGINT) AS e
+                   FROM fr JOIN sm ON sm.doc_id = fr.doc_id
+                     AND sm.i >= fr.lo AND sm.i < fr.hi
+                   GROUP BY 1, 2),
+            bits AS (SELECT a.doc_id, a.f - 1 AS idx,
+                            CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                     FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                     WHERE a.f >= 1),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << idx) ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
+            FROM hs ORDER BY doc_id"""))
+
+  /** AIFF through the fingerprint gate ([[graft.multimodal.Multimodal
+    * .makeAiff]] — r17): FORM/COMM/SSND walked big-endian (the WAV
+    * walk's mirror image, 80-bit extended sample rate parsed in the
+    * container), interleaved PCM16 following the WAV fixture's exact
+    * closed form — so the oracle is q_audio_fingerprint's replay with
+    * AIFF dims, and byte order/container are provably absent from it.
+    */
+  private val qAudioFingerprintAiff = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 50)
+        .map(id => (id, graft.multimodal.Multimodal.makeAiff(
+          (300 + (id % 5) * 23).toInt, (1 + id % 2).toInt, 8000, id)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFingerprints(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     (CAST(300 + (doc_id % 5) * 23 AS INT)
+                      * CAST(1 + doc_id % 2 AS INT)) AS n
+              FROM documents WHERE doc_id < 50),
+            sm AS (SELECT doc_id, n, i.i AS i,
+                          ((doc_id + i.i * 13) % 256 - 128) AS v
+                   FROM dims JOIN generate_series(0, 783) i(i) ON i.i < n),
+            fr AS (SELECT dims.doc_id, f.f AS f,
+                          (f.f * dims.n) // 65 AS lo, ((f.f + 1) * dims.n) // 65 AS hi
+                   FROM dims JOIN generate_series(0, 64) f(f) ON TRUE),
+            fe AS (SELECT fr.doc_id, fr.f, CAST(SUM(sm.v * sm.v) AS BIGINT) AS e
+                   FROM fr JOIN sm ON sm.doc_id = fr.doc_id
+                     AND sm.i >= fr.lo AND sm.i < fr.hi
+                   GROUP BY 1, 2),
+            bits AS (SELECT a.doc_id, a.f - 1 AS idx,
+                            CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                     FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                     WHERE a.f >= 1),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << idx) ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
+            FROM hs ORDER BY doc_id"""))
+
   /** The MEASURED audio-decode boundary ([[graft.multimodal.Multimodal
     * .audioCoverage]]): a mixed corpus across every sniffable container
-    * class — PCM16/FLAC/mu-law/A-law/ADPCM (decoded + fingerprinted)
-    * and MP3/OGG/AAC-shaped payloads (valid magics, no decode path) —
-    * folded to per-format (n_docs, n_fingerprinted). The formats the
-    * tier cannot decode are a NUMBER per corpus, not a footnote; the
-    * oracle replays the class arithmetic.
+    * class — PCM16/FLAC/mu-law/A-law/ADPCM/au/AIFF (decoded +
+    * fingerprinted) and MP3/OGG/AAC/AIFC-shaped payloads (valid magics,
+    * no decode path) — folded to per-format (n_docs, n_fingerprinted).
+    * The formats the tier cannot decode are a NUMBER per corpus, not a
+    * footnote; the oracle replays the class arithmetic.
     */
   private val qAudioCoverage = Q(
     (s, dir) => {
       import s.implicits._
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .filter((id: Long) => id < 480)
+        .filter((id: Long) => id < 450)
         .map { id =>
-          val bytes = (id % 12) match {
+          val bytes = (id % 15) match {
             case 0 => graft.multimodal.Multimodal.makeWav(600, 1, 8000, id)
             case 1 => graft.multimodal.Flac.make(192, 1, 8000, id)
             case 2 => graft.multimodal.Multimodal.makeWavG711(600, 8000, id, aLaw = false)
@@ -4318,22 +4416,30 @@ object SparkEntry {
             case 10 => Array(0xff.toByte, 0xf1.toByte) ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
             // bare (un-containered) MP3: MPEG frame sync + Layer III
             // bits — sniffed into the SAME 'mp3' row as the ID3 case
-            case _ => Array(0xff.toByte, 0xfb.toByte) ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
+            case 11 => Array(0xff.toByte, 0xfb.toByte) ++ Array.tabulate(64)(i => ((id + i) % 256).toByte)
+            // r17: Sun .au (both encodings decode), AIFF (decodes),
+            // AIFC (compressed — sniffs, stays outside)
+            case 12 => graft.multimodal.Multimodal.makeAu(600, 8000, id, muLaw = id % 2 == 0)
+            case 13 => graft.multimodal.Multimodal.makeAiff(300, 1, 8000, id)
+            case _ => "FORM".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 20) ++
+              "AIFC".getBytes("US-ASCII") ++ Array.tabulate(16)(i => ((id + i) % 256).toByte)
           }
           (id, bytes)
         }.toDF("doc_id", "payload")
       graft.multimodal.Multimodal.audioCoverage(s, bins)
         .orderBy("format")
     },
-    Some("""WITH cls AS (SELECT doc_id, doc_id % 12 AS k FROM documents WHERE doc_id < 480),
+    Some("""WITH cls AS (SELECT doc_id, doc_id % 15 AS k FROM documents WHERE doc_id < 450),
             fm AS (SELECT k,
                           CASE k WHEN 0 THEN 'wav_pcm16' WHEN 1 THEN 'flac'
                                  WHEN 2 THEN 'wav_mulaw' WHEN 3 THEN 'wav_alaw'
                                  WHEN 4 THEN 'wav_ima_adpcm' WHEN 5 THEN 'wav_ms_adpcm'
                                  WHEN 6 THEN 'wav_pcm8' WHEN 7 THEN 'wav_pcm24'
                                  WHEN 8 THEN 'mp3' WHEN 11 THEN 'mp3'
-                                 WHEN 9 THEN 'ogg' ELSE 'aac_adts' END AS format,
-                          CASE WHEN k <= 7 THEN 1 ELSE 0 END AS dec
+                                 WHEN 9 THEN 'ogg' WHEN 10 THEN 'aac_adts'
+                                 WHEN 12 THEN 'au' WHEN 13 THEN 'aiff'
+                                 ELSE 'aifc' END AS format,
+                          CASE WHEN k <= 7 OR k IN (12, 13) THEN 1 ELSE 0 END AS dec
                    FROM (SELECT DISTINCT k FROM cls)),
             agg AS (SELECT fm.format,
                            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -4416,6 +4522,67 @@ object SparkEntry {
     Some("""WITH px AS (
               SELECT d.doc_id, r.r AS r, x.x AS x,
                      CASE WHEN d.doc_id % 4 IN (0, 3)
+                          THEN 3 * ((d.doc_id + r.r * 31 + x.x * 7) % 256)
+                          ELSE (d.doc_id + r.r * 31 + (3*x.x + 0) * 7) % 256
+                             + (d.doc_id + r.r * 31 + (3*x.x + 1) * 7) % 256
+                             + (d.doc_id + r.r * 31 + (3*x.x + 2) * 7) % 256
+                     END AS gray
+              FROM documents d
+              JOIN generate_series(0, 15) r(r) ON TRUE
+              JOIN generate_series(0, 15) x(x) ON TRUE),
+            tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+            blk AS (SELECT doc_id, r // 2 AS bi, x // 2 AS bj, SUM(gray) AS bsum
+                    FROM px GROUP BY 1, 2, 3),
+            bits AS (SELECT b.doc_id, bi, bj,
+                            CASE WHEN b.bsum * 256 >= t.total * 4 THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id)),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
+            FROM hs ORDER BY doc_id"""))
+
+  /** COMPRESSED TIFF through the same gate ([[graft.multimodal
+    * .Multimodal.tiffLzwDecode]]/[[graft.multimodal.Multimodal
+    * .zlibDecode]]/[[graft.multimodal.Multimodal.packBitsDecode]] —
+    * r17): the three TIFF codecs that are ALGORITHMS rather than
+    * normative constant tables (LZW in its MSB-first early-change
+    * variant, Deflate through the JDK inflater the PNG path already
+    * runs, PackBits RLE), each crossed with the horizontal-differencing
+    * predictor and strip splits (doc_id mod 6 picks the variant). The
+    * oracle is qImageAHashTiff's closed form UNCHANGED — compression,
+    * predictor and strip geometry are all absent from the SQL, which IS
+    * the storage-invariance proof: six different byte streams, one
+    * pixel law.
+    */
+  private val qImageAHashTiffC = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val M = graft.multimodal.Multimodal
+          val bytes = (id % 6) match {
+            case 0 => M.makeTiff(16, 16, id, rgb = false, compression = 5)
+            case 1 => M.makeTiff(16, 16, id, compression = 5, predictor = 2)
+            case 2 => M.makeTiff(16, 16, id, compression = 8)
+            case 3 => M.makeTiff(16, 16, id, rgb = false, compression = 8,
+              predictor = 2, rowsPerStrip = 5)
+            case 4 => M.makeTiff(16, 16, id, rgb = false, compression = 32773,
+              bigEndian = true)
+            case _ => M.makeTiff(16, 16, id, compression = 32773,
+              rowsPerStrip = 3)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imageAHashes(s, bins).orderBy("doc_id")
+    },
+    Some("""WITH px AS (
+              SELECT d.doc_id, r.r AS r, x.x AS x,
+                     CASE WHEN d.doc_id % 6 IN (0, 3, 4)
                           THEN 3 * ((d.doc_id + r.r * 31 + x.x * 7) % 256)
                           ELSE (d.doc_id + r.r * 31 + (3*x.x + 0) * 7) % 256
                              + (d.doc_id + r.r * 31 + (3*x.x + 1) * 7) % 256
@@ -4859,6 +5026,54 @@ object SparkEntry {
                     FROM p GROUP BY 1, 2)
             SELECT id_a, id_b, n_pairs FROM agg
             WHERE n_pairs >= 2 ORDER BY id_a, id_b"""))
+
+  /** UNCOMPRESSED AVI through the decoded-video gate ([[graft
+    * .multimodal.Multimodal.makeAviDib]] fixtures → `dibGrayGrid` —
+    * r17): the raw-DIB slot real muxers still emit (vids stream with
+    * the `DIB ` handler, strf declaring BI_RGB 24-bpp, 00db chunks of
+    * bottom-up 4-byte-aligned BGR rows). Frame f of clip id carries
+    * [[graft.multimodal.Multimodal.makeBmp]]'s exact closed-form bytes
+    * with seed id + f·17, so the oracle is q_image_ahash's BMP replay
+    * (bottom-up flip included) with a frame dimension — no JPEG
+    * machinery anywhere, a DIFFERENT codec path through the same
+    * container walk as q_video_mjpeg.
+    */
+  private val qVideoDib = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 150)
+        .map(id => (id, graft.multimodal.Multimodal.makeAviDib(
+          16, 16, id, 2 + (id % 3).toInt)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.videoFrameHashes(s, bins)
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+            fr AS (SELECT doc_id, f.f AS f FROM ids
+                   JOIN generate_series(0, 3) f(f) ON f.f < 2 + doc_id % 3),
+            px AS (SELECT fr.doc_id, fr.f, r.r AS r, x.x AS x,
+                          (fr.doc_id + fr.f*17 + (15 - r.r) * 31 + (3*x.x + 0) * 7) % 256
+                        + (fr.doc_id + fr.f*17 + (15 - r.r) * 31 + (3*x.x + 1) * 7) % 256
+                        + (fr.doc_id + fr.f*17 + (15 - r.r) * 31 + (3*x.x + 2) * 7) % 256 AS gray
+                   FROM fr
+                   JOIN generate_series(0, 15) r(r) ON TRUE
+                   JOIN generate_series(0, 15) x(x) ON TRUE),
+            tot AS (SELECT doc_id, f, SUM(gray) AS total FROM px GROUP BY 1, 2),
+            blk AS (SELECT doc_id, f, r // 2 AS bi, x // 2 AS bj, SUM(gray) AS bsum
+                    FROM px GROUP BY 1, 2, 3, 4),
+            bits AS (SELECT b.doc_id, b.f, bi, bj,
+                            CASE WHEN b.bsum * 256 >= t.total * 4 THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id, f)),
+            hs AS (SELECT doc_id, f,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY 1, 2)
+            SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS fhash
+            FROM hs ORDER BY doc_id, frame_idx"""))
 
   /** The MEASURED video-decode boundary ([[graft.multimodal.Multimodal
     * .videoCoverage]] — completes the coverage triple with audio and
@@ -9933,10 +10148,12 @@ object SparkEntry {
     "q_video_phash" -> qVideoPHash,
     "q_video_neardup_phash" -> qVideoNearDupPHash,
     "q_video_mjpeg" -> qVideoMjpeg,
+    "q_video_dib" -> qVideoDib,
     "q_video_mjpeg_neardup" -> qVideoMjpegNearDup,
     "q_video_coverage" -> qVideoCoverage,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_ahash_tiff" -> qImageAHashTiff,
+    "q_image_ahash_tiff_c" -> qImageAHashTiffC,
     "q_image_coverage" -> qImageCoverage,
     "q_image_neardup" -> qImageNearDup,
     "q_audio_fingerprint" -> qAudioFingerprint,
@@ -9947,6 +10164,8 @@ object SparkEntry {
     "q_audio_fingerprint_adpcm" -> qAudioFingerprintAdpcm,
     "q_audio_fingerprint_pcm_widths" -> qAudioFingerprintPcmWidths,
     "q_audio_fingerprint_msadpcm" -> qAudioFingerprintMsAdpcm,
+    "q_audio_fingerprint_au" -> qAudioFingerprintAu,
+    "q_audio_fingerprint_aiff" -> qAudioFingerprintAiff,
     "q_audio_coverage" -> qAudioCoverage,
     "q_wav_decode" -> qWavDecode,
     "q_wav_frames" -> qWavFrames,

@@ -491,7 +491,177 @@ object Multimodal {
       case Some(_) => None // other WAV envelopes: documented boundary
       case None =>
         Flac.decode(bytes).map(a => (a.samples.length, (i: Int) => a.samples(i).toLong))
+          .orElse(auSamples(bytes))
+          .orElse(aiffSamples(bytes))
     }
+
+  /** Sun/NeXT .au (r17): `.snd` magic, six big-endian u32 header words
+    * (data offset, data size, encoding, sample rate, channels), then
+    * raw samples. Encodings decoded: 1 (G.711 mu-law — the SAME
+    * [[muLawToPcm]] expansion the WAV format-7 path runs) and 3 (16-bit
+    * linear PCM, big-endian). A data size that overruns the payload is
+    * a truncated stream and rejects (0xffffffff means to-end-of-file
+    * per the spec and is honored).
+    */
+  private def auSamples(bytes: Array[Byte]): Option[(Int, Int => Long)] = {
+    if (bytes.length < 24) return None
+    if (!(bytes(0) == '.'.toByte && bytes(1) == 's'.toByte &&
+          bytes(2) == 'n'.toByte && bytes(3) == 'd'.toByte)) return None
+    def u32(off: Int): Long = be32(bytes, off) & 0xffffffffL
+    val dataOff = u32(4)
+    val dataSize = u32(8)
+    val enc = u32(12)
+    val channels = u32(20)
+    if (dataOff < 24 || dataOff >= bytes.length || channels < 1) return None
+    val avail = bytes.length - dataOff
+    val dataLen =
+      if (dataSize == 0xffffffffL) avail
+      else if (dataOff + dataSize > bytes.length) return None // truncated
+      else dataSize
+    if (dataLen <= 0) return None
+    val off = dataOff.toInt
+    val n = dataLen.toInt
+    enc match {
+      case 1L => Some((n, i => muLawToPcm(bytes(off + i) & 0xff).toLong))
+      case 3L if n % 2 == 0 =>
+        Some((n / 2, i =>
+          ((bytes(off + 2 * i) << 8) | (bytes(off + 2 * i + 1) & 0xff)).toShort.toLong))
+      case _ => None // 8-bit linear, float, ADPCM-in-au: documented boundary
+    }
+  }
+
+  /** AIFF (r17): FORM/AIFF IFF container — big-endian chunk sizes with
+    * even-alignment pads (the WAV walk's mirror image), COMM declaring
+    * (channels, sampleFrames, 16-bit; the 80-bit extended sample rate
+    * is container metadata the fingerprint laws never read), SSND with
+    * its 4-byte offset/blockSize prelude, then interleaved big-endian
+    * PCM16. The declared frame count must fit the SSND payload —
+    * a lying COMM rejects. AIFC (compressed) stays outside.
+    */
+  private def aiffSamples(bytes: Array[Byte]): Option[(Int, Int => Long)] = {
+    if (bytes.length < 12) return None
+    def tag(off: Int): String =
+      if (off >= 0 && off + 4 <= bytes.length)
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (tag(0) != "FORM" || tag(8) != "AIFF") return None
+    val formEnd = math.min(bytes.length.toLong, 8L + be32(bytes, 4)).toInt
+    var off = 12
+    var channels = -1
+    var nFrames = -1L
+    var bits = -1
+    var ssndOff = -1
+    var ssndLen = -1L
+    while (off + 8 <= formEnd) {
+      val ck = tag(off)
+      val size = be32(bytes, off + 4)
+      if (size < 0 || off + 8 + size.toLong > formEnd) return None
+      if (ck == "COMM" && size >= 18) {
+        channels = ((bytes(off + 8) & 0xff) << 8) | (bytes(off + 9) & 0xff)
+        nFrames = be32(bytes, off + 10) & 0xffffffffL
+        bits = ((bytes(off + 14) & 0xff) << 8) | (bytes(off + 15) & 0xff)
+      } else if (ck == "SSND" && size >= 8) {
+        val dOff = be32(bytes, off + 8) // offset into the sound data
+        if (dOff < 0 || dOff > size - 8) return None
+        ssndOff = off + 16 + dOff
+        ssndLen = size - 8 - dOff
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (channels < 1 || bits != 16 || ssndOff < 0 || nFrames <= 0) return None
+    val nSamples = nFrames * channels
+    if (nSamples * 2 > ssndLen || nSamples > (1 << 24)) return None
+    val base = ssndOff
+    Some((nSamples.toInt, i =>
+      ((bytes(base + 2 * i) << 8) | (bytes(base + 2 * i + 1) & 0xff)).toShort.toLong))
+  }
+
+  /** Fixture/test writer for Sun .au (r17): mu-law bytes follow
+    * [[makeWavG711]]'s companded law `(seed + i*11) mod 256` (so the
+    * mu-law oracle replay carries over verbatim); PCM16 samples follow
+    * [[makeWav]]'s law `((seed + i*13) mod 256) − 128`, stored
+    * big-endian.
+    */
+  def makeAu(nSamples: Int, sampleRate: Int, seed: Long,
+             muLaw: Boolean): Array[Byte] = {
+    require(nSamples > 0 && nSamples <= (1 << 20) && sampleRate > 0,
+      s"fixture shape $nSamples @ $sampleRate")
+    val dataLen = if (muLaw) nSamples else 2 * nSamples
+    val out = new Array[Byte](24 + dataLen)
+    def putBe32(off: Int, v: Int): Unit = {
+      out(off) = (v >> 24).toByte; out(off + 1) = (v >> 16).toByte
+      out(off + 2) = (v >> 8).toByte; out(off + 3) = v.toByte
+    }
+    out(0) = '.'.toByte; out(1) = 's'.toByte; out(2) = 'n'.toByte; out(3) = 'd'.toByte
+    putBe32(4, 24)                       // data offset
+    putBe32(8, dataLen)
+    putBe32(12, if (muLaw) 1 else 3)     // encoding
+    putBe32(16, sampleRate)
+    putBe32(20, 1)                       // channels
+    var i = 0
+    if (muLaw) {
+      while (i < nSamples) {
+        out(24 + i) = ((seed + i * 11L) % 256).toByte
+        i += 1
+      }
+    } else {
+      while (i < nSamples) {
+        val v = (((seed + i * 13L) % 256) - 128).toInt
+        out(24 + 2 * i) = (v >> 8).toByte; out(24 + 2 * i + 1) = v.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Fixture/test writer for AIFF (r17): interleaved big-endian PCM16
+    * following [[makeWav]]'s closed form `((seed + i*13) mod 256) − 128`
+    * (i the flat sample index), canonical FORM/COMM/SSND layout with
+    * the 80-bit extended sample-rate field written exactly.
+    */
+  def makeAiff(nFrames: Int, channels: Int, sampleRate: Int,
+               seed: Long): Array[Byte] = {
+    require(nFrames > 0 && channels >= 1 && channels <= 8 && sampleRate > 0 &&
+      nFrames <= (1 << 20), s"fixture shape $nFrames x $channels @ $sampleRate")
+    val nSamples = nFrames * channels
+    val dataLen = 2 * nSamples
+    val commSize = 18
+    val ssndSize = 8 + dataLen
+    val formSize = 4 + (8 + commSize) + (8 + ssndSize) + (ssndSize & 1)
+    val out = new Array[Byte](8 + formSize)
+    def putBe32(off: Int, v: Int): Unit = {
+      out(off) = (v >> 24).toByte; out(off + 1) = (v >> 16).toByte
+      out(off + 2) = (v >> 8).toByte; out(off + 3) = v.toByte
+    }
+    def putBe16(off: Int, v: Int): Unit = {
+      out(off) = (v >> 8).toByte; out(off + 1) = v.toByte
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, off)
+    putTag(0, "FORM"); putBe32(4, formSize); putTag(8, "AIFF")
+    putTag(12, "COMM"); putBe32(16, commSize)
+    putBe16(20, channels)
+    putBe32(22, nFrames)
+    putBe16(26, 16) // bits
+    // 80-bit IEEE extended sample rate: sign 0, 15-bit exponent
+    // 16383 + e, explicit-leading-1 64-bit mantissa — for an integer
+    // rate r with highest set bit e, mantissa = r << (63 - e)
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    putBe16(28, 16383 + e)
+    val mant = sampleRate.toLong << (63 - e)
+    var b = 0
+    while (b < 8) { out(30 + b) = (mant >>> (56 - 8 * b)).toByte; b += 1 }
+    putTag(38, "SSND"); putBe32(42, ssndSize)
+    putBe32(46, 0) // offset
+    putBe32(50, 0) // blockSize
+    var i = 0
+    while (i < nSamples) {
+      val v = (((seed + i * 13L) % 256) - 128).toInt
+      out(54 + 2 * i) = (v >> 8).toByte; out(54 + 2 * i + 1) = v.toByte
+      i += 1
+    }
+    out
+  }
 
   /** Fixture writer for G.711 WAV (format 7 = mu-law, 6 = A-law): mono
     * 8-bit companded bytes following `(seed + i*11) mod 256` — arbitrary
@@ -1658,9 +1828,11 @@ object Multimodal {
     * the [[gifFrameGrids]] contract for the RIFF container: returns
     * (canvasW, canvasH, one gray canvas per video chunk), gray per the
     * JPEG grid law ([[jpegGrayGrid]] — Y for grayscale frames, R+G+B
-    * after exact YCbCr inversion for color). None outside the envelope:
-    * bad RIFF/AVI magic, truncated or oversized chunks, a non-MJPG
-    * video stream, a frame that fails JPEG decode or disagrees with the
+    * after exact YCbCr inversion for color) for MJPG streams, or the
+    * BMP law ([[dibGrayGrid]] — r17) for uncompressed 24-bpp DIB
+    * streams. None outside the envelope: bad RIFF/AVI magic, truncated
+    * or oversized chunks, a video stream that is neither MJPG nor
+    * BI_RGB DIB, a frame that fails decode or disagrees with the
     * declared canvas — a poisoned clip yields NO hashes, never a
     * partial lie.
     */
@@ -1673,7 +1845,8 @@ object Multimodal {
     val riffEnd = math.min(bytes.length.toLong,
       12L + (le32(bytes, 4) & 0xffffffffL) - 4L).toInt
     var w = -1; var h = -1
-    var mjpgVids = false
+    var codec = "" // "mjpg" | "dib" once a supported vids stream declares
+    var dibTopDown = false
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
     var off = 12
     while (off + 8 <= riffEnd) {
@@ -1692,11 +1865,41 @@ object Multimodal {
             if (sck == "avih" && ssz >= 40) {
               w = le32(bytes, p + 8 + 32) // dwWidth
               h = le32(bytes, p + 8 + 36) // dwHeight
-            } else if (sck == "LIST" && ssz >= 4 && tag(p + 8) == "strl" &&
-                       p + 20 <= end && tag(p + 12) == "strh") {
-              // strh data: fccType, then fccHandler
-              if (tag(p + 20) == "vids")
-                mjpgVids = tag(p + 24) == "MJPG" || tag(p + 24) == "mjpg"
+            } else if (sck == "LIST" && ssz >= 4 && tag(p + 8) == "strl") {
+              // sub-walk the strl list: strh declares the stream type +
+              // handler, strf's BITMAPINFOHEADER pins the pixel layout
+              // (needed for the uncompressed-DIB slot, r17)
+              val sEnd = p + 8 + ssz
+              var q = p + 12
+              var vids = false
+              var handler = ""
+              var handlerZero = false
+              var biH = 0; var biBits = -1; var biComp = -1
+              while (q + 8 <= sEnd) {
+                val t2 = tag(q)
+                val z2 = le32(bytes, q + 4)
+                if (z2 < 0 || q + 8 + z2.toLong > sEnd) return None
+                if (t2 == "strh" && z2 >= 8) {
+                  vids = tag(q + 8) == "vids" // fccType
+                  handler = tag(q + 12)       // fccHandler
+                  handlerZero = le32(bytes, q + 12) == 0
+                } else if (t2 == "strf" && z2 >= 20) {
+                  biH = le32(bytes, q + 8 + 8)     // biHeight (signed)
+                  biBits = le16(bytes, q + 8 + 14) // biBitCount
+                  biComp = le32(bytes, q + 8 + 16) // biCompression
+                }
+                q += 8 + z2 + (z2 & 1)
+              }
+              if (vids) {
+                if (handler == "MJPG" || handler == "mjpg") codec = "mjpg"
+                else if ((handler == "DIB " || handlerZero) &&
+                         biComp == 0 && biBits == 24) {
+                  // BI_RGB 24-bpp: raw bottom-up BGR rows, the BMP pixel
+                  // law without the headers (top-down when biHeight < 0)
+                  codec = "dib"
+                  dibTopDown = biH < 0
+                }
+              }
             }
             p += 8 + ssz + (ssz & 1)
           }
@@ -1711,9 +1914,17 @@ object Multimodal {
             if ((sck == "00dc" || sck == "00db") && ssz > 0) {
               if (frames.length >= 4096) return None // runaway-container backstop
               val fb = java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + ssz)
-              jpegGrayGrid(fb) match {
-                case Some((fw, fh, g)) if fw == w && fh == h => frames += g
-                case _ => return None
+              val grid = codec match {
+                case "mjpg" => jpegGrayGrid(fb) match {
+                  case Some((fw, fh, g)) if fw == w && fh == h => Some(g)
+                  case _ => None
+                }
+                case "dib" => dibGrayGrid(fb, w, h, dibTopDown)
+                case _ => None
+              }
+              grid match {
+                case Some(g) => frames += g
+                case None => return None
               }
             }
             p += 8 + ssz + (ssz & 1)
@@ -1723,8 +1934,35 @@ object Multimodal {
       off += 8 + size + (size & 1)
     }
     if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
-        !mjpgVids || frames.isEmpty) None
+        codec.isEmpty || frames.isEmpty) None
     else Some((w, h, frames.toSeq))
+  }
+
+  /** One uncompressed 24-bpp DIB frame (an AVI `00db` payload: BMP
+    * pixel rows without the headers — 4-byte-aligned BGR rows,
+    * bottom-up unless strf declared a negative height) as a display-
+    * order gray grid under the house law (r+g+b, [[bmpGrayGrid]]'s
+    * fold). None when the payload size disagrees with the declared
+    * canvas — a poisoned frame rejects the clip.
+    */
+  private def dibGrayGrid(fb: Array[Byte], w: Int, h: Int,
+                          topDown: Boolean): Option[Array[Int]] = {
+    val stride = ((3 * w + 3) / 4) * 4
+    if (fb.length != stride * h) return None
+    val gray = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val display = if (topDown) row else h - 1 - row
+      val base = row * stride
+      var x = 0
+      while (x < w) {
+        gray(display * w + x) = (fb(base + 3 * x) & 0xff) +
+          (fb(base + 3 * x + 1) & 0xff) + (fb(base + 3 * x + 2) & 0xff)
+        x += 1
+      }
+      row += 1
+    }
+    Some(gray)
   }
 
   /** Fixture/test writer for MJPEG AVI: `frames` video chunks, frame f
@@ -1784,8 +2022,76 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Fixture/test writer for UNCOMPRESSED AVI (r17): `frames` raw
+    * 24-bpp DIB video chunks, frame f carrying [[makeBmp]]'s exact
+    * closed-form pixel bytes with seed `seed + f·17` (stored row
+    * bottom-up, 4-byte-aligned stride) — so frame f's gray grid is
+    * IDENTICAL to the standalone `makeBmp(w, h, seed + f*17)` image,
+    * and the oracle replays the BMP law with the bottom-up flip.
+    * Container: vids stream with the `DIB ` handler, strf declaring
+    * BI_RGB 24-bpp, `00db` chunks.
+    */
+  def makeAviDib(w: Int, h: Int, seed: Long, frames: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 1024 && h <= 1024 && frames >= 1 && frames <= 64,
+      s"fixture dims $w x $h x $frames")
+    val stride = ((3 * w + 3) / 4) * 4
+    val frameData = (0 until frames).map { f =>
+      val fb = new Array[Byte](stride * h)
+      var row = 0
+      while (row < h) {
+        var k = 0
+        while (k < 3 * w) { // padding bytes stay zero
+          fb(row * stride + k) = ((seed + f * 17L + row * 31L + k * 7L) % 256).toByte
+          k += 1
+        }
+        row += 1
+      }
+      fb
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def le32out(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def tagOut(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val strlSize = 4 + (8 + 56) + (8 + 40)          // 'strl' + strh + strf
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)    // 'hdrl' + avih + LIST strl
+    val moviSize = 4 + frameData.map(f => 8 + f.length).sum // stride*h is even
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    tagOut("RIFF"); le32out(riffSize); tagOut("AVI ")
+    tagOut("LIST"); le32out(hdrlSize); tagOut("hdrl")
+    tagOut("avih"); le32out(56)
+    le32out(100000)                                  // dwMicroSecPerFrame (10 fps)
+    le32out(0); le32out(0); le32out(0)               // maxBytesPerSec, padding, flags
+    le32out(frames)                                  // dwTotalFrames
+    le32out(0); le32out(1); le32out(0)               // initialFrames, streams, bufSize
+    le32out(w); le32out(h)                           // dwWidth, dwHeight
+    (0 until 4).foreach(_ => le32out(0))             // reserved
+    tagOut("LIST"); le32out(strlSize); tagOut("strl")
+    tagOut("strh"); le32out(56)
+    tagOut("vids"); tagOut("DIB ")
+    le32out(0); le32out(0); le32out(0)               // flags, prio+lang, initialFrames
+    le32out(1); le32out(10)                          // dwScale, dwRate (10 fps)
+    le32out(0); le32out(frames)                      // dwStart, dwLength
+    le32out(stride * h)                              // suggestedBufferSize
+    le32out(0); le32out(0)                           // quality, sampleSize
+    le32out(0); le32out(0)                           // rcFrame (4 shorts)
+    tagOut("strf"); le32out(40)
+    le32out(40); le32out(w); le32out(h)              // biSize, biWidth, biHeight
+    out.write(1); out.write(0); out.write(24); out.write(0) // planes, bitcount
+    le32out(0)                                       // biCompression = BI_RGB
+    le32out(stride * h)                              // biSizeImage
+    (0 until 4).foreach(_ => le32out(0))             // resolution, clr fields
+    tagOut("LIST"); le32out(moviSize); tagOut("movi")
+    frameData.foreach { f =>
+      tagOut("00db"); le32out(f.length); out.write(f)
+    }
+    out.toByteArray
+  }
+
   /** Container dispatch for the decoded-video family: animated GIF or
-    * MJPEG AVI, both yielding the same (w, h, gray frames) contract.
+    * MJPEG/DIB AVI, both yielding the same (w, h, gray frames) contract.
     */
   private[graft] def videoFrameGrids(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] =
     gifFrameGrids(bytes).orElse(aviFrameGrids(bytes))
@@ -2720,24 +3026,272 @@ object Multimodal {
     out.toByteArray
   }
 
-  // ---- real decoder: TIFF (baseline uncompressed, public spec) ---------
-  // TIFF 6.0's uncompressed core is a pointer structure, not a codec:
+  // ---- real decoder: TIFF (baseline subset, public spec) ---------------
+  // TIFF 6.0's core is a pointer structure plus three table-free codecs:
   // an 8-byte header picks the byte order (II little-endian / MM
   // big-endian, magic 42) and points at a tag directory (IFD) of
   // 12-byte entries; the tags this subset needs are ImageWidth(256),
-  // ImageLength(257), BitsPerSample(258)=8, Compression(259)=1,
+  // ImageLength(257), BitsPerSample(258)=8, Compression(259),
   // PhotometricInterpretation(262) in {0,1,2}, StripOffsets(273),
-  // SamplesPerPixel(277) in {1,3}, RowsPerStrip(278) and
-  // StripByteCounts(279). Pixel data is row-major top-down in one or
-  // more strips. Anything outside that subset (LZW/PackBits/
-  // JPEG-in-TIFF compression, planar config 2, 16-bit samples, tiles)
-  // returns None → the stub, and the boundary is measured per corpus
-  // by [[imageCoverage]].
+  // SamplesPerPixel(277) in {1,3}, RowsPerStrip(278),
+  // StripByteCounts(279) and Predictor(317) in {1,2}. Pixel data is
+  // row-major top-down in one or more strips. Compression 1 (none),
+  // 5 (LZW — the GIF scheme's MSB-first variant with the standard
+  // "early change" width bump, all derivable from the spec's own
+  // pseudocode), 8/32946 (Deflate via the JDK inflater PNG already
+  // uses) and 32773 (PackBits RLE) all decode; r17 — every one is an
+  // ALGORITHM, not a normative constant table, so the zero-egress
+  // envelope covers them. Anything outside (CCITT/JPEG-in-TIFF
+  // compression, planar config 2, 16-bit samples, tiles) returns None
+  // → the stub, and the boundary is measured per corpus by
+  // [[imageCoverage]].
+
+  /** Decode a TIFF LZW strip into exactly `expected` bytes. TIFF's LZW
+    * differs from GIF's ([[lzwDecode]]) in three pinned ways: 8-bit
+    * symbols always (Clear=256, EOI=257, first table entry 258),
+    * MSB-first bit packing, and the "early change" convention — the
+    * code width bumps one entry EARLIER than the width arithmetic
+    * requires (at table size 510/1022/2046, spec LZW section), the
+    * historical off-by-one every real writer ships. Lenient tail: once
+    * the strip is full the remaining bits (EOI + pad) are ignored, the
+    * libtiff posture. None on any malformed stream — never a partial
+    * guess.
+    */
+  private[graft] def tiffLzwDecode(data: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    if (expected <= 0) return None
+    val clear = 256
+    val eoi = 257
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    val suffix = new Array[Byte](4096)
+    val prefix = new Array[Int](4096)
+    var next = eoi + 1
+    var width = 9
+    var prev = -1
+    var bitPos = 0L
+    val nBits = data.length.toLong * 8
+    val tail = new Array[Byte](4096)
+    def expand(code: Int, extra: Int): Int = {
+      var c = code
+      var n = 0
+      while (c >= clear) { tail(n) = suffix(c); n += 1; c = prefix(c) }
+      tail(n) = c.toByte; n += 1
+      if (outLen + n + extra > expected) return -1
+      var i = n - 1
+      while (i >= 0) { out(outLen) = tail(i); outLen += 1; i -= 1 }
+      c
+    }
+    while (outLen < expected) {
+      if (bitPos + width > nBits) return None
+      // MSB-first: the code sits left-justified across up to 3 bytes
+      var bo = (bitPos >>> 3).toInt
+      var got = 8 - (bitPos & 7).toInt
+      var v = data(bo) & ((1 << got) - 1)
+      while (got < width) {
+        bo += 1
+        v = (v << 8) | (data(bo) & 0xff)
+        got += 8
+      }
+      val code = v >>> (got - width)
+      bitPos += width
+      if (code == clear) {
+        next = eoi + 1; width = 9; prev = -1
+      } else if (code == eoi) {
+        return None // EOI before the strip is full: short stream
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code after clear: literal only
+        out(outLen) = code.toByte; outLen += 1
+        prev = code
+      } else if (code < next && code != eoi && code != clear) {
+        val first = expand(code, 0)
+        if (first < 0) return None
+        if (next < 4096) {
+          suffix(next) = first.toByte; prefix(next) = prev; next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1 // early change
+        }
+        prev = code
+      } else if (code == next && next < 4096) {
+        // K-omega-K: entry being defined by this very code
+        suffix(next) = 0; prefix(next) = prev
+        val first = expand(prev, 1)
+        if (first < 0) return None
+        suffix(next) = first.toByte
+        out(outLen) = first.toByte; outLen += 1
+        next += 1
+        if (next == (1 << width) - 1 && width < 12) width += 1
+        prev = code
+      } else return None // code beyond table: corrupt stream
+    }
+    Some(out)
+  }
+
+  /** TIFF-flavored LZW encoder (fixture side): MSB-first, 8-bit
+    * symbols, initial Clear, EOI terminator, early-change width growth
+    * mirrored one entry ahead of [[tiffLzwDecode]] (the encoder's table
+    * leads by exactly one), Clear + reset at the spec's 4094-entry
+    * writer cap. Deterministic: same bytes in, same bits out.
+    */
+  private[graft] def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    require(data.nonEmpty, "empty strip")
+    val clear = 256
+    val eoi = 257
+    val outBuf = new java.io.ByteArrayOutputStream()
+    var cur = 0L; var nbits = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      cur = (cur << width) | code
+      nbits += width
+      while (nbits >= 8) {
+        outBuf.write(((cur >>> (nbits - 8)) & 0xff).toInt)
+        nbits -= 8
+      }
+      cur &= (1L << nbits) - 1
+    }
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    var next = eoi + 1
+    def reset(): Unit = { dict.clear(); next = eoi + 1; width = 9 }
+    emit(clear)
+    reset()
+    var prefixCode = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val c = data(i) & 0xff
+      val key = Integer.valueOf((prefixCode << 8) | c)
+      val hit = dict.get(key)
+      if (hit != null) prefixCode = hit.intValue()
+      else {
+        emit(prefixCode)
+        if (next < 4094) { // spec writer cap: Clear at 4094 entries
+          dict.put(key, Integer.valueOf(next)); next += 1
+          // decoder grows at next == (1<<width)-1 AFTER its (one-behind)
+          // add; the encoder therefore grows one entry later
+          if (next == (1 << width) && width < 12) width += 1
+        } else {
+          emit(clear); reset()
+        }
+        prefixCode = c
+      }
+      i += 1
+    }
+    emit(prefixCode)
+    emit(eoi)
+    if (nbits > 0) outBuf.write(((cur << (8 - nbits)) & 0xff).toInt)
+    outBuf.toByteArray
+  }
+
+  /** Decode a PackBits (compression 32773) strip into exactly
+    * `expected` bytes: n in 0..127 copies n+1 literals, n in -127..-1
+    * repeats the next byte 1-n times, -128 is a no-op. None on
+    * truncation or overflow.
+    */
+  private[graft] def packBitsDecode(data: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    if (expected <= 0) return None
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    var i = 0
+    while (outLen < expected) {
+      if (i >= data.length) return None
+      val n = data(i); i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        if (i + cnt > data.length || outLen + cnt > expected) return None
+        System.arraycopy(data, i, out, outLen, cnt)
+        i += cnt; outLen += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        if (i >= data.length || outLen + cnt > expected) return None
+        java.util.Arrays.fill(out, outLen, outLen + cnt, data(i))
+        i += 1; outLen += cnt
+      } // -128: no-op filler
+    }
+    Some(out)
+  }
+
+  /** PackBits encoder (fixture side), packed per ROW as the spec
+    * requires (runs never cross row boundaries): replicate runs of ≥2,
+    * literal chunks broken where a run starts, both capped at 128.
+    */
+  private[graft] def packBitsEncode(data: Array[Byte], rowBytes: Int): Array[Byte] = {
+    require(rowBytes > 0 && data.length % rowBytes == 0, "whole rows only")
+    val out = new java.io.ByteArrayOutputStream()
+    var rowStart = 0
+    while (rowStart < data.length) {
+      val rowEnd = rowStart + rowBytes
+      var i = rowStart
+      while (i < rowEnd) {
+        var run = 1
+        while (i + run < rowEnd && data(i + run) == data(i) && run < 128) run += 1
+        if (run >= 2) {
+          out.write(1 - run)
+          out.write(data(i))
+          i += run
+        } else {
+          val litStart = i
+          var j = i + 1
+          while (j < rowEnd && (j - litStart) < 128 &&
+                 !(j + 1 < rowEnd && data(j + 1) == data(j))) j += 1
+          out.write(j - litStart - 1)
+          out.write(data, litStart, j - litStart)
+          i = j
+        }
+      }
+      rowStart = rowEnd
+    }
+    out.toByteArray
+  }
+
+  /** Inflate a Deflate (compression 8 / legacy 32946) strip into
+    * exactly `expected` bytes — the same JDK inflater the PNG path
+    * runs, with the same zero-progress-is-corrupt posture; a stream
+    * that would produce MORE than `expected` is a lying strip and
+    * rejects too.
+    */
+  private[graft] def zlibDecode(data: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    if (expected <= 0) return None
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new Array[Byte](expected)
+      var got = 0
+      while (got < expected && !inf.finished()) {
+        val n = inf.inflate(out, got, expected - got)
+        if (n == 0) return None
+        got += n
+      }
+      if (got < expected) return None
+      if (!inf.finished()) {
+        // give the inflater one more turn: a healthy stream consumes
+        // its Adler-32 trailer and finishes with zero output; one that
+        // yields MORE output is a lying strip, one that cannot finish
+        // is trailer-truncated — both reject
+        if (inf.inflate(new Array[Byte](1)) > 0) return None
+        if (!inf.finished()) return None
+      }
+      Some(out)
+    } catch {
+      case _: java.util.zip.DataFormatException => None
+    } finally inf.end()
+  }
+
+  /** Deflate encoder (fixture side): one zlib stream per strip. */
+  private[graft] def zlibEncode(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(data)
+      d.finish()
+      val buf = new Array[Byte](math.max(64, data.length / 2))
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
 
   /** Decoded baseline TIFF: (w, h, samplesPerPixel, samples) with
-    * samples row-major interleaved top-down and WhiteIsZero
-    * (photometric 0) already inverted to intensity-up. None outside
-    * the baseline uncompressed subset.
+    * samples row-major interleaved top-down, horizontal differencing
+    * (Predictor 2) undone per row, and WhiteIsZero (photometric 0)
+    * already inverted to intensity-up. Compressions 1/5/8/32946/32773
+    * decode ([[tiffLzwDecode]]/[[zlibDecode]]/[[packBitsDecode]] —
+    * r17); None outside the subset.
     */
   private def tiffDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (bytes.length < 8) return None
@@ -2777,7 +3331,7 @@ object Multimodal {
         if (size == 2) u16(base + 2 * i).toLong else u32(base + 4 * i)
       })
     }
-    val needed = Set(256, 257, 258, 259, 262, 273, 277, 278, 279)
+    val needed = Set(256, 257, 258, 259, 262, 273, 277, 278, 279, 317)
     var tags = Map.empty[Int, Array[Long]]
     var e = 0
     while (e < nEntries) {
@@ -2799,9 +3353,12 @@ object Multimodal {
     val spp = first(277, 1L).toInt
     val photometric = first(262, -1L).toInt
     val compression = first(259, 1L).toInt
+    val predictor = first(317, 1L).toInt
     // 1<<14 sanity bound: a lying directory must not drive a huge walk
     if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
-    if (compression != 1) return None
+    if (compression != 1 && compression != 5 && compression != 8 &&
+        compression != 32946 && compression != 32773) return None
+    if (predictor != 1 && predictor != 2) return None
     if (!((spp == 1 && (photometric == 0 || photometric == 1)) ||
           (spp == 3 && photometric == 2))) return None
     val bits = tags.getOrElse(258, Array(8L))
@@ -2813,16 +3370,46 @@ object Multimodal {
     val nStrips = ((h + rps - 1) / rps).toInt
     if (offs.length != nStrips || counts.length != nStrips) return None
     val rowBytes = w.toLong * spp
+    // a lying directory must not demand a huge decode buffer (the PNG
+    // guard's posture)
+    if (rowBytes * h > (64L << 20)) return None
     val out = new Array[Byte]((rowBytes * h).toInt)
+    val rb = rowBytes.toInt
     var s = 0
     var row = 0
     while (s < nStrips) {
       val rowsHere = math.min(rps, (h - row).toLong).toInt
-      val need = rowBytes * rowsHere
-      if (counts(s) != need) return None // baseline: strips are exact rows
+      val need = (rowBytes * rowsHere).toInt
       val off = offs(s)
-      if (off < 8 || off + need > bytes.length) return None
-      System.arraycopy(bytes, off.toInt, out, (row * rowBytes).toInt, need.toInt)
+      val strip: Array[Byte] =
+        if (compression == 1) {
+          if (counts(s) != need) return None // uncompressed: exact rows
+          if (off < 8 || off + need > bytes.length) return None
+          java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + need)
+        } else {
+          val cnt = counts(s)
+          if (off < 8 || cnt <= 0 || off + cnt > bytes.length) return None
+          val comp = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + cnt).toInt)
+          val dec = compression match {
+            case 5 => tiffLzwDecode(comp, need)
+            case 32773 => packBitsDecode(comp, need)
+            case _ => zlibDecode(comp, need) // 8 / legacy 32946
+          }
+          dec match { case Some(d) => d; case None => return None }
+        }
+      if (predictor == 2) { // horizontal differencing, per row
+        var r0 = 0
+        while (r0 < rowsHere) {
+          val base = r0 * rb
+          var i = spp
+          while (i < rb) {
+            strip(base + i) = (strip(base + i) + strip(base + i - spp)).toByte
+            i += 1
+          }
+          r0 += 1
+        }
+      }
+      System.arraycopy(strip, 0, out, row * rb, need)
       row += rowsHere
       s += 1
     }
@@ -2833,9 +3420,10 @@ object Multimodal {
     Some((w, h, spp, out))
   }
 
-  /** Parse + decode a baseline uncompressed TIFF and fold features
-    * ([[tiffDecode]] for the decode half; the fold mirrors
-    * [[parseBmp]]'s layout, gray images folding like PNG's gray branch).
+  /** Parse + decode a baseline TIFF (none/LZW/Deflate/PackBits strips)
+    * and fold features ([[tiffDecode]] for the decode half; the fold
+    * mirrors [[parseBmp]]'s layout, gray images folding like PNG's
+    * gray branch).
     */
   def parseTiff(id: Long, bytes: Array[Byte]): Option[MediaFeatures] =
     tiffDecode(bytes).map { case (w, h, spp, samples) =>
@@ -2874,22 +3462,64 @@ object Multimodal {
       }
     }
 
-  /** Fixture/test writer for baseline uncompressed TIFF: pixels follow
-    * the closed form `(seed + row·31 + k·7) mod 256` with row the
-    * DISPLAY (top-down) row and k the byte index in the row (3x+c for
-    * RGB, x for grayscale) — oracle-replayable like [[makeBmp]] but
-    * without the bottom-up flip. `bigEndian` exercises the MM byte
-    * order; `rowsPerStrip` 0 means one strip for the whole image.
+  /** Fixture/test writer for the TIFF subset: pixels follow the closed
+    * form `(seed + row·31 + k·7) mod 256` with row the DISPLAY
+    * (top-down) row and k the byte index in the row (3x+c for RGB, x
+    * for grayscale) — oracle-replayable like [[makeBmp]] but without
+    * the bottom-up flip. `bigEndian` exercises the MM byte order;
+    * `rowsPerStrip` 0 means one strip for the whole image;
+    * `compression` in {1, 5, 8, 32773} picks none/LZW/Deflate/PackBits
+    * (r17), `predictor` 2 applies horizontal differencing before the
+    * codec. The decoded pixels are the SAME closed form regardless —
+    * storage knobs never reach the oracle.
     */
   def makeTiff(w: Int, h: Int, seed: Long, rgb: Boolean = true,
-               bigEndian: Boolean = false, rowsPerStrip: Int = 0): Array[Byte] = {
+               bigEndian: Boolean = false, rowsPerStrip: Int = 0,
+               compression: Int = 1, predictor: Int = 1): Array[Byte] = {
+    require(compression == 1 || compression == 5 || compression == 8 ||
+      compression == 32773, s"compression=$compression")
+    require(predictor == 1 || predictor == 2, s"predictor=$predictor")
     val spp = if (rgb) 3 else 1
     val rps = if (rowsPerStrip <= 0) h else math.min(rowsPerStrip, h)
     val nStrips = (h + rps - 1) / rps
     val rowBytes = w * spp
-    val pixBytes = rowBytes * h
-    val nEntries = 9
-    val ifdOff = 8 + pixBytes
+    val pix = new Array[Byte](rowBytes * h)
+    var r = 0
+    while (r < h) {
+      var k = 0
+      while (k < rowBytes) {
+        pix(r * rowBytes + k) = ((seed + r * 31L + k * 7L) % 256).toByte
+        k += 1
+      }
+      r += 1
+    }
+    // per-strip payloads: predictor first (per row), then the codec
+    val strips = Array.tabulate(nStrips) { s =>
+      val rows = math.min(rps, h - s * rps)
+      val raw = java.util.Arrays.copyOfRange(
+        pix, s * rps * rowBytes, (s * rps + rows) * rowBytes)
+      if (predictor == 2) {
+        var r0 = 0
+        while (r0 < rows) {
+          var i = rowBytes - 1
+          while (i >= spp) {
+            raw(r0 * rowBytes + i) =
+              (raw(r0 * rowBytes + i) - raw(r0 * rowBytes + i - spp)).toByte
+            i -= 1
+          }
+          r0 += 1
+        }
+      }
+      compression match {
+        case 1 => raw
+        case 5 => tiffLzwEncode(raw)
+        case 8 => zlibEncode(raw)
+        case _ => packBitsEncode(raw, rowBytes)
+      }
+    }
+    val dataLen = strips.map(_.length).sum
+    val nEntries = if (predictor == 2) 10 else 9
+    val ifdOff = 8 + dataLen
     val extraOff = ifdOff + 2 + nEntries * 12 + 4
     val bitsOff = extraOff               // out-of-line BitsPerSample (RGB)
     val bitsLen = if (rgb) 6 else 0
@@ -2912,14 +3542,14 @@ object Multimodal {
     out(1) = out(0)
     putU16(2, 42)
     putU32(4, ifdOff)
-    var r = 0
-    while (r < h) {
-      var k = 0
-      while (k < rowBytes) {
-        out(8 + r * rowBytes + k) = ((seed + r * 31L + k * 7L) % 256).toByte
-        k += 1
-      }
-      r += 1
+    val stripOffs = new Array[Int](nStrips)
+    var dataOff = 8
+    var si = 0
+    while (si < nStrips) {
+      stripOffs(si) = dataOff
+      System.arraycopy(strips(si), 0, out, dataOff, strips(si).length)
+      dataOff += strips(si).length
+      si += 1
     }
     putU16(ifdOff, nEntries)
     var e = 0
@@ -2935,29 +3565,31 @@ object Multimodal {
       entry(258, 3, 3)(putU32(_, bitsOff))
       putU16(bitsOff, 8); putU16(bitsOff + 2, 8); putU16(bitsOff + 4, 8)
     } else entry(258, 3, 1)(putU16(_, 8))
-    entry(259, 3, 1)(putU16(_, 1))                 // Compression = none
+    entry(259, 3, 1)(putU16(_, compression))
     entry(262, 3, 1)(putU16(_, if (rgb) 2 else 1)) // photometric
     if (nStrips > 1) {
       entry(273, 4, nStrips)(putU32(_, soOff))
       var s = 0
       while (s < nStrips) {
-        putU32(soOff + 4 * s, 8 + s * rps * rowBytes)
-        putU32(scOff + 4 * s, math.min(rps, h - s * rps) * rowBytes)
+        putU32(soOff + 4 * s, stripOffs(s))
+        putU32(scOff + 4 * s, strips(s).length)
         s += 1
       }
     } else entry(273, 4, 1)(putU32(_, 8))
     entry(277, 3, 1)(putU16(_, spp))
     entry(278, 3, 1)(putU16(_, rps))
     if (nStrips > 1) entry(279, 4, nStrips)(putU32(_, scOff))
-    else entry(279, 4, 1)(putU32(_, pixBytes))
+    else entry(279, 4, 1)(putU32(_, strips(0).length))
+    if (predictor == 2) entry(317, 3, 1)(putU16(_, 2))
     // next-IFD pointer stays 0 (array is zero-initialized)
     out
   }
 
   /** Decode dispatch: real parse for the formats a pure-JVM reader can
     * own (BMP, WAV PCM + G.711 + ADPCM, PNG incl. alpha/16-bit, GIF,
-    * baseline + progressive JPEG, FLAC, baseline uncompressed TIFF),
-    * [[decodeStub]] for everything else — the envelope COVERAGE.md
+    * baseline + progressive JPEG, FLAC, baseline TIFF incl. LZW/
+    * Deflate/PackBits strips), [[decodeStub]] for everything else —
+    * the envelope COVERAGE.md
     * documents and [[imageCoverage]]/[[audioCoverage]] measure.
     */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
@@ -3779,6 +4411,9 @@ object Multimodal {
       case Some(_) => "wav_other"
       case None =>
         if (ascii(0, 4) == "fLaC") "flac"
+        else if (ascii(0, 4) == ".snd") "au"                        // r17
+        else if (ascii(0, 4) == "FORM" && ascii(8, 4) == "AIFF") "aiff" // r17
+        else if (ascii(0, 4) == "FORM" && ascii(8, 4) == "AIFC") "aifc" // compressed: boundary
         else if (ascii(0, 4) == "OggS") "ogg"
         else if (ascii(0, 3) == "ID3") "mp3"
         else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&

@@ -831,6 +831,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decode(1L, flac).format === "flac")
   }
 
+  test("audioFingerprint: au and AIFF twins of the same PCM collide with WAV") {
+    // AU mu-law: identical companded bytes to the WAV G.711 fixture →
+    // identical decoded samples → Hamming 0
+    val auMu = Multimodal.makeAu(600, 8000, 3, muLaw = true)
+    assert(Multimodal.audioFingerprint(auMu).isDefined)
+    assert(Multimodal.audioFingerprint(auMu) ===
+      Multimodal.audioFingerprint(Multimodal.makeWavG711(600, 8000, 3, aLaw = false)))
+    // AU linear PCM16 (big-endian) vs mono WAV (little-endian): same
+    // closed-form samples — byte order is container storage, not signal
+    val auPcm = Multimodal.makeAu(600, 8000, 7, muLaw = false)
+    assert(Multimodal.audioFingerprint(auPcm) ===
+      Multimodal.audioFingerprint(Multimodal.makeWav(600, 1, 8000, 7)))
+    // AIFF vs WAV, mono and stereo (flat sample law is channel-agnostic)
+    assert(Multimodal.audioFingerprint(Multimodal.makeAiff(300, 1, 8000, 9)) ===
+      Multimodal.audioFingerprint(Multimodal.makeWav(300, 1, 8000, 9)))
+    assert(Multimodal.audioFingerprint(Multimodal.makeAiff(200, 2, 8000, 11)) ===
+      Multimodal.audioFingerprint(Multimodal.makeWav(200, 2, 8000, 11)))
+    // sniffs
+    assert(Multimodal.audioFormatOf(auMu) === "au")
+    assert(Multimodal.audioFormatOf(Multimodal.makeAiff(100, 1, 8000, 1)) === "aiff")
+    // rejects, never guesses
+    val truncated = java.util.Arrays.copyOf(auPcm, auPcm.length - 10) // dataSize overruns
+    assert(Multimodal.audioFingerprint(truncated).isEmpty)
+    val badEnc = auPcm.clone() // encoding 27 (alaw-in-au): outside
+    badEnc(15) = 27
+    assert(Multimodal.audioFingerprint(badEnc).isEmpty)
+    val aiff = Multimodal.makeAiff(300, 1, 8000, 9)
+    val aifc = aiff.clone() // AIFC form type: compressed container, outside
+    aifc(11) = 'C'.toByte
+    assert(Multimodal.audioFingerprint(aifc).isEmpty)
+    assert(Multimodal.audioFormatOf(aifc) === "aifc")
+    val lyingComm = aiff.clone() // COMM claims more frames than SSND holds
+    lyingComm(22) = 0; lyingComm(23) = 0
+    lyingComm(24) = 0x7f.toByte; lyingComm(25) = 0xff.toByte
+    assert(Multimodal.audioFingerprint(lyingComm).isEmpty)
+  }
+
   test("parsePng: round-trip recovers the closed-form pixels through every filter type") {
     // h = 7 > 5 rows: filter types 0..4 all appear (r mod 5), so the
     // decode inverts None, Sub, Up, Average AND Paeth — and the pixel
@@ -1351,7 +1388,11 @@ class MultimodalSpec extends SparkTestBase {
     }
     val ifdOff = 8 + 4 * 4 * 3
     def entryValOff(idx: Int) = ifdOff + 2 + idx * 12 + 8
-    // Compression = 5 (LZW): entry index 3 (256,257,258,259)
+    // Compression = 4 (CCITT G4 — outside the r17 codec set): entry
+    // index 3 (256,257,258,259)
+    assert(Multimodal.decode(1L, mut(_(entryValOff(3)) = 4)).format === "stub")
+    // Compression = 5 but the strip data is RAW, not LZW: the codec
+    // must reject the garbage stream, never guess
     assert(Multimodal.decode(1L, mut(_(entryValOff(3)) = 5)).format === "stub")
     // truncated pixel strip
     assert(Multimodal.decode(2L,
@@ -1368,6 +1409,75 @@ class MultimodalSpec extends SparkTestBase {
     val g16 = Multimodal.makeTiff(4, 4, 3L, rgb = false)
     g16(8 + 4 * 4 + 2 + 2 * 12 + 8) = 16
     assert(Multimodal.decode(6L, g16).format === "stub")
+  }
+
+  test("tiffLzwDecode/tiffLzwEncode: round-trip across every width boundary") {
+    // enough low-entropy-but-varied data to push the table through the
+    // 9->10->11->12 early-change boundaries AND the 4094 writer reset
+    val big = Array.tabulate(60000)(i => ((i * 7 + (i >> 5) * 13) % 251).toByte)
+    for (data <- Seq(Array.tabulate(5)(_.toByte),
+                     Array.fill(300)(42.toByte),
+                     Array.tabulate(700)(i => (i % 256).toByte),
+                     big)) {
+      val enc = Multimodal.tiffLzwEncode(data)
+      val dec = Multimodal.tiffLzwDecode(enc, data.length)
+      assert(dec.isDefined && dec.get.sameElements(data),
+        s"LZW round-trip failed at n=${data.length}")
+    }
+    // truncated stream, wrong expected length, garbage: all None
+    val enc = Multimodal.tiffLzwEncode(big)
+    assert(Multimodal.tiffLzwDecode(enc.dropRight(enc.length / 2), big.length).isEmpty)
+    assert(Multimodal.tiffLzwDecode(enc, big.length + 1).isEmpty)
+    assert(Multimodal.tiffLzwDecode(Array.fill(64)(0xee.toByte), 100).isEmpty)
+  }
+
+  test("packBits/zlib: round-trip and strict-length rejects") {
+    val data = Array.tabulate(4096)(i =>
+      (if ((i / 37) % 2 == 0) 7 else i % 256).toByte) // runs + literals
+    val pb = Multimodal.packBitsEncode(data, 128)
+    assert(Multimodal.packBitsDecode(pb, data.length).get.sameElements(data))
+    assert(Multimodal.packBitsDecode(pb, data.length - 1).isEmpty) // overflow
+    assert(Multimodal.packBitsDecode(pb.dropRight(4), data.length).isEmpty)
+    val zl = Multimodal.zlibEncode(data)
+    assert(Multimodal.zlibDecode(zl, data.length).get.sameElements(data))
+    assert(Multimodal.zlibDecode(zl, data.length - 1).isEmpty) // lying strip
+    assert(Multimodal.zlibDecode(zl.dropRight(4), data.length).isEmpty)
+    assert(Multimodal.zlibDecode(Array.fill(32)(0x55.toByte), 10).isEmpty)
+  }
+
+  test("imageAHash: TIFF hashes are compression- and predictor-invariant") {
+    val base = Multimodal.imageAHash(Multimodal.makeTiff(16, 16, 7)).get
+    for ((comp, pred, rps) <- Seq((5, 1, 0), (5, 2, 0), (8, 1, 5), (8, 2, 0),
+                                  (32773, 1, 0), (32773, 2, 3)))
+      assert(Multimodal.imageAHash(Multimodal.makeTiff(16, 16, 7,
+          rowsPerStrip = rps, compression = comp, predictor = pred)).get === base,
+        s"comp=$comp pred=$pred rps=$rps must hash like the raw twin")
+    // grayscale + big-endian too
+    val gray = Multimodal.imageAHash(Multimodal.makeTiff(16, 16, 7, rgb = false)).get
+    assert(Multimodal.imageAHash(Multimodal.makeTiff(16, 16, 7, rgb = false,
+      bigEndian = true, rowsPerStrip = 5, compression = 5, predictor = 2)).get === gray)
+    // decoded pixels (not just hashes) are identical
+    val a = Multimodal.parseTiff(1L, Multimodal.makeTiff(9, 5, 3L)).get
+    val b = Multimodal.parseTiff(1L,
+      Multimodal.makeTiff(9, 5, 3L, compression = 5, predictor = 2)).get
+    assert(a.features.toSeq === b.features.toSeq)
+  }
+
+  test("tiffDecode: compressed-path defects reject, never guess") {
+    def ifdOffOf(b: Array[Byte]): Int =
+      (b(4) & 0xff) | ((b(5) & 0xff) << 8) | ((b(6) & 0xff) << 16) |
+        ((b(7) & 0xff) << 24)
+    // truncated LZW strip inside a valid container: shrink the single
+    // strip's byte count (entry 8 = tag 279, inline LONG) so the codec
+    // sees a short stream
+    val lzw = Multimodal.makeTiff(8, 8, 3L, compression = 5)
+    val scValOff = ifdOffOf(lzw) + 2 + 8 * 12 + 8
+    lzw(scValOff) = 4; lzw(scValOff + 1) = 0
+    assert(Multimodal.decode(1L, lzw).format === "stub")
+    // predictor value outside {1,2} (entry 9 = tag 317, inline value)
+    val pred = Multimodal.makeTiff(4, 4, 3L, compression = 8, predictor = 2)
+    pred(ifdOffOf(pred) + 2 + 9 * 12 + 8) = 3
+    assert(Multimodal.decode(2L, pred).format === "stub")
   }
 
   test("aviFrameGrids: MJPEG frames hash identically to their standalone JPEG twins") {
@@ -1462,6 +1572,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 === 2L || p._2 === 2L))
   }
 
+  test("aviFrameGrids: uncompressed DIB frames hash identically to their BMP twins") {
+    val seed = 11L
+    val avi = Multimodal.makeAviDib(10, 9, seed, 3) // w=10: stride 32 > 3w=30 (real padding)
+    import spark.implicits._
+    val hashes = Multimodal.videoFrameHashes(
+        spark, Seq((1L, avi)).toDF("doc_id", "payload"))
+      .orderBy("frame_idx").as[(Long, Long, Long)].collect().toSeq
+    assert(hashes.map(_._2) === Seq(0L, 1L, 2L))
+    // each 00db chunk is BMP pixel data: the frame hash must equal the
+    // image hash of the identical standalone BMP fixture
+    for (f <- 0 until 3)
+      assert(hashes(f)._3 ===
+        Multimodal.imageAHash(Multimodal.makeBmp(10, 9, seed + f * 17L)).get,
+        s"frame $f must fold like the standalone BMP")
+    // a DIB clip and an MJPEG clip ride the same mixed scan
+    val mixed = Multimodal.videoFrameHashes(spark, Seq(
+      (1L, Multimodal.makeAviDib(16, 16, 3L, 2)),
+      (2L, Multimodal.makeAviMjpeg(16, 16, 3L, 2))).toDF("doc_id", "payload"))
+    assert(mixed.count() === 4)
+    // rejects: frame size disagreeing with the canvas; 16-bpp DIB
+    val bad = Multimodal.makeAviDib(8, 8, 3L, 2)
+    // shrink the last chunk's declared size by one row (size field of
+    // the second 00db chunk) — the walk must reject the whole clip
+    assert(Multimodal.aviFrameGrids(bad.dropRight(24)).isEmpty)
+    val bpp16 = Multimodal.makeAviDib(8, 8, 3L, 1)
+    // strf biBitCount at hdrl offset: poke every 24 to find it is
+    // brittle; instead rebuild via the MJPEG maker's known layout —
+    // the strf bitcount byte sits 14 bytes into the strf data
+    val strfData = {
+      val idx = bpp16.indexOfSlice("strf".getBytes("US-ASCII"))
+      idx + 8 + 14
+    }
+    bpp16(strfData) = 16
+    assert(Multimodal.aviFrameGrids(bpp16).isEmpty)
+  }
+
   test("videoFormatOf/videoCoverage: the measured video boundary per corpus") {
     import spark.implicits._
     assert(Multimodal.videoFormatOf(Multimodal.makeGifAnimated(8, 8, 1, 2)) === "gif")
@@ -1511,13 +1657,14 @@ class MultimodalSpec extends SparkTestBase {
       new Array[Byte](16)
     assert(Multimodal.imageFormatOf(heic) === "heic")
     assert(Multimodal.imageFormatOf(Array.fill(8)(1.toByte)) === "unknown")
-    // a compressed TIFF still SNIFFS tiff but does not hash — that gap
-    // is exactly what the coverage row measures
-    val lzw = Multimodal.makeTiff(8, 8, 1)
-    lzw(8 + 8 * 8 * 3 + 2 + 3 * 12 + 8) = 5
+    // a CCITT-compressed TIFF still SNIFFS tiff but does not hash
+    // (LZW/Deflate/PackBits moved inside the envelope in r17) — that
+    // gap is exactly what the coverage row measures
+    val ccitt = Multimodal.makeTiff(8, 8, 1)
+    ccitt(8 + 8 * 8 * 3 + 2 + 3 * 12 + 8) = 4
     val corpus = Seq(
       (1L, Multimodal.makeBmp(16, 16, 1)), (2L, Multimodal.makeTiff(16, 16, 2)),
-      (3L, lzw), (4L, webp), (5L, avif)).toDF("doc_id", "payload")
+      (3L, ccitt), (4L, webp), (5L, avif)).toDF("doc_id", "payload")
     val cov = Multimodal.imageCoverage(spark, corpus)
       .orderBy("format").as[(String, Long, Long)].collect().toSeq
     assert(cov === Seq(("avif", 1L, 0L), ("bmp", 1L, 1L),
