@@ -5075,13 +5075,114 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS fhash
             FROM hs ORDER BY doc_id, frame_idx"""))
 
+  /** Decoded-VIDEO frame hashing over the ISO-BMFF container (r17 —
+    * [[graft.multimodal.Multimodal.mp4FrameGrids]] via
+    * `videoFrameHashes`): real MP4s (ftyp/mdat/moov, the full
+    * stsd→stsc→stsz→stco sample-table walk, samples packed two per
+    * chunk with a multi-run stsc whenever the frame count is odd)
+    * whose `jpeg`-coded samples each carry a 64×64 grayscale DC-only
+    * JPEG with per-frame seed `id + f·17` — the SAME frame law as
+    * q_video_mjpeg through a structurally different container, so the
+    * oracle is that row's closed form verbatim: if the sample-table
+    * replay mislays even one byte boundary, a frame decodes wrong (or
+    * poisons the clip) and hashes diverge. Clip doc_id < 150 carries
+    * 2 + id mod 3 frames.
+    */
+  private val qVideoMp4 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 150)
+        .map(id => (id, graft.multimodal.Multimodal.makeMp4Mjpeg(
+          64, 64, id, 2 + (id % 3).toInt)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.videoFrameHashes(s, bins)
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+            fr AS (SELECT doc_id, f.f AS f FROM ids
+                   JOIN generate_series(0, 3) f(f) ON f.f < 2 + doc_id % 3),
+            blk AS (SELECT doc_id, f, br.bi AS bi, bc.bj AS bj,
+                           ((doc_id + f*17 + bc.bj * 31 + br.bi * 7) % 200) + 28 AS v
+                    FROM fr
+                    JOIN generate_series(0, 7) br(bi) ON TRUE
+                    JOIN generate_series(0, 7) bc(bj) ON TRUE),
+            tot AS (SELECT doc_id, f, SUM(v) AS total FROM blk GROUP BY 1, 2),
+            bits AS (SELECT b.doc_id, b.f, bi, bj,
+                            CASE WHEN b.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id, f)),
+            hs AS (SELECT doc_id, f,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY 1, 2)
+            SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS fhash
+            FROM hs ORDER BY doc_id, frame_idx"""))
+
+  /** CROSS-CONTAINER clip near-dup (r17): clips 0-49 are MJPEG AVIs,
+    * clips 50-99 the SAME content muxed as ISO-BMFF MP4 (seed id mod
+    * 50, 3 frames) — a real corpus's "same video, different wrapper"
+    * duplicate class. The hash tier must see identical frame grids
+    * through both container walks for the planted (i, i+50) pairs to
+    * land at Hamming 0; the oracle replays the frame law (container-
+    * free by construction) and the FULL cross-pair Hamming rule, so
+    * accidental near-matches count too — the check is the rule, not
+    * just the plant.
+    */
+  private val qVideoMixedNearDup = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 100)
+        .map { id =>
+          val bytes =
+            if (id < 50) graft.multimodal.Multimodal.makeAviMjpeg(64, 64, id % 50, 3)
+            else graft.multimodal.Multimodal.makeMp4Mjpeg(64, 64, id % 50, 3)
+          (id, bytes)
+        }
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.videoNearDups(
+          graft.multimodal.Multimodal.videoFrameHashes(s, bins),
+          maxHamming = 2, minPairs = 2)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+            fr AS (SELECT doc_id, doc_id % 50 AS seed, f.f AS f FROM ids
+                   JOIN generate_series(0, 2) f(f) ON TRUE),
+            blk AS (SELECT doc_id, f, br.bi AS bi, bc.bj AS bj,
+                           ((seed + f*17 + bc.bj * 31 + br.bi * 7) % 200) + 28 AS v
+                    FROM fr
+                    JOIN generate_series(0, 7) br(bi) ON TRUE
+                    JOIN generate_series(0, 7) bc(bj) ON TRUE),
+            tot AS (SELECT doc_id, f, SUM(v) AS total FROM blk GROUP BY 1, 2),
+            bits AS (SELECT b.doc_id, b.f, bi, bj,
+                            CASE WHEN b.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id, f)),
+            hs AS (SELECT doc_id, f,
+                          CAST(SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS UBIGINT) AS u
+                   FROM bits GROUP BY 1, 2),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM hs a JOIN hs b
+                    ON a.doc_id < b.doc_id
+                   AND bit_count(xor(a.u, b.u)) <= 2),
+            agg AS (SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+                    FROM p GROUP BY 1, 2)
+            SELECT id_a, id_b, n_pairs FROM agg
+            WHERE n_pairs >= 2 ORDER BY id_a, id_b"""))
+
   /** The MEASURED video-decode boundary ([[graft.multimodal.Multimodal
     * .videoCoverage]] — completes the coverage triple with audio and
     * image): a mixed corpus across the sniffable container classes —
-    * animated GIF and MJPEG AVI (framed), a RIFF AVI with no decodable
-    * video stream (sniffs 'avi', frames nothing — the boundary INSIDE a
-    * known container), and mp4/EBML/unknown payloads (valid magics, no
-    * decode path) — folded to per-format (n_docs, n_framed).
+    * animated GIF, MJPEG AVI, and Motion-JPEG MP4/MOV (framed — r17), a
+    * RIFF AVI with no decodable video stream and a bare-ftyp MP4 stub
+    * (each sniffs its container, frames nothing — the boundary INSIDE a
+    * known container, on both container families), and EBML/unknown
+    * payloads (valid magics, no decode path) — folded to per-format
+    * (n_docs, n_framed).
     */
   private val qVideoCoverage = Q(
     (s, dir) => {
@@ -5089,7 +5190,7 @@ object SparkEntry {
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .filter((id: Long) => id < 480)
         .map { id =>
-          val bytes = (id % 6) match {
+          val bytes = (id % 8) match {
             case 0 => graft.multimodal.Multimodal.makeGifAnimated(16, 16, id, 2)
             case 1 => graft.multimodal.Multimodal.makeAviMjpeg(16, 16, id, 2)
             case 2 => "RIFF".getBytes("US-ASCII") ++ Array[Byte](20, 0, 0, 0) ++
@@ -5098,6 +5199,8 @@ object SparkEntry {
               Array.tabulate(16)(i => ((id + i) % 256).toByte)
             case 4 => Array[Byte](0x1a, 0x45.toByte, 0xdf.toByte, 0xa3.toByte) ++
               Array.tabulate(20)(i => ((id + i) % 256).toByte)
+            case 5 => graft.multimodal.Multimodal.makeMp4Mjpeg(16, 16, id, 2)
+            case 6 => graft.multimodal.Multimodal.makeMp4Mjpeg(16, 16, id, 2, brand = "qt  ")
             case _ => Array.fill(24)(2.toByte)
           }
           (id, bytes)
@@ -5105,12 +5208,13 @@ object SparkEntry {
       graft.multimodal.Multimodal.videoCoverage(s, bins)
         .orderBy("format")
     },
-    Some("""WITH cls AS (SELECT doc_id, doc_id % 6 AS k FROM documents WHERE doc_id < 480),
+    Some("""WITH cls AS (SELECT doc_id, doc_id % 8 AS k FROM documents WHERE doc_id < 480),
             fm AS (SELECT k,
                           CASE k WHEN 0 THEN 'gif' WHEN 1 THEN 'avi'
                                  WHEN 2 THEN 'avi' WHEN 3 THEN 'mp4'
-                                 WHEN 4 THEN 'ebml' ELSE 'unknown' END AS format,
-                          CASE WHEN k <= 1 THEN 1 ELSE 0 END AS dec
+                                 WHEN 4 THEN 'ebml' WHEN 5 THEN 'mp4'
+                                 WHEN 6 THEN 'mov' ELSE 'unknown' END AS format,
+                          CASE WHEN k <= 1 OR k IN (5, 6) THEN 1 ELSE 0 END AS dec
                    FROM (SELECT DISTINCT k FROM cls)),
             agg AS (SELECT fm.format,
                            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -10150,6 +10254,8 @@ object SparkEntry {
     "q_video_mjpeg" -> qVideoMjpeg,
     "q_video_dib" -> qVideoDib,
     "q_video_mjpeg_neardup" -> qVideoMjpegNearDup,
+    "q_video_mp4" -> qVideoMp4,
+    "q_video_mixed_neardup" -> qVideoMixedNearDup,
     "q_video_coverage" -> qVideoCoverage,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_ahash_tiff" -> qImageAHashTiff,

@@ -2090,11 +2090,266 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** Container dispatch for the decoded-video family: animated GIF or
-    * MJPEG/DIB AVI, both yielding the same (w, h, gray frames) contract.
+  /** The first video track's normative sample tables, parsed but NOT
+    * decoded — shared between [[mp4FrameGrids]] (which then requires
+    * the `jpeg` coding and decodes every sample) and [[mediaMeta]]
+    * (which reports coding/canvas/sample-count for ANY coding,
+    * H.264/HEVC included — the header-only peek a pre-filter pass
+    * runs before committing decode work).
+    */
+  private final case class Mp4Track(coding: String, w: Int, h: Int,
+      sizes: Array[Long], chunkOffs: Array[Long], runs: Seq[(Long, Long)])
+
+  private def mp4VideoTrack(bytes: Array[Byte]): Option[Mp4Track] = {
+    def tag(off: Int): String =
+      if (off >= 0 && off + 4 <= bytes.length)
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    def u16(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    if (bytes.length < 16 || tag(4) != "ftyp") return None
+    // boxes in [start, end) — they must tile the span exactly
+    def boxes(start: Int, end: Int): Option[Seq[(String, Int, Int)]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var off = start
+      while (off < end) {
+        if (off + 8 > end || out.length >= 4096) return None
+        val sz = u32(off)
+        var hdr = 8
+        val size: Long =
+          if (sz == 1L) { if (off + 16 > end) return None; hdr = 16; u64(off + 8) }
+          else if (sz == 0L) (end - off).toLong // spec: box runs to end of file
+          else sz
+        if (size < hdr || off + size > end) return None
+        out += ((tag(off + 4), off + hdr, (off + size).toInt))
+        off = (off + size).toInt
+      }
+      Some(out.toSeq)
+    }
+    def child(bs: Seq[(String, Int, Int)], t: String): Option[(Int, Int)] =
+      bs.collectFirst { case (`t`, s, e) => (s, e) }
+    val top = boxes(0, bytes.length).getOrElse(return None)
+    val (moovS, moovE) = child(top, "moov").getOrElse(return None)
+    val moov = boxes(moovS, moovE).getOrElse(return None)
+    // first trak whose mdia/hdlr declares the 'vide' handler
+    val stblOpt = moov.collectFirst(Function.unlift {
+      case ("trak", ts, te) =>
+        (for {
+          trak <- boxes(ts, te)
+          (ms, me) <- child(trak, "mdia")
+          mdia <- boxes(ms, me)
+          (hs, he) <- child(mdia, "hdlr")
+          if he - hs >= 12 && tag(hs + 8) == "vide"
+          (ns, ne) <- child(mdia, "minf")
+          minf <- boxes(ns, ne)
+          (bs, be) <- child(minf, "stbl")
+          stbl <- boxes(bs, be)
+        } yield stbl)
+      case _ => None
+    })
+    val stbl = stblOpt.getOrElse(return None)
+    // stsd: exactly one sample description; coding judged by the caller
+    val (sdS, sdE) = child(stbl, "stsd").getOrElse(return None)
+    if (sdE - sdS < 16 || u32(sdS + 4) != 1L) return None
+    val entry = sdS + 8
+    val entrySize = u32(entry)
+    if (entrySize < 86 || entry + entrySize > sdE) return None
+    val coding = tag(entry + 4)
+    val w = u16(entry + 32)
+    val h = u16(entry + 34)
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    // stsz: per-sample sizes (fixed-size form honored)
+    val (szS, szE) = child(stbl, "stsz").getOrElse(return None)
+    if (szE - szS < 12) return None
+    val fixedSize = u32(szS + 4)
+    val nSamples = u32(szS + 8)
+    if (nSamples <= 0 || nSamples > 4096) return None // runaway backstop
+    val n = nSamples.toInt
+    val sizes = new Array[Long](n)
+    if (fixedSize != 0L) java.util.Arrays.fill(sizes, fixedSize)
+    else {
+      if (szE - szS < 12 + 4L * n) return None
+      var i = 0
+      while (i < n) { sizes(i) = u32(szS + 12 + 4 * i); i += 1 }
+    }
+    // stsc: sample→chunk runs
+    val (scS, scE) = child(stbl, "stsc").getOrElse(return None)
+    if (scE - scS < 8) return None
+    val nRuns = u32(scS + 4)
+    if (nRuns <= 0 || nRuns > 4096 || scE - scS < 8 + 12L * nRuns) return None
+    val runs = (0 until nRuns.toInt).map { i =>
+      (u32(scS + 8 + 12 * i), u32(scS + 8 + 12 * i + 4)) // (first_chunk, samples_per_chunk)
+    }
+    if (runs.head._1 != 1L ||
+        runs.sliding(2).exists(p => p.length == 2 && p(1)._1 <= p(0)._1) ||
+        runs.exists(_._2 <= 0L)) return None
+    // stco / co64: absolute chunk offsets
+    val chunkOffs: Array[Long] = child(stbl, "stco") match {
+      case Some((cS, cE)) =>
+        if (cE - cS < 8) return None
+        val nc = u32(cS + 4)
+        if (nc <= 0 || nc > 4096 || cE - cS < 8 + 4L * nc) return None
+        Array.tabulate(nc.toInt)(i => u32(cS + 8 + 4 * i))
+      case None =>
+        val (cS, cE) = child(stbl, "co64").getOrElse(return None)
+        if (cE - cS < 8) return None
+        val nc = u32(cS + 4)
+        if (nc <= 0 || nc > 4096 || cE - cS < 8 + 8L * nc) return None
+        Array.tabulate(nc.toInt)(i => u64(cS + 8 + 8 * i))
+    }
+    Some(Mp4Track(coding, w, h, sizes, chunkOffs, runs))
+  }
+
+  /** ISO-BMFF (MP4 / QuickTime MOV) through the decoded-video gate
+    * (r17): the [[gifFrameGrids]] contract for the ISO base-media
+    * container — (w, h, one gray frame grid per video sample) when the
+    * FIRST `vide` track's sample description is the `jpeg` coding
+    * (QuickTime Motion-JPEG: every sample an independent baseline JPEG
+    * the existing [[jpegGrayGrid]] entropy path already decodes —
+    * `mjpa`/`mjpb` field-split variants are a different bitstream and
+    * stay outside the envelope, measured by [[videoCoverage]]).
+    *
+    * The walk is the container truth, not a header sniff: top-level
+    * boxes must TILE the payload exactly (64-bit `largesize` and
+    * size-0 run-to-end honored), `moov→trak→mdia→hdlr` picks the video
+    * track, and the sample layout is reconstructed from the four stbl
+    * tables the spec makes normative — `stsd` (coding + canvas),
+    * `stsc` (sample→chunk runs, first_chunk strictly increasing from
+    * 1, last run extending), `stsz` (per-sample byte sizes), and
+    * `stco`/`co64` (absolute chunk offsets into the file — samples sit
+    * back-to-back inside a chunk). None outside the envelope: any
+    * box that overruns its parent, a `vide` track whose coding is not
+    * `jpeg`, a chunk/sample walk that disagrees with `stsz`'s count,
+    * a sample range outside the payload, a frame that fails decode or
+    * disagrees with the declared canvas — a poisoned clip yields NO
+    * hashes, never a partial lie (the [[aviFrameGrids]] discipline).
+    */
+  private[graft] def mp4FrameGrids(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+    val t = mp4VideoTrack(bytes).getOrElse(return None)
+    if (t.coding != "jpeg") return None
+    val n = t.sizes.length
+    // replay the chunk walk: samples sit back-to-back inside a chunk;
+    // the walk must consume stsz's count exactly
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    var sample = 0
+    var run = 0
+    var chunk = 1L
+    while (chunk <= t.chunkOffs.length && sample < n) {
+      while (run + 1 < t.runs.length && t.runs(run + 1)._1 <= chunk) run += 1
+      val spc = t.runs(run)._2
+      var off = t.chunkOffs(chunk.toInt - 1)
+      var s = 0L
+      while (s < spc) {
+        if (sample >= n) return None // stsc promises more samples than stsz holds
+        val size = t.sizes(sample)
+        if (off < 0 || size <= 0 || off + size > bytes.length) return None
+        val fb = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + size).toInt)
+        jpegGrayGrid(fb) match {
+          case Some((fw, fh, g)) if fw == t.w && fh == t.h => frames += g
+          case _ => return None
+        }
+        off += size
+        sample += 1
+        s += 1
+      }
+      chunk += 1
+    }
+    if (sample != n) return None // chunk walk disagrees with stsz
+    if (frames.isEmpty) None else Some((t.w, t.h, frames.toSeq))
+  }
+
+  /** Fixture/test writer for ISO-BMFF Motion-JPEG: `frames` video
+    * samples, frame f a [[makeJpeg]] fixture with seed `seed + f·17`
+    * (the [[makeAviMjpeg]] per-frame seed convention — the oracle
+    * replays the same DC-only JPEG closed form). Writes the honest
+    * minimal container: `ftyp` (brand `mp42`, or `qt  ` for the MOV
+    * form), `mdat` holding the sample bytes, and a full `moov` —
+    * mvhd, trak(tkhd, mdia(mdhd, hdlr `vide`, minf(vmhd, dinf(dref
+    * url), stbl(stsd `jpeg`, stts, stsc, stsz, stco/co64)))). Samples
+    * pack two per chunk with an odd trailing sample in its own chunk,
+    * so the stsc run table is genuinely multi-run whenever `frames` is
+    * odd — the walk must merge runs, not assume one-sample-per-chunk.
+    */
+  def makeMp4Mjpeg(w: Int, h: Int, seed: Long, frames: Int,
+                   brand: String = "mp42", co64: Boolean = false,
+                   gray: Boolean = true): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 1024 && h <= 1024 && frames >= 1 && frames <= 64,
+      s"fixture dims $w x $h x $frames")
+    val frameData = (0 until frames).map(f => makeJpeg(w, h, seed + f * 17L, gray = gray))
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def asc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(t: String, content: Array[Byte]*): Array[Byte] = {
+      val body = content.flatten.toArray
+      be32(8L + body.length) ++ asc(t) ++ body
+    }
+    val ftyp = box("ftyp", asc(brand), be32(0), asc(brand))
+    val mdat = box("mdat", frameData.flatten.toArray)
+    // absolute sample offsets: mdat content starts after ftyp + 8
+    val base = ftyp.length + 8L
+    val sampleOffs = frameData.scanLeft(base)((o, f) => o + f.length).init
+    // two samples per chunk, odd trailing sample alone → multi-run stsc
+    val fullChunks = frames / 2
+    val chunkFirstSample =
+      (0 until fullChunks).map(_ * 2) ++ (if (frames % 2 == 1) Seq(frames - 1) else Nil)
+    val chunkOffs = chunkFirstSample.map(sampleOffs(_))
+    val stscRuns: Seq[(Int, Int)] =
+      if (frames == 1) Seq((1, 1))
+      else if (frames % 2 == 0) Seq((1, 2))
+      else Seq((1, 2), (fullChunks + 1, 1))
+    val matrix = // identity 3x3 in 16.16 / 2.30 fixed point
+      be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(frames * 100L), be32(0x00010000L), be16(0x0100), be16(0),
+      be32(0), be32(0), matrix, Array.fill(24)(0.toByte), be32(2))
+    val tkhd = box("tkhd", be32(7) /* version 0, flags: enabled+in-movie+in-preview */,
+      be32(0), be32(0), be32(1), be32(0), be32(frames * 100L),
+      be32(0), be32(0), be16(0), be16(0), be16(0), be16(0), matrix,
+      be32(w.toLong << 16), be32(h.toLong << 16))
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(frames * 100L), be16(0x55c4) /* 'und' */, be16(0))
+    val hdlr = box("hdlr", be32(0), be32(0), asc("vide"),
+      Array.fill(12)(0.toByte), Array(0.toByte))
+    val vmhd = box("vmhd", be32(1), be16(0), be16(0), be16(0), be16(0))
+    val dinf = box("dinf", box("dref", be32(0), be32(1),
+      box("url ", be32(1) /* self-contained */)))
+    val sampleEntry = be32(86) ++ asc("jpeg") ++ Array.fill(6)(0.toByte) ++
+      be16(1) ++ be16(0) ++ be16(0) ++ Array.fill(12)(0.toByte) ++
+      be16(w) ++ be16(h) ++ be32(0x00480000L) ++ be32(0x00480000L) ++
+      be32(0) ++ be16(1) ++ Array.fill(32)(0.toByte) ++ be16(24) ++ be16(0xffff)
+    val stsd = box("stsd", be32(0), be32(1), sampleEntry)
+    val stts = box("stts", be32(0), be32(1), be32(frames.toLong), be32(100))
+    val stsc = box("stsc", be32(0), be32(stscRuns.length.toLong),
+      stscRuns.flatMap { case (fc, spc) => be32(fc.toLong) ++ be32(spc.toLong) ++ be32(1) }.toArray)
+    val stsz = box("stsz", be32(0), be32(0),
+      be32(frames.toLong), frameData.flatMap(f => be32(f.length.toLong)).toArray)
+    val stcoBox =
+      if (co64) box("co64", be32(0), be32(chunkOffs.length.toLong),
+        chunkOffs.flatMap(be64).toArray)
+      else box("stco", be32(0), be32(chunkOffs.length.toLong),
+        chunkOffs.flatMap(be32).toArray)
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stcoBox)
+    val minf = box("minf", vmhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** Container dispatch for the decoded-video family: animated GIF,
+    * MJPEG/DIB AVI, or ISO-BMFF Motion-JPEG (mp4/mov, r17) — all
+    * yielding the same (w, h, gray frames) contract.
     */
   private[graft] def videoFrameGrids(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] =
-    gifFrameGrids(bytes).orElse(aviFrameGrids(bytes))
+    gifFrameGrids(bytes).orElse(aviFrameGrids(bytes)).orElse(mp4FrameGrids(bytes))
 
   /** Canonical Huffman table: value lookup by (length, code). */
   private final class HuffTable(counts: Array[Int], symbols: Array[Int]) {
@@ -4487,8 +4742,9 @@ object Multimodal {
 
   /** Container-level VIDEO format sniff — classification only (the
     * [[audioFormatOf]]/[[imageFormatOf]] discipline): the decoded
-    * envelope (animated GIF, RIFF AVI) plus the common containers
-    * OUTSIDE it (ISO-BMFF mp4/mov brands, EBML webm/mkv). An AVI whose
+    * envelope (animated GIF, RIFF AVI, ISO-BMFF mp4/mov when the video
+    * coding is `jpeg` — r17) plus the containers outside it (EBML
+    * webm/mkv, ISO-BMFF carrying H.264/HEVC). An AVI whose
     * video stream is not MJPG still sniffs 'avi' — coverage then shows
     * it un-framed, which is the boundary the measurement exposes.
     */

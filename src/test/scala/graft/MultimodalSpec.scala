@@ -1638,6 +1638,103 @@ class MultimodalSpec extends SparkTestBase {
       ("gif", 1L, 1L), ("mp4", 1L, 0L)))
   }
 
+  test("mp4FrameGrids: ISO-BMFF Motion-JPEG frames hash identically to their JPEG twins") {
+    val seed = 7L
+    val mp4 = Multimodal.makeMp4Mjpeg(64, 64, seed, 3)
+    import spark.implicits._
+    val hashes = Multimodal.videoFrameHashes(
+        spark, Seq((1L, mp4)).toDF("doc_id", "payload"))
+      .orderBy("frame_idx").as[(Long, Long, Long)].collect().toSeq
+    assert(hashes.map(_._2) === Seq(0L, 1L, 2L))
+    // every sample is a complete baseline JPEG: frame hash == image hash
+    // of the identical standalone fixture (the makeAviMjpeg invariant)
+    for (f <- 0 until 3)
+      assert(hashes(f)._3 ===
+        Multimodal.imageAHash(Multimodal.makeJpeg(64, 64, seed + f * 17L, gray = true)).get,
+        s"frame $f must ride the same JPEG decode as the image path")
+    // identical frames across CONTAINERS: the mp4 and the avi of the
+    // same seed are the same clip to the hash tier
+    val avi = Multimodal.makeAviMjpeg(64, 64, seed, 3)
+    assert(Multimodal.mp4FrameGrids(mp4).get._3.map(_.toSeq) ===
+      Multimodal.aviFrameGrids(avi).get._3.map(_.toSeq))
+    // spectral key decodes the same container; color frames too
+    assert(Multimodal.videoFramePHashes(
+      spark, Seq((1L, mp4)).toDF("doc_id", "payload")).count() === 3)
+    assert(Multimodal.mp4FrameGrids(
+      Multimodal.makeMp4Mjpeg(16, 16, 3L, 2, gray = false)).get._3.size === 2)
+  }
+
+  test("mp4FrameGrids: sample-table geometry — multi-run stsc, co64, qt brand, 1 frame") {
+    // odd frame count → two stsc runs (2-per-chunk + trailing 1): the
+    // walk must merge runs, not assume one sample per chunk
+    val odd = Multimodal.makeMp4Mjpeg(16, 16, 5L, 5)
+    assert(Multimodal.mp4FrameGrids(odd).get._3.size === 5)
+    // 64-bit chunk offsets take the co64 path, same frames
+    val wide = Multimodal.makeMp4Mjpeg(16, 16, 5L, 5, co64 = true)
+    assert(Multimodal.mp4FrameGrids(wide).get._3.map(_.toSeq) ===
+      Multimodal.mp4FrameGrids(odd).get._3.map(_.toSeq))
+    // QuickTime brand sniffs mov and decodes identically
+    val mov = Multimodal.makeMp4Mjpeg(16, 16, 5L, 5, brand = "qt  ")
+    assert(Multimodal.videoFormatOf(mov) === "mov")
+    assert(Multimodal.videoFormatOf(odd) === "mp4")
+    assert(Multimodal.mp4FrameGrids(mov).get._3.map(_.toSeq) ===
+      Multimodal.mp4FrameGrids(odd).get._3.map(_.toSeq))
+    // single frame = single chunk, single run: exactly its image hash
+    val one = Multimodal.makeMp4Mjpeg(16, 16, 9L, 1)
+    assert(Multimodal.mp4FrameGrids(one).get._3.size === 1)
+  }
+
+  test("mp4FrameGrids: container robustness — rejects never guess") {
+    val good = Multimodal.makeMp4Mjpeg(16, 16, 3L, 2)
+    // truncated moov (boxes must tile; the last box overruns)
+    assert(Multimodal.mp4FrameGrids(good.dropRight(20)).isEmpty)
+    // trailing garbage after the last top-level box
+    assert(Multimodal.mp4FrameGrids(good ++ Array[Byte](1, 2, 3)).isEmpty)
+    // a non-jpeg video coding (the real-world H.264 case) is sniffable
+    // but OUTSIDE the decode envelope — flip the stsd entry fourcc
+    val avc = good.clone()
+    val sdAt = { // LAST occurrence: moov trails mdat, entropy bytes can't alias it
+      var i = -1
+      for (k <- 0 until avc.length - 4)
+        if (avc(k) == 'j' && avc(k + 1) == 'p' &&
+            avc(k + 2) == 'e' && avc(k + 3) == 'g') i = k
+      i
+    }
+    assert(sdAt > 0)
+    "avc1".getBytes("US-ASCII").copyToArray(avc, sdAt)
+    assert(Multimodal.mp4FrameGrids(avc).isEmpty)
+    assert(Multimodal.videoFormatOf(avc) === "mp4") // sniffed, unframed
+    // a chunk offset pointing past EOF must poison, not crash
+    val badOff = good.clone()
+    val stcoAt = { // LAST occurrence (same aliasing argument)
+      var i = -1
+      for (k <- 0 until badOff.length - 4)
+        if (badOff(k) == 's' && badOff(k + 1) == 't' &&
+            badOff(k + 2) == 'c' && badOff(k + 3) == 'o') i = k
+      i
+    }
+    assert(stcoAt > 0)
+    // first chunk offset: stco content = verflags(4) count(4) offs
+    badOff(stcoAt + 4 + 8) = 0x7f
+    assert(Multimodal.mp4FrameGrids(badOff).isEmpty)
+    // a corrupted SAMPLE (not container): flip a byte inside frame 0's
+    // entropy data — the JPEG decode fails, the CLIP poisons
+    val badFrame = good.clone()
+    val mdatAt = {
+      var i = -1
+      for (k <- 0 until badFrame.length - 4)
+        if (i < 0 && badFrame(k) == 'm' && badFrame(k + 1) == 'd' &&
+            badFrame(k + 2) == 'a' && badFrame(k + 3) == 't') i = k
+      i
+    }
+    assert(mdatAt > 0)
+    badFrame(mdatAt + 4 + 2) = 0x00 // clobber SOI of sample 0
+    assert(Multimodal.mp4FrameGrids(badFrame).isEmpty)
+    // not ISO-BMFF at all
+    assert(Multimodal.mp4FrameGrids(Multimodal.makeWav(100, 1, 8000, 1L)).isEmpty)
+    assert(Multimodal.mp4FrameGrids(Array.fill(32)(0.toByte)).isEmpty)
+  }
+
   test("imageFormatOf/imageCoverage: the measured image boundary per corpus") {
     import spark.implicits._
     assert(Multimodal.imageFormatOf(Multimodal.makeBmp(4, 4, 1)) === "bmp")
