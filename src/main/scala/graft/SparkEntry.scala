@@ -5223,6 +5223,92 @@ object SparkEntry {
                     GROUP BY fm.format)
             SELECT format, n_docs, n_framed FROM agg ORDER BY format"""))
 
+  /** HEADER-ONLY media metadata ([[graft.multimodal.Multimodal
+    * .mediaMeta]] — r17): the pre-filter pass a training pipeline runs
+    * before committing decode work — resolution / frame counts /
+    * sample rates from container headers alone, one peek per payload,
+    * nothing decoded. Ten fixture classes spanning all three kinds:
+    * WAV/AU/AIFF (closed-form rates, channels, sample counts), MP3 and
+    * ADTS-AAC (frame-header walks over formats the decode envelope
+    * correctly refuses — metadata is still real there), PNG/JPEG dims,
+    * animated GIF (kind flips image→video at 2 frames), Motion-JPEG
+    * MP4 (sample-table frame count), and junk. The oracle replays
+    * every field of every class from the fixture arithmetic — a
+    * mis-parsed header anywhere lands a wrong number somewhere.
+    */
+  private val qMediaMeta = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 500)
+        .map { id =>
+          val bytes = (id % 10) match {
+            case 0 => graft.multimodal.Multimodal.makeWav(
+              400 + (id % 5).toInt, 1 + (id % 2).toInt, 8000, id)
+            case 1 => graft.multimodal.Multimodal.makeAu(
+              300 + (id % 7).toInt, 8000 + (id % 3).toInt * 4000, id, muLaw = id % 2 == 0)
+            case 2 => graft.multimodal.Multimodal.makeAiff(
+              200 + (id % 5).toInt, 1 + (id % 3).toInt, 11025, id)
+            case 3 => graft.multimodal.Multimodal.makeMp3Frames(
+              3 + (id % 4).toInt, (id % 3).toInt, 1 + (id % 14).toInt,
+              mono = id % 2 == 0, id, id3Size = if (id % 2 == 0) 48 else 0)
+            case 4 => graft.multimodal.Multimodal.makeAdtsFrames(
+              2 + (id % 3).toInt, 3 + (id % 3).toInt, 1 + (id % 2).toInt, 20, id)
+            case 5 => graft.multimodal.Multimodal.makePng(
+              4 + (id % 5).toInt, 3 + (id % 4).toInt, id)
+            case 6 => graft.multimodal.Multimodal.makeJpeg(
+              8 * (1 + (id % 3).toInt), 8 * (1 + (id % 2).toInt), id)
+            case 7 => graft.multimodal.Multimodal.makeGifAnimated(
+              10 + (id % 4).toInt, 7, id, 1 + (id % 3).toInt)
+            case 8 => graft.multimodal.Multimodal.makeMp4Mjpeg(
+              16, 16, id, 2 + (id % 3).toInt)
+            case _ => Array.fill(16)(3.toByte)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.mediaMeta(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 10 AS k FROM documents WHERE doc_id < 500)
+            SELECT doc_id,
+              CASE WHEN k <= 4 THEN 'audio'
+                   WHEN k IN (5, 6) THEN 'image'
+                   WHEN k = 7 THEN CASE WHEN doc_id % 3 >= 1 THEN 'video' ELSE 'image' END
+                   WHEN k = 8 THEN 'video' ELSE 'unknown' END AS kind,
+              CASE k WHEN 0 THEN 'wav_pcm16' WHEN 1 THEN 'au' WHEN 2 THEN 'aiff'
+                     WHEN 3 THEN 'mp3' WHEN 4 THEN 'aac_adts' WHEN 5 THEN 'png'
+                     WHEN 6 THEN 'jpeg' WHEN 7 THEN 'gif' WHEN 8 THEN 'mp4'
+                     ELSE 'unknown' END AS format,
+              CAST(CASE WHEN k = 5 THEN 4 + doc_id % 5
+                        WHEN k = 6 THEN 8 * (1 + doc_id % 3)
+                        WHEN k = 7 THEN 10 + doc_id % 4
+                        WHEN k = 8 THEN 16 END AS INTEGER) AS width,
+              CAST(CASE WHEN k = 5 THEN 3 + doc_id % 4
+                        WHEN k = 6 THEN 8 * (1 + doc_id % 2)
+                        WHEN k = 7 THEN 7
+                        WHEN k = 8 THEN 16 END AS INTEGER) AS height,
+              CAST(CASE WHEN k = 7 THEN 1 + doc_id % 3
+                        WHEN k = 8 THEN 2 + doc_id % 3 END AS BIGINT) AS n_frames,
+              CAST(CASE WHEN k = 0 THEN 8000
+                        WHEN k = 1 THEN 8000 + (doc_id % 3) * 4000
+                        WHEN k = 2 THEN 11025
+                        WHEN k = 3 THEN CASE doc_id % 3 WHEN 0 THEN 44100
+                                             WHEN 1 THEN 48000 ELSE 32000 END
+                        WHEN k = 4 THEN CASE doc_id % 3 WHEN 0 THEN 48000
+                                             WHEN 1 THEN 44100 ELSE 32000 END
+                        END AS INTEGER) AS sample_rate,
+              CAST(CASE WHEN k = 0 THEN 1 + doc_id % 2
+                        WHEN k = 1 THEN 1
+                        WHEN k = 2 THEN 1 + doc_id % 3
+                        WHEN k = 3 THEN CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
+                        WHEN k = 4 THEN 1 + doc_id % 2 END AS INTEGER) AS channels,
+              CAST(CASE WHEN k = 0 THEN 400 + doc_id % 5
+                        WHEN k = 1 THEN 300 + doc_id % 7
+                        WHEN k = 2 THEN 200 + doc_id % 5
+                        WHEN k = 3 THEN (3 + doc_id % 4) * 1152
+                        WHEN k = 4 THEN (2 + doc_id % 3) * 1024 END AS BIGINT) AS n_samples
+            FROM d ORDER BY doc_id"""))
+
   /** Perceptual image hashing over JPEG payloads ([[graft.multimodal
     * .Multimodal.imageAHashes]] through the REAL entropy path): 64×64
     * grayscale DC-only JPEGs — baseline (even ids) and PROGRESSIVE
@@ -10257,6 +10343,7 @@ object SparkEntry {
     "q_video_mp4" -> qVideoMp4,
     "q_video_mixed_neardup" -> qVideoMixedNearDup,
     "q_video_coverage" -> qVideoCoverage,
+    "q_media_meta" -> qMediaMeta,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_ahash_tiff" -> qImageAHashTiff,
     "q_image_ahash_tiff_c" -> qImageAHashTiffC,

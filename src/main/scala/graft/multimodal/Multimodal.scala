@@ -4804,6 +4804,511 @@ object Multimodal {
       .agg(count(lit(1)).as("n_docs"), sum(col("h")).as("n_hashed"))
   }
 
+  // ================= header-only media metadata (r17) =================
+  // The pre-filter pass a 100 TB pipeline runs BEFORE committing decode
+  // work: resolution / duration / channel facts from container headers
+  // alone — no entropy decode, no pixel or sample materialization — so
+  // one cheap scan stage can prune by canvas size, frame count or
+  // sample rate ahead of the expensive hash tiers. Deliberately WIDER
+  // than the decode envelope: an H.264 MP4 or an MP3 yields no frame
+  // grids or fingerprints, but its header metadata is still real and
+  // still filters.
+
+  /** One media payload's header facts. Fields are None where the
+    * format has no such concept (audio has no canvas, stills no frame
+    * count) or where the header genuinely doesn't say (ADPCM sample
+    * counts need block math, EBML needs a full parse).
+    */
+  final case class MediaMetaRow(doc_id: Long, kind: String, format: String,
+      width: Option[Int], height: Option[Int], n_frames: Option[Long],
+      sample_rate: Option[Int], channels: Option[Int], n_samples: Option[Long])
+
+  private def pngDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 24 || !bytes.startsWith(PngSig)) return None
+    if (new String(bytes, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) != "IHDR")
+      return None
+    val w = be32(bytes, 16); val h = be32(bytes, 20)
+    if (w <= 0 || h <= 0) None else Some((w, h))
+  }
+
+  private def bmpDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 26 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val w = le32(bytes, 18); val h = math.abs(le32(bytes, 22))
+    if (w <= 0 || h <= 0) None else Some((w, h))
+  }
+
+  private def jpegDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      if ((bytes(off) & 0xff) != 0xff) return None
+      val m = bytes(off + 1) & 0xff
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { off += 2 }
+      else if (m == 0xda || m == 0xd9) return None // scan/EOI before any SOF
+      else {
+        val segLen = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        if (segLen < 2) return None
+        val sof = (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (sof) {
+          if (off + 9 > bytes.length) return None
+          val h = ((bytes(off + 5) & 0xff) << 8) | (bytes(off + 6) & 0xff)
+          val w = ((bytes(off + 7) & 0xff) << 8) | (bytes(off + 8) & 0xff)
+          return if (w <= 0 || h <= 0) None else Some((w, h))
+        }
+        off += 2 + segLen
+      }
+    }
+    None
+  }
+
+  private def tiffDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 8) return None
+    val le = bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte
+    val be = bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte
+    if (!le && !be) return None
+    def u16(off: Int): Int =
+      if (le) le16(bytes, off) else ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    def u32(off: Int): Long =
+      if (le) le32(bytes, off) & 0xffffffffL else be32(bytes, off) & 0xffffffffL
+    if (u16(2) != 42) return None
+    val ifd = u32(4)
+    if (ifd < 8 || ifd + 2 > bytes.length) return None
+    val n = u16(ifd.toInt)
+    if (ifd + 2 + 12L * n > bytes.length) return None
+    var w = -1L; var h = -1L
+    for (i <- 0 until n) {
+      val e = ifd.toInt + 2 + 12 * i
+      val tag = u16(e); val typ = u16(e + 2)
+      val v: Long =
+        if (typ == 3) u16(e + 8).toLong else if (typ == 4) u32(e + 8) else -1L
+      if (tag == 256) w = v else if (tag == 257) h = v
+    }
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) None
+    else Some((w.toInt, h.toInt))
+  }
+
+  /** WebP canvas dims from whichever header form the file leads with —
+    * VP8X (extended canvas), VP8L (lossless, 14-bit packed dims) or
+    * VP8 (lossy key-frame header) — none of which needs the bitstream
+    * decoded. The one place the metadata pass sees INSIDE a format the
+    * hash tier can't. */
+  private def webpDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def tag(off: Int): String =
+      if (off + 4 <= bytes.length)
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (bytes.length < 30 || tag(0) != "RIFF" || tag(8) != "WEBP") return None
+    def u24(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+      ((bytes(off + 2) & 0xff) << 16)
+    tag(12) match {
+      case "VP8X" =>
+        Some((1 + u24(24), 1 + u24(27)))
+      case "VP8L" if (bytes(20) & 0xff) == 0x2f =>
+        val w = 1 + ((bytes(21) & 0xff) | ((bytes(22) & 0x3f) << 8))
+        val h = 1 + (((bytes(22) & 0xc0) >>> 6) | ((bytes(23) & 0xff) << 2) |
+          ((bytes(24) & 0x0f) << 10))
+        Some((w, h))
+      case "VP8 " if bytes.length >= 30 && (bytes(23) & 0xff) == 0x9d &&
+          (bytes(24) & 0xff) == 0x01 && (bytes(25) & 0xff) == 0x2a =>
+        Some((le16(bytes, 26) & 0x3fff, le16(bytes, 28) & 0x3fff))
+      case _ => None
+    }
+  }
+
+  /** GIF logical screen + image-descriptor count by LENGTH-walking the
+    * block structure (sub-block sizes, color-table flags) — the LZW
+    * streams are skipped, never decoded. (w, h, n_frames); None only
+    * for a malformed walk, so a zero-frame GIF reports honestly.
+    */
+  private def gifMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes.length < 14) return None
+    val w = le16(bytes, 6); val h = le16(bytes, 8)
+    if (w <= 0 || h <= 0) return None
+    var off = 13
+    val gctFlag = (bytes(10) & 0x80) != 0
+    if (gctFlag) off += 3 << ((bytes(10) & 7) + 1)
+    var frames = 0L
+    def skipSubBlocks(): Boolean = {
+      while (off < bytes.length && bytes(off) != 0) {
+        off += 1 + (bytes(off) & 0xff)
+      }
+      if (off >= bytes.length) false else { off += 1; true }
+    }
+    while (off < bytes.length) {
+      (bytes(off) & 0xff) match {
+        case 0x3b => return Some((w, h, frames))
+        case 0x21 =>
+          off += 2
+          if (!skipSubBlocks()) return None
+        case 0x2c =>
+          if (off + 10 > bytes.length) return None
+          val lf = bytes(off + 9)
+          off += 10
+          if ((lf & 0x80) != 0) off += 3 << ((lf & 7) + 1)
+          off += 1 // LZW minimum code size
+          if (off > bytes.length) return None
+          if (!skipSubBlocks()) return None
+          frames += 1
+          if (frames > 4096) return None
+        case _ => return None
+      }
+    }
+    Some((w, h, frames)) // missing trailer: tolerated at META level
+  }
+
+  /** AVI header facts from hdrl alone — avih canvas + dwTotalFrames;
+    * the movi list is never touched. */
+  private def aviMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    def tag(off: Int): String =
+      if (off + 4 <= bytes.length)
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (bytes.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    val riffEnd = math.min(bytes.length.toLong,
+      12L + (le32(bytes, 4) & 0xffffffffL) - 4L).toInt
+    var off = 12
+    while (off + 8 <= riffEnd) {
+      val ck = tag(off)
+      val size = le32(bytes, off + 4)
+      if (size < 0 || off + 8 + size.toLong > riffEnd) return None
+      if (ck == "LIST" && size >= 4 && tag(off + 8) == "hdrl") {
+        val end = off + 8 + size
+        var p = off + 12
+        while (p + 8 <= end) {
+          val sck = tag(p)
+          val ssz = le32(bytes, p + 4)
+          if (ssz < 0 || p + 8 + ssz.toLong > end) return None
+          if (sck == "avih" && ssz >= 40) {
+            val frames = le32(bytes, p + 8 + 16) & 0xffffffffL
+            val w = le32(bytes, p + 8 + 32)
+            val h = le32(bytes, p + 8 + 36)
+            return if (w <= 0 || h <= 0) None else Some((w, h, frames))
+          }
+          p += 8 + ssz + (ssz & 1)
+        }
+        return None
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  /** FLAC STREAMINFO peek: (sample_rate, channels, total_samples). */
+  private def flacMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    if (bytes.length < 42) return None
+    if (!(bytes(0) == 'f'.toByte && bytes(1) == 'L'.toByte &&
+          bytes(2) == 'a'.toByte && bytes(3) == 'C'.toByte)) return None
+    if ((bytes(4) & 0x7f) != 0) return None // first block must be STREAMINFO
+    val rate = ((bytes(18) & 0xff) << 12) | ((bytes(19) & 0xff) << 4) |
+      ((bytes(20) & 0xff) >>> 4)
+    val ch = ((bytes(20) >>> 1) & 7) + 1
+    val total = ((bytes(21) & 0x0fL) << 32) | (be32(bytes, 22) & 0xffffffffL)
+    if (rate <= 0) None else Some((rate, ch, total))
+  }
+
+  /** AU header peek: (sample_rate, channels, n_samples per channel —
+    * None for encodings whose unit size the header doesn't fix). */
+  private def auMeta(bytes: Array[Byte]): Option[(Int, Int, Option[Long])] = {
+    if (bytes.length < 24) return None
+    def u32(off: Int): Long = be32(bytes, off) & 0xffffffffL
+    val dataOff = u32(4); val dataSize = u32(8)
+    val enc = u32(12); val rate = u32(16); val ch = u32(20)
+    if (dataOff < 24 || rate <= 0 || ch < 1) return None
+    val avail = math.max(0L, bytes.length - dataOff)
+    val dataLen =
+      if (dataSize == 0xffffffffL) avail else math.min(dataSize, avail)
+    val unit: Option[Long] = enc match {
+      case 1L | 2L => Some(1L) // mu-law, 8-bit linear
+      case 3L => Some(2L)      // 16-bit linear
+      case 4L => Some(3L)      // 24-bit linear
+      case 5L => Some(4L)      // 32-bit linear
+      case _ => None
+    }
+    Some((rate.toInt, ch.toInt, unit.map(u => dataLen / u / ch)))
+  }
+
+  /** AIFF/AIFC COMM peek: (sample_rate from the 80-bit extended field,
+    * channels, declared sample frames). Works for AIFC too — the
+    * compressed form's header facts are real even though its samples
+    * stay outside the decode envelope. */
+  private def aiffMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+    def tag(off: Int): String =
+      if (off + 4 <= bytes.length)
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    if (bytes.length < 12 || tag(0) != "FORM") return None
+    val form = tag(8)
+    if (form != "AIFF" && form != "AIFC") return None
+    val formEnd = math.min(bytes.length.toLong, 8L + be32(bytes, 4)).toInt
+    var off = 12
+    while (off + 8 <= formEnd) {
+      val ck = tag(off)
+      val size = be32(bytes, off + 4)
+      if (size < 0 || off + 8 + size.toLong > formEnd) return None
+      if (ck == "COMM" && size >= 18) {
+        val ch = ((bytes(off + 8) & 0xff) << 8) | (bytes(off + 9) & 0xff)
+        val nFrames = be32(bytes, off + 10) & 0xffffffffL
+        // 80-bit IEEE extended at +16: 15-bit exponent, 64-bit mantissa
+        val e = (((bytes(off + 16) & 0x7f) << 8) | (bytes(off + 17) & 0xff)) - 16383
+        var mant = 0L
+        for (i <- 0 until 8) mant = (mant << 8) | (bytes(off + 18 + i) & 0xffL)
+        val shift = 63 - e
+        if (ch < 1 || shift < 0 || shift > 63) return None
+        val rate = (mant >>> shift).toInt
+        return if (rate <= 0) None else Some((rate, ch, nFrames))
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  // MPEG audio frame-header tables — published canonical constants of
+  // the header FORMAT (the same class as the G.711/ADPCM laws), not the
+  // codec's Huffman/synthesis tables; parsing headers is not decoding.
+  private val Mp3BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3RateV1 = Array(44100, 48000, 32000)
+
+  /** MPEG-audio header peek: (sample_rate, channels, n_samples —
+    * the last from WALKING Layer-III frame lengths; Layers I/II report
+    * rate/channels only). Skips a leading ID3v2 tag (syncsafe size),
+    * then requires a sync within the next 4 KiB. */
+  private def mp3Meta(bytes: Array[Byte]): Option[(Int, Int, Option[Long])] = {
+    var off = 0
+    if (bytes.length >= 10 && bytes(0) == 'I'.toByte && bytes(1) == 'D'.toByte &&
+        bytes(2) == '3'.toByte) {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      off = 10 + size
+    }
+    val scanEnd = math.min(bytes.length - 4L, off + 4096L).toInt
+    var sync = -1
+    var p = math.max(off, 0)
+    while (sync < 0 && p <= scanEnd) {
+      if ((bytes(p) & 0xff) == 0xff && (bytes(p + 1) & 0xe0) == 0xe0 &&
+          ((bytes(p + 1) >>> 3) & 3) != 1 && ((bytes(p + 1) >>> 1) & 3) != 0) sync = p
+      p += 1
+    }
+    if (sync < 0) return None
+    val vBits = (bytes(sync + 1) >>> 3) & 3   // 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    val layer = (bytes(sync + 1) >>> 1) & 3   // 1=III, 2=II, 3=I
+    val rateIdx = (bytes(sync + 2) >>> 2) & 3
+    if (rateIdx == 3) return None
+    val rate = vBits match {
+      case 3 => Mp3RateV1(rateIdx)
+      case 2 => Mp3RateV1(rateIdx) / 2
+      case _ => Mp3RateV1(rateIdx) / 4
+    }
+    val channels = if (((bytes(sync + 3) >>> 6) & 3) == 3) 1 else 2
+    if (layer != 1) return Some((rate, channels, None)) // I/II: no frame walk
+    val spf = if (vBits == 3) 1152L else 576L
+    val brTable = if (vBits == 3) Mp3BitrateV1L3 else Mp3BitrateV2L3
+    val flenNum = if (vBits == 3) 144 else 72
+    var frames = 0L
+    var q = sync
+    var ok = true
+    while (ok && q + 4 <= bytes.length && frames < (1L << 20)) {
+      val sameSync = (bytes(q) & 0xff) == 0xff &&
+        (bytes(q + 1) & 0xff) == (bytes(sync + 1) & 0xff)
+      if (!sameSync) ok = false
+      else {
+        val brIdx = (bytes(q + 2) >>> 4) & 0xf
+        val rIdx = (bytes(q + 2) >>> 2) & 3
+        val pad = (bytes(q + 2) >>> 1) & 1
+        if (brIdx == 0 || brIdx == 15 || rIdx != rateIdx) ok = false // free-format/bad
+        else {
+          val flen = flenNum * brTable(brIdx) * 1000 / rate + pad
+          if (flen <= 4) ok = false else { q += flen; frames += 1 }
+        }
+      }
+    }
+    Some((rate, channels, if (frames > 0) Some(frames * spf) else None))
+  }
+
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350, 0, 0, 0)
+
+  /** ADTS AAC header peek: (sample_rate, channels, n_samples from the
+    * frame-length walk × 1024). Channel config 0 (in-band PCE) yields
+    * None channels. */
+  private def aacMeta(bytes: Array[Byte]): Option[(Int, Option[Int], Option[Long])] = {
+    if (bytes.length < 7 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xf6) != 0xf0)
+      return None
+    val rateIdx = (bytes(2) >>> 2) & 0xf
+    val rate = AdtsRates(rateIdx)
+    if (rate <= 0) return None
+    val chanCfg = ((bytes(2) & 1) << 2) | ((bytes(3) >>> 6) & 3)
+    var frames = 0L
+    var q = 0
+    var ok = true
+    while (ok && q + 7 <= bytes.length && frames < (1L << 20)) {
+      if ((bytes(q) & 0xff) != 0xff || (bytes(q + 1) & 0xf6) != 0xf0) ok = false
+      else {
+        val flen = ((bytes(q + 3) & 3) << 11) | ((bytes(q + 4) & 0xff) << 3) |
+          ((bytes(q + 5) >>> 5) & 7)
+        if (flen < 7) ok = false else { q += flen; frames += 1 }
+      }
+    }
+    Some((rate, if (chanCfg == 0) None else Some(chanCfg),
+      if (frames > 0) Some(frames * 1024L) else None))
+  }
+
+  /** The header-only metadata row for one payload — the dispatch across
+    * every sniffable class. A GIF is `video` when it carries 2+ frames,
+    * `image` otherwise; an ISO-BMFF file reports its first video
+    * track's coding-agnostic facts (an H.264 MP4 gets real dims and a
+    * frame count here even though the decode envelope excludes it).
+    */
+  private[graft] def metaOf(id: Long, bytes: Array[Byte]): MediaMetaRow = {
+    def none = MediaMetaRow(id, "unknown", "unknown",
+      None, None, None, None, None, None)
+    val af = audioFormatOf(bytes)
+    if (af != "unknown") {
+      val (rate, ch, n): (Option[Int], Option[Int], Option[Long]) = af match {
+        case a if a.startsWith("wav") =>
+          wavAnyHeader(bytes) match {
+            case Some((tagId, c, r, _, blockAlign, _, dataLen)) =>
+              val ns = tagId match {
+                case 1 if blockAlign > 0 => Some(dataLen.toLong / blockAlign)
+                case 6 | 7 if c > 0 => Some(dataLen.toLong / c)
+                case _ => None // ADPCM frame counts need block math
+              }
+              (Some(r), Some(c), ns)
+            case None => (None, None, None)
+          }
+        case "flac" => flacMeta(bytes) match {
+          case Some((r, c, t)) => (Some(r), Some(c), Some(t))
+          case None => (None, None, None)
+        }
+        case "au" => auMeta(bytes) match {
+          case Some((r, c, n0)) => (Some(r), Some(c), n0)
+          case None => (None, None, None)
+        }
+        case "aiff" | "aifc" => aiffMeta(bytes) match {
+          case Some((r, c, f)) => (Some(r), Some(c), Some(f))
+          case None => (None, None, None)
+        }
+        case "mp3" | "mpeg_audio" => mp3Meta(bytes) match {
+          case Some((r, c, n0)) => (Some(r), Some(c), n0)
+          case None => (None, None, None)
+        }
+        case "aac_adts" => aacMeta(bytes) match {
+          case Some((r, c, n0)) => (Some(r), c, n0)
+          case None => (None, None, None)
+        }
+        case _ => (None, None, None) // ogg: page walk out of scope
+      }
+      return MediaMetaRow(id, "audio", af, None, None, None, rate, ch, n)
+    }
+    videoFormatOf(bytes) match {
+      case "avi" =>
+        val m = aviMeta(bytes)
+        return MediaMetaRow(id, "video", "avi",
+          m.map(_._1), m.map(_._2), m.map(_._3), None, None, None)
+      case f @ ("mp4" | "mov" | "isobmff") =>
+        val t = mp4VideoTrack(bytes)
+        return MediaMetaRow(id, "video", f,
+          t.map(_.w), t.map(_.h), t.map(_.sizes.length.toLong),
+          None, None, None)
+      case "ebml" =>
+        return MediaMetaRow(id, "video", "ebml", None, None, None, None, None, None)
+      case _ => ()
+    }
+    imageFormatOf(bytes) match {
+      case "gif" =>
+        gifMeta(bytes) match {
+          case Some((w, h, f)) =>
+            MediaMetaRow(id, if (f >= 2) "video" else "image", "gif",
+              Some(w), Some(h), Some(f), None, None, None)
+          case None => MediaMetaRow(id, "image", "gif",
+            None, None, None, None, None, None)
+        }
+      case f @ ("bmp" | "png" | "jpeg" | "tiff" | "webp") =>
+        val d = f match {
+          case "bmp" => bmpDims(bytes)
+          case "png" => pngDims(bytes)
+          case "jpeg" => jpegDims(bytes)
+          case "tiff" => tiffDims(bytes)
+          case _ => webpDims(bytes)
+        }
+        MediaMetaRow(id, "image", f, d.map(_._1), d.map(_._2),
+          None, None, None, None)
+      case f @ ("avif" | "heic") => // meta-box dims walk: out of scope
+        MediaMetaRow(id, "image", f, None, None, None, None, None, None)
+      case _ => none
+    }
+  }
+
+  /** (doc_id, kind, format, width, height, n_frames, sample_rate,
+    * channels, n_samples) over a binary column — one header peek per
+    * payload, one scan stage, nothing decoded. The pruning pass that
+    * runs BEFORE extractFeatures / the hash tiers at scale.
+    */
+  def mediaMeta(spark: SparkSession, df: DataFrame,
+                idCol: String = "doc_id",
+                payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) => metaOf(id, bytes) })
+      .toDF()
+  }
+
+  /** Fixture/test writer for MPEG-1 Layer III frame SEQUENCES — valid
+    * frame headers with deterministic filler payloads (the metadata
+    * walk never reads past the header, and the decode tier correctly
+    * refuses the format). Optional leading ID3v2 tag of `id3Size`
+    * payload bytes exercises the syncsafe skip.
+    */
+  def makeMp3Frames(nFrames: Int, rateIdx: Int, bitrateIdx: Int,
+                    mono: Boolean, seed: Long, id3Size: Int = 0): Array[Byte] = {
+    require(nFrames >= 1 && nFrames <= 4096 && rateIdx >= 0 && rateIdx <= 2 &&
+      bitrateIdx >= 1 && bitrateIdx <= 14 && id3Size >= 0 && id3Size <= (1 << 20),
+      s"fixture shape $nFrames frames rate=$rateIdx br=$bitrateIdx")
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Size > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0) // v2.3, no flags
+      out.write((id3Size >> 21) & 0x7f); out.write((id3Size >> 14) & 0x7f)
+      out.write((id3Size >> 7) & 0x7f); out.write(id3Size & 0x7f)
+      for (i <- 0 until id3Size) out.write(((seed + i) % 251).toInt)
+    }
+    val rate = Mp3RateV1(rateIdx)
+    val flen = 144 * Mp3BitrateV1L3(bitrateIdx) * 1000 / rate // pad bit 0
+    for (f <- 0 until nFrames) {
+      out.write(0xff); out.write(0xfb) // MPEG1 Layer III, no CRC
+      out.write((bitrateIdx << 4) | (rateIdx << 2))
+      out.write(if (mono) 0xc0 else 0x00)
+      for (i <- 4 until flen) out.write(((seed + f * 31L + i) % 251).toInt)
+    }
+    out.toByteArray
+  }
+
+  /** Fixture/test writer for ADTS AAC frame sequences — valid 7-byte
+    * headers + filler payloads (header walk only, like
+    * [[makeMp3Frames]]). */
+  def makeAdtsFrames(nFrames: Int, rateIdx: Int, chanCfg: Int,
+                     payloadLen: Int, seed: Long): Array[Byte] = {
+    require(nFrames >= 1 && nFrames <= 4096 && rateIdx >= 0 && rateIdx <= 11 &&
+      chanCfg >= 1 && chanCfg <= 7 && payloadLen >= 1 && payloadLen <= 8192,
+      s"fixture shape $nFrames frames rate=$rateIdx ch=$chanCfg")
+    val flen = 7 + payloadLen
+    val out = new java.io.ByteArrayOutputStream()
+    for (f <- 0 until nFrames) {
+      out.write(0xff); out.write(0xf1) // MPEG-4, layer 0, no CRC
+      out.write((1 << 6) | (rateIdx << 2) | ((chanCfg >> 2) & 1)) // AAC-LC
+      out.write(((chanCfg & 3) << 6) | ((flen >> 11) & 3))
+      out.write((flen >> 3) & 0xff)
+      out.write(((flen & 7) << 5) | 0x1f)
+      out.write(0xfc)
+      for (i <- 0 until payloadLen) out.write(((seed + f * 17L + i) % 251).toInt)
+    }
+    out.toByteArray
+  }
+
   /** Decode/feature-extract over the binary column. `mapPartitions` is the
     * deliberate shape: per-task decoder init happens once, rows stream
     * through without materializing the partition, and the output is a

@@ -1735,6 +1735,122 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.mp4FrameGrids(Array.fill(32)(0.toByte)).isEmpty)
   }
 
+  test("metaOf: audio headers — wav/au/aiff/flac/mp3/aac facts without decoding") {
+    def m(b: Array[Byte]) = Multimodal.metaOf(1L, b)
+    val wav = m(Multimodal.makeWav(402, 2, 8000, 5L))
+    assert(wav.kind === "audio" && wav.format === "wav_pcm16")
+    assert(wav.sample_rate === Some(8000) && wav.channels === Some(2) &&
+      wav.n_samples === Some(402L) && wav.width.isEmpty)
+    val au = m(Multimodal.makeAu(303, 12000, 5L, muLaw = true))
+    assert(au.format === "au" && au.sample_rate === Some(12000) &&
+      au.channels === Some(1) && au.n_samples === Some(303L))
+    val au16 = m(Multimodal.makeAu(303, 12000, 5L, muLaw = false))
+    assert(au16.n_samples === Some(303L))
+    val aiff = m(Multimodal.makeAiff(204, 3, 11025, 5L))
+    assert(aiff.format === "aiff" && aiff.sample_rate === Some(11025) &&
+      aiff.channels === Some(3) && aiff.n_samples === Some(204L))
+    // FLAC STREAMINFO: hand-packed 44100 Hz stereo, 7777 total samples
+    val flac = new Array[Byte](42)
+    "fLaC".getBytes("US-ASCII").copyToArray(flac, 0)
+    flac(4) = 0x80.toByte; flac(7) = 34 // last-block, type 0, len 34
+    flac(18) = 0x0a; flac(19) = 0xc4.toByte; flac(20) = 0x42 // rate 44100, ch 2
+    flac(21) = 0xf0.toByte // bps low nibble | total[35:32]=0
+    flac(22) = 0; flac(23) = 0; flac(24) = 0x1e; flac(25) = 0x61 // 7777
+    val fm = m(flac)
+    assert(fm.format === "flac" && fm.sample_rate === Some(44100) &&
+      fm.channels === Some(2) && fm.n_samples === Some(7777L))
+    // MP3: 5 frames at 44.1 stereo, behind a 64-byte ID3v2 tag
+    val mp3 = m(Multimodal.makeMp3Frames(5, 0, 9, mono = false, 3L, id3Size = 64))
+    assert(mp3.kind === "audio" && mp3.format === "mp3")
+    assert(mp3.sample_rate === Some(44100) && mp3.channels === Some(2) &&
+      mp3.n_samples === Some(5L * 1152))
+    val mp3m = m(Multimodal.makeMp3Frames(2, 2, 14, mono = true, 3L))
+    assert(mp3m.sample_rate === Some(32000) && mp3m.channels === Some(1) &&
+      mp3m.n_samples === Some(2L * 1152))
+    val aac = m(Multimodal.makeAdtsFrames(4, 4, 2, 33, 3L))
+    assert(aac.format === "aac_adts" && aac.sample_rate === Some(44100) &&
+      aac.channels === Some(2) && aac.n_samples === Some(4L * 1024))
+  }
+
+  test("metaOf: image and video headers — dims, frame counts, kind dispatch") {
+    def m(b: Array[Byte]) = Multimodal.metaOf(1L, b)
+    val png = m(Multimodal.makePng(7, 5, 1L))
+    assert(png.kind === "image" && png.format === "png" &&
+      png.width === Some(7) && png.height === Some(5))
+    val bmp = m(Multimodal.makeBmp(9, 4, 1L))
+    assert(bmp.width === Some(9) && bmp.height === Some(4))
+    val jpg = m(Multimodal.makeJpeg(24, 16, 1L))
+    assert(jpg.format === "jpeg" && jpg.width === Some(24) && jpg.height === Some(16))
+    val tif = m(Multimodal.makeTiff(6, 11, 1L))
+    assert(tif.format === "tiff" && tif.width === Some(6) && tif.height === Some(11))
+    val tifBe = m(Multimodal.makeTiff(6, 11, 1L, bigEndian = true))
+    assert(tifBe.width === Some(6) && tifBe.height === Some(11))
+    // WebP: the metadata pass sees inside a format the hash tier can't.
+    // VP8L header: 0x2f then 14-bit w-1 / h-1 packed little-endian
+    def webp(chunk: String, content: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes("US-ASCII")); out.write(Array.fill(4)(0x30.toByte))
+      out.write("WEBP".getBytes("US-ASCII")); out.write(chunk.getBytes("US-ASCII"))
+      out.write(Array[Byte]((content.length & 0xff).toByte, 0, 0, 0))
+      out.write(content); out.write(new Array[Byte](8))
+      out.toByteArray
+    }
+    // w=259 → w-1=258=0b01_00000010; h=17 → h-1=16
+    val vp8l = webp("VP8L", Array[Byte](0x2f, 0x02, 0x01, 0x04, 0x00, 0x00))
+    assert(m(vp8l).format === "webp" && m(vp8l).width === Some(259) &&
+      m(vp8l).height === Some(17))
+    val vp8x = webp("VP8X", Array[Byte](0, 0, 0, 0, 0x1f, 0, 0, 0x0a, 0, 0))
+    assert(m(vp8x).width === Some(32) && m(vp8x).height === Some(11))
+    val vp8 = webp("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      0x40, 0x01, 0x2c, 0x01))
+    assert(m(vp8).width === Some(320) && m(vp8).height === Some(300))
+    // GIF: kind flips image→video at 2 frames; dims from the screen
+    val still = m(Multimodal.makeGif(12, 8, 1L))
+    assert(still.kind === "image" && still.format === "gif" &&
+      still.width === Some(12) && still.n_frames === Some(1L))
+    val anim = m(Multimodal.makeGifAnimated(12, 8, 1L, 3))
+    assert(anim.kind === "video" && anim.n_frames === Some(3L))
+    // AVI: avih facts only, movi untouched
+    val avi = m(Multimodal.makeAviMjpeg(32, 24, 1L, 4))
+    assert(avi.kind === "video" && avi.format === "avi" &&
+      avi.width === Some(32) && avi.height === Some(24) && avi.n_frames === Some(4L))
+    // MP4: sample-table frame count; CODING-AGNOSTIC — an avc1 track
+    // (undecodable by the hash tier) still reports dims and frames
+    val mp4 = m(Multimodal.makeMp4Mjpeg(16, 16, 1L, 5))
+    assert(mp4.kind === "video" && mp4.format === "mp4" &&
+      mp4.width === Some(16) && mp4.n_frames === Some(5L))
+    val avc = Multimodal.makeMp4Mjpeg(16, 16, 1L, 5)
+    val sdAt = {
+      var i = -1
+      for (k <- 0 until avc.length - 4)
+        if (avc(k) == 'j' && avc(k + 1) == 'p' && avc(k + 2) == 'e' && avc(k + 3) == 'g')
+          i = k
+      i
+    }
+    "avc1".getBytes("US-ASCII").copyToArray(avc, sdAt)
+    assert(Multimodal.mp4FrameGrids(avc).isEmpty)
+    val avcMeta = m(avc)
+    assert(avcMeta.kind === "video" && avcMeta.width === Some(16) &&
+      avcMeta.n_frames === Some(5L))
+    // EBML sniffs video with no facts; junk is unknown
+    val ebml = Array[Byte](0x1a, 0x45.toByte, 0xdf.toByte, 0xa3.toByte) ++
+      new Array[Byte](16)
+    assert(m(ebml).kind === "video" && m(ebml).format === "ebml" && m(ebml).width.isEmpty)
+    val junk = m(Array.fill(16)(3.toByte))
+    assert(junk.kind === "unknown" && junk.format === "unknown")
+    // the Dataset op carries the same rows through a mixed scan
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Multimodal.makeWav(100, 1, 8000, 1L)),
+      (2L, Multimodal.makePng(4, 4, 1L)),
+      (3L, Multimodal.makeMp4Mjpeg(16, 16, 1L, 2)),
+      (4L, Array.fill(8)(9.toByte))).toDF("doc_id", "payload")
+    val got = Multimodal.mediaMeta(spark, corpus)
+      .orderBy("doc_id").collect()
+    assert(got.length === 4)
+    assert(got.map(_.getString(1)).toSeq === Seq("audio", "image", "video", "unknown"))
+  }
+
   test("imageFormatOf/imageCoverage: the measured image boundary per corpus") {
     import spark.implicits._
     assert(Multimodal.imageFormatOf(Multimodal.makeBmp(4, 4, 1)) === "bmp")
