@@ -5309,6 +5309,66 @@ object SparkEntry {
                         WHEN k = 4 THEN (2 + doc_id % 3) * 1024 END AS BIGINT) AS n_samples
             FROM d ORDER BY doc_id"""))
 
+  /** Container-metadata breadth for the formats q_media_meta doesn't
+    * reach ([[graft.multimodal.Multimodal.mediaMeta]] over EBML and
+    * Ogg — r17): webm/mkv through the varint element walk (DocType
+    * refinement, video PixelWidth/Height, a muxed file reporting BOTH
+    * video dims and audio rate/channels, the all-ones unknown-size
+    * Segment live muxers emit) and Ogg through the page walk (codec
+    * refined from the id packet — Vorbis rate/channels vs Opus's
+    * spec-pinned 48 kHz granule rate — and total samples from the
+    * last page's granule position). Every field replayed from fixture
+    * arithmetic.
+    */
+  private val qMediaMetaContainers = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 300)
+        .map { id =>
+          val bytes = (id % 6) match {
+            case 0 => graft.multimodal.Multimodal.makeWebm(
+              320 + (id % 5).toInt, 240)
+            case 1 => graft.multimodal.Multimodal.makeWebm(
+              640, 360, audioRate = if (id % 2 == 0) 44100 else 48000,
+              audioCh = 1 + (id % 2).toInt)
+            case 2 => graft.multimodal.Multimodal.makeWebm(
+              100 + (id % 7).toInt, 80, docType = "matroska")
+            case 3 => graft.multimodal.Multimodal.makeWebm(
+              25 + (id % 3).toInt, 20, unknownSegmentSize = true)
+            case 4 => graft.multimodal.Multimodal.makeOgg(
+              1000 + (id % 9), 8000 + (id % 3).toInt * 4000,
+              1 + (id % 2).toInt, opus = false, id)
+            case _ => graft.multimodal.Multimodal.makeOgg(
+              2000 + (id % 5), 12345, 2, opus = true, id)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.mediaMeta(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 6 AS k FROM documents WHERE doc_id < 300)
+            SELECT doc_id,
+              CASE WHEN k <= 3 THEN 'video' ELSE 'audio' END AS kind,
+              CASE k WHEN 2 THEN 'mkv' WHEN 4 THEN 'ogg_vorbis'
+                     WHEN 5 THEN 'ogg_opus' ELSE 'webm' END AS format,
+              CAST(CASE WHEN k = 0 THEN 320 + doc_id % 5
+                        WHEN k = 1 THEN 640
+                        WHEN k = 2 THEN 100 + doc_id % 7
+                        WHEN k = 3 THEN 25 + doc_id % 3 END AS INTEGER) AS width,
+              CAST(CASE WHEN k = 0 THEN 240 WHEN k = 1 THEN 360
+                        WHEN k = 2 THEN 80 WHEN k = 3 THEN 20 END AS INTEGER) AS height,
+              CAST(NULL AS BIGINT) AS n_frames,
+              CAST(CASE WHEN k = 1 THEN CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END
+                        WHEN k = 4 THEN 8000 + (doc_id % 3) * 4000
+                        WHEN k = 5 THEN 48000 END AS INTEGER) AS sample_rate,
+              CAST(CASE WHEN k = 1 THEN 1 + doc_id % 2
+                        WHEN k = 4 THEN 1 + doc_id % 2
+                        WHEN k = 5 THEN 2 END AS INTEGER) AS channels,
+              CAST(CASE WHEN k = 4 THEN 1000 + doc_id % 9
+                        WHEN k = 5 THEN 2000 + doc_id % 5 END AS BIGINT) AS n_samples
+            FROM d ORDER BY doc_id"""))
+
   /** Perceptual image hashing over JPEG payloads ([[graft.multimodal
     * .Multimodal.imageAHashes]] through the REAL entropy path): 64×64
     * grayscale DC-only JPEGs — baseline (even ids) and PROGRESSIVE
@@ -10344,6 +10404,7 @@ object SparkEntry {
     "q_video_mixed_neardup" -> qVideoMixedNearDup,
     "q_video_coverage" -> qVideoCoverage,
     "q_media_meta" -> qMediaMeta,
+    "q_media_meta_containers" -> qMediaMetaContainers,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_ahash_tiff" -> qImageAHashTiff,
     "q_image_ahash_tiff_c" -> qImageAHashTiffC,

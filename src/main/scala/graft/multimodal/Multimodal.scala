@@ -5156,6 +5156,157 @@ object Multimodal {
       if (frames > 0) Some(frames * 1024L) else None))
   }
 
+  /** EBML/Matroska header facts (webm/mkv — r17): (docType, video
+    * dims, audio rate/channels), from the varint element walk alone.
+    * EBML varints carry their length in leading zeros; element IDs
+    * keep the marker bit, sizes drop it; an all-ones size means
+    * "unknown — runs to the end of the parent", which real muxers
+    * emit for Segment during live capture, so the walk honors it.
+    * Only the elements the metadata needs are descended (EBML header
+    * for DocType; Segment → Tracks → TrackEntry → TrackType +
+    * Video{PixelWidth, PixelHeight} / Audio{SamplingFrequency,
+    * Channels}); everything else is skipped by size.
+    */
+  private def ebmlMeta(bytes: Array[Byte]): Option[(String, Option[(Int, Int)],
+      Option[(Int, Int)])] = {
+    val n = bytes.length
+    // (value, lengthInBytes); keepMarker for IDs, clear it for sizes
+    def varint(off: Int, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (off >= n) return None
+      val b0 = bytes(off) & 0xff
+      if (b0 == 0) return None
+      val len = java.lang.Integer.numberOfLeadingZeros(b0) - 23 // 1..8
+      if (len < 1 || len > 8 || off + len > n) return None
+      var v = (if (keepMarker) b0 else b0 & ((1 << (8 - len)) - 1)).toLong
+      for (i <- 1 until len) v = (v << 8) | (bytes(off + i) & 0xffL)
+      Some((v, len))
+    }
+    def uintAt(off: Int, len: Int): Long = {
+      var v = 0L
+      for (i <- 0 until len) v = (v << 8) | (bytes(off + i) & 0xffL)
+      v
+    }
+    def floatAt(off: Int, len: Int): Double = len match {
+      case 4 => java.lang.Float.intBitsToFloat(uintAt(off, 4).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uintAt(off, 8))
+      case _ => -1.0
+    }
+    // elements of [start, end): (id, contentStart, contentEnd) — an
+    // unknown size (all value bits set) extends to the parent's end
+    def elems(start: Int, end: Int): Seq[(Long, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+      var off = start
+      var bad = false
+      while (!bad && off < end && out.length < 4096) {
+        (for {
+          (id, idLen) <- varint(off, keepMarker = true)
+          (sz, szLen) <- varint(off + idLen, keepMarker = false)
+        } yield {
+          val cs = off + idLen + szLen
+          val unknown = sz == (1L << (7 * szLen)) - 1
+          val ce = if (unknown) end else cs + sz
+          if (ce > end || ce < cs) bad = true
+          else { out += ((id, cs, ce.toInt)); off = ce.toInt }
+        }).getOrElse { bad = true }
+      }
+      if (bad) Seq.empty else out.toSeq
+    }
+    if (n < 8 || uintAt(0, 4) != 0x1a45dfa3L) return None
+    val top = elems(0, n)
+    if (top.isEmpty) return None
+    var docType = "ebml"
+    var video: Option[(Int, Int)] = None
+    var audio: Option[(Int, Int)] = None
+    top.foreach {
+      case (0x1a45dfa3L, cs, ce) =>
+        elems(cs, ce).foreach {
+          case (0x4282L, ds, de) if de > ds =>
+            docType = new String(bytes, ds, de - ds,
+              java.nio.charset.StandardCharsets.US_ASCII).takeWhile(_ != 0)
+          case _ => ()
+        }
+      case (0x18538067L, cs, ce) => // Segment
+        elems(cs, ce).foreach {
+          case (0x1654ae6bL, ts, te) => // Tracks
+            elems(ts, te).foreach {
+              case (0xaeL, es, ee) => // TrackEntry
+                var w = -1; var h = -1; var rate = -1; var ch = -1
+                elems(es, ee).foreach {
+                  case (0xe0L, vs, ve) => // Video
+                    elems(vs, ve).foreach {
+                      case (0xb0L, s, e) => w = uintAt(s, e - s).toInt
+                      case (0xbaL, s, e) => h = uintAt(s, e - s).toInt
+                      case _ => ()
+                    }
+                  case (0xe1L, as_, ae) => // Audio
+                    elems(as_, ae).foreach {
+                      case (0xb5L, s, e) =>
+                        val r = floatAt(s, e - s)
+                        if (r > 0) rate = math.round(r).toInt
+                      case (0x9fL, s, e) => ch = uintAt(s, e - s).toInt
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+                if (w > 0 && h > 0 && video.isEmpty) video = Some((w, h))
+                if (rate > 0 && audio.isEmpty)
+                  audio = Some((rate, if (ch > 0) ch else 1))
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    Some((docType, video, audio))
+  }
+
+  /** Ogg header facts: (codec, sample_rate, channels, n_samples) from
+    * the page walk — the identification header in the first page
+    * (Vorbis `\\x01vorbis`, Opus `OpusHead`) plus the LAST page's
+    * granule position, which for both codecs is the total PCM sample
+    * count at the coded rate (Opus granules run at 48 kHz by spec).
+    * Page CRCs are not verified — this is a length walk, not a
+    * bitstream decode.
+    */
+  private def oggMeta(bytes: Array[Byte]): Option[(String, Int, Int, Option[Long])] = {
+    val n = bytes.length
+    def tag(off: Int, s: String): Boolean =
+      off + s.length <= n && s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+    if (!tag(0, "OggS")) return None
+    var codec = "ogg"; var rate = -1; var ch = -1
+    var lastGranule = -1L
+    var off = 0
+    var pages = 0
+    while (tag(off, "OggS") && pages < (1 << 20)) {
+      if (off + 27 > n) return None
+      var granule = 0L
+      for (i <- 0 until 8) granule |= (bytes(off + 6 + i) & 0xffL) << (8 * i)
+      val nsegs = bytes(off + 26) & 0xff
+      if (off + 27 + nsegs > n) return None
+      var bodyLen = 0
+      for (i <- 0 until nsegs) bodyLen += bytes(off + 27 + i) & 0xff
+      val body = off + 27 + nsegs
+      if (body + bodyLen > n) return None
+      if (pages == 0) {
+        // Vorbis identification packet: type byte 0x01 then "vorbis"
+        if (bodyLen >= 30 && bytes(body) == 1 && tag(body + 1, "vorbis")) {
+          codec = "ogg_vorbis"
+          ch = bytes(body + 11) & 0xff
+          rate = le32(bytes, body + 12)
+        } else if (tag(body, "OpusHead") && bodyLen >= 19) {
+          codec = "ogg_opus"
+          ch = bytes(body + 9) & 0xff
+          rate = 48000 // granules and frame sizes run at 48 kHz by spec
+        }
+      }
+      if (granule >= 0) lastGranule = granule
+      off = body + bodyLen
+      pages += 1
+    }
+    if (rate <= 0 || ch <= 0) None
+    else Some((codec, rate, ch, if (lastGranule > 0) Some(lastGranule) else None))
+  }
+
   /** The header-only metadata row for one payload — the dispatch across
     * every sniffable class. A GIF is `video` when it carries 2+ frames,
     * `image` otherwise; an ISO-BMFF file reports its first video
@@ -5166,6 +5317,16 @@ object Multimodal {
     def none = MediaMetaRow(id, "unknown", "unknown",
       None, None, None, None, None, None)
     val af = audioFormatOf(bytes)
+    if (af == "ogg") {
+      // refine the container sniff to the codec the id packet declares
+      return oggMeta(bytes) match {
+        case Some((codec, rate, ch, ns)) =>
+          MediaMetaRow(id, "audio", codec, None, None, None,
+            Some(rate), Some(ch), ns)
+        case None => MediaMetaRow(id, "audio", "ogg",
+          None, None, None, None, None, None)
+      }
+    }
     if (af != "unknown") {
       val (rate, ch, n): (Option[Int], Option[Int], Option[Long]) = af match {
         case a if a.startsWith("wav") =>
@@ -5199,7 +5360,7 @@ object Multimodal {
           case Some((r, c, n0)) => (Some(r), c, n0)
           case None => (None, None, None)
         }
-        case _ => (None, None, None) // ogg: page walk out of scope
+        case _ => (None, None, None)
       }
       return MediaMetaRow(id, "audio", af, None, None, None, rate, ch, n)
     }
@@ -5214,7 +5375,21 @@ object Multimodal {
           t.map(_.w), t.map(_.h), t.map(_.sizes.length.toLong),
           None, None, None)
       case "ebml" =>
-        return MediaMetaRow(id, "video", "ebml", None, None, None, None, None, None)
+        // refine to the DocType and report track facts when present —
+        // a muxed webm carries BOTH video dims and audio rate/channels
+        return ebmlMeta(bytes) match {
+          case Some((doc, video, audio)) =>
+            val fmt = doc match {
+              case "webm" => "webm"
+              case "matroska" => "mkv"
+              case _ => "ebml"
+            }
+            MediaMetaRow(id, "video", fmt,
+              video.map(_._1), video.map(_._2), None,
+              audio.map(_._1), audio.map(_._2), None)
+          case None => MediaMetaRow(id, "video", "ebml",
+            None, None, None, None, None, None)
+        }
       case _ => ()
     }
     imageFormatOf(bytes) match {
@@ -5307,6 +5482,101 @@ object Multimodal {
       for (i <- 0 until payloadLen) out.write(((seed + f * 17L + i) % 251).toInt)
     }
     out.toByteArray
+  }
+
+  /** Fixture/test writer for EBML/Matroska headers: an EBML header
+    * with the given DocType, then a Segment holding a Tracks element
+    * with a video TrackEntry (PixelWidth/PixelHeight) and, optionally,
+    * an audio TrackEntry (SamplingFrequency as a 4-byte float,
+    * Channels). `unknownSegmentSize` writes the all-ones size real
+    * live-capture muxers emit. Headers only — no Clusters, which is
+    * exactly what the metadata walk reads.
+    */
+  def makeWebm(w: Int, h: Int, docType: String = "webm",
+               audioRate: Int = 0, audioCh: Int = 0,
+               unknownSegmentSize: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w < 65536 && h < 65536, s"fixture dims $w x $h")
+    def el(id: Long, content: Array[Byte]): Array[Byte] = {
+      val idBytes =
+        if (id <= 0xffL) Array(id.toByte)
+        else if (id <= 0xffffL) Array((id >> 8).toByte, id.toByte)
+        else Array((id >> 24).toByte, (id >> 16).toByte, (id >> 8).toByte, id.toByte)
+      require(content.length < (1 << 14))
+      val szBytes = Array((0x40 | (content.length >> 8)).toByte, content.length.toByte)
+      idBytes ++ szBytes ++ content
+    }
+    def uint16(v: Int): Array[Byte] = Array((v >> 8).toByte, v.toByte)
+    val ebmlHeader = el(0x1a45dfa3L,
+      el(0x4282L, docType.getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    val videoEntry = el(0xaeL,
+      el(0x83L, Array(1.toByte)) ++
+      el(0xe0L, el(0xb0L, uint16(w)) ++ el(0xbaL, uint16(h))))
+    val audioEntry =
+      if (audioRate <= 0) Array.empty[Byte]
+      else el(0xaeL,
+        el(0x83L, Array(2.toByte)) ++
+        el(0xe1L, el(0xb5L, {
+          val bits = java.lang.Float.floatToIntBits(audioRate.toFloat)
+          Array((bits >> 24).toByte, (bits >> 16).toByte,
+            (bits >> 8).toByte, bits.toByte)
+        }) ++ el(0x9fL, Array(audioCh.toByte))))
+    val tracks = el(0x1654ae6bL, videoEntry ++ audioEntry)
+    val segment =
+      if (unknownSegmentSize) {
+        val idB = Array(0x18.toByte, 0x53.toByte, 0x80.toByte, 0x67.toByte)
+        idB ++ Array(0xff.toByte) ++ tracks // 1-byte all-ones size: unknown
+      } else el(0x18538067L, tracks)
+    ebmlHeader ++ segment
+  }
+
+  /** Fixture/test writer for Ogg Vorbis/Opus HEADERS: page 0 carries
+    * the identification packet, page 1 an EOS page whose granule
+    * position is the total sample count. CRCs are zero — the metadata
+    * walk is a length walk and real CRC validation belongs to a
+    * decoder this repo deliberately doesn't claim.
+    */
+  def makeOgg(nSamples: Long, rate: Int, channels: Int, opus: Boolean,
+              seed: Long): Array[Byte] = {
+    require(nSamples >= 0 && rate > 0 && channels >= 1 && channels <= 8)
+    def page(granule: Long, seq: Int, flags: Int, body: Array[Byte]): Array[Byte] = {
+      require(body.length <= 255 * 255)
+      val nsegs = body.length / 255 + 1
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("OggS".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.write(0); out.write(flags)
+      for (i <- 0 until 8) out.write(((granule >> (8 * i)) & 0xff).toInt)
+      for (i <- 0 until 4) out.write((0x42 >> (8 * i)) & 0xff) // serial
+      for (i <- 0 until 4) out.write((seq >> (8 * i)) & 0xff)
+      for (_ <- 0 until 4) out.write(0) // crc unverified by the walk
+      out.write(nsegs)
+      var rem = body.length
+      for (_ <- 0 until nsegs - 1) { out.write(255); rem -= 255 }
+      out.write(rem)
+      out.write(body)
+      out.toByteArray
+    }
+    val idPacket: Array[Byte] =
+      if (opus) {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write("OpusHead".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        b.write(1); b.write(channels)
+        b.write(0); b.write(0) // pre-skip
+        for (i <- 0 until 4) b.write((rate >> (8 * i)) & 0xff) // input rate (informative)
+        b.write(0); b.write(0); b.write(0) // gain + mapping family
+        b.toByteArray
+      } else {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(1); b.write("vorbis".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        for (_ <- 0 until 4) b.write(0) // version
+        b.write(channels)
+        for (i <- 0 until 4) b.write((rate >> (8 * i)) & 0xff)
+        for (_ <- 0 until 12) b.write(0) // bitrate triple
+        b.write(0xb8) // blocksizes + framing
+        b.write(1)
+        b.toByteArray
+      }
+    val junk = Array.tabulate(40)(i => ((seed + i) % 251).toByte)
+    page(0L, 0, 2, idPacket) ++ page(nSamples, 1, 4, junk)
   }
 
   /** Decode/feature-extract over the binary column. `mapPartitions` is the

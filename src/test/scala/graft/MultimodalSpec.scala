@@ -1851,6 +1851,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(got.map(_.getString(1)).toSeq === Seq("audio", "image", "video", "unknown"))
   }
 
+  test("metaOf: EBML (webm/mkv) and Ogg (vorbis/opus) container facts") {
+    def m(b: Array[Byte]) = Multimodal.metaOf(1L, b)
+    val webm = m(Multimodal.makeWebm(320, 240))
+    assert(webm.kind === "video" && webm.format === "webm" &&
+      webm.width === Some(320) && webm.height === Some(240) &&
+      webm.sample_rate.isEmpty)
+    // a muxed file reports BOTH video dims and audio facts
+    val muxed = m(Multimodal.makeWebm(640, 360, audioRate = 48000, audioCh = 2))
+    assert(muxed.width === Some(640) && muxed.height === Some(360) &&
+      muxed.sample_rate === Some(48000) && muxed.channels === Some(2))
+    val mkv = m(Multimodal.makeWebm(100, 80, docType = "matroska"))
+    assert(mkv.format === "mkv" && mkv.width === Some(100))
+    // the all-ones "unknown size" Segment real live muxers emit
+    val live = m(Multimodal.makeWebm(25, 20, unknownSegmentSize = true))
+    assert(live.format === "webm" && live.width === Some(25) && live.height === Some(20))
+    // bare EBML magic with junk: sniffed, no facts
+    val bare = m(Array[Byte](0x1a, 0x45.toByte, 0xdf.toByte, 0xa3.toByte) ++
+      new Array[Byte](16))
+    assert(bare.kind === "video" && bare.format === "ebml" && bare.width.isEmpty)
+    // Ogg: codec refined from the id packet, total samples from the
+    // last page's granule position
+    val vorbis = m(Multimodal.makeOgg(12345L, 44100, 2, opus = false, 1L))
+    assert(vorbis.kind === "audio" && vorbis.format === "ogg_vorbis" &&
+      vorbis.sample_rate === Some(44100) && vorbis.channels === Some(2) &&
+      vorbis.n_samples === Some(12345L))
+    // Opus granules run at 48 kHz regardless of the stored input rate
+    val opus = m(Multimodal.makeOgg(9600L, 16000, 1, opus = true, 1L))
+    assert(opus.format === "ogg_opus" && opus.sample_rate === Some(48000) &&
+      opus.channels === Some(1) && opus.n_samples === Some(9600L))
+    // an OggS page with an unrecognized first packet stays plain 'ogg'
+    val junkOgg = {
+      val b = Multimodal.makeOgg(5L, 8000, 1, opus = false, 1L)
+      b(28 + 1) = 'x'.toByte // clobber "vorbis" in the id packet
+      b
+    }
+    val jo = m(junkOgg)
+    assert(jo.kind === "audio" && jo.format === "ogg" && jo.sample_rate.isEmpty)
+  }
+
   test("imageFormatOf/imageCoverage: the measured image boundary per corpus") {
     import spark.implicits._
     assert(Multimodal.imageFormatOf(Multimodal.makeBmp(4, 4, 1)) === "bmp")
