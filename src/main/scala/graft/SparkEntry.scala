@@ -5256,8 +5256,15 @@ object SparkEntry {
               2 + (id % 3).toInt, 3 + (id % 3).toInt, 1 + (id % 2).toInt, 20, id)
             case 5 => graft.multimodal.Multimodal.makePng(
               4 + (id % 5).toInt, 3 + (id % 4).toInt, id)
-            case 6 => graft.multimodal.Multimodal.makeJpeg(
-              8 * (1 + (id % 3).toInt), 8 * (1 + (id % 2).toInt), id)
+            case 6 =>
+              val j = graft.multimodal.Multimodal.makeJpeg(
+                8 * (1 + (id % 3).toInt), 8 * (1 + (id % 2).toInt), id)
+              // every other jpeg carries an APP1 Exif orientation
+              // (alternating byte orders) — absent is not "1"
+              if (id % 20 == 16)
+                graft.multimodal.Multimodal.withExifOrientation(
+                  j, 1 + ((id / 20) % 8).toInt, bigEndian = id % 40 == 16)
+              else j
             case 7 => graft.multimodal.Multimodal.makeGifAnimated(
               10 + (id % 4).toInt, 7, id, 1 + (id % 3).toInt)
             case 8 => graft.multimodal.Multimodal.makeMp4Mjpeg(
@@ -5306,7 +5313,9 @@ object SparkEntry {
                         WHEN k = 1 THEN 300 + doc_id % 7
                         WHEN k = 2 THEN 200 + doc_id % 5
                         WHEN k = 3 THEN (3 + doc_id % 4) * 1152
-                        WHEN k = 4 THEN (2 + doc_id % 3) * 1024 END AS BIGINT) AS n_samples
+                        WHEN k = 4 THEN (2 + doc_id % 3) * 1024 END AS BIGINT) AS n_samples,
+              CAST(CASE WHEN k = 6 AND doc_id % 20 = 16
+                        THEN 1 + (doc_id // 20) % 8 END AS INTEGER) AS orientation
             FROM d ORDER BY doc_id"""))
 
   /** Container-metadata breadth for the formats q_media_meta doesn't
@@ -5366,7 +5375,8 @@ object SparkEntry {
                         WHEN k = 4 THEN 1 + doc_id % 2
                         WHEN k = 5 THEN 2 END AS INTEGER) AS channels,
               CAST(CASE WHEN k = 4 THEN 1000 + doc_id % 9
-                        WHEN k = 5 THEN 2000 + doc_id % 5 END AS BIGINT) AS n_samples
+                        WHEN k = 5 THEN 2000 + doc_id % 5 END AS BIGINT) AS n_samples,
+              CAST(NULL AS INTEGER) AS orientation
             FROM d ORDER BY doc_id"""))
 
   /** Perceptual image hashing over JPEG payloads ([[graft.multimodal

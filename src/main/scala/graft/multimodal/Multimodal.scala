@@ -4821,7 +4821,8 @@ object Multimodal {
     */
   final case class MediaMetaRow(doc_id: Long, kind: String, format: String,
       width: Option[Int], height: Option[Int], n_frames: Option[Long],
-      sample_rate: Option[Int], channels: Option[Int], n_samples: Option[Long])
+      sample_rate: Option[Int], channels: Option[Int], n_samples: Option[Long],
+      orientation: Option[Int])
 
   private def pngDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     if (bytes.length < 24 || !bytes.startsWith(PngSig)) return None
@@ -4886,6 +4887,88 @@ object Multimodal {
     }
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) None
     else Some((w.toInt, h.toInt))
+  }
+
+  /** EXIF orientation (tag 274, values 1..8) from a JPEG's APP1
+    * segment — "Exif  " then a TIFF structure whose IFD0
+    * holds the tag. The one header fact that changes what a correct
+    * display (and hence a display-orientation-aware perceptual hash)
+    * does with the pixels, surfaced so a pipeline can normalize BEFORE
+    * hashing. None when there is no APP1, no Exif marker, or no
+    * orientation entry — absent is not "1".
+    */
+  private def jpegExifOrientation(bytes: Array[Byte]): Option[Int] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8)
+      return None
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      if ((bytes(off) & 0xff) != 0xff) return None
+      val m = bytes(off + 1) & 0xff
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { off += 2 }
+      else if (m == 0xda || m == 0xd9) return None // entropy data: headers over
+      else {
+        val segLen = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+        if (segLen < 2) return None
+        if (m == 0xe1 && segLen >= 16 && off + 2 + segLen <= bytes.length &&
+            bytes(off + 4) == 'E' && bytes(off + 5) == 'x' &&
+            bytes(off + 6) == 'i' && bytes(off + 7) == 'f' &&
+            bytes(off + 8) == 0 && bytes(off + 9) == 0) {
+          val base = off + 10 // TIFF structure origin
+          val end = off + 2 + segLen
+          if (base + 8 > end) return None
+          val le = bytes(base) == 'I'.toByte && bytes(base + 1) == 'I'.toByte
+          val be = bytes(base) == 'M'.toByte && bytes(base + 1) == 'M'.toByte
+          if (!le && !be) return None
+          def u16(o: Int): Int =
+            if (le) le16(bytes, o)
+            else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+          def u32(o: Int): Long =
+            if (le) le32(bytes, o) & 0xffffffffL else be32(bytes, o) & 0xffffffffL
+          if (u16(base + 2) != 42) return None
+          val ifd = base + u32(base + 4).toInt
+          if (ifd + 2 > end) return None
+          val n = u16(ifd)
+          if (ifd + 2 + 12L * n > end) return None
+          for (i <- 0 until n) {
+            val e = ifd + 2 + 12 * i
+            if (u16(e) == 274 && u16(e + 2) == 3) {
+              val v = u16(e + 8)
+              return if (v >= 1 && v <= 8) Some(v) else None
+            }
+          }
+          return None
+        }
+        off += 2 + segLen
+      }
+    }
+    None
+  }
+
+  /** Fixture/test wrapper: splice an APP1 Exif segment (TIFF IFD0 with
+    * orientation tag 274) right after a JPEG's SOI. */
+  def withExifOrientation(jpeg: Array[Byte], orientation: Int,
+                          bigEndian: Boolean = false): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, s"orientation $orientation")
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    val tiff = new Array[Byte](26)
+    def p16(o: Int, v: Int): Unit =
+      if (bigEndian) { tiff(o) = (v >> 8).toByte; tiff(o + 1) = v.toByte }
+      else { tiff(o) = v.toByte; tiff(o + 1) = (v >> 8).toByte }
+    def p32(o: Int, v: Int): Unit =
+      if (bigEndian) { tiff(o) = 0; tiff(o + 1) = 0; tiff(o + 2) = (v >> 8).toByte; tiff(o + 3) = v.toByte }
+      else { tiff(o) = v.toByte; tiff(o + 1) = (v >> 8).toByte; tiff(o + 2) = 0; tiff(o + 3) = 0 }
+    tiff(0) = (if (bigEndian) 'M' else 'I').toByte
+    tiff(1) = tiff(0)
+    p16(2, 42); p32(4, 8)
+    p16(8, 1) // one IFD entry
+    p16(10, 274); p16(12, 3); p32(14, 1); p16(18, orientation)
+    p32(22, 0) // next IFD
+    val segLen = 2 + 6 + tiff.length
+    val app1 = Array(0xff.toByte, 0xe1.toByte,
+      ((segLen >> 8) & 0xff).toByte, (segLen & 0xff).toByte) ++
+      "Exif".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      Array(0.toByte, 0.toByte) ++ tiff
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
   }
 
   /** WebP canvas dims from whichever header form the file leads with —
@@ -5315,16 +5398,16 @@ object Multimodal {
     */
   private[graft] def metaOf(id: Long, bytes: Array[Byte]): MediaMetaRow = {
     def none = MediaMetaRow(id, "unknown", "unknown",
-      None, None, None, None, None, None)
+      None, None, None, None, None, None, None)
     val af = audioFormatOf(bytes)
     if (af == "ogg") {
       // refine the container sniff to the codec the id packet declares
       return oggMeta(bytes) match {
         case Some((codec, rate, ch, ns)) =>
           MediaMetaRow(id, "audio", codec, None, None, None,
-            Some(rate), Some(ch), ns)
+            Some(rate), Some(ch), ns, None)
         case None => MediaMetaRow(id, "audio", "ogg",
-          None, None, None, None, None, None)
+          None, None, None, None, None, None, None)
       }
     }
     if (af != "unknown") {
@@ -5362,18 +5445,18 @@ object Multimodal {
         }
         case _ => (None, None, None)
       }
-      return MediaMetaRow(id, "audio", af, None, None, None, rate, ch, n)
+      return MediaMetaRow(id, "audio", af, None, None, None, rate, ch, n, None)
     }
     videoFormatOf(bytes) match {
       case "avi" =>
         val m = aviMeta(bytes)
         return MediaMetaRow(id, "video", "avi",
-          m.map(_._1), m.map(_._2), m.map(_._3), None, None, None)
+          m.map(_._1), m.map(_._2), m.map(_._3), None, None, None, None)
       case f @ ("mp4" | "mov" | "isobmff") =>
         val t = mp4VideoTrack(bytes)
         return MediaMetaRow(id, "video", f,
           t.map(_.w), t.map(_.h), t.map(_.sizes.length.toLong),
-          None, None, None)
+          None, None, None, None)
       case "ebml" =>
         // refine to the DocType and report track facts when present —
         // a muxed webm carries BOTH video dims and audio rate/channels
@@ -5386,9 +5469,9 @@ object Multimodal {
             }
             MediaMetaRow(id, "video", fmt,
               video.map(_._1), video.map(_._2), None,
-              audio.map(_._1), audio.map(_._2), None)
+              audio.map(_._1), audio.map(_._2), None, None)
           case None => MediaMetaRow(id, "video", "ebml",
-            None, None, None, None, None, None)
+            None, None, None, None, None, None, None)
         }
       case _ => ()
     }
@@ -5397,9 +5480,9 @@ object Multimodal {
         gifMeta(bytes) match {
           case Some((w, h, f)) =>
             MediaMetaRow(id, if (f >= 2) "video" else "image", "gif",
-              Some(w), Some(h), Some(f), None, None, None)
+              Some(w), Some(h), Some(f), None, None, None, None)
           case None => MediaMetaRow(id, "image", "gif",
-            None, None, None, None, None, None)
+            None, None, None, None, None, None, None)
         }
       case f @ ("bmp" | "png" | "jpeg" | "tiff" | "webp") =>
         val d = f match {
@@ -5410,9 +5493,10 @@ object Multimodal {
           case _ => webpDims(bytes)
         }
         MediaMetaRow(id, "image", f, d.map(_._1), d.map(_._2),
-          None, None, None, None)
+          None, None, None, None,
+          if (f == "jpeg") jpegExifOrientation(bytes) else None)
       case f @ ("avif" | "heic") => // meta-box dims walk: out of scope
-        MediaMetaRow(id, "image", f, None, None, None, None, None, None)
+        MediaMetaRow(id, "image", f, None, None, None, None, None, None, None)
       case _ => none
     }
   }

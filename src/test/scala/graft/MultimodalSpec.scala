@@ -1890,6 +1890,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(jo.kind === "audio" && jo.format === "ogg" && jo.sample_rate.isEmpty)
   }
 
+  test("metaOf: EXIF orientation from JPEG APP1 — both byte orders; absent is not 1") {
+    def m(b: Array[Byte]) = Multimodal.metaOf(1L, b)
+    val plain = Multimodal.makeJpeg(16, 16, 3L)
+    assert(m(plain).orientation.isEmpty)
+    for (o <- 1 to 8; be <- Seq(false, true)) {
+      val tagged = Multimodal.withExifOrientation(plain, o, bigEndian = be)
+      val row = m(tagged)
+      assert(row.format === "jpeg" && row.orientation === Some(o),
+        s"orientation $o bigEndian=$be")
+      // the spliced segment must not disturb the dims walk or decode
+      assert(row.width === Some(16) && row.height === Some(16))
+      assert(Multimodal.imageAHash(tagged) === Multimodal.imageAHash(plain))
+    }
+    // a malformed Exif payload (bad TIFF magic) reads as no orientation
+    val bad = Multimodal.withExifOrientation(plain, 5)
+    bad(2 + 4 + 6) = 'X'.toByte // clobber the 'I' byte-order mark
+    assert(m(bad).orientation.isEmpty)
+  }
+
   test("imageFormatOf/imageCoverage: the measured image boundary per corpus") {
     import spark.implicits._
     assert(Multimodal.imageFormatOf(Multimodal.makeBmp(4, 4, 1)) === "bmp")
