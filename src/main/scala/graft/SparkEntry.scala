@@ -5315,7 +5315,9 @@ object SparkEntry {
                         WHEN k = 3 THEN (3 + doc_id % 4) * 1152
                         WHEN k = 4 THEN (2 + doc_id % 3) * 1024 END AS BIGINT) AS n_samples,
               CAST(CASE WHEN k = 6 AND doc_id % 20 = 16
-                        THEN 1 + (doc_id // 20) % 8 END AS INTEGER) AS orientation
+                        THEN 1 + (doc_id // 20) % 8 END AS INTEGER) AS orientation,
+              CAST(CASE WHEN k = 7 THEN (1 + doc_id % 3) * 40
+                        WHEN k = 8 THEN (2 + doc_id % 3) * 100 END AS BIGINT) AS duration_ms
             FROM d ORDER BY doc_id"""))
 
   /** Container-metadata breadth for the formats q_media_meta doesn't
@@ -5326,8 +5328,12 @@ object SparkEntry {
     * Segment live muxers emit) and Ogg through the page walk (codec
     * refined from the id packet — Vorbis rate/channels vs Opus's
     * spec-pinned 48 kHz granule rate — and total samples from the
-    * last page's granule position). Every field replayed from fixture
-    * arithmetic.
+    * last page's granule position), plus AVIF/HEIC dims through the
+    * meta-box property walk (pitm + ipma association — the fixture
+    * plants a THUMBNAIL ispe ahead of the primary, so grabbing the
+    * first property would report 32×24 instead of the master image)
+    * and webm duration from Info (TimecodeScale × Duration). Every
+    * field replayed from fixture arithmetic.
     */
   private val qMediaMetaContainers = Q(
     (s, dir) => {
@@ -5335,12 +5341,12 @@ object SparkEntry {
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .filter((id: Long) => id < 300)
         .map { id =>
-          val bytes = (id % 6) match {
+          val bytes = (id % 8) match {
             case 0 => graft.multimodal.Multimodal.makeWebm(
               320 + (id % 5).toInt, 240)
             case 1 => graft.multimodal.Multimodal.makeWebm(
               640, 360, audioRate = if (id % 2 == 0) 44100 else 48000,
-              audioCh = 1 + (id % 2).toInt)
+              audioCh = 1 + (id % 2).toInt, durationMs = 1500 + (id % 7).toInt)
             case 2 => graft.multimodal.Multimodal.makeWebm(
               100 + (id % 7).toInt, 80, docType = "matroska")
             case 3 => graft.multimodal.Multimodal.makeWebm(
@@ -5348,25 +5354,35 @@ object SparkEntry {
             case 4 => graft.multimodal.Multimodal.makeOgg(
               1000 + (id % 9), 8000 + (id % 3).toInt * 4000,
               1 + (id % 2).toInt, opus = false, id)
-            case _ => graft.multimodal.Multimodal.makeOgg(
+            case 5 => graft.multimodal.Multimodal.makeOgg(
               2000 + (id % 5), 12345, 2, opus = true, id)
+            case 6 => graft.multimodal.Multimodal.makeHeifHeader(
+              200 + (id % 5).toInt, 150, "avif", thumbW = 32, thumbH = 24)
+            case _ => graft.multimodal.Multimodal.makeHeifHeader(
+              99, 77 + (id % 3).toInt, "heic1")
           }
           (id, bytes)
         }.toDF("doc_id", "payload")
       graft.multimodal.Multimodal.mediaMeta(s, bins)
         .orderBy("doc_id")
     },
-    Some("""WITH d AS (SELECT doc_id, doc_id % 6 AS k FROM documents WHERE doc_id < 300)
+    Some("""WITH d AS (SELECT doc_id, doc_id % 8 AS k FROM documents WHERE doc_id < 300)
             SELECT doc_id,
-              CASE WHEN k <= 3 THEN 'video' ELSE 'audio' END AS kind,
+              CASE WHEN k <= 3 THEN 'video'
+                   WHEN k IN (4, 5) THEN 'audio' ELSE 'image' END AS kind,
               CASE k WHEN 2 THEN 'mkv' WHEN 4 THEN 'ogg_vorbis'
-                     WHEN 5 THEN 'ogg_opus' ELSE 'webm' END AS format,
+                     WHEN 5 THEN 'ogg_opus' WHEN 6 THEN 'avif'
+                     WHEN 7 THEN 'heic' ELSE 'webm' END AS format,
               CAST(CASE WHEN k = 0 THEN 320 + doc_id % 5
                         WHEN k = 1 THEN 640
                         WHEN k = 2 THEN 100 + doc_id % 7
-                        WHEN k = 3 THEN 25 + doc_id % 3 END AS INTEGER) AS width,
+                        WHEN k = 3 THEN 25 + doc_id % 3
+                        WHEN k = 6 THEN 200 + doc_id % 5
+                        WHEN k = 7 THEN 99 END AS INTEGER) AS width,
               CAST(CASE WHEN k = 0 THEN 240 WHEN k = 1 THEN 360
-                        WHEN k = 2 THEN 80 WHEN k = 3 THEN 20 END AS INTEGER) AS height,
+                        WHEN k = 2 THEN 80 WHEN k = 3 THEN 20
+                        WHEN k = 6 THEN 150
+                        WHEN k = 7 THEN 77 + doc_id % 3 END AS INTEGER) AS height,
               CAST(NULL AS BIGINT) AS n_frames,
               CAST(CASE WHEN k = 1 THEN CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END
                         WHEN k = 4 THEN 8000 + (doc_id % 3) * 4000
@@ -5376,7 +5392,8 @@ object SparkEntry {
                         WHEN k = 5 THEN 2 END AS INTEGER) AS channels,
               CAST(CASE WHEN k = 4 THEN 1000 + doc_id % 9
                         WHEN k = 5 THEN 2000 + doc_id % 5 END AS BIGINT) AS n_samples,
-              CAST(NULL AS INTEGER) AS orientation
+              CAST(NULL AS INTEGER) AS orientation,
+              CAST(CASE WHEN k = 1 THEN 1500 + doc_id % 7 END AS BIGINT) AS duration_ms
             FROM d ORDER BY doc_id"""))
 
   /** Perceptual image hashing over JPEG payloads ([[graft.multimodal

@@ -2098,7 +2098,8 @@ object Multimodal {
     * runs before committing decode work).
     */
   private final case class Mp4Track(coding: String, w: Int, h: Int,
-      sizes: Array[Long], chunkOffs: Array[Long], runs: Seq[(Long, Long)])
+      sizes: Array[Long], chunkOffs: Array[Long], runs: Seq[(Long, Long)],
+      durationMs: Option[Long])
 
   private def mp4VideoTrack(bytes: Array[Byte]): Option[Mp4Track] = {
     def tag(off: Int): String =
@@ -2134,6 +2135,17 @@ object Multimodal {
     val top = boxes(0, bytes.length).getOrElse(return None)
     val (moovS, moovE) = child(top, "moov").getOrElse(return None)
     val moov = boxes(moovS, moovE).getOrElse(return None)
+    // mvhd: movie duration in timescale units (v0 u32 / v1 u64 fields)
+    val durationMs: Option[Long] = child(moov, "mvhd").flatMap { case (ms, me) =>
+      if (me - ms < 20) None
+      else if ((bytes(ms) & 0xff) == 0) {
+        val ts = u32(ms + 12); val d = u32(ms + 16)
+        if (ts > 0 && d > 0) Some(d * 1000 / ts) else None
+      } else if (me - ms >= 32) {
+        val ts = u32(ms + 20); val d = u64(ms + 24)
+        if (ts > 0 && d > 0) Some(d * 1000 / ts) else None
+      } else None
+    }
     // first trak whose mdia/hdlr declares the 'vide' handler
     val stblOpt = moov.collectFirst(Function.unlift {
       case ("trak", ts, te) =>
@@ -2200,7 +2212,7 @@ object Multimodal {
         if (nc <= 0 || nc > 4096 || cE - cS < 8 + 8L * nc) return None
         Array.tabulate(nc.toInt)(i => u64(cS + 8 + 8 * i))
     }
-    Some(Mp4Track(coding, w, h, sizes, chunkOffs, runs))
+    Some(Mp4Track(coding, w, h, sizes, chunkOffs, runs, durationMs))
   }
 
   /** ISO-BMFF (MP4 / QuickTime MOV) through the decoded-video gate
@@ -4822,7 +4834,7 @@ object Multimodal {
   final case class MediaMetaRow(doc_id: Long, kind: String, format: String,
       width: Option[Int], height: Option[Int], n_frames: Option[Long],
       sample_rate: Option[Int], channels: Option[Int], n_samples: Option[Long],
-      orientation: Option[Int])
+      orientation: Option[Int], duration_ms: Option[Long])
 
   private def pngDims(bytes: Array[Byte]): Option[(Int, Int)] = {
     if (bytes.length < 24 || !bytes.startsWith(PngSig)) return None
@@ -4999,12 +5011,108 @@ object Multimodal {
     }
   }
 
+  /** AVIF/HEIC pixel dimensions from the ISO-BMFF `meta` box (r17):
+    * `iprp/ipco` holds the property boxes, `ispe` carries the spatial
+    * extent, and `pitm` + `ipma` say which property belongs to the
+    * PRIMARY item — so a file whose thumbnail precedes its master
+    * image still reports the master's dims. Falls back to the first
+    * `ispe` when the association tables are absent. Header walk only;
+    * the AV1/HEVC payload stays outside the decode envelope.
+    */
+  private def heifDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    def tag(off: Int): String =
+      if (off >= 0 && off + 4 <= bytes.length)
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    def u16(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    if (bytes.length < 16 || tag(4) != "ftyp") return None
+    def boxes(start: Int, end: Int): Option[Seq[(String, Int, Int)]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var off = start
+      while (off < end) {
+        if (off + 8 > end || out.length >= 4096) return None
+        val sz = u32(off)
+        val size: Long = if (sz == 0L) (end - off).toLong else sz
+        if (size < 8 || off + size > end) return None
+        out += ((tag(off + 4), off + 8, (off + size).toInt))
+        off = (off + size).toInt
+      }
+      Some(out.toSeq)
+    }
+    val top = boxes(0, bytes.length).getOrElse(return None)
+    val (metaS, metaE) = top.collectFirst { case ("meta", s0, e0) => (s0, e0) }
+      .getOrElse(return None)
+    if (metaE - metaS < 4) return None
+    val kids = boxes(metaS + 4, metaE).getOrElse(return None) // meta is a FULL box
+    val primary: Option[Long] = kids.collectFirst { case ("pitm", s0, e0) => (s0, e0) }
+      .flatMap { case (s0, e0) =>
+        if (e0 - s0 < 6) None
+        else if ((bytes(s0) & 0xff) == 0) Some(u16(s0 + 4).toLong)
+        else if (e0 - s0 >= 8) Some(u32(s0 + 4))
+        else None
+      }
+    val (iprpS, iprpE) = kids.collectFirst { case ("iprp", s0, e0) => (s0, e0) }
+      .getOrElse(return None)
+    val iprp = boxes(iprpS, iprpE).getOrElse(return None)
+    val (ipcoS, ipcoE) = iprp.collectFirst { case ("ipco", s0, e0) => (s0, e0) }
+      .getOrElse(return None)
+    val props = boxes(ipcoS, ipcoE).getOrElse(return None) // 1-based property list
+    def ispeAt(idx: Int): Option[(Int, Int)] =
+      if (idx < 1 || idx > props.length) None
+      else props(idx - 1) match {
+        case ("ispe", s0, e0) if e0 - s0 >= 12 =>
+          val w = u32(s0 + 4); val h = u32(s0 + 8)
+          if (w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20))
+            Some((w.toInt, h.toInt))
+          else None
+        case _ => None
+      }
+    // primary item's associated ispe via ipma, when both tables exist
+    val associated: Option[(Int, Int)] = for {
+      pid <- primary
+      (maS, maE) <- iprp.collectFirst { case ("ipma", s0, e0) => (s0, e0) }
+      if maE - maS >= 8
+      dims <- {
+        val version = bytes(maS) & 0xff
+        val wideIdx = (bytes(maS + 3) & 1) != 0
+        val n = u32(maS + 4)
+        var off = maS + 8
+        var found: Option[(Int, Int)] = None
+        var i = 0L
+        while (i < n && found.isEmpty && off < maE) {
+          val itemId =
+            if (version < 1) { val v = u16(off).toLong; off += 2; v }
+            else { val v = u32(off); off += 4; v }
+          if (off >= maE) return None
+          val cnt = bytes(off) & 0xff
+          off += 1
+          var a = 0
+          while (a < cnt && off < maE) {
+            val idx =
+              if (wideIdx) { val v = u16(off) & 0x7fff; off += 2; v }
+              else { val v = bytes(off) & 0x7f; off += 1; v }
+            if (itemId == pid && found.isEmpty) found = ispeAt(idx)
+            a += 1
+          }
+          i += 1
+        }
+        found
+      }
+    } yield dims
+    associated.orElse(props.zipWithIndex.collectFirst {
+      case (("ispe", _, _), i) => ispeAt(i + 1)
+    }.flatten)
+  }
+
   /** GIF logical screen + image-descriptor count by LENGTH-walking the
     * block structure (sub-block sizes, color-table flags) — the LZW
     * streams are skipped, never decoded. (w, h, n_frames); None only
     * for a malformed walk, so a zero-frame GIF reports honestly.
     */
-  private def gifMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+  private def gifMeta(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] = {
     if (bytes.length < 14) return None
     val w = le16(bytes, 6); val h = le16(bytes, 8)
     if (w <= 0 || h <= 0) return None
@@ -5012,6 +5120,7 @@ object Multimodal {
     val gctFlag = (bytes(10) & 0x80) != 0
     if (gctFlag) off += 3 << ((bytes(10) & 7) + 1)
     var frames = 0L
+    var delayCs = 0L // summed Graphic Control Extension delays
     def skipSubBlocks(): Boolean = {
       while (off < bytes.length && bytes(off) != 0) {
         off += 1 + (bytes(off) & 0xff)
@@ -5020,8 +5129,13 @@ object Multimodal {
     }
     while (off < bytes.length) {
       (bytes(off) & 0xff) match {
-        case 0x3b => return Some((w, h, frames))
+        case 0x3b => return Some((w, h, frames, delayCs))
         case 0x21 =>
+          // GCE (label 0xf9): first sub-block carries the frame delay
+          // in centiseconds at +1 — read it, then length-skip as usual
+          if (off + 1 < bytes.length && (bytes(off + 1) & 0xff) == 0xf9 &&
+              off + 7 < bytes.length && (bytes(off + 2) & 0xff) >= 4)
+            delayCs += le16(bytes, off + 4)
           off += 2
           if (!skipSubBlocks()) return None
         case 0x2c =>
@@ -5037,12 +5151,12 @@ object Multimodal {
         case _ => return None
       }
     }
-    Some((w, h, frames)) // missing trailer: tolerated at META level
+    Some((w, h, frames, delayCs)) // missing trailer: tolerated at META level
   }
 
   /** AVI header facts from hdrl alone — avih canvas + dwTotalFrames;
     * the movi list is never touched. */
-  private def aviMeta(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+  private def aviMeta(bytes: Array[Byte]): Option[(Int, Int, Long, Option[Long])] = {
     def tag(off: Int): String =
       if (off + 4 <= bytes.length)
         new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -5063,10 +5177,13 @@ object Multimodal {
           val ssz = le32(bytes, p + 4)
           if (ssz < 0 || p + 8 + ssz.toLong > end) return None
           if (sck == "avih" && ssz >= 40) {
+            val usPerFrame = le32(bytes, p + 8) & 0xffffffffL
             val frames = le32(bytes, p + 8 + 16) & 0xffffffffL
             val w = le32(bytes, p + 8 + 32)
             val h = le32(bytes, p + 8 + 36)
-            return if (w <= 0 || h <= 0) None else Some((w, h, frames))
+            val durMs = if (usPerFrame > 0 && frames > 0)
+              Some(usPerFrame * frames / 1000) else None
+            return if (w <= 0 || h <= 0) None else Some((w, h, frames, durMs))
           }
           p += 8 + ssz + (ssz & 1)
         }
@@ -5251,7 +5368,7 @@ object Multimodal {
     * Channels}); everything else is skipped by size.
     */
   private def ebmlMeta(bytes: Array[Byte]): Option[(String, Option[(Int, Int)],
-      Option[(Int, Int)])] = {
+      Option[(Int, Int)], Option[Long])] = {
     val n = bytes.length
     // (value, lengthInBytes); keepMarker for IDs, clear it for sizes
     def varint(off: Int, keepMarker: Boolean): Option[(Long, Int)] = {
@@ -5300,6 +5417,8 @@ object Multimodal {
     var docType = "ebml"
     var video: Option[(Int, Int)] = None
     var audio: Option[(Int, Int)] = None
+    var tcScale = 1000000L // EBML default: timecodes in microseconds
+    var durationTc = -1.0
     top.foreach {
       case (0x1a45dfa3L, cs, ce) =>
         elems(cs, ce).foreach {
@@ -5310,6 +5429,14 @@ object Multimodal {
         }
       case (0x18538067L, cs, ce) => // Segment
         elems(cs, ce).foreach {
+          case (0x1549a966L, is, ie) => // Info
+            elems(is, ie).foreach {
+              case (0x2ad7b1L, s2, e2) => tcScale = uintAt(s2, e2 - s2)
+              case (0x4489L, s2, e2) =>
+                val d = floatAt(s2, e2 - s2)
+                if (d > 0) durationTc = d
+              case _ => ()
+            }
           case (0x1654ae6bL, ts, te) => // Tracks
             elems(ts, te).foreach {
               case (0xaeL, es, ee) => // TrackEntry
@@ -5340,7 +5467,11 @@ object Multimodal {
         }
       case _ => ()
     }
-    Some((docType, video, audio))
+    val durationMs =
+      if (durationTc > 0 && tcScale > 0)
+        Some(math.round(durationTc * tcScale / 1e6))
+      else None
+    Some((docType, video, audio, durationMs))
   }
 
   /** Ogg header facts: (codec, sample_rate, channels, n_samples) from
@@ -5398,16 +5529,16 @@ object Multimodal {
     */
   private[graft] def metaOf(id: Long, bytes: Array[Byte]): MediaMetaRow = {
     def none = MediaMetaRow(id, "unknown", "unknown",
-      None, None, None, None, None, None, None)
+      None, None, None, None, None, None, None, None)
     val af = audioFormatOf(bytes)
     if (af == "ogg") {
       // refine the container sniff to the codec the id packet declares
       return oggMeta(bytes) match {
         case Some((codec, rate, ch, ns)) =>
           MediaMetaRow(id, "audio", codec, None, None, None,
-            Some(rate), Some(ch), ns, None)
+            Some(rate), Some(ch), ns, None, None)
         case None => MediaMetaRow(id, "audio", "ogg",
-          None, None, None, None, None, None, None)
+          None, None, None, None, None, None, None, None)
       }
     }
     if (af != "unknown") {
@@ -5445,23 +5576,32 @@ object Multimodal {
         }
         case _ => (None, None, None)
       }
-      return MediaMetaRow(id, "audio", af, None, None, None, rate, ch, n, None)
+      return MediaMetaRow(id, "audio", af, None, None, None, rate, ch, n, None, None)
+    }
+    imageFormatOf(bytes) match {
+      // the image ftyp brands would otherwise sniff as mp4 below
+      case f @ ("avif" | "heic") =>
+        val d = heifDims(bytes)
+        return MediaMetaRow(id, "image", f, d.map(_._1), d.map(_._2),
+          None, None, None, None, None, None)
+      case _ => ()
     }
     videoFormatOf(bytes) match {
       case "avi" =>
         val m = aviMeta(bytes)
         return MediaMetaRow(id, "video", "avi",
-          m.map(_._1), m.map(_._2), m.map(_._3), None, None, None, None)
+          m.map(_._1), m.map(_._2), m.map(_._3), None, None, None, None,
+          m.flatMap(_._4))
       case f @ ("mp4" | "mov" | "isobmff") =>
         val t = mp4VideoTrack(bytes)
         return MediaMetaRow(id, "video", f,
           t.map(_.w), t.map(_.h), t.map(_.sizes.length.toLong),
-          None, None, None, None)
+          None, None, None, None, t.flatMap(_.durationMs))
       case "ebml" =>
         // refine to the DocType and report track facts when present —
         // a muxed webm carries BOTH video dims and audio rate/channels
         return ebmlMeta(bytes) match {
-          case Some((doc, video, audio)) =>
+          case Some((doc, video, audio, dur)) =>
             val fmt = doc match {
               case "webm" => "webm"
               case "matroska" => "mkv"
@@ -5469,20 +5609,21 @@ object Multimodal {
             }
             MediaMetaRow(id, "video", fmt,
               video.map(_._1), video.map(_._2), None,
-              audio.map(_._1), audio.map(_._2), None, None)
+              audio.map(_._1), audio.map(_._2), None, None, dur)
           case None => MediaMetaRow(id, "video", "ebml",
-            None, None, None, None, None, None, None)
+            None, None, None, None, None, None, None, None)
         }
       case _ => ()
     }
     imageFormatOf(bytes) match {
       case "gif" =>
         gifMeta(bytes) match {
-          case Some((w, h, f)) =>
+          case Some((w, h, f, delayCs)) =>
             MediaMetaRow(id, if (f >= 2) "video" else "image", "gif",
-              Some(w), Some(h), Some(f), None, None, None, None)
+              Some(w), Some(h), Some(f), None, None, None, None,
+              if (delayCs > 0) Some(delayCs * 10) else None)
           case None => MediaMetaRow(id, "image", "gif",
-            None, None, None, None, None, None, None)
+            None, None, None, None, None, None, None, None)
         }
       case f @ ("bmp" | "png" | "jpeg" | "tiff" | "webp") =>
         val d = f match {
@@ -5494,10 +5635,8 @@ object Multimodal {
         }
         MediaMetaRow(id, "image", f, d.map(_._1), d.map(_._2),
           None, None, None, None,
-          if (f == "jpeg") jpegExifOrientation(bytes) else None)
-      case f @ ("avif" | "heic") => // meta-box dims walk: out of scope
-        MediaMetaRow(id, "image", f, None, None, None, None, None, None, None)
-      case _ => none
+          if (f == "jpeg") jpegExifOrientation(bytes) else None, None)
+      case _ => none // avif/heic already returned above
     }
   }
 
@@ -5578,12 +5717,14 @@ object Multimodal {
     */
   def makeWebm(w: Int, h: Int, docType: String = "webm",
                audioRate: Int = 0, audioCh: Int = 0,
-               unknownSegmentSize: Boolean = false): Array[Byte] = {
+               unknownSegmentSize: Boolean = false,
+               durationMs: Int = 0): Array[Byte] = {
     require(w > 0 && h > 0 && w < 65536 && h < 65536, s"fixture dims $w x $h")
     def el(id: Long, content: Array[Byte]): Array[Byte] = {
       val idBytes =
         if (id <= 0xffL) Array(id.toByte)
         else if (id <= 0xffffL) Array((id >> 8).toByte, id.toByte)
+        else if (id <= 0xffffffL) Array((id >> 16).toByte, (id >> 8).toByte, id.toByte)
         else Array((id >> 24).toByte, (id >> 16).toByte, (id >> 8).toByte, id.toByte)
       require(content.length < (1 << 14))
       val szBytes = Array((0x40 | (content.length >> 8)).toByte, content.length.toByte)
@@ -5605,11 +5746,22 @@ object Multimodal {
             (bits >> 8).toByte, bits.toByte)
         }) ++ el(0x9fL, Array(audioCh.toByte))))
     val tracks = el(0x1654ae6bL, videoEntry ++ audioEntry)
+    val info =
+      if (durationMs <= 0) Array.empty[Byte]
+      else el(0x1549a966L,
+        // TimecodeScale 1e6 ns => 1 timecode unit = 1 ms
+        el(0x2ad7b1L, Array(0x0f.toByte, 0x42.toByte, 0x40.toByte)) ++
+        el(0x4489L, {
+          val bits = java.lang.Float.floatToIntBits(durationMs.toFloat)
+          Array((bits >> 24).toByte, (bits >> 16).toByte,
+            (bits >> 8).toByte, bits.toByte)
+        }))
+    val body = info ++ tracks
     val segment =
       if (unknownSegmentSize) {
         val idB = Array(0x18.toByte, 0x53.toByte, 0x80.toByte, 0x67.toByte)
-        idB ++ Array(0xff.toByte) ++ tracks // 1-byte all-ones size: unknown
-      } else el(0x18538067L, tracks)
+        idB ++ Array(0xff.toByte) ++ body // 1-byte all-ones size: unknown
+      } else el(0x18538067L, body)
     ebmlHeader ++ segment
   }
 
@@ -5661,6 +5813,49 @@ object Multimodal {
       }
     val junk = Array.tabulate(40)(i => ((seed + i) % 251).toByte)
     page(0L, 0, 2, idPacket) ++ page(nSamples, 1, 4, junk)
+  }
+
+  /** Fixture/test writer for AVIF/HEIC metadata headers: ftyp + a
+    * `meta` full box holding pitm (primary item 1), iprp/ipco with an
+    * optional THUMBNAIL ispe ahead of the primary ispe, and an ipma
+    * associating item 1 with the primary property — so a correct
+    * reader must follow the association, not grab the first ispe.
+    * Header-only (no AV1/HEVC payload), which is exactly what the
+    * metadata walk reads and the decode tier refuses.
+    */
+  def makeHeifHeader(w: Int, h: Int, brand: String = "avif",
+                     thumbW: Int = 0, thumbH: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w < (1 << 20) && h < (1 << 20))
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def asc(t: String): Array[Byte] =
+      t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(t: String, content: Array[Byte]*): Array[Byte] = {
+      val body = content.flatten.toArray
+      be32(8L + body.length) ++ asc(t) ++ body
+    }
+    val ftyp = box("ftyp", asc(brand), be32(0), asc(brand))
+    def ispe(iw: Int, ih: Int): Array[Byte] =
+      box("ispe", be32(0), be32(iw.toLong), be32(ih.toLong))
+    val withThumb = thumbW > 0 && thumbH > 0
+    val ipco =
+      if (withThumb) box("ipco", ispe(thumbW, thumbH), ispe(w, h))
+      else box("ipco", ispe(w, h))
+    val primaryIdx = if (withThumb) 2 else 1
+    val ipmaEntries = // item 1 -> primary ispe; thumb item 2 -> ispe 1
+      if (withThumb)
+        be32(2) ++ be16(1) ++ Array(1.toByte, primaryIdx.toByte) ++
+          be16(2) ++ Array(1.toByte, 1.toByte)
+      else be32(1) ++ be16(1) ++ Array(1.toByte, primaryIdx.toByte)
+    val ipma = box("ipma", be32(0), ipmaEntries)
+    val iprp = box("iprp", ipco, ipma)
+    val pitm = box("pitm", be32(0), be16(1))
+    val hdlr = box("hdlr", be32(0), be32(0), asc("pict"),
+      Array.fill(12)(0.toByte), Array(0.toByte))
+    val meta = box("meta", be32(0), hdlr, pitm, iprp)
+    ftyp ++ meta
   }
 
   /** Decode/feature-extract over the binary column. `mapPartitions` is the

@@ -1909,6 +1909,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(m(bad).orientation.isEmpty)
   }
 
+  test("metaOf: durations — GIF delays, AVI rate, mvhd, webm Info") {
+    def m(b: Array[Byte]) = Multimodal.metaOf(1L, b)
+    // animated GIF: sum of GCE delays (4 cs per frame in the fixture)
+    val anim = m(Multimodal.makeGifAnimated(12, 8, 1L, 5))
+    assert(anim.duration_ms === Some(5L * 40))
+    // a still GIF has no GCE: no duration, not zero
+    assert(m(Multimodal.makeGif(12, 8, 1L)).duration_ms.isEmpty)
+    // AVI: dwMicroSecPerFrame (100000 in the fixture) x dwTotalFrames
+    val avi = m(Multimodal.makeAviMjpeg(16, 16, 1L, 4))
+    assert(avi.duration_ms === Some(400L))
+    // MP4: mvhd duration/timescale (fixture: frames*100 at 1000)
+    val mp4 = m(Multimodal.makeMp4Mjpeg(16, 16, 1L, 3))
+    assert(mp4.duration_ms === Some(300L))
+    // webm: Info TimecodeScale(1e6 ns) x Duration(float)
+    val webm = m(Multimodal.makeWebm(320, 240, durationMs = 2345))
+    assert(webm.duration_ms === Some(2345L) && webm.width === Some(320))
+    // no Info element -> no duration
+    assert(m(Multimodal.makeWebm(320, 240)).duration_ms.isEmpty)
+  }
+
+  test("metaOf: AVIF/HEIC dims via the ispe property association") {
+    def m(b: Array[Byte]) = Multimodal.metaOf(1L, b)
+    val plainAvif = m(Multimodal.makeHeifHeader(800, 600))
+    assert(plainAvif.kind === "image" && plainAvif.format === "avif" &&
+      plainAvif.width === Some(800) && plainAvif.height === Some(600))
+    // the thumbnail ispe precedes the primary in ipco: a reader that
+    // grabs the FIRST property would report 32x24 — pitm+ipma must win
+    val thumbed = m(Multimodal.makeHeifHeader(800, 600, thumbW = 32, thumbH = 24))
+    assert(thumbed.width === Some(800) && thumbed.height === Some(600))
+    val heic = m(Multimodal.makeHeifHeader(123, 45, brand = "heic1"))
+    assert(heic.format === "heic" && heic.width === Some(123) && heic.height === Some(45))
+    // a bare ftyp-avif stub stays dimension-less, never a guess
+    val stub = Array[Byte](0, 0, 0, 24) ++ "ftypavif".getBytes("US-ASCII") ++
+      new Array[Byte](16)
+    val sm = m(stub)
+    assert(sm.format === "avif" && sm.width.isEmpty)
+  }
+
   test("imageFormatOf/imageCoverage: the measured image boundary per corpus") {
     import spark.implicits._
     assert(Multimodal.imageFormatOf(Multimodal.makeBmp(4, 4, 1)) === "bmp")
