@@ -296,7 +296,7 @@ object Bench {
          "q_audio_fingerprint_msadpcm" |
          "q_audio_fingerprint_au" | "q_audio_fingerprint_aiff" |
          "q_audio_coverage" | "q_image_coverage" | "q_image_ahash_tiff" |
-         "q_image_ahash_tiff_c" |
+         "q_image_ahash_tiff_c" | "q_image_ahash_tiff_j" |
          "q_audio_spectral" |
          "q_png_decode" | "q_png_alpha" | "q_png_16bit" | "q_png_interlaced" |
          "q_gif_decode" | "q_jpeg_decode" | "q_jpeg_progressive" |

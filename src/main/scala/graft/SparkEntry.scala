@@ -4489,6 +4489,48 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
             FROM hs ORDER BY doc_id"""))
 
+  /** JPEG-in-TIFF through the perceptual-hash gate (compression 7 —
+    * r17): each strip of the TIFF is a COMPLETE grayscale DC-only JPEG
+    * ([[graft.multimodal.Multimodal.makeTiffJpeg]], strip seed
+    * id + s·23) decoded by the SAME entropy path as q_image_ahash_jpeg
+    * and stitched by the SAME strip walk as q_image_ahash_tiff — so
+    * the oracle is pure block law: aHash cell (i, j) of the 64×64
+    * canvas IS strip i/2's JPEG block (i mod 2, j), and endianness /
+    * strip geometry / JPEG coefficients are all absent from the SQL.
+    * Color YCbCr TIFFs and shared JPEGTables stay outside (measured
+    * boundary), spec-pinned.
+    */
+  private val qImageAHashTiffJ = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 150)
+        .map(id => (id, graft.multimodal.Multimodal.makeTiffJpeg(
+          64, 64, 16, id, bigEndian = id % 2 == 1)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imageAHashes(s, bins).orderBy("doc_id")
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+            blk AS (SELECT doc_id, br.bi AS bi, bc.bj AS bj,
+                           ((doc_id + (br.bi // 2) * 23 + (br.bi % 2) * 7
+                             + bc.bj * 31) % 200) + 28 AS v
+                    FROM ids
+                    JOIN generate_series(0, 7) br(bi) ON TRUE
+                    JOIN generate_series(0, 7) bc(bj) ON TRUE),
+            tot AS (SELECT doc_id, SUM(v) AS total FROM blk GROUP BY 1),
+            bits AS (SELECT b.doc_id, bi, bj,
+                            CASE WHEN b.v * 64 >= t.total THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id)),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY 1)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
+            FROM hs ORDER BY doc_id"""))
+
   /** TIFF through the perceptual-hash gate ([[graft.multimodal
     * .Multimodal.tiffGrayGrid]] via `imageAHashes` — VERDICT r16 #3):
     * baseline uncompressed TIFF across the container's degrees of
@@ -10434,6 +10476,7 @@ object SparkEntry {
     "q_media_meta_containers" -> qMediaMetaContainers,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_ahash_tiff" -> qImageAHashTiff,
+    "q_image_ahash_tiff_j" -> qImageAHashTiffJ,
     "q_image_ahash_tiff_c" -> qImageAHashTiffC,
     "q_image_coverage" -> qImageCoverage,
     "q_image_neardup" -> qImageNearDup,

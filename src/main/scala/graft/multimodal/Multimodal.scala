@@ -3308,10 +3308,12 @@ object Multimodal {
   // pseudocode), 8/32946 (Deflate via the JDK inflater PNG already
   // uses) and 32773 (PackBits RLE) all decode; r17 — every one is an
   // ALGORITHM, not a normative constant table, so the zero-egress
-  // envelope covers them. Anything outside (CCITT/JPEG-in-TIFF
-  // compression, planar config 2, 16-bit samples, tiles) returns None
-  // → the stub, and the boundary is measured per corpus by
-  // [[imageCoverage]].
+  // envelope covers them. Compression 7 (new-style JPEG) decodes too
+  // for GRAYSCALE strips — each strip is a complete JPEG through the
+  // existing entropy decoder. Anything outside (CCITT, color
+  // JPEG-in-TIFF, shared JPEGTables, planar config 2, 16-bit samples,
+  // tiles) returns None → the stub, and the boundary is measured per
+  // corpus by [[imageCoverage]].
 
   /** Decode a TIFF LZW strip into exactly `expected` bytes. TIFF's LZW
     * differs from GIF's ([[lzwDecode]]) in three pinned ways: 8-bit
@@ -3600,10 +3602,12 @@ object Multimodal {
     }
     val needed = Set(256, 257, 258, 259, 262, 273, 277, 278, 279, 317)
     var tags = Map.empty[Int, Array[Long]]
+    var hasJpegTables = false
     var e = 0
     while (e < nEntries) {
       val entryOff = ifdOff.toInt + 2 + 12 * e
       val tag = u16(entryOff)
+      if (tag == 347) hasJpegTables = true // JPEGTables: abbreviated streams
       // unknown tags are legal and skipped; a needed tag must parse
       if (needed.contains(tag)) {
         values(entryOff) match {
@@ -3624,10 +3628,19 @@ object Multimodal {
     // 1<<14 sanity bound: a lying directory must not drive a huge walk
     if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
     if (compression != 1 && compression != 5 && compression != 8 &&
-        compression != 32946 && compression != 32773) return None
+        compression != 32946 && compression != 32773 &&
+        compression != 7) return None
     if (predictor != 1 && predictor != 2) return None
     if (!((spp == 1 && (photometric == 0 || photometric == 1)) ||
           (spp == 3 && photometric == 2))) return None
+    // JPEG-in-TIFF (new-style, compression 7): each strip is a COMPLETE
+    // grayscale baseline/progressive JPEG through the existing entropy
+    // decoder. Color YCbCr TIFFs, shared JPEGTables (abbreviated
+    // streams) and predictor variants stay outside — sniffed into the
+    // measured boundary, never guessed.
+    if (compression == 7 &&
+        (spp != 1 || photometric != 1 || predictor != 1 || hasJpegTables))
+      return None
     val bits = tags.getOrElse(258, Array(8L))
     if (bits.length != spp || bits.exists(_ != 8L)) return None
     val rps0 = first(278, 0xffffffffL) // spec default: all rows, one strip
@@ -3660,6 +3673,15 @@ object Multimodal {
           val dec = compression match {
             case 5 => tiffLzwDecode(comp, need)
             case 32773 => packBitsDecode(comp, need)
+            case 7 => jpegGrayGrid(comp) match {
+              // the strip JPEG must declare exactly this strip's canvas
+              case Some((jw, jh, g)) if jw == w && jh == rowsHere =>
+                val b = new Array[Byte](need)
+                var i = 0
+                while (i < need) { b(i) = g(i).toByte; i += 1 }
+                Some(b)
+              case _ => None
+            }
             case _ => zlibDecode(comp, need) // 8 / legacy 32946
           }
           dec match { case Some(d) => d; case None => return None }
@@ -3852,10 +3874,86 @@ object Multimodal {
     out
   }
 
+  /** Fixture/test writer for JPEG-in-TIFF (new-style, compression 7):
+    * grayscale, `h / rps` strips, strip s a COMPLETE [[makeJpeg]]
+    * grayscale fixture of `w × rps` with seed `seed + s·23` — so the
+    * stitched image's gray grid replays the DC-block closed form per
+    * strip and the oracle needs no JPEG machinery beyond the law.
+    * Dimensions and rps must be JPEG-legal (multiples of 8, rps | h).
+    */
+  def makeTiffJpeg(w: Int, h: Int, rps: Int, seed: Long,
+                   bigEndian: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0 &&
+      rps > 0 && rps % 8 == 0 && h % rps == 0 && w <= 256 && rps <= 256,
+      s"fixture shape $w x $h rps=$rps")
+    val nStrips = h / rps
+    val strips = Array.tabulate(nStrips)(s =>
+      makeJpeg(w, rps, seed + s * 23L, gray = true))
+    val dataLen = strips.map(_.length).sum
+    val nEntries = 9
+    val ifdOff = 8 + dataLen
+    val soOff = ifdOff + 2 + nEntries * 12 + 4
+    val arrLen = if (nStrips > 1) 4 * nStrips else 0
+    val scOff = soOff + arrLen
+    val out = new Array[Byte](scOff + arrLen)
+    def putU16(off: Int, v: Int): Unit =
+      if (bigEndian) { out(off) = (v >> 8).toByte; out(off + 1) = v.toByte }
+      else { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte }
+    def putU32(off: Int, v: Int): Unit =
+      if (bigEndian) {
+        out(off) = (v >> 24).toByte; out(off + 1) = (v >> 16).toByte
+        out(off + 2) = (v >> 8).toByte; out(off + 3) = v.toByte
+      } else {
+        out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+        out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+      }
+    out(0) = (if (bigEndian) 'M' else 'I').toByte
+    out(1) = out(0)
+    putU16(2, 42)
+    putU32(4, ifdOff)
+    val stripOffs = new Array[Int](nStrips)
+    var dataOff = 8
+    var si = 0
+    while (si < nStrips) {
+      stripOffs(si) = dataOff
+      System.arraycopy(strips(si), 0, out, dataOff, strips(si).length)
+      dataOff += strips(si).length
+      si += 1
+    }
+    putU16(ifdOff, nEntries)
+    var e = 0
+    def entry(tag: Int, typ: Int, count: Int)(writeValue: Int => Unit): Unit = {
+      val off = ifdOff + 2 + e * 12
+      putU16(off, tag); putU16(off + 2, typ); putU32(off + 4, count)
+      writeValue(off + 8)
+      e += 1
+    }
+    entry(256, 3, 1)(putU16(_, w))
+    entry(257, 3, 1)(putU16(_, h))
+    entry(258, 3, 1)(putU16(_, 8))
+    entry(259, 3, 1)(putU16(_, 7)) // new-style JPEG
+    entry(262, 3, 1)(putU16(_, 1)) // BlackIsZero
+    if (nStrips > 1) {
+      entry(273, 4, nStrips)(putU32(_, soOff))
+      var s = 0
+      while (s < nStrips) {
+        putU32(soOff + 4 * s, stripOffs(s))
+        putU32(scOff + 4 * s, strips(s).length)
+        s += 1
+      }
+    } else entry(273, 4, 1)(putU32(_, 8))
+    entry(277, 3, 1)(putU16(_, 1))
+    entry(278, 3, 1)(putU16(_, rps))
+    if (nStrips > 1) entry(279, 4, nStrips)(putU32(_, scOff))
+    else entry(279, 4, 1)(putU32(_, strips(0).length))
+    out
+  }
+
   /** Decode dispatch: real parse for the formats a pure-JVM reader can
     * own (BMP, WAV PCM + G.711 + ADPCM, PNG incl. alpha/16-bit, GIF,
     * baseline + progressive JPEG, FLAC, baseline TIFF incl. LZW/
-    * Deflate/PackBits strips), [[decodeStub]] for everything else —
+    * Deflate/PackBits/gray-JPEG strips), [[decodeStub]] for everything
+    * else —
     * the envelope COVERAGE.md
     * documents and [[imageCoverage]]/[[audioCoverage]] measure.
     */

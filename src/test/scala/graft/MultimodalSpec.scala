@@ -1947,6 +1947,46 @@ class MultimodalSpec extends SparkTestBase {
     assert(sm.format === "avif" && sm.width.isEmpty)
   }
 
+  test("tiffDecode: JPEG-in-TIFF strips ride the existing entropy path") {
+    // one strip == a standalone gray JPEG: the TIFF hash must equal
+    // 	the image hash of that JPEG (gray scale factors cancel in aHash)
+    val one = Multimodal.makeTiffJpeg(64, 64, 64, 9L)
+    assert(Multimodal.imageAHash(one) ===
+      Multimodal.imageAHash(Multimodal.makeJpeg(64, 64, 9L, gray = true)))
+    // multi-strip: stitched grid, byte order invariant
+    val le = Multimodal.makeTiffJpeg(64, 64, 16, 9L)
+    val be = Multimodal.makeTiffJpeg(64, 64, 16, 9L, bigEndian = true)
+    assert(Multimodal.imageAHash(le).isDefined)
+    assert(Multimodal.imageAHash(le) === Multimodal.imageAHash(be))
+    // decode dispatch reports a real tiff parse, not the stub
+    assert(Multimodal.decode(1L, le).format === "tiff")
+    // a corrupt strip poisons the image (SOI of strip 1 clobbered —
+    // strip 0 still decodes, so a partial lie would hash)
+    val bad = Multimodal.makeTiffJpeg(64, 64, 16, 9L)
+    // find the SECOND JPEG SOI (strips start at byte 8; strip 1 starts
+    // right after strip 0 — scan for FF D8 after offset 9)
+    var soi2 = -1
+    var i = 9
+    while (soi2 < 0 && i < bad.length - 1) {
+      if ((bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xd8) soi2 = i
+      i += 1
+    }
+    assert(soi2 > 8)
+    bad(soi2 + 1) = 0x00
+    assert(Multimodal.imageAHash(bad).isEmpty)
+    // a strip JPEG whose dims disagree with the declared strip poisons
+    // (wrong rps: strips are 16 rows but the JPEG says 64)
+    // JPEGTables presence (abbreviated streams) is outside the envelope:
+    // splice a 347 entry is structural — covered by the spp/photometric
+    // gates in ImageCoverage; here pin the color-JPEG reject instead
+    // by checking imageCoverage counts a compression-7 tiff as hashed
+    import spark.implicits._
+    val cov = Multimodal.imageCoverage(spark,
+      Seq((1L, le)).toDF("doc_id", "payload")).collect()
+    assert(cov.length === 1 && cov(0).getString(0) === "tiff" &&
+      cov(0).getLong(2) === 1L)
+  }
+
   test("imageFormatOf/imageCoverage: the measured image boundary per corpus") {
     import spark.implicits._
     assert(Multimodal.imageFormatOf(Multimodal.makeBmp(4, 4, 1)) === "bmp")
