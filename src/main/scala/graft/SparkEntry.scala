@@ -9518,6 +9518,61 @@ object SparkEntry {
     * q_stream_audio_dedup's oracle verbatim (indexed ≡ flat by the
     * stored-blocking contract).
     */
+  /** Streaming media METADATA at ingest ([[graft.streaming
+    * .MetaIngest]] — r17): one header peek per payload per micro-batch
+    * (no decode), full metadata rows landing exactly-once, and the
+    * ADMISSION gate applied at arrival — images/videos below 6×5 and
+    * audio under 8 kHz never reach a decode tier. Five payload classes
+    * straddle every gate edge: PNGs whose width sweeps across the
+    * threshold, WAVs alternating 4/12 kHz, always-admitted 16×16 MP4s,
+    * always-rejected 4×4 animated GIFs, and junk (unknown never
+    * passes). The oracle replays the class arithmetic AND the
+    * admission predicate through the streaming engine and the store
+    * round trip.
+    */
+  private val qStreamMediaMeta = Q(
+    (s, dir) => {
+      import s.implicits._
+      val tmp = scratchDir("graft_stream_meta")
+      val metaPath = tmp.resolve("meta").toString
+      val keptPath = tmp.resolve("kept").toString
+      val ckpt = tmp.resolve("ckpt").toString
+      val stream = Tables.readTableStream(s, dir, "documents")
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val bytes = (id % 5) match {
+            case 0 => graft.multimodal.Multimodal.makePng(
+              4 + (id % 6).toInt, 8, id)
+            case 1 => graft.multimodal.Multimodal.makeWav(
+              100, 1, if (id % 2 == 0) 4000 else 12000, id)
+            case 2 => graft.multimodal.Multimodal.makeMp4Mjpeg(16, 16, id, 2)
+            case 3 => graft.multimodal.Multimodal.makeGifAnimated(4, 4, id, 2)
+            case _ => Array.fill(12)(7.toByte)
+          }
+          (id, bytes)
+        }
+        .toDF("doc_id", "payload")
+      val q = graft.streaming.MetaIngest.start(
+        s, stream, metaPath, keptPath, ckpt,
+        minWidth = 6, minHeight = 5, minSampleRate = 8000)
+      q.awaitTermination()
+      s.read.parquet(keptPath)
+        .select(col("doc_id"), col("kind"), col("format"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 5 AS k FROM documents WHERE doc_id < 400)
+            SELECT doc_id,
+                   CASE WHEN k = 0 THEN 'image'
+                        WHEN k = 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'wav_pcm16'
+                          ELSE 'mp4' END AS format
+            FROM d
+            WHERE (k = 0 AND doc_id % 6 >= 2)
+               OR (k = 1 AND doc_id % 2 = 1)
+               OR k = 2
+            ORDER BY doc_id"""))
+
   private val qStreamAudioDedupSteady = Q(
     (s, dir) => {
       import s.implicits._
@@ -10637,6 +10692,7 @@ object SparkEntry {
     "q_stream_image_dedup_steady" -> qStreamImageDedupSteady,
     "q_stream_audio_dedup" -> qStreamAudioDedup,
     "q_stream_audio_dedup_steady" -> qStreamAudioDedupSteady,
+    "q_stream_media_meta" -> qStreamMediaMeta,
     "q_stream_bm25_ingest" -> qStreamBm25Ingest,
     "q_dup_spans_removed" -> qDupSpansRemoved,
     "q_multi_phrase" -> qMultiPhrase,

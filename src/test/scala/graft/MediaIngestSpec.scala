@@ -222,4 +222,56 @@ class MediaIngestSpec extends SparkTestBase {
     assert(graft.dedup.NearDup.compactSimHashIndex(spark, idx2, upTo = 2L) === 0,
       "a fold-only store must no-op, never self-fold")
   }
+
+  test("MetaIngest: gate at arrival — split-invariant, retry-idempotent, edges exact") {
+    import spark.implicits._
+    import graft.streaming.MetaIngest
+    // classes straddling every admission edge (minW=6, minH=5, 8 kHz)
+    val docs = (0L until 50L).map { id =>
+      val bytes = (id % 5) match {
+        case 0 => Multimodal.makePng(4 + (id % 6).toInt, 8, id) // width sweep
+        case 1 => Multimodal.makeWav(50, 1, if (id % 2 == 0) 4000 else 12000, id)
+        case 2 => Multimodal.makeMp4Mjpeg(16, 16, id, 2)        // always kept
+        case 3 => Multimodal.makeGifAnimated(4, 4, id, 2)       // always dropped
+        case _ => Array.fill(12)(7.toByte)                      // unknown: dropped
+      }
+      (id, bytes)
+    }.toDF("doc_id", "payload")
+    val want = (0L until 50L).filter { id =>
+      (id % 5 == 0 && id % 6 >= 2) || (id % 5 == 1 && id % 2 == 1) || id % 5 == 2
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("meta_ingest_spec")
+    val srcDir = tmp.resolve("src").toString
+    docs.repartition(4).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = MetaIngest.start(spark, stream,
+      tmp.resolve("meta").toString, tmp.resolve("kept").toString,
+      tmp.resolve("ckpt").toString,
+      minWidth = 6, minHeight = 5, minSampleRate = 8000)
+    q.awaitTermination()
+    val kept = spark.read.parquet(tmp.resolve("kept").toString)
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === want,
+      "kept set must equal the closed-form admission set across any split")
+    // the full metadata table holds EVERY doc once, admitted or not
+    val meta = spark.read.parquet(tmp.resolve("meta").toString)
+    assert(meta.count() === 50L)
+    assert(meta.select("doc_id").distinct().count() === 50L)
+    // retry idempotency: re-running a batch id must not duplicate rows
+    // partition-column batch_id reads back as int32
+    val lastBatch = meta.agg(max(col("batch_id"))).head.get(0)
+      .asInstanceOf[Number].longValue
+    val replay = meta.filter(col("batch_id") === lastBatch)
+      .select("doc_id").as[Long].collect().toSet
+    MetaIngest.writeBatch(
+      docs.filter(col("doc_id").isin(replay.toSeq.map(Long.box): _*)), lastBatch,
+      tmp.resolve("meta").toString, tmp.resolve("kept").toString,
+      minWidth = 6, minHeight = 5, minSampleRate = 8000,
+      idCol = "doc_id", payloadCol = "payload")
+    val after = spark.read.parquet(tmp.resolve("meta").toString)
+    assert(after.count() === 50L, "a retried batch must overwrite, not append")
+    assert(spark.read.parquet(tmp.resolve("kept").toString)
+      .select("doc_id").as[Long].collect().sorted.toSeq === want)
+  }
 }
