@@ -4489,6 +4489,40 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
             FROM hs ORDER BY doc_id"""))
 
+  /** Audio-only ISO-BMFF (M4A) through the metadata pass ([[graft
+    * .multimodal.Multimodal.mediaMeta]] — r17): a `soun`-track mp4
+    * must report kind `audio` with the AudioSampleEntry's channel
+    * count and 16.16 sample rate plus the mvhd duration — NOT a
+    * dimension-less video. The oracle replays every field.
+    */
+  private val qMediaMetaM4a = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 200)
+        .map { id =>
+          val rate = (id % 3) match {
+            case 0 => 44100; case 1 => 48000; case _ => 22050
+          }
+          (id, graft.multimodal.Multimodal.makeM4aHeader(
+            rate, 1 + (id % 2).toInt, 30000 + (id % 11).toInt))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.mediaMeta(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200)
+            SELECT doc_id, 'audio' AS kind, 'mp4' AS format,
+              CAST(NULL AS INTEGER) AS width,
+              CAST(NULL AS INTEGER) AS height,
+              CAST(NULL AS BIGINT) AS n_frames,
+              CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                   ELSE 22050 END AS INTEGER) AS sample_rate,
+              CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+              CAST(NULL AS BIGINT) AS n_samples,
+              CAST(NULL AS INTEGER) AS orientation,
+              CAST(30000 + doc_id % 11 AS BIGINT) AS duration_ms
+            FROM d ORDER BY doc_id"""))
+
   /** JPEG-in-TIFF through the perceptual-hash gate (compression 7 —
     * r17): each strip of the TIFF is a COMPLETE grayscale DC-only JPEG
     * ([[graft.multimodal.Multimodal.makeTiffJpeg]], strip seed
@@ -10529,6 +10563,7 @@ object SparkEntry {
     "q_video_coverage" -> qVideoCoverage,
     "q_media_meta" -> qMediaMeta,
     "q_media_meta_containers" -> qMediaMetaContainers,
+    "q_media_meta_m4a" -> qMediaMetaM4a,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_ahash_tiff" -> qImageAHashTiff,
     "q_image_ahash_tiff_j" -> qImageAHashTiffJ,

@@ -2273,6 +2273,135 @@ object Multimodal {
     if (frames.isEmpty) None else Some((t.w, t.h, frames.toSeq))
   }
 
+  /** Audio-track header facts for an ISO-BMFF file with NO video
+    * track (M4A — r17): (sample_rate, channels, movie duration ms)
+    * from the first `soun` track's AudioSampleEntry (channelcount at
+    * entry+24, samplerate as 16.16 fixed at entry+32 — the layout is
+    * common to every audio coding, AAC included) plus mvhd. Without
+    * this, an audio-only mp4 would mislabel as a dimension-less
+    * video.
+    */
+  private def mp4AudioMeta(bytes: Array[Byte]): Option[(Int, Int, Option[Long])] = {
+    def tag(off: Int): String =
+      if (off >= 0 && off + 4 <= bytes.length)
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      else ""
+    def u16(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    if (bytes.length < 16 || tag(4) != "ftyp") return None
+    def boxes(start: Int, end: Int): Option[Seq[(String, Int, Int)]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var off = start
+      while (off < end) {
+        if (off + 8 > end || out.length >= 4096) return None
+        val sz = u32(off)
+        var hdr = 8
+        val size: Long =
+          if (sz == 1L) { if (off + 16 > end) return None; hdr = 16; u64(off + 8) }
+          else if (sz == 0L) (end - off).toLong
+          else sz
+        if (size < hdr || off + size > end) return None
+        out += ((tag(off + 4), off + hdr, (off + size).toInt))
+        off = (off + size).toInt
+      }
+      Some(out.toSeq)
+    }
+    def child(bs: Seq[(String, Int, Int)], t: String): Option[(Int, Int)] =
+      bs.collectFirst { case (`t`, s, e) => (s, e) }
+    val top = boxes(0, bytes.length).getOrElse(return None)
+    val (moovS, moovE) = child(top, "moov").getOrElse(return None)
+    val moov = boxes(moovS, moovE).getOrElse(return None)
+    val durationMs: Option[Long] = child(moov, "mvhd").flatMap { case (ms, me) =>
+      if (me - ms < 20) None
+      else if ((bytes(ms) & 0xff) == 0) {
+        val ts = u32(ms + 12); val d = u32(ms + 16)
+        if (ts > 0 && d > 0) Some(d * 1000 / ts) else None
+      } else if (me - ms >= 32) {
+        val ts = u32(ms + 20); val d = u64(ms + 24)
+        if (ts > 0 && d > 0) Some(d * 1000 / ts) else None
+      } else None
+    }
+    val entryOpt = moov.collectFirst(Function.unlift {
+      case ("trak", ts, te) =>
+        (for {
+          trak <- boxes(ts, te)
+          (ms, me) <- child(trak, "mdia")
+          mdia <- boxes(ms, me)
+          (hs, he) <- child(mdia, "hdlr")
+          if he - hs >= 12 && tag(hs + 8) == "soun"
+          (ns, ne) <- child(mdia, "minf")
+          minf <- boxes(ns, ne)
+          (bs, be) <- child(minf, "stbl")
+          stbl <- boxes(bs, be)
+          (sdS, sdE) <- child(stbl, "stsd")
+          if sdE - sdS >= 16 && u32(sdS + 4) >= 1L
+        } yield sdS + 8)
+      case _ => None
+    })
+    val entry = entryOpt.getOrElse(return None)
+    val entrySize = u32(entry)
+    if (entrySize < 36 || entry + entrySize > bytes.length) return None
+    val ch = u16(entry + 24)
+    val rate = u16(entry + 32) // 16.16 fixed point, integer part
+    if (ch < 1 || ch > 8 || rate <= 0) None
+    else Some((rate, ch, durationMs))
+  }
+
+  /** Fixture/test writer for M4A headers (audio-only ISO-BMFF): ftyp
+    * brand `M4A `, moov(mvhd, trak(mdia(hdlr `soun`, minf(stbl(stsd
+    * mp4a-shaped AudioSampleEntry))))). Header-only — the metadata
+    * walk reads the sample entry, the decode tier refuses the coding.
+    */
+  def makeM4aHeader(rate: Int, channels: Int, durationMs: Int): Array[Byte] = {
+    require(rate > 0 && rate < 65536 && channels >= 1 && channels <= 8 &&
+      durationMs >= 0)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def asc(t: String): Array[Byte] =
+      t.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(t: String, content: Array[Byte]*): Array[Byte] = {
+      val body = content.flatten.toArray
+      be32(8L + body.length) ++ asc(t) ++ body
+    }
+    val ftyp = box("ftyp", asc("M4A "), be32(0), asc("M4A "))
+    val matrix = be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+    val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(1000),
+      be32(durationMs.toLong), be32(0x00010000L), be16(0x0100), be16(0),
+      be32(0), be32(0), matrix, Array.fill(24)(0.toByte), be32(2))
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(rate.toLong),
+      be32(0), be16(0x55c4), be16(0))
+    val hdlr = box("hdlr", be32(0), be32(0), asc("soun"),
+      Array.fill(12)(0.toByte), Array(0.toByte))
+    val smhd = box("smhd", be32(0), be16(0), be16(0))
+    val dinf = box("dinf", box("dref", be32(0), be32(1),
+      box("url ", be32(1))))
+    // AudioSampleEntry (mp4a): 8 hdr + 6 reserved + 2 dri + 8 reserved
+    // + channelcount(2) + samplesize(2) + pre_defined(2) + reserved(2)
+    // + samplerate 16.16 (4) = 36
+    val sampleEntry = be32(36) ++ asc("mp4a") ++ Array.fill(6)(0.toByte) ++
+      be16(1) ++ be32(0) ++ be32(0) ++
+      be16(channels) ++ be16(16) ++ be16(0) ++ be16(0) ++
+      be32(rate.toLong << 16)
+    val stsd = box("stsd", be32(0), be32(1), sampleEntry)
+    val stts = box("stts", be32(0), be32(0))
+    val stsc = box("stsc", be32(0), be32(0))
+    val stsz = box("stsz", be32(0), be32(0), be32(0))
+    val stco = box("stco", be32(0), be32(0))
+    val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+    val minf = box("minf", smhd, dinf, stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", mdia)
+    val moov = box("moov", mvhd, trak)
+    ftyp ++ moov
+  }
+
   /** Fixture/test writer for ISO-BMFF Motion-JPEG: `frames` video
     * samples, frame f a [[makeJpeg]] fixture with seed `seed + f·17`
     * (the [[makeAviMjpeg]] per-frame seed convention — the oracle
@@ -5691,10 +5820,19 @@ object Multimodal {
           m.map(_._1), m.map(_._2), m.map(_._3), None, None, None, None,
           m.flatMap(_._4))
       case f @ ("mp4" | "mov" | "isobmff") =>
-        val t = mp4VideoTrack(bytes)
-        return MediaMetaRow(id, "video", f,
-          t.map(_.w), t.map(_.h), t.map(_.sizes.length.toLong),
-          None, None, None, None, t.flatMap(_.durationMs))
+        return mp4VideoTrack(bytes) match {
+          case Some(t) => MediaMetaRow(id, "video", f,
+            Some(t.w), Some(t.h), Some(t.sizes.length.toLong),
+            None, None, None, None, t.durationMs)
+          case None => mp4AudioMeta(bytes) match {
+            // audio-only ISO-BMFF (M4A): kind is audio, not a
+            // dimension-less video
+            case Some((rate, ch, dur)) => MediaMetaRow(id, "audio", f,
+              None, None, None, Some(rate), Some(ch), None, None, dur)
+            case None => MediaMetaRow(id, "video", f,
+              None, None, None, None, None, None, None, None)
+          }
+        }
       case "ebml" =>
         // refine to the DocType and report track facts when present —
         // a muxed webm carries BOTH video dims and audio rate/channels

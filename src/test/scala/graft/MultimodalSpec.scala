@@ -1947,6 +1947,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(sm.format === "avif" && sm.width.isEmpty)
   }
 
+  test("metaOf: audio-only ISO-BMFF (M4A) is audio, not dimension-less video") {
+    def m(b: Array[Byte]) = Multimodal.metaOf(1L, b)
+    val m4a = m(Multimodal.makeM4aHeader(44100, 2, 180000))
+    assert(m4a.kind === "audio" && m4a.format === "mp4")
+    assert(m4a.sample_rate === Some(44100) && m4a.channels === Some(2) &&
+      m4a.duration_ms === Some(180000L) && m4a.width.isEmpty)
+    // a VIDEO-tracked mp4 stays video (the audio walk must not win)
+    val vid = m(Multimodal.makeMp4Mjpeg(16, 16, 1L, 2))
+    assert(vid.kind === "video" && vid.width === Some(16))
+    // an mp4 with neither track parseable stays a sniffed video
+    val hollow = Array[Byte](0, 0, 0, 16) ++ "ftypmp42".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0)
+    assert(m(hollow).kind === "video" && m(hollow).sample_rate.isEmpty)
+  }
+
   test("tiffDecode: JPEG-in-TIFF strips ride the existing entropy path") {
     // one strip == a standalone gray JPEG: the TIFF hash must equal
     // 	the image hash of that JPEG (gray scale factors cancel in aHash)
