@@ -4489,6 +4489,50 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
             FROM hs ORDER BY doc_id"""))
 
+  /** WebP through the metadata pass (r17): stills in all three header
+    * forms report canvas dims; animated VP8X files count ANMF frames
+    * and sum their millisecond durations — the GIF story in a
+    * different container, including the 2+-frames→video kind rule.
+    * The hash tier still refuses the format (measured boundary); its
+    * metadata is real anyway.
+    */
+  private val qMediaMetaWebp = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 240)
+        .map { id =>
+          val bytes = (id % 3) match {
+            case 0 => graft.multimodal.Multimodal.makeWebpHeader(
+              100 + (id % 7).toInt, 50)
+            case 1 => graft.multimodal.Multimodal.makeWebpAnim(
+              64, 48, 2 + (id % 3).toInt, 40 + (id % 5).toInt)
+            case _ => graft.multimodal.Multimodal.makeWebpAnim(
+              32, 32, 1, 90)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.mediaMeta(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 3 AS k FROM documents WHERE doc_id < 240)
+            SELECT doc_id,
+              CASE WHEN k = 1 THEN 'video' ELSE 'image' END AS kind,
+              'webp' AS format,
+              CAST(CASE k WHEN 0 THEN 100 + doc_id % 7 WHEN 1 THEN 64
+                   ELSE 32 END AS INTEGER) AS width,
+              CAST(CASE k WHEN 0 THEN 50 WHEN 1 THEN 48
+                   ELSE 32 END AS INTEGER) AS height,
+              CAST(CASE WHEN k = 1 THEN 2 + doc_id % 3
+                        WHEN k = 2 THEN 1 END AS BIGINT) AS n_frames,
+              CAST(NULL AS INTEGER) AS sample_rate,
+              CAST(NULL AS INTEGER) AS channels,
+              CAST(NULL AS BIGINT) AS n_samples,
+              CAST(NULL AS INTEGER) AS orientation,
+              CAST(CASE WHEN k = 1 THEN (2 + doc_id % 3) * (40 + doc_id % 5)
+                        WHEN k = 2 THEN 90 END AS BIGINT) AS duration_ms
+            FROM d ORDER BY doc_id"""))
+
   /** Audio-only ISO-BMFF (M4A) through the metadata pass ([[graft
     * .multimodal.Multimodal.mediaMeta]] — r17): a `soun`-track mp4
     * must report kind `audio` with the AudioSampleEntry's channel
@@ -5392,7 +5436,17 @@ object SparkEntry {
                         WHEN k = 4 THEN (2 + doc_id % 3) * 1024 END AS BIGINT) AS n_samples,
               CAST(CASE WHEN k = 6 AND doc_id % 20 = 16
                         THEN 1 + (doc_id // 20) % 8 END AS INTEGER) AS orientation,
-              CAST(CASE WHEN k = 7 THEN (1 + doc_id % 3) * 40
+              CAST(CASE WHEN k = 0 THEN (400 + doc_id % 5) * 1000 // 8000
+                        WHEN k = 1 THEN (300 + doc_id % 7) * 1000
+                                        // (8000 + (doc_id % 3) * 4000)
+                        WHEN k = 2 THEN (200 + doc_id % 5) * 1000 // 11025
+                        WHEN k = 3 THEN (3 + doc_id % 4) * 1152 * 1000
+                                        // (CASE doc_id % 3 WHEN 0 THEN 44100
+                                            WHEN 1 THEN 48000 ELSE 32000 END)
+                        WHEN k = 4 THEN (2 + doc_id % 3) * 1024 * 1000
+                                        // (CASE doc_id % 3 WHEN 0 THEN 48000
+                                            WHEN 1 THEN 44100 ELSE 32000 END)
+                        WHEN k = 7 THEN (1 + doc_id % 3) * 40
                         WHEN k = 8 THEN (2 + doc_id % 3) * 100 END AS BIGINT) AS duration_ms
             FROM d ORDER BY doc_id"""))
 
@@ -5469,7 +5523,11 @@ object SparkEntry {
               CAST(CASE WHEN k = 4 THEN 1000 + doc_id % 9
                         WHEN k = 5 THEN 2000 + doc_id % 5 END AS BIGINT) AS n_samples,
               CAST(NULL AS INTEGER) AS orientation,
-              CAST(CASE WHEN k = 1 THEN 1500 + doc_id % 7 END AS BIGINT) AS duration_ms
+              CAST(CASE WHEN k = 1 THEN 1500 + doc_id % 7
+                        WHEN k = 4 THEN (1000 + doc_id % 9) * 1000
+                                        // (8000 + (doc_id % 3) * 4000)
+                        WHEN k = 5 THEN (2000 + doc_id % 5) * 1000 // 48000
+                        END AS BIGINT) AS duration_ms
             FROM d ORDER BY doc_id"""))
 
   /** Perceptual image hashing over JPEG payloads ([[graft.multimodal
@@ -10564,6 +10622,7 @@ object SparkEntry {
     "q_media_meta" -> qMediaMeta,
     "q_media_meta_containers" -> qMediaMetaContainers,
     "q_media_meta_m4a" -> qMediaMetaM4a,
+    "q_media_meta_webp" -> qMediaMetaWebp,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_ahash_tiff" -> qImageAHashTiff,
     "q_image_ahash_tiff_j" -> qImageAHashTiffJ,

@@ -5210,32 +5210,116 @@ object Multimodal {
     jpeg.take(2) ++ app1 ++ jpeg.drop(2)
   }
 
-  /** WebP canvas dims from whichever header form the file leads with —
-    * VP8X (extended canvas), VP8L (lossless, 14-bit packed dims) or
-    * VP8 (lossy key-frame header) — none of which needs the bitstream
-    * decoded. The one place the metadata pass sees INSIDE a format the
-    * hash tier can't. */
-  private def webpDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+  /** WebP header facts from whichever form the file leads with —
+    * VP8X (extended canvas; when its ANIMATION flag is set, the ANMF
+    * chunk walk counts frames and sums their millisecond durations —
+    * an animated WebP is the GIF story in a different container),
+    * VP8L (lossless, 14-bit packed dims) or VP8 (lossy key-frame
+    * header) — none of which needs the bitstream decoded. The one
+    * place the metadata pass sees INSIDE a format the hash tier
+    * can't. Returns (w, h, n_frames, duration_ms) with the last two
+    * None for stills.
+    */
+  private def webpMeta(bytes: Array[Byte]): Option[(Int, Int, Option[Long], Option[Long])] = {
     def tag(off: Int): String =
       if (off + 4 <= bytes.length)
         new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       else ""
-    if (bytes.length < 30 || tag(0) != "RIFF" || tag(8) != "WEBP") return None
+    if (bytes.length < 25 || tag(0) != "RIFF" || tag(8) != "WEBP") return None
     def u24(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
       ((bytes(off + 2) & 0xff) << 16)
     tag(12) match {
-      case "VP8X" =>
-        Some((1 + u24(24), 1 + u24(27)))
+      case "VP8X" if bytes.length >= 30 =>
+        val w = 1 + u24(24); val h = 1 + u24(27)
+        if ((bytes(20) & 0x02) == 0) Some((w, h, None, None))
+        else {
+          // animation: length-walk the chunks counting ANMF frames
+          var frames = 0L
+          var durMs = 0L
+          var off = 12
+          val riffEnd = math.min(bytes.length.toLong, 8L + le32(bytes, 4)).toInt
+          while (off + 8 <= riffEnd && frames < 4096) {
+            val sz = le32(bytes, off + 4)
+            if (sz < 0 || off + 8 + sz.toLong > riffEnd) return None
+            if (tag(off) == "ANMF" && sz >= 16) {
+              frames += 1
+              durMs += u24(off + 8 + 12)
+            }
+            off += 8 + sz + (sz & 1)
+          }
+          Some((w, h, Some(frames), if (frames > 0) Some(durMs) else None))
+        }
       case "VP8L" if (bytes(20) & 0xff) == 0x2f =>
         val w = 1 + ((bytes(21) & 0xff) | ((bytes(22) & 0x3f) << 8))
         val h = 1 + (((bytes(22) & 0xc0) >>> 6) | ((bytes(23) & 0xff) << 2) |
           ((bytes(24) & 0x0f) << 10))
-        Some((w, h))
+        Some((w, h, None, None))
       case "VP8 " if bytes.length >= 30 && (bytes(23) & 0xff) == 0x9d &&
           (bytes(24) & 0xff) == 0x01 && (bytes(25) & 0xff) == 0x2a =>
-        Some((le16(bytes, 26) & 0x3fff, le16(bytes, 28) & 0x3fff))
+        Some((le16(bytes, 26) & 0x3fff, le16(bytes, 28) & 0x3fff, None, None))
       case _ => None
     }
+  }
+
+  /** Fixture/test writer for still-WebP headers (VP8L form). */
+  def makeWebpHeader(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14))
+    val payload = new Array[Byte](6)
+    payload(0) = 0x2f
+    payload(1) = ((w - 1) & 0xff).toByte
+    payload(2) = ((((w - 1) >> 8) & 0x3f) | (((h - 1) & 3) << 6)).toByte
+    payload(3) = (((h - 1) >> 2) & 0xff).toByte
+    payload(4) = (((h - 1) >> 10) & 0x0f).toByte // alpha 0, version 0
+    val out = new java.io.ByteArrayOutputStream()
+    def le32out(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def tagOut(t: String): Unit =
+      out.write(t.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    tagOut("RIFF"); le32out(4 + 8 + payload.length)
+    tagOut("WEBP"); tagOut("VP8L"); le32out(payload.length)
+    out.write(payload)
+    out.toByteArray
+  }
+
+  /** Fixture/test writer for animated-WebP HEADERS: VP8X with the
+    * ANIMATION flag, an ANIM chunk, and `frames` ANMF chunk headers
+    * each declaring `frameDurMs` (payloads are headers-only junk —
+    * the metadata walk never reads frame bitstreams, and the decode
+    * tier correctly refuses the format).
+    */
+  def makeWebpAnim(w: Int, h: Int, frames: Int, frameDurMs: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= (1 << 14) && h <= (1 << 14) &&
+      frames >= 1 && frames <= 64 && frameDurMs >= 0 && frameDurMs < (1 << 24))
+    val out = new java.io.ByteArrayOutputStream()
+    def le32out(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def le24out(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff)
+    }
+    def tagOut(t: String): Unit =
+      out.write(t.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val anmfSize = 16 + 8 // header + junk payload (even)
+    val riffSize = 4 + (8 + 10) + (8 + 6) + frames * (8 + anmfSize)
+    tagOut("RIFF"); le32out(riffSize); tagOut("WEBP")
+    tagOut("VP8X"); le32out(10)
+    out.write(0x02); out.write(0); out.write(0); out.write(0) // ANIMATION
+    le24out(w - 1); le24out(h - 1)
+    tagOut("ANIM"); le32out(6)
+    le32out(0) // background color
+    out.write(0); out.write(0) // loop count
+    for (f <- 0 until frames) {
+      tagOut("ANMF"); le32out(anmfSize)
+      le24out(0); le24out(0)           // frame x, y
+      le24out(w - 1); le24out(h - 1)   // frame dims
+      le24out(frameDurMs)
+      out.write(0)                     // flags
+      for (i <- 0 until 8) out.write((f * 31 + i) & 0xff)
+    }
+    out.toByteArray
   }
 
   /** AVIF/HEIC pixel dimensions from the ISO-BMFF `meta` box (r17):
@@ -5763,7 +5847,7 @@ object Multimodal {
       return oggMeta(bytes) match {
         case Some((codec, rate, ch, ns)) =>
           MediaMetaRow(id, "audio", codec, None, None, None,
-            Some(rate), Some(ch), ns, None, None)
+            Some(rate), Some(ch), ns, None, ns.map(_ * 1000 / rate))
         case None => MediaMetaRow(id, "audio", "ogg",
           None, None, None, None, None, None, None, None)
       }
@@ -5803,7 +5887,10 @@ object Multimodal {
         }
         case _ => (None, None, None)
       }
-      return MediaMetaRow(id, "audio", af, None, None, None, rate, ch, n, None, None)
+      // duration is the pruning fact for audio too: derivable whenever
+      // the header pinned both the sample count and the rate
+      val dur = for { ns <- n; r <- rate if r > 0 } yield ns * 1000 / r
+      return MediaMetaRow(id, "audio", af, None, None, None, rate, ch, n, None, dur)
     }
     imageFormatOf(bytes) match {
       // the image ftyp brands would otherwise sniff as mp4 below
@@ -5861,13 +5948,21 @@ object Multimodal {
           case None => MediaMetaRow(id, "image", "gif",
             None, None, None, None, None, None, None, None)
         }
-      case f @ ("bmp" | "png" | "jpeg" | "tiff" | "webp") =>
+      case "webp" =>
+        webpMeta(bytes) match {
+          case Some((w, h, nf, dur)) =>
+            // the GIF kind rule: 2+ frames make it a video
+            MediaMetaRow(id, if (nf.exists(_ >= 2)) "video" else "image",
+              "webp", Some(w), Some(h), nf, None, None, None, None, dur)
+          case None => MediaMetaRow(id, "image", "webp",
+            None, None, None, None, None, None, None, None)
+        }
+      case f @ ("bmp" | "png" | "jpeg" | "tiff") =>
         val d = f match {
           case "bmp" => bmpDims(bytes)
           case "png" => pngDims(bytes)
           case "jpeg" => jpegDims(bytes)
-          case "tiff" => tiffDims(bytes)
-          case _ => webpDims(bytes)
+          case _ => tiffDims(bytes)
         }
         MediaMetaRow(id, "image", f, d.map(_._1), d.map(_._2),
           None, None, None, None,

@@ -1947,6 +1947,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(sm.format === "avif" && sm.width.isEmpty)
   }
 
+  test("metaOf: animated WebP — ANMF frame counts and summed durations") {
+    def m(b: Array[Byte]) = Multimodal.metaOf(1L, b)
+    val still = m(Multimodal.makeWebpHeader(300, 200))
+    assert(still.kind === "image" && still.format === "webp" &&
+      still.width === Some(300) && still.height === Some(200) &&
+      still.n_frames.isEmpty && still.duration_ms.isEmpty)
+    // wide dims exercise the 14-bit packing boundary
+    val wide = m(Multimodal.makeWebpHeader(16383, 11111))
+    assert(wide.width === Some(16383) && wide.height === Some(11111))
+    val anim = m(Multimodal.makeWebpAnim(64, 48, frames = 5, frameDurMs = 40))
+    assert(anim.kind === "video" && anim.format === "webp" &&
+      anim.width === Some(64) && anim.n_frames === Some(5L) &&
+      anim.duration_ms === Some(200L))
+    // a single-frame animation is still an image by the GIF kind rule
+    val one = m(Multimodal.makeWebpAnim(10, 10, frames = 1, frameDurMs = 90))
+    assert(one.kind === "image" && one.n_frames === Some(1L) &&
+      one.duration_ms === Some(90L))
+    // and the hash tier still refuses the format (coverage boundary)
+    assert(Multimodal.imageAHash(Multimodal.makeWebpAnim(64, 48, 2, 40)).isEmpty)
+  }
+
   test("metaOf: audio-only ISO-BMFF (M4A) is audio, not dimension-less video") {
     def m(b: Array[Byte]) = Multimodal.metaOf(1L, b)
     val m4a = m(Multimodal.makeM4aHeader(44100, 2, 180000))
