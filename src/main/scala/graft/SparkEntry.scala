@@ -4727,6 +4727,67 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
             FROM hs ORDER BY doc_id"""))
 
+  /** TIFF LAYOUT axes through the same gate (r17 session 2 — the three
+    * storage dimensions the strip/codec rows don't touch): 16-bit
+    * samples (high byte = the closed form, low byte = noise the decoder
+    * must discard; predictor differencing on 16-bit VALUES in file byte
+    * order), tiled files (tags 322-325, zero-padded edge tiles clipped
+    * on copy) and PlanarConfiguration 2 (plane-major segment runs,
+    * predictor lag 1 sample inside a plane) — crossed with byte order,
+    * codecs and the predictor (doc_id mod 6 picks the variant). The
+    * oracle is the SAME closed form at 24×24: bit depth, tiling and
+    * planar order are all absent from the SQL, which IS the
+    * storage-invariance proof — six byte layouts, one pixel law.
+    */
+  private val qImageAHashTiffT = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val M = graft.multimodal.Multimodal
+          val bytes = (id % 6) match {
+            case 0 => M.makeTiff(24, 24, id, rgb = false, bits = 16)
+            case 1 => M.makeTiff(24, 24, id, bits = 16, bigEndian = true,
+              compression = 8, predictor = 2, rowsPerStrip = 7)
+            case 2 => M.makeTiff(24, 24, id, tileSize = 16)
+            case 3 => M.makeTiff(24, 24, id, rgb = false, tileSize = 16,
+              bigEndian = true, compression = 5)
+            case 4 => M.makeTiff(24, 24, id, planar = true, rowsPerStrip = 5,
+              compression = 32773)
+            case _ => M.makeTiff(24, 24, id, bits = 16, planar = true,
+              tileSize = 16, compression = 5, predictor = 2)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imageAHashes(s, bins).orderBy("doc_id")
+    },
+    Some("""WITH px AS (
+              SELECT d.doc_id, r.r AS r, x.x AS x,
+                     CASE WHEN d.doc_id % 6 IN (0, 3)
+                          THEN 3 * ((d.doc_id + r.r * 31 + x.x * 7) % 256)
+                          ELSE (d.doc_id + r.r * 31 + (3*x.x + 0) * 7) % 256
+                             + (d.doc_id + r.r * 31 + (3*x.x + 1) * 7) % 256
+                             + (d.doc_id + r.r * 31 + (3*x.x + 2) * 7) % 256
+                     END AS gray
+              FROM documents d
+              JOIN generate_series(0, 23) r(r) ON TRUE
+              JOIN generate_series(0, 23) x(x) ON TRUE),
+            tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+            blk AS (SELECT doc_id, r // 3 AS bi, x // 3 AS bj, SUM(gray) AS bsum
+                    FROM px GROUP BY 1, 2, 3),
+            bits AS (SELECT b.doc_id, bi, bj,
+                            CASE WHEN b.bsum * 64 >= t.total THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id)),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
+            FROM hs ORDER BY doc_id"""))
+
   /** The MEASURED image-decode boundary ([[graft.multimodal.Multimodal
     * .imageCoverage]] — VERDICT r16 #2, q_audio_coverage's image twin):
     * a mixed corpus across every sniffable container class —
@@ -5240,6 +5301,97 @@ object SparkEntry {
                    CAST(CASE WHEN s >= 9223372036854775808
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS fhash
             FROM hs ORDER BY doc_id, frame_idx"""))
+
+  /** Decoded-VIDEO frame hashing over APNG ([[graft.multimodal
+    * .Multimodal.apngFrameGrids]] via `videoFrameHashes` — r17
+    * session 2): real animated PNGs (acTL/fcTL/fdAT, the first frame
+    * claimed from the IDAT stream, every frame an independent zlib
+    * stream with the filter type cycling through all five per row)
+    * decoded through the SAME inflate + filter-inversion machinery as
+    * the still path. Frame f's pixel bytes are [[graft.multimodal
+    * .Multimodal.makePng]]'s closed form with seed id + f·23, so the
+    * oracle replays every hash bit of every frame from the pixel law —
+    * chunk framing, zlib and filters all absent from the SQL. Clip
+    * doc_id < 150 carries 2 + id mod 3 frames.
+    */
+  private val qVideoApng = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 150)
+        .map(id => (id, graft.multimodal.Multimodal.makeApng(
+          16, 16, id, 2 + (id % 3).toInt)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.videoFrameHashes(s, bins)
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),
+            fr AS (SELECT doc_id, f.f AS f FROM ids
+                   JOIN generate_series(0, 3) f(f) ON f.f < 2 + doc_id % 3),
+            px AS (SELECT doc_id, f, r.r AS r, x.x AS x,
+                          (doc_id + f*23 + r.r * 31 + (3*x.x + 0) * 7) % 256
+                        + (doc_id + f*23 + r.r * 31 + (3*x.x + 1) * 7) % 256
+                        + (doc_id + f*23 + r.r * 31 + (3*x.x + 2) * 7) % 256 AS gray
+                   FROM fr
+                   JOIN generate_series(0, 15) r(r) ON TRUE
+                   JOIN generate_series(0, 15) x(x) ON TRUE),
+            tot AS (SELECT doc_id, f, SUM(gray) AS total FROM px GROUP BY 1, 2),
+            blk AS (SELECT doc_id, f, r // 2 AS bi, x // 2 AS bj,
+                           SUM(gray) AS bsum
+                    FROM px GROUP BY 1, 2, 3, 4),
+            bits AS (SELECT b.doc_id, b.f, bi, bj,
+                            CASE WHEN b.bsum * 256 >= t.total * 4 THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id, f)),
+            hs AS (SELECT doc_id, f,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY 1, 2)
+            SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS fhash
+            FROM hs ORDER BY doc_id, frame_idx"""))
+
+  /** APNG through the metadata pass (r17 session 2): frame count from
+    * acTL, duration from the fcTL delay walk (frame f delays
+    * (f mod 3 + 1)/100 s in the fixture, so the sum is closed-form),
+    * the GIF 2+-frames→video kind rule, single-frame animations
+    * staying images. Header-only — no inflate, no filter inversion.
+    */
+  private val qMediaMetaApng = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 240)
+        .map { id =>
+          val bytes = (id % 3) match {
+            case 0 => graft.multimodal.Multimodal.makeApng(24, 12, id, 3)
+            case 1 => graft.multimodal.Multimodal.makeApng(16, 16, id, 1)
+            case _ => graft.multimodal.Multimodal.makeApng(
+              32, 20, id, 2 + (id % 4).toInt)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.mediaMeta(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 3 AS k, 2 + doc_id % 4 AS n
+                       FROM documents WHERE doc_id < 240)
+            SELECT doc_id,
+              CASE WHEN k = 1 THEN 'image' ELSE 'video' END AS kind,
+              'apng' AS format,
+              CAST(CASE k WHEN 0 THEN 24 WHEN 1 THEN 16 ELSE 32 END AS INTEGER) AS width,
+              CAST(CASE k WHEN 0 THEN 12 WHEN 1 THEN 16 ELSE 20 END AS INTEGER) AS height,
+              CAST(CASE k WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE n END AS BIGINT) AS n_frames,
+              CAST(NULL AS INTEGER) AS sample_rate,
+              CAST(NULL AS INTEGER) AS channels,
+              CAST(NULL AS BIGINT) AS n_samples,
+              CAST(NULL AS INTEGER) AS orientation,
+              CAST(CASE k WHEN 0 THEN 60 WHEN 1 THEN 10
+                   ELSE CASE n WHEN 2 THEN 30 WHEN 3 THEN 60
+                               WHEN 4 THEN 70 ELSE 90 END
+                   END AS BIGINT) AS duration_ms
+            FROM d ORDER BY doc_id"""))
 
   /** CROSS-CONTAINER clip near-dup (r17): clips 0-49 are MJPEG AVIs,
     * clips 50-99 the SAME content muxed as ISO-BMFF MP4 (seed id mod
@@ -10623,10 +10775,13 @@ object SparkEntry {
     "q_media_meta_containers" -> qMediaMetaContainers,
     "q_media_meta_m4a" -> qMediaMetaM4a,
     "q_media_meta_webp" -> qMediaMetaWebp,
+    "q_media_meta_apng" -> qMediaMetaApng,
+    "q_video_apng" -> qVideoApng,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_ahash_tiff" -> qImageAHashTiff,
     "q_image_ahash_tiff_j" -> qImageAHashTiffJ,
     "q_image_ahash_tiff_c" -> qImageAHashTiffC,
+    "q_image_ahash_tiff_t" -> qImageAHashTiffT,
     "q_image_coverage" -> qImageCoverage,
     "q_image_neardup" -> qImageNearDup,
     "q_audio_fingerprint" -> qAudioFingerprint,

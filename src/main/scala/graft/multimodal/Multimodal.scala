@@ -844,7 +844,7 @@ object Multimodal {
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
-  private val PngSig: Array[Byte] =
+  private[graft] val PngSig: Array[Byte] =
     Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   /** Adam7 pass grid (W3C PNG §8.2): (xStart, yStart, xStep, yStep). */
@@ -1143,37 +1143,8 @@ object Multimodal {
       val r = i / stride; val k = i % stride
       ((seed + r * 31L + k * 7L) % 256).toByte
     }
-    // filter `rows` scanlines of a (sub-)image with ft = row % 5, so one
-    // fixture exercises every filter type — per pass when interlaced
-    def filterRows(src: Array[Byte], rows: Int, st: Int): Array[Byte] = {
-      val out = new Array[Byte](rows * (st + 1))
-      var r = 0
-      while (r < rows) {
-        val ft = r % 5
-        out(r * (st + 1)) = ft.toByte
-        var i = 0
-        while (i < st) {
-          val x = src(r * st + i) & 0xff
-          val a = if (i >= bpp) src(r * st + i - bpp) & 0xff else 0
-          val b = if (r > 0) src((r - 1) * st + i) & 0xff else 0
-          val c = if (r > 0 && i >= bpp) src((r - 1) * st + i - bpp) & 0xff else 0
-          val pred = ft match {
-            case 0 => 0
-            case 1 => a
-            case 2 => b
-            case 3 => (a + b) >> 1
-            case 4 =>
-              val p = a + b - c
-              val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
-              if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
-          }
-          out(r * (st + 1) + 1 + i) = ((x - pred) & 0xff).toByte
-          i += 1
-        }
-        r += 1
-      }
-      out
-    }
+    def filterRows(src: Array[Byte], rows: Int, st: Int): Array[Byte] =
+      pngFilterRows(src, rows, st, bpp)
     val raw: Array[Byte] =
       if (!interlaced) filterRows(img, h, stride)
       else {
@@ -1198,43 +1169,8 @@ object Multimodal {
         }
         bos.toByteArray
       }
-    // zlib: 2-byte header + stored deflate blocks + Adler32 of the raw
-    val adler = new java.util.zip.Adler32()
-    adler.update(raw)
-    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
-    val zlib = new Array[Byte](2 + raw.length + 5 * nBlocks + 4)
-    zlib(0) = 0x78.toByte; zlib(1) = 0x01.toByte
-    var src = 0; var dst = 2
-    while (src < raw.length) { // raw is never empty: h, stride >= 1
-      val len = math.min(65535, raw.length - src)
-      val fin = src + len >= raw.length
-      zlib(dst) = (if (fin) 1 else 0).toByte
-      zlib(dst + 1) = (len & 0xff).toByte; zlib(dst + 2) = ((len >> 8) & 0xff).toByte
-      zlib(dst + 3) = (~len & 0xff).toByte; zlib(dst + 4) = ((~len >> 8) & 0xff).toByte
-      System.arraycopy(raw, src, zlib, dst + 5, len)
-      src += len; dst += 5 + len
-    }
-    val ad = adler.getValue
-    zlib(dst) = ((ad >> 24) & 0xff).toByte; zlib(dst + 1) = ((ad >> 16) & 0xff).toByte
-    zlib(dst + 2) = ((ad >> 8) & 0xff).toByte; zlib(dst + 3) = (ad & 0xff).toByte
-
-    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
-      val out = new Array[Byte](12 + data.length)
-      out(0) = ((data.length >> 24) & 0xff).toByte
-      out(1) = ((data.length >> 16) & 0xff).toByte
-      out(2) = ((data.length >> 8) & 0xff).toByte
-      out(3) = (data.length & 0xff).toByte
-      ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, 4)
-      data.copyToArray(out, 8)
-      val crc = new java.util.zip.CRC32()
-      crc.update(out, 4, 4 + data.length)
-      val cv = crc.getValue
-      out(8 + data.length) = ((cv >> 24) & 0xff).toByte
-      out(9 + data.length) = ((cv >> 16) & 0xff).toByte
-      out(10 + data.length) = ((cv >> 8) & 0xff).toByte
-      out(11 + data.length) = (cv & 0xff).toByte
-      out
-    }
+    val zlib = storedZlib(raw)
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = pngChunk(ctype, data)
     val ihdr = new Array[Byte](13)
     ihdr(0) = ((w >> 24) & 0xff).toByte; ihdr(1) = ((w >> 16) & 0xff).toByte
     ihdr(2) = ((w >> 8) & 0xff).toByte; ihdr(3) = (w & 0xff).toByte
@@ -1252,6 +1188,353 @@ object Multimodal {
         })
       else Array.empty[Byte]
     PngSig ++ chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", zlib) ++ chunk("IEND", Array.empty)
+  }
+
+  /** One PNG chunk (length + type + data + CRC32) — fixture side,
+    * shared by [[makePng]] and [[makeApng]].
+    */
+  private[graft] def pngChunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + data.length)
+    out(0) = ((data.length >> 24) & 0xff).toByte
+    out(1) = ((data.length >> 16) & 0xff).toByte
+    out(2) = ((data.length >> 8) & 0xff).toByte
+    out(3) = (data.length & 0xff).toByte
+    ctype.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, 4)
+    data.copyToArray(out, 8)
+    val crc = new java.util.zip.CRC32()
+    crc.update(out, 4, 4 + data.length)
+    val cv = crc.getValue
+    out(8 + data.length) = ((cv >> 24) & 0xff).toByte
+    out(9 + data.length) = ((cv >> 16) & 0xff).toByte
+    out(10 + data.length) = ((cv >> 8) & 0xff).toByte
+    out(11 + data.length) = (cv & 0xff).toByte
+    out
+  }
+
+  /** A complete zlib stream of stored (uncompressed) deflate blocks +
+    * Adler-32 trailer — fixture side; the REAL Inflater still runs on
+    * the decode path.
+    */
+  private[graft] def storedZlib(raw: Array[Byte]): Array[Byte] = {
+    require(raw.nonEmpty, "empty stream")
+    val adler = new java.util.zip.Adler32()
+    adler.update(raw)
+    val nBlocks = math.max(1, (raw.length + 65534) / 65535)
+    val zlib = new Array[Byte](2 + raw.length + 5 * nBlocks + 4)
+    zlib(0) = 0x78.toByte; zlib(1) = 0x01.toByte
+    var src = 0; var dst = 2
+    while (src < raw.length) {
+      val len = math.min(65535, raw.length - src)
+      val fin = src + len >= raw.length
+      zlib(dst) = (if (fin) 1 else 0).toByte
+      zlib(dst + 1) = (len & 0xff).toByte; zlib(dst + 2) = ((len >> 8) & 0xff).toByte
+      zlib(dst + 3) = (~len & 0xff).toByte; zlib(dst + 4) = ((~len >> 8) & 0xff).toByte
+      System.arraycopy(raw, src, zlib, dst + 5, len)
+      src += len; dst += 5 + len
+    }
+    val ad = adler.getValue
+    zlib(dst) = ((ad >> 24) & 0xff).toByte; zlib(dst + 1) = ((ad >> 16) & 0xff).toByte
+    zlib(dst + 2) = ((ad >> 8) & 0xff).toByte; zlib(dst + 3) = (ad & 0xff).toByte
+    zlib
+  }
+
+  /** Filter `rows` scanlines of `stride` bytes with filter type
+    * `row mod 5` (one fixture exercises every filter), the exact
+    * inverse of [[unfilterRows]] — fixture side, shared by [[makePng]]
+    * and [[makeApng]].
+    */
+  private[graft] def pngFilterRows(src: Array[Byte], rows: Int, st: Int,
+                                   bpp: Int): Array[Byte] = {
+    val out = new Array[Byte](rows * (st + 1))
+    var r = 0
+    while (r < rows) {
+      val ft = r % 5
+      out(r * (st + 1)) = ft.toByte
+      var i = 0
+      while (i < st) {
+        val x = src(r * st + i) & 0xff
+        val a = if (i >= bpp) src(r * st + i - bpp) & 0xff else 0
+        val b = if (r > 0) src((r - 1) * st + i) & 0xff else 0
+        val c = if (r > 0 && i >= bpp) src((r - 1) * st + i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 =>
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        out(r * (st + 1) + 1 + i) = ((x - pred) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  // ---- real decoder: APNG (animated PNG, public spec) ------------------
+  // APNG rides the PNG container: an acTL chunk (before IDAT) declares
+  // the frame count, each frame is an fcTL control chunk (region,
+  // delay, dispose/blend ops, shared sequence counter) followed by its
+  // pixel data — the default IDAT stream when the first fcTL precedes
+  // IDAT, fdAT chunks (sequence-prefixed IDAT payloads, each frame an
+  // independent zlib stream) otherwise. Every frame decodes through the
+  // SAME inflate + filter-inversion machinery as the still path
+  // ([[unfilterRows]]); compositing mirrors the GIF89a model
+  // ([[gifFrameGrids]]): dispose 0 keeps the canvas, 1 clears the
+  // frame's region to transparent black (gray 0 — also the initial
+  // canvas), 2 restores the pre-frame canvas; a first frame declaring
+  // dispose 2 is treated as 1, per spec. Envelope: opaque 8-bit
+  // grayscale/truecolor (color types 0/2), sequential only — alpha
+  // compositing (types 4/6 under blend OVER), palette animation and
+  // interlaced frames return None and sniff into the measured video
+  // boundary. Blend 0/1 are accepted (identical for opaque pixels).
+
+  /** ALL frames of an APNG as display-ready grayscale canvases — the
+    * [[gifFrameGrids]] contract ((canvasW, canvasH, gray canvases),
+    * gray = r+g+b / 3×sample). None for still PNGs (no acTL), any
+    * malformed chunk or sequence structure, and everything outside the
+    * envelope above — never a partial guess.
+    */
+  private[graft] def apngFrameGrids(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+    if (bytes.length < 8 + 25 || !PngSig.indices.forall(i => bytes(i) == PngSig(i)))
+      return None
+    if (be32(bytes, 8) != 13 || bytes(12) != 'I' || bytes(13) != 'H' ||
+        bytes(14) != 'D' || bytes(15) != 'R')
+      return None
+    val w = be32(bytes, 16)
+    val h = be32(bytes, 20)
+    val bitDepth = bytes(24) & 0xff
+    val colorType = bytes(25) & 0xff
+    val interlace = bytes(28) & 0xff
+    if (bitDepth != 8 || (colorType != 0 && colorType != 2) ||
+        interlace != 0 || bytes(26) != 0 || bytes(27) != 0)
+      return None
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+        w.toLong * h > (64 << 20)) return None
+    val channels = if (colorType == 2) 3 else 1
+    // control state for one pending frame
+    final case class Fc(fw: Int, fh: Int, x: Int, y: Int, dispose: Int)
+    var numFrames = -1
+    var frames = Vector.empty[(Fc, Array[Byte])]
+    var cur: Fc = null
+    var curData: java.io.ByteArrayOutputStream = null
+    var curFromIdat = false
+    var sawIdat = false
+    var expectSeq = 0
+    def closeFrame(): Boolean = {
+      if (cur == null) return true
+      if (curData.size() == 0) return false // control with no data: corrupt
+      frames :+= (cur, curData.toByteArray)
+      cur = null; curData = null; curFromIdat = false
+      true
+    }
+    var off = 8 + 25
+    var sawEnd = false
+    while (!sawEnd) {
+      if (off + 8 > bytes.length) return None
+      val len = be32(bytes, off)
+      if (len < 0 || off + 12L + len > bytes.length) return None
+      val ctype = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      ctype match {
+        case "acTL" =>
+          if (len != 8 || sawIdat || numFrames >= 0) return None
+          numFrames = be32(bytes, off + 8)
+          if (numFrames <= 0 || numFrames > 4096) return None // backstop
+        case "fcTL" =>
+          if (len != 26) return None
+          if (be32(bytes, off + 8) != expectSeq) return None
+          expectSeq += 1
+          val fw = be32(bytes, off + 12); val fh = be32(bytes, off + 16)
+          val fx = be32(bytes, off + 20); val fy = be32(bytes, off + 24)
+          val dispose0 = bytes(off + 32) & 0xff
+          val blend = bytes(off + 33) & 0xff
+          if (fw <= 0 || fh <= 0 || fx < 0 || fy < 0 ||
+              fx.toLong + fw > w || fy.toLong + fh > h) return None
+          if (dispose0 > 2 || blend > 1) return None
+          if (!closeFrame()) return None
+          // first frame declaring dispose PREVIOUS acts as BACKGROUND
+          val dispose =
+            if (frames.isEmpty && dispose0 == 2) 1 else dispose0
+          cur = Fc(fw, fh, fx, fy, dispose)
+          curData = new java.io.ByteArrayOutputStream()
+          // an fcTL before IDAT claims the IDAT stream as frame 0 and
+          // must then cover the full canvas at the origin, per spec
+          if (!sawIdat) {
+            curFromIdat = true
+            if (fw != w || fh != h || fx != 0 || fy != 0) return None
+          }
+        case "IDAT" =>
+          sawIdat = true
+          // part of the animation only when claimed by a leading fcTL;
+          // otherwise it is the standalone default image — skipped
+          if (cur != null && curFromIdat) curData.write(bytes, off + 8, len)
+        case "fdAT" =>
+          if (len < 5 || !sawIdat) return None
+          if (be32(bytes, off + 8) != expectSeq) return None
+          expectSeq += 1
+          if (cur == null || curFromIdat) return None
+          curData.write(bytes, off + 12, len - 4)
+        case "IEND" =>
+          if (!closeFrame()) return None
+          sawEnd = true
+        case _ => // ancillary chunks skipped
+      }
+      off += 12 + len
+    }
+    if (numFrames < 0 || frames.isEmpty || frames.length != numFrames)
+      return None
+    // decode + composite
+    val canvas = new Array[Int](w * h) // transparent black → gray 0
+    val grids = Seq.newBuilder[Array[Int]]
+    frames.foreach { case (fc, zdata) =>
+      val stride = fc.fw * channels
+      val expected = fc.fh * (stride + 1)
+      val raw = zlibDecode(zdata, expected) match {
+        case Some(r) => r
+        case None => return None
+      }
+      val img = unfilterRows(raw, 0, fc.fh, stride, channels)
+      if (img == null) return None
+      val before = if (fc.dispose == 2) canvas.clone() else null
+      var r = 0
+      while (r < fc.fh) {
+        var x = 0
+        while (x < fc.fw) {
+          val base = (r * fc.fw + x) * channels
+          val g =
+            if (channels == 3)
+              (img(base) & 0xff) + (img(base + 1) & 0xff) + (img(base + 2) & 0xff)
+            else 3 * (img(base) & 0xff)
+          canvas((fc.y + r) * w + fc.x + x) = g
+          x += 1
+        }
+        r += 1
+      }
+      grids += canvas.clone()
+      fc.dispose match {
+        case 1 =>
+          var rr = 0
+          while (rr < fc.fh) {
+            var xx = 0
+            while (xx < fc.fw) {
+              canvas((fc.y + rr) * w + fc.x + xx) = 0
+              xx += 1
+            }
+            rr += 1
+          }
+        case 2 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+        case _ => ()
+      }
+    }
+    Some((w, h, grids.result()))
+  }
+
+  /** Header-only APNG facts: (canvasW, canvasH, n_frames, duration_ms)
+    * from the IHDR + acTL + fcTL walk alone — chunk headers and the
+    * 26-byte control payloads, never pixel data (the [[gifMeta]]
+    * discipline). Duration pins the integer law: each fcTL contributes
+    * `(1000 · delay_num) div delay_den`, a zero denominator meaning
+    * 100 per spec. None when the PNG carries no acTL (a still image)
+    * or the chunk walk never reaches a clean IEND.
+    */
+  private[graft] def apngMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    if (bytes.length < 8 + 25 || !PngSig.indices.forall(i => bytes(i) == PngSig(i)))
+      return None
+    if (be32(bytes, 8) != 13 || bytes(12) != 'I' || bytes(13) != 'H' ||
+        bytes(14) != 'D' || bytes(15) != 'R')
+      return None
+    val w = be32(bytes, 16)
+    val h = be32(bytes, 20)
+    if (w <= 0 || h <= 0) return None
+    var numFrames = -1
+    var durMs = 0L
+    var off = 8 + 25
+    var done = false
+    while (!done) {
+      if (off + 8 > bytes.length) return None
+      val len = be32(bytes, off)
+      if (len < 0 || off + 12L + len > bytes.length) return None
+      val ctype = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      ctype match {
+        case "acTL" if len == 8 => numFrames = be32(bytes, off + 8)
+        case "fcTL" if len == 26 =>
+          val num = ((bytes(off + 28) & 0xff) << 8) | (bytes(off + 29) & 0xff)
+          val den0 = ((bytes(off + 30) & 0xff) << 8) | (bytes(off + 31) & 0xff)
+          val den = if (den0 == 0) 100 else den0
+          durMs += 1000L * num / den
+        case "IEND" => done = true
+        case _ => ()
+      }
+      off += 12 + len
+    }
+    if (numFrames > 0) Some((w, h, numFrames, durMs)) else None
+  }
+
+  /** Fixture/test writer for APNG: `frames` full-canvas frames whose
+    * pixel bytes follow `(seed + f·23 + row·31 + k·7) mod 256` (k the
+    * byte index in the row — frame f of the animation is byte-identical
+    * to [[makePng]]`(w, h, seed + f·23)`'s pixels), filter type cycling
+    * per row through all five, each frame an independent stored-zlib
+    * stream. `firstIsIdat` = true claims the IDAT stream as frame 0 via
+    * a leading fcTL (the common writer layout); false emits a DEFAULT
+    * still image (law `seed + 999`) that is NOT part of the animation,
+    * all frames arriving as fdAT. Frame f's delay is
+    * `(f mod 3 + 1) / 100` s, so the duration law is closed-form too.
+    * `colorType` 0 or 2 (the decoded envelope).
+    */
+  def makeApng(w: Int, h: Int, seed: Long, frames: Int,
+               colorType: Int = 2, firstIsIdat: Boolean = true): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 256 && h <= 256, s"fixture dims $w x $h")
+    require(frames >= 1 && (colorType == 0 || colorType == 2),
+      s"frames=$frames colorType=$colorType")
+    val channels = if (colorType == 2) 3 else 1
+    val stride = w * channels
+    def frameZlib(fseed: Long): Array[Byte] = {
+      val img = Array.tabulate(h * stride) { i =>
+        ((fseed + (i / stride) * 31L + (i % stride) * 7L) % 256).toByte
+      }
+      storedZlib(pngFilterRows(img, h, stride, channels))
+    }
+    def u32(v: Int): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val ihdr = u32(w) ++ u32(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    var seq = 0
+    def fctl(f: Int): Array[Byte] = {
+      val c = pngChunk("fcTL", u32(seq) ++ u32(w) ++ u32(h) ++ u32(0) ++ u32(0) ++
+        u16(f % 3 + 1) ++ u16(100) ++ Array[Byte](0, 0))
+      seq += 1
+      c
+    }
+    def fdat(z: Array[Byte]): Array[Byte] = {
+      val c = pngChunk("fdAT", u32(seq) ++ z)
+      seq += 1
+      c
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig.toArray)
+    out.write(pngChunk("IHDR", ihdr))
+    out.write(pngChunk("acTL", u32(frames) ++ u32(0)))
+    if (firstIsIdat) {
+      out.write(fctl(0))
+      out.write(pngChunk("IDAT", frameZlib(seed)))
+      (1 until frames).foreach { f =>
+        out.write(fctl(f))
+        out.write(fdat(frameZlib(seed + f * 23L)))
+      }
+    } else {
+      out.write(pngChunk("IDAT", frameZlib(seed + 999L))) // default still
+      (0 until frames).foreach { f =>
+        out.write(fctl(f))
+        out.write(fdat(frameZlib(seed + f * 23L)))
+      }
+    }
+    out.write(pngChunk("IEND", Array.empty))
+    out.toByteArray
   }
 
   // ---- real decoder: GIF (GIF87a/89a; LZW per the public spec) ---------
@@ -2486,11 +2769,13 @@ object Multimodal {
   }
 
   /** Container dispatch for the decoded-video family: animated GIF,
-    * MJPEG/DIB AVI, or ISO-BMFF Motion-JPEG (mp4/mov, r17) — all
-    * yielding the same (w, h, gray frames) contract.
+    * MJPEG/DIB AVI, ISO-BMFF Motion-JPEG (mp4/mov, r17), or APNG
+    * (r17 session 2) — all yielding the same (w, h, gray frames)
+    * contract.
     */
   private[graft] def videoFrameGrids(bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] =
     gifFrameGrids(bytes).orElse(aviFrameGrids(bytes)).orElse(mp4FrameGrids(bytes))
+      .orElse(apngFrameGrids(bytes))
 
   /** Canonical Huffman table: value lookup by (length, code). */
   private final class HuffTable(counts: Array[Int], symbols: Array[Int]) {
@@ -3689,7 +3974,15 @@ object Multimodal {
     * (Predictor 2) undone per row, and WhiteIsZero (photometric 0)
     * already inverted to intensity-up. Compressions 1/5/8/32946/32773
     * decode ([[tiffLzwDecode]]/[[zlibDecode]]/[[packBitsDecode]] —
-    * r17); None outside the subset.
+    * r17); the same round widened the LAYOUT axes: 16-bit samples
+    * (BitsPerSample 16 everywhere — predictor differencing undone on
+    * 16-bit values in file byte order per spec, then canonicalized to
+    * the 8-bit plane by the high byte, the PNG depth-16 convention),
+    * tiled files (tags 322/323/324/325 — full-size edge tiles clipped
+    * on copy, per spec) and PlanarConfiguration 2 (per-plane segment
+    * runs, plane-major segment order, predictor lag 1 sample inside a
+    * plane) — each crossing freely with every codec above. None
+    * outside the subset.
     */
   private def tiffDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
     if (bytes.length < 8) return None
@@ -3729,7 +4022,8 @@ object Multimodal {
         if (size == 2) u16(base + 2 * i).toLong else u32(base + 4 * i)
       })
     }
-    val needed = Set(256, 257, 258, 259, 262, 273, 277, 278, 279, 317)
+    val needed = Set(256, 257, 258, 259, 262, 273, 277, 278, 279, 284,
+      317, 322, 323, 324, 325, 339)
     var tags = Map.empty[Int, Array[Long]]
     var hasJpegTables = false
     var e = 0
@@ -3754,82 +4048,179 @@ object Multimodal {
     val photometric = first(262, -1L).toInt
     val compression = first(259, 1L).toInt
     val predictor = first(317, 1L).toInt
+    val planar = first(284, 1L).toInt
     // 1<<14 sanity bound: a lying directory must not drive a huge walk
     if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
     if (compression != 1 && compression != 5 && compression != 8 &&
         compression != 32946 && compression != 32773 &&
         compression != 7) return None
     if (predictor != 1 && predictor != 2) return None
+    if (planar != 1 && planar != 2) return None
     if (!((spp == 1 && (photometric == 0 || photometric == 1)) ||
           (spp == 3 && photometric == 2))) return None
+    val bits = tags.getOrElse(258, Array(8L))
+    if (bits.length != spp) return None
+    // 8-bit everywhere or 16-bit everywhere; mixed depths stay outside.
+    // SampleFormat, when present, must say unsigned (the default).
+    val bps =
+      if (bits.forall(_ == 8L)) 1
+      else if (bits.forall(_ == 16L)) 2
+      else return None
+    if (tags.getOrElse(339, Array(1L)).exists(_ != 1L)) return None
     // JPEG-in-TIFF (new-style, compression 7): each strip is a COMPLETE
     // grayscale baseline/progressive JPEG through the existing entropy
     // decoder. Color YCbCr TIFFs, shared JPEGTables (abbreviated
-    // streams) and predictor variants stay outside — sniffed into the
-    // measured boundary, never guessed.
+    // streams), predictor/planar/tiled/16-bit variants stay outside —
+    // sniffed into the measured boundary, never guessed.
     if (compression == 7 &&
-        (spp != 1 || photometric != 1 || predictor != 1 || hasJpegTables))
+        (spp != 1 || photometric != 1 || predictor != 1 || hasJpegTables ||
+         planar != 1 || bps != 1))
       return None
-    val bits = tags.getOrElse(258, Array(8L))
-    if (bits.length != spp || bits.exists(_ != 8L)) return None
-    val rps0 = first(278, 0xffffffffL) // spec default: all rows, one strip
-    val rps = if (rps0 <= 0 || rps0 > h) h.toLong else rps0
-    val offs = tags.getOrElse(273, return None)
-    val counts = tags.getOrElse(279, return None)
-    val nStrips = ((h + rps - 1) / rps).toInt
-    if (offs.length != nStrips || counts.length != nStrips) return None
-    val rowBytes = w.toLong * spp
+    val tiled = tags.contains(324)
+    if (tiled && tags.contains(273)) return None // both layouts: corrupt
     // a lying directory must not demand a huge decode buffer (the PNG
     // guard's posture)
-    if (rowBytes * h > (64L << 20)) return None
-    val out = new Array[Byte]((rowBytes * h).toInt)
-    val rb = rowBytes.toInt
-    var s = 0
-    var row = 0
-    while (s < nStrips) {
-      val rowsHere = math.min(rps, (h - row).toLong).toInt
-      val need = (rowBytes * rowsHere).toInt
-      val off = offs(s)
-      val strip: Array[Byte] =
-        if (compression == 1) {
-          if (counts(s) != need) return None // uncompressed: exact rows
-          if (off < 8 || off + need > bytes.length) return None
-          java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + need)
-        } else {
-          val cnt = counts(s)
-          if (off < 8 || cnt <= 0 || off + cnt > bytes.length) return None
-          val comp = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + cnt).toInt)
-          val dec = compression match {
-            case 5 => tiffLzwDecode(comp, need)
-            case 32773 => packBitsDecode(comp, need)
-            case 7 => jpegGrayGrid(comp) match {
-              // the strip JPEG must declare exactly this strip's canvas
-              case Some((jw, jh, g)) if jw == w && jh == rowsHere =>
-                val b = new Array[Byte](need)
-                var i = 0
-                while (i < need) { b(i) = g(i).toByte; i += 1 }
-                Some(b)
-              case _ => None
-            }
-            case _ => zlibDecode(comp, need) // 8 / legacy 32946
+    if (w.toLong * h * spp * bps > (64L << 20)) return None
+    val nPlanes = if (planar == 2) spp else 1
+    val sppU = spp / nPlanes // samples per pixel within one segment
+    // high byte of a sample in FILE byte order (16-bit: II stores it
+    // second, MM first; 8-bit: the byte itself)
+    val highOff = if (bps == 2 && little) 1 else 0
+    val out = new Array[Byte](w * h * spp)
+    // undo horizontal differencing per row, on bps-sized sample VALUES
+    // (16-bit differencing is defined on the values, not bytes) with a
+    // lag of one pixel = sppU samples inside this segment's plane set
+    def undoPredictor(buf: Array[Byte], rows: Int, unitW: Int): Unit = {
+      val rowSamples = unitW * sppU
+      var r0 = 0
+      while (r0 < rows) {
+        val base = r0 * rowSamples * bps
+        var i = sppU
+        while (i < rowSamples) {
+          if (bps == 1)
+            buf(base + i) = (buf(base + i) + buf(base + i - sppU)).toByte
+          else {
+            val o = base + i * 2; val p = o - sppU * 2
+            val prev =
+              if (little) (buf(p) & 0xff) | ((buf(p + 1) & 0xff) << 8)
+              else ((buf(p) & 0xff) << 8) | (buf(p + 1) & 0xff)
+            val cur =
+              if (little) (buf(o) & 0xff) | ((buf(o + 1) & 0xff) << 8)
+              else ((buf(o) & 0xff) << 8) | (buf(o + 1) & 0xff)
+            val v = (cur + prev) & 0xffff
+            if (little) { buf(o) = v.toByte; buf(o + 1) = (v >> 8).toByte }
+            else { buf(o) = (v >> 8).toByte; buf(o + 1) = v.toByte }
           }
-          dec match { case Some(d) => d; case None => return None }
+          i += 1
         }
-      if (predictor == 2) { // horizontal differencing, per row
-        var r0 = 0
-        while (r0 < rowsHere) {
-          val base = r0 * rb
-          var i = spp
-          while (i < rb) {
-            strip(base + i) = (strip(base + i) + strip(base + i - spp)).toByte
-            i += 1
+        r0 += 1
+      }
+    }
+    // decode one segment's byte stream to exactly `need` bytes
+    def decodeSeg(off: Long, cnt: Long, need: Int,
+                  jpegRows: Int): Option[Array[Byte]] =
+      if (compression == 1) {
+        if (cnt != need) return None // uncompressed: exact size
+        if (off < 8 || off + need > bytes.length) return None
+        Some(java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + need))
+      } else {
+        if (off < 8 || cnt <= 0 || off + cnt > bytes.length) return None
+        val comp = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + cnt).toInt)
+        compression match {
+          case 5 => tiffLzwDecode(comp, need)
+          case 32773 => packBitsDecode(comp, need)
+          case 7 => jpegGrayGrid(comp) match {
+            // the strip JPEG must declare exactly this strip's canvas
+            case Some((jw, jh, g)) if jw == w && jh == jpegRows =>
+              val b = new Array[Byte](need)
+              var i = 0
+              while (i < need) { b(i) = g(i).toByte; i += 1 }
+              Some(b)
+            case _ => None
           }
-          r0 += 1
+          case _ => zlibDecode(comp, need) // 8 / legacy 32946
         }
       }
-      System.arraycopy(strip, 0, out, row * rb, need)
-      row += rowsHere
-      s += 1
+    // copy a decoded segment (stored width unitW, copyRows × copyCols
+    // live pixels — tiles are padded to full size, strips are not) into
+    // the interleaved 8-bit canvas, reducing 16-bit samples to their
+    // high byte
+    def copySeg(seg: Array[Byte], unitW: Int, copyRows: Int, copyCols: Int,
+                row0: Int, col0: Int, chanBase: Int): Unit = {
+      var r = 0
+      while (r < copyRows) {
+        var x = 0
+        while (x < copyCols) {
+          var c = 0
+          while (c < sppU) {
+            out(((row0 + r) * w + (col0 + x)) * spp + chanBase + c) =
+              seg(((r * unitW + x) * sppU + c) * bps + highOff)
+            c += 1
+          }
+          x += 1
+        }
+        r += 1
+      }
+    }
+    if (tiled) {
+      val tw = first(322, -1L).toInt
+      val th = first(323, -1L).toInt
+      // spec: tile dims are positive multiples of 16
+      if (tw <= 0 || th <= 0 || tw % 16 != 0 || th % 16 != 0) return None
+      val across = (w + tw - 1) / tw
+      val down = (h + th - 1) / th
+      val perPlane = across * down
+      val offs = tags.getOrElse(324, return None)
+      val counts = tags.getOrElse(325, return None)
+      if (offs.length != nPlanes * perPlane ||
+          counts.length != nPlanes * perPlane) return None
+      val need = tw * th * sppU * bps // tiles are always full-size
+      var p = 0
+      while (p < nPlanes) {
+        var ty = 0
+        while (ty < down) {
+          var tx = 0
+          while (tx < across) {
+            val i = p * perPlane + ty * across + tx
+            val seg = decodeSeg(offs(i), counts(i), need, 0) match {
+              case Some(d) => d; case None => return None
+            }
+            if (predictor == 2) undoPredictor(seg, th, tw)
+            copySeg(seg, tw, math.min(th, h - ty * th),
+              math.min(tw, w - tx * tw), ty * th, tx * tw,
+              if (planar == 2) p else 0)
+            tx += 1
+          }
+          ty += 1
+        }
+        p += 1
+      }
+    } else {
+      val rps0 = first(278, 0xffffffffL) // spec default: all rows, one strip
+      val rps = if (rps0 <= 0 || rps0 > h) h.toLong else rps0
+      val offs = tags.getOrElse(273, return None)
+      val counts = tags.getOrElse(279, return None)
+      val perPlane = ((h + rps - 1) / rps).toInt
+      if (offs.length != nPlanes * perPlane ||
+          counts.length != nPlanes * perPlane) return None
+      var p = 0
+      while (p < nPlanes) {
+        var s = 0
+        var row = 0
+        while (s < perPlane) {
+          val rowsHere = math.min(rps, (h - row).toLong).toInt
+          val need = rowsHere * w * sppU * bps
+          val i = p * perPlane + s
+          val seg = decodeSeg(offs(i), counts(i), need, rowsHere) match {
+            case Some(d) => d; case None => return None
+          }
+          if (predictor == 2) undoPredictor(seg, rowsHere, w)
+          copySeg(seg, w, rowsHere, w, row, 0, if (planar == 2) p else 0)
+          row += rowsHere
+          s += 1
+        }
+        p += 1
+      }
     }
     if (photometric == 0) { // WhiteIsZero: invert to intensity-up
       var i = 0
@@ -3882,69 +4273,133 @@ object Multimodal {
 
   /** Fixture/test writer for the TIFF subset: pixels follow the closed
     * form `(seed + row·31 + k·7) mod 256` with row the DISPLAY
-    * (top-down) row and k the byte index in the row (3x+c for RGB, x
+    * (top-down) row and k the sample index in the row (3x+c for RGB, x
     * for grayscale) — oracle-replayable like [[makeBmp]] but without
     * the bottom-up flip. `bigEndian` exercises the MM byte order;
     * `rowsPerStrip` 0 means one strip for the whole image;
     * `compression` in {1, 5, 8, 32773} picks none/LZW/Deflate/PackBits
     * (r17), `predictor` 2 applies horizontal differencing before the
-    * codec. The decoded pixels are the SAME closed form regardless —
-    * storage knobs never reach the oracle.
+    * codec. r17 layout axes: `bits` 16 stores each sample as a 16-bit
+    * value whose HIGH byte is the closed form and whose low byte is
+    * separate deterministic noise the decoder must discard; `planar`
+    * stores per-plane segment runs (PlanarConfiguration 2);
+    * `tileSize` > 0 (a multiple of 16) emits a tiled file with
+    * zero-padded edge tiles. The decoded pixels are the SAME closed
+    * form regardless — storage knobs never reach the oracle.
     */
   def makeTiff(w: Int, h: Int, seed: Long, rgb: Boolean = true,
                bigEndian: Boolean = false, rowsPerStrip: Int = 0,
-               compression: Int = 1, predictor: Int = 1): Array[Byte] = {
+               compression: Int = 1, predictor: Int = 1,
+               bits: Int = 8, planar: Boolean = false,
+               tileSize: Int = 0): Array[Byte] = {
     require(compression == 1 || compression == 5 || compression == 8 ||
       compression == 32773, s"compression=$compression")
     require(predictor == 1 || predictor == 2, s"predictor=$predictor")
+    require(bits == 8 || bits == 16, s"bits=$bits")
+    require(tileSize >= 0 && tileSize % 16 == 0, s"tileSize=$tileSize")
     val spp = if (rgb) 3 else 1
-    val rps = if (rowsPerStrip <= 0) h else math.min(rowsPerStrip, h)
-    val nStrips = (h + rps - 1) / rps
-    val rowBytes = w * spp
-    val pix = new Array[Byte](rowBytes * h)
-    var r = 0
-    while (r < h) {
-      var k = 0
-      while (k < rowBytes) {
-        pix(r * rowBytes + k) = ((seed + r * 31L + k * 7L) % 256).toByte
-        k += 1
-      }
-      r += 1
+    val bps = bits / 8
+    val nPlanes = if (planar) spp else 1
+    val sppU = spp / nPlanes
+    val mask = (1 << bits) - 1
+    // chunky-order sample values; (r, k) with k = x*spp + c
+    def sample(r: Int, k: Int): Int = {
+      val hi = ((seed + r * 31L + k * 7L) % 256).toInt
+      if (bits == 8) hi
+      else (hi << 8) | ((seed * 3 + r * 17L + k * 5L) % 256).toInt
     }
-    // per-strip payloads: predictor first (per row), then the codec
-    val strips = Array.tabulate(nStrips) { s =>
-      val rows = math.min(rps, h - s * rps)
-      val raw = java.util.Arrays.copyOfRange(
-        pix, s * rps * rowBytes, (s * rps + rows) * rowBytes)
+    // one segment: `rows` rows of unitW*sppU values → predictor →
+    // file-byte-order serialization → codec
+    def serialize(seg: Array[Array[Int]], unitW: Int): Array[Byte] = {
+      val rows = seg.length
+      val rowSamples = unitW * sppU
       if (predictor == 2) {
-        var r0 = 0
-        while (r0 < rows) {
-          var i = rowBytes - 1
-          while (i >= spp) {
-            raw(r0 * rowBytes + i) =
-              (raw(r0 * rowBytes + i) - raw(r0 * rowBytes + i - spp)).toByte
+        var r = 0
+        while (r < rows) {
+          var i = rowSamples - 1
+          while (i >= sppU) {
+            seg(r)(i) = (seg(r)(i) - seg(r)(i - sppU)) & mask
             i -= 1
           }
-          r0 += 1
+          r += 1
         }
+      }
+      val raw = new Array[Byte](rows * rowSamples * bps)
+      var r = 0
+      while (r < rows) {
+        var i = 0
+        while (i < rowSamples) {
+          val v = seg(r)(i)
+          val o = (r * rowSamples + i) * bps
+          if (bps == 1) raw(o) = v.toByte
+          else if (bigEndian) { raw(o) = (v >> 8).toByte; raw(o + 1) = v.toByte }
+          else { raw(o) = v.toByte; raw(o + 1) = (v >> 8).toByte }
+          i += 1
+        }
+        r += 1
       }
       compression match {
         case 1 => raw
         case 5 => tiffLzwEncode(raw)
         case 8 => zlibEncode(raw)
-        case _ => packBitsEncode(raw, rowBytes)
+        case _ => packBitsEncode(raw, rowSamples * bps)
       }
     }
-    val dataLen = strips.map(_.length).sum
-    val nEntries = if (predictor == 2) 10 else 9
+    val tiled = tileSize > 0
+    val rps = if (rowsPerStrip <= 0) h else math.min(rowsPerStrip, h)
+    val segments: Array[Array[Byte]] =
+      if (tiled) {
+        val tw = tileSize
+        val across = (w + tw - 1) / tw
+        val down = (h + tw - 1) / tw
+        (for (p <- 0 until nPlanes; ty <- 0 until down; tx <- 0 until across)
+          yield {
+            val seg = Array.tabulate(tw, tw * sppU) { (r, i) =>
+              val rr = ty * tw + r
+              val x = tx * tw + i / sppU
+              val c = if (planar) p else i % sppU
+              if (rr < h && x < w) sample(rr, x * spp + c) else 0 // pad
+            }
+            serialize(seg, tw)
+          }).toArray
+      } else {
+        val perPlane = (h + rps - 1) / rps
+        (for (p <- 0 until nPlanes; s <- 0 until perPlane) yield {
+          val rows = math.min(rps, h - s * rps)
+          val seg = Array.tabulate(rows, w * sppU) { (r, i) =>
+            val c = if (planar) p else i % sppU
+            sample(s * rps + r, (i / sppU) * spp + c)
+          }
+          serialize(seg, w)
+        }).toArray
+      }
+    val dataLen = segments.map(_.length).sum
+    val segOffs = segments.scanLeft(8)(_ + _.length).init
+    // IFD entries in ascending-tag order (spec): (tag, type, values)
+    val ents = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Int])]
+    ents += ((256, 3, Array(w)))
+    ents += ((257, 3, Array(h)))
+    ents += ((258, 3, Array.fill(spp)(bits)))
+    ents += ((259, 3, Array(compression)))
+    ents += ((262, 3, Array(if (rgb) 2 else 1)))
+    if (!tiled) ents += ((273, 4, segOffs))
+    ents += ((277, 3, Array(spp)))
+    if (!tiled) ents += ((278, 3, Array(rps)))
+    if (!tiled) ents += ((279, 4, segments.map(_.length)))
+    if (planar) ents += ((284, 3, Array(2)))
+    if (predictor == 2) ents += ((317, 3, Array(2)))
+    if (tiled) {
+      ents += ((322, 3, Array(tileSize)))
+      ents += ((323, 3, Array(tileSize)))
+      ents += ((324, 4, segOffs))
+      ents += ((325, 4, segments.map(_.length)))
+    }
     val ifdOff = 8 + dataLen
-    val extraOff = ifdOff + 2 + nEntries * 12 + 4
-    val bitsOff = extraOff               // out-of-line BitsPerSample (RGB)
-    val bitsLen = if (rgb) 6 else 0
-    val soOff = bitsOff + bitsLen        // strip-offset array (multi-strip)
-    val arrLen = if (nStrips > 1) 4 * nStrips else 0
-    val scOff = soOff + arrLen           // strip-byte-count array
-    val out = new Array[Byte](scOff + arrLen)
+    val extraOff = ifdOff + 2 + ents.length * 12 + 4
+    def entSize(e: (Int, Int, Array[Int])): Int =
+      e._3.length * (if (e._2 == 3) 2 else 4)
+    val extraLen = ents.map(e => if (entSize(e) > 4) entSize(e) else 0).sum
+    val out = new Array[Byte](extraOff + extraLen)
     def putU16(off: Int, v: Int): Unit =
       if (bigEndian) { out(off) = (v >> 8).toByte; out(off + 1) = v.toByte }
       else { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte }
@@ -3960,45 +4415,29 @@ object Multimodal {
     out(1) = out(0)
     putU16(2, 42)
     putU32(4, ifdOff)
-    val stripOffs = new Array[Int](nStrips)
     var dataOff = 8
-    var si = 0
-    while (si < nStrips) {
-      stripOffs(si) = dataOff
-      System.arraycopy(strips(si), 0, out, dataOff, strips(si).length)
-      dataOff += strips(si).length
-      si += 1
+    segments.foreach { s =>
+      System.arraycopy(s, 0, out, dataOff, s.length)
+      dataOff += s.length
     }
-    putU16(ifdOff, nEntries)
+    putU16(ifdOff, ents.length)
+    var extra = extraOff
     var e = 0
-    def entry(tag: Int, typ: Int, count: Int)(writeValue: Int => Unit): Unit = {
+    while (e < ents.length) {
+      val (tag, typ, vals) = ents(e)
       val off = ifdOff + 2 + e * 12
-      putU16(off, tag); putU16(off + 2, typ); putU32(off + 4, count)
-      writeValue(off + 8)
+      putU16(off, tag); putU16(off + 2, typ); putU32(off + 4, vals.length)
+      val vsz = if (typ == 3) 2 else 4
+      val base =
+        if (vals.length * vsz <= 4) off + 8
+        else { putU32(off + 8, extra); val b = extra; extra += vals.length * vsz; b }
+      var i = 0
+      while (i < vals.length) {
+        if (typ == 3) putU16(base + 2 * i, vals(i)) else putU32(base + 4 * i, vals(i))
+        i += 1
+      }
       e += 1
     }
-    entry(256, 3, 1)(putU16(_, w))
-    entry(257, 3, 1)(putU16(_, h))
-    if (rgb) {
-      entry(258, 3, 3)(putU32(_, bitsOff))
-      putU16(bitsOff, 8); putU16(bitsOff + 2, 8); putU16(bitsOff + 4, 8)
-    } else entry(258, 3, 1)(putU16(_, 8))
-    entry(259, 3, 1)(putU16(_, compression))
-    entry(262, 3, 1)(putU16(_, if (rgb) 2 else 1)) // photometric
-    if (nStrips > 1) {
-      entry(273, 4, nStrips)(putU32(_, soOff))
-      var s = 0
-      while (s < nStrips) {
-        putU32(soOff + 4 * s, stripOffs(s))
-        putU32(scOff + 4 * s, strips(s).length)
-        s += 1
-      }
-    } else entry(273, 4, 1)(putU32(_, 8))
-    entry(277, 3, 1)(putU16(_, spp))
-    entry(278, 3, 1)(putU16(_, rps))
-    if (nStrips > 1) entry(279, 4, nStrips)(putU32(_, scOff))
-    else entry(279, 4, 1)(putU32(_, strips(0).length))
-    if (predictor == 2) entry(317, 3, 1)(putU16(_, 2))
     // next-IFD pointer stays 0 (array is zero-initialized)
     out
   }
@@ -4979,13 +5418,36 @@ object Multimodal {
     else "unknown"
   }
 
+  /** Cheap acTL presence sniff: a chunk-HEADER walk (lengths + types
+    * only, no payload reads) until acTL, IDAT or the walk ends — the
+    * classification half of the APNG family. Sniffs never reject:
+    * truncation just answers false.
+    */
+  private[graft] def pngHasAcTl(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 8 + 25 || !PngSig.indices.forall(i => bytes(i) == PngSig(i)))
+      return false
+    var off = 8
+    while (off + 8 <= bytes.length) {
+      val len = be32(bytes, off)
+      if (len < 0) return false
+      val ctype = new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (ctype == "acTL") return true
+      if (ctype == "IDAT" || ctype == "IEND") return false
+      off += 12 + len
+    }
+    false
+  }
+
   /** Container-level VIDEO format sniff — classification only (the
     * [[audioFormatOf]]/[[imageFormatOf]] discipline): the decoded
     * envelope (animated GIF, RIFF AVI, ISO-BMFF mp4/mov when the video
-    * coding is `jpeg` — r17) plus the containers outside it (EBML
-    * webm/mkv, ISO-BMFF carrying H.264/HEVC). An AVI whose
-    * video stream is not MJPG still sniffs 'avi' — coverage then shows
-    * it un-framed, which is the boundary the measurement exposes.
+    * coding is `jpeg` — r17, APNG — r17 session 2) plus the containers
+    * outside it (EBML webm/mkv, ISO-BMFF carrying H.264/HEVC). An AVI
+    * whose video stream is not MJPG still sniffs 'avi', and an
+    * alpha/palette/interlaced APNG still sniffs 'apng' — coverage then
+    * shows them un-framed, which is the boundary the measurement
+    * exposes. A still PNG (no acTL) is not a video container at all
+    * and stays 'unknown' here.
     */
   private[graft] def videoFormatOf(bytes: Array[Byte]): String = {
     def ascii(off: Int, n: Int): String =
@@ -4993,6 +5455,7 @@ object Multimodal {
         new String(bytes, off, n, java.nio.charset.StandardCharsets.US_ASCII)
       else ""
     if (ascii(0, 6) == "GIF87a" || ascii(0, 6) == "GIF89a") "gif"
+    else if (pngHasAcTl(bytes)) "apng"
     else if (ascii(0, 4) == "RIFF" && ascii(8, 4) == "AVI ") "avi"
     else if (ascii(4, 4) == "ftyp") {
       val brand = ascii(8, 4)
@@ -5955,6 +6418,17 @@ object Multimodal {
             MediaMetaRow(id, if (nf.exists(_ >= 2)) "video" else "image",
               "webp", Some(w), Some(h), nf, None, None, None, None, dur)
           case None => MediaMetaRow(id, "image", "webp",
+            None, None, None, None, None, None, None, None)
+        }
+      case "png" if pngHasAcTl(bytes) =>
+        // APNG: the GIF kind rule (2+ frames make it a video), frame
+        // count from acTL, duration from the fcTL delay walk
+        apngMeta(bytes) match {
+          case Some((w0, h0, nf, dur)) =>
+            MediaMetaRow(id, if (nf >= 2) "video" else "image", "apng",
+              Some(w0), Some(h0), Some(nf.toLong), None, None, None, None,
+              if (dur > 0) Some(dur) else None)
+          case None => MediaMetaRow(id, "image", "apng",
             None, None, None, None, None, None, None, None)
         }
       case f @ ("bmp" | "png" | "jpeg" | "tiff") =>

@@ -1463,6 +1463,89 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.features.toSeq === b.features.toSeq)
   }
 
+  test("imageAHash: TIFF 16-bit / tiled / planar layouts hash like the 8-bit chunky twin") {
+    val base = Multimodal.imageAHash(Multimodal.makeTiff(24, 24, 7)).get
+    // 16-bit: the HIGH byte carries the law, the low byte is separate
+    // deterministic noise the decoder must discard — across byte order,
+    // codecs and the 16-bit predictor (differencing on VALUES)
+    for ((be, comp, pred) <- Seq((false, 1, 1), (true, 1, 1), (false, 8, 2),
+                                 (true, 5, 2), (false, 32773, 1)))
+      assert(Multimodal.imageAHash(Multimodal.makeTiff(24, 24, 7, bits = 16,
+          bigEndian = be, compression = comp, predictor = pred)).get === base,
+        s"bits=16 be=$be comp=$comp pred=$pred must hash like the 8-bit twin")
+    // tiled: 16x16 tiles over 24x24 → 2x2 grid, padded edge tiles
+    // clipped on copy
+    for ((be, comp) <- Seq((false, 1), (true, 5), (false, 32773)))
+      assert(Multimodal.imageAHash(Multimodal.makeTiff(24, 24, 7,
+          tileSize = 16, bigEndian = be, compression = comp)).get === base,
+        s"tiled be=$be comp=$comp must hash like the strip twin")
+    // planar configuration 2: per-plane strip runs and per-plane tiles
+    assert(Multimodal.imageAHash(Multimodal.makeTiff(24, 24, 7, planar = true,
+      rowsPerStrip = 7, compression = 8, predictor = 2)).get === base)
+    assert(Multimodal.imageAHash(Multimodal.makeTiff(24, 24, 7, planar = true,
+      tileSize = 16, bigEndian = true)).get === base)
+    // every axis at once: 16-bit planar tiled LZW with predictor
+    assert(Multimodal.imageAHash(Multimodal.makeTiff(24, 24, 7, bits = 16,
+      planar = true, tileSize = 16, compression = 5, predictor = 2)).get === base)
+    // grayscale: planar is degenerate at spp 1; 16-bit tiled Deflate
+    val gray = Multimodal.imageAHash(Multimodal.makeTiff(24, 24, 7, rgb = false)).get
+    assert(Multimodal.imageAHash(Multimodal.makeTiff(24, 24, 7, rgb = false,
+      bits = 16, tileSize = 16, compression = 8)).get === gray)
+    // independent replay of the hash from the pixel closed form
+    val g = Array.tabulate(24 * 24) { p =>
+      val r = p / 24; val x = p % 24
+      (0 until 3).map(c => ((7L + r * 31L + (3 * x + c) * 7L) % 256).toInt).sum
+    }
+    assert(base === Multimodal.aHash64(24, 24, g).get)
+    // decoded pixels (not just hashes) are layout-identical
+    val a = Multimodal.parseTiff(1L, Multimodal.makeTiff(20, 9, 3L)).get
+    val b = Multimodal.parseTiff(1L, Multimodal.makeTiff(20, 9, 3L,
+      bits = 16, planar = true, rowsPerStrip = 4, compression = 5)).get
+    assert(a.features.toSeq === b.features.toSeq)
+  }
+
+  test("tiffDecode: tiled/planar/16-bit defect shapes reject, never guess") {
+    def ifdOffOf(b: Array[Byte]): Int =
+      (b(4) & 0xff) | ((b(5) & 0xff) << 8) | ((b(6) & 0xff) << 16) |
+        ((b(7) & 0xff) << 24)
+    // tiled RGB: tags 256,257,258,259,262,277,322,323,324,325 (ascending)
+    val tiled = Multimodal.makeTiff(24, 24, 7, tileSize = 16)
+    assert(Multimodal.decode(1L, tiled).format === "tiff") // sanity
+    // TileWidth not a multiple of 16 (entry 6 = tag 322, inline SHORT)
+    val badTw = tiled.clone()
+    badTw(ifdOffOf(badTw) + 2 + 6 * 12 + 8) = 12
+    assert(Multimodal.decode(1L, badTw).format === "stub")
+    // both layout families present: retag TileLength (entry 7 = 323) as
+    // StripOffsets — the directory then carries 273 AND 324
+    val both = tiled.clone()
+    val t323 = ifdOffOf(both) + 2 + 7 * 12
+    both(t323) = (273 & 0xff).toByte; both(t323 + 1) = (273 >> 8).toByte
+    assert(Multimodal.decode(1L, both).format === "stub")
+    // planar RGB strips: tags ...,273,277,278,279,284 (entry 9 = 284)
+    val planar = Multimodal.makeTiff(24, 24, 7, planar = true)
+    assert(Multimodal.decode(2L, planar).format === "tiff") // sanity
+    val badPc = planar.clone()
+    badPc(ifdOffOf(badPc) + 2 + 9 * 12 + 8) = 3
+    assert(Multimodal.decode(2L, badPc).format === "stub")
+    // a planar file read as chunky can't happen by accident: strip
+    // count disagrees with the chunky geometry, so dropping the 284
+    // entry's VALUE to 1 rejects rather than mis-decoding
+    val chunkyLie = planar.clone()
+    chunkyLie(ifdOffOf(chunkyLie) + 2 + 9 * 12 + 8) = 1
+    assert(Multimodal.decode(2L, chunkyLie).format === "stub")
+    // mixed 8/16 BitsPerSample: 16-bit RGB's out-of-line bits array sits
+    // first in the extra area (entries 256..279 = 9, tag 258 leads)
+    val b16 = Multimodal.makeTiff(8, 8, 7, bits = 16)
+    assert(Multimodal.decode(3L, b16).format === "tiff") // sanity
+    val extraOff = ifdOffOf(b16) + 2 + 9 * 12 + 4
+    val mixed = b16.clone()
+    mixed(extraOff + 2) = 8 // bits = (16, 8, 16)
+    assert(Multimodal.decode(3L, mixed).format === "stub")
+    // truncated tile payload
+    assert(Multimodal.decode(4L,
+      Multimodal.makeTiff(24, 24, 7, tileSize = 16).dropRight(700)).format === "stub")
+  }
+
   test("tiffDecode: compressed-path defects reject, never guess") {
     def ifdOffOf(b: Array[Byte]): Int =
       (b(4) & 0xff) | ((b(5) & 0xff) << 8) | ((b(6) & 0xff) << 16) |
@@ -1628,14 +1711,140 @@ class MultimodalSpec extends SparkTestBase {
       "AVI ".getBytes("US-ASCII") ++ new Array[Byte](16)
     assert(Multimodal.videoFormatOf(hollow) === "avi")
     assert(Multimodal.aviFrameGrids(hollow).isEmpty)
+    // an alpha-channel APNG sniffs apng but frames nothing — the same
+    // inside-a-known-container gap as the hollow AVI
+    val rgbaApng = Multimodal.makeApng(16, 16, 3L, 2)
+    rgbaApng(25) = 6 // IHDR colorType → RGBA
+    assert(Multimodal.videoFormatOf(rgbaApng) === "apng")
+    assert(Multimodal.apngFrameGrids(rgbaApng).isEmpty)
     val corpus = Seq(
       (1L, Multimodal.makeGifAnimated(16, 16, 1, 2)),
       (2L, Multimodal.makeAviMjpeg(16, 16, 2, 2)),
-      (3L, hollow), (4L, mp4), (5L, ebml)).toDF("doc_id", "payload")
+      (3L, hollow), (4L, mp4), (5L, ebml),
+      (6L, Multimodal.makeApng(16, 16, 3L, 2)),
+      (7L, rgbaApng)).toDF("doc_id", "payload")
     val cov = Multimodal.videoCoverage(spark, corpus)
       .orderBy("format").as[(String, Long, Long)].collect().toSeq
-    assert(cov === Seq(("avi", 2L, 1L), ("ebml", 1L, 0L),
+    assert(cov === Seq(("apng", 2L, 1L), ("avi", 2L, 1L), ("ebml", 1L, 0L),
       ("gif", 1L, 1L), ("mp4", 1L, 0L)))
+  }
+
+  test("apngFrameGrids: frames hash identically to their standalone PNG twins") {
+    for (ct <- Seq(0, 2)) {
+      val apng = Multimodal.makeApng(16, 16, 9L, 3, colorType = ct)
+      val (w, h, grids) = Multimodal.videoFrameGrids(apng).get
+      assert(w === 16 && h === 16 && grids.length === 3)
+      grids.zipWithIndex.foreach { case (g, f) =>
+        val still = Multimodal.imageAHash(
+          Multimodal.makePng(16, 16, 9L + f * 23L, colorType = ct)).get
+        assert(Multimodal.aHash64(16, 16, g).get === still, s"ct=$ct frame $f")
+      }
+    }
+    // default-image variant: the IDAT still is NOT a frame, and the
+    // animation decodes to the SAME grids as the IDAT-claiming twin
+    val a = Multimodal.apngFrameGrids(Multimodal.makeApng(16, 16, 9L, 3)).get
+    val b = Multimodal.apngFrameGrids(
+      Multimodal.makeApng(16, 16, 9L, 3, firstIsIdat = false)).get
+    assert(a._3.length === b._3.length)
+    a._3.zip(b._3).foreach { case (x, y) => assert(x.toSeq === y.toSeq) }
+    // backwards compatibility is the container's design: the STILL
+    // image path keeps decoding APNG payloads through their IDAT
+    assert(Multimodal.decode(1L, Multimodal.makeApng(16, 16, 9L, 3)).format === "png")
+  }
+
+  test("apngFrameGrids: region compositing, dispose background and previous") {
+    val w = 4; val h = 4
+    def u32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def u16(v: Int) = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // one gray frame region of constant sample v, filter 0 everywhere
+    def grayZ(fw: Int, fh: Int, v: Int): Array[Byte] = {
+      val raw = new Array[Byte](fh * (fw + 1))
+      for (r <- 0 until fh; x <- 0 until fw) raw(r * (fw + 1) + 1 + x) = v.toByte
+      Multimodal.storedZlib(raw)
+    }
+    var seq = 0
+    def fctl(fw: Int, fh: Int, x: Int, y: Int, dispose: Int): Array[Byte] = {
+      val c = Multimodal.pngChunk("fcTL", u32(seq) ++ u32(fw) ++ u32(fh) ++
+        u32(x) ++ u32(y) ++ u16(1) ++ u16(100) ++ Array(dispose.toByte, 0.toByte))
+      seq += 1; c
+    }
+    def fdat(z: Array[Byte]): Array[Byte] = {
+      val c = Multimodal.pngChunk("fdAT", u32(seq) ++ z); seq += 1; c
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Multimodal.PngSig)
+    bos.write(Multimodal.pngChunk("IHDR",
+      u32(w) ++ u32(h) ++ Array[Byte](8, 0, 0, 0, 0)))
+    bos.write(Multimodal.pngChunk("acTL", u32(4) ++ u32(0)))
+    bos.write(fctl(4, 4, 0, 0, 0)) // f0: full canvas 10, keep
+    bos.write(Multimodal.pngChunk("IDAT", grayZ(4, 4, 10)))
+    bos.write(fctl(2, 2, 1, 1, 1)) // f1: center 20, dispose→background
+    bos.write(fdat(grayZ(2, 2, 20)))
+    bos.write(fctl(1, 1, 0, 0, 2)) // f2: corner 40, dispose→previous
+    bos.write(fdat(grayZ(1, 1, 40)))
+    bos.write(fctl(1, 1, 3, 3, 0)) // f3: far corner 50
+    bos.write(fdat(grayZ(1, 1, 50)))
+    bos.write(Multimodal.pngChunk("IEND", Array.empty))
+    val (cw, chh, grids) = Multimodal.apngFrameGrids(bos.toByteArray).get
+    assert(cw === 4 && chh === 4 && grids.length === 4)
+    def grid(f: (Int, Int) => Int): Seq[Int] =
+      (for (r <- 0 until 4; x <- 0 until 4) yield f(r, x))
+    val base = 30 // gray = 3 × sample
+    assert(grids(0).toSeq === grid((_, _) => base))
+    assert(grids(1).toSeq === grid((r, x) =>
+      if (r >= 1 && r <= 2 && x >= 1 && x <= 2) 60 else base))
+    // f1's disposal cleared its region to 0 before f2 drew the corner
+    assert(grids(2).toSeq === grid((r, x) =>
+      if (r == 0 && x == 0) 120
+      else if (r >= 1 && r <= 2 && x >= 1 && x <= 2) 0 else base))
+    // f2's dispose=previous reverted the corner before f3 drew (3,3)
+    assert(grids(3).toSeq === grid((r, x) =>
+      if (r == 3 && x == 3) 150
+      else if (r >= 1 && r <= 2 && x >= 1 && x <= 2) 0 else base))
+  }
+
+  test("apngFrameGrids: outside-envelope and defect shapes reject, never guess") {
+    val good = Multimodal.makeApng(8, 8, 3L, 2)
+    assert(Multimodal.apngFrameGrids(good).isDefined)
+    // a still PNG is not a video at all
+    assert(Multimodal.apngFrameGrids(Multimodal.makePng(8, 8, 3L)).isEmpty)
+    assert(Multimodal.videoFormatOf(Multimodal.makePng(8, 8, 3L)) === "unknown")
+    // interlaced animation: outside the envelope
+    val il = good.clone(); il(28) = 1
+    assert(Multimodal.apngFrameGrids(il).isEmpty)
+    // acTL frame-count lie (count low byte at sig+IHDR+dataOff+3)
+    val lie = good.clone(); lie(33 + 8 + 3) = 5
+    assert(Multimodal.apngFrameGrids(lie).isEmpty)
+    // fdAT sequence break (seq low byte at typeOff+4+3)
+    val fd = good.indexOfSlice("fdAT".getBytes("US-ASCII"))
+    assert(fd > 0)
+    val seqBreak = good.clone(); seqBreak(fd + 7) = 9
+    assert(Multimodal.apngFrameGrids(seqBreak).isEmpty)
+    // truncated frame payload
+    assert(Multimodal.apngFrameGrids(good.dropRight(20)).isEmpty)
+    // first-frame fcTL claiming IDAT must cover the full canvas: the
+    // first fcTL's width sits at sig(8)+IHDR(25)+acTL(20)+8+4 .. +7
+    val part = good.clone(); part(33 + 20 + 8 + 7) = 4
+    assert(Multimodal.apngFrameGrids(part).isEmpty)
+  }
+
+  test("apngMeta/metaOf: header-only APNG facts") {
+    val apng = Multimodal.makeApng(12, 10, 5L, 4)
+    // delays (f mod 3 + 1)/100 s → 10+20+30+10 ms
+    assert(Multimodal.apngMeta(apng) === Some((12, 10, 4, 70L)))
+    val m = Multimodal.metaOf(7L, apng)
+    assert(m.kind === "video" && m.format === "apng" && m.width === Some(12) &&
+      m.height === Some(10) && m.n_frames === Some(4L) &&
+      m.duration_ms === Some(70L))
+    // a still PNG stays an image with dims
+    val still = Multimodal.metaOf(8L, Multimodal.makePng(6, 5, 1L))
+    assert(still.kind === "image" && still.format === "png" &&
+      still.width === Some(6) && still.n_frames === None)
+    // single-frame APNG: image kind (the GIF rule)
+    val one = Multimodal.metaOf(9L, Multimodal.makeApng(8, 8, 1L, 1))
+    assert(one.kind === "image" && one.format === "apng" &&
+      one.n_frames === Some(1L) && one.duration_ms === Some(10L))
   }
 
   test("mp4FrameGrids: ISO-BMFF Motion-JPEG frames hash identically to their JPEG twins") {
