@@ -4575,17 +4575,30 @@ object SparkEntry {
     * the oracle is pure block law: aHash cell (i, j) of the 64×64
     * canvas IS strip i/2's JPEG block (i mod 2, j), and endianness /
     * strip geometry / JPEG coefficients are all absent from the SQL.
-    * Color YCbCr TIFFs and shared JPEGTables stay outside (measured
-    * boundary), spec-pinned.
+    * r17 session 2 widened the variants WITHOUT touching the oracle:
+    * shared JPEGTables (abbreviated strips + the type-UNDEFINED tables
+    * tag, spliced back by the decoder) and color YCbCr strips with
+    * FLAT chroma (Cb = Cr = 128, so decoded RGB = (Y, Y, Y) and the
+    * scale-free hash law is the gray one verbatim) — four storage
+    * layouts, one SQL, which IS the proof the tables/photometric axes
+    * never reach the pixels.
     */
   private val qImageAHashTiffJ = Q(
     (s, dir) => {
       import s.implicits._
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .filter((id: Long) => id < 150)
-        .map(id => (id, graft.multimodal.Multimodal.makeTiffJpeg(
-          64, 64, 16, id, bigEndian = id % 2 == 1)))
-        .toDF("doc_id", "payload")
+        .map { id =>
+          val M = graft.multimodal.Multimodal
+          val bytes = (id % 4) match {
+            case 0 => M.makeTiffJpeg(64, 64, 16, id)
+            case 1 => M.makeTiffJpeg(64, 64, 16, id, bigEndian = true)
+            case 2 => M.makeTiffJpeg(64, 64, 16, id, sharedTables = true)
+            case _ => M.makeTiffJpeg(64, 64, 16, id, color = true,
+              sharedTables = true)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
       graft.multimodal.Multimodal.imageAHashes(s, bins).orderBy("doc_id")
     },
     Some("""WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 150),

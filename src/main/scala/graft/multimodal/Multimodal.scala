@@ -3423,10 +3423,15 @@ object Multimodal {
     * 2×2 per MCU with per-Y-block values, chroma constant per MCU).
     * Huffman tables are minimal canonical sets (12 DC categories at
     * 4 bits; the AC table's single EOB symbol at 1 bit). Dims must be
-    * multiples of 8 (of 16 when subsampled).
+    * multiples of 8 (of 16 when subsampled). `flatChroma` pins the Cb
+    * and Cr blocks to exactly 128 (DC difference 0), so the YCbCr→RGB
+    * conversion collapses to R = G = B = Y with NO rounding — the
+    * color fixture whose gray fold stays pure integer closed form
+    * (3 × the Y law), used by the color JPEG-in-TIFF oracle.
     */
   def makeJpeg(w: Int, h: Int, seed: Long, gray: Boolean = false,
-               subsample: Boolean = false): Array[Byte] = {
+               subsample: Boolean = false,
+               flatChroma: Boolean = false): Array[Byte] = {
     val unit = if (subsample) 16 else 8
     require(w > 0 && h > 0 && w <= 256 && h <= 256 && w % unit == 0 && h % unit == 0,
       s"fixture dims $w x $h (must be multiples of $unit)")
@@ -3470,7 +3475,8 @@ object Multimodal {
       s
     }
     def blockVal(c: Int, bx: Int, by: Int): Int =
-      (((seed + bx * 31L + by * 7L + c * 53L) % 200) + 28).toInt
+      if (flatChroma && c > 0) 128
+      else (((seed + bx * 31L + by * 7L + c * 53L) % 200) + 28).toInt
     val pred = new Array[Int](nComp)
     val mcusX = w / unit
     val mcusY = h / unit
@@ -4025,12 +4031,27 @@ object Multimodal {
     val needed = Set(256, 257, 258, 259, 262, 273, 277, 278, 279, 284,
       317, 322, 323, 324, 325, 339)
     var tags = Map.empty[Int, Array[Long]]
-    var hasJpegTables = false
+    // JPEGTables (347, type UNDEFINED): the shared abbreviated-stream
+    // tables every compression-7 strip splices in — captured as raw
+    // bytes, validated at splice time
+    var jpegTables: Array[Byte] = null
     var e = 0
     while (e < nEntries) {
       val entryOff = ifdOff.toInt + 2 + 12 * e
       val tag = u16(entryOff)
-      if (tag == 347) hasJpegTables = true // JPEGTables: abbreviated streams
+      if (tag == 347) {
+        val typ = u16(entryOff + 2)
+        val count = u32(entryOff + 4)
+        if (typ != 7 || count < 4 || count > (1 << 16)) return None
+        val base =
+          if (count <= 4) entryOff + 8
+          else {
+            val o = u32(entryOff + 8)
+            if (o < 8 || o + count > bytes.length) return None
+            o.toInt
+          }
+        jpegTables = java.util.Arrays.copyOfRange(bytes, base, base + count.toInt)
+      }
       // unknown tags are legal and skipped; a needed tag must parse
       if (needed.contains(tag)) {
         values(entryOff) match {
@@ -4056,8 +4077,11 @@ object Multimodal {
         compression != 7) return None
     if (predictor != 1 && predictor != 2) return None
     if (planar != 1 && planar != 2) return None
+    // photometric 6 (YCbCr) is storage the decoder only understands
+    // INSIDE a JPEG strip (compression 7) — raw-YCbCr files stay out
     if (!((spp == 1 && (photometric == 0 || photometric == 1)) ||
-          (spp == 3 && photometric == 2))) return None
+          (spp == 3 && photometric == 2) ||
+          (spp == 3 && photometric == 6 && compression == 7))) return None
     val bits = tags.getOrElse(258, Array(8L))
     if (bits.length != spp) return None
     // 8-bit everywhere or 16-bit everywhere; mixed depths stay outside.
@@ -4067,17 +4091,19 @@ object Multimodal {
       else if (bits.forall(_ == 16L)) 2
       else return None
     if (tags.getOrElse(339, Array(1L)).exists(_ != 1L)) return None
-    // JPEG-in-TIFF (new-style, compression 7): each strip is a COMPLETE
-    // grayscale baseline/progressive JPEG through the existing entropy
-    // decoder. Color YCbCr TIFFs, shared JPEGTables (abbreviated
-    // streams), predictor/planar/tiled/16-bit variants stay outside —
-    // sniffed into the measured boundary, never guessed.
+    // JPEG-in-TIFF (new-style, compression 7): each strip is a
+    // grayscale OR YCbCr-color baseline/progressive JPEG through the
+    // existing entropy decoder — COMPLETE, or abbreviated with the
+    // shared JPEGTables spliced in (r17 session 2). Predictor/planar/
+    // tiled/16-bit variants stay outside — sniffed into the measured
+    // boundary, never guessed.
     if (compression == 7 &&
-        (spp != 1 || photometric != 1 || predictor != 1 || hasJpegTables ||
+        (!(photometric == 1 || photometric == 6) || predictor != 1 ||
          planar != 1 || bps != 1))
       return None
     val tiled = tags.contains(324)
     if (tiled && tags.contains(273)) return None // both layouts: corrupt
+    if (tiled && compression == 7) return None // JPEG tiles: outside
     // a lying directory must not demand a huge decode buffer (the PNG
     // guard's posture)
     if (w.toLong * h * spp * bps > (64L << 20)) return None
@@ -4129,15 +4155,40 @@ object Multimodal {
         compression match {
           case 5 => tiffLzwDecode(comp, need)
           case 32773 => packBitsDecode(comp, need)
-          case 7 => jpegGrayGrid(comp) match {
-            // the strip JPEG must declare exactly this strip's canvas
-            case Some((jw, jh, g)) if jw == w && jh == jpegRows =>
-              val b = new Array[Byte](need)
-              var i = 0
-              while (i < need) { b(i) = g(i).toByte; i += 1 }
-              Some(b)
-            case _ => None
-          }
+          case 7 =>
+            // abbreviated strips splice the shared tables between the
+            // strip's SOI and its first own marker (the T.81
+            // abbreviated-stream format): tables must be a well-formed
+            // SOI…EOI shell, the strip must open with its own SOI
+            val stream: Option[Array[Byte]] =
+              if (jpegTables == null) Some(comp)
+              else if (jpegTables.length >= 4 &&
+                       (jpegTables(0) & 0xff) == 0xff &&
+                       (jpegTables(1) & 0xff) == 0xd8 &&
+                       (jpegTables(jpegTables.length - 2) & 0xff) == 0xff &&
+                       (jpegTables(jpegTables.length - 1) & 0xff) == 0xd9 &&
+                       comp.length >= 2 &&
+                       (comp(0) & 0xff) == 0xff && (comp(1) & 0xff) == 0xd8)
+                Some(Array[Byte](0xff.toByte, 0xd8.toByte) ++
+                  java.util.Arrays.copyOfRange(jpegTables, 2, jpegTables.length - 2) ++
+                  java.util.Arrays.copyOfRange(comp, 2, comp.length))
+              else None
+            stream.flatMap { sb =>
+              // the strip JPEG must declare exactly this strip's canvas
+              if (spp == 1) jpegGrayGrid(sb) match {
+                case Some((jw, jh, g)) if jw == w && jh == jpegRows =>
+                  val b = new Array[Byte](need)
+                  var i = 0
+                  while (i < need) { b(i) = g(i).toByte; i += 1 }
+                  Some(b)
+                case _ => None
+              } else jpegRgbGrid(sb) match {
+                case Some((jw, jh, rgb))
+                  if jw == w && jh == jpegRows && rgb.length == need =>
+                  Some(rgb)
+                case _ => None
+              }
+            }
           case _ => zlibDecode(comp, need) // 8 / legacy 32946
         }
       }
@@ -4442,28 +4493,88 @@ object Multimodal {
     out
   }
 
+  /** Split a complete JPEG stream into its JPEGTables shell and the
+    * abbreviated remainder (fixture side): DQT and DHT segments move
+    * into an SOI…EOI tables stream, everything else (SOF, SOS, entropy
+    * data, EOI) stays in the abbreviated stream — the TIFF/EP shared-
+    * tables layout the decoder splices back together.
+    */
+  private[graft] def abbreviateJpeg(jpeg: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    require(jpeg.length > 4 && (jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8,
+      "not a JPEG stream")
+    val tables = new java.io.ByteArrayOutputStream()
+    val rest = new java.io.ByteArrayOutputStream()
+    tables.write(0xff); tables.write(0xd8)
+    rest.write(0xff); rest.write(0xd8)
+    var off = 2
+    var done = false
+    while (!done) {
+      require((jpeg(off) & 0xff) == 0xff, "bad marker alignment")
+      val m = jpeg(off + 1) & 0xff
+      if (m == 0xda) { // SOS: the remainder is entropy data + EOI
+        rest.write(jpeg, off, jpeg.length - off)
+        done = true
+      } else {
+        val len = ((jpeg(off + 2) & 0xff) << 8) | (jpeg(off + 3) & 0xff)
+        val sink = if (m == 0xdb || m == 0xc4) tables else rest
+        sink.write(jpeg, off, 2 + len)
+        off += 2 + len
+      }
+    }
+    tables.write(0xff); tables.write(0xd9)
+    (tables.toByteArray, rest.toByteArray)
+  }
+
   /** Fixture/test writer for JPEG-in-TIFF (new-style, compression 7):
-    * grayscale, `h / rps` strips, strip s a COMPLETE [[makeJpeg]]
-    * grayscale fixture of `w × rps` with seed `seed + s·23` — so the
-    * stitched image's gray grid replays the DC-block closed form per
-    * strip and the oracle needs no JPEG machinery beyond the law.
-    * Dimensions and rps must be JPEG-legal (multiples of 8, rps | h).
+    * `h / rps` strips, strip s a [[makeJpeg]] fixture of `w × rps`
+    * with seed `seed + s·23` — so the stitched image's gray grid
+    * replays the DC-block closed form per strip and the oracle needs
+    * no JPEG machinery beyond the law. `color` emits YCbCr
+    * (photometric 6) strips with FLAT chroma (Cb = Cr = 128 exactly),
+    * so the decoded RGB is (Y, Y, Y) and the gray fold is 3× the same
+    * law — color storage absent from the oracle. `sharedTables` moves
+    * the DQT/DHT segments of every strip into ONE JPEGTables tag
+    * (type UNDEFINED) and stores the strips abbreviated, the TIFF/EP
+    * layout. Dimensions and rps must be JPEG-legal (multiples of 8,
+    * rps | h).
     */
   def makeTiffJpeg(w: Int, h: Int, rps: Int, seed: Long,
-                   bigEndian: Boolean = false): Array[Byte] = {
+                   bigEndian: Boolean = false, color: Boolean = false,
+                   sharedTables: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0 &&
       rps > 0 && rps % 8 == 0 && h % rps == 0 && w <= 256 && rps <= 256,
       s"fixture shape $w x $h rps=$rps")
     val nStrips = h / rps
-    val strips = Array.tabulate(nStrips)(s =>
-      makeJpeg(w, rps, seed + s * 23L, gray = true))
+    val complete = Array.tabulate(nStrips)(s =>
+      makeJpeg(w, rps, seed + s * 23L, gray = !color, flatChroma = color))
+    val (jpegTables, strips) =
+      if (!sharedTables) (Array.empty[Byte], complete)
+      else {
+        val split = complete.map(abbreviateJpeg)
+        (split(0)._1, split.map(_._2))
+      }
+    val spp = if (color) 3 else 1
     val dataLen = strips.map(_.length).sum
-    val nEntries = 9
+    val segOffs = strips.scanLeft(8)(_ + _.length).init
+    // IFD entries in ascending-tag order: (tag, type, values) — type 7
+    // (UNDEFINED) carries the raw JPEGTables bytes
+    val ents = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Int])]
+    ents += ((256, 3, Array(w)))
+    ents += ((257, 3, Array(h)))
+    ents += ((258, 3, Array.fill(spp)(8)))
+    ents += ((259, 3, Array(7))) // new-style JPEG
+    ents += ((262, 3, Array(if (color) 6 else 1))) // YCbCr / BlackIsZero
+    ents += ((273, 4, segOffs))
+    ents += ((277, 3, Array(spp)))
+    ents += ((278, 3, Array(rps)))
+    ents += ((279, 4, strips.map(_.length)))
+    if (sharedTables) ents += ((347, 7, jpegTables.map(_.toInt & 0xff)))
     val ifdOff = 8 + dataLen
-    val soOff = ifdOff + 2 + nEntries * 12 + 4
-    val arrLen = if (nStrips > 1) 4 * nStrips else 0
-    val scOff = soOff + arrLen
-    val out = new Array[Byte](scOff + arrLen)
+    val extraOff = ifdOff + 2 + ents.length * 12 + 4
+    def entSize(e: (Int, Int, Array[Int])): Int =
+      e._3.length * (e._2 match { case 3 => 2; case 7 => 1; case _ => 4 })
+    val extraLen = ents.map(e => if (entSize(e) > 4) entSize(e) else 0).sum
+    val out = new Array[Byte](extraOff + extraLen)
     def putU16(off: Int, v: Int): Unit =
       if (bigEndian) { out(off) = (v >> 8).toByte; out(off + 1) = v.toByte }
       else { out(off) = v.toByte; out(off + 1) = (v >> 8).toByte }
@@ -4479,49 +4590,42 @@ object Multimodal {
     out(1) = out(0)
     putU16(2, 42)
     putU32(4, ifdOff)
-    val stripOffs = new Array[Int](nStrips)
     var dataOff = 8
-    var si = 0
-    while (si < nStrips) {
-      stripOffs(si) = dataOff
-      System.arraycopy(strips(si), 0, out, dataOff, strips(si).length)
-      dataOff += strips(si).length
-      si += 1
+    strips.foreach { st =>
+      System.arraycopy(st, 0, out, dataOff, st.length)
+      dataOff += st.length
     }
-    putU16(ifdOff, nEntries)
+    putU16(ifdOff, ents.length)
+    var extra = extraOff
     var e = 0
-    def entry(tag: Int, typ: Int, count: Int)(writeValue: Int => Unit): Unit = {
+    while (e < ents.length) {
+      val (tag, typ, vals) = ents(e)
       val off = ifdOff + 2 + e * 12
-      putU16(off, tag); putU16(off + 2, typ); putU32(off + 4, count)
-      writeValue(off + 8)
+      putU16(off, tag); putU16(off + 2, typ); putU32(off + 4, vals.length)
+      val vsz = typ match { case 3 => 2; case 7 => 1; case _ => 4 }
+      val base =
+        if (vals.length * vsz <= 4) off + 8
+        else { putU32(off + 8, extra); val b = extra; extra += vals.length * vsz; b }
+      var i = 0
+      while (i < vals.length) {
+        typ match {
+          case 3 => putU16(base + 2 * i, vals(i))
+          case 7 => out(base + i) = vals(i).toByte // raw bytes, order-free
+          case _ => putU32(base + 4 * i, vals(i))
+        }
+        i += 1
+      }
       e += 1
     }
-    entry(256, 3, 1)(putU16(_, w))
-    entry(257, 3, 1)(putU16(_, h))
-    entry(258, 3, 1)(putU16(_, 8))
-    entry(259, 3, 1)(putU16(_, 7)) // new-style JPEG
-    entry(262, 3, 1)(putU16(_, 1)) // BlackIsZero
-    if (nStrips > 1) {
-      entry(273, 4, nStrips)(putU32(_, soOff))
-      var s = 0
-      while (s < nStrips) {
-        putU32(soOff + 4 * s, stripOffs(s))
-        putU32(scOff + 4 * s, strips(s).length)
-        s += 1
-      }
-    } else entry(273, 4, 1)(putU32(_, 8))
-    entry(277, 3, 1)(putU16(_, 1))
-    entry(278, 3, 1)(putU16(_, rps))
-    if (nStrips > 1) entry(279, 4, nStrips)(putU32(_, scOff))
-    else entry(279, 4, 1)(putU32(_, strips(0).length))
     out
   }
 
   /** Decode dispatch: real parse for the formats a pure-JVM reader can
     * own (BMP, WAV PCM + G.711 + ADPCM, PNG incl. alpha/16-bit, GIF,
     * baseline + progressive JPEG, FLAC, baseline TIFF incl. LZW/
-    * Deflate/PackBits/gray-JPEG strips), [[decodeStub]] for everything
-    * else —
+    * Deflate/PackBits codecs, 16-bit/tiled/planar layouts and
+    * gray/color JPEG strips with optional shared JPEGTables),
+    * [[decodeStub]] for everything else —
     * the envelope COVERAGE.md
     * documents and [[imageCoverage]]/[[audioCoverage]] measure.
     */
@@ -4940,29 +5044,74 @@ object Multimodal {
           y += 1
         }
       } else {
-        val maxH = jp.comps.map(_(1)).max
-        val maxV = jp.comps.map(_(2)).max
+        val rgb = rgbFromPlanes(jp)
+        var p = 0
+        while (p < gray.length) {
+          gray(p) = (rgb(3 * p) & 0xff) + (rgb(3 * p + 1) & 0xff) +
+            (rgb(3 * p + 2) & 0xff)
+          p += 1
+        }
+      }
+      (w, h, gray)
+    }
+
+  /** YCbCr→RGB fold of decoded 3-component planes into interleaved
+    * bytes — the ONE conversion implementation (chroma replication by
+    * sampling-factor arithmetic, JFIF coefficients, per-channel
+    * round + clamp) behind both the gray fold above and the color
+    * JPEG-in-TIFF strip decode.
+    */
+  private def rgbFromPlanes(jp: JpegPlanes): Array[Byte] = {
+    val w = jp.w; val h = jp.h
+    val rgb = new Array[Byte](w * h * 3)
+    val maxH = jp.comps.map(_(1)).max
+    val maxV = jp.comps.map(_(2)).max
+    def cl(d: Double): Int = {
+      val r = math.round(d).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val yv = jp.planes(0)(y * jp.planeW(0) + x) & 0xff
+        val cbx = x * jp.comps(1)(1) / maxH; val cby = y * jp.comps(1)(2) / maxV
+        val crx = x * jp.comps(2)(1) / maxH; val cry = y * jp.comps(2)(2) / maxV
+        val cb = (jp.planes(1)(cby * jp.planeW(1) + cbx) & 0xff) - 128
+        val cr = (jp.planes(2)(cry * jp.planeW(2) + crx) & 0xff) - 128
+        val p = (y * w + x) * 3
+        rgb(p) = cl(yv + 1.402 * cr).toByte
+        rgb(p + 1) = cl(yv - 0.344136 * cb - 0.714136 * cr).toByte
+        rgb(p + 2) = cl(yv + 1.772 * cb).toByte
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** Interleaved-RGB grid through the real decode path: color streams
+    * via [[rgbFromPlanes]], grayscale streams replicating Y into all
+    * three channels — the color JPEG-in-TIFF strip contract.
+    */
+  private def jpegRgbGrid(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    jpegPlanes(bytes).map { jp =>
+      if (jp.comps.length == 1) {
+        val w = jp.w; val h = jp.h
+        val rgb = new Array[Byte](w * h * 3)
         var y = 0
         while (y < h) {
           var x = 0
           while (x < w) {
-            val yv = jp.planes(0)(y * jp.planeW(0) + x) & 0xff
-            val cbx = x * jp.comps(1)(1) / maxH; val cby = y * jp.comps(1)(2) / maxV
-            val crx = x * jp.comps(2)(1) / maxH; val cry = y * jp.comps(2)(2) / maxV
-            val cb = (jp.planes(1)(cby * jp.planeW(1) + cbx) & 0xff) - 128
-            val cr = (jp.planes(2)(cry * jp.planeW(2) + crx) & 0xff) - 128
-            def cl(d: Double): Int = {
-              val r = math.round(d).toInt
-              if (r < 0) 0 else if (r > 255) 255 else r
-            }
-            gray(y * w + x) = cl(yv + 1.402 * cr) +
-              cl(yv - 0.344136 * cb - 0.714136 * cr) + cl(yv + 1.772 * cb)
+            val v = jp.planes(0)(y * jp.planeW(0) + x)
+            val p = (y * w + x) * 3
+            rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
             x += 1
           }
           y += 1
         }
-      }
-      (w, h, gray)
+        (jp.w, jp.h, rgb)
+      } else (jp.w, jp.h, rgbFromPlanes(jp))
     }
 
   /** Perceptual hash of one payload — BMP, PNG (every supported color

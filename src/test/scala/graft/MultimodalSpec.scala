@@ -2192,6 +2192,55 @@ class MultimodalSpec extends SparkTestBase {
     assert(m(hollow).kind === "video" && m(hollow).sample_rate.isEmpty)
   }
 
+  test("tiffDecode: shared JPEGTables and color YCbCr strips decode through the spliced path") {
+    val base = Multimodal.imageAHash(Multimodal.makeTiffJpeg(64, 64, 16, 9L)).get
+    // shared-tables twin ≡ complete-stream twin, both byte orders
+    assert(Multimodal.imageAHash(
+      Multimodal.makeTiffJpeg(64, 64, 16, 9L, sharedTables = true)).get === base)
+    assert(Multimodal.imageAHash(Multimodal.makeTiffJpeg(64, 64, 16, 9L,
+      bigEndian = true, sharedTables = true)).get === base)
+    // color flat-chroma strips decode to (Y, Y, Y), so the hash is
+    // IDENTICAL to the grayscale twin (the scale-free law) — color
+    // storage and the photometric tag provably absent from the result
+    assert(Multimodal.imageAHash(
+      Multimodal.makeTiffJpeg(64, 64, 16, 9L, color = true)).get === base)
+    assert(Multimodal.imageAHash(Multimodal.makeTiffJpeg(64, 64, 16, 9L,
+      color = true, sharedTables = true)).get === base)
+    assert(Multimodal.decode(1L,
+      Multimodal.makeTiffJpeg(64, 64, 16, 9L, color = true)).format === "tiff")
+    // abbreviation round-trip: tables + abbreviated reassemble to a
+    // stream the entropy path decodes identically
+    val full = Multimodal.makeJpeg(64, 64, 5L, gray = true)
+    val (tabs, abbrev) = Multimodal.abbreviateJpeg(full)
+    val spliced = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      tabs.slice(2, tabs.length - 2) ++ abbrev.drop(2)
+    assert(Multimodal.imageAHash(spliced) === Multimodal.imageAHash(full))
+  }
+
+  test("tiffDecode: JPEGTables defect shapes reject, never guess") {
+    def ifdOffOf(b: Array[Byte]): Int =
+      (b(4) & 0xff) | ((b(5) & 0xff) << 8) | ((b(6) & 0xff) << 16) |
+        ((b(7) & 0xff) << 24)
+    val good = Multimodal.makeTiffJpeg(64, 64, 16, 9L, sharedTables = true)
+    assert(Multimodal.imageAHash(good).isDefined)
+    // clobber the stored tables' SOI shell: the only FFD8FFDB run is
+    // the tables (abbreviated strips open FFD8FFC0)
+    val ti = good.indexOfSlice(
+      Array(0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xdb.toByte))
+    assert(ti > 0)
+    val badShell = good.clone(); badShell(ti) = 0
+    assert(Multimodal.decode(1L, badShell).format === "stub")
+    // abbreviated strips with the JPEGTables tag renamed away: the
+    // strips then carry no Huffman/quant tables and must reject
+    // (entry 9 = tag 347 in the 10-entry directory)
+    val noTabs = good.clone()
+    val t347 = ifdOffOf(noTabs) + 2 + 9 * 12
+    noTabs(t347) = 0x99.toByte; noTabs(t347 + 1) = 0x7f.toByte
+    assert(Multimodal.decode(2L, noTabs).format === "stub")
+    // truncated strip payload
+    assert(Multimodal.decode(3L, good.dropRight(200)).format === "stub")
+  }
+
   test("tiffDecode: JPEG-in-TIFF strips ride the existing entropy path") {
     // one strip == a standalone gray JPEG: the TIFF hash must equal
     // 	the image hash of that JPEG (gray scale factors cancel in aHash)
