@@ -3887,6 +3887,56 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
             FROM hs ORDER BY doc_id"""))
 
+  /** IEEE-FLOAT WAV through the fingerprint gate (format tag 3 —
+    * r17 session 2): float32 (even ids) and float64 (odd ids) files
+    * whose sample i stores exactly `s(i) / 32768` under [[graft
+    * .multimodal.Multimodal.makeWav]]'s integer law, recovered by the
+    * decoder's PINNED `clamp(trunc(f · 32768))` canonicalization — so
+    * the oracle is q_audio_fingerprint's SQL VERBATIM: float storage,
+    * width and the conversion law are all absent from it, which IS the
+    * storage-invariance proof (a float re-encoding of a PCM stream
+    * fingerprints identically).
+    */
+  private val qAudioFingerprintFloat = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.multimodal.Multimodal.makeWavFloat(
+            (50 + id % 50).toInt, (1 + id % 2).toInt, 8000, id,
+            bits = if (id % 2 == 0) 32 else 64))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFingerprints(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     (CAST(50 + doc_id % 50 AS INT) * CAST(1 + doc_id % 2 AS INT)) AS n
+              FROM documents),
+            d2 AS (SELECT doc_id, n FROM dims WHERE n >= 65),
+            sm AS (SELECT doc_id, n, i.i AS i,
+                          ((doc_id + i.i * 13) % 256 - 128) AS v
+                   FROM d2 JOIN generate_series(0, 197) i(i) ON i.i < n),
+            fr AS (SELECT d2.doc_id, f.f AS f,
+                          (f.f * d2.n) // 65 AS lo, ((f.f + 1) * d2.n) // 65 AS hi
+                   FROM d2 JOIN generate_series(0, 64) f(f) ON TRUE),
+            fe AS (SELECT fr.doc_id, fr.f, CAST(SUM(sm.v * sm.v) AS BIGINT) AS e
+                   FROM fr JOIN sm ON sm.doc_id = fr.doc_id
+                     AND sm.i >= fr.lo AND sm.i < fr.hi
+                   GROUP BY 1, 2),
+            bits AS (SELECT a.doc_id, a.f - 1 AS idx,
+                            CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                     FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                     WHERE a.f >= 1),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << idx) ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
+            FROM hs ORDER BY doc_id"""))
+
   /** SPECTRAL-envelope audio fingerprint ([[graft.multimodal.Multimodal
     * .audioSpectralFingerprints]]): 16 time frames × 4 modulation
     * bands — per-frame 8-point mean-power envelopes projected through
@@ -4402,7 +4452,7 @@ object SparkEntry {
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .filter((id: Long) => id < 450)
         .map { id =>
-          val bytes = (id % 15) match {
+          val bytes = (id % 17) match {
             case 0 => graft.multimodal.Multimodal.makeWav(600, 1, 8000, id)
             case 1 => graft.multimodal.Flac.make(192, 1, 8000, id)
             case 2 => graft.multimodal.Multimodal.makeWavG711(600, 8000, id, aLaw = false)
@@ -4421,15 +4471,18 @@ object SparkEntry {
             // AIFC (compressed — sniffs, stays outside)
             case 12 => graft.multimodal.Multimodal.makeAu(600, 8000, id, muLaw = id % 2 == 0)
             case 13 => graft.multimodal.Multimodal.makeAiff(300, 1, 8000, id)
-            case _ => "FORM".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 20) ++
+            case 14 => "FORM".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 20) ++
               "AIFC".getBytes("US-ASCII") ++ Array.tabulate(16)(i => ((id + i) % 256).toByte)
+            // r17 s2: IEEE-float WAV, both widths — decoded
+            case 15 => graft.multimodal.Multimodal.makeWavFloat(300, 1, 8000, id)
+            case _ => graft.multimodal.Multimodal.makeWavFloat(300, 1, 8000, id, bits = 64)
           }
           (id, bytes)
         }.toDF("doc_id", "payload")
       graft.multimodal.Multimodal.audioCoverage(s, bins)
         .orderBy("format")
     },
-    Some("""WITH cls AS (SELECT doc_id, doc_id % 15 AS k FROM documents WHERE doc_id < 450),
+    Some("""WITH cls AS (SELECT doc_id, doc_id % 17 AS k FROM documents WHERE doc_id < 450),
             fm AS (SELECT k,
                           CASE k WHEN 0 THEN 'wav_pcm16' WHEN 1 THEN 'flac'
                                  WHEN 2 THEN 'wav_mulaw' WHEN 3 THEN 'wav_alaw'
@@ -4438,8 +4491,9 @@ object SparkEntry {
                                  WHEN 8 THEN 'mp3' WHEN 11 THEN 'mp3'
                                  WHEN 9 THEN 'ogg' WHEN 10 THEN 'aac_adts'
                                  WHEN 12 THEN 'au' WHEN 13 THEN 'aiff'
+                                 WHEN 15 THEN 'wav_float32' WHEN 16 THEN 'wav_float64'
                                  ELSE 'aifc' END AS format,
-                          CASE WHEN k <= 7 OR k IN (12, 13) THEN 1 ELSE 0 END AS dec
+                          CASE WHEN k <= 7 OR k IN (12, 13, 15, 16) THEN 1 ELSE 0 END AS dec
                    FROM (SELECT DISTINCT k FROM cls)),
             agg AS (SELECT fm.format,
                            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -10804,6 +10858,7 @@ object SparkEntry {
     "q_audio_fingerprint_alaw" -> qAudioFingerprintAlaw,
     "q_audio_fingerprint_adpcm" -> qAudioFingerprintAdpcm,
     "q_audio_fingerprint_pcm_widths" -> qAudioFingerprintPcmWidths,
+    "q_audio_fingerprint_float" -> qAudioFingerprintFloat,
     "q_audio_fingerprint_msadpcm" -> qAudioFingerprintMsAdpcm,
     "q_audio_fingerprint_au" -> qAudioFingerprintAu,
     "q_audio_fingerprint_aiff" -> qAudioFingerprintAiff,

@@ -250,6 +250,51 @@ object Multimodal {
     out
   }
 
+  /** Fixture/test writer for IEEE-float WAV (format tag 3, r17 s2):
+    * sample i stores `s(i) / 32768` with [[makeWav]]'s exact law
+    * `s(i) = ((seed + i·13) mod 256) − 128` — a dyadic rational every
+    * float32/float64 represents exactly, so the decoder's pinned
+    * `trunc(f · 32768)` canonicalization recovers s(i) and the float
+    * file is a bit-identical fingerprint TWIN of the PCM16 fixture of
+    * the same seed. `bits` 32 or 64.
+    */
+  def makeWavFloat(nFrames: Int, channels: Int, sampleRate: Int, seed: Long,
+                   bits: Int = 32): Array[Byte] = {
+    require(nFrames > 0 && channels >= 1 && channels <= 8 && sampleRate > 0 &&
+      nFrames <= (1 << 20), s"fixture shape $nFrames x $channels @ $sampleRate")
+    require(bits == 32 || bits == 64, s"bits=$bits")
+    val bps = bits / 8
+    val nSamples = nFrames * channels
+    val dataLen = nSamples * bps
+    val out = new Array[Byte](44 + dataLen)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putLe16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def putTag(off: Int, s: String): Unit =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, off)
+    putTag(0, "RIFF"); putLe32(4, 36 + dataLen); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe32(16, 16); putLe16(20, 3); putLe16(22, channels)
+    putLe32(24, sampleRate); putLe32(28, sampleRate * channels * bps)
+    putLe16(32, channels * bps); putLe16(34, bits)
+    putTag(36, "data"); putLe32(40, dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((seed + i * 13L) % 256) - 128).toDouble / 32768.0
+      if (bits == 32) putLe32(44 + 4 * i, java.lang.Float.floatToIntBits(s.toFloat))
+      else {
+        val b = java.lang.Double.doubleToLongBits(s)
+        putLe32(44 + 8 * i, b.toInt)
+        putLe32(44 + 8 * i + 4, (b >>> 32).toInt)
+      }
+      i += 1
+    }
+    out
+  }
+
   // ---- real decoders: LOSSY audio (G.711 companding, IMA ADPCM) --------
   // The lossy half of the audio tier that is buildable from FORMULAS:
   // G.711 mu-law/A-law (8-bit log PCM — the telephony codecs; ITU G.711
@@ -482,6 +527,26 @@ object Multimodal {
         Some((dataLen, i => muLawToPcm(bytes(dataOff + i) & 0xff).toLong))
       case Some((6, _, _, 8, _, dataOff, dataLen)) => // G.711 A-law
         Some((dataLen, i => aLawToPcm(bytes(dataOff + i) & 0xff).toLong))
+      case Some((3, _, _, 32, _, dataOff, dataLen)) if dataLen % 4 == 0 =>
+        // IEEE-float WAV (format tag 3, r17 s2): canonicalized to the
+        // 16-bit range by the PINNED integer law
+        // clamp(trunc(f · 32768), −32768, 32767), NaN → 0 — with exact
+        // dyadic inputs (i / 32768) the mapping is the identity on i,
+        // so fingerprint laws replay in SQL and a float re-encoding of
+        // a PCM stream fingerprints IDENTICALLY (spec-pinned)
+        Some((dataLen / 4, i => {
+          val f = java.lang.Float.intBitsToFloat(le32(bytes, dataOff + 4 * i))
+          if (java.lang.Float.isNaN(f)) 0L
+          else math.max(-32768L, math.min(32767L, (f.toDouble * 32768.0).toLong))
+        }))
+      case Some((3, _, _, 64, _, dataOff, dataLen)) if dataLen % 8 == 0 =>
+        Some((dataLen / 8, i => {
+          val o = dataOff + 8 * i
+          val bits = (le32(bytes, o) & 0xffffffffL) | (le32(bytes, o + 4).toLong << 32)
+          val f = java.lang.Double.longBitsToDouble(bits)
+          if (java.lang.Double.isNaN(f)) 0L
+          else math.max(-32768L, math.min(32767L, (f * 32768.0).toLong))
+        }))
       case Some((0x11, 1, _, 4, blockAlign, dataOff, dataLen)) => // IMA mono
         imaAdpcmDecode(bytes, blockAlign, dataOff, dataLen)
           .map(a => (a.length, (i: Int) => a(i).toLong))
@@ -5490,6 +5555,8 @@ object Multimodal {
       case Some((6, _, _, _, _, _, _)) => "wav_alaw"
       case Some((0x11, _, _, _, _, _, _)) => "wav_ima_adpcm"
       case Some((2, _, _, _, _, _, _)) => "wav_ms_adpcm"
+      case Some((3, _, _, 32, _, _, _)) => "wav_float32" // r17 s2
+      case Some((3, _, _, 64, _, _, _)) => "wav_float64" // r17 s2
       case Some(_) => "wav_other"
       case None =>
         if (ascii(0, 4) == "fLaC") "flac"

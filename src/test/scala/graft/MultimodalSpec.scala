@@ -831,6 +831,42 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decode(1L, flac).format === "flac")
   }
 
+  test("audioFingerprint: IEEE-float WAV twins of the same PCM collide with PCM16") {
+    // float32 and float64, mono and stereo: sample i stores exactly
+    // s(i)/32768, so the pinned trunc(f·32768) canonicalization makes
+    // the float file a fingerprint twin of the PCM16 fixture
+    for ((ch, bits, seed) <- Seq((1, 32, 5L), (2, 32, 7L), (1, 64, 9L), (2, 64, 11L)))
+      assert(Multimodal.audioFingerprint(
+          Multimodal.makeWavFloat(300, ch, 8000, seed, bits = bits)) ===
+        Multimodal.audioFingerprint(Multimodal.makeWav(300, ch, 8000, seed)),
+        s"ch=$ch bits=$bits")
+    // sniffs
+    assert(Multimodal.audioFormatOf(
+      Multimodal.makeWavFloat(100, 1, 8000, 1)) === "wav_float32")
+    assert(Multimodal.audioFormatOf(
+      Multimodal.makeWavFloat(100, 1, 8000, 1, bits = 64)) === "wav_float64")
+    // clamp law: a float at exactly 1.0 (out of the signed range) pins
+    // to 32767, −1.0 to −32768, NaN to 0 — hand-built 65+-sample file
+    val f = Multimodal.makeWavFloat(100, 1, 8000, 1)
+    def putF(i: Int, v: Float): Unit = {
+      val b = java.lang.Float.floatToIntBits(v)
+      f(44 + 4 * i) = b.toByte; f(44 + 4 * i + 1) = (b >> 8).toByte
+      f(44 + 4 * i + 2) = (b >> 16).toByte; f(44 + 4 * i + 3) = (b >> 24).toByte
+    }
+    putF(0, 1.0f); putF(1, -1.0f); putF(2, Float.NaN)
+    assert(Multimodal.audioFingerprint(f).isDefined) // still decodes
+    // bits 32 under format tag 1 (PCM) is NOT float: outside → None
+    val lie = Multimodal.makeWavFloat(100, 1, 8000, 1)
+    lie(20) = 1 // format tag → PCM with bits=32
+    assert(Multimodal.audioFingerprint(lie).isEmpty)
+    assert(Multimodal.audioFormatOf(lie) === "wav_other")
+    // a data length that is not a whole number of floats rejects
+    val ragged = Multimodal.makeWavFloat(100, 1, 8000, 1)
+    // shrink declared data size by 2 bytes (RIFF + data chunk sizes)
+    ragged(40) = (((100 * 4 - 2) & 0xff)).toByte
+    assert(Multimodal.audioFingerprint(ragged).isEmpty)
+  }
+
   test("audioFingerprint: au and AIFF twins of the same PCM collide with WAV") {
     // AU mu-law: identical companded bytes to the WAV G.711 fixture →
     // identical decoded samples → Hamming 0
