@@ -4855,6 +4855,67 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
             FROM hs ORDER BY doc_id"""))
 
+  /** ICO (favicon container) through the perceptual-hash gate ([[graft
+    * .multimodal.Multimodal.icoDecode]] — r17 session 2): the decode
+    * picks the LARGEST member and routes it to machinery the engine
+    * already owns — 24/32-bpp and 8-bpp-palettized BMP DIBs (doubled
+    * height, bottom-up rows, AND mask) or complete PNG streams.
+    * Variants (doc_id mod 4): 24-bpp with a leading SMALLER member
+    * (largest-selection is part of the law), 32-bpp (alpha noise
+    * ignored), 8-bpp palette (nested index→quad law), PNG member
+    * (makePng's law, top-down). The oracle replays each law; the
+    * container directory, member geometry and alpha bytes are absent
+    * from the SQL.
+    */
+  private val qImageAHashIco = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val M = graft.multimodal.Multimodal
+          val bytes = (id % 4) match {
+            case 0 => M.makeIco(16, 16, id, withSmaller = true)
+            case 1 => M.makeIco(16, 16, id, bpp = 32)
+            case 2 => M.makeIco(16, 16, id, bpp = 8)
+            case _ => M.makeIco(16, 16, id, png = true)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imageAHashes(s, bins).orderBy("doc_id")
+    },
+    Some("""WITH px AS (
+              SELECT d.doc_id, r.r AS r, x.x AS x,
+                     CASE d.doc_id % 4
+                       WHEN 2 THEN
+                         ((d.doc_id + ((d.doc_id + (15 - r.r) * 31 + x.x * 7) % 256) * 11 + 0) % 256)
+                       + ((d.doc_id + ((d.doc_id + (15 - r.r) * 31 + x.x * 7) % 256) * 11 + 97) % 256)
+                       + ((d.doc_id + ((d.doc_id + (15 - r.r) * 31 + x.x * 7) % 256) * 11 + 194) % 256)
+                       WHEN 3 THEN (d.doc_id + r.r * 31 + (3*x.x + 0) * 7) % 256
+                                 + (d.doc_id + r.r * 31 + (3*x.x + 1) * 7) % 256
+                                 + (d.doc_id + r.r * 31 + (3*x.x + 2) * 7) % 256
+                       ELSE (d.doc_id + (15 - r.r) * 31 + (3*x.x + 0) * 7) % 256
+                          + (d.doc_id + (15 - r.r) * 31 + (3*x.x + 1) * 7) % 256
+                          + (d.doc_id + (15 - r.r) * 31 + (3*x.x + 2) * 7) % 256
+                     END AS gray
+              FROM documents d
+              JOIN generate_series(0, 15) r(r) ON TRUE
+              JOIN generate_series(0, 15) x(x) ON TRUE),
+            tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+            blk AS (SELECT doc_id, r // 2 AS bi, x // 2 AS bj, SUM(gray) AS bsum
+                    FROM px GROUP BY 1, 2, 3),
+            bits AS (SELECT b.doc_id, bi, bj,
+                            CASE WHEN b.bsum * 256 >= t.total * 4 THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id)),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
+            FROM hs ORDER BY doc_id"""))
+
   /** The MEASURED image-decode boundary ([[graft.multimodal.Multimodal
     * .imageCoverage]] — VERDICT r16 #2, q_audio_coverage's image twin):
     * a mixed corpus across every sniffable container class —
@@ -4871,7 +4932,7 @@ object SparkEntry {
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .filter((id: Long) => id < 450)
         .map { id =>
-          val bytes = (id % 9) match {
+          val bytes = (id % 10) match {
             case 0 => graft.multimodal.Multimodal.makeBmp(16, 16, id)
             case 1 => graft.multimodal.Multimodal.makePng(16, 16, id)
             case 2 => graft.multimodal.Multimodal.makeGif(16, 16, id)
@@ -4883,6 +4944,7 @@ object SparkEntry {
               "WEBP".getBytes("US-ASCII") ++ Array.tabulate(16)(i => ((id + i) % 256).toByte)
             case 7 => Array[Byte](0, 0, 0, 24) ++ "ftypavif".getBytes("US-ASCII") ++
               Array.tabulate(16)(i => ((id + i) % 256).toByte)
+            case 8 => graft.multimodal.Multimodal.makeIco(16, 16, id) // r17 s2
             case _ => Array.fill(24)(1.toByte)
           }
           (id, bytes)
@@ -4890,14 +4952,15 @@ object SparkEntry {
       graft.multimodal.Multimodal.imageCoverage(s, bins)
         .orderBy("format")
     },
-    Some("""WITH cls AS (SELECT doc_id, doc_id % 9 AS k FROM documents WHERE doc_id < 450),
+    Some("""WITH cls AS (SELECT doc_id, doc_id % 10 AS k FROM documents WHERE doc_id < 450),
             fm AS (SELECT k,
                           CASE k WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
                                  WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg'
                                  WHEN 4 THEN 'tiff' WHEN 5 THEN 'tiff'
                                  WHEN 6 THEN 'webp' WHEN 7 THEN 'avif'
+                                 WHEN 8 THEN 'ico'
                                  ELSE 'unknown' END AS format,
-                          CASE WHEN k <= 5 THEN 1 ELSE 0 END AS dec
+                          CASE WHEN k <= 5 OR k = 8 THEN 1 ELSE 0 END AS dec
                    FROM (SELECT DISTINCT k FROM cls)),
             agg AS (SELECT fm.format,
                            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -10849,6 +10912,7 @@ object SparkEntry {
     "q_image_ahash_tiff_j" -> qImageAHashTiffJ,
     "q_image_ahash_tiff_c" -> qImageAHashTiffC,
     "q_image_ahash_tiff_t" -> qImageAHashTiffT,
+    "q_image_ahash_ico" -> qImageAHashIco,
     "q_image_coverage" -> qImageCoverage,
     "q_image_neardup" -> qImageNearDup,
     "q_audio_fingerprint" -> qAudioFingerprint,

@@ -4702,6 +4702,7 @@ object Multimodal {
       .orElse(parseJpeg(id, bytes))
       .orElse(parseFlac(id, bytes))
       .orElse(parseTiff(id, bytes))
+      .orElse(parseIco(id, bytes))
       .getOrElse(decodeStub(id, bytes))
 
   /** Nearest-neighbor resize of an uncompressed 24-bpp BMP — the
@@ -4813,6 +4814,304 @@ object Multimodal {
         k += 1
       }
       row += 1
+    }
+    out
+  }
+
+  // ---- real decoder: ICO (favicon container, public spec) --------------
+  // The web-crawl image format every favicon corpus carries, decoded
+  // with machinery the repo already owns: an ICONDIR header + 16-byte
+  // directory entries, each member either a complete PNG stream (the
+  // EXISTING pngDecode path) or a headerless BMP DIB (BITMAPINFOHEADER
+  // with DOUBLED height covering the bottom-up XOR pixel rows plus a
+  // 1-bit AND transparency mask). The decode picks the LARGEST member
+  // (the display convention), applies the AND mask as transparent
+  // black — the GIF/APNG canvas law — and feeds the same fold/hash
+  // paths as every other image format. BI_RGB 8 (palettized)/24/32-bpp
+  // DIB members decode; 16-bpp, RLE and cursor files (type 2) return
+  // None and sniff 'ico' into the measured image boundary.
+
+  /** The largest member of an ICO as interleaved display-order RGB:
+    * (w, h, rgb) with AND-masked pixels forced to (0,0,0). None on any
+    * malformed directory, member outside the envelope, or lying
+    * geometry — never a partial guess.
+    */
+  private[graft] def icoDecode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 6 + 16) return None
+    if (le16(bytes, 0) != 0 || le16(bytes, 2) != 1) return None
+    val count = le16(bytes, 4)
+    if (count < 1 || count > 64) return None // directory backstop
+    if (6 + 16 * count > bytes.length) return None
+    var bw = 0; var bh = 0; var bOff = 0; var bSize = 0
+    var e = 0
+    while (e < count) {
+      val base = 6 + 16 * e
+      val ew0 = bytes(base) & 0xff; val eh0 = bytes(base + 1) & 0xff
+      val ew = if (ew0 == 0) 256 else ew0 // 0 encodes 256, per spec
+      val eh = if (eh0 == 0) 256 else eh0
+      if (bytes(base + 3) != 0) return None // reserved byte
+      val size = le32(bytes, base + 8)
+      val off = le32(bytes, base + 12)
+      if (size <= 0 || off < 6 + 16 * count || off.toLong + size > bytes.length)
+        return None
+      if (ew * eh > bw * bh) { bw = ew; bh = eh; bOff = off; bSize = size }
+      e += 1
+    }
+    val sub = java.util.Arrays.copyOfRange(bytes, bOff, bOff + bSize)
+    if (sub.length >= 8 && PngSig.indices.forall(i => sub(i) == PngSig(i)))
+      // PNG member: IHDR dims are authoritative (entry bytes cap at
+      // 256); alpha folds away like the still-PNG path's
+      pngDecode(sub).flatMap(pi => pngRgbOf(pi).map(rgb => (pi.w, pi.h, rgb)))
+    else icoDibRgb(sub, bw, bh)
+  }
+
+  /** Flatten a decoded PNG to interleaved RGB (palette looked up,
+    * alpha dropped, 16-bit reduced to the high byte — each the
+    * documented convention of the gray fold).
+    */
+  private def pngRgbOf(pi: PngImage): Option[Array[Byte]] = {
+    val n = pi.w * pi.h
+    val rgb = new Array[Byte](n * 3)
+    if (pi.colorType == 3) {
+      val entries = pi.palette.length / 3
+      var p = 0
+      while (p < n) {
+        val idx = pi.img(p) & 0xff
+        if (idx >= entries) return None
+        rgb(3 * p) = pi.palette(3 * idx)
+        rgb(3 * p + 1) = pi.palette(3 * idx + 1)
+        rgb(3 * p + 2) = pi.palette(3 * idx + 2)
+        p += 1
+      }
+    } else {
+      val bps = pi.bitDepth / 8
+      val color = pi.colorType == 2 || pi.colorType == 6
+      var p = 0
+      while (p < n) {
+        var c = 0
+        while (c < 3) {
+          rgb(3 * p + c) = pi.img((p * pi.channels + (if (color) c else 0)) * bps)
+          c += 1
+        }
+        p += 1
+      }
+    }
+    Some(rgb)
+  }
+
+  /** One ICO DIB member: BITMAPINFOHEADER with height = 2 × the
+    * entry's (XOR rows + AND mask rows), bottom-up BGR(A)/palette
+    * pixels, 32-bit-aligned rows on BOTH planes. The header must agree
+    * with the directory entry — a lying member rejects.
+    */
+  private def icoDibRgb(sub: Array[Byte], ew: Int, eh: Int): Option[(Int, Int, Array[Byte])] = {
+    if (sub.length < 40) return None
+    if (le32(sub, 0) != 40) return None
+    val w = le32(sub, 4)
+    if (w != ew || le32(sub, 8) != 2 * eh) return None
+    val h = eh
+    if (le16(sub, 12) != 1) return None
+    val bpp = le16(sub, 14)
+    if (le32(sub, 16) != 0) return None // BI_RGB only; RLE stays outside
+    if (bpp != 8 && bpp != 24 && bpp != 32) return None
+    if (w <= 0 || h <= 0 || w > 256 || h > 256) return None
+    val nColors =
+      if (bpp != 8) 0
+      else { val c = le32(sub, 32); if (c == 0) 256 else c } // 0 → 2^bpp
+    if (nColors < 0 || nColors > 256) return None
+    val xorOff = 40 + nColors * 4
+    val xorStride = ((w * bpp + 31) / 32) * 4
+    val andStride = ((w + 31) / 32) * 4
+    if (xorOff.toLong + h.toLong * (xorStride + andStride) > sub.length) return None
+    val andOff = xorOff + h * xorStride
+    val rgb = new Array[Byte](w * h * 3)
+    var r = 0
+    while (r < h) {
+      val sr = h - 1 - r // bottom-up storage → display rows
+      var x = 0
+      while (x < w) {
+        val maskByte = sub(andOff + sr * andStride + (x >> 3)) & 0xff
+        val masked = ((maskByte >> (7 - (x & 7))) & 1) != 0
+        val p = (r * w + x) * 3
+        if (!masked) bpp match { // masked pixels stay transparent black
+          case 24 =>
+            val o = xorOff + sr * xorStride + 3 * x
+            rgb(p) = sub(o + 2); rgb(p + 1) = sub(o + 1); rgb(p + 2) = sub(o)
+          case 32 => // BGRA; alpha is not part of the mask law
+            val o = xorOff + sr * xorStride + 4 * x
+            rgb(p) = sub(o + 2); rgb(p + 1) = sub(o + 1); rgb(p + 2) = sub(o)
+          case _ =>
+            val idx = sub(xorOff + sr * xorStride + x) & 0xff
+            if (idx >= nColors) return None
+            val q = 40 + 4 * idx // BGRA palette quad
+            rgb(p) = sub(q + 2); rgb(p + 1) = sub(q + 1); rgb(p + 2) = sub(q)
+        }
+        x += 1
+      }
+      r += 1
+    }
+    Some((w, h, rgb))
+  }
+
+  /** Header-only ICO facts: the LARGEST member's directory dims (0
+    * encoding 256 per spec) — entry walk only, no member decode. None
+    * on a malformed directory.
+    */
+  private[graft] def icoMeta(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 6 + 16) return None
+    if (le16(bytes, 0) != 0 || le16(bytes, 2) != 1) return None
+    val count = le16(bytes, 4)
+    if (count < 1 || count > 64) return None
+    if (6 + 16 * count > bytes.length) return None
+    var bw = 0; var bh = 0
+    var e = 0
+    while (e < count) {
+      val base = 6 + 16 * e
+      if (bytes(base + 3) != 0) return None
+      val ew0 = bytes(base) & 0xff; val eh0 = bytes(base + 1) & 0xff
+      val ew = if (ew0 == 0) 256 else ew0
+      val eh = if (eh0 == 0) 256 else eh0
+      if (ew * eh > bw * bh) { bw = ew; bh = eh }
+      e += 1
+    }
+    Some((bw, bh))
+  }
+
+  /** Parse + decode an ICO's largest member and fold features (the
+    * [[parseTiff]] RGB fold over [[icoDecode]]'s display-order RGB).
+    */
+  def parseIco(id: Long, bytes: Array[Byte]): Option[MediaFeatures] =
+    icoDecode(bytes).map { case (w, h, rgb) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var high = 0L
+      var p = 0
+      while (p < rgb.length) {
+        val r = rgb(p) & 0xff; val g = rgb(p + 1) & 0xff; val b = rgb(p + 2) & 0xff
+        sumR += r; sumG += g; sumB += b
+        high += (if (r > 127) 1 else 0) + (if (g > 127) 1 else 0) +
+          (if (b > 127) 1 else 0)
+        p += 3
+      }
+      val n = w.toLong * h
+      val feats = Array(
+        (sumR.toDouble / (n * 255)).toFloat,
+        (sumG.toDouble / (n * 255)).toFloat,
+        (sumB.toDouble / (n * 255)).toFloat,
+        ((sumR + sumG + sumB).toDouble / (3 * n * 255)).toFloat,
+        (high.toDouble / (3 * n)).toFloat,
+        w.toFloat / (w + h), h.toFloat / (w + h), 0f)
+      MediaFeatures(id, bytes.length, "ico", w, h, feats)
+    }
+
+  /** ICO grayscale grid — the house gray law (r+g+b) over the decoded
+    * largest member.
+    */
+  private def icoGrayGrid(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    icoDecode(bytes).map { case (w, h, rgb) =>
+      val gray = new Array[Int](w * h)
+      var p = 0
+      while (p < gray.length) {
+        gray(p) = (rgb(3 * p) & 0xff) + (rgb(3 * p + 1) & 0xff) +
+          (rgb(3 * p + 2) & 0xff)
+        p += 1
+      }
+      (w, h, gray)
+    }
+
+  /** Fixture/test writer for ICO: one main `w × h` member — a DIB at
+    * `bpp` 8/24/32 or a complete [[makePng]] stream (`png = true`) —
+    * plus an optional SMALLER `w/2 × h/2` 24-bpp member listed FIRST
+    * (`withSmaller`), so largest-member selection is part of the law.
+    * DIB pixel bytes follow [[makeBmp]]'s closed form on STORAGE rows
+    * (byte (sr, 3x+c) = (seed + sr·31 + (3x+c)·7) mod 256, bottom-up;
+    * 32-bpp adds an alpha byte of separate noise the decoder must
+    * ignore); the 8-bpp palette reuses [[makePng]]'s PLTE law (entry j
+    * channel c = (seed + j·11 + c·97) mod 256) under the index law
+    * (seed + sr·31 + x·7) mod 256. AND masks are all-opaque — mask
+    * semantics are spec-tested by hand.
+    */
+  def makeIco(w: Int, h: Int, seed: Long, bpp: Int = 24, png: Boolean = false,
+              withSmaller: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 256 && h <= 256, s"fixture dims $w x $h")
+    require(bpp == 8 || bpp == 24 || bpp == 32, s"bpp=$bpp")
+    require(!withSmaller || (w >= 2 && h >= 2), "smaller member needs w, h >= 2")
+    def dib(mw: Int, mh: Int, ms: Long, mbpp: Int): Array[Byte] = {
+      val nColors = if (mbpp == 8) 256 else 0
+      val xorStride = ((mw * mbpp + 31) / 32) * 4
+      val andStride = ((mw + 31) / 32) * 4
+      val out = new Array[Byte](40 + nColors * 4 + mh * (xorStride + andStride))
+      def putLe32(off: Int, v: Int): Unit = {
+        out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+        out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+      }
+      putLe32(0, 40); putLe32(4, mw); putLe32(8, 2 * mh)
+      out(12) = 1 // planes
+      out(14) = mbpp.toByte
+      // compression, sizes, biClrUsed stay 0 (0 colors → 2^bpp)
+      var j = 0
+      while (j < nColors) { // BGRA quads; channel order cancels in sums
+        out(40 + 4 * j) = ((ms + j * 11L) % 256).toByte
+        out(40 + 4 * j + 1) = ((ms + j * 11L + 97) % 256).toByte
+        out(40 + 4 * j + 2) = ((ms + j * 11L + 194) % 256).toByte
+        j += 1
+      }
+      val xorOff = 40 + nColors * 4
+      var sr = 0
+      while (sr < mh) {
+        var x = 0
+        while (x < mw) {
+          val base = xorOff + sr * xorStride
+          mbpp match {
+            case 24 =>
+              var c = 0
+              while (c < 3) {
+                out(base + 3 * x + c) = ((ms + sr * 31L + (3 * x + c) * 7L) % 256).toByte
+                c += 1
+              }
+            case 32 =>
+              var c = 0
+              while (c < 3) {
+                out(base + 4 * x + c) = ((ms + sr * 31L + (3 * x + c) * 7L) % 256).toByte
+                c += 1
+              }
+              out(base + 4 * x + 3) = ((ms + sr * 31L + x * 13L + 5) % 256).toByte
+            case _ =>
+              out(base + x) = ((ms + sr * 31L + x * 7L) % 256).toByte
+          }
+          x += 1
+        }
+        sr += 1
+      }
+      // AND mask rows stay zero: fully opaque
+      out
+    }
+    val members = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Array[Byte])]
+    if (withSmaller) members += ((w / 2, h / 2, 24, dib(w / 2, h / 2, seed + 7, 24)))
+    if (png) members += ((w, h, 0, makePng(w, h, seed)))
+    else members += ((w, h, bpp, dib(w, h, seed, bpp)))
+    val dirLen = 6 + 16 * members.length
+    val total = dirLen + members.map(_._4.length).sum
+    val out = new Array[Byte](total)
+    out(2) = 1 // type: icon
+    out(4) = members.length.toByte
+    var off = dirLen
+    var e = 0
+    while (e < members.length) {
+      val (mw, mh, mbpp, data) = members(e)
+      val base = 6 + 16 * e
+      out(base) = (mw % 256).toByte // 256 encodes as 0
+      out(base + 1) = (mh % 256).toByte
+      out(base + 2) = (if (mbpp == 8) 0 else 0).toByte
+      out(base + 4) = 1 // planes
+      out(base + 6) = mbpp.toByte
+      out(base + 8) = data.length.toByte
+      out(base + 9) = (data.length >> 8).toByte
+      out(base + 10) = (data.length >> 16).toByte
+      out(base + 12) = off.toByte
+      out(base + 13) = (off >> 8).toByte
+      out(base + 14) = (off >> 16).toByte
+      System.arraycopy(data, 0, out, off, data.length)
+      off += data.length
+      e += 1
     }
     out
   }
@@ -5215,6 +5514,7 @@ object Multimodal {
   private def grayGridOf(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     bmpGrayGrid(bytes).orElse(pngGrayGrid(bytes)).orElse(gifGrayGrid(bytes))
       .orElse(jpegGrayGrid(bytes)).orElse(tiffGrayGrid(bytes))
+      .orElse(icoGrayGrid(bytes))
 
   /** (doc_id, ahash) over a binary column — the same streaming
     * `mapPartitions` shape as [[extractFeatures]]; payloads that don't
@@ -5631,6 +5931,11 @@ object Multimodal {
       else if (brand.startsWith("hei")) "heic"
       else "isobmff"
     }
+    // ICO (r17 s2): the magic is weak (00 00 01 00), so require a sane
+    // directory shape too — count 1..64, first entry's reserved byte 0
+    else if (bytes.length >= 6 + 16 && le16(bytes, 0) == 0 &&
+             le16(bytes, 2) == 1 && le16(bytes, 4) >= 1 &&
+             le16(bytes, 4) <= 64 && bytes(9) == 0) "ico"
     else "unknown"
   }
 
@@ -6657,6 +6962,13 @@ object Multimodal {
         MediaMetaRow(id, "image", f, d.map(_._1), d.map(_._2),
           None, None, None, None,
           if (f == "jpeg") jpegExifOrientation(bytes) else None, None)
+      case "ico" =>
+        // largest member's DIRECTORY dims — the header-only peek; a
+        // multi-member icon is one image at its display size, not an
+        // animation
+        val d = icoMeta(bytes)
+        MediaMetaRow(id, "image", "ico", d.map(_._1), d.map(_._2),
+          None, None, None, None, None, None)
       case _ => none // avif/heic already returned above
     }
   }

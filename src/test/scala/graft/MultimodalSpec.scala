@@ -1865,6 +1865,71 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.apngFrameGrids(part).isEmpty)
   }
 
+  test("icoDecode: DIB and PNG members hash like their standalone twins") {
+    // a 24-bpp DIB member stores makeBmp's exact pixel law, so the ICO
+    // hashes IDENTICALLY to the standalone BMP file of the same seed —
+    // container framing provably absent
+    val bmpHash = Multimodal.imageAHash(Multimodal.makeBmp(16, 16, 7)).get
+    assert(Multimodal.imageAHash(Multimodal.makeIco(16, 16, 7)).get === bmpHash)
+    // 32-bpp twin: the alpha byte is separate noise the decoder ignores
+    assert(Multimodal.imageAHash(Multimodal.makeIco(16, 16, 7, bpp = 32)).get === bmpHash)
+    // PNG member ≡ standalone PNG
+    assert(Multimodal.imageAHash(Multimodal.makeIco(16, 16, 7, png = true)).get ===
+      Multimodal.imageAHash(Multimodal.makePng(16, 16, 7)).get)
+    // largest-member selection: a leading smaller member changes nothing
+    assert(Multimodal.imageAHash(
+      Multimodal.makeIco(16, 16, 7, withSmaller = true)).get === bmpHash)
+    // 8-bpp palette member: independent replay from the nested law
+    val pal = Multimodal.imageAHash(Multimodal.makeIco(16, 16, 7, bpp = 8)).get
+    val grid = Array.tabulate(16 * 16) { p =>
+      val r = p / 16; val x = p % 16
+      val idx = ((7L + (15 - r) * 31L + x * 7L) % 256).toInt
+      (0 until 3).map(c => ((7L + idx * 11L + c * 97L) % 256).toInt).sum
+    }
+    assert(pal === Multimodal.aHash64(16, 16, grid).get)
+    // decode dispatch and sniff
+    assert(Multimodal.decode(1L, Multimodal.makeIco(16, 16, 7)).format === "ico")
+    assert(Multimodal.imageFormatOf(Multimodal.makeIco(16, 16, 7)) === "ico")
+    // metaOf: largest member's directory dims, image kind
+    val m = Multimodal.metaOf(3L, Multimodal.makeIco(24, 16, 7, withSmaller = true))
+    assert(m.kind === "image" && m.format === "ico" &&
+      m.width === Some(24) && m.height === Some(16) && m.n_frames === None)
+  }
+
+  test("icoDecode: AND mask forces transparent black; defects reject, never guess") {
+    // locate the main member's AND mask in the single-member fixture:
+    // dir(6+16) + header(40) + 16 rows × 48 XOR bytes, stride 4
+    val ico = Multimodal.makeIco(16, 16, 7)
+    val andOff = 6 + 16 + 40 + 16 * 48
+    val masked = ico.clone()
+    // display pixel (row 15, x 0) = storage row 0, bit 7 of its mask byte
+    masked(andOff) = 0x80.toByte
+    val base = Multimodal.parseIco(1L, ico).get
+    val withMask = Multimodal.parseIco(1L, masked).get
+    // the masked pixel's channels leave the sums: storage (0, k) bytes
+    val drop = (0 until 3).map(c => (7L + c * 7L) % 256).sum
+    val n = 16L * 16
+    assert(math.abs((base.features(3) - withMask.features(3)) -
+      drop.toDouble / (3 * n * 255)) < 1e-6)
+    // cursor files (type 2) stay outside
+    val cur = ico.clone(); cur(2) = 2
+    assert(Multimodal.decode(1L, cur).format === "stub")
+    assert(Multimodal.imageFormatOf(cur) === "unknown")
+    // member height not doubled (lying DIB header)
+    val lie = ico.clone()
+    lie(6 + 16 + 8) = 16 // biHeight = 16, not 32
+    assert(Multimodal.decode(2L, lie).format === "stub")
+    // 16-bpp member: outside the envelope but still SNIFFS ico
+    val b16 = ico.clone(); b16(6 + 16 + 14) = 16
+    assert(Multimodal.decode(3L, b16).format === "stub")
+    assert(Multimodal.imageFormatOf(b16) === "ico")
+    // entry offset overruns the payload
+    assert(Multimodal.decode(4L, ico.dropRight(100)).format === "stub")
+    // zero-count directory
+    val empty = ico.clone(); empty(4) = 0
+    assert(Multimodal.decode(5L, empty).format === "stub")
+  }
+
   test("apngMeta/metaOf: header-only APNG facts") {
     val apng = Multimodal.makeApng(12, 10, 5L, 4)
     // delays (f mod 3 + 1)/100 s → 10+20+30+10 ms
