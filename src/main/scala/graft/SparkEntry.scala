@@ -4045,6 +4045,57 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
             FROM hs ORDER BY doc_id"""))
 
+  /** Ogg-WRAPPED FLAC through the fingerprint gate (r17 session 2):
+    * the mapping's first packet carries a verbatim STREAMINFO shell,
+    * audio packets carry native frames, and the decode is a SPLICE
+    * back into the existing [[graft.multimodal.Flac.decode]] after
+    * full Ogg packet reassembly (lacing tables, continuation rules).
+    * Fingerprints are functions of DECODED samples, so the Ogg wrap is
+    * q_audio_fingerprint_flac's oracle SQL VERBATIM — container
+    * paging, the optional vorbis-comment header packet (even ids) and
+    * the mapping prefix are all absent from it, which IS the
+    * wrap-invariance proof.
+    */
+  private val qAudioFingerprintOggFlac = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, graft.multimodal.Multimodal.makeOggFlac(
+            (192 * (1 + id % 4)).toInt, (1 + id % 2).toInt, 8000, id,
+            withComment = id % 2 == 0))
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.audioFingerprints(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH dims AS (
+              SELECT doc_id,
+                     (CAST(192 * (1 + doc_id % 4) AS INT)
+                      * CAST(1 + doc_id % 2 AS INT)) AS n
+              FROM documents),
+            sm AS (SELECT doc_id, n, i.i AS i,
+                          ((doc_id + i.i * 13) % 256 - 128) AS v
+                   FROM dims JOIN generate_series(0, 1535) i(i) ON i.i < n),
+            fr AS (SELECT dims.doc_id, f.f AS f,
+                          (f.f * dims.n) // 65 AS lo, ((f.f + 1) * dims.n) // 65 AS hi
+                   FROM dims JOIN generate_series(0, 64) f(f) ON TRUE),
+            fe AS (SELECT fr.doc_id, fr.f, CAST(SUM(sm.v * sm.v) AS BIGINT) AS e
+                   FROM fr JOIN sm ON sm.doc_id = fr.doc_id
+                     AND sm.i >= fr.lo AND sm.i < fr.hi
+                   GROUP BY 1, 2),
+            bits AS (SELECT a.doc_id, a.f - 1 AS idx,
+                            CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+                     FROM fe a JOIN fe b ON b.doc_id = a.doc_id AND b.f = a.f - 1
+                     WHERE a.f >= 1),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << idx) ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS afp
+            FROM hs ORDER BY doc_id"""))
+
   /** LOSSY audio through the real G.711 mu-law decode ([[graft
     * .multimodal.Multimodal.muLawToPcm]] — the ITU expansion law, exact
     * integer arithmetic): mono 8-bit companded WAV fixtures with
@@ -4452,7 +4503,7 @@ object SparkEntry {
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .filter((id: Long) => id < 450)
         .map { id =>
-          val bytes = (id % 17) match {
+          val bytes = (id % 18) match {
             case 0 => graft.multimodal.Multimodal.makeWav(600, 1, 8000, id)
             case 1 => graft.multimodal.Flac.make(192, 1, 8000, id)
             case 2 => graft.multimodal.Multimodal.makeWavG711(600, 8000, id, aLaw = false)
@@ -4475,25 +4526,30 @@ object SparkEntry {
               "AIFC".getBytes("US-ASCII") ++ Array.tabulate(16)(i => ((id + i) % 256).toByte)
             // r17 s2: IEEE-float WAV, both widths — decoded
             case 15 => graft.multimodal.Multimodal.makeWavFloat(300, 1, 8000, id)
-            case _ => graft.multimodal.Multimodal.makeWavFloat(300, 1, 8000, id, bits = 64)
+            case 16 => graft.multimodal.Multimodal.makeWavFloat(300, 1, 8000, id, bits = 64)
+            // r17 s2: Ogg-FLAC sniffs into the SAME 'ogg' row as the
+            // junk page stream but DECODES — the ogg row's n_docs and
+            // n_fingerprinted now differ by exactly the junk half
+            case _ => graft.multimodal.Multimodal.makeOggFlac(192, 1, 8000, id)
           }
           (id, bytes)
         }.toDF("doc_id", "payload")
       graft.multimodal.Multimodal.audioCoverage(s, bins)
         .orderBy("format")
     },
-    Some("""WITH cls AS (SELECT doc_id, doc_id % 17 AS k FROM documents WHERE doc_id < 450),
+    Some("""WITH cls AS (SELECT doc_id, doc_id % 18 AS k FROM documents WHERE doc_id < 450),
             fm AS (SELECT k,
                           CASE k WHEN 0 THEN 'wav_pcm16' WHEN 1 THEN 'flac'
                                  WHEN 2 THEN 'wav_mulaw' WHEN 3 THEN 'wav_alaw'
                                  WHEN 4 THEN 'wav_ima_adpcm' WHEN 5 THEN 'wav_ms_adpcm'
                                  WHEN 6 THEN 'wav_pcm8' WHEN 7 THEN 'wav_pcm24'
                                  WHEN 8 THEN 'mp3' WHEN 11 THEN 'mp3'
-                                 WHEN 9 THEN 'ogg' WHEN 10 THEN 'aac_adts'
+                                 WHEN 9 THEN 'ogg' WHEN 17 THEN 'ogg'
+                                 WHEN 10 THEN 'aac_adts'
                                  WHEN 12 THEN 'au' WHEN 13 THEN 'aiff'
                                  WHEN 15 THEN 'wav_float32' WHEN 16 THEN 'wav_float64'
                                  ELSE 'aifc' END AS format,
-                          CASE WHEN k <= 7 OR k IN (12, 13, 15, 16) THEN 1 ELSE 0 END AS dec
+                          CASE WHEN k <= 7 OR k IN (12, 13, 15, 16, 17) THEN 1 ELSE 0 END AS dec
                    FROM (SELECT DISTINCT k FROM cls)),
             agg AS (SELECT fm.format,
                            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -10923,6 +10979,7 @@ object SparkEntry {
     "q_audio_fingerprint_adpcm" -> qAudioFingerprintAdpcm,
     "q_audio_fingerprint_pcm_widths" -> qAudioFingerprintPcmWidths,
     "q_audio_fingerprint_float" -> qAudioFingerprintFloat,
+    "q_audio_fingerprint_oggflac" -> qAudioFingerprintOggFlac,
     "q_audio_fingerprint_msadpcm" -> qAudioFingerprintMsAdpcm,
     "q_audio_fingerprint_au" -> qAudioFingerprintAu,
     "q_audio_fingerprint_aiff" -> qAudioFingerprintAiff,

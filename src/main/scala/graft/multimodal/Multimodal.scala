@@ -558,7 +558,90 @@ object Multimodal {
         Flac.decode(bytes).map(a => (a.samples.length, (i: Int) => a.samples(i).toLong))
           .orElse(auSamples(bytes))
           .orElse(aiffSamples(bytes))
+          .orElse(oggFlacSamples(bytes)) // r17 s2: Ogg-wrapped FLAC
     }
+
+  /** Full Ogg packet reassembly (r17 s2): page walk (version 0,
+    * lacing-table segmentation, 255-continuation inside and ACROSS
+    * pages — a page whose first packet continues the previous page
+    * must carry the continuation flag, enforced both ways), packets
+    * concatenated from their segments. CRCs are not verified (the
+    * [[oggMeta]] walk's documented posture). None on any malformed or
+    * truncated page/packet — never a partial guess. 4096-page
+    * backstop.
+    */
+  private def oggPackets(bytes: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    def tag(off: Int): Boolean =
+      off + 4 <= bytes.length && bytes(off) == 'O' && bytes(off + 1) == 'g' &&
+        bytes(off + 2) == 'g' && bytes(off + 3) == 'S'
+    if (!tag(0)) return None
+    val packets = Vector.newBuilder[Array[Byte]]
+    var cur = new java.io.ByteArrayOutputStream()
+    var inPacket = false
+    var off = 0
+    var nPages = 0
+    while (off < bytes.length) {
+      if (!tag(off) || off + 27 > bytes.length) return None
+      if (bytes(off + 4) != 0) return None // stream structure version
+      val continued = (bytes(off + 5) & 1) != 0
+      if (continued != inPacket) return None // continuation must agree
+      val nsegs = bytes(off + 26) & 0xff
+      if (off + 27 + nsegs > bytes.length) return None
+      var body = off + 27 + nsegs
+      var i = 0
+      while (i < nsegs) {
+        val l = bytes(off + 27 + i) & 0xff
+        if (body + l > bytes.length) return None
+        cur.write(bytes, body, l)
+        body += l
+        inPacket = true
+        if (l < 255) {
+          packets += cur.toByteArray
+          cur = new java.io.ByteArrayOutputStream()
+          inPacket = false
+        }
+        i += 1
+      }
+      off = body
+      nPages += 1
+      if (nPages > 4096) return None
+    }
+    if (inPacket) return None // stream ends mid-packet
+    Some(packets.result())
+  }
+
+  /** Ogg-FLAC (r17 s2): the mapping's first packet is `0x7F "FLAC"` +
+    * version + a 16-bit count of FOLLOWING header packets + a verbatim
+    * `fLaC` STREAMINFO shell; audio packets are native FLAC frames.
+    * Reconstruction is therefore a SPLICE into a stream the EXISTING
+    * [[Flac.decode]] owns: force the STREAMINFO's last-metadata-block
+    * flag (the skipped header packets carried the rest), concatenate
+    * the audio packets after it. Fingerprints are functions of decoded
+    * samples, so an Ogg re-wrap of a FLAC stream collides with the
+    * bare file at Hamming 0 (spec-pinned). The first packet must be
+    * exactly the 51-byte mapping header, per spec.
+    */
+  private def oggFlacSamples(bytes: Array[Byte]): Option[(Int, Int => Long)] = {
+    val packets = oggPackets(bytes) match {
+      case Some(p) => p
+      case None => return None
+    }
+    if (packets.isEmpty) return None
+    val p0 = packets.head
+    if (p0.length != 9 + 42 || (p0(0) & 0xff) != 0x7f || p0(1) != 'F' ||
+        p0(2) != 'L' || p0(3) != 'A' || p0(4) != 'C') return None
+    val nHeaders = ((p0(7) & 0xff) << 8) | (p0(8) & 0xff)
+    if (packets.length <= 1 + nHeaders) return None // no audio packets
+    val si = java.util.Arrays.copyOfRange(p0, 9, p0.length)
+    if (!(si(0) == 'f' && si(1) == 'L' && si(2) == 'a' && si(3) == 'C'))
+      return None
+    si(4) = (si(4) | 0x80).toByte // STREAMINFO becomes the last block
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(si)
+    packets.drop(1 + nHeaders).foreach(p => out.write(p, 0, p.length))
+    Flac.decode(out.toByteArray)
+      .map(a => (a.samples.length, (i: Int) => a.samples(i).toLong))
+  }
 
   /** Sun/NeXT .au (r17): `.snd` magic, six big-endian u32 header words
     * (data offset, data size, encoding, sample rate, channels), then
@@ -6806,6 +6889,15 @@ object Multimodal {
           codec = "ogg_opus"
           ch = bytes(body + 9) & 0xff
           rate = 48000 // granules and frame sizes run at 48 kHz by spec
+        } else if (bodyLen >= 51 && (bytes(body) & 0xff) == 0x7f &&
+                   tag(body + 1, "FLAC") && tag(body + 9, "fLaC")) {
+          // Ogg-FLAC mapping (r17 s2): rate/channels straight from the
+          // embedded STREAMINFO (20 + 3 bits at body offset 10)
+          codec = "ogg_flac"
+          val o = body + 9 + 4 + 4 + 10
+          rate = ((bytes(o) & 0xff) << 12) | ((bytes(o + 1) & 0xff) << 4) |
+            ((bytes(o + 2) & 0xff) >> 4)
+          ch = ((bytes(o + 2) >> 1) & 7) + 1
         }
       }
       if (granule >= 0) lastGranule = granule
@@ -7146,6 +7238,57 @@ object Multimodal {
       }
     val junk = Array.tabulate(40)(i => ((seed + i) % 251).toByte)
     page(0L, 0, 2, idPacket) ++ page(nSamples, 1, 4, junk)
+  }
+
+  /** Fixture/test writer for Ogg-FLAC (r17 s2): wraps [[Flac.make]]'s
+    * native stream in the mapping layout — first packet = the 51-byte
+    * mapping header (0x7F "FLAC", version 1.0, header count, verbatim
+    * `fLaC` + STREAMINFO with the last-block flag CLEARED when a
+    * comment header follows), an optional vorbis-comment header
+    * packet, then the frames as one audio packet. Decoded samples are
+    * [[makeWav]]'s exact law, so the Ogg wrap is a fingerprint twin of
+    * both the bare FLAC and the PCM16 WAV of the same seed.
+    */
+  def makeOggFlac(nFrames: Int, channels: Int, sampleRate: Int, seed: Long,
+                  withComment: Boolean = true): Array[Byte] = {
+    val native = Flac.make(nFrames, channels, sampleRate, seed)
+    val si = java.util.Arrays.copyOfRange(native, 0, 42)
+    val frames = java.util.Arrays.copyOfRange(native, 42, native.length)
+    val nHeaders = if (withComment) 1 else 0
+    if (withComment) si(4) = (si(4) & 0x7f).toByte // more headers follow
+    val p0 = Array[Byte](0x7f.toByte, 'F'.toByte, 'L'.toByte, 'A'.toByte,
+      'C'.toByte, 1, 0, (nHeaders >> 8).toByte, nHeaders.toByte) ++ si
+    def page(granule: Long, seq: Int, flags: Int, body: Array[Byte]): Array[Byte] = {
+      require(body.length <= 255 * 255)
+      val nsegs = body.length / 255 + 1
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("OggS".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.write(0); out.write(flags)
+      for (i <- 0 until 8) out.write(((granule >> (8 * i)) & 0xff).toInt)
+      for (i <- 0 until 4) out.write((0x46 >> (8 * i)) & 0xff) // serial
+      for (i <- 0 until 4) out.write((seq >> (8 * i)) & 0xff)
+      for (_ <- 0 until 4) out.write(0) // crc unverified by the walk
+      out.write(nsegs)
+      var rem = body.length
+      for (_ <- 0 until nsegs - 1) { out.write(255); rem -= 255 }
+      out.write(rem)
+      out.write(body)
+      out.toByteArray
+    }
+    // vorbis-comment metadata block (type 4): tiny vendor string
+    val comment: Array[Byte] = {
+      val vendor = "graft".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val body = Array[Byte](vendor.length.toByte, 0, 0, 0) ++ vendor ++
+        Array[Byte](0, 0, 0, 0)
+      Array[Byte](4, 0, 0, body.length.toByte) ++ body
+    }
+    var seq = 0
+    def nextSeq(): Int = { val s = seq; seq += 1; s }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(page(0L, nextSeq(), 2, p0))
+    if (withComment) out.write(page(0L, nextSeq(), 0, comment))
+    out.write(page(nFrames.toLong, nextSeq(), 4, frames))
+    out.toByteArray
   }
 
   /** Fixture/test writer for AVIF/HEIC metadata headers: ftyp + a

@@ -867,6 +867,76 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.audioFingerprint(ragged).isEmpty)
   }
 
+  test("audioFingerprint: Ogg-wrapped FLAC collides with the bare FLAC and WAV twins") {
+    // the Ogg wrap is container storage only: same decoded samples →
+    // Hamming 0 against both the native FLAC and the PCM16 WAV
+    for ((ch, nf, withC) <- Seq((1, 576, true), (2, 384, true), (1, 384, false))) {
+      val ogg = Multimodal.makeOggFlac(nf, ch, 8000, 9L, withComment = withC)
+      assert(Multimodal.audioFingerprint(ogg).isDefined, s"ch=$ch nf=$nf")
+      assert(Multimodal.audioFingerprint(ogg) ===
+        Multimodal.audioFingerprint(graft.multimodal.Flac.make(nf, ch, 8000, 9L)))
+      assert(Multimodal.audioFingerprint(ogg) ===
+        Multimodal.audioFingerprint(Multimodal.makeWav(nf, ch, 8000, 9L)))
+    }
+    // cross-PAGE packet continuation: split the audio packet across two
+    // pages (first page's lacing all-255, second page flagged continued)
+    val native = graft.multimodal.Flac.make(1152, 1, 8000, 3L)
+    val frames = native.drop(42)
+    assert(frames.length > 300) // the split below must actually span pages
+    val one = Multimodal.makeOggFlac(1152, 1, 8000, 3L, withComment = false)
+    def page(flags: Int, seq: Int, granule: Long, lacings: Array[Int],
+             body: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("OggS".getBytes("US-ASCII"))
+      out.write(0); out.write(flags)
+      for (i <- 0 until 8) out.write(((granule >> (8 * i)) & 0xff).toInt)
+      for (i <- 0 until 4) out.write((0x46 >> (8 * i)) & 0xff)
+      for (i <- 0 until 4) out.write((seq >> (8 * i)) & 0xff)
+      for (_ <- 0 until 4) out.write(0)
+      out.write(lacings.length)
+      lacings.foreach(out.write)
+      out.write(body)
+      out.toByteArray
+    }
+    // rebuild: header page verbatim from the single-page fixture, then
+    // the frames packet as 255-byte head (continues) + tail page
+    val headerPageLen = {
+      // first page: 27 + nsegs + body; nsegs from byte 26
+      val nsegs = one(26) & 0xff
+      27 + nsegs + (0 until nsegs).map(i => one(27 + i) & 0xff).sum
+    }
+    val headerPage = one.take(headerPageLen)
+    val split = page(0, 1, -1L, Array(255), frames.take(255)) ++
+      page(1, 2, 1152L, Array.fill((frames.length - 255) / 255)(255) ++
+        Array((frames.length - 255) % 255), frames.drop(255))
+    val twoPage = headerPage ++ split
+    assert(Multimodal.audioFingerprint(twoPage) ===
+      Multimodal.audioFingerprint(one))
+    // rejects, never guesses
+    val good = Multimodal.makeOggFlac(576, 1, 8000, 9L)
+    assert(Multimodal.audioFingerprint(good.dropRight(30)).isEmpty) // truncated
+    // header-count lie: audio packet consumed as a header → no audio
+    val lie = good.clone()
+    val p0DataOff = 27 + (good(26) & 0xff) // first page body
+    lie(p0DataOff + 8) = 2
+    assert(Multimodal.audioFingerprint(lie).isEmpty)
+    // continuation-flag violation: mark the second page continued when
+    // the first packet ended cleanly
+    val badCont = good.clone()
+    badCont(headerPageLenOf(good) + 5) = (badCont(headerPageLenOf(good) + 5) | 1).toByte
+    assert(Multimodal.audioFingerprint(badCont).isEmpty)
+    // metaOf refinement: codec, STREAMINFO rate/channels, granule count
+    val m = Multimodal.metaOf(5L, Multimodal.makeOggFlac(576, 2, 8000, 9L))
+    assert(m.kind === "audio" && m.format === "ogg_flac" &&
+      m.sample_rate === Some(8000) && m.channels === Some(2) &&
+      m.n_samples === Some(576L) && m.duration_ms === Some(72L))
+  }
+
+  private def headerPageLenOf(ogg: Array[Byte]): Int = {
+    val nsegs = ogg(26) & 0xff
+    27 + nsegs + (0 until nsegs).map(i => ogg(27 + i) & 0xff).sum
+  }
+
   test("audioFingerprint: au and AIFF twins of the same PCM collide with WAV") {
     // AU mu-law: identical companded bytes to the WAV G.711 fixture →
     // identical decoded samples → Hamming 0
