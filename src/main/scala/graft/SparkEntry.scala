@@ -4456,7 +4456,13 @@ object SparkEntry {
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .filter((id: Long) => id < 50)
         .map(id => (id, graft.multimodal.Multimodal.makeAiff(
-          (300 + (id % 5) * 23).toInt, (1 + id % 2).toInt, 8000, id)))
+          (300 + (id % 5) * 23).toInt, (1 + id % 2).toInt, 8000, id,
+          // r17 s2: every third file is AIFC — NONE (big-endian) or
+          // sowt (byte-swapped) — under the SAME oracle; the extended
+          // COMM and byte order are provably absent from the law
+          aifc = (id % 3) match {
+            case 1 => "NONE"; case 2 => "sowt"; case _ => ""
+          })))
         .toDF("doc_id", "payload")
       graft.multimodal.Multimodal.audioFingerprints(s, bins)
         .orderBy("doc_id")

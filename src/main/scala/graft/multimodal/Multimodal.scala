@@ -692,7 +692,8 @@ object Multimodal {
       if (off >= 0 && off + 4 <= bytes.length)
         new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       else ""
-    if (tag(0) != "FORM" || tag(8) != "AIFF") return None
+    val isAifc = tag(8) == "AIFC"
+    if (tag(0) != "FORM" || (tag(8) != "AIFF" && !isAifc)) return None
     val formEnd = math.min(bytes.length.toLong, 8L + be32(bytes, 4)).toInt
     var off = 12
     var channels = -1
@@ -700,6 +701,12 @@ object Multimodal {
     var bits = -1
     var ssndOff = -1
     var ssndLen = -1L
+    // AIFC only: PCM compression types decode — "NONE" (big-endian,
+    // the AIFF layout under the extended COMM) and "sowt" (the
+    // byte-swapped PCM Apple writers emit). Real codecs (ima4, ulaw
+    // WITH the AIFC framing, fl32…) stay outside — r17 s2.
+    var little = false
+    var comp = if (isAifc) "" else "NONE"
     while (off + 8 <= formEnd) {
       val ck = tag(off)
       val size = be32(bytes, off + 4)
@@ -708,6 +715,10 @@ object Multimodal {
         channels = ((bytes(off + 8) & 0xff) << 8) | (bytes(off + 9) & 0xff)
         nFrames = be32(bytes, off + 10) & 0xffffffffL
         bits = ((bytes(off + 14) & 0xff) << 8) | (bytes(off + 15) & 0xff)
+        if (isAifc) {
+          if (size < 22) return None // extended COMM is mandatory
+          comp = tag(off + 26)
+        }
       } else if (ck == "SSND" && size >= 8) {
         val dOff = be32(bytes, off + 8) // offset into the sound data
         if (dOff < 0 || dOff > size - 8) return None
@@ -716,12 +727,21 @@ object Multimodal {
       }
       off += 8 + size + (size & 1)
     }
+    comp match {
+      case "NONE" => ()
+      case "sowt" => little = true
+      case _ => return None // real AIFC codecs: documented boundary
+    }
     if (channels < 1 || bits != 16 || ssndOff < 0 || nFrames <= 0) return None
     val nSamples = nFrames * channels
     if (nSamples * 2 > ssndLen || nSamples > (1 << 24)) return None
     val base = ssndOff
-    Some((nSamples.toInt, i =>
-      ((bytes(base + 2 * i) << 8) | (bytes(base + 2 * i + 1) & 0xff)).toShort.toLong))
+    if (little)
+      Some((nSamples.toInt, i =>
+        ((bytes(base + 2 * i) & 0xff) | (bytes(base + 2 * i + 1) << 8)).toShort.toLong))
+    else
+      Some((nSamples.toInt, i =>
+        ((bytes(base + 2 * i) << 8) | (bytes(base + 2 * i + 1) & 0xff)).toShort.toLong))
   }
 
   /** Fixture/test writer for Sun .au (r17): mu-law bytes follow
@@ -768,12 +788,17 @@ object Multimodal {
     * the 80-bit extended sample-rate field written exactly.
     */
   def makeAiff(nFrames: Int, channels: Int, sampleRate: Int,
-               seed: Long): Array[Byte] = {
+               seed: Long, aifc: String = ""): Array[Byte] = {
     require(nFrames > 0 && channels >= 1 && channels <= 8 && sampleRate > 0 &&
       nFrames <= (1 << 20), s"fixture shape $nFrames x $channels @ $sampleRate")
+    require(aifc == "" || aifc == "NONE" || aifc == "sowt", s"aifc=$aifc")
+    val isAifc = aifc.nonEmpty
+    val little = aifc == "sowt"
     val nSamples = nFrames * channels
     val dataLen = 2 * nSamples
-    val commSize = 18
+    // AIFC: extended COMM carries the 4-byte compression type + a
+    // pascal-string name (empty → 1 length byte + 1 pad to even)
+    val commSize = if (isAifc) 18 + 4 + 2 else 18
     val ssndSize = 8 + dataLen
     val formSize = 4 + (8 + commSize) + (8 + ssndSize) + (ssndSize & 1)
     val out = new Array[Byte](8 + formSize)
@@ -786,7 +811,8 @@ object Multimodal {
     }
     def putTag(off: Int, s: String): Unit =
       s.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(out, off)
-    putTag(0, "FORM"); putBe32(4, formSize); putTag(8, "AIFF")
+    putTag(0, "FORM"); putBe32(4, formSize)
+    putTag(8, if (isAifc) "AIFC" else "AIFF")
     putTag(12, "COMM"); putBe32(16, commSize)
     putBe16(20, channels)
     putBe32(22, nFrames)
@@ -799,13 +825,20 @@ object Multimodal {
     val mant = sampleRate.toLong << (63 - e)
     var b = 0
     while (b < 8) { out(30 + b) = (mant >>> (56 - 8 * b)).toByte; b += 1 }
-    putTag(38, "SSND"); putBe32(42, ssndSize)
-    putBe32(46, 0) // offset
-    putBe32(50, 0) // blockSize
+    if (isAifc) putTag(38, aifc) // compression type; name stays empty
+    val ssndAt = 20 + commSize
+    putTag(ssndAt, "SSND"); putBe32(ssndAt + 4, ssndSize)
+    putBe32(ssndAt + 8, 0) // offset
+    putBe32(ssndAt + 12, 0) // blockSize
+    val dataAt = ssndAt + 16
     var i = 0
     while (i < nSamples) {
       val v = (((seed + i * 13L) % 256) - 128).toInt
-      out(54 + 2 * i) = (v >> 8).toByte; out(54 + 2 * i + 1) = v.toByte
+      if (little) {
+        out(dataAt + 2 * i) = v.toByte; out(dataAt + 2 * i + 1) = (v >> 8).toByte
+      } else {
+        out(dataAt + 2 * i) = (v >> 8).toByte; out(dataAt + 2 * i + 1) = v.toByte
+      }
       i += 1
     }
     out

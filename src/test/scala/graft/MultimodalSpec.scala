@@ -964,10 +964,24 @@ class MultimodalSpec extends SparkTestBase {
     badEnc(15) = 27
     assert(Multimodal.audioFingerprint(badEnc).isEmpty)
     val aiff = Multimodal.makeAiff(300, 1, 8000, 9)
-    val aifc = aiff.clone() // AIFC form type: compressed container, outside
+    val aifc = aiff.clone() // AIFC form WITHOUT the extended COMM: corrupt
     aifc(11) = 'C'.toByte
     assert(Multimodal.audioFingerprint(aifc).isEmpty)
     assert(Multimodal.audioFormatOf(aifc) === "aifc")
+    // r17 s2: AIFC's PCM compression types DECODE — "NONE" (big-endian)
+    // and "sowt" (byte-swapped, the Apple-writer layout) are both
+    // fingerprint twins of the AIFF and WAV fixtures; a real codec
+    // ("ima4") stays outside
+    for ((comp, ch) <- Seq(("NONE", 1), ("sowt", 1), ("NONE", 2), ("sowt", 2)))
+      assert(Multimodal.audioFingerprint(
+          Multimodal.makeAiff(300, ch, 8000, 9, aifc = comp)) ===
+        Multimodal.audioFingerprint(Multimodal.makeWav(300, ch, 8000, 9)),
+        s"aifc $comp ch=$ch")
+    assert(Multimodal.audioFormatOf(
+      Multimodal.makeAiff(300, 1, 8000, 9, aifc = "sowt")) === "aifc")
+    val ima4 = Multimodal.makeAiff(300, 1, 8000, 9, aifc = "NONE")
+    ima4(38) = 'i'; ima4(39) = 'm'; ima4(40) = 'a'; ima4(41) = '4'
+    assert(Multimodal.audioFingerprint(ima4).isEmpty)
     val lyingComm = aiff.clone() // COMM claims more frames than SSND holds
     lyingComm(22) = 0; lyingComm(23) = 0
     lyingComm(24) = 0x7f.toByte; lyingComm(25) = 0xff.toByte
