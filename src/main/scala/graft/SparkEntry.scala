@@ -4978,6 +4978,113 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
             FROM hs ORDER BY doc_id"""))
 
+  /** netpbm through the perceptual-hash gate ([[graft.multimodal
+    * .Multimodal.pnmDecode]] — r17 session 2): all four decodable
+    * forms — P6/P3 RGB and P5/P2 grayscale, binary and ASCII-decimal
+    * twins (doc_id mod 4) — carrying the house pixel law top-down with
+    * a planted #-comment in every header. The oracle is the closed
+    * form with the FORM absent from the SQL: raw bytes and decimal
+    * tokens decode to the same pixels, which IS the proof.
+    */
+  private val qImageAHashPnm = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val M = graft.multimodal.Multimodal
+          val bytes = (id % 4) match {
+            case 0 => M.makePnm(16, 16, id)
+            case 1 => M.makePnm(16, 16, id, asciiForm = true)
+            case 2 => M.makePnm(16, 16, id, rgb = false)
+            case _ => M.makePnm(16, 16, id, rgb = false, asciiForm = true)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imageAHashes(s, bins).orderBy("doc_id")
+    },
+    Some("""WITH px AS (
+              SELECT d.doc_id, r.r AS r, x.x AS x,
+                     CASE WHEN d.doc_id % 4 IN (2, 3)
+                          THEN 3 * ((d.doc_id + r.r * 31 + x.x * 7) % 256)
+                          ELSE (d.doc_id + r.r * 31 + (3*x.x + 0) * 7) % 256
+                             + (d.doc_id + r.r * 31 + (3*x.x + 1) * 7) % 256
+                             + (d.doc_id + r.r * 31 + (3*x.x + 2) * 7) % 256
+                     END AS gray
+              FROM documents d
+              JOIN generate_series(0, 15) r(r) ON TRUE
+              JOIN generate_series(0, 15) x(x) ON TRUE),
+            tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+            blk AS (SELECT doc_id, r // 2 AS bi, x // 2 AS bj, SUM(gray) AS bsum
+                    FROM px GROUP BY 1, 2, 3),
+            bits AS (SELECT b.doc_id, bi, bj,
+                            CASE WHEN b.bsum * 256 >= t.total * 4 THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id)),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
+            FROM hs ORDER BY doc_id"""))
+
+  /** QOI through the perceptual-hash gate ([[graft.multimodal
+    * .Multimodal.qoiDecode]] — r17 session 2): fixtures written by the
+    * REAL reference-algorithm encoder (run/index/diff/luma/literal
+    * precedence), decoded through the full op stream back to the house
+    * pixel law — so the oracle is the same top-down closed form with
+    * the entire codec absent from the SQL. doc_id mod 3 varies the
+    * geometry; the 512-wide class wraps the 256-value law cycle so
+    * INDEX back-references occur in-fixture.
+    */
+  private val qImageAHashQoi = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 300)
+        .map { id =>
+          val M = graft.multimodal.Multimodal
+          val bytes = (id % 3) match {
+            case 0 => M.makeQoi(16, 16, id)
+            case 1 => M.makeQoi(24, 8, id)
+            case _ => M.makeQoi(512, 8, id)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imageAHashes(s, bins).orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+                       CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 512 END AS w,
+                       CASE doc_id % 3 WHEN 0 THEN 16 ELSE 8 END AS h
+                FROM documents WHERE doc_id < 300),
+            px AS (
+              SELECT d.doc_id, d.w, d.h, r.r AS r, x.x AS x,
+                     (d.doc_id + r.r * 31 + (3*x.x + 0) * 7) % 256
+                   + (d.doc_id + r.r * 31 + (3*x.x + 1) * 7) % 256
+                   + (d.doc_id + r.r * 31 + (3*x.x + 2) * 7) % 256 AS gray
+              FROM d
+              JOIN generate_series(0, 15) r(r) ON r.r < d.h
+              JOIN generate_series(0, 511) x(x) ON x.x < d.w),
+            tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+            blk AS (SELECT doc_id, (r * 8) // h AS bi, (x * 8) // w AS bj,
+                           SUM(gray) AS bsum, COUNT(*) AS nb
+                    FROM px GROUP BY 1, 2, 3),
+            bits AS (SELECT b.doc_id, bi, bj,
+                            CASE WHEN b.bsum * (SELECT w * h FROM d d2
+                                                WHERE d2.doc_id = b.doc_id)
+                                 >= t.total * b.nb THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id)),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
+            FROM hs ORDER BY doc_id"""))
+
   /** The MEASURED image-decode boundary ([[graft.multimodal.Multimodal
     * .imageCoverage]] — VERDICT r16 #2, q_audio_coverage's image twin):
     * a mixed corpus across every sniffable container class —
@@ -4994,7 +5101,7 @@ object SparkEntry {
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .filter((id: Long) => id < 450)
         .map { id =>
-          val bytes = (id % 10) match {
+          val bytes = (id % 13) match {
             case 0 => graft.multimodal.Multimodal.makeBmp(16, 16, id)
             case 1 => graft.multimodal.Multimodal.makePng(16, 16, id)
             case 2 => graft.multimodal.Multimodal.makeGif(16, 16, id)
@@ -5007,22 +5114,29 @@ object SparkEntry {
             case 7 => Array[Byte](0, 0, 0, 24) ++ "ftypavif".getBytes("US-ASCII") ++
               Array.tabulate(16)(i => ((id + i) % 256).toByte)
             case 8 => graft.multimodal.Multimodal.makeIco(16, 16, id) // r17 s2
-            case _ => Array.fill(24)(1.toByte)
+            case 9 => Array.fill(24)(1.toByte)
+            // r17 s2: netpbm + QOI decoded; a P4 bitmap sniffs pnm but
+            // stays un-hashed — the in-family boundary as a number
+            case 10 => graft.multimodal.Multimodal.makePnm(16, 16, id)
+            case 11 => graft.multimodal.Multimodal.makeQoi(16, 16, id)
+            case _ => "P4\n4 4\n".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0)
           }
           (id, bytes)
         }.toDF("doc_id", "payload")
       graft.multimodal.Multimodal.imageCoverage(s, bins)
         .orderBy("format")
     },
-    Some("""WITH cls AS (SELECT doc_id, doc_id % 10 AS k FROM documents WHERE doc_id < 450),
+    Some("""WITH cls AS (SELECT doc_id, doc_id % 13 AS k FROM documents WHERE doc_id < 450),
             fm AS (SELECT k,
                           CASE k WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
                                  WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg'
                                  WHEN 4 THEN 'tiff' WHEN 5 THEN 'tiff'
                                  WHEN 6 THEN 'webp' WHEN 7 THEN 'avif'
                                  WHEN 8 THEN 'ico'
+                                 WHEN 10 THEN 'pnm' WHEN 12 THEN 'pnm'
+                                 WHEN 11 THEN 'qoi'
                                  ELSE 'unknown' END AS format,
-                          CASE WHEN k <= 5 OR k = 8 THEN 1 ELSE 0 END AS dec
+                          CASE WHEN k <= 5 OR k IN (8, 10, 11) THEN 1 ELSE 0 END AS dec
                    FROM (SELECT DISTINCT k FROM cls)),
             agg AS (SELECT fm.format,
                            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -10975,6 +11089,8 @@ object SparkEntry {
     "q_image_ahash_tiff_c" -> qImageAHashTiffC,
     "q_image_ahash_tiff_t" -> qImageAHashTiffT,
     "q_image_ahash_ico" -> qImageAHashIco,
+    "q_image_ahash_pnm" -> qImageAHashPnm,
+    "q_image_ahash_qoi" -> qImageAHashQoi,
     "q_image_coverage" -> qImageCoverage,
     "q_image_neardup" -> qImageNearDup,
     "q_audio_fingerprint" -> qAudioFingerprint,

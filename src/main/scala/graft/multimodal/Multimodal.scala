@@ -4819,6 +4819,8 @@ object Multimodal {
       .orElse(parseFlac(id, bytes))
       .orElse(parseTiff(id, bytes))
       .orElse(parseIco(id, bytes))
+      .orElse(parsePnm(id, bytes))
+      .orElse(parseQoi(id, bytes))
       .getOrElse(decodeStub(id, bytes))
 
   /** Nearest-neighbor resize of an uncompressed 24-bpp BMP — the
@@ -5232,6 +5234,375 @@ object Multimodal {
     out
   }
 
+  // ---- real decoder: PNM (netpbm P2/P3/P5/P6, public spec) -------------
+  // The dataset-tooling format: a two-byte magic, ASCII header tokens
+  // (width, height, maxval) with #-comments, then samples — decimal
+  // tokens for the ASCII forms (P2 gray / P3 RGB), raw bytes for the
+  // binary forms (P5 / P6). Envelope: maxval exactly 255 (the
+  // real-world default; other maxvals and the 2-byte-sample forms
+  // reject into the measured boundary), dims ≤ 2^14.
+
+  /** Decoded PNM: (w, h, spp, samples) interleaved top-down — the
+    * [[tiffDecode]] contract. None outside the envelope or on any
+    * malformed header/short body — never a partial guess.
+    */
+  private[graft] def pnmDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    if (bytes.length < 2 || bytes(0) != 'P') return None
+    val kind = bytes(1)
+    if (kind != '2' && kind != '3' && kind != '5' && kind != '6') return None
+    val ascii = kind == '2' || kind == '3'
+    val spp = if (kind == '3' || kind == '6') 3 else 1
+    var off = 2
+    // read one decimal token, skipping whitespace and #-comments
+    def token(): Int = {
+      var v = -1
+      var done = false
+      while (!done) {
+        if (off >= bytes.length) return -1
+        val c = bytes(off) & 0xff
+        if (c == '#' && v < 0) {
+          while (off < bytes.length && bytes(off) != '\n') off += 1
+        } else if (c >= '0' && c <= '9') {
+          v = (if (v < 0) 0 else v) * 10 + (c - '0')
+          if (v > (1 << 20)) return -1 // runaway token
+          off += 1
+        } else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') {
+          if (v >= 0) done = true else off += 1
+        } else return -1
+      }
+      v
+    }
+    val w = token(); val h = token(); val maxval = token()
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    if (maxval != 255) return None // the envelope; others stay outside
+    val n = w * h * spp
+    if (n > (64 << 20)) return None
+    val out = new Array[Byte](n)
+    if (ascii) {
+      var i = 0
+      while (i < n) {
+        val v = token()
+        if (v < 0 || v > 255) return None
+        out(i) = v.toByte
+        i += 1
+      }
+    } else {
+      // exactly ONE whitespace byte separates the header from raw data
+      if (off >= bytes.length) return None
+      val c = bytes(off) & 0xff
+      if (c != ' ' && c != '\t' && c != '\r' && c != '\n') return None
+      off += 1
+      if (off + n > bytes.length) return None
+      System.arraycopy(bytes, off, out, 0, n)
+    }
+    Some((w, h, spp, out))
+  }
+
+  /** Header-only PNM dims: the first two decimal tokens after any
+    * P1-P6 magic (comments skipped) — valid for the whole netpbm
+    * family, including the forms the decode envelope excludes.
+    */
+  private[graft] def pnmDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 3 || bytes(0) != 'P') return None
+    if (bytes(1) < '1' || bytes(1) > '6') return None
+    var off = 2
+    def token(): Int = {
+      var v = -1
+      var done = false
+      while (!done) {
+        if (off >= bytes.length) return -1
+        val c = bytes(off) & 0xff
+        if (c == '#' && v < 0) {
+          while (off < bytes.length && bytes(off) != '\n') off += 1
+        } else if (c >= '0' && c <= '9') {
+          v = (if (v < 0) 0 else v) * 10 + (c - '0')
+          if (v > (1 << 20)) return -1
+          off += 1
+        } else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') {
+          if (v >= 0) done = true else off += 1
+        } else return -1
+      }
+      v
+    }
+    val w = token(); val h = token()
+    if (w <= 0 || h <= 0) None else Some((w, h))
+  }
+
+  /** PNM grayscale grid — the house gray law over [[pnmDecode]]. */
+  private def pnmGrayGrid(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    pnmDecode(bytes).map { case (w, h, spp, samples) =>
+      val gray = new Array[Int](w * h)
+      if (spp == 3) {
+        var p = 0
+        while (p < gray.length) {
+          gray(p) = (samples(3 * p) & 0xff) + (samples(3 * p + 1) & 0xff) +
+            (samples(3 * p + 2) & 0xff)
+          p += 1
+        }
+      } else {
+        var p = 0
+        while (p < gray.length) { gray(p) = 3 * (samples(p) & 0xff); p += 1 }
+      }
+      (w, h, gray)
+    }
+
+  /** Parse + decode a PNM and fold features (the [[parseTiff]] fold). */
+  def parsePnm(id: Long, bytes: Array[Byte]): Option[MediaFeatures] =
+    pnmDecode(bytes).map { case (w, h, spp, samples) =>
+      val n = w.toLong * h
+      if (spp == 3) {
+        var sumR = 0L; var sumG = 0L; var sumB = 0L; var high = 0L
+        var p = 0
+        while (p < samples.length) {
+          val r = samples(p) & 0xff; val g = samples(p + 1) & 0xff
+          val b = samples(p + 2) & 0xff
+          sumR += r; sumG += g; sumB += b
+          high += (if (r > 127) 1 else 0) + (if (g > 127) 1 else 0) +
+            (if (b > 127) 1 else 0)
+          p += 3
+        }
+        val feats = Array(
+          (sumR.toDouble / (n * 255)).toFloat,
+          (sumG.toDouble / (n * 255)).toFloat,
+          (sumB.toDouble / (n * 255)).toFloat,
+          ((sumR + sumG + sumB).toDouble / (3 * n * 255)).toFloat,
+          (high.toDouble / (3 * n)).toFloat,
+          w.toFloat / (w + h), h.toFloat / (w + h), 0f)
+        MediaFeatures(id, bytes.length, "pnm", w, h, feats)
+      } else {
+        var sum = 0L; var high = 0L
+        var p = 0
+        while (p < samples.length) {
+          val v = samples(p) & 0xff
+          sum += v; if (v > 127) high += 1
+          p += 1
+        }
+        val m = (sum.toDouble / (n * 255)).toFloat
+        val feats = Array(m, m, m, m, (high.toDouble / n).toFloat,
+          w.toFloat / (w + h), h.toFloat / (w + h), 0f)
+        MediaFeatures(id, bytes.length, "pnm", w, h, feats)
+      }
+    }
+
+  /** Fixture/test writer for PNM: samples follow the house image law
+    * (byte (r, k) = (seed + r·31 + k·7) mod 256, k = 3x+c for RGB) in
+    * all four forms — P5/P6 raw, P2/P3 decimal with a planted
+    * #-comment in the header. Same decoded pixels regardless.
+    */
+  def makePnm(w: Int, h: Int, seed: Long, rgb: Boolean = true,
+              asciiForm: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 512 && h <= 512, s"fixture dims $w x $h")
+    val spp = if (rgb) 3 else 1
+    val magic = (rgb, asciiForm) match {
+      case (true, false) => "P6"; case (false, false) => "P5"
+      case (true, true) => "P3"; case (false, true) => "P2"
+    }
+    val sb = new java.io.ByteArrayOutputStream()
+    sb.write(magic.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    sb.write('\n')
+    sb.write("# graft fixture\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    sb.write(s"$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    var r = 0
+    while (r < h) {
+      var k = 0
+      while (k < w * spp) {
+        val v = ((seed + r * 31L + k * 7L) % 256).toInt
+        if (asciiForm) {
+          sb.write(v.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          sb.write(if (k == w * spp - 1) '\n' else ' ')
+        } else sb.write(v)
+        k += 1
+      }
+      r += 1
+    }
+    sb.toByteArray
+  }
+
+  // ---- real decoder: QOI ("Quite OK Image", public spec) ---------------
+  // The 2022 lossless format showing up in modern asset pipelines: a
+  // 14-byte header then a byte-oriented op stream — RGB/RGBA literals,
+  // 64-slot hash-indexed back-references, 2-bit channel diffs, the
+  // luma diff pair, and runs — closed by the 8-byte end marker. Every
+  // op is spec arithmetic (hash = (r·3+g·5+b·7+a·11) mod 64), no
+  // entropy coding, so the decoder is exact and total.
+
+  /** Decoded QOI: (w, h, interleaved RGB top-down) — alpha decoded
+    * (it participates in the hash law) but dropped from the output,
+    * the PNG-alpha convention. None on bad magic, dims outside the
+    * walk bound, short streams, or a missing end marker.
+    */
+  private[graft] def qoiDecode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 14 + 8 || bytes(0) != 'q' || bytes(1) != 'o' ||
+        bytes(2) != 'i' || bytes(3) != 'f') return None
+    val w = be32(bytes, 4)
+    val h = be32(bytes, 8)
+    val channels = bytes(12) & 0xff
+    val colorspace = bytes(13) & 0xff
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+        w.toLong * h > (64 << 20)) return None
+    if ((channels != 3 && channels != 4) || colorspace > 1) return None
+    val n = w * h
+    val rgb = new Array[Byte](n * 3)
+    val index = new Array[Int](64) // packed 0xAARRGGBB
+    var r = 0; var g = 0; var b = 0; var a = 255
+    java.util.Arrays.fill(index, 0) // spec: zero-initialized
+    var px = 0
+    var off = 14
+    val dataEnd = bytes.length - 8
+    def emit(run: Int): Boolean = {
+      var i = 0
+      while (i < run) {
+        if (px >= n) return false
+        rgb(3 * px) = r.toByte; rgb(3 * px + 1) = g.toByte; rgb(3 * px + 2) = b.toByte
+        px += 1
+        i += 1
+      }
+      true
+    }
+    while (px < n) {
+      if (off >= dataEnd) return None
+      val op = bytes(off) & 0xff
+      off += 1
+      if (op == 0xfe) { // QOI_OP_RGB
+        if (off + 3 > dataEnd) return None
+        r = bytes(off) & 0xff; g = bytes(off + 1) & 0xff; b = bytes(off + 2) & 0xff
+        off += 3
+        if (!emit(1)) return None
+      } else if (op == 0xff) { // QOI_OP_RGBA
+        if (off + 4 > dataEnd) return None
+        r = bytes(off) & 0xff; g = bytes(off + 1) & 0xff
+        b = bytes(off + 2) & 0xff; a = bytes(off + 3) & 0xff
+        off += 4
+        if (!emit(1)) return None
+      } else (op >> 6) match {
+        case 0 => // QOI_OP_INDEX
+          val v = index(op & 0x3f)
+          a = (v >>> 24) & 0xff; r = (v >>> 16) & 0xff
+          g = (v >>> 8) & 0xff; b = v & 0xff
+          if (!emit(1)) return None
+        case 1 => // QOI_OP_DIFF (biased by 2)
+          r = (r + ((op >> 4) & 3) - 2) & 0xff
+          g = (g + ((op >> 2) & 3) - 2) & 0xff
+          b = (b + (op & 3) - 2) & 0xff
+          if (!emit(1)) return None
+        case 2 => // QOI_OP_LUMA (dg biased 32; dr-dg / db-dg biased 8)
+          if (off >= dataEnd) return None
+          val dg = (op & 0x3f) - 32
+          val rb = bytes(off) & 0xff
+          off += 1
+          r = (r + dg + ((rb >> 4) & 0xf) - 8) & 0xff
+          g = (g + dg) & 0xff
+          b = (b + dg + (rb & 0xf) - 8) & 0xff
+          if (!emit(1)) return None
+        case _ => // QOI_OP_RUN (1..62; 63/64 are the RGB/RGBA tags)
+          if (!emit((op & 0x3f) + 1)) return None
+      }
+      index(((r * 3 + g * 5 + b * 7 + a * 11) % 64)) =
+        (a << 24) | (r << 16) | (g << 8) | b
+    }
+    // end marker: seven 0x00 then 0x01, directly after the data
+    var i = 0
+    while (i < 7) { if (bytes(off + i) != 0) return None; i += 1 }
+    if (bytes(off + 7) != 1) return None
+    Some((w, h, rgb))
+  }
+
+  /** QOI grayscale grid — the house gray law over [[qoiDecode]]. */
+  private def qoiGrayGrid(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    qoiDecode(bytes).map { case (w, h, rgb) =>
+      val gray = new Array[Int](w * h)
+      var p = 0
+      while (p < gray.length) {
+        gray(p) = (rgb(3 * p) & 0xff) + (rgb(3 * p + 1) & 0xff) +
+          (rgb(3 * p + 2) & 0xff)
+        p += 1
+      }
+      (w, h, gray)
+    }
+
+  /** Parse + decode a QOI and fold features (the [[parseIco]] fold). */
+  def parseQoi(id: Long, bytes: Array[Byte]): Option[MediaFeatures] =
+    qoiDecode(bytes).map { case (w, h, rgb) =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L; var high = 0L
+      var p = 0
+      while (p < rgb.length) {
+        val r = rgb(p) & 0xff; val g = rgb(p + 1) & 0xff; val b = rgb(p + 2) & 0xff
+        sumR += r; sumG += g; sumB += b
+        high += (if (r > 127) 1 else 0) + (if (g > 127) 1 else 0) +
+          (if (b > 127) 1 else 0)
+        p += 3
+      }
+      val n = w.toLong * h
+      val feats = Array(
+        (sumR.toDouble / (n * 255)).toFloat,
+        (sumG.toDouble / (n * 255)).toFloat,
+        (sumB.toDouble / (n * 255)).toFloat,
+        ((sumR + sumG + sumB).toDouble / (3 * n * 255)).toFloat,
+        (high.toDouble / (3 * n)).toFloat,
+        w.toFloat / (w + h), h.toFloat / (w + h), 0f)
+      MediaFeatures(id, bytes.length, "qoi", w, h, feats)
+    }
+
+  /** REAL QOI encoder (fixture side, the reference algorithm): run
+    * detection, index hit, 2-bit diff, luma pair, RGB literal — in the
+    * spec's precedence order — so fixtures exercise every op the
+    * decoder owns. Pixels follow the house law (byte (r, 3x+c) =
+    * (seed + r·31 + (3x+c)·7) mod 256), same as [[makePnm]] top-down.
+    */
+  def makeQoi(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 512 && h <= 512, s"fixture dims $w x $h")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    def be(v: Int): Unit = {
+      out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff)
+    }
+    be(w); be(h)
+    out.write(3); out.write(0) // RGB, sRGB
+    val index = new Array[Int](64)
+    var pr = 0; var pg = 0; var pb = 0
+    val pa = 255
+    var run = 0
+    var p = 0
+    val n = w * h
+    while (p < n) {
+      val row = p / w; val x = p % w
+      val r = ((seed + row * 31L + (3 * x) * 7L) % 256).toInt
+      val g = ((seed + row * 31L + (3 * x + 1) * 7L) % 256).toInt
+      val b = ((seed + row * 31L + (3 * x + 2) * 7L) % 256).toInt
+      if (r == pr && g == pg && b == pb) {
+        run += 1
+        if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+        val hashv = (r * 3 + g * 5 + b * 7 + pa * 11) % 64
+        val packed = (pa << 24) | (r << 16) | (g << 8) | b
+        if (index(hashv) == packed) out.write(hashv)
+        else {
+          index(hashv) = packed
+          val dr = ((r - pr + 128) & 0xff) - 128
+          val dg = ((g - pg + 128) & 0xff) - 128
+          val db = ((b - pb + 128) & 0xff) - 128
+          if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+            out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+          else if (dg >= -32 && dg <= 31 && (dr - dg) >= -8 && (dr - dg) <= 7 &&
+                   (db - dg) >= -8 && (db - dg) <= 7) {
+            out.write(0x80 | (dg + 32))
+            out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+          } else {
+            out.write(0xfe); out.write(r); out.write(g); out.write(b)
+          }
+        }
+        pr = r; pg = g; pb = b
+      }
+      p += 1
+    }
+    if (run > 0) out.write(0xc0 | (run - 1))
+    for (_ <- 0 until 7) out.write(0)
+    out.write(1)
+    out.toByteArray
+  }
+
   // ---- perceptual image hashing (aHash) + near-dup --------------------
   // The image twin of text MinHash dedup: a 64-bit AVERAGE HASH over the
   // decoded pixel grid (8×8 block means vs the global mean — the classic
@@ -5630,7 +6001,8 @@ object Multimodal {
   private def grayGridOf(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
     bmpGrayGrid(bytes).orElse(pngGrayGrid(bytes)).orElse(gifGrayGrid(bytes))
       .orElse(jpegGrayGrid(bytes)).orElse(tiffGrayGrid(bytes))
-      .orElse(icoGrayGrid(bytes))
+      .orElse(icoGrayGrid(bytes)).orElse(pnmGrayGrid(bytes))
+      .orElse(qoiGrayGrid(bytes))
 
   /** (doc_id, ahash) over a binary column — the same streaming
     * `mapPartitions` shape as [[extractFeatures]]; payloads that don't
@@ -6052,6 +6424,13 @@ object Multimodal {
     else if (bytes.length >= 6 + 16 && le16(bytes, 0) == 0 &&
              le16(bytes, 2) == 1 && le16(bytes, 4) >= 1 &&
              le16(bytes, 4) <= 64 && bytes(9) == 0) "ico"
+    // the whole netpbm family sniffs (P1-P6): the bitmap forms P1/P4
+    // and non-255 maxvals then count un-hashed — the measured boundary
+    else if (bytes.length >= 3 && bytes(0) == 'P'.toByte &&
+             bytes(1) >= '1'.toByte && bytes(1) <= '6'.toByte &&
+             (bytes(2) == ' ' || bytes(2) == '\t' || bytes(2) == '\r' ||
+              bytes(2) == '\n' || bytes(2) == '#')) "pnm"
+    else if (ascii(0, 4) == "qoif") "qoi"
     else "unknown"
   }
 
@@ -7093,6 +7472,19 @@ object Multimodal {
         // animation
         val d = icoMeta(bytes)
         MediaMetaRow(id, "image", "ico", d.map(_._1), d.map(_._2),
+          None, None, None, None, None, None)
+      case "pnm" =>
+        // dims are the first two header tokens for EVERY netpbm form —
+        // wider than the decode envelope (P1/P4 and 16-bit maxvals
+        // report real dims here), the metadata pass's design
+        val d = pnmDims(bytes)
+        MediaMetaRow(id, "image", "pnm", d.map(_._1), d.map(_._2),
+          None, None, None, None, None, None)
+      case "qoi" =>
+        val okDims = bytes.length >= 14 && be32(bytes, 4) > 0 && be32(bytes, 8) > 0
+        MediaMetaRow(id, "image", "qoi",
+          if (okDims) Some(be32(bytes, 4)) else None,
+          if (okDims) Some(be32(bytes, 8)) else None,
           None, None, None, None, None, None)
       case _ => none // avif/heic already returned above
     }

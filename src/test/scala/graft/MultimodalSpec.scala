@@ -2014,6 +2014,94 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decode(5L, empty).format === "stub")
   }
 
+  test("pnmDecode: all four netpbm forms decode to the same closed-form pixels") {
+    // binary ≡ ASCII twins, both color modes; independent hash replay
+    val p6 = Multimodal.imageAHash(Multimodal.makePnm(16, 16, 7)).get
+    assert(Multimodal.imageAHash(
+      Multimodal.makePnm(16, 16, 7, asciiForm = true)).get === p6)
+    val grid = Array.tabulate(16 * 16) { p =>
+      val r = p / 16; val x = p % 16
+      (0 until 3).map(c => ((7L + r * 31L + (3 * x + c) * 7L) % 256).toInt).sum
+    }
+    assert(p6 === Multimodal.aHash64(16, 16, grid).get)
+    val p5 = Multimodal.imageAHash(Multimodal.makePnm(16, 16, 7, rgb = false)).get
+    assert(Multimodal.imageAHash(
+      Multimodal.makePnm(16, 16, 7, rgb = false, asciiForm = true)).get === p5)
+    assert(Multimodal.decode(1L, Multimodal.makePnm(16, 16, 7)).format === "pnm")
+    assert(Multimodal.imageFormatOf(Multimodal.makePnm(16, 16, 7)) === "pnm")
+    val m = Multimodal.metaOf(1L, Multimodal.makePnm(20, 12, 7))
+    assert(m.kind === "image" && m.format === "pnm" &&
+      m.width === Some(20) && m.height === Some(12))
+    // boundary honesty: P4 bitmaps sniff pnm but never decode; a
+    // 16-bit maxval rejects decode yet still reports dims (metadata is
+    // wider than the decode envelope by design)
+    val p4 = "P4\n4 4\n".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0)
+    assert(Multimodal.imageFormatOf(p4) === "pnm")
+    assert(Multimodal.decode(2L, p4).format === "stub")
+    val deep = "P5\n8 8\n1000\n".getBytes("US-ASCII") ++ Array.fill(128)(1.toByte)
+    assert(Multimodal.decode(3L, deep).format === "stub")
+    assert(Multimodal.metaOf(3L, deep).width === Some(8))
+    // truncated raw body; ASCII sample out of range
+    assert(Multimodal.decode(4L,
+      Multimodal.makePnm(16, 16, 7).dropRight(10)).format === "stub")
+    val hot = "P2\n2 2\n255\n1 2 3 999\n".getBytes("US-ASCII")
+    assert(Multimodal.decode(5L, hot).format === "stub")
+  }
+
+  test("qoiDecode: encoder round-trip, hand-built op streams, defect rejects") {
+    // the real encoder (LUMA/DIFF/INDEX/RGB precedence) round-trips to
+    // the same pixels as the P6 twin of the same law
+    for (seed <- Seq(3L, 7L, 11L)) {
+      assert(Multimodal.imageAHash(Multimodal.makeQoi(16, 16, seed)).get ===
+        Multimodal.imageAHash(Multimodal.makePnm(16, 16, seed)).get, s"seed=$seed")
+    }
+    // w=512 row wraps the 256-value law cycle → INDEX hits occur too
+    assert(Multimodal.imageAHash(Multimodal.makeQoi(512, 8, 5L)).get ===
+      Multimodal.imageAHash(Multimodal.makePnm(512, 8, 5L)).get)
+    // hand-built streams pin RUN / INDEX / DIFF semantics exactly
+    def qoi(w: Int, h: Int, ops: Array[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write('q'); out.write('o'); out.write('i'); out.write('f')
+      def be(v: Int): Unit = { out.write(v >> 24); out.write((v >> 16) & 0xff)
+        out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      be(w); be(h); out.write(3); out.write(0)
+      ops.foreach(out.write)
+      for (_ <- 0 until 7) out.write(0)
+      out.write(1)
+      out.toByteArray
+    }
+    // RGB literal then RUN(5): six identical pixels
+    val runImg = Multimodal.parseQoi(1L,
+      qoi(3, 2, Array(0xfe, 10, 20, 30, 0xc0 | 4))).get
+    assert(runImg.width === 3 && runImg.height === 2)
+    assert(math.abs(runImg.features(0) - 10.0 / 255) < 1e-6)
+    assert(math.abs(runImg.features(2) - 30.0 / 255) < 1e-6)
+    // INDEX: pixel 3 re-references pixel 1 via its hash slot
+    val h1 = (10 * 3 + 20 * 5 + 30 * 7 + 255 * 11) % 64
+    val idxImg = Multimodal.parseQoi(2L, qoi(3, 1,
+      Array(0xfe, 10, 20, 30, 0xfe, 99, 98, 97, h1))).get
+    assert(math.abs(idxImg.features(0) - (10 + 99 + 10).toDouble / (3 * 255)) < 1e-6)
+    // DIFF: (+1, -2, 0) from the previous pixel, wraparound law
+    val diffImg = Multimodal.parseQoi(3L, qoi(2, 1,
+      Array(0xfe, 0, 1, 255, 0x40 | (3 << 4) | (0 << 2) | 2))).get
+    // second pixel = (1, 255, 255): r 0+1, g 1-2 wraps, b 255+0
+    assert(math.abs(diffImg.features(0) - (0 + 1).toDouble / (2 * 255)) < 1e-6)
+    assert(math.abs(diffImg.features(1) - (1 + 255).toDouble / (2 * 255)) < 1e-6)
+    // rejects: truncated stream, corrupt end marker, run past the end
+    val good = Multimodal.makeQoi(8, 8, 3L)
+    assert(Multimodal.decode(4L, good.dropRight(9)).format === "stub")
+    val badEnd = good.clone(); badEnd(badEnd.length - 1) = 2
+    assert(Multimodal.decode(5L, badEnd).format === "stub")
+    assert(Multimodal.decode(6L,
+      qoi(2, 1, Array(0xfe, 1, 2, 3, 0xc0 | 10))).format === "stub")
+    // sniffs + metadata
+    assert(Multimodal.imageFormatOf(good) === "qoi")
+    assert(Multimodal.decode(7L, good).format === "qoi")
+    val m = Multimodal.metaOf(8L, Multimodal.makeQoi(24, 10, 1L))
+    assert(m.kind === "image" && m.format === "qoi" &&
+      m.width === Some(24) && m.height === Some(10))
+  }
+
   test("apngMeta/metaOf: header-only APNG facts") {
     val apng = Multimodal.makeApng(12, 10, 5L, 4)
     // delays (f mod 3 + 1)/100 s → 10+20+30+10 ms
