@@ -4404,9 +4404,19 @@ object SparkEntry {
       import s.implicits._
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .filter((id: Long) => id < 50)
-        .map(id => (id, graft.multimodal.Multimodal.makeAu(
-          (600 + (id % 3) * 37).toInt, 8000, id, muLaw = id % 2 == 0)))
-        .toDF("doc_id", "payload")
+        .map { id =>
+          // even ids: mu-law; odd ids rotate the LINEAR encodings —
+          // PCM16 / signed-8 / float32 / float64 (r17 s2) — whose
+          // decoded samples all follow the SAME law up to a uniform
+          // scale the energy-delta fingerprint cancels, so the oracle
+          // is UNCHANGED
+          val enc = (id % 8) match {
+            case 1 => 3; case 3 => 2; case 5 => 6; case 7 => 7; case _ => 1
+          }
+          (id, graft.multimodal.Multimodal.makeAu(
+            (600 + (id % 3) * 37).toInt, 8000, id, muLaw = id % 2 == 0,
+            enc = enc))
+        }.toDF("doc_id", "payload")
       graft.multimodal.Multimodal.audioFingerprints(s, bins)
         .orderBy("doc_id")
     },

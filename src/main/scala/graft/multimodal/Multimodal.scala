@@ -671,10 +671,28 @@ object Multimodal {
     val n = dataLen.toInt
     enc match {
       case 1L => Some((n, i => muLawToPcm(bytes(off + i) & 0xff).toLong))
+      case 2L => // 8-bit linear PCM is SIGNED in .au (unlike RIFF);
+        // canonical widening v << 8 keeps full scale on the 16-bit range
+        Some((n, i => (bytes(off + i).toInt << 8).toLong))
       case 3L if n % 2 == 0 =>
         Some((n / 2, i =>
           ((bytes(off + 2 * i) << 8) | (bytes(off + 2 * i + 1) & 0xff)).toShort.toLong))
-      case _ => None // 8-bit linear, float, ADPCM-in-au: documented boundary
+      case 6L if n % 4 == 0 => // IEEE float32, big-endian — the WAV
+        // format-3 canonicalization law verbatim (r17 s2)
+        Some((n / 4, i => {
+          val f = java.lang.Float.intBitsToFloat(be32(bytes, off + 4 * i))
+          if (java.lang.Float.isNaN(f)) 0L
+          else math.max(-32768L, math.min(32767L, (f.toDouble * 32768.0).toLong))
+        }))
+      case 7L if n % 8 == 0 => // IEEE float64, big-endian
+        Some((n / 8, i => {
+          val o = off + 8 * i
+          val hi = be32(bytes, o).toLong; val lo = be32(bytes, o + 4) & 0xffffffffL
+          val f = java.lang.Double.longBitsToDouble((hi << 32) | lo)
+          if (java.lang.Double.isNaN(f)) 0L
+          else math.max(-32768L, math.min(32767L, (f * 32768.0).toLong))
+        }))
+      case _ => None // A-law-in-au, ADPCM-in-au: documented boundary
     }
   }
 
@@ -751,10 +769,20 @@ object Multimodal {
     * big-endian.
     */
   def makeAu(nSamples: Int, sampleRate: Int, seed: Long,
-             muLaw: Boolean): Array[Byte] = {
+             muLaw: Boolean, enc: Int = -1): Array[Byte] = {
     require(nSamples > 0 && nSamples <= (1 << 20) && sampleRate > 0,
       s"fixture shape $nSamples @ $sampleRate")
-    val dataLen = if (muLaw) nSamples else 2 * nSamples
+    // enc overrides the legacy flag: 1 mu-law, 2 linear-8, 3 PCM16,
+    // 6/7 float32/float64 BE (r17 s2). Samples for every linear form
+    // follow [[makeWav]]'s law — 8-bit stores it as the signed byte
+    // (decoded ×256, scale-invariant under the fingerprint), floats as
+    // the exact dyadic s/32768 — so they are all fingerprint TWINS.
+    val encoding = if (enc > 0) enc else if (muLaw) 1 else 3
+    require(Set(1, 2, 3, 6, 7).contains(encoding), s"enc=$encoding")
+    val bps = encoding match {
+      case 1 | 2 => 1; case 3 => 2; case 6 => 4; case _ => 8
+    }
+    val dataLen = bps * nSamples
     val out = new Array[Byte](24 + dataLen)
     def putBe32(off: Int, v: Int): Unit = {
       out(off) = (v >> 24).toByte; out(off + 1) = (v >> 16).toByte
@@ -763,21 +791,29 @@ object Multimodal {
     out(0) = '.'.toByte; out(1) = 's'.toByte; out(2) = 'n'.toByte; out(3) = 'd'.toByte
     putBe32(4, 24)                       // data offset
     putBe32(8, dataLen)
-    putBe32(12, if (muLaw) 1 else 3)     // encoding
+    putBe32(12, encoding)
     putBe32(16, sampleRate)
     putBe32(20, 1)                       // channels
     var i = 0
-    if (muLaw) {
-      while (i < nSamples) {
-        out(24 + i) = ((seed + i * 11L) % 256).toByte
-        i += 1
+    while (i < nSamples) {
+      encoding match {
+        case 1 => out(24 + i) = ((seed + i * 11L) % 256).toByte
+        case 2 => out(24 + i) = (((seed + i * 13L) % 256) - 128).toByte
+        case 3 =>
+          val v = (((seed + i * 13L) % 256) - 128).toInt
+          out(24 + 2 * i) = (v >> 8).toByte; out(24 + 2 * i + 1) = v.toByte
+        case 6 =>
+          val f = (((seed + i * 13L) % 256) - 128).toDouble / 32768.0
+          val b = java.lang.Float.floatToIntBits(f.toFloat)
+          out(24 + 4 * i) = (b >> 24).toByte; out(24 + 4 * i + 1) = (b >> 16).toByte
+          out(24 + 4 * i + 2) = (b >> 8).toByte; out(24 + 4 * i + 3) = b.toByte
+        case _ =>
+          val f = (((seed + i * 13L) % 256) - 128).toDouble / 32768.0
+          val b = java.lang.Double.doubleToLongBits(f)
+          var k = 0
+          while (k < 8) { out(24 + 8 * i + k) = (b >>> (56 - 8 * k)).toByte; k += 1 }
       }
-    } else {
-      while (i < nSamples) {
-        val v = (((seed + i * 13L) % 256) - 128).toInt
-        out(24 + 2 * i) = (v >> 8).toByte; out(24 + 2 * i + 1) = v.toByte
-        i += 1
-      }
+      i += 1
     }
     out
   }

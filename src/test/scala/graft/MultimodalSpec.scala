@@ -949,6 +949,15 @@ class MultimodalSpec extends SparkTestBase {
     val auPcm = Multimodal.makeAu(600, 8000, 7, muLaw = false)
     assert(Multimodal.audioFingerprint(auPcm) ===
       Multimodal.audioFingerprint(Multimodal.makeWav(600, 1, 8000, 7)))
+    // r17 s2: the other AU linear encodings are fingerprint twins too —
+    // signed-8 decodes to the law ×256 (a uniform scale the energy-delta
+    // comparisons cancel), float32/float64 BE decode to the law exactly
+    // via the WAV format-3 canonicalization
+    for (enc <- Seq(2, 6, 7))
+      assert(Multimodal.audioFingerprint(
+          Multimodal.makeAu(600, 8000, 7, muLaw = false, enc = enc)) ===
+        Multimodal.audioFingerprint(Multimodal.makeWav(600, 1, 8000, 7)),
+        s"au enc=$enc")
     // AIFF vs WAV, mono and stereo (flat sample law is channel-agnostic)
     assert(Multimodal.audioFingerprint(Multimodal.makeAiff(300, 1, 8000, 9)) ===
       Multimodal.audioFingerprint(Multimodal.makeWav(300, 1, 8000, 9)))
