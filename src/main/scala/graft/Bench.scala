@@ -292,7 +292,7 @@ object Bench {
          "q_media_meta" | "q_media_meta_containers" | "q_media_meta_m4a" |
          "q_media_meta_webp" | "q_media_meta_apng" | "q_video_apng" |
          "q_image_ahash_tiff_t" | "q_image_ahash_ico" |
-         "q_image_ahash_pnm" | "q_image_ahash_qoi" |
+         "q_image_ahash_pnm" | "q_image_ahash_qoi" | "q_image_ahash_bmp_x" |
          "q_audio_fingerprint_float" | "q_audio_fingerprint_oggflac" |
          "q_audio_fingerprint" | "q_audio_fingerprint_flac" |
          "q_audio_fingerprint_mulaw" | "q_audio_fingerprint_alaw" |

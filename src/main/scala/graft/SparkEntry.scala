@@ -4988,6 +4988,66 @@ object SparkEntry {
                         THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
             FROM hs ORDER BY doc_id"""))
 
+  /** The widened BMP envelope through the perceptual-hash gate
+    * ([[graft.multimodal.Multimodal.bmpBgrPixels]] — r17 session 2):
+    * 32-bpp BGRX (alpha noise ignored), 8-bpp palettized, the SAME
+    * 8-bpp image RLE8-compressed by a real encoder (runs, padded
+    * absolute chunks, EOL/EOB escapes), and a top-down negative-height
+    * 24-bpp file (doc_id mod 4). The oracle replays each pixel law —
+    * bit depth, palette storage, RLE framing and row order are what
+    * vary; classes 1 and 2 share one law, which IS the
+    * storage-invariance proof.
+    */
+  private val qImageAHashBmpX = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val M = graft.multimodal.Multimodal
+          val bytes = (id % 4) match {
+            case 0 => M.makeBmpX(16, 16, id, bpp = 32)
+            case 1 => M.makeBmpX(16, 16, id, bpp = 8)
+            case 2 => M.makeBmpX(16, 16, id, bpp = 8, rle = true)
+            case _ => M.makeBmpX(16, 16, id, topDown = true)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.imageAHashes(s, bins).orderBy("doc_id")
+    },
+    Some("""WITH px AS (
+              SELECT d.doc_id, r.r AS r, x.x AS x,
+                     CASE
+                       WHEN d.doc_id % 4 IN (1, 2) THEN
+                         ((d.doc_id + ((d.doc_id + (15 - r.r) * 31 + x.x * 7) % 256) * 11 + 0) % 256)
+                       + ((d.doc_id + ((d.doc_id + (15 - r.r) * 31 + x.x * 7) % 256) * 11 + 97) % 256)
+                       + ((d.doc_id + ((d.doc_id + (15 - r.r) * 31 + x.x * 7) % 256) * 11 + 194) % 256)
+                       WHEN d.doc_id % 4 = 3 THEN
+                            (d.doc_id + r.r * 31 + (3*x.x + 0) * 7) % 256
+                          + (d.doc_id + r.r * 31 + (3*x.x + 1) * 7) % 256
+                          + (d.doc_id + r.r * 31 + (3*x.x + 2) * 7) % 256
+                       ELSE (d.doc_id + (15 - r.r) * 31 + (3*x.x + 0) * 7) % 256
+                          + (d.doc_id + (15 - r.r) * 31 + (3*x.x + 1) * 7) % 256
+                          + (d.doc_id + (15 - r.r) * 31 + (3*x.x + 2) * 7) % 256
+                     END AS gray
+              FROM documents d
+              JOIN generate_series(0, 15) r(r) ON TRUE
+              JOIN generate_series(0, 15) x(x) ON TRUE),
+            tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+            blk AS (SELECT doc_id, r // 2 AS bi, x // 2 AS bj, SUM(gray) AS bsum
+                    FROM px GROUP BY 1, 2, 3),
+            bits AS (SELECT b.doc_id, bi, bj,
+                            CASE WHEN b.bsum * 256 >= t.total * 4 THEN 1 ELSE 0 END AS bit
+                     FROM blk b JOIN tot t USING (doc_id)),
+            hs AS (SELECT doc_id,
+                          SUM(CASE WHEN bit = 1
+                              THEN (1::HUGEINT << (bi*8 + bj))
+                              ELSE 0::HUGEINT END) AS s
+                   FROM bits GROUP BY doc_id)
+            SELECT doc_id,
+                   CAST(CASE WHEN s >= 9223372036854775808
+                        THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS ahash
+            FROM hs ORDER BY doc_id"""))
+
   /** netpbm through the perceptual-hash gate ([[graft.multimodal
     * .Multimodal.pnmDecode]] — r17 session 2): all four decodable
     * forms — P6/P3 RGB and P5/P2 grayscale, binary and ASCII-decimal
@@ -11099,6 +11159,7 @@ object SparkEntry {
     "q_image_ahash_tiff_c" -> qImageAHashTiffC,
     "q_image_ahash_tiff_t" -> qImageAHashTiffT,
     "q_image_ahash_ico" -> qImageAHashIco,
+    "q_image_ahash_bmp_x" -> qImageAHashBmpX,
     "q_image_ahash_pnm" -> qImageAHashPnm,
     "q_image_ahash_qoi" -> qImageAHashQoi,
     "q_image_coverage" -> qImageCoverage,

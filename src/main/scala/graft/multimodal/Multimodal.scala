@@ -69,18 +69,27 @@ object Multimodal {
   private def le16(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
-  /** Parse + decode an uncompressed 24-bpp BMP: BITMAPFILEHEADER (14
-    * bytes: "BM", file size, pixel-array offset) then BITMAPINFOHEADER
-    * (40 bytes: width, height — negative height = top-down row order —
-    * planes, bpp, compression). Rows are 4-byte aligned; the walk skips
-    * the padding and folds real pixel bytes into the feature vector:
-    * per-channel means (BGR byte order on disk), overall mean, the
-    * >127 byte fraction, and the aspect ratio split. Returns None for
-    * anything that is not a well-formed 24-bpp BI_RGB bitmap (wrong
-    * magic, truncated pixel array, compressed, paletted) — the caller
-    * falls back to the stub rather than guessing.
+  /** BMP: BITMAPFILEHEADER (14 bytes: "BM", file size, pixel-array
+    * offset) then BITMAPINFOHEADER (40+ bytes: width, height — negative
+    * height = top-down row order — planes, bpp, compression). Rows are
+    * 4-byte aligned; the walk skips the padding and folds real pixel
+    * bytes into the feature vector: per-channel means (BGR byte order
+    * on disk), overall mean, the >127 byte fraction, and the aspect
+    * ratio split. Returns None for anything outside [[bmpBgrPixels]]'s
+    * envelope — the caller falls back to the stub rather than guessing.
     */
-  def parseBmp(id: Long, bytes: Array[Byte]): Option[MediaFeatures] = {
+  /** Decoded BMP pixels as interleaved B,G,R in DISPLAY row order —
+    * shared by the feature fold and the gray grid. r17 s2 widened the
+    * envelope beyond 24-bpp BI_RGB: 32-bpp BI_RGB (BGRX, the fourth
+    * byte ignored), 8-bpp palettized (BGRA quads, biClrUsed 0 → 2^8)
+    * and 8-bpp BI_RLE8 (count/value pairs; escapes 0=EOL 1=EOB
+    * 2=delta, absolute runs padded to even; skipped pixels pin to
+    * palette entry 0; negative height is illegal under RLE per spec).
+    * Negative height = top-down rows for the uncompressed forms.
+    * 1/4/16-bpp, RLE4 and bitfields stay outside — the measured
+    * boundary.
+    */
+  private def bmpBgrPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
       return None
     val pixelOff = le32(bytes, 10)
@@ -92,38 +101,121 @@ object Multimodal {
     val compression = le32(bytes, 30)
     val h = math.abs(hRaw)
     // 1<<14 sanity bound: a lying header must not drive a 100 GB walk
-    if (dibSize < 40 || planes != 1 || bpp != 24 || compression != 0 ||
-        w <= 0 || h == 0 || w > (1 << 14) || h > (1 << 14))
+    if (dibSize < 40 || planes != 1 || w <= 0 || h == 0 ||
+        w > (1 << 14) || h > (1 << 14))
       return None
-    val stride = ((3 * w + 3) / 4) * 4
-    if (pixelOff < 54 || pixelOff.toLong + stride.toLong * h > bytes.length)
-      return None
-    var sumB = 0L; var sumG = 0L; var sumR = 0L; var high = 0L
-    var row = 0
-    while (row < h) {
-      val base = pixelOff + row * stride
-      var x = 0
-      while (x < w) {
-        val b = bytes(base + 3 * x) & 0xff
-        val g = bytes(base + 3 * x + 1) & 0xff
-        val r = bytes(base + 3 * x + 2) & 0xff
+    val topDown = hRaw < 0
+    val ok = (bpp == 24 && compression == 0) ||
+      (bpp == 32 && compression == 0) ||
+      (bpp == 8 && (compression == 0 || (compression == 1 && !topDown)))
+    if (!ok) return None
+    val nColors =
+      if (bpp != 8) 0
+      else { val c = le32(bytes, 46); if (c == 0) 256 else c } // biClrUsed
+    if (nColors < 0 || nColors > 256) return None
+    val palOff = 14 + dibSize
+    if (bpp == 8 && palOff + 4 * nColors > pixelOff) return None
+    val out = new Array[Byte](w * h * 3)
+    def putPal(display: Int, x: Int, idx: Int): Boolean = {
+      if (idx >= nColors) return false
+      val q = palOff + 4 * idx // BGRA quad
+      val p = (display * w + x) * 3
+      out(p) = bytes(q); out(p + 1) = bytes(q + 1); out(p + 2) = bytes(q + 2)
+      true
+    }
+    if (compression == 1) {
+      // BI_RLE8: bottom-up cursor walk; unset pixels = palette entry 0
+      if (nColors < 1) return None
+      var y0 = 0
+      var x0 = 0
+      while (y0 < h) { // pre-fill with entry 0
+        var x = 0
+        while (x < w) { if (!putPal(h - 1 - y0, x, 0)) return None; x += 1 }
+        y0 += 1
+      }
+      var off = pixelOff
+      var cy = 0; var cx = 0
+      var done = false
+      while (!done) {
+        if (off + 2 > bytes.length) return None
+        val count = bytes(off) & 0xff
+        val value = bytes(off + 1) & 0xff
+        off += 2
+        if (count > 0) { // encoded run
+          var i = 0
+          while (i < count) {
+            if (cx >= w || cy >= h) return None
+            if (!putPal(h - 1 - cy, cx, value)) return None
+            cx += 1
+            i += 1
+          }
+        } else value match {
+          case 0 => cx = 0; cy += 1 // end of line
+          case 1 => done = true // end of bitmap
+          case 2 => // delta: skipped pixels stay at entry 0
+            if (off + 2 > bytes.length) return None
+            cx += bytes(off) & 0xff; cy += bytes(off + 1) & 0xff
+            off += 2
+            if (cx > w || cy > h) return None
+          case n => // absolute run, padded to even length
+            if (off + n + (n & 1) > bytes.length) return None
+            var i = 0
+            while (i < n) {
+              if (cx >= w || cy >= h) return None
+              if (!putPal(h - 1 - cy, cx, bytes(off + i) & 0xff)) return None
+              cx += 1
+              i += 1
+            }
+            off += n + (n & 1)
+        }
+      }
+    } else {
+      val bytesPp = bpp / 8
+      val stride = ((bytesPp * w + 3) / 4) * 4
+      if (pixelOff < 54 || pixelOff.toLong + stride.toLong * h > bytes.length)
+        return None
+      var row = 0
+      while (row < h) {
+        val display = if (topDown) row else h - 1 - row
+        val base = pixelOff + row * stride
+        var x = 0
+        while (x < w) {
+          if (bpp == 8) {
+            if (!putPal(display, x, bytes(base + x) & 0xff)) return None
+          } else {
+            val o = base + bytesPp * x
+            val p = (display * w + x) * 3
+            out(p) = bytes(o); out(p + 1) = bytes(o + 1); out(p + 2) = bytes(o + 2)
+          }
+          x += 1
+        }
+        row += 1
+      }
+    }
+    Some((w, h, out))
+  }
+
+  def parseBmp(id: Long, bytes: Array[Byte]): Option[MediaFeatures] =
+    bmpBgrPixels(bytes).map { case (w, h, bgr) =>
+      var sumB = 0L; var sumG = 0L; var sumR = 0L; var high = 0L
+      var p = 0
+      while (p < bgr.length) {
+        val b = bgr(p) & 0xff; val g = bgr(p + 1) & 0xff; val r = bgr(p + 2) & 0xff
         sumB += b; sumG += g; sumR += r
         high += (if (b > 127) 1 else 0) + (if (g > 127) 1 else 0) +
           (if (r > 127) 1 else 0)
-        x += 1
+        p += 3
       }
-      row += 1
+      val n = w.toLong * h
+      val feats = Array(
+        (sumB.toDouble / (n * 255)).toFloat,
+        (sumG.toDouble / (n * 255)).toFloat,
+        (sumR.toDouble / (n * 255)).toFloat,
+        ((sumB + sumG + sumR).toDouble / (3 * n * 255)).toFloat,
+        (high.toDouble / (3 * n)).toFloat,
+        w.toFloat / (w + h), h.toFloat / (w + h), 0f)
+      MediaFeatures(id, bytes.length, "bmp", w, h, feats)
     }
-    val n = w.toLong * h
-    val feats = Array(
-      (sumB.toDouble / (n * 255)).toFloat,
-      (sumG.toDouble / (n * 255)).toFloat,
-      (sumR.toDouble / (n * 255)).toFloat,
-      ((sumB + sumG + sumR).toDouble / (3 * n * 255)).toFloat,
-      (high.toDouble / (3 * n)).toFloat,
-      w.toFloat / (w + h), h.toFloat / (w + h), 0f)
-    Some(MediaFeatures(id, bytes.length, "bmp", w, h, feats))
-  }
 
   // ---- real decoder: WAV (RIFF PCM, public spec) -----------------------
 
@@ -4972,6 +5064,121 @@ object Multimodal {
     out
   }
 
+  /** Fixture/test writer for the r17 s2 BMP envelope axes: `bpp` 8
+    * (palettized — quads follow [[makeIco]]'s palette law
+    * (seed + j·11 + c·97) mod 256 under the index law
+    * (seed + srow·31 + x·7) mod 256), 24, or 32 (channel law as 24
+    * plus an alpha byte of separate noise); `rle` RLE8-compresses the
+    * 8-bpp rows through a REAL encoder (runs, literal absolute chunks
+    * padded to even, EOL/EOB escapes); `topDown` stores display order
+    * under a negative height. Decoded display pixels follow the same
+    * closed forms regardless — the storage knobs never reach an
+    * oracle.
+    */
+  def makeBmpX(w: Int, h: Int, seed: Long, bpp: Int = 24,
+               rle: Boolean = false, topDown: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 1024 && h <= 1024, s"fixture dims $w x $h")
+    require(bpp == 8 || bpp == 24 || bpp == 32, s"bpp=$bpp")
+    require(!rle || (bpp == 8 && !topDown), "RLE8 is 8-bpp bottom-up only")
+    val nColors = if (bpp == 8) 256 else 0
+    val bytesPp = bpp / 8
+    val stride = ((bytesPp * w + 3) / 4) * 4
+    def idx(srow: Int, x: Int): Int = ((seed + srow * 31L + x * 7L) % 256).toInt
+    val pixelData: Array[Byte] =
+      if (!rle) {
+        val d = new Array[Byte](stride * h)
+        var row = 0
+        while (row < h) {
+          var x = 0
+          while (x < w) {
+            bpp match {
+              case 8 => d(row * stride + x) = idx(row, x).toByte
+              case 24 =>
+                var c = 0
+                while (c < 3) {
+                  d(row * stride + 3 * x + c) =
+                    ((seed + row * 31L + (3 * x + c) * 7L) % 256).toByte
+                  c += 1
+                }
+              case _ =>
+                var c = 0
+                while (c < 3) {
+                  d(row * stride + 4 * x + c) =
+                    ((seed + row * 31L + (3 * x + c) * 7L) % 256).toByte
+                  c += 1
+                }
+                d(row * stride + 4 * x + 3) =
+                  ((seed + row * 31L + x * 13L + 5) % 256).toByte
+            }
+            x += 1
+          }
+          row += 1
+        }
+        d
+      } else {
+        // real RLE8: per storage row, runs of >= 2 as count/value,
+        // literal stretches as absolute chunks (>= 3, padded to even)
+        // or single encoded pairs, EOL after every row, EOB at the end
+        val b = new java.io.ByteArrayOutputStream()
+        var row = 0
+        while (row < h) {
+          var x = 0
+          while (x < w) {
+            var run = 1
+            while (x + run < w && idx(row, x + run) == idx(row, x) && run < 255)
+              run += 1
+            if (run >= 2) {
+              b.write(run); b.write(idx(row, x))
+              x += run
+            } else {
+              var lit = 1
+              while (x + lit < w && lit < 255 &&
+                     !(x + lit + 1 < w && idx(row, x + lit + 1) == idx(row, x + lit)))
+                lit += 1
+              if (lit >= 3) {
+                b.write(0); b.write(lit)
+                var i = 0
+                while (i < lit) { b.write(idx(row, x + i)); i += 1 }
+                if ((lit & 1) == 1) b.write(0) // pad to even
+              } else {
+                var i = 0
+                while (i < lit) { b.write(1); b.write(idx(row, x + i)); i += 1 }
+              }
+              x += lit
+            }
+          }
+          b.write(0); b.write(0) // EOL
+          row += 1
+        }
+        b.write(0); b.write(1) // EOB
+        b.toByteArray
+      }
+    val palLen = 4 * nColors
+    val pixelOff = 54 + palLen
+    val out = new Array[Byte](pixelOff + pixelData.length)
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    putLe32(2, out.length); putLe32(10, pixelOff)
+    putLe32(14, 40); putLe32(18, w)
+    putLe32(22, if (topDown) -h else h)
+    out(26) = 1; out(28) = bpp.toByte
+    putLe32(30, if (rle) 1 else 0)
+    putLe32(34, pixelData.length)
+    if (nColors > 0) putLe32(46, 0) // biClrUsed 0 → 256
+    var j = 0
+    while (j < nColors) { // BGRA quads, the makeIco palette law
+      out(54 + 4 * j) = ((seed + j * 11L) % 256).toByte
+      out(54 + 4 * j + 1) = ((seed + j * 11L + 97) % 256).toByte
+      out(54 + 4 * j + 2) = ((seed + j * 11L + 194) % 256).toByte
+      j += 1
+    }
+    System.arraycopy(pixelData, 0, out, pixelOff, pixelData.length)
+    out
+  }
+
   // ---- real decoder: ICO (favicon container, public spec) --------------
   // The web-crawl image format every favicon corpus carries, decoded
   // with machinery the repo already owns: an ICONDIR header + 16-byte
@@ -5654,35 +5861,17 @@ object Multimodal {
     * storage (positive height) flips to display rows; top-down (negative
     * height) reads straight. Same header validation as [[parseBmp]].
     */
-  private def bmpGrayGrid(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
-      return None
-    val pixelOff = le32(bytes, 10)
-    val dibSize = le32(bytes, 14)
-    val w = le32(bytes, 18)
-    val hRaw = le32(bytes, 22)
-    val h = math.abs(hRaw)
-    if (dibSize < 40 || le16(bytes, 26) != 1 || le16(bytes, 28) != 24 ||
-        le32(bytes, 30) != 0 || w <= 0 || h == 0 || w > (1 << 14) || h > (1 << 14))
-      return None
-    val stride = ((3 * w + 3) / 4) * 4
-    if (pixelOff < 54 || pixelOff.toLong + stride.toLong * h > bytes.length)
-      return None
-    val gray = new Array[Int](w * h)
-    var row = 0
-    while (row < h) {
-      val display = if (hRaw > 0) h - 1 - row else row
-      val base = pixelOff + row * stride
-      var x = 0
-      while (x < w) {
-        gray(display * w + x) = (bytes(base + 3 * x) & 0xff) +
-          (bytes(base + 3 * x + 1) & 0xff) + (bytes(base + 3 * x + 2) & 0xff)
-        x += 1
+  private def bmpGrayGrid(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    bmpBgrPixels(bytes).map { case (w, h, bgr) =>
+      val gray = new Array[Int](w * h)
+      var p = 0
+      while (p < gray.length) {
+        gray(p) = (bgr(3 * p) & 0xff) + (bgr(3 * p + 1) & 0xff) +
+          (bgr(3 * p + 2) & 0xff)
+        p += 1
       }
-      row += 1
+      (w, h, gray)
     }
-    Some((w, h, gray))
-  }
 
   /** 64-bit average hash of a grayscale grid: the image splits into an
     * 8×8 grid of blocks (truncated-division bounds — row block bi spans

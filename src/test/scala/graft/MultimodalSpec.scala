@@ -1958,6 +1958,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.apngFrameGrids(part).isEmpty)
   }
 
+  test("bmpBgrPixels: 32-bpp, 8-bpp palette, RLE8 and top-down hash like the 24-bpp twin") {
+    val base = Multimodal.imageAHash(Multimodal.makeBmp(16, 16, 7)).get
+    // 32-bpp: same channel law, alpha byte is noise the decoder ignores
+    assert(Multimodal.imageAHash(Multimodal.makeBmpX(16, 16, 7, bpp = 32)).get === base)
+    // the makeBmpX 24-bpp form is byte-compatible with makeBmp
+    assert(Multimodal.imageAHash(Multimodal.makeBmpX(16, 16, 7)).get === base)
+    // top-down twin: display pixels are the law WITHOUT the flip — the
+    // makePnm/APNG orientation, proven by the cross-format identity
+    assert(Multimodal.imageAHash(
+        Multimodal.makeBmpX(16, 16, 7, topDown = true)).get ===
+      Multimodal.imageAHash(Multimodal.makePnm(16, 16, 7)).get)
+    // 8-bpp palette ≡ its RLE8 twin (same pixels, different storage),
+    // and ≡ the ICO 8-bpp member of the same laws (cross-container)
+    val pal = Multimodal.imageAHash(Multimodal.makeBmpX(16, 16, 7, bpp = 8)).get
+    assert(Multimodal.imageAHash(
+      Multimodal.makeBmpX(16, 16, 7, bpp = 8, rle = true)).get === pal)
+    assert(pal === Multimodal.imageAHash(Multimodal.makeIco(16, 16, 7, bpp = 8)).get)
+    // decoded features agree between RLE and flat forms exactly
+    val a = Multimodal.parseBmp(1L, Multimodal.makeBmpX(20, 9, 3L, bpp = 8)).get
+    val b = Multimodal.parseBmp(1L,
+      Multimodal.makeBmpX(20, 9, 3L, bpp = 8, rle = true)).get
+    assert(a.features.toSeq === b.features.toSeq)
+    // rejects: RLE with negative height, 16-bpp, RLE4, palette overrun
+    val neg = Multimodal.makeBmpX(8, 8, 3L, bpp = 8, rle = true)
+    val hOff = 22
+    val nh = -8
+    neg(hOff) = nh.toByte; neg(hOff + 1) = 0xff.toByte
+    neg(hOff + 2) = 0xff.toByte; neg(hOff + 3) = 0xff.toByte
+    assert(Multimodal.decode(1L, neg).format === "stub")
+    val b16 = Multimodal.makeBmpX(8, 8, 3L); b16(28) = 16
+    assert(Multimodal.decode(2L, b16).format === "stub")
+    val rle4 = Multimodal.makeBmpX(8, 8, 3L, bpp = 8, rle = true); rle4(30) = 2
+    assert(Multimodal.decode(3L, rle4).format === "stub")
+    // truncated RLE stream (no EOB reachable)
+    assert(Multimodal.decode(4L,
+      Multimodal.makeBmpX(16, 16, 3L, bpp = 8, rle = true).dropRight(6)).format === "stub")
+    // a run that walks past the row width rejects, never wraps
+    val over = Multimodal.makeBmpX(4, 4, 3L, bpp = 8, rle = true)
+    val pixOff = 54 + 1024
+    over(pixOff) = 9 // first run count 9 > w=4
+    assert(Multimodal.decode(5L, over).format === "stub")
+  }
+
   test("icoDecode: DIB and PNG members hash like their standalone twins") {
     // a 24-bpp DIB member stores makeBmp's exact pixel law, so the ICO
     // hashes IDENTICALLY to the standalone BMP file of the same seed —
