@@ -3902,9 +3902,13 @@ object SparkEntry {
       import s.implicits._
       val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .map { id =>
-          (id, graft.multimodal.Multimodal.makeWavFloat(
+          val plain = graft.multimodal.Multimodal.makeWavFloat(
             (50 + id % 50).toInt, (1 + id % 2).toInt, 8000, id,
-            bits = if (id % 2 == 0) 32 else 64))
+            bits = if (id % 2 == 0) 32 else 64)
+          // ids 2,3 mod 4 wrap in WAVE_FORMAT_EXTENSIBLE (r17 s2) —
+          // same decoded samples, so the oracle is untouched
+          (id, if (id % 4 >= 2)
+            graft.multimodal.Multimodal.toExtensibleWav(plain) else plain)
         }.toDF("doc_id", "payload")
       graft.multimodal.Multimodal.audioFingerprints(s, bins)
         .orderBy("doc_id")

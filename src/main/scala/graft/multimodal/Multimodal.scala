@@ -342,6 +342,42 @@ object Multimodal {
     out
   }
 
+  /** Fixture-side transformer (r17 s2): rewrite any canonical 44-byte
+    * header WAV fixture into the WAVE_FORMAT_EXTENSIBLE layout — fmt
+    * grows to 40 bytes (cbSize 22, validBits = bits, channel mask 0,
+    * the Microsoft GUID family with the ORIGINAL tag in its first
+    * u16), the top-level tag becomes 0xFFFE, RIFF size adjusts. The
+    * decoded samples are untouched, so every extensible twin
+    * fingerprints identically to its plain form.
+    */
+  def toExtensibleWav(wav: Array[Byte]): Array[Byte] = {
+    require(wav.length >= 44 && wav(0) == 'R' && wav(8) == 'W' &&
+      wav(12) == 'f' && le32(wav, 16) == 16, "canonical WAV fixture expected")
+    val out = new Array[Byte](wav.length + 24)
+    System.arraycopy(wav, 0, out, 0, 36) // through the original fmt body
+    System.arraycopy(wav, 36, out, 60, wav.length - 36) // data onward
+    def putLe32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    val origTag = le16(wav, 20)
+    val bits = le16(wav, 34)
+    putLe32(4, le32(wav, 4) + 24) // RIFF size
+    putLe32(16, 40) // fmt size
+    out(20) = 0xfe.toByte; out(21) = 0xff.toByte // WAVE_FORMAT_EXTENSIBLE
+    out(36) = 22; out(37) = 0 // cbSize
+    out(38) = bits.toByte; out(39) = (bits >> 8).toByte // valid bits
+    putLe32(40, 0) // channel mask: unspecified
+    // SubFormat GUID: legacy tag + the canonical Microsoft tail
+    out(44) = origTag.toByte; out(45) = (origTag >> 8).toByte
+    out(46) = 0; out(47) = 0
+    val tail = Array(0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+      0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71)
+    var i = 0
+    while (i < 12) { out(48 + i) = tail(i).toByte; i += 1 }
+    out
+  }
+
   /** Fixture/test writer for IEEE-float WAV (format tag 3, r17 s2):
     * sample i stores `s(i) / 32768` with [[makeWav]]'s exact law
     * `s(i) = ((seed + i·13) mod 256) − 128` — a dyadic rational every
@@ -426,6 +462,15 @@ object Multimodal {
         sampleRate = le32(bytes, off + 12)
         blockAlign = le16(bytes, off + 20)
         bits = le16(bytes, off + 22)
+        // WAVE_FORMAT_EXTENSIBLE (r17 s2): the layout studio tools
+        // write for 24-bit/float/multichannel PCM — the EFFECTIVE
+        // format tag is the SubFormat GUID's first u16 (the Microsoft
+        // GUID family embeds the legacy tag there), after cbSize(2) +
+        // validBits(2) + channelMask(4) at fmt offset 16
+        if (fmtTag == 0xfffe) {
+          if (size < 40) return None
+          fmtTag = le16(bytes, off + 8 + 24)
+        }
       } else if (id4 == "data") {
         dataOff = off + 8; dataLen = size
       }

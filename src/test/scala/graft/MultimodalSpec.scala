@@ -937,6 +937,30 @@ class MultimodalSpec extends SparkTestBase {
     27 + nsegs + (0 until nsegs).map(i => ogg(27 + i) & 0xff).sum
   }
 
+  test("audioFingerprint: WAVE_FORMAT_EXTENSIBLE resolves to its SubFormat tag") {
+    // extensible twins of PCM16, 24-bit, float32 and mu-law all
+    // fingerprint identically to their plain forms, and the sniff
+    // reports the RESOLVED class, not 'wav_other'
+    val pcm = Multimodal.makeWav(300, 2, 8000, 9)
+    assert(Multimodal.audioFingerprint(Multimodal.toExtensibleWav(pcm)) ===
+      Multimodal.audioFingerprint(pcm))
+    assert(Multimodal.audioFormatOf(Multimodal.toExtensibleWav(pcm)) === "wav_pcm16")
+    val w24 = Multimodal.makeWavPcmWidth(300, 8000, 9, bits = 24)
+    assert(Multimodal.audioFingerprint(Multimodal.toExtensibleWav(w24)) ===
+      Multimodal.audioFingerprint(w24))
+    val f32 = Multimodal.makeWavFloat(300, 1, 8000, 9)
+    assert(Multimodal.audioFingerprint(Multimodal.toExtensibleWav(f32)) ===
+      Multimodal.audioFingerprint(f32))
+    assert(Multimodal.audioFormatOf(Multimodal.toExtensibleWav(f32)) === "wav_float32")
+    val mu = Multimodal.makeWavG711(300, 8000, 9, aLaw = false)
+    assert(Multimodal.audioFingerprint(Multimodal.toExtensibleWav(mu)) ===
+      Multimodal.audioFingerprint(mu))
+    // a lying extensible fmt (size < 40) rejects the whole header
+    val lie = Multimodal.toExtensibleWav(pcm).clone()
+    lie(16) = 24 // fmt size 24 < 40 while tag says extensible
+    assert(Multimodal.audioFingerprint(lie).isEmpty)
+  }
+
   test("audioFingerprint: au and AIFF twins of the same PCM collide with WAV") {
     // AU mu-law: identical companded bytes to the WAV G.711 fixture →
     // identical decoded samples → Hamming 0
