@@ -4663,6 +4663,48 @@ object SparkEntry {
                         WHEN k = 2 THEN 90 END AS BIGINT) AS duration_ms
             FROM d ORDER BY doc_id"""))
 
+  /** The r17 s2 image formats through the metadata pass: ICO (largest
+    * member's directory dims — the multi-member fixture proves the
+    * walk follows size, not order), PNM binary (header-token dims), a
+    * P4 bitmap (OUTSIDE the decode envelope, dims still real — the
+    * metadata pass is wider by design), and QOI (header dims). Every
+    * field replayed.
+    */
+  private val qMediaMetaImages = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 240)
+        .map { id =>
+          val M = graft.multimodal.Multimodal
+          val bytes = (id % 4) match {
+            case 0 => M.makeIco((20 + id % 5).toInt, 16, id, withSmaller = true)
+            case 1 => M.makePnm(24, (10 + id % 3).toInt, id)
+            case 2 => (s"P4\n24 ${10 + id % 3}\n").getBytes("US-ASCII") ++
+              Array.tabulate(48)(i => ((id + i) % 256).toByte)
+            case _ => M.makeQoi(18, (12 + id % 2).toInt, id)
+          }
+          (id, bytes)
+        }.toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.mediaMeta(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, doc_id % 4 AS k FROM documents WHERE doc_id < 240)
+            SELECT doc_id, 'image' AS kind,
+              CASE k WHEN 0 THEN 'ico' WHEN 3 THEN 'qoi' ELSE 'pnm' END AS format,
+              CAST(CASE k WHEN 0 THEN 20 + doc_id % 5 WHEN 3 THEN 18
+                   ELSE 24 END AS INTEGER) AS width,
+              CAST(CASE k WHEN 0 THEN 16 WHEN 1 THEN 10 + doc_id % 3
+                   WHEN 2 THEN 10 + doc_id % 3
+                   ELSE 12 + doc_id % 2 END AS INTEGER) AS height,
+              CAST(NULL AS BIGINT) AS n_frames,
+              CAST(NULL AS INTEGER) AS sample_rate,
+              CAST(NULL AS INTEGER) AS channels,
+              CAST(NULL AS BIGINT) AS n_samples,
+              CAST(NULL AS INTEGER) AS orientation,
+              CAST(NULL AS BIGINT) AS duration_ms
+            FROM d ORDER BY doc_id"""))
+
   /** Audio-only ISO-BMFF (M4A) through the metadata pass ([[graft
     * .multimodal.Multimodal.mediaMeta]] — r17): a `soun`-track mp4
     * must report kind `audio` with the AudioSampleEntry's channel
@@ -11156,6 +11198,7 @@ object SparkEntry {
     "q_media_meta_m4a" -> qMediaMetaM4a,
     "q_media_meta_webp" -> qMediaMetaWebp,
     "q_media_meta_apng" -> qMediaMetaApng,
+    "q_media_meta_images" -> qMediaMetaImages,
     "q_video_apng" -> qVideoApng,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_ahash_tiff" -> qImageAHashTiff,
