@@ -10207,14 +10207,20 @@ object SparkEntry {
         .filter(col("doc_id") < 400)
         .select(col("doc_id")).as[Long]
         .map { id =>
-          val bytes = (id % 5) match {
+          val bytes = (id % 7) match {
             case 0 => graft.multimodal.Multimodal.makePng(
               4 + (id % 6).toInt, 8, id)
             case 1 => graft.multimodal.Multimodal.makeWav(
               100, 1, if (id % 2 == 0) 4000 else 12000, id)
             case 2 => graft.multimodal.Multimodal.makeMp4Mjpeg(16, 16, id, 2)
             case 3 => graft.multimodal.Multimodal.makeGifAnimated(4, 4, id, 2)
-            case _ => Array.fill(12)(7.toByte)
+            case 4 => Array.fill(12)(7.toByte)
+            // r17 s2: the session's formats ride the SAME gate — an
+            // APNG always passes at 8×8, an ICO sweeps the width
+            // threshold exactly like the PNG class
+            case 5 => graft.multimodal.Multimodal.makeApng(8, 8, id, 2)
+            case _ => graft.multimodal.Multimodal.makeIco(
+              (4 + id % 6).toInt, 8, id)
           }
           (id, bytes)
         }
@@ -10227,16 +10233,18 @@ object SparkEntry {
         .select(col("doc_id"), col("kind"), col("format"))
         .orderBy("doc_id")
     },
-    Some("""WITH d AS (SELECT doc_id, doc_id % 5 AS k FROM documents WHERE doc_id < 400)
+    Some("""WITH d AS (SELECT doc_id, doc_id % 7 AS k FROM documents WHERE doc_id < 400)
             SELECT doc_id,
-                   CASE WHEN k = 0 THEN 'image'
+                   CASE WHEN k = 0 OR k = 6 THEN 'image'
                         WHEN k = 1 THEN 'audio' ELSE 'video' END AS kind,
                    CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'wav_pcm16'
+                          WHEN 5 THEN 'apng' WHEN 6 THEN 'ico'
                           ELSE 'mp4' END AS format
             FROM d
             WHERE (k = 0 AND doc_id % 6 >= 2)
                OR (k = 1 AND doc_id % 2 = 1)
-               OR k = 2
+               OR k = 2 OR k = 5
+               OR (k = 6 AND doc_id % 6 >= 2)
             ORDER BY doc_id"""))
 
   private val qStreamAudioDedupSteady = Q(

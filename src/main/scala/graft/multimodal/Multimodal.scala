@@ -56,11 +56,13 @@ object Multimodal {
   // The first de-stubbed format (r11): uncompressed 24-bpp BI_RGB
   // bitmaps are a fixed-layout header + raw pixel rows, so a header
   // parse + pixel walk needs zero codec libraries. The decode envelope
-  // has since grown well past BMP — PNG/GIF/JPEG/TIFF, WAV PCM
-  // 8/16/24-bit, FLAC, G.711, IMA/MS ADPCM all decode for real (see
+  // has since grown well past BMP — PNG/GIF/JPEG/TIFF/ICO/netpbm/QOI,
+  // WAV PCM 8/16/24-bit + float, FLAC (bare and Ogg-wrapped), G.711,
+  // IMA/MS ADPCM, AU, AIFF/AIFC-PCM all decode for real (see
   // COVERAGE.md for the measured boundary); [[decodeStub]] remains only
   // as the documented deterministic fallback for formats OUTSIDE that
-  // envelope (MP3/OGG/AAC and the exotic image containers).
+  // envelope (MP3/OGG-Vorbis/AAC, WebP/AVIF pixels and the other
+  // table-data codecs).
 
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
@@ -4975,13 +4977,14 @@ object Multimodal {
   }
 
   /** Decode dispatch: real parse for the formats a pure-JVM reader can
-    * own (BMP, WAV PCM + G.711 + ADPCM, PNG incl. alpha/16-bit, GIF,
-    * baseline + progressive JPEG, FLAC, baseline TIFF incl. LZW/
-    * Deflate/PackBits codecs, 16-bit/tiled/planar layouts and
-    * gray/color JPEG strips with optional shared JPEGTables),
-    * [[decodeStub]] for everything else —
-    * the envelope COVERAGE.md
-    * documents and [[imageCoverage]]/[[audioCoverage]] measure.
+    * own (BMP incl. 8/32-bpp, palette, RLE8 and top-down; WAV PCM +
+    * float + G.711 + ADPCM incl. WAVE_FORMAT_EXTENSIBLE; PNG incl.
+    * alpha/16-bit; GIF; baseline + progressive JPEG; FLAC; baseline
+    * TIFF incl. LZW/Deflate/PackBits codecs, 16-bit/tiled/planar
+    * layouts and gray/color JPEG strips with optional shared
+    * JPEGTables; ICO; netpbm; QOI), [[decodeStub]] for everything
+    * else — the envelope COVERAGE.md documents and
+    * [[imageCoverage]]/[[audioCoverage]] measure.
     */
   def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
     parseBmp(id, bytes)
