@@ -290,7 +290,7 @@ object Bench {
          "q_video_mjpeg" | "q_video_mjpeg_neardup" | "q_video_coverage" |
          "q_video_dib" | "q_video_mp4" | "q_video_mixed_neardup" |
          "q_media_meta" | "q_media_meta_containers" | "q_media_meta_m4a" |
-         "q_media_meta_webp" | "q_media_meta_apng" | "q_video_apng" | "q_media_meta_images" |
+         "q_media_meta_webp" | "q_media_meta_apng" | "q_video_apng" | "q_media_meta_images" | "q_media_meta_tiffpages" |
          "q_image_ahash_tiff_t" | "q_image_ahash_ico" |
          "q_image_ahash_pnm" | "q_image_ahash_qoi" | "q_image_ahash_bmp_x" |
          "q_audio_fingerprint_float" | "q_audio_fingerprint_oggflac" |

@@ -4705,6 +4705,38 @@ object SparkEntry {
               CAST(NULL AS BIGINT) AS duration_ms
             FROM d ORDER BY doc_id"""))
 
+  /** MULTI-PAGE TIFF through the metadata pass ([[graft.multimodal
+    * .Multimodal.tiffPageCount]] — r17 s2): scanned-document files are
+    * routinely IFD chains; the page count is the pruning fact,
+    * reported as n_frames when ≥ 2 (single-page files stay NULL like
+    * every other still; kind stays image — pages are a document's,
+    * not an animation's). The header-only walk reads entry counts and
+    * next pointers, never tags or pixels.
+    */
+  private val qMediaMetaTiffPages = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bins = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .filter((id: Long) => id < 200)
+        .map(id => (id, graft.multimodal.Multimodal.makeTiffMultipage(
+          14, 9, id, (1 + id % 4).toInt)))
+        .toDF("doc_id", "payload")
+      graft.multimodal.Multimodal.mediaMeta(s, bins)
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS p
+                       FROM documents WHERE doc_id < 200)
+            SELECT doc_id, 'image' AS kind, 'tiff' AS format,
+              CAST(14 AS INTEGER) AS width,
+              CAST(9 AS INTEGER) AS height,
+              CAST(CASE WHEN p >= 2 THEN p END AS BIGINT) AS n_frames,
+              CAST(NULL AS INTEGER) AS sample_rate,
+              CAST(NULL AS INTEGER) AS channels,
+              CAST(NULL AS BIGINT) AS n_samples,
+              CAST(NULL AS INTEGER) AS orientation,
+              CAST(NULL AS BIGINT) AS duration_ms
+            FROM d ORDER BY doc_id"""))
+
   /** Audio-only ISO-BMFF (M4A) through the metadata pass ([[graft
     * .multimodal.Multimodal.mediaMeta]] — r17): a `soun`-track mp4
     * must report kind `audio` with the AudioSampleEntry's channel
@@ -11207,6 +11239,7 @@ object SparkEntry {
     "q_media_meta_webp" -> qMediaMetaWebp,
     "q_media_meta_apng" -> qMediaMetaApng,
     "q_media_meta_images" -> qMediaMetaImages,
+    "q_media_meta_tiffpages" -> qMediaMetaTiffPages,
     "q_video_apng" -> qVideoApng,
     "q_image_ahash_jpeg" -> qImageAHashJpeg,
     "q_image_ahash_tiff" -> qImageAHashTiff,

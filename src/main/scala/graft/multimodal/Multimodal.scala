@@ -4678,6 +4678,100 @@ object Multimodal {
       }
     }
 
+  /** Header-only TIFF page count (r17 s2): walk the IFD chain via the
+    * next-IFD pointers — entry COUNTS and pointers only, no tag
+    * parsing, no pixel reads. Scanned-document TIFFs are routinely
+    * multi-page; the count is the pruning fact. None on a malformed
+    * chain (out-of-bounds directory or pointer); 4096-page backstop.
+    */
+  private[graft] def tiffPageCount(bytes: Array[Byte]): Option[Int] = {
+    if (bytes.length < 8) return None
+    val little =
+      if (bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte) true
+      else if (bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte) false
+      else return None
+    def u16(off: Int): Int =
+      if (off < 0 || off + 2 > bytes.length) -1
+      else if (little) le16(bytes, off)
+      else ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    def u32(off: Int): Long =
+      if (off < 0 || off + 4 > bytes.length) -1L
+      else if (little) le32(bytes, off) & 0xffffffffL
+      else be32(bytes, off) & 0xffffffffL
+    if (u16(2) != 42) return None
+    var off = u32(4)
+    var pages = 0
+    while (off != 0L) {
+      if (off < 8 || off + 2 > bytes.length) return None
+      val n = u16(off.toInt)
+      if (n <= 0 || off + 2 + 12L * n + 4 > bytes.length) return None
+      pages += 1
+      if (pages > 4096) return None
+      off = u32((off + 2 + 12L * n).toInt)
+    }
+    if (pages == 0) None else Some(pages)
+  }
+
+  /** Fixture/test writer for MULTI-PAGE TIFF (r17 s2): `pages` chained
+    * IFDs, each an 8-bit grayscale single-strip page whose pixels
+    * follow `(seed + p·23 + row·31 + x·7) mod 256` — page p is
+    * [[makeTiff]]'s gray law at seed + p·23, so the first-page decode
+    * is oracle-replayable and the chain is pure layout.
+    */
+  def makeTiffMultipage(w: Int, h: Int, seed: Long, pages: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 512 && h <= 512 && pages >= 1 && pages <= 64,
+      s"fixture shape $w x $h x $pages")
+    val dataLen = w * h
+    val perPage = dataLen + 2 + 9 * 12 + 4 // strip + IFD
+    val out = new Array[Byte](8 + pages * perPage)
+    def putU16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    def putU32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'I'; out(1) = 'I'
+    putU16(2, 42)
+    putU32(4, 8 + dataLen) // first IFD, after page 0's strip
+    var p = 0
+    while (p < pages) {
+      val base = 8 + p * perPage
+      var r = 0
+      while (r < h) {
+        var x = 0
+        while (x < w) {
+          out(base + r * w + x) = ((seed + p * 23L + r * 31L + x * 7L) % 256).toByte
+          x += 1
+        }
+        r += 1
+      }
+      val ifd = base + dataLen
+      putU16(ifd, 9)
+      var e = 0
+      def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+        val off = ifd + 2 + e * 12
+        putU16(off, tag); putU16(off + 2, typ); putU32(off + 4, count)
+        if (typ == 3) putU16(off + 8, value) else putU32(off + 8, value)
+        e += 1
+      }
+      entry(256, 3, 1, w)
+      entry(257, 3, 1, h)
+      entry(258, 3, 1, 8)
+      entry(259, 3, 1, 1)
+      entry(262, 3, 1, 1) // BlackIsZero
+      entry(273, 4, 1, base)
+      entry(277, 3, 1, 1)
+      entry(278, 3, 1, h)
+      entry(279, 4, 1, dataLen)
+      // next-IFD pointer: the following page's IFD, 0 on the last
+      putU32(ifd + 2 + 9 * 12,
+        if (p + 1 < pages) 8 + (p + 1) * perPage + dataLen else 0)
+      p += 1
+    }
+    out
+  }
+
   /** Fixture/test writer for the TIFF subset: pixels follow the closed
     * form `(seed + row·31 + k·7) mod 256` with row the DISPLAY
     * (top-down) row and k the sample index in the row (3x+c for RGB, x
@@ -7736,8 +7830,15 @@ object Multimodal {
           case "jpeg" => jpegDims(bytes)
           case _ => tiffDims(bytes)
         }
+        // multi-page TIFF (scanned documents): the IFD-chain page
+        // count is the pruning fact; single-page files stay None like
+        // every other still (r17 s2). Kind stays image — pages are a
+        // document's, not an animation's.
+        val pages =
+          if (f == "tiff") tiffPageCount(bytes).filter(_ >= 2).map(_.toLong)
+          else None
         MediaMetaRow(id, "image", f, d.map(_._1), d.map(_._2),
-          None, None, None, None,
+          pages, None, None, None,
           if (f == "jpeg") jpegExifOrientation(bytes) else None, None)
       case "ico" =>
         // largest member's DIRECTORY dims — the header-only peek; a

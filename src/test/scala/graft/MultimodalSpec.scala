@@ -2178,6 +2178,30 @@ class MultimodalSpec extends SparkTestBase {
       m.width === Some(24) && m.height === Some(10))
   }
 
+  test("tiffPageCount/metaOf: multi-page TIFF pages as the pruning fact") {
+    val mp = Multimodal.makeTiffMultipage(14, 9, 5L, 4)
+    assert(Multimodal.tiffPageCount(mp) === Some(4))
+    // the decode tier reads the FIRST page, whose pixels are
+    // makeTiff's gray law verbatim — chained IFDs are pure layout
+    assert(Multimodal.decode(1L, mp).format === "tiff")
+    assert(Multimodal.imageAHash(mp) ===
+      Multimodal.imageAHash(Multimodal.makeTiff(14, 9, 5L, rgb = false)))
+    val m = Multimodal.metaOf(2L, mp)
+    assert(m.format === "tiff" && m.kind === "image" &&
+      m.width === Some(14) && m.height === Some(9) && m.n_frames === Some(4L))
+    // single-page files report no frame fact, like every other still
+    assert(Multimodal.metaOf(3L, Multimodal.makeTiff(16, 16, 5L)).n_frames === None)
+    assert(Multimodal.tiffPageCount(Multimodal.makeTiff(16, 16, 5L)) === Some(1))
+    // a broken chain loses the count but never the dims
+    val broken = mp.clone()
+    val nextPtr = 8 + 14 * 9 + 2 + 9 * 12 // first IFD's next pointer
+    broken(nextPtr) = 0xff.toByte; broken(nextPtr + 1) = 0xff.toByte
+    broken(nextPtr + 2) = 0xff.toByte; broken(nextPtr + 3) = 0
+    assert(Multimodal.tiffPageCount(broken).isEmpty)
+    val bm = Multimodal.metaOf(4L, broken)
+    assert(bm.width === Some(14) && bm.n_frames === None)
+  }
+
   test("apngMeta/metaOf: header-only APNG facts") {
     val apng = Multimodal.makeApng(12, 10, 5L, 4)
     // delays (f mod 3 + 1)/100 s → 10+20+30+10 ms
