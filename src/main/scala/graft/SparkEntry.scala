@@ -7020,7 +7020,13 @@ object SparkEntry {
       val toks = t(s, dir, "documents")
         .select(col("source"),
           explode(graft.text.TextAnalysis.tokens(col("text"))).as("tok"))
+      // model-sized pin (|sources|·64 register rows): pairwiseOverlap
+      // consumes the registers three ways (both pair sides + the single
+      // estimates) — unpinned, each consumer re-runs the corpus token
+      // explode + register aggregation (the before-plan scanned
+      // documents 8×, 0 ReusedExchange; guide §2.4)
       val regs = graft.ops.Hll.registers(toks, Seq("source"), "tok")
+        .localCheckpoint()
       graft.ops.Hll.pairwiseOverlap(regs, "source").orderBy("ka", "kb")
     },
     Some(s"""WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS tok
@@ -7693,8 +7699,38 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 100000L)
       val a = emb.filter(col("vec_id") % 2 === 0)
       val b = emb.filter(col("vec_id") % 2 === 1)
-      val fwd = graft.similarity.Ann.bruteForceTopK(b, a, k = 4)
-      val bwd = graft.similarity.Ann.bruteForceTopK(a, b, k = 4)
+      // ONE quadratic scoring pass shared by both retrieval directions
+      // (cosine is bit-symmetric here: same per-element multiply order,
+      // same norm product up to double-multiply commutativity), ranked
+      // both ways, and the |Q|·k top-k tables PINNED before the miner.
+      // The before-plan (plans/r17/q_bitext_mine_before.txt) scanned
+      // embeddings 8×: two bruteForceTopK cross-join trees, each
+      // consumed twice inside marginPairs (guide §2.4 / the
+      // branch-recompute smell ExplainAudit flags); this form pays the
+      // cross join once and scans embeddings twice (a side, b side).
+      import graft.functions.VectorOps
+      val av = a.select(col("vec_id").as("aid"), col("embedding").as("avec"))
+        .withColumn("an", VectorOps.norm(col("avec")))
+      val bv = b.select(col("vec_id").as("bid"), col("embedding").as("bvec"))
+        .withColumn("bn", VectorOps.norm(col("bvec")))
+      val scored = av.crossJoin(broadcast(bv))
+        .filter(col("aid") =!= col("bid"))
+        .select(col("aid"), col("bid"),
+          round(VectorOps.cosineFromParts(
+            VectorOps.dot(col("avec"), col("bvec")),
+            col("an"), col("bn")), 6).as("cosine"))
+      val wA = Window.partitionBy(col("aid")).orderBy(col("cosine").desc, col("bid"))
+      val wB = Window.partitionBy(col("bid")).orderBy(col("cosine").desc, col("aid"))
+      val ranked = scored
+        .withColumn("rank", row_number().over(wA))
+        .withColumn("brank", row_number().over(wB))
+        .filter(col("rank") <= 4 || col("brank") <= 4)
+        .localCheckpoint()
+      val fwd = ranked.filter(col("rank") <= 4)
+        .select(col("aid").as("qid"), col("bid").as("cid"), col("cosine"), col("rank"))
+      val bwd = ranked.filter(col("brank") <= 4)
+        .select(col("bid").as("qid"), col("aid").as("cid"), col("cosine"),
+          col("brank").as("rank"))
       graft.similarity.BitextMine.marginPairs(
           fwd, bwd, k = 4, minMarginMicro = 1050000L)
         .orderBy("id_a")
@@ -9258,8 +9294,14 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val labels = docs.select(col("doc_id").as("id"),
         when(col("text").contains("vector"), lit(1)).otherwise(lit(-1)).as("y"))
+      // model-sized pins: unpinned, score's plan re-derives the whole
+      // train chain per consumer — the before-plan scanned documents 12×
+      // (plans/r17/q_nb_score_before.txt); pinned it is one corpus pass
+      // per side (the Bpe/WordPiece state-pin discipline, guide §2.4)
       val m = graft.text.NaiveBayes.trainMultinomial(docs, labels, "doc_id", "text")
+        .localCheckpoint()
       val st = graft.text.NaiveBayes.classStats(docs, labels, "doc_id", "text")
+        .localCheckpoint()
       graft.text.NaiveBayes.score(docs, m, st, "doc_id", "text")
         .join(labels, "id")
         .withColumn("correct", (col("pred") === col("y")).cast("int"))
@@ -9300,8 +9342,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val labels = docs.select(col("doc_id").as("id"),
         when(col("text").contains("vector"), lit(1)).otherwise(lit(-1)).as("y"))
+      // same model-sized pins as q_nb_score: the before-plan scanned
+      // documents 11× (plans/r17/q_nb_score_holdout_before.txt)
       val m = graft.text.NaiveBayes.trainMultinomial(docs, labels, "doc_id", "text")
+        .localCheckpoint()
       val st = graft.text.NaiveBayes.classStats(docs, labels, "doc_id", "text")
+        .localCheckpoint()
       val held = docs.select(col("doc_id"),
         concat(col("text"), lit(" qz"), col("doc_id").cast(StringType)).as("text"))
       graft.text.NaiveBayes.score(held, m, st, "doc_id", "text")
@@ -10923,6 +10969,8 @@ object SparkEntry {
         .unionByName(graft.ops.TopKSketch.batchSummary(
           ev.filter(col("event_id") % 2 =!= 0), Seq.empty, "user_id", k = 20)
           .withColumn("batch_id", lit("b2")))
+        // model-sized pin (≤ 2·k rows) — see q_topk_sketch_keyed
+        .localCheckpoint()
       graft.ops.TopKSketch.mergedTopK(seg, Seq.empty, topN = 10)
         .orderBy(col("cnt_lower").desc, col("item"))
     },
@@ -11079,6 +11127,11 @@ object SparkEntry {
         .unionByName(graft.ops.TopKSketch.batchSummary(
           toks.filter(col("doc_id") % 2 =!= 0), Seq("source"), "tok", k = 5)
           .withColumn("batch_id", lit("b2")))
+        // model-sized pin (≤ 2·k·|sources| rows): mergedTopK consumes
+        // the segments twice (bounds + per-item sums) — unpinned, both
+        // batch summaries re-run their corpus pass per consumer (the
+        // before-plan scanned documents 8×; guide §2.4)
+        .localCheckpoint()
       graft.ops.TopKSketch.mergedTopK(seg, Seq("source"), topN = 3)
         .orderBy(col("source"), col("cnt_lower").desc, col("item"))
     },

@@ -31,6 +31,78 @@ import org.apache.spark.storage.StorageLevel
   */
 object DupClusters {
 
+  /** Edge-count ceiling for the driver-local union-find fast path shared
+    * by both CC forms (guide §1.2 — fix the distributed algorithm before
+    * anything else): the distributed fixpoints pay ~5 Spark jobs per
+    * round and O(log n) / O(diameter) rounds even when the deduplicated
+    * pair graph is a few thousand edges — pure scheduler overhead at
+    * micro-batch scale, and the quotient graphs of
+    * [[mergeComponentsDelta]] are BATCH-sized by construction, so every
+    * streaming merge was paying it. At or below the cap the edge list is
+    * collected and solved on the driver (union-by-min + path
+    * compression — the identical min-id-per-component fixpoint), and
+    * only the id → root remap returns to the executors as a broadcast.
+    * The cap bounds driver memory exactly the way a broadcast-join
+    * threshold does (§3.1): 2^16 edges ≈ 1 MB collected; anything larger
+    * keeps the distributed rounds. Data-size keyed, not core-count
+    * keyed — the same default is right on local[4] and on a cluster —
+    * and conf-tunable (`spark.graft.cc.smallGraphMaxEdges`; 0 disables)
+    * so tests can force either path.
+    */
+  private def smallGraphMaxEdges(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.smallGraphMaxEdges")
+      .map(_.toLong).getOrElse(65536L)
+
+  /** Solve min-id connected components on the driver for a SMALL,
+    * already-materialized edge list: Some((id, cluster_id) remap rows,
+    * one per id present in `edges`) when the list is at or under the
+    * cap and the id type is integral, None otherwise (the distributed
+    * forms are type-agnostic; the union-find is not). Duplicate edges,
+    * self-loops and both-orientation lists are all fine — union is
+    * idempotent. The remap is returned broadcast-hinted: it is
+    * cap-bounded, so the hint can never be the static-misestimate
+    * hazard the r15 rule bans (that rule is about unbounded sides).
+    */
+  private def smallGraphRoots(edges: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val spark = edges.sparkSession
+    val cap = smallGraphMaxEdges(spark)
+    if (cap <= 0) return None
+    val Seq(ua, ub) = edges.columns.toSeq.take(2)
+    val tpe = edges.schema(ua).dataType
+    if (tpe != LongType && tpe != IntegerType) return None
+    val capInt = math.min(cap, (Int.MaxValue - 1).toLong).toInt
+    if (edges.limit(capInt + 1).count() > capInt) return None
+    val es = edges
+      .select(col(ua).cast("long").as("u"), col(ub).cast("long").as("v"))
+      .collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN id: the component root IS the component minimum,
+      // which is exactly both distributed forms' fixpoint
+      if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+    }
+    val ids = parent.keySet().toArray(Array.empty[java.lang.Long])
+    val rows = ids.map(id => org.apache.spark.sql.Row(id.longValue, find(id.longValue)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      .select(col("id").cast(tpe).as("id"), col("cluster_id").cast(tpe).as("cluster_id"))
+    Some(broadcast(df))
+  }
+
   /** (id, cluster_id) for every id appearing in `pairs`, where
     * `cluster_id` is the minimum id of the node's connected component.
     * Throws after `maxIter` non-converged rounds (diameter > maxIter —
@@ -43,6 +115,12 @@ object DupClusters {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // both orientations (and self-loops) are present, so the edge list's
+    // id set IS the output id set: the driver remap needs no outer join
+    smallGraphRoots(edges) match {
+      case Some(roots) => edges.unpersist(); return roots
+      case None => ()
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
@@ -117,6 +195,22 @@ object DupClusters {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    // small-graph fast path (see [[smallGraphRoots]]): the contraction
+    // loop below costs ~5 jobs × O(log n) rounds, pure scheduler
+    // overhead when the deduplicated edge list is micro-batch sized —
+    // which every [[mergeComponentsDelta]] quotient is by construction.
+    // allIds still drives the output join: self-pairs never reach the
+    // (u ≠ v) edge list but must label themselves.
+    smallGraphRoots(edges) match {
+      case Some(roots) =>
+        lastStarRounds = 0
+        return allIds
+          .join(roots.withColumnRenamed("id", "__rid"),
+            col("id") === col("__rid"), "left")
+          .select(col("id"),
+            coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      case None => ()
+    }
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIter) {

@@ -492,6 +492,34 @@ object NearDup {
         s"openNearDupIndex($path): bands=$bands x rowsPerBand=$rowsPerBand " +
           s"= ${bands * rowsPerBand} does not match stored signature length $sigLen")
     }
+    handleFromIndexTable(index, bands, rowsPerBand, maxBucket)
+  }
+
+  /** Resolve a RAW seen corpus into a [[SeenIndexHandle]] — the from-raw
+    * analogue of [[openNearDupIndex]] for a stream gating against a
+    * STATIC in-session corpus with no stored index: ONE signature pass
+    * over the seen side at stream start (instead of one inside every
+    * micro-batch, which is what per-batch [[minHashLshAgainstCorpus]]
+    * pays), bucket caps, all three seen tables pinned, the band side
+    * pre-partitioned on the join key. Identical pairs to the per-batch
+    * form: same banding, same seen-side caps, and the verification token
+    * law (`array_distinct(tokens(text))`) is [[nearDupIndex]]'s — the
+    * same expression the per-batch form computes from raw text.
+    */
+  def openNearDupCorpus(seenDocs: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 4, rowsPerBand: Int = 4,
+                        maxBucket: Int = 1000): SeenIndexHandle =
+    handleFromIndexTable(
+      nearDupIndex(seenDocs, idCol, textCol, bands * rowsPerBand).localCheckpoint(),
+      bands, rowsPerBand, maxBucket)
+
+  /** Shared staging tail of [[openNearDupIndex]] / [[openNearDupCorpus]]:
+    * band + cap + pin the three seen tables off a materialized
+    * (id, sig, toks) index table.
+    */
+  private def handleFromIndexTable(index: DataFrame, bands: Int,
+                                   rowsPerBand: Int,
+                                   maxBucket: Int): SeenIndexHandle = {
     val seenBandAll = bandRows(index.select(col("id"), col("sig")), bands, rowsPerBand)
     val okBuckets = seenBandAll.groupBy("band", "bh").count()
       .filter(col("count") <= maxBucket).select("band", "bh")

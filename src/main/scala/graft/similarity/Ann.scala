@@ -509,6 +509,47 @@ object Ann {
     EmbedIndexHandle(bits, dim, seed, maxBucket, seen, bigSeen)
   }
 
+  /** Resolve a RAW seen-vector corpus into an [[EmbedIndexHandle]] — the
+    * from-raw analogue of [[openEmbedNearDupIndex]] for a stream gating
+    * against a STATIC in-session corpus with no stored index. The seen
+    * side's staging (bucket+norm pass, bucket-cap aggregation,
+    * broadcast-safety count) is a pure function of the static corpus, so
+    * it belongs at stream START, not inside every micro-batch:
+    * per-batch [[embeddingNearDupsAgainstCorpus]] re-paid two full
+    * passes over the seen corpus plus a count in EVERY foreachBatch
+    * (guide §2.4 — remove the repeated work outright; the r16
+    * handle-hoist class fix, extended to the from-raw loop). Identical
+    * pairs by construction: same planes, same caps (per-bucket totals of
+    * the same static corpus), same cosine law — only WHEN the seen side
+    * is staged changes. Same memory trade as the stored-index handle:
+    * the capped staged corpus is pinned via localCheckpoint for the
+    * stream's life; a one-shot batch check should keep calling
+    * [[embeddingNearDupsAgainstCorpus]], which stages nothing.
+    */
+  def openEmbedNearDupCorpus(seenVecs: DataFrame,
+                             nBits: Int = AutoBits, dim: Int = 64,
+                             seed: Long = 42L, maxBucket: Int = 1000,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): EmbedIndexHandle = {
+    val bits = resolveBits(nBits, seenVecs)
+    val planes = hyperplanes(bits, dim, seed)
+    val staged = requireDim(
+        seenVecs.select(col(idCol).as("seen_id"), col(vecCol).as("vec_seen")),
+        col("vec_seen"), dim, "openEmbedNearDupCorpus")
+      .withColumn("bucket", bucketExpr(col("vec_seen"), planes))
+      .withColumn("n_seen", VectorOps.norm(col("vec_seen")))
+      .select(col("bucket"), col("seen_id"), col("vec_seen"), col("n_seen"))
+    val okBuckets = staged.groupBy("bucket").count()
+      .filter(col("count") <= maxBucket).select("bucket")
+    // same pre-partition-by-join-key pin as the stored-index open: the
+    // cached side satisfies every per-batch bucket join's distribution
+    // requirement, so only the batch side shuffles each micro-batch
+    val seen = staged.join(okBuckets, Seq("bucket"))
+      .repartition(col("bucket")).localCheckpoint()
+    val bigSeen = seen.count() > graft.dedup.NearDup.BroadcastSafeRows
+    EmbedIndexHandle(bits, dim, seed, maxBucket, seen, bigSeen)
+  }
+
   /** [[embeddingNearDupsAgainstIndex]] against a pre-resolved
     * [[EmbedIndexHandle]] — identical pairs by construction (same
     * geometry, same live set, same caps; the cap decisions are

@@ -338,7 +338,10 @@ object Pca {
     * whole computation is sketch-sized.
     */
   def dimStats(moments: DataFrame, dim: Int): DataFrame = {
+    // model-sized pin ((dim+1)² summed rows), three consumers below —
+    // same rationale as [[dimCorrelationFromMoments]]
     val m = moments.groupBy("i", "j").agg(sum(col("s")).as("s"))
+      .localCheckpoint()
     val n = m.filter(col("i") === dim && col("j") === dim)
       .select(col("s").as("n"))
     val s1 = m.filter(col("j") === dim && col("i") < dim)
@@ -411,7 +414,12 @@ object Pca {
     * [[embeddingDrift]]).
     */
   def dimCorrelationFromMoments(moments: DataFrame, dim: Int): DataFrame = {
+    // model-sized pin ((dim+1)² summed rows): four consumers below (n,
+    // s1, diag, pairs) — unpinned, each re-reads and re-sums the moment
+    // segments (the r17 plan audit saw 7 scans of the segment store;
+    // guide §2.4)
     val m = moments.groupBy("i", "j").agg(sum(col("s")).as("s"))
+      .localCheckpoint()
     val n = m.filter(col("i") === dim && col("j") === dim).select(col("s").as("n"))
     val s1 = m.filter(col("j") === dim && col("i") < dim)
       .select(col("i").as("pos"), col("s").as("s1"))

@@ -164,18 +164,20 @@ object ClusterIngest {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        compactEvery: Int = 16): StreamingQuery =
-    vecStream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(
-          graft.similarity.Ann.embeddingNearDupsAgainstCorpus(
-            batch, seenVecs, threshold, nBits = nBits, maxBucket = maxBucket,
-            idCol = idCol, vecCol = vecCol),
-          batchId, path, aCol = "new_id", bCol = "seen_id")
-        maybeCompact(spark, path, batchId, compactEvery)
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // The seen corpus is STATIC for the stream's life, so its staging
+    // (bucket+norm pass, bucket-cap aggregation, broadcast-safety count)
+    // is invariant across micro-batches: resolve it ONCE at stream start
+    // into the same pinned handle shape the stored-index loop uses,
+    // instead of re-paying two full passes over history plus a count
+    // inside EVERY foreachBatch (the r16 handle-hoist class fix, now
+    // applied to the from-raw loop as well — guide §2.4). Identical
+    // pairs by [[graft.similarity.Ann.openEmbedNearDupCorpus]]'s
+    // contract; the gate row's oracle pins it.
+    startFromHandle(spark, vecStream,
+      graft.similarity.Ann.openEmbedNearDupCorpus(
+        seenVecs, nBits = nBits, maxBucket = maxBucket,
+        idCol = idCol, vecCol = vecCol),
+      threshold, path, checkpoint, idCol, vecCol, compactEvery)
 
   /** [[startFromVectors]] probing the STORED embed index
     * ([[graft.similarity.Ann.writeEmbedNearDupIndex]]) instead of raw

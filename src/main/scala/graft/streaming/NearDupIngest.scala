@@ -47,14 +47,18 @@ object NearDupIngest {
             idCol: String, textCol: String,
             bands: Int, rowsPerBand: Int, threshold: Double,
             outPath: String, checkpoint: String): StreamingQuery =
-    newDocs.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(batch, batchId, seenDocs, idCol, textCol,
-          bands, rowsPerBand, threshold, outPath)
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // The seen corpus is STATIC for the stream's life, so its signature
+    // pass, band rows, bucket caps and verification token sets are
+    // invariant across micro-batches: resolve them ONCE at stream start
+    // ([[graft.dedup.NearDup.openNearDupCorpus]]) instead of re-paying
+    // the whole seen corpus's signature pass inside EVERY foreachBatch
+    // (the r16 handle-hoist class fix, extended to the from-raw loop —
+    // guide §2.4). Identical pairs by the opener's contract; the gate
+    // row's oracle replays the per-batch law verbatim.
+    startFromHandle(spark, newDocs,
+      graft.dedup.NearDup.openNearDupCorpus(
+        seenDocs, idCol, textCol, bands, rowsPerBand),
+      idCol, textCol, threshold, outPath, checkpoint)
 
   /** [[start]] probing the STORED near-dup index ([[graft.dedup.NearDup
     * .writeNearDupIndex]]) — the steady-state split: the from-raw form

@@ -111,10 +111,21 @@ object Unigram {
     * the stored backpointers — no per-step argmax, so the
     * reconstruction is a pure join loop.
     */
+  /** Sentinel lattice value for unreachable positions in the fused DP
+    * (see [[encodeWords]]): far below any real packed score — a real
+    * lattice value is bounded below by MaxWordLen pieces at the worst
+    * admissible per-piece score, orders of magnitude above this — and
+    * far above Long overflow even after MaxWordLen sentinel-derived
+    * hops (each hop moves the value by ≤ 16·score + 15, ~10¹⁰).
+    * Reachability is decided against [[UnreachFloor]], the midpoint.
+    */
+  private val Unreach: Long = Long.MinValue / 4
+  private val UnreachFloor: Long = Long.MinValue / 8
+
   def encodeWords(words: DataFrame, vocabDf: DataFrame): DataFrame = {
-    // vocab-sized pin ONCE before the loops ([[WordPiece.encodeWords]]:
-    // each round's state pin is its own action; unpinned, the whole
-    // vocab-derivation chain re-executes per round)
+    // vocab-sized pin ONCE before the lattice join (the round-loop form
+    // of this function needed it per round; the fused form still wants
+    // true stats under the broadcast)
     val v = broadcast(
       vocabDf.select(col("piece"), col("plen"), col("score_micro"))
         .localCheckpoint())
@@ -122,75 +133,83 @@ object Unigram {
       .filter(length(col("word")) > 0)
       .localCheckpoint()
     val inRange = dw.filter(length(col("word")) <= MaxWordLen)
-    // rounds bound: the corpus's actual longest admissible word, not
-    // the worst case — a 1-row action against the pinned word set.
-    // (Purely a loop bound: rounds past it produce empty slices; the
-    // first 100× soak paid 42 s mostly for 2·16 fixed-overhead rounds
-    // on a corpus whose longest word was far shorter.)
-    val maxLen = math.min(MaxWordLen,
-      inRange.agg(coalesce(max(length(col("word"))), lit(0))).head.getInt(0))
 
-    // forward DP: one slice per end position (word, pos, s, bp), pos 0
-    // = the empty prefix. ONLY the new slice is pinned per round — the
-    // accumulated lattice is a lazy union of checkpoint-backed slices
-    // (pinning the union re-materializes O(maxLen²) rows), and round j
-    // draws candidates from just the previous MaxPieceLen slices.
-    val b0 = inRange
-      .select(col("word"), lit(0).as("pos"), lit(0L).as("s"), lit(-1).as("bp"))
-      .localCheckpoint()
-    val slices = scala.collection.mutable.ArrayBuffer(b0)
-    for (j <- 1 to maxLen) {
-      val prior = slices.slice(math.max(0, j - MaxPieceLen), j)
-        .reduce(_ unionByName _)
-      val cand = prior
-        .filter(length(col("word")) >= j)
-        .join(v,
-          col("plen") === (lit(j) - col("pos")) &&
-            col("piece") === expr(s"substring(word, pos + 1, $j - pos)"))
-      val bj = cand
-        .groupBy("word")
-        .agg(max((col("s") + col("score_micro")) * KeySlots + col("pos")).as("mk"))
-        .select(col("word"), lit(j).as("pos"),
-          // exactly divisible after subtracting the canonical mod, so
-          // integral `div` is exact (no float enters the lattice)
-          expr(s"CAST((mk - pmod(mk, $KeySlots)) DIV $KeySlots AS BIGINT)").as("s"),
-          pmod(col("mk"), lit(KeySlots)).cast("int").as("bp"))
-      slices += bj.localCheckpoint()
-    }
-    val all = slices.reduce(_ unionByName _)
+    // Fused Viterbi: the whole per-word DP is LOCAL once the in-vocab
+    // lattice edges are known, so run it as ONE vocab join + ONE
+    // per-word aggregation + ONE fold expression, instead of
+    // 2·MaxWordLen rounds of vocab-keyed joins each pinned by its own
+    // action (32+ scheduler round-trips per call — the dominant cost of
+    // every unigram row at bench scale, and 30 extra stage launches per
+    // call at any scale; guide §1.2 step 1). The integer law is
+    // UNCHANGED and oracle-pinned: candidate key = (s_prev + score)·16
+    // + prev_pos, per-position argmax = plain MAX over packed keys,
+    // unpack via canonical mod; ties fall to the largest prev_pos
+    // (shortest last piece) exactly as before.
+    //
+    // Edges: (end pos j = p + l, start pos p, score) for every in-vocab
+    // substring — ≤ MaxWordLen·MaxPieceLen candidates per word pre-join.
+    val cand = inRange
+      .select(col("word"),
+        explode(sequence(lit(0), length(col("word")) - 1)).as("p"))
+      .select(col("word"), col("p"),
+        explode(sequence(lit(1),
+          least(lit(MaxPieceLen), length(col("word")) - col("p")))).as("l"))
+      .join(v, col("plen") === col("l") &&
+        col("piece") === expr("substring(word, p + 1, l)"))
+      .select(col("word"),
+        struct((col("p") + col("l")).cast("int").as("j"),
+          col("p").cast("int").as("p"),
+          col("score_micro").as("sc")).as("edge"))
+    // sort by end position: every edge's source slot is final when the
+    // edge folds (all edges into p have end position p < j)
+    val lattice = cand.groupBy("word")
+      .agg(sort_array(collect_list(col("edge"))).as("edges"))
 
-    // backward walk over stored backpointers, prepending pieces; only
-    // the still-active set is pinned per round (words leave the walk
-    // after n_pieces steps), finished rows stay lazy on their source
-    // checkpoint
-    var cur = inRange
-      .select(col("word"), length(col("word")).cast("int").as("pos"),
-        lit("").as("seg"), lit(0L).as("n_pieces"))
-      .localCheckpoint()
-    val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (_ <- 1 to maxLen) {
-      done += cur.filter(col("pos") === 0)
-      val stepped = cur.filter(col("pos") > 0)
-        .join(all, Seq("word", "pos"))
-        .select(col("word"), col("bp").as("pos"),
-          concat(
-            expr("substring(word, bp + 1, pos - bp)"),
-            when(col("seg") === "", lit("")).otherwise(concat(lit(" "), col("seg"))))
-            .as("seg"),
-          (col("n_pieces") + 1).as("n_pieces"))
-      cur = stepped.localCheckpoint()
-    }
-    val walked = (done :+ cur.filter(col("pos") === 0)).reduce(_ unionByName _)
+    // forward fold: slot k of the accumulator holds the packed best key
+    // of prefix length k (slot 0 = the empty prefix, s = 0); KeySlots is
+    // 16 = 2^4, so unpack-divide is an arithmetic shift (exact — the
+    // packed value minus its canonical mod is divisible by 16).
+    val init = array(lit(0L) +: Seq.fill(MaxWordLen)(lit(Unreach)): _*)
+    val folded = lattice.select(col("word"),
+      aggregate(col("edges"), init, (acc, e) => {
+        val sPrev = shiftright(element_at(acc, e.getField("p") + 1), 4)
+        val cnd = (sPrev + e.getField("sc")) * lit(KeySlots) +
+          e.getField("p").cast("long")
+        transform(sequence(lit(0), lit(MaxWordLen)), i =>
+          when(i === e.getField("j"), greatest(element_at(acc, i + 1), cnd))
+            .otherwise(element_at(acc, i + 1)))
+      }).as("lat"))
 
-    val scores = all.filter(col("pos") === length(col("word")))
-      .select(col("word"), col("s").as("score_micro"))
-    val segmented = walked.join(scores, "word")
-      .select(col("word"), col("seg"), col("n_pieces"), col("score_micro"))
+    // backward walk over the stored backpointers, prepending pieces —
+    // the same ≤ MaxWordLen steps, folded into one expression. Words
+    // whose full-length slot is unreachable are DROPPED (unsegmentable
+    // under this vocab — the round-loop form dropped them via its inner
+    // score join).
+    val wlen = length(col("word")).cast("int")
+    val finalKey = element_at(col("lat"), wlen + 1)
+    val walk = aggregate(sequence(lit(1), lit(MaxWordLen)),
+      struct(wlen.as("pos"), lit("").as("seg"), lit(0L).as("n")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val bp = pmod(element_at(col("lat"), pos + 1), lit(KeySlots)).cast("int")
+        when(pos <= 0, st).otherwise(struct(
+          bp.as("pos"),
+          concat(col("word").substr(bp + 1, pos - bp),
+            when(st.getField("seg") === "", lit(""))
+              .otherwise(concat(lit(" "), st.getField("seg")))).as("seg"),
+          (st.getField("n") + 1).as("n")))
+      })
+    val segmented = folded
+      .filter(finalKey > lit(UnreachFloor))
+      .select(col("word"), walk.as("w"), shiftright(finalKey, 4).as("score_micro"))
+      .select(col("word"), col("w").getField("seg").as("seg"),
+        col("w").getField("n").as("n_pieces"), col("score_micro"))
+
     val oov = dw.filter(length(col("word")) > MaxWordLen)
       .select(col("word"), col("word").as("seg"), lit(1L).as("n_pieces"),
         lit(UnkScoreMicro).as("score_micro"))
-    // ONE final pin: otherwise every consuming action re-schedules the
-    // ~2·maxLen slice stages behind the union (the WordPiece lesson)
+    // ONE final pin: checkpoint-backed true stats for the broadcast
+    // consumers ([[encode]]'s explicit build side), same as before
     segmented.unionByName(oov).localCheckpoint()
   }
 

@@ -87,54 +87,64 @@ object WordPiece {
     */
   def encodeWords(words: DataFrame, vocabDf: DataFrame,
                   maxWordLen: Int = 16): DataFrame = {
-    // vocab-sized pin, ONCE before the loop: every round broadcasts the
-    // vocabulary, and each round is its own action (the state pin), so
-    // without this the whole corpus-derivation chain behind `vocabDf`
-    // re-executes per round — ReusedExchange cannot span actions.
-    // Measured at 100×: 251 s unpinned → BASELINE round-13 row pinned.
+    // vocab-sized pin, ONCE before the match join (the round-loop form
+    // of this function needed it per round; the fused form still wants
+    // true stats under the broadcast). Measured at 100×: 251 s unpinned
+    // → BASELINE round-13 row pinned.
     val v = broadcast(vocabDf.select(col("piece"), col("plen")).localCheckpoint())
-    val init = words.select(col("word")).distinct()
-      .withColumn("pos", lit(1))
-      .withColumn("pieces", lit(""))
-      .withColumn("unk", length(col("word")) > maxWordLen)
-      .withColumn("done", col("unk") || length(col("word")) === 0)
-      .withColumn("pieces", when(col("unk"), lit("[UNK]")).otherwise(col("pieces")))
-      .localCheckpoint()
-    // loop bound: the corpus's actual longest admissible word (each
-    // round consumes ≥1 character of every active word), and ONLY the
-    // still-active set is re-pinned per round — finished rows stay lazy
-    // one short join off their round's checkpoint (re-pinning the full
-    // state is O(rounds²) materialization; the graft.text.Unigram
-    // lesson, back-ported)
-    val maxLen = math.min(maxWordLen,
-      init.filter(!col("done"))
-        .agg(coalesce(max(length(col("word"))), lit(0))).head.getInt(0))
-    var active = init.filter(!col("done")).localCheckpoint()
-    val doneSlices = scala.collection.mutable.ArrayBuffer(init.filter(col("done")))
-    for (_ <- 1 to maxLen) {
-      val best = active
-        .join(v, (col("pos") + col("plen") - 1 <= length(col("word"))) &&
-          (col("piece") === pieceAt(col("pos"), col("plen"))))
-        .groupBy("word", "pos", "pieces").agg(max(col("plen")).as("bl"))
-      val appended = when(col("pieces") === "", pieceAt(col("pos"), col("bl")))
-        .otherwise(concat(col("pieces"), lit(" "), pieceAt(col("pos"), col("bl"))))
-      val next = active.join(best, Seq("word", "pos", "pieces"), "left")
-        .select(col("word"),
-          (col("pos") + coalesce(col("bl"), lit(0))).as("pos"),
-          when(col("bl").isNull, lit("[UNK]")).otherwise(appended).as("pieces"),
-          col("bl").isNull.as("unk"))
-        .withColumn("done", col("unk") || col("pos") > length(col("word")))
-        .select("word", "pos", "pieces", "unk", "done")
-        .localCheckpoint() // one active-set-sized pin per round; both
-                           // splits below are narrow filters over it
-      doneSlices += next.filter(col("done"))
-      active = next.filter(!col("done"))
-    }
-    // ONE final pin: the result is otherwise a ~maxLen-way union of
-    // filters whose per-slice stages re-schedule on EVERY consuming
-    // action (measured +3.6 s at 100× when left lazy under the
-    // broadcast build)
-    val state = (doneSlices :+ active).reduce(_ unionByName _).localCheckpoint()
+    val dw = words.select(col("word")).distinct().localCheckpoint()
+    // Fused greedy walk: longest-match-first is LOCAL per word once the
+    // per-position longest in-vocab match is known, so run it as ONE
+    // vocab join + ONE per-word aggregation + ONE fold expression,
+    // instead of maxWordLen rounds of vocab-keyed joins each pinned by
+    // its own action (~2·maxWordLen scheduler round-trips per call —
+    // the dominant cost of the wordpiece rows at bench scale; guide
+    // §1.2 step 1). Semantics unchanged and oracle-pinned: at each
+    // position take the LONGEST matching piece ([UNK] whole-word on any
+    // miss; words longer than maxWordLen are [UNK] up front).
+    val maxPlen = v.agg(coalesce(max(col("plen")), lit(1))).head.getInt(0)
+    val inRange = dw.filter(length(col("word")) <= maxWordLen &&
+      length(col("word")) > 0)
+    // longest in-vocab match per (word, pos): the only fact the greedy
+    // walk consults
+    val best = inRange
+      .select(col("word"), explode(sequence(lit(1), length(col("word")))).as("pos"))
+      .select(col("word"), col("pos"),
+        explode(sequence(lit(1),
+          least(lit(maxPlen), length(col("word")) - col("pos") + 1))).as("l"))
+      .join(v, col("plen") === col("l") &&
+        col("piece") === pieceAt(col("pos"), col("l")))
+      .groupBy("word", "pos").agg(max(col("plen")).as("bl"))
+    val matches = best.groupBy("word")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("bl")))).as("m"))
+    // left join: words with no match anywhere still need their [UNK] row
+    val joined = inRange.join(matches, Seq("word"), "left")
+    val wlen = length(col("word")).cast("int")
+    // walk: ≤ maxWordLen steps, each consuming bl ≥ 1 characters; a
+    // missing entry at the current position is the whole-word [UNK]
+    val walk = aggregate(sequence(lit(1), lit(maxWordLen)),
+      struct(lit(1).as("pos"), lit("").as("pieces"), lit(false).as("unk")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val bl = try_element_at(col("m"), pos)
+        val appended = when(st.getField("pieces") === "", pieceAt(pos, bl))
+          .otherwise(concat(st.getField("pieces"), lit(" "), pieceAt(pos, bl)))
+        when(st.getField("unk") || pos > wlen, st)
+          .otherwise(when(bl.isNull,
+            struct(pos.as("pos"), lit("[UNK]").as("pieces"), lit(true).as("unk")))
+          .otherwise(struct((pos + bl).as("pos"), appended.as("pieces"),
+            lit(false).as("unk"))))
+      })
+    val walked = joined.select(col("word"),
+      walk.getField("pieces").as("pieces"))
+    val outRange = dw
+      .filter(length(col("word")) > maxWordLen || length(col("word")) === 0)
+      .select(col("word"),
+        when(length(col("word")) > maxWordLen, lit("[UNK]")).otherwise(lit(""))
+          .as("pieces"))
+    // ONE final pin: checkpoint-backed true stats for the broadcast
+    // consumers ([[encode]]'s explicit build side), same as before
+    val state = walked.unionByName(outRange).localCheckpoint()
     state.select(col("word"), col("pieces"),
       size(split(col("pieces"), " ")).cast("long").as("n_pieces"))
   }

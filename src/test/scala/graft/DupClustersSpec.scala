@@ -189,4 +189,30 @@ class DupClustersSpec extends SparkTestBase {
         r.getAs[Boolean]("is_keeper"))).toSet
     assert(viaLabels === direct)
   }
+
+  // r17 optimization guard: the driver-local union-find fast path (edge
+  // lists at/below spark.graft.cc.smallGraphMaxEdges) must land on the
+  // IDENTICAL min-id fixpoint as the distributed rounds, in both CC
+  // forms, on shapes that exercise chains, merges, self-pairs and
+  // singleton-via-self-pair ids. The conf toggle forces each path.
+  test("small-graph fast path ≡ distributed rounds (both CC forms)") {
+    val edges = pairsDf(
+      (5L, 9L), (9L, 2L), (30L, 31L), (31L, 32L), (32L, 33L), // chain + chain
+      (7L, 7L),                                               // self-pair
+      (2L, 30L))                                              // cross-merge
+    def run(maxEdges: String, star: Boolean): Map[Long, Long] = {
+      spark.conf.set("spark.graft.cc.smallGraphMaxEdges", maxEdges)
+      try {
+        val cc = if (star) DupClusters.connectedComponentsStar(edges)
+          else DupClusters.connectedComponents(edges)
+        cc.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+      } finally spark.conf.unset("spark.graft.cc.smallGraphMaxEdges")
+    }
+    val expected = Map(5L -> 2L, 9L -> 2L, 2L -> 2L, 30L -> 2L, 31L -> 2L,
+      32L -> 2L, 33L -> 2L, 7L -> 7L)
+    assert(run("65536", star = true) === expected)   // fast path
+    assert(run("0", star = true) === expected)       // distributed rounds
+    assert(run("65536", star = false) === expected)
+    assert(run("0", star = false) === expected)
+  }
 }
