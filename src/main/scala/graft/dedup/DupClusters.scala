@@ -72,10 +72,13 @@ object DupClusters {
     val tpe = edges.schema(ua).dataType
     if (tpe != LongType && tpe != IntegerType) return None
     val capInt = math.min(cap, (Int.MaxValue - 1).toLong).toInt
-    if (edges.limit(capInt + 1).count() > capInt) return None
+    // ONE job decides eligibility AND fetches the rows: take(cap+1)
+    // either returns the whole (small) list or proves it over-cap by
+    // returning cap+1 rows — no separate count pass
     val es = edges
       .select(col(ua).cast("long").as("u"), col(ub).cast("long").as("v"))
-      .collect()
+      .take(capInt + 1)
+    if (es.length > capInt) return None
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x

@@ -61,7 +61,14 @@ object ClusterIngest {
                  aCol: String = "id_a", bCol: String = "id_b"): Unit = {
     val spark = pairs.sparkSession
     val current =
-      if (storeExists(spark, path)) readLabels(spark, path, beforeBatch = Some(batchId))
+      if (storeExists(spark, path))
+        // pinned: mergeComponentsDelta consumes the labeling three ways
+        // (both endpoint remaps + the changed-history join) — unpinned,
+        // each consumer re-lists and re-reads the segment store and
+        // re-runs the latest-per-id aggregation, 3 store reads per
+        // micro-batch (guide §2.4). The pin is the same history-sized
+        // executor-storage trade the steady-gate handles already make.
+        readLabels(spark, path, beforeBatch = Some(batchId)).localCheckpoint()
       // first segment: empty labeling typed like the batch's id column
       else pairs.select(col(aCol).as("id"), col(aCol).as("cluster_id")).limit(0)
     graft.ops.Segments.writer(

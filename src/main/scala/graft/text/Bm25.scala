@@ -155,7 +155,19 @@ object Bm25 {
   private def writeSegment(corpus: DataFrame, path: String, nBuckets: Int,
                            idCol: String, textCol: String, mode: String,
                            batchId: Option[Long]): Unit = {
-    val tf = corpus
+    // STREAMING appends (batchId set) pin the batch's (id, text)
+    // projection once: the four segment writes below are four
+    // independent actions, so unpinned each one re-tokenizes the batch
+    // (4 passes per micro-batch — guide §2.4). The pin is BATCH-sized
+    // by the micro-batch contract. The full REBUILD path (batchId
+    // None) deliberately stays lazy: pinning there would materialize
+    // the whole corpus text, and a rebuild is a one-shot that can
+    // afford its four scans of the source table.
+    val src =
+      if (batchId.isDefined)
+        corpus.select(col(idCol), col(textCol)).localCheckpoint()
+      else corpus
+    val tf = src
       .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
     // repartition ON pbucket before each partitionBy: without it every
@@ -169,10 +181,10 @@ object Bm25 {
         .withColumn("pbucket", pbucket(col("token"), nBuckets))
         .repartition(col("pbucket")), mode, batchId)
       .partitionBy("batch_id", "pbucket").parquet(s"$path/dfreq")
-    segmentWriter(corpus.select(col(idCol).as("id"),
+    segmentWriter(src.select(col(idCol).as("id"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl")), mode, batchId)
       .partitionBy("batch_id").parquet(s"$path/doclen")
-    segmentWriter(corpus.agg(count(lit(1)).as("n"),
+    segmentWriter(src.agg(count(lit(1)).as("n"),
         sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("tot"))
         .coalesce(1), mode, batchId)
       .partitionBy("batch_id").parquet(s"$path/stats")
