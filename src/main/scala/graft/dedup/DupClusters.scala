@@ -59,9 +59,13 @@ object DupClusters {
     * cap and the id type is integral, None otherwise (the distributed
     * forms are type-agnostic; the union-find is not). Duplicate edges,
     * self-loops and both-orientation lists are all fine — union is
-    * idempotent. The remap is returned broadcast-hinted: it is
-    * cap-bounded, so the hint can never be the static-misestimate
-    * hazard the r15 rule bans (that rule is about unbounded sides).
+    * idempotent. The remap returns as a LOCAL relation (driver rows, no
+    * RDD): its size statistic is then TRUE and cap-bounded, so every
+    * downstream join auto-broadcasts it without an explicit hint — a
+    * `broadcast()` wrapper here dangled (HintErrorLogger noise) whenever
+    * the caller consumed the remap with no join at all (r17 verdict #4),
+    * and an RDD-backed frame would carry the unknown-size default
+    * estimate that blocks the broadcast the cap guarantees is safe.
     */
   private def smallGraphRoots(edges: DataFrame): Option[DataFrame] = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -101,9 +105,9 @@ object DupClusters {
       org.apache.spark.sql.types.StructField("id", LongType, nullable = false),
       org.apache.spark.sql.types.StructField("cluster_id", LongType, nullable = false)))
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      java.util.Arrays.asList(rows: _*), schema)
       .select(col("id").cast(tpe).as("id"), col("cluster_id").cast(tpe).as("cluster_id"))
-    Some(broadcast(df))
+    Some(df)
   }
 
   /** (id, cluster_id) for every id appearing in `pairs`, where
@@ -287,7 +291,12 @@ object DupClusters {
   def mergeComponents(labels: DataFrame, newEdges: DataFrame,
                       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     val lbl = labels.select(col("id"), col("cluster_id"))
-    val delta = mergeComponentsDelta(lbl, newEdges, aCol, bCol)
+    // pinned: the delta feeds BOTH the history left-join and the
+    // batch-new anti-join union below — unpinned, the whole delta chain
+    // (two history joins + the quotient CC) re-ran once per consumer
+    // (guide §2.4). The pin is changed-rows-sized: exactly what the
+    // label store writes per batch anyway.
+    val delta = mergeComponentsDelta(lbl, newEdges, aCol, bCol).localCheckpoint()
     lbl
       .join(delta.select(col("id"), col("cluster_id").as("__new")), Seq("id"), "left")
       .select(col("id"), coalesce(col("__new"), col("cluster_id")).as("cluster_id"))
@@ -307,7 +316,12 @@ object DupClusters {
   def mergeComponentsDelta(labels: DataFrame, newEdges: DataFrame,
                            aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
     val lbl = labels.select(col("id"), col("cluster_id"))
-    val e = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
+    // pinned: the batch edge list feeds the quotient staging AND the
+    // batch-new id scan below — for the fused streaming loops `newEdges`
+    // is the DETECTOR's join output, so an unpinned `e` re-ran the whole
+    // batch-vs-history candidate join once per consumer (guide §2.4).
+    // Batch-sized by the micro-batch contract.
+    val e = newEdges.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint()
     val mapped = e
       .join(lbl.select(col("id").as("a"), col("cluster_id").as("la")), Seq("a"), "left")
       .join(lbl.select(col("id").as("b"), col("cluster_id").as("lb")), Seq("b"), "left")

@@ -545,8 +545,22 @@ object NearDup {
                               threshold: Double = 0.7,
                               estPrefilter: Boolean = true): DataFrame = {
     val numHashes = h.bands * h.rowsPerBand
-    val newSigRaw = signatures(newDocs, idCol, textCol, numHashes)
-    val newSig = if (estPrefilter) newSigRaw.localCheckpoint() else newSigRaw
+    // under the default (est-prefilter) posture the pin that existed
+    // anyway now carries the verification TOKEN SETS too ([[nearDupIndex]]
+    // shape): one tokenize pass over the batch instead of two — the
+    // signature pass and the exact-verify newToks scan were separate
+    // full-text passes per micro-batch (guide §2.4). Laws unchanged:
+    // toks = array_distinct(tokens(text)) is exactly what newToks
+    // computed from raw text. The recall posture (estPrefilter = false)
+    // keeps the pin-free shape — its "docs" are corpus-sized windows on
+    // the chunked-decontam path, where a pin is the wrong trade.
+    val newIdx =
+      if (estPrefilter)
+        nearDupIndex(newDocs, idCol, textCol, numHashes).localCheckpoint()
+      else null
+    val newSig =
+      if (estPrefilter) newIdx.select(col("id"), col("sig"))
+      else signatures(newDocs, idCol, textCol, numHashes)
     val candidates = bandRows(newSig, h.bands, h.rowsPerBand)
       .select(col("band"), col("bh"), col("id").as("new_id"))
       .join(h.seenBand.select(col("band"), col("bh"), col("id").as("seen_id")),
@@ -564,8 +578,11 @@ object NearDup {
             lit(numHashes.toDouble))
         .filter(col("est") >= slack)
         .select("new_id", "seen_id")
-    val newToks = newDocs.select(col(idCol).as("new_id"),
-      array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_a"))
+    val newToks =
+      if (estPrefilter)
+        newIdx.select(col("id").as("new_id"), col("toks").as("toks_a"))
+      else newDocs.select(col(idCol).as("new_id"),
+        array_distinct(TextAnalysis.tokens(col(textCol))).as("toks_a"))
     sigEst.join(newToks, "new_id").join(h.seenToks, "seen_id")
       .select(col("new_id"), col("seen_id"),
         jaccard(col("toks_a"), col("toks_b")).as("jaccard"))

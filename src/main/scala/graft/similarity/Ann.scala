@@ -54,6 +54,16 @@ object Ann {
     */
   val AutoBits: Int = -1
 
+  /** Byte-denominated twin of [[graft.dedup.NearDup.BroadcastSafeRows]]
+    * for STORED index reads, whose listing-derived size statistic is
+    * honest column data (id + fixed-width vector + norm — nothing like
+    * the compressed-text misestimates the row guard exists for): 8192
+    * safe rows × ~0.5 KB per (id, 64-double vec, nrm) row ≈ 4 MB. Lets
+    * an index probe decide "too big to broadcast?" from the listing it
+    * already paid for, with zero extra jobs.
+    */
+  private[graft] val BroadcastSafeIndexBytes: BigInt = BigInt(4L << 20)
+
   /** The bucket-width law (BASELINE.md "ANN retrieval scale law"):
     * expected per-(table, bucket) occupancy is |C|/2^nBits and candidate
     * volume — hence bucket-join time — grows linearly with it, so holding
@@ -423,8 +433,13 @@ object Ann {
       .withColumn("n_new", VectorOps.norm(col("vec_new")))
       // two consumers (bucket list + candidate join) and true stats
       .localCheckpoint()
-    val batchBuckets = neu.select("bucket").distinct()
-      .limit(1025).collect().map(_.getLong(0))
+    // ONE action yields the bucket list AND the batch row count (the
+    // per-bucket counts sum to it when the list is complete): the
+    // separate count() job this replaces was one more fixed per-probe
+    // action (guide §2.4) — per micro-batch on the streaming gates
+    val bucketCounts = neu.groupBy("bucket").agg(count(lit(1)).as("__c"))
+      .limit(1025).collect()
+    val batchBuckets = bucketCounts.map(_.getLong(0))
     val vecs = spark.read.parquet(s"$path/vecs")
     // literals in the PARTITION column's inferred type (small buckets
     // infer INT) — a cast wrapped around the attribute could block the
@@ -445,8 +460,18 @@ object Ann {
       path)
     val okBuckets = seen.groupBy("bucket").count()
       .filter(col("count") <= maxBucket).select("bucket")
-    val bigSeen = vecs.count() > graft.dedup.NearDup.BroadcastSafeRows
-    val bigNew = newVecs.count() > graft.dedup.NearDup.BroadcastSafeRows
+    // broadcast-safety guards with ZERO extra jobs: the stored index's
+    // listing-derived size statistic is honest column data (the Bm25
+    // indexed-probe rule — unlike compressed-text scan estimates), so it
+    // answers "too big to broadcast?" without the full-index count()
+    // this replaces; the batch side's row count falls out of the pinned
+    // bucket aggregation above (sum of complete per-bucket counts;
+    // a truncated list already proves > BroadcastSafeRows buckets)
+    val bigSeen = vecs.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BroadcastSafeIndexBytes
+    val bigNew =
+      if (batchBuckets.length > 1024) true
+      else bucketCounts.map(_.getLong(1)).sum > graft.dedup.NearDup.BroadcastSafeRows
     graft.dedup.NearDup.mergeIfBig(neu, bigNew)
       .join(graft.dedup.NearDup.mergeIfBig(seen.join(okBuckets, Seq("bucket")), bigSeen),
         Seq("bucket"))
@@ -572,8 +597,12 @@ object Ann {
       .withColumn("n_new", VectorOps.norm(col("vec_new")))
       // two consumers (bucket list + candidate join) and true stats
       .localCheckpoint()
-    val batchBuckets = neu.select("bucket").distinct()
-      .limit(1025).collect().map(_.getLong(0))
+    // ONE action yields the bucket list AND the batch row count (sum of
+    // the complete per-bucket counts) — the separate count() job this
+    // replaces was one more fixed action in every micro-batch (§2.4)
+    val bucketCounts = neu.groupBy("bucket").agg(count(lit(1)).as("__c"))
+      .limit(1025).collect()
+    val batchBuckets = bucketCounts.map(_.getLong(0))
     // narrow the cached seen side to the batch's buckets — an in-memory
     // filter (the cached analogue of the path variant's partition
     // prune); a saturating batch (>1024 buckets) skips the inert filter
@@ -581,7 +610,12 @@ object Ann {
       if (batchBuckets.length <= 1024)
         handle.seen.filter(col("bucket").isin(batchBuckets.map(b => b: Any): _*))
       else handle.seen
-    val bigNew = neu.count() > graft.dedup.NearDup.BroadcastSafeRows
+    // a truncated bucket list already proves the batch is not tiny —
+    // treat it as big (the conservative, merge-hinted side) rather than
+    // paying a count job to learn the exact number
+    val bigNew =
+      if (batchBuckets.length > 1024) true
+      else bucketCounts.map(_.getLong(1)).sum > graft.dedup.NearDup.BroadcastSafeRows
     graft.dedup.NearDup.mergeIfBig(neu, bigNew)
       .join(graft.dedup.NearDup.mergeIfBig(seen, handle.bigSeen), Seq("bucket"))
       .filter(col("new_id") =!= col("seen_id"))

@@ -154,26 +154,70 @@ object Bm25 {
 
   private def writeSegment(corpus: DataFrame, path: String, nBuckets: Int,
                            idCol: String, textCol: String, mode: String,
-                           batchId: Option[Long]): Unit = {
-    // STREAMING appends (batchId set) pin the batch's (id, text)
-    // projection once: the four segment writes below are four
-    // independent actions, so unpinned each one re-tokenizes the batch
-    // (4 passes per micro-batch — guide §2.4). The pin is BATCH-sized
-    // by the micro-batch contract. The full REBUILD path (batchId
-    // None) deliberately stays lazy: pinning there would materialize
-    // the whole corpus text, and a rebuild is a one-shot that can
-    // afford its four scans of the source table.
-    val src =
-      if (batchId.isDefined)
-        corpus.select(col(idCol), col(textCol)).localCheckpoint()
-      else corpus
+                           batchId: Option[Long]): Unit =
+    if (batchId.isDefined) writeStreamSegment(corpus, path, nBuckets,
+      idCol, textCol, mode, batchId)
+    else writeRebuildSegment(corpus, path, nBuckets, idCol, textCol, mode,
+      batchId)
+
+  /** STREAMING append (batchId set): the four segment writes are four
+    * independent actions, so everything they share is pinned ONCE per
+    * micro-batch (guide §2.4) — both pins BATCH-sized by the micro-batch
+    * contract. `arr` pins the tokenized batch (one tokenize pass total;
+    * r17's (id, text) pin still re-tokenized per consumer — 2 tokenize
+    * + 2 tokenCount regex passes per batch), and `tfp` pins the
+    * (id, token, tf) grid AFTER its aggregation + pbucket shuffle, so
+    * the postings write is a pure pin scan and the dfreq write reuses
+    * the grid instead of re-running explode + groupBy (the r17 verdict's
+    * "write tf and dfreq from one shuffled intermediate"). doclen/stats
+    * derive from `arr` via size(): `tokenCount ≡ size(tokens)` by
+    * definition in [[TextAnalysis]], so the laws are bit-identical.
+    */
+  private def writeStreamSegment(corpus: DataFrame, path: String, nBuckets: Int,
+                                 idCol: String, textCol: String, mode: String,
+                                 batchId: Option[Long]): Unit = {
+    val arr = corpus
+      .select(col(idCol).as("id"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint()
+    // repartition ON pbucket before the partitionBy writes: without it
+    // every shuffle task writes a file into every bucket directory —
+    // tasks × buckets files per segment (the cluster-scale metadata
+    // killer); hashed-to-one-task buckets give files-per-bucket ≈ 1
+    val tfp = arr
+      .select(col("id"), explode(col("__toks")).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+      .withColumn("pbucket", pbucket(col("token"), nBuckets))
+      .repartition(col("pbucket"))
+      .localCheckpoint()
+    segmentWriter(tfp, mode, batchId)
+      .partitionBy("batch_id", "pbucket").parquet(s"$path/postings")
+    segmentWriter(tfp.groupBy("token").agg(count(lit(1)).as("df"))
+        .withColumn("pbucket", pbucket(col("token"), nBuckets))
+        .repartition(col("pbucket")), mode, batchId)
+      .partitionBy("batch_id", "pbucket").parquet(s"$path/dfreq")
+    segmentWriter(arr.select(col("id"),
+        size(col("__toks")).cast("long").as("dl")), mode, batchId)
+      .partitionBy("batch_id").parquet(s"$path/doclen")
+    segmentWriter(arr.agg(count(lit(1)).as("n"),
+        sum(size(col("__toks")).cast("long")).as("tot"))
+        .coalesce(1), mode, batchId)
+      .partitionBy("batch_id").parquet(s"$path/stats")
+  }
+
+  /** Full REBUILD (batchId None): deliberately LAZY — pinning here would
+    * materialize the whole corpus' token arrays / tf grid for a
+    * one-shot, the measured-negative trade of the round-10/11 A/Bs (the
+    * scan-vs-checkpoint comment in [[topK]]); a rebuild can afford its
+    * four page-cached scans of the source table.
+    */
+  private def writeRebuildSegment(corpus: DataFrame, path: String, nBuckets: Int,
+                                  idCol: String, textCol: String, mode: String,
+                                  batchId: Option[Long]): Unit = {
+    val src = corpus
     val tf = src
       .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
-    // repartition ON pbucket before each partitionBy: without it every
-    // shuffle task writes a file into every bucket directory — tasks ×
-    // buckets files per segment (the cluster-scale metadata killer);
-    // hashed-to-one-task buckets give files-per-bucket ≈ 1 per segment
+    // same files-per-bucket ≈ 1 rule as the streaming path
     segmentWriter(tf.withColumn("pbucket", pbucket(col("token"), nBuckets))
         .repartition(col("pbucket")), mode, batchId)
       .partitionBy("batch_id", "pbucket").parquet(s"$path/postings")

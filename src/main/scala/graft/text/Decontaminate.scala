@@ -467,8 +467,7 @@ object Decontaminate {
     * against the cached bench side, exact Jaccard on candidates.
     */
   private def indexPairsWithHandle(newDocs: DataFrame, h: BenchIndexHandle,
-                                   threshold: Double): DataFrame = {
-    val nNew = newDocs.count()
+                                   threshold: Double, nNew: Long): DataFrame = {
     val prune = nNew * h.bands < 4L * h.nBuckets
     val bigNew = nNew > NearDup.BroadcastSafeRows
     val newSig = NearDup.signatures(newDocs, "id", "text",
@@ -508,13 +507,17 @@ object Decontaminate {
     val newPrefixed = train.select(
       concat(lit("t:"), col(idCol).cast("string")).as("id"),
       col(textCol).as("text"))
-    val pairs = indexPairsWithHandle(newPrefixed, h, threshold)
+    // ONE count decides both guards: the prefix projection is 1:1, so
+    // |newPrefixed| = |train| — the second count() this replaces was one
+    // more fixed per-micro-batch action on the streaming gate (§2.4)
+    val nNew = train.count()
+    val pairs = indexPairsWithHandle(newPrefixed, h, threshold, nNew)
     val flagged = pairs.groupBy(col("new_id"))
       .agg(count(lit(1)).as("n_bench_matches"), max(col("jaccard")).as("max_jaccard"))
     NearDup.mergeIfBig(
       train.select(col(idCol).as("id"),
         concat(lit("t:"), col(idCol).cast("string")).as("new_id")),
-      train.count() > NearDup.BroadcastSafeRows)
+      nNew > NearDup.BroadcastSafeRows)
       .join(flagged, "new_id")
       .select("id", "n_bench_matches", "max_jaccard")
   }
