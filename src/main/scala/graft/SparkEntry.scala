@@ -11070,14 +11070,19 @@ object SparkEntry {
       val tmp = scratchDir("graft_stream_drift")
       val seg = tmp.resolve("seg").toString
       val offset = 1L << 20 // epoch B's batch_id range: [2^20, …)
-      def epoch(pred: Column, ckpt: String, off: Long): Unit =
+      def epoch(pred: Column, ckpt: String, off: Long) =
         graft.streaming.SketchIngest.startMoments(
           Tables.readTableStream(s, dir, "embeddings")
             .filter(pred).select(col("embedding")),
           seg, tmp.resolve(ckpt).toString, dim = 64, batchIdOffset = off)
-          .awaitTermination()
-      epoch(col("vec_id") % 2 === 0, "ckptA", 0L)
-      epoch(col("vec_id") % 2 =!= 0, "ckptB", offset)
+      // the two epoch drains are INDEPENDENT (disjoint batch_id ranges,
+      // own checkpoints, dynamic-overwrite writes stage under per-job
+      // .spark-staging dirs) — start both, then await both, so epoch B's
+      // work back-fills executors idled by epoch A's tail instead of
+      // paying two serial stream startups (guide §2.6)
+      val qa = epoch(col("vec_id") % 2 === 0, "ckptA", 0L)
+      val qb = epoch(col("vec_id") % 2 =!= 0, "ckptB", offset)
+      qa.awaitTermination(); qb.awaitTermination()
       val all = s.read.parquet(seg)
       graft.similarity.Pca.embeddingDrift(
         all.filter(col("batch_id") < offset),

@@ -90,7 +90,7 @@ object Ann {
     * corpus count; an explicit value passes through (registry queries pin
     * explicit bits so their embedded-plane oracles stay stable).
     */
-  private def resolveBits(nBits: Int, corpus: DataFrame): Int =
+  private[graft] def resolveBits(nBits: Int, corpus: DataFrame): Int =
     if (nBits == AutoBits) nBitsFor(math.max(corpus.count(), 1L)) else nBits
 
   /** Deterministic pseudo-random hyperplanes: `nBits` × `dim`, components
@@ -117,7 +117,7 @@ object Ann {
         lit(s" != dim=$dim — hyperplanes are built $dim-wide; fix the dim argument"))).isNull)
 
   /** Sign-random-projection bucket id for a (double-typed) vector. */
-  private def bucketExpr(vec: Column, planes: Seq[Seq[Double]]): Column =
+  private[graft] def bucketExpr(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
       when(VectorOps.dot(vec, plane) >= 0, lit(1L << i)).otherwise(0L)
@@ -204,9 +204,20 @@ object Ann {
         struct(lit(t).as("tbl"), bucketExpr(col("cvec"), p).as("bucket"))
       }: _*)).as("tb"))
       .select(col("cid"), col("tb.tbl"), col("tb.bucket"))
-    val okBuckets = cPost.groupBy("tbl", "bucket").count()
-      .filter(col("count") <= maxBucket).select("tbl", "bucket")
-    val cCap = cPost.join(okBuckets, Seq("tbl", "bucket"))
+    // bucket cap as ONE window over (tbl, bucket) — the r17-deferred A/B
+    // (tools/LshTopKAbProbe, 100× fixture, AutoBits geometry, warm
+    // median-of-3): window 172.2 s vs groupBy-count + join-back 223.4 s.
+    // The agg+join form EVALUATES cPost twice, and each evaluation
+    // re-pays nTables × nBits 64-dim dot products per corpus vector —
+    // at scale that arithmetic dwarfs one extra hash exchange of the
+    // 24-byte posting rows (which the window's high-cardinality
+    // (tbl, bucket) key spreads across the cluster). Identical capped
+    // postings by construction (same counts, same filter; equality
+    // pinned in the probe and by this row's oracle).
+    val cCap = cPost
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("__n") <= maxBucket).drop("__n")
     // query probes: own bucket + 1-bit flips per table — still no payload
     val probes = array((lit(0L) +: (0 until bits).map(i => lit(1L << i))): _*)
     val qPost = requireDim(

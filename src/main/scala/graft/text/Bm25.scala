@@ -204,16 +204,32 @@ object Bm25 {
       .partitionBy("batch_id").parquet(s"$path/stats")
   }
 
-  /** Full REBUILD (batchId None): deliberately LAZY — pinning here would
-    * materialize the whole corpus' token arrays / tf grid for a
-    * one-shot, the measured-negative trade of the round-10/11 A/Bs (the
-    * scan-vs-checkpoint comment in [[topK]]); a rebuild can afford its
-    * four page-cached scans of the source table.
+  /** Full REBUILD / batchless append (batchId None): deliberately
+    * UNPINNED — checkpointing the corpus-sized tf grid or token arrays
+    * for a one-shot is the measured-negative trade of the round-10/11
+    * A/Bs (the scan-vs-checkpoint comment in [[topK]]).
+    *
+    * An OVERWRITE rebuild still avoids the redundant passes, for free:
+    * the postings/doclen tables it has JUST WRITTEN are the
+    * materialized intermediates, so dfreq re-reads the narrow `token`
+    * column of the fresh postings segment instead of re-running the
+    * whole corpus tokenize + (id, token) shuffle, and stats re-reads
+    * the fresh doclen (8-byte dl column) instead of a second regex
+    * tokenCount pass over the text. Corpus text is now scanned TWICE
+    * per rebuild (tf, doclen) instead of four times, at zero extra
+    * materialization — the write is the contract. Identical tables:
+    * dfreq aggregates exactly the tf rows, stats' n = one doclen row
+    * per corpus row and tot = Σdl = Σ tokenCount.
+    *
+    * A batchless APPEND cannot use the read-back: its rows stack under
+    * batch_id=-1 next to every earlier append's, so the freshly-written
+    * slice is indistinguishable on disk — it keeps the lazy re-derive.
     */
   private def writeRebuildSegment(corpus: DataFrame, path: String, nBuckets: Int,
                                   idCol: String, textCol: String, mode: String,
                                   batchId: Option[Long]): Unit = {
     val src = corpus
+    val readBack = mode == "overwrite"
     val tf = src
       .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
@@ -221,16 +237,36 @@ object Bm25 {
     segmentWriter(tf.withColumn("pbucket", pbucket(col("token"), nBuckets))
         .repartition(col("pbucket")), mode, batchId)
       .partitionBy("batch_id", "pbucket").parquet(s"$path/postings")
-    segmentWriter(tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // read-backs carry EXPLICIT schemas (derived from the frames just
+    // written): an empty-corpus rebuild writes a fileless directory,
+    // where schema inference would throw but a schema'd read returns
+    // the empty frame the lazy form would also produce
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+    val postingsSchema = new StructType()
+      .add("id", tf.schema("id").dataType).add("token", StringType)
+      .add("tf", LongType).add("pbucket", IntegerType)
+      .add("batch_id", LongType)
+    val tfForDf =
+      if (readBack)
+        src.sparkSession.read.schema(postingsSchema).parquet(s"$path/postings")
+      else tf
+    segmentWriter(tfForDf.groupBy("token").agg(count(lit(1)).as("df"))
         .withColumn("pbucket", pbucket(col("token"), nBuckets))
         .repartition(col("pbucket")), mode, batchId)
       .partitionBy("batch_id", "pbucket").parquet(s"$path/dfreq")
     segmentWriter(src.select(col(idCol).as("id"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("dl")), mode, batchId)
       .partitionBy("batch_id").parquet(s"$path/doclen")
-    segmentWriter(src.agg(count(lit(1)).as("n"),
+    val doclenSchema = new StructType()
+      .add("id", tf.schema("id").dataType).add("dl", LongType)
+      .add("batch_id", LongType)
+    val statsSrc =
+      if (readBack)
+        src.sparkSession.read.schema(doclenSchema).parquet(s"$path/doclen")
+          .agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+      else src.agg(count(lit(1)).as("n"),
         sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("tot"))
-        .coalesce(1), mode, batchId)
+    segmentWriter(statsSrc.coalesce(1), mode, batchId)
       .partitionBy("batch_id").parquet(s"$path/stats")
   }
 
