@@ -126,6 +126,28 @@ class Bm25Spec extends SparkTestBase {
     assert(leafFileCounts(s"$tmp/postings").values.forall(_ <= 2))
   }
 
+  test("empty-base rebuild reads back fileless segments; stream appends still probe exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_idx_empty").resolve("idx").toString
+    // rebuild over an EMPTY corpus: the dfreq/stats read-back of the
+    // just-written postings/doclen must tolerate a fileless directory
+    // (explicit schemas, no inference) and write the 0-count stats row
+    Bm25.writeBm25Index(docs.limit(0), tmp, nBuckets = 16)
+    // streaming-shaped append (the IndexIngest per-batch verb) onto the
+    // empty base, then probe ≡ from-raw over exactly the appended docs
+    val batch = docs.filter(col("doc_id") < 50)
+    graft.streaming.IndexIngest.appendBm25Batch(batch, batchId = 0L, tmp,
+      nBuckets = 16, idCol = "doc_id", textCol = "text")
+    val q = docs.filter(col("doc_id") < 3)
+    val stored = Bm25.topKAgainstIndex(q, tmp, k = 10, nBuckets = 16)
+      .collect().map(_.toString).toSet
+    val fromRaw = Bm25.topK(batch, q, k = 10)
+      .collect().map(_.toString).toSet
+    assert(stored === fromRaw)
+    assert(stored.nonEmpty)
+  }
+
   test("persistent index probe prunes postings partitions to the query-term buckets") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("bm25_idx_plan").resolve("idx").toString
