@@ -90,8 +90,11 @@ object WordPiece {
     // vocab-sized pin, ONCE before the match join (the round-loop form
     // of this function needed it per round; the fused form still wants
     // true stats under the broadcast). Measured at 100×: 251 s unpinned
-    // → BASELINE round-13 row pinned.
-    val v = broadcast(vocabDf.select(col("piece"), col("plen")).localCheckpoint())
+    // → BASELINE round-13 row pinned. The broadcast hint sits on the
+    // JOIN below, not on this frame: `v` also feeds the maxPlen
+    // aggregate, where a frame-level hint dangles (HintErrorLogger
+    // noise on every encode — the r17 verdict-#4 class).
+    val v = vocabDf.select(col("piece"), col("plen")).localCheckpoint()
     val dw = words.select(col("word")).distinct().localCheckpoint()
     // Fused greedy walk: longest-match-first is LOCAL per word once the
     // per-position longest in-vocab match is known, so run it as ONE
@@ -112,7 +115,7 @@ object WordPiece {
       .select(col("word"), col("pos"),
         explode(sequence(lit(1),
           least(lit(maxPlen), length(col("word")) - col("pos") + 1))).as("l"))
-      .join(v, col("plen") === col("l") &&
+      .join(broadcast(v), col("plen") === col("l") &&
         col("piece") === pieceAt(col("pos"), col("l")))
       .groupBy("word", "pos").agg(max(col("plen")).as("bl"))
     val matches = best.groupBy("word")
